@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the FTS index builder and the
+  * text-analysis operators. One tokenizer for the whole engine (SURVEY §7.4
+  * decision): lowercase, split on non-letter/non-digit runs — the common
+  * ASCII-compatible core of fts5 `unicode61` (reference src/sifts/core.py:461)
+  * and PG `simple` (core.py:612-614).
+  *
+  * Everything here is `org.apache.spark.sql.functions` composition — fully
+  * codegen'd, no UDFs.
+  */
+object TextFunctions {
+
+  /** Regex for token SEPARATORS. `\p{L}\p{N}` keeps letters/digits of any
+    * script; on ASCII corpora this is exactly `[^a-z0-9]+` after lowercase.
+    */
+  val SeparatorRegex = "[^\\p{L}\\p{N}]+"
+
+  /** content -> ARRAY<STRING> of lowercase tokens (empties dropped — `split`
+    * yields "" at leading/trailing separators).
+    */
+  def tokens(content: Column): Column =
+    filter(split(lower(content), SeparatorRegex), t => length(t) > lit(0))
+
+  /** Distinct tokens, sorted — for set-based similarity (Jaccard). */
+  def tokenSet(content: Column): Column = array_sort(array_distinct(tokens(content)))
+
+  /** Word n-gram shingles (ARRAY<STRING> of space-joined n-grams), distinct.
+    * Built from an already-tokenized ARRAY<STRING> column.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    // transform over indices 0..size-n, joining n consecutive tokens.
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - lit(n), lit(-1))),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))
+    )
+    array_distinct(grams)
+  }
+
+  /** Jaccard similarity of two ARRAY<STRING> set columns (inputs must be
+    * distinct-element arrays). Double in [0,1]; 0 when both empty.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === lit(0.0), lit(0.0)).otherwise(inter / union)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.parse
+
+import graft.model.BoolQuery
+import graft.model.BoolQuery._
+
+/** Parser for the reference's tiny full-text query language
+  * (reference: src/sifts/core.py:27-67 `QueryParser`):
+  *
+  *   - tokens are whitespace-separated words
+  *   - `and` / `or` keywords, case-insensitive (core.py:35-37, 58-59)
+  *   - adjacent words = implicit AND (core.py:44-57 injects `&` for Postgres)
+  *   - trailing `*` = prefix match (core.py:60; README.md:69)
+  *   - no parentheses, no NOT, no phrases; AND binds tighter than OR —
+  *     the reference delegates precedence to fts5/tsquery, both of which give
+  *     AND higher precedence.
+  *
+  * Terms are lowercased to match the tokenizer (fts5 `unicode61` / PG `simple`
+  * are case-insensitive).
+  */
+object QueryParser {
+
+  /** Parse into the Bool AST. Returns None for an effectively-empty query
+    * (the reference's `get()` path, core.py:370-384). Stray leading/trailing
+    * operators are ignored rather than erroring (the reference would emit
+    * malformed FTS syntax there; its tests never exercise it).
+    */
+  def parse(query: String): Option[BoolQuery] = {
+    val tokens = query.trim.split("\\s+").toIndexedSeq.filter(_.nonEmpty)
+    if (tokens.isEmpty) return None
+
+    // Split the token stream on OR keywords -> groups of AND-ed words.
+    val orGroups = collection.mutable.ArrayBuffer[Vector[String]](Vector.empty)
+    tokens.foreach { tok =>
+      if (tok.equalsIgnoreCase("or")) orGroups += Vector.empty
+      else orGroups(orGroups.size - 1) = orGroups.last :+ tok
+    }
+
+    def leaf(word: String): Option[BoolQuery] = {
+      val w = word.toLowerCase
+      if (w.equalsIgnoreCase("and")) None // handled by implicit-AND folding
+      else if (w.endsWith("*") && w.length > 1) Some(Prefix(normalize(w.dropRight(1))))
+      else {
+        val t = normalize(w)
+        if (t.isEmpty) None else Some(Term(t))
+      }
+    }
+
+    def andGroup(words: Vector[String]): Option[BoolQuery] =
+      words.flatMap(leaf).reduceOption(And(_, _))
+
+    orGroups.toVector.flatMap(andGroup).reduceOption(Or(_, _))
+  }
+
+  /** Keep only tokenizer-legal characters (letters/digits) so that a term
+    * like `filter,` or `"spark"` matches its tokenized form.
+    */
+  private def normalize(w: String): String = w.filter(c => c.isLetterOrDigit)
+
+  /** Canonical string form, for golden tests / debugging (plays the role of
+    * the reference's dialect printers, core.py:35-67). AND prints as `&`,
+    * OR as `|`, prefix as `word:*` — the tsquery-ish dialect.
+    */
+  def print(q: BoolQuery): String = q match {
+    case Term(t)   => t
+    case Prefix(p) => s"$p:*"
+    case And(l, r) => s"${print(l)} & ${print(r)}"
+    case Or(l, r)  => s"(${print(l)}) | (${print(r)})"
+  }
+}

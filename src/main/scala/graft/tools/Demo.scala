@@ -1,0 +1,65 @@
+package graft.tools
+
+import graft.api.{Collection, Embedder}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end demo/driver of the public Collection API against the real
+  * sf0.001 testdata — the SURVEY §7.3 "minimum end-to-end slice" query. Run:
+  * `sbt "runMain graft.tools.Demo"`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = java.nio.file.Files.createTempDirectory("graft-demo-").toString
+    val c = Collection(spark, root, "docs")
+
+    // Ingest documents.parquet: metadata = {lang, source, n_chars}.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
+        map(lit("lang"), col("lang"), lit("source"), col("source"),
+            lit("n_chars"), col("n_chars").cast("string")).as("metadata"))
+    c.addDf(docs)
+    println(s"count = ${c.count()}")
+
+    // SURVEY §7.3 flagship: parser OR + postings union + string & numeric
+    // metadata filters + DESC NULLS FIRST sort + pagination + total.
+    val r = c.query("filter or stream", limit = 10,
+      where = Map("lang" -> "en", "n_chars" -> Map("$gt" -> 100)),
+      orderBy = Seq("-n_chars"))
+    println(s"flagship total = ${r.total}")
+    r.results.foreach(h => println(
+      s"  id=${h.id} n_chars=${h.metadata("n_chars")} lang=${h.metadata("lang")} " +
+      s"rank=${h.rank.map(x => f"$x%.4f")} content=${h.content.take(40)}…"))
+
+    // FTS relevance path (BM25 order).
+    val fts = c.query("vector index", limit = 5)
+    println(s"fts 'vector index' total = ${fts.total}")
+    fts.results.foreach(h => println(f"  id=${h.id} bm25=${h.rank.get}%.4f"))
+
+    // Vector search on the embeddings table via a hash-stub embedder.
+    object StubEmbedder extends Embedder {
+      def embed(texts: Seq[String]): Seq[Array[Float]] =
+        texts.map { t =>
+          val rnd = new scala.util.Random(t.hashCode)
+          Array.fill(64)(rnd.nextGaussian().toFloat)
+        }
+    }
+    val vc = Collection(spark, root, "vdocs", embedder = Some(StubEmbedder))
+    vc.add(Seq("alpha doc", "beta doc", "gamma doc", "delta doc"))
+    val vr = vc.query("alpha doc", vectorSearch = true, limit = 3)
+    println(s"vector total = ${vr.total}")
+    vr.results.foreach(h => println(f"  content=${h.content} sim=${h.rank.get}%.4f"))
+
+    spark.stop()
+  }
+}

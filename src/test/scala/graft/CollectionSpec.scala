@@ -1,0 +1,262 @@
+package graft
+
+import graft.api.{Collection, Embedder}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports the reference's behavioral test matrix (tests/sifts/test_sqlite.py,
+  * FIXTURES.md §1) against the Spark-native Collection.
+  */
+class CollectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-test-").toString
+
+  private def coll(root: String = freshRoot(), name: String = "test",
+                   embedder: Option[Embedder] = None, useFts: Boolean = true) =
+    Collection(spark, root, name, embedder, useFts)
+
+  /** The canonical 10-doc metadata grid (FIXTURES.md §1.1,
+    * reference test_sqlite.py:146-316).
+    */
+  private def gridColl(numeric: Boolean = false): Collection = {
+    val c = coll()
+    val k1 = if (numeric) (1 to 9).map(_.toString) else Seq("a","b","c","d","e","f","g","h","i")
+    val k2 = if (numeric) Seq("3","3","3","2","2","2","1","1","1") else Seq("c","c","c","b","b","b","a","a","a")
+    val ids = (1 to 9).map(i => s"i$i") :+ "i0"
+    val metas = (0 until 9).map(i => Map("k1" -> k1(i), "k2" -> k2(i))) :+ (null: Map[String, String])
+    c.add(contents = ids.map(_ => "Lorem"), ids = Some(ids), metadatas = Some(metas))
+    c
+  }
+
+  // --- name validation (core.py:94-97) ---
+  test("valid and invalid collection names") {
+    val root = freshRoot()
+    Collection(spark, root, "ok-name_+~#=/123")
+    intercept[IllegalArgumentException](Collection(spark, root, ""))
+    intercept[IllegalArgumentException](Collection(spark, root, "bad name"))
+    intercept[IllegalArgumentException](Collection(spark, root, "bad.name"))
+  }
+
+  // --- add / query basics (test_sqlite.py:39-63) ---
+  test("add, FTS query, wildcard, or, implicit and") {
+    val c = coll()
+    c.add(Seq("Lorem ipsum dolor", "sit amet"))
+    assert(c.count() === 2)
+    assert(c.query("Lorem").total === 1)
+    assert(c.query("lorem").total === 1)       // case-insensitive
+    assert(c.query("am*").total === 1)         // prefix
+    assert(c.query("Lorem or amet").total === 2)
+    assert(c.query("Lorem ipsum").total === 1) // AND within one doc
+    assert(c.query("Lorem sit").total === 0)   // AND across docs -> no hit
+  }
+
+  test("uuid ids are 36 chars; upsert on existing id replaces") {
+    val c = coll()
+    val ids = c.add(Seq("Lorem ipsum"))
+    assert(ids.head.length === 36)
+    c.add(Seq("dolor sit"), ids = Some(ids))
+    assert(c.count() === 1)
+    assert(c.query("Lorem").total === 0)
+    assert(c.query("dolor").total === 1)
+  }
+
+  test("intra-batch duplicate ids: last wins") {
+    val c = coll()
+    c.add(Seq("first version", "second version"), ids = Some(Seq("x", "x")))
+    assert(c.count() === 1)
+    assert(c.query("second").total === 1)
+    assert(c.query("first").total === 0)
+  }
+
+  test("update reindexes; update requires ids") {
+    val c = coll()
+    val ids = c.add(Seq("Lorem ipsum"))
+    c.update(ids, Seq("dolor amet"))
+    assert(c.query("ipsum").total === 0)
+    assert(c.query("amet").total === 1)
+    intercept[IllegalArgumentException](c.update(Seq.empty, Seq.empty))
+  }
+
+  test("delete is idempotent and cross-collection (core.py:186-188 parity)") {
+    val root = freshRoot()
+    val a = Collection(spark, root, "a")
+    val b = Collection(spark, root, "b")
+    a.add(Seq("Lorem"), ids = Some(Seq("shared")))
+    b.add(Seq("ipsum"), ids = Some(Seq("shared")))
+    a.delete(Seq("shared"))
+    assert(a.count() === 0)
+    assert(b.count() === 0) // deliberately un-scoped, like the reference
+    a.delete(Seq("shared")) // idempotent
+  }
+
+  test("delete_all only clears own collection") {
+    val root = freshRoot()
+    val a = Collection(spark, root, "a")
+    val b = Collection(spark, root, "b")
+    a.add(Seq("Lorem"))
+    b.add(Seq("Lorem"))
+    a.deleteAll()
+    assert(a.count() === 0)
+    assert(b.count() === 1)
+    assert(b.query("Lorem").total === 1)
+  }
+
+  test("collection isolation") {
+    val root = freshRoot()
+    val a = Collection(spark, root, "a")
+    val b = Collection(spark, root, "b")
+    a.add(Seq("Lorem ipsum"))
+    b.add(Seq("dolor sit"))
+    assert(a.query("dolor").total === 0)
+    assert(b.query("dolor").total === 1)
+    assert(a.count() === 1)
+  }
+
+  test("metadata round-trip including null") {
+    val c = coll()
+    c.add(Seq("a doc", "b doc"), ids = Some(Seq("m1", "m0")),
+      metadatas = Some(Seq(Map("k" -> "v", "n" -> "2"), null)))
+    val r = c.get(orderBy = Seq("k")).results
+    assert(r.map(_.id) === Seq("m1", "m0")) // asc nulls last
+    assert(r.head.metadata === Map("k" -> "v", "n" -> "2"))
+    assert(r.last.metadata === null)
+    assert(r.forall(_.rank.isEmpty)) // get() has no rank column
+  }
+
+  // --- ordering (test_sqlite.py:163-186) ---
+  test("order_by single key with NULLS parity") {
+    val c = gridColl()
+    val asc = c.get(orderBy = Seq("k1")).results.map(_.id)
+    assert(asc === Seq("i1","i2","i3","i4","i5","i6","i7","i8","i9","i0"))
+    val desc = c.get(orderBy = Seq("-k1")).results.map(_.id)
+    assert(desc === Seq("i0","i9","i8","i7","i6","i5","i4","i3","i2","i1"))
+    val plus = c.get(orderBy = Seq("+k1")).results.map(_.id)
+    assert(plus === asc)
+  }
+
+  test("order_by multi-key") {
+    val c = gridColl()
+    assert(c.get(orderBy = Seq("k2","k1")).results.map(_.id) ===
+      Seq("i7","i8","i9","i4","i5","i6","i1","i2","i3","i0"))
+    assert(c.get(orderBy = Seq("k2","-k1")).results.map(_.id) ===
+      Seq("i9","i8","i7","i6","i5","i4","i3","i2","i1","i0"))
+  }
+
+  // --- pagination (test_sqlite.py:189-222) ---
+  test("limit / offset / limit=0 / total") {
+    val c = gridColl()
+    val page = c.get(limit = 3, offset = 3, orderBy = Seq("k1"))
+    assert(page.results.map(_.id) === Seq("i4","i5","i6"))
+    assert(page.total === 10)
+    assert(c.get(limit = 0).total === 10)
+    assert(c.get(limit = 0).results.size === 10)
+    assert(c.get(limit = 3).results.size === 3)
+    assert(c.get(offset = 8, limit = 5, orderBy = Seq("k1")).results.map(_.id) === Seq("i9","i0"))
+  }
+
+  // --- where (test_sqlite.py:225-316) ---
+  test("where string compare ops") {
+    val c = gridColl()
+    assert(c.get(where = Map("k2" -> "a")).total === 3)
+    assert(c.get(where = Map("k2" -> Map("$eq" -> "a"))).total === 3)
+    assert(c.get(where = Map("k2" -> Map("$gt" -> "a"))).total === 6)
+    assert(c.get(where = Map("k2" -> Map("$lt" -> "a"))).total === 0)
+    assert(c.get(where = Map("k2" -> Map("$gte" -> "b"))).total === 6)
+    assert(c.get(where = Map("k2" -> Map("$lte" -> "b"))).total === 6)
+  }
+
+  test("where numeric compare ops (operand typing, core.py:272-287)") {
+    val c = gridColl(numeric = true)
+    assert(c.get(where = Map("k2" -> 1)).total === 3)
+    assert(c.get(where = Map("k2" -> Map("$gt" -> 1))).total === 6)
+    assert(c.get(where = Map("k2" -> Map("$lt" -> 1))).total === 0)
+    assert(c.get(where = Map("k1" -> Map("$gte" -> 5, "$lte" -> 7))).total === 3)
+  }
+
+  test("$in / $nin with NULL-exclusion semantics") {
+    val c = gridColl()
+    val in = c.get(where = Map("k1" -> Map("$in" -> Seq("a","b","c","d"))))
+    assert(in.total === 4)
+    assert(in.results.map(_.id).toSet === Set("i1","i2","i3","i4"))
+    val nin = c.get(where = Map("k1" -> Map("$nin" -> Seq("a","b","c","d"))))
+    assert(nin.total === 5) // i0 (no metadata) excluded, like the reference
+    assert(nin.results.map(_.id).toSet === Set("i5","i6","i7","i8","i9"))
+  }
+
+  test("invalid operator raises") {
+    val c = gridColl()
+    intercept[IllegalArgumentException](c.get(where = Map("k1" -> Map("in" -> Seq("a")))))
+  }
+
+  test("where composes with FTS") {
+    val c = gridColl()
+    assert(c.query("Lorem", where = Map("k2" -> "a")).total === 3)
+    assert(c.query("missing", where = Map("k2" -> "a")).total === 0)
+  }
+
+  // --- vector search (FIXTURES.md §1.2, test_sqlite.py:348-379) ---
+  private object DictEmbedder extends Embedder {
+    private val m = Map(
+      "Lorem ipsum dolor" -> Array(1f, 1f, 1f),
+      "sit amet" -> Array(1f, -1f, 1f),
+      "consectetur" -> Array(-1f, -1f, 1f),
+      "adipiscing" -> Array(-1f, -1f, -1f))
+    def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map(m)
+  }
+
+  test("vector search exact cosine ±1/3 fixture") {
+    val c = coll(embedder = Some(DictEmbedder))
+    c.add(Seq("Lorem ipsum dolor", "sit amet"))
+    val r = c.query("consectetur", vectorSearch = true)
+    assert(r.total === 2)
+    assert(r.results.map(_.content) === Seq("sit amet", "Lorem ipsum dolor"))
+    assert(math.abs(r.results(0).rank.get - 1.0 / 3) < 1e-6)
+    assert(math.abs(r.results(1).rank.get + 1.0 / 3) < 1e-6)
+
+    val page = c.query("consectetur", vectorSearch = true, offset = 1, limit = 1)
+    assert(page.results.map(_.content) === Seq("Lorem ipsum dolor"))
+    val past = c.query("consectetur", vectorSearch = true, offset = 2)
+    assert(past.results.isEmpty)
+    assert(past.total === 2) // SURVEY §7.4: true pre-limit total
+  }
+
+  test("vector update re-embeds") {
+    val c = coll(embedder = Some(DictEmbedder))
+    val ids = c.add(Seq("Lorem ipsum dolor"))
+    c.update(ids, Seq("sit amet"))
+    val r = c.query("consectetur", vectorSearch = true)
+    assert(r.total === 1)
+    assert(math.abs(r.results.head.rank.get - 1.0 / 3) < 1e-6)
+  }
+
+  test("fts and vector coexist") {
+    val c = coll(embedder = Some(DictEmbedder))
+    c.add(Seq("Lorem ipsum dolor", "sit amet"))
+    assert(c.query("Lorem").total === 1)
+    assert(c.query("consectetur", vectorSearch = true).total === 2)
+  }
+
+  // --- validation (core.py:200-205) ---
+  test("mode validation errors") {
+    val c = coll(embedder = Some(DictEmbedder))
+    c.add(Seq("Lorem ipsum dolor"))
+    intercept[IllegalArgumentException](
+      c.query("consectetur", vectorSearch = true, orderBy = Seq("k1")))
+    val noEmb = coll()
+    noEmb.add(Seq("x"))
+    intercept[IllegalArgumentException](noEmb.query("x", vectorSearch = true))
+    val noFts = coll(useFts = false)
+    noFts.add(Seq("Lorem"))
+    intercept[IllegalArgumentException](noFts.query("Lorem"))
+    assert(noFts.get().total === 1) // scan still fine
+  }
+
+  test("persistence across Collection instances") {
+    val root = freshRoot()
+    Collection(spark, root, "p").add(Seq("Lorem ipsum"), ids = Some(Seq("d1")))
+    val again = Collection(spark, root, "p")
+    assert(again.count() === 1)
+    assert(again.query("lorem").results.head.id === "d1")
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.model.BoolQuery._
+import graft.parse.QueryParser
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden parser tests, mirroring the reference's
+  * tests/sifts/test_queryparser.py (10 string goldens) against our AST +
+  * canonical printer.
+  */
+class QueryParserSpec extends AnyFunSuite {
+
+  private def p(s: String) = QueryParser.parse(s)
+
+  test("single word") { assert(p("Lorem").contains(Term("lorem"))) }
+
+  test("trim and whitespace") {
+    assert(p("  Lorem   ipsum ").contains(And(Term("lorem"), Term("ipsum"))))
+  }
+
+  test("implicit AND between adjacent words") {
+    assert(p("Lorem ipsum dolor").contains(
+      And(And(Term("lorem"), Term("ipsum")), Term("dolor"))))
+  }
+
+  test("explicit and, case-insensitive") {
+    assert(p("Lorem AND ipsum") === p("Lorem and ipsum"))
+    assert(p("Lorem and ipsum").contains(And(Term("lorem"), Term("ipsum"))))
+  }
+
+  test("or, case-insensitive") {
+    assert(p("Lorem OR ipsum").contains(Or(Term("lorem"), Term("ipsum"))))
+    assert(p("lorem or ipsum") === p("Lorem OR ipsum"))
+  }
+
+  test("AND binds tighter than OR (fts5/tsquery precedence)") {
+    assert(p("a b or c").contains(Or(And(Term("a"), Term("b")), Term("c"))))
+    assert(p("a or b c").contains(Or(Term("a"), And(Term("b"), Term("c")))))
+  }
+
+  test("trailing * = prefix") {
+    assert(p("Lor*").contains(Prefix("lor")))
+    assert(p("Lorem ips*").contains(And(Term("lorem"), Prefix("ips"))))
+  }
+
+  test("empty / whitespace-only query -> None (get path)") {
+    assert(p("").isEmpty)
+    assert(p("   ").isEmpty)
+  }
+
+  test("stray operators ignored") {
+    assert(p("or").isEmpty)
+    assert(p("and lorem").contains(Term("lorem")))
+    assert(p("lorem or").contains(Term("lorem")))
+  }
+
+  test("punctuation stripped to tokenizer-legal form") {
+    assert(p("\"Lorem,\"").contains(Term("lorem")))
+  }
+
+  test("canonical print") {
+    assert(QueryParser.print(p("a b or c*").get) === "(a & b) | (c:*)")
+  }
+}
