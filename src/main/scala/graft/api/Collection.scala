@@ -72,7 +72,10 @@ final class Collection private (
           metadatas: Option[Seq[Map[String, String]]] = None): Seq[String] = {
     require(ids.forall(_.size == contents.size), "ids must match contents length")
     require(metadatas.forall(_.size == contents.size), "metadatas must match contents length")
-    val allIds = ids.getOrElse(contents.map(_ => java.util.UUID.randomUUID().toString))
+    // Falsy ids are replaced element-wise with fresh UUIDs, like the
+    // reference's `[i or make_id() for i in ids]` (core.py:147-150).
+    val allIds = ids.getOrElse(contents.map(_ => ""))
+      .map(i => Option(i).filter(_.nonEmpty).getOrElse(java.util.UUID.randomUUID().toString))
     val metas = metadatas.getOrElse(contents.map(_ => null: Map[String, String]))
 
     val rows = allIds.lazyZip(contents).lazyZip(metas).lazyZip(allIds.indices).map {
@@ -80,29 +83,38 @@ final class Collection private (
     }.toSeq
     val batchRaw = spark.createDataset(rows)
 
-    // Embed executor-side, one Embedder.embed call per partition batch.
-    val batchDocs: DataFrame = embedder match {
+    // Intra-batch last-wins dedup FIRST, then embed: only surviving rows are
+    // embedded, and the expensive embed subtree sits above the shuffle so it
+    // is not re-evaluated per downstream consumer.
+    val w = Window.partitionBy($"id").orderBy($"pos".desc)
+    val dedupedRaw = batchRaw.toDF()
+      .withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
+      .select($"id", $"content", $"metadata")
+
+    // Embed executor-side, one Embedder.embed call per bounded chunk — never
+    // materializing a whole partition (the embed-batch contract of
+    // core.py:518/644 with bounded executor memory).
+    val deduped: DataFrame = embedder match {
       case Some(emb) =>
-        batchRaw.mapPartitions { it =>
-          val part = it.toVector
-          val vecs = if (part.isEmpty) Vector.empty else emb.embed(part.map(_.content))
-          part.lazyZip(vecs).map((r, v) => (DocRow(r.id, r.content, r.metadata, v), r.pos)).iterator
-        }.toDF("doc", "pos").select($"doc.*", $"pos")
+        val bs = Collection.EmbedBatchSize
+        dedupedRaw.as[(String, String, Map[String, String])].mapPartitions { it =>
+          it.grouped(bs).flatMap { chunk =>
+            val vecs = emb.embed(chunk.map(_._2))
+            chunk.lazyZip(vecs).map((r, v) => DocRow(r._1, r._2, r._3, v))
+          }
+        }.toDF()
       case None =>
-        batchRaw.select($"id", $"content", $"metadata",
-          lit(null).cast("array<float>").as("embedding"), $"pos")
+        dedupedRaw.withColumn("embedding", lit(null).cast("array<float>"))
     }
 
-    // Intra-batch last-wins dedup.
-    val w = Window.partitionBy($"id").orderBy($"pos".desc)
-    val deduped = batchDocs
-      .withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
-      .select($"id", $"content", $"metadata", $"embedding".cast("array<float>"))
-
-    // Upsert against base: keep base rows whose id is not in the batch.
-    val batchIds = deduped.select("id")
+    // Upsert against base: keep base rows whose id is not in the batch. The
+    // batch ids are already driver-side — building the join side from them
+    // keeps the (expensive) embed subtree out of the broadcast branch, so
+    // each doc is embedded exactly once.
+    val batchIds = allIds.distinct.toDF("id")
     val merged = docs().join(broadcast(batchIds), Seq("id"), "left_anti")
-      .unionByName(deduped)
+      .unionByName(deduped.select($"id", $"content", $"metadata",
+        $"embedding".cast("array<float>")))
     Stores.overwritePartition(spark, docsDir, name, merged)
 
     refreshIndexes(touchedIds = Some(allIds.distinct))
@@ -119,11 +131,13 @@ final class Collection private (
     if (!d.columns.contains("embedding")) {
       d = embedder match {
         case Some(emb) =>
+          val bs = Collection.EmbedBatchSize
           d.select($"id", $"content", $"metadata").as[(String, String, Map[String, String])]
             .mapPartitions { it =>
-              val part = it.toVector
-              val vecs = if (part.isEmpty) Vector.empty else emb.embed(part.map(_._2))
-              part.lazyZip(vecs).map((r, v) => DocRow(r._1, r._2, r._3, v)).iterator
+              it.grouped(bs).flatMap { chunk =>
+                val vecs = emb.embed(chunk.map(_._2))
+                chunk.lazyZip(vecs).map((r, v) => DocRow(r._1, r._2, r._3, v))
+              }
             }.toDF()
         case None => d.withColumn("embedding", lit(null).cast("array<float>"))
       }
@@ -146,14 +160,26 @@ final class Collection private (
     * un-scoped `DELETE … WHERE id IN (…)` (core.py:184-188, SURVEY §2 S5).
     */
   def delete(ids: Seq[String]): Unit = {
-    val idSeq = ids.filter(_ != null)
+    val idSeq = ids.filter(_ != null).distinct
     if (idSeq.isEmpty) return
+    val idsDf = idSeq.toDF("id")
     Stores.collections(spark, docsDir).foreach { coll =>
       val base = Stores.readPartition(spark, docsDir, coll, Stores.docsSchema)
-      val remaining = base.filter(!$"id".isin(idSeq: _*))
-      Stores.overwritePartition(spark, docsDir, coll, remaining)
-      val self = new Collection(spark, root, coll, None, useFts)
-      self.refreshIndexes(touchedIds = Some(idSeq))
+      // Skip collections that contain none of the ids — no rewrite, no index
+      // refresh (the reference rewrote every collection unconditionally;
+      // O(store) per delete doesn't survive scale).
+      val touched = !base.join(broadcast(idsDf), Seq("id"), "left_semi").isEmpty
+      if (touched) {
+        val remaining = base.join(broadcast(idsDf), Seq("id"), "left_anti")
+        Stores.overwritePartition(spark, docsDir, coll, remaining)
+        // useFts is decided PER TARGET collection (postings partition exists),
+        // not inherited from the caller — a useFts=false caller must not
+        // leave sibling collections' postings stale.
+        val targetFts = Stores.exists(spark,
+          s"${Stores.postingsDir(root)}/collection=${java.net.URLEncoder.encode(coll, "UTF-8")}")
+        val self = new Collection(spark, root, coll, None, targetFts)
+        self.refreshIndexes(touchedIds = Some(idSeq))
+      }
     }
   }
 
@@ -174,10 +200,15 @@ final class Collection private (
   private def refreshIndexes(touchedIds: Option[Seq[String]]): Unit = {
     if (useFts) {
       val current = docs()
+      // Touched ids as a broadcast join, never a literal `isin` list — a
+      // 100k-doc batch would otherwise build a 100k-term Catalyst expression
+      // on the driver (plan-size blowup).
       val fresh = touchedIds match {
         case Some(idSeq) if idSeq.nonEmpty =>
-          val old = postings().filter(!$"id".isin(idSeq: _*))
-          old.unionByName(PostingsIndex.build(current.filter($"id".isin(idSeq: _*))))
+          val idsDf = idSeq.toDF("id")
+          val old = postings().join(broadcast(idsDf), Seq("id"), "left_anti")
+          old.unionByName(
+            PostingsIndex.build(current.join(broadcast(idsDf), Seq("id"), "left_semi")))
         case _ => PostingsIndex.build(current)
       }
       Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))
@@ -197,6 +228,35 @@ final class Collection private (
   def query(query: String = "", limit: Int = 0, offset: Int = 0,
             where: Map[String, Any] = Map.empty, orderBy: Seq[String] = Nil,
             vectorSearch: Boolean = false): QueryResult = {
+    val (preLimit, withRank) = plan(query, where, orderBy, vectorSearch)
+    // One execution for both `total` and the page: persist the pre-limit
+    // frame (the reference's count(*) OVER() analogue without re-running the
+    // postings join / scoring pipeline twice).
+    preLimit.persist()
+    try {
+      val total = preLimit.count()
+      QueryResult(total, collectHits(Paginator(preLimit, limit, offset), withRank))
+    } finally preLimit.unpersist()
+  }
+
+  /** The same query pipeline as a lazy, paginated DataFrame with columns
+    * (id, content, metadata, rank) — the distributed-consumer API (no
+    * driver-side collect; `query()`'s `limit=0` full collect reproduces the
+    * reference's API-boundary cliff and is for parity only).
+    */
+  def queryFrame(query: String = "", limit: Int = 0, offset: Int = 0,
+                 where: Map[String, Any] = Map.empty, orderBy: Seq[String] = Nil,
+                 vectorSearch: Boolean = false): DataFrame = {
+    val (preLimit, withRank) = plan(query, where, orderBy, vectorSearch)
+    val shaped =
+      if (withRank) preLimit.select($"id", $"content", $"metadata", $"rank")
+      else preLimit.select($"id", $"content", $"metadata", lit(null).cast("double").as("rank"))
+    Paginator(shaped, limit, offset)
+  }
+
+  /** Builds the ordered pre-limit frame; returns (frame, hasRank). */
+  private def plan(query: String, where: Map[String, Any], orderBy: Seq[String],
+                   vectorSearch: Boolean): (DataFrame, Boolean) = {
     if (vectorSearch && orderBy.nonEmpty)
       throw new IllegalArgumentException("Cannot use order_by with vector search.")
     if (vectorSearch && embedder.isEmpty)
@@ -210,27 +270,25 @@ final class Collection private (
     if (vectorSearch) {
       val qvec = embedder.get.embed(Seq(query)).head.toSeq
       val scored = VectorSearch.scored(filtered, "embedding", qvec)
-      val total = scored.count()
-      val page = Paginator(scored.orderBy($"rank".desc, $"id".asc), limit, offset)
-      QueryResult(total, collectHits(page, withRank = true))
+      (scored.orderBy($"rank".desc, $"id".asc), true)
     } else ast match {
       case Some(q) =>
         val ids = FtsEval.matchingIds(postings(), q)
-        val matched = filtered.join(broadcast(ids), Seq("id"))
+        // No broadcast hint: the match-id set is unbounded (a common term can
+        // match most of the corpus). AQE picks broadcast when it's small.
+        val matched = filtered.join(ids, Seq("id"))
         val ranked = matched
           .join(Bm25.scores(postings(), collStats(), q), Seq("id"), "left")
           .withColumn("rank", coalesce($"rank", lit(0.0)))
-        val total = ranked.count()
         val ordered =
           if (orderBy.nonEmpty) Sorter(ranked, $"metadata", orderBy.map(SortKey.parse), Seq($"id".asc))
           else ranked.orderBy($"rank".desc, $"id".asc) // deterministic; reference leaves it storage-ordered (SURVEY §7.4)
-        QueryResult(total, collectHits(Paginator(ordered, limit, offset), withRank = true))
+        (ordered, true)
       case None =>
-        val total = filtered.count()
         val ordered =
           if (orderBy.nonEmpty) Sorter(filtered, $"metadata", orderBy.map(SortKey.parse), Seq($"id".asc))
           else filtered.orderBy($"id".asc)
-        QueryResult(total, collectHits(Paginator(ordered, limit, offset), withRank = false))
+        (ordered, false)
     }
   }
 
@@ -259,6 +317,9 @@ final class Collection private (
 }
 
 object Collection {
+  /** Max docs per Embedder.embed call (bounded executor memory). */
+  val EmbedBatchSize: Int = 256
+
   /** Valid collection names, same charset as the reference (core.py:94-97). */
   private val NamePattern = "[-a-zA-Z0-9_\\+~#=/]+".r
 

@@ -33,11 +33,14 @@ object TextFunctions {
     */
   def shingles(toks: Column, n: Int): Column = {
     // transform over indices 0..size-n, joining n consecutive tokens.
+    // Docs with fewer than n tokens yield an EMPTY array — sequence(0,-1)
+    // would otherwise produce [0,-1] and slice() throws on start=0.
     val grams = transform(
-      sequence(lit(0), greatest(size(toks) - lit(n), lit(-1))),
+      sequence(lit(0), size(toks) - lit(n)),
       i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))
     )
-    array_distinct(grams)
+    when(size(toks) < lit(n), array().cast("array<string>"))
+      .otherwise(array_distinct(grams))
   }
 
   /** Jaccard similarity of two ARRAY<STRING> set columns (inputs must be

@@ -38,10 +38,19 @@ object QueryParser {
     def leaf(word: String): Option[BoolQuery] = {
       val w = word.toLowerCase
       if (w.equalsIgnoreCase("and")) None // handled by implicit-AND folding
-      else if (w.endsWith("*") && w.length > 1) Some(Prefix(normalize(w.dropRight(1))))
       else {
-        val t = normalize(w)
-        if (t.isEmpty) None else Some(Term(t))
+        // Punctuated words are split with the INDEX tokenizer's separator
+        // ("don't" -> don AND t) so query terms match their tokenized form —
+        // the reference hands the raw word to fts5/to_tsquery, which
+        // tokenizes consistently with its index.
+        val isPrefix = w.endsWith("*") && w.length > 1
+        val parts = (if (isPrefix) w.dropRight(1) else w)
+          .split(graft.functions.TextFunctions.SeparatorRegex).toSeq.filter(_.nonEmpty)
+        val leaves: Seq[BoolQuery] =
+          if (parts.isEmpty) Nil
+          else if (isPrefix) parts.init.map(Term.apply) :+ Prefix(parts.last)
+          else parts.map(Term.apply)
+        leaves.reduceOption(And(_, _))
       }
     }
 
@@ -50,11 +59,6 @@ object QueryParser {
 
     orGroups.toVector.flatMap(andGroup).reduceOption(Or(_, _))
   }
-
-  /** Keep only tokenizer-legal characters (letters/digits) so that a term
-    * like `filter,` or `"spark"` matches its tokenized form.
-    */
-  private def normalize(w: String): String = w.filter(c => c.isLetterOrDigit)
 
   /** Canonical string form, for golden tests / debugging (plays the role of
     * the reference's dialect printers, core.py:35-67). AND prints as `&`,
