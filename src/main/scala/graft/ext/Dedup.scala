@@ -1,0 +1,210 @@
+package graft.ext
+
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (new-scope per BASELINE.json; the reference has no dedup surface — its
+  * tokenizer, src/sifts/core.py:461, is the shared substrate).
+  *
+  * Every operator is candidate-generation-then-verify: candidates come from
+  * an equality join on a bucket key (exact hash / LSH band / shared shingle /
+  * SimHash chunk), NEVER from an all-pairs comparison — the only O(N²) work
+  * is inside a bucket. That is the 100 TB design constraint.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------------------
+  // Exact duplicates
+  // -------------------------------------------------------------------------
+
+  /** Exact-duplicate pairs: (keep_id, dup_id) where keep_id is the smallest
+    * id of each identical-content group. groupBy on a 256-bit content hash —
+    * one shuffle keyed on the hash, map-side combined; collision-free for any
+    * realistic corpus.
+    */
+  def exactDupPairs(docs: DataFrame, idCol: String = "id",
+                    contentCol: String = "content"): DataFrame = {
+    val grouped = docs
+      .select(col(idCol).as("id"), sha2(col(contentCol), 256).as("__h"))
+      .groupBy(col("__h"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    grouped
+      .select(element_at(col("ids"), 1).as("keep_id"),
+        explode(slice(col("ids"), 2, Int.MaxValue)).as("dup_id"))
+  }
+
+  // -------------------------------------------------------------------------
+  // MinHash + LSH near-duplicates
+  // -------------------------------------------------------------------------
+
+  /** (id, shingles, sig) for every doc: word `n`-gram shingles and a
+    * `bands*rowsPerBand`-perm MinHash signature. Pure scan, zero shuffle.
+    */
+  private def signatures(docs: DataFrame, idCol: String, contentCol: String,
+                         n: Int, numHashes: Int): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      TextFunctions.shingles(TextFunctions.tokens(col(contentCol)), n).as("sh"))
+      .withColumn("sig", HashFunctions.minHashSignature(col("sh"), numHashes))
+
+  /** LSH candidate pairs (id_a < id_b, distinct): docs agreeing on ALL
+    * `rowsPerBand` signature rows of at least one band. One shuffle on
+    * (band index, band hash); bucket-local self-join.
+    */
+  private def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandHashes = transform(
+      sequence(lit(0), lit(bands - 1)),
+      j => xxhash64(concat_ws(",", slice(col("sig"), j * rowsPerBand + 1, lit(rowsPerBand))), j))
+    val banded = sigs
+      .select(col("id"), posexplode(bandHashes).as(Seq("band", "bh")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs by word-shingle Jaccard ≥ `threshold`, found with
+    * MinHash LSH and VERIFIED with the exact Jaccard (no false positives;
+    * recall governed by the band shape: P[miss] = (1 − t^r)^b — for the
+    * default 32×4 at t=0.8 that is < 1e-7).
+    *
+    * Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minHashDupPairs(docs: DataFrame, idCol: String = "id",
+                      contentCol: String = "content", n: Int = 3,
+                      bands: Int = 32, rowsPerBand: Int = 4,
+                      threshold: Double = 0.8): DataFrame = {
+    val sigs = signatures(docs, idCol, contentCol, n, bands * rowsPerBand)
+    val candidates = lshCandidates(sigs, bands, rowsPerBand)
+    val shA = sigs.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sigs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates
+      .join(shA, "id_a")
+      .join(shB, "id_b")
+      .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Exact n-gram Jaccard (no LSH — inverted-index candidates)
+  // -------------------------------------------------------------------------
+
+  /** EXACT near-duplicate pairs by word-shingle Jaccard ≥ `threshold`.
+    * Candidates = pairs sharing ≥1 shingle (inverted-index join), so recall
+    * is 1 by construction for any threshold > 0. |A∩B| comes from the join
+    * group count and |A∪B| = |A|+|B|−|A∩B| — the Jaccard needs no second
+    * pass over the shingle sets.
+    *
+    * Scale note: a shingle shared by f docs contributes f² join rows; for
+    * corpora with ultra-hot shingles prefer `minHashDupPairs` (bounded by
+    * the band structure) or pre-drop shingles above a document-frequency cap.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String = "id",
+                        contentCol: String = "content", n: Int = 3,
+                        threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"),
+      TextFunctions.shingles(TextFunctions.tokens(col(contentCol)), n).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
+    val inter = inv.as("a")
+      .join(inv.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // -------------------------------------------------------------------------
+  // SimHash near-duplicates
+  // -------------------------------------------------------------------------
+
+  /** (id, simhash) per doc — 64-bit MD5-derived SimHash over the token
+    * multiset (see [[graft.functions.SimHash64]]). Pure scan.
+    */
+  def simHashes(docs: DataFrame, idCol: String = "id",
+                contentCol: String = "content"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      HashFunctions.simHash64(TextFunctions.tokens(col(contentCol))).as("simhash"))
+
+  /** Near-duplicate pairs with Hamming distance ≤ `maxHamming` between
+    * 64-bit SimHashes. Banding on `maxHamming+1` equal-width bit chunks —
+    * by pigeonhole two hashes within the distance bound agree on ≥1 chunk,
+    * so candidate recall is EXACT (1.0); verification filters on the true
+    * Hamming distance. One shuffle on (chunk index, chunk value).
+    */
+  def simHashDupPairs(docs: DataFrame, idCol: String = "id",
+                      contentCol: String = "content",
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
+    val chunks = maxHamming + 1
+    val width = 64 / chunks // trailing bits join the last chunk
+    val hashes = simHashes(docs, idCol, contentCol)
+    val chunkCols = array((0 until chunks).map { c =>
+      val shifted = shiftright(col("simhash"), c * width)
+      if (c == chunks - 1) shifted // top chunk keeps all remaining bits
+      else shifted.bitwiseAND(lit((1L << width) - 1))
+    }: _*)
+    val banded = hashes.select(col("id"), col("simhash"),
+      posexplode(chunkCols).as(Seq("chunk", "cv")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // -------------------------------------------------------------------------
+  // Embedding-cosine near-duplicates
+  // -------------------------------------------------------------------------
+
+  /** Near-duplicate pairs by embedding cosine ≥ `threshold`.
+    *
+    * Candidates come from random-hyperplane LSH buckets ([[Ann.lshTables]]):
+    * only vectors sharing a bucket in ≥1 table are compared, then verified
+    * with the exact codegen'd cosine. With `numTables` tables of `numPlanes`
+    * hyperplanes, P[miss] = (1 − (1 − θ/π)^numPlanes)^numTables for angle θ.
+    * Set `numTables = 0` for the exact all-pairs variant (correctness
+    * baseline / small dimensions only).
+    */
+  def embeddingDupPairs(df: DataFrame, idCol: String = "id",
+                        embCol: String = "embedding", threshold: Double = 0.9,
+                        numTables: Int = 8, numPlanes: Int = 12,
+                        dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .filter(col("emb").isNotNull)
+    val candidates =
+      if (numTables <= 0)
+        base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      else {
+        val buckets = Ann.lshTables(base, "id", "emb", numTables, numPlanes, dim, seed)
+        buckets.as("a")
+          .join(buckets.as("b"),
+            col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+      }
+    candidates
+      .join(base.select(col("id").as("id_a"), col("emb").as("emb_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("emb").as("emb_b")), "id_b")
+      .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

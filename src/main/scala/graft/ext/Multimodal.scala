@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support (new-scope per BASELINE.json): media
+  * (image/audio/video) travels as an opaque BINARY column with typed
+  * metadata; decode/feature-extraction runs as a BATCHED executor-side
+  * transform over `mapPartitions` — the Spark-side plumbing (schema,
+  * partitioning, batch shape) is real; the decoder itself is pluggable.
+  */
+trait MediaDecoder extends Serializable {
+  /** Batch contract: one call per bounded chunk of media blobs, one
+    * fixed-length feature vector per blob (mirrors the Embedder contract,
+    * reference src/sifts/core.py:90).
+    */
+  def decode(batch: Seq[Array[Byte]]): Seq[Array[Float]]
+}
+
+/** STUB decoder — the real image/audio codecs are not available in this
+  * environment (per the build brief), so this computes deterministic
+  * byte-level features standing in for a decoded representation:
+  * [byte_count, 0x20-space count, 0x61-'a' count]. Swap for a real codec
+  * behind the same batch contract.
+  */
+object ByteStatsDecoder extends MediaDecoder {
+  def decode(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+    batch.map { bytes =>
+      var spaces = 0
+      var as = 0
+      var i = 0
+      while (i < bytes.length) {
+        if (bytes(i) == 0x20) spaces += 1
+        if (bytes(i) == 0x61) as += 1
+        i += 1
+      }
+      Array(bytes.length.toFloat, spaces.toFloat, as.toFloat)
+    }
+}
+
+object Multimodal {
+
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video|text
+    StructField("media", BinaryType),
+    StructField("meta", MapType(StringType, StringType))
+  ))
+
+  /** Batch size per decoder call — bounded executor memory for large blobs. */
+  val DecodeBatchSize: Int = 64
+
+  /** Adds `features ARRAY<FLOAT>` by running `decoder` over bounded batches
+    * of the BINARY `mediaCol`, partition-parallel. NULL media -> NULL
+    * features.
+    */
+  def featurize(df: DataFrame, decoder: MediaDecoder,
+                mediaCol: String = "media", outCol: String = "features"): DataFrame = {
+    val schema = df.schema.add(outCol, ArrayType(FloatType), nullable = true)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val bs = DecodeBatchSize
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.grouped(bs).flatMap { chunk =>
+        val blobs = chunk.map(r => if (r.isNullAt(mediaIdx)) null else r.getAs[Array[Byte]](mediaIdx))
+        val present = blobs.zipWithIndex.collect { case (b, i) if b != null => (b, i) }
+        val feats = if (present.isEmpty) Seq.empty else decoder.decode(present.map(_._1))
+        val byIdx = present.map(_._2).zip(feats).toMap
+        chunk.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ byIdx.get(i).orNull)
+        }
+      }
+    }(enc)
+  }
+
+  /** Attaches a per-modality embedding column from a separate embedding
+    * table (e.g. an image-encoder output) to the doc frame:
+    * `docs ⋈ embeddings on id` -> `emb_<modality> ARRAY<FLOAT>`. Left join:
+    * docs without that modality keep NULL. The join broadcasts when the
+    * embedding side is small; otherwise shuffles on id like any equi-join.
+    */
+  def withModalityEmbedding(docs: DataFrame, embeddings: DataFrame,
+                            modality: String, docId: String = "id",
+                            embId: String = "id", embCol: String = "embedding"): DataFrame = {
+    val emb = embeddings.select(col(embId).as(docId),
+      col(embCol).cast(ArrayType(FloatType)).as(s"emb_$modality"))
+    docs.join(emb, Seq(docId), "left")
+  }
+
+  /** Cross-modal top-k: rank docs by cosine of their `modality` embedding
+    * against a query vector from another encoder (shared embedding space
+    * assumed). Plans as TakeOrderedAndProject — no full sort.
+    */
+  def crossModalTopK(docs: DataFrame, modality: String, query: Seq[Float],
+                     k: Int, idCol: String = "id"): DataFrame =
+    graft.exec.VectorSearch.topK(
+      docs.withColumnRenamed(s"emb_$modality", "__emb"), "__emb", query, k, idCol = idCol)
+      .withColumnRenamed("__emb", s"emb_$modality")
+}

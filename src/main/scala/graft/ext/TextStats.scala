@@ -1,0 +1,117 @@
+package graft.ext
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (new-scope per
+  * BASELINE.json): language ID, quality scoring, token counting, document
+  * fingerprinting, corpus aggregation. All pure `functions._` composition —
+  * codegen'd scans, shuffle only where an aggregation demands it.
+  *
+  * Every heuristic here is deliberately closed-form (list membership +
+  * arithmetic) so an independent SQL engine can replay it exactly — that is
+  * what the correctness oracle does.
+  */
+object TextStats {
+
+  /** Stopword lists for the n-gram/stopword language-ID heuristic. Order is
+    * the tie-break priority.
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "de")
+  )
+
+  /** English stopwords used by the quality score. */
+  val QualityStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "is", "in")
+
+  private def occurrences(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  /** Adds `pred_lang`: the language whose stopword list has the most token
+    * occurrences; ties go to the earlier list; zero everywhere -> "und"
+    * (ISO 639-3 undetermined).
+    */
+  def langId(df: DataFrame, contentCol: String = "content",
+             outCol: String = "pred_lang"): DataFrame = {
+    val toks = TextFunctions.tokens(col(contentCol))
+    val scores = LangStopwords.map { case (lang, words) => lang -> occurrences(toks, words) }
+    val scored = df.withColumns(scores.map { case (l, c) => s"__s_$l" -> c }.toMap)
+    val allZero = scores.map { case (l, _) => col(s"__s_$l") === 0 }.reduce(_ && _)
+    // argmax with list-order tie-break: lang_i wins iff s_i >= s_j for all j > i.
+    val langs = LangStopwords.map(_._1)
+    val pick = langs.zipWithIndex.foldRight(lit(langs.last)) { case ((l, i), els) =>
+      val beatsLater = langs.drop(i + 1)
+        .map(j => col(s"__s_$l") >= col(s"__s_$j"))
+        .foldLeft(lit(true))(_ && _)
+      when(beatsLater, lit(l)).otherwise(els)
+    }
+    scored
+      .withColumn(outCol, when(allZero, lit("und")).otherwise(pick))
+      .drop(langs.map(l => s"__s_$l"): _*)
+  }
+
+  /** Adds token/length metrics and a [0,1] `quality` score:
+    * 0.5·min(1, n_tokens/100) + 0.3·stopword_ratio + 0.2·min(1, avg_token_len/10).
+    * (The standard length/stopword/word-shape heuristic family; exact
+    * weights are this engine's pinned definition.)
+    */
+  def quality(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val toks = TextFunctions.tokens(col(contentCol))
+    val nTok = size(toks).cast("double")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+    val stops = occurrences(toks, QualityStopwords).cast("double")
+    val avgLen = when(nTok === 0, lit(0.0)).otherwise(sumLen / nTok)
+    val stopRatio = when(nTok === 0, lit(0.0)).otherwise(stops / nTok)
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("avg_token_len", avgLen)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("quality",
+        least(nTok / 100.0, lit(1.0)) * 0.5 + stopRatio * 0.3 +
+          least(avgLen / 10.0, lit(1.0)) * 0.2)
+  }
+
+  /** Adds `n_ws` (whitespace token count) and `n_bpe` (BPE-ish subword
+    * count: letter runs, digit runs, and single non-alnum glyphs — the
+    * pre-tokenizer split of byte-pair encoders).
+    */
+  def tokenCounts(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val ws = filter(split(col(contentCol), "\\s+"), t => length(t) > 0)
+    val bpe = regexp_extract_all(lower(col(contentCol)),
+      lit("[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"), lit(0))
+    df.withColumn("n_ws", size(ws).cast("long"))
+      .withColumn("n_bpe", size(bpe).cast("long"))
+  }
+
+  /** Adds `fingerprint`: min-MD5 over `n`-token windows (winnowing-style
+    * content fingerprint — stable under small edits outside the minimal
+    * window); docs shorter than `n` tokens hash their whole token stream.
+    */
+  def fingerprint(df: DataFrame, contentCol: String = "content",
+                  n: Int = 8): DataFrame = {
+    val toks = TextFunctions.tokens(col(contentCol))
+    val sh = TextFunctions.shingles(toks, n)
+    val fp = coalesce(
+      array_min(transform(sh, g => md5(g))),
+      md5(concat_ws(" ", toks)))
+    df.withColumn("fingerprint", fp)
+  }
+
+  /** Corpus-level per-key aggregation: doc count, char stats, token total.
+    * One shuffle on the group key, map-side combined.
+    */
+  def corpusStats(df: DataFrame, groupCol: String, contentCol: String = "content",
+                  charsCol: Option[String] = None): DataFrame = {
+    val nChars = charsCol.map(col).getOrElse(length(col(contentCol)).cast("long"))
+    df.select(col(groupCol), nChars.as("__nc"),
+        size(TextFunctions.tokens(col(contentCol))).cast("long").as("__nt"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nc")).as("total_chars"),
+        avg(col("__nc")).as("avg_chars"),
+        sum(col("__nt")).as("total_tokens"))
+  }
+}

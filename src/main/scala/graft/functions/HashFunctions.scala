@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hash primitives for the dedup operators (SURVEY §7.6). Both are
+  * single-pass per-row expressions over an already-hashed/tokenized array —
+  * signature computation is an embarrassingly-parallel scan with ZERO
+  * shuffle; only LSH banding shuffles. That is the property that matters at
+  * 100 TB: the expensive O(rows × perms × shingles) arithmetic never crosses
+  * the wire.
+  */
+
+/** MinHash signature over an ARRAY<BIGINT> of element hashes (produce them
+  * with `transform(shingles, s => xxhash64(s))`, fully codegen'd).
+  *
+  * Universal-hash permutations h_i(x) = (a_i·x + b_i) mod p over the field
+  * Z_p with p = 2^31 − 1 (Mersenne) and the element hash reduced mod p
+  * first. p must sit just above the element domain: a_i·x then wraps ~2^31
+  * times and the induced orderings decorrelate across perms. (A too-large p,
+  * e.g. 2^61−1 against 32-bit x, makes a_i·x wrap ≤3 times — the map stays
+  * near-monotone and EVERY perm picks nearly the same minimum, collapsing
+  * the agreement probability far below the Jaccard it must estimate.)
+  * a_i·x ≤ (2^31)² fits a signed long; collision prob per pair is |S|/2^31,
+  * negligible. Returns ARRAY<BIGINT> of length `numHashes`; empty input ->
+  * all p (the "empty set" signature, matches nothing).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  private val P = (1L << 31) - 1
+
+  @transient private lazy val coeffs: Array[(Long, Long)] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numHashes) {
+      val a = 1L + math.floorMod(rnd.nextLong(), P - 1) // 1 .. p-1
+      val b = math.floorMod(rnd.nextLong(), P)          // 0 .. p-1
+      (a, b)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val sig = Array.fill(numHashes)(P)
+    var i = 0
+    while (i < n) {
+      val x = (xs.getLong(i) & 0x7FFFFFFFFFFFFFFFL) % P
+      var j = 0
+      while (j < numHashes) {
+        val (a, b) = coeffs(j)
+        val h = (a * x + b) % P
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over an ARRAY<STRING> of tokens.
+  *
+  * Per-token 64-bit hash = first 8 bytes of MD5(token) read as a big-endian
+  * unsigned integer — deliberately MD5 so any SQL engine with an `md5()`
+  * function can replay the exact signature (the correctness oracle does).
+  * Bit i of the signature is set iff Σ_tokens (2·bit_i(h) − 1) > 0.
+  * Duplicate tokens each count (term frequency weighting).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val counts = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val tok = xs.get(i, StringType).asInstanceOf[UTF8String]
+      if (tok != null) {
+        md.reset()
+        val d = md.digest(tok.getBytes)
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var bit = 0
+    while (bit < 64) { if (counts(bit) > 0) sim |= (1L << bit); bit += 1 }
+    sim
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HashFunctions {
+  /** MinHash signature Column over a string-array column (shingles). */
+  def minHashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val hashes = transform(shingles, s => xxhash64(s))
+    Bridge.column(MinHashSignature(Bridge.expression(hashes), numHashes, seed))
+  }
+
+  /** SimHash64 Column over a token-array column. */
+  def simHash64(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  /** Signed long -> fixed 16-char lowercase hex (two's complement), the
+    * cross-engine-stable rendering of an unsigned 64-bit value.
+    */
+  def hex64(c: Column): Column = lpad(lower(hex(c)), 16, "0")
+}

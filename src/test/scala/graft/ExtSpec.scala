@@ -1,0 +1,149 @@
+package graft
+
+import graft.ext.{Ann, ByteStatsDecoder, Dedup, Multimodal, TextStats}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral tests for the ext/ layer (dedup, ANN, text stats, multimodal,
+  * streaming) on small hand-checkable fixtures.
+  */
+class ExtSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = Seq(
+    "d1" -> "the quick brown fox jumps over the lazy dog near the river bank",
+    "d2" -> "the quick brown fox jumps over the lazy dog near the river shore", // near-dup of d1
+    "d3" -> "completely different text about spark query engines and shuffles",
+    "d4" -> "the quick brown fox jumps over the lazy dog near the river bank", // exact dup of d1
+    "d5" -> "tiny doc"
+  )
+  private def docs = base.toDF("id", "content")
+
+  test("exactDupPairs: identical content collapses to (keep, dup)") {
+    val pairs = Dedup.exactDupPairs(docs).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSet === Set(("d1", "d4")))
+  }
+
+  test("minHashDupPairs finds the planted near-dup and no unrelated pair") {
+    val pairs = Dedup.minHashDupPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("d1", "d2")))
+    assert(pairs.contains(("d1", "d4")) && pairs.contains(("d2", "d4"))) // exact dup too
+    assert(!pairs.exists(p => p._1 == "d3" || p._2 == "d3"))
+  }
+
+  test("ngramJaccardPairs matches brute-force jaccard exactly") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.1)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    // d1 vs d4 identical -> 1.0
+    assert(pairs(("d1", "d4")) === 1.0)
+    // d1 vs d2: 11 distinct 3-gram shingles each, 10 shared (last differs)
+    assert(math.abs(pairs(("d1", "d2")) - 10.0 / 12.0) < 1e-12)
+  }
+
+  test("simHash: identical docs hamming 0; near-dups within small distance") {
+    val pairs = Dedup.simHashDupPairs(docs, maxHamming = 16)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(pairs(("d1", "d4")) === 0L)
+    assert(pairs.get(("d1", "d2")).exists(_ <= 16L))
+    assert(!pairs.keySet.exists(p => p._1 == "d3" || p._2 == "d3"))
+  }
+
+  private def vecCorpus = Seq(
+    ("v1", Seq(1f, 0f, 0f, 0f)),
+    ("v2", Seq(0.9f, 0.1f, 0f, 0f)),
+    ("v3", Seq(0f, 1f, 0f, 0f)),
+    ("v4", Seq(0f, 0f, 1f, 0f)),
+    ("v5", Seq(-1f, 0f, 0f, 0f))
+  ).toDF("id", "embedding")
+
+  test("Ann.exactTopK ranks by cosine with deterministic ties") {
+    val top = Ann.exactTopK(vecCorpus, Seq("q" -> Seq(1f, 0f, 0f, 0f)), k = 3)
+      .orderBy("rn").collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(top.toSeq === Seq((1, "v1"), (2, "v2"), (3, "v3")))
+  }
+
+  test("Ann.lshTopK achieves full recall on separated clusters") {
+    val exact = Ann.exactTopK(vecCorpus, Seq("q" -> Seq(1f, 0f, 0f, 0f)), k = 2)
+    val approx = Ann.lshTopK(vecCorpus, Seq("q" -> Seq(1f, 0f, 0f, 0f)), k = 2,
+      numTables = 8, numPlanes = 4, dim = 4)
+    assert(Ann.recallAtK(exact, approx) >= 0.5) // v1 must share all-bits bucket with q
+    val ids = approx.select("id").as[String].collect().toSet
+    assert(ids.contains("v1"))
+  }
+
+  test("embeddingDupPairs: near-identical vectors verified by exact cosine") {
+    val pairs = Dedup.embeddingDupPairs(vecCorpus, threshold = 0.95,
+      numTables = 8, numPlanes = 4, dim = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(("v1", "v2")))
+  }
+
+  test("TextStats.quality / tokenCounts / fingerprint / langId") {
+    val q = TextStats.quality(Seq(("a", "the cat and the dog")).toDF("id", "content"))
+      .select("n_tokens", "avg_token_len", "stopword_ratio", "quality").head()
+    assert(q.getLong(0) === 5L)
+    assert(math.abs(q.getDouble(1) - 15.0 / 5.0) < 1e-12)
+    assert(math.abs(q.getDouble(2) - 3.0 / 5.0) < 1e-12) // the, and, the
+    val tc = TextStats.tokenCounts(Seq(("a", "Hello, world! x2")).toDF("id", "content"))
+      .select("n_ws", "n_bpe").head()
+    assert(tc.getLong(0) === 3L) // Hello, | world! | x2
+    assert(tc.getLong(1) === 6L) // hello , world ! x 2
+    val fpDf = TextStats.fingerprint(Seq(("a", "one two three"), ("b", "one two three")).toDF("id", "content"), n = 8)
+    val fps = fpDf.select("fingerprint").as[String].collect()
+    assert(fps(0) === fps(1) && fps(0).length === 32) // short doc -> md5 of all tokens
+    val lang = TextStats.langId(Seq(("a", "the cat of the house"), ("b", "der hund und die katze"),
+      ("c", "xyzzy plugh")).toDF("id", "content"))
+      .select("id", "pred_lang").as[(String, String)].collect().toMap
+    assert(lang("a") === "en" && lang("b") === "de" && lang("c") === "und")
+  }
+
+  test("Multimodal.featurize: batched byte stats over BINARY, null-safe") {
+    val df = Seq(("m1", "image", "a a b".getBytes("UTF-8")),
+      ("m2", "image", null: Array[Byte]))
+      .toDF("id", "modality", "media")
+    val out = Multimodal.featurize(df, ByteStatsDecoder)
+      .select("id", "features").collect()
+      .map(r => r.getString(0) -> Option(r.getSeq[Float](1))).toMap
+    assert(out("m1").get.toSeq === Seq(5f, 2f, 2f)) // 5 bytes, 2 spaces, 2 'a'
+    assert(out("m2").isEmpty)
+  }
+
+  test("EventStreams.windowAgg: batch result matches streaming with watermark; late row dropped") {
+    val batch = Seq(
+      ("2024-01-01 00:05:00", "click", 1.0),
+      ("2024-01-01 00:55:00", "click", 2.0),
+      ("2024-01-01 01:05:00", "view", 5.0))
+      .toDF("ts_s", "event_type", "value")
+      .select(to_timestamp($"ts_s").as("ts"), $"event_type", $"value")
+    val b = EventStreams.windowAgg(batch).orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(b.toSeq === Seq(
+      ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 01:00:00.0", "view", 1L, 5.0)))
+
+    // Streaming: watermark 10 min; a row arriving after the watermark passed
+    // its window is dropped from the append output.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.windowAgg(sdf, watermark = Some("10 minutes"))
+    val q = agg.writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((ts("2024-01-01 00:05:00"), "click", 1.0), (ts("2024-01-01 00:55:00"), "click", 2.0))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 02:00:00"), "view", 5.0)) // advances watermark past hour 0
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 00:10:00"), "click", 99.0)) // LATE: hour-0 already closed
+    mem.addData((ts("2024-01-01 04:00:00"), "view", 1.0))   // advance + flush
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+    assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L, 3.0))) // late 99.0 NOT counted
+    assert(!rows.exists(_._4 == 99.0))
+  }
+}
