@@ -1,0 +1,568 @@
+package graft
+
+import graft.api.{Collection, Embedder}
+import graft.exec.Sorter
+import graft.ext.{Ann, ByteStatsDecoder, Dedup, Multimodal, TextStats}
+import graft.model.SortKey
+import graft.parse.QueryParser
+import graft.streaming.EventStreams
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-harness wiring: one entry per operator of SURVEY.md §2 plus the
+  * ext/ training-data operators, each with a DuckDB oracle over the same
+  * parquet tables (TESTDATA.md). Conventions that make the hash compare
+  * stable:
+  *   - no MAP/STRUCT output columns — scalars only, names matched to the SQL
+  *   - every floating-point output rounded to 6 (or 5) decimals on BOTH sides
+  *   - counts are BIGINT on both sides
+  *   - where row ORDER is the semantics under test, a window `rn` column
+  *     pins it; otherwise results compare as sets
+  */
+object EntryQueries {
+
+  // --- fixtures --------------------------------------------------------------
+
+  private val roots = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** One shared store root per sf dir, built on first use: collection "main"
+    * = documents.parquet (metadata {lang, source, n_chars, opt?}), collection
+    * "vecs" = embeddings.parquet.
+    */
+  private def fixtureRoot(spark: SparkSession, sfDir: String): String =
+    roots.getOrElseUpdate(sfDir, {
+      val root = java.nio.file.Files.createTempDirectory("graft-entry-").toString
+      val docs = docsFrame(spark, sfDir)
+      Collection(spark, root, "main").addDf(docs)
+      val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"),
+          concat(lit("label "), col("label")).as("content"),
+          map(lit("label"), col("label").cast("string")).as("metadata"),
+          col("embedding"))
+      Collection(spark, root, "vecs", embedder = Some(CsvVecEmbedder)).addDf(vecs)
+      root
+    })
+
+  /** documents.parquet -> the Collection doc shape. `opt` metadata key is
+    * present only for n_chars >= 250 (exercises NULL semantics in $nin and
+    * sort-NULLS placement).
+    */
+  private def docsFrame(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
+        map_concat(
+          map(lit("lang"), col("lang"), lit("source"), col("source"),
+            lit("n_chars"), col("n_chars").cast("string")),
+          when(col("n_chars") >= 250,
+            map(lit("opt"), (col("n_chars") % 7).cast("string")))
+            .otherwise(map())
+        ).as("metadata"))
+
+  private def mainColl(spark: SparkSession, sfDir: String): Collection =
+    Collection(spark, fixtureRoot(spark, sfDir), "main")
+
+  private def vecsColl(spark: SparkSession, sfDir: String): Collection =
+    Collection(spark, fixtureRoot(spark, sfDir), "vecs", embedder = Some(CsvVecEmbedder))
+
+  /** Query-time embedder: parses "f,f,f,…" into the vector — deterministic,
+    * no model dependency (the Embedder surface itself is exercised by
+    * CollectionSpec with a real batch embedder).
+    */
+  private object CsvVecEmbedder extends Embedder {
+    def embed(texts: Seq[String]): Seq[Array[Float]] =
+      texts.map(t => t.split(",").map(_.trim.toFloat))
+  }
+
+  /** First embedding of the sf dir as a query vector (driver-side, tiny). */
+  private def queryVec(spark: SparkSession, sfDir: String, vecId: Int = 0): Seq[Float] =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === vecId).select("embedding")
+      .head().getSeq[Float](0).toSeq
+
+  private def eventsFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))  // integer div: double division loses micros at 1e18 nanos
+  }
+
+  // --- shared DuckDB SQL fragments ------------------------------------------
+
+  /** The engine tokenizer in DuckDB (ASCII-equivalent of [^\p{L}\p{N}]+). */
+  private val Toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+  private val DocId = "CAST(doc_id AS VARCHAR)"
+  /** The fixture's conditional metadata key. */
+  private val OptVal = "CASE WHEN n_chars >= 250 THEN CAST(n_chars % 7 AS VARCHAR) END"
+
+  private def hasTerm(t: String) = s"list_contains($Toks, '$t')"
+
+  // --- the registry ----------------------------------------------------------
+
+  /** (name, query, oracle). Oracle None -> driver records rows-only check. */
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // =========================================================================
+    // S3-S8: DML / ingestion (reference core.py:140-188, 484-525)
+    // =========================================================================
+
+    ("s3_add_upsert", (s: SparkSession, _: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-s3-").toString
+      val c = Collection(s, root, "t")
+      c.add(Seq("alpha beta", "gamma delta"), ids = Some(Seq("x1", "x2")))
+      // last-wins within the batch AND against the base (core.py:496-499)
+      c.add(Seq("first", "second", "third"), ids = Some(Seq("x2", "x3", "x2")))
+      c.docs().select("id", "content")
+    }, Some("SELECT * FROM (VALUES ('x1','alpha beta'),('x2','third'),('x3','second')) AS t(id, content)")),
+
+    ("s4_update", (s: SparkSession, sfDir: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-s4-").toString
+      val c = Collection(s, root, "t")
+      c.addDf(docsFrame(s, sfDir).filter(col("id").cast("long") < 20))
+      c.update(Seq("5", "7"), Seq("updated five", "updated seven"))
+      c.docs().select("id", "content")
+    }, Some("""SELECT CAST(doc_id AS VARCHAR) AS id,
+              |  CASE doc_id WHEN 5 THEN 'updated five' WHEN 7 THEN 'updated seven' ELSE text END AS content
+              |FROM documents WHERE doc_id < 20""".stripMargin)),
+
+    ("s5_delete_cross", (s: SparkSession, sfDir: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-s5-").toString
+      val a = Collection(s, root, "A")
+      val b = Collection(s, root, "B")
+      val base = docsFrame(s, sfDir)
+      a.addDf(base.filter(col("id").cast("long") < 20))
+      b.addDf(base.filter(col("id").cast("long").between(10, 29)))
+      // cross-collection delete by design (reference core.py:184-188)
+      a.delete(Seq("3", "12", "15"))
+      a.docs().select(lit("A").as("coll"), col("id"))
+        .unionByName(b.docs().select(lit("B").as("coll"), col("id")))
+    }, Some("""SELECT 'A' AS coll, CAST(doc_id AS VARCHAR) AS id FROM documents
+              |WHERE doc_id < 20 AND doc_id NOT IN (3, 12, 15)
+              |UNION ALL
+              |SELECT 'B' AS coll, CAST(doc_id AS VARCHAR) AS id FROM documents
+              |WHERE doc_id BETWEEN 10 AND 29 AND doc_id NOT IN (3, 12, 15)""".stripMargin)),
+
+    ("s6_delete_all", (s: SparkSession, sfDir: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-s6-").toString
+      val a = Collection(s, root, "A")
+      val b = Collection(s, root, "B")
+      val base = docsFrame(s, sfDir)
+      a.addDf(base.filter(col("id").cast("long") < 20))
+      b.addDf(base.filter(col("id").cast("long").between(10, 29)))
+      a.deleteAll() // partition drop scoped to A only (core.py:386-400)
+      a.docs().select(lit("A").as("coll"), col("id"))
+        .unionByName(b.docs().select(lit("B").as("coll"), col("id")))
+    }, Some("SELECT 'B' AS coll, CAST(doc_id AS VARCHAR) AS id FROM documents WHERE doc_id BETWEEN 10 AND 29")),
+
+    ("s7_count", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      Seq(mainColl(s, sfDir).count()).toDF("cnt")
+    }, Some("SELECT COUNT(*) AS cnt FROM documents")),
+
+    ("s8_ingest", (s: SparkSession, sfDir: String) => {
+      val d = mainColl(s, sfDir).docs()
+      d.select(col("id"), col("content"),
+        element_at(col("metadata"), "lang").as("lang"),
+        element_at(col("metadata"), "source").as("source"),
+        element_at(col("metadata"), "n_chars").as("n_chars_str"),
+        element_at(col("metadata"), "opt").as("opt"))
+    }, Some(s"""SELECT $DocId AS id, text AS content, lang, source,
+               |  CAST(n_chars AS VARCHAR) AS n_chars_str, $OptVal AS opt
+               |FROM documents""".stripMargin)),
+
+    // =========================================================================
+    // Q1-Q16: the query pipeline (reference core.py:190-384)
+    // =========================================================================
+
+    ("q1_fts_and", (s: SparkSession, sfDir: String) =>
+      mainColl(s, sfDir).queryFrame("table scan").select("id"),
+      Some(s"SELECT $DocId AS id FROM documents WHERE ${hasTerm("table")} AND ${hasTerm("scan")}")),
+
+    ("q2_fts_or", (s: SparkSession, sfDir: String) =>
+      mainColl(s, sfDir).queryFrame("vector or stream").select("id"),
+      Some(s"SELECT $DocId AS id FROM documents WHERE ${hasTerm("vector")} OR ${hasTerm("stream")}")),
+
+    ("q2_parser_golden", (s: SparkSession, _: String) => {
+      import s.implicits._
+      val inputs = Seq("Lorem", "lorem IPSUM", "a or b", "x AND y or z", "don't",
+        "Lor*", "'quoted'", "  spaced   words  ", "and", "or a")
+      inputs.map(q => (q, QueryParser.parse(q).map(QueryParser.print).getOrElse("<empty>")))
+        .toDF("q", "ast")
+    }, Some("""SELECT * FROM (VALUES
+              | ('Lorem','lorem'), ('lorem IPSUM','lorem & ipsum'), ('a or b','(a) | (b)'),
+              | ('x AND y or z','(x & y) | (z)'), ('don''t','don & t'), ('Lor*','lor:*'),
+              | ('''quoted''','quoted'), ('  spaced   words  ','spaced & words'),
+              | ('and','<empty>'), ('or a','a')) AS t(q, ast)""".stripMargin)),
+
+    ("q3_fts_prefix", (s: SparkSession, sfDir: String) =>
+      mainColl(s, sfDir).queryFrame("sca*").select("id"),
+      Some(s"SELECT $DocId AS id FROM documents WHERE len(list_filter($Toks, t -> t LIKE 'sca%')) > 0")),
+
+    ("q4_bm25_rank", (s: SparkSession, sfDir: String) =>
+      mainColl(s, sfDir).queryFrame("customer stream")
+        .select(col("id"), round(col("rank"), 6).as("rank")),
+      Some("""WITH toks AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+              |   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w FROM documents),
+              | lens AS (SELECT id, len(w) AS dl FROM toks),
+              | stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n, (SELECT AVG(len(w)) FROM toks) AS avgdl),
+              | tf AS (SELECT id, t, COUNT(*) AS tf FROM (SELECT id, unnest(w) AS t FROM toks) GROUP BY 1, 2),
+              | dfp AS (SELECT t, COUNT(*) AS df FROM tf WHERE t IN ('customer','stream') GROUP BY 1),
+              | m AS (SELECT id FROM tf WHERE t IN ('customer','stream') GROUP BY id HAVING COUNT(DISTINCT t) = 2),
+              | sc AS (SELECT tf.id, SUM( ln((n - df + 0.5) / (df + 0.5) + 1.0)
+              |          * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ) AS r
+              |        FROM tf JOIN dfp USING(t) JOIN lens USING(id) CROSS JOIN stats
+              |        WHERE tf.t IN ('customer','stream') GROUP BY tf.id)
+              |SELECT m.id AS id, round(sc.r, 6) AS rank FROM m JOIN sc ON m.id = sc.id""".stripMargin)),
+
+    ("q5_vector_topk", (s: SparkSession, sfDir: String) => {
+      val q = queryVec(s, sfDir).mkString(",")
+      val page = vecsColl(s, sfDir).queryFrame(q, limit = 10, vectorSearch = true)
+      page.withColumn("rn", row_number().over(
+          Window.orderBy(col("rank").desc, col("id").asc)))
+        .select(col("rn").cast("long").as("rn"), col("id"), round(col("rank"), 6).as("rank"))
+    }, Some("""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+              | sc AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+              |          list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(e AS DOUBLE[])) AS sim
+              |        FROM embeddings, q)
+              |SELECT CAST(row_number() OVER (ORDER BY sim DESC, id ASC) AS BIGINT) AS rn,
+              |       id, round(sim, 6) AS rank
+              |FROM sc ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin)),
+
+    ("q6_meta_eq", (s: SparkSession, sfDir: String) =>
+      mainColl(s, sfDir).queryFrame(where = Map("lang" -> "de")).select("id"),
+      Some(s"SELECT $DocId AS id FROM documents WHERE lang = 'de'")),
+
+    ("q7_meta_cmp_num", (s: SparkSession, sfDir: String) =>
+      // numeric OPERAND -> numeric compare of the string metadata (core.py:272-287)
+      mainColl(s, sfDir).queryFrame(where = Map("n_chars" -> Map("$gt" -> 300))).select("id"),
+      Some(s"SELECT $DocId AS id FROM documents WHERE CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) > 300")),
+
+    ("q7_meta_cmp_str", (s: SparkSession, sfDir: String) =>
+      // string OPERAND -> lexicographic compare
+      mainColl(s, sfDir).queryFrame(where = Map("source" -> Map("$gte" -> "src15"))).select("id"),
+      Some(s"SELECT $DocId AS id FROM documents WHERE source >= 'src15'")),
+
+    ("q8_meta_in", (s: SparkSession, sfDir: String) =>
+      mainColl(s, sfDir).queryFrame(where = Map("lang" -> Map("$in" -> Seq("en", "zh")))).select("id"),
+      Some(s"SELECT $DocId AS id FROM documents WHERE lang IN ('en', 'zh')")),
+
+    ("q8_meta_nin", (s: SparkSession, sfDir: String) =>
+      // docs WITHOUT the key are excluded too: NULL NOT IN (...) -> NULL -> dropped
+      // (reference test_sqlite.py:310-316 semantics)
+      mainColl(s, sfDir).queryFrame(where = Map("opt" -> Map("$nin" -> Seq("1", "2")))).select("id"),
+      Some(s"SELECT $DocId AS id FROM documents WHERE ($OptVal) NOT IN ('1', '2')")),
+
+    ("q9_where_conj", (s: SparkSession, sfDir: String) =>
+      mainColl(s, sfDir).queryFrame("table",
+        where = Map("lang" -> "en", "n_chars" -> Map("$gt" -> 300))).select("id"),
+      Some(s"""SELECT $DocId AS id FROM documents
+              |WHERE ${hasTerm("table")} AND lang = 'en' AND n_chars > 300""".stripMargin)),
+
+    ("q10_sort_nulls", (s: SparkSession, sfDir: String) => {
+      // DESC => NULLS FIRST, ASC => NULLS LAST (core.py:312-315); both are the
+      // OPPOSITE of Spark's defaults. rn pins the full order (string compare!).
+      val keys = Seq("-opt", "n_chars").map(SortKey.parse)
+      val d = mainColl(s, sfDir).docs()
+      d.withColumn("rn", row_number().over(
+          Window.orderBy(Sorter.sortColumns(col("metadata"), keys, Seq(col("id").asc)): _*)))
+        .select(col("rn").cast("long").as("rn"), col("id"))
+    }, Some(s"""SELECT CAST(row_number() OVER (ORDER BY ($OptVal) DESC NULLS FIRST,
+               |         CAST(n_chars AS VARCHAR) ASC NULLS LAST, $DocId ASC) AS BIGINT) AS rn,
+               |       $DocId AS id
+               |FROM documents""".stripMargin)),
+
+    ("q11_limit_offset", (s: SparkSession, sfDir: String) =>
+      // deterministic slice through the REAL pagination path (limit/offset
+      // after sort with id tiebreak; limit=0 would mean unlimited, core.py:327-333)
+      mainColl(s, sfDir).queryFrame(orderBy = Seq("-n_chars"), limit = 7, offset = 5).select("id"),
+      Some(s"""SELECT id FROM (
+              |  SELECT $DocId AS id FROM documents
+              |  ORDER BY CAST(n_chars AS VARCHAR) DESC NULLS FIRST, $DocId ASC
+              |  LIMIT 7 OFFSET 5)""".stripMargin)),
+
+    ("q12_total", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      // total = PRE-limit match count even when the page is smaller (SURVEY §7.4)
+      val r = mainColl(s, sfDir).query("table", limit = 3)
+      Seq((r.total, r.results.size.toLong)).toDF("total", "page_rows")
+    }, Some(s"SELECT COUNT(*) AS total, CAST(3 AS BIGINT) AS page_rows FROM documents WHERE ${hasTerm("table")}")),
+
+    ("q13_projection", (s: SparkSession, sfDir: String) =>
+      // fixed projection id/content/metadata, metadata decoded (core.py:346-358);
+      // scan path => rank IS NULL for every row
+      mainColl(s, sfDir).queryFrame(limit = 5)
+        .select(col("id"), col("content"),
+          element_at(col("metadata"), "lang").as("lang"), col("rank").isNull.as("rank_absent")),
+      Some(s"""SELECT $DocId AS id, text AS content, lang, true AS rank_absent
+              |FROM documents ORDER BY $DocId ASC LIMIT 5""".stripMargin)),
+
+    ("q14_get_scan", (s: SparkSession, sfDir: String) =>
+      mainColl(s, sfDir).queryFrame(
+        where = Map("lang" -> "fr"), orderBy = Seq("-n_chars"), limit = 5).select("id"),
+      Some(s"""SELECT id FROM (
+              |  SELECT $DocId AS id FROM documents WHERE lang = 'fr'
+              |  ORDER BY CAST(n_chars AS VARCHAR) DESC NULLS FIRST, $DocId ASC
+              |  LIMIT 5)""".stripMargin)),
+
+    ("q15_fts_join", (s: SparkSession, sfDir: String) =>
+      // the FTS⋈docs join surface: match set reunited with doc attributes
+      mainColl(s, sfDir).queryFrame("customer")
+        .select(col("id"), element_at(col("metadata"), "n_chars").as("n_chars_str")),
+      Some(s"SELECT $DocId AS id, CAST(n_chars AS VARCHAR) AS n_chars_str FROM documents WHERE ${hasTerm("customer")}")),
+
+    ("q16_validation", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      def msg(f: => Any): String =
+        try { f; "NO ERROR" } catch { case e: Exception => e.getMessage }
+      val c = mainColl(s, sfDir)
+      val root = java.nio.file.Files.createTempDirectory("graft-q16-").toString
+      val noFts = Collection(s, root, "nofts", useFts = false)
+      noFts.add(Seq("doc"), ids = Some(Seq("a")))
+      Seq(
+        ("order_by_with_vector", msg(c.query("x", vectorSearch = true, orderBy = Seq("k")))),
+        ("vector_without_embedder", msg(c.query("x", vectorSearch = true))),
+        ("fts_disabled", msg(noFts.query("word"))),
+        ("invalid_operator", msg(c.query(where = Map("k" -> Map("$bad" -> 1))))),
+        ("invalid_collection_name", msg(Collection(s, root, "bad name")))
+      ).toDF("vcase", "message")
+    }, Some("""SELECT * FROM (VALUES
+              | ('order_by_with_vector', 'Cannot use order_by with vector search.'),
+              | ('vector_without_embedder', 'Vector search requires an embedding function.'),
+              | ('fts_disabled', 'This collection does not support full-text search.'),
+              | ('invalid_operator', 'Invalid operator $bad. Valid operators are $eq, $gt, $lt, $gte, $lte, $in, $nin.'),
+              | ('invalid_collection_name', 'requirement failed: Invalid collection name: ''bad name''. Only letters, numbers, and -_+~#=/ are allowed.')
+              |) AS t(vcase, message)""".stripMargin)),
+
+    // =========================================================================
+    // ext/: dedup, ANN, text analysis, multimodal, streaming
+    // =========================================================================
+
+    ("x1_dedup_exact", (s: SparkSession, sfDir: String) => {
+      // inject exact copies of doc_id < 50 under ids 'd<id>'
+      val d = docsFrame(s, sfDir).select("id", "content")
+      val dups = d.filter(col("id").cast("long") < 50)
+        .select(concat(lit("d"), col("id")).as("id"), col("content"))
+      Dedup.exactDupPairs(d.unionByName(dups))
+    }, Some("""SELECT CAST(doc_id AS VARCHAR) AS keep_id, 'd' || CAST(doc_id AS VARCHAR) AS dup_id
+              |FROM documents WHERE doc_id < 50""".stripMargin)),
+
+    ("x2_dedup_minhash", (s: SparkSession, sfDir: String) =>
+      Dedup.minHashDupPairs(docsFrame(s, sfDir), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
+      Some(ngramJaccardOracle(0.8))),
+
+    ("x4_dedup_ngram", (s: SparkSession, sfDir: String) =>
+      Dedup.ngramJaccardPairs(docsFrame(s, sfDir), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
+      Some(ngramJaccardOracle(0.8))),
+
+    ("x3_dedup_simhash", (s: SparkSession, sfDir: String) =>
+      Dedup.simHashDupPairs(docsFrame(s, sfDir), maxHamming = 3),
+      Some("""WITH toks AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+              |   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w FROM documents),
+              | th AS (SELECT id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h
+              |        FROM (SELECT id, unnest(w) AS t FROM toks)),
+              | bits AS (SELECT id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              |          FROM th CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1, 2),
+              | sh AS (SELECT id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS UBIGINT) << i) ELSE 0 END) AS UBIGINT) AS sim
+              |        FROM bits GROUP BY 1)
+              |SELECT a.id AS id_a, b.id AS id_b,
+              |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+              |FROM sh a JOIN sh b ON a.id < b.id
+              |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin)),
+
+    ("x5_dedup_cosine", (s: SparkSession, sfDir: String) => {
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      // numTables=0 => exact all-pairs baseline (the oracle-checkable variant;
+      // x5b runs the LSH-bucketed scale path)
+      Dedup.embeddingDupPairs(e, threshold = 0.46, numTables = 0)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    }, Some("""SELECT a.id AS id_a, b.id AS id_b, round(c, 6) AS cos FROM (
+              |  SELECT CAST(a.vec_id AS VARCHAR) AS id, a.embedding FROM embeddings a) a
+              |JOIN (SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings) b ON a.id < b.id
+              |CROSS JOIN LATERAL (SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c)
+              |WHERE c >= 0.46""".stripMargin)),
+
+    ("x5b_dedup_cosine_lsh", (s: SparkSession, sfDir: String) => {
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      Dedup.embeddingDupPairs(e, threshold = 0.46, numTables = 16, numPlanes = 4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    }, None), // LSH recall < 1 by design -> rows-only check; x7 pins recall
+
+    ("x6_ann_exact", (s: SparkSession, sfDir: String) => {
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      Ann.exactTopK(e, qs, k = 10)
+        .select(col("qid"), col("rn").cast("long").as("rn"), col("id"),
+          round(col("sim"), 6).as("sim"))
+    }, Some("""WITH q AS (SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS e FROM embeddings WHERE vec_id < 5),
+              | sc AS (SELECT q.qid, CAST(c.vec_id AS VARCHAR) AS id,
+              |          list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.e AS DOUBLE[])) AS sim
+              |        FROM embeddings c CROSS JOIN q),
+              | rk AS (SELECT qid, id, sim,
+              |          CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id ASC) AS BIGINT) AS rn
+              |        FROM sc)
+              |SELECT qid, rn, id, round(sim, 6) AS sim FROM rk WHERE rn <= 10""".stripMargin)),
+
+    ("x7_ann_lsh_recall", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val exact = Ann.exactTopK(e, qs, k = 10)
+      val approx = Ann.lshTopK(e, qs, k = 10, numTables = 16, numPlanes = 4, dim = 64)
+      val rec = Ann.recallAtK(exact, approx)
+      Seq(("recall_at_10", rec >= 0.9)).toDF("metric", "ok")
+    }, Some("SELECT 'recall_at_10' AS metric, true AS ok")),
+
+    ("x8_text_langid", (s: SparkSession, sfDir: String) =>
+      TextStats.langId(docsFrame(s, sfDir)).select("id", "pred_lang"),
+      Some(langIdOracle)),
+
+    ("x9_text_quality", (s: SparkSession, sfDir: String) =>
+      TextStats.quality(docsFrame(s, sfDir))
+        .select(col("id"), col("n_tokens"), round(col("avg_token_len"), 6).as("avg_token_len"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"), round(col("quality"), 6).as("quality")),
+      Some(s"""WITH t AS (SELECT $DocId AS id, $Toks AS w, lower(text) AS lt FROM documents),
+              | m AS (SELECT id,
+              |   CAST(len(w) AS BIGINT) AS n_tokens,
+              |   CASE WHEN len(w) = 0 THEN 0.0 ELSE list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w) END AS avg_len,
+              |   CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_filter(w, x -> x IN ('the','a','and','of','to','is','in'))) * 1.0 / len(w) END AS stop_ratio
+              |  FROM t)
+              |SELECT id, n_tokens, round(avg_len, 6) AS avg_token_len, round(stop_ratio, 6) AS stopword_ratio,
+              |  round(least(n_tokens / 100.0, 1.0) * 0.5 + stop_ratio * 0.3 + least(avg_len / 10.0, 1.0) * 0.2, 6) AS quality
+              |FROM m""".stripMargin)),
+
+    ("x10_text_tokens", (s: SparkSession, sfDir: String) =>
+      TextStats.tokenCounts(docsFrame(s, sfDir)).select("id", "n_ws", "n_bpe"),
+      Some(s"""SELECT $DocId AS id,
+              |  CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_ws,
+              |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe
+              |FROM documents""".stripMargin)),
+
+    ("x11_text_fingerprint", (s: SparkSession, sfDir: String) =>
+      TextStats.fingerprint(docsFrame(s, sfDir), n = 8).select("id", "fingerprint"),
+      Some(s"""WITH t AS (SELECT $DocId AS id, $Toks AS w FROM documents)
+              |SELECT id, CASE WHEN len(w) < 8
+              |  THEN md5(array_to_string(w, ' '))
+              |  ELSE (SELECT min(md5(array_to_string(w[i:i+7], ' ')))
+              |        FROM (SELECT unnest(range(1, len(w) - 6)) AS i))
+              |  END AS fingerprint
+              |FROM t""".stripMargin)),
+
+    ("x12_text_corpus_stats", (s: SparkSession, sfDir: String) => {
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("lang"), col("text").as("content"))
+      TextStats.corpusStats(d, "lang")
+        .select(col("lang"), col("n_docs"), col("total_chars"),
+          round(col("avg_chars"), 6).as("avg_chars"), col("total_tokens"))
+    }, Some(s"""SELECT lang, COUNT(*) AS n_docs,
+               |  CAST(SUM(len(text)) AS BIGINT) AS total_chars, round(AVG(len(text)), 6) AS avg_chars,
+               |  CAST(SUM(len($Toks)) AS BIGINT) AS total_tokens
+               |FROM documents GROUP BY lang""".stripMargin)),
+
+    ("x13_multimodal_feats", (s: SparkSession, sfDir: String) => {
+      // content bytes as the opaque media BLOB; batched stub decoder
+      val media = docsFrame(s, sfDir)
+        .select(col("id"), lit("text").as("modality"), col("content").cast("binary").as("media"))
+      Multimodal.featurize(media, ByteStatsDecoder)
+        .select(col("id"),
+          element_at(col("features"), 1).cast("double").as("f_len"),
+          element_at(col("features"), 2).cast("double").as("f_space"),
+          element_at(col("features"), 3).cast("double").as("f_a"))
+    }, Some(s"""SELECT $DocId AS id,
+               |  CAST(len(text) AS DOUBLE) AS f_len,
+               |  CAST(len(text) - len(replace(text, ' ', '')) AS DOUBLE) AS f_space,
+               |  CAST(len(text) - len(replace(text, 'a', '')) AS DOUBLE) AS f_a
+               |FROM documents""".stripMargin)),
+
+    ("x14_multimodal_crossmodal", (s: SparkSession, sfDir: String) => {
+      val docs = docsFrame(s, sfDir)
+      val embs = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val withEmb = Multimodal.withModalityEmbedding(docs, embs, "image")
+      Multimodal.crossModalTopK(withEmb, "image", queryVec(s, sfDir), k = 10)
+        .withColumn("rn", row_number().over(Window.orderBy(col("rank").desc, col("id").asc)))
+        .select(col("rn").cast("long").as("rn"), col("id"), round(col("rank"), 6).as("sim"))
+    }, Some("""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+              | j AS (SELECT CAST(d.doc_id AS VARCHAR) AS id,
+              |         list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), CAST(q.e AS DOUBLE[])) AS sim
+              |       FROM documents d JOIN embeddings v ON d.doc_id = v.vec_id CROSS JOIN q)
+              |SELECT CAST(row_number() OVER (ORDER BY sim DESC, id ASC) AS BIGINT) AS rn, id, round(sim, 6) AS sim
+              |FROM j ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin)),
+
+    ("x15_stream_window", (s: SparkSession, sfDir: String) =>
+      // batch-equivalent of the streaming windowed agg (ExtSpec pins the
+      // watermark/late-data streaming behavior on the same transform)
+      EventStreams.windowAgg(eventsFrame(s, sfDir))
+        .select(unix_micros(col("window_start")).as("ws_us"), col("event_type"),
+          col("n"), round(col("sum_value"), 6).as("sum_value")),
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
+              |  COUNT(*) AS n, round(SUM(value), 6) AS sum_value
+              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    ("x16_stream_session", (s: SparkSession, sfDir: String) =>
+      EventStreams.sessionAgg(eventsFrame(s, sfDir), gap = "30 minutes")
+        .select(unix_micros(col("session_start")).as("ss_us"),
+          unix_micros(col("session_end")).as("se_us"),
+          col("user_id"), col("n_events"), round(col("sum_value"), 6).as("sum_value")),
+      Some("""WITH e AS (SELECT user_id, ts, value,
+              |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+              |        THEN 1 ELSE 0 END AS brk
+              |  FROM events),
+              | g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+              |         ROWS UNBOUNDED PRECEDING) AS sess FROM e)
+              |SELECT epoch_us(min(ts)) AS ss_us,
+              |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS se_us,
+              |  user_id, COUNT(*) AS n_events, round(SUM(value), 6) AS sum_value
+              |FROM g GROUP BY user_id, sess""".stripMargin))
+  )
+
+  /** Exact shingle-3 Jaccard oracle (used by BOTH x2 minhash — whose LSH+
+    * verify output must equal the exact pair set — and x4 exact ngram).
+    */
+  private def ngramJaccardOracle(threshold: Double): String =
+    s"""WITH t AS (SELECT $DocId AS id, $Toks AS w FROM documents),
+       | sh AS (SELECT id, CASE WHEN len(w) < 3 THEN []
+       |   ELSE list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) END AS s
+       |  FROM t)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  round(len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.id < b.id
+       |WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) >= $threshold""".stripMargin
+
+  /** DuckDB replica of TextStats.langId (same lists, same tie-break). */
+  private lazy val langIdOracle: String = {
+    val scoreExprs = TextStats.LangStopwords.map { case (l, ws) =>
+      l -> s"len(list_filter(w, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+    }
+    val langs = scoreExprs.map(_._1)
+    val whens = langs.zipWithIndex.dropRight(1).map { case (l, i) =>
+      val cond = langs.drop(i + 1).map(j => s"s_$l >= s_$j").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT $DocId AS id, $Toks AS w FROM documents),
+       | sc AS (SELECT id, ${scoreExprs.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")} FROM t)
+       |SELECT id, CASE WHEN ${langs.map(l => s"s_$l = 0").mkString(" AND ")} THEN 'und'
+       |  $whens ELSE '${langs.last}' END AS pred_lang
+       |FROM sc""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, f, _) => n -> f }.toMap
+
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+
+  /** SURVEY §7.3 flagship: parser OR + postings union + string & numeric
+    * metadata filters + DESC NULLS FIRST sort + pagination in one query.
+    */
+  def flagship(spark: SparkSession): DataFrame =
+    mainColl(spark, "/root/testdata/sf0.001")
+      .queryFrame("filter or stream", limit = 10,
+        where = Map("lang" -> "en", "n_chars" -> Map("$gt" -> 100)),
+        orderBy = Seq("-n_chars"))
+}
