@@ -80,51 +80,83 @@ object Dedup {
                       bands: Int = 32, rowsPerBand: Int = 4,
                       threshold: Double = 0.8): DataFrame = {
     val sigs = signatures(docs, idCol, contentCol, n, bands * rowsPerBand)
-    val candidates = lshCandidates(sigs, bands, rowsPerBand)
-    val shA = sigs.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = sigs.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    candidates
-      .join(shA, "id_a")
-      .join(shB, "id_b")
-      .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val candidates = lshCandidates(sigs.select("id", "sig"), bands, rowsPerBand)
+    // Verification recomputes shingles only (cheap scan) — keeping `sig` out
+    // of these branches keeps the 128-perm signature expression in exactly
+    // one subtree (the banded self-join, whose identical shuffle sides
+    // collapse into a ReusedExchange).
+    val sh = docs.select(
+      col(idCol).as("id"),
+      TextFunctions.shingles(TextFunctions.tokens(col(contentCol)), n).as("sh"))
+    verifyJaccard(candidates, sh, threshold)
   }
 
   // -------------------------------------------------------------------------
   // Exact n-gram Jaccard (no LSH — inverted-index candidates)
   // -------------------------------------------------------------------------
 
-  /** EXACT near-duplicate pairs by word-shingle Jaccard ≥ `threshold`.
-    * Candidates = pairs sharing ≥1 shingle (inverted-index join), so recall
-    * is 1 by construction for any threshold > 0. |A∩B| comes from the join
-    * group count and |A∪B| = |A|+|B|−|A∩B| — the Jaccard needs no second
-    * pass over the shingle sets.
+  /** EXACT near-duplicate pairs by word-shingle Jaccard ≥ `threshold`,
+    * via PREFIX FILTERING (the PPJoin-family set-similarity join):
     *
-    * Scale note: a shingle shared by f docs contributes f² join rows; for
-    * corpora with ultra-hot shingles prefer `minHashDupPairs` (bounded by
-    * the band structure) or pre-drop shingles above a document-frequency cap.
+    * Order every doc's shingles by ascending global document frequency; a
+    * pair with Jaccard ≥ t MUST share a shingle inside each doc's first
+    * ⌊(1−t)·|A|⌋+1 shingles of that ordering (if the prefixes were disjoint,
+    * the overlap is bounded below t·|A∪B|). Candidates therefore come only
+    * from the RAREST ~(1−t) fraction of each doc's shingles — hot shingles
+    * never generate pairs — and are verified with the full exact Jaccard.
+    * Recall stays 1 by the prefix-filter theorem; the naive shared-ANY-
+    * shingle join (f² rows for a shingle in f docs) is what this replaces.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "id",
                         contentCol: String = "content", n: Int = 3,
-                        threshold: Double = 0.8): DataFrame = {
+                        threshold: Double = 0.8,
+                        dfOrdered: Boolean = false): DataFrame = {
     val sh = docs.select(
       col(idCol).as("id"),
       TextFunctions.shingles(TextFunctions.tokens(col(contentCol)), n).as("sh"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
-    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
-    val inter = inv.as("a")
-      .join(inv.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+    // Prefix length floor((1-t)*sz) + 1, with an epsilon: (1.0 - t) is not
+    // exact in binary and floor((1-t)*sz) can land one BELOW the true value
+    // exactly when (1-t)*sz is integral — a one-short prefix silently drops
+    // qualifying pairs (observed: 255 vs 256 pairs at t=0.8).
+    val prefLen = (floor((lit(1.0) - threshold) * size(col("sh")) + lit(1e-9)) + 1).cast("int")
+    val prefix =
+      if (dfOrdered) {
+        // rarest-first global order: fewest candidates (the PPJoin choice),
+        // at the cost of a document-frequency join + per-doc window.
+        val inv = sh.select(col("id"), explode(col("sh")).as("g"))
+        val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        inv.join(dfreq, "g")
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("id")).orderBy(col("df"), col("g"))))
+          .join(sh.select(col("id"), prefLen.as("p")), "id")
+          .filter(col("pos") <= col("p"))
+          .select(col("id"), col("g"))
+      } else {
+        // hash global order: the prefix is computed INSIDE the row (native
+        // HashPrefix expression) — zero shuffles before the candidate join.
+        // Any global total order preserves the theorem.
+        sh.select(col("id"),
+          explode(HashFunctions.hashPrefix(col("sh"), threshold)).as("g"))
+      }
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
+    * (id, sh) shingle frame.
+    */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame =
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   // -------------------------------------------------------------------------
   // SimHash near-duplicates

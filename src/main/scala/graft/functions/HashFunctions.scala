@@ -115,7 +115,139 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct word-`n`-gram shingles over an ARRAY<STRING> token column —
+  * single-pass native replacement for the `transform(sequence…)` +
+  * `concat_ws` + `array_distinct` HOF composition, whose per-element lambda
+  * dispatch runs interpreted and dominated the dedup scans (~1 ms/row
+  * observed on 90-token docs vs ~10 µs here). First-occurrence order,
+  * empty array for docs shorter than n tokens (same contract as the HOF
+  * version).
+  */
+case class ShingleArray(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "shingle size >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_array"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val m = xs.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { toks(i) = xs.getUTF8String(i); i += 1 }
+    val space = UTF8String.fromString(" ")
+    i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        if (j > 0) parts(2 * j - 1) = space
+        parts(2 * j) = toks(i + j)
+        j += 1
+      }
+      seen.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The `p` = floor((1−t)·size + 1e-9)+1 shingles that come FIRST in the
+  * global (xxhash64, value) order — the prefix-filter probe set, computed
+  * entirely inside the row (zero shuffles; see Dedup.ngramJaccardPairs).
+  * The epsilon guards the case where (1−t)·size is integral but binary
+  * (1−t) rounds low — a one-short prefix breaks the filter's exactness.
+  */
+case class HashPrefix(child: Expression, threshold: Double)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "hash_prefix"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val m = xs.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val p = math.min(m, (math.floor((1.0 - threshold) * m + 1e-9) + 1).toInt)
+    val arr = new Array[(Long, UTF8String)](m)
+    var i = 0
+    while (i < m) {
+      val s = xs.getUTF8String(i)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      arr(i) = (h, s)
+      i += 1
+    }
+    java.util.Arrays.sort(arr.asInstanceOf[Array[Object]], new java.util.Comparator[Object] {
+      def compare(a: Object, b: Object): Int = {
+        val x = a.asInstanceOf[(Long, UTF8String)]
+        val y = b.asInstanceOf[(Long, UTF8String)]
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c else x._2.compareTo(y._2)
+      }
+    })
+    val out = new Array[Any](p)
+    i = 0
+    while (i < p) { out(i) = arr(i)._2; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Jaccard similarity of two distinct-element ARRAY<STRING> columns in one
+  * hash-set pass (|A∩B| counted while probing, |A∪B| = |A|+|B|−|A∩B|) —
+  * replaces the size(array_intersect)/size(array_union) pair, which walks
+  * both arrays twice through interpreted collection builders. 0.0 when both
+  * sides are empty (matches TextFunctions.jaccard).
+  */
+case class JaccardSimilarity(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaccard_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val nx = xs.numElements()
+    val ny = ys.numElements()
+    if (nx == 0 && ny == 0) return 0.0
+    val set = new java.util.HashSet[UTF8String](nx * 2)
+    var i = 0
+    while (i < nx) { set.add(xs.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < ny) { if (set.contains(ys.getUTF8String(i))) inter += 1; i += 1 }
+    inter.toDouble / (nx + ny - inter).toDouble
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object HashFunctions {
+  /** Native distinct n-gram shingles over a token array column. */
+  def shingleArray(tokens: Column, n: Int): Column =
+    Bridge.column(ShingleArray(Bridge.expression(tokens), n))
+
+  /** Native one-pass Jaccard over two distinct-element string arrays. */
+  def jaccardSim(a: Column, b: Column): Column =
+    Bridge.column(JaccardSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Prefix-filter probe set over a shingle array column. */
+  def hashPrefix(shingles: Column, threshold: Double): Column =
+    Bridge.column(HashPrefix(Bridge.expression(shingles), threshold))
+
   /** MinHash signature Column over a string-array column (shingles). */
   def minHashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
     val hashes = transform(shingles, s => xxhash64(s))

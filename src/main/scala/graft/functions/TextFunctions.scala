@@ -28,10 +28,17 @@ object TextFunctions {
   /** Distinct tokens, sorted — for set-based similarity (Jaccard). */
   def tokenSet(content: Column): Column = array_sort(array_distinct(tokens(content)))
 
-  /** Word n-gram shingles (ARRAY<STRING> of space-joined n-grams), distinct.
-    * Built from an already-tokenized ARRAY<STRING> column.
+  /** Word n-gram shingles (ARRAY<STRING> of space-joined n-grams), distinct,
+    * first-occurrence order; empty for docs shorter than n tokens. Native
+    * single-pass expression — the HOF formulation (`shinglesHof`) runs its
+    * per-element lambdas interpreted and was ~100× slower on the dedup scans.
     */
-  def shingles(toks: Column, n: Int): Column = {
+  def shingles(toks: Column, n: Int): Column = HashFunctions.shingleArray(toks, n)
+
+  /** Builtin-functions formulation of `shingles`, kept as the cross-check
+    * reference for the native expression (ExtSpec asserts equality).
+    */
+  def shinglesHof(toks: Column, n: Int): Column = {
     // transform over indices 0..size-n, joining n consecutive tokens.
     // Docs with fewer than n tokens yield an EMPTY array — sequence(0,-1)
     // would otherwise produce [0,-1] and slice() throws on start=0.
@@ -46,7 +53,10 @@ object TextFunctions {
   /** Jaccard similarity of two ARRAY<STRING> set columns (inputs must be
     * distinct-element arrays). Double in [0,1]; 0 when both empty.
     */
-  def jaccard(a: Column, b: Column): Column = {
+  def jaccard(a: Column, b: Column): Column = HashFunctions.jaccardSim(a, b)
+
+  /** Builtin-functions formulation of `jaccard` (cross-check reference). */
+  def jaccardHof(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_union(a, b)).cast("double")
     when(union === lit(0.0), lit(0.0)).otherwise(inter / union)

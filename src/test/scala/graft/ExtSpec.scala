@@ -60,6 +60,16 @@ class ExtSpec extends AnyFunSuite {
     ("v5", Seq(-1f, 0f, 0f, 0f))
   ).toDF("id", "embedding")
 
+  test("native shingle expression matches the HOF reference formulation") {
+    import graft.functions.TextFunctions
+    val df = (base :+ ("d6" -> "a b")).toDF("id", "content")
+    val toks = TextFunctions.tokens(col("content"))
+    val rows = df.select(
+      array_sort(TextFunctions.shingles(toks, 3)).as("native"),
+      array_sort(TextFunctions.shinglesHof(toks, 3)).as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("Ann.exactTopK ranks by cosine with deterministic ties") {
     val top = Ann.exactTopK(vecCorpus, Seq("q" -> Seq(1f, 0f, 0f, 0f)), k = 3)
       .orderBy("rn").collect().map(r => (r.getInt(1), r.getString(2)))
