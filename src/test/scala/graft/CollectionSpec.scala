@@ -29,6 +29,19 @@ class CollectionSpec extends AnyFunSuite {
     c
   }
 
+  // --- embedding storage round-trip (reference test_sqlite.py:329-345:
+  // float32 bytes survive storage exactly) ---
+  test("embedding round-trips through the docs store as exact float32") {
+    object FixedEmbedder extends Embedder {
+      def embed(texts: Seq[String]): Seq[Array[Float]] =
+        texts.map(_ => Array(0.1f, -2.5f, 3.25f, Float.MinPositiveValue))
+    }
+    val c = coll(embedder = Some(FixedEmbedder))
+    c.add(Seq("a doc"), ids = Some(Seq("e1")))
+    val stored = c.docs().select("embedding").head().getSeq[Float](0)
+    assert(stored === Seq(0.1f, -2.5f, 3.25f, Float.MinPositiveValue))
+  }
+
   // --- name validation (core.py:94-97) ---
   test("valid and invalid collection names") {
     val root = freshRoot()
