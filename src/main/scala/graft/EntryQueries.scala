@@ -366,6 +366,25 @@ object EntryQueries {
     // ext/: dedup, ANN, text analysis, multimodal, streaming
     // =========================================================================
 
+    // SQL surface: the same native expressions reached through spark.sql
+    // after GraftFunctions.register (the SparkSessionExtensions path for
+    // pre-existing sessions). Oracle replays the MD5 SimHash bit-for-bit.
+    ("f1_sql_simhash", (s: SparkSession, sfDir: String) => {
+      graft.plans.GraftFunctions.register(s)
+      docsFrame(s, sfDir)
+        .select(col("id"), graft.functions.TextFunctions.tokens(col("content")).as("toks"))
+        .createOrReplaceTempView("graft_docs_v")
+      s.sql("""SELECT id, lpad(lower(hex(graft_simhash64(toks))), 16, '0') AS simhash_hex
+              |FROM graft_docs_v""".stripMargin)
+    }, Some("""WITH toks AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+              |   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w FROM documents),
+              | th AS (SELECT id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h
+              |        FROM (SELECT id, unnest(w) AS t FROM toks)),
+              | bits AS (SELECT id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              |          FROM th CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY 1, 2)
+              |SELECT id, lpad(lower(to_hex(CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS UBIGINT) << i) ELSE 0 END) AS UBIGINT))), 16, '0') AS simhash_hex
+              |FROM bits GROUP BY id""".stripMargin)),
+
     ("x1_dedup_exact", (s: SparkSession, sfDir: String) => {
       // inject exact copies of doc_id < 50 under ids 'd<id>'
       val d = docsFrame(s, sfDir).select("id", "content")

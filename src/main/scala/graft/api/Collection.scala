@@ -149,6 +149,25 @@ final class Collection private (
     refreshIndexes(touchedIds = None)
   }
 
+  /** Continuous ingestion: each micro-batch of a streaming frame with
+    * columns id, content[, metadata, embedding] is upserted through the
+    * same last-wins path as `addDf`, postings/stats maintained per batch
+    * (`foreachBatch` — the standard sink for stateful side-effecting writes
+    * that Structured Streaming can't express as a plain file sink).
+    * Caller starts/stops the returned query.
+    */
+  def streamIngest(stream: DataFrame,
+                   trigger: org.apache.spark.sql.streaming.Trigger =
+                     org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    require(stream.isStreaming, "streamIngest expects a streaming DataFrame")
+    stream.writeStream
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) addDf(batch)
+      }
+  }
+
   /** `update` = `add` with mandatory ids (reference core.py:173-182). */
   def update(ids: Seq[String], contents: Seq[String],
              metadatas: Option[Seq[Map[String, String]]] = None): Seq[String] = {

@@ -122,6 +122,44 @@ class ExtSpec extends AnyFunSuite {
     assert(out("m2").isEmpty)
   }
 
+  test("GraftFunctions: SQL surface over the native expressions") {
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT round(graft_cosine(array(1.0F,0.0F), array(1.0F,0.0F)), 6) c,
+        |  graft_jaccard(array('a','b'), array('b','c')) j,
+        |  size(graft_shingles(array('x','y','z'), 2)) ns,
+        |  size(graft_minhash(array(42L), 8)) nm,
+        |  graft_simhash64(array('tok')) sh,
+        |  size(graft_lsh_buckets(array(1.0F,0.0F), 4, 3, 2)) nb
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(math.abs(r.getDouble(1) - 1.0 / 3.0) < 1e-12)
+    assert(r.getInt(2) === 2)
+    assert(r.getInt(3) === 8)
+    assert(r.getLong(4) !== 0L)
+    assert(r.getInt(5) === 4)
+  }
+
+  test("Collection.streamIngest: micro-batches upsert and index incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-").toString
+    val c = graft.api.Collection(spark, root, "live")
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("id", "content")
+    val q = c.streamIngest(stream).start()
+    mem.addData(("s1", "hello stream"), ("s2", "spark engine"))
+    q.processAllAvailable()
+    assert(c.count() === 2)
+    assert(c.query("stream").total === 1)
+    mem.addData(("s1", "rewritten doc"), ("s3", "third doc"))  // upsert + insert
+    q.processAllAvailable()
+    q.stop()
+    assert(c.count() === 3)
+    assert(c.query("hello").total === 0)  // s1 replaced, postings refreshed
+    assert(c.query("rewritten").total === 1)
+    assert(c.query("doc").total === 2)
+  }
+
   test("EventStreams.windowAgg: batch result matches streaming with watermark; late row dropped") {
     val batch = Seq(
       ("2024-01-01 00:05:00", "click", 1.0),
