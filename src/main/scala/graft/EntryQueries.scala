@@ -128,7 +128,10 @@ object EntryQueries {
       val n = base.count()
       val copies = math.max(1, (100000 / math.max(1L, n)).toInt)
       // distinct ids per copy: id = <doc_id>_<copy>
+      // repartition: the broadcast-range crossJoin otherwise emits ~1
+      // partition and the whole ingest serializes onto one core
       val bulk = s.range(copies).withColumnRenamed("id", "copy").crossJoin(base)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(concat(col("id"), lit("_"), col("copy")).as("id"),
           col("content"), col("metadata"))
       c.addDf(bulk)
@@ -394,6 +397,14 @@ object EntryQueries {
     }, Some("""SELECT CAST(doc_id AS VARCHAR) AS keep_id, 'd' || CAST(doc_id AS VARCHAR) AS dup_id
               |FROM documents WHERE doc_id < 50""".stripMargin)),
 
+    ("x1b_dedup_apply", (s: SparkSession, sfDir: String) => {
+      // apply step: injected copies dropped, originals (smallest ids) kept
+      val d = docsFrame(s, sfDir).select("id", "content")
+      val dups = d.filter(col("id").cast("long") < 50)
+        .select(concat(lit("d"), col("id")).as("id"), col("content"))
+      Dedup.dropExactDups(d.unionByName(dups)).select("id")
+    }, Some(s"SELECT $DocId AS id FROM documents")),
+
     ("x2_dedup_minhash", (s: SparkSession, sfDir: String) =>
       Dedup.minHashDupPairs(docsFrame(s, sfDir), threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
@@ -418,6 +429,17 @@ object EntryQueries {
               |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
               |FROM sh a JOIN sh b ON a.id < b.id
               |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin)),
+
+    ("x4b_dedup_clusters", (s: SparkSession, sfDir: String) => {
+      // cluster-level dedup: connected components (min reachable id) over
+      // the exact near-dup pair graph
+      val pairs = Dedup.ngramJaccardPairs(docsFrame(s, sfDir), threshold = 0.8)
+      Dedup.dupClusters(pairs)
+    }, Some(s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${ngramJaccardOracle(0.8)}) q),
+               | edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+               | reach AS (SELECT s, d FROM edges
+               |   UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s)
+               |SELECT s AS id, least(s, min(d)) AS cluster FROM reach GROUP BY s""".stripMargin)),
 
     ("x5_dedup_cosine", (s: SparkSession, sfDir: String) => {
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")

@@ -95,6 +95,28 @@ object Ann {
       .select(col("qid"), col("rn"), col("id"), col("sim"))
   }
 
+  /** Exact top-k for a DataFrame of queries (qid, qvec) — the bulk-scoring
+    * shape (e.g. all-pairs retrieval for a training epoch): broadcast the
+    * query side, score every (corpus, query) pair in one codegen'd pass,
+    * rank per query. The per-query shuffle carries only scored candidates
+    * hashed by qid; with Q queries this is the Q·N scan any exact batch
+    * retrieval pays, parallel over the corpus.
+    */
+  def exactTopKAll(corpus: DataFrame, queries: DataFrame, k: Int,
+                   idCol: String = "id", embCol: String = "embedding",
+                   qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .filter(col("emb").isNotNull)
+    val q = queries.select(col(qidCol).as("qid"),
+      col(qvecCol).cast(ArrayType(FloatType)).as("qvec"))
+    base.join(broadcast(q))
+      .withColumn("sim", VectorFunctions.cosine(col("emb"), col("qvec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("id"), col("sim"))
+  }
+
   /** APPROXIMATE top-k: probe only the corpus vectors sharing an LSH bucket
     * with the query in ≥1 table, exact-cosine rerank inside the candidate
     * set. Probe cost is |candidates| ≪ |corpus| (sub-linear in practice);

@@ -36,6 +36,24 @@ object Dedup {
         explode(slice(col("ids"), 2, Int.MaxValue)).as("dup_id"))
   }
 
+  /** The deduplicated corpus: one representative (smallest id) per
+    * identical-content group, all other columns preserved.
+    */
+  def dropExactDups(docs: DataFrame, idCol: String = "id",
+                    contentCol: String = "content"): DataFrame = {
+    val dups = exactDupPairs(docs, idCol, contentCol).select(col("dup_id").as(idCol))
+    docs.join(dups, Seq(idCol), "left_anti")
+  }
+
+  /** Drops the HIGHER-id side of every near-duplicate pair (the standard
+    * cheap policy; a doc that is id_b in any pair goes). Pass any pair frame
+    * from the near-dup detectors. Not transitively minimal — for strict
+    * cluster-level dedup run connected components over the pair graph.
+    */
+  def dropNearDups(docs: DataFrame, pairs: DataFrame,
+                   idCol: String = "id"): DataFrame =
+    docs.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   // -------------------------------------------------------------------------
   // MinHash + LSH near-duplicates
   // -------------------------------------------------------------------------
@@ -157,6 +175,46 @@ object Dedup {
       .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  // -------------------------------------------------------------------------
+  // Duplicate clustering
+  // -------------------------------------------------------------------------
+
+  /** Connected components over a near-duplicate pair graph: (id, cluster)
+    * where cluster = the smallest id reachable from `id` (only ids that
+    * appear in a pair are returned). Iterative min-label propagation over
+    * DataFrames — each round joins the current labels across the edge list
+    * and keeps the smaller label, until a fixpoint; rounds needed =
+    * O(graph diameter), which for near-dup graphs is tiny. Strictly
+    * cluster-minimal, unlike the greedy `dropNearDups`.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate label for dst = min over neighbors' labels (and own)
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
 
   // -------------------------------------------------------------------------
   // SimHash near-duplicates

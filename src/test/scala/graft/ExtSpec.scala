@@ -27,12 +27,28 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.toSet === Set(("d1", "d4")))
   }
 
+  test("dropExactDups / dropNearDups return the deduplicated corpus") {
+    val kept = Dedup.dropExactDups(docs).select("id").as[String].collect().toSet
+    assert(kept === Set("d1", "d2", "d3", "d5")) // d4 (exact dup of d1) dropped
+    val near = Dedup.dropNearDups(docs, Dedup.minHashDupPairs(docs, threshold = 0.5))
+      .select("id").as[String].collect().toSet
+    assert(near === Set("d1", "d3", "d5")) // d2 and d4 both pair with d1
+  }
+
   test("minHashDupPairs finds the planted near-dup and no unrelated pair") {
     val pairs = Dedup.minHashDupPairs(docs, threshold = 0.5)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairs.contains(("d1", "d2")))
     assert(pairs.contains(("d1", "d4")) && pairs.contains(("d2", "d4"))) // exact dup too
     assert(!pairs.exists(p => p._1 == "d3" || p._2 == "d3"))
+  }
+
+  test("dupClusters: connected components assign min reachable id") {
+    // chain a-b, b-c plus isolated pair x-y => clusters {a,b,c}->a, {x,y}->x
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
   test("ngramJaccardPairs matches brute-force jaccard exactly") {
@@ -74,6 +90,13 @@ class ExtSpec extends AnyFunSuite {
     val top = Ann.exactTopK(vecCorpus, Seq("q" -> Seq(1f, 0f, 0f, 0f)), k = 3)
       .orderBy("rn").collect().map(r => (r.getInt(1), r.getString(2)))
     assert(top.toSeq === Seq((1, "v1"), (2, "v2"), (3, "v3")))
+  }
+
+  test("Ann.exactTopKAll (DataFrame query batch) agrees with exactTopK") {
+    val qdf = Seq(("q", Seq(1f, 0f, 0f, 0f))).toDF("qid", "qvec")
+    val a = Ann.exactTopKAll(vecCorpus, qdf, k = 3)
+      .orderBy("rn").collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(a.toSeq === Seq((1, "v1"), (2, "v2"), (3, "v3")))
   }
 
   test("Ann.lshTopK achieves full recall on separated clusters") {

@@ -58,6 +58,12 @@ class QueryParserSpec extends AnyFunSuite {
     assert(p("\"Lorem,\"").contains(Term("lorem")))
   }
 
+  test("intra-word punctuation splits into AND of sub-terms (index-tokenizer parity)") {
+    assert(p("don't").contains(And(Term("don"), Term("t"))))
+    assert(p("e-mail guide").contains(And(And(Term("e"), Term("mail")), Term("guide"))))
+    assert(p("foo-bar*").contains(And(Term("foo"), Prefix("bar"))))
+  }
+
   test("canonical print") {
     assert(QueryParser.print(p("a b or c*").get) === "(a & b) | (c:*)")
   }

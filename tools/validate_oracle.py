@@ -22,7 +22,7 @@ def canon(rows, cols):
         if isinstance(v, float):
             if math.isnan(v):
                 return ("f", "nan")
-            return ("f", round(v, 9))
+            return ("f", v)  # exact: driver may compare raw bytes
         if isinstance(v, int):
             return ("i", v)
         return ("s", str(v))
