@@ -217,18 +217,31 @@ object EntryQueries {
     ("q2_parser_golden", (s: SparkSession, _: String) => {
       import s.implicits._
       val inputs = Seq("Lorem", "lorem IPSUM", "a or b", "x AND y or z", "don't",
-        "Lor*", "'quoted'", "  spaced   words  ", "and", "or a")
+        "Lor*", "'quoted'", "  spaced   words  ", "and", "or a",
+        "te*m", "a*b*c", "*fix", "don't*")
       inputs.map(q => (q, QueryParser.parse(q).map(QueryParser.print).getOrElse("<empty>")))
         .toDF("q", "ast")
     }, Some("""SELECT * FROM (VALUES
               | ('Lorem','lorem'), ('lorem IPSUM','lorem & ipsum'), ('a or b','(a) | (b)'),
               | ('x AND y or z','(x & y) | (z)'), ('don''t','don & t'), ('Lor*','lor:*'),
               | ('''quoted''','quoted'), ('  spaced   words  ','spaced & words'),
-              | ('and','<empty>'), ('or a','a')) AS t(q, ast)""".stripMargin)),
+              | ('and','<empty>'), ('or a','a'),
+              | ('te*m','te*m'), ('a*b*c','a*b*c'), ('*fix','*fix'), ('don''t*','don & t:*')
+              |) AS t(q, ast)""".stripMargin)),
 
     ("q3_fts_prefix", (s: SparkSession, sfDir: String) =>
       mainColl(s, sfDir).queryFrame("sca*").select("id"),
       Some(s"SELECT $DocId AS id FROM documents WHERE len(list_filter($Toks, t -> t LIKE 'sca%')) > 0")),
+
+    // mid-token wildcard (SQLite-parity: `*` anywhere in the term; the
+    // trailing-only form is the PG subset, reference README.md:69)
+    ("q3b_fts_midtoken", (s: SparkSession, sfDir: String) =>
+      // multi-star mid-token wildcard (s*m*l -> small) OR-composed with a
+      // second wildcard (c*er -> customer)
+      mainColl(s, sfDir).queryFrame("s*m*l or c*er").select("id"),
+      Some(s"""SELECT $DocId AS id FROM documents
+              |WHERE len(list_filter($Toks, t -> t LIKE 's%m%l')) > 0
+              |   OR len(list_filter($Toks, t -> t LIKE 'c%er')) > 0""".stripMargin)),
 
     ("q4_bm25_rank", (s: SparkSession, sfDir: String) =>
       mainColl(s, sfDir).queryFrame("customer stream")

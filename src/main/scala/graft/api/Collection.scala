@@ -240,12 +240,13 @@ final class Collection private (
   // -------------------------------------------------------------------------
 
   /** Full query pipeline. Empty `query` = scan (`get`, core.py:370-384).
+    * `orderBy` takes a bare string or a list (reference core.py:306-311).
     * `limit=0` means unlimited (core.py:327-333). `total` is always the true
     * pre-limit match count (SURVEY §7.4 decision — the SQLite-vector
     * behavior; the PG offset-past-end `total=0` quirk is not replicated).
     */
   def query(query: String = "", limit: Int = 0, offset: Int = 0,
-            where: Map[String, Any] = Map.empty, orderBy: Seq[String] = Nil,
+            where: Map[String, Any] = Map.empty, orderBy: OrderBy = OrderBy.none,
             vectorSearch: Boolean = false): QueryResult = {
     val (preLimit, withRank) = plan(query, where, orderBy, vectorSearch)
     // One execution for both `total` and the page: persist the pre-limit
@@ -264,7 +265,7 @@ final class Collection private (
     * reference's API-boundary cliff and is for parity only).
     */
   def queryFrame(query: String = "", limit: Int = 0, offset: Int = 0,
-                 where: Map[String, Any] = Map.empty, orderBy: Seq[String] = Nil,
+                 where: Map[String, Any] = Map.empty, orderBy: OrderBy = OrderBy.none,
                  vectorSearch: Boolean = false): DataFrame = {
     val (preLimit, withRank) = plan(query, where, orderBy, vectorSearch)
     val shaped =
@@ -274,8 +275,9 @@ final class Collection private (
   }
 
   /** Builds the ordered pre-limit frame; returns (frame, hasRank). */
-  private def plan(query: String, where: Map[String, Any], orderBy: Seq[String],
+  private def plan(query: String, where: Map[String, Any], ob: OrderBy,
                    vectorSearch: Boolean): (DataFrame, Boolean) = {
+    val orderBy = ob.keys
     if (vectorSearch && orderBy.nonEmpty)
       throw new IllegalArgumentException("Cannot use order_by with vector search.")
     if (vectorSearch && embedder.isEmpty)
@@ -313,7 +315,7 @@ final class Collection private (
 
   /** Scan without search (reference `get`, core.py:370-384). */
   def get(limit: Int = 0, offset: Int = 0, where: Map[String, Any] = Map.empty,
-          orderBy: Seq[String] = Nil): QueryResult =
+          orderBy: OrderBy = OrderBy.none): QueryResult =
     query("", limit, offset, where, orderBy)
 
   private def applyWhere(df: DataFrame, where: Map[String, Any]): DataFrame = {

@@ -40,10 +40,17 @@ object FtsEval {
   }
 
   private def eval(postings: DataFrame, q: BoolQuery): DataFrame = q match {
-    case Term(t)   => postings.filter(col("term") === t).select("id")
-    case Prefix(p) => postings.filter(col("term").startsWith(p)).select("id").distinct()
-    case And(l, r) => matchingIds(postings, l).join(matchingIds(postings, r), "id")
-    case Or(l, r)  => matchingIds(postings, l).union(matchingIds(postings, r)).distinct()
+    case Term(t)     => postings.filter(col("term") === t).select("id")
+    case Prefix(p)   => postings.filter(col("term").startsWith(p)).select("id").distinct()
+    // Mid-token wildcard: full term-dictionary scan by construction (no range
+    // prune possible without literal prefix); when the pattern HAS a literal
+    // prefix (te*m), startsWith narrows the scan before the regex runs.
+    case w @ Wildcard(p) =>
+      val pre = p.takeWhile(_ != '*')
+      val base = if (pre.nonEmpty) postings.filter(col("term").startsWith(pre)) else postings
+      base.filter(col("term").rlike(w.regex)).select("id").distinct()
+    case And(l, r)   => matchingIds(postings, l).join(matchingIds(postings, r), "id")
+    case Or(l, r)    => matchingIds(postings, l).union(matchingIds(postings, r)).distinct()
   }
 
   /** Some(terms) iff q is exactly AND(Term, Term, …) with distinct terms. */

@@ -31,6 +31,13 @@ case class LshBuckets(child: Expression, numTables: Int, numPlanes: Int,
 
   override def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
+    // Fail fast rather than silently bucketing on a prefix of the vector —
+    // a truncated dot product degrades recall below the documented
+    // (1-(1-θ/π)^planes)^tables bound with no visible symptom.
+    if (xs.numElements() > dim)
+      throw new IllegalArgumentException(
+        s"lsh_buckets: embedding has ${xs.numElements()} dims but planes were drawn for dim=$dim; " +
+          "pass dim >= the embedding dimension")
     val n = math.min(xs.numElements(), dim)
     val out = new Array[Long](numTables)
     var t = 0

@@ -54,6 +54,8 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     val sig = Array.fill(numHashes)(P)
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i)) { i += 1 } // null element hash (null shingle) — skip
+      else {
       val x = (xs.getLong(i) & 0x7FFFFFFFFFFFFFFFL) % P
       var j = 0
       while (j < numHashes) {
@@ -63,6 +65,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
         j += 1
       }
       i += 1
+      }
     }
     new GenericArrayData(sig)
   }
@@ -132,12 +135,21 @@ case class ShingleArray(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
-    val m = xs.numElements()
+    // Null elements (possible on SQL-exposed graft_shingles over arbitrary
+    // user arrays) are dropped up front — a null token would make
+    // UTF8String.concat return null and violate containsNull=false.
+    val all = xs.numElements()
+    var m = 0
+    val toksAll = new Array[UTF8String](all)
+    var r = 0
+    while (r < all) {
+      if (!xs.isNullAt(r)) { toksAll(m) = xs.getUTF8String(r); m += 1 }
+      r += 1
+    }
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
-    val toks = new Array[UTF8String](m)
+    val toks = toksAll
     var i = 0
-    while (i < m) { toks(i) = xs.getUTF8String(i); i += 1 }
     val space = UTF8String.fromString(" ")
     i = 0
     while (i <= m - n) {

@@ -43,6 +43,19 @@ sealed trait BoolQuery extends Product with Serializable
 object BoolQuery {
   final case class Term(t: String) extends BoolQuery
   final case class Prefix(p: String) extends BoolQuery
+
+  /** `*` anywhere in the term (SQLite FTS5 parity — PG documents trailing-only,
+    * reference README.md:69; core.py:60 rewrites only the trailing form).
+    * `pattern` keeps the literal `*`s; [[regex]] is the anchored Java-regex
+    * equivalent evaluated with `rlike` over the postings `term` column.
+    */
+  final case class Wildcard(pattern: String) extends BoolQuery {
+    lazy val regex: String =
+      pattern.split("\\*", -1).map {
+        case "" => ""
+        case lit => java.util.regex.Pattern.quote(lit)
+      }.mkString("^", ".*", "$")
+  }
   final case class And(l: BoolQuery, r: BoolQuery) extends BoolQuery
   final case class Or(l: BoolQuery, r: BoolQuery) extends BoolQuery
 
@@ -100,6 +113,19 @@ object WhereOp {
       throw new IllegalArgumentException(
         s"Invalid operator $op. Valid operators are $$eq, $$gt, $$lt, $$gte, $$lte, $$in, $$nin.")
   }
+}
+
+/** `order_by` argument: a bare field string or a list of fields, like the
+  * reference's `str | list[str]` union (core.py:306-311). The implicit
+  * conversions make both `orderBy = "-k"` and `orderBy = Seq("-k", "k2")`
+  * typecheck at the `Collection` API.
+  */
+final case class OrderBy(keys: Seq[String]) extends AnyVal
+object OrderBy {
+  val none: OrderBy = OrderBy(Nil)
+  import scala.language.implicitConversions
+  implicit def fromString(s: String): OrderBy = OrderBy(Seq(s))
+  implicit def fromSeq(keys: Seq[String]): OrderBy = OrderBy(keys)
 }
 
 /** One sort key from `order_by`: leading '-' = DESC, optional '+' = ASC

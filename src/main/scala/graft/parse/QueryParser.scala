@@ -42,14 +42,17 @@ object QueryParser {
         // Punctuated words are split with the INDEX tokenizer's separator
         // ("don't" -> don AND t) so query terms match their tokenized form —
         // the reference hands the raw word to fts5/to_tsquery, which
-        // tokenizes consistently with its index.
-        val isPrefix = w.endsWith("*") && w.length > 1
-        val parts = (if (isPrefix) w.dropRight(1) else w)
-          .split(graft.functions.TextFunctions.SeparatorRegex).toSeq.filter(_.nonEmpty)
-        val leaves: Seq[BoolQuery] =
-          if (parts.isEmpty) Nil
-          else if (isPrefix) parts.init.map(Term.apply) :+ Prefix(parts.last)
-          else parts.map(Term.apply)
+        // tokenizes consistently with its index. `*` survives the split: it
+        // is wildcard syntax, not punctuation (SQLite accepts it anywhere in
+        // a term, reference README.md:69; trailing-only is the PG subset).
+        val parts = w.split("[^\\p{L}\\p{N}*]+").toSeq.filter(_.nonEmpty)
+        val leaves: Seq[BoolQuery] = parts.flatMap { p =>
+          val stars = p.count(_ == '*')
+          if (stars == 0) Some(Term(p))
+          else if (p.forall(_ == '*')) None // bare `*`: no literal text, drop
+          else if (stars == 1 && p.endsWith("*")) Some(Prefix(p.dropRight(1)))
+          else Some(Wildcard(p))
+        }
         leaves.reduceOption(And(_, _))
       }
     }
@@ -65,9 +68,10 @@ object QueryParser {
     * OR as `|`, prefix as `word:*` — the tsquery-ish dialect.
     */
   def print(q: BoolQuery): String = q match {
-    case Term(t)   => t
-    case Prefix(p) => s"$p:*"
-    case And(l, r) => s"${print(l)} & ${print(r)}"
-    case Or(l, r)  => s"(${print(l)}) | (${print(r)})"
+    case Term(t)      => t
+    case Prefix(p)    => s"$p:*"
+    case Wildcard(p)  => p // literal `*`s kept — the SQLite-dialect form
+    case And(l, r)    => s"${print(l)} & ${print(r)}"
+    case Or(l, r)     => s"(${print(l)}) | (${print(r)})"
   }
 }

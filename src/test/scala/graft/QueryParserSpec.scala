@@ -67,4 +67,22 @@ class QueryParserSpec extends AnyFunSuite {
   test("canonical print") {
     assert(QueryParser.print(p("a b or c*").get) === "(a & b) | (c:*)")
   }
+
+  test("mid-token wildcard (SQLite parity: * anywhere in a term)") {
+    assert(p("te*m").contains(Wildcard("te*m")))
+    assert(p("a*b*c").contains(Wildcard("a*b*c")))
+    assert(p("*fix").contains(Wildcard("*fix")))
+    assert(p("Lorem te*m").contains(And(Term("lorem"), Wildcard("te*m"))))
+    // bare stars carry no literal text -> dropped like stray operators
+    assert(p("*").isEmpty)
+    assert(p("** lorem").contains(Term("lorem")))
+    // trailing-only star stays the range-prunable Prefix form
+    assert(p("don't*").contains(And(Term("don"), Prefix("t"))))
+  }
+
+  test("wildcard regex anchors and escapes") {
+    assert(Wildcard("te*m").regex === "^\\Qte\\E.*\\Qm\\E$")
+    assert(Wildcard("*fix").regex === "^.*\\Qfix\\E$")
+    assert(Wildcard("a*b*c").regex === "^\\Qa\\E.*\\Qb\\E.*\\Qc\\E$")
+  }
 }
