@@ -186,6 +186,40 @@ object EntryQueries {
         .unionByName(b.docs().select(lit("B").as("coll"), col("id")))
     }, Some("SELECT 'B' AS coll, CAST(doc_id AS VARCHAR) AS id FROM documents WHERE doc_id BETWEEN 10 AND 29")),
 
+    // Continuous ingestion (S8-stream): two MemoryStream micro-batches through
+    // streamIngest — cross-batch upsert (b rewritten), intra-batch duplicate
+    // id (d twice, last wins), and DELTA postings maintenance pinned by
+    // querying a term the update REMOVED ('stale' must match nothing) and
+    // terms the batches introduced.
+    ("s9_stream_upsert", (s: SparkSession, _: String) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = java.nio.file.Files.createTempDirectory("graft-s9-").toString
+      val c = Collection(s, root, "st")
+      val mem = MemoryStream[(String, String)]
+      val q = c.streamIngest(mem.toDF().toDF("id", "content")).start()
+      mem.addData(("a", "alpha common"), ("b", "beta stale common"), ("c", "gamma common"))
+      q.processAllAvailable()
+      mem.addData(("b", "beta updated common"), ("d", "delta first"), ("d", "delta last"))
+      q.processAllAvailable()
+      q.stop()
+      val docsOut = c.docs().select(lit("doc").as("kind"), col("id"), col("content"))
+      def m(kind: String, fts: String) = c.queryFrame(fts)
+        .select(lit(kind).as("kind"), col("id"), lit(null).cast("string").as("content"))
+      docsOut
+        .unionByName(m("match_updated", "updated"))
+        .unionByName(m("match_stale", "stale"))
+        .unionByName(m("match_last", "last"))
+        .unionByName(m("match_common", "common"))
+    }, Some("""SELECT * FROM (VALUES
+              | ('doc','a','alpha common'), ('doc','b','beta updated common'),
+              | ('doc','c','gamma common'), ('doc','d','delta last'),
+              | ('match_updated','b',NULL),
+              | ('match_last','d',NULL),
+              | ('match_common','a',NULL), ('match_common','b',NULL), ('match_common','c',NULL)
+              |) AS t(kind, id, content)""".stripMargin)),
+
     ("s7_count", (s: SparkSession, sfDir: String) => {
       import s.implicits._
       Seq(mainColl(s, sfDir).count()).toDF("cnt")

@@ -117,15 +117,29 @@ final class Collection private (
         $"embedding".cast("array<float>")))
     Stores.overwritePartition(spark, docsDir, name, merged)
 
-    refreshIndexes(touchedIds = Some(allIds.distinct))
+    refreshIndexes(Some(broadcast(batchIds)))
     allIds
   }
 
   /** Bulk DataFrame ingestion (new-scope S8 — the reference has no file
     * connectors). `df` must have columns id, content, metadata[, embedding].
+    *
+    * Duplicate ids WITHIN the frame resolve last-wins, like `add`
+    * (ON CONFLICT semantics, core.py:496-499): ordered by `posCol` when
+    * given, else by frame order (exact for single-partition micro-batches,
+    * best-effort across partitions — CDC streams should carry a position
+    * column). Index refresh is DELTA on the batch's ids, so a micro-batch
+    * costs O(batch) tokenize work regardless of collection size.
     */
-  def addDf(df: DataFrame): Unit = {
+  def addDf(df: DataFrame, posCol: Option[String] = None): Unit = {
     var d = df
+    val pos = posCol.map(col).getOrElse(monotonically_increasing_id())
+    d = d.withColumn("__pos", pos)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy($"id").orderBy($"__pos".desc)))
+      .filter($"__rn" === 1)
+      .drop("__pos", "__rn")
+    if (posCol.nonEmpty) d = d.drop(posCol.get)
     if (!d.columns.contains("metadata"))
       d = d.withColumn("metadata", lit(null).cast("map<string,string>"))
     if (!d.columns.contains("embedding")) {
@@ -144,9 +158,23 @@ final class Collection private (
     }
     d = d.select($"id".cast("string"), $"content".cast("string"),
       $"metadata".cast("map<string,string>"), $"embedding".cast("array<float>"))
-    val merged = docs().join(d.select("id"), Seq("id"), "left_anti").unionByName(d)
-    Stores.overwritePartition(spark, docsDir, name, merged)
-    refreshIndexes(touchedIds = None)
+    val base = docs()
+    val wasEmpty = base.isEmpty
+    // The batch's ids drive both the upsert anti-join and the delta index
+    // refresh. Materialize them BEFORE the partition swap: refreshIndexes
+    // runs after the overwrite, and a lazy re-evaluation of the input frame
+    // there could race a source that overlaps this store.
+    val batchIds = d.select("id").distinct().persist()
+    batchIds.count()
+    try {
+      val merged = base.join(batchIds, Seq("id"), "left_anti").unionByName(d)
+      Stores.overwritePartition(spark, docsDir, name, merged)
+      // Delta refresh on the batch's ids (no driver-side collect, no
+      // broadcast hint — the batch can be any size; AQE picks the join
+      // strategy). Empty collection: the delta degenerates to the full build.
+      if (wasEmpty) refreshIndexes(None)
+      else refreshIndexes(Some(batchIds))
+    } finally batchIds.unpersist()
   }
 
   /** Continuous ingestion: each micro-batch of a streaming frame with
@@ -197,7 +225,7 @@ final class Collection private (
         val targetFts = Stores.exists(spark,
           s"${Stores.postingsDir(root)}/collection=${java.net.URLEncoder.encode(coll, "UTF-8")}")
         val self = new Collection(spark, root, coll, None, targetFts)
-        self.refreshIndexes(touchedIds = Some(idSeq))
+        self.refreshIndexes(Some(broadcast(idsDf)))
       }
     }
   }
@@ -211,23 +239,27 @@ final class Collection private (
     Stores.dropPartition(spark, statsDir, name)
   }
 
-  /** Rebuild this collection's postings + stats. Delta when `touchedIds` is
-    * given: untouched docs keep their postings rows (anti-join), only the
-    * touched ids re-tokenize — the Spark analogue of the reference's
-    * delete-stale-then-insert FTS maintenance (core.py:505-514).
+  /** Rebuild this collection's postings + stats. Delta when `touched` is
+    * given (a single-column `id` frame): untouched docs keep their postings
+    * rows (anti-join), only the touched ids re-tokenize — the Spark analogue
+    * of the reference's delete-stale-then-insert FTS maintenance
+    * (core.py:505-514). O(batch) tokenize work + O(postings) rewrite, never
+    * O(collection) re-tokenize — the property that keeps `streamIngest`
+    * micro-batches flat as the collection grows.
+    *
+    * Callers with a small driver-side id list pre-wrap in `broadcast(…)`;
+    * DataFrame-sized id sets are left unhinted (AQE decides). Never a literal
+    * `isin` list — a 100k-doc batch would otherwise build a 100k-term
+    * Catalyst expression on the driver (plan-size blowup).
     */
-  private def refreshIndexes(touchedIds: Option[Seq[String]]): Unit = {
+  private def refreshIndexes(touched: Option[DataFrame]): Unit = {
     if (useFts) {
       val current = docs()
-      // Touched ids as a broadcast join, never a literal `isin` list — a
-      // 100k-doc batch would otherwise build a 100k-term Catalyst expression
-      // on the driver (plan-size blowup).
-      val fresh = touchedIds match {
-        case Some(idSeq) if idSeq.nonEmpty =>
-          val idsDf = idSeq.toDF("id")
-          val old = postings().join(broadcast(idsDf), Seq("id"), "left_anti")
+      val fresh = touched match {
+        case Some(idsDf) =>
+          val old = postings().join(idsDf, Seq("id"), "left_anti")
           old.unionByName(
-            PostingsIndex.build(current.join(broadcast(idsDf), Seq("id"), "left_semi")))
+            PostingsIndex.build(current.join(idsDf, Seq("id"), "left_semi")))
         case _ => PostingsIndex.build(current)
       }
       Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))

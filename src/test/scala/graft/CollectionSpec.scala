@@ -82,6 +82,21 @@ class CollectionSpec extends AnyFunSuite {
     assert(c.query("first").total === 0)
   }
 
+  test("addDf: intra-batch duplicate ids resolve last-wins; delta reindex on batch ids") {
+    import TestSpark.spark.implicits._
+    val c = coll()
+    c.addDf(Seq(("a", "alpha keep"), ("b", "beta old")).toDF("id", "content"))
+    // duplicate id within ONE frame: positional last wins (posCol given)
+    c.addDf(Seq(("b", "beta mid", 1L), ("b", "beta new", 2L), ("d", "delta", 3L))
+      .toDF("id", "content", "p"), posCol = Some("p"))
+    assert(c.count() === 3)
+    assert(c.query("alpha").total === 1)   // untouched postings survive the delta
+    assert(c.query("old").total === 0)     // b's stale postings removed
+    assert(c.query("mid").total === 0)     // intra-batch loser never lands
+    assert(c.query("new").total === 1)
+    assert(c.docs().filter($"id" === "b").select("content").as[String].head() === "beta new")
+  }
+
   test("update reindexes; update requires ids") {
     val c = coll()
     val ids = c.add(Seq("Lorem ipsum"))
