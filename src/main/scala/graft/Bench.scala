@@ -33,7 +33,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // noop write, not count(): count() lets Catalyst prune every
+        // unreferenced projection (a shaping query would time as a bare
+        // scan); the noop sink materializes all output columns of the real
+        // plan and discards them.
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

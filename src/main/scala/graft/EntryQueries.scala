@@ -135,8 +135,19 @@ object EntryQueries {
         .select(concat(col("id"), lit("_"), col("copy")).as("id"),
           col("content"), col("metadata"))
       c.addDf(bulk)
-      c.docs().groupBy().agg(count(lit(1)).as("n_docs"))
-    }, None),
+      // Oracled: row count + an order-independent content checksum (sum of a
+      // 60-bit md5 prefix over id|content) replayed by DuckDB over the same
+      // replication — pins that the bulk upsert landed every row unmangled.
+      c.docs().groupBy().agg(count(lit(1)).as("n_docs"),
+        sum(conv(substring(md5(concat(col("id"), lit("|"), col("content"))), 1, 15), 16, 10)
+          .cast("decimal(38,0)")).cast("string").as("checksum"))
+    }, Some("""WITH b AS (
+              |  SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(g.c AS VARCHAR) AS id, text AS content
+              |  FROM documents
+              |  CROSS JOIN (SELECT unnest(range((SELECT GREATEST(1, 100000 // COUNT(*)) FROM documents))) AS c) g)
+              |SELECT COUNT(*) AS n_docs,
+              |       CAST(SUM(CAST(CAST(('0x' || substr(md5(id || '|' || content), 1, 15)) AS UBIGINT) AS HUGEINT)) AS VARCHAR) AS checksum
+              |FROM b""".stripMargin)),
 
     ("s3_add_upsert", (s: SparkSession, _: String) => {
       val root = java.nio.file.Files.createTempDirectory("graft-s3-").toString
@@ -501,12 +512,45 @@ object EntryQueries {
               |CROSS JOIN LATERAL (SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c)
               |WHERE c >= 0.46""".stripMargin)),
 
+    // LSH recall < 1 by design, so the pair set itself is not oracle-able —
+    // instead gate the two properties that ARE exact: no false positives
+    // (LSH pairs ⊆ the exact-cosine pair set) and recall ≥ 0.8 at these
+    // (numTables, numPlanes) on this corpus.
     ("x5b_dedup_cosine_lsh", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
-      Dedup.embeddingDupPairs(e, threshold = 0.46, numTables = 16, numPlanes = 4)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-    }, None), // LSH recall < 1 by design -> rows-only check; x7 pins recall
+      val lsh = Dedup.embeddingDupPairs(e, threshold = 0.46, numTables = 16, numPlanes = 4)
+        .select("id_a", "id_b").persist()
+      val exact = Dedup.embeddingDupPairs(e, threshold = 0.46, numTables = 0)
+        .select("id_a", "id_b").persist()
+      try {
+        val falsePos = lsh.join(exact, Seq("id_a", "id_b"), "left_anti").count()
+        val hits = lsh.join(exact, Seq("id_a", "id_b"), "left_semi").count()
+        val total = exact.count()
+        Seq(("no_false_positives", falsePos == 0L),
+          ("recall_ge_0.8", total == 0L || hits.toDouble / total >= 0.8))
+          .toDF("metric", "ok")
+      } finally { lsh.unpersist(); exact.unpersist() }
+    }, Some("""SELECT * FROM (VALUES ('no_false_positives', true), ('recall_ge_0.8', true)
+              |) AS t(metric, ok)""".stripMargin)),
+
+    // Prebuilt (persistable) LSH index: the store-frame roundtrip must probe
+    // identically to the per-call Ann.lshTopK path — same planes, same
+    // candidates, same rerank.
+    ("x7b_ann_index", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val direct = Ann.lshTopK(e, qs, k = 10, numTables = 16, numPlanes = 4, dim = 64)
+      val ix = graft.ext.LshIndex.fromStoreFrame(
+        graft.ext.LshIndex.build(e, numTables = 16, numPlanes = 4, dim = 64).toStoreFrame).get
+      val via = ix.topK(e, qs, k = 10)
+      val sym = via.unionByName(direct).distinct().count()
+      val eq = sym == direct.count() && via.count() == direct.count()
+      Seq(("prebuilt_equals_percall", eq)).toDF("metric", "ok")
+    }, Some("SELECT 'prebuilt_equals_percall' AS metric, true AS ok")),
 
     ("x6_ann_exact", (s: SparkSession, sfDir: String) => {
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")

@@ -1,6 +1,7 @@
 package graft.api
 
 import graft.exec._
+import graft.ext.{Ann, LshIndex}
 import graft.index.{PostingsIndex, Stores}
 import graft.model._
 import graft.parse.QueryParser
@@ -43,6 +44,7 @@ final class Collection private (
   private val docsDir = Stores.docsDir(root)
   private val postingsDir = Stores.postingsDir(root)
   private val statsDir = Stores.collStatsDir(root)
+  private val annDir = Stores.annDir(root)
 
   /** This collection's documents (partition-pruned read). */
   def docs(): DataFrame = Stores.readPartition(spark, docsDir, name, Stores.docsSchema)
@@ -237,7 +239,48 @@ final class Collection private (
     Stores.dropPartition(spark, docsDir, name)
     Stores.dropPartition(spark, postingsDir, name)
     Stores.dropPartition(spark, statsDir, name)
+    Stores.dropPartition(spark, annDir, name)
   }
+
+  // -------------------------------------------------------------------------
+  // Persisted vector index (the pgvector-analog decision, core.py:319-321:
+  // the reference leans on the database's vector index; here the index is a
+  // first-class partition of the store, built once and maintained as a delta
+  // alongside postings)
+  // -------------------------------------------------------------------------
+
+  /** Build (or rebuild) this collection's LSH vector index over the docs'
+    * embedding column and persist it. Docs without embeddings are simply
+    * absent from the index. Subsequent `add`/`update`/`delete` maintain it
+    * incrementally; `vectorTopK` probes it without touching the corpus scan.
+    */
+  def createVectorIndex(numTables: Int = 16, numPlanes: Int = 4,
+                        dim: Int = 64, seed: Long = 42L): Unit = {
+    val ix = LshIndex.build(docs(), "id", "embedding", numTables, numPlanes, dim, seed)
+    Stores.overwritePartition(spark, annDir, name, ix.toStoreFrame,
+      sortBy = Seq("table", "bucket"))
+  }
+
+  /** The persisted vector index, if one was built (and the collection has
+    * had embedded docs since).
+    */
+  def vectorIndex(): Option[LshIndex] =
+    if (!Stores.partitionExists(spark, annDir, name)) None
+    else LshIndex.fromStoreFrame(
+      Stores.readPartition(spark, annDir, name, Stores.annSchema))
+
+  /** Approximate top-k neighbors of each query vector via the PERSISTED
+    * index — probe cost is the probed buckets' row groups plus the candidate
+    * rerank, independent of corpus size. Output (qid, rn, id, sim), like
+    * [[graft.ext.Ann.lshTopK]] (which rebuilds the index per call; use that
+    * only for one-shot probes).
+    */
+  def vectorTopK(queries: Seq[(String, Seq[Float])], k: Int): DataFrame =
+    vectorIndex() match {
+      case Some(ix) => ix.topK(docs(), queries, k)
+      case None => throw new IllegalStateException(
+        s"Collection '$name' has no vector index. Call createVectorIndex() first.")
+    }
 
   /** Rebuild this collection's postings + stats. Delta when `touched` is
     * given (a single-column `id` frame): untouched docs keep their postings
@@ -265,6 +308,36 @@ final class Collection private (
       Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))
     }
     Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs()))
+    refreshVectorIndex(touched)
+  }
+
+  /** Delta-maintain the persisted vector index, if one exists: untouched
+    * docs keep their bucket rows (anti-join), touched ids re-bucket with the
+    * stored plane parameters — same shape as the postings delta. A
+    * collection emptied of embedded docs loses its params row and the index
+    * is dropped (rebuild with `createVectorIndex` after re-adding).
+    */
+  private def refreshVectorIndex(touched: Option[DataFrame]): Unit = {
+    if (!Stores.partitionExists(spark, annDir, name)) return
+    LshIndex.fromStoreFrame(
+      Stores.readPartition(spark, annDir, name, Stores.annSchema)) match {
+      case Some(ix) =>
+        val current = docs()
+        val fresh = touched match {
+          case Some(idsDf) =>
+            val kept = ix.buckets.join(idsDf, Seq("id"), "left_anti")
+            val added = Ann.lshTables(
+              current.join(idsDf, Seq("id"), "left_semi").filter($"embedding".isNotNull),
+              "id", "embedding", ix.numTables, ix.numPlanes, ix.dim, ix.seed)
+            ix.copy(buckets = kept.unionByName(added))
+          case None =>
+            LshIndex.build(current, "id", "embedding",
+              ix.numTables, ix.numPlanes, ix.dim, ix.seed)
+        }
+        Stores.overwritePartition(spark, annDir, name, fresh.toStoreFrame,
+          sortBy = Seq("table", "bucket"))
+      case None => Stores.dropPartition(spark, annDir, name)
+    }
   }
 
   // -------------------------------------------------------------------------

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines
@@ -9,9 +10,34 @@ import org.apache.spark.sql.functions._
   * tokenizer, src/sifts/core.py:461, is the shared substrate).
   *
   * Every operator is candidate-generation-then-verify: candidates come from
-  * an equality join on a bucket key (exact hash / LSH band / shared shingle /
-  * SimHash chunk), NEVER from an all-pairs comparison — the only O(N²) work
-  * is inside a bucket. That is the 100 TB design constraint.
+  * an equality join on a bucket key (exact hash / LSH band / prefix shingle /
+  * SimHash chunk), NEVER from an all-pairs comparison. Three further
+  * properties keep the near-dup operators alive on real crawl corpora, whose
+  * duplicate clusters are large enough that even bucket-local O(m²) work
+  * explodes (a 200-copy cluster is 19 900 pairs per shared bucket):
+  *
+  *  1. '''Exact-duplicate collapse.''' Identical contents are collapsed to a
+  *     min-id representative BEFORE candidate generation and the verified
+  *     representative pairs are expanded back afterwards — byte-identical
+  *     copies (the dominant duplicate mode in crawls) never multiply the
+  *     candidate join. The expansion reproduces the exact pair set, so
+  *     collapse is invisible to correctness.
+  *  2. '''In-bucket verification.''' The verification payload (a compact
+  *     hashed+sorted shingle set, 8 bytes/element) travels WITH the banded
+  *     rows, and the similarity predicate is applied in the bucket join's
+  *     output — no materialized candidate list, no `distinct` over O(pairs)
+  *     rows, and no re-join of two full payloads per candidate pair. The
+  *     shuffle is O(docs × bands × payload), not O(candidate pairs × payload):
+  *     at 1M docs × 32 bands × ~1 KB that is ~30 GB where the re-join
+  *     architecture spilled >250 GB and died.
+  *  3. '''Bucket caps.''' A bucket with more than `maxBucket` members
+  *     degrades to star edges against its min-id member — O(m) instead of
+  *     O(m²). Star pairs still verify against the real payloads, and they
+  *     preserve bucket connectivity, so [[dupClusters]] reconstructs the
+  *     mega-cluster; what is lost is exhaustive pair ENUMERATION inside
+  *     oversized buckets (inherently quadratic output). Use
+  *     [[lshBucketStats]] / [[ngramBucketStats]] to measure the skipped
+  *     mass, and raise `maxBucket` if exhaustive pairs are required.
   */
 object Dedup {
 
@@ -55,126 +81,260 @@ object Dedup {
     docs.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
   // -------------------------------------------------------------------------
+  // Exact-duplicate collapse (shared by the near-dup detectors)
+  // -------------------------------------------------------------------------
+
+  /** (rep, id) membership mapping: rep = min id among docs with identical
+    * content. One skinny shuffle — only (id, content hash) crosses the wire.
+    */
+  private def exactMembers(docs: DataFrame, idCol: String,
+                           contentCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), sha2(col(contentCol), 256).as("__h"))
+      .withColumn("rep", min(col("id")).over(Window.partitionBy(col("__h"))))
+      .select(col("rep"), col("id"))
+
+  /** The representative docs frame (id, content): one doc per distinct
+    * content, the min-id member of its group.
+    */
+  private def repDocs(docs: DataFrame, members: DataFrame, idCol: String,
+                      contentCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), col(contentCol).as("content"))
+      .join(members.filter(col("id") === col("rep")).select("id"), Seq("id"), "left_semi")
+
+  /** Expands verified representative-level pairs back over the exact-dup
+    * groups: every (member of rep_a, member of rep_b) inherits the pair's
+    * score (contents are identical so the score is identical), and every
+    * intra-group pair qualifies with `selfScores`' value for its rep (the
+    * score of a doc against its own copy) when that passes the caller's
+    * filter. Output pair count equals the true pair count — quadratic only
+    * where the real answer is quadratic.
+    */
+  private def expandExact(repPairs: DataFrame, members: DataFrame,
+                          selfQualifying: DataFrame, scoreCol: String): DataFrame = {
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("id").as("__ma")), "id_a")
+      .join(members.select(col("rep").as("id_b"), col("id").as("__mb")), "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col(scoreCol))
+    val intra = members.as("a")
+      .join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.id") < col("b.id"))
+      .select(col("a.rep").as("rep"), col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .join(selfQualifying, "rep")
+      .select(col("id_a"), col("id_b"), col(scoreCol))
+    cross.unionByName(intra)
+  }
+
+  // -------------------------------------------------------------------------
+  // Capped in-bucket pair join (shared by the near-dup detectors)
+  // -------------------------------------------------------------------------
+
+  /** Intra-bucket pair frame with verification payloads: for a frame of
+    * (keys…, id, payloads…) rows, returns (id_a, id_b, payload_a…,
+    * payload_b…) for every unordered in-bucket pair — except that buckets
+    * with more than `maxBucket` members contribute only their star edges
+    * (min-id member × everyone else), bounding per-bucket work at O(m).
+    * One shuffle on the bucket keys; the window's count/min and both join
+    * sides reuse that partitioning.
+    */
+  private def bucketJoin(bucketed: DataFrame, keys: Seq[String],
+                         payloads: Seq[String], maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, "maxBucket >= 1")
+    val w = Window.partitionBy(keys.map(col): _*)
+    val sized = bucketed
+      .withColumn("__sz", count(lit(1)).over(w))
+      .withColumn("__mn", min(col("id")).over(w))
+    val keyEq = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    def sides(df: DataFrame, other: DataFrame, cond: org.apache.spark.sql.Column) =
+      df.as("a").join(other.as("b"), cond)
+        .select((Seq("id") ++ payloads).map(c => col(s"a.$c").as(s"${c}_a")) ++
+          (Seq("id") ++ payloads).map(c => col(s"b.$c").as(s"${c}_b")): _*)
+    val small = sized.filter(col("__sz") <= maxBucket)
+    val smallPairs = sides(small, small, keyEq && col("a.id") < col("b.id"))
+    val big = sized.filter(col("__sz") > maxBucket)
+    val bigPairs = sides(big.filter(col("id") === col("__mn")),
+      big.filter(col("id") =!= col("__mn")), keyEq)
+    smallPairs.unionByName(bigPairs)
+  }
+
+  /** One-row diagnostics for a capped bucket join: total buckets, buckets
+    * over the cap, member rows inside them, and the all-pairs candidates the
+    * cap avoided (pairs beyond the star edges). Report this next to any
+    * capped dedup run — a silent cap reads as full coverage.
+    */
+  private def bucketStatsOf(bucketed: DataFrame, keys: Seq[String],
+                            maxBucket: Int): DataFrame =
+    bucketed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("buckets"),
+        sum(when(col("sz") > maxBucket, 1L).otherwise(0L)).as("oversized_buckets"),
+        sum(when(col("sz") > maxBucket, col("sz")).otherwise(0L)).as("oversized_members"),
+        sum(when(col("sz") > maxBucket,
+          (col("sz") * (col("sz") - 1) / 2 - (col("sz") - 1)).cast("long")).otherwise(0L))
+          .as("pairs_skipped"))
+
+  // -------------------------------------------------------------------------
   // MinHash + LSH near-duplicates
   // -------------------------------------------------------------------------
 
-  /** (id, shingles, sig) for every doc: word `n`-gram shingles and a
-    * `bands*rowsPerBand`-perm MinHash signature. Pure scan, zero shuffle.
+  /** (id, shh, sig): hashed+sorted shingle set (verification payload) and
+    * `bands*rowsPerBand`-perm MinHash signature per doc. Pure scan, zero
+    * shuffle; the element hashes are computed once and feed both columns.
     */
-  private def signatures(docs: DataFrame, idCol: String, contentCol: String,
-                         n: Int, numHashes: Int): DataFrame =
-    docs.select(
-      col(idCol).as("id"),
-      TextFunctions.shingles(TextFunctions.tokens(col(contentCol)), n).as("sh"))
-      .withColumn("sig", HashFunctions.minHashSignature(col("sh"), numHashes))
+  private def minHashPrep(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
+    docs.select(col("id"),
+        HashFunctions.hashedSet(
+          TextFunctions.shingles(TextFunctions.tokens(col("content")), n)).as("shh"))
+      .withColumn("sig", HashFunctions.minHashSignatureHashed(col("shh"), numHashes))
 
-  /** LSH candidate pairs (id_a < id_b, distinct): docs agreeing on ALL
-    * `rowsPerBand` signature rows of at least one band. One shuffle on
-    * (band index, band hash); bucket-local self-join.
+  /** (id, shh, band, bh): one row per (doc, band) with the band hash and the
+    * verification payload alongside.
     */
-  private def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  private def minHashBanded(prep: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandHashes = transform(
       sequence(lit(0), lit(bands - 1)),
       j => xxhash64(concat_ws(",", slice(col("sig"), j * rowsPerBand + 1, lit(rowsPerBand))), j))
-    val banded = sigs
-      .select(col("id"), posexplode(bandHashes).as(Seq("band", "bh")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    prep.select(col("id"), col("shh"), posexplode(bandHashes).as(Seq("band", "bh")))
   }
 
   /** Near-duplicate pairs by word-shingle Jaccard ≥ `threshold`, found with
-    * MinHash LSH and VERIFIED with the exact Jaccard (no false positives;
-    * recall governed by the band shape: P[miss] = (1 − t^r)^b — for the
-    * default 32×4 at t=0.8 that is < 1e-7).
+    * MinHash LSH and VERIFIED with the exact Jaccard over the hashed shingle
+    * sets (no false positives; candidate recall governed by the band shape:
+    * P[miss] = (1 − t^r)^b — < 1e-7 for the default 32×4 at t=0.8). Exact
+    * duplicates are collapsed before LSH and expanded after verification;
+    * buckets over `maxBucket` degrade to star edges (see the object doc).
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b.
     */
   def minHashDupPairs(docs: DataFrame, idCol: String = "id",
                       contentCol: String = "content", n: Int = 3,
                       bands: Int = 32, rowsPerBand: Int = 4,
-                      threshold: Double = 0.8): DataFrame = {
-    val sigs = signatures(docs, idCol, contentCol, n, bands * rowsPerBand)
-    val candidates = lshCandidates(sigs.select("id", "sig"), bands, rowsPerBand)
-    // Verification recomputes shingles only (cheap scan) — keeping `sig` out
-    // of these branches keeps the 128-perm signature expression in exactly
-    // one subtree (the banded self-join, whose identical shuffle sides
-    // collapse into a ReusedExchange).
-    val sh = docs.select(
-      col(idCol).as("id"),
-      TextFunctions.shingles(TextFunctions.tokens(col(contentCol)), n).as("sh"))
-    verifyJaccard(candidates, sh, threshold)
+                      threshold: Double = 0.8,
+                      maxBucket: Int = 256): DataFrame = {
+    val members = exactMembers(docs, idCol, contentCol)
+    val prep = minHashPrep(repDocs(docs, members, idCol, contentCol), n, bands * rowsPerBand)
+    val banded = minHashBanded(prep, bands, rowsPerBand)
+    val repPairs = bucketJoin(banded, Seq("band", "bh"), Seq("shh"), maxBucket)
+      .withColumn("jaccard", HashFunctions.sortedJaccard(col("shh_a"), col("shh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .distinct()
+    val selfQ = prep
+      .select(col("id").as("rep"), HashFunctions.sortedJaccard(col("shh"), col("shh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    expandExact(repPairs, members, selfQ, "jaccard")
+  }
+
+  /** Bucket diagnostics for [[minHashDupPairs]]' LSH banding at the given
+    * parameters (over the collapsed representative docs, like the operator).
+    */
+  def lshBucketStats(docs: DataFrame, idCol: String = "id",
+                     contentCol: String = "content", n: Int = 3,
+                     bands: Int = 32, rowsPerBand: Int = 4,
+                     maxBucket: Int = 256): DataFrame = {
+    val members = exactMembers(docs, idCol, contentCol)
+    val prep = minHashPrep(repDocs(docs, members, idCol, contentCol), n, bands * rowsPerBand)
+    bucketStatsOf(minHashBanded(prep, bands, rowsPerBand), Seq("band", "bh"), maxBucket)
   }
 
   // -------------------------------------------------------------------------
-  // Exact n-gram Jaccard (no LSH — inverted-index candidates)
+  // Exact n-gram Jaccard (no LSH — prefix-filter candidates)
   // -------------------------------------------------------------------------
 
   /** EXACT near-duplicate pairs by word-shingle Jaccard ≥ `threshold`,
     * via PREFIX FILTERING (the PPJoin-family set-similarity join):
     *
-    * Order every doc's shingles by ascending global document frequency; a
-    * pair with Jaccard ≥ t MUST share a shingle inside each doc's first
-    * ⌊(1−t)·|A|⌋+1 shingles of that ordering (if the prefixes were disjoint,
+    * Order every doc's hashed shingles ascending (a global total order); a
+    * pair with Jaccard ≥ t MUST share an element inside each doc's first
+    * ⌊(1−t)·|A|⌋+1 elements of that ordering (if the prefixes were disjoint,
     * the overlap is bounded below t·|A∪B|). Candidates therefore come only
-    * from the RAREST ~(1−t) fraction of each doc's shingles — hot shingles
-    * never generate pairs — and are verified with the full exact Jaccard.
-    * Recall stays 1 by the prefix-filter theorem; the naive shared-ANY-
-    * shingle join (f² rows for a shingle in f docs) is what this replaces.
+    * from a ~(1−t) fraction of each doc's shingles, and are verified with the
+    * exact Jaccard over the full hashed sets, in-bucket. Recall is 1 by the
+    * prefix-filter theorem — EXCEPT inside buckets over `maxBucket`, which
+    * degrade to star edges (see the object doc; this operator's prefix
+    * buckets are the ones that explode on crawl corpora, where near-copies'
+    * smallest-hash shingles coincide). `dfOrdered = true` orders by global
+    * document frequency instead (rarest-first, the PPJoin choice): fewest
+    * candidates, at the cost of a document-frequency join + per-doc window.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "id",
                         contentCol: String = "content", n: Int = 3,
                         threshold: Double = 0.8,
-                        dfOrdered: Boolean = false): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("id"),
-      TextFunctions.shingles(TextFunctions.tokens(col(contentCol)), n).as("sh"))
+                        dfOrdered: Boolean = false,
+                        maxBucket: Int = 256): DataFrame = {
+    val members = exactMembers(docs, idCol, contentCol)
+    val sh = repDocs(docs, members, idCol, contentCol).select(
+      col("id"),
+      TextFunctions.shingles(TextFunctions.tokens(col("content")), n).as("sh"))
+    val withH = sh.select(col("id"), col("sh"), HashFunctions.hashedSet(col("sh")).as("shh"))
     // Prefix length floor((1-t)*sz) + 1, with an epsilon: (1.0 - t) is not
     // exact in binary and floor((1-t)*sz) can land one BELOW the true value
     // exactly when (1-t)*sz is integral — a one-short prefix silently drops
     // qualifying pairs (observed: 255 vs 256 pairs at t=0.8).
-    val prefLen = (floor((lit(1.0) - threshold) * size(col("sh")) + lit(1e-9)) + 1).cast("int")
+    val prefLen = (floor((lit(1.0) - threshold) * size(col("shh")) + lit(1e-9)) + 1).cast("int")
     val prefix =
       if (dfOrdered) {
-        // rarest-first global order: fewest candidates (the PPJoin choice),
-        // at the cost of a document-frequency join + per-doc window.
-        val inv = sh.select(col("id"), explode(col("sh")).as("g"))
+        // rarest-first global order over the hashed elements
+        val inv = withH.select(col("id"), explode(col("shh")).as("g"))
         val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
         inv.join(dfreq, "g")
           .withColumn("pos", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("id")).orderBy(col("df"), col("g"))))
-          .join(sh.select(col("id"), prefLen.as("p")), "id")
+            Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
+          .join(withH.select(col("id"), prefLen.as("p")), "id")
           .filter(col("pos") <= col("p"))
           .select(col("id"), col("g"))
+          .join(withH.select(col("id"), col("shh")), "id")
       } else {
-        // hash global order: the prefix is computed INSIDE the row (native
-        // HashPrefix expression) — zero shuffles before the candidate join.
-        // Any global total order preserves the theorem.
-        sh.select(col("id"),
-          explode(HashFunctions.hashPrefix(col("sh"), threshold)).as("g"))
+        // hash order: shh is already sorted ascending, so the prefix is just
+        // its first prefLen elements — zero shuffles before the bucket join.
+        withH.select(col("id"), col("shh"),
+          explode(slice(col("shh"), lit(1), prefLen)).as("g"))
       }
-    val candidates = prefix.as("a")
-      .join(prefix.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    verifyJaccard(candidates, sh, threshold)
-  }
-
-  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
-    * (id, sh) shingle frame.
-    */
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
-                            threshold: Double): DataFrame =
-    candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
+    val repPairs = bucketJoin(prefix.select("g", "id", "shh"), Seq("g"), Seq("shh"), maxBucket)
+      .withColumn("jaccard", HashFunctions.sortedJaccard(col("shh_a"), col("shh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .distinct()
+    val selfQ = withH
+      .select(col("id").as("rep"), HashFunctions.sortedJaccard(col("shh"), col("shh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    expandExact(repPairs, members, selfQ, "jaccard")
+  }
+
+  /** Bucket diagnostics for [[ngramJaccardPairs]]' hash-ordered prefix join
+    * at the given parameters (over the collapsed representative docs).
+    */
+  def ngramBucketStats(docs: DataFrame, idCol: String = "id",
+                       contentCol: String = "content", n: Int = 3,
+                       threshold: Double = 0.8,
+                       maxBucket: Int = 256): DataFrame = {
+    val members = exactMembers(docs, idCol, contentCol)
+    val shh = repDocs(docs, members, idCol, contentCol).select(
+      col("id"),
+      HashFunctions.hashedSet(
+        TextFunctions.shingles(TextFunctions.tokens(col("content")), n)).as("shh"))
+    val prefLen = (floor((lit(1.0) - threshold) * size(col("shh")) + lit(1e-9)) + 1).cast("int")
+    val prefix = shh.select(col("id"), explode(slice(col("shh"), lit(1), prefLen)).as("g"))
+    bucketStatsOf(prefix, Seq("g"), maxBucket)
+  }
+
+  /** Exact-Jaccard verification of an externally-produced candidate pair
+    * frame (id_a, id_b) against the docs — for callers composing their own
+    * candidate generation. Joins the hashed shingle sets per side; prefer the
+    * in-bucket operators above when candidates ≫ docs.
+    */
+  def verifyJaccardPairs(candidates: DataFrame, docs: DataFrame,
+                         idCol: String = "id", contentCol: String = "content",
+                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val shh = docs.select(col(idCol).as("id"),
+      HashFunctions.hashedSet(
+        TextFunctions.shingles(TextFunctions.tokens(col(contentCol)), n)).as("shh"))
+    candidates
+      .join(shh.select(col("id").as("id_a"), col("shh").as("shh_a")), "id_a")
+      .join(shh.select(col("id").as("id_b"), col("shh").as("shh_b")), "id_b")
+      .withColumn("jaccard", HashFunctions.sortedJaccard(col("shh_a"), col("shh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 
   // -------------------------------------------------------------------------
   // Duplicate clustering
@@ -182,38 +342,67 @@ object Dedup {
 
   /** Connected components over a near-duplicate pair graph: (id, cluster)
     * where cluster = the smallest id reachable from `id` (only ids that
-    * appear in a pair are returned). Iterative min-label propagation over
-    * DataFrames — each round joins the current labels across the edge list
-    * and keeps the smaller label, until a fixpoint; rounds needed =
-    * O(graph diameter), which for near-dup graphs is tiny. Strictly
-    * cluster-minimal, unlike the greedy `dropNearDups`.
+    * appear in a pair are returned). Alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): each round re-points edges at the minimum of a
+    * node's neighborhood, which contracts any component to a star around its
+    * min id in O(log n) rounds REGARDLESS of diameter — min-label
+    * propagation (the previous implementation) needs O(diameter) rounds and
+    * silently mislabels long drift chains when capped. Both star steps are
+    * window-min + filter over the edge frame: no per-node neighbor list is
+    * ever materialized, so a mega-component cannot blow a task. Throws if
+    * `maxIter` rounds don't reach the fixpoint. Strictly cluster-minimal,
+    * unlike the greedy `dropNearDups`.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def dupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // canonical undirected edges as (s, l) with s < l
+    var edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("s"),
+        greatest(col("id_a"), col("id_b")).as("l"))
+      .filter(col("s") =!= col("l"))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .persist()
-    var changed = 1L
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // candidate label for dst = min over neighbors' labels (and own)
-      val viaEdges = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("cluster"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: from each node u's closed neighborhood (both edge
+      // orientations), re-point every strictly-larger neighbor v at
+      // m = min(N(u) ∪ {u}). Each undirected edge is emitted exactly once,
+      // from its smaller endpoint's group, so |edges| never grows.
+      val both = edges.select(col("s").as("u"), col("l").as("v"))
+        .unionByName(edges.select(col("l").as("u"), col("s").as("v")))
+      val large = both
+        .withColumn("m", least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("s"), col("v").as("l"))
+        .filter(col("s") =!= col("l"))
+        .distinct()
+      // SMALL-STAR: edges now point child l -> parent s (s < l). For each l,
+      // re-point its parents (and l itself) at m = min(parents).
+      val withMin = large
+        .withColumn("m", min(col("s")).over(Window.partitionBy(col("l"))))
+      val small = withMin.filter(col("s") =!= col("m"))
+        .select(col("m").as("s"), col("s").as("l"))
+        .unionByName(withMin.select(col("m").as("s"), col("l")))
+        .filter(col("s") =!= col("l"))
+        .distinct()
         .persist()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      // fixpoint = the canonical edge set stopped changing
+      converged = small.join(edges, Seq("s", "l"), "left_anti").isEmpty &&
+        edges.join(small, Seq("s", "l"), "left_anti").isEmpty
+      edges.unpersist()
+      edges = small
       iter += 1
     }
-    edges.unpersist()
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter star rounds; " +
+          "raise maxIter (components need ~log2(n) rounds)")
+    // at the fixpoint every component is a star rooted at its min id; the
+    // final round's persist stays live — the returned frame reads it (and
+    // the iterative lineage beneath is already materialized)
+    edges.select(col("l").as("id"), col("s").as("cluster"))
+      .unionByName(edges.select(col("s").as("id"), col("s").as("cluster")).distinct())
   }
 
   // -------------------------------------------------------------------------
@@ -231,16 +420,21 @@ object Dedup {
   /** Near-duplicate pairs with Hamming distance ≤ `maxHamming` between
     * 64-bit SimHashes. Banding on `maxHamming+1` equal-width bit chunks —
     * by pigeonhole two hashes within the distance bound agree on ≥1 chunk,
-    * so candidate recall is EXACT (1.0); verification filters on the true
-    * Hamming distance. One shuffle on (chunk index, chunk value).
+    * so candidate recall is EXACT (1.0) up to the bucket cap; verification
+    * filters on the true Hamming distance inside the chunk join. Exact
+    * duplicates are collapsed first (identical content → identical SimHash →
+    * distance 0, always a pair) and expanded after. One shuffle on
+    * (chunk index, chunk value).
     */
   def simHashDupPairs(docs: DataFrame, idCol: String = "id",
                       contentCol: String = "content",
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxBucket: Int = 256): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
     val chunks = maxHamming + 1
     val width = 64 / chunks // trailing bits join the last chunk
-    val hashes = simHashes(docs, idCol, contentCol)
+    val members = exactMembers(docs, idCol, contentCol)
+    val hashes = simHashes(repDocs(docs, members, idCol, contentCol))
     val chunkCols = array((0 until chunks).map { c =>
       val shifted = shiftright(col("simhash"), c * width)
       if (c == chunks - 1) shifted // top chunk keeps all remaining bits
@@ -248,14 +442,14 @@ object Dedup {
     }: _*)
     val banded = hashes.select(col("id"), col("simhash"),
       posexplode(chunkCols).as(Seq("chunk", "cv")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .distinct()
+    val repPairs = bucketJoin(banded, Seq("chunk", "cv"), Seq("simhash"), maxBucket)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
+    // identical content -> identical SimHash -> hamming 0, always qualifies
+    val selfQ = members.select(col("rep")).distinct().withColumn("hamming", lit(0L))
+    expandExact(repPairs, members, selfQ, "hamming")
   }
 
   // -------------------------------------------------------------------------
@@ -265,36 +459,39 @@ object Dedup {
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`.
     *
     * Candidates come from random-hyperplane LSH buckets ([[Ann.lshTables]]):
-    * only vectors sharing a bucket in ≥1 table are compared, then verified
-    * with the exact codegen'd cosine. With `numTables` tables of `numPlanes`
-    * hyperplanes, P[miss] = (1 − (1 − θ/π)^numPlanes)^numTables for angle θ.
-    * Set `numTables = 0` for the exact all-pairs variant (correctness
-    * baseline / small dimensions only).
+    * only vectors sharing a bucket in ≥1 table are compared — the embedding
+    * travels with its bucket rows and the exact codegen'd cosine is applied
+    * in the bucket join, never on a materialized candidate list. With
+    * `numTables` tables of `numPlanes` hyperplanes, P[miss] =
+    * (1 − (1 − θ/π)^numPlanes)^numTables for angle θ. Buckets over
+    * `maxBucket` degrade to star edges (see the object doc). Set
+    * `numTables = 0` for the exact all-pairs variant (correctness baseline /
+    * small dimensions only).
     */
   def embeddingDupPairs(df: DataFrame, idCol: String = "id",
                         embCol: String = "embedding", threshold: Double = 0.9,
                         numTables: Int = 8, numPlanes: Int = 12,
-                        dim: Int = 64, seed: Long = 42L): DataFrame = {
+                        dim: Int = 64, seed: Long = 42L,
+                        maxBucket: Int = 4096): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
       .filter(col("emb").isNotNull)
-    val candidates =
-      if (numTables <= 0)
-        base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      else {
-        val buckets = Ann.lshTables(base, "id", "emb", numTables, numPlanes, dim, seed)
-        buckets.as("a")
-          .join(buckets.as("b"),
-            col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
-              col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .distinct()
-      }
-    candidates
-      .join(base.select(col("id").as("id_a"), col("emb").as("emb_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("emb").as("emb_b")), "id_b")
-      .withColumn("cos", VectorFunctions.cosine(col("emb_a"), col("emb_b")))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+    if (numTables <= 0)
+      base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          VectorFunctions.cosine(col("a.emb"), col("b.emb")).as("cos"))
+        .filter(col("cos") >= threshold)
+    else {
+      val buckets = df.select(col(idCol).as("id"),
+          col(embCol).as("emb"),
+          posexplode(Ann.lshBucketCol(col(embCol), numTables, numPlanes, dim, seed))
+            .as(Seq("table", "bucket")))
+        .filter(col("emb").isNotNull)
+      bucketJoin(buckets.select("table", "bucket", "id", "emb"),
+        Seq("table", "bucket"), Seq("emb"), maxBucket)
+        .select(col("id_a"), col("id_b"),
+          VectorFunctions.cosine(col("emb_a"), col("emb_b")).as("cos"))
+        .filter(col("cos") >= threshold)
+        .distinct()
+    }
   }
 }

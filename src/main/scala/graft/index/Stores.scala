@@ -40,12 +40,33 @@ object Stores {
     StructField("avg_dl", DoubleType, nullable = false)
   ))
 
+  /** annindex: one row per (doc, LSH table) with the doc's bucket in that
+    * table; the generating plane parameters ride along as constant columns
+    * (parquet RLE-encodes them to nothing) so the index is self-describing.
+    * Stored range-clustered + sorted by (table, bucket) — probe predicates
+    * are literal (table, bucket) filters that prune row groups.
+    */
+  val annSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("table", IntegerType, nullable = false),
+    StructField("bucket", LongType, nullable = false),
+    StructField("num_tables", IntegerType, nullable = false),
+    StructField("num_planes", IntegerType, nullable = false),
+    StructField("dim", IntegerType, nullable = false),
+    StructField("seed", LongType, nullable = false)
+  ))
+
   def docsDir(root: String) = s"$root/docs"
   def postingsDir(root: String) = s"$root/postings"
   def collStatsDir(root: String) = s"$root/collstats"
+  def annDir(root: String) = s"$root/annindex"
 
   private def partDir(storeDir: String, collection: String): String =
     s"$storeDir/collection=${java.net.URLEncoder.encode(collection, "UTF-8")}"
+
+  /** Whether one collection's partition of a store exists on disk. */
+  def partitionExists(spark: SparkSession, storeDir: String, collection: String): Boolean =
+    exists(spark, partDir(storeDir, collection))
 
   /** Read one collection's partition of a store; empty (with schema) if absent. */
   def readPartition(spark: SparkSession, storeDir: String, collection: String,

@@ -8,7 +8,14 @@ import org.apache.spark.sql.functions._
 /** Scale probe: replicate the sf0.1 corpus ~200x (1M docs, distinct ids,
   * copy-perturbed content) and 50x (100k vectors), run the heavy operators,
   * and report wall times — evidence that the plans stay shuffle-bound with
-  * no driver-side cliffs as data grows. Run:
+  * no driver-side cliffs as data grows. The near-dup section is the
+  * adversarial case that killed the round-2 architecture (every doc sits in
+  * a 200-copy near-dup cluster at jaccard ≈ 0.6, so LSH candidate volume is
+  * O(copies²) per base doc): it now completes via in-bucket verification +
+  * bucket caps (see [[graft.ext.Dedup]]), and this probe records the bucket
+  * skew diagnostics alongside the timings.
+  *
+  * Writes one JSON object to BENCH_scale.json in the cwd. Run:
   * `sbt "runMain graft.tools.ProbeScale [copies]"`.
   */
 object ProbeScale {
@@ -22,9 +29,13 @@ object ProbeScale {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    val metrics = scala.collection.mutable.LinkedHashMap[String, Any]()
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
-      println(f"PROBE $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE $label: $secs%.1f s")
+      metrics += (label -> math.round(secs * 10) / 10.0)
+      r
     }
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -32,6 +43,8 @@ object ProbeScale {
         map(lit("lang"), $"lang").as("metadata"))
     // copy-specific 30-token suffix: cross-copy jaccard drops below 0.8 so
     // the qualifying near-dup pair count stays ~25 * copies, not O(copies^2)
+    // — but the sub-threshold LSH CANDIDATE volume is still O(copies^2) per
+    // base doc, which is exactly the skew this probe exists to exercise.
     val suffix = concat_ws(" ", (1 to 30).map(k => concat(lit(s"cp"), $"copy", lit(s"x$k"))): _*)
     // the crossJoin of a broadcast range otherwise yields ~1 output
     // partition and serializes the whole ingest onto one core
@@ -42,18 +55,32 @@ object ProbeScale {
 
     val root = java.nio.file.Files.createTempDirectory("graft-scale-").toString
     val c = Collection(spark, root, "big")
-    val n = time(s"bulk ingest+index ${copies}x (~${5000L * copies} docs)")(
-      { c.addDf(docs); c.count() })
+    val n = time(s"ingest_index_sec")({ c.addDf(docs); c.count() })
     println(s"PROBE   docs = $n")
+    metrics += ("docs" -> n)
 
-    time("FTS AND query")(println(s"PROBE   hits = ${c.queryFrame("table scan").count()}"))
-    time("BM25 ranked query")(println(s"PROBE   hits = ${c.queryFrame("customer stream").count()}"))
-    time("metadata + FTS conj")(println(s"PROBE   hits = ${c.queryFrame("table", where = Map("lang" -> "en")).count()}"))
+    time("fts_and_sec")(println(s"PROBE   hits = ${c.queryFrame("table scan").count()}"))
+    time("bm25_sec")(println(s"PROBE   hits = ${c.queryFrame("customer stream").count()}"))
+    time("fts_meta_conj_sec")(println(s"PROBE   hits = ${c.queryFrame("table", where = Map("lang" -> "en")).count()}"))
 
     val bigDocs = c.docs()
-    time("minhash dedup @1M")(println(s"PROBE   pairs = ${Dedup.minHashDupPairs(bigDocs, threshold = 0.8).count()}"))
-    time("ngram prefix-join dedup @1M")(println(s"PROBE   pairs = ${Dedup.ngramJaccardPairs(bigDocs, threshold = 0.8).count()}"))
-    time("simhash dedup @1M")(println(s"PROBE   pairs = ${Dedup.simHashDupPairs(bigDocs, maxHamming = 3).count()}"))
+    def recordPairs(label: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val cnt = time(s"${label}_sec")(df.count())
+      println(s"PROBE   $label pairs = $cnt")
+      metrics += (s"${label}_pairs" -> cnt)
+    }
+    recordPairs("minhash_dedup", Dedup.minHashDupPairs(bigDocs, threshold = 0.8))
+    recordPairs("ngram_dedup", Dedup.ngramJaccardPairs(bigDocs, threshold = 0.8))
+    recordPairs("simhash_dedup", Dedup.simHashDupPairs(bigDocs, maxHamming = 3))
+
+    // Bucket skew diagnostics: how much all-pairs candidate mass the cap
+    // replaced with star edges (the round-2 disk filler, quantified).
+    val lshStats = time("lsh_bucket_stats_sec")(Dedup.lshBucketStats(bigDocs).head())
+    metrics += ("lsh_buckets" -> lshStats.getLong(0), "lsh_oversized" -> lshStats.getLong(1),
+      "lsh_oversized_members" -> lshStats.getLong(2), "lsh_pairs_skipped" -> lshStats.getLong(3))
+    val ngStats = time("ngram_bucket_stats_sec")(Dedup.ngramBucketStats(bigDocs).head())
+    metrics += ("ngram_buckets" -> ngStats.getLong(0), "ngram_oversized" -> ngStats.getLong(1),
+      "ngram_oversized_members" -> ngStats.getLong(2), "ngram_pairs_skipped" -> ngStats.getLong(3))
 
     val vbase = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id".cast("string").as("id"), $"embedding")
@@ -63,8 +90,17 @@ object ProbeScale {
     println(s"PROBE vectors = ${vecs.count()}")
     val qs = (0 until 5).map(i => i.toString ->
       vbase.filter($"id" === i.toString).select($"embedding").head().getSeq[Float](0).toSeq)
-    time("exact ANN top-10 x5 @100k")(Ann.exactTopK(vecs, qs, 10).count())
-    time("LSH ANN top-10 x5 @100k")(Ann.lshTopK(vecs, qs, 10, numTables = 16, numPlanes = 4, dim = 64).count())
+    time("ann_exact_sec")(Ann.exactTopK(vecs, qs, 10).count())
+    time("ann_lsh_sec")(Ann.lshTopK(vecs, qs, 10, numTables = 16, numPlanes = 4, dim = 64).count())
+
+    metrics += ("copies" -> copies)
+    val json = metrics.map {
+      case (k, v: String) => s""""$k":"$v""""
+      case (k, v) => s""""$k":$v"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_scale.json"),
+      json.getBytes("UTF-8"))
+    println(s"PROBE wrote BENCH_scale.json: $json")
     spark.stop()
   }
 }

@@ -258,6 +258,28 @@ class CollectionSpec extends AnyFunSuite {
     assert(math.abs(r.results.head.rank.get - 1.0 / 3) < 1e-6)
   }
 
+  test("persisted vector index: probe, delta maintenance, drop") {
+    import TestSpark.spark.implicits._
+    val c = coll(embedder = Some(DictEmbedder))
+    c.add(Seq("Lorem ipsum dolor", "sit amet"), ids = Some(Seq("a", "b")))
+    assert(c.vectorIndex().isEmpty)
+    intercept[IllegalStateException](c.vectorTopK(Seq("q" -> Seq(1f, 1f, 1f)), 1))
+    c.createVectorIndex(numTables = 8, numPlanes = 2, dim = 3)
+    val ix = c.vectorIndex().get
+    assert((ix.numTables, ix.numPlanes, ix.dim) === (8, 2, 3))
+    val top = c.vectorTopK(Seq("q" -> Seq(1f, 1f, 1f)), 1).collect()
+    assert(top.length === 1 && top.head.getString(2) === "a") // cosine 1.0 with itself
+    // add() delta-maintains the index: the new doc is probeable without rebuild
+    c.add(Seq("consectetur"), ids = Some(Seq("d")))
+    val ids = c.vectorIndex().get.buckets.select("id").as[String].collect().toSet
+    assert(ids === Set("a", "b", "d"))
+    // delete removes the doc's bucket rows
+    c.delete(Seq("a"))
+    assert(c.vectorIndex().get.buckets.select("id").as[String].collect().toSet === Set("b", "d"))
+    c.deleteAll()
+    assert(c.vectorIndex().isEmpty)
+  }
+
   test("fts and vector coexist") {
     val c = coll(embedder = Some(DictEmbedder))
     c.add(Seq("Lorem ipsum dolor", "sit amet"))

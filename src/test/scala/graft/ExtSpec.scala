@@ -51,6 +51,17 @@ class ExtSpec extends AnyFunSuite {
     assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
+  test("dupClusters: 10k-node chain converges in O(log n) star rounds") {
+    // a path graph is the worst case for label propagation (diameter = n);
+    // star contraction must finish well inside maxIter = 20 ≈ log2(10k) + slack
+    val n = 10000
+    val chain = (0 until n - 1)
+      .map(i => (f"n$i%05d", f"n${i + 1}%05d")).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(chain, maxIter = 20)
+    assert(got.count() === n)
+    assert(got.select("cluster").distinct().collect().map(_.getString(0)).toSeq === Seq("n00000"))
+  }
+
   test("ngramJaccardPairs matches brute-force jaccard exactly") {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.1)
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
@@ -113,6 +124,44 @@ class ExtSpec extends AnyFunSuite {
       numTables = 8, numPlanes = 4, dim = 4)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairs === Set(("v1", "v2")))
+  }
+
+  test("LshIndex: prebuilt probe equals per-call lshTopK; store-frame roundtrip") {
+    import graft.ext.LshIndex
+    val q = Seq("q" -> Seq(1f, 0f, 0f, 0f))
+    val direct = Ann.lshTopK(vecCorpus, q, k = 2, numTables = 8, numPlanes = 4, dim = 4)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSet
+    val ix = LshIndex.build(vecCorpus, numTables = 8, numPlanes = 4, dim = 4)
+    val viaIx = ix.topK(vecCorpus, q, k = 2)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSet
+    assert(viaIx === direct)
+    val rt = LshIndex.fromStoreFrame(ix.toStoreFrame).get
+    assert((rt.numTables, rt.numPlanes, rt.dim, rt.seed) === (8, 4, 4, 42L))
+    val viaRt = rt.topK(vecCorpus, q, k = 2)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSet
+    assert(viaRt === direct)
+    assert(LshIndex.fromStoreFrame(ix.toStoreFrame.limit(0)).isEmpty)
+  }
+
+  test("bucket cap: star edges keep connectivity; stats report the skipped mass") {
+    // six near-copies, pairwise jaccard 6/8 — every pair qualifies at t=0.5
+    val clones = (1 to 6).map(i =>
+      (s"c$i", s"alpha beta gamma delta epsilon zeta eta theta end$i"))
+      .toDF("id", "content")
+    val full = Dedup.minHashDupPairs(clones, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(full.size === 15) // C(6,2): uncapped enumerates every pair
+    val capped = Dedup.minHashDupPairs(clones, threshold = 0.5, maxBucket = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped.subsetOf(full) && capped.nonEmpty)
+    // star edges through the bucket min keep the cluster connected
+    val clusters = Dedup.dupClusters(capped.toSeq.toDF("id_a", "id_b"))
+      .collect().map(r => r.getString(1)).toSet
+    assert(clusters === Set("c1"))
+    val st = Dedup.lshBucketStats(clones, maxBucket = 2).head()
+    assert(st.getLong(1) > 0 && st.getLong(3) > 0) // oversized buckets, skipped pairs
+    val stFull = Dedup.lshBucketStats(clones, maxBucket = 256).head()
+    assert(stFull.getLong(1) === 0 && stFull.getLong(3) === 0)
   }
 
   test("TextStats.quality / tokenCounts / fingerprint / langId") {
