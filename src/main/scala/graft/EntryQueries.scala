@@ -2,7 +2,7 @@ package graft
 
 import graft.api.{Collection, Embedder}
 import graft.exec.Sorter
-import graft.ext.{Ann, ByteStatsDecoder, Dedup, Multimodal, TextStats}
+import graft.ext.{Ann, ByteStatsDecoder, Dedup, Ivf, Multimodal, TextStats}
 import graft.model.SortKey
 import graft.parse.QueryParser
 import graft.streaming.EventStreams
@@ -567,6 +567,31 @@ object EntryQueries {
               |          CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id ASC) AS BIGINT) AS rn
               |        FROM sc)
               |SELECT qid, rn, id, round(sim, 6) AS sim FROM rk WHERE rn <= 10""".stripMargin)),
+
+    // IVF recall gate: on this corpus's isotropic-random embeddings (the
+    // ANN worst case — no cluster structure to exploit; intra-label cosine
+    // ≈ inter ≈ 0) recall tracks the scanned fraction, so the gate pins the
+    // PLUMBING (train → assign → probe → rerank yields true neighbors at
+    // the expected rate), like x5b/x7. Measured: 0.84 @ sf0.01, 0.86 @
+    // sf0.1 with k=16, nprobe=10.
+    ("x6b_ann_ivf_recall", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val exact = Ann.exactTopK(e, qs, k = 10)
+      val ix = Ivf.build(e, k = 16, iters = 5, maxSample = 20000)
+      val approx = ix.topK(e, qs, k = 10, nprobe = 10)
+      val rec = Ann.recallAtK(exact, approx)
+      // store round-trip is part of the pinned surface: the persisted
+      // assignments + centroid frames must reconstruct an equivalent index
+      val rt = graft.ext.IvfIndex.fromStoreFrames(ix.toStoreFrame, ix.centroidsFrame)
+      val rtSame = rt.topK(e, qs, k = 10, nprobe = 10)
+        .select("qid", "rn", "id")
+        .exceptAll(approx.select("qid", "rn", "id")).isEmpty
+      Seq(("recall_at_10", rec >= 0.8), ("store_roundtrip", rtSame))
+        .toDF("metric", "ok")
+    }, Some("SELECT 'recall_at_10' AS metric, true AS ok UNION ALL SELECT 'store_roundtrip', true ORDER BY metric")),
 
     ("x7_ann_lsh_recall", (s: SparkSession, sfDir: String) => {
       import s.implicits._

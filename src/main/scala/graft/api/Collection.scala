@@ -161,22 +161,29 @@ final class Collection private (
     d = d.select($"id".cast("string"), $"content".cast("string"),
       $"metadata".cast("map<string,string>"), $"embedding".cast("array<float>"))
     val base = docs()
-    val wasEmpty = base.isEmpty
-    // The batch's ids drive both the upsert anti-join and the delta index
-    // refresh. Materialize them BEFORE the partition swap: refreshIndexes
-    // runs after the overwrite, and a lazy re-evaluation of the input frame
-    // there could race a source that overlaps this store.
-    val batchIds = d.select("id").distinct().persist()
-    batchIds.count()
+    // Partition-existence is the emptiness signal — a filesystem check, not
+    // a Spark job. (A present-but-empty partition takes the delta path,
+    // which degenerates correctly: anti-join over nothing + full build of
+    // the batch.)
+    val wasEmpty = !Stores.partitionExists(spark, docsDir, name)
+    // Materialize the deduped batch ONCE, before the partition swap: it
+    // feeds the merge union, the upsert anti-join (ids only — already
+    // unique after the last-wins window), and the delta index refresh.
+    // Without the persist the whole input subtree — embedding included —
+    // re-evaluates per consumer, and a lazy re-read there could race a
+    // source that overlaps this store.
+    val batch = d.persist()
+    batch.count()
+    val batchIds = batch.select("id")
     try {
-      val merged = base.join(batchIds, Seq("id"), "left_anti").unionByName(d)
+      val merged = base.join(batchIds, Seq("id"), "left_anti").unionByName(batch)
       Stores.overwritePartition(spark, docsDir, name, merged)
       // Delta refresh on the batch's ids (no driver-side collect, no
       // broadcast hint — the batch can be any size; AQE picks the join
       // strategy). Empty collection: the delta degenerates to the full build.
       if (wasEmpty) refreshIndexes(None)
       else refreshIndexes(Some(batchIds))
-    } finally batchIds.unpersist()
+    } finally batch.unpersist()
   }
 
   /** Continuous ingestion: each micro-batch of a streaming frame with
@@ -306,8 +313,21 @@ final class Collection private (
         case _ => PostingsIndex.build(current)
       }
       Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))
+      // Stats from the just-written index, not an O(collection) re-tokenize:
+      // dl is denormalized per (id, term) row, so per-doc dl is one
+      // map-side-combined pass over the postings store; zero-token docs
+      // (absent from postings) count via the left join with dl 0. One job,
+      // O(batch+index) for a delta refresh, no content column ever read.
+      val perDoc = postings().groupBy($"id").agg(max($"dl").as("dl"))
+      val statsDf = docs().select($"id").join(perDoc, Seq("id"), "left")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_docs"),
+          coalesce(avg(coalesce($"dl", lit(0L))), lit(0.0)).as("avg_dl"))
+      Stores.overwritePartition(spark, statsDir, name, statsDf)
+    } else {
+      // no postings to derive from — tokenize (still one pass, only for
+      // non-FTS collections whose stats are informational)
+      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs()))
     }
-    Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs()))
     refreshVectorIndex(touched)
   }
 

@@ -22,14 +22,20 @@ import org.apache.spark.sql.functions._
   *     copies (the dominant duplicate mode in crawls) never multiply the
   *     candidate join. The expansion reproduces the exact pair set, so
   *     collapse is invisible to correctness.
-  *  2. '''In-bucket verification.''' The verification payload (a compact
-  *     hashed+sorted shingle set, 8 bytes/element) travels WITH the banded
-  *     rows, and the similarity predicate is applied in the bucket join's
-  *     output — no materialized candidate list, no `distinct` over O(pairs)
-  *     rows, and no re-join of two full payloads per candidate pair. The
-  *     shuffle is O(docs × bands × payload), not O(candidate pairs × payload):
-  *     at 1M docs × 32 bands × ~1 KB that is ~30 GB where the re-join
-  *     architecture spilled >250 GB and died.
+  *  2. '''Skinny candidate generation, bounded payload re-join.''' The
+  *     bucket shuffle carries only (bucket key, id) — never the
+  *     verification payload — and candidate pairs are `distinct`ed BEFORE
+  *     the payload joins, so each unordered pair is verified exactly once
+  *     (not once per shared bucket) and the payload crosses the wire twice
+  *     per corpus, not once per (doc, band). At 1M docs × 32 bands × ~1 KB
+  *     shingle sets that is ~2 GB of skinny shuffle + ~2 GB of payload join
+  *     where the payload-riding design shuffled ~30 GB (measured: the 1M
+  *     ProbeScale MinHash stage dropped 604 s → see BENCH_scale). This
+  *     re-join is safe ONLY because bucket caps (below) bound the candidate
+  *     count at O(docs × bands) — an uncapped mega-bucket join emits
+  *     O(m²) pairs and the pre-cap re-join architecture spilled >250 GB
+  *     and died. SimHash keeps the payload-riding shape: its payload is the
+  *     8-byte hash itself, cheaper than a re-join.
   *  3. '''Bucket caps.''' A bucket with more than `maxBucket` members
   *     degrades to star edges against its min-id member — O(m) instead of
   *     O(m²). Star pairs still verify against the real payloads, and they
@@ -157,6 +163,42 @@ object Dedup {
     smallPairs.unionByName(bigPairs)
   }
 
+  /** Capped candidate PAIRS from a skinny (keys…, id) frame: every unordered
+    * in-bucket pair as (id_a, id_b) with id_a < id_b, deduplicated across
+    * buckets; buckets over `maxBucket` contribute star edges only. The
+    * shuffle carries no payload — callers re-join verification payloads per
+    * side AFTER the distinct, so each pair's payload crosses the wire once
+    * regardless of how many buckets it co-occurs in (see the object doc).
+    */
+  private def bucketPairs(bucketed: DataFrame, keys: Seq[String],
+                          maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, "maxBucket >= 1")
+    val w = Window.partitionBy(keys.map(col): _*)
+    val sized = bucketed
+      .withColumn("__sz", count(lit(1)).over(w))
+      .withColumn("__mn", min(col("id")).over(w))
+    val keyEq = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    def sides(df: DataFrame, other: DataFrame, cond: org.apache.spark.sql.Column) =
+      df.as("a").join(other.as("b"), cond)
+        .select(least(col("a.id"), col("b.id")).as("id_a"),
+          greatest(col("a.id"), col("b.id")).as("id_b"))
+    val small = sized.filter(col("__sz") <= maxBucket)
+    val smallPairs = sides(small, small, keyEq && col("a.id") < col("b.id"))
+    val big = sized.filter(col("__sz") > maxBucket)
+    val bigPairs = sides(big.filter(col("id") === col("__mn")),
+      big.filter(col("id") =!= col("__mn")), keyEq)
+    smallPairs.unionByName(bigPairs).distinct()
+  }
+
+  /** Joins one payload column onto both sides of a (id_a, id_b) pair frame:
+    * output (id_a, id_b, <payload>_a, <payload>_b).
+    */
+  private def joinPayloads(pairs: DataFrame, payload: DataFrame,
+                           payloadCol: String): DataFrame =
+    pairs
+      .join(payload.select(col("id").as("id_a"), col(payloadCol).as(s"${payloadCol}_a")), "id_a")
+      .join(payload.select(col("id").as("id_b"), col(payloadCol).as(s"${payloadCol}_b")), "id_b")
+
   /** One-row diagnostics for a capped bucket join: total buckets, buckets
     * over the cap, member rows inside them, and the all-pairs candidates the
     * cap avoided (pairs beyond the star edges). Report this next to any
@@ -186,14 +228,14 @@ object Dedup {
           TextFunctions.shingles(TextFunctions.tokens(col("content")), n)).as("shh"))
       .withColumn("sig", HashFunctions.minHashSignatureHashed(col("shh"), numHashes))
 
-  /** (id, shh, band, bh): one row per (doc, band) with the band hash and the
-    * verification payload alongside.
+  /** (id, band, bh): one skinny row per (doc, band) with the band hash —
+    * no payload; verification payloads re-join after candidate distinct.
     */
   private def minHashBanded(prep: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandHashes = transform(
       sequence(lit(0), lit(bands - 1)),
       j => xxhash64(concat_ws(",", slice(col("sig"), j * rowsPerBand + 1, lit(rowsPerBand))), j))
-    prep.select(col("id"), col("shh"), posexplode(bandHashes).as(Seq("band", "bh")))
+    prep.select(col("id"), posexplode(bandHashes).as(Seq("band", "bh")))
   }
 
   /** Near-duplicate pairs by word-shingle Jaccard ≥ `threshold`, found with
@@ -213,11 +255,15 @@ object Dedup {
     val members = exactMembers(docs, idCol, contentCol)
     val prep = minHashPrep(repDocs(docs, members, idCol, contentCol), n, bands * rowsPerBand)
     val banded = minHashBanded(prep, bands, rowsPerBand)
-    val repPairs = bucketJoin(banded, Seq("band", "bh"), Seq("shh"), maxBucket)
+    // candidates skinny → distinct → payload re-join; the shh branch prunes
+    // the (expensive) sig column, so signatures are computed once, for
+    // banding only
+    val repPairs = joinPayloads(
+        bucketPairs(banded, Seq("band", "bh"), maxBucket),
+        prep.select(col("id"), col("shh")), "shh")
       .withColumn("jaccard", HashFunctions.sortedJaccard(col("shh_a"), col("shh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .distinct()
     val selfQ = prep
       .select(col("id").as("rep"), HashFunctions.sortedJaccard(col("shh"), col("shh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -282,18 +328,18 @@ object Dedup {
           .join(withH.select(col("id"), prefLen.as("p")), "id")
           .filter(col("pos") <= col("p"))
           .select(col("id"), col("g"))
-          .join(withH.select(col("id"), col("shh")), "id")
       } else {
         // hash order: shh is already sorted ascending, so the prefix is just
         // its first prefLen elements — zero shuffles before the bucket join.
-        withH.select(col("id"), col("shh"),
+        withH.select(col("id"),
           explode(slice(col("shh"), lit(1), prefLen)).as("g"))
       }
-    val repPairs = bucketJoin(prefix.select("g", "id", "shh"), Seq("g"), Seq("shh"), maxBucket)
+    val repPairs = joinPayloads(
+        bucketPairs(prefix.select("g", "id"), Seq("g"), maxBucket),
+        withH.select(col("id"), col("shh")), "shh")
       .withColumn("jaccard", HashFunctions.sortedJaccard(col("shh_a"), col("shh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .distinct()
     val selfQ = withH
       .select(col("id").as("rep"), HashFunctions.sortedJaccard(col("shh"), col("shh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -489,17 +535,17 @@ object Dedup {
           VectorFunctions.cosine(col("a.emb"), col("b.emb")).as("cos"))
         .filter(col("cos") >= threshold)
     else {
-      val buckets = df.select(col(idCol).as("id"),
-          col(embCol).as("emb"),
-          posexplode(Ann.lshBucketCol(col(embCol), numTables, numPlanes, dim, seed))
+      val buckets = base
+        .select(col("id"),
+          posexplode(Ann.lshBucketCol(col("emb"), numTables, numPlanes, dim, seed))
             .as(Seq("table", "bucket")))
-        .filter(col("emb").isNotNull)
-      bucketJoin(buckets.select("table", "bucket", "id", "emb"),
-        Seq("table", "bucket"), Seq("emb"), maxBucket)
+      joinPayloads(
+          bucketPairs(buckets.select("table", "bucket", "id"),
+            Seq("table", "bucket"), maxBucket),
+          base, "emb")
         .select(col("id_a"), col("id_b"),
           VectorFunctions.cosine(col("emb_a"), col("emb_b")).as("cos"))
         .filter(col("cos") >= threshold)
-        .distinct()
     }
   }
 }

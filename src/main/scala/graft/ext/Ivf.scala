@@ -1,0 +1,248 @@
+package graft.ext
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Top-`nprobe` nearest centroids of an ARRAY<FLOAT> embedding, by dot
+  * product against UNIT-NORM centroids (== cosine ranking, since the
+  * query norm is a per-row constant). The centroid table rides inside the
+  * expression — broadcast once with the task closure (k×dim floats, e.g.
+  * 256×64 = 64 KB), so assignment is a pure scan: zero shuffle over the
+  * corpus, the 100 TB property the IVF build needs.
+  *
+  * Output: ARRAY<INT> of centroid ids, best first; ties broken by lower id.
+  * `nprobe = 1` is cluster assignment.
+  */
+case class NearestCentroids(child: Expression, centroids: Seq[Seq[Float]],
+                            nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  require(nprobe >= 1 && nprobe <= centroids.size, "1 <= nprobe <= #centroids")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val cents: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val k = cents.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      val m = math.min(n, cent.length)
+      var dot = 0.0
+      var i = 0
+      while (i < m) { dot += xs.getFloat(i).toDouble * cent(i); i += 1 }
+      scores(c) = dot
+      c += 1
+    }
+    // partial selection: nprobe is small (<= k), repeated argmax is O(k·nprobe)
+    val out = new Array[Int](nprobe)
+    val taken = new Array[Boolean](k)
+    var j = 0
+    while (j < nprobe) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < k) {
+        if (!taken(i) && scores(i) > bestScore) { best = i; bestScore = scores(i) }
+        i += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** IVF (inverted-file) approximate nearest neighbor — the classic
+  * centroid-partitioned index (FAISS IVFFlat family): spherical k-means
+  * centroids over a bounded sample, every corpus vector assigned to its
+  * nearest centroid's posting list, probes rerank only the `nprobe`
+  * closest lists with the exact codegen'd cosine.
+  *
+  * Scale shape (new-scope per BASELINE.json; complements the
+  * random-hyperplane [[Ann]]/[[LshIndex]] path — IVF adapts to the data
+  * distribution where LSH is data-oblivious):
+  *   - TRAIN on a seeded sample capped at `maxSample` rows — k-means cost is
+  *     bounded regardless of corpus size (the FAISS practice).
+  *   - Each Lloyd round: assignment is a zero-shuffle scan (centroids ride
+  *     in [[NearestCentroids]]); the mean update is one map-side-combined
+  *     groupBy over (cluster, dim) partial sums of the SAMPLE only.
+  *   - BUILD: one zero-shuffle scan of the full corpus.
+  *   - PROBE: literal `cluster IN (…)` predicates (bounded: ≤ queries ×
+  *     nprobe) — against a cluster-clustered store they prune row groups,
+  *     so probe I/O ∝ probed lists, not corpus.
+  */
+object Ivf {
+
+  def nearestCentroidCol(emb: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column =
+    Bridge.column(NearestCentroids(Bridge.expression(emb), centroids, nprobe))
+
+  private def normalized(v: Array[Double]): Seq[Float] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    (if (n == 0.0) v else v.map(_ / n)).map(_.toFloat).toSeq
+  }
+
+  /** Driver-side nearest-centroid ids for one query vector (tiny: k×dim). */
+  def nearestCentroidIds(q: Seq[Float], centroids: Seq[Seq[Float]], nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      (c.lazyZip(q.take(c.size)).map((a, b) => a.toDouble * b).sum, i)
+    }.sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
+
+  /** Spherical k-means over a seeded bounded sample of the corpus: unit-norm
+    * centroids, cosine assignment, mean + renormalize update; an emptied
+    * cluster keeps its previous centroid. Deterministic for a fixed
+    * (corpus, k, iters, sampleFraction, maxSample, seed): sample rows are
+    * hash-ordered before the init slice so partition order doesn't matter.
+    */
+  def trainCentroids(corpus: DataFrame, embCol: String = "embedding",
+                     k: Int = 256, iters: Int = 10,
+                     sampleFraction: Double = 1.0, maxSample: Int = 100000,
+                     seed: Long = 42L): Seq[Seq[Float]] = {
+    require(k >= 1, "k >= 1")
+    val sample = corpus.select(col(embCol).as("emb")).filter(col("emb").isNotNull)
+      .sample(withReplacement = false, sampleFraction, seed)
+      .orderBy(hash(col("emb"), lit(seed)), col("emb"))
+      .limit(maxSample)
+      .persist()
+    try {
+      val init = sample.limit(k).collect()
+        .map(r => normalized(r.getSeq[Float](0).map(_.toDouble).toArray))
+      var cents: Seq[Seq[Float]] = init.toSeq
+      if (cents.isEmpty)
+        throw new IllegalArgumentException("trainCentroids: corpus has no embedded rows")
+      var it = 0
+      while (it < iters) {
+        // (cluster, dim) partial sums — map-side combined, k·dim result rows
+        val sums = sample
+          .select(element_at(nearestCentroidCol(col("emb"), cents, 1), 1).as("cluster"),
+            posexplode(col("emb")).as(Seq("d", "v")))
+          .groupBy(col("cluster"), col("d"))
+          .agg(sum(col("v")).as("s"))
+          .collect()
+        val byCluster = sums.groupBy(_.getInt(0))
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          byCluster.get(c) match {
+            case Some(rows) =>
+              val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+              normalized(Array.tabulate(old.size)(d => dims.getOrElse(d, 0.0)))
+            case None => old // emptied cluster: keep previous centroid
+          }
+        }
+        it += 1
+      }
+      cents
+    } finally sample.unpersist()
+  }
+
+  /** Build the full index: train on a sample, assign every corpus vector in
+    * one zero-shuffle scan.
+    */
+  def build(corpus: DataFrame, idCol: String = "id", embCol: String = "embedding",
+            k: Int = 256, iters: Int = 10, sampleFraction: Double = 1.0,
+            maxSample: Int = 100000, seed: Long = 42L): IvfIndex = {
+    val cents = trainCentroids(corpus, embCol, k, iters, sampleFraction, maxSample, seed)
+    IvfIndex(assign(corpus, cents, idCol, embCol), cents)
+  }
+
+  /** (id, cluster) assignment frame for the given centroids — pure scan. */
+  def assign(corpus: DataFrame, centroids: Seq[Seq[Float]],
+             idCol: String = "id", embCol: String = "embedding"): DataFrame =
+    corpus.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("id"),
+        element_at(nearestCentroidCol(col(embCol), centroids, 1), 1).as("cluster"))
+
+  /** One-shot convenience: build + probe (prefer a held [[IvfIndex]] for
+    * repeated probes — this re-trains and re-assigns per call).
+    */
+  def ivfTopK(corpus: DataFrame, queries: Seq[(String, Seq[Float])], k: Int,
+              idCol: String = "id", embCol: String = "embedding",
+              numCentroids: Int = 256, nprobe: Int = 8, iters: Int = 10,
+              sampleFraction: Double = 1.0, maxSample: Int = 100000,
+              seed: Long = 42L): DataFrame =
+    build(corpus, idCol, embCol, numCentroids, iters, sampleFraction, maxSample, seed)
+      .topK(corpus, queries, k, nprobe, idCol, embCol)
+}
+
+/** A prebuilt IVF index: the (id, cluster) posting-list frame plus the
+  * unit-norm centroid table (driver-side, k×dim — bounded and broadcast-
+  * sized by construction).
+  */
+final case class IvfIndex(assignments: DataFrame, centroids: Seq[Seq[Float]]) {
+
+  /** Approximate top-k: probe the `nprobe` nearest posting lists per query,
+    * exact-cosine rerank of the candidates. Cluster predicates are literals
+    * (≤ queries × nprobe of them) — row-group-prunable against a
+    * [[toStoreFrame]]-layout store; candidates then join the corpus by id
+    * for the rerank, never touching unprobed lists.
+    */
+  def topK(corpus: DataFrame, queries: Seq[(String, Seq[Float])], k: Int,
+           nprobe: Int = 8, idCol: String = "id",
+           embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "queries must be non-empty")
+    val probes = queries.flatMap { case (qid, q) =>
+      Ivf.nearestCentroidIds(q, centroids, math.min(nprobe, centroids.size))
+        .map(c => (qid, c))
+    }
+    val probedClusters = probes.map(_._2).distinct
+    val queryDf = queries.toDF("qid", "qvec")
+      .select(col("qid"), col("qvec").cast(ArrayType(FloatType)).as("qvec"))
+    val candidates = assignments
+      .filter(col("cluster").isin(probedClusters: _*))
+      .join(broadcast(probes.toDF("qid", "cluster")), Seq("cluster"))
+      .select(col("qid"), col("id"))
+      .distinct()
+    candidates
+      .join(broadcast(queryDf), Seq("qid"))
+      .join(corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+        .filter(col("emb").isNotNull), "id")
+      .withColumn("sim", VectorFunctions.cosine(col("emb"), col("qvec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("id"), col("sim"))
+  }
+
+  /** Assignments laid out for persistence: range-clustered by cluster so
+    * probe predicates prune row groups. Centroids travel in
+    * [[centroidsFrame]] (k rows).
+    */
+  def toStoreFrame: DataFrame =
+    assignments.select(col("id"), col("cluster")).repartitionByRange(col("cluster"))
+
+  /** (cluster, centroid) — the k-row centroid table. */
+  def centroidsFrame: DataFrame = {
+    val spark = assignments.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
+  }
+}
+
+object IvfIndex {
+  /** Reconstruct from [[IvfIndex.toStoreFrame]] + [[IvfIndex.centroidsFrame]]
+    * shaped frames (the centroid side is k rows — a driver collect by
+    * design).
+    */
+  def fromStoreFrames(assignments: DataFrame, centroidsFrame: DataFrame): IvfIndex = {
+    val cents = centroidsFrame.select("cluster", "centroid").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toSeq).toSeq
+    IvfIndex(assignments.select("id", "cluster"), cents)
+  }
+}

@@ -119,6 +119,53 @@ class ExtSpec extends AnyFunSuite {
     assert(ids.contains("v1"))
   }
 
+  test("Ivf: spherical k-means separates orthogonal clusters; probe finds true neighbors") {
+    import graft.ext.Ivf
+    // three well-separated directions, a handful of vectors around each
+    val corpus = Seq(
+      ("a1", Seq(1f, 0f, 0f, 0f)), ("a2", Seq(0.95f, 0.05f, 0f, 0f)),
+      ("a3", Seq(0.9f, 0f, 0.1f, 0f)),
+      ("b1", Seq(0f, 1f, 0f, 0f)), ("b2", Seq(0f, 0.95f, 0.05f, 0f)),
+      ("c1", Seq(0f, 0f, 1f, 0f)), ("c2", Seq(0f, 0.05f, 0.95f, 0f))
+    ).toDF("id", "embedding")
+    val ix = Ivf.build(corpus, k = 3, iters = 10, maxSample = 100)
+    // members of one direction share a cluster
+    val assign = ix.assignments.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(assign("a1") === assign("a2") && assign("a2") === assign("a3"))
+    assert(assign("b1") === assign("b2"))
+    assert(assign("c1") === assign("c2"))
+    assert(Set(assign("a1"), assign("b1"), assign("c1")).size === 3)
+    // nprobe=1 on a clustered corpus: exact top-k of the home cluster
+    val top = ix.topK(corpus, Seq("q" -> Seq(1f, 0f, 0f, 0f)), k = 2, nprobe = 1)
+      .orderBy("rn").collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(top.toSeq === Seq((1, "a1"), (2, "a2")))
+    // recall vs exact is 1.0 here (home cluster holds the true neighbors)
+    val exact = Ann.exactTopK(corpus, Seq("q" -> Seq(1f, 0f, 0f, 0f)), k = 2)
+    assert(Ann.recallAtK(exact, ix.topK(corpus, Seq("q" -> Seq(1f, 0f, 0f, 0f)), k = 2, nprobe = 1)) === 1.0)
+  }
+
+  test("Ivf: deterministic rebuild and store-frame roundtrip") {
+    import graft.ext.{Ivf, IvfIndex}
+    val corpus = Seq(
+      ("a1", Seq(1f, 0f, 0f, 0f)), ("a2", Seq(0.95f, 0.05f, 0f, 0f)),
+      ("b1", Seq(0f, 1f, 0f, 0f)), ("b2", Seq(0f, 0.95f, 0.05f, 0f))
+    ).toDF("id", "embedding")
+    val ix1 = Ivf.build(corpus, k = 2, iters = 5, maxSample = 100)
+    val ix2 = Ivf.build(corpus, k = 2, iters = 5, maxSample = 100)
+    assert(ix1.centroids === ix2.centroids) // seed-fixed, hash-ordered init
+    val rt = IvfIndex.fromStoreFrames(ix1.toStoreFrame, ix1.centroidsFrame)
+    assert(rt.centroids === ix1.centroids)
+    val q = Seq("q" -> Seq(0f, 1f, 0f, 0f))
+    val direct = ix1.topK(corpus, q, k = 2, nprobe = 1)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSet
+    val viaRt = rt.topK(corpus, q, k = 2, nprobe = 1)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSet
+    assert(viaRt === direct)
+    // empty-cluster survival: k larger than distinct directions keeps old centroids
+    val ix3 = Ivf.build(corpus, k = 4, iters = 3, maxSample = 100)
+    assert(ix3.centroids.size === 4)
+  }
+
   test("embeddingDupPairs: near-identical vectors verified by exact cosine") {
     val pairs = Dedup.embeddingDupPairs(vecCorpus, threshold = 0.95,
       numTables = 8, numPlanes = 4, dim = 4)
