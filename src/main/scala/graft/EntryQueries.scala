@@ -488,6 +488,20 @@ object EntryQueries {
               |FROM sh a JOIN sh b ON a.id < b.id
               |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin)),
 
+    ("x2b_dedup_pipeline", (s: SparkSession, sfDir: String) =>
+      // the one-call pipeline: exact ∪ minhash pairs → clusters → keep the
+      // min-id root per cluster (oracle replays exact Jaccard + recursive
+      // CTE clustering; this corpus has no byte-identical docs, so the
+      // exact-pair arm is ∅ here — its semantics are pinned by ExtSpec)
+      Dedup.dedupCorpus(docsFrame(s, sfDir)).select("id"),
+      Some(s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${ngramJaccardOracle(0.8)}) q),
+              | edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+              | reach AS (SELECT s, d FROM edges
+              |   UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s),
+              | cl AS (SELECT s AS id, least(s, min(d)) AS cluster FROM reach GROUP BY s)
+              |SELECT $DocId AS id FROM documents
+              |WHERE $DocId NOT IN (SELECT id FROM cl WHERE id <> cluster)""".stripMargin)),
+
     ("x4b_dedup_clusters", (s: SparkSession, sfDir: String) => {
       // cluster-level dedup: connected components (min reachable id) over
       // the exact near-dup pair graph
@@ -689,6 +703,14 @@ object EntryQueries {
       Some("""SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
               |  COUNT(*) AS n, round(SUM(value), 6) AS sum_value
               |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    ("x17_stream_dedup", (s: SparkSession, sfDir: String) =>
+      // streaming exact dedup (first-arrival-wins) in its batch/backfill
+      // mode; only the key columns are output — survivor payloads are
+      // arrival-order-dependent in a stream and deliberately not exposed.
+      // The watermarked streaming path is pinned stream-vs-batch in ExtSpec.
+      EventStreams.dedupStream(eventsFrame(s, sfDir), Seq("user_id", "event_type")),
+      Some("SELECT DISTINCT user_id, event_type FROM events")),
 
     ("x16_stream_session", (s: SparkSession, sfDir: String) =>
       EventStreams.sessionAgg(eventsFrame(s, sfDir), gap = "30 minutes")

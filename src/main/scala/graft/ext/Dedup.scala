@@ -86,6 +86,32 @@ object Dedup {
                    idCol: String = "id"): DataFrame =
     docs.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** The END-TO-END dedup pipeline a training-data run wants as one call:
+    * exact-duplicate pairs ∪ MinHash near-duplicate pairs → connected
+    * components → keep exactly one doc (the cluster's min id) per duplicate
+    * cluster; docs in no cluster pass through. Cluster-level (transitively
+    * minimal), unlike the pairwise-greedy [[dropNearDups]]: a chain
+    * a≈b≈c with a̸≈c still keeps only `a`.
+    *
+    * The exact-pair union matters for degenerate docs: byte-identical docs
+    * shorter than the shingle width have EMPTY shingle sets (Jaccard
+    * undefined, no MinHash pair) but must still collapse.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String = "id",
+                  contentCol: String = "content", n: Int = 3,
+                  bands: Int = 32, rowsPerBand: Int = 4,
+                  threshold: Double = 0.8,
+                  maxBucket: Int = 256): DataFrame = {
+    val exact = exactDupPairs(docs, idCol, contentCol)
+      .select(col("keep_id").as("id_a"), col("dup_id").as("id_b"))
+    val near = minHashDupPairs(docs, idCol, contentCol, n, bands, rowsPerBand,
+      threshold, maxBucket).select(col("id_a"), col("id_b"))
+    val clusters = dupClusters(exact.unionByName(near))
+    docs.join(
+      clusters.filter(col("id") =!= col("cluster")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------------------
   // Exact-duplicate collapse (shared by the near-dup detectors)
   // -------------------------------------------------------------------------

@@ -31,6 +31,35 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming exact deduplication on `keyCols` — the continuous-ingestion
+    * analogue of [[graft.ext.Dedup.dropExactDups]]: the first arrival of a
+    * key wins, duplicates are dropped.
+    *
+    * Streaming input with `watermark`: uses `dropDuplicatesWithinWatermark`,
+    * so per-key state is dropped once the watermark passes — bounded state,
+    * the only shape that survives an unbounded stream (an unwatermarked
+    * streaming dropDuplicates grows state forever). Duplicates separated by
+    * more than the watermark delay re-emit, by design.
+    * Batch input: plain `dropDuplicates` over the full frame.
+    *
+    * Output is restricted to `keyCols` (+ the timestamp): WHICH duplicate
+    * row survives is arrival-order-dependent in a stream, so only the key
+    * columns are deterministic — exposing survivors' payloads would bake
+    * nondeterminism into the contract (callers wanting payloads join back
+    * on the key).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: Option[String] = None,
+                  tsCol: String = "ts"): DataFrame = {
+    val keyed = events.select(keyCols.map(col) :+ col(tsCol): _*)
+    watermark match {
+      case Some(w) =>
+        keyed.withWatermark(tsCol, w).dropDuplicatesWithinWatermark(keyCols)
+          .select(keyCols.map(col): _*)
+      case None => keyed.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+    }
+  }
+
   /** Per-user sessionization by inactivity gap (session window). Streaming:
     * same call with a watermark. Demonstrates the state-merge window family.
     */

@@ -43,6 +43,45 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == "d3" || p._2 == "d3"))
   }
 
+  test("dedupCorpus: one survivor per cluster; short exact dups collapse too") {
+    // d1≈d2 (near), d1=d4 (exact) → keep d1; d3, d5, d6 untouched... except
+    // d5=d6: byte-identical TWO-TOKEN docs (shingle set EMPTY at n=3 — no
+    // minhash pair possible), which only the exact-pair arm can collapse
+    val corpus = (base :+ ("d6" -> "tiny doc")).toDF("id", "content")
+    val kept = Dedup.dedupCorpus(corpus, threshold = 0.5)
+      .select("id").as[String].collect().toSet
+    assert(kept === Set("d1", "d3", "d5"))
+  }
+
+  test("dedupStream: batch mode distinct; streaming drops in-watermark duplicates") {
+    // batch/backfill mode
+    val ev = Seq((1L, "click", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-01 00:05:00"), // dup key
+      (1L, "view", "2024-01-01 00:06:00"),
+      (2L, "click", "2024-01-01 00:07:00"))
+      .toDF("user_id", "event_type", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val got = EventStreams.dedupStream(ev, Seq("user_id", "event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "click"), (1L, "view"), (2L, "click")))
+    // streaming mode: duplicate inside the watermark window is dropped
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val src = mem.toDF().toDF("user_id", "event_type", "ts")
+    val q = EventStreams.dedupStream(src, Seq("user_id", "event_type"),
+        watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((1L, "click", t("2024-01-01 00:00:00")),
+      (1L, "click", t("2024-01-01 00:02:00")), // dup within watermark
+      (2L, "view", t("2024-01-01 00:03:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT user_id, event_type FROM dedup_out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "click"), (2L, "view")))
+  }
+
   test("dupClusters: connected components assign min reachable id") {
     // chain a-b, b-c plus isolated pair x-y => clusters {a,b,c}->a, {x,y}->x
     val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
