@@ -266,6 +266,15 @@ final class Collection private (
     val ix = LshIndex.build(docs(), "id", "embedding", numTables, numPlanes, dim, seed)
     Stores.overwritePartition(spark, annDir, name, ix.toStoreFrame,
       sortBy = Seq("table", "bucket"))
+    // Arm the cosine-top-k → ANN rewrite for direct scans of this
+    // collection's docs store (the pgvector planner analogue,
+    // core.py:319-321). Deferred: every rewrite re-reads the CURRENT
+    // persisted index (delta-maintained by add/update/delete), and a
+    // dropped index declines instead of serving stale buckets.
+    graft.plans.AnnCatalog.register(spark, Stores.partitionPath(docsDir, name),
+      graft.plans.AnnCatalog.Entry("id", "embedding",
+        graft.plans.AnnCatalog.Deferred(() =>
+          vectorIndex().map(graft.plans.AnnCatalog.LshRegistered(_)))))
   }
 
   /** The persisted vector index, if one was built (and the collection has

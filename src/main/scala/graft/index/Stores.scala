@@ -64,6 +64,13 @@ object Stores {
   private def partDir(storeDir: String, collection: String): String =
     s"$storeDir/collection=${java.net.URLEncoder.encode(collection, "UTF-8")}"
 
+  /** The on-disk path of one collection's partition of a store (the path a
+    * scan of that partition reports as its root — e.g. the ANN-rewrite
+    * registry key).
+    */
+  def partitionPath(storeDir: String, collection: String): String =
+    partDir(storeDir, collection)
+
   /** Whether one collection's partition of a store exists on disk. */
   def partitionExists(spark: SparkSession, storeDir: String, collection: String): Boolean =
     exists(spark, partDir(storeDir, collection))

@@ -1,0 +1,192 @@
+package graft.plans
+
+import graft.ext.{Ann, IvfIndex, LshIndex}
+import graft.functions.CosineSimilarity
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.concurrent.TrieMap
+
+/** The pgvector-analog planner decision (reference src/sifts/core.py:319-321:
+  * `ORDER BY embedding <=> q LIMIT k` silently uses the vector index when one
+  * exists): a `Rule[LogicalPlan]` that rewrites an EXACT cosine top-k —
+  *
+  * {{{ corpus.withColumn("sim", cosine($"embedding", vecLit(q)))
+  *          .orderBy($"sim".desc).limit(k) }}}
+  *
+  * — into the same plan restricted to the candidates of a REGISTERED ANN
+  * index (LSH buckets or IVF posting lists) via a LEFT SEMI join:
+  *
+  * {{{ Limit(k, Sort(sim DESC, child ⋉ candidateIds(q))) }}}
+  *
+  * The sort/limit/projection stay verbatim (exact rerank inside the candidate
+  * set — identical semantics to [[graft.ext.LshIndex.topK]]), so output
+  * attributes are untouched and the rewrite composes with any surrounding
+  * plan. Like pgvector, the result is approximate by the index's recall;
+  * registration ([[AnnCatalog.register]]) is the explicit opt-in, and
+  * `spark.graft.ann.rewrite=false` is the session-level kill switch.
+  *
+  * Scope: the corpus must scan a registered parquet path (the shape of every
+  * graft store); the first sort key must be the cosine DESC between the
+  * registered embedding column and a literal query vector.
+  */
+object AnnCatalog {
+
+  /** A registered index: produces the candidate-id frame for one query,
+    * or None to decline (e.g. a deferred index that no longer exists) —
+    * declining leaves the exact plan untouched.
+    */
+  sealed trait Registered {
+    /** One column `id` — the candidate ids for this query vector. */
+    def candidates(spark: SparkSession, qvec: Seq[Float]): Option[DataFrame]
+  }
+
+  /** Hyperplane-LSH: probe = the query's bucket per table (literal
+    * predicates, row-group-prunable on a (table, bucket)-clustered store).
+    */
+  final case class LshRegistered(index: LshIndex) extends Registered {
+    def candidates(spark: SparkSession, qvec: Seq[Float]): Option[DataFrame] = {
+      val expr = graft.ext.LshBuckets(
+        Literal.create(qvec.toArray, ArrayType(FloatType)),
+        index.numTables, index.numPlanes, index.dim, index.seed)
+      val buckets = expr.eval(null).asInstanceOf[ArrayData].toLongArray()
+      val pred = buckets.zipWithIndex.map { case (b, t) =>
+        col("table") === t && col("bucket") === b
+      }.reduce(_ || _)
+      Some(index.buckets.filter(pred).select(col("id")))
+    }
+  }
+
+  /** IVF: probe = the `nprobe` nearest posting lists (literal cluster
+    * predicates against the cluster-clustered store).
+    */
+  final case class IvfRegistered(index: IvfIndex, nprobe: Int) extends Registered {
+    def candidates(spark: SparkSession, qvec: Seq[Float]): Option[DataFrame] = {
+      val lists = graft.ext.Ivf.nearestCentroidIds(
+        qvec, index.centroids, math.min(nprobe, index.centroids.size))
+      Some(index.assignments.filter(col("cluster").isin(lists: _*)).select(col("id")))
+    }
+  }
+
+  /** Re-resolved on every probe — the registration shape for indexes that
+    * live in a mutable store (e.g. a [[graft.api.Collection]]'s persisted,
+    * delta-maintained index): each rewrite re-reads the current store, and a
+    * dropped index declines the rewrite instead of serving stale buckets.
+    */
+  final case class Deferred(resolve: () => Option[Registered]) extends Registered {
+    def candidates(spark: SparkSession, qvec: Seq[Float]): Option[DataFrame] =
+      resolve().flatMap(_.candidates(spark, qvec))
+  }
+
+  final case class Entry(idCol: String, embCol: String, source: Registered)
+
+  private val entries = TrieMap.empty[String, Entry]
+
+  private def qualify(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toString
+  }
+
+  /** Register an ANN index for the corpus parquet at `path` — the opt-in
+    * that arms the rewrite for scans of that path.
+    */
+  def register(spark: SparkSession, path: String, entry: Entry): Unit =
+    entries.put(qualify(spark, path), entry)
+
+  def unregister(spark: SparkSession, path: String): Unit =
+    entries.remove(qualify(spark, path))
+
+  def clear(): Unit = entries.clear()
+
+  def isEmpty: Boolean = entries.isEmpty
+
+  private[plans] def lookup(rootPath: String): Option[Entry] = entries.get(rootPath)
+
+  /** Install the rewrite into an EXISTING session (the
+    * `SparkSessionExtensions` path only reaches sessions configured before
+    * construction). Idempotent.
+    */
+  def install(spark: SparkSession): Unit = {
+    val have = spark.experimental.extraOptimizations.exists(_.isInstanceOf[AnnTopKRewrite])
+    if (!have)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AnnTopKRewrite(spark)
+  }
+}
+
+case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private val Marker = "__graft_ann_cand"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (AnnCatalog.isEmpty) return plan
+    if (spark.conf.get("spark.graft.ann.rewrite", "true") != "true") return plan
+    plan.transformDown {
+      case l @ Limit(le @ IntegerLiteral(_),
+                     s @ Sort(SortOrder(head, Descending, _, _) +: _, true, child, _))
+          if !child.exists(_.output.exists(_.name == Marker)) =>
+        (for {
+          (embName, qvec) <- cosineOf(head, child)
+          entry           <- registrationOf(child)
+          if entry.embCol == embName
+          idAttr          <- child.output.find(_.name == entry.idCol)
+          candDf          <- entry.source.candidates(spark, qvec)
+        } yield {
+          val candPlan = candDf
+            .select(col("id").as(Marker)).distinct()
+            .queryExecution.analyzed
+          val join = Join(child, candPlan, LeftSemi,
+            Some(EqualTo(idAttr, candPlan.output.head)), JoinHint.NONE)
+          Limit(le, Sort(s.order, global = true, join))
+        }).getOrElse(l)
+    }
+  }
+
+  /** The (embedding column name, literal query vector) of a cosine-DESC sort
+    * key, chasing one level of aliasing through the child's projections.
+    */
+  private def cosineOf(e: Expression, child: LogicalPlan): Option[(String, Seq[Float])] =
+    e match {
+      case CosineSimilarity(l, r) =>
+        (queryVec(r), embName(l)) match {
+          case (Some(q), Some(n)) => Some((n, q))
+          case _ => (queryVec(l), embName(r)) match {
+            case (Some(q), Some(n)) => Some((n, q))
+            case _ => None
+          }
+        }
+      case a: Attribute =>
+        child.collect { case p: Project => p.projectList }.flatten
+          .collectFirst { case al: Alias if al.exprId == a.exprId => al.child }
+          .flatMap(cosineOf(_, child))
+      case _ => None
+    }
+
+  private def embName(e: Expression): Option[String] = e match {
+    case a: Attribute => Some(a.name)
+    case Cast(a: Attribute, ArrayType(FloatType, _), _, _) => Some(a.name)
+    case _ => None
+  }
+
+  private def queryVec(e: Expression): Option[Seq[Float]] = e match {
+    case Literal(arr: ArrayData, ArrayType(FloatType, _)) =>
+      Some(arr.toFloatArray().toSeq)
+    case _ => None
+  }
+
+  /** The registered entry of the (single) parquet relation the child scans. */
+  private def registrationOf(child: LogicalPlan): Option[AnnCatalog.Entry] =
+    child.collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
+          .flatMap(p => AnnCatalog.lookup(p.toString)).headOption
+    }.flatten
+}

@@ -21,10 +21,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * session's function registry.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // cosine-top-k → ANN candidate rewrite (armed per-path via AnnCatalog)
+    ext.injectOptimizerRule(session => AnnTopKRewrite(session))
+  }
 }
 
 object GraftFunctions {

@@ -1,0 +1,141 @@
+package graft
+
+import graft.ext.{Ivf, LshIndex}
+import graft.functions.VectorFunctions
+import graft.plans.AnnCatalog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cosine-top-k → ANN-candidate rewrite ([[graft.plans.AnnTopKRewrite]]):
+  * fires only for registered corpus paths, preserves results on separated
+  * clusters (full recall there), and honors the kill switch.
+  */
+class AnnRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Two well-separated direction clusters in 8-d (axis e1 vs axis e5, ±ε
+  // noise in one other coordinate) — any sane ANN probe has recall 1 here.
+  private def mkCorpus(): (String, DataFrame) = {
+    AnnCatalog.install(spark)
+    val rows = (0 until 100).map { i =>
+      val cluster = i % 2
+      val v = Array.fill(8)(0.0f)
+      v(cluster * 4) = 1.0f
+      v(cluster * 4 + 1) = 0.01f * (i % 7)
+      (f"v$i%03d", v.toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-annrw-").toString
+    val path = s"$dir/corpus.parquet"
+    rows.toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(path)
+    (path, spark.read.parquet(path))
+  }
+
+  private val q: Seq[Float] = {
+    val v = Array.fill(8)(0.0f); v(0) = 1.0f; v(1) = 0.02f; v.toSeq
+  }
+
+  private def topK(corpus: DataFrame, k: Int): DataFrame =
+    corpus
+      .withColumn("sim", VectorFunctions.cosine(col("embedding"), VectorFunctions.vecLit(q)))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+
+  private def hasSemiJoin(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists {
+      case j: Join => j.joinType == LeftSemi
+      case _ => false
+    }
+
+  test("LSH registration rewrites to a semi join and keeps exact top-k results") {
+    val (path, corpus) = mkCorpus()
+    try {
+      val exact = topK(corpus, 5).select("id").as[String].collect().toSeq
+      assert(!hasSemiJoin(topK(corpus, 5)), "unregistered path must not rewrite")
+
+      val index = LshIndex.build(corpus, numTables = 8, numPlanes = 2, dim = 8)
+      AnnCatalog.register(spark, path,
+        AnnCatalog.Entry("id", "embedding", AnnCatalog.LshRegistered(index)))
+
+      val rewritten = topK(corpus, 5)
+      assert(hasSemiJoin(rewritten), "registered path must rewrite to a semi join")
+      assert(rewritten.select("id").as[String].collect().toSeq === exact,
+        "separated clusters: candidate rerank must return the exact top-k")
+      // projection/schema untouched by the rewrite
+      assert(rewritten.columns.toSeq === Seq("id", "embedding", "sim"))
+    } finally AnnCatalog.clear()
+  }
+
+  test("IVF registration rewrites too; kill switch and idempotency hold") {
+    val (path, corpus) = mkCorpus()
+    try {
+      val exact = topK(corpus, 5).select("id").as[String].collect().toSeq
+      val ivf = Ivf.build(corpus, k = 4, iters = 5, maxSample = 1000)
+      AnnCatalog.register(spark, path,
+        AnnCatalog.Entry("id", "embedding", AnnCatalog.IvfRegistered(ivf, nprobe = 1)))
+
+      val rewritten = topK(corpus, 5)
+      assert(hasSemiJoin(rewritten))
+      assert(rewritten.select("id").as[String].collect().toSeq === exact)
+      // exactly ONE semi join even though optimizer batches run to fixed point
+      val semis = rewritten.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftSemi => j
+      }
+      assert(semis.size === 1, "rewrite must be idempotent across rule iterations")
+
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+      try assert(!hasSemiJoin(topK(corpus, 5)), "kill switch must disable the rewrite")
+      finally spark.conf.set("spark.graft.ann.rewrite", "true")
+    } finally AnnCatalog.clear()
+  }
+
+  test("Collection.createVectorIndex arms the rewrite for its docs store") {
+    import graft.api.{Collection, Embedder}
+    AnnCatalog.install(spark)
+    object AxisEmbedder extends Embedder {
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val v = Array.fill(8)(0.0f)
+        v(if (t.contains("cat")) 0 else 4) = 1.0f
+        v(1) = 0.001f * (t.length % 9)
+        v
+      }
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-annrw-coll-").toString
+    val c = Collection(spark, root, "rw", Some(AxisEmbedder))
+    try {
+      c.add((1 to 40).map(i => if (i % 2 == 0) s"cat doc $i" else s"dog doc $i"))
+      val plain = topK(c.docs(), 5)
+      assert(!hasSemiJoin(plain), "no index yet -> exact plan untouched")
+      val exact = plain.select("id").as[String].collect().toSeq
+
+      c.createVectorIndex(numTables = 8, numPlanes = 2, dim = 8)
+      val accel = topK(c.docs(), 5)
+      assert(hasSemiJoin(accel), "persisted collection index must arm the rewrite")
+      assert(accel.select("id").as[String].collect().toSeq === exact)
+
+      // deferred resolution: dropping the store makes the rewrite DECLINE
+      // (back to the exact plan), not serve stale buckets
+      c.deleteAll()
+      c.add(Seq("cat doc after reset"))
+      assert(!hasSemiJoin(topK(c.docs(), 5)))
+    } finally AnnCatalog.clear()
+  }
+
+  test("non-cosine sorts and other columns never rewrite") {
+    val (path, corpus) = mkCorpus()
+    try {
+      val index = LshIndex.build(corpus, numTables = 8, numPlanes = 2, dim = 8)
+      AnnCatalog.register(spark, path,
+        AnnCatalog.Entry("id", "other_col", AnnCatalog.LshRegistered(index)))
+      // registered for a DIFFERENT embedding column name -> no rewrite
+      assert(!hasSemiJoin(topK(corpus, 5)))
+      // plain sort on id -> no rewrite
+      assert(!hasSemiJoin(corpus.orderBy(col("id").desc).limit(5)))
+    } finally AnnCatalog.clear()
+  }
+}
