@@ -29,6 +29,16 @@ object Bench {
         case c => c.toString
       }
 
+    // Untimed warmup: JIT/codegen/scan-path initialization costs land here
+    // instead of inflating whichever entry runs first (a1, alphabetically).
+    // Reads a real (small) parquet + runs one shuffle + one noop write — the
+    // three one-time paths every entry exercises.
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy("r_regionkey").count()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

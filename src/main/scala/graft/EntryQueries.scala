@@ -2,7 +2,7 @@ package graft
 
 import graft.api.{Collection, Embedder}
 import graft.exec.Sorter
-import graft.ext.{Ann, ByteStatsDecoder, Dedup, Ivf, Multimodal, TextStats}
+import graft.ext.{Ann, ByteStatsDecoder, Dedup, Ivf, Multimodal, Pipeline, TextStats}
 import graft.model.SortKey
 import graft.parse.QueryParser
 import graft.streaming.EventStreams
@@ -663,6 +663,36 @@ object EntryQueries {
                |  CAST(SUM(len(text)) AS BIGINT) AS total_chars, round(AVG(len(text)), 6) AS avg_chars,
                |  CAST(SUM(len($Toks)) AS BIGINT) AS total_tokens
                |FROM documents GROUP BY lang""".stripMargin)),
+
+    ("x18_pack_sequences", (s: SparkSession, sfDir: String) =>
+      // concat-and-chunk sequence packing: hash-sharded, id-ordered running
+      // token offsets, cut every 512 tokens (oracle replays the md5-prefix
+      // shard hash and the per-shard running sum exactly)
+      Pipeline.packSequences(docsFrame(s, sfDir), budget = 512, shards = 8)
+        .select("id", "shard", "n_tokens", "offset", "bin"),
+      Some(s"""WITH t AS (SELECT $DocId AS id,
+              |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+              |    CAST(('0x' || substr(md5($DocId), 1, 12))::BIGINT % 8 AS INT) AS shard
+              |  FROM documents),
+              | o AS (SELECT id, shard, n_tokens,
+              |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+              |  FROM t)
+              |SELECT id, shard, n_tokens, "offset",
+              |  CAST(floor("offset" / 512) AS BIGINT) AS bin FROM o""".stripMargin)),
+
+    ("x19_sample_stratified", (s: SparkSession, sfDir: String) => {
+      // deterministic md5-threshold stratified sampling by lang; membership
+      // is a pure function of the id (stable across runs/engines/retries)
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"), col("lang"))
+      Pipeline.sampleStratified(d, "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultFraction = 0.05)
+        .select("id", "lang")
+    }, Some(s"""SELECT $DocId AS id, lang FROM documents
+               |WHERE ('0x' || substr(md5($DocId), 1, 12))::BIGINT % 1000000 <
+               |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+               |            WHEN 'zh' THEN 100000 ELSE 50000 END""".stripMargin)),
 
     ("x13_multimodal_feats", (s: SparkSession, sfDir: String) => {
       // content bytes as the opaque media BLOB; batched stub decoder

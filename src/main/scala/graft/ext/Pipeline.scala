@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Corpus-assembly operators for training-data pipelines: deterministic
+  * stratified sampling and concat-and-chunk sequence packing. Both are
+  * driven by an ENGINE-PORTABLE hash (hex prefix of md5) rather than
+  * `rand()`: runs are reproducible bit-for-bit across engines, retries, and
+  * partitionings — the property a data pipeline needs for auditable corpus
+  * composition (and what makes these operators oracle-checkable at all).
+  */
+object Pipeline {
+
+  /** Uniform deterministic hash of a string column into [0, mod): the first
+    * 12 hex digits of md5 (48 bits) reduced modulo `mod`. Portable: DuckDB
+    * computes the identical value as `('0x' || substr(md5(x),1,12))::BIGINT
+    * % mod`.
+    */
+  def md5Mod(c: Column, mod: Long): Column = {
+    require(mod > 0, "mod > 0")
+    pmod(conv(substring(md5(c), 1, 12), 16, 10).cast("long"), lit(mod))
+  }
+
+  private val Precision = 1000000L // sampling-fraction resolution: 1e-6
+
+  /** Deterministic stratified sampling: keep a row iff
+    * `md5Mod(id, 1e6) < fraction(stratum) * 1e6`. Per-stratum fractions come
+    * from `fractions` (strata absent from the map use `defaultFraction`).
+    *
+    * Unlike `DataFrame.stat.sampleBy` (rand()-driven, partitioning-
+    * dependent), membership is a pure function of the id — stable across
+    * runs, engines, and retries, and the SAME rows stay selected when other
+    * strata's fractions change (incremental corpus re-mixes don't churn).
+    *
+    * Scale: one codegen'd scan, zero shuffle; the fraction lookup compiles
+    * to a bounded CASE chain (|fractions| is a user-supplied handful).
+    */
+  def sampleStratified(docs: DataFrame, strataCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0,
+                       idCol: String = "id"): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val threshold = fractions.foldLeft(
+      lit(math.round(defaultFraction * Precision))) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(math.round(f * Precision))).otherwise(acc)
+    }
+    docs.filter(md5Mod(col(idCol), Precision) < threshold)
+  }
+
+  /** Concat-and-chunk sequence packing (the standard pretraining data-prep
+    * step): docs are hash-sharded, each shard's docs are concatenated in id
+    * order into one token stream, and the stream is cut every `budget`
+    * tokens. Emits per doc: its shard, its token count, its start `offset`
+    * in the shard stream, and `bin` = offset / budget — the chunk its first
+    * token lands in (a doc may straddle into bin+1; the consumer crossing
+    * chunk boundaries is exactly how concat-and-chunk training works).
+    *
+    * Scale: ONE shuffle into `shards` hash partitions + a per-shard sort;
+    * the running-sum window is streaming (no buffering) and every shard
+    * packs independently — parallelism is `shards`, pick it ≥ cluster
+    * cores. Never a global order/window.
+    *
+    * Tokens = whitespace token count by default; pass `tokenCol` to pack by
+    * a precomputed count (e.g. real BPE lengths from [[TextStats]]).
+    */
+  def packSequences(docs: DataFrame, budget: Long, shards: Int = 256,
+                    idCol: String = "id", contentCol: String = "content",
+                    tokenCol: Option[String] = None): DataFrame = {
+    require(budget >= 1, "budget >= 1")
+    require(shards >= 1, "shards >= 1")
+    val nTokens = tokenCol.map(col).getOrElse(
+      size(filter(split(col(contentCol), "\\s+"), t => length(t) > 0)).cast("long"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol).as("id"), nTokens.as("n_tokens"))
+      .withColumn("shard", md5Mod(col("id"), shards).cast("int"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("offset") / budget).cast("long"))
+  }
+
+  /** Per-(shard, bin) packing summary: how full each chunk's doc-start set
+    * is — the packing-efficiency view (docs whose start lands in the bin,
+    * and their token mass; mass > budget means the tail spills into the
+    * next chunk, mass < budget on a shard's last bin means padding).
+    */
+  def packStats(packed: DataFrame, budget: Long): DataFrame =
+    packed.groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("token_mass"))
+      .withColumn("fill", col("token_mass").cast("double") / budget)
+}

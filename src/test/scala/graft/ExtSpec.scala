@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Ann, ByteStatsDecoder, Dedup, Multimodal, TextStats}
+import graft.ext.{Ann, ByteStatsDecoder, Dedup, Multimodal, Pipeline, TextStats}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -80,6 +80,50 @@ class ExtSpec extends AnyFunSuite {
     val out = spark.sql("SELECT user_id, event_type FROM dedup_out")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(out === Set((1L, "click"), (2L, "view")))
+  }
+
+  test("sampleStratified: deterministic, stratum-independent, default drops") {
+    val rows = (0 until 2000).map(i => (s"doc$i", if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val fracs = Map("en" -> 0.5, "de" -> 0.2)
+    val once = Pipeline.sampleStratified(rows, "lang", fracs)
+      .select("id").as[String].collect().toSet
+    val twice = Pipeline.sampleStratified(rows, "lang", fracs)
+      .select("id").as[String].collect().toSet
+    assert(once === twice, "membership must be a pure function of the id")
+    // fractions approximately honored (md5 uniformity; 1000 per stratum)
+    val en = once.count(_.stripPrefix("doc").toInt % 2 == 0)
+    val de = once.size - en
+    assert(math.abs(en / 1000.0 - 0.5) < 0.08, s"en fraction off: $en")
+    assert(math.abs(de / 1000.0 - 0.2) < 0.08, s"de fraction off: $de")
+    // changing ANOTHER stratum's fraction must not churn this stratum's set
+    val enOnly = Pipeline.sampleStratified(rows, "lang", Map("en" -> 0.5))
+      .select("id").as[String].collect().toSet
+    assert(enOnly === once.filter(_.stripPrefix("doc").toInt % 2 == 0))
+    // absent stratum + default 0.0 -> dropped entirely
+    assert(!enOnly.exists(_.stripPrefix("doc").toInt % 2 == 1))
+  }
+
+  test("packSequences: per-shard running offsets cut into budget-sized bins") {
+    // single shard => offsets are prefix sums in id order
+    val d = Seq(("a", "w " * 30), ("b", "w " * 40), ("c", "w " * 50), ("d", "w"))
+      .toDF("id", "content")
+    val packed = Pipeline.packSequences(d, budget = 64, shards = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(packed === Array(
+      ("a", 30L, 0L, 0L),    // [0, 30)
+      ("b", 40L, 30L, 0L),   // starts at 30, still bin 0 (straddles into 1)
+      ("c", 50L, 70L, 1L),   // starts at 70 -> bin 1
+      ("d", 1L, 120L, 1L)))
+    // packStats: doc-start mass per bin
+    val stats = Pipeline.packStats(
+      Pipeline.packSequences(d, budget = 64, shards = 1), budget = 64)
+      .orderBy("bin").collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats === Array((0L, 2L, 70L), (1L, 2L, 51L)))
+    // sharding partitions the id set; every doc appears exactly once
+    val sharded = Pipeline.packSequences(d, budget = 64, shards = 4)
+    assert(sharded.select("id").as[String].collect().sorted === Array("a", "b", "c", "d"))
   }
 
   test("dupClusters: connected components assign min reachable id") {
