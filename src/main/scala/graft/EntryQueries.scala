@@ -694,6 +694,26 @@ object EntryQueries {
                |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                |            WHEN 'zh' THEN 100000 ELSE 50000 END""".stripMargin)),
 
+    ("x20_decontaminate", (s: SparkSession, sfDir: String) => {
+      // eval-set-leakage check: training docs (source<>src0) sharing >=1
+      // distinct 8-gram with any benchmark doc (source=src0); the corpus
+      // side is never shuffled — the small bench gram set broadcasts
+      val all = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"),
+          col("text").as("content"), col("source"))
+      Pipeline.contaminationHits(
+        all.filter(col("source") =!= "src0"),
+        all.filter(col("source") === "src0"), n = 8)
+    }, Some(s"""WITH tok AS (SELECT $DocId AS id, source, $Toks AS w FROM documents),
+               | dg AS (SELECT DISTINCT t.id, array_to_string(t.w[u.i:u.i+7], ' ') AS gram
+               |        FROM tok t, UNNEST(range(1, len(t.w) - 6)) AS u(i)
+               |        WHERE t.source <> 'src0'),
+               | bg AS (SELECT DISTINCT t.id AS bench_id, array_to_string(t.w[u.i:u.i+7], ' ') AS gram
+               |        FROM tok t, UNNEST(range(1, len(t.w) - 6)) AS u(i)
+               |        WHERE t.source = 'src0')
+               |SELECT dg.id, bg.bench_id, CAST(COUNT(*) AS BIGINT) AS hits
+               |FROM dg JOIN bg USING (gram) GROUP BY 1, 2""".stripMargin)),
+
     ("x13_multimodal_feats", (s: SparkSession, sfDir: String) => {
       // content bytes as the opaque media BLOB; batched stub decoder
       val media = docsFrame(s, sfDir)

@@ -90,4 +90,45 @@ object Pipeline {
     packed.groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("token_mass"))
       .withColumn("fill", col("token_mass").cast("double") / budget)
+
+  /** Benchmark decontamination, candidate view: (id, bench_id, hits) for
+    * every (training doc, benchmark doc) pair sharing ≥ 1 distinct word
+    * `n`-gram — the standard eval-set-leakage check a pretraining corpus
+    * runs before training.
+    *
+    * Scale shape: the benchmark side is an eval set — SMALL by definition —
+    * so its exploded (gram, bench_id) frame is broadcast; the corpus side
+    * is a single scan + shingle explode + broadcast hash join + one groupBy
+    * over the (rare) matching pairs. The 100 TB corpus is never shuffled.
+    */
+  def contaminationHits(docs: DataFrame, bench: DataFrame, n: Int = 8,
+                        idCol: String = "id", contentCol: String = "content",
+                        benchIdCol: String = "id",
+                        benchContentCol: String = "content"): DataFrame = {
+    import graft.functions.TextFunctions
+    val docGrams = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.shingles(TextFunctions.tokens(col(contentCol)), n)).as("gram"))
+    val benchGrams = bench.select(col(benchIdCol).as("bench_id"),
+      explode(TextFunctions.shingles(TextFunctions.tokens(col(benchContentCol)), n)).as("gram"))
+      .distinct()
+    docGrams.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("id"), col("bench_id"))
+      .agg(count(lit(1)).as("hits"))
+  }
+
+  /** Drop every doc with ≥ `minHits` shared distinct `n`-grams against ANY
+    * single benchmark doc (per-pair threshold — one strong overlap flags the
+    * doc even if other benchmark docs contribute nothing).
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int = 8,
+                    minHits: Long = 1, idCol: String = "id",
+                    contentCol: String = "content",
+                    benchIdCol: String = "id",
+                    benchContentCol: String = "content"): DataFrame = {
+    val flagged = contaminationHits(docs, bench, n, idCol, contentCol,
+        benchIdCol, benchContentCol)
+      .filter(col("hits") >= minHits)
+      .select(col("id").as(idCol)).distinct()
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
 }

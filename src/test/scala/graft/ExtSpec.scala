@@ -126,6 +126,25 @@ class ExtSpec extends AnyFunSuite {
     assert(sharded.select("id").as[String].collect().sorted === Array("a", "b", "c", "d"))
   }
 
+  test("contaminationHits / decontaminate: shared n-grams flag the leak") {
+    val corpus = Seq(
+      ("t1", "alpha beta gamma delta epsilon zeta"), // contains bench 4-gram
+      ("t2", "totally unrelated words here now ok"),
+      ("t3", "beta gamma delta epsilon something else") // same 4-gram again
+    ).toDF("id", "content")
+    val bench = Seq(("b1", "xx beta gamma delta epsilon yy")).toDF("id", "content")
+    val hits = Pipeline.contaminationHits(corpus, bench, n = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(hits === Set(("t1", "b1", 1L), ("t3", "b1", 1L)))
+    val clean = Pipeline.decontaminate(corpus, bench, n = 4)
+      .select("id").as[String].collect().toSet
+    assert(clean === Set("t2"))
+    // below threshold: minHits=2 keeps single-gram overlaps
+    val lax = Pipeline.decontaminate(corpus, bench, n = 4, minHits = 2)
+      .select("id").as[String].collect().toSet
+    assert(lax === Set("t1", "t2", "t3"))
+  }
+
   test("dupClusters: connected components assign min reachable id") {
     // chain a-b, b-c plus isolated pair x-y => clusters {a,b,c}->a, {x,y}->x
     val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
