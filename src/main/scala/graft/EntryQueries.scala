@@ -694,6 +694,29 @@ object EntryQueries {
                |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                |            WHEN 'zh' THEN 100000 ELSE 50000 END""".stripMargin)),
 
+    ("x21_repetition", (s: SparkSession, sfDir: String) =>
+      // Gopher-style repetition metrics: duplicate-line fraction + the
+      // most-frequent-2-gram token coverage (boilerplate/SEO-spam signals)
+      TextStats.repetition(docsFrame(s, sfDir), n = 2)
+        .select(col("id"), col("n_lines"), round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          col("top_ngram_tf"), round(col("top_ngram_frac"), 6).as("top_ngram_frac")),
+      Some(s"""WITH tok AS (SELECT $DocId AS id,
+              |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+              |    $Toks AS w FROM documents),
+              | g AS (SELECT t.id, array_to_string(t.w[u.i:u.i+1], ' ') AS gram
+              |       FROM tok t, UNNEST(range(1, len(t.w))) AS u(i)),
+              | gc AS (SELECT id, gram, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+              | tg AS (SELECT id, MAX(tf) AS top_tf FROM gc GROUP BY 1)
+              |SELECT t.id, CAST(len(t.lines) AS BIGINT) AS n_lines,
+              |  round(CASE WHEN len(t.lines) = 0 THEN 0.0
+              |    ELSE 1.0 - CAST(len(list_distinct(t.lines)) AS DOUBLE) / len(t.lines) END, 6)
+              |    AS dup_line_frac,
+              |  CAST(COALESCE(tg.top_tf, 0) AS BIGINT) AS top_ngram_tf,
+              |  round(CASE WHEN len(t.w) = 0 THEN 0.0
+              |    ELSE CAST(COALESCE(tg.top_tf, 0) AS DOUBLE) * 2 / len(t.w) END, 6)
+              |    AS top_ngram_frac
+              |FROM tok t LEFT JOIN tg ON t.id = tg.id""".stripMargin)),
+
     ("x20_decontaminate", (s: SparkSession, sfDir: String) => {
       // eval-set-leakage check: training docs (source<>src0) sharing >=1
       // distinct 8-gram with any benchmark doc (source=src0); the corpus

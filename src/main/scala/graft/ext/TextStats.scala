@@ -86,6 +86,47 @@ object TextStats {
       .withColumn("n_bpe", size(bpe).cast("long"))
   }
 
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1 quality
+    * filters), per doc:
+    *   - `n_lines`, `dup_line_frac`: 1 − distinct/total over non-empty
+    *     lines (0 for single-line docs);
+    *   - `top_ngram_tf`: occurrence count of the doc's most frequent word
+    *     `n`-gram (0 if the doc has < n tokens);
+    *   - `top_ngram_frac`: tokens covered by that gram's occurrences
+    *     (tf × n) over the doc's token count.
+    * High values on any of these are the classic boilerplate/SEO-spam
+    * signals a pretraining filter drops.
+    *
+    * Scale: the gram count is explode → per-(id, gram) count → per-id max —
+    * two map-side-combined shuffles keyed by id/gram, the standard agg
+    * shape; everything else is a codegen'd scan.
+    */
+  def repetition(df: DataFrame, contentCol: String = "content", n: Int = 2,
+                 idCol: String = "id"): DataFrame = {
+    val lines = filter(split(col(contentCol), "\n"), l => length(trim(l)) > 0)
+    val toks = TextFunctions.tokens(col(contentCol))
+    val withLines = df
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("dup_line_frac",
+        when(size(lines) === 0, lit(0.0)).otherwise(
+          lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines)))
+      .withColumn("__n_toks", size(toks).cast("long"))
+    // non-distinct n-gram occurrences: explode all windows, count per gram,
+    // take each doc's max
+    val grams = df.select(col(idCol).as("id"),
+        posexplode(TextFunctions.shinglesAll(TextFunctions.tokens(col(contentCol)), n))
+          .as(Seq("__p", "gram")))
+      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("id")).agg(max(col("tf")).as("top_ngram_tf"))
+    withLines
+      .join(grams.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("top_ngram_tf", coalesce(col("top_ngram_tf"), lit(0L)))
+      .withColumn("top_ngram_frac",
+        when(col("__n_toks") === 0, lit(0.0)).otherwise(
+          col("top_ngram_tf") * n / col("__n_toks")))
+      .drop("__n_toks")
+  }
+
   /** Adds `fingerprint`: min-MD5 over `n`-token windows (winnowing-style
     * content fingerprint — stable under small edits outside the minimal
     * window); docs shorter than `n` tokens hash their whole token stream.

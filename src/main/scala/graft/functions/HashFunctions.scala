@@ -126,7 +126,7 @@ case class SimHash64(child: Expression)
   * empty array for docs shorter than n tokens (same contract as the HOF
   * version).
   */
-case class ShingleArray(child: Expression, n: Int)
+case class ShingleArray(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1, "shingle size >= 1")
 
@@ -148,6 +148,7 @@ case class ShingleArray(child: Expression, n: Int)
     }
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
+    val ordered = new Array[Any](m - n + 1)
     val toks = toksAll
     var i = 0
     val space = UTF8String.fromString(" ")
@@ -160,9 +161,11 @@ case class ShingleArray(child: Expression, n: Int)
         parts(2 * j) = toks(i + j)
         j += 1
       }
-      seen.add(UTF8String.concat(parts: _*))
+      val gram = UTF8String.concat(parts: _*)
+      if (distinct) seen.add(gram) else ordered(i) = gram
       i += 1
     }
+    if (!distinct) return new GenericArrayData(ordered)
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     i = 0
@@ -288,6 +291,12 @@ object HashFunctions {
   /** Native distinct n-gram shingles over a token array column. */
   def shingleArray(tokens: Column, n: Int): Column =
     Bridge.column(ShingleArray(Bridge.expression(tokens), n))
+
+  /** All n-gram windows IN ORDER, duplicates kept — the occurrence-counting
+    * shape (repetition metrics), vs the set shape above (Jaccard/MinHash).
+    */
+  def shingleArrayAll(tokens: Column, n: Int): Column =
+    Bridge.column(ShingleArray(Bridge.expression(tokens), n, distinct = false))
 
   /** Native one-pass Jaccard over two distinct-element string arrays. */
   def jaccardSim(a: Column, b: Column): Column =

@@ -35,6 +35,9 @@ object TextFunctions {
     */
   def shingles(toks: Column, n: Int): Column = HashFunctions.shingleArray(toks, n)
 
+  /** All n-gram windows in order, duplicates kept (occurrence counting). */
+  def shinglesAll(toks: Column, n: Int): Column = HashFunctions.shingleArrayAll(toks, n)
+
   /** Builtin-functions formulation of `shingles`, kept as the cross-check
     * reference for the native expression (ExtSpec asserts equality).
     */

@@ -82,6 +82,23 @@ object ProbeScale {
     metrics += ("ngram_buckets" -> ngStats.getLong(0), "ngram_oversized" -> ngStats.getLong(1),
       "ngram_oversized_members" -> ngStats.getLong(2), "ngram_pairs_skipped" -> ngStats.getLong(3))
 
+    // Corpus-assembly operators at the same 1M docs: packing is ONE shuffle
+    // + streaming window, sampling is a bare scan, decontamination is a
+    // broadcast gram join (the 1M-doc corpus side never shuffles). The
+    // planted copies guarantee real contamination mass against a 500-doc
+    // benchmark slice.
+    val packed = graft.ext.Pipeline.packSequences(bigDocs, budget = 2048, shards = 64)
+    val nBins = time("pack_sec")(
+      packed.select($"shard", $"bin").distinct().count())
+    println(s"PROBE   pack bins = $nBins"); metrics += ("pack_bins" -> nBins)
+    val sampled = time("sample_sec")(graft.ext.Pipeline.sampleStratified(
+      bigDocs.withColumn("lang", element_at($"metadata", "lang")), "lang",
+      Map("en" -> 0.1), defaultFraction = 0.01).count())
+    println(s"PROBE   sampled = $sampled"); metrics += ("sample_kept" -> sampled)
+    val kept = time("decontam_sec")(
+      graft.ext.Pipeline.decontaminate(bigDocs, base.limit(500), n = 8).count())
+    println(s"PROBE   decontam kept = $kept"); metrics += ("decontam_kept" -> kept)
+
     val vbase = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id".cast("string").as("id"), $"embedding")
     val vecs = spark.range(50).withColumnRenamed("id", "copy").crossJoin(vbase)

@@ -126,6 +126,25 @@ class ExtSpec extends AnyFunSuite {
     assert(sharded.select("id").as[String].collect().sorted === Array("a", "b", "c", "d"))
   }
 
+  test("repetition: duplicate lines and top-2-gram coverage, hand-checked") {
+    val d = Seq(
+      // 4 non-empty lines, 1 duplicated -> dup_line_frac 0.25;
+      // "spam spam spam spam" -> top 2-gram "spam spam" tf=3 of 7 tokens
+      ("r1", "spam spam spam spam\nother line\nother line\n\nlast words"),
+      ("r2", "all distinct tokens here"), // top tf 1, frac 2/4
+      ("r3", "x")                         // < n tokens: tf 0, frac 0
+    ).toDF("id", "content")
+    val got = TextStats.repetition(d, n = 2).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(r.fieldIndex("n_lines")),
+        math.round(r.getDouble(r.fieldIndex("dup_line_frac")) * 1e6) / 1e6,
+        r.getLong(r.fieldIndex("top_ngram_tf")),
+        math.round(r.getDouble(r.fieldIndex("top_ngram_frac")) * 1e6) / 1e6))
+    assert(got === Array(
+      ("r1", 4L, 0.25, 3L, 0.6), // 10 tokens, "spam spam" tf 3 -> 6/10
+      ("r2", 1L, 0.0, 1L, 0.5),
+      ("r3", 1L, 0.0, 0L, 0.0)))
+  }
+
   test("contaminationHits / decontaminate: shared n-grams flag the leak") {
     val corpus = Seq(
       ("t1", "alpha beta gamma delta epsilon zeta"), // contains bench 4-gram
