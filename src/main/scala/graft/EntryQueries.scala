@@ -694,6 +694,29 @@ object EntryQueries {
                |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                |            WHEN 'zh' THEN 100000 ELSE 50000 END""".stripMargin)),
 
+    ("x22_mix_corpora", (s: SparkSession, sfDir: String) => {
+      // training-mixture weighting: downsample 3 sources toward a 6000-token
+      // budget split 50/30/20 (oracle replays the per-source token totals,
+      // the double-precision fraction arithmetic, and the md5 thresholds)
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"),
+          col("text").as("content"), col("source"))
+      Pipeline.mixCorpora(d, "source",
+          Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2), budgetTokens = 6000)
+        .select("id", "source")
+    }, Some(s"""WITH tot AS (SELECT source,
+               |    CAST(SUM(len($Toks)) AS DOUBLE) AS tok
+               |  FROM documents WHERE source IN ('src1','src2','src3') GROUP BY source),
+               | fr AS (SELECT source,
+               |    CAST(LEAST(1.0, CASE source WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
+               |                                WHEN 'src2' THEN CAST(0.3 AS DOUBLE)
+               |                                ELSE CAST(0.2 AS DOUBLE) END
+               |      * 6000.0 / tok) * 1000000 + 0.5 AS BIGINT) AS thr
+               |  FROM tot)
+               |SELECT $DocId AS id, d.source
+               |FROM documents d JOIN fr ON d.source = fr.source
+               |WHERE ('0x' || substr(md5($DocId), 1, 12))::BIGINT % 1000000 < fr.thr""".stripMargin)),
+
     ("x21_repetition", (s: SparkSession, sfDir: String) =>
       // Gopher-style repetition metrics: duplicate-line fraction + the
       // most-frequent-2-gram token coverage (boilerplate/SEO-spam signals)

@@ -268,9 +268,12 @@ final class Collection private (
       sortBy = Seq("table", "bucket"))
     // Arm the cosine-top-k → ANN rewrite for direct scans of this
     // collection's docs store (the pgvector planner analogue,
-    // core.py:319-321). Deferred: every rewrite re-reads the CURRENT
-    // persisted index (delta-maintained by add/update/delete), and a
-    // dropped index declines instead of serving stale buckets.
+    // core.py:319-321). Two-layer opt-in: this registration is INERT
+    // unless the session also installed the rule (GraftExtensions or
+    // AnnCatalog.install) — exact queries stay exact everywhere else.
+    // Deferred: every rewrite re-reads the CURRENT persisted index
+    // (delta-maintained by add/update/delete), and a dropped index
+    // declines instead of serving stale buckets.
     graft.plans.AnnCatalog.register(spark, Stores.partitionPath(docsDir, name),
       graft.plans.AnnCatalog.Entry("id", "embedding",
         graft.plans.AnnCatalog.Deferred(() =>

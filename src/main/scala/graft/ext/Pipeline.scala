@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** Corpus-assembly operators for training-data pipelines: deterministic
-  * stratified sampling and concat-and-chunk sequence packing. Both are
+  * stratified sampling, training-mixture weighting, concat-and-chunk
+  * sequence packing, and benchmark decontamination. Selection everywhere is
   * driven by an ENGINE-PORTABLE hash (hex prefix of md5) rather than
   * `rand()`: runs are reproducible bit-for-bit across engines, retries, and
   * partitionings — the property a data pipeline needs for auditable corpus
@@ -90,6 +91,39 @@ object Pipeline {
     packed.groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("token_mass"))
       .withColumn("fill", col("token_mass").cast("double") / budget)
+
+  /** Mixture weighting: downsample each source so the kept corpus
+    * approaches `budgetTokens` total whitespace tokens split per `weights`
+    * (the training-mixture spec: "X% web, Y% code, …"). Each source's keep
+    * fraction is `min(1, weight × budget / sourceTokens)` — an
+    * under-weight source saturates at keeping everything (no upsampling;
+    * oversample by unioning the output with itself if repetition is
+    * wanted). Selection reuses [[sampleStratified]]'s md5-threshold
+    * membership, so the mix is deterministic and re-mixing one source
+    * never churns another's kept set.
+    *
+    * Scale: one map-side-combined agg for the per-source token totals
+    * (#sources rows to the driver — a mixture spec is a handful), then the
+    * zero-shuffle sampling scan.
+    */
+  def mixCorpora(docs: DataFrame, sourceCol: String,
+                 weights: Map[String, Double], budgetTokens: Long,
+                 idCol: String = "id",
+                 contentCol: String = "content"): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ >= 0.0), "weights must be >= 0")
+    require(budgetTokens >= 0, "budgetTokens >= 0")
+    val nTokens = size(filter(split(col(contentCol), "\\s+"), t => length(t) > 0)).cast("long")
+    val totals = docs.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(sourceCol)).agg(sum(nTokens).as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = weights.map { case (s, w) =>
+      val tok = totals.getOrElse(s, 0L)
+      s -> (if (tok == 0L) 0.0 else math.min(1.0, w * budgetTokens / tok))
+    }
+    sampleStratified(docs.filter(col(sourceCol).isin(weights.keys.toSeq: _*)),
+      sourceCol, fractions, defaultFraction = 0.0, idCol)
+  }
 
   /** Benchmark decontamination, candidate view: (id, bench_id, hits) for
     * every (training doc, benchmark doc) pair sharing ≥ 1 distinct word

@@ -126,6 +126,29 @@ class ExtSpec extends AnyFunSuite {
     assert(sharded.select("id").as[String].collect().sorted === Array("a", "b", "c", "d"))
   }
 
+  test("mixCorpora: fractions derive from token totals; saturation keeps all") {
+    // A: 100 docs x 10 tokens = 1000; B: 50 x 10 = 500
+    val rows = (0 until 100).map(i => (s"a$i", ("w " * 10).trim, "A")) ++
+      (0 until 50).map(i => (s"b$i", ("w " * 10).trim, "B"))
+    val d = rows.toDF("id", "content", "source")
+    // budget 800 split 50/50 -> target 400 each -> fracA 0.4, fracB 0.8
+    val mixed = Pipeline.mixCorpora(d, "source", Map("A" -> 0.5, "B" -> 0.5), 800)
+      .select("id").as[String].collect().toSet
+    // the mechanism IS sampleStratified at the derived fractions
+    val expect = Pipeline.sampleStratified(d, "source",
+      Map("A" -> 0.4, "B" -> 0.8)).select("id").as[String].collect().toSet
+    assert(mixed === expect)
+    assert(mixed === Pipeline.mixCorpora(d, "source", Map("A" -> 0.5, "B" -> 0.5), 800)
+      .select("id").as[String].collect().toSet, "deterministic")
+    // ample budget -> every source saturates at fraction 1.0
+    val all = Pipeline.mixCorpora(d, "source", Map("A" -> 0.5, "B" -> 0.5), 100000)
+    assert(all.count() === 150)
+    // sources outside the weight spec are dropped
+    val withC = (rows :+ (("c1", "w w", "C"))).toDF("id", "content", "source")
+    assert(!Pipeline.mixCorpora(withC, "source", Map("A" -> 1.0), 100000)
+      .select("source").as[String].collect().contains("C"))
+  }
+
   test("repetition: duplicate lines and top-2-gram coverage, hand-checked") {
     val d = Seq(
       // 4 non-empty lines, 1 duplicated -> dup_line_frac 0.25;
