@@ -216,6 +216,49 @@ object Dedup {
     smallPairs.unionByName(bigPairs).distinct()
   }
 
+  /** Capped in-bucket Jaccard verification via BUCKET-CONTENT COLLECTION:
+    * buckets collect their sorted member-id lists (one skinny shuffle);
+    * identical member sets — e.g. a tight near-dup cluster colliding in all
+    * 32 LSH bands — deduplicate BEFORE any pair work, collapsing the
+    * per-band candidate redundancy that previously shuffled O(bands ×
+    * cluster²) pair rows into the distinct; payloads then join once per
+    * (set, member) and ride to the set row (bounded: ≤ maxBucket members ×
+    * payload size); a native generator ([[graft.functions.BucketJaccardPairs]])
+    * verifies all pairs INSIDE the set row with an early-exit merge and
+    * emits only survivors. Candidate pairs never exist as rows, and no
+    * payload crosses the wire more than once per set membership.
+    *
+    * Buckets over `maxBucket` degrade to star edges (min-id × member),
+    * verified through the skinny pair path — same capped contract as
+    * before. Output (id_a, id_b, jaccard), a < b, distinct.
+    */
+  private def verifiedJaccardSetPairs(bucketed: DataFrame, keys: Seq[String],
+                                      payload: DataFrame, threshold: Double,
+                                      maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, "maxBucket >= 1")
+    val buckets = bucketed.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("id"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val packed = buckets.filter(size(col("ms")) <= maxBucket)
+      .select(col("ms")).distinct()
+      .select(col("ms"), explode(col("ms")).as("id"))
+      .join(payload, "id")
+      .groupBy(col("ms"))
+      .agg(sort_array(collect_list(struct(col("id"), col("shh")))).as("docs"))
+    val verified = packed.select(
+      HashFunctions.bucketJaccardPairs(col("docs"), threshold)
+        .as(Seq("id_a", "id_b", "jaccard")))
+    val starPairs = buckets.filter(size(col("ms")) > maxBucket)
+      .select(element_at(col("ms"), 1).as("id_a"),
+        explode(slice(col("ms"), lit(2), size(col("ms")) - 1)).as("id_b"))
+      .distinct()
+    val starVerified = joinPayloads(starPairs, payload, "shh")
+      .withColumn("jaccard", HashFunctions.sortedJaccard(col("shh_a"), col("shh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verified.unionByName(starVerified).dropDuplicates("id_a", "id_b")
+  }
+
   /** Joins one payload column onto both sides of a (id_a, id_b) pair frame:
     * output (id_a, id_b, <payload>_a, <payload>_b).
     */
@@ -281,15 +324,11 @@ object Dedup {
     val members = exactMembers(docs, idCol, contentCol)
     val prep = minHashPrep(repDocs(docs, members, idCol, contentCol), n, bands * rowsPerBand)
     val banded = minHashBanded(prep, bands, rowsPerBand)
-    // candidates skinny → distinct → payload re-join; the shh branch prunes
-    // the (expensive) sig column, so signatures are computed once, for
-    // banding only
-    val repPairs = joinPayloads(
-        bucketPairs(banded, Seq("band", "bh"), maxBucket),
-        prep.select(col("id"), col("shh")), "shh")
-      .withColumn("jaccard", HashFunctions.sortedJaccard(col("shh_a"), col("shh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // skinny banding rows → bucket-content collection + in-set generator
+    // verification; the shh branch prunes the (expensive) sig column, so
+    // signatures are computed once, for banding only
+    val repPairs = verifiedJaccardSetPairs(banded, Seq("band", "bh"),
+      prep.select(col("id"), col("shh")), threshold, maxBucket)
     val selfQ = prep
       .select(col("id").as("rep"), HashFunctions.sortedJaccard(col("shh"), col("shh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -360,12 +399,8 @@ object Dedup {
         withH.select(col("id"),
           explode(slice(col("shh"), lit(1), prefLen)).as("g"))
       }
-    val repPairs = joinPayloads(
-        bucketPairs(prefix.select("g", "id"), Seq("g"), maxBucket),
-        withH.select(col("id"), col("shh")), "shh")
-      .withColumn("jaccard", HashFunctions.sortedJaccard(col("shh_a"), col("shh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val repPairs = verifiedJaccardSetPairs(prefix.select("g", "id"), Seq("g"),
+      withH.select(col("id"), col("shh")), threshold, maxBucket)
     val selfQ = withH
       .select(col("id").as("rep"), HashFunctions.sortedJaccard(col("shh"), col("shh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -287,6 +287,103 @@ case class SortedLongJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** WHOLE-BUCKET near-duplicate verification as a generator: the input is one
+  * collected bucket — ARRAY<STRUCT<id STRING, shh ARRAY<BIGINT>>> with `shh`
+  * the sorted hashed shingle set — and the output rows are exactly the
+  * member pairs with Jaccard ≥ `threshold`: (id_a, id_b, jaccard), a < b.
+  *
+  * This replaces pair materialization + per-side payload re-joins: payloads
+  * cross the wire ONCE (with their bucket row, bounded by the bucket cap),
+  * and the O(m²) candidate pairs exist only inside this loop, which emits
+  * only survivors. The inner merge-intersection EARLY-EXITS as soon as the
+  * remaining elements cannot reach the threshold — on crawl-shaped buckets
+  * (many sub-threshold near-copies) that skips ~half the comparison work —
+  * while qualifying pairs complete the merge, so the emitted jaccard and
+  * the qualification decision are bit-identical to
+  * `SortedLongJaccard ≥ threshold`.
+  */
+case class BucketJaccardPairs(child: Expression, threshold: Double)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator with CodegenFallback {
+  require(threshold >= 0.0 && threshold <= 1.0, "threshold in [0, 1]")
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("id_a", StringType, nullable = false),
+    StructField("id_b", StringType, nullable = false),
+    StructField("jaccard", DoubleType, nullable = false)))
+  override def prettyName: String = "bucket_jaccard_pairs"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow):
+      IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null) return Iterator.empty
+    val m = arr.numElements()
+    val ids = new Array[UTF8String](m)
+    val sets = new Array[Array[Long]](m)
+    var i = 0
+    while (i < m) {
+      val st = arr.getStruct(i, 2)
+      // clone: generator output outlives this input row's unsafe buffer
+      ids(i) = st.getUTF8String(0).clone()
+      sets(i) = st.getArray(1).toLongArray()
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        val jac = jaccardIfAtLeast(sets(i), sets(j))
+        if (jac >= 0.0) {
+          // ids are pre-sorted ascending by the caller (sort_array), so
+          // (i, j) is already (a < b); don't re-compare per pair
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](ids(i), ids(j), jac))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Exact Jaccard if ≥ threshold, −1.0 otherwise; early-exits when even
+    * matching every remaining element cannot reach `minInter`.
+    */
+  private def jaccardIfAtLeast(a: Array[Long], b: Array[Long]): Double = {
+    val na = a.length
+    val nb = b.length
+    if (na == 0 && nb == 0) return if (0.0 >= threshold) 0.0 else -1.0
+    // smallest integer intersection size that qualifies, pinned with the
+    // same double division the final value uses (decision parity with
+    // SortedLongJaccard >= threshold)
+    var minInter = math.ceil(threshold * (na + nb) / (1.0 + threshold)).toLong
+    while (minInter > 0 &&
+      (minInter - 1).toDouble / (na + nb - (minInter - 1)).toDouble >= threshold)
+      minInter -= 1
+    while (minInter <= math.min(na, nb) &&
+      minInter.toDouble / (na + nb - minInter).toDouble < threshold)
+      minInter += 1
+    if (minInter > math.min(na, nb)) return -1.0
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      if (inter + math.min(na - i, nb - j) < minInter) return -1.0
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (inter < minInter) -1.0
+    else inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashFunctions {
   /** Native distinct n-gram shingles over a token array column. */
   def shingleArray(tokens: Column, n: Int): Column =
@@ -330,6 +427,12 @@ object HashFunctions {
   /** Merge-intersection Jaccard over two [[hashedSet]] columns. */
   def sortedJaccard(a: Column, b: Column): Column =
     Bridge.column(SortedLongJaccard(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Whole-bucket qualifying-pairs generator over a collected bucket column
+    * (ARRAY<STRUCT<id, shh>>, id-sorted): emits (id_a, id_b, jaccard) rows.
+    */
+  def bucketJaccardPairs(docs: Column, threshold: Double): Column =
+    Bridge.column(BucketJaccardPairs(Bridge.expression(docs), threshold))
 
   /** SimHash64 Column over a token-array column. */
   def simHash64(tokens: Column): Column =

@@ -82,6 +82,32 @@ class ExtSpec extends AnyFunSuite {
     assert(out === Set((1L, "click"), (2L, "view")))
   }
 
+  test("BucketJaccardPairs generator: exact threshold boundary, early-exit parity") {
+    import graft.functions.HashFunctions
+    // A={1..9}, B={2..10}: |A∩B|=8, J = 8/10 = 0.8 EXACTLY; C disjoint
+    val rows = Seq(
+      ("a", (1L to 9L).toSeq), ("b", (2L to 10L).toSeq),
+      ("c", Seq(100L, 101L, 102L)))
+      .toDF("id", "shh")
+    def pairsAt(t: Double) = rows
+      .agg(sort_array(collect_list(struct(col("id"), col("shh")))).as("docs"))
+      .select(HashFunctions.bucketJaccardPairs(col("docs"), t)
+        .as(Seq("id_a", "id_b", "jaccard")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(pairsAt(0.8) === Set(("a", "b", 0.8)), "J == t must qualify")
+    assert(pairsAt(0.81) === Set.empty, "just above the boundary must not")
+    // t = 0 emits every pair including disjoint ones at J = 0
+    assert(pairsAt(0.0) === Set(("a", "b", 0.8), ("a", "c", 0.0), ("b", "c", 0.0)))
+    // t = 1 keeps only identical sets
+    val dup = Seq(("x", Seq(1L, 2L)), ("y", Seq(1L, 2L)), ("z", Seq(1L, 3L)))
+      .toDF("id", "shh")
+      .agg(sort_array(collect_list(struct(col("id"), col("shh")))).as("docs"))
+      .select(HashFunctions.bucketJaccardPairs(col("docs"), 1.0)
+        .as(Seq("id_a", "id_b", "jaccard")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(dup === Set(("x", "y", 1.0)))
+  }
+
   test("sampleStratified: deterministic, stratum-independent, default drops") {
     val rows = (0 until 2000).map(i => (s"doc$i", if (i % 2 == 0) "en" else "de"))
       .toDF("id", "lang")
