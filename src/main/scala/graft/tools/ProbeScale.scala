@@ -69,7 +69,16 @@ object ProbeScale {
       println(s"PROBE   $label pairs = $cnt")
       metrics += (s"${label}_pairs" -> cnt)
     }
-    recordPairs("minhash_dedup", Dedup.minHashDupPairs(bigDocs, threshold = 0.8))
+    // persist the minhash pairs: the clustering stage below consumes them
+    // without recomputing the LSH+verify work
+    val mhPairs = Dedup.minHashDupPairs(bigDocs, threshold = 0.8).persist()
+    recordPairs("minhash_dedup", mhPairs)
+    val nClusters = time("dedup_cluster_sec")(
+      Dedup.dupClusters(mhPairs.select("id_a", "id_b"))
+        .select("cluster").distinct().count())
+    println(s"PROBE   dup clusters = $nClusters")
+    metrics += ("dup_clusters" -> nClusters)
+    mhPairs.unpersist()
     recordPairs("ngram_dedup", Dedup.ngramJaccardPairs(bigDocs, threshold = 0.8))
     recordPairs("simhash_dedup", Dedup.simHashDupPairs(bigDocs, maxHamming = 3))
 
@@ -98,6 +107,9 @@ object ProbeScale {
     val kept = time("decontam_sec")(
       graft.ext.Pipeline.decontaminate(bigDocs, base.limit(500), n = 8).count())
     println(s"PROBE   decontam kept = $kept"); metrics += ("decontam_kept" -> kept)
+    val rep = time("repetition_sec")(graft.ext.TextStats.repetition(bigDocs, n = 2)
+      .agg(sum(when(col("top_ngram_frac") > 0.2, 1L).otherwise(0L))).head().getLong(0))
+    println(s"PROBE   repetitive docs = $rep"); metrics += ("repetitive_docs" -> rep)
 
     val vbase = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id".cast("string").as("id"), $"embedding")
@@ -115,9 +127,12 @@ object ProbeScale {
       case (k, v: String) => s""""$k":"$v""""
       case (k, v) => s""""$k":$v"""
     }.mkString("{", ",", "}")
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_scale.json"),
+    // copies=200 (1M docs) is the canonical cross-round artifact; other
+    // scales write alongside so they never clobber the comparison baseline
+    val outName = if (copies == 200) "BENCH_scale.json" else s"BENCH_scale_${copies}x.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       json.getBytes("UTF-8"))
-    println(s"PROBE wrote BENCH_scale.json: $json")
+    println(s"PROBE wrote $outName: $json")
     spark.stop()
   }
 }

@@ -1,77 +1,67 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate: for each SparkEntry query,
-load the parquet dump written by graft.Verify and compare against the DuckDB
-oracle (rows / schema / values), with columns sorted by name and rows sorted.
+"""Local replica of the driver's correctness gate: compare a graft.Verify
+output directory against DuckDB running the dumped oracle SQL.
 
-Usage: python3 tools/validate_oracle.py <outDir> <sfDir>
+Usage: python3 tools/validate_oracle.py <verifyOutDir> [sfDir]
+
+For every entry in <verifyOutDir>/oracle_sql.json, reads the Spark result
+parquet from <verifyOutDir>/<name>/ and the oracle result from DuckDB over
+the sf tables, normalizes both (columns sorted by name, rows sorted by their
+repr tuple), and compares (columns, row count, value hash). Exit code = the
+number of failing entries.
 """
+import glob
+import hashlib
 import json
-import math
+import os
 import sys
 
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    """Rows as sorted tuples of canonicalized values."""
-    def cv(v):
-        if v is None:
-            return ("null",)
-        if isinstance(v, bool):
-            return ("b", v)
-        if isinstance(v, float):
-            if math.isnan(v):
-                return ("f", "nan")
-            return ("f", v)  # exact: driver may compare raw bytes
-        if isinstance(v, int):
-            return ("i", v)
-        return ("s", str(v))
-    return sorted(tuple(cv(v) for v in row) for row in rows)
+def norm(tbl: pa.Table):
+    cols = sorted(tbl.column_names)
+    tbl = tbl.select(cols)
+    rows = sorted(tuple(repr(r[c]) for c in cols)
+                  for b in tbl.to_batches() for r in b.to_pylist())
+    return cols, len(rows), hashlib.md5(repr(rows).encode()).hexdigest()
 
 
-def main(out_dir, sf_dir):
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vout"
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
     con = duckdb.connect()
-    for t in ["documents", "embeddings", "events", "lineitem", "orders", "customer",
-              "supplier", "part", "nation", "region"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    results = {}
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    fails = []
     for name, sql in sorted(oracle.items()):
-        entry = {}
+        files = glob.glob(os.path.join(out, name, "*.parquet"))
+        if not files:
+            fails.append((name, "no spark output"))
+            continue
+        spark_tbl = pa.concat_tables([pq.read_table(f) for f in files])
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetch_arrow_table()
-            want = con.execute(sql).fetch_arrow_table()
-            gcols = sorted(got.column_names)
-            wcols = sorted(want.column_names)
-            entry["schema_match"] = gcols == wcols
-            if not entry["schema_match"]:
-                entry["got_cols"] = gcols
-                entry["want_cols"] = wcols
-            g_rows = canon(
-                [[got.column(c)[i].as_py() for c in gcols] for i in range(got.num_rows)], gcols)
-            w_rows = canon(
-                [[want.column(c)[i].as_py() for c in wcols] for i in range(want.num_rows)], wcols)
-            entry["rows_match"] = got.num_rows == want.num_rows
-            entry["hash_match"] = g_rows == w_rows
-            entry["rows"] = got.num_rows
-            entry["want_rows"] = want.num_rows
-            if not entry["hash_match"]:
-                diff_g = [r for r in g_rows if r not in w_rows][:3]
-                diff_w = [r for r in w_rows if r not in g_rows][:3]
-                entry["only_got"] = [str(r) for r in diff_g]
-                entry["only_want"] = [str(r) for r in diff_w]
-        except Exception as e:  # noqa: BLE001
-            entry["error"] = str(e)[:300]
-        results[name] = entry
-    ok = sum(1 for e in results.values()
-             if e.get("schema_match") and e.get("rows_match") and e.get("hash_match"))
-    for name, e in results.items():
-        status = "OK " if (e.get("schema_match") and e.get("rows_match") and e.get("hash_match")) else "FAIL"
-        print(f"{status} {name}: {json.dumps(e)[:400]}")
-    print(f"\n{ok}/{len(results)} queries match")
-    return 0 if ok == len(results) else 1
+            o = con.execute(sql).fetch_arrow_table()
+        except Exception as e:  # noqa: BLE001 - report any oracle failure
+            fails.append((name, f"oracle error: {e}"))
+            continue
+        sc, sn, sh = norm(spark_tbl)
+        oc, on, oh = norm(o)
+        if not (sc == oc and sn == on and sh == oh):
+            fails.append((name, f"cols_match={sc == oc} rows={sn}/{on} hash_match={sh == oh}"))
+    print(f"checked {len(oracle)} entries; fails: {len(fails)}")
+    for f in fails:
+        print(" FAIL", f)
+    sys.exit(len(fails))
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    main()
