@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.ext.{Ann, ByteStatsDecoder, Dedup, Multimodal, TextStats}
+import graft.ext.{Ann, ByteStatsDecoder, Dedup, Multimodal, Pipeline, TextStats}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -49,6 +49,23 @@ object ProbeExt {
     println(f"PROBE avg quality = $qual%.4f")
     val fp = TextStats.fingerprint(docs).select("fingerprint").distinct().count()
     println(s"PROBE distinct fingerprints = $fp / ${docs.count()}")
+
+    val rep = TextStats.repetition(docs, n = 2)
+      .agg(max("top_ngram_frac")).head().getDouble(0)
+    println(f"PROBE max top-2gram frac = $rep%.4f")
+
+    val full = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".cast("string").as("id"), $"text".as("content"), $"source", $"lang")
+    val packed = Pipeline.packSequences(docs, budget = 512, shards = 8)
+    println(s"PROBE pack bins = ${packed.select("shard", "bin").distinct().count()}, docs = ${packed.count()}")
+    val sampled = Pipeline.sampleStratified(full, "lang", Map("en" -> 0.5), defaultFraction = 0.1)
+    println(s"PROBE stratified sample kept = ${sampled.count()} / ${full.count()}")
+    val mixed = Pipeline.mixCorpora(full, "source",
+      Map("src1" -> 0.5, "src2" -> 0.5), budgetTokens = 4000)
+    println(s"PROBE mixture kept = ${mixed.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toList}")
+    val decon = Pipeline.decontaminate(full.filter($"source" =!= "src0"),
+      full.filter($"source" === "src0"), n = 8)
+    println(s"PROBE decontaminated kept = ${decon.count()}")
 
     val media = docs.withColumn("modality", lit("text"))
       .withColumn("media", $"content".cast("binary"))
