@@ -115,7 +115,9 @@ object EntryQueries {
         "main", graft.index.Stores.collStatsSchema)
       stats.select(col("n_docs"), round(col("avg_dl"), 6).as("avg_dl"))
     }, Some(s"""SELECT COUNT(*) AS n_docs,
-               |  round(AVG(len($Toks)), 6) AS avg_dl
+               |  -- COALESCE: a null-content doc is an EMPTY doc (dl 0) in the
+               |  -- average, matching both engine stats paths
+               |  round(AVG(COALESCE(len($Toks), 0)), 6) AS avg_dl
                |FROM documents""".stripMargin)),
 
     // Bench-scale bulk upsert: ~100k docs (the baseline harness's headline
@@ -705,13 +707,18 @@ object EntryQueries {
           Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2), budgetTokens = 6000)
         .select("id", "source")
     }, Some(s"""WITH tot AS (SELECT source,
-               |    CAST(SUM(len($Toks)) AS DOUBLE) AS tok
+               |    -- WHITESPACE tokens, matching Pipeline.mixCorpora (not the
+               |    -- alnum tokenizer the FTS oracles use)
+               |    CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS DOUBLE) AS tok
                |  FROM documents WHERE source IN ('src1','src2','src3') GROUP BY source),
                | fr AS (SELECT source,
-               |    CAST(LEAST(1.0, CASE source WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
+               |    -- FLOOR(x + 0.5) = Scala math.round for x >= 0; a bare CAST
+               |    -- would round half-to-nearest and land one above on
+               |    -- fractions below .5
+               |    CAST(FLOOR(LEAST(1.0, CASE source WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
                |                                WHEN 'src2' THEN CAST(0.3 AS DOUBLE)
                |                                ELSE CAST(0.2 AS DOUBLE) END
-               |      * 6000.0 / tok) * 1000000 + 0.5 AS BIGINT) AS thr
+               |      * 6000.0 / tok) * 1000000 + 0.5) AS BIGINT) AS thr
                |  FROM tot)
                |SELECT $DocId AS id, d.source
                |FROM documents d JOIN fr ON d.source = fr.source

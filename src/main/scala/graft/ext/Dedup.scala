@@ -236,10 +236,20 @@ object Dedup {
                                       payload: DataFrame, threshold: Double,
                                       maxBucket: Int): DataFrame = {
     require(maxBucket >= 1, "maxBucket >= 1")
-    val buckets = bucketed.groupBy(keys.map(col): _*)
+    // Size every bucket FIRST (window count over the bucket keys — one
+    // shuffle, spill-capable buffering): collect_list only ever runs on
+    // buckets already known to be within the cap, so a degenerate
+    // mega-bucket (millions of members under one key) is routed to the
+    // star path without ever materializing as a single row. The groupBy
+    // below reuses the window's partitioning — no second shuffle.
+    val w = Window.partitionBy(keys.map(col): _*)
+    val sized = bucketed
+      .withColumn("__sz", count(lit(1)).over(w))
+      .withColumn("__mn", min(col("id")).over(w))
+    val buckets = sized.filter(col("__sz") > 1 && col("__sz") <= maxBucket)
+      .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(col("id"))).as("ms"))
-      .filter(size(col("ms")) > 1)
-    val packed = buckets.filter(size(col("ms")) <= maxBucket)
+    val packed = buckets
       .select(col("ms")).distinct()
       .select(col("ms"), explode(col("ms")).as("id"))
       .join(payload, "id")
@@ -248,9 +258,8 @@ object Dedup {
     val verified = packed.select(
       HashFunctions.bucketJaccardPairs(col("docs"), threshold)
         .as(Seq("id_a", "id_b", "jaccard")))
-    val starPairs = buckets.filter(size(col("ms")) > maxBucket)
-      .select(element_at(col("ms"), 1).as("id_a"),
-        explode(slice(col("ms"), lit(2), size(col("ms")) - 1)).as("id_b"))
+    val starPairs = sized.filter(col("__sz") > maxBucket && col("id") =!= col("__mn"))
+      .select(col("__mn").as("id_a"), col("id").as("id_b"))
       .distinct()
     val starVerified = joinPayloads(starPairs, payload, "shh")
       .withColumn("jaccard", HashFunctions.sortedJaccard(col("shh_a"), col("shh_b")))
@@ -472,6 +481,15 @@ object Dedup {
     def truncated(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
+    // Free a SUPERSEDED round's localCheckpoint blocks immediately instead
+    // of waiting for driver GC + ContextCleaner — a long-lived session
+    // running many dedups would otherwise pin ~log2(n) edge frames per call
+    // in executor storage. (Reliable checkpoint files are not deleted here:
+    // that is spark.cleaner.referenceTracking.cleanCheckpoints's job.)
+    def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
     // canonical undirected edges as (s, l) with s < l
     var edges = truncated(pairs
       .select(least(col("id_a"), col("id_b")).as("s"),
@@ -506,6 +524,7 @@ object Dedup {
       // checkpointed, so each anti-join plans over two leaf scans)
       converged = small.join(edges, Seq("s", "l"), "left_anti").isEmpty &&
         edges.join(small, Seq("s", "l"), "left_anti").isEmpty
+      release(edges) // superseded round — small is eagerly materialized
       edges = small
       iter += 1
     }

@@ -59,6 +59,15 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Float]],
         if (!taken(i) && scores(i) > bestScore) { best = i; bestScore = scores(i) }
         i += 1
       }
+      if (best < 0) {
+        // all remaining scores are NaN (a NaN embedding component poisons
+        // every dot product) — fall back to the lowest untaken id so a bad
+        // vector degrades to an arbitrary-but-valid assignment instead of
+        // crashing the scan (the LSH path tolerates NaN the same way)
+        var f = 0
+        while (taken(f)) f += 1
+        best = f
+      }
       taken(best) = true
       out(j) = best
       j += 1
@@ -107,8 +116,13 @@ object Ivf {
   /** Spherical k-means over a seeded bounded sample of the corpus: unit-norm
     * centroids, cosine assignment, mean + renormalize update; an emptied
     * cluster keeps its previous centroid. Deterministic for a fixed
-    * (corpus, k, iters, sampleFraction, maxSample, seed): sample rows are
-    * hash-ordered before the init slice so partition order doesn't matter.
+    * (corpus, k, iters, maxSample, seed) at the default `sampleFraction =
+    * 1.0`: sample rows are hash-ordered before the init slice so partition
+    * order doesn't matter. With `sampleFraction < 1`, Bernoulli sample
+    * MEMBERSHIP is seeded per partition — the selected rows (and thus the
+    * centroids) depend on how the corpus is partitioned, so rebuilds on a
+    * differently-partitioned read may differ; prefer `maxSample` as the
+    * bounding knob when reproducibility matters.
     */
   def trainCentroids(corpus: DataFrame, embCol: String = "embedding",
                      k: Int = 256, iters: Int = 10,

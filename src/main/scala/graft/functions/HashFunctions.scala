@@ -147,8 +147,8 @@ case class ShingleArray(child: Expression, n: Int, distinct: Boolean = true)
       r += 1
     }
     if (m < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]()
-    val ordered = new Array[Any](m - n + 1)
+    val seen = if (distinct) new java.util.LinkedHashSet[UTF8String]() else null
+    val ordered = if (distinct) null else new Array[Any](m - n + 1)
     val toks = toksAll
     var i = 0
     val space = UTF8String.fromString(" ")

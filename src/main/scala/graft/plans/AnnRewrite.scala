@@ -134,10 +134,16 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
                      s @ Sort(SortOrder(head, Descending, _, _) +: _, true, child, _))
           if !child.exists(_.output.exists(_.name == Marker)) =>
         (for {
-          (embName, qvec) <- cosineOf(head, child)
-          entry           <- registrationOf(child)
-          if entry.embCol == embName
-          idAttr          <- child.output.find(_.name == entry.idCol)
+          (embAttr, qvec) <- cosineOf(head, child)
+          (entry, lr)     <- registrationOf(child)
+          // ground BOTH columns in the registered relation's own attributes
+          // (exprId match) — a bare name like "id" may also be exposed by
+          // OTHER relations joined into the child, and binding one of those
+          // would semi-join on the wrong ids and corrupt results
+          relEmb          <- lr.output.find(_.name == entry.embCol)
+          if embAttr.exprId == relEmb.exprId
+          relId           <- lr.output.find(_.name == entry.idCol)
+          idAttr          <- child.output.find(_.exprId == relId.exprId)
           candDf          <- entry.source.candidates(spark, qvec)
         } yield {
           val candPlan = candDf
@@ -150,16 +156,18 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** The (embedding column name, literal query vector) of a cosine-DESC sort
+  /** The (embedding Attribute, literal query vector) of a cosine-DESC sort
     * key, chasing one level of aliasing through the child's projections.
+    * Returning the Attribute (not its name) lets the caller demand exprId
+    * identity with the registered relation's own column.
     */
-  private def cosineOf(e: Expression, child: LogicalPlan): Option[(String, Seq[Float])] =
+  private def cosineOf(e: Expression, child: LogicalPlan): Option[(Attribute, Seq[Float])] =
     e match {
       case CosineSimilarity(l, r) =>
-        (queryVec(r), embName(l)) match {
-          case (Some(q), Some(n)) => Some((n, q))
-          case _ => (queryVec(l), embName(r)) match {
-            case (Some(q), Some(n)) => Some((n, q))
+        (queryVec(r), embAttr(l)) match {
+          case (Some(q), Some(a)) => Some((a, q))
+          case _ => (queryVec(l), embAttr(r)) match {
+            case (Some(q), Some(a)) => Some((a, q))
             case _ => None
           }
         }
@@ -170,9 +178,9 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def embName(e: Expression): Option[String] = e match {
-    case a: Attribute => Some(a.name)
-    case Cast(a: Attribute, ArrayType(FloatType, _), _, _) => Some(a.name)
+  private def embAttr(e: Expression): Option[Attribute] = e match {
+    case a: Attribute => Some(a)
+    case Cast(a: Attribute, ArrayType(FloatType, _), _, _) => Some(a)
     case _ => None
   }
 
@@ -182,11 +190,13 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The registered entry of the (single) parquet relation the child scans. */
-  private def registrationOf(child: LogicalPlan): Option[AnnCatalog.Entry] =
-    child.collectFirst {
+  /** The registered entry (and its scan node) of the first registered
+    * parquet relation the child scans.
+    */
+  private def registrationOf(child: LogicalPlan): Option[(AnnCatalog.Entry, LogicalRelation)] =
+    child.collect {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
         lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
-          .flatMap(p => AnnCatalog.lookup(p.toString)).headOption
-    }.flatten
+          .flatMap(p => AnnCatalog.lookup(p.toString)).headOption.map(e => (e, lr))
+    }.flatten.headOption
 }

@@ -50,15 +50,16 @@ object EventStreams {
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
                   watermark: Option[String] = None,
-                  tsCol: String = "ts"): DataFrame = {
-    val keyed = events.select(keyCols.map(col) :+ col(tsCol): _*)
+                  tsCol: String = "ts"): DataFrame =
     watermark match {
       case Some(w) =>
-        keyed.withWatermark(tsCol, w).dropDuplicatesWithinWatermark(keyCols)
+        events.select(keyCols.map(col) :+ col(tsCol): _*)
+          .withWatermark(tsCol, w).dropDuplicatesWithinWatermark(keyCols)
           .select(keyCols.map(col): _*)
-      case None => keyed.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+      case None =>
+        // batch/backfill: tsCol is unused — don't require it to exist
+        events.select(keyCols.map(col): _*).dropDuplicates(keyCols)
     }
-  }
 
   /** Per-user sessionization by inactivity gap (session window). Streaming:
     * same call with a watermark. Demonstrates the state-merge window family.

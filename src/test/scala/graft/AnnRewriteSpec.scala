@@ -126,6 +126,37 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally AnnCatalog.clear()
   }
 
+  test("rewrite binds the REGISTERED relation's columns through joins") {
+    val (path, corpus) = mkCorpus()
+    try {
+      val index = LshIndex.build(corpus, numTables = 8, numPlanes = 2, dim = 8)
+      AnnCatalog.register(spark, path,
+        AnnCatalog.Entry("id", "embedding", AnnCatalog.LshRegistered(index)))
+      // LEFT side exposes its own `id` column with DIFFERENT values — binding
+      // by bare name would pick this one and semi-join on garbage
+      val side = (0 until 100).map(i => (f"v$i%03d", s"SIDE$i"))
+        .toDF("join_key", "id")
+      val joined = side.join(corpus, side("join_key") === corpus("id"))
+      val q5 = joined
+        .withColumn("sim", VectorFunctions.cosine(corpus("embedding"), VectorFunctions.vecLit(q)))
+        .orderBy(col("sim").desc, corpus("id").asc).limit(5)
+      assert(hasSemiJoin(q5), "must still fire with a join in the child")
+      val exact = topK(corpus, 5).select("id").as[String].collect().toSeq
+      assert(q5.select(corpus("id")).as[String].collect().toSeq === exact,
+        "must filter on the registered store's ids, not the side frame's")
+      // cosine over a DIFFERENT frame's embedding column (same name, other
+      // exprId) must NOT rewrite
+      val side2 = (0 until 100).map(i => (f"v$i%03d", Seq.fill(8)(0.5f)))
+        .toDF("join_key", "embedding")
+      val joined2 = side2.join(corpus.drop("embedding"), side2("join_key") === corpus("id"))
+      val other = joined2
+        .withColumn("sim", VectorFunctions.cosine(side2("embedding"), VectorFunctions.vecLit(q)))
+        .orderBy(col("sim").desc).limit(5)
+      assert(!hasSemiJoin(other),
+        "a same-named embedding from another relation must decline")
+    } finally AnnCatalog.clear()
+  }
+
   test("non-cosine sorts and other columns never rewrite") {
     val (path, corpus) = mkCorpus()
     try {
