@@ -113,26 +113,64 @@ object Ivf {
       (c.lazyZip(q.take(c.size)).map((a, b) => a.toDouble * b).sum, i)
     }.sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
 
+  /** The `maxSample` rows with the smallest `(murmur3(emb, seed), emb)` key
+    * — exactly the selection `orderBy(hash, emb).limit(maxSample)` makes,
+    * WITHOUT ever sorting the corpus. A `limit` above
+    * `spark.sql.execution.topKSortFallbackThreshold` (default 10,000) does
+    * not plan as TakeOrderedAndProject: it falls back to a full
+    * range-shuffle sort of every row followed by a single-partition limit —
+    * at 100 TB that is the whole embedding column through one global sort.
+    * Instead: one count picks a hash cutoff expected to admit ~4×maxSample
+    * survivors, the cutoff predicate rides the scan as a plain filter, and
+    * only the O(maxSample) survivors are sorted (cutoff widens ×16 and
+    * retries in the statistically-rare under-admit case; any run whose
+    * survivor count reaches the target provably contains the global
+    * smallest-`maxSample` set, so the selection is identical to the
+    * global-sort spec). Cost at any scale: two scans + a bounded sort.
+    */
+  private[graft] def boundedSample(corpus: DataFrame, embCol: String,
+                                 sampleFraction: Double, maxSample: Int,
+                                 seed: Long): DataFrame = {
+    val base0 = corpus.select(col(embCol).as("emb")).filter(col("emb").isNotNull)
+    val base = if (sampleFraction < 1.0)
+      base0.sample(withReplacement = false, sampleFraction, seed) else base0
+    val withH = base.withColumn("h", hash(col("emb"), lit(seed)))
+    val total = withH.count()
+    val target = math.min(total, maxSample.toLong)
+    val fullSpan = 4294967296L // murmur3 output is ~uniform over the 2^32 int range
+    var span = math.min(fullSpan,
+      math.max(1L, math.ceil(4.0 * target / math.max(1L, total) * fullSpan).toLong))
+    def survivorsFor(span: Long): DataFrame = {
+      val cutoff = if (span >= fullSpan) Int.MaxValue
+                   else (Int.MinValue.toLong + span - 1L).toInt
+      withH.filter(col("h") <= lit(cutoff))
+    }
+    var survivors = survivorsFor(span)
+    while (span < fullSpan && survivors.count() < target) {
+      span = math.min(fullSpan, span * 16L)
+      survivors = survivorsFor(span)
+    }
+    survivors.orderBy(col("h"), col("emb")).limit(maxSample).select(col("emb"))
+  }
+
   /** Spherical k-means over a seeded bounded sample of the corpus: unit-norm
     * centroids, cosine assignment, mean + renormalize update; an emptied
     * cluster keeps its previous centroid. Deterministic for a fixed
     * (corpus, k, iters, maxSample, seed) at the default `sampleFraction =
-    * 1.0`: sample rows are hash-ordered before the init slice so partition
-    * order doesn't matter. With `sampleFraction < 1`, Bernoulli sample
-    * MEMBERSHIP is seeded per partition — the selected rows (and thus the
-    * centroids) depend on how the corpus is partitioned, so rebuilds on a
-    * differently-partitioned read may differ; prefer `maxSample` as the
-    * bounding knob when reproducibility matters.
+    * 1.0`: sample rows are hash-ordered before the init slice (via
+    * [[boundedSample]] — hash-threshold prefilter, never a corpus-wide
+    * sort) so partition order doesn't matter. With `sampleFraction < 1`,
+    * Bernoulli sample MEMBERSHIP is seeded per partition — the selected
+    * rows (and thus the centroids) depend on how the corpus is partitioned,
+    * so rebuilds on a differently-partitioned read may differ; prefer
+    * `maxSample` as the bounding knob when reproducibility matters.
     */
   def trainCentroids(corpus: DataFrame, embCol: String = "embedding",
                      k: Int = 256, iters: Int = 10,
                      sampleFraction: Double = 1.0, maxSample: Int = 100000,
                      seed: Long = 42L): Seq[Seq[Float]] = {
     require(k >= 1, "k >= 1")
-    val sample = corpus.select(col(embCol).as("emb")).filter(col("emb").isNotNull)
-      .sample(withReplacement = false, sampleFraction, seed)
-      .orderBy(hash(col("emb"), lit(seed)), col("emb"))
-      .limit(maxSample)
+    val sample = boundedSample(corpus, embCol, sampleFraction, maxSample, seed)
       .persist()
     try {
       val init = sample.limit(k).collect()

@@ -122,6 +122,23 @@ object ProbeScale {
     time("ann_exact_sec")(Ann.exactTopK(vecs, qs, 10).count())
     time("ann_lsh_sec")(Ann.lshTopK(vecs, qs, 10, numTables = 16, numPlanes = 4, dim = 64).count())
 
+    // IVF build at 1M vectors: train (hash-threshold bounded sample — never
+    // a corpus-wide sort, see Ivf.boundedSample) + the full assignment scan.
+    // The r4 sample path would have range-shuffle-sorted all 1M embeddings
+    // right here.
+    val ivfVecs = spark.range(500).withColumnRenamed("id", "copy").crossJoin(vbase)
+      .repartition(64)
+      .select(concat($"id", lit("_"), $"copy").as("id"), $"embedding")
+      .persist()
+    println(s"PROBE ivf vectors = ${ivfVecs.count()}")
+    time("ivf_build_1m_sec") {
+      val ix = graft.ext.Ivf.build(ivfVecs, k = 256, iters = 5, maxSample = 50000)
+      val assigned = ix.assignments.count()
+      println(s"PROBE   ivf assigned = $assigned")
+      metrics += ("ivf_assigned" -> assigned)
+    }
+    ivfVecs.unpersist()
+
     metrics += ("copies" -> copies)
     val json = metrics.map {
       case (k, v: String) => s""""$k":"$v""""

@@ -336,6 +336,33 @@ class ExtSpec extends AnyFunSuite {
     assert(ix3.centroids.size === 4)
   }
 
+  test("Ivf.boundedSample: selection matches the global-sort spec; no corpus-wide Sort in the plan") {
+    import graft.ext.Ivf
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Sort => LSort}
+    // 5,000 deterministic 8-dim vectors, maxSample well below the corpus so
+    // the hash-threshold prefilter actually prunes
+    val corpus = spark.range(5000).select(
+      array((0 until 8).map(d => (hash(col("id"), lit(d)).cast("float") /
+        lit(Int.MaxValue.toFloat)).cast("float")): _*).as("embedding"))
+    val got = Ivf.boundedSample(corpus, "embedding", 1.0, 500, 42L)
+    // parity with the spec the old implementation planned as a global sort
+    val want = corpus.select(col("embedding").as("emb")).filter(col("emb").isNotNull)
+      .orderBy(hash(col("emb"), lit(42L)), col("emb")).limit(500)
+    assert(got.collect().map(_.getSeq[Float](0)).toSeq ===
+      want.collect().map(_.getSeq[Float](0)).toSeq)
+    // plan shape: every global Sort must sit above the hash-cutoff filter —
+    // its input is O(maxSample) survivors, never the whole corpus
+    val sorts = got.queryExecution.optimizedPlan.collect { case s: LSort if s.global => s }
+    assert(sorts.nonEmpty, "expected the bounded survivor sort")
+    sorts.foreach { s =>
+      val bounded = s.child.collect {
+        case f: LFilter if f.condition.sql.toLowerCase.contains("hash") &&
+          f.condition.sql.contains("<=") => f
+      }
+      assert(bounded.nonEmpty, s"Sort not bounded by a hash-cutoff filter:\n${s.treeString}")
+    }
+  }
+
   test("embeddingDupPairs: near-identical vectors verified by exact cosine") {
     val pairs = Dedup.embeddingDupPairs(vecCorpus, threshold = 0.95,
       numTables = 8, numPlanes = 4, dim = 4)
