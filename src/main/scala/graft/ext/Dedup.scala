@@ -189,33 +189,6 @@ object Dedup {
     smallPairs.unionByName(bigPairs)
   }
 
-  /** Capped candidate PAIRS from a skinny (keys…, id) frame: every unordered
-    * in-bucket pair as (id_a, id_b) with id_a < id_b, deduplicated across
-    * buckets; buckets over `maxBucket` contribute star edges only. The
-    * shuffle carries no payload — callers re-join verification payloads per
-    * side AFTER the distinct, so each pair's payload crosses the wire once
-    * regardless of how many buckets it co-occurs in (see the object doc).
-    */
-  private def bucketPairs(bucketed: DataFrame, keys: Seq[String],
-                          maxBucket: Int): DataFrame = {
-    require(maxBucket >= 1, "maxBucket >= 1")
-    val w = Window.partitionBy(keys.map(col): _*)
-    val sized = bucketed
-      .withColumn("__sz", count(lit(1)).over(w))
-      .withColumn("__mn", min(col("id")).over(w))
-    val keyEq = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
-    def sides(df: DataFrame, other: DataFrame, cond: org.apache.spark.sql.Column) =
-      df.as("a").join(other.as("b"), cond)
-        .select(least(col("a.id"), col("b.id")).as("id_a"),
-          greatest(col("a.id"), col("b.id")).as("id_b"))
-    val small = sized.filter(col("__sz") <= maxBucket)
-    val smallPairs = sides(small, small, keyEq && col("a.id") < col("b.id"))
-    val big = sized.filter(col("__sz") > maxBucket)
-    val bigPairs = sides(big.filter(col("id") === col("__mn")),
-      big.filter(col("id") =!= col("__mn")), keyEq)
-    smallPairs.unionByName(bigPairs).distinct()
-  }
-
   /** Capped in-bucket Jaccard verification via BUCKET-CONTENT COLLECTION:
     * buckets collect their sorted member-id lists (one skinny shuffle);
     * identical member sets — e.g. a tight near-dup cluster colliding in all
@@ -593,10 +566,17 @@ object Dedup {
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`.
     *
     * Candidates come from random-hyperplane LSH buckets ([[Ann.lshTables]]):
-    * only vectors sharing a bucket in ≥1 table are compared — the embedding
-    * travels with its bucket rows and the exact codegen'd cosine is applied
-    * in the bucket join, never on a materialized candidate list. With
-    * `numTables` tables of `numPlanes` hyperplanes, P[miss] =
+    * only vectors sharing a bucket in ≥1 table are compared. The bucket
+    * shuffle is skinny — (table, bucket, id) only — and verification uses
+    * BUCKET-CONTENT COLLECTION (the same shape as the MinHash/n-gram
+    * family): buckets collect their sorted member-id lists, identical member
+    * sets across tables deduplicate BEFORE any pair work, embeddings then
+    * join once per (set, member) and ride to the set row (bounded: ≤
+    * maxBucket members × dim floats), and a native generator
+    * ([[graft.functions.BucketCosinePairs]]) verifies all pairs INSIDE the
+    * set row — candidate pairs never materialize, and no embedding crosses
+    * the wire more than once per set membership. With `numTables` tables of
+    * `numPlanes` hyperplanes, P[miss] =
     * (1 − (1 − θ/π)^numPlanes)^numTables for angle θ. Buckets over
     * `maxBucket` degrade to star edges (see the object doc). Set
     * `numTables = 0` for the exact all-pairs variant (correctness baseline /
@@ -619,13 +599,34 @@ object Dedup {
         .select(col("id"),
           posexplode(Ann.lshBucketCol(col("emb"), numTables, numPlanes, dim, seed))
             .as(Seq("table", "bucket")))
-      joinPayloads(
-          bucketPairs(buckets.select("table", "bucket", "id"),
-            Seq("table", "bucket"), maxBucket),
-          base, "emb")
+        .select(col("table"), col("bucket"), col("id"))
+      // size every bucket first so a mega-bucket routes to the star path
+      // without ever materializing as one collected row (same discipline as
+      // verifiedJaccardSetPairs)
+      val w = Window.partitionBy(col("table"), col("bucket"))
+      val sized = buckets
+        .withColumn("__sz", count(lit(1)).over(w))
+        .withColumn("__mn", min(col("id")).over(w))
+      val sets = sized.filter(col("__sz") > 1 && col("__sz") <= maxBucket)
+        .groupBy(col("table"), col("bucket"))
+        .agg(sort_array(collect_list(col("id"))).as("ms"))
+        .select(col("ms")).distinct()
+      val packed = sets
+        .select(col("ms"), explode(col("ms")).as("id"))
+        .join(base, "id")
+        .groupBy(col("ms"))
+        .agg(sort_array(collect_list(struct(col("id"), col("emb")))).as("docs"))
+      val verified = packed.select(
+        VectorFunctions.bucketCosinePairs(col("docs"), threshold)
+          .as(Seq("id_a", "id_b", "cos")))
+      val starPairs = sized.filter(col("__sz") > maxBucket && col("id") =!= col("__mn"))
+        .select(col("__mn").as("id_a"), col("id").as("id_b"))
+        .distinct()
+      val starVerified = joinPayloads(starPairs, base, "emb")
         .select(col("id_a"), col("id_b"),
           VectorFunctions.cosine(col("emb_a"), col("emb_b")).as("cos"))
         .filter(col("cos") >= threshold)
+      verified.unionByName(starVerified).dropDuplicates("id_a", "id_b")
     }
   }
 }

@@ -94,6 +94,101 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** WHOLE-BUCKET embedding near-duplicate verification as a generator — the
+  * cosine analogue of [[graft.functions.BucketJaccardPairs]]: the input is
+  * one collected LSH bucket — ARRAY<STRUCT<id STRING, emb ARRAY<FLOAT>>>,
+  * id-sorted — and the output rows are exactly the member pairs with cosine
+  * ≥ `threshold`: (id_a, id_b, cos), a < b.
+  *
+  * Replaces candidate-pair materialization + per-side embedding re-joins:
+  * each embedding crosses the wire ONCE per set membership (bounded by the
+  * bucket cap), and the O(m²) candidate pairs exist only inside this loop,
+  * which emits only survivors. Per-member squared norms are precomputed once
+  * (full-length), so each pair costs one dot-product pass when dimensions
+  * match; mismatched-length pairs fall back to the exact
+  * [[CosineSimilarity]] loop. Both paths accumulate in double, left to
+  * right — emitted values are bit-identical to `CosineSimilarity`.
+  */
+case class BucketCosinePairs(child: Expression, threshold: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(threshold >= -1.0 && threshold <= 1.0, "threshold in [-1, 1]")
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("id_a", StringType, nullable = false),
+    StructField("id_b", StringType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  override def prettyName: String = "bucket_cosine_pairs"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null) return Iterator.empty
+    val m = arr.numElements()
+    val ids = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    val vecs = new Array[Array[Float]](m)
+    val sq = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val st = arr.getStruct(i, 2)
+      // clone: generator output outlives this input row's unsafe buffer
+      ids(i) = st.getUTF8String(0).clone()
+      val v = st.getArray(1).toFloatArray()
+      vecs(i) = v
+      var s = 0.0
+      var d = 0
+      while (d < v.length) { val x = v(d).toDouble; s += x * x; d += 1 }
+      sq(i) = s
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[InternalRow]
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        val a = vecs(i)
+        val b = vecs(j)
+        val cos =
+          if (a.length == b.length) {
+            if (sq(i) == 0.0 || sq(j) == 0.0) 0.0
+            else {
+              var dot = 0.0
+              var d = 0
+              while (d < a.length) { dot += a(d).toDouble * b(d).toDouble; d += 1 }
+              dot / (math.sqrt(sq(i)) * math.sqrt(sq(j)))
+            }
+          } else cosineTruncated(a, b)
+        if (cos >= threshold) {
+          // ids are pre-sorted ascending by the caller (sort_array), so
+          // (i, j) is already (a < b)
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](ids(i), ids(j), cos))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** The exact [[CosineSimilarity]] semantics for mismatched lengths:
+    * dot AND norms over the first min(|a|, |b|) elements only.
+    */
+  private def cosineTruncated(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xv = a(i).toDouble
+      val yv = b(i).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorFunctions {
 
   private val FloatArray = ArrayType(FloatType)
@@ -108,6 +203,12 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(
       Bridge.expression(a.cast(FloatArray)), Bridge.expression(b.cast(FloatArray))))
+
+  /** Whole-bucket qualifying-pairs generator over a collected bucket column
+    * (ARRAY<STRUCT<id, emb>>, id-sorted): emits (id_a, id_b, cos) rows.
+    */
+  def bucketCosinePairs(docs: Column, threshold: Double): Column =
+    Bridge.column(BucketCosinePairs(Bridge.expression(docs), threshold))
 
   /** A query vector as an ARRAY<FLOAT> literal column. */
   def vecLit(v: Seq[Float]): Column =

@@ -122,6 +122,12 @@ object ProbeScale {
     time("ann_exact_sec")(Ann.exactTopK(vecs, qs, 10).count())
     time("ann_lsh_sec")(Ann.lshTopK(vecs, qs, 10, numTables = 16, numPlanes = 4, dim = 64).count())
 
+    // Embedding near-dup at 100k vectors: 50 identical copies per base
+    // vector → 2,000 50-member duplicate clusters, so the true pair count is
+    // quadratic-in-cluster (2000 × C(50,2) = 2.45M) — the in-set generator
+    // must enumerate them without ever materializing candidate rows.
+    recordPairs("emb_dedup", Dedup.embeddingDupPairs(vecs, threshold = 0.9))
+
     // IVF build at 1M vectors: train (hash-threshold bounded sample — never
     // a corpus-wide sort, see Ivf.boundedSample) + the full assignment scan.
     // The r4 sample path would have range-shuffle-sorted all 1M embeddings
