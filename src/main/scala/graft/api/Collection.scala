@@ -30,7 +30,9 @@ private[graft] case class DocRow(id: String, content: String,
   * Physical layout: all collections of one `root` share the same three stores
   * (docs / postings / collstats), discriminated by a `collection=` partition
   * directory — partition pruning replaces the reference's btree on `name`
-  * (core.py:112). Mutations rewrite one partition (write-temp + swap).
+  * (core.py:112). Upserts and deletes append O(batch) delta segments (see
+  * [[graft.index.Stores]]); full rebuilds and [[Collection.compact]] rewrite
+  * the partition via write-temp + swap.
   */
 final class Collection private (
     val spark: SparkSession,
@@ -109,18 +111,31 @@ final class Collection private (
         dedupedRaw.withColumn("embedding", lit(null).cast("array<float>"))
     }
 
-    // Upsert against base: keep base rows whose id is not in the batch. The
-    // batch ids are already driver-side — building the join side from them
-    // keeps the (expensive) embed subtree out of the broadcast branch, so
-    // each doc is embedded exactly once.
-    val batchIds = allIds.distinct.toDF("id")
-    val merged = docs().join(broadcast(batchIds), Seq("id"), "left_anti")
-      .unionByName(deduped.select($"id", $"content", $"metadata",
-        $"embedding".cast("array<float>")))
-    Stores.overwritePartition(spark, docsDir, name, merged)
-
-    refreshIndexes(Some(broadcast(batchIds)))
+    upsert(deduped.select($"id", $"content", $"metadata",
+      $"embedding".cast("array<float>")))
     allIds
+  }
+
+  /** Shared upsert core: lands an already last-wins-deduped batch in the
+    * docs store — full base write for a new collection, O(batch) DELTA
+    * APPEND otherwise (the base is never rewritten; see
+    * [[graft.index.Stores]]' segment layout) — then maintains postings /
+    * stats / ann from the batch alone. The persist materializes the batch
+    * (embedding included) once for its several consumers.
+    */
+  private def upsert(batch0: DataFrame): Unit = {
+    val wasEmpty = !Stores.partitionExists(spark, docsDir, name)
+    val batch = batch0.persist()
+    try {
+      if (wasEmpty) {
+        Stores.overwritePartition(spark, docsDir, name, batch)
+        refreshIndexesFull()
+      } else {
+        Stores.appendDelta(spark, docsDir, name, batch)
+        refreshIndexesDelta(batch)
+        maybeCompact()
+      }
+    } finally batch.unpersist()
   }
 
   /** Bulk DataFrame ingestion (new-scope S8 — the reference has no file
@@ -160,30 +175,7 @@ final class Collection private (
     }
     d = d.select($"id".cast("string"), $"content".cast("string"),
       $"metadata".cast("map<string,string>"), $"embedding".cast("array<float>"))
-    val base = docs()
-    // Partition-existence is the emptiness signal — a filesystem check, not
-    // a Spark job. (A present-but-empty partition takes the delta path,
-    // which degenerates correctly: anti-join over nothing + full build of
-    // the batch.)
-    val wasEmpty = !Stores.partitionExists(spark, docsDir, name)
-    // Materialize the deduped batch ONCE, before the partition swap: it
-    // feeds the merge union, the upsert anti-join (ids only — already
-    // unique after the last-wins window), and the delta index refresh.
-    // Without the persist the whole input subtree — embedding included —
-    // re-evaluates per consumer, and a lazy re-read there could race a
-    // source that overlaps this store.
-    val batch = d.persist()
-    batch.count()
-    val batchIds = batch.select("id")
-    try {
-      val merged = base.join(batchIds, Seq("id"), "left_anti").unionByName(batch)
-      Stores.overwritePartition(spark, docsDir, name, merged)
-      // Delta refresh on the batch's ids (no driver-side collect, no
-      // broadcast hint — the batch can be any size; AQE picks the join
-      // strategy). Empty collection: the delta degenerates to the full build.
-      if (wasEmpty) refreshIndexes(None)
-      else refreshIndexes(Some(batchIds))
-    } finally batch.unpersist()
+    upsert(d)
   }
 
   /** Continuous ingestion: each micro-batch of a streaming frame with
@@ -221,23 +213,43 @@ final class Collection private (
     val idsDf = idSeq.toDF("id")
     Stores.collections(spark, docsDir).foreach { coll =>
       val base = Stores.readPartition(spark, docsDir, coll, Stores.docsSchema)
-      // Skip collections that contain none of the ids — no rewrite, no index
+      // Skip collections that contain none of the ids — no delta, no index
       // refresh (the reference rewrote every collection unconditionally;
       // O(store) per delete doesn't survive scale).
       val touched = !base.join(broadcast(idsDf), Seq("id"), "left_semi").isEmpty
       if (touched) {
-        val remaining = base.join(broadcast(idsDf), Seq("id"), "left_anti")
-        Stores.overwritePartition(spark, docsDir, coll, remaining)
+        // gone-only delta: O(ids) bytes, the base is never rewritten
+        Stores.appendDelta(spark, docsDir, coll,
+          emptyFrame(Stores.docsSchema), gone = Some(idsDf))
         // useFts is decided PER TARGET collection (postings partition exists),
         // not inherited from the caller — a useFts=false caller must not
         // leave sibling collections' postings stale.
         val targetFts = Stores.exists(spark,
           s"${Stores.postingsDir(root)}/collection=${java.net.URLEncoder.encode(coll, "UTF-8")}")
         val self = new Collection(spark, root, coll, None, targetFts)
-        self.refreshIndexes(Some(broadcast(idsDf)))
+        self.removeFromIndexes(idsDf)
+        self.maybeCompact()
       }
     }
   }
+
+  private def emptyFrame(schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** Fold any accumulated delta segments of this collection's stores back
+    * into flat bases — O(collection), run off the ingest path (or let the
+    * [[Stores.MaxDeltas]] policy trigger it).
+    */
+  def compact(): Unit = {
+    Stores.compactPartition(spark, docsDir, name, Stores.docsSchema)
+    Stores.compactPartition(spark, postingsDir, name, Stores.postingsSchema,
+      sortBy = Seq("term"))
+    Stores.compactPartition(spark, annDir, name, Stores.annSchema,
+      sortBy = Seq("table", "bucket"))
+  }
+
+  private def maybeCompact(): Unit =
+    if (Stores.deltaCount(spark, docsDir, name) > Stores.MaxDeltas) compact()
 
   /** Drop every doc of THIS collection (reference core.py:386-400) — a
     * partition drop, no data rewrite.
@@ -301,73 +313,112 @@ final class Collection private (
         s"Collection '$name' has no vector index. Call createVectorIndex() first.")
     }
 
-  /** Rebuild this collection's postings + stats. Delta when `touched` is
-    * given (a single-column `id` frame): untouched docs keep their postings
-    * rows (anti-join), only the touched ids re-tokenize — the Spark analogue
-    * of the reference's delete-stale-then-insert FTS maintenance
-    * (core.py:505-514). O(batch) tokenize work + O(postings) rewrite, never
-    * O(collection) re-tokenize — the property that keeps `streamIngest`
-    * micro-batches flat as the collection grows.
-    *
-    * Callers with a small driver-side id list pre-wrap in `broadcast(…)`;
-    * DataFrame-sized id sets are left unhinted (AQE decides). Never a literal
-    * `isin` list — a 100k-doc batch would otherwise build a 100k-term
-    * Catalyst expression on the driver (plan-size blowup).
+  /** Full postings + stats (re)build — the new-collection / rebuild path.
+    * The fresh postings frame is persisted so the stats pass reads the cache
+    * populated by the store write instead of re-reading (or re-tokenizing)
+    * anything — one tokenize, one write, one cached aggregate.
     */
-  private def refreshIndexes(touched: Option[DataFrame]): Unit = {
+  private def refreshIndexesFull(): Unit = {
     if (useFts) {
-      val current = docs()
-      val fresh = touched match {
-        case Some(idsDf) =>
-          val old = postings().join(idsDf, Seq("id"), "left_anti")
-          old.unionByName(
-            PostingsIndex.build(current.join(idsDf, Seq("id"), "left_semi")))
-        case _ => PostingsIndex.build(current)
-      }
-      Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))
-      // Stats from the just-written index, not an O(collection) re-tokenize:
-      // dl is denormalized per (id, term) row, so per-doc dl is one
-      // map-side-combined pass over the postings store; zero-token docs
-      // (absent from postings) count via the left join with dl 0. One job,
-      // O(batch+index) for a delta refresh, no content column ever read.
-      val perDoc = postings().groupBy($"id").agg(max($"dl").as("dl"))
-      val statsDf = docs().select($"id").join(perDoc, Seq("id"), "left")
-        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_docs"),
-          coalesce(avg(coalesce($"dl", lit(0L))), lit(0.0)).as("avg_dl"))
-      Stores.overwritePartition(spark, statsDir, name, statsDf)
+      val fresh = PostingsIndex.build(docs()).persist()
+      try {
+        Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))
+        writeStats(Some(fresh))
+      } finally fresh.unpersist()
     } else {
       // no postings to derive from — tokenize (still one pass, only for
       // non-FTS collections whose stats are informational)
       Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs()))
     }
-    refreshVectorIndex(touched)
+    refreshVectorIndexFull()
   }
 
-  /** Delta-maintain the persisted vector index, if one exists: untouched
-    * docs keep their bucket rows (anti-join), touched ids re-bucket with the
-    * stored plane parameters — same shape as the postings delta. A
-    * collection emptied of embedded docs loses its params row and the index
-    * is dropped (rebuild with `createVectorIndex` after re-adding).
+  /** Incremental postings + stats maintenance for an upserted batch: only
+    * the batch tokenizes, and the postings store gets an O(batch) delta
+    * segment whose `gone` sidecar claims every batch id (so replaced docs'
+    * stale rows die even when the new content has no tokens) — the Spark
+    * analogue of the reference's delete-stale-then-insert FTS maintenance
+    * (core.py:505-514), without the O(postings) rewrite the pre-segment
+    * layout paid per batch. The property that keeps `streamIngest`
+    * micro-batches flat as the collection grows.
     */
-  private def refreshVectorIndex(touched: Option[DataFrame]): Unit = {
+  private def refreshIndexesDelta(batch: DataFrame): Unit = {
+    val batchIds = batch.select("id")
+    if (useFts) {
+      Stores.appendDelta(spark, postingsDir, name,
+        PostingsIndex.build(batch), gone = Some(batchIds), sortBy = Seq("term"))
+      writeStats(None)
+    } else {
+      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs()))
+    }
+    refreshVectorIndexDelta(batch, batchIds)
+  }
+
+  /** Index maintenance for a delete: gone-only deltas (no tokenize, no
+    * bucket work — the ids simply stop being claimed by any data row).
+    */
+  private def removeFromIndexes(idsDf: DataFrame): Unit = {
+    if (useFts) {
+      Stores.appendDelta(spark, postingsDir, name,
+        emptyFrame(Stores.postingsSchema), gone = Some(idsDf))
+      writeStats(None)
+    } else {
+      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs()))
+    }
+    if (Stores.partitionExists(spark, annDir, name))
+      Stores.appendDelta(spark, annDir, name,
+        emptyFrame(Stores.annSchema), gone = Some(idsDf))
+  }
+
+  /** Collection stats from the postings index (never an O(collection)
+    * re-tokenize): dl is denormalized per (id, term) row, so per-doc dl is
+    * one map-side-combined pass — over the supplied (cached) fresh frame on
+    * the full path, or the resolved postings store on the delta path; both
+    * are column-pruned to (id, dl). Zero-token docs (absent from postings)
+    * count via the left join with dl 0.
+    */
+  private def writeStats(freshPostings: Option[DataFrame]): Unit = {
+    val perDoc = freshPostings.getOrElse(postings())
+      .groupBy($"id").agg(max($"dl").as("dl"))
+    val statsDf = docs().select($"id").join(perDoc, Seq("id"), "left")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_docs"),
+        coalesce(avg(coalesce($"dl", lit(0L))), lit(0.0)).as("avg_dl"))
+    Stores.overwritePartition(spark, statsDir, name, statsDf)
+  }
+
+  /** Full rebuild of the persisted vector index (if one exists) with its
+    * stored plane parameters. A collection emptied of embedded docs loses
+    * its params row and the index is dropped (rebuild with
+    * `createVectorIndex` after re-adding).
+    */
+  private def refreshVectorIndexFull(): Unit = {
     if (!Stores.partitionExists(spark, annDir, name)) return
     LshIndex.fromStoreFrame(
       Stores.readPartition(spark, annDir, name, Stores.annSchema)) match {
       case Some(ix) =>
-        val current = docs()
-        val fresh = touched match {
-          case Some(idsDf) =>
-            val kept = ix.buckets.join(idsDf, Seq("id"), "left_anti")
-            val added = Ann.lshTables(
-              current.join(idsDf, Seq("id"), "left_semi").filter($"embedding".isNotNull),
-              "id", "embedding", ix.numTables, ix.numPlanes, ix.dim, ix.seed)
-            ix.copy(buckets = kept.unionByName(added))
-          case None =>
-            LshIndex.build(current, "id", "embedding",
-              ix.numTables, ix.numPlanes, ix.dim, ix.seed)
-        }
-        Stores.overwritePartition(spark, annDir, name, fresh.toStoreFrame,
+        Stores.overwritePartition(spark, annDir, name,
+          LshIndex.build(docs(), "id", "embedding",
+            ix.numTables, ix.numPlanes, ix.dim, ix.seed).toStoreFrame,
           sortBy = Seq("table", "bucket"))
+      case None => Stores.dropPartition(spark, annDir, name)
+    }
+  }
+
+  /** Delta-maintain the persisted vector index for an upserted batch: only
+    * the batch re-buckets (with the stored plane parameters), written as an
+    * O(batch) delta whose `gone` sidecar claims every batch id — same shape
+    * as the postings delta.
+    */
+  private def refreshVectorIndexDelta(batch: DataFrame, batchIds: DataFrame): Unit = {
+    if (!Stores.partitionExists(spark, annDir, name)) return
+    LshIndex.fromStoreFrame(
+      Stores.readPartition(spark, annDir, name, Stores.annSchema)) match {
+      case Some(ix) =>
+        val added = Ann.lshTables(batch.filter($"embedding".isNotNull),
+          "id", "embedding", ix.numTables, ix.numPlanes, ix.dim, ix.seed)
+        Stores.appendDelta(spark, annDir, name,
+          LshIndex(added, ix.numTables, ix.numPlanes, ix.dim, ix.seed).toStoreFrame,
+          gone = Some(batchIds), sortBy = Seq("table", "bucket"))
       case None => Stores.dropPartition(spark, annDir, name)
     }
   }

@@ -9,12 +9,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * collection — the Spark-native replacement for the reference's btree on the
   * `name` column (reference: src/sifts/core.py:112, 615).
   *
-  * Mutations rewrite ONE collection partition via write-to-temp + atomic-ish
-  * directory swap (the reference's per-op transaction, core.py:446-455, becomes
-  * a partition commit; on a real deployment this layer is where a table format
-  * with transactional commits would slot in).
+  * Full rewrites go through write-to-temp + atomic-ish directory swap (the
+  * reference's per-op transaction, core.py:446-455, becomes a partition
+  * commit). Incremental mutations use a BASE + DELTA SEGMENT layout so a
+  * micro-batch writes O(batch) bytes, never O(collection):
+  *
+  *   - The BASE is the flat parquet files of the partition dir (exactly the
+  *     pre-segment layout, so compacted partitions are indistinguishable
+  *     from old ones).
+  *   - Each delta is a `.delta-NNNNNNNN` subdirectory (an id-level
+  *     REPLACEMENT batch: the segment's rows become the only rows of every
+  *     id it claims) plus an optional `.delta-NNNNNNNN-gone` sidecar
+  *     claiming ids with no surviving rows (deletes, token-less docs).
+  *     Spark's hidden-path filter skips dot-dirs, so the base read never
+  *     sees them.
+  *   - [[readPartition]] resolves last-wins per id: the newest segment that
+  *     claims an id owns every row of it. The claims frame is O(delta rows)
+  *     — small between compactions — so the resolution join broadcasts and
+  *     the base side never shuffles.
+  *   - [[compactPartition]] folds the deltas back into a flat base.
+  *
+  * On a real deployment this layer is where a table format with
+  * transactional commits (merge-on-read + compaction) would slot in; the
+  * segment layout reproduces that shape on bare parquet.
   */
 object Stores {
+
+  /** Compact a partition once it accumulates this many deltas (callers'
+    * default policy; each delta adds one union branch + its claim rows to
+    * every read until compaction).
+    */
+  val MaxDeltas: Int = 32
+
+  private val goneSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false)))
 
   val docsSchema: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),
@@ -75,12 +103,100 @@ object Stores {
   def partitionExists(spark: SparkSession, storeDir: String, collection: String): Boolean =
     exists(spark, partDir(storeDir, collection))
 
-  /** Read one collection's partition of a store; empty (with schema) if absent. */
+  private case class Delta(ordinal: Long, dataDir: String, goneDir: Option[String])
+
+  /** The partition's delta segments, ascending by ordinal. */
+  private def deltas(spark: SparkSession, dir: String): Seq[Delta] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val names = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".delta-"))
+      .map(_.getPath.getName)
+    val gone = names.filter(_.endsWith("-gone")).toSet
+    names.filterNot(_.endsWith("-gone")).sorted.map { n =>
+      Delta(n.stripPrefix(".delta-").toLong, s"$dir/$n",
+        Some(s"$dir/$n-gone").filter(g => gone.contains(s"$n-gone")))
+    }
+  }
+
+  /** How many delta segments a partition currently carries. */
+  def deltaCount(spark: SparkSession, storeDir: String, collection: String): Int =
+    deltas(spark, partDir(storeDir, collection)).size
+
+  /** Read one collection's partition of a store; empty (with schema) if
+    * absent. With delta segments present, resolves id-level last-wins: every
+    * row of an id comes from the newest segment claiming it (base = segment
+    * 0). The winners frame is built from the deltas only — O(delta rows) —
+    * so between compactions the resolution is a broadcast join against the
+    * base scan, never a base shuffle.
+    */
   def readPartition(spark: SparkSession, storeDir: String, collection: String,
                     schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, max}
     val dir = partDir(storeDir, collection)
-    if (exists(spark, dir)) spark.read.schema(schema).parquet(dir)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (!exists(spark, dir))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val base = spark.read.schema(schema).parquet(dir)
+    val segs = deltas(spark, dir)
+    if (segs.isEmpty || !schema.fieldNames.contains("id")) base
+    else {
+      val all = segs.foldLeft(base.withColumn("__seg", lit(0L))) { (acc, d) =>
+        acc.unionByName(
+          spark.read.schema(schema).parquet(d.dataDir).withColumn("__seg", lit(d.ordinal)))
+      }
+      val claims = segs.map { d =>
+        val dataIds = spark.read.schema(schema).parquet(d.dataDir).select(col("id"))
+        d.goneDir.map(g => dataIds.unionByName(
+            spark.read.schema(goneSchema).parquet(g).select(col("id"))))
+          .getOrElse(dataIds)
+          .withColumn("__w", lit(d.ordinal))
+      }.reduce(_ unionByName _)
+      val winners = claims.groupBy(col("id")).agg(max(col("__w")).as("__w"))
+      all.join(winners, Seq("id"), "left")
+        .filter(col("__w").isNull || col("__seg") === col("__w"))
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    }
+  }
+
+  /** Append one delta segment to an existing partition: `df`'s rows replace
+    * ALL rows of every id they carry; `gone` additionally claims ids that
+    * must end up with no rows (deletes; upserted docs whose new state has no
+    * rows in this store). Writes O(batch) bytes — the base is never
+    * rewritten. Data lands before its gone sidecar, so a crash between the
+    * two degrades to an upsert without the extra claims (same atomic-ish
+    * contract as the partition swap).
+    */
+  def appendDelta(spark: SparkSession, storeDir: String, collection: String,
+                  df: DataFrame, gone: Option[DataFrame] = None,
+                  sortBy: Seq[String] = Nil): Unit = {
+    val dir = partDir(storeDir, collection)
+    require(exists(spark, dir), s"appendDelta: no base partition at $dir")
+    val next = deltas(spark, dir).lastOption.map(_.ordinal + 1).getOrElse(1L)
+    val name = f".delta-$next%08d"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeVia(out: DataFrame, dest: String): Unit = {
+      val tmp = new Path(s"$storeDir/.tmp-${java.util.UUID.randomUUID().toString}")
+      out.write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, new Path(dest)))
+        throw new java.io.IOException(s"delta commit failed: $tmp -> $dest")
+    }
+    val out = if (sortBy.nonEmpty) df.sortWithinPartitions(sortBy.head, sortBy.tail: _*) else df
+    writeVia(out, s"$dir/$name")
+    gone.foreach(g => writeVia(g.select(org.apache.spark.sql.functions.col("id")),
+      s"$dir/$name-gone"))
+  }
+
+  /** Fold a partition's delta segments back into a flat base (no-op without
+    * deltas). The resolved read consumes the old files while the temp write
+    * runs; the swap then drops base and deltas together.
+    */
+  def compactPartition(spark: SparkSession, storeDir: String, collection: String,
+                       schema: StructType, sortBy: Seq[String] = Nil): Unit = {
+    val dir = partDir(storeDir, collection)
+    if (!exists(spark, dir) || deltas(spark, dir).isEmpty) return
+    overwritePartition(spark, storeDir, collection,
+      readPartition(spark, storeDir, collection, schema), sortBy)
   }
 
   /** Overwrite one collection's partition: write to a temp dir under the same

@@ -309,4 +309,36 @@ class CollectionSpec extends AnyFunSuite {
     assert(again.count() === 1)
     assert(again.query("lorem").results.head.id === "d1")
   }
+
+  test("delta segments: upserts append O(batch) deltas; compact folds them; content identical throughout") {
+    import graft.index.Stores
+    val root = freshRoot()
+    val c = Collection(spark, root, "seg")
+    c.add(Seq("alpha beta", "gamma delta", "epsilon"), ids = Some(Seq("a", "b", "c")))
+    assert(Stores.deltaCount(spark, Stores.docsDir(root), "seg") === 0) // first write = base
+    // upsert overriding one id + adding one; then a token-less override;
+    // then a delete — each an appended delta, never a base rewrite
+    c.add(Seq("beta replaced", "zeta new"), ids = Some(Seq("b", "d")))
+    assert(Stores.deltaCount(spark, Stores.docsDir(root), "seg") === 1)
+    c.add(Seq(""), ids = Some(Seq("a"))) // now token-less: postings rows must die via gone
+    c.delete(Seq("c"))
+    assert(Stores.deltaCount(spark, Stores.docsDir(root), "seg") === 3)
+    def state(): (Long, Set[(String, String)], Set[String], Long) = {
+      val docs = c.docs().select("id", "content").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val hits = c.query("beta").results.map(_.id).toSet
+      val stats = Stores.readPartition(spark, Stores.collStatsDir(root), "seg",
+        Stores.collStatsSchema).head()
+      (c.count(), docs, hits, stats.getLong(0))
+    }
+    val before = state()
+    assert(before._1 === 3)
+    assert(before._2 === Set("a" -> "", "b" -> "beta replaced", "d" -> "zeta new"))
+    assert(before._3 === Set("b")) // old "alpha beta" postings for a are gone
+    assert(before._4 === 3)
+    c.compact()
+    assert(Stores.deltaCount(spark, Stores.docsDir(root), "seg") === 0)
+    assert(Stores.deltaCount(spark, Stores.postingsDir(root), "seg") === 0)
+    assert(state() === before) // resolution and the compacted base agree
+  }
 }
