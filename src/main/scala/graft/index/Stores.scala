@@ -124,6 +124,23 @@ object Stores {
   def deltaCount(spark: SparkSession, storeDir: String, collection: String): Int =
     deltas(spark, partDir(storeDir, collection)).size
 
+  /** (base bytes, delta bytes) of a partition — a filesystem listing, no
+    * Spark job. Drives size-ratio compaction: a collection whose deltas
+    * rival its base folds cheaply NOW, while a huge base accumulates deltas
+    * to the count cap (the LSM/table-format compaction heuristic).
+    */
+  def segmentBytes(spark: SparkSession, storeDir: String,
+                   collection: String): (Long, Long) = {
+    val p = new Path(partDir(storeDir, collection))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0L, 0L)
+    val st = fs.listStatus(p)
+    val base = st.filter(_.isFile).map(_.getLen).sum
+    val delta = st.filter(s => s.isDirectory && s.getPath.getName.startsWith(".delta-"))
+      .map(s => fs.getContentSummary(s.getPath).getLength).sum
+    (base, delta)
+  }
+
   /** Read one collection's partition of a store; empty (with schema) if
     * absent. With delta segments present, resolves id-level last-wins: every
     * row of an id comes from the newest segment claiming it (base = segment

@@ -145,8 +145,33 @@ object ProbeScale {
     }
     ivfVecs.unpersist()
 
+    // Micro-batch upsert flatness (LAST: the inserts would otherwise shift
+    // the dedup ground-truth counts above): the same five 1,000-doc upserts
+    // against a fresh base-sized collection (~5k docs) vs the 1M-doc one.
+    // Base+delta segments make the write side O(batch); the residual
+    // collection-size dependence is the stats aggregate's column-pruned
+    // (id, dl) postings scan.
+    def microBatches(cc: Collection, tag: String): Unit = {
+      val times = (1 to 5).map { i =>
+        val b = base.limit(1000)
+          .select(concat(lit(s"mb${i}_"), $"id").as("id"),
+            concat($"content", lit(s" probe batch $i")).as("content"), $"metadata")
+        val t0 = System.nanoTime()
+        cc.addDf(b)
+        math.round((System.nanoTime() - t0) / 1e9 * 100) / 100.0
+      }
+      println(s"PROBE microbatch_$tag: ${times.mkString(", ")} s")
+      metrics += (s"microbatch_${tag}_secs" -> times.mkString("[", ",", "]"))
+    }
+    val smallRoot = java.nio.file.Files.createTempDirectory("graft-scale-small-").toString
+    val cSmall = Collection(spark, smallRoot, "small")
+    cSmall.addDf(base)
+    microBatches(cSmall, "small")
+    microBatches(c, "big")
+
     metrics += ("copies" -> copies)
     val json = metrics.map {
+      case (k, v: String) if v.startsWith("[") => s""""$k":$v"""
       case (k, v: String) => s""""$k":"$v""""
       case (k, v) => s""""$k":$v"""
     }.mkString("{", ",", "}")

@@ -312,6 +312,10 @@ class CollectionSpec extends AnyFunSuite {
 
   test("delta segments: upserts append O(batch) deltas; compact folds them; content identical throughout") {
     import graft.index.Stores
+    // toy-sized partitions take the direct merge path and auto-compaction
+    // folds small deltas — disable both to pin the raw segment mechanics
+    spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+    spark.conf.set("spark.graft.compact.auto", "false")
     val root = freshRoot()
     val c = Collection(spark, root, "seg")
     c.add(Seq("alpha beta", "gamma delta", "epsilon"), ids = Some(Seq("a", "b", "c")))
@@ -340,5 +344,7 @@ class CollectionSpec extends AnyFunSuite {
     assert(Stores.deltaCount(spark, Stores.docsDir(root), "seg") === 0)
     assert(Stores.deltaCount(spark, Stores.postingsDir(root), "seg") === 0)
     assert(state() === before) // resolution and the compacted base agree
+    spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+    spark.conf.set("spark.graft.compact.auto", "true")
   }
 }
