@@ -205,9 +205,20 @@ object Dedup {
     * verified through the skinny pair path — same capped contract as
     * before. Output (id_a, id_b, jaccard), a < b, distinct.
     */
+  /** The staged frames of [[verifiedJaccardSetPairs]], exposed so probes can
+    * materialize them one by one and attribute wall time per stage.
+    */
+  private[graft] case class SetVerifyStages(sets: DataFrame, packed: DataFrame,
+                                            pairs: DataFrame)
+
   private def verifiedJaccardSetPairs(bucketed: DataFrame, keys: Seq[String],
                                       payload: DataFrame, threshold: Double,
-                                      maxBucket: Int): DataFrame = {
+                                      maxBucket: Int): DataFrame =
+    jaccardSetStages(bucketed, keys, payload, threshold, maxBucket).pairs
+
+  private def jaccardSetStages(bucketed: DataFrame, keys: Seq[String],
+                               payload: DataFrame, threshold: Double,
+                               maxBucket: Int): SetVerifyStages = {
     require(maxBucket >= 1, "maxBucket >= 1")
     // Size every bucket FIRST (window count over the bucket keys — one
     // shuffle, spill-capable buffering): collect_list only ever runs on
@@ -238,7 +249,8 @@ object Dedup {
       .withColumn("jaccard", HashFunctions.sortedJaccard(col("shh_a"), col("shh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    verified.unionByName(starVerified).dropDuplicates("id_a", "id_b")
+    SetVerifyStages(buckets, packed,
+      verified.unionByName(starVerified).dropDuplicates("id_a", "id_b"))
   }
 
   /** Joins one payload column onto both sides of a (id_a, id_b) pair frame:
@@ -302,19 +314,37 @@ object Dedup {
                       contentCol: String = "content", n: Int = 3,
                       bands: Int = 32, rowsPerBand: Int = 4,
                       threshold: Double = 0.8,
-                      maxBucket: Int = 256): DataFrame = {
+                      maxBucket: Int = 256): DataFrame =
+    minHashDiag(docs, idCol, contentCol, n, bands, rowsPerBand,
+      threshold, maxBucket).pairs
+
+  /** The staged frames of [[minHashDupPairs]] — identical plan pieces, for
+    * probe instrumentation: materializing each in order (every stage
+    * recomputes its predecessors, so stage cost = consecutive-time diff)
+    * attributes wall time to banding / bucket-collect / payload-pack /
+    * verify+expand.
+    */
+  private[graft] case class MinHashDiag(banded: DataFrame, sets: DataFrame,
+                                        packed: DataFrame, pairs: DataFrame)
+
+  private[graft] def minHashDiag(docs: DataFrame, idCol: String = "id",
+                                 contentCol: String = "content", n: Int = 3,
+                                 bands: Int = 32, rowsPerBand: Int = 4,
+                                 threshold: Double = 0.8,
+                                 maxBucket: Int = 256): MinHashDiag = {
     val members = exactMembers(docs, idCol, contentCol)
     val prep = minHashPrep(repDocs(docs, members, idCol, contentCol), n, bands * rowsPerBand)
     val banded = minHashBanded(prep, bands, rowsPerBand)
     // skinny banding rows → bucket-content collection + in-set generator
     // verification; the shh branch prunes the (expensive) sig column, so
     // signatures are computed once, for banding only
-    val repPairs = verifiedJaccardSetPairs(banded, Seq("band", "bh"),
+    val stages = jaccardSetStages(banded, Seq("band", "bh"),
       prep.select(col("id"), col("shh")), threshold, maxBucket)
     val selfQ = prep
       .select(col("id").as("rep"), HashFunctions.sortedJaccard(col("shh"), col("shh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    expandExact(repPairs, members, selfQ, "jaccard")
+    MinHashDiag(banded, stages.sets, stages.packed,
+      expandExact(stages.pairs, members, selfQ, "jaccard"))
   }
 
   /** Bucket diagnostics for [[minHashDupPairs]]' LSH banding at the given

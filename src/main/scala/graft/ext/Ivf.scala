@@ -170,36 +170,88 @@ object Ivf {
                      sampleFraction: Double = 1.0, maxSample: Int = 100000,
                      seed: Long = 42L): Seq[Seq[Float]] = {
     require(k >= 1, "k >= 1")
-    val sample = boundedSample(corpus, embCol, sampleFraction, maxSample, seed)
+    val sorted = boundedSample(corpus, embCol, sampleFraction, maxSample, seed)
       .persist()
     try {
-      val init = sample.limit(k).collect()
+      val init = sorted.limit(k).collect()
         .map(r => normalized(r.getSeq[Float](0).map(_.toDouble).toArray))
       var cents: Seq[Seq[Float]] = init.toSeq
       if (cents.isEmpty)
         throw new IllegalArgumentException("trainCentroids: corpus has no embedded rows")
-      var it = 0
-      while (it < iters) {
-        // (cluster, dim) partial sums — map-side combined, k·dim result rows
-        val sums = sample
-          .select(element_at(nearestCentroidCol(col("emb"), cents, 1), 1).as("cluster"),
-            posexplode(col("emb")).as(Seq("d", "v")))
-          .groupBy(col("cluster"), col("d"))
-          .agg(sum(col("v")).as("s"))
-          .collect()
-        val byCluster = sums.groupBy(_.getInt(0))
-        cents = cents.zipWithIndex.map { case (old, c) =>
-          byCluster.get(c) match {
-            case Some(rows) =>
-              val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
-              normalized(Array.tabulate(old.size)(d => dims.getOrElse(d, 0.0)))
-            case None => old // emptied cluster: keep previous centroid
+      // The bounded sort lands the sample in ONE output partition — spread
+      // it so every Lloyd scan uses the whole cluster (determinism survives:
+      // Spark sorts before round-robin repartitioning, and the reduction
+      // below is partition-ordered, not shuffle-ordered).
+      val sample = sorted.repartition(
+        math.max(1, corpus.sparkSession.sparkContext.defaultParallelism)).persist()
+      try {
+        var it = 0
+        while (it < iters) {
+          val sums = lloydSums(sample, cents)
+          cents = cents.zipWithIndex.map { case (old, c) =>
+            val s = sums(c)
+            if (s.isEmpty) old // emptied cluster: keep previous centroid
+            else normalized(Array.tabulate(old.size)(d => if (d < s.length) s(d) else 0.0))
           }
+          it += 1
         }
-        it += 1
+        cents
+      } finally sample.unpersist()
+    } finally sorted.unpersist()
+  }
+
+  /** One Lloyd round's per-cluster dim sums: deterministic per-partition
+    * accumulation + partition-ordered driver reduce. No shuffle and no
+    * posexplode — each task keeps k running sum vectors (k×dim doubles) and
+    * the driver merges the ≤ parallelism partials in partition order, so
+    * the fp additions happen in a fixed (partition, row, dim) order
+    * regardless of task scheduling. Assignment math mirrors
+    * [[NearestCentroids]] at nprobe=1 (dot over min length, ties → lower
+    * id, all-NaN row → cluster 0). An emptied cluster returns an empty
+    * array.
+    */
+  private def lloydSums(sample: DataFrame, cents: Seq[Seq[Float]]): Array[Array[Double]] = {
+    val centArr = cents.map(_.toArray).toArray
+    val k = centArr.length
+    val partials = sample.select(col("emb")).rdd.mapPartitionsWithIndex { (pid, it) =>
+      val acc = Array.fill(k)(Array.emptyDoubleArray)
+      it.foreach { row =>
+        val xs = row.getSeq[Float](0).toArray
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          val cent = centArr(c)
+          val m = math.min(xs.length, cent.length)
+          var dot = 0.0
+          var i = 0
+          while (i < m) { dot += xs(i).toDouble * cent(i); i += 1 }
+          if (dot > bestScore) { best = c; bestScore = dot }
+          c += 1
+        }
+        if (best < 0) best = 0 // all-NaN scores: degrade like NearestCentroids
+        var a = acc(best)
+        if (a.length < xs.length) { a = java.util.Arrays.copyOf(a, xs.length); acc(best) = a }
+        var d = 0
+        while (d < xs.length) { a(d) += xs(d).toDouble; d += 1 }
       }
-      cents
-    } finally sample.unpersist()
+      Iterator((pid, acc))
+    }.collect().sortBy(_._1)
+    val total = Array.fill(k)(Array.emptyDoubleArray)
+    partials.foreach { case (_, acc) =>
+      var c = 0
+      while (c < k) {
+        val p = acc(c)
+        if (p.nonEmpty) {
+          var t = total(c)
+          if (t.length < p.length) { t = java.util.Arrays.copyOf(t, p.length); total(c) = t }
+          var d = 0
+          while (d < p.length) { t(d) += p(d); d += 1 }
+        }
+        c += 1
+      }
+    }
+    total
   }
 
   /** Build the full index: train on a sample, assign every corpus vector in

@@ -16,11 +16,17 @@ import org.apache.spark.sql.functions._
   * skew diagnostics alongside the timings.
   *
   * Writes one JSON object to BENCH_scale.json in the cwd. Run:
-  * `sbt "runMain graft.tools.ProbeScale [copies]"`.
+  * `sbt "runMain graft.tools.ProbeScale [copies] [modes]"` — `modes` may
+  * contain `wide` (double the BASE corpus with a token-reversed variant:
+  * same doc count as 2×copies but cluster size UNCHANGED, separating
+  * docs-growth from cluster-growth in the MinHash cost) and/or `stages`
+  * (per-stage MinHash timing: banding / bucket-collect / payload-pack /
+  * verify+expand, materialized cumulatively).
   */
 object ProbeScale {
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 200
+    val mode = if (args.length > 1) args(1) else ""
     val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -38,9 +44,16 @@ object ProbeScale {
       r
     }
 
-    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id".cast("string").as("id"), $"text".as("content"),
         map(lit("lang"), $"lang").as("metadata"))
+    // wide: union a token-reversed variant (same vocabulary, different
+    // shingles — no cross-variant near-dups), doubling DISTINCT base docs
+    // so copies× replication doubles corpus size at UNCHANGED cluster size
+    val base = if (mode.contains("wide"))
+      base0.unionByName(base0.select(concat(lit("w_"), $"id").as("id"),
+        concat_ws(" ", reverse(split($"content", " "))).as("content"), $"metadata"))
+    else base0
     // copy-specific 30-token suffix: cross-copy jaccard drops below 0.8 so
     // the qualifying near-dup pair count stays ~25 * copies, not O(copies^2)
     // — but the sub-threshold LSH CANDIDATE volume is still O(copies^2) per
@@ -79,6 +92,18 @@ object ProbeScale {
     println(s"PROBE   dup clusters = $nClusters")
     metrics += ("dup_clusters" -> nClusters)
     mhPairs.unpersist()
+    if (mode.contains("stages")) {
+      // cumulative materialization: every stage recomputes its
+      // predecessors, so per-stage cost = diff of consecutive entries
+      val d = Dedup.minHashDiag(bigDocs, threshold = 0.8)
+      Seq("mh_banded_cum" -> d.banded, "mh_sets_cum" -> d.sets,
+        "mh_packed_cum" -> d.packed, "mh_pairs_cum" -> d.pairs)
+        .foreach { case (l, df) =>
+          val n = time(s"${l}_sec")(df.count())
+          println(s"PROBE   $l rows = $n")
+          metrics += (s"${l}_rows" -> n)
+        }
+    }
     recordPairs("ngram_dedup", Dedup.ngramJaccardPairs(bigDocs, threshold = 0.8))
     recordPairs("simhash_dedup", Dedup.simHashDupPairs(bigDocs, maxHamming = 3))
 
@@ -176,8 +201,11 @@ object ProbeScale {
       case (k, v) => s""""$k":$v"""
     }.mkString("{", ",", "}")
     // copies=200 (1M docs) is the canonical cross-round artifact; other
-    // scales write alongside so they never clobber the comparison baseline
-    val outName = if (copies == 200) "BENCH_scale.json" else s"BENCH_scale_${copies}x.json"
+    // scales/modes write alongside so they never clobber the comparison
+    // baseline
+    val modeSuffix = if (mode.isEmpty) "" else s"_$mode"
+    val outName = if (copies == 200 && mode.isEmpty) "BENCH_scale.json"
+                  else s"BENCH_scale_${copies}x$modeSuffix.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       json.getBytes("UTF-8"))
     println(s"PROBE wrote $outName: $json")
