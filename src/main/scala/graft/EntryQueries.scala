@@ -88,6 +88,25 @@ object EntryQueries {
   private def mainColl(spark: SparkSession, sfDir: String): Collection =
     Collection(spark, fixtureRoot(spark, sfDir), "main")
 
+  private val foldedRoots = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Lazily-built accented fixture for the fold entry: every 10th doc, with
+    * a -> á and e -> é injected (deterministic, replayable in DuckDB with
+    * translate), indexed under foldAccents=true. Its OWN root — kept out of
+    * the shared fixture so a1's timed build doesn't absorb a third ingest.
+    */
+  private def foldedColl(spark: SparkSession, sfDir: String): Collection = {
+    val root = foldedRoots.getOrElseUpdate(sfDir, {
+      val r = java.nio.file.Files.createTempDirectory("graft-folded-").toString
+      val docs = docsFrame(spark, sfDir)
+        .filter(col("id").cast("long") % 10 === 0)
+        .withColumn("content", translate(col("content"), "ae", "áé"))
+      Collection(spark, r, "folded", foldAccents = true).addDf(docs)
+      r
+    })
+    Collection(spark, root, "folded", foldAccents = true)
+  }
+
   private def vecsColl(spark: SparkSession, sfDir: String): Collection =
     Collection(spark, fixtureRoot(spark, sfDir), "vecs", embedder = Some(CsvVecEmbedder))
 
@@ -324,6 +343,29 @@ object EntryQueries {
               |        WHERE tf.t IN ('customer','stream') GROUP BY tf.id)
               |SELECT m.id AS id, round(sc.r, 6) AS rank FROM m JOIN sc ON m.id = sc.id""".stripMargin)),
 
+    // fts5-style prefix expansion in the ranker: the prefix leaf scores as
+    // ONE query term — per-doc tf summed over matching dictionary terms, df =
+    // its distinct matching docs (decision pinned per VERDICT r4 #7; the
+    // reference never asserts rank values, SURVEY §2 Q4)
+    ("q4b_bm25_prefix_rank", (s: SparkSession, sfDir: String) =>
+      mainColl(s, sfDir).queryFrame("customer str*")
+        .select(col("id"), round(col("rank"), 6).as("rank")),
+      Some("""WITH toks AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+              |   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w FROM documents),
+              | lens AS (SELECT id, len(w) AS dl FROM toks),
+              | stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n, (SELECT AVG(len(w)) FROM toks) AS avgdl),
+              | tf AS (SELECT id, t, COUNT(*) AS tf FROM (SELECT id, unnest(w) AS t FROM toks) GROUP BY 1, 2),
+              | leaves(leaf, pat) AS (VALUES ('customer', 'customer'), ('*1', 'str%')),
+              | tfl AS (SELECT l.leaf, tf.id, SUM(tf.tf) AS tf
+              |         FROM tf JOIN leaves l ON tf.t LIKE l.pat GROUP BY 1, 2),
+              | dfl AS (SELECT leaf, COUNT(*) AS df FROM tfl GROUP BY 1),
+              | m AS (SELECT id FROM tfl GROUP BY id HAVING COUNT(DISTINCT leaf) = 2),
+              | sc AS (SELECT tfl.id, SUM( ln((n - df + 0.5) / (df + 0.5) + 1.0)
+              |          * (tfl.tf * 2.2) / (tfl.tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ) AS r
+              |        FROM tfl JOIN dfl USING(leaf) JOIN lens USING(id) CROSS JOIN stats
+              |        GROUP BY tfl.id)
+              |SELECT m.id AS id, round(sc.r, 6) AS rank FROM m JOIN sc ON m.id = sc.id""".stripMargin)),
+
     ("q5_vector_topk", (s: SparkSession, sfDir: String) => {
       val q = queryVec(s, sfDir).mkString(",")
       val page = vecsColl(s, sfDir).queryFrame(q, limit = 10, vectorSearch = true)
@@ -370,16 +412,22 @@ object EntryQueries {
 
     ("q10_sort_nulls", (s: SparkSession, sfDir: String) => {
       // DESC => NULLS FIRST, ASC => NULLS LAST (core.py:312-315); both are the
-      // OPPOSITE of Spark's defaults. rn pins the full order (string compare!).
+      // OPPOSITE of Spark's defaults. rn pins the order (string compare!) of a
+      // BOUNDED 250-row page — it crosses the null/non-null `opt` boundary at
+      // every test sf (201/500 docs lack the key at sf0.01), so both NULLS
+      // placements are exercised, and the rank filter lets Spark 4's
+      // WindowGroupLimit keep the unpartitioned window off the full frame.
       val keys = Seq("-opt", "n_chars").map(SortKey.parse)
       val d = mainColl(s, sfDir).docs()
       d.withColumn("rn", row_number().over(
           Window.orderBy(Sorter.sortColumns(col("metadata"), keys, Seq(col("id").asc)): _*)))
+        .filter(col("rn") <= 250)
         .select(col("rn").cast("long").as("rn"), col("id"))
-    }, Some(s"""SELECT CAST(row_number() OVER (ORDER BY ($OptVal) DESC NULLS FIRST,
-               |         CAST(n_chars AS VARCHAR) ASC NULLS LAST, $DocId ASC) AS BIGINT) AS rn,
-               |       $DocId AS id
-               |FROM documents""".stripMargin)),
+    }, Some(s"""SELECT rn, id FROM (
+               |  SELECT CAST(row_number() OVER (ORDER BY ($OptVal) DESC NULLS FIRST,
+               |           CAST(n_chars AS VARCHAR) ASC NULLS LAST, $DocId ASC) AS BIGINT) AS rn,
+               |         $DocId AS id
+               |  FROM documents) WHERE rn <= 250""".stripMargin)),
 
     ("q11_limit_offset", (s: SparkSession, sfDir: String) =>
       // deterministic slice through the REAL pagination path (limit/offset
@@ -442,6 +490,21 @@ object EntryQueries {
               | ('invalid_operator', 'Invalid operator $bad. Valid operators are $eq, $gt, $lt, $gte, $lte, $in, $nin.'),
               | ('invalid_collection_name', 'requirement failed: Invalid collection name: ''bad name''. Only letters, numbers, and -_+~#=/ are allowed.')
               |) AS t(vcase, message)""".stripMargin)),
+
+    // Diacritic folding (fts5 `unicode61 remove_diacritics` parity,
+    // reference core.py:461): the corpus gets accents injected
+    // deterministically (translate a->á, e->é), the collection indexes with
+    // foldAccents=true, and an accented QUERY ('cüstomer') must match — the
+    // oracle replays the fold with DuckDB strip_accents over the same
+    // accented text. Exercises both sides: index tokenizer and query terms.
+    ("q17_fts_fold", (s: SparkSession, sfDir: String) =>
+      foldedColl(s, sfDir).queryFrame("cüstomer").select("id"),
+      Some(s"""SELECT $DocId AS id FROM documents
+              |WHERE doc_id % 10 = 0 AND len(list_filter(
+              |    list_filter(regexp_split_to_array(
+              |      lower(strip_accents(translate(text, 'ae', 'áé'))), '[^a-z0-9]+'),
+              |      t -> t <> ''),
+              |    t -> t = 'customer')) > 0""".stripMargin)),
 
     // =========================================================================
     // ext/: dedup, ANN, text analysis, multimodal, streaming
@@ -761,7 +824,7 @@ object EntryQueries {
               |    AS dup_line_frac,
               |  CAST(COALESCE(tg.top_tf, 0) AS BIGINT) AS top_ngram_tf,
               |  round(CASE WHEN len(t.w) = 0 THEN 0.0
-              |    ELSE CAST(COALESCE(tg.top_tf, 0) AS DOUBLE) * 2 / len(t.w) END, 6)
+              |    ELSE LEAST(1.0, CAST(COALESCE(tg.top_tf, 0) AS DOUBLE) * 2 / len(t.w)) END, 6)
               |    AS top_ngram_frac
               |FROM tok t LEFT JOIN tg ON t.id = tg.id""".stripMargin)),
 

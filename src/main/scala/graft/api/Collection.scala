@@ -39,7 +39,8 @@ final class Collection private (
     val root: String,
     val name: String,
     val embedder: Option[Embedder],
-    val useFts: Boolean) {
+    val useFts: Boolean,
+    val foldAccents: Boolean) {
 
   import spark.implicits._
 
@@ -255,7 +256,10 @@ final class Collection private (
         // leave sibling collections' postings stale.
         val targetFts = Stores.exists(spark,
           s"${Stores.postingsDir(root)}/collection=${java.net.URLEncoder.encode(coll, "UTF-8")}")
-        val self = new Collection(spark, root, coll, None, targetFts)
+        // foldAccents=false: the delete path never re-tokenizes an FTS
+        // collection (stats derive from postings), and for non-FTS targets
+        // avg_dl is informational only
+        val self = new Collection(spark, root, coll, None, targetFts, foldAccents = false)
         val (baseBytes, deltaBytes) = Stores.segmentBytes(spark, docsDir, coll)
         if (baseBytes + deltaBytes <= directUpsertMaxBytes) {
           // small partition: direct anti-join rewrite, reads stay flat
@@ -310,6 +314,12 @@ final class Collection private (
     Stores.dropPartition(spark, postingsDir, name)
     Stores.dropPartition(spark, statsDir, name)
     Stores.dropPartition(spark, annDir, name)
+    // Retire the ANN-rewrite registration with the store it points at. The
+    // Deferred guard would decline anyway (no ann partition), but a retained
+    // entry keeps AnnCatalog non-empty forever — every query in the JVM pays
+    // rule-matching cost, and a later same-path collection in another session
+    // would inherit the registration without opting in.
+    graft.plans.AnnCatalog.unregister(spark, Stores.partitionPath(docsDir, name))
   }
 
   // -------------------------------------------------------------------------
@@ -372,7 +382,7 @@ final class Collection private (
     */
   private def refreshIndexesFull(source: DataFrame): Unit = {
     if (useFts) {
-      val fresh = PostingsIndex.build(source).persist()
+      val fresh = PostingsIndex.build(source, foldAccents).persist()
       try {
         Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))
         writeStats(Some(fresh), Some(source))
@@ -380,7 +390,7 @@ final class Collection private (
     } else {
       // no postings to derive from — tokenize (still one pass, only for
       // non-FTS collections whose stats are informational)
-      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(source))
+      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(source, foldAccents))
     }
     refreshVectorIndexFull()
   }
@@ -393,13 +403,13 @@ final class Collection private (
   private def refreshIndexesMerge(batch: DataFrame, batchIds: DataFrame): Unit = {
     if (useFts) {
       val fresh = postings().join(batchIds, Seq("id"), "left_anti")
-        .unionByName(PostingsIndex.build(batch)).persist()
+        .unionByName(PostingsIndex.build(batch, foldAccents)).persist()
       try {
         Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))
         writeStats(Some(fresh))
       } finally fresh.unpersist()
     } else {
-      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs()))
+      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs(), foldAccents))
     }
     refreshVectorIndexMerge(batch, batchIds)
   }
@@ -432,10 +442,10 @@ final class Collection private (
     val batchIds = batch.select("id")
     if (useFts) {
       Stores.appendDelta(spark, postingsDir, name,
-        PostingsIndex.build(batch), gone = Some(batchIds), sortBy = Seq("term"))
+        PostingsIndex.build(batch, foldAccents), gone = Some(batchIds), sortBy = Seq("term"))
       writeStats(None)
     } else {
-      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs()))
+      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs(), foldAccents))
     }
     refreshVectorIndexDelta(batch, batchIds)
   }
@@ -452,7 +462,7 @@ final class Collection private (
         writeStats(Some(fresh))
       } finally fresh.unpersist()
     } else {
-      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs()))
+      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs(), foldAccents))
     }
     if (Stores.partitionExists(spark, annDir, name)) {
       LshIndex.fromStoreFrame(
@@ -475,7 +485,7 @@ final class Collection private (
         emptyFrame(Stores.postingsSchema), gone = Some(idsDf))
       writeStats(None)
     } else {
-      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs()))
+      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs(), foldAccents))
     }
     if (Stores.partitionExists(spark, annDir, name))
       Stores.appendDelta(spark, annDir, name,
@@ -583,7 +593,8 @@ final class Collection private (
       throw new IllegalArgumentException("Cannot use order_by with vector search.")
     if (vectorSearch && embedder.isEmpty)
       throw new IllegalArgumentException("Vector search requires an embedding function.")
-    val ast = QueryParser.parse(query)
+    val ast = QueryParser.parse(
+      if (foldAccents) graft.functions.StringFold.fold(query) else query)
     if (ast.nonEmpty && !vectorSearch && !useFts)
       throw new IllegalArgumentException("This collection does not support full-text search.")
 
@@ -648,10 +659,16 @@ object Collection {
   /** Open (or lazily create) a collection under `root` — the analogue of the
     * `Collection()` factory + `create_tables` (core.py:714-737, 108-115).
     */
+  /** `foldAccents` folds diacritics in BOTH the index tokenizer and query
+    * terms (fts5 `unicode61 remove_diacritics` parity, reference
+    * core.py:461) — like `useFts`/`embedder`, an open-time setting the
+    * caller must pass consistently across opens of the same collection.
+    */
   def apply(spark: SparkSession, root: String, name: String,
-            embedder: Option[Embedder] = None, useFts: Boolean = true): Collection = {
+            embedder: Option[Embedder] = None, useFts: Boolean = true,
+            foldAccents: Boolean = false): Collection = {
     require(name != null && NamePattern.matches(name),
       s"Invalid collection name: '$name'. Only letters, numbers, and -_+~#=/ are allowed.")
-    new Collection(spark, root, name, embedder, useFts)
+    new Collection(spark, root, name, embedder, useFts, foldAccents)
   }
 }

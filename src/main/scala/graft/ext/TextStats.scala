@@ -93,7 +93,9 @@ object TextStats {
     *   - `top_ngram_tf`: occurrence count of the doc's most frequent word
     *     `n`-gram (0 if the doc has < n tokens);
     *   - `top_ngram_frac`: tokens covered by that gram's occurrences
-    *     (tf × n) over the doc's token count.
+    *     (tf × n) over the doc's token count, capped at 1.0 — overlapping
+    *     occurrences ("w w w w", n=2 → tf=3) would otherwise push the
+    *     nominal fraction past 1, which no threshold user expects.
     * High values on any of these are the classic boilerplate/SEO-spam
     * signals a pretraining filter drops.
     *
@@ -123,7 +125,7 @@ object TextStats {
       .withColumn("top_ngram_tf", coalesce(col("top_ngram_tf"), lit(0L)))
       .withColumn("top_ngram_frac",
         when(col("__n_toks") === 0, lit(0.0)).otherwise(
-          col("top_ngram_tf") * n / col("__n_toks")))
+          least(lit(1.0), col("top_ngram_tf") * n / col("__n_toks"))))
       .drop("__n_toks")
   }
 

@@ -1,7 +1,38 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Diacritic folding: NFD-decompose, drop combining marks (the fts5
+  * `unicode61 remove_diacritics` behavior, reference src/sifts/core.py:461,
+  * and DuckDB `strip_accents`): 'café' -> 'cafe', 'Müller' -> 'Muller'.
+  * One implementation serves both sides of the engine — the column
+  * expression for index builds (via StaticInvoke, codegen'd, whole-stage
+  * spans stay intact) and the driver-side String form for query terms.
+  */
+object StringFold {
+  private val Marks = java.util.regex.Pattern.compile("\\p{M}+")
+
+  def fold(s: String): String =
+    if (s == null) null
+    else {
+      // fast path: ASCII can't carry marks, skip the normalizer alloc
+      var ascii = true
+      var i = 0
+      while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+      if (ascii) s
+      else Marks.matcher(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)).replaceAll("")
+    }
+
+  /** UTF8String overload — the StaticInvoke target. */
+  def fold(s: UTF8String): UTF8String =
+    if (s == null) null else UTF8String.fromString(fold(s.toString))
+}
 
 /** Column-level text primitives shared by the FTS index builder and the
   * text-analysis operators. One tokenizer for the whole engine (SURVEY §7.4
@@ -24,6 +55,23 @@ object TextFunctions {
     */
   def tokens(content: Column): Column =
     filter(split(lower(content), SeparatorRegex), t => length(t) > lit(0))
+
+  /** `tokens` with optional diacritic folding (fts5 `unicode61`
+    * remove_diacritics parity). Folding happens BEFORE the split: combining
+    * marks are `\p{M}`, not `\p{L}\p{N}`, so an unfolded decomposed
+    * `é` would otherwise SPLIT its token.
+    */
+  def tokens(content: Column, fold: Boolean): Column =
+    if (fold) tokens(foldAccents(content)) else tokens(content)
+
+  /** Column form of [[StringFold.fold]] — codegen'd static call, null in ->
+    * null out.
+    */
+  def foldAccents(content: Column): Column =
+    Bridge.column(StaticInvoke(
+      StringFold.getClass, StringType, "fold",
+      Seq(Bridge.expression(content)), Seq(StringType),
+      returnNullable = true))
 
   /** Distinct tokens, sorted — for set-based similarity (Jaccard). */
   def tokenSet(content: Column): Column = array_sort(array_distinct(tokens(content)))

@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object PostingsIndex {
 
-  /** docs(id, content, …) -> postings(term, id, tf, dl). */
-  def build(docs: DataFrame): DataFrame = {
+  /** docs(id, content, …) -> postings(term, id, tf, dl). `fold` = diacritic
+    * folding (fts5 `unicode61 remove_diacritics` parity) — must match the
+    * collection's query-side folding.
+    */
+  def build(docs: DataFrame, fold: Boolean = false): DataFrame = {
     val toks = docs
-      .select(col("id"), TextFunctions.tokens(col("content")).as("toks"))
+      .select(col("id"), TextFunctions.tokens(col("content"), fold).as("toks"))
       .select(col("id"), size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
     toks
       .groupBy(col("term"), col("id"))
@@ -32,10 +35,10 @@ object PostingsIndex {
     * `Collection.refreshIndexes`, where absent-from-postings docs coalesce
     * to dl 0.
     */
-  def buildCollStats(docs: DataFrame): DataFrame =
+  def buildCollStats(docs: DataFrame, fold: Boolean = false): DataFrame =
     docs.agg(
       count(lit(1)).as("n_docs"),
-      coalesce(avg(coalesce(size(TextFunctions.tokens(col("content"))), lit(0)).cast("long")),
+      coalesce(avg(coalesce(size(TextFunctions.tokens(col("content"), fold)), lit(0)).cast("long")),
         lit(0.0)).as("avg_dl")
     )
 }

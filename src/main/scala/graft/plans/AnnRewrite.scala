@@ -135,13 +135,16 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           if !child.exists(_.output.exists(_.name == Marker)) =>
         (for {
           (embAttr, qvec) <- cosineOf(head, child)
-          (entry, lr)     <- registrationOf(child)
           // ground BOTH columns in the registered relation's own attributes
           // (exprId match) — a bare name like "id" may also be exposed by
           // OTHER relations joined into the child, and binding one of those
-          // would semi-join on the wrong ids and corrupt results
-          relEmb          <- lr.output.find(_.name == entry.embCol)
-          if embAttr.exprId == relEmb.exprId
+          // would semi-join on the wrong ids and corrupt results. When two
+          // registered corpora are joined in one query, the exprId test
+          // picks the relation the sort key actually scores.
+          (entry, lr)     <- registrationsOf(child).find { case (e, rel) =>
+                               rel.output.exists(a =>
+                                 a.name == e.embCol && a.exprId == embAttr.exprId)
+                             }
           relId           <- lr.output.find(_.name == entry.idCol)
           idAttr          <- child.output.find(_.exprId == relId.exprId)
           candDf          <- entry.source.candidates(spark, qvec)
@@ -190,13 +193,13 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The registered entry (and its scan node) of the first registered
-    * parquet relation the child scans.
+  /** Every registered parquet relation the child scans, with its catalog
+    * entry, in plan order — the caller selects by embedding-column exprId.
     */
-  private def registrationOf(child: LogicalPlan): Option[(AnnCatalog.Entry, LogicalRelation)] =
+  private def registrationsOf(child: LogicalPlan): Seq[(AnnCatalog.Entry, LogicalRelation)] =
     child.collect {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
         lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
           .flatMap(p => AnnCatalog.lookup(p.toString)).headOption.map(e => (e, lr))
-    }.flatten.headOption
+    }.flatten
 }

@@ -157,6 +157,64 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally AnnCatalog.clear()
   }
 
+  test("deleteAll retires the registration (catalog emptied with the store)") {
+    import graft.api.{Collection, Embedder}
+    AnnCatalog.install(spark)
+    object E extends Embedder {
+      def embed(texts: Seq[String]): Seq[Array[Float]] =
+        texts.map { t => val v = Array.fill(8)(0.0f); v(t.length % 8) = 1.0f; v }
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-annrw-unreg-").toString
+    val c = Collection(spark, root, "unreg", Some(E))
+    try {
+      c.add((1 to 20).map(i => s"doc $i"))
+      c.createVectorIndex(numTables = 4, numPlanes = 2, dim = 8)
+      assert(!AnnCatalog.isEmpty, "createVectorIndex must register")
+      c.deleteAll()
+      assert(AnnCatalog.isEmpty,
+        "deleteAll must unregister — a retained entry keeps every query paying rule cost")
+    } finally AnnCatalog.clear()
+  }
+
+  test("two registered corpora joined: binds the one the sort key scores") {
+    val (pathA, corpusA) = mkCorpus()
+    // second corpus: same ids, orthogonal embeddings (axis e2/e6)
+    val rowsB = (0 until 100).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v((i % 2) * 4 + 2) = 1.0f
+      v(3) = 0.01f * (i % 5)
+      (f"v$i%03d", v.toSeq)
+    }
+    val dirB = java.nio.file.Files.createTempDirectory("graft-annrw-b-").toString
+    val pathB = s"$dirB/corpus.parquet"
+    rowsB.toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(pathB)
+    val corpusB = spark.read.parquet(pathB)
+    try {
+      AnnCatalog.register(spark, pathA, AnnCatalog.Entry("id", "embedding",
+        AnnCatalog.LshRegistered(LshIndex.build(corpusA, numTables = 8, numPlanes = 2, dim = 8))))
+      AnnCatalog.register(spark, pathB, AnnCatalog.Entry("id", "embedding",
+        AnnCatalog.LshRegistered(LshIndex.build(corpusB, numTables = 8, numPlanes = 2, dim = 8))))
+      val qB: Seq[Float] = { val v = Array.fill(8)(0.0f); v(2) = 1.0f; v(3) = 0.02f; v.toSeq }
+      val exactB = corpusB
+        .withColumn("sim", VectorFunctions.cosine(col("embedding"), VectorFunctions.vecLit(qB)))
+        .orderBy(col("sim").desc, col("id").asc).limit(5)
+        .select("id").as[String].collect().toSeq
+      // join both registered corpora (non-USING join: B's own id column must
+      // survive into the child output for the exprId guard); score corpus B's
+      // embedding — the rule must select B's registration (A appears first
+      // in plan order)
+      val joined = corpusA.select(col("id").as("id_a"), col("embedding").as("emb_a"))
+        .join(corpusB, col("id_a") === corpusB("id"))
+      val top = joined
+        .withColumn("sim", VectorFunctions.cosine(corpusB("embedding"), VectorFunctions.vecLit(qB)))
+        .orderBy(col("sim").desc, corpusB("id").asc).limit(5)
+      assert(hasSemiJoin(top), "must fire on the SECOND registered relation in plan order")
+      assert(top.select(corpusB("id")).as[String].collect().toSeq === exactB)
+    } finally AnnCatalog.clear()
+  }
+
   test("non-cosine sorts and other columns never rewrite") {
     val (path, corpus) = mkCorpus()
     try {

@@ -64,6 +64,48 @@ class CollectionSpec extends AnyFunSuite {
     assert(c.query("Lorem sit").total === 0)   // AND across docs -> no hit
   }
 
+  // --- diacritic folding (fts5 unicode61 remove_diacritics parity,
+  // reference core.py:461; opt-in via foldAccents) ---
+  test("foldAccents: folded index matches unaccented AND accented queries") {
+    assert(graft.functions.StringFold.fold("Crème Brûlée à côté") === "Creme Brulee a cote")
+    val root = freshRoot()
+    val c = Collection(spark, root, "fold", foldAccents = true)
+    c.add(Seq("Crème Brûlée à côté", "plain text here"), ids = Some(Seq("d1", "d2")))
+    assert(c.query("creme").results.map(_.id) === Seq("d1"))  // unaccented query
+    assert(c.query("brûlée").total === 1)                     // accented query folds too
+    assert(c.query("cote").total === 1)
+    assert(c.query("crè*").results.map(_.id) === Seq("d1"))   // folded prefix
+    // without the flag the index keeps the accented form (ASCII-only default
+    // unchanged): unaccented query does not match
+    val u = Collection(spark, root, "nofold")
+    u.add(Seq("Crème Brûlée"), ids = Some(Seq("u1")))
+    assert(u.query("creme").total === 0)
+    assert(u.query("crème").total === 1)
+  }
+
+  // --- prefix-expanded BM25 (decision pinned per VERDICT r4 #7: fts5-style —
+  // a prefix leaf scores as ONE term, tf summed over expansions, df =
+  // distinct matching docs) ---
+  test("bm25 prefix: singleton expansion ranks exactly like the exact term") {
+    val c = coll()
+    c.add(Seq("zebra apple", "zebra zebra banana", "cherry date"),
+      ids = Some(Seq("r1", "r2", "r3")))
+    val exact = c.query("zebra").results.map(h => h.id -> h.rank.get).toMap
+    val pref = c.query("zebr*").results.map(h => h.id -> h.rank.get).toMap
+    assert(pref.keySet === exact.keySet)
+    exact.foreach { case (id, r) => assert(math.abs(pref(id) - r) < 1e-9) }
+  }
+
+  test("bm25 prefix: multi-term expansion sums tf, counts df by doc") {
+    val c = coll()
+    c.add(Seq("car card", "carpet", "dog"), ids = Some(Seq("m1", "m2", "m3")))
+    val res = c.query("car*").results
+    assert(res.map(_.id).toSet === Set("m1", "m2"))
+    assert(res.forall(_.rank.exists(_ > 0.0))) // prefix-only hits rank now
+    val byId = res.map(h => h.id -> h.rank.get).toMap
+    assert(byId("m1") > byId("m2")) // tf 2 (car+card) beats tf 1 at these dls
+  }
+
   test("uuid ids are 36 chars; upsert on existing id replaces") {
     val c = coll()
     val ids = c.add(Seq("Lorem ipsum"))
