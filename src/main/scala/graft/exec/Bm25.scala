@@ -45,23 +45,33 @@ object Bm25 {
       return postings.sparkSession.emptyDataFrame
         .select(lit("").as("id"), lit(0.0).as("rank")).limit(0)
 
-    // one term-pruned scan for ALL exact terms (leaf key = the term itself),
-    // plus one prefix/regex-pruned scan per expanded leaf (queries are small:
-    // #scans = 1 + #wildcard leaves, each term-prunable)
+    // Two plan shapes:
+    //   - all-exact query (the common case): ONE term-pruned scan, leaf key
+    //     = the term itself, NO extra shuffle — (term, id) is already
+    //     unique, so the scan IS the per-(leaf, doc) frame (the r4 plan).
+    //   - any wildcard leaf: still ONE postings scan — each row is tagged
+    //     with the array of leaves it matches (exact tag + one per-leaf
+    //     predicate tag), exploded, then ONE (leaf, id) shuffle sums the
+    //     expansion tf. Never a scan per leaf: the term dictionary is read
+    //     once no matter how many wildcards the query carries.
     val base = postings.select(col("term"), col("id"), col("tf"), col("dl"))
-    val exactScan =
-      if (exact.isEmpty) Seq.empty
-      else Seq(base.filter(col("term").isin(exact: _*))
-        .select(col("term").as("leaf"), col("id"), col("tf"), col("dl")))
-    val expandedScans = expanded.map { case (pred, key) =>
-      base.filter(pred).select(lit(key).as("leaf"), col("id"), col("tf"), col("dl"))
-    }
-    val matched = (exactScan ++ expandedScans).reduce(_ union _)
-
-    // per-(leaf, doc) tf — identity for exact leaves ((term, id) is unique),
-    // the expansion sum for wildcard leaves; dl is constant per doc
-    val perLeafDoc = matched.groupBy(col("leaf"), col("id"))
-      .agg(sum(col("tf")).as("tf"), first(col("dl")).as("dl"))
+    val perLeafDoc =
+      if (expanded.isEmpty)
+        base.filter(col("term").isin(exact: _*))
+          .select(col("term").as("leaf"), col("id"), col("tf"), col("dl"))
+      else {
+        val tags =
+          (if (exact.isEmpty) Seq.empty[Column]
+           else Seq(when(col("term").isin(exact: _*), col("term")))) ++
+            expanded.map { case (pred, key) => when(pred, lit(key)) }
+        base
+          .select(filter(array(tags: _*), t => t.isNotNull).as("leaves"),
+            col("id"), col("tf"), col("dl"))
+          .filter(size(col("leaves")) > 0)
+          .select(explode(col("leaves")).as("leaf"), col("id"), col("tf"), col("dl"))
+          .groupBy(col("leaf"), col("id"))
+          .agg(sum(col("tf")).as("tf"), first(col("dl")).as("dl"))
+      }
     // df per leaf = distinct docs it matches; tiny (≤ #query leaves rows)
     val dfPerLeaf = perLeafDoc.groupBy(col("leaf")).agg(count(lit(1)).as("df"))
     val stats = collStats.select(col("n_docs"), col("avg_dl"))
