@@ -27,12 +27,13 @@ private[graft] case class DocRow(id: String, content: String,
 /** A named logical namespace of documents over Parquet stores — the
   * Spark-native `Collection` (reference src/sifts/core.py:70-400).
   *
-  * Physical layout: all collections of one `root` share the same three stores
-  * (docs / postings / collstats), discriminated by a `collection=` partition
-  * directory — partition pruning replaces the reference's btree on `name`
-  * (core.py:112). Upserts and deletes append O(batch) delta segments (see
-  * [[graft.index.Stores]]); full rebuilds and [[Collection.compact]] rewrite
-  * the partition via write-temp + swap.
+  * Physical layout: all collections of one `root` share the same stores
+  * (docs / postings / doclen / collstats), discriminated by a `collection=`
+  * partition directory — partition pruning replaces the reference's btree on
+  * `name` (core.py:112). Upserts and deletes append O(batch) delta segments
+  * (see [[graft.index.Stores]]); full rebuilds and [[Collection.compact]]
+  * rewrite the partition via write-temp + swap. The skinny doclen store
+  * exists so the per-upsert stats refresh never rescans postings.
   */
 final class Collection private (
     val spark: SparkSession,
@@ -48,6 +49,7 @@ final class Collection private (
   private val postingsDir = Stores.postingsDir(root)
   private val statsDir = Stores.collStatsDir(root)
   private val annDir = Stores.annDir(root)
+  private val doclenDir = Stores.doclenDir(root)
 
   /** This collection's documents (partition-pruned read). */
   def docs(): DataFrame = Stores.readPartition(spark, docsDir, name, Stores.docsSchema)
@@ -290,6 +292,7 @@ final class Collection private (
       sortBy = Seq("term"))
     Stores.compactPartition(spark, annDir, name, Stores.annSchema,
       sortBy = Seq("table", "bucket"))
+    Stores.compactPartition(spark, doclenDir, name, Stores.doclenSchema)
   }
 
   /** Size-ratio + count compaction policy: fold when the docs deltas rival
@@ -314,6 +317,7 @@ final class Collection private (
     Stores.dropPartition(spark, postingsDir, name)
     Stores.dropPartition(spark, statsDir, name)
     Stores.dropPartition(spark, annDir, name)
+    Stores.dropPartition(spark, doclenDir, name)
     // Retire the ANN-rewrite registration with the store it points at. The
     // Deferred guard would decline anyway (no ann partition), but a retained
     // entry keeps AnnCatalog non-empty forever — every query in the JVM pays
@@ -385,12 +389,12 @@ final class Collection private (
       val fresh = PostingsIndex.build(source, foldAccents).persist()
       try {
         Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))
-        writeStats(Some(fresh), Some(source))
+        writeDoclenFull(doclenOfPostings(source.select($"id"), fresh))
       } finally fresh.unpersist()
     } else {
       // no postings to derive from — tokenize (still one pass, only for
       // non-FTS collections whose stats are informational)
-      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(source, foldAccents))
+      writeDoclenFull(doclenOfBatch(source))
     }
     refreshVectorIndexFull()
   }
@@ -402,14 +406,17 @@ final class Collection private (
     */
   private def refreshIndexesMerge(batch: DataFrame, batchIds: DataFrame): Unit = {
     if (useFts) {
+      val freshBatch = PostingsIndex.build(batch, foldAccents)
       val fresh = postings().join(batchIds, Seq("id"), "left_anti")
-        .unionByName(PostingsIndex.build(batch, foldAccents)).persist()
+        .unionByName(freshBatch).persist()
       try {
         Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))
-        writeStats(Some(fresh))
+        writeDoclenFull(doclen().join(batchIds, Seq("id"), "left_anti")
+          .unionByName(doclenOfPostings(batchIds, freshBatch)))
       } finally fresh.unpersist()
     } else {
-      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs(), foldAccents))
+      writeDoclenFull(doclen().join(batchIds, Seq("id"), "left_anti")
+        .unionByName(doclenOfBatch(batch)))
     }
     refreshVectorIndexMerge(batch, batchIds)
   }
@@ -441,11 +448,18 @@ final class Collection private (
   private def refreshIndexesDelta(batch: DataFrame): Unit = {
     val batchIds = batch.select("id")
     if (useFts) {
-      Stores.appendDelta(spark, postingsDir, name,
-        PostingsIndex.build(batch, foldAccents), gone = Some(batchIds), sortBy = Seq("term"))
-      writeStats(None)
+      val freshBatch = PostingsIndex.build(batch, foldAccents).persist()
+      try {
+        Stores.appendDelta(spark, postingsDir, name,
+          freshBatch, gone = Some(batchIds), sortBy = Seq("term"))
+        // O(batch) doclen delta (every batch id carries a row, so the data
+        // rows alone claim the replacements), then the stats aggregate scans
+        // the SKINNY doclen store — never the postings store, whose
+        // resolution at 1M docs cost ~10 s per micro-batch
+        appendDoclenDelta(doclenOfPostings(batchIds, freshBatch))
+      } finally freshBatch.unpersist()
     } else {
-      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs(), foldAccents))
+      appendDoclenDelta(doclenOfBatch(batch))
     }
     refreshVectorIndexDelta(batch, batchIds)
   }
@@ -459,10 +473,10 @@ final class Collection private (
       val fresh = postings().join(idsDf, Seq("id"), "left_anti").persist()
       try {
         Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))
-        writeStats(Some(fresh))
+        writeDoclenFull(doclen().join(idsDf, Seq("id"), "left_anti"))
       } finally fresh.unpersist()
     } else {
-      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs(), foldAccents))
+      writeDoclenFull(doclen().join(idsDf, Seq("id"), "left_anti"))
     }
     if (Stores.partitionExists(spark, annDir, name)) {
       LshIndex.fromStoreFrame(
@@ -483,29 +497,74 @@ final class Collection private (
     if (useFts) {
       Stores.appendDelta(spark, postingsDir, name,
         emptyFrame(Stores.postingsSchema), gone = Some(idsDf))
-      writeStats(None)
-    } else {
-      Stores.overwritePartition(spark, statsDir, name, PostingsIndex.buildCollStats(docs(), foldAccents))
     }
+    appendDoclenDelta(emptyFrame(Stores.doclenSchema), gone = Some(idsDf))
     if (Stores.partitionExists(spark, annDir, name))
       Stores.appendDelta(spark, annDir, name,
         emptyFrame(Stores.annSchema), gone = Some(idsDf))
   }
 
-  /** Collection stats from the postings index (never an O(collection)
-    * re-tokenize): dl is denormalized per (id, term) row, so per-doc dl is
-    * one map-side-combined pass — over the supplied (cached) fresh frame on
-    * the full path, or the resolved postings store on the delta path; both
-    * are column-pruned to (id, dl). Zero-token docs (absent from postings)
-    * count via the left join with dl 0.
+  // -------------------------------------------------------------------------
+  // doclen store + collection stats. The stats aggregate reads the SKINNY
+  // (id, dl) doclen store — one 16-byte row per doc — never the postings
+  // store: resolving O(Σ dl) postings rows per upsert cost ~10 s per
+  // micro-batch at 1M docs (ProbeScale `microbatch_big`) and scans terabytes
+  // at the 100 TB target, where doclen stays in gigabytes.
+  // -------------------------------------------------------------------------
+
+  /** Resolved doclen store. A store written before the doclen layout (or
+    * whose doclen partition was lost) derives it once from postings + docs —
+    * the old O(postings) path, paid a single time.
     */
-  private def writeStats(freshPostings: Option[DataFrame],
-                         idsSource: Option[DataFrame] = None): Unit = {
-    val perDoc = freshPostings.getOrElse(postings())
-      .groupBy($"id").agg(max($"dl").as("dl"))
-    val statsDf = idsSource.getOrElse(docs()).select($"id").join(perDoc, Seq("id"), "left")
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_docs"),
-        coalesce(avg(coalesce($"dl", lit(0L))), lit(0.0)).as("avg_dl"))
+  private def doclen(): DataFrame =
+    if (Stores.partitionExists(spark, doclenDir, name))
+      Stores.readPartition(spark, doclenDir, name, Stores.doclenSchema)
+    else if (useFts && Stores.partitionExists(spark, postingsDir, name))
+      doclenOfPostings(docs().select($"id"), postings())
+    else doclenOfBatch(docs())
+
+  /** (id, dl) of exactly `ids`, dl from the given postings rows; absent-from-
+    * postings docs (zero tokens) get dl 0 via the left join.
+    */
+  private def doclenOfPostings(ids: DataFrame, fromPostings: DataFrame): DataFrame =
+    ids.select($"id")
+      .join(fromPostings.groupBy($"id").agg(max($"dl").as("dl")), Seq("id"), "left")
+      .select($"id", coalesce($"dl", lit(0L)).as("dl"))
+
+  /** (id, dl) by tokenizing a batch directly (non-FTS collections — no
+    * postings to derive from; still only the batch tokenizes).
+    */
+  private def doclenOfBatch(batch: DataFrame): DataFrame =
+    batch.select($"id",
+      coalesce(size(graft.functions.TextFunctions.tokens($"content", foldAccents)), lit(0))
+        .cast("long").as("dl"))
+
+  /** Full doclen rewrite + stats from the same frame (full-build and
+    * merge-rewrite paths).
+    */
+  private def writeDoclenFull(dl: DataFrame): Unit = {
+    val d = dl.persist()
+    try {
+      Stores.overwritePartition(spark, doclenDir, name, d)
+      writeStatsFrom(d)
+    } finally d.unpersist()
+  }
+
+  /** O(batch) doclen delta + stats from the resolved skinny store (delta
+    * upsert / delete paths).
+    */
+  private def appendDoclenDelta(batchDl: DataFrame,
+                                gone: Option[DataFrame] = None): Unit = {
+    if (!Stores.partitionExists(spark, doclenDir, name))
+      Stores.overwritePartition(spark, doclenDir, name, doclen()) // legacy store: materialize once
+    Stores.appendDelta(spark, doclenDir, name, batchDl, gone)
+    writeStatsFrom(doclen())
+  }
+
+  private def writeStatsFrom(dl: DataFrame): Unit = {
+    val statsDf = dl.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("n_docs"),
+      coalesce(avg($"dl"), lit(0.0)).as("avg_dl"))
     Stores.overwritePartition(spark, statsDir, name, statsDf)
   }
 
@@ -606,13 +665,20 @@ final class Collection private (
       (scored.orderBy($"rank".desc, $"id".asc), true)
     } else ast match {
       case Some(q) =>
-        val ids = FtsEval.matchingIds(postings(), q)
-        // No broadcast hint: the match-id set is unbounded (a common term can
-        // match most of the corpus). AQE picks broadcast when it's small.
-        val matched = filtered.join(ids, Seq("id"))
-        val ranked = matched
-          .join(Bm25.scores(postings(), collStats(), q), Seq("id"), "left")
-          .withColumn("rank", coalesce($"rank", lit(0.0)))
+        // Flat AND/OR (every parser shape except mixed `x AND y OR z`):
+        // ONE postings scan produces (matching id, rank) fused — the same
+        // (leaf, doc) aggregate that sums the score counts matched leaves
+        // for the AND test. Non-flat falls back to match ids + rank join.
+        // No broadcast hint either way: the match set is unbounded (a common
+        // term can match most of the corpus); AQE broadcasts when small.
+        val ranked = Bm25.scoredIds(postings(), collStats(), q) match {
+          case Some(scored) => filtered.join(scored, Seq("id"))
+          case None =>
+            val ids = FtsEval.matchingIds(postings(), q)
+            filtered.join(ids, Seq("id"))
+              .join(Bm25.scores(postings(), collStats(), q), Seq("id"), "left")
+              .withColumn("rank", coalesce($"rank", lit(0.0)))
+        }
         val ordered =
           if (orderBy.nonEmpty) Sorter(ranked, $"metadata", orderBy.map(SortKey.parse), Seq($"id".asc))
           else ranked.orderBy($"rank".desc, $"id".asc) // deterministic; reference leaves it storage-ordered (SURVEY §7.4)

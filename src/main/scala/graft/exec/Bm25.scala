@@ -24,13 +24,74 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
-  /** -> DataFrame(id, rank) for docs matching ≥1 query leaf. Docs in the
-    * caller's id set that match no leaf keep rank 0 via the caller's left
-    * join + coalesce (can't happen for pure-FTS queries anymore — every FTS
-    * hit matches some leaf — but metadata-only compositions still rank 0).
+  /** FUSED match + rank for a FLAT query (all-AND or all-OR over leaves —
+    * every parser output except the mixed `x AND y OR z` shape): ONE
+    * postings scan yields `(id, rank)` for exactly the matching docs.
+    * The same (leaf, doc) aggregate that sums the score also counts the
+    * matched leaves, so AND = `count == #leaves` needs no second scan or
+    * id join. None for non-flat queries — the caller falls back to
+    * [[graft.exec.FtsEval.matchingIds]] + [[scores]].
+    *
+    * A matched doc's rank is strictly positive (idf > 0 for any df ≤ N), so
+    * no rank-0 ambiguity is introduced by dropping the left join.
+    */
+  def scoredIds(postings: DataFrame, collStats: DataFrame,
+                q: BoolQuery): Option[DataFrame] =
+    flatShape(q).map { case (isAnd, leaves) =>
+      val perLeafDoc = perLeafDocFrame(postings, leaves.distinct)
+      val scored = scoreExpr(perLeafDoc, collStats)
+        .groupBy(col("id"))
+        .agg(sum(col("__s")).as("rank"), count(lit(1)).as("__k"))
+      val matched =
+        if (isAnd) scored.filter(col("__k") === lit(leaves.distinct.size))
+        else scored
+      matched.select(col("id"), col("rank"))
+    }
+
+  /** -> DataFrame(id, rank) for docs matching ≥1 query leaf (the caller
+    * intersects with its own match-id set and left-joins, coalescing
+    * unmatched to 0 — only reachable for non-flat ASTs).
     */
   def scores(postings: DataFrame, collStats: DataFrame, q: BoolQuery): DataFrame = {
     val leaves = BoolQuery.leaves(q).distinct
+    if (leaves.isEmpty)
+      return postings.sparkSession.emptyDataFrame
+        .select(lit("").as("id"), lit(0.0).as("rank")).limit(0)
+    scoreExpr(perLeafDocFrame(postings, leaves), collStats)
+      .groupBy(col("id"))
+      .agg(sum(col("__s")).as("rank"))
+  }
+
+  /** Some((isAnd, leaves)) iff the boolean tree is uniform — leaves only,
+    * all-AND, or all-OR. A single leaf flattens as AND of one.
+    */
+  private def flatShape(q: BoolQuery): Option[(Boolean, Seq[BoolQuery])] = {
+    import BoolQuery._
+    def ands(t: BoolQuery): Option[Seq[BoolQuery]] = t match {
+      case And(l, r) => for { a <- ands(l); b <- ands(r) } yield a ++ b
+      case Or(_, _)  => None
+      case leaf      => Some(Seq(leaf))
+    }
+    def ors(t: BoolQuery): Option[Seq[BoolQuery]] = t match {
+      case Or(l, r)  => for { a <- ors(l); b <- ors(r) } yield a ++ b
+      case And(_, _) => None
+      case leaf      => Some(Seq(leaf))
+    }
+    ands(q).map((true, _)).orElse(ors(q).map((false, _)))
+  }
+
+  /** One row per (leaf, matching doc): `leaf, id, tf, dl` with tf summed
+    * over a wildcard leaf's expansion. Two plan shapes:
+    *   - all-exact leaves (the common case): ONE term-pruned scan, leaf key
+    *     = the term itself, NO extra shuffle — (term, id) is already unique,
+    *     so the scan IS the per-(leaf, doc) frame.
+    *   - any wildcard leaf: still ONE postings scan — each row is tagged
+    *     with the array of leaves it matches (exact tag + one per-leaf
+    *     predicate tag), exploded, then ONE (leaf, id) shuffle sums the
+    *     expansion tf. Never a scan per leaf: the term dictionary is read
+    *     once no matter how many wildcards the query carries.
+    */
+  private def perLeafDocFrame(postings: DataFrame, leaves: Seq[BoolQuery]): DataFrame = {
     val exact = leaves.collect { case BoolQuery.Term(t) => t }.distinct
     // each non-exact leaf gets a synthetic leaf key ("*0", "*1", …) — tokens
     // are \p{L}\p{N} runs, so no dictionary term can collide with it
@@ -41,53 +102,39 @@ object Bm25 {
         val rx = col("term").rlike(w.regex)
         (if (pre.nonEmpty) col("term").startsWith(pre) && rx else rx, s"*$i")
     }
-    if (exact.isEmpty && expanded.isEmpty)
-      return postings.sparkSession.emptyDataFrame
-        .select(lit("").as("id"), lit(0.0).as("rank")).limit(0)
-
-    // Two plan shapes:
-    //   - all-exact query (the common case): ONE term-pruned scan, leaf key
-    //     = the term itself, NO extra shuffle — (term, id) is already
-    //     unique, so the scan IS the per-(leaf, doc) frame (the r4 plan).
-    //   - any wildcard leaf: still ONE postings scan — each row is tagged
-    //     with the array of leaves it matches (exact tag + one per-leaf
-    //     predicate tag), exploded, then ONE (leaf, id) shuffle sums the
-    //     expansion tf. Never a scan per leaf: the term dictionary is read
-    //     once no matter how many wildcards the query carries.
     val base = postings.select(col("term"), col("id"), col("tf"), col("dl"))
-    val perLeafDoc =
-      if (expanded.isEmpty)
-        base.filter(col("term").isin(exact: _*))
-          .select(col("term").as("leaf"), col("id"), col("tf"), col("dl"))
-      else {
-        val tags =
-          (if (exact.isEmpty) Seq.empty[Column]
-           else Seq(when(col("term").isin(exact: _*), col("term")))) ++
-            expanded.map { case (pred, key) => when(pred, lit(key)) }
-        base
-          .select(filter(array(tags: _*), t => t.isNotNull).as("leaves"),
-            col("id"), col("tf"), col("dl"))
-          .filter(size(col("leaves")) > 0)
-          .select(explode(col("leaves")).as("leaf"), col("id"), col("tf"), col("dl"))
-          .groupBy(col("leaf"), col("id"))
-          .agg(sum(col("tf")).as("tf"), first(col("dl")).as("dl"))
-      }
+    if (expanded.isEmpty)
+      base.filter(col("term").isin(exact: _*))
+        .select(col("term").as("leaf"), col("id"), col("tf"), col("dl"))
+    else {
+      val tags =
+        (if (exact.isEmpty) Seq.empty[Column]
+         else Seq(when(col("term").isin(exact: _*), col("term")))) ++
+          expanded.map { case (pred, key) => when(pred, lit(key)) }
+      base
+        .select(filter(array(tags: _*), t => t.isNotNull).as("leaves"),
+          col("id"), col("tf"), col("dl"))
+        .filter(size(col("leaves")) > 0)
+        .select(explode(col("leaves")).as("leaf"), col("id"), col("tf"), col("dl"))
+        .groupBy(col("leaf"), col("id"))
+        .agg(sum(col("tf")).as("tf"), first(col("dl")).as("dl"))
+    }
+  }
+
+  /** (id, __s): the per-(leaf, doc) BM25 contribution, df/stats broadcast. */
+  private def scoreExpr(perLeafDoc: DataFrame, collStats: DataFrame): DataFrame = {
     // df per leaf = distinct docs it matches; tiny (≤ #query leaves rows)
     val dfPerLeaf = perLeafDoc.groupBy(col("leaf")).agg(count(lit(1)).as("df"))
     val stats = collStats.select(col("n_docs"), col("avg_dl"))
-
     val idf: Column = log(
       (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val tfPart: Column =
       (col("tf").cast("double") * lit(K1 + 1.0)) /
         (col("tf").cast("double") +
           lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / col("avg_dl")))
-
     perLeafDoc
       .join(broadcast(dfPerLeaf), "leaf")
       .crossJoin(broadcast(stats))
       .select(col("id"), (idf * tfPart).as("__s"))
-      .groupBy(col("id"))
-      .agg(sum(col("__s")).as("rank"))
   }
 }

@@ -68,6 +68,18 @@ object Stores {
     StructField("avg_dl", DoubleType, nullable = false)
   ))
 
+  /** doclen: one skinny row per doc (id, token count). Exists so the
+    * per-upsert stats refresh aggregates O(n_docs) 16-byte rows instead of
+    * the O(Σ dl) postings store — the difference between a ~10 s and a
+    * sub-second micro-batch at 1M docs (ProbeScale `microbatch_big`), and
+    * between scanning terabytes and gigabytes at the 100 TB target.
+    * Delta-maintained exactly like docs/postings.
+    */
+  val doclenSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("dl", LongType, nullable = false)
+  ))
+
   /** annindex: one row per (doc, LSH table) with the doc's bucket in that
     * table; the generating plane parameters ride along as constant columns
     * (parquet RLE-encodes them to nothing) so the index is self-describing.
@@ -88,6 +100,7 @@ object Stores {
   def postingsDir(root: String) = s"$root/postings"
   def collStatsDir(root: String) = s"$root/collstats"
   def annDir(root: String) = s"$root/annindex"
+  def doclenDir(root: String) = s"$root/doclen"
 
   private def partDir(storeDir: String, collection: String): String =
     s"$storeDir/collection=${java.net.URLEncoder.encode(collection, "UTF-8")}"

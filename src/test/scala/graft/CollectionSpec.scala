@@ -106,6 +106,17 @@ class CollectionSpec extends AnyFunSuite {
     assert(byId("m1") > byId("m2")) // tf 2 (car+card) beats tf 1 at these dls
   }
 
+  test("mixed AND/OR query (non-flat AST) matches and ranks via the fallback path") {
+    val c = coll()
+    c.add(Seq("lorem ipsum dolor", "sit amet", "lorem solo"),
+      ids = Some(Seq("a", "b", "c")))
+    // (lorem AND ipsum) OR amet — AND binds tighter; 'lorem solo' matches a
+    // leaf but not the AND group, so it must be excluded
+    val r = c.query("lorem ipsum or amet")
+    assert(r.results.map(_.id).toSet === Set("a", "b"))
+    assert(r.results.forall(_.rank.exists(_ > 0.0)))
+  }
+
   test("uuid ids are 36 chars; upsert on existing id replaces") {
     val c = coll()
     val ids = c.add(Seq("Lorem ipsum"))
