@@ -88,7 +88,10 @@ object AnnCatalog {
 
   final case class Entry(idCol: String, embCol: String, source: Registered)
 
-  private val entries = TrieMap.empty[String, Entry]
+  // keyed by (session UUID, qualified path): a registration arms the rewrite
+  // ONLY for the session that made it — another SparkSession in the same JVM
+  // scanning the same path keeps its exact plans unless it opts in itself
+  private val entries = TrieMap.empty[(String, String), Entry]
 
   private def qualify(spark: SparkSession, path: String): String = {
     val p = new Path(path)
@@ -96,19 +99,20 @@ object AnnCatalog {
   }
 
   /** Register an ANN index for the corpus parquet at `path` — the opt-in
-    * that arms the rewrite for scans of that path.
+    * that arms the rewrite for scans of that path in THIS session.
     */
   def register(spark: SparkSession, path: String, entry: Entry): Unit =
-    entries.put(qualify(spark, path), entry)
+    entries.put((org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark), qualify(spark, path)), entry)
 
   def unregister(spark: SparkSession, path: String): Unit =
-    entries.remove(qualify(spark, path))
+    entries.remove((org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark), qualify(spark, path)))
 
   def clear(): Unit = entries.clear()
 
   def isEmpty: Boolean = entries.isEmpty
 
-  private[plans] def lookup(rootPath: String): Option[Entry] = entries.get(rootPath)
+  private[plans] def lookup(spark: SparkSession, rootPath: String): Option[Entry] =
+    entries.get((org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark), rootPath))
 
   /** Install the rewrite into an EXISTING session (the
     * `SparkSessionExtensions` path only reaches sessions configured before
@@ -200,6 +204,6 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     child.collect {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
         lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
-          .flatMap(p => AnnCatalog.lookup(p.toString)).headOption.map(e => (e, lr))
+          .flatMap(p => AnnCatalog.lookup(spark, p.toString)).headOption.map(e => (e, lr))
     }.flatten
 }
