@@ -88,6 +88,20 @@ object EntryQueries {
   private def mainColl(spark: SparkSession, sfDir: String): Collection =
     Collection(spark, fixtureRoot(spark, sfDir), "main")
 
+  private val bulkRoots = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The ~100k-doc bulk collection, ingested ON FIRST USE — a2 (alphabetical:
+    * runs before a2b) pays the addDf; a2b only reads the store back.
+    */
+  private def bulkColl(spark: SparkSession, sfDir: String): Collection = {
+    val root = bulkRoots.getOrElseUpdate(sfDir, {
+      val r = java.nio.file.Files.createTempDirectory("graft-bulk-").toString
+      Collection(spark, r, "bulk").addDf(spark.read.parquet(bulkInputPath(spark, sfDir)))
+      r
+    })
+    Collection(spark, root, "bulk")
+  }
+
   private val foldedRoots = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Lazily-built accented fixture for the fold entry: every 10th doc, with
@@ -168,24 +182,29 @@ object EntryQueries {
     // Bench-scale bulk upsert: ~100k docs (the baseline harness's headline
     // op, profiling_sqlite.py:150) derived from the sf documents replicated
     // under distinct ids, staged to parquet by the a1 fixture build — the
-    // timed region here is scan + addDf + the checksum read-back, matching
-    // the reference timer's pure-add region (profiling_sqlite.py:174-175).
+    // timed region here is scan + addDf + count, matching the reference
+    // timer's pure-add region (profiling_sqlite.py:174-175). The content
+    // checksum read-back lives in its OWN entry (a2b) so the add timing the
+    // driver compares against the reference's add isn't charged ~1 s of
+    // oracle read-back the reference timer doesn't pay.
     ("a2_add_bulk", (s: SparkSession, sfDir: String) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-bulk-").toString
-      val c = Collection(s, root, "bulk")
-      c.addDf(s.read.parquet(bulkInputPath(s, sfDir)))
-      // Oracled: row count + an order-independent content checksum (sum of a
-      // 60-bit md5 prefix over id|content) replayed by DuckDB over the same
-      // replication — pins that the bulk upsert landed every row unmangled.
-      c.docs().groupBy().agg(count(lit(1)).as("n_docs"),
+      val c = bulkColl(s, sfDir)
+      c.docs().groupBy().agg(count(lit(1)).as("n_docs"))
+    }, Some("""SELECT COUNT(*) * (SELECT GREATEST(1, 100000 // COUNT(*)) FROM documents) AS n_docs
+              |FROM documents""".stripMargin)),
+
+    // Order-independent content checksum of the bulk store a2 built (sum of
+    // a 60-bit md5 prefix over id|content) replayed by DuckDB over the same
+    // replication — pins that the bulk upsert landed every row unmangled.
+    ("a2b_bulk_checksum", (s: SparkSession, sfDir: String) =>
+      bulkColl(s, sfDir).docs().groupBy().agg(
         sum(conv(substring(md5(concat(col("id"), lit("|"), col("content"))), 1, 15), 16, 10)
-          .cast("decimal(38,0)")).cast("string").as("checksum"))
-    }, Some("""WITH b AS (
+          .cast("decimal(38,0)")).cast("string").as("checksum")),
+      Some("""WITH b AS (
               |  SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(g.c AS VARCHAR) AS id, text AS content
               |  FROM documents
               |  CROSS JOIN (SELECT unnest(range((SELECT GREATEST(1, 100000 // COUNT(*)) FROM documents))) AS c) g)
-              |SELECT COUNT(*) AS n_docs,
-              |       CAST(SUM(CAST(CAST(('0x' || substr(md5(id || '|' || content), 1, 15)) AS UBIGINT) AS HUGEINT)) AS VARCHAR) AS checksum
+              |SELECT CAST(SUM(CAST(CAST(('0x' || substr(md5(id || '|' || content), 1, 15)) AS UBIGINT) AS HUGEINT)) AS VARCHAR) AS checksum
               |FROM b""".stripMargin)),
 
     ("s3_add_upsert", (s: SparkSession, _: String) => {
