@@ -847,6 +847,30 @@ object EntryQueries {
               |    AS top_ngram_frac
               |FROM tok t LEFT JOIN tg ON t.id = tg.id""".stripMargin)),
 
+    // PII scrubbing (CCNet/Dolma-style hygiene): deterministic PII injected
+    // per doc (email, phone, IPv4 — all derivable from doc_id so DuckDB
+    // replays the same corpus), counts taken on the original, matches
+    // replaced in pattern order; the scrubbed content compares by md5.
+    ("x23_pii_scrub", (s: SparkSession, sfDir: String) => {
+      val withPii = docsFrame(s, sfDir).withColumn("content",
+        concat(lit("contact user"), col("id"), lit("@example.com or +4915551234567 at 10.0.42."),
+          (col("id").cast("long") % 250 + 1).cast("string"), lit(" "), col("content")))
+      TextStats.scrubPii(withPii)
+        .select(col("id"), col("n_email"), col("n_ip"), col("n_phone"),
+          md5(col("content")).as("scrubbed_md5"))
+    }, Some(s"""WITH c AS (SELECT $DocId AS id,
+               |    'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +4915551234567 at 10.0.42.' ||
+               |    CAST(doc_id % 250 + 1 AS VARCHAR) || ' ' || text AS content FROM documents)
+               |SELECT id,
+               |  CAST(len(regexp_extract_all(content, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               |  CAST(len(regexp_extract_all(content, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+               |  CAST(len(regexp_extract_all(content, '\\+\\d{9,15}')) AS BIGINT) AS n_phone,
+               |  md5(regexp_replace(regexp_replace(regexp_replace(content,
+               |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+               |    '\\+\\d{9,15}', '<PHONE>', 'g')) AS scrubbed_md5
+               |FROM c""".stripMargin)),
+
     ("x20_decontaminate", (s: SparkSession, sfDir: String) => {
       // eval-set-leakage check: training docs (source<>src0) sharing >=1
       // distinct 8-gram with any benchmark doc (source=src0); the corpus

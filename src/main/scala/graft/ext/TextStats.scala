@@ -129,6 +129,41 @@ object TextStats {
       .drop("__n_toks")
   }
 
+  /** One PII pattern: a Java/RE2-compatible regex (the intersection dialect
+    * — both Spark and DuckDB must run it for the oracle replay) and the
+    * token that replaces each match.
+    */
+  final case class PiiPattern(name: String, regex: String, token: String)
+
+  /** Default scrub set (CCNet/Dolma-style pretraining hygiene): emails,
+    * IPv4 addresses, international phone numbers. Deliberately conservative
+    * closed-form patterns — callers supply their own set for production
+    * policies.
+    */
+  val DefaultPiiPatterns: Seq[PiiPattern] = Seq(
+    PiiPattern("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    PiiPattern("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    PiiPattern("phone", "\\+\\d{9,15}", "<PHONE>")
+  )
+
+  /** PII scrubbing: per pattern, count matches in the ORIGINAL content
+    * (`n_<name>` columns), then replace matches with the pattern's token,
+    * applied in list order. Pure `regexp_extract_all`/`regexp_replace`
+    * composition — a codegen'd scan, zero shuffle, embarrassingly parallel
+    * at any scale.
+    */
+  def scrubPii(df: DataFrame, contentCol: String = "content",
+               patterns: Seq[PiiPattern] = DefaultPiiPatterns): DataFrame = {
+    val counted = patterns.foldLeft(df) { (acc, p) =>
+      acc.withColumn(s"n_${p.name}",
+        size(regexp_extract_all(col(contentCol), lit(p.regex), lit(0))).cast("long"))
+    }
+    val scrubbed = patterns.foldLeft(col(contentCol)) { (c, p) =>
+      regexp_replace(c, p.regex, p.token)
+    }
+    counted.withColumn(contentCol, scrubbed)
+  }
+
   /** Adds `fingerprint`: min-MD5 over `n`-token windows (winnowing-style
     * content fingerprint — stable under small edits outside the minimal
     * window); docs shorter than `n` tokens hash their whole token stream.

@@ -108,6 +108,28 @@ class ExtSpec extends AnyFunSuite {
     assert(dup === Set(("x", "y", 1.0)))
   }
 
+  test("scrubPii: counts on original, token replacement in pattern order") {
+    val df = Seq(
+      ("p1", "mail a@b.co and c.d+e@f-g.org, call +4915551234567, host 10.0.0.1 ok"),
+      ("p2", "no pii here, just 1.2 numbers and an @ sign"),
+      ("p3", "+123456789 twice +987654321 and ip 255.255.255.255")
+    ).toDF("id", "content")
+    val out = TextStats.scrubPii(df).collect().map(r =>
+      r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(1))).toMap
+    // columns: id, content(scrubbed), n_email, n_ip, n_phone
+    val byName = TextStats.scrubPii(df).columns.toSeq
+    assert(byName === Seq("id", "content", "n_email", "n_ip", "n_phone"))
+    val p1 = out("p1")
+    assert((p1._1, p1._2, p1._3) === ((2L, 1L, 1L)))
+    assert(p1._4 === "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP> ok")
+    val p2 = out("p2")
+    assert((p2._1, p2._2, p2._3) === ((0L, 0L, 0L)))
+    assert(p2._4 === "no pii here, just 1.2 numbers and an @ sign")
+    val p3 = out("p3")
+    assert((p3._1, p3._2, p3._3) === ((0L, 1L, 2L)))
+    assert(p3._4 === "<PHONE> twice <PHONE> and ip <IP>")
+  }
+
   test("sampleStratified: deterministic, stratum-independent, default drops") {
     val rows = (0 until 2000).map(i => (s"doc$i", if (i % 2 == 0) "en" else "de"))
       .toDF("id", "lang")
