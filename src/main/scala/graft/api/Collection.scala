@@ -57,11 +57,13 @@ final class Collection private (
   private def postings(): DataFrame =
     Stores.readPartition(spark, postingsDir, name, Stores.postingsSchema)
 
-  private def collStats(): DataFrame = {
-    val df = Stores.readPartition(spark, statsDir, name, Stores.collStatsSchema)
-    if (df.isEmpty) spark.sql("SELECT CAST(0 AS LONG) n_docs, CAST(0.0 AS DOUBLE) avg_dl")
-    else df
-  }
+  private def collStats(): DataFrame =
+    // existence is a filesystem stat, not a Spark job (`isEmpty` here cost a
+    // driver action on EVERY ranked query); a stats partition always holds
+    // exactly one row by construction (overwrite-only, never deltas)
+    if (!Stores.partitionExists(spark, statsDir, name))
+      spark.sql("SELECT CAST(0 AS LONG) n_docs, CAST(0.0 AS DOUBLE) avg_dl")
+    else Stores.readPartition(spark, statsDir, name, Stores.collStatsSchema)
 
   /** Scalar doc count of this collection (reference core.py:125-138). */
   def count(): Long = docs().count()

@@ -106,6 +106,28 @@ class CollectionSpec extends AnyFunSuite {
     assert(byId("m1") > byId("m2")) // tf 2 (car+card) beats tf 1 at these dls
   }
 
+  test("flat FTS query plans exactly ONE postings scan (fused match+rank)") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def postingsScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] &&
+          lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
+            .exists(_.toString.contains("/postings/")) => lr
+      }.size
+    val c = coll()
+    c.add(Seq("alpha beta gamma", "beta gamma", "alpha solo"))
+    // 2 = the one term-pruned scan feeding BOTH the score rows and the tiny
+    // per-leaf df aggregate (broadcast). Deliberately not 1: folding df in
+    // via a leaf-partitioned window would shuffle every matched row by leaf
+    // — a hotspot for common terms. The fallback's extra match-id scans
+    // (4 total) are what fusion removes.
+    assert(postingsScans(c.queryFrame("alpha beta")) === 2, "flat AND fuses")
+    assert(postingsScans(c.queryFrame("alpha or beta")) === 2, "flat OR fuses")
+    assert(postingsScans(c.queryFrame("alph* beta")) === 2, "wildcard stays fused")
+    assert(postingsScans(c.queryFrame("alpha beta or gamma")) === 4,
+      "mixed AST falls back to match-ids + rank join")
+  }
+
   test("mixed AND/OR query (non-flat AST) matches and ranks via the fallback path") {
     val c = coll()
     c.add(Seq("lorem ipsum dolor", "sit amet", "lorem solo"),
