@@ -258,8 +258,7 @@ final class Collection private (
         // useFts is decided PER TARGET collection (postings partition exists),
         // not inherited from the caller — a useFts=false caller must not
         // leave sibling collections' postings stale.
-        val targetFts = Stores.exists(spark,
-          s"${Stores.postingsDir(root)}/collection=${java.net.URLEncoder.encode(coll, "UTF-8")}")
+        val targetFts = Stores.partitionExists(spark, Stores.postingsDir(root), coll)
         // foldAccents=false: the delete path never re-tokenizes an FTS
         // collection (stats derive from postings), and for non-FTS targets
         // avg_dl is informational only
@@ -408,14 +407,16 @@ final class Collection private (
     */
   private def refreshIndexesMerge(batch: DataFrame, batchIds: DataFrame): Unit = {
     if (useFts) {
-      val freshBatch = PostingsIndex.build(batch, foldAccents)
+      // persisted: consumed by the postings overwrite AND the doclen derive —
+      // without it the batch tokenize+shuffle runs twice
+      val freshBatch = PostingsIndex.build(batch, foldAccents).persist()
       val fresh = postings().join(batchIds, Seq("id"), "left_anti")
         .unionByName(freshBatch).persist()
       try {
         Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))
         writeDoclenFull(doclen().join(batchIds, Seq("id"), "left_anti")
           .unionByName(doclenOfPostings(batchIds, freshBatch)))
-      } finally fresh.unpersist()
+      } finally { fresh.unpersist(); freshBatch.unpersist() }
     } else {
       writeDoclenFull(doclen().join(batchIds, Seq("id"), "left_anti")
         .unionByName(doclenOfBatch(batch)))

@@ -7,15 +7,24 @@ import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Diacritic folding: NFD-decompose, drop combining marks (the fts5
-  * `unicode61 remove_diacritics` behavior, reference src/sifts/core.py:461,
-  * and DuckDB `strip_accents`): 'café' -> 'cafe', 'Müller' -> 'Muller'.
+/** Diacritic folding: NFD-decompose, drop combining marks that follow a
+  * LATIN base character (the fts5 `unicode61 remove_diacritics` behavior,
+  * reference src/sifts/core.py:461): 'café' -> 'cafe', 'Müller' ->
+  * 'Muller'. Marks on non-Latin bases are PRESERVED — in Thai, Devanagari,
+  * Arabic, or Hebrew a combining mark is a vowel, not a diacritic, and
+  * stripping it collapses distinct words ('กิน' eat vs 'กัน' together).
   * One implementation serves both sides of the engine — the column
   * expression for index builds (via StaticInvoke, codegen'd, whole-stage
   * spans stay intact) and the driver-side String form for query terms.
   */
 object StringFold {
-  private val Marks = java.util.regex.Pattern.compile("\\p{M}+")
+
+  /** Latin bases: ASCII letters + Latin-1 Supplement through Latin
+    * Extended-B (the script fts5's diacritic table covers).
+    */
+  private def latinBase(cp: Int): Boolean =
+    (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+      (cp >= 0x00C0 && cp <= 0x024F)
 
   def fold(s: String): String =
     if (s == null) null
@@ -25,8 +34,28 @@ object StringFold {
       var i = 0
       while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
       if (ascii) s
-      else Marks.matcher(
-        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)).replaceAll("")
+      else {
+        val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        val out = new java.lang.StringBuilder(nfd.length)
+        var lastBase = 0
+        var j = 0
+        while (j < nfd.length) {
+          val cp = nfd.codePointAt(j)
+          val isMark = (1 << Character.getType(cp) &
+            ((1 << Character.NON_SPACING_MARK) | (1 << Character.COMBINING_SPACING_MARK) |
+              (1 << Character.ENCLOSING_MARK))) != 0
+          if (isMark) {
+            if (!latinBase(lastBase)) out.appendCodePoint(cp) // vowel mark, keep
+          } else {
+            lastBase = cp
+            out.appendCodePoint(cp)
+          }
+          j += Character.charCount(cp)
+        }
+        // NFC restores any kept base+mark pairs to their composed form so
+        // unfolded scripts round-trip byte-identically
+        java.text.Normalizer.normalize(out.toString, java.text.Normalizer.Form.NFC)
+      }
     }
 
   /** UTF8String overload — the StaticInvoke target. */

@@ -29,16 +29,4 @@ object PostingsIndex {
       .select("term", "id", "tf", "dl")
   }
 
-  /** Per-collection scalar stats for BM25 (N, avgdl). One tiny row.
-    * A null-content doc counts as length 0 IN the average (not skipped) —
-    * the same semantics as the postings-derived delta refresh in
-    * `Collection.refreshIndexes`, where absent-from-postings docs coalesce
-    * to dl 0.
-    */
-  def buildCollStats(docs: DataFrame, fold: Boolean = false): DataFrame =
-    docs.agg(
-      count(lit(1)).as("n_docs"),
-      coalesce(avg(coalesce(size(TextFunctions.tokens(col("content"), fold)), lit(0)).cast("long")),
-        lit(0.0)).as("avg_dl")
-    )
 }

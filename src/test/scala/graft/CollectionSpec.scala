@@ -68,6 +68,11 @@ class CollectionSpec extends AnyFunSuite {
   // reference core.py:461; opt-in via foldAccents) ---
   test("foldAccents: folded index matches unaccented AND accented queries") {
     assert(graft.functions.StringFold.fold("Crème Brûlée à côté") === "Creme Brulee a cote")
+    // marks on NON-Latin bases are vowels, not diacritics — preserved
+    // (fts5 remove_diacritics parity: 'กิน' eat != 'กัน' together)
+    assert(graft.functions.StringFold.fold("กิน กัน") === "กิน กัน")
+    assert(graft.functions.StringFold.fold("हिन्दी") === "हिन्दी")
+    assert(graft.functions.StringFold.fold("mixé กิน") === "mixe กิน")
     val root = freshRoot()
     val c = Collection(spark, root, "fold", foldAccents = true)
     c.add(Seq("Crème Brûlée à côté", "plain text here"), ids = Some(Seq("d1", "d2")))
