@@ -207,8 +207,10 @@ object Ivf {
     * the fp additions happen in a fixed (partition, row, dim) order
     * regardless of task scheduling. Assignment math mirrors
     * [[NearestCentroids]] at nprobe=1 (dot over min length, ties → lower
-    * id, all-NaN row → cluster 0). An emptied cluster returns an empty
-    * array.
+    * id). A NaN row (every dot NaN) is EXCLUDED from training — folding it
+    * into any cluster's sum would NaN-poison that centroid permanently;
+    * probe-time assignment of such a vector still degrades gracefully in
+    * [[NearestCentroids]]. An emptied cluster returns an empty array.
     */
   private def lloydSums(sample: DataFrame, cents: Seq[Seq[Float]]): Array[Array[Double]] = {
     val centArr = cents.map(_.toArray).toArray
@@ -221,19 +223,16 @@ object Ivf {
         var bestScore = Double.NegativeInfinity
         var c = 0
         while (c < k) {
-          val cent = centArr(c)
-          val m = math.min(xs.length, cent.length)
-          var dot = 0.0
-          var i = 0
-          while (i < m) { dot += xs(i).toDouble * cent(i); i += 1 }
+          val dot = graft.functions.VectorFunctions.dotMin(xs, centArr(c))
           if (dot > bestScore) { best = c; bestScore = dot }
           c += 1
         }
-        if (best < 0) best = 0 // all-NaN scores: degrade like NearestCentroids
-        var a = acc(best)
-        if (a.length < xs.length) { a = java.util.Arrays.copyOf(a, xs.length); acc(best) = a }
-        var d = 0
-        while (d < xs.length) { a(d) += xs(d).toDouble; d += 1 }
+        if (best >= 0) {
+          var a = acc(best)
+          if (a.length < xs.length) { a = java.util.Arrays.copyOf(a, xs.length); acc(best) = a }
+          var d = 0
+          while (d < xs.length) { a(d) += xs(d).toDouble; d += 1 }
+        }
       }
       Iterator((pid, acc))
     }.collect().sortBy(_._1)
@@ -301,6 +300,9 @@ final case class IvfIndex(assignments: DataFrame, centroids: Seq[Seq[Float]]) {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(queries.nonEmpty, "queries must be non-empty")
+    // duplicate qids would interleave two vectors' similarities under one
+    // ranking window — wrong for both, silently
+    require(queries.map(_._1).distinct.size == queries.size, "duplicate query ids")
     val probes = queries.flatMap { case (qid, q) =>
       Ivf.nearestCentroidIds(q, centroids, math.min(nprobe, centroids.size))
         .map(c => (qid, c))

@@ -43,13 +43,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double xv = (double) $a.getFloat($i);
-         |  double yv = (double) $b.getFloat($i);
-         |  $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+         |  double $xv = (double) $a.getFloat($i);
+         |  double $yv = (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
          |${ev.value} = ($nx == 0.0 || $ny == 0.0)
          |  ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
@@ -141,35 +143,28 @@ case class BucketCosinePairs(child: Expression, threshold: Double)
       sq(i) = s
       i += 1
     }
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[InternalRow]
-    i = 0
-    while (i < m) {
-      var j = i + 1
-      while (j < m) {
-        val a = vecs(i)
-        val b = vecs(j)
+    // LAZY pair enumeration: a duplicate-heavy cap-sized bucket can emit
+    // C(m, 2) survivors — materializing them before Generate consumes any
+    // would buffer the whole quadratic set in one task's heap. The iterator
+    // keeps the enumeration streaming; only the O(m) member arrays above
+    // are resident.
+    Iterator.range(0, m).flatMap { a =>
+      Iterator.range(a + 1, m).flatMap { b =>
+        val va = vecs(a)
+        val vb = vecs(b)
         val cos =
-          if (a.length == b.length) {
-            if (sq(i) == 0.0 || sq(j) == 0.0) 0.0
-            else {
-              var dot = 0.0
-              var d = 0
-              while (d < a.length) { dot += a(d).toDouble * b(d).toDouble; d += 1 }
-              dot / (math.sqrt(sq(i)) * math.sqrt(sq(j)))
-            }
-          } else cosineTruncated(a, b)
-        if (cos >= threshold) {
+          if (va.length == vb.length) {
+            if (sq(a) == 0.0 || sq(b) == 0.0) 0.0
+            else VectorFunctions.dotMin(va, vb) / (math.sqrt(sq(a)) * math.sqrt(sq(b)))
+          } else cosineTruncated(va, vb)
+        if (cos >= threshold)
           // ids are pre-sorted ascending by the caller (sort_array), so
-          // (i, j) is already (a < b)
-          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array[Any](ids(i), ids(j), cos))
-        }
-        j += 1
+          // (a, b) is already (id_a < id_b)
+          Iterator.single(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](ids(a), ids(b), cos)): InternalRow)
+        else Iterator.empty
       }
-      i += 1
     }
-    out
   }
 
   /** The exact [[CosineSimilarity]] semantics for mismatched lengths:
@@ -192,6 +187,21 @@ case class BucketCosinePairs(child: Expression, threshold: Double)
 object VectorFunctions {
 
   private val FloatArray = ArrayType(FloatType)
+
+  /** THE min-length float dot product (double accumulation, left to right)
+    * — the one definition behind every interpreted hot loop
+    * ([[BucketCosinePairs]], IVF assignment and Lloyd sums), so the
+    * bit-identical-scores / assignment-parity guarantees are enforced by
+    * shared code, not by prose. The codegen'd expressions above emit the
+    * same loop in Java.
+    */
+  private[graft] def dotMin(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    dot
+  }
 
   /** Codegen'd cosine similarity Column over two ARRAY<FLOAT> columns.
     * Inputs are cast to ARRAY<FLOAT> (the expressions assume it).
@@ -219,15 +229,22 @@ object VectorFunctions {
     * left-to-right like the Expression.
     */
   def cosineHof(a: Column, b: Column): Column = {
+    // slice BOTH sides to the common length first: zip_with null-pads the
+    // shorter array, and one null product nulls the whole aggregate — the
+    // Expression instead truncates to min length, which this must mirror
+    // to serve as its cross-check
+    val n = least(size(a), size(b))
+    val as = slice(a, lit(1), n)
+    val bs = slice(b, lit(1), n)
     def dotAgg(x: Column, y: Column): Column =
       aggregate(
         zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0),
         (acc, v) => acc + v
       )
-    val d = dotAgg(a, b)
-    val na = sqrt(dotAgg(a, a))
-    val nb = sqrt(dotAgg(b, b))
+    val d = dotAgg(as, bs)
+    val na = sqrt(dotAgg(as, as))
+    val nb = sqrt(dotAgg(bs, bs))
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
   }
 }

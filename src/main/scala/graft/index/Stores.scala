@@ -202,13 +202,25 @@ object Stores {
                   sortBy: Seq[String] = Nil): Unit = {
     val dir = partDir(storeDir, collection)
     require(exists(spark, dir), s"appendDelta: no base partition at $dir")
+    // the read side resolves deltas by id — an id-less schema would accept
+    // the write and then silently ignore it on every read
+    require(df.columns.contains("id"), "appendDelta: delta frames must carry an id column")
     val next = deltas(spark, dir).lastOption.map(_.ordinal + 1).getOrElse(1L)
     val name = f".delta-$next%08d"
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def writeVia(out: DataFrame, dest: String): Unit = {
       val tmp = new Path(s"$storeDir/.tmp-${java.util.UUID.randomUUID().toString}")
       out.write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.rename(tmp, new Path(dest)))
+      val destPath = new Path(dest)
+      // Hadoop rename into an EXISTING directory moves the source inside it
+      // and returns true — a concurrent writer's ordinal collision would
+      // otherwise lose this batch silently (stores are single-writer per
+      // collection; this turns a violation into an error, not data loss)
+      if (fs.exists(destPath)) {
+        fs.delete(tmp, true)
+        throw new java.io.IOException(s"delta ordinal collision (concurrent writer?): $dest")
+      }
+      if (!fs.rename(tmp, destPath))
         throw new java.io.IOException(s"delta commit failed: $tmp -> $dest")
     }
     val out = if (sortBy.nonEmpty) df.sortWithinPartitions(sortBy.head, sortBy.tail: _*) else df
@@ -230,20 +242,32 @@ object Stores {
   }
 
   /** Overwrite one collection's partition: write to a temp dir under the same
-    * filesystem, then swap it into place. `df` must NOT contain the collection
-    * column (it lives in the directory name).
+    * filesystem, then swap it into place via RENAME-OVER — the live
+    * partition is renamed aside (not deleted) before the temp dir takes its
+    * place, so no crash window leaves the data only in an orphaned temp dir:
+    * the worst crash outcome is a missing partition with the full old copy
+    * sitting in a `.old-*` dir beside it. `df` must NOT contain the
+    * collection column (it lives in the directory name).
     */
   def overwritePartition(spark: SparkSession, storeDir: String, collection: String,
                          df: DataFrame, sortBy: Seq[String] = Nil): Unit = {
     val dest = new Path(partDir(storeDir, collection))
-    val tmp = new Path(s"$storeDir/.tmp-${java.util.UUID.randomUUID().toString}")
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmp = new Path(s"$storeDir/.tmp-$uuid")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = if (sortBy.nonEmpty) df.sortWithinPartitions(sortBy.head, sortBy.tail: _*) else df
-    out.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(dest)) fs.delete(dest, true)
+    try out.write.mode("overwrite").parquet(tmp.toString)
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
     fs.mkdirs(dest.getParent)
-    if (!fs.rename(tmp, dest))
+    val old = new Path(s"$storeDir/.old-$uuid")
+    val hadDest = fs.exists(dest)
+    if (hadDest && !fs.rename(dest, old))
+      throw new java.io.IOException(s"partition swap failed: $dest -> $old")
+    if (!fs.rename(tmp, dest)) {
+      if (hadDest) fs.rename(old, dest) // restore the original on failure
       throw new java.io.IOException(s"partition swap failed: $tmp -> $dest")
+    }
+    if (hadDest) fs.delete(old, true)
   }
 
   /** Drop one collection's partition entirely (reference `delete_all`,
