@@ -702,9 +702,12 @@ object EntryQueries {
       // store round-trip is part of the pinned surface: the persisted
       // assignments + centroid frames must reconstruct an equivalent index
       val rt = graft.ext.IvfIndex.fromStoreFrames(ix.toStoreFrame, ix.centroidsFrame)
-      val rtSame = rt.topK(e, qs, k = 10, nprobe = 10)
-        .select("qid", "rn", "id")
-        .exceptAll(approx.select("qid", "rn", "id")).isEmpty
+      // SYMMETRIC equality: one-directional exceptAll alone would pass a
+      // roundtrip that silently lost rows (subset, or empty, of the direct
+      // result); multiset-equal = one direction empty AND counts equal
+      val rtF = rt.topK(e, qs, k = 10, nprobe = 10).select("qid", "rn", "id")
+      val apF = approx.select("qid", "rn", "id")
+      val rtSame = rtF.exceptAll(apF).isEmpty && rtF.count() == apF.count()
       Seq(("recall_at_10", rec >= 0.8), ("store_roundtrip", rtSame))
         .toDF("metric", "ok")
     }, Some("SELECT 'recall_at_10' AS metric, true AS ok UNION ALL SELECT 'store_roundtrip', true ORDER BY metric")),

@@ -102,10 +102,15 @@ object Dedup {
                   bands: Int = 32, rowsPerBand: Int = 4,
                   threshold: Double = 0.8,
                   maxBucket: Int = 256): DataFrame = {
-    val exact = exactDupPairs(docs, idCol, contentCol)
-      .select(col("keep_id").as("id_a"), col("dup_id").as("id_b"))
-    val near = minHashDupPairs(docs, idCol, contentCol, n, bands, rowsPerBand,
-      threshold, maxBucket).select(col("id_a"), col("id_b"))
+    // ONE exact-collapse pass feeds both arms: the exact pairs fall out of
+    // the same (rep, id) membership the MinHash path collapses with — the
+    // shared subtree (same exprIds) lets exchange reuse skip a second
+    // corpus-wide sha2 + shuffle
+    val members = exactMembers(docs, idCol, contentCol)
+    val exact = members.filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    val near = minHashDiag(docs, idCol, contentCol, n, bands, rowsPerBand,
+      threshold, maxBucket, Some(members)).pairs.select(col("id_a"), col("id_b"))
     val clusters = dupClusters(exact.unionByName(near))
     docs.join(
       clusters.filter(col("id") =!= col("cluster")).select(col("id").as(idCol)),
@@ -189,6 +194,12 @@ object Dedup {
     smallPairs.unionByName(bigPairs)
   }
 
+  /** The staged frames of [[verifiedJaccardSetPairs]], exposed so probes can
+    * materialize them one by one and attribute wall time per stage.
+    */
+  private[graft] case class SetVerifyStages(sets: DataFrame, packed: DataFrame,
+                                            pairs: DataFrame)
+
   /** Capped in-bucket Jaccard verification via BUCKET-CONTENT COLLECTION:
     * buckets collect their sorted member-id lists (one skinny shuffle);
     * identical member sets — e.g. a tight near-dup cluster colliding in all
@@ -205,12 +216,6 @@ object Dedup {
     * verified through the skinny pair path — same capped contract as
     * before. Output (id_a, id_b, jaccard), a < b, distinct.
     */
-  /** The staged frames of [[verifiedJaccardSetPairs]], exposed so probes can
-    * materialize them one by one and attribute wall time per stage.
-    */
-  private[graft] case class SetVerifyStages(sets: DataFrame, packed: DataFrame,
-                                            pairs: DataFrame)
-
   private def verifiedJaccardSetPairs(bucketed: DataFrame, keys: Seq[String],
                                       payload: DataFrame, threshold: Double,
                                       maxBucket: Int): DataFrame =
@@ -331,8 +336,9 @@ object Dedup {
                                  contentCol: String = "content", n: Int = 3,
                                  bands: Int = 32, rowsPerBand: Int = 4,
                                  threshold: Double = 0.8,
-                                 maxBucket: Int = 256): MinHashDiag = {
-    val members = exactMembers(docs, idCol, contentCol)
+                                 maxBucket: Int = 256,
+                                 membersOpt: Option[DataFrame] = None): MinHashDiag = {
+    val members = membersOpt.getOrElse(exactMembers(docs, idCol, contentCol))
     val prep = minHashPrep(repDocs(docs, members, idCol, contentCol), n, bands * rowsPerBand)
     val banded = minHashBanded(prep, bands, rowsPerBand)
     // skinny banding rows → bucket-content collection + in-set generator
@@ -447,9 +453,7 @@ object Dedup {
     val shh = docs.select(col(idCol).as("id"),
       HashFunctions.hashedSet(
         TextFunctions.shingles(TextFunctions.tokens(col(contentCol)), n)).as("shh"))
-    candidates
-      .join(shh.select(col("id").as("id_a"), col("shh").as("shh_a")), "id_a")
-      .join(shh.select(col("id").as("id_b"), col("shh").as("shh_b")), "id_b")
+    joinPayloads(candidates, shh, "shh")
       .withColumn("jaccard", HashFunctions.sortedJaccard(col("shh_a"), col("shh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
