@@ -390,6 +390,57 @@ class CollectionSpec extends AnyFunSuite {
     assert(again.query("lorem").results.head.id === "d1")
   }
 
+  test("doclen store: avg_dl stays exact through delta upserts, deletes, compaction") {
+    import graft.index.Stores
+    spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0") // force the delta path
+    spark.conf.set("spark.graft.compact.auto", "false")
+    try {
+      val root = freshRoot()
+      val c = Collection(spark, root, "dl")
+      def stats(): (Long, Double) = {
+        val r = Stores.readPartition(spark, Stores.collStatsDir(root), "dl",
+          Stores.collStatsSchema).head()
+        (r.getLong(0), r.getDouble(1))
+      }
+      c.add(Seq("one two three", "four five", "six"), ids = Some(Seq("a", "b", "c")))
+      assert(stats() === ((3L, 2.0)))                 // (3 + 2 + 1) / 3
+      c.add(Seq("x y z w v"), ids = Some(Seq("b")))   // replace dl 2 -> 5 via delta
+      assert(stats() === ((3L, 3.0)))                 // (3 + 5 + 1) / 3
+      c.add(Seq(""), ids = Some(Seq("c")))            // token-less replacement: dl 0
+      assert(stats() === ((3L, 8.0 / 3)))
+      c.delete(Seq("a"))
+      assert(stats() === ((2L, 2.5)))                 // (5 + 0) / 2
+      c.compact()
+      assert(stats() === ((2L, 2.5)))                 // compaction preserves stats inputs
+      assert(Stores.deltaCount(spark, Stores.doclenDir(root), "dl") === 0)
+    } finally {
+      spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+      spark.conf.unset("spark.graft.compact.auto")
+    }
+  }
+
+  test("appendDelta rejects ordinal collisions and id-less delta frames") {
+    import graft.index.Stores
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = freshRoot() + "/store"
+    val base = Seq(("a", 1L)).toDF("id", "v")
+    Stores.overwritePartition(spark, dir, "t", base)
+    // id-less schema: the read side resolves deltas by id and would silently
+    // ignore the write — must fail at write time
+    intercept[IllegalArgumentException](
+      Stores.appendDelta(spark, dir, "t", base.select(col("v"))))
+    Stores.appendDelta(spark, dir, "t", Seq(("b", 2L)).toDF("id", "v"))
+    // simulate a concurrent writer racing the same ordinal (a stray FILE at
+    // the next ordinal: not listed as a delta — dirs only — so the ordinal
+    // isn't bumped, but the commit target exists): Hadoop rename would
+    // otherwise land the batch somewhere reads never look
+    val clash = new java.io.File(s"$dir/collection=t/.delta-00000002")
+    assert(clash.createNewFile())
+    intercept[java.io.IOException](
+      Stores.appendDelta(spark, dir, "t", Seq(("c", 3L)).toDF("id", "v")))
+  }
+
   test("delta segments: upserts append O(batch) deltas; compact folds them; content identical throughout") {
     import graft.index.Stores
     // toy-sized partitions take the direct merge path and auto-compaction
