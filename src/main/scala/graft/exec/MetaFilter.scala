@@ -23,7 +23,14 @@ object MetaFilter {
 
   def column(metadata: Column, key: String, op: WhereOp): Column = {
     val v: Column = metadata.getItem(key)
-    def num: Column = v.cast("double")
+    // try_cast, not cast: metadata is schemaless, and under Spark 4's
+    // default ANSI mode a plain cast CRASHES the whole query on the first
+    // non-numeric value ("N/A" > 100 -> SparkNumberFormatException). A
+    // non-numeric value try_casts to NULL -> comparison NULL -> doc
+    // filtered, the documented semantics. (The reference's backends diverge
+    // here anyway: PG's ::double precision errors, SQLite's type-rank
+    // ordering compares; non-matching is the sane engine behavior.)
+    def num: Column = v.try_cast("double")
     op match {
       case WhereOp.Eq(WhereVal.Str(s))  => v === s
       case WhereOp.Eq(WhereVal.Num(n))  => num === n

@@ -26,6 +26,13 @@ object Pipeline {
 
   private val Precision = 1000000L // sampling-fraction resolution: 1e-6
 
+  /** Whitespace token count — THE definition shared by [[packSequences]]
+    * and [[mixCorpora]] (and replayed by the x18/x22 DuckDB oracles), so
+    * cross-operator token accounting can't silently diverge.
+    */
+  private def wsTokenCount(content: Column): Column =
+    size(filter(split(content, "\\s+"), t => length(t) > 0)).cast("long")
+
   /** Deterministic stratified sampling: keep a row iff
     * `md5Mod(id, 1e6) < fraction(stratum) * 1e6`. Per-stratum fractions come
     * from `fractions` (strata absent from the map use `defaultFraction`).
@@ -72,8 +79,7 @@ object Pipeline {
                     tokenCol: Option[String] = None): DataFrame = {
     require(budget >= 1, "budget >= 1")
     require(shards >= 1, "shards >= 1")
-    val nTokens = tokenCol.map(col).getOrElse(
-      size(filter(split(col(contentCol), "\\s+"), t => length(t) > 0)).cast("long"))
+    val nTokens = tokenCol.map(col).getOrElse(wsTokenCount(col(contentCol)))
     val w = Window.partitionBy(col("shard")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.select(col(idCol).as("id"), nTokens.as("n_tokens"))
@@ -113,10 +119,11 @@ object Pipeline {
     require(weights.nonEmpty, "weights must be non-empty")
     require(weights.values.forall(_ >= 0.0), "weights must be >= 0")
     require(budgetTokens >= 0, "budgetTokens >= 0")
-    val nTokens = size(filter(split(col(contentCol), "\\s+"), t => length(t) > 0)).cast("long")
     val totals = docs.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
-      .groupBy(col(sourceCol)).agg(sum(nTokens).as("tok"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .groupBy(col(sourceCol)).agg(sum(wsTokenCount(col(contentCol))).as("tok"))
+      // a source whose every doc has null content sums to NULL -> 0 tokens
+      // (getLong on the null would crash the driver)
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
     val fractions = weights.map { case (s, w) =>
       val tok = totals.getOrElse(s, 0L)
       s -> (if (tok == 0L) 0.0 else math.min(1.0, w * budgetTokens / tok))
@@ -162,7 +169,9 @@ object Pipeline {
     val flagged = contaminationHits(docs, bench, n, idCol, contentCol,
         benchIdCol, benchContentCol)
       .filter(col("hits") >= minHits)
-      .select(col("id").as(idCol)).distinct()
+      // no distinct: left_anti ignores duplicate right-side keys, and the
+      // extra exchange+aggregate over the flagged set buys nothing
+      .select(col("id").as(idCol))
     docs.join(flagged, Seq(idCol), "left_anti")
   }
 }

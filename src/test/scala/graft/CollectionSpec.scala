@@ -282,6 +282,16 @@ class CollectionSpec extends AnyFunSuite {
     assert(c.get(where = Map("k1" -> Map("$gte" -> 5, "$lte" -> 7))).total === 3)
   }
 
+  test("numeric where over NON-numeric metadata filters the doc, not crash (ANSI)") {
+    // metadata is schemaless: one "N/A" value must not abort the query
+    // (Spark 4 ANSI cast would throw; try_cast -> NULL -> filtered)
+    val c = coll()
+    c.add(Seq("d1", "d2"), ids = Some(Seq("x", "y")),
+      metadatas = Some(Seq(Map("views" -> "120"), Map("views" -> "N/A"))))
+    assert(c.get(where = Map("views" -> Map("$gt" -> 100))).results.map(_.id) === Seq("x"))
+    assert(c.get(where = Map("views" -> Map("$lt" -> 1000))).total === 1)
+  }
+
   test("$in / $nin with NULL-exclusion semantics") {
     val c = gridColl()
     val in = c.get(where = Map("k1" -> Map("$in" -> Seq("a","b","c","d"))))

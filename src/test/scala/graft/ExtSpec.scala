@@ -195,6 +195,12 @@ class ExtSpec extends AnyFunSuite {
     val withC = (rows :+ (("c1", "w w", "C"))).toDF("id", "content", "source")
     assert(!Pipeline.mixCorpora(withC, "source", Map("A" -> 1.0), 100000)
       .select("source").as[String].collect().contains("C"))
+    // a weighted source whose EVERY doc has null content sums to NULL
+    // tokens — must mix as 0 tokens (keep nothing), not crash the driver
+    val withNull = (rows :+ (("n1", null: String, "N"))).toDF("id", "content", "source")
+    val nulled = Pipeline.mixCorpora(withNull, "source",
+      Map("A" -> 0.5, "N" -> 0.5), 800).select("source").as[String].collect()
+    assert(!nulled.contains("N") && nulled.nonEmpty)
   }
 
   test("repetition: duplicate lines and top-2-gram coverage, hand-checked") {
