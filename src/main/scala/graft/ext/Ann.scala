@@ -69,7 +69,11 @@ object Ann {
 
   def lshBucketCol(emb: Column, numTables: Int, numPlanes: Int, dim: Int,
                    seed: Long = 42L): Column =
-    Bridge.column(LshBuckets(Bridge.expression(emb), numTables, numPlanes, dim, seed))
+    // cast like VectorFunctions.cosine: the expression reads with getFloat,
+    // and an ARRAY<DOUBLE> input would otherwise bucket on garbage bytes
+    // (silent near-zero recall) instead of being converted
+    Bridge.column(LshBuckets(
+      Bridge.expression(emb.cast(ArrayType(FloatType))), numTables, numPlanes, dim, seed))
 
   /** (id, table, bucket) — the LSH index frame. Build once, reuse per probe
     * (persist or write as a bucketed table in a real deployment).
@@ -89,6 +93,9 @@ object Ann {
                 idCol: String = "id", embCol: String = "embedding"): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
       .filter(col("emb").isNotNull)
+    if (queries.isEmpty) // typed empty frame (id keeps the corpus id type)
+      return base.select(lit("").as("qid"), lit(1).as("rn"), col("id"),
+        lit(0.0).as("sim")).limit(0)
     queries.map { case (qid, qvec) =>
       val scored = base
         .withColumn("sim", VectorFunctions.cosine(col("emb"), VectorFunctions.vecLit(qvec)))
@@ -206,9 +213,9 @@ final case class LshIndex(buckets: DataFrame, numTables: Int, numPlanes: Int,
     // isin, which VERDICT r1 rightly flagged for unbounded batches. They
     // push to the parquet scan and prune row groups of the sorted store.
     val probed = queryBuckets.select(col("table"), col("bucket")).distinct().collect()
-    if (probed.isEmpty)
-      return queryDf.select(col("qid"), lit(1).as("rn"), col("qid").as("id"),
-        lit(0.0).as("sim")).limit(0)
+    if (probed.isEmpty) // typed like the main branch: id from the corpus column
+      return corpus.select(lit("").as("qid"), lit(1).as("rn"),
+        col(idCol).as("id"), lit(0.0).as("sim")).limit(0)
     val pred = probed.groupBy(_.getInt(0)).map { case (t, rows) =>
       col("table") === t && col("bucket").isin(rows.map(_.getLong(1)).toSeq: _*)
     }.reduce(_ || _)
@@ -234,6 +241,7 @@ final case class LshIndex(buckets: DataFrame, numTables: Int, numPlanes: Int,
   def toStoreFrame: DataFrame =
     buckets.select(col("id"), col("table"), col("bucket"))
       .repartitionByRange(col("table"), col("bucket"))
+      .sortWithinPartitions(col("table"), col("bucket")) // row-group pruning needs IN-file order too
       .withColumn("num_tables", lit(numTables))
       .withColumn("num_planes", lit(numPlanes))
       .withColumn("dim", lit(dim))

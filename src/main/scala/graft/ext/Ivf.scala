@@ -331,7 +331,9 @@ final case class IvfIndex(assignments: DataFrame, centroids: Seq[Seq[Float]]) {
     * [[centroidsFrame]] (k rows).
     */
   def toStoreFrame: DataFrame =
-    assignments.select(col("id"), col("cluster")).repartitionByRange(col("cluster"))
+    assignments.select(col("id"), col("cluster"))
+      .repartitionByRange(col("cluster"))
+      .sortWithinPartitions(col("cluster")) // row-group pruning needs IN-file order too
 
   /** (cluster, centroid) — the k-row centroid table. */
   def centroidsFrame: DataFrame = {

@@ -66,6 +66,11 @@ object Multimodal {
         val blobs = chunk.map(r => if (r.isNullAt(mediaIdx)) null else r.getAs[Array[Byte]](mediaIdx))
         val present = blobs.zipWithIndex.collect { case (b, i) if b != null => (b, i) }
         val feats = if (present.isEmpty) Seq.empty else decoder.decode(present.map(_._1))
+        // zip would silently truncate to the shorter side — a decoder that
+        // skips an undecodable blob would hand those rows NULL features,
+        // indistinguishable from NULL media; fail loudly instead
+        require(feats.size == present.size,
+          s"MediaDecoder returned ${feats.size} features for ${present.size} blobs")
         val byIdx = present.map(_._2).zip(feats).toMap
         chunk.zipWithIndex.map { case (r, i) =>
           Row.fromSeq(r.toSeq :+ byIdx.get(i).orNull)

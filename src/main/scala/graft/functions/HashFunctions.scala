@@ -91,7 +91,7 @@ case class SimHash64(child: Expression)
     val xs = input.asInstanceOf[ArrayData]
     val n = xs.numElements()
     val counts = new Array[Int](64)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = SimHash64.digest.get()
     var i = 0
     while (i < n) {
       val tok = xs.get(i, StringType).asInstanceOf[UTF8String]
@@ -116,6 +116,14 @@ case class SimHash64(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash64 {
+  /** One MD5 instance per executor thread — a per-ROW getInstance was a JCA
+    * provider lookup + allocation on the dedup hot scan.
+    */
+  private val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
 /** Distinct word-`n`-gram shingles over an ARRAY<STRING> token column —
@@ -190,13 +198,23 @@ case class HashPrefix(child: Expression, threshold: Double)
 
   override def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
-    val m = xs.numElements()
+    val m0 = xs.numElements()
+    // drop null elements (the SQL surface graft_hash_prefix accepts
+    // arbitrary arrays; ShingleArray does the same for the same reason)
+    val buf = new scala.collection.mutable.ArrayBuffer[UTF8String](m0)
+    var i = 0
+    while (i < m0) {
+      val s = xs.getUTF8String(i)
+      if (s != null) buf += s
+      i += 1
+    }
+    val m = buf.length
     if (m == 0) return new GenericArrayData(Array.empty[Any])
     val p = math.min(m, (math.floor((1.0 - threshold) * m + 1e-9) + 1).toInt)
     val arr = new Array[(Long, UTF8String)](m)
-    var i = 0
+    i = 0
     while (i < m) {
-      val s = xs.getUTF8String(i)
+      val s = buf(i)
       val h = org.apache.spark.sql.catalyst.expressions.XXH64
         .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
       arr(i) = (h, s)
