@@ -342,8 +342,8 @@ final class Collection private (
   def createVectorIndex(numTables: Int = 16, numPlanes: Int = 4,
                         dim: Int = 64, seed: Long = 42L): Unit = {
     val ix = LshIndex.build(docs(), "id", "embedding", numTables, numPlanes, dim, seed)
-    Stores.overwritePartition(spark, annDir, name, ix.toStoreFrame,
-      sortBy = Seq("table", "bucket"))
+    // toStoreFrame is already range-clustered + sorted; no write-time re-sort
+    Stores.overwritePartition(spark, annDir, name, ix.toStoreFrame)
     // Arm the cosine-top-k → ANN rewrite for direct scans of this
     // collection's docs store (the pgvector planner analogue,
     // core.py:319-321). Two-layer opt-in: this registration is INERT
@@ -433,8 +433,7 @@ final class Collection private (
         val added = Ann.lshTables(batch.filter($"embedding".isNotNull),
           "id", "embedding", ix.numTables, ix.numPlanes, ix.dim, ix.seed)
         Stores.overwritePartition(spark, annDir, name,
-          ix.copy(buckets = kept.unionByName(added)).toStoreFrame,
-          sortBy = Seq("table", "bucket"))
+          ix.copy(buckets = kept.unionByName(added)).toStoreFrame)
       case None => Stores.dropPartition(spark, annDir, name)
     }
   }
@@ -486,8 +485,7 @@ final class Collection private (
         Stores.readPartition(spark, annDir, name, Stores.annSchema)) match {
         case Some(ix) =>
           Stores.overwritePartition(spark, annDir, name,
-            ix.copy(buckets = ix.buckets.join(idsDf, Seq("id"), "left_anti")).toStoreFrame,
-            sortBy = Seq("table", "bucket"))
+            ix.copy(buckets = ix.buckets.join(idsDf, Seq("id"), "left_anti")).toStoreFrame)
         case None => Stores.dropPartition(spark, annDir, name)
       }
     }
@@ -583,8 +581,7 @@ final class Collection private (
       case Some(ix) =>
         Stores.overwritePartition(spark, annDir, name,
           LshIndex.build(docs(), "id", "embedding",
-            ix.numTables, ix.numPlanes, ix.dim, ix.seed).toStoreFrame,
-          sortBy = Seq("table", "bucket"))
+            ix.numTables, ix.numPlanes, ix.dim, ix.seed).toStoreFrame)
       case None => Stores.dropPartition(spark, annDir, name)
     }
   }
