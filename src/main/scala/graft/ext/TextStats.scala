@@ -99,30 +99,25 @@ object TextStats {
     * High values on any of these are the classic boilerplate/SEO-spam
     * signals a pretraining filter drops.
     *
-    * Scale: the gram count is explode → per-(id, gram) count → per-id max —
-    * two map-side-combined shuffles keyed by id/gram, the standard agg
-    * shape; everything else is a codegen'd scan.
+    * Scale: the whole metric is a single codegen'd scan — the per-doc gram
+    * count is [[graft.functions.MaxMultiplicity]], one hash-map pass inside
+    * the row, ZERO shuffle and no join. (The previous explode →
+    * groupBy(id, gram) → groupBy(id) max shape shuffled every gram
+    * occurrence and went superlinear on duplicated-content corpora:
+    * 3.9× time for 2× docs at 200-copy clusters.)
     */
-  def repetition(df: DataFrame, contentCol: String = "content", n: Int = 2,
-                 idCol: String = "id"): DataFrame = {
+  def repetition(df: DataFrame, contentCol: String = "content",
+                 n: Int = 2): DataFrame = {
     val lines = filter(split(col(contentCol), "\n"), l => length(trim(l)) > 0)
     val toks = TextFunctions.tokens(col(contentCol))
-    val withLines = df
-      .withColumn("n_lines", size(lines).cast("long"))
+    df.withColumn("n_lines", size(lines).cast("long"))
       .withColumn("dup_line_frac",
         when(size(lines) === 0, lit(0.0)).otherwise(
           lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines)))
       .withColumn("__n_toks", size(toks).cast("long"))
-    // non-distinct n-gram occurrences: explode all windows, count per gram,
-    // take each doc's max
-    val grams = df.select(col(idCol).as("id"),
-        posexplode(TextFunctions.shinglesAll(TextFunctions.tokens(col(contentCol)), n))
-          .as(Seq("__p", "gram")))
-      .groupBy(col("id"), col("gram")).agg(count(lit(1)).as("tf"))
-      .groupBy(col("id")).agg(max(col("tf")).as("top_ngram_tf"))
-    withLines
-      .join(grams.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .withColumn("top_ngram_tf", coalesce(col("top_ngram_tf"), lit(0L)))
+      .withColumn("top_ngram_tf",
+        graft.functions.HashFunctions.maxMultiplicity(
+          TextFunctions.shinglesAll(toks, n)))
       .withColumn("top_ngram_frac",
         when(col("__n_toks") === 0, lit(0.0)).otherwise(
           least(lit(1.0), col("top_ngram_tf") * n / col("__n_toks"))))

@@ -184,6 +184,42 @@ case class ShingleArray(child: Expression, n: Int, distinct: Boolean = true)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Max multiplicity of any element in an ARRAY<STRING> — the per-row core
+  * of the Gopher `top_ngram_tf` repetition metric, computed in ONE hash-map
+  * pass inside the row. Replaces the explode → groupBy(id, gram) →
+  * groupBy(id) max formulation, whose per-(id, gram) shuffle grows with the
+  * duplicated-content gram mass (measured 3.9× time for 2× docs on
+  * 200-copy clusters); this form is a zero-shuffle scan, exactly linear in
+  * docs. 0 for empty arrays; null elements are skipped (same contract as
+  * ShingleArray's null handling on SQL-exposed arbitrary arrays).
+  */
+case class MaxMultiplicity(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "max_multiplicity"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return 0L
+    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val s = xs.getUTF8String(i)
+      if (s != null) {
+        val c = counts.merge(s, 1, (a, b) => a + b)
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    best.toLong
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** The `p` = floor((1−t)·size + 1e-9)+1 shingles that come FIRST in the
   * global (xxhash64, value) order — the prefix-filter probe set, computed
   * entirely inside the row (zero shuffles; see Dedup.ngramJaccardPairs).
@@ -416,6 +452,10 @@ object HashFunctions {
   /** Native one-pass Jaccard over two distinct-element string arrays. */
   def jaccardSim(a: Column, b: Column): Column =
     Bridge.column(JaccardSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Max element multiplicity of a string-array column (one per-row pass). */
+  def maxMultiplicity(arr: Column): Column =
+    Bridge.column(MaxMultiplicity(Bridge.expression(arr)))
 
   /** Prefix-filter probe set over a shingle array column. */
   def hashPrefix(shingles: Column, threshold: Double): Column =

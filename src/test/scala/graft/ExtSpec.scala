@@ -222,6 +222,24 @@ class ExtSpec extends AnyFunSuite {
       ("r3", 1L, 0.0, 0L, 0.0)))
   }
 
+  test("maxMultiplicity: empty/null/tie edge cases match the HOF count") {
+    import graft.functions.HashFunctions
+    val d = Seq(
+      ("e", Seq.empty[String]),                       // empty -> 0
+      ("one", Seq("a")),                              // singleton -> 1
+      ("tie", Seq("a", "b", "a", "b")),               // tie -> 2
+      ("run", Seq("x", "x", "x", "y"))                // clear max -> 3
+    ).toDF("id", "arr")
+    val got = d.select(col("id"), HashFunctions.maxMultiplicity(col("arr")).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("e" -> 0L, "one" -> 1L, "tie" -> 2L, "run" -> 3L))
+    // null elements are skipped, not counted
+    val withNull = spark.sql(
+      "SELECT array('a', CAST(NULL AS STRING), 'a', CAST(NULL AS STRING), CAST(NULL AS STRING)) AS arr")
+    assert(withNull.select(HashFunctions.maxMultiplicity(col("arr")))
+      .head().getLong(0) === 2L)
+  }
+
   test("contaminationHits / decontaminate: shared n-grams flag the leak") {
     val corpus = Seq(
       ("t1", "alpha beta gamma delta epsilon zeta"), // contains bench 4-gram
