@@ -90,8 +90,21 @@ object EntryQueries {
 
   private val bulkRoots = scala.collection.concurrent.TrieMap[String, String]()
 
-  /** The ~100k-doc bulk collection, ingested ON FIRST USE — a2 (alphabetical:
-    * runs before a2b) pays the addDf; a2b only reads the store back.
+  /** Ingest the ~100k-doc bulk input into a FRESH root and make it the root
+    * a2b reads back. Called by a2 on EVERY invocation — the timed region
+    * always pays a full addDf, so repeated or warmed-up bench iterations
+    * measure the add itself, never a cached count (benchmark-integrity
+    * contract vs the reference timer, which pays a full add per run).
+    */
+  private def bulkIngestFresh(spark: SparkSession, sfDir: String): Collection = {
+    val r = java.nio.file.Files.createTempDirectory("graft-bulk-").toString
+    Collection(spark, r, "bulk").addDf(spark.read.parquet(bulkInputPath(spark, sfDir)))
+    bulkRoots.put(sfDir, r)
+    Collection(spark, r, "bulk")
+  }
+
+  /** The bulk collection a2 last ingested — a2b's read-back target. Run
+    * standalone (filtered runs), it pays its own one-time ingest.
     */
   private def bulkColl(spark: SparkSession, sfDir: String): Collection = {
     val root = bulkRoots.getOrElseUpdate(sfDir, {
@@ -188,7 +201,7 @@ object EntryQueries {
     // driver compares against the reference's add isn't charged ~1 s of
     // oracle read-back the reference timer doesn't pay.
     ("a2_add_bulk", (s: SparkSession, sfDir: String) => {
-      val c = bulkColl(s, sfDir)
+      val c = bulkIngestFresh(s, sfDir)
       c.docs().groupBy().agg(count(lit(1)).as("n_docs"))
     }, Some("""SELECT COUNT(*) * (SELECT GREATEST(1, 100000 // COUNT(*)) FROM documents) AS n_docs
               |FROM documents""".stripMargin)),

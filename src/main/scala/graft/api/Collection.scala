@@ -61,9 +61,18 @@ final class Collection private (
     // existence is a filesystem stat, not a Spark job (`isEmpty` here cost a
     // driver action on EVERY ranked query); a stats partition always holds
     // exactly one row by construction (overwrite-only, never deltas)
-    if (!Stores.partitionExists(spark, statsDir, name))
-      spark.sql("SELECT CAST(0 AS LONG) n_docs, CAST(0.0 AS DOUBLE) avg_dl")
-    else Stores.readPartition(spark, statsDir, name, Stores.collStatsSchema)
+    if (!Stores.partitionExists(spark, statsDir, name)) {
+      if (Stores.partitionExists(spark, doclenDir, name) ||
+          Stores.partitionExists(spark, postingsDir, name)) {
+        // the collection has index data but no stats row — a crash landed
+        // between the swap renames (the old copy is in a `.old-*` dir).
+        // Serving zeros here would mean NaN BM25 ranks with no error;
+        // rebuild from the skinny doclen store instead and self-heal.
+        writeStatsFrom(doclen())
+        Stores.readPartition(spark, statsDir, name, Stores.collStatsSchema)
+      } else
+        spark.sql("SELECT CAST(0 AS LONG) n_docs, CAST(0.0 AS DOUBLE) avg_dl")
+    } else Stores.readPartition(spark, statsDir, name, Stores.collStatsSchema)
 
   /** Scalar doc count of this collection (reference core.py:125-138). */
   def count(): Long = docs().count()
@@ -145,6 +154,11 @@ final class Collection private (
     val batch = batch0.persist()
     try {
       if (wasEmpty) {
+        // first ingest creates the collection: persist the open-time flags
+        // that change what the stored bytes mean, so mismatched re-opens
+        // throw at Collection() instead of silently mis-querying
+        Stores.writeManifest(spark, root, name,
+          Stores.Manifest(useFts, foldAccents))
         Stores.overwritePartition(spark, docsDir, name, batch)
         refreshIndexesFull(batch) // tokenize from the cache, not a store re-read
       } else {
@@ -294,6 +308,10 @@ final class Collection private (
     Stores.compactPartition(spark, annDir, name, Stores.annSchema,
       sortBy = Seq("table", "bucket"))
     Stores.compactPartition(spark, doclenDir, name, Stores.doclenSchema)
+    // sweep crash residue while we're off the ingest path anyway: orphaned
+    // .tmp-* always, .old-* (crash-recovery copies) past their grace window
+    Seq(docsDir, postingsDir, statsDir, annDir, doclenDir)
+      .foreach(Stores.sweep(spark, _))
   }
 
   /** Size-ratio + count compaction policy: fold when the docs deltas rival
@@ -319,6 +337,7 @@ final class Collection private (
     Stores.dropPartition(spark, statsDir, name)
     Stores.dropPartition(spark, annDir, name)
     Stores.dropPartition(spark, doclenDir, name)
+    Stores.dropManifest(spark, root, name) // a recreate may change flags
     // Retire the ANN-rewrite registration with the store it points at. The
     // Deferred guard would decline anyway (no ann partition), but a retained
     // entry keeps AnnCatalog non-empty forever — every query in the JVM pays
@@ -563,10 +582,13 @@ final class Collection private (
   }
 
   private def writeStatsFrom(dl: DataFrame): Unit = {
-    val statsDf = dl.agg(
+    // one aggregate job returning a single row; the one-row stats partition
+    // is then written DRIVER-side (no distributed write job / committer
+    // round — measurable fixed overhead on every upsert and delete)
+    val r = dl.agg(
       org.apache.spark.sql.functions.count(lit(1)).as("n_docs"),
-      coalesce(avg($"dl"), lit(0.0)).as("avg_dl"))
-    Stores.overwritePartition(spark, statsDir, name, statsDf)
+      coalesce(avg($"dl"), lit(0.0)).as("avg_dl")).head()
+    Stores.writeCollStats(spark, statsDir, name, r.getLong(0), r.getDouble(1))
   }
 
   /** Full rebuild of the persisted vector index (if one exists) with its
@@ -727,14 +749,26 @@ object Collection {
     */
   /** `foldAccents` folds diacritics in BOTH the index tokenizer and query
     * terms (fts5 `unicode61 remove_diacritics` parity, reference
-    * core.py:461) — like `useFts`/`embedder`, an open-time setting the
-    * caller must pass consistently across opens of the same collection.
+    * core.py:461). `useFts`/`foldAccents` are persisted in a per-collection
+    * manifest at first ingest and VALIDATED here on every later open — a
+    * folded collection opened unfolded would silently stop matching
+    * accented queries, and an upsert through it would append unfolded
+    * postings into the folded index (pre-manifest stores skip the check).
+    * `embedder` remains caller-carried (a function can't be persisted).
     */
   def apply(spark: SparkSession, root: String, name: String,
             embedder: Option[Embedder] = None, useFts: Boolean = true,
             foldAccents: Boolean = false): Collection = {
     require(name != null && NamePattern.matches(name),
       s"Invalid collection name: '$name'. Only letters, numbers, and -_+~#=/ are allowed.")
+    Stores.readManifest(spark, root, name).foreach { m =>
+      if (m.useFts != useFts || m.foldAccents != foldAccents)
+        throw new IllegalArgumentException(
+          s"Collection '$name' was created with useFts=${m.useFts}, " +
+            s"foldAccents=${m.foldAccents}; this open passed useFts=$useFts, " +
+            s"foldAccents=$foldAccents. Pass the original flags (or deleteAll() " +
+            "to recreate with new ones).")
+    }
     new Collection(spark, root, name, embedder, useFts, foldAccents)
   }
 }

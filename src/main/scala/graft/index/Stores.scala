@@ -246,28 +246,100 @@ object Stores {
     * partition is renamed aside (not deleted) before the temp dir takes its
     * place, so no crash window leaves the data only in an orphaned temp dir:
     * the worst crash outcome is a missing partition with the full old copy
-    * sitting in a `.old-*` dir beside it. `df` must NOT contain the
-    * collection column (it lives in the directory name).
+    * sitting in a `.old-*` dir beside it ([[sweep]] bounds how long such
+    * residue lives). `df` must NOT contain the collection column (it lives
+    * in the directory name).
     */
   def overwritePartition(spark: SparkSession, storeDir: String, collection: String,
                          df: DataFrame, sortBy: Seq[String] = Nil): Unit = {
-    val dest = new Path(partDir(storeDir, collection))
     val uuid = java.util.UUID.randomUUID().toString
     val tmp = new Path(s"$storeDir/.tmp-$uuid")
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = if (sortBy.nonEmpty) df.sortWithinPartitions(sortBy.head, sortBy.tail: _*) else df
     try out.write.mode("overwrite").parquet(tmp.toString)
     catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    swapInto(fs, storeDir, collection, tmp, uuid)
+  }
+
+  /** Rename-over swap of an already-written `tmp` dir into the partition
+    * slot. On a failed final rename the original is restored AND the tmp dir
+    * is deleted — a leaked tmp would otherwise accumulate invisibly.
+    */
+  private def swapInto(fs: org.apache.hadoop.fs.FileSystem, storeDir: String,
+                       collection: String, tmp: Path, uuid: String): Unit = {
+    val dest = new Path(partDir(storeDir, collection))
     fs.mkdirs(dest.getParent)
     val old = new Path(s"$storeDir/.old-$uuid")
     val hadDest = fs.exists(dest)
-    if (hadDest && !fs.rename(dest, old))
+    if (hadDest && !fs.rename(dest, old)) {
+      fs.delete(tmp, true)
       throw new java.io.IOException(s"partition swap failed: $dest -> $old")
+    }
     if (!fs.rename(tmp, dest)) {
       if (hadDest) fs.rename(old, dest) // restore the original on failure
+      fs.delete(tmp, true)
       throw new java.io.IOException(s"partition swap failed: $tmp -> $dest")
     }
     if (hadDest) fs.delete(old, true)
+  }
+
+  /** Overwrite a collection's single-row stats partition from DRIVER-side
+    * values — a one-row parquet file written directly (parquet-hadoop
+    * writer), swapped in with the same rename-over contract as
+    * [[overwritePartition]]. Every upsert/delete refreshes stats; launching
+    * a distributed write job (task commit + output-committer coordination)
+    * for one 16-byte row was measurable fixed overhead on the bulk-add path.
+    */
+  def writeCollStats(spark: SparkSession, statsDir: String, collection: String,
+                     nDocs: Long, avgDl: Double): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmp = new Path(s"$statsDir/.tmp-$uuid")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = tmp.getFileSystem(conf)
+    val schema = MessageTypeParser.parseMessageType(
+      "message collstats { required int64 n_docs; required double avg_dl; }")
+    try {
+      val confCopy = new org.apache.hadoop.conf.Configuration(conf)
+      GroupWriteSupport.setSchema(schema, confCopy)
+      val w = ExampleParquetWriter.builder(
+          org.apache.parquet.hadoop.util.HadoopOutputFile
+            .fromPath(new Path(tmp, "part-00000.parquet"), confCopy))
+        .withConf(confCopy).build()
+      try {
+        val g = new SimpleGroup(schema)
+        g.add("n_docs", nDocs)
+        g.add("avg_dl", avgDl)
+        w.write(g)
+      } finally w.close()
+    } catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    swapInto(fs, statsDir, collection, tmp, uuid)
+  }
+
+  /** Janitor for crash residue under one store dir: `.tmp-*` dirs are
+    * deleted unconditionally (stores are single-writer per collection and
+    * every live code path deletes or renames its tmp before returning — an
+    * existing one is a crash orphan), `.old-*` dirs older than
+    * `oldGraceMs` are deleted (younger ones are kept as crash-recovery
+    * data — the pre-swap copy of a partition whose swap may not have
+    * landed). Returns the number of dirs removed. Called from
+    * `Collection.compact()`; long-lived stores would otherwise accumulate
+    * residue invisibly.
+    */
+  def sweep(spark: SparkSession, storeDir: String,
+            oldGraceMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val dir = new Path(storeDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0
+    val now = System.currentTimeMillis()
+    fs.listStatus(dir).toSeq.count { s =>
+      val n = s.getPath.getName
+      val stale = n.startsWith(".tmp-") ||
+        (n.startsWith(".old-") && now - s.getModificationTime > oldGraceMs)
+      stale && fs.delete(s.getPath, true)
+    }
   }
 
   /** Drop one collection's partition entirely (reference `delete_all`,
@@ -277,6 +349,62 @@ object Stores {
     val dest = new Path(partDir(storeDir, collection))
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dest)) fs.delete(dest, true)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Per-collection manifest: the open-time configuration that changes what the
+  // bytes MEAN ({useFts, foldAccents}), persisted at creation so a mismatched
+  // re-open throws instead of silently mis-querying (a folded index opened
+  // unfolded stops matching accented terms; a later upsert would append
+  // unfolded postings into it). The reference's equivalent state lives in the
+  // database schema itself (core.py:108-115 probes it).
+  // ---------------------------------------------------------------------------
+
+  final case class Manifest(useFts: Boolean, foldAccents: Boolean)
+
+  def manifestDir(root: String) = s"$root/manifest"
+
+  private def manifestPath(root: String, collection: String): Path =
+    new Path(s"${manifestDir(root)}/${java.net.URLEncoder.encode(collection, "UTF-8")}.json")
+
+  /** Persist a collection's manifest (overwrites; single tiny JSON file). */
+  def writeManifest(spark: SparkSession, root: String, collection: String,
+                    m: Manifest): Unit = {
+    val p = manifestPath(root, collection)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"useFts":${m.useFts},"foldAccents":${m.foldAccents}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The collection's persisted manifest; None for pre-manifest stores and
+    * never-ingested names.
+    */
+  def readManifest(spark: SparkSession, root: String,
+                   collection: String): Option[Manifest] = {
+    val p = manifestPath(root, collection)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var r = in.read(chunk)
+      while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    def flag(k: String): Boolean = s""""$k"\\s*:\\s*(true|false)""".r
+      .findFirstMatchIn(body).exists(_.group(1) == "true")
+    Some(Manifest(flag("useFts"), flag("foldAccents")))
+  }
+
+  /** Drop a collection's manifest (delete_all). */
+  def dropManifest(spark: SparkSession, root: String, collection: String): Unit = {
+    val p = manifestPath(root, collection)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
   }
 
   /** All collections present under a store dir (partition directory names). */

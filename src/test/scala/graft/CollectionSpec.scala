@@ -488,4 +488,73 @@ class CollectionSpec extends AnyFunSuite {
     spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
     spark.conf.set("spark.graft.compact.auto", "true")
   }
+
+  test("manifest: mismatched open-time flags throw; deleteAll resets them") {
+    import graft.index.Stores
+    val root = freshRoot()
+    val c = Collection(spark, root, "m", foldAccents = true)
+    c.add(Seq("café talk"), ids = Some(Seq("d1"))) // first ingest persists the manifest
+    assert(Stores.readManifest(spark, root, "m") ===
+      Some(Stores.Manifest(useFts = true, foldAccents = true)))
+    // consistent re-open works; mismatched flags throw instead of silently
+    // mis-querying (unfolded open of a folded index misses accented matches)
+    Collection(spark, root, "m", foldAccents = true)
+    val e = intercept[IllegalArgumentException](Collection(spark, root, "m"))
+    assert(e.getMessage.contains("foldAccents"))
+    intercept[IllegalArgumentException](
+      Collection(spark, root, "m", useFts = false, foldAccents = true))
+    // a never-ingested name under the same root validates nothing
+    Collection(spark, root, "other", useFts = false)
+    // deleteAll clears the manifest — recreation may change flags
+    Collection(spark, root, "m", foldAccents = true).deleteAll()
+    assert(Stores.readManifest(spark, root, "m").isEmpty)
+    Collection(spark, root, "m").add(Seq("plain"), ids = Some(Seq("d2")))
+    assert(Stores.readManifest(spark, root, "m") ===
+      Some(Stores.Manifest(useFts = true, foldAccents = false)))
+  }
+
+  test("sweep: planted crash residue is removed; live partitions untouched") {
+    import graft.index.Stores
+    import org.apache.hadoop.fs.Path
+    val root = freshRoot()
+    val c = coll(root, "sw")
+    c.add(Seq("alpha beta"), ids = Some(Seq("d1")))
+    val docsDir = Stores.docsDir(root)
+    val fs = new Path(docsDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant: a crash-orphaned tmp (always swept), a stale old (past grace)
+    // and a fresh old (kept — crash-recovery data inside the window)
+    fs.mkdirs(new Path(s"$docsDir/.tmp-orphan"))
+    fs.mkdirs(new Path(s"$docsDir/.old-stale"))
+    fs.setTimes(new Path(s"$docsDir/.old-stale"),
+      System.currentTimeMillis() - 8L * 24 * 3600 * 1000, -1)
+    fs.mkdirs(new Path(s"$docsDir/.old-fresh"))
+    assert(Stores.sweep(spark, docsDir) === 2)
+    assert(!fs.exists(new Path(s"$docsDir/.tmp-orphan")))
+    assert(!fs.exists(new Path(s"$docsDir/.old-stale")))
+    assert(fs.exists(new Path(s"$docsDir/.old-fresh")))
+    // compact() runs the sweep too, and the store still reads back intact
+    fs.mkdirs(new Path(s"$docsDir/.tmp-orphan2"))
+    c.compact()
+    assert(!fs.exists(new Path(s"$docsDir/.tmp-orphan2")))
+    assert(c.query("alpha").results.map(_.id) === Seq("d1"))
+  }
+
+  test("missing stats partition self-heals from doclen instead of NaN ranks") {
+    import graft.index.Stores
+    val root = freshRoot()
+    val c = coll(root, "heal")
+    c.add(Seq("alpha beta gamma", "alpha delta"), ids = Some(Seq("d1", "d2")))
+    val ranksBefore = c.query("alpha").results.map(h => h.id -> h.rank).toMap
+    // simulate the crash window: stats partition gone, postings/doclen intact
+    Stores.dropPartition(spark, Stores.collStatsDir(root), "heal")
+    val hits = c.query("alpha").results
+    assert(hits.map(_.id).toSet === Set("d1", "d2"))
+    // ranks are real BM25 numbers again (not NaN from n_docs=0), and the
+    // healed stats row matches the pre-crash one
+    assert(hits.forall(h => h.rank.exists(r => !r.isNaN)))
+    assert(hits.map(h => h.id -> h.rank).toMap === ranksBefore)
+    val healed = Stores.readPartition(spark, Stores.collStatsDir(root), "heal",
+      Stores.collStatsSchema).head()
+    assert(healed.getLong(0) === 2L)
+  }
 }
