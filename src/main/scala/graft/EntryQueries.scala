@@ -725,6 +725,48 @@ object EntryQueries {
         .toDF("metric", "ok")
     }, Some("SELECT 'recall_at_10' AS metric, true AS ok UNION ALL SELECT 'store_roundtrip', true ORDER BY metric")),
 
+    // Collection-level IVF index (the data-adaptive sibling of x7b):
+    // createVectorIndex(kind="ivf") must probe identically to the per-call
+    // Ivf path on the same corpus; delta maintenance must keep the resolved
+    // assignments EXACTLY equal to a fresh assignment of the current docs
+    // against the stored centroids; and the recall gate must survive the
+    // maintained upsert.
+    ("x6c_ivf_index", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val root = java.nio.file.Files.createTempDirectory("graft-x6c-").toString
+      val c = Collection(s, root, "vecs", useFts = false)
+      c.addDf(e.withColumn("content", lit("")))
+      c.createVectorIndex(kind = "ivf", numCentroids = 16, iters = 5,
+        maxSample = 20000, nprobe = 10)
+      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val via = c.vectorTopK(qs, 10).select("qid", "rn", "id").persist()
+      val direct = Ivf.build(e, k = 16, iters = 5, maxSample = 20000)
+        .topK(e, qs, k = 10, nprobe = 10).select("qid", "rn", "id").persist()
+      try {
+        val eq1 = via.exceptAll(direct).isEmpty && via.count() == direct.count()
+        // upsert 50 duplicated vectors under new ids — the O(batch) delta
+        // re-assigns them against the STORED centroids
+        c.addDf(e.limit(50).select(concat(lit("dup_"), col("id")).as("id"),
+          lit("").as("content"), col("embedding")))
+        val ix = c.ivfIndex().get
+        val resolved = ix.assignments.persist()
+        val fresh = Ivf.assign(c.docs(), ix.centroids).persist()
+        try {
+          val eq2 = resolved.exceptAll(fresh).isEmpty &&
+            fresh.exceptAll(resolved).isEmpty
+          val rec = Ann.recallAtK(Ann.exactTopK(c.docs(), qs, k = 10),
+            c.vectorTopK(qs, 10))
+          Seq(("delta_assignments_exact", eq2),
+            ("prebuilt_equals_percall", eq1),
+            ("recall_after_delta_ge_0.8", rec >= 0.8)).toDF("metric", "ok")
+        } finally { resolved.unpersist(); fresh.unpersist() }
+      } finally { via.unpersist(); direct.unpersist() }
+    }, Some("""SELECT * FROM (VALUES ('delta_assignments_exact', true),
+              |  ('prebuilt_equals_percall', true),
+              |  ('recall_after_delta_ge_0.8', true)) AS t(metric, ok)""".stripMargin)),
+
     ("x7_ann_lsh_recall", (s: SparkSession, sfDir: String) => {
       import s.implicits._
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")

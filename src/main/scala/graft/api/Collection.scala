@@ -50,6 +50,8 @@ final class Collection private (
   private val statsDir = Stores.collStatsDir(root)
   private val annDir = Stores.annDir(root)
   private val doclenDir = Stores.doclenDir(root)
+  private val ivfDir = Stores.ivfDir(root)
+  private val ivfCentDir = Stores.ivfCentDir(root)
 
   /** This collection's documents (partition-pruned read). */
   def docs(): DataFrame = Stores.readPartition(spark, docsDir, name, Stores.docsSchema)
@@ -302,15 +304,30 @@ final class Collection private (
     * [[Stores.MaxDeltas]] policy trigger it).
     */
   def compact(): Unit = {
+    // IVF staleness check BEFORE the fold (deltas are the staleness signal):
+    // when the delta-assigned mass rivals the base, the stored centroids were
+    // trained on a minority of the current data — retrain from docs() with
+    // the stored params; otherwise just fold the assignment deltas flat.
+    val ivfStale = Stores.partitionExists(spark, ivfCentDir, name) && {
+      val (b, d) = Stores.segmentBytes(spark, ivfDir, name)
+      b > 0 && d * 2 > b
+    }
     Stores.compactPartition(spark, docsDir, name, Stores.docsSchema)
     Stores.compactPartition(spark, postingsDir, name, Stores.postingsSchema,
       sortBy = Seq("term"))
     Stores.compactPartition(spark, annDir, name, Stores.annSchema,
       sortBy = Seq("table", "bucket"))
     Stores.compactPartition(spark, doclenDir, name, Stores.doclenSchema)
+    if (ivfStale) ivfParams().foreach { case (nprobe, iters, maxSample, seed) =>
+      val k = ivfCentroids().map(_.size).getOrElse(256)
+      writeIvf(graft.ext.Ivf.build(docs(), "id", "embedding",
+        k, iters, 1.0, maxSample, seed), nprobe, iters, maxSample, seed)
+    }
+    else Stores.compactPartition(spark, ivfDir, name, Stores.ivfSchema,
+      sortBy = Seq("cluster"))
     // sweep crash residue while we're off the ingest path anyway: orphaned
     // .tmp-* always, .old-* (crash-recovery copies) past their grace window
-    Seq(docsDir, postingsDir, statsDir, annDir, doclenDir)
+    Seq(docsDir, postingsDir, statsDir, annDir, doclenDir, ivfDir, ivfCentDir)
       .foreach(Stores.sweep(spark, _))
   }
 
@@ -337,6 +354,8 @@ final class Collection private (
     Stores.dropPartition(spark, statsDir, name)
     Stores.dropPartition(spark, annDir, name)
     Stores.dropPartition(spark, doclenDir, name)
+    Stores.dropPartition(spark, ivfDir, name)
+    Stores.dropPartition(spark, ivfCentDir, name)
     Stores.dropManifest(spark, root, name) // a recreate may change flags
     // Retire the ANN-rewrite registration with the store it points at. The
     // Deferred guard would decline anyway (no ann partition), but a retained
@@ -353,29 +372,86 @@ final class Collection private (
   // alongside postings)
   // -------------------------------------------------------------------------
 
-  /** Build (or rebuild) this collection's LSH vector index over the docs'
-    * embedding column and persist it. Docs without embeddings are simply
-    * absent from the index. Subsequent `add`/`update`/`delete` maintain it
-    * incrementally; `vectorTopK` probes it without touching the corpus scan.
+  /** Build (or rebuild) this collection's persisted vector index over the
+    * docs' embedding column: `kind = "lsh"` (default — data-oblivious
+    * random-hyperplane buckets, uses `numTables`/`numPlanes`/`dim`) or
+    * `kind = "ivf"` (data-adaptive centroid posting lists, uses
+    * `numCentroids`/`iters`/`maxSample`/`nprobe`). Docs without embeddings
+    * are simply absent from the index. The two kinds are mutually exclusive
+    * — building one drops the other. Subsequent `add`/`update`/`delete`
+    * maintain the built index incrementally (IVF batches re-assign against
+    * the STORED centroids — a zero-shuffle scan; `compact()` retrains
+    * centroids when the delta mass rivals the base); `vectorTopK` probes it
+    * without touching the corpus scan.
     */
   def createVectorIndex(numTables: Int = 16, numPlanes: Int = 4,
-                        dim: Int = 64, seed: Long = 42L): Unit = {
-    val ix = LshIndex.build(docs(), "id", "embedding", numTables, numPlanes, dim, seed)
-    // toStoreFrame is already range-clustered + sorted; no write-time re-sort
-    Stores.overwritePartition(spark, annDir, name, ix.toStoreFrame)
-    // Arm the cosine-top-k → ANN rewrite for direct scans of this
-    // collection's docs store (the pgvector planner analogue,
-    // core.py:319-321). Two-layer opt-in: this registration is INERT
-    // unless the session also installed the rule (GraftExtensions or
-    // AnnCatalog.install) — exact queries stay exact everywhere else.
-    // Deferred: every rewrite re-reads the CURRENT persisted index
-    // (delta-maintained by add/update/delete), and a dropped index
-    // declines instead of serving stale buckets.
-    graft.plans.AnnCatalog.register(spark, Stores.partitionPath(docsDir, name),
-      graft.plans.AnnCatalog.Entry("id", "embedding",
-        graft.plans.AnnCatalog.Deferred(() =>
-          vectorIndex().map(graft.plans.AnnCatalog.LshRegistered(_)))))
+                        dim: Int = 64, seed: Long = 42L,
+                        kind: String = "lsh", numCentroids: Int = 256,
+                        iters: Int = 10, maxSample: Int = 100000,
+                        nprobe: Int = 8): Unit = kind match {
+    case "lsh" =>
+      val ix = LshIndex.build(docs(), "id", "embedding", numTables, numPlanes, dim, seed)
+      // toStoreFrame is already range-clustered + sorted; no write-time re-sort
+      Stores.overwritePartition(spark, annDir, name, ix.toStoreFrame)
+      Stores.dropPartition(spark, ivfDir, name)
+      Stores.dropPartition(spark, ivfCentDir, name)
+      // Arm the cosine-top-k → ANN rewrite for direct scans of this
+      // collection's docs store (the pgvector planner analogue,
+      // core.py:319-321). Two-layer opt-in: this registration is INERT
+      // unless the session also installed the rule (GraftExtensions or
+      // AnnCatalog.install) — exact queries stay exact everywhere else.
+      // Deferred: every rewrite re-reads the CURRENT persisted index
+      // (delta-maintained by add/update/delete), and a dropped index
+      // declines instead of serving stale buckets.
+      graft.plans.AnnCatalog.register(spark, Stores.partitionPath(docsDir, name),
+        graft.plans.AnnCatalog.Entry("id", "embedding",
+          graft.plans.AnnCatalog.Deferred(() =>
+            vectorIndex().map(graft.plans.AnnCatalog.LshRegistered(_)))))
+    case "ivf" =>
+      require(nprobe >= 1 && nprobe <= numCentroids, "1 <= nprobe <= numCentroids")
+      val ix = graft.ext.Ivf.build(docs(), "id", "embedding",
+        numCentroids, iters, 1.0, maxSample, seed)
+      writeIvf(ix, nprobe, iters, maxSample, seed)
+      Stores.dropPartition(spark, annDir, name)
+      graft.plans.AnnCatalog.register(spark, Stores.partitionPath(docsDir, name),
+        graft.plans.AnnCatalog.Entry("id", "embedding",
+          graft.plans.AnnCatalog.Deferred(() => ivfIndex().map(ix =>
+            graft.plans.AnnCatalog.IvfRegistered(ix, ivfParams().map(_._1).getOrElse(8))))))
+    case other =>
+      throw new IllegalArgumentException(
+        s"Unknown vector index kind '$other' (expected \"lsh\" or \"ivf\").")
   }
+
+  private def writeIvf(ix: graft.ext.IvfIndex, nprobe: Int, iters: Int,
+                       maxSample: Int, seed: Long): Unit = {
+    // toStoreFrame is already range-clustered + sorted by cluster
+    Stores.overwritePartition(spark, ivfDir, name, ix.toStoreFrame)
+    Stores.overwritePartition(spark, ivfCentDir, name,
+      ix.centroidsFrame
+        .withColumn("nprobe", lit(nprobe)).withColumn("iters", lit(iters))
+        .withColumn("max_sample", lit(maxSample)).withColumn("seed", lit(seed)))
+  }
+
+  /** The persisted IVF index, if one was built ([[createVectorIndex]] with
+    * `kind = "ivf"`): current (delta-resolved) assignments + stored
+    * centroids.
+    */
+  def ivfIndex(): Option[graft.ext.IvfIndex] =
+    if (!Stores.partitionExists(spark, ivfCentDir, name)) None
+    else {
+      val cents = Stores.readPartition(spark, ivfCentDir, name, Stores.ivfCentSchema)
+        .select($"cluster", $"centroid")
+      if (cents.isEmpty) None
+      else Some(graft.ext.IvfIndex.fromStoreFrames(
+        Stores.readPartition(spark, ivfDir, name, Stores.ivfSchema), cents))
+    }
+
+  /** (nprobe, iters, maxSample, seed) of the stored IVF index. */
+  private def ivfParams(): Option[(Int, Int, Int, Long)] =
+    if (!Stores.partitionExists(spark, ivfCentDir, name)) None
+    else Stores.readPartition(spark, ivfCentDir, name, Stores.ivfCentSchema)
+      .select($"nprobe", $"iters", $"max_sample", $"seed").head(1).headOption
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
 
   /** The persisted vector index, if one was built (and the collection has
     * had embedded docs since).
@@ -394,8 +470,12 @@ final class Collection private (
   def vectorTopK(queries: Seq[(String, Seq[Float])], k: Int): DataFrame =
     vectorIndex() match {
       case Some(ix) => ix.topK(docs(), queries, k)
-      case None => throw new IllegalStateException(
-        s"Collection '$name' has no vector index. Call createVectorIndex() first.")
+      case None => ivfIndex() match {
+        case Some(ix) =>
+          ix.topK(docs(), queries, k, nprobe = ivfParams().map(_._1).getOrElse(8))
+        case None => throw new IllegalStateException(
+          s"Collection '$name' has no vector index. Call createVectorIndex() first.")
+      }
     }
 
   /** Full postings + stats (re)build from `source` (the cached batch on
@@ -444,18 +524,38 @@ final class Collection private (
   }
 
   private def refreshVectorIndexMerge(batch: DataFrame, batchIds: DataFrame): Unit = {
-    if (!Stores.partitionExists(spark, annDir, name)) return
-    LshIndex.fromStoreFrame(
-      Stores.readPartition(spark, annDir, name, Stores.annSchema)) match {
-      case Some(ix) =>
-        val kept = ix.buckets.join(batchIds, Seq("id"), "left_anti")
-        val added = Ann.lshTables(batch.filter($"embedding".isNotNull),
-          "id", "embedding", ix.numTables, ix.numPlanes, ix.dim, ix.seed)
-        Stores.overwritePartition(spark, annDir, name,
-          ix.copy(buckets = kept.unionByName(added)).toStoreFrame)
-      case None => Stores.dropPartition(spark, annDir, name)
+    if (Stores.partitionExists(spark, annDir, name)) {
+      LshIndex.fromStoreFrame(
+        Stores.readPartition(spark, annDir, name, Stores.annSchema)) match {
+        case Some(ix) =>
+          val kept = ix.buckets.join(batchIds, Seq("id"), "left_anti")
+          val added = Ann.lshTables(batch.filter($"embedding".isNotNull),
+            "id", "embedding", ix.numTables, ix.numPlanes, ix.dim, ix.seed)
+          Stores.overwritePartition(spark, annDir, name,
+            ix.copy(buckets = kept.unionByName(added)).toStoreFrame)
+        case None => Stores.dropPartition(spark, annDir, name)
+      }
+    }
+    ivfCentroids().foreach { cents =>
+      val kept = Stores.readPartition(spark, ivfDir, name, Stores.ivfSchema)
+        .join(batchIds, Seq("id"), "left_anti")
+      val added = graft.ext.Ivf.assign(batch, cents)
+      Stores.overwritePartition(spark, ivfDir, name,
+        kept.unionByName(added), sortBy = Seq("cluster"))
     }
   }
+
+  /** Stored IVF centroids (driver-side, k×dim — broadcast-sized), or None
+    * without an IVF index.
+    */
+  private def ivfCentroids(): Option[Seq[Seq[Float]]] =
+    if (!Stores.partitionExists(spark, ivfCentDir, name)) None
+    else {
+      val rows = Stores.readPartition(spark, ivfCentDir, name, Stores.ivfCentSchema)
+        .select($"cluster", $"centroid").collect()
+      if (rows.isEmpty) None
+      else Some(rows.sortBy(_.getInt(0)).map(_.getSeq[Float](1).toSeq).toSeq)
+    }
 
   /** Incremental postings + stats maintenance for an upserted batch: only
     * the batch tokenizes, and the postings store gets an O(batch) delta
@@ -508,6 +608,10 @@ final class Collection private (
         case None => Stores.dropPartition(spark, annDir, name)
       }
     }
+    if (Stores.partitionExists(spark, ivfDir, name))
+      Stores.overwritePartition(spark, ivfDir, name,
+        Stores.readPartition(spark, ivfDir, name, Stores.ivfSchema)
+          .join(idsDf, Seq("id"), "left_anti"), sortBy = Seq("cluster"))
   }
 
   /** Index maintenance for a delete: gone-only deltas (no tokenize, no
@@ -522,6 +626,9 @@ final class Collection private (
     if (Stores.partitionExists(spark, annDir, name))
       Stores.appendDelta(spark, annDir, name,
         emptyFrame(Stores.annSchema), gone = Some(idsDf))
+    if (Stores.partitionExists(spark, ivfDir, name))
+      Stores.appendDelta(spark, ivfDir, name,
+        emptyFrame(Stores.ivfSchema), gone = Some(idsDf))
   }
 
   // -------------------------------------------------------------------------
@@ -597,14 +704,22 @@ final class Collection private (
     * `createVectorIndex` after re-adding).
     */
   private def refreshVectorIndexFull(): Unit = {
-    if (!Stores.partitionExists(spark, annDir, name)) return
-    LshIndex.fromStoreFrame(
-      Stores.readPartition(spark, annDir, name, Stores.annSchema)) match {
-      case Some(ix) =>
-        Stores.overwritePartition(spark, annDir, name,
-          LshIndex.build(docs(), "id", "embedding",
-            ix.numTables, ix.numPlanes, ix.dim, ix.seed).toStoreFrame)
-      case None => Stores.dropPartition(spark, annDir, name)
+    if (Stores.partitionExists(spark, annDir, name)) {
+      LshIndex.fromStoreFrame(
+        Stores.readPartition(spark, annDir, name, Stores.annSchema)) match {
+        case Some(ix) =>
+          Stores.overwritePartition(spark, annDir, name,
+            LshIndex.build(docs(), "id", "embedding",
+              ix.numTables, ix.numPlanes, ix.dim, ix.seed).toStoreFrame)
+        case None => Stores.dropPartition(spark, annDir, name)
+      }
+    }
+    // IVF: re-assign everything against the STORED centroids (zero-shuffle
+    // scan); centroid retraining is compact()'s staleness policy, not the
+    // write path's job
+    ivfCentroids().foreach { cents =>
+      Stores.overwritePartition(spark, ivfDir, name,
+        graft.ext.Ivf.assign(docs(), cents), sortBy = Seq("cluster"))
     }
   }
 
@@ -614,16 +729,25 @@ final class Collection private (
     * as the postings delta.
     */
   private def refreshVectorIndexDelta(batch: DataFrame, batchIds: DataFrame): Unit = {
-    if (!Stores.partitionExists(spark, annDir, name)) return
-    LshIndex.fromStoreFrame(
-      Stores.readPartition(spark, annDir, name, Stores.annSchema)) match {
-      case Some(ix) =>
-        val added = Ann.lshTables(batch.filter($"embedding".isNotNull),
-          "id", "embedding", ix.numTables, ix.numPlanes, ix.dim, ix.seed)
-        Stores.appendDelta(spark, annDir, name,
-          LshIndex(added, ix.numTables, ix.numPlanes, ix.dim, ix.seed).toStoreFrame,
-          gone = Some(batchIds), sortBy = Seq("table", "bucket"))
-      case None => Stores.dropPartition(spark, annDir, name)
+    if (Stores.partitionExists(spark, annDir, name)) {
+      LshIndex.fromStoreFrame(
+        Stores.readPartition(spark, annDir, name, Stores.annSchema)) match {
+        case Some(ix) =>
+          val added = Ann.lshTables(batch.filter($"embedding".isNotNull),
+            "id", "embedding", ix.numTables, ix.numPlanes, ix.dim, ix.seed)
+          Stores.appendDelta(spark, annDir, name,
+            LshIndex(added, ix.numTables, ix.numPlanes, ix.dim, ix.seed).toStoreFrame,
+            gone = Some(batchIds), sortBy = Seq("table", "bucket"))
+        case None => Stores.dropPartition(spark, annDir, name)
+      }
+    }
+    // IVF: O(batch) delta — the batch re-assigns against the stored
+    // centroids (broadcast expression, zero shuffle); the gone sidecar
+    // claims every batch id so replaced/unembedded docs leave the index
+    ivfCentroids().foreach { cents =>
+      Stores.appendDelta(spark, ivfDir, name,
+        graft.ext.Ivf.assign(batch, cents),
+        gone = Some(batchIds), sortBy = Seq("cluster"))
     }
   }
 

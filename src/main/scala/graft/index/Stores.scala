@@ -96,11 +96,35 @@ object Stores {
     StructField("seed", LongType, nullable = false)
   ))
 
+  /** annivf: one row per embedded doc — its IVF posting list (cluster).
+    * Stored range-clustered + sorted by cluster so literal `cluster IN (…)`
+    * probes prune row groups. Delta-maintained like annindex.
+    */
+  val ivfSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("cluster", IntegerType, nullable = false)
+  ))
+
+  /** annivfcent: k rows — the unit-norm centroid table plus the build
+    * parameters (constant columns, RLE-free) so maintenance and retrain
+    * need no caller-carried state. Overwrite-only (never deltas).
+    */
+  val ivfCentSchema: StructType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("centroid", ArrayType(FloatType), nullable = false),
+    StructField("nprobe", IntegerType, nullable = false),
+    StructField("iters", IntegerType, nullable = false),
+    StructField("max_sample", IntegerType, nullable = false),
+    StructField("seed", LongType, nullable = false)
+  ))
+
   def docsDir(root: String) = s"$root/docs"
   def postingsDir(root: String) = s"$root/postings"
   def collStatsDir(root: String) = s"$root/collstats"
   def annDir(root: String) = s"$root/annindex"
   def doclenDir(root: String) = s"$root/doclen"
+  def ivfDir(root: String) = s"$root/annivf"
+  def ivfCentDir(root: String) = s"$root/annivfcent"
 
   private def partDir(storeDir: String, collection: String): String =
     s"$storeDir/collection=${java.net.URLEncoder.encode(collection, "UTF-8")}"

@@ -370,6 +370,72 @@ class CollectionSpec extends AnyFunSuite {
     assert(c.vectorIndex().isEmpty)
   }
 
+  /** DictEmbedder's fixture vectors for the known strings, a deterministic
+    * hash-derived 3-vector for anything else — the IVF test upserts novel
+    * contents after the index exists.
+    */
+  private object OpenDictEmbedder extends Embedder {
+    def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map {
+      case "Lorem ipsum dolor" => Array(1f, 1f, 1f)
+      case "sit amet" => Array(1f, -1f, 1f)
+      case "consectetur" => Array(-1f, -1f, 1f)
+      case t =>
+        val h = t.hashCode
+        Array((((h & 0xFF) - 128) / 128f) + 0.001f, (((h >> 8) & 0xFF) - 128) / 128f,
+          (((h >> 16) & 0xFF) - 128) / 128f)
+    }
+  }
+
+  test("persisted IVF index: probe, delta maintenance, staleness retrain, exclusivity") {
+    import TestSpark.spark.implicits._
+    import graft.index.Stores
+    val root = freshRoot()
+    val c = coll(root, embedder = Some(OpenDictEmbedder))
+    c.add(Seq("Lorem ipsum dolor", "sit amet"), ids = Some(Seq("a", "b")))
+    assert(c.ivfIndex().isEmpty)
+    intercept[IllegalArgumentException](
+      c.createVectorIndex(kind = "bogus"))
+    c.createVectorIndex(kind = "ivf", numCentroids = 2, iters = 3,
+      maxSample = 1000, nprobe = 2)
+    val ix = c.ivfIndex().get
+    assert(ix.centroids.size === 2)
+    val top = c.vectorTopK(Seq("q" -> Seq(1f, 1f, 1f)), 1).collect()
+    assert(top.length === 1 && top.head.getString(2) === "a") // cosine 1.0 with itself
+    // add() delta-maintains assignments against the STORED centroids —
+    // resolved assignments must equal a fresh assignment of all docs
+    c.add(Seq("consectetur"), ids = Some(Seq("d")))
+    val resolved = c.ivfIndex().get.assignments
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val fresh = graft.ext.Ivf.assign(c.docs(), c.ivfIndex().get.centroids)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(resolved === fresh && resolved.map(_._1) === Set("a", "b", "d"))
+    // delete removes the doc's assignment
+    c.delete(Seq("a"))
+    assert(c.ivfIndex().get.assignments.select("id").as[String].collect().toSet
+      === Set("b", "d"))
+    // staleness retrain: force delta mass past the base, compact() retrains
+    // (params survive; the rebuilt index covers exactly the current docs)
+    spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+    spark.conf.set("spark.graft.compact.auto", "false")
+    (1 to 3).foreach(i => c.add(
+      Seq(s"novum verbum $i", s"aliud verbum $i"), ids = Some(Seq(s"n$i", s"m$i"))))
+    assert(Stores.deltaCount(spark, Stores.ivfDir(root), "test") > 0)
+    c.compact()
+    assert(Stores.deltaCount(spark, Stores.ivfDir(root), "test") === 0)
+    assert(c.ivfIndex().get.assignments.select("id").as[String].collect().toSet
+      === Set("b", "d", "n1", "m1", "n2", "m2", "n3", "m3"))
+    assert(c.vectorTopK(Seq("q" -> Seq(1f, 1f, 1f)), 2).count() === 2)
+    spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+    spark.conf.set("spark.graft.compact.auto", "true")
+    // building LSH drops IVF (mutual exclusion), and vice versa
+    c.createVectorIndex(numTables = 4, numPlanes = 2, dim = 3)
+    assert(c.ivfIndex().isEmpty && c.vectorIndex().nonEmpty)
+    c.createVectorIndex(kind = "ivf", numCentroids = 2, iters = 2, nprobe = 2)
+    assert(c.ivfIndex().nonEmpty && c.vectorIndex().isEmpty)
+    c.deleteAll()
+    assert(c.ivfIndex().isEmpty)
+  }
+
   test("fts and vector coexist") {
     val c = coll(embedder = Some(DictEmbedder))
     c.add(Seq("Lorem ipsum dolor", "sit amet"))
