@@ -461,6 +461,28 @@ object EntryQueries {
                |         $DocId AS id
                |  FROM documents) WHERE rn <= 250""".stripMargin)),
 
+    // Full-ordering checksum companion to q10 (ADVICE r5): the 250-row page
+    // above keeps the WindowGroupLimit plan benefit; this entry pins the
+    // COMPLETE ordering — including the pure non-null string-compare tail
+    // the page no longer covers — as one order-sensitive aggregate (rn rides
+    // inside each hash, so any permutation changes the checksum) without
+    // emitting every row.
+    ("q10b_sort_checksum", (s: SparkSession, sfDir: String) => {
+      val keys = Seq("-opt", "n_chars").map(SortKey.parse)
+      val d = mainColl(s, sfDir).docs()
+      d.withColumn("rn", row_number().over(
+          Window.orderBy(Sorter.sortColumns(col("metadata"), keys, Seq(col("id").asc)): _*)))
+        .groupBy().agg(
+          sum(conv(substring(md5(concat(col("rn").cast("string"), lit("|"), col("id"))),
+            1, 15), 16, 10).cast("decimal(38,0)")).cast("string").as("checksum"))
+    }, Some(s"""WITH r AS (
+               |  SELECT CAST(row_number() OVER (ORDER BY ($OptVal) DESC NULLS FIRST,
+               |           CAST(n_chars AS VARCHAR) ASC NULLS LAST, $DocId ASC) AS BIGINT) AS rn,
+               |         $DocId AS id
+               |  FROM documents)
+               |SELECT CAST(SUM(CAST(CAST(('0x' || substr(md5(CAST(rn AS VARCHAR) || '|' || id), 1, 15)) AS UBIGINT) AS HUGEINT)) AS VARCHAR) AS checksum
+               |FROM r""".stripMargin)),
+
     ("q11_limit_offset", (s: SparkSession, sfDir: String) =>
       // deterministic slice through the REAL pagination path (limit/offset
       // after sort with id tiebreak; limit=0 would mean unlimited, core.py:327-333)

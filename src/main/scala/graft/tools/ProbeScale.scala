@@ -194,6 +194,29 @@ object ProbeScale {
     microBatches(cSmall, "small")
     microBatches(c, "big")
 
+    // MaxDeltas fan-in worst case: with auto-compaction off, accumulate
+    // pending deltas up to the policy cap minus one, then time ONE more
+    // micro-batch — the heaviest read-side resolution any batch can see
+    // under the MaxDeltas policy (the claims frame unions MaxDeltas-1
+    // segments before the broadcast join). Confirms the broadcast-resolution
+    // claim AT the policy boundary, not just after a compact.
+    {
+      import graft.index.Stores
+      spark.conf.set("spark.graft.compact.auto", "false")
+      var i = 0
+      while (Stores.deltaCount(spark, Stores.docsDir(root), "big") < Stores.MaxDeltas - 1) {
+        i += 1
+        c.addDf(base.limit(1000)
+          .select(concat(lit(s"dd${i}_"), $"id").as("id"), $"content", $"metadata"))
+      }
+      val pending = Stores.deltaCount(spark, Stores.docsDir(root), "big")
+      println(s"PROBE pending docs deltas = $pending")
+      metrics += ("pending_deltas" -> pending)
+      time("microbatch_big_maxdeltas_sec")(c.addDf(base.limit(1000)
+        .select(concat(lit("ddlast_"), $"id").as("id"), $"content", $"metadata")))
+      spark.conf.set("spark.graft.compact.auto", "true")
+    }
+
     metrics += ("copies" -> copies)
     val json = metrics.map {
       case (k, v: String) if v.startsWith("[") => s""""$k":$v"""
