@@ -105,7 +105,9 @@ final class Collection private (
 
     // Intra-batch last-wins dedup FIRST, then embed: only surviving rows are
     // embedded, and the expensive embed subtree sits above the shuffle so it
-    // is not re-evaluated per downstream consumer.
+    // is not re-evaluated per downstream consumer. (row_number window, not
+    // max_by: at batch-sized key cardinality the TypedImperativeAggregate
+    // falls back to sort-based ObjectHashAggregate anyway — measured slower.)
     val w = Window.partitionBy($"id").orderBy($"pos".desc)
     val dedupedRaw = batchRaw.toDF()
       .withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)

@@ -220,6 +220,59 @@ case class MaxMultiplicity(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-element occurrence counts of an ARRAY<STRING>, as
+  * STRUCT<tc: MAP<STRING, BIGINT>, dl: BIGINT> where `dl` is the total
+  * element count — the per-row core of the postings build:
+  * `explode(term_counts(tokens).tc)` yields (term, tf) rows from a PURE
+  * SCAN, replacing `explode(tokens)` + `groupBy(id, term) count`, which
+  * shuffled every token OCCURRENCE of every batch (the single largest
+  * ingest cost; ~70 tokens/doc → a 7M-row shuffle per 100k-doc batch, and
+  * the per-batch shuffle at the 100 TB target). `dl` rides in the same
+  * struct so the tokenizer runs ONCE per row (two top-level expressions
+  * would each re-evaluate the regex split). Null elements are skipped;
+  * empty/all-null arrays yield an empty map (explode drops the row,
+  * matching the old shape's absent postings) with dl = non-null count.
+  */
+case class TermCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("tc", MapType(StringType, LongType, valueContainsNull = false),
+      nullable = false),
+    StructField("dl", LongType, nullable = false)))
+  override def prettyName: String = "term_counts"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Long](n * 2)
+    var dl = 0L
+    var i = 0
+    while (i < n) {
+      val s = xs.getUTF8String(i)
+      if (s != null) { counts.merge(s, 1L, (a, b) => a + b); dl += 1L }
+      i += 1
+    }
+    val m = counts.size()
+    val keys = new Array[Any](m)
+    val vals = new Array[Any](m)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(i) = e.getKey
+      vals(i) = e.getValue
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(keys), new GenericArrayData(vals)),
+      dl))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** The `p` = floor((1−t)·size + 1e-9)+1 shingles that come FIRST in the
   * global (xxhash64, value) order — the prefix-filter probe set, computed
   * entirely inside the row (zero shuffles; see Dedup.ngramJaccardPairs).
@@ -456,6 +509,10 @@ object HashFunctions {
   /** Max element multiplicity of a string-array column (one per-row pass). */
   def maxMultiplicity(arr: Column): Column =
     Bridge.column(MaxMultiplicity(Bridge.expression(arr)))
+
+  /** Per-element occurrence counts of a string-array column as a map. */
+  def termCounts(arr: Column): Column =
+    Bridge.column(TermCounts(Bridge.expression(arr)))
 
   /** Prefix-filter probe set over a shingle array column. */
   def hashPrefix(shingles: Column, threshold: Double): Column =

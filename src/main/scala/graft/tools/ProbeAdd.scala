@@ -20,9 +20,16 @@ object ProbeAdd {
     spark.sparkContext.setLogLevel("WARN")
 
     // stage the ~100k-doc bulk input exactly like EntryQueries.bulkInputPath
+    // (same metadata shape as docsFrame — {lang, source, n_chars, opt?})
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
-        map(lit("lang"), col("lang")).as("metadata"))
+        map_concat(
+          map(lit("lang"), col("lang"), lit("source"), col("source"),
+            lit("n_chars"), col("n_chars").cast("string")),
+          when(col("n_chars") >= 250,
+            map(lit("opt"), (col("n_chars") % 7).cast("string")))
+            .otherwise(map())
+        ).as("metadata"))
     val n = base.count()
     val copies = math.max(1, (100000 / math.max(1L, n)).toInt)
     val staged = java.nio.file.Files.createTempDirectory("graft-addprobe-in-").toString + "/bulk.parquet"
