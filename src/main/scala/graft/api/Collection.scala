@@ -266,34 +266,52 @@ final class Collection private (
     val idSeq = ids.filter(_ != null).distinct
     if (idSeq.isEmpty) return
     val idsDf = idSeq.toDF("id")
-    Stores.collections(spark, docsDir).foreach { coll =>
-      val base = Stores.readPartition(spark, docsDir, coll, Stores.docsSchema)
-      // Skip collections that contain none of the ids — no delta, no index
-      // refresh (the reference rewrote every collection unconditionally;
-      // O(store) per delete doesn't survive scale).
-      val touched = !base.join(broadcast(idsDf), Seq("id"), "left_semi").isEmpty
-      if (touched) {
-        // useFts is decided PER TARGET collection (postings partition exists),
-        // not inherited from the caller — a useFts=false caller must not
-        // leave sibling collections' postings stale.
-        val targetFts = Stores.partitionExists(spark, Stores.postingsDir(root), coll)
-        // foldAccents=false: the delete path never re-tokenizes an FTS
-        // collection (stats derive from postings), and for non-FTS targets
-        // avg_dl is informational only
-        val self = new Collection(spark, root, coll, None, targetFts, foldAccents = false)
-        val (baseBytes, deltaBytes) = Stores.segmentBytes(spark, docsDir, coll)
-        if (baseBytes + deltaBytes <= directUpsertMaxBytes) {
-          // small partition: direct anti-join rewrite, reads stay flat
-          Stores.overwritePartition(spark, docsDir, coll,
-            base.join(broadcast(idsDf), Seq("id"), "left_anti"))
-          self.removeFromIndexesMerge(broadcast(idsDf))
-        } else {
-          // gone-only delta: O(ids) bytes, the base is never rewritten
-          Stores.appendDelta(spark, docsDir, coll,
-            emptyFrame(Stores.docsSchema), gone = Some(idsDf))
-          self.removeFromIndexes(idsDf)
-          self.maybeCompact()
-        }
+    val collNames = Stores.collections(spark, docsDir)
+    if (collNames.isEmpty) return
+    // Find the collections holding any target id in ONE job (the previous
+    // per-collection isEmpty probes cost O(#collections) driver round-trips
+    // per delete): a whole-store scan exposes the collection partition
+    // column, and each partition's hidden delta data dirs (invisible to the
+    // base scan) are unioned in with a literal tag. Rows REMOVED by a gone
+    // claim still appear in this superset scan — a stale hit only costs one
+    // idempotent gone-only delta, while a missed delta-added doc would be a
+    // real correctness bug.
+    val baseScan = spark.read.option("basePath", docsDir)
+      .schema(Stores.docsSchema.add("collection", "string"))
+      .parquet(docsDir)
+      .select(col("collection"), col("id"))
+    val deltaScans = collNames
+      .map(n => n -> Stores.deltaDataDirs(spark, docsDir, n))
+      .filter(_._2.nonEmpty)
+      .map { case (n, dirs) =>
+        spark.read.schema(Stores.docsSchema).parquet(dirs: _*)
+          .select(lit(n).as("collection"), col("id"))
+      }
+    val touchedColls = deltaScans.foldLeft(baseScan)(_ unionByName _)
+      .join(broadcast(idsDf), Seq("id"), "left_semi")
+      .select("collection").distinct().collect().map(_.getString(0)).toSet
+    collNames.filter(touchedColls).foreach { coll =>
+      // useFts is decided PER TARGET collection (postings partition exists),
+      // not inherited from the caller — a useFts=false caller must not
+      // leave sibling collections' postings stale.
+      val targetFts = Stores.partitionExists(spark, Stores.postingsDir(root), coll)
+      // foldAccents=false: the delete path never re-tokenizes an FTS
+      // collection (stats derive from postings), and for non-FTS targets
+      // avg_dl is informational only
+      val self = new Collection(spark, root, coll, None, targetFts, foldAccents = false)
+      val (baseBytes, deltaBytes) = Stores.segmentBytes(spark, docsDir, coll)
+      if (baseBytes + deltaBytes <= directUpsertMaxBytes) {
+        // small partition: direct anti-join rewrite, reads stay flat
+        Stores.overwritePartition(spark, docsDir, coll,
+          Stores.readPartition(spark, docsDir, coll, Stores.docsSchema)
+            .join(broadcast(idsDf), Seq("id"), "left_anti"))
+        self.removeFromIndexesMerge(broadcast(idsDf))
+      } else {
+        // gone-only delta: O(ids) bytes, the base is never rewritten
+        Stores.appendDelta(spark, docsDir, coll,
+          emptyFrame(Stores.docsSchema), gone = Some(idsDf))
+        self.removeFromIndexes(idsDf)
+        self.maybeCompact()
       }
     }
   }

@@ -161,6 +161,14 @@ object Stores {
   def deltaCount(spark: SparkSession, storeDir: String, collection: String): Int =
     deltas(spark, partDir(storeDir, collection)).size
 
+  /** The partition's delta DATA dirs (no gone sidecars), ascending — for
+    * callers that scan delta-added rows across collections in one job
+    * (hidden dot-dirs are invisible to a whole-store scan).
+    */
+  def deltaDataDirs(spark: SparkSession, storeDir: String,
+                    collection: String): Seq[String] =
+    deltas(spark, partDir(storeDir, collection)).map(_.dataDir)
+
   /** (base bytes, delta bytes) of a partition — a filesystem listing, no
     * Spark job. Drives size-ratio compaction: a collection whose deltas
     * rival its base folds cheaply NOW, while a huge base accumulates deltas

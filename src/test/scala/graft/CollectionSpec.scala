@@ -555,6 +555,25 @@ class CollectionSpec extends AnyFunSuite {
     spark.conf.set("spark.graft.compact.auto", "true")
   }
 
+  test("delete probes collections in one scan: special-char names and delta-only docs") {
+    val root = freshRoot()
+    // the name charset's worst case: every char URLEncoder percent-escapes
+    // must round-trip through Spark's partition-value unescaping in the
+    // batched whole-store probe scan
+    val weird = Collection(spark, root, "ok-name_+~#=/123")
+    weird.add(Seq("target alpha", "keeper beta"), ids = Some(Seq("t1", "k1")))
+    val other = Collection(spark, root, "plain")
+    other.add(Seq("bystander gamma"), ids = Some(Seq("b1")))
+    // a doc that exists ONLY in a delta segment (base scan can't see it):
+    // force the delta path, then delete it cross-collection from `other`
+    spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+    weird.add(Seq("delta-only doc"), ids = Some(Seq("d1")))
+    other.delete(Seq("t1", "d1", "missing"))
+    spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+    assert(weird.docs().select("id").collect().map(_.getString(0)).toSet === Set("k1"))
+    assert(other.count() === 1)
+  }
+
   test("manifest: mismatched open-time flags throw; deleteAll resets them") {
     import graft.index.Stores
     val root = freshRoot()
