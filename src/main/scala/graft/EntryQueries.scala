@@ -99,7 +99,12 @@ object EntryQueries {
   private def bulkIngestFresh(spark: SparkSession, sfDir: String): Collection = {
     val r = java.nio.file.Files.createTempDirectory("graft-bulk-").toString
     Collection(spark, r, "bulk").addDf(spark.read.parquet(bulkInputPath(spark, sfDir)))
-    bulkRoots.put(sfDir, r)
+    // delete the superseded root (entries run sequentially; nothing reads it
+    // after this put) — repeated timed iterations would otherwise leak one
+    // ~100k-doc store per run
+    bulkRoots.put(sfDir, r).foreach { prev =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(prev))
+    }
     Collection(spark, r, "bulk")
   }
 

@@ -158,13 +158,16 @@ final class Collection private (
     val batch = batch0.persist()
     try {
       if (wasEmpty) {
-        // first ingest creates the collection: persist the open-time flags
-        // that change what the stored bytes mean, so mismatched re-opens
-        // throw at Collection() instead of silently mis-querying
-        Stores.writeManifest(spark, root, name,
-          Stores.Manifest(useFts, foldAccents))
         Stores.overwritePartition(spark, docsDir, name, batch)
         refreshIndexesFull(batch) // tokenize from the cache, not a store re-read
+        // first ingest creates the collection: persist the open-time flags
+        // that change what the stored bytes mean, so mismatched re-opens
+        // throw at Collection() instead of silently mis-querying. Written
+        // LAST — a failed first ingest must not leave a manifest pinning
+        // flags for a collection that holds no data (a crash before this
+        // line degrades to a pre-manifest store: validation skipped)
+        Stores.writeManifest(spark, root, name,
+          Stores.Manifest(useFts, foldAccents))
       } else {
         val (baseBytes, deltaBytes) = Stores.segmentBytes(spark, docsDir, name)
         // callers with a known-small (driver-side) id set pre-broadcast it;
@@ -340,8 +343,16 @@ final class Collection private (
     Stores.compactPartition(spark, doclenDir, name, Stores.doclenSchema)
     if (ivfStale) ivfParams().foreach { case (nprobe, iters, maxSample, seed) =>
       val k = ivfCentroids().map(_.size).getOrElse(256)
-      writeIvf(graft.ext.Ivf.build(docs(), "id", "embedding",
-        k, iters, 1.0, maxSample, seed), nprobe, iters, maxSample, seed)
+      // a collection emptied of embedded docs can't retrain (k-means has no
+      // sample) — drop the index like the LSH path does, instead of letting
+      // Ivf.build throw from inside an auto-triggered compaction and wedge
+      // every subsequent write
+      if (docs().filter($"embedding".isNotNull).limit(1).isEmpty) {
+        Stores.dropPartition(spark, ivfDir, name)
+        Stores.dropPartition(spark, ivfCentDir, name)
+      } else
+        writeIvf(graft.ext.Ivf.build(docs(), "id", "embedding",
+          k, iters, 1.0, maxSample, seed), nprobe, iters, maxSample, seed)
     }
     else Stores.compactPartition(spark, ivfDir, name, Stores.ivfSchema,
       sortBy = Seq("cluster"))
@@ -410,11 +421,14 @@ final class Collection private (
                         iters: Int = 10, maxSample: Int = 100000,
                         nprobe: Int = 8): Unit = kind match {
     case "lsh" =>
+      // drop the OTHER kind FIRST: a crash mid-build then leaves no index
+      // (vectorTopK throws loudly) instead of the stale other-kind index
+      // silently shadowing the one the caller asked for
+      Stores.dropPartition(spark, ivfDir, name)
+      Stores.dropPartition(spark, ivfCentDir, name)
       val ix = LshIndex.build(docs(), "id", "embedding", numTables, numPlanes, dim, seed)
       // toStoreFrame is already range-clustered + sorted; no write-time re-sort
       Stores.overwritePartition(spark, annDir, name, ix.toStoreFrame)
-      Stores.dropPartition(spark, ivfDir, name)
-      Stores.dropPartition(spark, ivfCentDir, name)
       // Arm the cosine-top-k → ANN rewrite for direct scans of this
       // collection's docs store (the pgvector planner analogue,
       // core.py:319-321). Two-layer opt-in: this registration is INERT
@@ -429,10 +443,10 @@ final class Collection private (
             vectorIndex().map(graft.plans.AnnCatalog.LshRegistered(_)))))
     case "ivf" =>
       require(nprobe >= 1 && nprobe <= numCentroids, "1 <= nprobe <= numCentroids")
+      Stores.dropPartition(spark, annDir, name) // see the lsh branch's ordering note
       val ix = graft.ext.Ivf.build(docs(), "id", "embedding",
         numCentroids, iters, 1.0, maxSample, seed)
       writeIvf(ix, nprobe, iters, maxSample, seed)
-      Stores.dropPartition(spark, annDir, name)
       graft.plans.AnnCatalog.register(spark, Stores.partitionPath(docsDir, name),
         graft.plans.AnnCatalog.Entry("id", "embedding",
           graft.plans.AnnCatalog.Deferred(() => ivfIndex().map(ix =>
@@ -444,6 +458,13 @@ final class Collection private (
 
   private def writeIvf(ix: graft.ext.IvfIndex, nprobe: Int, iters: Int,
                        maxSample: Int, seed: Long): Unit = {
+    // On a REBUILD, atomicity across the two partitions isn't available, so
+    // order for loud failure: drop the centroid table first (ivfIndex() and
+    // every maintenance path key off its existence — the index is "absent"
+    // while it's gone), write assignments, write centroids last. Any crash
+    // window leaves the index absent/declining, never a new-assignments/
+    // old-centroids mismatch served silently.
+    Stores.dropPartition(spark, ivfCentDir, name)
     // toStoreFrame is already range-clustered + sorted by cluster
     Stores.overwritePartition(spark, ivfDir, name, ix.toStoreFrame)
     Stores.overwritePartition(spark, ivfCentDir, name,

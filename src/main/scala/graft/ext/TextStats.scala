@@ -115,9 +115,11 @@ object TextStats {
         when(size(lines) === 0, lit(0.0)).otherwise(
           lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines)))
       .withColumn("__n_toks", size(toks).cast("long"))
+      // coalesce: null content -> null shingle array -> null count; the
+      // operator's contract (and the old explode/join shape) is 0
       .withColumn("top_ngram_tf",
-        graft.functions.HashFunctions.maxMultiplicity(
-          TextFunctions.shinglesAll(toks, n)))
+        coalesce(graft.functions.HashFunctions.maxMultiplicity(
+          TextFunctions.shinglesAll(toks, n)), lit(0L)))
       .withColumn("top_ngram_frac",
         when(col("__n_toks") === 0, lit(0.0)).otherwise(
           least(lit(1.0), col("top_ngram_tf") * n / col("__n_toks"))))

@@ -307,6 +307,11 @@ object Stores {
       fs.delete(tmp, true)
       throw new java.io.IOException(s"partition swap failed: $dest -> $old")
     }
+    // stamp the RENAME time: rename preserves the dir's original mtime, so
+    // an idle partition's crash-recovery copy would otherwise look older
+    // than sweep()'s grace window the moment it's created — and be deleted
+    // while it is still the only full copy of the data
+    if (hadDest) fs.setTimes(old, System.currentTimeMillis(), -1)
     if (!fs.rename(tmp, dest)) {
       if (hadDest) fs.rename(old, dest) // restore the original on failure
       fs.delete(tmp, true)
@@ -350,25 +355,28 @@ object Stores {
     swapInto(fs, statsDir, collection, tmp, uuid)
   }
 
-  /** Janitor for crash residue under one store dir: `.tmp-*` dirs are
-    * deleted unconditionally (stores are single-writer per collection and
-    * every live code path deletes or renames its tmp before returning — an
-    * existing one is a crash orphan), `.old-*` dirs older than
-    * `oldGraceMs` are deleted (younger ones are kept as crash-recovery
-    * data — the pre-swap copy of a partition whose swap may not have
-    * landed). Returns the number of dirs removed. Called from
-    * `Collection.compact()`; long-lived stores would otherwise accumulate
-    * residue invisibly.
+  /** Janitor for crash residue under one store dir: `.tmp-*` dirs older
+    * than `tmpGraceMs` (writers are single-writer PER COLLECTION, but all
+    * collections' tmp dirs share this storeDir — an unconditional delete
+    * would race a sibling collection's in-flight write; an hour-old tmp is
+    * certainly a crash orphan) and `.old-*` dirs older than `oldGraceMs`
+    * (younger ones are kept as crash-recovery data — the pre-swap copy of a
+    * partition whose swap may not have landed; the swap stamps the rename
+    * time so the window measures residue age, not the data's age). Returns
+    * the number of dirs removed. Called from `Collection.compact()`;
+    * long-lived stores would otherwise accumulate residue invisibly.
     */
   def sweep(spark: SparkSession, storeDir: String,
-            oldGraceMs: Long = 7L * 24 * 3600 * 1000): Int = {
+            oldGraceMs: Long = 7L * 24 * 3600 * 1000,
+            tmpGraceMs: Long = 3600 * 1000L): Int = {
     val dir = new Path(storeDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return 0
     val now = System.currentTimeMillis()
     fs.listStatus(dir).toSeq.count { s =>
       val n = s.getPath.getName
-      val stale = n.startsWith(".tmp-") ||
+      val stale =
+        (n.startsWith(".tmp-") && now - s.getModificationTime > tmpGraceMs) ||
         (n.startsWith(".old-") && now - s.getModificationTime > oldGraceMs)
       stale && fs.delete(s.getPath, true)
     }
@@ -399,16 +407,25 @@ object Stores {
   private def manifestPath(root: String, collection: String): Path =
     new Path(s"${manifestDir(root)}/${java.net.URLEncoder.encode(collection, "UTF-8")}.json")
 
-  /** Persist a collection's manifest (overwrites; single tiny JSON file). */
+  /** Persist a collection's manifest (overwrites; single tiny JSON file,
+    * written via tmp + rename so a crash never leaves a truncated manifest
+    * locking out correctly-flagged opens).
+    */
   def writeManifest(spark: SparkSession, root: String, collection: String,
                     m: Manifest): Unit = {
     val p = manifestPath(root, collection)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val tmp = new Path(s"${manifestDir(root)}/.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(
       s"""{"useFts":${m.useFts},"foldAccents":${m.foldAccents}}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"manifest commit failed: $tmp -> $p")
+    }
   }
 
   /** The collection's persisted manifest; None for pre-manifest stores and
@@ -427,9 +444,13 @@ object Stores {
       while (r > 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
       buf.toString("UTF-8")
     } finally in.close()
-    def flag(k: String): Boolean = s""""$k"\\s*:\\s*(true|false)""".r
-      .findFirstMatchIn(body).exists(_.group(1) == "true")
-    Some(Manifest(flag("useFts"), flag("foldAccents")))
+    // BOTH flags must parse explicitly — a truncated/garbled file must read
+    // as "no manifest" (skip validation), never default a flag to false and
+    // permanently reject the collection's true flags
+    def flag(k: String): Option[Boolean] = s""""$k"\\s*:\\s*(true|false)""".r
+      .findFirstMatchIn(body).map(_.group(1) == "true")
+    for { fts <- flag("useFts"); fold <- flag("foldAccents") }
+      yield Manifest(fts, fold)
   }
 
   /** Drop a collection's manifest (delete_all). */

@@ -606,19 +606,25 @@ class CollectionSpec extends AnyFunSuite {
     c.add(Seq("alpha beta"), ids = Some(Seq("d1")))
     val docsDir = Stores.docsDir(root)
     val fs = new Path(docsDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // plant: a crash-orphaned tmp (always swept), a stale old (past grace)
-    // and a fresh old (kept — crash-recovery data inside the window)
-    fs.mkdirs(new Path(s"$docsDir/.tmp-orphan"))
-    fs.mkdirs(new Path(s"$docsDir/.old-stale"))
-    fs.setTimes(new Path(s"$docsDir/.old-stale"),
-      System.currentTimeMillis() - 8L * 24 * 3600 * 1000, -1)
-    fs.mkdirs(new Path(s"$docsDir/.old-fresh"))
+    // plant: a crash-orphaned tmp past its (short) grace, a FRESH tmp (kept
+    // — could be a sibling collection's in-flight write), a stale old (past
+    // grace) and a fresh old (kept — crash-recovery data inside the window)
+    def plant(name: String, ageMs: Long): Unit = {
+      fs.mkdirs(new Path(s"$docsDir/$name"))
+      if (ageMs > 0) fs.setTimes(new Path(s"$docsDir/$name"),
+        System.currentTimeMillis() - ageMs, -1)
+    }
+    plant(".tmp-orphan", 2L * 3600 * 1000)
+    plant(".tmp-inflight", 0)
+    plant(".old-stale", 8L * 24 * 3600 * 1000)
+    plant(".old-fresh", 0)
     assert(Stores.sweep(spark, docsDir) === 2)
     assert(!fs.exists(new Path(s"$docsDir/.tmp-orphan")))
+    assert(fs.exists(new Path(s"$docsDir/.tmp-inflight")))
     assert(!fs.exists(new Path(s"$docsDir/.old-stale")))
     assert(fs.exists(new Path(s"$docsDir/.old-fresh")))
     // compact() runs the sweep too, and the store still reads back intact
-    fs.mkdirs(new Path(s"$docsDir/.tmp-orphan2"))
+    plant(".tmp-orphan2", 2L * 3600 * 1000)
     c.compact()
     assert(!fs.exists(new Path(s"$docsDir/.tmp-orphan2")))
     assert(c.query("alpha").results.map(_.id) === Seq("d1"))
