@@ -54,9 +54,8 @@ object Bm25 {
     */
   def scores(postings: DataFrame, collStats: DataFrame, q: BoolQuery): DataFrame = {
     val leaves = BoolQuery.leaves(q).distinct
-    if (leaves.isEmpty)
-      return postings.sparkSession.emptyDataFrame
-        .select(lit("").as("id"), lit(0.0).as("rank")).limit(0)
+    // every AST shape bottoms out in ≥1 Term/Prefix/Wildcard leaf
+    require(leaves.nonEmpty, s"BoolQuery with no leaves: $q")
     scoreExpr(perLeafDocFrame(postings, leaves), collStats)
       .groupBy(col("id"))
       .agg(sum(col("__s")).as("rank"))

@@ -36,7 +36,11 @@ object QueryParser {
     }
 
     def leaf(word: String): Option[BoolQuery] = {
-      val w = word.toLowerCase
+      // Locale.ROOT: the index side lowercases with Spark's locale-
+      // independent lower(); a default-locale toLowerCase on a tr/az JVM
+      // maps 'I' -> 'ı' (dotless) and every query containing 'I' would
+      // silently match zero postings
+      val w = word.toLowerCase(java.util.Locale.ROOT)
       if (w.equalsIgnoreCase("and")) None // handled by implicit-AND folding
       else {
         // Punctuated words are split with the INDEX tokenizer's separator

@@ -199,11 +199,20 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Every registered parquet relation the child scans, with its catalog
     * entry, in plan order — the caller selects by embedding-column exprId.
+    * A relation qualifies only when EVERY rootPath it scans resolves to the
+    * SAME registration: with a partially-registered multi-path scan (e.g.
+    * `spark.read.parquet(registeredA, unregisteredB)`) the candidate semi
+    * join would systematically drop all of B's rows — absent from A's index
+    * — which is data loss, not index recall.
     */
   private def registrationsOf(child: LogicalPlan): Seq[(AnnCatalog.Entry, LogicalRelation)] =
     child.collect {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-        lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
-          .flatMap(p => AnnCatalog.lookup(spark, p.toString)).headOption.map(e => (e, lr))
+        val lookups = lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
+          .map(p => AnnCatalog.lookup(spark, p.toString))
+        if (lookups.nonEmpty && lookups.forall(_.isDefined) &&
+            lookups.flatten.distinct.size == 1)
+          lookups.head.map(e => (e, lr))
+        else None
     }.flatten
 }

@@ -43,39 +43,61 @@ object GraftFunctions {
   }
   private def doubleArg(e: Expression, what: String): Double = e match {
     case Literal(v: Double, _) => v
+    // Spark SQL parses a plain fractional literal (0.7) as DECIMAL, and an
+    // integral one as INT — both are legitimate spellings of a double arg
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
     case other => throw new IllegalArgumentException(s"$what must be a DOUBLE literal, got $other")
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.1.2", "", "scala_udf")
 
+  /** Arity guard: a wrong-arg-count SQL call must fail with the function's
+    * signature, not a raw IndexOutOfBoundsException from `args(i)`.
+    */
+  private def arity(name: String, usage: String, min: Int, max: Int)(
+      build: Seq[Expression] => Expression): FunctionBuilder =
+    (args: Seq[Expression]) => {
+      if (args.size < min || args.size > max)
+        throw new IllegalArgumentException(
+          s"$name expects $min${if (max != min) s"-$max" else ""} arguments, " +
+            s"got ${args.size}; usage: $usage")
+      build(args)
+    }
+
+  private def fn(name: String, usage: String, min: Int, max: Int)(
+      build: Seq[Expression] => Expression): (String, ExpressionInfo, FunctionBuilder) =
+    (name, info(name, usage), arity(name, usage, min, max)(build))
+
   /** (name, info, builder) for every SQL-exposed engine function. */
   val all: Seq[(String, ExpressionInfo, FunctionBuilder)] = Seq(
-    ("graft_cosine",
-      info("graft_cosine", "graft_cosine(a ARRAY<FLOAT>, b ARRAY<FLOAT>) - codegen'd cosine similarity"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
-    ("graft_dot",
-      info("graft_dot", "graft_dot(a ARRAY<FLOAT>, b ARRAY<FLOAT>) - codegen'd dot product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
-    ("graft_simhash64",
-      info("graft_simhash64", "graft_simhash64(tokens ARRAY<STRING>) - MD5-derived 64-bit SimHash"),
-      (args: Seq[Expression]) => SimHash64(args(0))),
-    ("graft_minhash",
-      info("graft_minhash", "graft_minhash(hashes ARRAY<BIGINT>, numHashes INT[, seed BIGINT]) - MinHash signature"),
-      (args: Seq[Expression]) => MinHashSignature(args(0), intArg(args(1), "numHashes"),
+    fn("graft_cosine",
+      "graft_cosine(a ARRAY<FLOAT>, b ARRAY<FLOAT>) - codegen'd cosine similarity", 2, 2)(
+      args => CosineSimilarity(args(0), args(1))),
+    fn("graft_dot",
+      "graft_dot(a ARRAY<FLOAT>, b ARRAY<FLOAT>) - codegen'd dot product", 2, 2)(
+      args => DotProduct(args(0), args(1))),
+    fn("graft_simhash64",
+      "graft_simhash64(tokens ARRAY<STRING>) - MD5-derived 64-bit SimHash", 1, 1)(
+      args => SimHash64(args(0))),
+    fn("graft_minhash",
+      "graft_minhash(hashes ARRAY<BIGINT>, numHashes INT[, seed BIGINT]) - MinHash signature", 2, 3)(
+      args => MinHashSignature(args(0), intArg(args(1), "numHashes"),
         if (args.size > 2) longArg(args(2), "seed") else 42L)),
-    ("graft_shingles",
-      info("graft_shingles", "graft_shingles(tokens ARRAY<STRING>, n INT) - distinct word n-gram shingles"),
-      (args: Seq[Expression]) => ShingleArray(args(0), intArg(args(1), "n"))),
-    ("graft_hash_prefix",
-      info("graft_hash_prefix", "graft_hash_prefix(shingles ARRAY<STRING>, t DOUBLE) - prefix-filter probe set"),
-      (args: Seq[Expression]) => HashPrefix(args(0), doubleArg(args(1), "t"))),
-    ("graft_jaccard",
-      info("graft_jaccard", "graft_jaccard(a ARRAY<STRING>, b ARRAY<STRING>) - set Jaccard similarity"),
-      (args: Seq[Expression]) => JaccardSimilarity(args(0), args(1))),
-    ("graft_lsh_buckets",
-      info("graft_lsh_buckets", "graft_lsh_buckets(emb ARRAY<FLOAT>, tables INT, planes INT, dim INT[, seed BIGINT]) - hyperplane LSH buckets"),
-      (args: Seq[Expression]) => LshBuckets(args(0), intArg(args(1), "tables"),
+    fn("graft_shingles",
+      "graft_shingles(tokens ARRAY<STRING>, n INT) - distinct word n-gram shingles", 2, 2)(
+      args => ShingleArray(args(0), intArg(args(1), "n"))),
+    fn("graft_hash_prefix",
+      "graft_hash_prefix(shingles ARRAY<STRING>, t DOUBLE) - prefix-filter probe set", 2, 2)(
+      args => HashPrefix(args(0), doubleArg(args(1), "t"))),
+    fn("graft_jaccard",
+      "graft_jaccard(a ARRAY<STRING>, b ARRAY<STRING>) - set Jaccard similarity", 2, 2)(
+      args => JaccardSimilarity(args(0), args(1))),
+    fn("graft_lsh_buckets",
+      "graft_lsh_buckets(emb ARRAY<FLOAT>, tables INT, planes INT, dim INT[, seed BIGINT]) - hyperplane LSH buckets", 4, 5)(
+      args => LshBuckets(args(0), intArg(args(1), "tables"),
         intArg(args(2), "planes"), intArg(args(3), "dim"),
         if (args.size > 4) longArg(args(4), "seed") else 42L))
   )

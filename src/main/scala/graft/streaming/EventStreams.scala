@@ -42,18 +42,22 @@ object EventStreams {
     * more than the watermark delay re-emit, by design.
     * Batch input: plain `dropDuplicates` over the full frame.
     *
-    * Output is restricted to `keyCols` (+ the timestamp): WHICH duplicate
-    * row survives is arrival-order-dependent in a stream, so only the key
-    * columns are deterministic — exposing survivors' payloads would bake
-    * nondeterminism into the contract (callers wanting payloads join back
-    * on the key).
+    * Output is restricted to `keyCols` only: WHICH duplicate row survives
+    * is arrival-order-dependent in a stream, so only the key columns are
+    * deterministic — exposing survivors' payloads (or timestamps) would
+    * bake nondeterminism into the contract (callers wanting payloads join
+    * back on the key).
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
                   watermark: Option[String] = None,
                   tsCol: String = "ts"): DataFrame =
     watermark match {
       case Some(w) =>
-        events.select(keyCols.map(col) :+ col(tsCol): _*)
+        // keyCols may legitimately include tsCol (exact-replay dedup keyed
+        // on event time) — appending it again would make every later
+        // reference to tsCol AMBIGUOUS and fail analysis
+        val cols = if (keyCols.contains(tsCol)) keyCols else keyCols :+ tsCol
+        events.select(cols.map(col): _*)
           .withWatermark(tsCol, w).dropDuplicatesWithinWatermark(keyCols)
           .select(keyCols.map(col): _*)
       case None =>

@@ -492,7 +492,8 @@ class ExtSpec extends AnyFunSuite {
         |  size(graft_shingles(array('x','y','z'), 2)) ns,
         |  size(graft_minhash(array(42L), 8)) nm,
         |  graft_simhash64(array('tok')) sh,
-        |  size(graft_lsh_buckets(array(1.0F,0.0F), 4, 3, 2)) nb
+        |  size(graft_lsh_buckets(array(1.0F,0.0F), 4, 3, 2)) nb,
+        |  size(graft_hash_prefix(array('a','b','c','d','e'), 0.8)) np
         |""".stripMargin).head()
     assert(r.getDouble(0) === 1.0)
     assert(math.abs(r.getDouble(1) - 1.0 / 3.0) < 1e-12)
@@ -500,6 +501,31 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getInt(3) === 8)
     assert(r.getLong(4) !== 0L)
     assert(r.getInt(5) === 4)
+    // 0.8 parses as DECIMAL, not DOUBLE — the builder must accept it;
+    // p = floor(0.2 * 5 + eps) + 1 = 2
+    assert(r.getInt(6) === 2)
+    // wrong arity fails with the signature, not IndexOutOfBounds
+    val e = intercept[Exception](spark.sql("SELECT graft_cosine(array(1.0F))").head())
+    assert(e.getMessage.contains("graft_cosine expects 2"))
+  }
+
+  test("dedupStream: keyCols containing the timestamp column still analyzes") {
+    val d = Seq(("u1", "2024-01-01 00:00:00"), ("u1", "2024-01-01 00:00:00"),
+      ("u2", "2024-01-01 00:01:00"))
+      .toDF("user_id", "s").select($"user_id", $"s".cast("timestamp").as("ts"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("user_id", "s")
+      .select($"user_id", $"s".cast("timestamp").as("ts"))
+    val out = EventStreams.dedupStream(stream, Seq("user_id", "ts"),
+      watermark = Some("10 minutes"))
+    val q = out.writeStream.format("memory").queryName("dd_ts").outputMode("append").start()
+    mem.addData(("u1", "2024-01-01 00:00:00"), ("u1", "2024-01-01 00:00:00"),
+      ("u2", "2024-01-01 00:01:00"))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dd_ts").count() === 2)
+    // batch branch with the same keys agrees
+    assert(EventStreams.dedupStream(d, Seq("user_id", "ts")).count() === 2)
   }
 
   test("Collection.streamIngest: micro-batches upsert and index incrementally") {
