@@ -96,6 +96,9 @@ object Ann {
     if (queries.isEmpty) // typed empty frame (id keeps the corpus id type)
       return base.select(lit("").as("qid"), lit(1).as("rn"), col("id"),
         lit(0.0).as("sim")).limit(0)
+    // duplicate qids would interleave two vectors' top-k under one ranking
+    // window (rn up to 2k, each query polluted with the other's neighbors)
+    require(queries.map(_._1).distinct.size == queries.size, "duplicate query ids")
     queries.map { case (qid, qvec) =>
       val scored = base
         .withColumn("sim", VectorFunctions.cosine(col("emb"), VectorFunctions.vecLit(qvec)))
@@ -115,6 +118,11 @@ object Ann {
     * rank per query. The per-query shuffle carries only scored candidates
     * hashed by qid; with Q queries this is the Q·N scan any exact batch
     * retrieval pays, parallel over the corpus.
+    *
+    * `qid` values must be UNIQUE — the ranking window partitions by qid, so
+    * duplicated ids would interleave two vectors' neighbors in one ranking
+    * (distributed input: uniqueness is the caller's contract; checking here
+    * would cost a count-distinct job per probe batch).
     */
   def exactTopKAll(corpus: DataFrame, queries: DataFrame, k: Int,
                    idCol: String = "id", embCol: String = "embedding",
@@ -142,6 +150,7 @@ object Ann {
               seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    require(queries.map(_._1).distinct.size == queries.size, "duplicate query ids")
     val base = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
       .filter(col("emb").isNotNull)
     val index = lshTables(base, "id", "emb", numTables, numPlanes, dim, seed)
@@ -203,6 +212,7 @@ final case class LshIndex(buckets: DataFrame, numTables: Int, numPlanes: Int,
            idCol: String = "id", embCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    require(queries.map(_._1).distinct.size == queries.size, "duplicate query ids")
     val queryDf = queries.toDF("qid", "qvec")
       .select(col("qid"), col("qvec").cast(ArrayType(FloatType)).as("qvec"))
     val queryBuckets = queryDf.select(col("qid"), col("qvec"),

@@ -100,7 +100,13 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Float]],
 object Ivf {
 
   def nearestCentroidCol(emb: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column =
-    Bridge.column(NearestCentroids(Bridge.expression(emb), centroids, nprobe))
+    // cast like Ann.lshBucketCol / VectorFunctions.cosine: the expression
+    // reads with getFloat, and an ARRAY<DOUBLE> input would otherwise score
+    // garbage bytes — every row assigned an essentially random cluster while
+    // the (correctly cast) rerank keeps sims looking sane: silent recall
+    // collapse, no error
+    Bridge.column(NearestCentroids(
+      Bridge.expression(emb.cast(ArrayType(FloatType))), centroids, nprobe))
 
   private def normalized(v: Array[Double]): Seq[Float] = {
     val n = math.sqrt(v.map(x => x * x).sum)
@@ -299,7 +305,9 @@ final case class IvfIndex(assignments: DataFrame, centroids: Seq[Seq[Float]]) {
            embCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    require(queries.nonEmpty, "queries must be non-empty")
+    if (queries.isEmpty) // typed empty frame — same contract as LshIndex.topK
+      return corpus.select(lit("").as("qid"), lit(1).as("rn"),
+        col(idCol).as("id"), lit(0.0).as("sim")).limit(0)
     // duplicate qids would interleave two vectors' similarities under one
     // ranking window — wrong for both, silently
     require(queries.map(_._1).distinct.size == queries.size, "duplicate query ids")

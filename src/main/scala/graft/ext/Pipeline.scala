@@ -28,10 +28,14 @@ object Pipeline {
 
   /** Whitespace token count — THE definition shared by [[packSequences]]
     * and [[mixCorpora]] (and replayed by the x18/x22 DuckDB oracles), so
-    * cross-operator token accounting can't silently diverge.
+    * cross-operator token accounting can't silently diverge. Null content
+    * counts 0 EXPLICITLY: with `spark.sql.legacy.sizeOfNull` (the non-ANSI
+    * default) `size(null)` is -1, which would walk packing offsets
+    * backwards and deflate mixture totals.
     */
   private def wsTokenCount(content: Column): Column =
-    size(filter(split(content, "\\s+"), t => length(t) > 0)).cast("long")
+    when(content.isNull, lit(0L)).otherwise(
+      size(filter(split(content, "\\s+"), t => length(t) > 0)).cast("long"))
 
   /** Deterministic stratified sampling: keep a row iff
     * `md5Mod(id, 1e6) < fraction(stratum) * 1e6`. Per-stratum fractions come

@@ -435,24 +435,21 @@ case class BucketJaccardPairs(child: Expression, threshold: Double)
       sets(i) = st.getArray(1).toLongArray()
       i += 1
     }
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.spark.sql.catalyst.InternalRow]
-    i = 0
-    while (i < m) {
-      var j = i + 1
-      while (j < m) {
+    // LAZY pair enumeration (same shape as BucketCosinePairs): a duplicate-
+    // heavy cap-sized bucket can emit C(m, 2) survivors — materializing them
+    // before Generate consumes any would buffer the whole quadratic set in
+    // one task's heap; only the O(m) member arrays above are resident.
+    Iterator.range(0, m).flatMap { i =>
+      Iterator.range(i + 1, m).flatMap { j =>
         val jac = jaccardIfAtLeast(sets(i), sets(j))
-        if (jac >= 0.0) {
+        if (jac >= 0.0)
           // ids are pre-sorted ascending by the caller (sort_array), so
           // (i, j) is already (a < b); don't re-compare per pair
-          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array[Any](ids(i), ids(j), jac))
-        }
-        j += 1
+          Iterator.single(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](ids(i), ids(j), jac)): org.apache.spark.sql.catalyst.InternalRow)
+        else Iterator.empty
       }
-      i += 1
     }
-    out
   }
 
   /** Exact Jaccard if ≥ threshold, −1.0 otherwise; early-exits when even

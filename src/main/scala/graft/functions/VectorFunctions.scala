@@ -156,7 +156,7 @@ case class BucketCosinePairs(child: Expression, threshold: Double)
           if (va.length == vb.length) {
             if (sq(a) == 0.0 || sq(b) == 0.0) 0.0
             else VectorFunctions.dotMin(va, vb) / (math.sqrt(sq(a)) * math.sqrt(sq(b)))
-          } else cosineTruncated(va, vb)
+          } else VectorFunctions.cosineMin(va, vb)
         if (cos >= threshold)
           // ids are pre-sorted ascending by the caller (sort_array), so
           // (a, b) is already (id_a < id_b)
@@ -165,20 +165,6 @@ case class BucketCosinePairs(child: Expression, threshold: Double)
         else Iterator.empty
       }
     }
-  }
-
-  /** The exact [[CosineSimilarity]] semantics for mismatched lengths:
-    * dot AND norms over the first min(|a|, |b|) elements only.
-    */
-  private def cosineTruncated(a: Array[Float], b: Array[Float]): Double = {
-    val n = math.min(a.length, b.length)
-    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
-    while (i < n) {
-      val xv = a(i).toDouble
-      val yv = b(i).toDouble
-      dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
-    }
-    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -201,6 +187,25 @@ object VectorFunctions {
     var i = 0
     while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
     dot
+  }
+
+  /** THE min-length truncated cosine over float arrays — [[CosineSimilarity]]
+    * semantics (dot AND norms over the first min(|a|, |b|) elements,
+    * left-to-right double accumulation, zero-norm → 0.0) as one shared
+    * definition for every interpreted caller, so emitted values stay
+    * bit-identical to the expression without hand-synced copies.
+    * ([[CosineSimilarity]]'s own eval/codegen pair operates on ArrayData —
+    * the representation-specific twins, pinned by the HOF cross-check spec.)
+    */
+  private[graft] def cosineMin(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xv = a(i).toDouble
+      val yv = b(i).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   /** Codegen'd cosine similarity Column over two ARRAY<FLOAT> columns.
