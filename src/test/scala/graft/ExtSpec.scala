@@ -360,6 +360,32 @@ class ExtSpec extends AnyFunSuite {
     assert(Ann.recallAtK(exact, ix.topK(corpus, Seq("q" -> Seq(1f, 0f, 0f, 0f)), k = 2, nprobe = 1)) === 1.0)
   }
 
+  test("Ivf.assign on ARRAY<DOUBLE> matches ARRAY<FLOAT>; duplicate qids rejected") {
+    import graft.ext.Ivf
+    val floats = Seq(
+      ("a1", Seq(1f, 0f, 0f)), ("a2", Seq(0.9f, 0.1f, 0f)),
+      ("b1", Seq(0f, 1f, 0f)), ("b2", Seq(0f, 0.9f, 0.1f))
+    ).toDF("id", "embedding")
+    val cents = Seq(Seq(1f, 0f, 0f), Seq(0f, 1f, 0f))
+    val doubles = floats.select($"id", $"embedding".cast("array<double>").as("embedding"))
+    // the expression reads with getFloat — without the input cast, double
+    // slots scored garbage bytes and every row got a random cluster
+    val fa = Ivf.assign(floats, cents).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val da = Ivf.assign(doubles, cents).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(fa === da && fa === Map("a1" -> 0, "a2" -> 0, "b1" -> 1, "b2" -> 1))
+    // duplicate query ids interleave two rankings — all driver-side entry
+    // points must reject them; empty query batches return typed empty frames
+    val dup = Seq("q" -> Seq(1f, 0f, 0f), "q" -> Seq(0f, 1f, 0f))
+    intercept[IllegalArgumentException](Ann.exactTopK(floats, dup, 2))
+    intercept[IllegalArgumentException](Ann.lshTopK(floats, dup, 2, dim = 3))
+    intercept[IllegalArgumentException](
+      graft.ext.LshIndex.build(floats, dim = 3).topK(floats, dup, 2))
+    intercept[IllegalArgumentException](
+      graft.ext.IvfIndex(Ivf.assign(floats, cents), cents).topK(floats, dup, 2))
+    assert(graft.ext.IvfIndex(Ivf.assign(floats, cents), cents)
+      .topK(floats, Nil, 2).count() === 0)
+  }
+
   test("Ivf: deterministic rebuild and store-frame roundtrip") {
     import graft.ext.{Ivf, IvfIndex}
     val corpus = Seq(
