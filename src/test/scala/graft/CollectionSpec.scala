@@ -574,6 +574,24 @@ class CollectionSpec extends AnyFunSuite {
     assert(other.count() === 1)
   }
 
+  test("postings build plans ZERO shuffles (per-row term counts, not a groupBy)") {
+    import TestSpark.spark.implicits._
+    import graft.index.PostingsIndex
+    val docs = Seq(("d1", "alpha beta alpha"), ("d2", "beta gamma")).toDF("id", "content")
+    val built = PostingsIndex.build(docs)
+    // the scale property of the whole ingest path: per-(id, term) tf comes
+    // from one in-row pass, so nothing crosses the wire
+    val plan = built.queryExecution.executedPlan
+    assert(!plan.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      s"postings build must not shuffle:\n$plan")
+    // and the rows are the classic shape: tf summed per term, dl = doc tokens
+    val rows = built.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows === Set(("alpha", "d1", 2L, 3L), ("beta", "d1", 1L, 3L),
+      ("beta", "d2", 1L, 2L), ("gamma", "d2", 1L, 2L)))
+  }
+
   test("manifest: mismatched open-time flags throw; deleteAll resets them") {
     import graft.index.Stores
     val root = freshRoot()
