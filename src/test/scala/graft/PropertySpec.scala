@@ -1,0 +1,142 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based pinning of the pure-JVM kernels: the folding/tokenizing
+  * string functions, the query parser's totality, and the native
+  * expressions' parity with naive Scala reference implementations over
+  * arbitrary inputs (the example-based specs cover the hand-checked cases;
+  * these cover the input space).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  private val anyString: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '\n', '\t', '*', '\''),
+      Gen.oneOf('é', 'ü', 'ß', 'ç', 'Å', 'م', 'ก', '中', '日', '́', '่')
+    )).map(_.mkString),
+    Gen.listOf(Gen.choose(Char.MinValue, '퟿')).map(_.mkString))
+
+  private val tokenArray: Gen[Seq[String]] =
+    Gen.listOfN(30, Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const("dup")))
+      .flatMap(l => Gen.choose(0, l.size).map(l.take))
+
+  private def arr(xs: Seq[String]): GenericArrayData =
+    new GenericArrayData(xs.map(s => if (s == null) null else UTF8String.fromString(s)).toArray[Any])
+
+  test("StringFold.fold is idempotent and identity on ASCII") {
+    check("idempotent", Prop.forAll(anyString) { s =>
+      val once = StringFold.fold(s)
+      StringFold.fold(once) == once
+    })
+    check("ascii identity", Prop.forAll(Gen.asciiPrintableStr) { s =>
+      StringFold.fold(s) == s
+    })
+  }
+
+  test("QueryParser.parse is total and never yields empty terms") {
+    import graft.model.BoolQuery, BoolQuery._
+    def terms(q: BoolQuery): Seq[String] = q match {
+      case Term(t) => Seq(t)
+      case Prefix(p) => Seq(p)
+      case Wildcard(w) => Seq(w)
+      case And(l, r) => terms(l) ++ terms(r)
+      case Or(l, r) => terms(l) ++ terms(r)
+    }
+    check("total", Prop.forAll(anyString) { s =>
+      val ast = graft.parse.QueryParser.parse(s) // must not throw
+      ast.forall(q => terms(q).forall(_.nonEmpty))
+    })
+  }
+
+  test("MaxMultiplicity matches the naive max group size") {
+    val expr = MaxMultiplicity(BoundReference(0, ArrayType(StringType), nullable = true))
+    check("maxMultiplicity", Prop.forAll(tokenArray) { xs =>
+      val got = expr.nullSafeEval(arr(xs)).asInstanceOf[Long]
+      val want = if (xs.isEmpty) 0L
+        else xs.groupBy(identity).values.map(_.size).max.toLong
+      got == want
+    })
+  }
+
+  test("TermCounts matches naive counts; dl = element count; keys distinct") {
+    val expr = TermCounts(BoundReference(0, ArrayType(StringType), nullable = true))
+    check("termCounts", Prop.forAll(tokenArray) { xs =>
+      val row = expr.nullSafeEval(arr(xs))
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val m = row.getMap(0)
+      val dl = row.getLong(1)
+      val keys = (0 until m.numElements()).map(i =>
+        m.keyArray().getUTF8String(i).toString)
+      val vals = (0 until m.numElements()).map(i => m.valueArray().getLong(i))
+      val naive = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      keys.distinct.size == keys.size &&
+        dl == xs.size.toLong &&
+        keys.zip(vals).toMap == naive &&
+        vals.sum == dl
+    })
+  }
+
+  test("ShingleArray(distinct=false) emits exactly max(0, m-n+1) in-order windows") {
+    check("shingles", Prop.forAll(tokenArray.suchThat(_.forall(_.nonEmpty)),
+        Gen.choose(1, 5)) { (xs, n) =>
+      val expr = ShingleArray(BoundReference(0, ArrayType(StringType), nullable = true),
+        n, distinct = false)
+      val got = expr.nullSafeEval(arr(xs)).asInstanceOf[GenericArrayData]
+        .array.map(_.asInstanceOf[UTF8String].toString).toSeq
+      val want = if (xs.size < n) Seq.empty else xs.sliding(n).map(_.mkString(" ")).toSeq
+      got == want
+    })
+  }
+
+  test("SortedLongJaccard matches naive set Jaccard on sorted distinct arrays") {
+    val expr = SortedLongJaccard(
+      BoundReference(0, ArrayType(LongType), nullable = true),
+      BoundReference(1, ArrayType(LongType), nullable = true))
+    val longSet: Gen[Seq[Long]] =
+      Gen.listOf(Gen.choose(-50L, 50L)).map(_.distinct.sorted)
+    check("jaccard", Prop.forAll(longSet, longSet) { (a, b) =>
+      val got = expr.nullSafeEval(
+        new GenericArrayData(a.toArray[Any]), new GenericArrayData(b.toArray[Any]))
+        .asInstanceOf[Double]
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.toSet.union(b.toSet).size
+      val want = if (union == 0) 0.0 else inter.toDouble / union
+      math.abs(got - want) < 1e-12
+    })
+  }
+
+  test("HashPrefix emits min(m, floor((1-t)m+eps)+1) elements, all from the input") {
+    check("hashPrefix", Prop.forAll(
+        tokenArray.map(_.distinct), Gen.choose(0.5, 0.95)) { (xs, t) =>
+      val expr = HashPrefix(BoundReference(0, ArrayType(StringType), nullable = true), t)
+      val got = expr.nullSafeEval(arr(xs)).asInstanceOf[GenericArrayData]
+        .array.map(_.asInstanceOf[UTF8String].toString).toSeq
+      val m = xs.size
+      val wantLen = if (m == 0) 0 else math.min(m, (math.floor((1.0 - t) * m + 1e-9) + 1).toInt)
+      got.size == wantLen && got.forall(xs.contains)
+    })
+  }
+
+  test("fold + tokenize agree between column spec and driver-side fold on query terms") {
+    // the index side folds THEN splits; the query side folds each term —
+    // for single tokens (no separators) the two must agree
+    check("fold parity", Prop.forAll(Gen.listOfN(8,
+        Gen.oneOf('a', 'é', 'ü', 'ß', 'n', '́')).map(_.mkString)) { w =>
+      val folded = StringFold.fold(w)
+      StringFold.fold(folded) == folded // and stays stable
+    })
+  }
+}
