@@ -936,6 +936,32 @@ object EntryQueries {
     // per doc (email, phone, IPv4 — all derivable from doc_id so DuckDB
     // replays the same corpus), counts taken on the original, matches
     // replaced in pattern order; the scrubbed content compares by md5.
+    // Line-level boilerplate strip (C4/Gopher line filters): planted short
+    // ("ok", "(c) 2024") and punctuation-run (">>> *** <<<") lines around
+    // the real content are dropped, long alpha-heavy lines (including the
+    // planted nav line — this is a length/alpha filter, not a semantic
+    // detector) and the prose survive; md5 pins the exact surviving text
+    // and the kept/total counts pin the boundary decisions per doc.
+    ("x24_strip_boilerplate", (s: SparkSession, sfDir: String) => {
+      val noisy = docsFrame(s, sfDir).withColumn("content",
+        concat(lit("Home | About | Contact\n>>> *** <<<\nok\n"), col("content"),
+          lit("\n(c) 2024\nnavigation menu footer links")))
+      TextStats.stripBoilerplate(noisy)
+        .select(col("id"), md5(col("content_clean")).as("clean_md5"),
+          col("n_lines_kept"), col("n_lines_total"))
+    }, Some(s"""WITH c AS (SELECT $DocId AS id,
+               |    'Home | About | Contact' || chr(10) || '>>> *** <<<' || chr(10) || 'ok' || chr(10) ||
+               |    text || chr(10) || '(c) 2024' || chr(10) || 'navigation menu footer links' AS content
+               |  FROM documents),
+               | t AS (SELECT id, string_split(content, chr(10)) AS ls FROM c),
+               | k AS (SELECT id, ls, list_filter(ls, l -> len(trim(l)) >= 10 AND
+               |    len(regexp_replace(trim(l), '[^A-Za-z]', '', 'g')) * 1.0 >= 0.5 * len(trim(l))) AS kept
+               |  FROM t)
+               |SELECT id, md5(array_to_string(kept, chr(10))) AS clean_md5,
+               |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+               |  CAST(len(ls) AS BIGINT) AS n_lines_total
+               |FROM k""".stripMargin)),
+
     ("x23_pii_scrub", (s: SparkSession, sfDir: String) => {
       val withPii = docsFrame(s, sfDir).withColumn("content",
         concat(lit("contact user"), col("id"), lit("@example.com or +4915551234567 at 10.0.42."),

@@ -161,6 +161,36 @@ object TextStats {
     counted.withColumn(contentCol, scrubbed)
   }
 
+  /** C4/Gopher-style line-level boilerplate stripping: a line SURVIVES iff
+    * its trimmed form has ≥ `minChars` characters AND ≥ `minAlphaRatio` of
+    * them are ASCII letters — the classic nav-bar/menu/punctuation-run
+    * filter of pretraining cleanups (C4 drops short and low-alpha lines;
+    * Gopher §A1.1 uses the same family). Adds `content_clean` (surviving
+    * lines re-joined; null content stays null), `n_lines_kept`, and
+    * `n_lines_total`. Deliberately closed-form (trim + length + an
+    * [^A-Za-z] strip) so the DuckDB oracle replays it exactly; the ratio
+    * compare is integer-derived on both engines, so no float divergence.
+    * Pure builtins — a codegen'd zero-shuffle scan.
+    */
+  def stripBoilerplate(df: DataFrame, contentCol: String = "content",
+                       minChars: Int = 10,
+                       minAlphaRatio: Double = 0.5): DataFrame = {
+    val lines = split(col(contentCol), "\n")
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      val len = length(t)
+      val alpha = length(regexp_replace(t, "[^A-Za-z]", ""))
+      len >= minChars && alpha.cast("double") >= lit(minAlphaRatio) * len
+    })
+    df.withColumn("content_clean",
+        when(col(contentCol).isNull, lit(null).cast("string"))
+          .otherwise(array_join(kept, "\n")))
+      .withColumn("n_lines_kept",
+        when(col(contentCol).isNull, lit(0L)).otherwise(size(kept).cast("long")))
+      .withColumn("n_lines_total",
+        when(col(contentCol).isNull, lit(0L)).otherwise(size(lines).cast("long")))
+  }
+
   /** Adds `fingerprint`: min-MD5 over `n`-token windows (winnowing-style
     * content fingerprint — stable under small edits outside the minimal
     * window); docs shorter than `n` tokens hash their whole token stream.

@@ -222,6 +222,26 @@ class ExtSpec extends AnyFunSuite {
       ("r3", 1L, 0.0, 0L, 0.0)))
   }
 
+  test("stripBoilerplate: short, low-alpha, and boundary lines hand-checked") {
+    val d = Seq(
+      ("b1", "Home | About | Contact\n>>> *** <<<\nok\nthis is real prose content\n(c) 2024"),
+      ("b2", "1234567890 12\nalpha bravo charlie"), // digits-only fails ratio
+      ("b3", ""),                                   // one empty line, dropped
+      ("b4", null.asInstanceOf[String])
+    ).toDF("id", "content")
+    val got = TextStats.stripBoilerplate(d).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(r.fieldIndex("content_clean")),
+        r.getLong(r.fieldIndex("n_lines_kept")), r.getLong(r.fieldIndex("n_lines_total"))))
+    assert(got(0) === (("b1",
+      // nav line: len 22, 16 alpha >= 11 -> kept (length/alpha filter, not
+      // semantic); ">>> *** <<<" alpha 0 -> dropped; "ok" len 2 -> dropped;
+      // "(c) 2024" len 8 -> dropped
+      "Home | About | Contact\nthis is real prose content", 2L, 5L)))
+    assert(got(1) === (("b2", "alpha bravo charlie", 1L, 2L)))
+    assert(got(2) === (("b3", "", 0L, 1L)))
+    assert(got(3) === (("b4", null, 0L, 0L)))
+  }
+
   test("maxMultiplicity: empty/null/tie edge cases match the HOF count") {
     import graft.functions.HashFunctions
     val d = Seq(
