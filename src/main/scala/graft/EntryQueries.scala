@@ -962,6 +962,47 @@ object EntryQueries {
                |  CAST(len(ls) AS BIGINT) AS n_lines_total
                |FROM k""".stripMargin)),
 
+    // Corpus-level line dedup (C4/RefinedWeb: drop every line whose trimmed
+    // form repeats >= minDf times anywhere in the corpus). Planted cohorts
+    // pin each frequency tier: a line shared by ALL docs (df=corpus) and one
+    // by the even half (df=n/2) are dropped; a line planted TWICE in the
+    // same doc (ids % 3 == 0) is dropped too — within-doc repeats count
+    // toward df; the per-doc unique tail (df=1) and the real text survive.
+    // md5 pins the exact surviving text, the counts pin every boundary.
+    ("x25_dedup_lines", (s: SparkSession, sfDir: String) => {
+      val noisy = docsFrame(s, sfDir).withColumn("content",
+        concat(
+          lit("Subscribe to our newsletter today\n"),
+          when(col("id").cast("long") % 2 === 0, lit("even cohort banner\n"))
+            .otherwise(lit("")),
+          col("content"),
+          when(col("id").cast("long") % 3 === 0,
+            concat(lit("\nrepeat twice "), col("id"), lit("\nrepeat twice "), col("id")))
+            .otherwise(lit("")),
+          lit("\nunique token line "), col("id")))
+      Dedup.dedupLinesCorpus(noisy)
+        .select(col("id"), md5(col("content_dedup")).as("dedup_md5"),
+          col("n_lines_kept"), col("n_lines_total"))
+    }, Some(s"""WITH c AS (SELECT $DocId AS id,
+               |    'Subscribe to our newsletter today' || chr(10) ||
+               |    CASE WHEN doc_id % 2 = 0 THEN 'even cohort banner' || chr(10) ELSE '' END ||
+               |    text ||
+               |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'repeat twice ' || $DocId ||
+               |      chr(10) || 'repeat twice ' || $DocId ELSE '' END ||
+               |    chr(10) || 'unique token line ' || $DocId AS content
+               |  FROM documents),
+               | t AS (SELECT id, string_split(content, chr(10)) AS ls FROM c),
+               | d AS (SELECT coalesce(list(k), []) AS dl FROM (
+               |    SELECT trim(l) AS k FROM t, unnest(ls) AS r(l)
+               |    WHERE len(trim(l)) > 0 GROUP BY 1 HAVING count(*) >= 2)),
+               | k AS (SELECT id, ls, list_filter(ls,
+               |    l -> len(trim(l)) = 0 OR NOT list_contains(dl, trim(l))) AS kept
+               |  FROM t CROSS JOIN d)
+               |SELECT id, md5(array_to_string(kept, chr(10))) AS dedup_md5,
+               |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+               |  CAST(len(ls) AS BIGINT) AS n_lines_total
+               |FROM k""".stripMargin)),
+
     ("x23_pii_scrub", (s: SparkSession, sfDir: String) => {
       val withPii = docsFrame(s, sfDir).withColumn("content",
         concat(lit("contact user"), col("id"), lit("@example.com or +4915551234567 at 10.0.42."),

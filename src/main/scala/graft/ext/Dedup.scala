@@ -163,6 +163,62 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // Corpus-level line dedup
+  // -------------------------------------------------------------------------
+
+  /** CORPUS-LEVEL duplicate-line removal (the C4 / RefinedWeb hygiene pass:
+    * a line whose trimmed form occurs `minDf`-or-more times ANYWHERE in the
+    * corpus — other documents or the same one — is boilerplate and every
+    * occurrence is dropped). Complements [[graft.ext.TextStats.stripBoilerplate]],
+    * which judges each line in isolation; this operator needs the global
+    * line-frequency table and is therefore the one with a shuffle story.
+    *
+    * Whitespace-only lines are never dropped (they are document structure,
+    * not repeatable content) and never counted. Surviving lines keep their
+    * original (untrimmed) text and order.
+    *
+    * Scale shape, in order: (1) line-frequency aggregation — one map-side-
+    * combined shuffle keyed on the trimmed line, emitting only keys at
+    * df ≥ minDf (the boilerplate set, far smaller than the corpus);
+    * (2) a LEFT ANTI join of the exploded lines against that set — AQE
+    * broadcasts it when it fits, else sort-merge with skew-split (hot
+    * boilerplate keys match ONE build row each, so there is no output
+    * amplification); (3) one groupBy(id) reassembly. Line text crosses the
+    * wire at most twice; no stage is quadratic in anything.
+    *
+    * Output: (id, content, content_dedup, n_lines_kept, n_lines_total);
+    * null content stays null with 0/0 counts, a fully-boilerplate doc
+    * becomes the empty string.
+    */
+  def dedupLinesCorpus(docs: DataFrame, idCol: String = "id",
+                       contentCol: String = "content",
+                       minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val base = docs.select(col(idCol).as("id"), col(contentCol).as("content"))
+    val lines = base.filter(col("content").isNotNull)
+      .select(col("id"), posexplode(split(col("content"), "\n")).as(Seq("pos", "line")))
+      .withColumn("k", trim(col("line")))
+    val dupKeys = lines.filter(length(col("k")) > 0)
+      .groupBy(col("k")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("k"))
+    val rebuilt = lines.join(dupKeys, Seq("k"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("content_dedup"),
+        count(lit(1)).as("n_lines_kept"))
+    base.join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("content"),
+        when(col("content").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("content_dedup"), lit(""))).as("content_dedup"),
+        when(col("content").isNull, lit(0L))
+          .otherwise(coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_kept"),
+        when(col("content").isNull, lit(0L))
+          .otherwise(size(split(col("content"), "\n")).cast("long")).as("n_lines_total"))
+  }
+
+  // -------------------------------------------------------------------------
   // Capped in-bucket pair join (shared by the near-dup detectors)
   // -------------------------------------------------------------------------
 

@@ -242,6 +242,33 @@ class ExtSpec extends AnyFunSuite {
     assert(got(3) === (("b4", null, 0L, 0L)))
   }
 
+  test("dedupLinesCorpus: cross-doc, within-doc, trim-keyed, and null edges") {
+    val d = Seq(
+      ("la", "keep me alone\nshared line\nkeep a"),
+      ("lb", "shared line\nkeep b\n\n   "),          // empty/whitespace lines kept
+      ("lc", "same twice\nsame twice\nkeep c"),      // within-doc repeat counts toward df
+      ("ld", null.asInstanceOf[String]),
+      ("le", "  shared line  \nkeep e")              // trim-keyed match, df=3 with la/lb
+    ).toDF("id", "content")
+    val got = Dedup.dedupLinesCorpus(d).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(r.fieldIndex("content_dedup")),
+        r.getLong(r.fieldIndex("n_lines_kept")), r.getLong(r.fieldIndex("n_lines_total"))))
+    assert(got(0) === (("la", "keep me alone\nkeep a", 2L, 3L)))
+    assert(got(1) === (("lb", "keep b\n\n   ", 3L, 4L)))
+    assert(got(2) === (("lc", "keep c", 1L, 3L)))
+    assert(got(3) === (("ld", null, 0L, 0L)))
+    assert(got(4) === (("le", "keep e", 1L, 2L)))
+  }
+
+  test("dedupLinesCorpus: fully-boilerplate doc empties; no dups is identity") {
+    val d = Seq(("f1", "only this\nonly this"), ("f2", "untouched text")).toDF("id", "content")
+    val got = Dedup.dedupLinesCorpus(d).orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(r.fieldIndex("content_dedup")),
+        r.getLong(r.fieldIndex("n_lines_kept"))))
+    assert(got(0) === (("f1", "", 0L)))
+    assert(got(1) === (("f2", "untouched text", 1L)))
+  }
+
   test("maxMultiplicity: empty/null/tie edge cases match the HOF count") {
     import graft.functions.HashFunctions
     val d = Seq(
