@@ -294,11 +294,19 @@ object Dedup {
     val buckets = sized.filter(col("__sz") > 1 && col("__sz") <= maxBucket)
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(col("id"))).as("ms"))
+    // The member list is only the GROUPING IDENTITY from here on (the
+    // generator consumes the payload-packed docs array, never ms), so an
+    // 8-byte hash replaces the full array on every exploded row and as the
+    // re-group shuffle key — without it an m-member bucket ships m copies of
+    // an m-element id array, O(m²) bytes per cluster bucket. A hash
+    // collision merely merges two generator inputs: verification is exact,
+    // so a merge can only add verified-correct pairs, never lose one.
     val packed = buckets
       .select(col("ms")).distinct()
-      .select(col("ms"), explode(col("ms")).as("id"))
+      .select(xxhash64(concat_ws(" ", col("ms"))).as("__sid"),
+        explode(col("ms")).as("id"))
       .join(payload, "id")
-      .groupBy(col("ms"))
+      .groupBy(col("__sid"))
       .agg(sort_array(collect_list(struct(col("id"), col("shh")))).as("docs"))
     val verified = packed.select(
       HashFunctions.bucketJaccardPairs(col("docs"), threshold)
@@ -724,10 +732,13 @@ object Dedup {
         .groupBy(col("table"), col("bucket"))
         .agg(sort_array(collect_list(col("id"))).as("ms"))
         .select(col("ms")).distinct()
+      // same hash-set-id discipline as jaccardSetStages: ms is only the
+      // grouping identity, so don't ship an m-element array m times
       val packed = sets
-        .select(col("ms"), explode(col("ms")).as("id"))
+        .select(xxhash64(concat_ws(" ", col("ms"))).as("__sid"),
+          explode(col("ms")).as("id"))
         .join(base, "id")
-        .groupBy(col("ms"))
+        .groupBy(col("__sid"))
         .agg(sort_array(collect_list(struct(col("id"), col("emb")))).as("docs"))
       val verified = packed.select(
         VectorFunctions.bucketCosinePairs(col("docs"), threshold)
