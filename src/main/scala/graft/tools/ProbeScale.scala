@@ -135,6 +135,17 @@ object ProbeScale {
     val rep = time("repetition_sec")(graft.ext.TextStats.repetition(bigDocs, n = 2)
       .agg(sum(when(col("top_ngram_frac") > 0.2, 1L).otherwise(0L))).head().getLong(0))
     println(s"PROBE   repetitive docs = $rep"); metrics += ("repetitive_docs" -> rep)
+    // Corpus-level line dedup at 1M docs, ~32 lines/doc: splitting the copy
+    // suffix into lines makes every token line repeat corpus-wide (per-copy
+    // tokens recur across base docs, the text line recurs across copies) —
+    // all must drop — while the prepended doc-id line is unique and must
+    // survive: the frequency agg, the anti join, and the reassembly all run
+    // at full width with a realistic drop mass.
+    val lineDocs = bigDocs.select($"id",
+      concat($"id", lit("\n"), regexp_replace($"content", " cp", "\ncp")).as("content"))
+    val linesKept = time("dedup_lines_sec")(
+      Dedup.dedupLinesCorpus(lineDocs).agg(sum($"n_lines_kept")).head().getLong(0))
+    println(s"PROBE   lines kept = $linesKept"); metrics += ("dedup_lines_kept" -> linesKept)
 
     val vbase = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id".cast("string").as("id"), $"embedding")
