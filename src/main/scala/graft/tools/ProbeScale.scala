@@ -28,8 +28,15 @@ object ProbeScale {
     val copies = if (args.nonEmpty) args(0).toInt else 200
     val mode = if (args.length > 1) args(1) else ""
     val sfDir = "/root/testdata/sf0.1"
+    // `mhonly` mode = ingest + MinHash/cluster (+stages) only, and the
+    // shuffle-partition count is env-overridable: the per-round scale probes
+    // pin partitions at 32, so doubling the corpus doubles per-partition
+    // shuffle volume — this knob separates "operator scales" from
+    // "partition count must scale with the data", which on a real cluster
+    // it does.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -104,6 +111,7 @@ object ProbeScale {
           metrics += (s"${l}_rows" -> n)
         }
     }
+    if (!mode.contains("mhonly")) {
     recordPairs("ngram_dedup", Dedup.ngramJaccardPairs(bigDocs, threshold = 0.8))
     recordPairs("simhash_dedup", Dedup.simHashDupPairs(bigDocs, maxHamming = 3))
 
@@ -227,8 +235,9 @@ object ProbeScale {
         .select(concat(lit("ddlast_"), $"id").as("id"), $"content", $"metadata")))
       spark.conf.set("spark.graft.compact.auto", "true")
     }
+    } // end !mhonly
 
-    metrics += ("copies" -> copies)
+    metrics += ("copies" -> copies, "shuffle_partitions" -> parts.toInt)
     val json = metrics.map {
       case (k, v: String) if v.startsWith("[") => s""""$k":$v"""
       case (k, v: String) => s""""$k":"$v""""
