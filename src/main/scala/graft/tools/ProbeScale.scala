@@ -89,6 +89,9 @@ object ProbeScale {
       println(s"PROBE   $label pairs = $cnt")
       metrics += (s"${label}_pairs" -> cnt)
     }
+    // `ngonly` = ingest + ngram/simhash only (the partition-scaling twin of
+    // mhonly, for the prefix-filter join)
+    if (!mode.contains("ngonly")) {
     // persist the minhash pairs: the clustering stage below consumes them
     // without recomputing the LSH+verify work
     val mhPairs = Dedup.minHashDupPairs(bigDocs, threshold = 0.8).persist()
@@ -111,9 +114,11 @@ object ProbeScale {
           metrics += (s"${l}_rows" -> n)
         }
     }
+    } // end !ngonly
     if (!mode.contains("mhonly")) {
     recordPairs("ngram_dedup", Dedup.ngramJaccardPairs(bigDocs, threshold = 0.8))
     recordPairs("simhash_dedup", Dedup.simHashDupPairs(bigDocs, maxHamming = 3))
+    if (!mode.contains("ngonly")) {
 
     // Bucket skew diagnostics: how much all-pairs candidate mass the cap
     // replaced with star edges (the round-2 disk filler, quantified).
@@ -235,6 +240,7 @@ object ProbeScale {
         .select(concat(lit("ddlast_"), $"id").as("id"), $"content", $"metadata")))
       spark.conf.set("spark.graft.compact.auto", "true")
     }
+    } // end !ngonly (post-detector sections)
     } // end !mhonly
 
     metrics += ("copies" -> copies, "shuffle_partitions" -> parts.toInt)
