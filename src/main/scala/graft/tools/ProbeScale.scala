@@ -57,9 +57,24 @@ object ProbeScale {
     // wide: union a token-reversed variant (same vocabulary, different
     // shingles — no cross-variant near-dups), doubling DISTINCT base docs
     // so copies× replication doubles corpus size at UNCHANGED cluster size
-    val base = if (mode.contains("wide"))
-      base0.unionByName(base0.select(concat(lit("w_"), $"id").as("id"),
-        concat_ws(" ", reverse(split($"content", " "))).as("content"), $"metadata"))
+    // wide4: four mutually-dissimilar variants at UNCHANGED cluster size —
+    // identity, token-reversed, and the same two over a "q"-tagged
+    // vocabulary (every token prefixed, so cross-tag jaccard is 0 while
+    // each tagged cohort reproduces the base cohort's near-dup structure
+    // exactly). NOT sorting: sorted token streams of DIFFERENT docs
+    // converge (shared vocabulary sorts alike), which manufactures extra
+    // genuine near-dup mass and changes the workload, not just its size.
+    // Checked before `wide` (substring).
+    def variant(pfx: String, c: org.apache.spark.sql.Column) =
+      base0.select(concat(lit(pfx), $"id").as("id"), c.as("content"), $"metadata")
+    val toks = split($"content", " ")
+    val tagged = transform(toks, t => concat(lit("q"), t))
+    val base = if (mode.contains("wide4"))
+      base0.unionByName(variant("w_", concat_ws(" ", reverse(toks))))
+        .unionByName(variant("t_", concat_ws(" ", tagged)))
+        .unionByName(variant("tw_", concat_ws(" ", reverse(tagged))))
+    else if (mode.contains("wide"))
+      base0.unionByName(variant("w_", concat_ws(" ", reverse(toks))))
     else base0
     // copy-specific 30-token suffix: cross-copy jaccard drops below 0.8 so
     // the qualifying near-dup pair count stays ~25 * copies, not O(copies^2)
