@@ -1003,6 +1003,100 @@ object EntryQueries {
                |  CAST(len(ls) AS BIGINT) AS n_lines_total
                |FROM k""".stripMargin)),
 
+    // Fixed-window token chunking (context-window prep): every token must
+    // land in >= 1 window, stride-24 windows of 32 overlap by 8, the last
+    // window is ragged. md5 pins each window's exact text; idx/start/count
+    // pin the window arithmetic per doc.
+    ("x26_chunk_documents", (s: SparkSession, sfDir: String) =>
+      Pipeline.chunkDocuments(docsFrame(s, sfDir), chunkSize = 32, stride = 24)
+        .select(col("id"), col("chunk_idx"), col("chunk_start"),
+          col("n_chunk_tokens"), md5(col("chunk_text")).as("chunk_md5")),
+      Some(s"""WITH t AS (SELECT $DocId AS id,
+              |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+              | m AS (SELECT id, w, CAST(len(w) AS BIGINT) AS n FROM t WHERE len(w) > 0),
+              | c AS (SELECT id, w, n, unnest(range(CAST(CASE WHEN n <= 32 THEN 1
+              |    ELSE 1 + (n - 32 + 23) // 24 END AS BIGINT))) AS chunk_idx FROM m)
+              |SELECT id, chunk_idx, chunk_idx * 24 AS chunk_start,
+              |  CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS n_chunk_tokens,
+              |  md5(array_to_string(w[CAST(chunk_idx * 24 + 1 AS BIGINT) :
+              |    CAST(chunk_idx * 24 + 32 AS BIGINT)], ' ')) AS chunk_md5
+              |FROM c""".stripMargin)),
+
+    // CCNet-style unigram-LM perplexity (corpus-trained, vocabSize=500 — far
+    // below the corpus's distinct-token count, so the OOV branch is
+    // exercised on every doc). The oracle replays vocabulary selection
+    // (count desc, token asc, LIMIT V), the smoothing closed form, and the
+    // per-doc mean exactly.
+    ("x27_unigram_ppl", (s: SparkSession, sfDir: String) =>
+      TextStats.unigramNll(docsFrame(s, sfDir), vocabSize = 500)
+        .select(col("id"), col("n_tokens"),
+          round(col("nll"), 6).as("nll"), round(col("ppl"), 6).as("ppl")),
+      Some(s"""WITH tk AS (SELECT $DocId AS id, unnest($Toks) AS tok FROM documents),
+              | cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
+              | voc AS (SELECT tok, cnt FROM cnt ORDER BY cnt DESC, tok ASC LIMIT 500),
+              | pars AS (SELECT ln(CAST((SELECT coalesce(sum(cnt), 0) FROM cnt) +
+              |    (SELECT count(*) FROM voc) + 1 AS DOUBLE)) AS lnd),
+              | sc AS (SELECT tk.id, pars.lnd - ln(coalesce(voc.cnt, 0) + 1) AS nt
+              |        FROM tk CROSS JOIN pars LEFT JOIN voc USING (tok)),
+              | ag AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tokens, sum(nt) AS sm FROM sc GROUP BY id)
+              |SELECT d.id, coalesce(ag.n_tokens, 0) AS n_tokens,
+              |  round(coalesce(ag.sm / ag.n_tokens, 0.0), 6) AS nll,
+              |  round(coalesce(exp(ag.sm / ag.n_tokens), 1.0), 6) AS ppl
+              |FROM (SELECT DISTINCT $DocId AS id FROM documents) d LEFT JOIN ag ON d.id = ag.id""".stripMargin)),
+
+    // Duplicated-substring spans (Lee et al. 2022 exact-substring dedup):
+    // maximal merged token ranges covered by any 8-gram occurring >= 2 times
+    // corpus-wide. The corpus's exact-dup clusters guarantee full-doc spans;
+    // the oracle replays windowing, the frequency gate, and the
+    // gaps-and-islands merge over gram TEXT (the Spark side buckets by a
+    // 128-bit hash pair — agreement also pins collision-freeness here).
+    ("x28_duplicate_spans", (s: SparkSession, sfDir: String) =>
+      Dedup.duplicateSpans(docsFrame(s, sfDir), k = 8)
+        .select(col("id"), col("span_start"), col("span_end")),
+      Some(s"""WITH t AS (SELECT $DocId AS id, $Toks AS w FROM documents),
+              | g AS (SELECT id, w, unnest(range(1, CAST(greatest(len(w) - 6, 1) AS BIGINT))) AS i FROM t),
+              | g2 AS (SELECT id, i - 1 AS pos, array_to_string(w[i : i + 7], ' ') AS gram FROM g),
+              | d AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+              | h AS (SELECT id, pos FROM g2 JOIN d USING (gram)),
+              | m AS (SELECT id, pos, CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL
+              |    OR pos > lag(pos) OVER (PARTITION BY id ORDER BY pos) + 8 THEN 1 ELSE 0 END AS nw FROM h),
+              | si AS (SELECT id, pos, sum(nw) OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl FROM m)
+              |SELECT id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(pos) + 7 AS BIGINT) AS span_end
+              |FROM si GROUP BY id, isl""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): cluster-then-verify semantic dedup.
+    // The pair set under k-means candidates is not oracle-able (recall < 1
+    // by design), so — like x5b/x7 — the gate pins the properties that ARE
+    // exact: numClusters=1 degenerates to the exact all-pairs set, every
+    // clustered pair is exactly verified (subset, no false positives), and
+    // semanticDedup drops exactly the id_b side of the k=1 pair set.
+    ("x29_semdedup", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val exact = Dedup.embeddingDupPairs(e, threshold = 0.46, numTables = 0)
+        .select("id_a", "id_b").persist()
+      val k1 = Dedup.semanticDupPairs(e, threshold = 0.46, numClusters = 1,
+        maxBucket = 1 << 20).select("id_a", "id_b").persist()
+      try {
+        val k1Eq = k1.exceptAll(exact).isEmpty && k1.count() == exact.count()
+        val fps = Dedup.semanticDupPairs(e, threshold = 0.46, numClusters = 8)
+          .select("id_a", "id_b")
+          .join(exact, Seq("id_a", "id_b"), "left_anti").count()
+        val kept = Dedup.semanticDedup(e, threshold = 0.46, numClusters = 1,
+          maxBucket = 1 << 20).select(col("id")).persist()
+        val dropIds = exact.select(col("id_b").as("id")).distinct().persist()
+        val keptOk = try
+          kept.count() == e.count() - dropIds.count() &&
+            kept.join(dropIds, Seq("id"), "left_semi").count() == 0
+        finally { kept.unpersist(); dropIds.unpersist() }
+        Seq(("dedup_drops_exact_dups", keptOk), ("k1_equals_exact", k1Eq),
+          ("no_false_positives", fps == 0L)).toDF("metric", "ok")
+      } finally { exact.unpersist(); k1.unpersist() }
+    }, Some("""SELECT * FROM (VALUES ('dedup_drops_exact_dups', true),
+              |  ('k1_equals_exact', true),
+              |  ('no_false_positives', true)) AS t(metric, ok)""".stripMargin)),
+
     ("x23_pii_scrub", (s: SparkSession, sfDir: String) => {
       val withPii = docsFrame(s, sfDir).withColumn("content",
         concat(lit("contact user"), col("id"), lit("@example.com or +4915551234567 at 10.0.42."),

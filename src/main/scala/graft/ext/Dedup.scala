@@ -219,6 +219,102 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // Corpus-level duplicated-substring spans
+  // -------------------------------------------------------------------------
+
+  /** Duplicated-substring spans (the exact-substring dedup signal of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * per doc, the maximal token ranges `[span_start, span_end]` (0-based,
+    * inclusive, over the normalized token stream) covered by any word
+    * `k`-gram that occurs ≥ `minCount` times corpus-wide — other documents
+    * or the same one. Overlapping and adjacent covered windows merge into
+    * one span, so each emitted range is a maximal duplicated region.
+    *
+    * The reference algorithm builds a corpus suffix array; the Spark-native
+    * equivalent fingerprints every k-token window and lets one aggregation
+    * find the repeated ones. Windows are identified by a 128-bit hash pair
+    * (two independent xxhash64 seeds) rather than the gram text, so shuffle
+    * rows stay skinny at any scale; at 10^13 windows the 128-bit birthday
+    * term is ~10^-12 — false merges are effectively impossible where a
+    * single 64-bit hash would already see collisions.
+    *
+    * Scale shape: (1) window fingerprinting — a pure scan + explode;
+    * (2) the frequency agg — one map-side-combined shuffle on the hash pair,
+    * emitting only keys at count ≥ minCount; (3) a LEFT SEMI join of window
+    * occurrences against that (small) set — AQE broadcasts it when it fits;
+    * (4) per-doc island merging — one skinny (id, pos) shuffle and a
+    * streaming lag/running-sum window. Fixed window length makes interval
+    * ends monotone in starts, so a single `lag` detects island breaks — no
+    * running-max needed. Nothing is quadratic; content never shuffles.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String = "id",
+                     contentCol: String = "content", k: Int = 8,
+                     minCount: Long = 2): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(minCount >= 2, "minCount >= 2")
+    val toks = TextFunctions.tokens(col(contentCol))
+    val grams = docs
+      .select(col(idCol).as("id"),
+        posexplode(TextFunctions.shinglesAll(toks, k)).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"),
+        xxhash64(col("gram")).as("h1"),
+        xxhash64(col("gram"), lit(1)).as("h2"))
+    val dup = grams.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("h1"), col("h2"))
+    val hits = grams.join(dup, Seq("h1", "h2"), "left_semi")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    hits
+      .withColumn("__prev", lag(col("pos"), 1).over(w))
+      // window at pos covers [pos, pos+k-1]; merge when the next start is
+      // inside or adjacent to the previous covered range
+      .withColumn("__new",
+        when(col("__prev").isNull || col("pos") > col("__prev") + k, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(run))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (k - 1)).cast("long").as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"))
+  }
+
+  /** Applies [[duplicateSpans]]: rebuilds each doc's content with every
+    * covered token removed (`content_dedup` — surviving normalized tokens
+    * re-joined with spaces) plus `n_tokens_removed`/`n_tokens_total`. This
+    * is the conservative boilerplate-removal variant — ALL occurrences of a
+    * duplicated region are dropped, including the "first"; keeping one
+    * canonical occurrence is the doc-level dedup pipeline's job
+    * ([[dedupCorpus]]). Docs with no duplicated span pass through intact
+    * (null content stays null). One broadcast-friendly join of the
+    * (sparse) span lists back onto the corpus; the token filter runs where
+    * the doc lives.
+    */
+  def stripDuplicateSpans(docs: DataFrame, idCol: String = "id",
+                          contentCol: String = "content", k: Int = 8,
+                          minCount: Long = 2): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, contentCol, k, minCount)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toks = TextFunctions.tokens(col(contentCol))
+    docs.join(spans.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("__toks", toks)
+      .withColumn("__kept",
+        filter(col("__toks"), (t, i) => !exists(col("__spans"),
+          s => i.cast("long").between(s.getField("span_start"), s.getField("span_end")))))
+      .withColumn("content_dedup",
+        when(col(contentCol).isNull, lit(null).cast("string"))
+          .when(col("__spans").isNull, array_join(col("__toks"), " "))
+          .otherwise(array_join(col("__kept"), " ")))
+      .withColumn("n_tokens_total",
+        when(col("__toks").isNull, lit(0L)).otherwise(size(col("__toks")).cast("long")))
+      .withColumn("n_tokens_removed",
+        when(col("__spans").isNull || col("__toks").isNull, lit(0L))
+          .otherwise(col("n_tokens_total") - size(col("__kept"))))
+      .drop("__spans", "__toks", "__kept")
+  }
+
+  // -------------------------------------------------------------------------
   // Capped in-bucket pair join (shared by the near-dup detectors)
   // -------------------------------------------------------------------------
 
@@ -753,4 +849,72 @@ object Dedup {
       verified.unionByName(starVerified).dropDuplicates("id_a", "id_b")
     }
   }
+
+  // -------------------------------------------------------------------------
+  // Semantic dedup (SemDeDup)
+  // -------------------------------------------------------------------------
+
+  /** Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023):
+    * k-means-cluster the embedding space ([[Ivf.build]]'s bounded-sample
+    * Lloyd training), then verify exact cosine ≥ `threshold` WITHIN each
+    * cluster only — the candidate generator is the cluster assignment, so
+    * total pair work is Σ cluster² instead of n². Pairs whose members land
+    * in different clusters are missed by design (that is the approximation);
+    * every emitted pair is exactly verified, so there are no false
+    * positives. `numClusters = 1` degenerates to the exact all-pairs
+    * baseline.
+    *
+    * Scale shape mirrors [[embeddingDupPairs]]: centroid training reads a
+    * bounded sample; assignment is a zero-shuffle broadcast-centroid scan;
+    * clusters collect their member-id sets (one skinny (cluster, id)
+    * shuffle), embeddings join once per membership, and a native generator
+    * emits verified pairs inside the set row. Clusters over `maxBucket`
+    * degrade to star edges (min-id hub) — at SemDeDup's operating point
+    * (numClusters ≈ n / 10³..10⁴) real clusters sit far below the cap.
+    */
+  def semanticDupPairs(df: DataFrame, idCol: String = "id",
+                       embCol: String = "embedding", threshold: Double = 0.9,
+                       numClusters: Int = 64, iters: Int = 5,
+                       maxSample: Int = 100000, seed: Long = 42L,
+                       maxBucket: Int = 4096): DataFrame = {
+    require(numClusters >= 1, "numClusters >= 1")
+    val base = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .filter(col("emb").isNotNull)
+    val assigned = Ivf.build(base, "id", "emb", k = numClusters, iters = iters,
+      maxSample = maxSample, seed = seed).assignments
+    val w = Window.partitionBy(col("cluster"))
+    val sized = assigned
+      .withColumn("__sz", count(lit(1)).over(w))
+      .withColumn("__mn", min(col("id")).over(w))
+    // clusters partition the id space, so member sets are distinct by
+    // construction — no cross-table set dedup needed (unlike the LSH path)
+    val packed = sized.filter(col("__sz") > 1 && col("__sz") <= maxBucket)
+      .select(col("cluster"), col("id"))
+      .join(base, "id")
+      .groupBy(col("cluster"))
+      .agg(sort_array(collect_list(struct(col("id"), col("emb")))).as("docs"))
+    val verified = packed.select(
+      VectorFunctions.bucketCosinePairs(col("docs"), threshold)
+        .as(Seq("id_a", "id_b", "cos")))
+    val starPairs = sized.filter(col("__sz") > maxBucket && col("id") =!= col("__mn"))
+      .select(col("__mn").as("id_a"), col("id").as("id_b"))
+    val starVerified = joinPayloads(starPairs, base, "emb")
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+    // disjoint clusters -> pairs are unique; no dropDuplicates pass needed
+    verified.unionByName(starVerified)
+  }
+
+  /** The deduplicated corpus under [[semanticDupPairs]]: drops the
+    * higher-id side of every verified in-cluster pair (deterministic
+    * keep-lowest-id policy, same as [[dropNearDups]] everywhere else).
+    */
+  def semanticDedup(df: DataFrame, idCol: String = "id",
+                    embCol: String = "embedding", threshold: Double = 0.9,
+                    numClusters: Int = 64, iters: Int = 5,
+                    maxSample: Int = 100000, seed: Long = 42L,
+                    maxBucket: Int = 4096): DataFrame =
+    dropNearDups(df, semanticDupPairs(df, idCol, embCol, threshold,
+      numClusters, iters, maxSample, seed, maxBucket), idCol)
 }

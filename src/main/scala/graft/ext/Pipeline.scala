@@ -92,6 +92,53 @@ object Pipeline {
       .withColumn("bin", floor(col("offset") / budget).cast("long"))
   }
 
+  /** Fixed-window token chunking with stride — the context-window prep step
+    * that turns long documents into training examples (window `chunkSize`
+    * whitespace tokens, advancing `stride` tokens per chunk; `stride <
+    * chunkSize` yields the overlapping windows SFT/eval pipelines use).
+    * Emits one row per (doc, chunk): `id, chunk_idx, chunk_start` (token
+    * offset of the window), `n_chunk_tokens` (= chunkSize except on the last
+    * window), and `chunk_text` (the window's tokens re-joined with single
+    * spaces — whitespace is normalized, the one lossy step). A doc with
+    * `n ≤ chunkSize` tokens emits exactly one chunk; an empty/null doc emits
+    * none. The last window starts at the smallest stride multiple covering
+    * the final token, so every token appears in ≥ 1 chunk and no window is
+    * ever empty.
+    *
+    * Scale: a single codegen'd scan + explode — ZERO shuffle; each doc's
+    * chunks are generated where the doc lives. Token definition is the
+    * whitespace split shared with [[packSequences]]/[[mixCorpora]].
+    */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int, stride: Int,
+                     idCol: String = "id",
+                     contentCol: String = "content"): DataFrame = {
+    require(chunkSize >= 1, "chunkSize >= 1")
+    require(stride >= 1 && stride <= chunkSize, "1 <= stride <= chunkSize")
+    val toks = filter(split(col(contentCol), "\\s+"), t => length(t) > 0)
+    docs.select(col(idCol).as("id"), toks.as("__toks"))
+      .withColumn("__n",
+        when(col("__toks").isNull, lit(0L)).otherwise(size(col("__toks")).cast("long")))
+      // chunks = 1 + ceil((n - chunkSize) / stride) when n > chunkSize;
+      // values are non-negative and < 2^53, so the double floor is exact
+      .withColumn("__nchunks",
+        when(col("__n") === 0, lit(0L))
+          .when(col("__n") <= chunkSize, lit(1L))
+          .otherwise(lit(1L) +
+            floor((col("__n") - chunkSize + (stride - 1)) / lit(stride.toDouble)).cast("long")))
+      // explode of the empty array drops token-less docs entirely
+      .withColumn("chunk_idx",
+        explode(when(col("__nchunks") === 0, array().cast("array<long>"))
+          .otherwise(sequence(lit(0L), col("__nchunks") - 1))))
+      .withColumn("chunk_start", col("chunk_idx") * stride)
+      .withColumn("n_chunk_tokens",
+        least(lit(chunkSize.toLong), col("__n") - col("chunk_start")))
+      .withColumn("chunk_text",
+        array_join(slice(col("__toks"), (col("chunk_start") + 1).cast("int"),
+          lit(chunkSize)), " "))
+      .select(col("id"), col("chunk_idx"), col("chunk_start"),
+        col("n_chunk_tokens"), col("chunk_text"))
+  }
+
   /** Per-(shard, bin) packing summary: how full each chunk's doc-start set
     * is — the packing-efficiency view (docs whose start lands in the bin,
     * and their token mass; mass > budget means the tail spills into the

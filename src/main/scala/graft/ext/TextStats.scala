@@ -191,6 +191,59 @@ object TextStats {
         when(col(contentCol).isNull, lit(0L)).otherwise(size(lines).cast("long")))
   }
 
+  /** CCNet-style perplexity quality signal (Wenzek et al. 2020) from a
+    * unigram LM trained on the corpus itself — no external model needed.
+    * Returns one row per doc: `id, n_tokens, nll, ppl` where `nll` is the
+    * mean negative log-probability of the doc's tokens and `ppl = exp(nll)`.
+    * High-ppl docs are the gibberish/boilerplate tail a pretraining filter
+    * drops; low-ppl docs are the repetitive tail.
+    *
+    * The LM is additive-smoothed over the top-`vocabSize` tokens by corpus
+    * frequency (ties broken by token text, so vocabulary selection is
+    * deterministic): with `alpha = 1`,
+    * `nll(tok) = ln(N + V + 1) − ln(cnt(tok) + 1)` where `N` is the corpus
+    * token total, `V` the realized vocabulary size, and `cnt` is 0 for
+    * out-of-vocabulary tokens — one closed form for both branches.
+    *
+    * Scale: vocabulary selection is one map-side-combined token agg +
+    * a bounded TakeOrdered (never a full sort) with the ≤ `vocabSize`-row
+    * result collected to the driver (bounded by contract, like the IVF
+    * centroid table); scoring is a scan + explode + BROADCAST hash join
+    * against the vocabulary + one skinny (id, partial-sum) shuffle — the
+    * corpus content itself never crosses the wire.
+    */
+  def unigramNll(docs: DataFrame, vocabSize: Int = 50000,
+                 idCol: String = "id",
+                 contentCol: String = "content"): DataFrame = {
+    require(vocabSize >= 1, "vocabSize >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = TextFunctions.tokens(col(contentCol))
+    val counts = docs.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      val vocab = counts.orderBy(col("cnt").desc, col("tok").asc)
+        .limit(vocabSize).as[(String, Long)].collect()
+      val totalN = counts.agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
+      val lnDenom = math.log(totalN.toDouble + vocab.length + 1)
+      val vocabDf = vocab.toSeq.toDF("tok", "cnt")
+        .select(col("tok"), (lit(lnDenom) - log(col("cnt") + 1)).as("__nll_tok"))
+      val perDoc = docs.select(col(idCol).as("id"), explode(toks).as("tok"))
+        .join(broadcast(vocabDf), Seq("tok"), "left")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          // OOV: cnt = 0 -> ln(0 + 1) = 0 -> nll_tok = lnDenom
+          sum(coalesce(col("__nll_tok"), lit(lnDenom))).as("__s"))
+      docs.select(col(idCol).as("id")).distinct()
+        .join(perDoc, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("__s") / col("n_tokens"), lit(0.0)).as("nll"),
+          coalesce(exp(col("__s") / col("n_tokens")), lit(1.0)).as("ppl"))
+    } finally counts.unpersist()
+  }
+
   /** Adds `fingerprint`: min-MD5 over `n`-token windows (winnowing-style
     * content fingerprint — stable under small edits outside the minimal
     * window); docs shorter than `n` tokens hash their whole token stream.

@@ -655,4 +655,89 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L, 3.0))) // late 99.0 NOT counted
     assert(!rows.exists(_._4 == 99.0))
   }
+
+  test("chunkDocuments: stride windows cover every token; edge docs hand-checked") {
+    val cd = Seq(
+      ("c1", "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      ("c2", "a b c"),                          // n <= chunkSize: one chunk
+      ("c3", ""),                               // no tokens: no chunks
+      ("c4", null.asInstanceOf[String])         // null: no chunks
+    ).toDF("id", "content")
+    val out = Pipeline.chunkDocuments(cd, chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = out.groupBy(_._1)
+    // 10 tokens, window 4, stride 3 -> starts 0,3,6 (last window reaches t9)
+    assert(byDoc("c1").sortBy(_._2).toSeq === Seq(
+      ("c1", 0L, 0L, 4L, "t0 t1 t2 t3"),
+      ("c1", 1L, 3L, 4L, "t3 t4 t5 t6"),
+      ("c1", 2L, 6L, 4L, "t6 t7 t8 t9")))
+    assert(byDoc("c2").toSeq === Seq(("c2", 0L, 0L, 3L, "a b c")))
+    assert(!byDoc.contains("c3") && !byDoc.contains("c4"))
+    // ragged tail: 5 tokens, window 4, stride 3 -> starts 0,3; last has 2 tokens
+    val tail = Pipeline.chunkDocuments(Seq(("t", "u v w x y")).toDF("id", "content"), 4, 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getString(4))).sortBy(_._1)
+    assert(tail.toSeq === Seq((0L, 4L, "u v w x"), (3L, 2L, "x y")))
+  }
+
+  test("unigramNll: smoothed per-token nll matches the closed form; OOV and empty docs") {
+    val cd = Seq(("d1", "a a b"), ("d2", "c"), ("d3", "")).toDF("id", "content")
+    // counts: a=2, b=1, c=1; vocabSize=2 keeps (a,2) and (b,1) — the b/c tie
+    // breaks on token text. N=4, V=2 -> denom = ln(4 + 2 + 1)
+    val lnD = math.log(7.0)
+    val got = TextStats.unigramNll(cd, vocabSize = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val expD1 = (2 * (lnD - math.log(3.0)) + (lnD - math.log(2.0))) / 3
+    assert(got("d1")._1 === 3L)
+    assert(math.abs(got("d1")._2 - expD1) < 1e-12)
+    assert(math.abs(got("d1")._3 - math.exp(expD1)) < 1e-9)
+    assert(got("d2")._1 === 1L && math.abs(got("d2")._2 - lnD) < 1e-12) // OOV: full denom cost
+    assert(got("d3") === ((0L, 0.0, 1.0)))
+  }
+
+  test("duplicateSpans: shared, within-doc, and disjoint k-grams; strip rebuilds") {
+    val cd = Seq(
+      ("e1", "x y z p q r"),                 // shares "x y z" with e2
+      ("e2", "x y z a b c"),
+      ("e3", "m n o m n o m n o"),           // within-doc repeat: one full-doc span
+      ("e4", "x y z k1 k2 k3 k4 u v w"),     // two disjoint shared grams with e5
+      ("e5", "x y z q1 q2 q3 q4 u v w"),
+      ("e6", "totally unique words only here")
+    ).toDF("id", "content")
+    val spans = Dedup.duplicateSpans(cd, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set(
+      ("e1", 0L, 2L), ("e2", 0L, 2L),
+      ("e3", 0L, 8L),
+      ("e4", 0L, 2L), ("e4", 7L, 9L),
+      ("e5", 0L, 2L), ("e5", 7L, 9L)))
+    val stripped = Dedup.stripDuplicateSpans(cd, k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(2), r.getLong(4), r.getLong(3)))).toMap // content_dedup, removed, total
+    assert(stripped("e1") === (("p q r", 3L, 6L)))
+    assert(stripped("e3") === (("", 9L, 9L)))
+    assert(stripped("e4") === (("k1 k2 k3 k4", 6L, 10L)))
+    assert(stripped("e6") === (("totally unique words only here", 0L, 5L)))
+  }
+
+  test("semanticDupPairs: k=1 equals exact all-pairs; clustered pairs are a verified subset") {
+    val exact = Dedup.embeddingDupPairs(vecCorpus, threshold = 0.95, numTables = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val k1 = Dedup.semanticDupPairs(vecCorpus, threshold = 0.95, numClusters = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(k1 === exact && exact === Set(("v1", "v2")))
+    // multi-cluster: every emitted pair is exactly verified (subset, no FPs)
+    val k3 = Dedup.semanticDupPairs(vecCorpus, threshold = 0.95, numClusters = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(k3.subsetOf(exact))
+    // near-identical vectors share a centroid, so the planted pair survives
+    assert(k3 === Set(("v1", "v2")))
+    val kept = Dedup.semanticDedup(vecCorpus, threshold = 0.95, numClusters = 3)
+      .select("id").as[String].collect().toSet
+    assert(kept === Set("v1", "v3", "v4", "v5")) // v2 = higher-id side
+    // mega-cluster cap: star edges still verify exactly
+    val capped = Dedup.semanticDupPairs(vecCorpus, threshold = 0.95,
+      numClusters = 1, maxBucket = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped.subsetOf(exact))
+  }
 }
