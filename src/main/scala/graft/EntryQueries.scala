@@ -1097,6 +1097,69 @@ object EntryQueries {
               |  ('k1_equals_exact', true),
               |  ('no_false_positives', true)) AS t(metric, ok)""".stripMargin)),
 
+    // Cross-corpus dedup (dedup-against): drop from the corpus slice
+    // whatever the reference slice (doc_id % 7 == 0) already contains.
+    // Exact arm oracle-checked here (the fixture's exact-dup clusters span
+    // the % 7 split, so removal is non-trivial); the MinHash near arm's
+    // cross-candidate/verify path is pinned by ExtSpec against the
+    // union-corpus minHashDupPairs cross pairs (LSH recall itself is not
+    // SQL-expressible).
+    ("x30_dedup_against", (s: SparkSession, sfDir: String) => {
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
+          col("doc_id").cast("long").as("__n"), col("source"))
+      val corpus = d.filter(col("__n") % 7 =!= 0).drop("__n")
+      val ref = d.filter(col("__n") % 7 === 0).drop("__n")
+      Dedup.dedupAgainst(corpus, ref, near = false).select("id", "source")
+    }, Some(s"""SELECT $DocId AS id, source FROM documents d
+               |WHERE doc_id % 7 <> 0 AND NOT EXISTS (
+               |  SELECT 1 FROM documents r WHERE r.doc_id % 7 = 0 AND r.text = d.text)""".stripMargin)),
+
+    // Deterministic global shuffle into training shards: shard and pos are
+    // pure functions of (seed, id); the oracle replays the md5 rank
+    // bit-for-bit (engine-portable hex-prefix arithmetic, the x19
+    // discipline), pinning both the assignment and the full within-shard
+    // permutation.
+    ("x31_shuffle_shards", (s: SparkSession, sfDir: String) =>
+      Pipeline.shuffleShards(
+        s.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("string").as("id"), col("source")),
+        numShards = 8, seed = 42L)
+        .select(col("id"), col("source"), col("shard"), col("pos")),
+      Some(s"""WITH k AS (SELECT $DocId AS id, source,
+              |    md5('42:' || $DocId) AS rk FROM documents),
+              | sh AS (SELECT id, source, rk,
+              |    ('0x' || substr(rk, 1, 12))::BIGINT % 8 AS shard FROM k)
+              |SELECT id, source, shard,
+              |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rk, id) - 1 AS pos
+              |FROM sh""".stripMargin)),
+
+    // Per-source token-length histogram + CDF (the corpus-composition
+    // report): exact bucket counts, token mass, and cumulative fractions;
+    // quantiles read off cum_frac. floor() on both engines (double->int
+    // casts round differently, see lengthHistogram).
+    ("x32_length_histogram", (s: SparkSession, sfDir: String) =>
+      TextStats.lengthHistogram(
+        s.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("text").as("content"), col("source")),
+        bucketWidth = 32)
+        .select(col("source"), col("bucket"), col("lo_tokens"), col("n_docs"),
+          col("token_mass"), col("cum_docs"), round(col("cum_frac"), 6).as("cum_frac")),
+      Some("""WITH t AS (SELECT source,
+             |    CASE WHEN text IS NULL THEN 0
+             |      ELSE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) END AS n
+             |  FROM documents),
+             | b AS (SELECT source, CAST(FLOOR(n / 32.0) AS BIGINT) AS bucket,
+             |    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS token_mass
+             |  FROM t GROUP BY source, bucket)
+             |SELECT source, bucket, bucket * 32 AS lo_tokens, n_docs, token_mass,
+             |  CAST(sum(n_docs) OVER (PARTITION BY source ORDER BY bucket
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+             |  round(CAST(sum(n_docs) OVER (PARTITION BY source ORDER BY bucket
+             |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+             |    CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE), 6) AS cum_frac
+             |FROM b""".stripMargin)),
+
     ("x23_pii_scrub", (s: SparkSession, sfDir: String) => {
       val withPii = docsFrame(s, sfDir).withColumn("content",
         concat(lit("contact user"), col("id"), lit("@example.com or +4915551234567 at 10.0.42."),

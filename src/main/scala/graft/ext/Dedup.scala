@@ -315,6 +315,98 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // Cross-corpus dedup (dedup-against)
+  // -------------------------------------------------------------------------
+
+  /** Near-duplicate matches of `docs` AGAINST a separate reference corpus
+    * (id, ref_id, jaccard) — the cross-corpus form every incremental
+    * training-data pipeline needs: "drop from this crawl whatever the
+    * existing training set (or an eval set) already contains, fuzzily".
+    * Same MinHash-LSH band shape and exact-Jaccard verification as
+    * [[minHashDupPairs]]; candidates are (band, bh) equality matches
+    * BETWEEN the corpora, never within one, so the output is matches
+    * against the reference only.
+    *
+    * Scale shape: both sides exact-collapse to min-id representatives
+    * first (byte-identical crawl copies never multiply the candidate
+    * join); banding rows are skinny (band, bh, id); after the candidate
+    * `distinct`, each corpus rep keeps only its first `maxCandidates`
+    * reference candidates (ref-id order, deterministic) — removal needs
+    * ONE verified witness, not all of them, so per-doc verification work
+    * is bounded even when a boilerplate band hash matches thousands of
+    * reference docs. A true match can only be lost if `maxCandidates`
+    * closer candidates ALL fail verification — raise the cap if the
+    * corpus is that adversarial. Verification payloads join once per
+    * capped candidate side.
+    */
+  def crossDupPairs(docs: DataFrame, reference: DataFrame,
+                    idCol: String = "id", contentCol: String = "content",
+                    refIdCol: String = "id", refContentCol: String = "content",
+                    n: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
+                    threshold: Double = 0.8,
+                    maxCandidates: Int = 64): DataFrame = {
+    require(maxCandidates >= 1, "maxCandidates >= 1")
+    val numHashes = bands * rowsPerBand
+    val corpus = docs.select(col(idCol).as("id"), col(contentCol).as("content"))
+    val ref = reference.select(col(refIdCol).as("id"), col(refContentCol).as("content"))
+    val cMembers = exactMembers(corpus, "id", "content")
+    val rMembers = exactMembers(ref, "id", "content")
+    val cPrep = minHashPrep(repDocs(corpus, cMembers, "id", "content"), n, numHashes)
+    val rPrep = minHashPrep(repDocs(ref, rMembers, "id", "content"), n, numHashes)
+    val candidates = minHashBanded(cPrep, bands, rowsPerBand)
+      .join(minHashBanded(rPrep, bands, rowsPerBand)
+          .withColumnRenamed("id", "ref_id"),
+        Seq("band", "bh"))
+      .select(col("id"), col("ref_id")).distinct()
+    val capped = candidates
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("ref_id"))))
+      .filter(col("__rn") <= maxCandidates)
+      .drop("__rn")
+    val verified = capped
+      .join(cPrep.select(col("id"), col("shh").as("__shh_a")), "id")
+      .join(rPrep.select(col("id").as("ref_id"), col("shh").as("__shh_b")), "ref_id")
+      .withColumn("jaccard", HashFunctions.sortedJaccard(col("__shh_a"), col("__shh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id"), col("ref_id"), col("jaccard"))
+    // expand both exact-dup groups back: identical contents share the score
+    verified
+      .join(cMembers.select(col("rep").as("id"), col("id").as("__m")), "id")
+      .join(rMembers.select(col("rep").as("ref_id"), col("id").as("__rm")), "ref_id")
+      .select(col("__m").as("id"), col("__rm").as("ref_id"), col("jaccard"))
+  }
+
+  /** Drops from `docs` everything the reference corpus already contains:
+    * byte-identical contents always (256-bit content-hash anti-join — the
+    * reference hash set is one skinny column, AQE broadcasts it when it
+    * fits), plus MinHash near-duplicates at `threshold` when `near` is on
+    * (see [[crossDupPairs]] — covers docs ≥ shingle width; shorter docs
+    * have empty shingle sets and are caught by the exact arm alone, the
+    * same split [[dedupCorpus]] relies on). Null-content docs never match
+    * a null-content reference row (hash of null is null) — nothing to
+    * contain means nothing to drop.
+    */
+  def dedupAgainst(docs: DataFrame, reference: DataFrame,
+                   idCol: String = "id", contentCol: String = "content",
+                   refIdCol: String = "id", refContentCol: String = "content",
+                   near: Boolean = true, n: Int = 3, bands: Int = 32,
+                   rowsPerBand: Int = 4, threshold: Double = 0.8,
+                   maxCandidates: Int = 64): DataFrame = {
+    val refHashes = reference
+      .select(sha2(col(refContentCol), 256).as("__h")).distinct()
+    val exactGone = docs
+      .withColumn("__h", sha2(col(contentCol), 256))
+      .join(refHashes, Seq("__h"), "left_anti")
+      .drop("__h")
+    if (!near) exactGone
+    else exactGone.join(
+      crossDupPairs(docs, reference, idCol, contentCol, refIdCol,
+        refContentCol, n, bands, rowsPerBand, threshold, maxCandidates)
+        .select(col("id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------------------
   // Capped in-bucket pair join (shared by the near-dup detectors)
   // -------------------------------------------------------------------------
 

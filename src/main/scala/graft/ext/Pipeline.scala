@@ -149,6 +149,35 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("token_mass"))
       .withColumn("fill", col("token_mass").cast("double") / budget)
 
+  /** Deterministic global shuffle into numbered training shards — the
+    * "shuffle the corpus before the dataloader sees it" step. Adds
+    * `shard` = md5Mod(seed:id, numShards) and `pos` = the row's 0-based
+    * rank within its shard, ordered by the full md5 digest of (seed:id)
+    * (id tiebreak) — so the within-shard order is itself pseudo-random,
+    * reproducible bit-for-bit across runs/engines/retries (unlike
+    * `DataFrame.orderBy(rand())`), and re-keyable by changing `seed`
+    * (epoch number → fresh permutation, nothing else recomputed).
+    *
+    * Scale: ONE hash shuffle into `numShards` partitions + a per-shard
+    * sort — never a global order. Parallelism is `numShards`; pick it ≥
+    * cluster cores (the [[packSequences]] discipline). All input columns
+    * ride along — this op IS the shuffle writer, the payload has to move
+    * exactly once.
+    */
+  def shuffleShards(docs: DataFrame, numShards: Int, seed: Long = 0L,
+                    idCol: String = "id"): DataFrame = {
+    require(numShards >= 1, "numShards >= 1")
+    val key = md5(concat_ws(":", lit(seed.toString), col(idCol)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__rk"), col(idCol))
+    docs
+      .withColumn("__rk", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("__rk"), 1, 12), 16, 10).cast("long"),
+          lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop("__rk")
+  }
+
   /** Mixture weighting: downsample each source so the kept corpus
     * approaches `budgetTokens` total whitespace tokens split per `weights`
     * (the training-mixture spec: "X% web, Y% code, …"). Each source's keep

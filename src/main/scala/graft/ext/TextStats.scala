@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (new-scope per
@@ -84,6 +85,46 @@ object TextStats {
       lit("[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"), lit(0))
     df.withColumn("n_ws", size(ws).cast("long"))
       .withColumn("n_bpe", size(bpe).cast("long"))
+  }
+
+  /** Per-group token-length histogram with cumulative distribution — the
+    * corpus-composition report a mixture designer reads before setting
+    * [[Pipeline.mixCorpora]] weights or a [[Pipeline.chunkDocuments]]
+    * window. One row per (group, bucket) where `bucket` =
+    * n_tokens / `bucketWidth` (integer division, whitespace tokens — the
+    * [[Pipeline]] accounting definition): `lo_tokens` (bucket lower
+    * bound), `n_docs`, `token_mass`, and the running `cum_docs` /
+    * `cum_frac` (fraction of the group's docs at or below this bucket —
+    * exact quantiles read straight off the curve: p95 doc length is the
+    * first bucket with cum_frac ≥ 0.95). Null/empty docs land in bucket 0.
+    *
+    * Scale: exact and still 100 TB-shaped — one codegen'd scan + one
+    * map-side-combined (group, bucket) agg; the cumulative window runs
+    * over the AGGREGATED frame (#groups × #buckets rows, thousands at
+    * most), never over docs. A per-group percentile over raw rows would
+    * need a per-group global sort; bucketing to `bucketWidth` granularity
+    * is what buys exactness without one.
+    */
+  def lengthHistogram(df: DataFrame, bucketWidth: Long = 64,
+                      groupCol: String = "source",
+                      contentCol: String = "content"): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth >= 1")
+    val ws = filter(split(col(contentCol), "\\s+"), t => length(t) > 0)
+    val nTok = when(col(contentCol).isNull, lit(0L)).otherwise(size(ws).cast("long"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col(groupCol))
+    // floor() on both engines (a bare double->int cast truncates in Spark
+    // but ROUNDS in DuckDB — the oracle would diverge on exact multiples)
+    df.select(col(groupCol), floor(nTok / bucketWidth).cast("long").as("bucket"),
+        nTok.as("__nt"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("token_mass"))
+      .withColumn("lo_tokens", col("bucket") * bucketWidth)
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_frac", col("cum_docs") / sum(col("n_docs")).over(tot))
+      .select(col(groupCol), col("bucket"), col("lo_tokens"), col("n_docs"),
+        col("token_mass"), col("cum_docs"), col("cum_frac"))
   }
 
   /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1 quality

@@ -740,4 +740,91 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(capped.subsetOf(exact))
   }
+
+  test("crossDupPairs: matches union-corpus minHash cross pairs; exact groups expand") {
+    val corpus = Seq(
+      "c1" -> "the quick brown fox jumps over the lazy dog near the river bank",
+      "c2" -> "completely different text about spark query engines and shuffles",
+      "c3" -> "the quick brown fox jumps over the lazy dog near the river bank" // = c1
+    ).toDF("id", "content")
+    val ref = Seq(
+      "r1" -> "the quick brown fox jumps over the lazy dog near the river shore", // near c1/c3
+      "r2" -> "unrelated reference material entirely about cooking pasta dishes"
+    ).toDF("id", "content")
+    val cross = Dedup.crossDupPairs(corpus, ref, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cross === Set(("c1", "r1"), ("c3", "r1"))) // exact group c1=c3 both match
+    // consistency gate: union-corpus minHashDupPairs restricted to cross
+    // pairs finds the same matches (same band shape, same verification)
+    val union = corpus.unionByName(ref)
+    val refIds = Set("r1", "r2")
+    val unionCross = Dedup.minHashDupPairs(union, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .filter(p => refIds.contains(p._1) ^ refIds.contains(p._2))
+      .map(p => if (refIds.contains(p._2)) p else p.swap).toSet
+    assert(cross === unionCross)
+    // candidate cap: one witness is enough for removal semantics
+    val capped = Dedup.crossDupPairs(corpus, ref, threshold = 0.5, maxCandidates = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped === cross)
+  }
+
+  test("dedupAgainst: exact arm drops identical content; near arm adds fuzzy matches") {
+    val corpus = Seq(
+      "c1" -> "the quick brown fox jumps over the lazy dog near the river bank",
+      "c2" -> "completely different text about spark query engines and shuffles",
+      "c3" -> "tiny doc", // exact match in ref, below shingle width
+      "c4" -> (null: String)
+    ).toDF("id", "content")
+    val ref = Seq(
+      "r1" -> "the quick brown fox jumps over the lazy dog near the river shore",
+      "r2" -> "tiny doc",
+      "r3" -> (null: String)
+    ).toDF("id", "content")
+    val exactOnly = Dedup.dedupAgainst(corpus, ref, near = false)
+      .select("id").as[String].collect().toSet
+    assert(exactOnly === Set("c1", "c2", "c4")) // c3 exact-matched; null kept
+    val both = Dedup.dedupAgainst(corpus, ref, threshold = 0.5)
+      .select("id").as[String].collect().toSet
+    assert(both === Set("c2", "c4")) // c1 near-matched r1 too
+  }
+
+  test("shuffleShards: deterministic permutation, dense per-shard positions") {
+    val d = (1 to 200).map(i => (s"doc$i", s"payload $i")).toDF("id", "content")
+    val out = Pipeline.shuffleShards(d, numShards = 4, seed = 7L)
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 200)
+    assert(out.map(_._2).forall(s => s >= 0 && s < 4))
+    // positions are dense 0..m-1 within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    // reproducible bit-for-bit; different seed gives a different permutation
+    val again = Pipeline.shuffleShards(d, numShards = 4, seed = 7L)
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    val other = Pipeline.shuffleShards(d, numShards = 4, seed = 8L)
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq !== other.sortBy(_._1).toSeq)
+  }
+
+  test("lengthHistogram: buckets, token mass, and CDF hand-checked") {
+    val d = Seq(
+      ("web", "one two three"),            // 3 tokens -> bucket 0
+      ("web", "a b c d e"),                // 5 tokens -> bucket 1
+      ("web", "x y z w v u"),              // 6 tokens -> bucket 1
+      ("code", null.asInstanceOf[String]), // 0 tokens -> bucket 0
+      ("code", "def f(): pass")            // 3 tokens -> bucket 0
+    ).toDF("source", "content")
+    val h = TextStats.lengthHistogram(d, bucketWidth = 4, groupCol = "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    assert(h === Set(
+      ("web", 0L, 0L, 1L, 3L, 1L, 1.0 / 3),
+      ("web", 1L, 4L, 2L, 11L, 3L, 1.0),
+      ("code", 0L, 0L, 2L, 3L, 2L, 1.0)))
+  }
 }
