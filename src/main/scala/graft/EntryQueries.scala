@@ -2,7 +2,8 @@ package graft
 
 import graft.api.{Collection, Embedder}
 import graft.exec.Sorter
-import graft.ext.{Ann, ByteStatsDecoder, Dedup, Ivf, Multimodal, Pipeline, TextStats}
+import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Ivf, Multimodal, Pipeline, TextStats}
+import graft.functions.TextFunctions
 import graft.model.SortKey
 import graft.parse.QueryParser
 import graft.streaming.EventStreams
@@ -1159,6 +1160,59 @@ object EntryQueries {
              |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
              |    CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE), 6) AS cum_frac
              |FROM b""".stripMargin)),
+
+    // Corpus vocabulary report: top-k tokens by frequency with document
+    // frequency and corpus-mass fraction; deterministic tie-break by token
+    // text. The oracle replays selection, both frequency kinds, and the
+    // broadcast-scalar fraction.
+    ("x33_top_tokens", (s: SparkSession, sfDir: String) =>
+      TextStats.topTokens(docsFrame(s, sfDir), k = 50)
+        .select(col("rank"), col("tok"), col("cnt"), col("doc_freq"),
+          round(col("corpus_frac"), 6).as("corpus_frac")),
+      Some(s"""WITH tk AS (SELECT $DocId AS id, unnest($Toks) AS tok FROM documents),
+              | c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+              |    CAST(count(DISTINCT id) AS BIGINT) AS doc_freq FROM tk GROUP BY tok),
+              | tt AS (SELECT coalesce(sum(cnt), 1) AS tot FROM c),
+              | top AS (SELECT tok, cnt, doc_freq FROM c ORDER BY cnt DESC, tok ASC LIMIT 50)
+              |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS INT) AS rank,
+              |  tok, cnt, doc_freq,
+              |  round(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS corpus_frac
+              |FROM top CROSS JOIN tt""".stripMargin)),
+
+    // Corpus-trained BPE (Sennrich et al. 2016). Learned merges aren't
+    // SQL-expressible, so — the x29 discipline — the gate pins the
+    // properties that ARE exact: the persisted model round-trips, every
+    // doc's subword units concatenate back to its exact token stream
+    // (segmentation never alters content), the learned vocabulary
+    // compresses below character count, and no word splits into fewer
+    // units than one (bpe count >= word count). Merge-order determinism is
+    // pinned by ExtSpec on a hand-computed corpus.
+    ("x34_bpe_tokenize", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val d = docsFrame(s, sfDir)
+      val m = Bpe.train(d, numMerges = 200)
+      val roundtrip = Bpe.fromFrame(m.toFrame(s)).merges == m.merges
+      val enc = Bpe.encode(d, m).persist()
+      try {
+        val toks = TextFunctions.tokens(col("content"))
+        val bad = enc.select(concat_ws("", col("bpe_tokens")).as("a"),
+            concat_ws("", toks).as("b"))
+          .filter(col("a") =!= col("b")).count()
+        val agg = enc.agg(
+          sum(col("n_bpe_learned")),
+          sum(coalesce(size(toks), lit(0)).cast("long")),
+          sum(aggregate(coalesce(toks, array().cast("array<string>")),
+            lit(0L), (acc, t) => acc + length(t)))).first()
+        Seq(("model_roundtrips", roundtrip),
+          ("reconstructs_tokens", bad == 0L),
+          ("compresses_chars", agg.getLong(0) < agg.getLong(2)),
+          ("at_least_one_unit_per_word", agg.getLong(0) >= agg.getLong(1)))
+          .toDF("metric", "ok")
+      } finally enc.unpersist()
+    }, Some("""SELECT * FROM (VALUES ('model_roundtrips', true),
+              |  ('reconstructs_tokens', true),
+              |  ('compresses_chars', true),
+              |  ('at_least_one_unit_per_word', true)) AS t(metric, ok)""".stripMargin)),
 
     ("x23_pii_scrub", (s: SparkSession, sfDir: String) => {
       val withPii = docsFrame(s, sfDir).withColumn("content",

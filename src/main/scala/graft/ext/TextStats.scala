@@ -87,6 +87,39 @@ object TextStats {
       .withColumn("n_bpe", size(bpe).cast("long"))
   }
 
+  /** Corpus vocabulary report: the `k` most frequent tokens (engine
+    * tokenizer), with document frequency and corpus-mass fraction — the
+    * table a tokenizer-training or stopword-curation step reads first.
+    * Ties break by token text, so the cut is deterministic. `rank` is
+    * 1-based by (count desc, token asc).
+    *
+    * Scale: one explode + map-side-combined (token, doc)-distinct agg —
+    * token cardinality, not raw occurrence count, crosses the final
+    * shuffle — then a bounded TakeOrdered for the top-k (never a full
+    * sort). The corpus total joins as a broadcast scalar from the same
+    * aggregate subtree (exchange reuse — no second corpus pass, no
+    * driver-side action inside the operator). The post-limit rank window
+    * is unpartitioned BY DESIGN: it runs over k rows, not the corpus.
+    */
+  def topTokens(df: DataFrame, k: Int = 100, idCol: String = "id",
+                contentCol: String = "content"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val toks = TextFunctions.tokens(col(contentCol))
+    val counts = df
+      .select(col(idCol).as("id"), explode(toks).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"), count_distinct(col("id")).as("doc_freq"))
+    val total = counts.agg(coalesce(sum(col("cnt")), lit(1L)).as("__tot"))
+    counts
+      .orderBy(col("cnt").desc, col("tok").asc).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok").asc)))
+      .withColumn("corpus_frac", col("cnt").cast("double") / col("__tot"))
+      .select(col("rank"), col("tok"), col("cnt"), col("doc_freq"),
+        col("corpus_frac"))
+  }
+
   /** Per-group token-length histogram with cumulative distribution — the
     * corpus-composition report a mixture designer reads before setting
     * [[Pipeline.mixCorpora]] weights or a [[Pipeline.chunkDocuments]]

@@ -104,9 +104,59 @@ object ProbeScale {
       println(s"PROBE   $label pairs = $cnt")
       metrics += (s"${label}_pairs" -> cnt)
     }
+    // `newops` = ingest + the round-6 training-pipeline operators only:
+    // cross-corpus dedup, duplicated-substring spans, chunking, unigram
+    // perplexity, shard shuffle, length histogram, and SemDeDup at 100k
+    // vectors. The planted copies make dedupAgainst adversarial (EVERY copy
+    // near-matches its base doc at jaccard ≈ 0.87 — removal mass ~100%, the
+    // candidate cap is what keeps verification O(docs)) and make nearly
+    // every 8-gram corpus-repeated for duplicateSpans (suffix grams repeat
+    // across base docs of a copy, content grams across copies — the island
+    // merge runs at full hit width).
+    if (mode.contains("newops")) {
+      import graft.ext.{Pipeline, TextStats}
+      // threshold 0.7, NOT the 0.8 the self-dedup probes use: the copy
+      // suffix pins copy-vs-base jaccard at ~0.77 (below 0.8 by fixture
+      // design, so self-dedup pair counts stay linear) — at 0.7 every copy
+      // matches its base and the probe exercises full removal mass, not
+      // just candidate generation
+      val ref = base.select($"id".as("ref_id"), $"content")
+      val gone = time("dedup_against_sec")(
+        Dedup.dedupAgainst(bigDocs, ref, refIdCol = "ref_id",
+          threshold = 0.7).count())
+      println(s"PROBE   dedup_against kept = $gone")
+      metrics += ("dedup_against_kept" -> gone)
+      val spanDocs = time("dup_spans_sec")(
+        Dedup.duplicateSpans(bigDocs, k = 8)
+          .select($"id").distinct().count())
+      println(s"PROBE   docs with dup spans = $spanDocs")
+      metrics += ("dup_span_docs" -> spanDocs)
+      val chunks = time("chunk_sec")(
+        Pipeline.chunkDocuments(bigDocs, chunkSize = 128, stride = 96).count())
+      println(s"PROBE   chunks = $chunks"); metrics += ("chunks" -> chunks)
+      val ppl = time("unigram_ppl_sec")(
+        TextStats.unigramNll(bigDocs, vocabSize = 50000)
+          .agg(sum(when($"ppl" > 1000, 1L).otherwise(0L))).head().getLong(0))
+      println(s"PROBE   high-ppl docs = $ppl"); metrics += ("high_ppl_docs" -> ppl)
+      val maxPos = time("shuffle_shards_sec")(
+        Pipeline.shuffleShards(bigDocs, numShards = 64, seed = 1L)
+          .agg(max($"pos")).head().getLong(0))
+      println(s"PROBE   max shard pos = $maxPos"); metrics += ("max_shard_pos" -> maxPos)
+      val histRows = time("length_hist_sec")(
+        TextStats.lengthHistogram(bigDocs.withColumn("source",
+          element_at($"metadata", "lang")), bucketWidth = 32).count())
+      println(s"PROBE   hist rows = $histRows"); metrics += ("hist_rows" -> histRows)
+      val vbase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id".cast("string").as("id"), $"embedding")
+      val vecs = spark.range(50).withColumnRenamed("id", "copy").crossJoin(vbase)
+        .repartition(32)
+        .select(concat($"id", lit("_"), $"copy").as("id"), $"embedding")
+      recordPairs("semdedup", Dedup.semanticDupPairs(vecs, threshold = 0.9,
+        numClusters = 256, maxBucket = 4096))
+    }
     // `ngonly` = ingest + ngram/simhash only (the partition-scaling twin of
     // mhonly, for the prefix-filter join)
-    if (!mode.contains("ngonly")) {
+    if (!mode.contains("ngonly") && !mode.contains("newops")) {
     // persist the minhash pairs: the clustering stage below consumes them
     // without recomputing the LSH+verify work
     val mhPairs = Dedup.minHashDupPairs(bigDocs, threshold = 0.8).persist()
@@ -130,7 +180,7 @@ object ProbeScale {
         }
     }
     } // end !ngonly
-    if (!mode.contains("mhonly")) {
+    if (!mode.contains("mhonly") && !mode.contains("newops")) {
     recordPairs("ngram_dedup", Dedup.ngramJaccardPairs(bigDocs, threshold = 0.8))
     recordPairs("simhash_dedup", Dedup.simHashDupPairs(bigDocs, maxHamming = 3))
     if (!mode.contains("ngonly")) {

@@ -811,6 +811,49 @@ class ExtSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).toSeq !== other.sortBy(_._1).toSeq)
   }
 
+  test("topTokens: frequency ranking, doc freq, tie-break, and mass fraction") {
+    val d = Seq(
+      ("a", "spark spark spark flink"),
+      ("b", "spark flink beam"),
+      ("c", "beam beam")
+    ).toDF("id", "content")
+    val top = TextStats.topTokens(d, k = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // 9 tokens total: spark 4 (2 docs), beam 3 (2 docs), flink 2 (2 docs)
+    assert(top.toSeq === Seq(
+      (1, "spark", 4L, 2L, 4.0 / 9),
+      (2, "beam", 3L, 2L, 3.0 / 9)))
+    // tie-break: equal counts order by token text
+    val tied = Seq(("a", "zz aa")).toDF("id", "content")
+    val t2 = TextStats.topTokens(tied, k = 2).collect().map(_.getString(1))
+    assert(t2.toSeq === Seq("aa", "zz"))
+  }
+
+  test("Bpe: merge learning, tie-break, encoding, and model roundtrip hand-checked") {
+    import graft.ext.Bpe
+    // word counts: aa:2, ab:1 -> pair (a,a) wins round 1 (count 2), then
+    // ab's (a,b) is the only pair left
+    val m = Bpe.trainFromCounts(Seq("aa" -> 2L, "ab" -> 1L), numMerges = 5)
+    assert(m.merges === Vector(("a", "a"), ("a", "b"))) // early-exhaust at 2
+    assert(m.encodeWord("aab") === Vector("aa", "b"))
+    assert(m.encodeWord("abb") === Vector("ab", "b"))
+    assert(m.encodeWord("aaa") === Vector("aa", "a")) // left-to-right non-overlap
+    assert(m.encodeWord("") === Vector.empty)
+    // tie-break is lexicographic on the pair
+    val t = Bpe.trainFromCounts(Seq("zy" -> 1L, "ab" -> 1L), numMerges = 1)
+    assert(t.merges === Vector(("a", "b")))
+    // corpus training + column encode + roundtrip
+    val d = Seq(("1", "aa aa ab"), ("2", null.asInstanceOf[String])).toDF("id", "content")
+    val m2 = Bpe.train(d, numMerges = 5, maxWords = 100)
+    assert(m2.merges === m.merges)
+    val enc = Bpe.encode(d, m2).collect()
+      .map(r => r.getString(0) -> (r.getSeq[String](2), r.getLong(3))).toMap
+    assert(enc("1") === (Seq("aa", "aa", "ab"), 3L))
+    assert(enc("2") === (Seq.empty, 0L)) // null content -> empty, 0
+    assert(Bpe.fromFrame(m2.toFrame(spark)).merges === m2.merges)
+  }
+
   test("lengthHistogram: buckets, token mass, and CDF hand-checked") {
     val d = Seq(
       ("web", "one two three"),            // 3 tokens -> bucket 0
