@@ -376,6 +376,40 @@ object Dedup {
       .select(col("__m").as("id"), col("__rm").as("ref_id"), col("jaccard"))
   }
 
+  /** One-row cap diagnostics for [[crossDupPairs]] — report this next to
+    * any capped cross-dedup run (a silent cap reads as full coverage):
+    * corpus docs with ≥ 1 reference candidate, docs whose candidate list
+    * was cut at `maxCandidates`, and the total/kept candidate counts
+    * (all counts over exact-collapsed REPRESENTATIVES — the frame the cap
+    * applies to). A high capped-docs count means boilerplate band
+    * collisions are eating the witness budget — raise the cap or tighten
+    * the band shape.
+    */
+  def crossDupStats(docs: DataFrame, reference: DataFrame,
+                    idCol: String = "id", contentCol: String = "content",
+                    refIdCol: String = "id", refContentCol: String = "content",
+                    n: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
+                    maxCandidates: Int = 64): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val corpus = docs.select(col(idCol).as("id"), col(contentCol).as("content"))
+    val ref = reference.select(col(refIdCol).as("id"), col(refContentCol).as("content"))
+    val cMembers = exactMembers(corpus, "id", "content")
+    val rMembers = exactMembers(ref, "id", "content")
+    val cPrep = minHashPrep(repDocs(corpus, cMembers, "id", "content"), n, numHashes)
+    val rPrep = minHashPrep(repDocs(ref, rMembers, "id", "content"), n, numHashes)
+    minHashBanded(cPrep, bands, rowsPerBand)
+      .join(minHashBanded(rPrep, bands, rowsPerBand)
+          .withColumnRenamed("id", "ref_id"),
+        Seq("band", "bh"))
+      .select(col("id"), col("ref_id")).distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("cands"))
+      .agg(count(lit(1)).as("docs_with_candidates"),
+        sum(when(col("cands") > maxCandidates, 1L).otherwise(0L)).as("docs_capped"),
+        coalesce(sum(col("cands")), lit(0L)).as("candidates_total"),
+        coalesce(sum(least(col("cands"), lit(maxCandidates.toLong))), lit(0L))
+          .as("candidates_kept"))
+  }
+
   /** Drops from `docs` everything the reference corpus already contains:
     * byte-identical contents always (256-bit content-hash anti-join — the
     * reference hash set is one skinny column, AQE broadcasts it when it

@@ -767,6 +767,10 @@ class ExtSpec extends AnyFunSuite {
     val capped = Dedup.crossDupPairs(corpus, ref, threshold = 0.5, maxCandidates = 1)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(capped === cross)
+    // cap diagnostics: one rep (c1=c3) has its single candidate, nothing cut
+    val st = Dedup.crossDupStats(corpus, ref).head()
+    assert((st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+      === ((1L, 0L, 1L, 1L)))
   }
 
   test("dedupAgainst: exact arm drops identical content; near arm adds fuzzy matches") {
