@@ -96,10 +96,13 @@ object TextStats {
     * Scale: one explode + map-side-combined (token, doc)-distinct agg —
     * token cardinality, not raw occurrence count, crosses the final
     * shuffle — then a bounded TakeOrdered for the top-k (never a full
-    * sort). The corpus total joins as a broadcast scalar from the same
-    * aggregate subtree (exchange reuse — no second corpus pass, no
-    * driver-side action inside the operator). The post-limit rank window
-    * is unpartitioned BY DESIGN: it runs over k rows, not the corpus.
+    * sort). The corpus total joins as a broadcast scalar computed by a
+    * SECOND, column-pruned pass: Catalyst strips the count-distinct
+    * machinery from that branch (explode + plain token count only), which
+    * is cheaper than pinning both branches to one shared fat aggregate —
+    * the plan-shape spec asserts the pruning holds. No driver-side action
+    * inside the operator. The post-limit rank window is unpartitioned BY
+    * DESIGN: it runs over k rows, not the corpus.
     */
   def topTokens(df: DataFrame, k: Int = 100, idCol: String = "id",
                 contentCol: String = "content"): DataFrame = {

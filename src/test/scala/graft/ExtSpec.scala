@@ -858,6 +858,42 @@ class ExtSpec extends AnyFunSuite {
     assert(Bpe.fromFrame(m2.toFrame(spark)).merges === m2.merges)
   }
 
+  test("plan shapes: the round-6 operators shuffle exactly as documented") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // plain physical plans (AQE's adaptive wrapper hides the exchange tree
+    // from TreeNode traversal, making absence checks pass vacuously)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = Seq(("1", "one two three four"), ("2", "five six"))
+        .toDF("id", "content")
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case s: ShuffleExchangeExec => s
+        }.size
+      // chunking: pure scan + explode, ZERO shuffle
+      assert(shuffles(Pipeline.chunkDocuments(d, 3, 2)) === 0)
+      // shard shuffle: exactly ONE exchange (the hash shuffle into shards)
+      assert(shuffles(Pipeline.shuffleShards(d, numShards = 4)) === 1)
+      // histogram: the doc-level agg's exchange plus the tiny-frame window
+      // repartition — the corpus itself crosses the wire once
+      val hist = TextStats.lengthHistogram(d.withColumn("source", lit("s")),
+        bucketWidth = 2)
+      assert(shuffles(hist) <= 2, hist.queryExecution.executedPlan.toString)
+      // topTokens: the corpus-total branch must stay column-pruned — the
+      // expensive count-distinct expand appears in the top-k branch ONLY
+      // (one heavy pass + one light pass), and the whole report is four
+      // exchanges (tok + (tok,id) under the top-k branch; tok + scalar
+      // under the pruned total branch)
+      val top = TextStats.topTokens(d, k = 3)
+      val planStr = top.queryExecution.executedPlan.toString
+      // "count(distinct" appears as final + partial in the top-k branch
+      // only; a non-pruned total branch would double it (and add its
+      // (tok, id) exchange — 5 shuffles instead of 4)
+      assert("count\\(distinct ".r.findAllIn(planStr).size === 2, planStr)
+      assert(shuffles(top) === 4, planStr)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("lengthHistogram: buckets, token mass, and CDF hand-checked") {
     val d = Seq(
       ("web", "one two three"),            // 3 tokens -> bucket 0
