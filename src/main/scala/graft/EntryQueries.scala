@@ -1214,6 +1214,27 @@ object EntryQueries {
               |  ('compresses_chars', true),
               |  ('at_least_one_unit_per_word', true)) AS t(metric, ok)""".stripMargin)),
 
+    // JSONL source/sink round-trip: the documents table written as JSONL
+    // part files by the engine and read back with an explicit schema must
+    // equal the original table byte-for-byte (md5 over content) — JSON
+    // string escaping, omitted-null fields, and long/string typing all
+    // pinned. The oracle reads the ORIGINAL parquet: the comparison is
+    // through-the-format vs never-left-the-table.
+    ("x35_jsonl_roundtrip", (s: SparkSession, sfDir: String) => {
+      import org.apache.spark.sql.types._
+      val out = "/tmp/graft_x35_jsonl"
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
+          col("lang"), col("n_chars"))
+      graft.sources.Jsonl.writeDocs(d, out)
+      graft.sources.Jsonl.readDocs(s, out, StructType(Seq(
+          StructField("id", StringType), StructField("content", StringType),
+          StructField("lang", StringType), StructField("n_chars", LongType))))
+        .select(col("id"), md5(coalesce(col("content"), lit(""))).as("content_md5"),
+          col("lang"), col("n_chars"))
+    }, Some(s"""SELECT $DocId AS id, md5(coalesce(text, '')) AS content_md5,
+               |  lang, n_chars FROM documents""".stripMargin)),
+
     ("x23_pii_scrub", (s: SparkSession, sfDir: String) => {
       val withPii = docsFrame(s, sfDir).withColumn("content",
         concat(lit("contact user"), col("id"), lit("@example.com or +4915551234567 at 10.0.42."),

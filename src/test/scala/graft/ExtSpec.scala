@@ -894,6 +894,29 @@ class ExtSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("Jsonl: roundtrip preserves content; writeShards lays out shard=N dirs") {
+    import graft.sources.Jsonl
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-").toString
+    val docs = Seq(
+      ("1", "line one\nline two \"quoted\"", Map("lang" -> "en")),
+      ("2", null.asInstanceOf[String], Map.empty[String, String])
+    ).toDF("id", "content", "metadata")
+    Jsonl.writeDocs(docs, s"$dir/docs")
+    val back = Jsonl.readDocs(spark, s"$dir/docs")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(back === Map("1" -> Some("line one\nline two \"quoted\""), "2" -> None))
+    // shard sink: one dir per shard, pos column rides along, rows complete
+    val many = (1 to 40).map(i => (s"d$i", s"text $i")).toDF("id", "content")
+    Jsonl.writeShards(many, s"$dir/shards", numShards = 4, seed = 3L)
+    val dirs = new java.io.File(s"$dir/shards").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.length === 4)
+    val reread = spark.read.schema("id STRING, content STRING, pos LONG, shard INT")
+      .json(s"$dir/shards")  // partition column comes from the path
+    assert(reread.count() === 40)
+    assert(reread.select("id").distinct().count() === 40)
+  }
+
   test("lengthHistogram: buckets, token mass, and CDF hand-checked") {
     val d = Seq(
       ("web", "one two three"),            // 3 tokens -> bucket 0
