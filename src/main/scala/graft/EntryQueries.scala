@@ -1222,7 +1222,9 @@ object EntryQueries {
     // through-the-format vs never-left-the-table.
     ("x35_jsonl_roundtrip", (s: SparkSession, sfDir: String) => {
       import org.apache.spark.sql.types._
-      val out = "/tmp/graft_x35_jsonl"
+      // per-run dir: a fixed path would let concurrent runs (or another sf)
+      // clobber the data between write and read-back
+      val out = java.nio.file.Files.createTempDirectory("graft-x35-").toString + "/docs"
       val d = s.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
           col("lang"), col("n_chars"))

@@ -7,7 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional comma-separated entry filter (local iteration only — the
-    // driver always calls with two args = full dump)
+    // driver always calls with two args = full dump). Filtered runs write
+    // oracle_sql.json with ONLY the filtered keys, so point them at a
+    // FRESH outDir: mixing into a full dump's dir would leave the other
+    // entries' parquet stale and unchecked while the validator prints
+    // green (validate_oracle flags such orphan dirs as failures).
     val only = args.lift(2).map(_.split(",").toSet)
     def wanted(name: String) = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -331,13 +331,14 @@ object Dedup {
     * first (byte-identical crawl copies never multiply the candidate
     * join); banding rows are skinny (band, bh, id); after the candidate
     * `distinct`, each corpus rep keeps only its first `maxCandidates`
-    * reference candidates (ref-id order, deterministic) — removal needs
-    * ONE verified witness, not all of them, so per-doc verification work
-    * is bounded even when a boilerplate band hash matches thousands of
-    * reference docs. A true match can only be lost if `maxCandidates`
-    * closer candidates ALL fail verification — raise the cap if the
-    * corpus is that adversarial. Verification payloads join once per
-    * capped candidate side.
+    * reference candidates (ref-id order — deterministic but ARBITRARY
+    * with respect to similarity) — removal needs ONE verified witness,
+    * not all of them, so per-doc verification work is bounded even when a
+    * boilerplate band hash matches thousands of reference docs. A true
+    * match is lost only when `maxCandidates` other candidates sort before
+    * it AND all fail verification; use [[crossDupStats]] to see how many
+    * docs hit the cap, and raise it if that mass matters. Verification
+    * payloads join once per capped candidate side.
     */
   def crossDupPairs(docs: DataFrame, reference: DataFrame,
                     idCol: String = "id", contentCol: String = "content",
@@ -346,18 +347,9 @@ object Dedup {
                     threshold: Double = 0.8,
                     maxCandidates: Int = 64): DataFrame = {
     require(maxCandidates >= 1, "maxCandidates >= 1")
-    val numHashes = bands * rowsPerBand
-    val corpus = docs.select(col(idCol).as("id"), col(contentCol).as("content"))
-    val ref = reference.select(col(refIdCol).as("id"), col(refContentCol).as("content"))
-    val cMembers = exactMembers(corpus, "id", "content")
-    val rMembers = exactMembers(ref, "id", "content")
-    val cPrep = minHashPrep(repDocs(corpus, cMembers, "id", "content"), n, numHashes)
-    val rPrep = minHashPrep(repDocs(ref, rMembers, "id", "content"), n, numHashes)
-    val candidates = minHashBanded(cPrep, bands, rowsPerBand)
-      .join(minHashBanded(rPrep, bands, rowsPerBand)
-          .withColumnRenamed("id", "ref_id"),
-        Seq("band", "bh"))
-      .select(col("id"), col("ref_id")).distinct()
+    val cross = crossCandidates(docs, reference, idCol, contentCol,
+      refIdCol, refContentCol, n, bands, rowsPerBand)
+    import cross.{candidates, cMembers, rMembers, cPrep, rPrep}
     val capped = candidates
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("ref_id"))))
@@ -376,6 +368,36 @@ object Dedup {
       .select(col("__m").as("id"), col("__rm").as("ref_id"), col("jaccard"))
   }
 
+  /** The shared cross-corpus candidate pipeline: exact-collapse both
+    * sides, MinHash-prep the representatives, and equality-join the
+    * skinny banding rows BETWEEN the corpora. One definition feeds both
+    * [[crossDupPairs]] and [[crossDupStats]] so the diagnostics always
+    * describe the pipeline the pairs actually ran.
+    */
+  private case class CrossCandidates(candidates: DataFrame,
+                                     cMembers: DataFrame, rMembers: DataFrame,
+                                     cPrep: DataFrame, rPrep: DataFrame)
+
+  private def crossCandidates(docs: DataFrame, reference: DataFrame,
+                              idCol: String, contentCol: String,
+                              refIdCol: String, refContentCol: String,
+                              n: Int, bands: Int,
+                              rowsPerBand: Int): CrossCandidates = {
+    val numHashes = bands * rowsPerBand
+    val corpus = docs.select(col(idCol).as("id"), col(contentCol).as("content"))
+    val ref = reference.select(col(refIdCol).as("id"), col(refContentCol).as("content"))
+    val cMembers = exactMembers(corpus, "id", "content")
+    val rMembers = exactMembers(ref, "id", "content")
+    val cPrep = minHashPrep(repDocs(corpus, cMembers, "id", "content"), n, numHashes)
+    val rPrep = minHashPrep(repDocs(ref, rMembers, "id", "content"), n, numHashes)
+    val candidates = minHashBanded(cPrep, bands, rowsPerBand)
+      .join(minHashBanded(rPrep, bands, rowsPerBand)
+          .withColumnRenamed("id", "ref_id"),
+        Seq("band", "bh"))
+      .select(col("id"), col("ref_id")).distinct()
+    CrossCandidates(candidates, cMembers, rMembers, cPrep, rPrep)
+  }
+
   /** One-row cap diagnostics for [[crossDupPairs]] — report this next to
     * any capped cross-dedup run (a silent cap reads as full coverage):
     * corpus docs with ≥ 1 reference candidate, docs whose candidate list
@@ -389,26 +411,18 @@ object Dedup {
                     idCol: String = "id", contentCol: String = "content",
                     refIdCol: String = "id", refContentCol: String = "content",
                     n: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
-                    maxCandidates: Int = 64): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val corpus = docs.select(col(idCol).as("id"), col(contentCol).as("content"))
-    val ref = reference.select(col(refIdCol).as("id"), col(refContentCol).as("content"))
-    val cMembers = exactMembers(corpus, "id", "content")
-    val rMembers = exactMembers(ref, "id", "content")
-    val cPrep = minHashPrep(repDocs(corpus, cMembers, "id", "content"), n, numHashes)
-    val rPrep = minHashPrep(repDocs(ref, rMembers, "id", "content"), n, numHashes)
-    minHashBanded(cPrep, bands, rowsPerBand)
-      .join(minHashBanded(rPrep, bands, rowsPerBand)
-          .withColumnRenamed("id", "ref_id"),
-        Seq("band", "bh"))
-      .select(col("id"), col("ref_id")).distinct()
+                    maxCandidates: Int = 64): DataFrame =
+    crossCandidates(docs, reference, idCol, contentCol, refIdCol,
+      refContentCol, n, bands, rowsPerBand).candidates
       .groupBy(col("id")).agg(count(lit(1)).as("cands"))
       .agg(count(lit(1)).as("docs_with_candidates"),
-        sum(when(col("cands") > maxCandidates, 1L).otherwise(0L)).as("docs_capped"),
+        // every sum coalesces: a candidate-free corpus aggregates the
+        // EMPTY frame, where sum is NULL, not 0
+        coalesce(sum(when(col("cands") > maxCandidates, 1L).otherwise(0L)),
+          lit(0L)).as("docs_capped"),
         coalesce(sum(col("cands")), lit(0L)).as("candidates_total"),
         coalesce(sum(least(col("cands"), lit(maxCandidates.toLong))), lit(0L))
           .as("candidates_kept"))
-  }
 
   /** Drops from `docs` everything the reference corpus already contains:
     * byte-identical contents always (256-bit content-hash anti-join — the
@@ -432,9 +446,13 @@ object Dedup {
       .withColumn("__h", sha2(col(contentCol), 256))
       .join(refHashes, Seq("__h"), "left_anti")
       .drop("__h")
+    // the near arm runs over the exact-arm SURVIVORS: exact groups are
+    // removed or kept whole (identical content hashes alike), so the pair
+    // set restricted to survivors is unchanged — and byte-matched docs
+    // (the dominant mass in a recrawl) never pay shingle/signature work
     if (!near) exactGone
     else exactGone.join(
-      crossDupPairs(docs, reference, idCol, contentCol, refIdCol,
+      crossDupPairs(exactGone, reference, idCol, contentCol, refIdCol,
         refContentCol, n, bands, rowsPerBand, threshold, maxCandidates)
         .select(col("id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")

@@ -26,14 +26,15 @@ object Pipeline {
 
   private val Precision = 1000000L // sampling-fraction resolution: 1e-6
 
-  /** Whitespace token count — THE definition shared by [[packSequences]]
-    * and [[mixCorpora]] (and replayed by the x18/x22 DuckDB oracles), so
-    * cross-operator token accounting can't silently diverge. Null content
-    * counts 0 EXPLICITLY: with `spark.sql.legacy.sizeOfNull` (the non-ANSI
-    * default) `size(null)` is -1, which would walk packing offsets
-    * backwards and deflate mixture totals.
+  /** Whitespace token count — THE definition shared by [[packSequences]],
+    * [[mixCorpora]], and [[TextStats.lengthHistogram]] (and replayed by
+    * the x18/x22/x32 DuckDB oracles), so cross-operator token accounting
+    * can't silently diverge. Null content counts 0 EXPLICITLY: with
+    * `spark.sql.legacy.sizeOfNull` (the non-ANSI default) `size(null)` is
+    * -1, which would walk packing offsets backwards and deflate mixture
+    * totals.
     */
-  private def wsTokenCount(content: Column): Column =
+  private[ext] def wsTokenCount(content: Column): Column =
     when(content.isNull, lit(0L)).otherwise(
       size(filter(split(content, "\\s+"), t => length(t) > 0)).cast("long"))
 

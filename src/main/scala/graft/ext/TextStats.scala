@@ -145,8 +145,7 @@ object TextStats {
                       groupCol: String = "source",
                       contentCol: String = "content"): DataFrame = {
     require(bucketWidth >= 1, "bucketWidth >= 1")
-    val ws = filter(split(col(contentCol), "\\s+"), t => length(t) > 0)
-    val nTok = when(col(contentCol).isNull, lit(0L)).otherwise(size(ws).cast("long"))
+    val nTok = Pipeline.wsTokenCount(col(contentCol))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val tot = Window.partitionBy(col(groupCol))

@@ -57,6 +57,13 @@ def main():
         oc, on, oh = norm(o)
         if not (sc == oc and sn == on and sh == oh):
             fails.append((name, f"cols_match={sc == oc} rows={sn}/{on} hash_match={sh == oh}"))
+    # result dirs with no oracle key = stale leftovers from a wider run
+    # mixed with a filtered Verify — unchecked data must not read as green
+    orphans = sorted(d for d in os.listdir(out)
+                     if os.path.isdir(os.path.join(out, d)) and d not in oracle)
+    for d in orphans:
+        fails.append((d, "result dir present but absent from oracle_sql.json "
+                         "(stale from a wider run? use a fresh outDir)"))
     print(f"checked {len(oracle)} entries; fails: {len(fails)}")
     for f in fails:
         print(" FAIL", f)
