@@ -36,6 +36,36 @@ class PropertySpec extends AnyFunSuite {
   private def arr(xs: Seq[String]): GenericArrayData =
     new GenericArrayData(xs.map(s => if (s == null) null else UTF8String.fromString(s)).toArray[Any])
 
+  test("Bpe: encoding reconstructs, training is deterministic, merges only compress") {
+    import graft.ext.Bpe
+    val word: Gen[String] = Gen.choose(0, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val corpus: Gen[Seq[(String, Long)]] = Gen.choose(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.zip(word.suchThat(_.nonEmpty),
+        Gen.choose(1L, 20L))))
+    check("concat(encodeWord) == word under any trained model",
+      Prop.forAll(corpus, word) { (c, w) =>
+        Bpe.trainFromCounts(c, numMerges = 10).encodeWord(w).mkString == w
+      })
+    check("training is deterministic", Prop.forAll(corpus) { c =>
+      Bpe.trainFromCounts(c, 10).merges == Bpe.trainFromCounts(c, 10).merges
+    })
+    // a model extending another's merge list never produces MORE units:
+    // rank-greedy application behaves identically until the shorter
+    // model's pairs are exhausted, then extra merges can only combine
+    check("more merges never increase the unit count",
+      Prop.forAll(corpus, word) { (c, w) =>
+        val a = Bpe.trainFromCounts(c, 5).encodeWord(w).length
+        val b = Bpe.trainFromCounts(c, 10).encodeWord(w).length
+        b <= a
+      })
+    check("unit count bounded by [1, chars] for non-empty words",
+      Prop.forAll(corpus, word.suchThat(_.nonEmpty)) { (c, w) =>
+        val n = Bpe.trainFromCounts(c, 10).encodeWord(w).length
+        n >= 1 && n <= w.length
+      })
+  }
+
   test("StringFold.fold is idempotent and identity on ASCII") {
     check("idempotent", Prop.forAll(anyString) { s =>
       val once = StringFold.fold(s)
