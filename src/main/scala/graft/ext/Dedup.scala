@@ -433,6 +433,11 @@ object Dedup {
     * same split [[dedupCorpus]] relies on). Null-content docs never match
     * a null-content reference row (hash of null is null) — nothing to
     * contain means nothing to drop.
+    *
+    * With `near = false` this also accepts a STREAMING `docs` frame: the
+    * exact arm is a stream-static anti join, so a continuous crawl can be
+    * filtered against a static training set per micro-batch (pinned by
+    * ExtSpec). The near arm aggregates and is batch-only.
     */
   def dedupAgainst(docs: DataFrame, reference: DataFrame,
                    idCol: String = "id", contentCol: String = "content",

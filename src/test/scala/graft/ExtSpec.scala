@@ -741,6 +741,27 @@ class ExtSpec extends AnyFunSuite {
     assert(capped.subsetOf(exact))
   }
 
+  test("dedupAgainst(near=false) works on a STREAM: stream-static anti join per batch") {
+    // the continuous-crawl shape: filter a document stream against a
+    // static reference corpus, exact arm only (the near arm aggregates —
+    // batch territory)
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(("r1", "already in the training set")).toDF("id", "content")
+    val mem = MemoryStream[(String, String)]
+    val src = mem.toDF().toDF("id", "content")
+    val q = Dedup.dedupAgainst(src, ref, near = false)
+      .writeStream.format("memory").queryName("against_out")
+      .outputMode("append").start()
+    mem.addData(("d1", "already in the training set"), ("d2", "fresh content"))
+    q.processAllAvailable()
+    mem.addData(("d3", "already in the training set"), ("d4", "more fresh"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT id FROM against_out")
+      .collect().map(_.getString(0)).toSet
+    assert(out === Set("d2", "d4")) // d1/d3 matched the reference, dropped
+  }
+
   test("crossDupPairs: matches union-corpus minHash cross pairs; exact groups expand") {
     val corpus = Seq(
       "c1" -> "the quick brown fox jumps over the lazy dog near the river bank",
