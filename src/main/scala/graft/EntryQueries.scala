@@ -1237,6 +1237,75 @@ object EntryQueries {
     }, Some(s"""SELECT $DocId AS id, md5(coalesce(text, '')) AS content_md5,
                |  lang, n_chars FROM documents""".stripMargin)),
 
+    // Gopher document-level quality filter (Rae et al. 2021 A1.1) as one
+    // call: every rule's metric plus the keep verdict, replayed exactly.
+    // Bullet/ellipsis lines injected on doc_id % 4 == 0 exercise the line
+    // rules (the injected ellipsis line lands bullet_frac 0.5 / ellipsis
+    // 0.25 on single-line fixture docs — just inside the thresholds, so
+    // the boundary arithmetic is what's pinned).
+    ("x36_gopher_filter", (s: SparkSession, sfDir: String) => {
+      val noisy = docsFrame(s, sfDir).withColumn("content",
+        when(col("id").cast("long") % 4 === 0,
+          concat(lit("- item one\n- item two\nto be continued...\n"), col("content")))
+          .otherwise(col("content")))
+      TextStats.gopherFilter(noisy, minWords = 30, minStopwordHits = 1)
+        .select(col("id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("alpha_word_frac"), 6).as("alpha_word_frac"),
+          round(col("bullet_line_frac"), 6).as("bullet_line_frac"),
+          round(col("ellipsis_line_frac"), 6).as("ellipsis_line_frac"),
+          col("n_stop_hits"),
+          round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("top_ngram_frac"), 6).as("top_ngram_frac"), col("keep"))
+    }, Some(s"""WITH c AS (SELECT $DocId AS id,
+               |    CASE WHEN doc_id % 4 = 0 THEN '- item one' || chr(10) || '- item two' ||
+               |      chr(10) || 'to be continued...' || chr(10) || text ELSE text END AS text
+               |  FROM documents),
+               | tok AS (SELECT id,
+               |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS rawlines,
+               |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS tlines,
+               |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
+               |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+               |  FROM c),
+               | g AS (SELECT t.id, array_to_string(t.tk[u.i:u.i+1], ' ') AS gram
+               |       FROM tok t, UNNEST(range(1, len(t.tk))) AS u(i)),
+               | gc AS (SELECT id, gram, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+               | tg AS (SELECT id, MAX(tf) AS top_tf FROM gc GROUP BY 1),
+               | m AS (SELECT t.id,
+               |    CAST(len(t.w) AS BIGINT) AS n_words,
+               |    CASE WHEN len(t.w) = 0 THEN 0.0
+               |      ELSE list_sum(list_transform(t.w, x -> len(x))) * 1.0 / len(t.w) END AS mean_word_len,
+               |    CASE WHEN len(t.w) = 0 THEN 0.0
+               |      ELSE len(list_filter(t.w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(t.w) END AS alpha_word_frac,
+               |    CASE WHEN len(t.tlines) = 0 THEN 0.0
+               |      ELSE len(list_filter(t.tlines, l -> regexp_matches(l, '^[-*•]'))) * 1.0 / len(t.tlines) END AS bullet_line_frac,
+               |    CASE WHEN len(t.tlines) = 0 THEN 0.0
+               |      ELSE len(list_filter(t.tlines, l -> regexp_matches(l, '(\\.\\.\\.|…)$$'))) * 1.0 / len(t.tlines) END AS ellipsis_line_frac,
+               |    (CASE WHEN list_contains(list_transform(t.w, x -> lower(x)), 'the') THEN 1 ELSE 0 END
+               |     + CASE WHEN list_contains(list_transform(t.w, x -> lower(x)), 'be') THEN 1 ELSE 0 END
+               |     + CASE WHEN list_contains(list_transform(t.w, x -> lower(x)), 'to') THEN 1 ELSE 0 END
+               |     + CASE WHEN list_contains(list_transform(t.w, x -> lower(x)), 'of') THEN 1 ELSE 0 END
+               |     + CASE WHEN list_contains(list_transform(t.w, x -> lower(x)), 'and') THEN 1 ELSE 0 END
+               |     + CASE WHEN list_contains(list_transform(t.w, x -> lower(x)), 'that') THEN 1 ELSE 0 END
+               |     + CASE WHEN list_contains(list_transform(t.w, x -> lower(x)), 'have') THEN 1 ELSE 0 END
+               |     + CASE WHEN list_contains(list_transform(t.w, x -> lower(x)), 'with') THEN 1 ELSE 0 END) AS n_stop_hits,
+               |    CASE WHEN len(t.rawlines) = 0 THEN 0.0
+               |      ELSE 1.0 - CAST(len(list_distinct(t.rawlines)) AS DOUBLE) / len(t.rawlines) END AS dup_line_frac,
+               |    CASE WHEN len(t.tk) = 0 THEN 0.0
+               |      ELSE LEAST(1.0, CAST(COALESCE(tg.top_tf, 0) AS DOUBLE) * 2 / len(t.tk)) END AS top_ngram_frac
+               |  FROM tok t LEFT JOIN tg ON t.id = tg.id)
+               |SELECT id, n_words, round(mean_word_len, 6) AS mean_word_len,
+               |  round(alpha_word_frac, 6) AS alpha_word_frac,
+               |  round(bullet_line_frac, 6) AS bullet_line_frac,
+               |  round(ellipsis_line_frac, 6) AS ellipsis_line_frac, n_stop_hits,
+               |  round(dup_line_frac, 6) AS dup_line_frac,
+               |  round(top_ngram_frac, 6) AS top_ngram_frac,
+               |  (n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+               |   AND alpha_word_frac >= 0.8 AND bullet_line_frac <= 0.9
+               |   AND ellipsis_line_frac <= 0.3 AND n_stop_hits >= 1
+               |   AND dup_line_frac <= 0.3 AND top_ngram_frac <= 0.2) AS keep
+               |FROM m""".stripMargin)),
+
     ("x23_pii_scrub", (s: SparkSession, sfDir: String) => {
       val withPii = docsFrame(s, sfDir).withColumn("content",
         concat(lit("contact user"), col("id"), lit("@example.com or +4915551234567 at 10.0.42."),

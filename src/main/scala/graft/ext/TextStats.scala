@@ -202,6 +202,79 @@ object TextStats {
       .drop("__n_toks")
   }
 
+  /** The Gopher stop-word presence list (Rae et al. 2021 §A1.1): a kept
+    * doc must contain at least `minStopwordHits` DISTINCT words of these.
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher document-level quality filter (Rae et al. 2021 §A1.1) as
+    * ONE call — the standard pretraining keep/drop decision, with the
+    * published defaults. Adds the per-rule metrics plus `keep`:
+    *   - `n_words` within [minWords, maxWords] (whitespace words — the
+    *     [[Pipeline]] accounting definition);
+    *   - `mean_word_len` within [minMeanWordLen, maxMeanWordLen];
+    *   - `alpha_word_frac` (words containing an A-Za-z letter) ≥
+    *     minAlphaWordFrac;
+    *   - `bullet_line_frac` (trimmed lines starting `-`/`*`/`•`) ≤
+    *     maxBulletLineFrac and `ellipsis_line_frac` (lines ending `...` or
+    *     `…`) ≤ maxEllipsisLineFrac;
+    *   - `n_stop_hits` (distinct [[GopherStops]] present) ≥
+    *     minStopwordHits;
+    *   - [[repetition]]'s `dup_line_frac` ≤ maxDupLineFrac and
+    *     `top_ngram_frac` ≤ maxTopNgramFrac (2-grams).
+    * Null/empty docs fail the word-count floor and drop. Filter with
+    * `.filter(col("keep"))`; the metrics stay for threshold tuning.
+    *
+    * Scale: composes [[repetition]] — still a single codegen'd scan,
+    * ZERO shuffle; every rule is closed-form column math (and therefore
+    * DuckDB-replayable, which is what pins it).
+    */
+  def gopherFilter(df: DataFrame, contentCol: String = "content",
+                   minWords: Long = 50, maxWords: Long = 100000,
+                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                   minAlphaWordFrac: Double = 0.8,
+                   maxBulletLineFrac: Double = 0.9,
+                   maxEllipsisLineFrac: Double = 0.3,
+                   minStopwordHits: Int = 2,
+                   maxDupLineFrac: Double = 0.3,
+                   maxTopNgramFrac: Double = 0.2): DataFrame = {
+    val ws = filter(split(col(contentCol), "\\s+"), t => length(t) > 0)
+    val nW = when(col(contentCol).isNull, lit(0L)).otherwise(size(ws).cast("long"))
+    val sumLen = aggregate(coalesce(ws, array().cast("array<string>")),
+      lit(0L), (a, t) => a + length(t)).cast("double")
+    val meanLen = when(nW === 0, lit(0.0)).otherwise(sumLen / nW)
+    val alphaFrac = when(nW === 0, lit(0.0)).otherwise(
+      size(filter(ws, t => t.rlike("[A-Za-z]"))).cast("double") / nW)
+    val lines = filter(transform(split(col(contentCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nL = when(col(contentCol).isNull, lit(0L)).otherwise(size(lines).cast("long"))
+    val bulletFrac = when(nL === 0, lit(0.0)).otherwise(
+      size(filter(lines, l => l.rlike("^[-*•]"))).cast("double") / nL)
+    val ellipsisFrac = when(nL === 0, lit(0.0)).otherwise(
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("double") / nL)
+    val lowered = transform(coalesce(ws, array().cast("array<string>")), t => lower(t))
+    val stopHits = GopherStops
+      .map(w => when(array_contains(lowered, w), 1).otherwise(0))
+      .reduce(_ + _)
+    repetition(df, contentCol, n = 2)
+      .withColumn("n_words", nW)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("alpha_word_frac", alphaFrac)
+      .withColumn("bullet_line_frac", bulletFrac)
+      .withColumn("ellipsis_line_frac", ellipsisFrac)
+      .withColumn("n_stop_hits", stopHits)
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("alpha_word_frac") >= minAlphaWordFrac &&
+          col("bullet_line_frac") <= maxBulletLineFrac &&
+          col("ellipsis_line_frac") <= maxEllipsisLineFrac &&
+          col("n_stop_hits") >= minStopwordHits &&
+          col("dup_line_frac") <= maxDupLineFrac &&
+          col("top_ngram_frac") <= maxTopNgramFrac)
+  }
+
   /** One PII pattern: a Java/RE2-compatible regex (the intersection dialect
     * — both Spark and DuckDB must run it for the oracle replay) and the
     * token that replaces each match.

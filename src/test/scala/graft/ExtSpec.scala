@@ -938,6 +938,39 @@ class ExtSpec extends AnyFunSuite {
     assert(reread.select("id").distinct().count() === 40)
   }
 
+  test("gopherFilter: every rule's boundary hand-checked") {
+    // diverse wording on purpose: a repeated phrase would (correctly) trip
+    // the top-2-gram rule — every 2-gram here is unique
+    val good = ("good", "the quick brown fox jumps over that lazy dog " +
+      "while many other animals watch from nearby hills today")
+    val d = Seq(
+      good,                                           // 18 words, 2 stops, clean
+      ("short", "the of and"),                        // fails word-count floor
+      ("longwords", ("the " + "abcdefghijklmnop " * 60).trim), // mean len > 10
+      ("nostops", ("zebra quokka wombat dingo lorikeet " * 12).trim), // 0 stop hits
+      ("bullets", ("- item\n" * 19) + "the end of that have with story line here now ok " +
+        ("filler words here also " * 11).trim),       // 19/20 lines bullets > 0.9
+      ("ellipsis", "the story continues...\nmore of that...\nplain line with have and the rest of words here making this long enough to pass the floor easily today"),
+      ("nulldoc", null.asInstanceOf[String])
+    ).toDF("id", "content")
+    val out = TextStats.gopherFilter(d, minWords = 10, minStopwordHits = 2)
+      .select("id", "keep").collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out("good"))
+    assert(!out("short"))     // 3 words < 10
+    assert(!out("longwords")) // mean word length > 10
+    assert(!out("nostops"))   // no Gopher stop words
+    assert(!out("bullets"))   // bullet_line_frac 19/20 > 0.9
+    assert(!out("ellipsis"))  // 2/3 lines end with ellipsis > 0.3
+    assert(!out("nulldoc"))   // null -> 0 words
+    // metric spot-check on the good doc: all words alpha, stops = the/that
+    val row = TextStats.gopherFilter(d, minWords = 10)
+      .filter(col("id") === "good")
+      .select("n_words", "alpha_word_frac", "n_stop_hits").head()
+    assert(row.getLong(0) === 18L)
+    assert(row.getDouble(1) === 1.0)
+    assert(row.getInt(2) === 2)
+  }
+
   test("lengthHistogram: buckets, token mass, and CDF hand-checked") {
     val d = Seq(
       ("web", "one two three"),            // 3 tokens -> bucket 0
