@@ -645,6 +645,28 @@ object EntryQueries {
               |SELECT $DocId AS id FROM documents
               |WHERE $DocId NOT IN (SELECT id FROM cl WHERE id <> cluster)""".stripMargin)),
 
+    ("x2c_dedup_keep_best", (s: SparkSession, sfDir: String) =>
+      // quality-aware cluster dedup: keep the LONGEST doc per duplicate
+      // cluster (score = n_chars) instead of the arbitrary min-id root —
+      // same recursive-CTE cluster replay as x2b plus the winner window
+      Dedup.dedupCorpusBy(
+        s.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("string").as("id"),
+            col("text").as("content"), col("n_chars")),
+        scoreCol = "n_chars").select("id", "n_chars"),
+      Some(s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${ngramJaccardOracle(0.8)}) q),
+              | edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+              | reach AS (SELECT s, d FROM edges
+              |   UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s),
+              | cl AS (SELECT s AS id, least(s, min(d)) AS cluster FROM reach GROUP BY s),
+              | sc AS (SELECT cl.id, cl.cluster, d.n_chars FROM cl
+              |   JOIN (SELECT $DocId AS id, n_chars FROM documents) d ON cl.id = d.id),
+              | losers AS (SELECT id FROM (SELECT id, ROW_NUMBER() OVER (
+              |     PARTITION BY cluster ORDER BY n_chars DESC, id ASC) AS rn FROM sc)
+              |   WHERE rn > 1)
+              |SELECT $DocId AS id, n_chars FROM documents
+              |WHERE $DocId NOT IN (SELECT id FROM losers)""".stripMargin)),
+
     ("x4b_dedup_clusters", (s: SparkSession, sfDir: String) => {
       // cluster-level dedup: connected components (min reachable id) over
       // the exact near-dup pair graph

@@ -102,6 +102,48 @@ object Dedup {
                   bands: Int = 32, rowsPerBand: Int = 4,
                   threshold: Double = 0.8,
                   maxBucket: Int = 256): DataFrame = {
+    val clusters = corpusDupClusters(docs, idCol, contentCol, n, bands,
+      rowsPerBand, threshold, maxBucket)
+    docs.join(
+      clusters.filter(col("id") =!= col("cluster")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupCorpus]] with a QUALITY policy: per duplicate cluster, keep
+    * the doc MAXIMIZING `scoreCol` (ties → smallest id) instead of the
+    * arbitrary min-id root — what a real pipeline wants when copies
+    * differ (keep the longest crawl of a page, the highest quality()
+    * score, the lowest unigram ppl). With all scores equal this
+    * degenerates to [[dedupCorpus]] exactly.
+    *
+    * Scale: the winner window partitions by cluster over the CLUSTERED
+    * docs only (docs in no duplicate cluster never enter it); everything
+    * upstream is dedupCorpus's capped machinery.
+    */
+  def dedupCorpusBy(docs: DataFrame, scoreCol: String, idCol: String = "id",
+                    contentCol: String = "content", n: Int = 3,
+                    bands: Int = 32, rowsPerBand: Int = 4,
+                    threshold: Double = 0.8,
+                    maxBucket: Int = 256): DataFrame = {
+    val clusters = corpusDupClusters(docs, idCol, contentCol, n, bands,
+      rowsPerBand, threshold, maxBucket)
+    val losers = clusters
+      .join(docs.select(col(idCol).as("id"), col(scoreCol).as("__s")), "id")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("__s").desc, col("id").asc)))
+      .filter(col("__rn") > 1)
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** The shared cluster computation of the one-call dedup pipelines:
+    * exact ∪ MinHash pairs → connected components → (id, cluster) for
+    * every doc in a duplicate cluster.
+    */
+  private def corpusDupClusters(docs: DataFrame, idCol: String,
+                                contentCol: String, n: Int, bands: Int,
+                                rowsPerBand: Int, threshold: Double,
+                                maxBucket: Int): DataFrame = {
     // ONE exact-collapse pass feeds both arms: the exact pairs fall out of
     // the same (rep, id) membership the MinHash path collapses with — the
     // shared subtree (same exprIds) lets exchange reuse skip a second
@@ -111,10 +153,7 @@ object Dedup {
       .select(col("rep").as("id_a"), col("id").as("id_b"))
     val near = minHashDiag(docs, idCol, contentCol, n, bands, rowsPerBand,
       threshold, maxBucket, Some(members)).pairs.select(col("id_a"), col("id_b"))
-    val clusters = dupClusters(exact.unionByName(near))
-    docs.join(
-      clusters.filter(col("id") =!= col("cluster")).select(col("id").as(idCol)),
-      Seq(idCol), "left_anti")
+    dupClusters(exact.unionByName(near))
   }
 
   // -------------------------------------------------------------------------

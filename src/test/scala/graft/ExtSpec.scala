@@ -53,6 +53,24 @@ class ExtSpec extends AnyFunSuite {
     assert(kept === Set("d1", "d3", "d5"))
   }
 
+  test("dedupCorpusBy: keeps the highest-scoring doc per cluster; ties fall to min id") {
+    // d1≈d2≈d4 one cluster (d4=d1 exact); scores pick d2 over min-id d1
+    val scored = Seq(
+      ("d1", "the quick brown fox jumps over the lazy dog near the river bank", 10L),
+      ("d2", "the quick brown fox jumps over the lazy dog near the river shore", 99L),
+      ("d3", "completely different text about spark query engines and shuffles", 1L),
+      ("d4", "the quick brown fox jumps over the lazy dog near the river bank", 10L)
+    ).toDF("id", "content", "score")
+    val kept = Dedup.dedupCorpusBy(scored, "score", threshold = 0.5)
+      .select("id").as[String].collect().toSet
+    assert(kept === Set("d2", "d3"))
+    // equal scores degenerate to dedupCorpus (min id)
+    val flat = Dedup.dedupCorpusBy(scored.withColumn("score", lit(1L)), "score",
+      threshold = 0.5).select("id").as[String].collect().toSet
+    assert(flat === Dedup.dedupCorpus(scored, threshold = 0.5)
+      .select("id").as[String].collect().toSet)
+  }
+
   test("dedupStream: batch mode distinct; streaming drops in-watermark duplicates") {
     // batch/backfill mode
     val ev = Seq((1L, "click", "2024-01-01 00:00:00"),
