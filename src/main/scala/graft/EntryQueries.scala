@@ -25,6 +25,22 @@ object EntryQueries {
 
   // --- fixtures --------------------------------------------------------------
 
+  /** Temp dir deleted at JVM exit — repeated Verify/Bench runs must not
+    * accumulate corpus-sized fixture/JSONL trees under /tmp. Exit-time (not
+    * eager) cleanup keeps the entries lazy: the dir stays readable for the
+    * whole run, including re-reads of a shared fixture.
+    */
+  private def tempDirCleanedOnExit(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }))
+    dir.toString
+  }
+
   private val roots = scala.collection.concurrent.TrieMap[String, String]()
 
   /** One shared store root per sf dir, built on first use: collection "main"
@@ -33,7 +49,7 @@ object EntryQueries {
     */
   private def fixtureRoot(spark: SparkSession, sfDir: String): String =
     roots.getOrElseUpdate(sfDir, {
-      val root = java.nio.file.Files.createTempDirectory("graft-entry-").toString
+      val root = tempDirCleanedOnExit("graft-entry-")
       val docs = docsFrame(spark, sfDir)
       Collection(spark, root, "main").addDf(docs)
       val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -60,7 +76,7 @@ object EntryQueries {
       val base = docsFrame(spark, sfDir)
       val n = base.count()
       val copies = math.max(1, (100000 / math.max(1L, n)).toInt)
-      val out = java.nio.file.Files.createTempDirectory("graft-bulkin-").toString + "/bulk.parquet"
+      val out = tempDirCleanedOnExit("graft-bulkin-") + "/bulk.parquet"
       // repartition: the broadcast-range crossJoin otherwise emits ~1
       // partition and the whole staging write serializes onto one core
       spark.range(copies).withColumnRenamed("id", "copy").crossJoin(base)
@@ -98,7 +114,7 @@ object EntryQueries {
     * contract vs the reference timer, which pays a full add per run).
     */
   private def bulkIngestFresh(spark: SparkSession, sfDir: String): Collection = {
-    val r = java.nio.file.Files.createTempDirectory("graft-bulk-").toString
+    val r = tempDirCleanedOnExit("graft-bulk-")
     Collection(spark, r, "bulk").addDf(spark.read.parquet(bulkInputPath(spark, sfDir)))
     // delete the superseded root (entries run sequentially; nothing reads it
     // after this put) — repeated timed iterations would otherwise leak one
@@ -114,7 +130,7 @@ object EntryQueries {
     */
   private def bulkColl(spark: SparkSession, sfDir: String): Collection = {
     val root = bulkRoots.getOrElseUpdate(sfDir, {
-      val r = java.nio.file.Files.createTempDirectory("graft-bulk-").toString
+      val r = tempDirCleanedOnExit("graft-bulk-")
       Collection(spark, r, "bulk").addDf(spark.read.parquet(bulkInputPath(spark, sfDir)))
       r
     })
@@ -130,7 +146,7 @@ object EntryQueries {
     */
   private def foldedColl(spark: SparkSession, sfDir: String): Collection = {
     val root = foldedRoots.getOrElseUpdate(sfDir, {
-      val r = java.nio.file.Files.createTempDirectory("graft-folded-").toString
+      val r = tempDirCleanedOnExit("graft-folded-")
       val docs = docsFrame(spark, sfDir)
         .filter(col("id").cast("long") % 10 === 0)
         .withColumn("content", translate(col("content"), "ae", "áé"))
@@ -158,10 +174,31 @@ object EntryQueries {
       .filter(col("vec_id") === vecId).select("embedding")
       .head().getSeq[Float](0).toSeq
 
+  /** The driver has shipped two events.parquet layouts across rounds:
+    * int64-nanos `ts` (needs the nanosAsLong legacy conf to even load) and
+    * native timestamp[us] (loads as TIMESTAMP_NTZ). Branch on the read
+    * schema so both parse, and only touch the global legacy conf when the
+    * legacy layout actually forces it.
+    */
   private def eventsFrame(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))  // integer div: double division loses micros at 1e18 nanos
+    val path = s"$sfDir/events.parquet"
+    val df =
+      try spark.read.parquet(path)
+      catch {
+        // INT64(TIMESTAMP(NANOS)) is an illegal Parquet type for Spark
+        // unless the legacy conf maps it to plain LongType
+        case e: Exception if Option(e.getMessage).exists(_.contains("NANOS")) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path)
+      }
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))  // integer div: double division loses micros at 1e18 nanos
+      case _ =>
+        // NTZ wall-clock -> instant in the session zone (all harness
+        // sessions pin UTC), matching DuckDB's naive-timestamp oracle
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   // --- shared DuckDB SQL fragments ------------------------------------------
@@ -227,7 +264,7 @@ object EntryQueries {
               |FROM b""".stripMargin)),
 
     ("s3_add_upsert", (s: SparkSession, _: String) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-s3-").toString
+      val root = tempDirCleanedOnExit("graft-s3-")
       val c = Collection(s, root, "t")
       c.add(Seq("alpha beta", "gamma delta"), ids = Some(Seq("x1", "x2")))
       // last-wins within the batch AND against the base (core.py:496-499)
@@ -236,7 +273,7 @@ object EntryQueries {
     }, Some("SELECT * FROM (VALUES ('x1','alpha beta'),('x2','third'),('x3','second')) AS t(id, content)")),
 
     ("s4_update", (s: SparkSession, sfDir: String) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-s4-").toString
+      val root = tempDirCleanedOnExit("graft-s4-")
       val c = Collection(s, root, "t")
       c.addDf(docsFrame(s, sfDir).filter(col("id").cast("long") < 20))
       c.update(Seq("5", "7"), Seq("updated five", "updated seven"))
@@ -246,7 +283,7 @@ object EntryQueries {
               |FROM documents WHERE doc_id < 20""".stripMargin)),
 
     ("s5_delete_cross", (s: SparkSession, sfDir: String) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-s5-").toString
+      val root = tempDirCleanedOnExit("graft-s5-")
       val a = Collection(s, root, "A")
       val b = Collection(s, root, "B")
       val base = docsFrame(s, sfDir)
@@ -263,7 +300,7 @@ object EntryQueries {
               |WHERE doc_id BETWEEN 10 AND 29 AND doc_id NOT IN (3, 12, 15)""".stripMargin)),
 
     ("s6_delete_all", (s: SparkSession, sfDir: String) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-s6-").toString
+      val root = tempDirCleanedOnExit("graft-s6-")
       val a = Collection(s, root, "A")
       val b = Collection(s, root, "B")
       val base = docsFrame(s, sfDir)
@@ -283,7 +320,7 @@ object EntryQueries {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
       implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
-      val root = java.nio.file.Files.createTempDirectory("graft-s9-").toString
+      val root = tempDirCleanedOnExit("graft-s9-")
       val c = Collection(s, root, "st")
       val mem = MemoryStream[(String, String)]
       val q = c.streamIngest(mem.toDF().toDF("id", "content")).start()
@@ -533,7 +570,7 @@ object EntryQueries {
       def msg(f: => Any): String =
         try { f; "NO ERROR" } catch { case e: Exception => e.getMessage }
       val c = mainColl(s, sfDir)
-      val root = java.nio.file.Files.createTempDirectory("graft-q16-").toString
+      val root = tempDirCleanedOnExit("graft-q16-")
       val noFts = Collection(s, root, "nofts", useFts = false)
       noFts.add(Seq("doc"), ids = Some(Seq("a")))
       Seq(
@@ -785,7 +822,7 @@ object EntryQueries {
       import s.implicits._
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
-      val root = java.nio.file.Files.createTempDirectory("graft-x6c-").toString
+      val root = tempDirCleanedOnExit("graft-x6c-")
       val c = Collection(s, root, "vecs", useFts = false)
       c.addDf(e.withColumn("content", lit("")))
       c.createVectorIndex(kind = "ivf", numCentroids = 16, iters = 5,
@@ -1246,7 +1283,7 @@ object EntryQueries {
       import org.apache.spark.sql.types._
       // per-run dir: a fixed path would let concurrent runs (or another sf)
       // clobber the data between write and read-back
-      val out = java.nio.file.Files.createTempDirectory("graft-x35-").toString + "/docs"
+      val out = tempDirCleanedOnExit("graft-x35-") + "/docs"
       val d = s.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
           col("lang"), col("n_chars"))

@@ -4,6 +4,17 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Fail fast when the `only` filter names unknown entries (a typo would
+    * otherwise filter to nothing and print a green "0 fails" dump). */
+  def validateFilter(only: Option[Set[String]], known: Set[String]): Unit =
+    only.foreach { names =>
+      require(names.nonEmpty, "entry filter is empty — nothing would be checked")
+      val unknown = names.diff(known)
+      require(unknown.isEmpty,
+        s"unknown entries in filter: ${unknown.toSeq.sorted.mkString(",")} " +
+          s"(known: ${known.toSeq.sorted.mkString(",")})")
+    }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional comma-separated entry filter (local iteration only — the
@@ -13,6 +24,7 @@ object Verify {
     // entries' parquet stale and unchecked while the validator prints
     // green (validate_oracle flags such orphan dirs as failures).
     val only = args.lift(2).map(_.split(",").toSet)
+    validateFilter(only, SparkEntry.queries.keySet)
     def wanted(name: String) = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -156,6 +156,9 @@ object Dedup {
     dupClusters(exact.unionByName(near))
   }
 
+  private def freshCol(df: DataFrame, base: String): String =
+    WorkingColumns.fresh(df, base)
+
   // -------------------------------------------------------------------------
   // Exact-duplicate collapse (shared by the near-dup detectors)
   // -------------------------------------------------------------------------
@@ -334,23 +337,28 @@ object Dedup {
                           minCount: Long = 2): DataFrame = {
     val spans = duplicateSpans(docs, idCol, contentCol, k, minCount)
       .groupBy(col("id"))
-      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     val toks = TextFunctions.tokens(col(contentCol))
-    docs.join(spans.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .withColumn("__toks", toks)
-      .withColumn("__kept",
-        filter(col("__toks"), (t, i) => !exists(col("__spans"),
+    // scratch rides on the caller's frame — collision-free names
+    val cSp = freshCol(docs, "__spans")
+    val cTk = freshCol(docs, "__toks")
+    val cKp = freshCol(docs, "__kept")
+    docs.join(
+      spans.select(col("id").as(idCol), col("spans").as(cSp)), Seq(idCol), "left")
+      .withColumn(cTk, toks)
+      .withColumn(cKp,
+        filter(col(cTk), (t, i) => !exists(col(cSp),
           s => i.cast("long").between(s.getField("span_start"), s.getField("span_end")))))
       .withColumn("content_dedup",
         when(col(contentCol).isNull, lit(null).cast("string"))
-          .when(col("__spans").isNull, array_join(col("__toks"), " "))
-          .otherwise(array_join(col("__kept"), " ")))
+          .when(col(cSp).isNull, array_join(col(cTk), " "))
+          .otherwise(array_join(col(cKp), " ")))
       .withColumn("n_tokens_total",
-        when(col("__toks").isNull, lit(0L)).otherwise(size(col("__toks")).cast("long")))
+        when(col(cTk).isNull, lit(0L)).otherwise(size(col(cTk)).cast("long")))
       .withColumn("n_tokens_removed",
-        when(col("__spans").isNull || col("__toks").isNull, lit(0L))
-          .otherwise(col("n_tokens_total") - size(col("__kept"))))
-      .drop("__spans", "__toks", "__kept")
+        when(col(cSp).isNull || col(cTk).isNull, lit(0L))
+          .otherwise(col("n_tokens_total") - size(col(cKp))))
+      .drop(cSp, cTk, cKp)
   }
 
   // -------------------------------------------------------------------------
@@ -484,12 +492,17 @@ object Dedup {
                    near: Boolean = true, n: Int = 3, bands: Int = 32,
                    rowsPerBand: Int = 4, threshold: Double = 0.8,
                    maxCandidates: Int = 64): DataFrame = {
+    // the working hash column rides on the CALLER's frame (unlike the other
+    // operators' internal projections), so a fixed "__h" would clobber a
+    // caller column of that name and then drop it — pick a name the frame
+    // doesn't have
+    val h = freshCol(docs, "__h")
     val refHashes = reference
-      .select(sha2(col(refContentCol), 256).as("__h")).distinct()
+      .select(sha2(col(refContentCol), 256).as(h)).distinct()
     val exactGone = docs
-      .withColumn("__h", sha2(col(contentCol), 256))
-      .join(refHashes, Seq("__h"), "left_anti")
-      .drop("__h")
+      .withColumn(h, sha2(col(contentCol), 256))
+      .join(refHashes, Seq(h), "left_anti")
+      .drop(h)
     // the near arm runs over the exact-arm SURVIVORS: exact groups are
     // removed or kept whole (identical content hashes alike), so the pair
     // set restricted to survivors is unchanged — and byte-matched docs

@@ -169,14 +169,16 @@ object Pipeline {
                     idCol: String = "id"): DataFrame = {
     require(numShards >= 1, "numShards >= 1")
     val key = md5(concat_ws(":", lit(seed.toString), col(idCol)))
-    val w = Window.partitionBy(col("shard")).orderBy(col("__rk"), col(idCol))
+    // the rank key rides on the caller's frame — collision-free name
+    val rk = WorkingColumns.fresh(docs, "__rk")
+    val w = Window.partitionBy(col("shard")).orderBy(col(rk), col(idCol))
     docs
-      .withColumn("__rk", key)
+      .withColumn(rk, key)
       .withColumn("shard",
-        pmod(conv(substring(col("__rk"), 1, 12), 16, 10).cast("long"),
+        pmod(conv(substring(col(rk), 1, 12), 16, 10).cast("long"),
           lit(numShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long") - 1)
-      .drop("__rk")
+      .drop(rk)
   }
 
   /** Mixture weighting: downsample each source so the kept corpus

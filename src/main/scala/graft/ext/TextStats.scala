@@ -186,20 +186,22 @@ object TextStats {
                  n: Int = 2): DataFrame = {
     val lines = filter(split(col(contentCol), "\n"), l => length(trim(l)) > 0)
     val toks = TextFunctions.tokens(col(contentCol))
+    // the token count rides on the caller's frame — collision-free name
+    val nt = graft.ext.WorkingColumns.fresh(df, "__n_toks")
     df.withColumn("n_lines", size(lines).cast("long"))
       .withColumn("dup_line_frac",
         when(size(lines) === 0, lit(0.0)).otherwise(
           lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines)))
-      .withColumn("__n_toks", size(toks).cast("long"))
+      .withColumn(nt, size(toks).cast("long"))
       // coalesce: null content -> null shingle array -> null count; the
       // operator's contract (and the old explode/join shape) is 0
       .withColumn("top_ngram_tf",
         coalesce(graft.functions.HashFunctions.maxMultiplicity(
           TextFunctions.shinglesAll(toks, n)), lit(0L)))
       .withColumn("top_ngram_frac",
-        when(col("__n_toks") === 0, lit(0.0)).otherwise(
-          least(lit(1.0), col("top_ngram_tf") * n / col("__n_toks"))))
-      .drop("__n_toks")
+        when(col(nt) === 0, lit(0.0)).otherwise(
+          least(lit(1.0), col("top_ngram_tf") * n / col(nt))))
+      .drop(nt)
   }
 
   /** The Gopher stop-word presence list (Rae et al. 2021 §A1.1): a kept

@@ -832,6 +832,39 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("working columns never clobber caller columns of the same name") {
+    // frames poisoned with the operators' own scratch names: the poisoned
+    // column must survive the round trip with its caller values intact,
+    // and the operator result must equal the clean run's
+    val corpus = Seq(
+      ("c1", "the quick brown fox jumps over the lazy dog", "keepme-c1"),
+      ("c2", "completely different text entirely", "keepme-c2")
+    ).toDF("id", "content", "__h")
+    val ref = Seq("r1" -> "the quick brown fox jumps over the lazy dog")
+      .toDF("id", "content")
+    val da = Dedup.dedupAgainst(corpus, ref, near = false)
+    assert(da.columns.toSeq === Seq("id", "content", "__h"))
+    assert(da.select("id", "__h").as[(String, String)].collect().toSet
+      === Set("c2" -> "keepme-c2"))
+
+    val sh = Pipeline.shuffleShards(
+      Seq(("a", "x", "poison-a"), ("b", "y", "poison-b")).toDF("id", "content", "__rk"),
+      numShards = 2, seed = 7L)
+    assert(sh.select("id", "__rk").as[(String, String)].collect().toSet
+      === Set("a" -> "poison-a", "b" -> "poison-b"))
+
+    val rep = TextStats.repetition(
+      Seq(("a", "one two one two", 99L)).toDF("id", "content", "__n_toks"))
+    assert(rep.select("__n_toks").as[Long].head() === 99L)
+    assert(rep.select("top_ngram_tf").as[Long].head() === 2L) // "one two" ×2
+
+    val strip = Dedup.stripDuplicateSpans(
+      Seq(("a", "x y z", Seq("poison"))).toDF("id", "content", "__toks"),
+      k = 2, minCount = 2)
+    assert(strip.select("__toks").as[Seq[String]].head() === Seq("poison"))
+    assert(strip.select("content_dedup").as[String].head() === "x y z")
+  }
+
   test("shuffleShards: deterministic permutation, dense per-shard positions") {
     val d = (1 to 200).map(i => (s"doc$i", s"payload $i")).toDF("id", "content")
     val out = Pipeline.shuffleShards(d, numShards = 4, seed = 7L)
@@ -926,10 +959,12 @@ class ExtSpec extends AnyFunSuite {
       val top = TextStats.topTokens(d, k = 3)
       val planStr = top.queryExecution.executedPlan.toString
       // "count(distinct" appears as final + partial in the top-k branch
-      // only; a non-pruned total branch would double it (and add its
-      // (tok, id) exchange — 5 shuffles instead of 4)
-      assert("count\\(distinct ".r.findAllIn(planStr).size === 2, planStr)
-      assert(shuffles(top) === 4, planStr)
+      // only; a non-pruned total branch would double it to 4 (and add its
+      // (tok, id) exchange — 5 shuffles instead of 4). Upper bounds, not
+      // exact counts: a Spark minor bump that PRUNES harder must not fail
+      // the suite — only a plan that got heavier is a regression.
+      assert("count\\(distinct ".r.findAllIn(planStr).size <= 2, planStr)
+      assert(shuffles(top) <= 4, planStr)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
