@@ -1194,6 +1194,24 @@ object EntryQueries {
               |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rk, id) - 1 AS pos
               |FROM sh""".stripMargin)),
 
+    // Deterministic train/validation/test holdout: split = first name whose
+    // cumulative md5 boundary exceeds md5Mod(seed:id, 1e6) — a pure function
+    // of (seed, id), so assignments never move as the corpus grows
+    ("x37_split_corpus", (s: SparkSession, sfDir: String) =>
+      Pipeline.splitCorpus(
+        s.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("string").as("id"), col("source")),
+        Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1), seed = 7L)
+        .select("id", "source", "split"),
+      Some(s"""WITH k AS (SELECT $DocId AS id, source,
+              |    ('0x' || substr(md5('7:' || $DocId), 1, 12))::BIGINT % 1000000 AS h
+              |  FROM documents)
+              |SELECT id, source,
+              |  CASE WHEN h < 800000 THEN 'train'
+              |       WHEN h < 900000 THEN 'validation'
+              |       ELSE 'test' END AS split
+              |FROM k""".stripMargin)),
+
     // Per-source token-length histogram + CDF (the corpus-composition
     // report): exact bucket counts, token mass, and cumulative fractions;
     // quantiles read off cum_frac. floor() on both engines (double->int

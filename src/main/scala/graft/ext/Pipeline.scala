@@ -150,6 +150,43 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("token_mass"))
       .withColumn("fill", col("token_mass").cast("double") / budget)
 
+  /** Deterministic named-split assignment (train/validation/test — the
+    * holdout step every training-data pipeline runs before anything sees
+    * the data): adds `split` = the first name whose cumulative
+    * md5-threshold boundary exceeds md5Mod(seed:id, 1e6). Fractions must
+    * sum to 1 (±1e-9); the last boundary is forced to the full range so
+    * rounding can never orphan a doc.
+    *
+    * Membership is a pure function of (seed, id) — the [[sampleStratified]]
+    * discipline: stable across runs, engines, and retries, and UNCHANGED
+    * when the corpus grows (a doc ingested next month lands in a split
+    * without moving anything already assigned — the property that keeps a
+    * held-out test set honest). `seed` re-keys the whole assignment for an
+    * independent draw.
+    *
+    * Scale: one codegen'd scan, ZERO shuffle; the assignment compiles to a
+    * bounded CASE chain (|splits| is 2–4 in practice).
+    */
+  def splitCorpus(docs: DataFrame, splits: Seq[(String, Double)],
+                  seed: Long = 0L, idCol: String = "id"): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "split names must be unique")
+    require(splits.forall(_._2 >= 0.0), "fractions must be >= 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.min(Precision, math.round(c * Precision)))
+    val h = md5Mod(concat_ws(":", lit(seed.toString), col(idCol)), Precision)
+    // first-match when-chain; the LAST split is the unconditional default
+    // (its boundary is the full range by the sum-to-1 requirement)
+    val assigned = splits.map(_._1).zip(bounds).init
+      .foldRight(lit(splits.last._1): Column) { case ((name, b), els) =>
+        when(h < lit(b), lit(name)).otherwise(els)
+      }
+    docs.withColumn("split", assigned)
+  }
+
   /** Deterministic global shuffle into numbered training shards — the
     * "shuffle the corpus before the dataloader sees it" step. Adds
     * `shard` = md5Mod(seed:id, numShards) and `pos` = the row's 0-based

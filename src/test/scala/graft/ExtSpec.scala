@@ -865,6 +865,48 @@ class ExtSpec extends AnyFunSuite {
     assert(strip.select("content_dedup").as[String].head() === "x y z")
   }
 
+  test("splitCorpus: total deterministic partition, growth-stable, seed re-keys") {
+    val d = (1 to 400).map(i => (s"doc$i", s"text $i")).toDF("id", "content")
+    val out = Pipeline.splitCorpus(d,
+      Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1), seed = 7L)
+      .select("id", "split").as[(String, String)].collect().toMap
+    // total: every doc lands in exactly one named split
+    assert(out.size === 400)
+    assert(out.values.toSet.subsetOf(Set("train", "validation", "test")))
+    // fractions are approximately honored (md5 is uniform; 400 docs)
+    val byName = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName("train") > 280 && byName("train") < 360)
+    // deterministic: bit-identical on re-run
+    val again = Pipeline.splitCorpus(d,
+      Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1), seed = 7L)
+      .select("id", "split").as[(String, String)].collect().toMap
+    assert(out === again)
+    // growth-stable: assignments are unchanged on a SUBSET of the corpus —
+    // the property that keeps a held-out test set honest as data arrives
+    val subset = Pipeline.splitCorpus(d.limit(100),
+      Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1), seed = 7L)
+      .select("id", "split").as[(String, String)].collect().toMap
+    assert(subset.forall { case (id, sp) => out(id) === sp })
+    // a different seed is an independent draw
+    val reseeded = Pipeline.splitCorpus(d,
+      Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1), seed = 8L)
+      .select("id", "split").as[(String, String)].collect().toMap
+    assert(reseeded !== out)
+    // zero shuffle: pure scan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try assert(Pipeline.splitCorpus(d, Seq("a" -> 0.5, "b" -> 0.5))
+      .queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }.isEmpty)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // validation: fractions must sum to 1, names unique
+    intercept[IllegalArgumentException] {
+      Pipeline.splitCorpus(d, Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.splitCorpus(d, Seq("a" -> 0.5, "a" -> 0.5))
+    }
+  }
+
   test("shuffleShards: deterministic permutation, dense per-shard positions") {
     val d = (1 to 200).map(i => (s"doc$i", s"payload $i")).toDF("id", "content")
     val out = Pipeline.shuffleShards(d, numShards = 4, seed = 7L)
