@@ -2,7 +2,7 @@ package graft
 
 import graft.api.{Collection, Embedder}
 import graft.exec.Sorter
-import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Ivf, Multimodal, Pipeline, TextStats}
+import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Ivf, Joins, Multimodal, Pipeline, TextStats}
 import graft.functions.TextFunctions
 import graft.model.SortKey
 import graft.parse.QueryParser
@@ -205,6 +205,9 @@ object EntryQueries {
 
   /** The engine tokenizer in DuckDB (ASCII-equivalent of [^\p{L}\p{N}]+). */
   private val Toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** SQL-escape a string for a single-quoted DuckDB literal. */
+  private def sqlQuote(s: String): String = s.replace("'", "''")
   private val DocId = "CAST(doc_id AS VARCHAR)"
   /** The fixture's conditional metadata key. */
   private val OptVal = "CASE WHEN n_chars >= 250 THEN CAST(n_chars % 7 AS VARCHAR) END"
@@ -1486,7 +1489,99 @@ object EntryQueries {
               |SELECT epoch_us(min(ts)) AS ss_us,
               |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS se_us,
               |  user_id, COUNT(*) AS n_events, round(SUM(value), 6) AS sum_value
-              |FROM g GROUP BY user_id, sess""".stripMargin))
+              |FROM g GROUP BY user_id, sess""".stripMargin)),
+
+    // As-of join: each purchase picks the latest click at-or-before it per
+    // user (LEFT OUTER; clickless purchases keep NULLs). The oracle is
+    // DuckDB's NATIVE ASOF JOIN — an independent implementation of the
+    // same semantics, not a replay of ours.
+    ("x38_asof_join", (s: SparkSession, sfDir: String) => {
+      val ev = eventsFrame(s, sfDir)
+      Joins.asofJoin(
+        ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "click").select("user_id", "ts", "value"),
+        keys = Seq("user_id"), rightPayload = Seq("value"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          round(col("r_value"), 6).as("r_value"), unix_micros(col("r_ts")).as("r_ts_us"))
+    }, Some("""SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+              |  round(r.value, 6) AS r_value, epoch_us(r.ts) AS r_ts_us
+              |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+              |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)),
+
+    // Trailing-window range join: every (purchase, click-in-the-prior-6h)
+    // pair per user, lowered to a bucketed equi-join. The oracle is the
+    // naive inequality join DuckDB can afford at oracle scale.
+    ("x39_range_join", (s: SparkSession, sfDir: String) => {
+      val ev = eventsFrame(s, sfDir)
+      Joins.rangeJoin(
+        ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id")),
+        keys = Seq("user_id"), window = "6 hours", rightPayload = Seq("click_id"))
+        .select(col("event_id"), col("r_click_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), unix_micros(col("r_ts")).as("r_ts_us"))
+    }, Some("""SELECT l.event_id, r.event_id AS r_click_id, l.user_id,
+              |  epoch_us(l.ts) AS ts_us, epoch_us(r.ts) AS r_ts_us
+              |FROM events l JOIN events r ON l.user_id = r.user_id
+              |WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+              |  AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 6 HOUR""".stripMargin)),
+
+    // Text normalization. The corpus is clean ASCII, so the entry first
+    // INJECTS deterministic typographic noise (curly quotes/dashes via
+    // translate, a C0 control, double spaces, ellipsis+ZWSP, a 4-newline
+    // run) with the same expression on both engines, then normalizes; the
+    // oracle replays the full rule chain glyph-for-glyph.
+    ("x40_normalize", (s: SparkSession, sfDir: String) => {
+      val noised = docsFrame(s, sfDir).select(col("id"),
+        concat(lit(" \u0001 "),
+          translate(col("content"), "-\"'", "\u2013\u201c\u2019"),
+          lit("\u2026\u200b"), lit("\n\n\n\n"), lit("x")).as("content"))
+      TextStats.normalizeText(noised)
+        .select(col("id"), col("content_norm"), col("changed"))
+    }, Some(s"""WITH n AS (SELECT $DocId AS id,
+               |    ' ' || chr(1) || ' ' ||
+               |    translate(text, '-' || chr(34) || chr(39), chr(8211) || chr(8220) || chr(8217)) ||
+               |    chr(8230) || chr(8203) || repeat(chr(10), 4) || 'x' AS noised
+               |  FROM documents),
+               | f AS (SELECT id, noised,
+               |    replace(replace(translate(noised,
+               |        '${sqlQuote(graft.ext.TextStats.NormFoldFrom)}',
+               |        '${sqlQuote(graft.ext.TextStats.NormFoldTo)}'),
+               |      chr(8230), '...'), chr(8203), '') AS s
+               |  FROM n),
+               | g AS (SELECT id, noised, trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+               |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]', '', 'g'),
+               |    '[ \\t]+', ' ', 'g'),
+               |    ' ?\\n ?', chr(10), 'g'),
+               |    '\\n{3,}', chr(10) || chr(10), 'g')) AS content_norm
+               |  FROM f)
+               |SELECT id, content_norm, coalesce(content_norm <> noised, false) AS changed
+               |FROM g""".stripMargin)),
+
+    // Per-group top-k curation: the 5 highest-quality docs per source
+    // (score = the pinned x9 quality definition), rank-filtered window ->
+    // WindowGroupLimit map-side k-heaps (plan shape pinned in ExtSpec).
+    ("x41_top_quality", (s: SparkSession, sfDir: String) => {
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
+          col("source"))
+      Pipeline.topKPerGroup(TextStats.quality(docs), "source", "quality", k = 5)
+        .select(col("source"), col("rank"), col("id"),
+          round(col("quality"), 6).as("quality"))
+    }, Some(s"""WITH t AS (SELECT $DocId AS id, source, $Toks AS w FROM documents),
+               | m AS (SELECT id, source,
+               |   CAST(len(w) AS BIGINT) AS n_tokens,
+               |   CASE WHEN len(w) = 0 THEN 0.0 ELSE list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w) END AS avg_len,
+               |   CASE WHEN len(w) = 0 THEN 0.0 ELSE len(list_filter(w, x -> x IN ('the','a','and','of','to','is','in'))) * 1.0 / len(w) END AS stop_ratio
+               |  FROM t),
+               | q AS (SELECT id, source,
+               |    least(n_tokens / 100.0, 1.0) * 0.5 + stop_ratio * 0.3 + least(avg_len / 10.0, 1.0) * 0.2 AS quality
+               |  FROM m),
+               | r AS (SELECT source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, id ASC) AS rank,
+               |    id, quality FROM q)
+               |SELECT source, CAST(rank AS BIGINT) AS rank, id, round(quality, 6) AS quality
+               |FROM r WHERE rank <= 5""".stripMargin))
   )
 
   /** Exact shingle-3 Jaccard oracle (used by BOTH x2 minhash — whose LSH+

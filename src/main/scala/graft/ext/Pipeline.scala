@@ -252,6 +252,33 @@ object Pipeline {
       sourceCol, fractions, defaultFraction = 0.0, idCol)
   }
 
+  /** Per-group top-k selection — "keep the k best docs per source/language/
+    * domain", the curation step between scoring ([[TextStats.quality]],
+    * perplexity) and mixing ([[mixCorpora]]). Keeps the `k` highest rows of
+    * each `groupCol` group by `scoreCol` (descending), with `idCol` as the
+    * ascending tie-break so the cut is deterministic; adds `rank` (1-based
+    * within the group).
+    *
+    * Scale: expressed as a rank-filtered window ON PURPOSE — since 3.5,
+    * Spark lowers `row_number() <= k` into a WindowGroupLimit physical
+    * node that keeps a bounded k-heap per group on the MAP side, so only
+    * ≤ k rows per (partition, group) ever reach the shuffle; the plan
+    * never buffers or sorts a whole group's docs. ExtSpec pins the
+    * WindowGroupLimit node so a conf/regression that silently degrades to
+    * the full window sort fails the suite.
+    */
+  def topKPerGroup(docs: DataFrame, groupCol: String, scoreCol: String,
+                   k: Int, idCol: String = "id"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val rn = WorkingColumns.fresh(docs, "__rn")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .withColumn("rank", col(rn).cast("long"))
+      .drop(rn)
+  }
+
   /** Benchmark decontamination, candidate view: (id, bench_id, hits) for
     * every (training doc, benchmark doc) pair sharing ≥ 1 distinct word
     * `n`-gram — the standard eval-set-leakage check a pretraining corpus

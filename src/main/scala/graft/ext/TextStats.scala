@@ -423,4 +423,49 @@ object TextStats {
         avg(col("__nc")).as("avg_chars"),
         sum(col("__nt")).as("total_tokens"))
   }
+
+  /** Text normalization — the canonicalization pass a corpus runs before
+    * hashing, deduplication, or tokenizer training, so that typographic
+    * variants of the same text stop being "different" documents:
+    *
+    *  1. typographic punctuation → ASCII: curly single/double quotes and
+    *     prime marks → `'`/`"`, en/em/horizontal-bar dashes and minus →
+    *     `-`, NBSP / zero-width space → plain space, `…` → `...`;
+    *  2. C0/C1 control characters stripped (tab and newline survive —
+    *     they are structure, not noise);
+    *  3. horizontal whitespace runs collapse to one space, spaces hugging
+    *     a newline are dropped, 3+ consecutive newlines collapse to 2
+    *     (paragraph break), and the ends are trimmed.
+    *
+    * Adds `content_norm` (null content stays null) and `changed`. The
+    * rule set is deliberately closed-form — `translate`/`replace`/
+    * `regexp_replace` builtins only — so the DuckDB oracle replays it
+    * glyph-for-glyph and the output is engine-portable. A full Unicode
+    * NFKC pass would need an ICU UDF; this is the pinned, cheaper subset
+    * that covers the variants web corpora actually contain.
+    *
+    * Scale: a single codegen'd zero-shuffle scan, embarrassingly parallel.
+    */
+  /** 1:1 glyph folds for [[normalizeText]] (from/to, position-aligned):
+    * curly quotes/primes \u2018\u2019\u201a\u2032 \u201c\u201d\u201e\u2033,
+    * the dash family \u2013\u2014\u2015\u2212, and NBSP \u00a0. Shared with
+    * the x39 oracle generator so both engines fold the identical alphabet.
+    */
+  private[graft] val NormFoldFrom: String =
+    "\u2018\u2019\u201a\u2032\u201c\u201d\u201e\u2033\u2013\u2014\u2015\u2212\u00a0"
+  private[graft] val NormFoldTo: String = "''''\"\"\"\"---- "
+
+  def normalizeText(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val c0 = col(contentCol)
+    val folded = translate(c0, NormFoldFrom, NormFoldTo)
+    // ellipsis is 1 glyph -> 3 chars (translate can't grow), ZWSP deletes
+    val ell = regexp_replace(regexp_replace(folded, "\u2026", "..."), "\u200b", "")
+    val noCtl = regexp_replace(ell, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]", "")
+    val oneSpace = regexp_replace(noCtl, "[ \\t]+", " ")
+    val tightNl = regexp_replace(oneSpace, " ?\\n ?", "\n")
+    val paras = regexp_replace(tightNl, "\\n{3,}", "\n\n")
+    val trimmed = trim(paras)
+    df.withColumn("content_norm", trimmed)
+      .withColumn("changed", coalesce(col("content_norm") =!= c0, lit(false)))
+  }
 }

@@ -1082,4 +1082,156 @@ class ExtSpec extends AnyFunSuite {
       ("web", 1L, 4L, 2L, 11L, 3L, 1.0),
       ("code", 0L, 0L, 2L, 3L, 2L, 1.0)))
   }
+
+  // --- temporal joins --------------------------------------------------------
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000).toInstant
+    .plusNanos((us % 1000) * 1000)
+
+  private def eventsFixture = {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // left: outcomes; right: signals per user
+    val left = Seq(
+      (1L, 100L, t("2024-01-01 10:00:00")),
+      (1L, 101L, t("2024-01-01 12:00:00")),
+      (2L, 200L, t("2024-01-01 09:00:00")), // before any right row
+      (3L, 300L, t("2024-01-01 10:30:00"))  // user with no right rows at all
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 09:59:00"), 1.0),
+      (1L, t("2024-01-01 10:00:00"), 2.0),  // exactly at left 100's instant
+      (1L, t("2024-01-01 11:30:00"), 3.0),
+      (2L, t("2024-01-01 09:30:00"), 4.0)   // after left 200
+    ).toDF("user_id", "ts", "value")
+    (left, right)
+  }
+
+  test("asofJoin: latest right at-or-before; strict excludes the equal instant; unmatched NULL") {
+    import graft.ext.Joins
+    val (left, right) = eventsFixture
+    val out = Joins.asofJoin(left, right, Seq("user_id"))
+      .select("event_id", "r_value").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out === Map(100L -> 2.0, // inclusive: the equal-instant row wins
+      101L -> 3.0, 200L -> null, 300L -> null))
+    val strict = Joins.asofJoin(left, right, Seq("user_id"), strict = true)
+      .select("event_id", "r_value").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(strict(100L) === 1.0) // equal instant no longer admissible
+    assert(strict(101L) === 3.0)
+  }
+
+  test("asofJoin: right rows tied on the instant resolve by tieCols order, deterministically") {
+    import graft.ext.Joins
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, 100L, t("2024-01-01 10:00:00"))).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, t("2024-01-01 09:00:00"), 7.0),
+      (1L, t("2024-01-01 09:00:00"), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val v = Joins.asofJoin(left, right, Seq("user_id"))
+      .select("r_value").head().getDouble(0)
+    assert(v === 7.0) // last by ascending value-string order ("7.0" > "5.0")
+  }
+
+  test("asofJoin plan: one window over the union, no join operator at all") {
+    import graft.ext.Joins
+    val (left, right) = eventsFixture
+    val plan = Joins.asofJoin(left, right, Seq("user_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"))
+    assert(!plan.toLowerCase.contains("cartesian") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("rangeJoin: trailing window pairs, inclusive and strict bounds, bucket-boundary rows") {
+    import graft.ext.Joins
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 100L, t("2024-01-01 10:00:00")),
+      (1L, 101L, t("2024-01-01 12:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, 900L, t("2024-01-01 09:30:00")), // within 100's hour, 2.5h before 101
+      (1L, 901L, t("2024-01-01 10:00:00")), // equal instant: inclusive only
+      (1L, 902L, t("2024-01-01 11:00:00")), // exactly window lower bound of 101
+      (1L, 903L, t("2024-01-01 12:30:00")), // after both
+      (2L, 904L, t("2024-01-01 10:00:00"))  // other key
+    ).toDF("user_id", "event_id", "ts")
+    val pairs = Joins.rangeJoin(left, right, Seq("user_id"), "1 hour",
+        rightPayload = Seq("event_id"))
+      .select(col("event_id"), col("r_event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 900L), (100L, 901L), (101L, 902L)))
+    val strictPairs = Joins.rangeJoin(left, right, Seq("user_id"), "1 hour",
+        rightPayload = Seq("event_id"), strict = true)
+      .select(col("event_id"), col("r_event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strictPairs === Set((100L, 900L), (101L, 902L)))
+  }
+
+  test("rangeJoin agrees with the naive theta-join on a dense fixture") {
+    import graft.ext.Joins
+    val l = (0 until 50).map(i => (i % 3L, i.toLong, ts(i * 700L * 1000000)))
+      .toDF("user_id", "event_id", "ts")
+    val r = (0 until 80).map(i => (i % 3L, 1000L + i, ts(i * 450L * 1000000)))
+      .toDF("user_id", "ts_r", "ts").select(col("user_id"), col("ts"), col("ts_r"))
+    val got = Joins.rangeJoin(l, r, Seq("user_id"), "30 minutes", rightPayload = Seq("ts_r"))
+      .select("event_id", "r_ts_r").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = l.as("l").join(r.as("r"), $"l.user_id" === $"r.user_id" &&
+        $"r.ts" <= $"l.ts" && $"r.ts" >= $"l.ts" - expr("INTERVAL 30 MINUTES"))
+      .select($"l.event_id", $"r.ts_r").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("Joins.windowMicros parses units; rejects garbage") {
+    import graft.ext.Joins
+    assert(Joins.windowMicros("30 minutes") === 30L * 60 * 1000000)
+    assert(Joins.windowMicros("1 hour") === 3600L * 1000000)
+    assert(Joins.windowMicros("500 milliseconds") === 500000L)
+    assert(Joins.windowMicros("2 DAYS") === 2L * 86400 * 1000000)
+    intercept[IllegalArgumentException](Joins.windowMicros("next tuesday"))
+  }
+
+  test("normalizeText: each rule fires; clean text unchanged; null stays null") {
+    val d = Seq(
+      ("q", "she said \u201chi\u201d \u2014 it\u2019s fine\u2026"),
+      ("ws", "  a\t\tb  \n   c\n\n\n\n\nd  "),
+      ("ctl", "a\u0001b\u0007c"),
+      ("nbsp", "a\u00a0b\u200bc"),
+      ("clean", "already clean text"),
+      ("nul", null.asInstanceOf[String])
+    ).toDF("id", "content")
+    val out = TextStats.normalizeText(d)
+      .collect().map(r => r.getString(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(out("q") === ("she said \"hi\" - it's fine...", true))
+    assert(out("ws") === ("a b\nc\n\nd", true))
+    assert(out("ctl") === ("abc", true))
+    assert(out("nbsp") === ("a bc", true))
+    assert(out("clean") === ("already clean text", false))
+    assert(out("nul")._1 === null)
+    assert(out("nul")._2 === false)
+  }
+
+  test("topKPerGroup: per-group cut, score-desc order, id tie-break, rank column") {
+    val d = Seq(
+      ("web", "a", 0.9), ("web", "b", 0.7), ("web", "c", 0.8), ("web", "d", 0.7),
+      ("code", "e", 0.5)
+    ).toDF("source", "id", "score")
+    val out = Pipeline.topKPerGroup(d, "source", "score", k = 2)
+      .select("source", "id", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // ties at 0.7 fall to min id "b"; "d" is cut
+    assert(out === Set(("web", "a", 1L), ("web", "c", 2L), ("code", "e", 1L)))
+  }
+
+  test("topKPerGroup plan: the rank filter lowers to WindowGroupLimit (map-side k-heap)") {
+    val d = (0 until 1000).map(i => (s"s${i % 7}", s"d$i", (i * 37 % 101).toDouble))
+      .toDF("source", "id", "score")
+    val plan = Pipeline.topKPerGroup(d, "source", "score", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
 }
