@@ -1581,7 +1581,28 @@ object EntryQueries {
                | r AS (SELECT source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, id ASC) AS rank,
                |    id, quality FROM q)
                |SELECT source, CAST(rank AS BIGINT) AS rank, id, round(quality, 6) AS quality
-               |FROM r WHERE rank <= 5""".stripMargin))
+               |FROM r WHERE rank <= 5""".stripMargin)),
+
+    // Cross-source n-gram overlap matrix: exact pairwise Jaccard of the
+    // sources' distinct shingle-3 sets. hashGrams=false here so the oracle
+    // compare is exact-by-construction; the hashed (8-byte shuffle key)
+    // variant is pinned hashed==exact in ExtSpec.
+    ("x42_group_overlap", (s: SparkSession, sfDir: String) => {
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("text").as("content"), col("source"))
+      TextStats.groupOverlap(docs, "source", n = 3, hashGrams = false)
+        .select(col("group_a"), col("group_b"), col("inter"),
+          col("size_a"), col("size_b"), round(col("jaccard"), 6).as("jaccard"))
+    }, Some(s"""WITH t AS (SELECT source, $Toks AS w FROM documents),
+               | g AS (SELECT DISTINCT source, unnest(CASE WHEN len(w) < 3 THEN []
+               |     ELSE [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)] END) AS gram
+               |   FROM t),
+               | sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+               | p AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS inter
+               |   FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2)
+               |SELECT sa AS group_a, sb AS group_b, inter, x.n AS size_a, y.n AS size_b,
+               |  round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
+               |FROM p JOIN sz x ON sa = x.source JOIN sz y ON sb = y.source""".stripMargin))
   )
 
   /** Exact shingle-3 Jaccard oracle (used by BOTH x2 minhash — whose LSH+

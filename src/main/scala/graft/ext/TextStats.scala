@@ -446,6 +446,58 @@ object TextStats {
     *
     * Scale: a single codegen'd zero-shuffle scan, embarrassingly parallel.
     */
+  /** Pairwise n-gram overlap between corpus groups (sources / languages /
+    * snapshots) — the cross-source similarity & contamination matrix a
+    * mixture designer reads next to [[corpusStats]]: for every unordered
+    * group pair sharing at least one distinct word `n`-gram, the EXACT
+    * Jaccard similarity of the two groups' distinct n-gram sets
+    * (`group_a < group_b`, with intersection and both set sizes). INNER
+    * semantics: fully-disjoint pairs are absent (their Jaccard is 0).
+    *
+    * Scale: never a pairwise set comparison. One distinct-(group, gram)
+    * agg (map-side combined), then co-occurring pairs are generated FROM
+    * EACH GRAM'S group set — `groupBy(gram).collect_set(group)` arrays are
+    * bounded by #groups (a corpus has tens of sources, not millions), so
+    * the pair explode is ≤ S²/2 rows per gram and the heavy shuffle key is
+    * the gram, map-side combined again on (a, b). Set sizes ride in on a
+    * broadcast join. With `hashGrams` (the default) the distinct/shuffle
+    * key is the 64-bit xxhash of the gram instead of its text — 8-byte
+    * keys at 100 TB; collisions only ever merge two grams (≈ n²/2⁶⁵ —
+    * negligible bias, the standard sketch trade). The x42 oracle entry
+    * runs `hashGrams = false` so the compare is exact-by-construction;
+    * ExtSpec pins hashed ≡ exact on a fixture.
+    */
+  def groupOverlap(docs: DataFrame, groupCol: String = "source", n: Int = 3,
+                   contentCol: String = "content",
+                   hashGrams: Boolean = true): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val gramTxt = explode(TextFunctions.shingles(TextFunctions.tokens(col(contentCol)), n))
+    val gram = if (hashGrams) xxhash64(col("__gtxt")) else col("__gtxt")
+    val grams = docs
+      .select(col(groupCol).as("grp"), gramTxt.as("__gtxt"))
+      .select(col("grp"), gram.as("gh"))
+      .distinct()
+    val sizes = grams.groupBy(col("grp")).agg(count(lit(1)).as("sz"))
+    // ordered pairs out of each gram's (sorted, <= #groups) group set
+    val pairs = grams.groupBy(col("gh"))
+      .agg(sort_array(collect_set(col("grp"))).as("gs"))
+      .select(explode(flatten(transform(col("gs"), (a, i) =>
+        transform(slice(col("gs"), i + 2, size(col("gs"))), b =>
+          struct(a.as("a"), b.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("group_a"), col("p.b").as("group_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.withColumnRenamed("grp", "group_a")
+        .withColumnRenamed("sz", "size_a")), Seq("group_a"))
+      .join(broadcast(sizes.withColumnRenamed("grp", "group_b")
+        .withColumnRenamed("sz", "size_b")), Seq("group_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")))
+      .select(col("group_a"), col("group_b"), col("inter"),
+        col("size_a"), col("size_b"), col("jaccard"))
+  }
+
   /** 1:1 glyph folds for [[normalizeText]] (from/to, position-aligned):
     * curly quotes/primes \u2018\u2019\u201a\u2032 \u201c\u201d\u201e\u2033,
     * the dash family \u2013\u2014\u2015\u2212, and NBSP \u00a0. Shared with

@@ -1122,6 +1122,24 @@ class ExtSpec extends AnyFunSuite {
     assert(strict(101L) === 3.0)
   }
 
+  test("asofJoin forward: earliest right at-or-after; strict excludes the equal instant") {
+    import graft.ext.Joins
+    val (left, right) = eventsFixture
+    val out = Joins.asofJoin(left, right, Seq("user_id"), direction = "forward")
+      .select("event_id", "r_value").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out === Map(
+      100L -> 2.0,  // equal instant admissible
+      101L -> null, // nothing after 12:00 for user 1
+      200L -> 4.0,  // the 09:30 row is the next after 09:00
+      300L -> null))
+    val strict = Joins.asofJoin(left, right, Seq("user_id"), strict = true,
+      direction = "forward")
+      .select("event_id", "r_value").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(strict(100L) === 3.0) // equal instant skipped -> 11:30 row
+  }
+
   test("asofJoin: right rows tied on the instant resolve by tieCols order, deterministically") {
     import graft.ext.Joins
     import java.sql.Timestamp
@@ -1213,6 +1231,24 @@ class ExtSpec extends AnyFunSuite {
     assert(out("clean") === ("already clean text", false))
     assert(out("nul")._1 === null)
     assert(out("nul")._2 === false)
+  }
+
+  test("groupOverlap: hand-checked Jaccard matrix; hashed == exact; disjoint pair absent") {
+    val d = Seq(
+      ("web", "a b c d"),     // grams: {a b c, b c d}
+      ("code", "a b c x"),    // grams: {a b c, b c x}
+      ("web", "a b c d"),     // duplicate doc: distinct-set unchanged
+      ("lone", "p q r s")     // shares nothing
+    ).toDF("source", "content")
+    val exact = TextStats.groupOverlap(d, "source", n = 3, hashGrams = false)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // web ∩ code = {a b c} -> 1 / (2 + 2 - 1)
+    assert(exact === Map(("code", "web") -> ((1L, 2L, 2L, 1.0 / 3))))
+    val hashed = TextStats.groupOverlap(d, "source", n = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(hashed === exact)
   }
 
   test("topKPerGroup: per-group cut, score-desc order, id tie-break, rank column") {
