@@ -1602,7 +1602,61 @@ object EntryQueries {
                |   FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2)
                |SELECT sa AS group_a, sb AS group_b, inter, x.n AS size_a, y.n AS size_b,
                |  round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
-               |FROM p JOIN sz x ON sa = x.source JOIN sz y ON sb = y.source""".stripMargin))
+               |FROM p JOIN sz x ON sa = x.source JOIN sz y ON sb = y.source""".stripMargin)),
+
+    // Per-doc top-3 TF-IDF terms (smoothed idf, token-text tie-break). The
+    // oracle replays tf/df/N and the rank window exactly.
+    ("x43_tfidf", (s: SparkSession, sfDir: String) =>
+      TextStats.tfidf(docsFrame(s, sfDir), k = 3)
+        .select(col("id"), col("rank"), col("tok"), col("tf"), col("doc_freq"),
+          round(col("score"), 6).as("score")),
+      Some(s"""WITH t AS (SELECT $DocId AS id, unnest($Toks) AS tok FROM documents),
+              | tf AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+              | df AS (SELECT tok, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY 1),
+              | n AS (SELECT count(DISTINCT $DocId) AS nd FROM documents),
+              | sc AS (SELECT id, tok, tf, doc_freq,
+              |    tf * (ln((nd + 1.0) / (doc_freq + 1.0)) + 1.0) AS score
+              |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+              | r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, tok ASC) AS rank FROM sc)
+              |SELECT id, CAST(rank AS BIGINT) AS rank, tok, tf, doc_freq, round(score, 6) AS score
+              |FROM r WHERE rank <= 3""".stripMargin)),
+
+    // Bigram-LM perplexity (context-sensitive CCNet-style filter signal);
+    // the oracle retrains the same add-1 bigram model and rescores.
+    ("x44_bigram_lm", (s: SparkSession, sfDir: String) =>
+      TextStats.bigramNll(docsFrame(s, sfDir))
+        .select(col("id"), col("n_bigrams"),
+          round(col("nll"), 6).as("nll"), round(col("ppl"), 6).as("ppl")),
+      Some(s"""WITH t AS (SELECT $DocId AS id, $Toks AS w FROM documents),
+              | bg AS (SELECT id, w[i] || ' ' || w[i+1] AS g, w[i] AS a
+              |        FROM t, UNNEST(range(1, len(w))) AS u(i)),
+              | cb AS (SELECT g, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY g),
+              | ca AS (SELECT a, CAST(count(*) AS BIGINT) AS ca FROM bg GROUP BY a),
+              | v AS (SELECT count(DISTINCT tok) AS vs FROM (SELECT unnest(w) AS tok FROM t)),
+              | sc AS (SELECT bg.id, ln(ca.ca + v.vs) - ln(cb.cb + 1.0) AS nt
+              |        FROM bg JOIN cb USING (g) JOIN ca USING (a) CROSS JOIN v),
+              | ag AS (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(nt) AS sm FROM sc GROUP BY id)
+              |SELECT d.id, coalesce(ag.n_bigrams, 0) AS n_bigrams,
+              |  round(coalesce(ag.sm / ag.n_bigrams, 0.0), 6) AS nll,
+              |  round(coalesce(exp(ag.sm / ag.n_bigrams), 1.0), 6) AS ppl
+              |FROM (SELECT DISTINCT $DocId AS id FROM documents) d LEFT JOIN ag ON d.id = ag.id""".stripMargin)),
+
+    // Winnowing fingerprints (MOSS): rightmost-min-per-window selection over
+    // 4-gram MD5s, window 4. The oracle replays window enumeration, the
+    // min, and the rightmost tie-break (list_position over the reversed
+    // slice) — selection set compared exactly.
+    ("x45_winnow", (s: SparkSession, sfDir: String) =>
+      TextStats.winnowFingerprints(docsFrame(s, sfDir), k = 4, w = 4)
+        .select(col("id"), col("pos"), col("fp")),
+      Some(s"""WITH t AS (SELECT $DocId AS id, $Toks AS w FROM documents),
+              | g AS (SELECT id, [md5(array_to_string(w[i:i+3], ' ')) FOR i IN range(1, len(w) - 2)] AS hs
+              |       FROM t WHERE len(w) >= 4),
+              | s1 AS (SELECT id, hs, least(4, len(hs)) AS wl FROM g),
+              | win AS (SELECT id, hs, wl, unnest(range(0, len(hs) - wl + 1)) AS i FROM s1),
+              | m AS (SELECT id, wl, i, list_min(hs[i+1 : i+wl]) AS mn,
+              |        list_position(list_reverse(hs[i+1 : i+wl]), list_min(hs[i+1 : i+wl])) AS rp
+              |       FROM win)
+              |SELECT DISTINCT id, CAST(i + wl - rp AS BIGINT) AS pos, mn AS fp FROM m""".stripMargin))
   )
 
   /** Exact shingle-3 Jaccard oracle (used by BOTH x2 minhash — whose LSH+

@@ -395,6 +395,126 @@ object TextStats {
     } finally counts.unpersist()
   }
 
+  /** Per-doc top-`k` terms by TF-IDF — the keyword/topic signal a curation
+    * or clustering step reads per document. `tf` is the in-doc occurrence
+    * count, `doc_freq` the number of docs containing the term, and
+    * `score = tf · (ln((N+1)/(doc_freq+1)) + 1)` (smoothed idf — never
+    * negative, so single-doc corpora still rank). `rank` is 1-based by
+    * (score desc, token asc): the tie-break is the term text, so the cut is
+    * deterministic.
+    *
+    * Scale: explode → ONE map-side-combined (id, token) agg; `doc_freq`
+    * re-aggregates that already-skinny frame (not the raw occurrences); the
+    * corpus doc count rides in as a broadcast scalar; the model join keys
+    * on the token (vocabulary-sized, AQE-plannable). The per-doc rank
+    * window filters `row_number() <= k`, which Spark ≥3.5 lowers to a
+    * WindowGroupLimit map-side k-heap — ≤ k rows per (partition, doc)
+    * reach the final shuffle.
+    */
+  def tfidf(df: DataFrame, k: Int = 3, idCol: String = "id",
+            contentCol: String = "content"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val toks = TextFunctions.tokens(col(contentCol))
+    val tf = df.select(col(idCol).as("id"), explode(toks).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("doc_freq"))
+    val nDocs = df.agg(count_distinct(col(idCol)).as("__n"))
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * (log((col("__n") + lit(1.0)) / (col("doc_freq") + lit(1.0))) + lit(1.0)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("score").desc, col("tok").asc)))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank").cast("long").as("rank"), col("tok"),
+        col("tf"), col("doc_freq"), col("score"))
+  }
+
+  /** Bigram-LM scoring — the context-sensitive upgrade of [[unigramNll]]
+    * (the CCNet perplexity-filter family, with the honest closed-form LM a
+    * corpus can train on itself): per doc, the mean negative log-probability
+    * of its token bigrams under the corpus bigram model with add-1 smoothing
+    * over the realized unigram vocabulary,
+    * `nll(a b) = ln(c(a·) + V) − ln(c(a b) + 1)` where `c(a·)` is `a`'s
+    * context count (occurrences followed by anything) and `V` the distinct
+    * token count. Docs with < 2 tokens score `n_bigrams = 0, nll = 0,
+    * ppl = 1`. Repetitive/templated text scores low, gibberish high —
+    * filter both tails.
+    *
+    * Scale: bigram and context counts are map-side-combined aggs over the
+    * exploded shingle stream; the per-gram nll model joins scoring rows on
+    * the gram (vocabulary²-bounded, AQE-plannable — never broadcast by
+    * assumption); `V` rides in as a broadcast scalar; the final per-doc agg
+    * is one skinny (id, partial-sum) shuffle. Self-trained by contract, so
+    * every scored gram hits the model (no OOV branch).
+    */
+  def bigramNll(docs: DataFrame, idCol: String = "id",
+                contentCol: String = "content"): DataFrame = {
+    val toks = TextFunctions.tokens(col(contentCol))
+    val firstTok = (g: Column) => split(g, " ").getItem(0)
+    val grams = docs.select(col(idCol).as("id"),
+        explode(TextFunctions.shinglesAll(toks, 2)).as("g"))
+    val cb = grams.groupBy(col("g")).agg(count(lit(1)).as("__cb"))
+    val ca = grams.groupBy(firstTok(col("g")).as("a")).agg(count(lit(1)).as("__ca"))
+    val vocab = docs.select(explode(toks).as("tok"))
+      .agg(count_distinct(col("tok")).as("__v"))
+    val model = cb.withColumn("a", firstTok(col("g")))
+      .join(ca, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .select(col("g"),
+        (log(col("__ca") + col("__v")) - log(col("__cb") + lit(1.0))).as("__nll"))
+    val perDoc = grams.join(model, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll")).as("__s"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("__s") / col("n_bigrams"), lit(0.0)).as("nll"),
+        coalesce(exp(col("__s") / col("n_bigrams")), lit(1.0)).as("ppl"))
+  }
+
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm —
+    * the guarantee-bearing upgrade of [[fingerprint]]'s single min-hash):
+    * one row per selected (doc, gram position): `id, pos, fp` where `fp` is
+    * the MD5 of the `k`-token gram at 0-based gram index `pos`, and a
+    * position is selected iff it is the RIGHTMOST minimal hash of some
+    * `w`-gram window. Any shared substring of ≥ `k + w − 1` tokens is
+    * guaranteed to share a fingerprint — the local-dedup/plagiarism
+    * candidate generator with a density bound of ~2/(w+1). Docs with < `k`
+    * tokens emit nothing (too short to fingerprint); docs with fewer than
+    * `w` grams use one whole-doc window.
+    *
+    * Scale: selection runs ENTIRELY inside the row — gram hashes, per-window
+    * argmin, and cross-window dedup are array expressions over the doc's own
+    * gram array (O(n·w) per doc, codegen'd), so the operator is a ZERO-
+    * shuffle scan; only the selected ~2n/(w+1) fingerprint rows leave the
+    * scan, and downstream bucket-joins group them by `fp`.
+    */
+  def winnowFingerprints(df: DataFrame, k: Int = 4, w: Int = 4,
+                         idCol: String = "id",
+                         contentCol: String = "content"): DataFrame = {
+    require(k >= 1 && w >= 1, "k >= 1 && w >= 1")
+    val hashes = transform(
+      TextFunctions.shinglesAll(TextFunctions.tokens(col(contentCol)), k),
+      g => md5(g))
+    val hs = col("__hs")
+    val n = size(hs)
+    val wl = least(lit(w), n)
+    // rightmost argmin of the window starting at gram i (0-based): reverse
+    // the slice so the FIRST match array_position finds is the rightmost
+    val selAt = (i: Column) => {
+      val sl = slice(hs, i + 1, wl)
+      i + wl - array_position(reverse(sl), array_min(sl))
+    }
+    df.select(col(idCol).as("id"), hashes.as("__hs"))
+      .where(n >= 1)
+      .select(col("id"), hs,
+        explode(array_distinct(transform(sequence(lit(0), n - wl), selAt))).as("pos"))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        element_at(hs, (col("pos") + 1).cast("int")).as("fp"))
+  }
+
   /** Adds `fingerprint`: min-MD5 over `n`-token windows (winnowing-style
     * content fingerprint — stable under small edits outside the minimal
     * window); docs shorter than `n` tokens hash their whole token stream.

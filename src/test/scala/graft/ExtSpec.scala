@@ -1270,4 +1270,79 @@ class ExtSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
+
+  test("tfidf: hand-checked scores, token tie-break, rank cut, k-heap plan") {
+    val d = Seq(
+      "d1" -> "apple apple banana",
+      "d2" -> "banana cherry",
+      "d3" -> "cherry cherry cherry date"
+    ).toDF("id", "content")
+    val out = TextStats.tfidf(d, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    // N = 3; idf(df) = ln(4/(df+1)) + 1
+    def idf(dfreq: Long) = math.log(4.0 / (dfreq + 1)) + 1.0
+    assert(out(("d1", 1L)) === (("apple", 2L, 1L, 2 * idf(1))))
+    assert(out(("d1", 2L)) === (("banana", 1L, 2L, idf(2))))
+    assert(out(("d3", 1L)) === (("cherry", 3L, 2L, 3 * idf(2))))
+    // d3's date (tf=1,df=1,score=idf(1)~1.69) beats nothing else; rank 2
+    assert(out(("d3", 2L)) === (("date", 1L, 1L, idf(1))))
+    // d2: banana and cherry tie exactly (tf=1, df=2) -> token asc
+    assert(out(("d2", 1L))._1 === "banana" && out(("d2", 2L))._1 === "cherry")
+    val plan = TextStats.tfidf(d, k = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("bigramNll: closed form on a hand fixture; short docs score 0/1") {
+    val d = Seq(
+      "d1" -> "a b a b",
+      "d2" -> "a b",
+      "d3" -> "solo",
+      "d4" -> ""
+    ).toDF("id", "content")
+    // bigrams: d1 = [a b, b a, a b], d2 = [a b] -> c(a b)=3, c(b a)=1
+    // contexts: c(a.)=3, c(b.)=1; V = distinct tokens = 3 (a, b, solo)
+    val nllAB = math.log(3 + 3.0) - math.log(3 + 1.0)
+    val nllBA = math.log(1 + 3.0) - math.log(1 + 1.0)
+    val out = TextStats.bigramNll(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("d1")._1 === 3L)
+    assert(math.abs(out("d1")._2 - (2 * nllAB + nllBA) / 3) < 1e-12)
+    assert(out("d2") === ((1L, nllAB, math.exp(nllAB))))
+    assert(out("d3") === ((0L, 0.0, 1.0)))
+    assert(out("d4") === ((0L, 0.0, 1.0)))
+  }
+
+  test("winnowFingerprints: selection set hand-checked; shared substring shares a fingerprint") {
+    // k=1 grams = tokens themselves, w=2: window pairs pick the rightmost min
+    val d = Seq("d1" -> "c a a b").toDF("id", "content")
+    val md5s = Seq("c", "a", "a", "b").map(t =>
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    // windows: [c,a]->min a@1; [a,a]-> tie, rightmost a@2; [a,b]: md5(a)<md5(b)? compute
+    val aLtB = md5s(1) < md5s(3)
+    val expected = if (aLtB) Set(1L, 2L) else Set(1L, 2L, 3L)
+    val out = TextStats.winnowFingerprints(d, k = 1, w = 2).collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+    assert(out.map(_._1).toSet === expected)
+    out.foreach { case (pos, fp) => assert(fp === md5s(pos.toInt)) }
+
+    // guarantee: any shared run of >= k + w - 1 tokens shares a fingerprint
+    val two = Seq(
+      "x" -> "p q r s t u v w",
+      "y" -> "zz p q r s t u yy"   // shares "p q r s t u" (6 >= 4 + 3 - 1)
+    ).toDF("id", "content")
+    val fps = TextStats.winnowFingerprints(two, k = 4, w = 3).collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    val shared = fps.filter(_._1 == "x").map(_._2).toSet
+      .intersect(fps.filter(_._1 == "y").map(_._2).toSet)
+    assert(shared.nonEmpty)
+
+    // docs shorter than k emit nothing; zero-shuffle scan
+    val short = Seq("s" -> "a b c").toDF("id", "content")
+    assert(TextStats.winnowFingerprints(short, k = 4, w = 4).count() === 0L)
+    val plan = TextStats.winnowFingerprints(docs, k = 4, w = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected zero-shuffle scan in:\n$plan")
+  }
 }
