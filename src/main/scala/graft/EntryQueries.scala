@@ -2,7 +2,7 @@ package graft
 
 import graft.api.{Collection, Embedder}
 import graft.exec.Sorter
-import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Ivf, Joins, Multimodal, Pipeline, TextStats}
+import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Ivf, Joins, Multimodal, Pipeline, Quantize, TextStats}
 import graft.functions.TextFunctions
 import graft.model.SortKey
 import graft.parse.QueryParser
@@ -1656,7 +1656,81 @@ object EntryQueries {
               | m AS (SELECT id, wl, i, list_min(hs[i+1 : i+wl]) AS mn,
               |        list_position(list_reverse(hs[i+1 : i+wl]), list_min(hs[i+1 : i+wl])) AS rp
               |       FROM win)
-              |SELECT DISTINCT id, CAST(i + wl - rp AS BIGINT) AS pos, mn AS fp FROM m""".stripMargin))
+              |SELECT DISTINCT id, CAST(i + wl - rp AS BIGINT) AS pos, mn AS fp FROM m""".stripMargin)),
+
+    // Int8 scalar quantization of the embedding column: per-vector scale,
+    // byte codes, and the reconstruction-error bound. The oracle replays
+    // scale, the tie-stable round, the integer code sum, and the max
+    // absolute reconstruction error (order-independent, so float-exact).
+    ("x46_quantize", (s: SparkSession, sfDir: String) => {
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val qz = Quantize.quantizeInt8(e)
+      // qz("scale"), NOT col("scale"): the sibling alias `round(scale, 9)
+      // AS scale` would otherwise capture the bare name via lateral column
+      // alias resolution and the error term would use the ROUNDED scale
+      qz.select(col("id"), size(col("q")).cast("long").as("n_dims"),
+          round(col("scale"), 9).as("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          round(array_max(zip_with(col("embedding").cast("array<double>"), col("q"),
+            (x, qv) => abs(x - qv * qz("scale")))), 9).as("max_abs_err"))
+    }, Some("""WITH e AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              | s AS (SELECT id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+              | q AS (SELECT id, v, scale,
+              |    CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              |         ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) END AS q
+              |  FROM s)
+              |SELECT id, CAST(len(q) AS BIGINT) AS n_dims, round(scale, 9) AS scale,
+              |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+              |  round(list_max([abs(v[i] - q[i] * scale) FOR i IN range(1, len(v) + 1)]), 9) AS max_abs_err
+              |FROM q""".stripMargin)),
+
+    // Quantized ANN: top-k over the int8 corpus must recover the float
+    // exact top-k (cosine is scale-invariant; only quantization noise can
+    // reorder). Gate-style like x6b/x7 — the exact arm is x6's oracle.
+    ("x47_ann_int8", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val exact = Ann.exactTopK(e, qs, k = 10)
+      val approx = Quantize.int8TopK(e, qs, k = 10)
+      Seq(("int8_recall_ge_0.9", Ann.recallAtK(exact, approx) >= 0.9))
+        .toDF("metric", "ok")
+    }, Some("SELECT 'int8_recall_ge_0.9' AS metric, true AS ok")),
+
+    // Stream-stream interval join in its batch/backfill mode (the
+    // watermarked streaming path is pinned stream-vs-batch in ExtSpec):
+    // every (purchase, view-in-the-prior-2h) pair per user. The oracle is
+    // the naive θ-join, affordable at oracle scale.
+    ("x48_stream_join", (s: SparkSession, sfDir: String) => {
+      val ev = eventsFrame(s, sfDir)
+      EventStreams.intervalJoin(
+        ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_id")),
+        keys = Seq("user_id"), window = "2 hours", rightPayload = Seq("view_id"))
+        .select(col("event_id"), col("r_view_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), unix_micros(col("r_ts")).as("r_ts_us"))
+    }, Some("""SELECT l.event_id, r.event_id AS r_view_id, l.user_id,
+              |  epoch_us(l.ts) AS ts_us, epoch_us(r.ts) AS r_ts_us
+              |FROM events l JOIN events r ON l.user_id = r.user_id
+              |WHERE l.event_type = 'purchase' AND r.event_type = 'view'
+              |  AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 2 HOUR""".stripMargin)),
+
+    // Vocabulary cardinality per source: the exact arm is oracle-checked;
+    // the HLL++ sketch arm (the 100 TB path) is gated within 5 rsd of it.
+    ("x49_cardinality", (s: SparkSession, sfDir: String) =>
+      TextStats.tokenCardinality(
+          s.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("text").as("content"), col("source")),
+          groupCol = "source", rsd = 0.05)
+        .select(col("source"), col("exact_distinct"),
+          (abs(col("approx_distinct") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.25).as("ok")),
+      Some(s"""SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct, true AS ok
+              |FROM (SELECT source, unnest($Toks) AS tok FROM documents)
+              |GROUP BY source""".stripMargin))
   )
 
   /** Exact shingle-3 Jaccard oracle (used by BOTH x2 minhash — whose LSH+

@@ -529,6 +529,26 @@ object TextStats {
     df.withColumn("fingerprint", fp)
   }
 
+  /** Per-group vocabulary cardinality, exact AND approximate — the
+    * "how many distinct tokens does each source contribute" report that
+    * sizes tokenizer training, vocab builds, and [[topTokens]] cuts.
+    * `approx_distinct` is HyperLogLog++ at relative standard deviation
+    * `rsd` — at 100 TB the exact arm (a distinct-shuffle of every (group,
+    * token) pair) is the expensive one, and the sketch is the operator:
+    * fixed ~kilobytes of state per group, map-side combined, mergeable
+    * across partitions. The entry keeps both arms so the sketch stays
+    * pinned against the exact count it approximates (|approx − exact| ≤
+    * 5·rsd·exact gate — 5σ, deterministic for a fixed dataset since HLL++
+    * is seedless).
+    */
+  def tokenCardinality(df: DataFrame, groupCol: String = "source",
+                       contentCol: String = "content",
+                       rsd: Double = 0.05): DataFrame =
+    df.select(col(groupCol), explode(TextFunctions.tokens(col(contentCol))).as("tok"))
+      .groupBy(col(groupCol))
+      .agg(count_distinct(col("tok")).as("exact_distinct"),
+        approx_count_distinct(col("tok"), rsd).as("approx_distinct"))
+
   /** Corpus-level per-key aggregation: doc count, char stats, token total.
     * One shuffle on the group key, map-side combined.
     */

@@ -65,6 +65,47 @@ object EventStreams {
         events.select(keyCols.map(col): _*).dropDuplicates(keyCols)
     }
 
+  /** Stream-stream interval join: every (left, right) pair in the same
+    * `keys` group with `right.ts` in left's trailing `window` — the
+    * continuous-enrichment analogue of [[graft.ext.Joins.rangeJoin]]
+    * ("the clicks in the 6 hours before each purchase", maintained as the
+    * events arrive). Right payload columns come back `rightPrefix`-prefixed
+    * plus `<rightPrefix><tsCol>`, same contract as the batch operator.
+    *
+    * Streaming input: pass `watermark` — both sides are watermarked and the
+    * join condition carries BOTH event-time bounds, which is exactly what
+    * Spark's stream-stream join needs to prune state: a buffered right row
+    * is dropped once the watermark passes `ts + window`, so state stays
+    * proportional to the window, not the stream. INNER semantics (matches
+    * only).
+    * Batch input: leave watermark None — delegates to the bucketed-equi-join
+    * lowering of [[graft.ext.Joins.rangeJoin]] (a raw inequality join would
+    * plan as a nested loop in batch; the streaming executor, by contrast,
+    * evaluates the range predicate against its keyed state store, so the
+    * direct form is the right one there).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   window: String, watermark: Option[String] = None,
+                   tsCol: String = "ts", rightPayload: Seq[String] = Seq.empty,
+                   rightPrefix: String = "r_"): DataFrame = watermark match {
+    case None =>
+      graft.ext.Joins.rangeJoin(left, right, keys, window, tsCol, rightPayload, rightPrefix)
+    case Some(wm) =>
+      require(keys.nonEmpty, "keys must be non-empty")
+      val payload =
+        if (rightPayload.nonEmpty) rightPayload
+        else right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+      val rTs = s"$rightPrefix$tsCol"
+      val l = left.withWatermark(tsCol, wm)
+      val r = right.select(
+          keys.map(col) ++ (payload :+ tsCol).map(c => col(c).as(s"$rightPrefix$c")): _*)
+        .withWatermark(rTs, wm)
+      val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+        r(rTs) <= l(tsCol) && r(rTs) >= l(tsCol) - expr(s"INTERVAL $window")
+      l.join(r, cond, "inner")
+        .select(left.columns.map(l(_)) ++ (payload :+ tsCol).map(c => r(s"$rightPrefix$c")): _*)
+  }
+
   /** Per-user sessionization by inactivity gap (session window). Streaming:
     * same call with a watermark. Demonstrates the state-merge window family.
     */

@@ -1345,4 +1345,88 @@ class ExtSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"expected zero-shuffle scan in:\n$plan")
   }
+
+  test("quantizeInt8: codes, scale, zero vector, reconstruction bound, zero-shuffle") {
+    val d = Seq(
+      ("v1", Array(1.0f, -0.4f, 0.26f, 0.0f)),
+      ("v2", Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      ("v3", Array(-2.54f, 1.27f, 0.0f, 0.635f))
+    ).toDF("id", "embedding")
+    val out = graft.ext.Quantize.quantizeInt8(d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getSeq[Byte](3))).toMap
+    assert(out("v1")._1 === 1.0 / 127)
+    assert(out("v1")._2 === Seq[Byte](127, -51, 33, 0)) // -50.8 -> -51, 33.02 -> 33
+    assert(out("v2") === ((0.0, Seq[Byte](0, 0, 0, 0))))
+    // v3: 1.27f/2.54f is EXACTLY 0.5 (doubling a float is exact), so the
+    // 63.5 halfway case exercises the pinned floor(x+0.5) half-up: -> 64
+    assert(out("v3")._2 === Seq[Byte](-127, 64, 0, 32)) // 0.635/0.02 = 31.75 -> 32
+    // reconstruction error bounded by scale/2 everywhere
+    val errs = graft.ext.Quantize.quantizeInt8(d)
+      .select(col("scale"), zip_with(col("embedding").cast("array<double>"), col("q"),
+        (x, q) => abs(x - q * col("scale"))).as("e"))
+      .collect()
+    errs.foreach { r =>
+      val bound = r.getDouble(0) / 2 + 1e-12
+      r.getSeq[Double](1).foreach(e => assert(e <= bound))
+    }
+    val plan = graft.ext.Quantize.quantizeInt8(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected zero-shuffle scan in:\n$plan")
+  }
+
+  test("int8TopK: ranking survives quantization on a separable fixture") {
+    val corpus = Seq(
+      ("a", Array(1.0f, 0.0f, 0.0f)),
+      ("b", Array(0.9f, 0.1f, 0.0f)),
+      ("c", Array(0.0f, 1.0f, 0.0f)),
+      ("d", Array(-1.0f, 0.0f, 0.1f))
+    ).toDF("id", "embedding")
+    val qs = Seq("q0" -> Seq(1.0f, 0.05f, 0.0f))
+    val exact = Ann.exactTopK(corpus, qs, k = 4).select("rn", "id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sortBy(_._1)
+    val int8 = graft.ext.Quantize.int8TopK(corpus, qs, k = 4).select("rn", "id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(int8 === exact) // widely-separated directions: order is preserved
+  }
+
+  test("intervalJoin: streaming with watermark matches the batch rangeJoin lowering") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val lRows = Seq((1L, ts("2024-01-01 02:00:00"), "p1"), (7L, ts("2024-01-01 05:00:00"), "p2"))
+    val rRows = Seq(
+      (1L, ts("2024-01-01 01:30:00"), "v1"), // within 1h of p1
+      (1L, ts("2024-01-01 00:30:00"), "v2"), // outside
+      (1L, ts("2024-01-01 02:00:00"), "v3"), // equal instant: inclusive
+      (7L, ts("2024-01-01 04:10:00"), "v4"))
+    val lb = lRows.toDF("user_id", "ts", "pid")
+    val rb = rRows.toDF("user_id", "ts", "vid")
+    val batch = EventStreams.intervalJoin(lb, rb, Seq("user_id"), "1 hour")
+      .select("pid", "r_vid").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(batch === Set(("p1", "v1"), ("p1", "v3"), ("p2", "v4")))
+
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val rMem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val sj = EventStreams.intervalJoin(
+      lMem.toDF().toDF("user_id", "ts", "pid"),
+      rMem.toDF().toDF("user_id", "ts", "vid"),
+      Seq("user_id"), "1 hour", watermark = Some("10 minutes"))
+    val q = sj.writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      lMem.addData(lRows: _*); rMem.addData(rRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ij_out").select("pid", "r_vid")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("tokenCardinality: exact arm is exact; sketch lands within the gate") {
+    val d = Seq(
+      ("s1", "a b c a b"), ("s1", "c d"), ("s2", "x y")
+    ).toDF("source", "content")
+    val out = TextStats.tokenCardinality(d, "source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("s1")._1 === 4L && out("s2")._1 === 2L)
+    // tiny cardinalities: HLL++ is exact here
+    assert(out("s1")._2 === 4L && out("s2")._2 === 2L)
+  }
 }
