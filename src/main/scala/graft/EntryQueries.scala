@@ -2,7 +2,7 @@ package graft
 
 import graft.api.{Collection, Embedder}
 import graft.exec.Sorter
-import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Ivf, Joins, Multimodal, Pipeline, Quantize, TextStats}
+import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Ivf, Joins, Multimodal, Pipeline, Pq, Quantize, TextStats}
 import graft.functions.TextFunctions
 import graft.model.SortKey
 import graft.parse.QueryParser
@@ -1717,6 +1717,23 @@ object EntryQueries {
               |FROM events l JOIN events r ON l.user_id = r.user_id
               |WHERE l.event_type = 'purchase' AND r.event_type = 'view'
               |  AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 2 HOUR""".stripMargin)),
+
+    // Product-quantization ANN (gate-style like x6b/x7, exact arm = x6's
+    // oracle): 16-byte codes (16x compression), ADC candidate retrieve,
+    // float rerank. Isotropic-random embeddings are PQ's worst case, so the
+    // gate pins the plumbing at the measured rate (1.0 @ sf0.001/0.01 with
+    // cand=100).
+    ("x50_ann_pq", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val exact = Ann.exactTopK(e, qs, k = 10)
+      val cb = Pq.train(e, m = 16, k = 256, iters = 8, maxSample = 20000)
+      val enc = Pq.encode(e, cb)
+      val rec = Ann.recallAtK(exact, Pq.rerankTopK(e, enc, cb, qs, k = 10, candK = 100))
+      Seq(("pq_rerank_recall_ge_0.8", rec >= 0.8)).toDF("metric", "ok")
+    }, Some("SELECT 'pq_rerank_recall_ge_0.8' AS metric, true AS ok")),
 
     // Vocabulary cardinality per source: the exact arm is oracle-checked;
     // the HLL++ sketch arm (the 100 TB path) is gated within 5 rsd of it.

@@ -1419,6 +1419,45 @@ class ExtSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Pq: exact-reconstruction corpus ranks perfectly; codes shape; recall on real embeddings") {
+    import graft.ext.{Pq, PqCodebook}
+    // corpus built FROM codebook reconstructions: ADC scoring is then exact
+    // (every subvector quantizes to itself), so PQ top-k == float top-k
+    val books = Seq(
+      Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      Seq(Seq(0.5f, 0.5f), Seq(-0.5f, 0.5f)))
+    val cb = PqCodebook(2, 2, books)
+    val recon = for (a <- 0 to 1; b <- 0 to 1) yield
+      (s"r$a$b", (books(0)(a) ++ books(1)(b)).toArray)
+    val corpus = recon.toDF("id", "embedding")
+    val codes = Pq.encode(corpus, cb, normalize = false)
+    val got = codes.collect().map(r => r.getString(0) -> r.getSeq[Byte](1)).toMap
+    assert(got("r01") === Seq[Byte](0, 1) && got("r10") === Seq[Byte](1, 0))
+    val q = Seq("q" -> Seq(1.0f, 0.0f, -0.5f, 0.5f))
+    val adc = Pq.adcTopK(codes, cb, q, k = 4, normalize = false)
+      .select("rn", "id").collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    val exact = Ann.exactTopK(corpus, q, k = 4)
+      .select("rn", "id").collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    // same top hit; full order can differ only where cosine's norm term
+    // reorders equal dots — pin the argmax and the candidate set
+    assert(adc.head._2 === exact.head._2)
+    assert(adc.map(_._2).toSet === exact.map(_._2).toSet)
+
+    // real embeddings: recall@10 of the 32x-compressed index
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val qs = (0 until 5).map { i =>
+      i.toString -> e.filter(col("id") === i.toString)
+        .head().getSeq[Float](1).toSeq
+    }
+    val ex = Ann.exactTopK(e, qs, k = 10)
+    val cb2 = Pq.train(e, m = 16, k = 256, iters = 8, maxSample = 20000)
+    val enc = Pq.encode(e, cb2)
+    val rec = Ann.recallAtK(ex, Pq.rerankTopK(e, enc, cb2, qs, k = 10, candK = 50))
+    info(s"PQ rerank recall@10 on sf0.001 (m=16, k=256, cand=50): $rec")
+    assert(rec >= 0.9, s"recall $rec")
+  }
+
   test("tokenCardinality: exact arm is exact; sketch lands within the gate") {
     val d = Seq(
       ("s1", "a b c a b"), ("s1", "c d"), ("s2", "x y")
