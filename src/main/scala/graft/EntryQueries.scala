@@ -1747,7 +1747,48 @@ object EntryQueries {
             <= col("exact_distinct") * 0.25).as("ok")),
       Some(s"""SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct, true AS ok
               |FROM (SELECT source, unnest($Toks) AS tok FROM documents)
-              |GROUP BY source""".stripMargin))
+              |GROUP BY source""".stripMargin)),
+
+    // Greedy per-source token-budget subsample: deterministic md5(seed:id)
+    // draw order, running token sum, keep while the budget isn't exhausted.
+    // The oracle replays draw, order, cumsum, and the admission rule.
+    ("x51_budget_sample", (s: SparkSession, sfDir: String) =>
+      Pipeline.budgetSample(
+        s.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
+            col("source")),
+        budgetTokens = 2000, groupCol = "source")
+        .select(col("source"), col("id"), col("n_tokens"), col("cum_tokens"),
+          col("keep")),
+      Some(s"""WITH t AS (SELECT source, $DocId AS id,
+              |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+              |    md5('0:' || CAST(doc_id AS VARCHAR)) AS draw
+              |  FROM documents),
+              | c AS (SELECT source, id, n_tokens,
+              |    sum(n_tokens) OVER (PARTITION BY source ORDER BY draw, id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              |  FROM t)
+              |SELECT source, id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+              |  (cum_tokens - n_tokens < 2000) AS keep FROM c""".stripMargin)),
+
+    // Hard-negative mining: per anchor (first 5 embeddings), the 10 most
+    // similar vectors with a DIFFERENT label. Exact oracle replay.
+    ("x52_hard_negatives", (s: SparkSession, sfDir: String) => {
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val corpus = e.select(col("vec_id").cast("string").as("id"),
+        col("embedding"), col("label"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").cast("string").as("qid"),
+          col("embedding").as("qvec"), col("label").as("qlabel"))
+      Ann.hardNegatives(corpus, queries, k = 10)
+        .select(col("qid"), col("rn").cast("long").as("rn"), col("id"),
+          round(col("sim"), 6).as("sim"))
+    }, Some("""WITH q AS (SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qe, label AS ql FROM embeddings WHERE vec_id < 5),
+              | sc AS (SELECT q.qid, CAST(c.vec_id AS VARCHAR) AS id,
+              |     list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS sim
+              |   FROM embeddings c JOIN q ON c.label IS DISTINCT FROM q.ql),
+              | rk AS (SELECT qid, id, sim,
+              |     CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id ASC) AS BIGINT) AS rn FROM sc)
+              |SELECT qid, rn, id, round(sim, 6) AS sim FROM rk WHERE rn <= 10""".stripMargin))
   )
 
   /** Exact shingle-3 Jaccard oracle (used by BOTH x2 minhash — whose LSH+

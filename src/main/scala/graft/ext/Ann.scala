@@ -175,6 +175,39 @@ object Ann {
       .select(col("qid"), col("rn"), col("id"), col("sim"))
   }
 
+  /** Hard-negative mining — the contrastive-training data step: for every
+    * query (a labeled anchor embedding), the `k` MOST similar corpus
+    * vectors whose label DIFFERS from the anchor's ("looks the same, is
+    * not") — exactly the negatives a contrastive or reranker loss wants.
+    * Queries arrive as a DataFrame (distributed — mining typically runs
+    * anchor-per-corpus-row), labels compare with null-safe inequality
+    * (a NULL-labeled candidate is a valid negative for a labeled anchor).
+    *
+    * Scale: same shape as [[exactTopKAll]] — the anchor side broadcasts,
+    * one codegen'd scan scores (corpus × anchors), the label predicate
+    * filters INSIDE the join (before the shuffle), and the per-anchor
+    * rank window lowers to WindowGroupLimit k-heaps, so ≤ k rows per
+    * (partition, anchor) cross the wire. `qid` uniqueness is the caller's
+    * contract (as in exactTopKAll).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "id", embCol: String = "embedding",
+                    labelCol: String = "label", qidCol: String = "qid",
+                    qvecCol: String = "qvec", qlabelCol: String = "qlabel"): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(embCol).as("emb"),
+        col(labelCol).as("__lbl"))
+      .filter(col("emb").isNotNull)
+    val q = queries.select(col(qidCol).as("qid"),
+      col(qvecCol).cast(ArrayType(FloatType)).as("qvec"),
+      col(qlabelCol).as("__qlbl"))
+    base.join(broadcast(q), !(col("__lbl") <=> col("__qlbl")))
+      .withColumn("sim", VectorFunctions.cosine(col("emb"), col("qvec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("id"), col("sim"))
+  }
+
   /** Recall@k of `approx` against `exact` (both (qid, rn, id, …) frames
     * truncated at k): |approx ∩ exact| / |exact|.
     */

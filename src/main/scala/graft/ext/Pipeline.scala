@@ -63,6 +63,42 @@ object Pipeline {
     docs.filter(md5Mod(col(idCol), Precision) < threshold)
   }
 
+  /** Greedy token-budget subsample — "give me ~N tokens per source", the
+    * budget-shaped cousin of [[sampleStratified]]'s fraction-shaped draw:
+    * docs are ordered per group by the deterministic draw `md5(seed:id)`
+    * (so the selection is a pure function of (seed, id) — growth-stable
+    * like [[splitCorpus]]: new docs sort into the stream without moving
+    * already-drawn ones, and a doc's admission can only flip when enough
+    * new docs hash BEFORE it to exhaust the budget first), and a doc is
+    * kept iff the budget is not yet exhausted before it (`cum_tokens −
+    * n_tokens < budgetTokens`) — the greedy fill admits one overshooting
+    * doc rather than stopping short. Emits every doc with `n_tokens`
+    * (the shared whitespace accounting definition), `cum_tokens`, and
+    * `keep`, so the caller can audit the cut or `.filter(col("keep"))`.
+    *
+    * Scale: one hash shuffle on the group + a per-group sort feeding an
+    * incrementally-evaluated running-sum frame — the same shape as
+    * [[TextStats.lengthHistogram]]'s CDF but over docs; no global sort, no
+    * driver state. Groups are sources/languages (tens-to-thousands), so
+    * per-group window skew is the corpus's own source skew; salt upstream
+    * only if one source dominates.
+    */
+  def budgetSample(docs: DataFrame, budgetTokens: Long,
+                   groupCol: String = "source", idCol: String = "id",
+                   contentCol: String = "content",
+                   seed: Long = 0L): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens >= 0")
+    val draw = md5(concat_ws(":", lit(seed.toString), col(idCol)))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__draw"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.select(col(groupCol), col(idCol).as("id"),
+        wsTokenCount(col(contentCol)).as("n_tokens"), draw.as("__draw"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("keep", col("cum_tokens") - col("n_tokens") < budgetTokens)
+      .select(col(groupCol), col("id"), col("n_tokens"), col("cum_tokens"),
+        col("keep"))
+  }
+
   /** Concat-and-chunk sequence packing (the standard pretraining data-prep
     * step): docs are hash-sharded, each shard's docs are concatenated in id
     * order into one token stream, and the stream is cut every `budget`

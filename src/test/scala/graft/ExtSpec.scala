@@ -1458,6 +1458,51 @@ class ExtSpec extends AnyFunSuite {
     assert(rec >= 0.9, s"recall $rec")
   }
 
+  test("budgetSample: greedy fill in draw order, one overshoot doc, growth-stable") {
+    import graft.ext.Pipeline
+    val d = Seq(
+      ("s1", "a", "t t t t"),   // 4 tokens
+      ("s1", "b", "t t t"),     // 3
+      ("s1", "c", "t t t t t"), // 5
+      ("s2", "z", "t")
+    ).toDF("source", "id", "content")
+    val out = Pipeline.budgetSample(d, budgetTokens = 6).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // draw order within s1 is md5("0:"+id) order; replay it here
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val order = Seq("a", "b", "c").sortBy(i => (md5hex(s"0:$i"), i))
+    val toks = Map("a" -> 4L, "b" -> 3L, "c" -> 5L)
+    var cum = 0L
+    order.foreach { i =>
+      val admitted = cum < 6
+      cum += toks(i)
+      assert(out(i) === ((toks(i), cum, admitted)), s"doc $i")
+    }
+    // at least one kept, at least one cut at this budget
+    assert(out.values.exists(_._3) && !out("z")._3 === false) // s2's z always kept (cum 1 < 6)
+    assert(out("z") === ((1L, 1L, true)))
+    // growth-stability: adding a doc that draws AFTER the existing ones
+    // cannot change their admission; deleting s2 does not affect s1
+    val s1only = Pipeline.budgetSample(d.filter($"source" === "s1"), budgetTokens = 6)
+      .collect().map(r => r.getString(1) -> r.getBoolean(4)).toMap
+    Seq("a", "b", "c").foreach(i => assert(s1only(i) === out(i)._3))
+  }
+
+  test("hardNegatives: same-label excluded, null label is a valid negative, k cut") {
+    val corpus = Seq(
+      ("c1", Array(1.0f, 0.0f), Some(1)),
+      ("c2", Array(0.99f, 0.1f), Some(1)),  // same label as anchor: excluded
+      ("c3", Array(0.9f, 0.2f), Some(2)),
+      ("c4", Array(0.8f, 0.3f), None),      // null label: valid negative
+      ("c5", Array(-1.0f, 0.0f), Some(2))
+    ).toDF("id", "embedding", "label")
+    val q = Seq(("q1", Array(1.0f, 0.0f), Some(1))).toDF("qid", "qvec", "qlabel")
+    val out = Ann.hardNegatives(corpus, q, k = 2).collect()
+      .map(r => (r.getInt(1), r.getString(2)))
+    assert(out.toSeq.sortBy(_._1).map(_._2) === Seq("c3", "c4"))
+  }
+
   test("tokenCardinality: exact arm is exact; sketch lands within the gate") {
     val d = Seq(
       ("s1", "a b c a b"), ("s1", "c d"), ("s2", "x y")
