@@ -159,6 +159,25 @@ object EntryQueries {
   private def vecsColl(spark: SparkSession, sfDir: String): Collection =
     Collection(spark, fixtureRoot(spark, sfDir), "vecs", embedder = Some(CsvVecEmbedder))
 
+  private val hybRoots = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** A collection carrying BOTH searchable text and an embedding per doc
+    * (documents ⋈ embeddings, 1:1 by id in the fixture) — the hybrid-search
+    * fixture. Built once per sf dir in its own root so the shared a1 fixture
+    * build's timed region is unchanged.
+    */
+  private def hybColl(spark: SparkSession, sfDir: String): Collection = {
+    val root = hybRoots.getOrElseUpdate(sfDir, {
+      val r = tempDirCleanedOnExit("graft-hyb-")
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      Collection(spark, r, "hyb")
+        .addDf(docsFrame(spark, sfDir).join(e, Seq("id")))
+      r
+    })
+    Collection(spark, root, "hyb")
+  }
+
   /** Query-time embedder: parses "f,f,f,…" into the vector — deterministic,
     * no model dependency (the Embedder surface itself is exercised by
     * CollectionSpec with a real batch embedder).
@@ -1788,7 +1807,46 @@ object EntryQueries {
               |   FROM embeddings c JOIN q ON c.label IS DISTINCT FROM q.ql),
               | rk AS (SELECT qid, id, sim,
               |     CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id ASC) AS BIGINT) AS rn FROM sc)
-              |SELECT qid, rn, id, round(sim, 6) AS sim FROM rk WHERE rn <= 10""".stripMargin))
+              |SELECT qid, rn, id, round(sim, 6) AS sim FROM rk WHERE rn <= 10""".stripMargin)),
+
+    // Hybrid search: RRF fusion of the BM25 FTS arm ("customer stream", the
+    // q4 query) and the vector cosine arm (embedding 0, the q5 query) over
+    // one collection carrying both text and embeddings. The oracle replays
+    // both arms (q4's BM25 block + q5's cosine block), the per-arm depth-50
+    // rank windows, and the 1/(60+rn) fusion exactly.
+    ("x53_hybrid_rrf", (s: SparkSession, sfDir: String) => {
+      val q = queryVec(s, sfDir)
+      hybColl(s, sfDir).hybridTopK("customer stream", q, k = 10, depth = 50)
+        .select(col("rn"), col("id"), round(col("rrf"), 6).as("rrf"),
+          col("rn_fts").cast("long").as("rn_fts"),
+          col("rn_vec").cast("long").as("rn_vec"))
+    }, Some("""WITH toks AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+              |   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w FROM documents),
+              | lens AS (SELECT id, len(w) AS dl FROM toks),
+              | stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n, (SELECT AVG(len(w)) FROM toks) AS avgdl),
+              | tf AS (SELECT id, t, COUNT(*) AS tf FROM (SELECT id, unnest(w) AS t FROM toks) GROUP BY 1, 2),
+              | dfp AS (SELECT t, COUNT(*) AS df FROM tf WHERE t IN ('customer','stream') GROUP BY 1),
+              | m AS (SELECT id FROM tf WHERE t IN ('customer','stream') GROUP BY id HAVING COUNT(DISTINCT t) = 2),
+              | sc AS (SELECT tf.id, SUM( ln((n - df + 0.5) / (df + 0.5) + 1.0)
+              |          * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ) AS r
+              |        FROM tf JOIN dfp USING(t) JOIN lens USING(id) CROSS JOIN stats
+              |        WHERE tf.t IN ('customer','stream') GROUP BY tf.id),
+              | fts AS (SELECT id, row_number() OVER (ORDER BY r DESC, id ASC) AS rn
+              |         FROM (SELECT m.id, sc.r FROM m JOIN sc ON m.id = sc.id)
+              |         ORDER BY r DESC, id ASC LIMIT 50),
+              | q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+              | vsc AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+              |           list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(e AS DOUBLE[])) AS sim
+              |         FROM embeddings, q),
+              | vec AS (SELECT id, row_number() OVER (ORDER BY sim DESC, id ASC) AS rn
+              |         FROM vsc ORDER BY sim DESC, id ASC LIMIT 50),
+              | fused AS (SELECT COALESCE(f.id, v.id) AS id,
+              |     COALESCE(CAST(1.0 AS DOUBLE) / (60 + f.rn), 0) + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.rn), 0) AS rrf,
+              |     f.rn AS rn_fts, v.rn AS rn_vec
+              |   FROM fts f FULL OUTER JOIN vec v ON f.id = v.id)
+              |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id ASC) AS BIGINT) AS rn,
+              |       id, round(rrf, 6) AS rrf, rn_fts, rn_vec
+              |FROM fused ORDER BY rrf DESC, id ASC LIMIT 10""".stripMargin))
   )
 
   /** Exact shingle-3 Jaccard oracle (used by BOTH x2 minhash — whose LSH+

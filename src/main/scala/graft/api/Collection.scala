@@ -519,6 +519,25 @@ final class Collection private (
       }
     }
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 full-text arm and
+    * the exact vector cosine arm over this collection — `query` drives the
+    * FTS arm through the same fused postings pipeline as [[queryFrame]],
+    * `qvec` drives the vector arm, and [[graft.exec.Hybrid.rrfFuse]]
+    * combines the two top-`depth` lists (the reference exposes the arms
+    * separately, src/sifts/core.py:414-447 / 527-542; fusion is the
+    * composition a hybrid-search user performs). `where` filters BOTH arms
+    * before ranking. Output: (rn, id, rrf, rn_fts, rn_vec), ≤ k rows.
+    */
+  def hybridTopK(query: String, qvec: Seq[Float], k: Int, depth: Int = 60,
+                 rrfK: Int = 60, where: Map[String, Any] = Map.empty): DataFrame = {
+    require(useFts, s"Collection '$name' does not support full-text search.")
+    val (fts, _) = plan(query, where, OrderBy.none, vectorSearch = false)
+    val vec = VectorSearch.scored(applyWhere(docs(), where), "embedding", qvec)
+    Hybrid.rrfFuse(Seq(
+      "fts" -> fts.select($"id", $"rank"),
+      "vec" -> vec.select($"id", $"rank")), k, depth, rrfK)
+  }
+
   /** Full postings + stats (re)build from `source` (the cached batch on
     * first ingest — the collection's full contents by construction there —
     * so nothing re-reads the just-written store). The fresh postings frame

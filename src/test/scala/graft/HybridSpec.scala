@@ -1,0 +1,104 @@
+package graft
+
+import graft.api.Collection
+import graft.exec.Hybrid
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RRF hybrid-search fusion: exact score math, depth truncation, arm-absence
+  * semantics, Collection.hybridTopK composition, and the TakeOrdered plan
+  * shape of the arm truncation.
+  */
+class HybridSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def armA = Seq(("d1", 9.0), ("d2", 5.0), ("d3", 1.0)).toDF("id", "rank")
+  private def armB = Seq(("d2", 0.9), ("d4", 0.8), ("d1", 0.2)).toDF("id", "rank")
+
+  test("rrfFuse: exact 1/(K+rn) sums, per-arm ranks, fused order") {
+    val out = Hybrid.rrfFuse(Seq("a" -> armA, "b" -> armB), k = 10, depth = 10, rrfK = 60)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // a-ranks: d1=1 d2=2 d3=3; b-ranks: d2=1 d4=2 d1=3
+    val exp = Map(
+      "d1" -> (1.0 / 61 + 1.0 / 63), "d2" -> (1.0 / 62 + 1.0 / 61),
+      "d3" -> (1.0 / 63), "d4" -> (1.0 / 62))
+    val ordered = exp.toSeq.sortBy { case (id, s) => (-s, id) }
+    assert(out.toSeq === ordered.zipWithIndex.map { case ((id, s), i) => (i + 1L, id, s) })
+  }
+
+  test("rrfFuse: depth truncates an arm; a doc outside depth contributes nothing") {
+    val out = Hybrid.rrfFuse(Seq("a" -> armA, "b" -> armB), k = 10, depth = 2, rrfK = 60)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toMap
+    // d3 (a-rank 3) and d1's b-rank 3 fall outside depth=2
+    assert(!out.contains("d3"))
+    assert(out("d1") === 1.0 / 61)
+    assert(out("d2") === 1.0 / 62 + 1.0 / 61)
+  }
+
+  test("rrfFuse: k bounds the fused output; absent-arm rank is NULL") {
+    val rows = Hybrid.rrfFuse(Seq("a" -> armA, "b" -> armB), k = 1, depth = 10, rrfK = 60)
+      .collect()
+    assert(rows.length === 1)
+    val top = rows.head
+    assert(top.getString(1) === "d2") // 1/62+1/61 is the max fused score
+    val d3 = Hybrid.rrfFuse(Seq("a" -> armA, "b" -> armB), k = 10, depth = 10, rrfK = 60)
+      .filter(col("id") === "d3").collect().head
+    assert(d3.getAs[Any]("rn_b") == null && d3.getAs[Int]("rn_a") === 3)
+  }
+
+  test("rrfFuse: fused ties break by id ascending") {
+    val a = Seq(("x", 2.0), ("y", 1.0)).toDF("id", "rank")
+    val b = Seq(("y", 2.0), ("x", 1.0)).toDF("id", "rank")
+    val ids = Hybrid.rrfFuse(Seq("a" -> a, "b" -> b), k = 2, depth = 10, rrfK = 60)
+      .collect().map(_.getString(1)).toSeq
+    assert(ids === Seq("x", "y")) // equal 1/61+1/62 both; id tie-break
+  }
+
+  test("rrfFuse: validation rejects duplicate arm names and non-positive k") {
+    intercept[IllegalArgumentException](
+      Hybrid.rrfFuse(Seq("a" -> armA, "a" -> armB), k = 1))
+    intercept[IllegalArgumentException](Hybrid.rrfFuse(Seq("a" -> armA), k = 0))
+    intercept[IllegalArgumentException](Hybrid.rrfFuse(Seq.empty, k = 1))
+  }
+
+  test("rrfFuse: arm depth truncation plans as TakeOrderedAndProject (no full sort)") {
+    val plan = Hybrid.rrfFuse(Seq("a" -> armA, "b" -> armB), k = 2, depth = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("hybridTopK: equals manual fusion of the FTS frame and the cosine arm") {
+    val root = java.nio.file.Files.createTempDirectory("graft-hybspec-").toString
+    val c = Collection(spark, root, "h")
+    c.addDf(Seq(
+      ("a", "spark shuffles data across executors", Array(1.0f, 0.0f)),
+      ("b", "spark broadcasts small tables", Array(0.9f, 0.1f)),
+      ("c", "ducks swim in the pond", Array(0.0f, 1.0f)),
+      ("d", "spark spark spark tuning guide", Array(0.5f, 0.5f))
+    ).toDF("id", "content", "embedding"))
+    val q = Seq(1.0f, 0.0f)
+    val fused = c.hybridTopK("spark", q, k = 4, depth = 10, rrfK = 60)
+    val manual = Hybrid.rrfFuse(Seq(
+      "fts" -> c.queryFrame("spark").select("id", "rank"),
+      "vec" -> graft.exec.VectorSearch.scored(c.docs(), "embedding", q)
+        .select("id", "rank")), k = 4, depth = 10, rrfK = 60)
+    assert(fused.collect().toSeq === manual.collect().toSeq)
+    // "c" matches no FTS term but ranks in the vector arm: present, rn_fts NULL
+    val cRow = fused.filter(col("id") === "c").collect().head
+    assert(cRow.getAs[Any]("rn_fts") == null && cRow.getAs[Any]("rn_vec") != null)
+  }
+
+  test("hybridTopK: where filters BOTH arms before ranking") {
+    val root = java.nio.file.Files.createTempDirectory("graft-hybspec2-").toString
+    val c = Collection(spark, root, "h")
+    c.addDf(Seq(
+      ("a", "spark rows here", Map("lang" -> "en"), Array(1.0f, 0.0f)),
+      ("b", "spark rows there", Map("lang" -> "de"), Array(1.0f, 0.0f))
+    ).toDF("id", "content", "metadata", "embedding"))
+    val ids = c.hybridTopK("spark", Seq(1.0f, 0.0f), k = 10,
+        where = Map("lang" -> "en"))
+      .collect().map(_.getString(1)).toSet
+    assert(ids === Set("a"))
+  }
+}
