@@ -1846,7 +1846,23 @@ object EntryQueries {
               |   FROM fts f FULL OUTER JOIN vec v ON f.id = v.id)
               |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id ASC) AS BIGINT) AS rn,
               |       id, round(rrf, 6) AS rrf, rn_fts, rn_vec
-              |FROM fused ORDER BY rrf DESC, id ASC LIMIT 10""".stripMargin))
+              |FROM fused ORDER BY rrf DESC, id ASC LIMIT 10""".stripMargin)),
+
+    // Bloom-prefiltered exact cross-corpus dedup: result must equal the
+    // plain hash anti-join (x30's exact arm) — the bloom only reroutes WHERE
+    // rows are verified, never what survives. Oracle is the same NOT EXISTS
+    // replay; equality with dedupAgainst(near=false) is pinned in ExtSpec.
+    ("x54_dedup_bloom", (s: SparkSession, sfDir: String) => {
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
+          col("doc_id").cast("long").as("__n"), col("source"))
+      val corpus = d.filter(col("__n") % 5 =!= 0).drop("__n")
+      val ref = d.filter(col("__n") % 5 === 0).drop("__n")
+      Dedup.bloomDedupAgainst(corpus, ref, expectedItems = 10000L)
+        .select("id", "source")
+    }, Some(s"""SELECT $DocId AS id, source FROM documents d
+               |WHERE doc_id % 5 <> 0 AND NOT EXISTS (
+               |  SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0 AND r.text = d.text)""".stripMargin))
   )
 
   /** Exact shingle-3 Jaccard oracle (used by BOTH x2 minhash — whose LSH+

@@ -515,6 +515,46 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** Exact cross-corpus dedup with a broadcast Bloom-filter prefilter — the
+    * 100 TB form of [[dedupAgainst]]'s exact arm. A Bloom sketch over the
+    * reference's 64-bit content hashes is built driver-side (size set by
+    * `expectedItems`/`fpp`, NOT by the corpus) and probed as a codegen'd
+    * scan predicate ([[graft.functions.BloomMightContainLong]]): bloom-
+    * negative rows — the overwhelming mass when contamination is rare — are
+    * definitively clean and NEVER shuffle; only the (true matches +
+    * fpp·corpus) positive sliver pays the verifying anti-join. The verify
+    * join matches on sha2-256 like the exact arm (the 64-bit xxhash only
+    * routes the bloom), so the result EQUALS `dedupAgainst(near = false)`:
+    * no false drops from bloom or 64-bit collisions.
+    *
+    * Cost shape: two corpus scans (flag + route) instead of one corpus-wide
+    * shuffle — columnar re-reads are the cheap currency at 100 TB, shuffle
+    * the expensive one. Returns `docs` rows whose content is not in
+    * `reference`.
+    */
+  def bloomDedupAgainst(docs: DataFrame, reference: DataFrame,
+                        idCol: String = "id", contentCol: String = "content",
+                        refContentCol: String = "content",
+                        expectedItems: Long = 1000000L,
+                        fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val h64 = freshCol(docs, "__h64")
+    val h = freshCol(docs.withColumn(h64, lit(0L)), "__h")
+    // driver-side sketch: bounded by expectedItems by contract (the
+    // reference set is the benchmark/holdout being screened against), the
+    // same boundedness contract as Ivf's centroid train
+    val bloom = reference.select(xxhash64(col(refContentCol)).as(h64))
+      .stat.bloomFilter(h64, expectedItems, fpp)
+    val might = graft.functions.BloomFunctions.mightContainLong(col(h64), bloom)
+    val hashed = docs.withColumn(h64, xxhash64(col(contentCol)))
+    val refHashes = reference.select(sha2(col(refContentCol), 256).as(h)).distinct()
+    val survivors = hashed.filter(might)
+      .withColumn(h, sha2(col(contentCol), 256))
+      .join(refHashes, Seq(h), "left_anti")
+      .drop(h, h64)
+    hashed.filter(!might).drop(h64).unionByName(survivors)
+  }
+
   // -------------------------------------------------------------------------
   // Capped in-bucket pair join (shared by the near-dup detectors)
   // -------------------------------------------------------------------------

@@ -832,6 +832,35 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("bloomDedupAgainst equals the plain exact anti-join, incl. forced false positives") {
+    // corpus large enough that a tiny bloom (expectedItems=1, fpp floor)
+    // yields real false positives — those must be cleared by the sha2
+    // verify arm, never dropped
+    val corpus = (1 to 200).map(i => (s"c$i", s"unique corpus doc number $i"))
+      .toDF("id", "content")
+      .unionByName(Seq("cdup" -> "planted shared text").toDF("id", "content"))
+    val ref = Seq("r1" -> "planted shared text", "r2" -> "ref-only text")
+      .toDF("id", "content")
+    val viaBloom = Dedup.bloomDedupAgainst(corpus, ref, expectedItems = 1L, fpp = 0.5)
+      .select("id").as[String].collect().toSet
+    val plain = Dedup.dedupAgainst(corpus, ref, near = false)
+      .select("id").as[String].collect().toSet
+    assert(viaBloom === plain)
+    assert(!viaBloom.contains("cdup") && viaBloom.size === 200)
+    // the bloom probe itself is a scan predicate: the clean-mass branch
+    // (filter !might) plans with ZERO shuffles
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val bloom = ref.select(xxhash64(col("content")).as("h"))
+      .stat.bloomFilter("h", 100L, 0.01)
+    val clean = corpus
+      .filter(!graft.functions.BloomFunctions.mightContainLong(
+        xxhash64(col("content")), bloom))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try assert(clean.queryExecution.executedPlan
+      .collect { case s: ShuffleExchangeExec => s }.isEmpty)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("working columns never clobber caller columns of the same name") {
     // frames poisoned with the operators' own scratch names: the poisoned
     // column must survive the round trip with its caller values intact,
