@@ -1862,7 +1862,31 @@ object EntryQueries {
         .select("id", "source")
     }, Some(s"""SELECT $DocId AS id, source FROM documents d
                |WHERE doc_id % 5 <> 0 AND NOT EXISTS (
-               |  SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0 AND r.text = d.text)""".stripMargin))
+               |  SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0 AND r.text = d.text)""".stripMargin)),
+
+    // Mean-pool chunk embeddings into document embeddings (vec_id % 50 as
+    // the owning doc → 50 docs × 10 chunks). The oracle replays the
+    // per-position mean and the L2 normalization via zipped unnest +
+    // ordered list re-assembly.
+    ("x55_pool_embeddings", (s: SparkSession, sfDir: String) => {
+      val ch = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select((col("vec_id") % 50).cast("long").as("id"), col("embedding"))
+      Pipeline.poolEmbeddings(ch)
+        .select(col("id"), col("n_chunks"),
+          transform(col("embedding"), x => round(x, 6)).as("embedding"))
+    }, Some("""WITH ch AS (SELECT vec_id % 50 AS id, embedding FROM embeddings),
+              | ux AS (SELECT id, CAST(unnest(embedding) AS DOUBLE) AS x,
+              |          generate_subscripts(embedding, 1) AS pos FROM ch),
+              | sm AS (SELECT id, pos, SUM(x) AS s FROM ux GROUP BY 1, 2),
+              | cnt AS (SELECT id, COUNT(*) AS n FROM ch GROUP BY 1),
+              | mean AS (SELECT s.id, s.pos, s.s / c.n AS m FROM sm s JOIN cnt c USING(id)),
+              | nrm AS (SELECT id, sqrt(SUM(m * m)) AS nm FROM mean GROUP BY 1),
+              | o AS (SELECT m.id, m.pos,
+              |         CASE WHEN n.nm = 0 THEN m.m ELSE m.m / n.nm END AS v
+              |       FROM mean m JOIN nrm n USING(id))
+              |SELECT CAST(o.id AS BIGINT) AS id, c.n AS n_chunks,
+              |       list(round(o.v, 6) ORDER BY o.pos) AS embedding
+              |FROM o JOIN cnt c USING(id) GROUP BY o.id, c.n""".stripMargin))
   )
 
   /** Exact shingle-3 Jaccard oracle (used by BOTH x2 minhash — whose LSH+

@@ -357,4 +357,35 @@ object Pipeline {
       .select(col("id").as(idCol))
     docs.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** Mean-pool chunk embeddings into one document embedding — the standard
+    * long-document embedding recipe (embed fixed-window chunks, average,
+    * optionally L2-normalize so downstream cosine ranking treats pooled and
+    * directly-embedded docs alike).
+    *
+    * Powered by [[graft.functions.VectorAgg.vectorSum]], a typed aggregate
+    * carrying ONE dim-length double buffer per group through a single
+    * map-side-combined shuffle — the compositional alternative (posexplode →
+    * groupBy(id, pos) → re-assemble) would shuffle dim× the rows twice.
+    * NULL-embedding chunks are ignored; all-NULL docs drop (there is nothing
+    * to pool). Output: (`idCol`, `n_chunks`, `embedding` ARRAY<DOUBLE>).
+    */
+  def poolEmbeddings(chunks: DataFrame, idCol: String = "id",
+                     embCol: String = "embedding",
+                     normalize: Boolean = true): DataFrame = {
+    val pooled = chunks
+      .groupBy(col(idCol))
+      .agg(graft.functions.VectorAgg.vectorSum(col(embCol)).as("__sum"),
+        count(col(embCol)).as("n_chunks"))
+      .filter(col("__sum").isNotNull)
+    val mean = transform(col("__sum"), x => x / col("n_chunks"))
+    val emb =
+      if (!normalize) mean
+      else {
+        val norm = sqrt(aggregate(mean, lit(0.0), (acc, x) => acc + x * x))
+        // zero vector stays zero rather than NaN-ing the whole embedding
+        when(norm === 0.0, mean).otherwise(transform(mean, x => x / norm))
+      }
+    pooled.select(col(idCol), col("n_chunks"), emb.as("embedding"))
+  }
 }

@@ -832,6 +832,38 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("poolEmbeddings: hand-checkable mean, L2 norm, NULL chunks ignored, all-NULL drops") {
+    val ch = Seq(
+      ("a", Array(1.0f, 0.0f)), ("a", Array(3.0f, 0.0f)),   // mean (2,0) -> unit (1,0)
+      ("b", Array(0.0f, 2.0f)), ("b", null),                 // null chunk ignored: mean (0,2) over n=1
+      ("c", null.asInstanceOf[Array[Float]]),                // nothing to pool
+      ("z", Array(0.0f, 0.0f))                               // zero vector stays zero
+    ).toDF("id", "embedding")
+    val byId = Pipeline.poolEmbeddings(ch).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    assert(!byId.contains("c"))
+    assert(byId("a") === ((2L, Seq(1.0, 0.0))))
+    assert(byId("b") === ((1L, Seq(0.0, 1.0))))
+    assert(byId("z") === ((1L, Seq(0.0, 0.0))))
+    // un-normalized = plain mean
+    val raw = Pipeline.poolEmbeddings(ch, normalize = false).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](2)).toMap
+    assert(raw("a") === Seq(2.0, 0.0))
+    // mixed dims in one group fail fast rather than silently truncating
+    val bad = Seq(("m", Array(1.0f)), ("m", Array(1.0f, 2.0f))).toDF("id", "embedding")
+    intercept[org.apache.spark.SparkException] {
+      Pipeline.poolEmbeddings(bad).collect()
+    }
+    // one aggregate shuffle only (map-side combined), never a dim-explode
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val n = Pipeline.poolEmbeddings(ch).queryExecution.executedPlan
+        .collect { case s: ShuffleExchangeExec => s }.size
+      assert(n === 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bloomDedupAgainst equals the plain exact anti-join, incl. forced false positives") {
     // corpus large enough that a tiny bloom (expectedItems=1, fpp floor)
     // yields real false positives — those must be cleared by the sha2
