@@ -1864,6 +1864,18 @@ object EntryQueries {
                |WHERE doc_id % 5 <> 0 AND NOT EXISTS (
                |  SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0 AND r.text = d.text)""".stripMargin)),
 
+    // MMR diversity re-rank: the oracle UNROLLS the greedy selection (k
+    // chained argmax CTEs over the candidate pair-similarity matrix) — an
+    // independent DuckDB replay of selection order, scores, and tie-breaks,
+    // not a gate.
+    ("x56_mmr_rerank", (s: SparkSession, sfDir: String) => {
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      Ann.mmrRerank(e, Seq("0" -> queryVec(s, sfDir)), k = 5, candK = 20, lambda = 0.5)
+        .select(col("qid"), col("rn"), col("id"),
+          round(col("mmr"), 6).as("mmr"), round(col("sim"), 6).as("sim"))
+    }, Some(mmrOracle(k = 5, candK = 20))),
+
     // Mean-pool chunk embeddings into document embeddings (vec_id % 50 as
     // the owning doc → 50 docs × 10 chunks). The oracle replays the
     // per-position mean and the L2 normalization via zipped unnest +
@@ -1888,6 +1900,33 @@ object EntryQueries {
               |       list(round(o.v, 6) ORDER BY o.pos) AS embedding
               |FROM o JOIN cnt c USING(id) GROUP BY o.id, c.n""".stripMargin))
   )
+
+  /** DuckDB replica of Ann.mmrRerank for query vec 0 at λ=0.5: top-candK
+    * candidates + their pairwise cosine matrix, then the greedy selection
+    * UNROLLED as k chained single-row argmax CTEs (each picks max
+    * `0.5·sim − 0.5·max_{picked} pairSim`, id ASC tie-break — pick 1's
+    * penalty term is 0, the operator's documented empty-set convention).
+    */
+  private def mmrOracle(k: Int, candK: Int): String = {
+    val half = "CAST(0.5 AS DOUBLE)"
+    def picked(i: Int) = (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ")
+    val steps = (2 to k).map { i =>
+      s""" s$i AS (SELECT c.id, $half * c.sim - $half * (SELECT MAX(p.s) FROM pair p
+         |    WHERE p.ia = c.id AND p.ib IN (${picked(i)})) AS mmr, c.sim
+         |  FROM cand c WHERE c.id NOT IN (${picked(i)})
+         |  ORDER BY mmr DESC, c.id ASC LIMIT 1)""".stripMargin
+    }
+    val finals = (1 to k).map(i =>
+      s"SELECT '0' AS qid, CAST($i AS BIGINT) AS rn, id, round(mmr, 6) AS mmr, round(sim, 6) AS sim FROM s$i")
+    s"""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+       | cand AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS de,
+       |     list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(e AS DOUBLE[])) AS sim
+       |   FROM embeddings, q ORDER BY sim DESC, id ASC LIMIT $candK),
+       | pair AS (SELECT a.id AS ia, b.id AS ib, list_cosine_similarity(a.de, b.de) AS s
+       |   FROM cand a JOIN cand b ON a.id <> b.id),
+       |${(s" s1 AS (SELECT id, $half * sim AS mmr, sim FROM cand ORDER BY sim DESC, id ASC LIMIT 1)" +: steps).mkString(",\n")}
+       |${finals.mkString("\n UNION ALL ")}""".stripMargin
+  }
 
   /** Exact shingle-3 Jaccard oracle (used by BOTH x2 minhash — whose LSH+
     * verify output must equal the exact pair set — and x4 exact ngram).

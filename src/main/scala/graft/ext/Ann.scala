@@ -208,6 +208,102 @@ object Ann {
       .select(col("qid"), col("rn"), col("id"), col("sim"))
   }
 
+  /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein, SIGIR 1998):
+    * greedy top-k where each pick maximizes
+    * `λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s)` (the max is 0 while
+    * nothing is picked, so pick 1 is the plain argmax of relevance; ties
+    * break by id ASC). The diversity re-rank a retrieval-augmented or
+    * curation pipeline applies on top of its candidate arm.
+    *
+    * Scale shape: the CANDIDATE arm is the distributed part — per query a
+    * TakeOrderedAndProject top-`candK` (per-partition heaps, never a corpus
+    * sort); the greedy selection is O(k·candK·dim) arithmetic over that
+    * candK-bounded set, driver-side by the same boundedness contract as the
+    * Ivf centroid train (candK is an API constant, not data-dependent).
+    * Corpus ids are compared as strings (cast) for cross-type determinism.
+    *
+    * Output: (qid, rn, id, mmr, sim) — `mmr` is the score AT SELECTION TIME,
+    * `sim` the plain relevance.
+    */
+  def mmrRerank(corpus: DataFrame, queries: Seq[(String, Seq[Float])], k: Int,
+                candK: Int = 50, lambda: Double = 0.5,
+                idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && candK >= k, "need candK >= k >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda in [0,1]")
+    require(queries.nonEmpty, "mmrRerank needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size, "duplicate query ids")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("string").as("id"),
+        col(embCol).cast(ArrayType(FloatType)).as("emb"))
+      .filter(col("emb").isNotNull)
+    val out = queries.flatMap { case (qid, qvec) =>
+      val cands = base
+        .withColumn("sim", VectorFunctions.cosine(col("emb"), VectorFunctions.vecLit(qvec)))
+        .orderBy(col("sim").desc, col("id").asc).limit(candK)
+        .select("id", "emb", "sim")
+        .collect() // ≤ candK rows by contract
+        .map(r => (r.getString(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      val n = cands.length
+      val picked = new Array[Int](math.min(k, n))
+      val taken = new Array[Boolean](n)
+      val maxToSel = new Array[Double](n) // max sim to the picked set; 0 while empty
+      var step = 0
+      while (step < picked.length) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val s = lambda * cands(i)._3 - (1.0 - lambda) * maxToSel(i)
+            // strict > keeps the smallest id among equal scores (ASC
+            // tie-break: candidates iterate in (sim desc, id asc) order,
+            // but equal MMR scores can pair a low-sim/low-penalty candidate
+            // with a high-sim/high-penalty one in either id order)
+            if (s > bestScore || (s == bestScore && best >= 0 && cands(i)._1 < cands(best)._1)) {
+              best = i; bestScore = s
+            }
+          }
+          i += 1
+        }
+        picked(step) = best
+        taken(best) = true
+        val be = cands(best)._2
+        i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val c = VectorFunctions.cosineMin(cands(i)._2, be)
+            if (c > maxToSel(i)) maxToSel(i) = c
+          }
+          i += 1
+        }
+        step += 1
+      }
+      picked.zipWithIndex.map { case (ci, rk) =>
+        val s = cands(ci)
+        val mmr = lambda * s._3 - (1.0 - lambda) * (if (rk == 0) 0.0 else mmrPenalty(cands, picked, rk, ci))
+        (qid, (rk + 1).toLong, s._1, mmr, s._3)
+      }
+    }
+    out.toDF("qid", "rn", "id", "mmr", "sim")
+  }
+
+  /** The max-similarity penalty candidate `ci` had against the first `rk`
+    * picks — recomputed exactly as at selection time (the in-loop maxToSel
+    * is overwritten as later picks land, so the reported score re-derives).
+    */
+  private def mmrPenalty(cands: Array[(String, Array[Float], Double)],
+                         picked: Array[Int], rk: Int, ci: Int): Double = {
+    var m = 0.0
+    var j = 0
+    while (j < rk) {
+      val c = VectorFunctions.cosineMin(cands(ci)._2, cands(picked(j))._2)
+      if (c > m) m = c
+      j += 1
+    }
+    m
+  }
+
   /** Recall@k of `approx` against `exact` (both (qid, rn, id, …) frames
     * truncated at k): |approx ∩ exact| / |exact|.
     */

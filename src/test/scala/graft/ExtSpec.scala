@@ -832,6 +832,36 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("mmrRerank: diversity beats redundancy; lambda=1 degenerates to exact order") {
+    // q is NOT aligned with any doc (a query on the first pick's axis makes
+    // penalty ≡ sim and ties everything); e1/e2 near-identical and closest
+    // to q, e3 distinct but still relevant
+    val corpus = Seq(
+      ("e1", Array(1.0f, 0.0f, 0.0f)),
+      ("e2", Array(0.99f, 0.0f, 0.01f)),
+      ("e3", Array(0.2f, 1.0f, 0.0f)),
+      ("e4", Array(0.0f, 0.0f, 1.0f))
+    ).toDF("id", "embedding")
+    val q = Seq(1.0f, 0.2f, 0.0f)
+    val mmr = Ann.mmrRerank(corpus, Seq("q" -> q), k = 3, candK = 4, lambda = 0.5)
+      .orderBy("rn").collect().map(r => (r.getLong(1), r.getString(2)))
+    // pick1 = e1 (argmax sim); pick2 = e3 (e2's redundancy penalty ~1 kills it)
+    assert(mmr.take(2).toSeq === Seq((1L, "e1"), (2L, "e3")))
+    // lambda=1: pure relevance — identical order to exactTopK
+    val pure = Ann.mmrRerank(corpus, Seq("q" -> q), k = 4, candK = 4, lambda = 1.0)
+      .orderBy("rn").collect().map(_.getString(2)).toSeq
+    val exact = Ann.exactTopK(corpus, Seq("q" -> q), k = 4)
+      .orderBy("rn").collect().map(_.getString(2)).toSeq
+    assert(pure === exact)
+    // mmr score of pick 1 is lambda*sim; ranks are 1-based and dense
+    val r1 = Ann.mmrRerank(corpus, Seq("q" -> q), k = 2, candK = 4, lambda = 0.5)
+      .filter(col("rn") === 1).collect().head
+    assert(math.abs(r1.getDouble(3) - 0.5 * r1.getDouble(4)) < 1e-12)
+    intercept[IllegalArgumentException](Ann.mmrRerank(corpus, Seq("q" -> q), k = 5, candK = 4))
+    intercept[IllegalArgumentException](
+      Ann.mmrRerank(corpus, Seq("q" -> q, "q" -> q), k = 2, candK = 4))
+  }
+
   test("poolEmbeddings: hand-checkable mean, L2 norm, NULL chunks ignored, all-NULL drops") {
     val ch = Seq(
       ("a", Array(1.0f, 0.0f)), ("a", Array(3.0f, 0.0f)),   // mean (2,0) -> unit (1,0)
