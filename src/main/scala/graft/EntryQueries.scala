@@ -1864,6 +1864,23 @@ object EntryQueries {
                |WHERE doc_id % 5 <> 0 AND NOT EXISTS (
                |  SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0 AND r.text = d.text)""".stripMargin)),
 
+    ("x57_lexical_diversity", (s: SparkSession, sfDir: String) =>
+      TextStats.lexicalDiversity(
+        s.read.parquet(s"$sfDir/documents.parquet").withColumn("content", col("text")),
+        groupCol = "source")
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(col("ttr"), 6).as("ttr"),
+          round(col("hapax_ratio"), 6).as("hapax_ratio"),
+          round(col("top_token_share"), 6).as("top_token_share")),
+      Some(s"""WITH tok AS (SELECT source, unnest($Toks) AS t FROM documents),
+              | tc AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+              |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+              |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+              |  round(COUNT(*) * CAST(1.0 AS DOUBLE) / SUM(c), 6) AS ttr,
+              |  round(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * CAST(1.0 AS DOUBLE) / COUNT(*), 6) AS hapax_ratio,
+              |  round(MAX(c) * CAST(1.0 AS DOUBLE) / SUM(c), 6) AS top_token_share
+              |FROM tc GROUP BY source""".stripMargin)),
+
     // MMR diversity re-rank: the oracle UNROLLS the greedy selection (k
     // chained argmax CTEs over the candidate pair-similarity matrix) — an
     // independent DuckDB replay of selection order, scores, and tie-breaks,

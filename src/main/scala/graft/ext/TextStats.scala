@@ -660,4 +660,34 @@ object TextStats {
     df.withColumn("content_norm", trimmed)
       .withColumn("changed", coalesce(col("content_norm") =!= c0, lit(false)))
   }
+
+  /** Lexical-diversity report per corpus group — the vocabulary-health
+    * signals a mixture designer reads next to [[corpusStats]]: per group,
+    * token and type (distinct-token) counts, type-token ratio, hapax ratio
+    * (share of types occurring exactly once — low = templated/boilerplate
+    * text), and the most-frequent token's share of all tokens (high = a
+    * degenerate repeated token dominates the group). Tokenization is THE
+    * shared [[graft.functions.TextFunctions.tokens]] definition.
+    *
+    * Scale: one map-side-combined (group, token) count agg — the same
+    * skinny shuffle shape as [[tokenCardinality]]'s exact arm — then a
+    * #types-row per-group roll-up; nothing corpus-sized crosses the wire
+    * and no per-doc state survives the first aggregate.
+    */
+  def lexicalDiversity(df: DataFrame, groupCol: String,
+                       contentCol: String = "content"): DataFrame = {
+    val tok = df.select(col(groupCol).as("g"),
+        explode(TextFunctions.tokens(col(contentCol))).as("t"))
+      .groupBy(col("g"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    tok.groupBy(col("g"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max(col("c")).as("__top"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types")).as("hapax_ratio"),
+        (col("__top").cast("double") / col("n_tokens")).as("top_token_share"))
+  }
 }

@@ -832,6 +832,19 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("lexicalDiversity: hand-counted TTR, hapax ratio, top-token share per group") {
+    val d = Seq(
+      ("s1", "a a a b c"),   // tokens 5, types 3 (a:3 b:1 c:1), hapax 2, top 3
+      ("s1", "b d"),         // s1 total: tokens 7, types 4 (a:3 b:2 c:1 d:1), hapax 2, top 3
+      ("s2", "x y z")        // tokens 3, types 3, hapax 3, top 1
+    ).toDF("source", "content")
+    val out = TextStats.lexicalDiversity(d, "source").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out("s1") === ((7L, 4L, 2L, 4.0 / 7, 2.0 / 4, 3.0 / 7)))
+    assert(out("s2") === ((3L, 3L, 3L, 1.0, 1.0, 1.0 / 3)))
+  }
+
   test("mmrRerank: diversity beats redundancy; lambda=1 degenerates to exact order") {
     // q is NOT aligned with any doc (a query on the first pick's axis makes
     // penalty ≡ sim and ties everything); e1/e2 near-identical and closest
