@@ -1864,6 +1864,39 @@ object EntryQueries {
                |WHERE doc_id % 5 <> 0 AND NOT EXISTS (
                |  SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0 AND r.text = d.text)""".stripMargin)),
 
+    // Funnel analytics over the events table: greedy-earliest chain
+    // view → click → purchase within 3 days. x58 = the batch chained-min
+    // report; x59 = the flatMapGroupsWithState arm executed in batch mode
+    // (Spark runs the same state function with empty state) — both against
+    // the same chained-min CTE oracle.
+    ("x58_funnel", (s: SparkSession, sfDir: String) =>
+      EventStreams.funnel(eventsFrame(s, sfDir), Seq("view", "click", "purchase"),
+        within = Some("3 days"))
+        .select(col("user_id"), unix_micros(col("t1")).as("t1_us"),
+          unix_micros(col("t2")).as("t2_us"), unix_micros(col("t3")).as("t3_us"),
+          col("duration_us")),
+      Some("""WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+             | t2 AS (SELECT e.user_id, t1.t1, MIN(e.ts) AS t2 FROM events e JOIN t1 ON e.user_id = t1.user_id
+             |        WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1, 2),
+             | t3 AS (SELECT e.user_id, t2.t1, t2.t2, MIN(e.ts) AS t3 FROM events e JOIN t2 ON e.user_id = t2.user_id
+             |        WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1, 2, 3)
+             |SELECT user_id, epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us, epoch_us(t3) AS t3_us,
+             |       CAST(epoch_us(t3) - epoch_us(t1) AS BIGINT) AS duration_us
+             |FROM t3 WHERE t3 <= t1 + INTERVAL 3 DAY""".stripMargin)),
+
+    ("x59_funnel_stateful", (s: SparkSession, sfDir: String) =>
+      EventStreams.funnelStateful(eventsFrame(s, sfDir),
+        Seq("view", "click", "purchase"), within = Some("3 days"))
+        .select(col("user_id"), unix_micros(col("t_first")).as("t_first_us"),
+          unix_micros(col("t_last")).as("t_last_us")),
+      Some("""WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+             | t2 AS (SELECT e.user_id, t1.t1, MIN(e.ts) AS t2 FROM events e JOIN t1 ON e.user_id = t1.user_id
+             |        WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1, 2),
+             | t3 AS (SELECT e.user_id, t2.t1, t2.t2, MIN(e.ts) AS t3 FROM events e JOIN t2 ON e.user_id = t2.user_id
+             |        WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1, 2, 3)
+             |SELECT user_id, epoch_us(t1) AS t_first_us, epoch_us(t3) AS t_last_us
+             |FROM t3 WHERE t3 <= t1 + INTERVAL 3 DAY""".stripMargin)),
+
     ("x57_lexical_diversity", (s: SparkSession, sfDir: String) =>
       TextStats.lexicalDiversity(
         s.read.parquet(s"$sfDir/documents.parquet").withColumn("content", col("text")),

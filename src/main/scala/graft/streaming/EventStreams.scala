@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Structured-Streaming-first event aggregation (new-scope — the reference
   * is strictly batch; SURVEY §2.3). The SAME transform serves both a
@@ -120,4 +121,119 @@ object EventStreams {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col(userCol), col("n_events"), col("sum_value"))
   }
+
+  /** Batch funnel report: per user, the GREEDY-EARLIEST completion of the
+    * ordered step sequence — t1 = first `steps(0)` event, t_i = first
+    * `steps(i-1)` event strictly after t_{i-1} — kept only when the chain
+    * completes within `within` of t1 (None = no time bound). This is the
+    * standard funnel-analytics convention: conversion is measured from the
+    * user's FIRST entry into the funnel, so a user who dawdles past the
+    * window on their first attempt counts as un-converted even if a later
+    * attempt was faster.
+    *
+    * Output: (user, t_1..t_n, duration_us). Deterministic: chains are
+    * unique by construction (each t_i is a min).
+    *
+    * Scale: step i touches ONLY `event_type = steps(i)` rows (predicate
+    * pushed to the scan) joined against the per-user chain frame (one row
+    * per user still in the funnel — shrinking monotonically), so each of
+    * the n−1 hops is a skinny map-side-combined agg over a single step's
+    * events, never a per-user collect_list that buffers a hot user's whole
+    * history.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             within: Option[String] = None, tsCol: String = "ts",
+             userCol: String = "user_id",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    var acc = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    var i = 2
+    steps.tail.foreach { s =>
+      val prevCols = col(userCol) +: (1 until i).map(j => col(s"t$j"))
+      acc = events.filter(col(typeCol) === s)
+        .join(acc, Seq(userCol))
+        .filter(col(tsCol) > col(s"t${i - 1}"))
+        .groupBy(prevCols: _*)
+        .agg(min(col(tsCol)).as(s"t$i"))
+      i += 1
+    }
+    val n = steps.size
+    val dur = (unix_micros(col(s"t$n")) - unix_micros(col("t1"))).as("duration_us")
+    val bounded = within.fold(acc)(w =>
+      acc.filter(col(s"t$n") <= col("t1") + expr(s"INTERVAL $w")))
+    bounded.select(col(userCol) +: (1 to n).map(j => col(s"t$j")) :+ dur: _*)
+  }
+
+  /** Streaming sibling of [[funnel]] via `flatMapGroupsWithState` — the
+    * per-key custom-state family. Per user the state is the greedy chain so
+    * far (n timestamps + a done flag — O(steps) bytes, NOT the user's event
+    * history), advanced as micro-batches arrive; a completion emits ONCE,
+    * when the last step lands (inside `within` of the chain head, if set).
+    *
+    * Same greedy-earliest convention as [[funnel]]: equal results when each
+    * user's events arrive in event-time order across micro-batches (the
+    * in-order log-ingest case; WITHIN a micro-batch arrival order never
+    * matters — the group sorts by event time before advancing). Works on a
+    * batch Dataset too (Spark runs the same function with empty state),
+    * which is how the spec pins stream ≡ batch ≡ [[funnel]].
+    */
+  def funnelStateful(events: DataFrame, steps: Seq[String],
+                     within: Option[String] = None, tsCol: String = "ts",
+                     userCol: String = "user_id",
+                     typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = steps.size
+    val withinMicros: Option[Long] = within.map { w =>
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w))
+      require(iv.months == 0, "funnel `within` must be a fixed-length interval")
+      iv.days * 86400000000L + iv.microseconds
+    }
+    val ds = events.select(col(userCol).cast("long").as("user_id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(typeCol).cast("string").as("event_type"))
+      .as[FunnelEvent]
+    val stepsArr = steps.toIndexedSeq
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(FunnelState(Seq.empty, done = false))
+          if (st.done) Iterator.empty
+          else {
+            var chain = st.chain
+            var emitted: Option[(Long, Long, Long)] = None
+            // event-time order within the batch; micros for exact arithmetic
+            val sorted = it.map(e => (e.ts.getTime * 1000L +
+              (e.ts.getNanos / 1000L) % 1000L, e.event_type)).toArray.sortBy(_._1)
+            var k = 0
+            while (k < sorted.length && emitted.isEmpty) {
+              val (ts, tpe) = sorted(k)
+              if (chain.size < n && tpe == stepsArr(chain.size) &&
+                (chain.isEmpty || ts > chain.last)) {
+                chain = chain :+ ts
+                if (chain.size == n && withinMicros.forall(chain.last - chain.head <= _))
+                  emitted = Some((uid, chain.head, chain.last))
+              }
+              k += 1
+            }
+            state.update(FunnelState(chain, done = chain.size == n))
+            emitted.iterator
+          }
+      }
+      .toDF("user_id", "t_first_us", "t_last_us")
+      .select(col("user_id"), timestamp_micros(col("t_first_us")).as("t_first"),
+        timestamp_micros(col("t_last_us")).as("t_last"))
+  }
 }
+
+/** Typed row of [[EventStreams.funnelStateful]]'s input (public: Spark's
+  * encoder codegen instantiates it from generated classes).
+  */
+case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+/** Per-user funnel state: greedy chain (epoch micros) + completion flag. */
+case class FunnelState(chain: Seq[Long], done: Boolean)

@@ -832,6 +832,56 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("funnel: greedy-earliest chain, strict ordering, within bound; stateful ≡ batch ≡ stream") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val evs = Seq(
+      // u1 completes inside 1 hour: view 00:00, click 00:10, purchase 00:30
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:10:00"), "click"),
+      (1L, ts("2024-01-01 00:30:00"), "purchase"),
+      // u2: greedy chain (view 00:00 -> click 02:00 -> purchase 02:30)
+      // exceeds the 1 h bound even though a later view would have fit
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-01 02:00:00"), "view"),
+      (2L, ts("2024-01-01 02:00:00"), "click"),
+      (2L, ts("2024-01-01 02:30:00"), "purchase"),
+      // u3: click BEFORE the first view never counts (strict order)
+      (3L, ts("2024-01-01 00:05:00"), "click"),
+      (3L, ts("2024-01-01 00:10:00"), "view"),
+      (3L, ts("2024-01-01 00:20:00"), "purchase")
+    )
+    val df = evs.toDF("user_id", "ts", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    val batch = EventStreams.funnel(df, steps, within = Some("1 hour"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(3)))
+    assert(batch.toSeq === Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00"))))
+    // unbounded: u2's greedy chain completes (02:30), u3 never does
+    val open = EventStreams.funnel(df, steps).collect().map(_.getLong(0)).toSet
+    assert(open === Set(1L, 2L))
+    // stateful in batch mode = same rows
+    val st = EventStreams.funnelStateful(df, steps, within = Some("1 hour"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+    assert(st.toSeq === Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00"))))
+    // streaming over two in-order micro-batches (u1's chain SPANS the batch
+    // boundary): same single completion, emitted once
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val sdf = mem.toDF().toDF("user_id", "ts", "event_type")
+    val q = EventStreams.funnelStateful(sdf, steps, within = Some("1 hour"))
+      .writeStream.format("memory").queryName("funnel_out").outputMode("append").start()
+    mem.addData(evs.filter(_._2.before(ts("2024-01-01 00:15:00"))): _*)
+    q.processAllAvailable()
+    mem.addData(evs.filterNot(_._2.before(ts("2024-01-01 00:15:00"))): _*)
+    q.processAllAvailable()
+    // a replayed later event for an already-done user must NOT re-emit
+    mem.addData((1L, ts("2024-01-01 03:00:00"), "purchase"))
+    q.processAllAvailable()
+    val streamed = spark.table("funnel_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+    q.stop()
+    assert(streamed.toSeq === st.toSeq)
+  }
+
   test("lexicalDiversity: hand-counted TTR, hapax ratio, top-token share per group") {
     val d = Seq(
       ("s1", "a a a b c"),   // tokens 5, types 3 (a:3 b:1 c:1), hapax 2, top 3
