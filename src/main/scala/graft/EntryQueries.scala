@@ -477,6 +477,26 @@ object EntryQueries {
               |       id, round(sim, 6) AS rank
               |FROM sc ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin)),
 
+    // vector search COMBINED with a metadata filter (reference supports
+    // both in one query, core.py:506-516: where filters the scored set) —
+    // the filter applies BEFORE ranking, so the page fills with qualifying
+    // neighbors instead of dropping filtered ones from a pre-cut top-k
+    ("q5b_vector_where", (s: SparkSession, sfDir: String) => {
+      val q = queryVec(s, sfDir).mkString(",")
+      val page = vecsColl(s, sfDir).queryFrame(q, limit = 10, vectorSearch = true,
+        where = Map("label" -> Map("$gte" -> 5)))
+      page.withColumn("rn", row_number().over(
+          Window.orderBy(col("rank").desc, col("id").asc)))
+        .select(col("rn").cast("long").as("rn"), col("id"), round(col("rank"), 6).as("rank"))
+    }, Some("""WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+              | sc AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+              |          list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(e AS DOUBLE[])) AS sim
+              |        FROM embeddings, q
+              |        WHERE TRY_CAST(CAST(label AS VARCHAR) AS DOUBLE) >= 5)
+              |SELECT CAST(row_number() OVER (ORDER BY sim DESC, id ASC) AS BIGINT) AS rn,
+              |       id, round(sim, 6) AS rank
+              |FROM sc ORDER BY sim DESC, id ASC LIMIT 10""".stripMargin)),
+
     ("q6_meta_eq", (s: SparkSession, sfDir: String) =>
       mainColl(s, sfDir).queryFrame(where = Map("lang" -> "de")).select("id"),
       Some(s"SELECT $DocId AS id FROM documents WHERE lang = 'de'")),
@@ -962,6 +982,17 @@ object EntryQueries {
                |WHERE ('0x' || substr(md5($DocId), 1, 12))::BIGINT % 1000000 <
                |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                |            WHEN 'zh' THEN 100000 ELSE 50000 END""".stripMargin)),
+
+    ("x60_sample_weighted", (s: SparkSession, sfDir: String) => {
+      // quality-proportional selection: keep probability = n_chars/600
+      // (clamped) — a pure function of (seed, id, weight), replayed exactly
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"),
+          (col("n_chars") / 600.0).as("w"), col("source"))
+      Pipeline.sampleWeighted(d, "w", seed = 7L).select("id", "source")
+    }, Some(s"""SELECT $DocId AS id, source FROM documents
+               |WHERE ('0x' || substr(md5('7:' || $DocId), 1, 12))::BIGINT % 1000000 <
+               |  CAST(floor(LEAST(GREATEST(n_chars / CAST(600.0 AS DOUBLE), 0), 1) * 1000000) AS BIGINT)""".stripMargin)),
 
     ("x22_mix_corpora", (s: SparkSession, sfDir: String) => {
       // training-mixture weighting: downsample 3 sources toward a 6000-token

@@ -63,6 +63,27 @@ object Pipeline {
     docs.filter(md5Mod(col(idCol), Precision) < threshold)
   }
 
+  /** Deterministic per-row WEIGHTED sampling: keep a row iff
+    * `md5Mod(seed:id, 1e6) < clamp(weightCol, 0, 1) · 1e6` — quality-score-
+    * proportional corpus selection (keep good docs with probability ≈ their
+    * score), the continuous sibling of [[sampleStratified]]'s per-stratum
+    * fractions. NULL weights keep nothing. Same determinism contract: a pure
+    * function of (seed, id, weight), so membership is stable across runs,
+    * engines, retries, and corpus growth, and re-running with a new seed is
+    * an independent draw.
+    *
+    * Scale: one codegen'd zero-shuffle scan.
+    */
+  def sampleWeighted(docs: DataFrame, weightCol: String, seed: Long = 0L,
+                     idCol: String = "id"): DataFrame = {
+    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
+    // explicit floor: Spark's double->long cast truncates but DuckDB's
+    // rounds — floor() is the portable threshold both engines agree on
+    docs.filter(
+      md5Mod(concat_ws(":", lit(seed), col(idCol)), Precision) <
+        floor(w * Precision).cast("long"))
+  }
+
   /** Greedy token-budget subsample — "give me ~N tokens per source", the
     * budget-shaped cousin of [[sampleStratified]]'s fraction-shaped draw:
     * docs are ordered per group by the deterministic draw `md5(seed:id)`

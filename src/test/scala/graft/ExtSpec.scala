@@ -832,6 +832,26 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("sampleWeighted: weight 1 keeps all, 0/NULL keep none, clamped, seed-stable, zero shuffle") {
+    val d = (1 to 400).map(i => (s"d$i", i.toDouble / 400)).toDF("id", "w")
+    val kept = Pipeline.sampleWeighted(d, "w", seed = 3L)
+    val n = kept.count()
+    assert(n > 100 && n < 300) // E ≈ 200: the draw tracks the weight
+    // determinism + seed independence
+    assert(Pipeline.sampleWeighted(d, "w", seed = 3L).collect().toSeq === kept.collect().toSeq)
+    assert(Pipeline.sampleWeighted(d, "w", seed = 4L).count() !== n)
+    val edge = Seq[(String, java.lang.Double)](("a", 1.0), ("b", 0.0), ("c", null),
+      ("d", 2.5), ("e", -1.0)).toDF("id", "w")
+    val ids = Pipeline.sampleWeighted(edge, "w").select("id").as[String].collect().toSet
+    assert(ids.contains("a") && !ids.contains("b") && !ids.contains("c") && !ids.contains("e"))
+    assert(ids.contains("d")) // clamped to 1 -> always kept
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try assert(Pipeline.sampleWeighted(d, "w").queryExecution.executedPlan
+      .collect { case s: ShuffleExchangeExec => s }.isEmpty)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("funnel: greedy-earliest chain, strict ordering, within bound; stateful ≡ batch ≡ stream") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val evs = Seq(
