@@ -983,6 +983,25 @@ object EntryQueries {
                |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                |            WHEN 'zh' THEN 100000 ELSE 50000 END""".stripMargin)),
 
+    // Per-source length quantiles: the EXACT arm is value-checked against
+    // DuckDB quantile_cont (same linear interpolation); the sketch arm
+    // (approx_percentile) is gated Spark-side by the principled rank-error
+    // bound — its q must land between the exact quantiles at p ± ε·slack —
+    // because a mergeable sketch's exact output is partitioning-dependent
+    // (the x49 HLL pattern).
+    ("x61_quantiles", (s: SparkSession, sfDir: String) =>
+      TextStats.lengthQuantiles(
+        s.read.parquet(s"$sfDir/documents.parquet").withColumn("content", col("text")),
+        groupCol = "source")
+        .select(col("source"), col("p"), round(col("q_exact"), 6).as("q_exact"),
+          col("approx_ok")),
+      Some("""WITH a AS (SELECT source,
+             |    quantile_cont(length(text), [0.25, 0.5, 0.75, 0.95]) AS qs
+             |  FROM documents GROUP BY source)
+             |SELECT source, unnest([CAST(0.25 AS DOUBLE), 0.5, 0.75, 0.95]) AS p,
+             |       round(unnest(qs), 6) AS q_exact, true AS approx_ok
+             |FROM a""".stripMargin)),
+
     ("x60_sample_weighted", (s: SparkSession, sfDir: String) => {
       // quality-proportional selection: keep probability = n_chars/600
       // (clamped) — a pure function of (seed, id, weight), replayed exactly

@@ -661,6 +661,46 @@ object TextStats {
       .withColumn("changed", coalesce(col("content_norm") =!= c0, lit(false)))
   }
 
+  /** Per-group length-distribution quantiles, exact AND sketched — at
+    * 100 TB the sketch IS the operator: `approx_percentile` keeps a bounded
+    * mergeable KLL/GK-style summary per group (state ∝ accuracy, not rows)
+    * where the exact arm must shuffle and sort every value. Both arms are
+    * emitted so small-scale runs can verify the sketch before trusting it
+    * at scale; the principled check is the RANK-ERROR bound (ε = 1/accuracy):
+    * the sketched quantile at p must land between the EXACT quantiles at
+    * p ± ε·slack. Output: one row per (group, p) with `q_exact`, `q_approx`,
+    * and `approx_ok` (that bound).
+    */
+  def lengthQuantiles(df: DataFrame, groupCol: String,
+                      contentCol: String = "content",
+                      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+                      accuracy: Int = 10000, slack: Double = 100.0): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      "probs must be in [0, 1]")
+    val eps = slack / accuracy
+    def arr(ps: Seq[Double]) = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val lo = probs.map(p => math.max(0.0, p - eps))
+    val hi = probs.map(p => math.min(1.0, p + eps))
+    val agg = df
+      .select(col(groupCol).as("g"), length(col(contentCol)).cast("long").as("__len"))
+      .groupBy(col("g"))
+      .agg(expr(s"percentile(__len, ${arr(probs)})").as("__ex"),
+        expr(s"approx_percentile(__len, ${arr(probs)}, $accuracy)").as("__ap"),
+        expr(s"percentile(__len, ${arr(lo)})").as("__lo"),
+        expr(s"percentile(__len, ${arr(hi)})").as("__hi"))
+    agg.select(col("g") +: probs.indices.map(i =>
+        struct(lit(probs(i)).as("p"),
+          element_at(col("__ex"), i + 1).as("q_exact"),
+          element_at(col("__ap"), i + 1).cast("double").as("q_approx"),
+          (element_at(col("__ap"), i + 1).cast("double")
+            .between(element_at(col("__lo"), i + 1), element_at(col("__hi"), i + 1)))
+            .as("approx_ok")).as(s"__s$i")): _*)
+      .select(col("g"), explode(array(probs.indices.map(i => col(s"__s$i")): _*)).as("__q"))
+      .select(col("g").as(groupCol), col("__q.p").as("p"),
+        col("__q.q_exact").as("q_exact"), col("__q.q_approx").as("q_approx"),
+        col("__q.approx_ok").as("approx_ok"))
+  }
+
   /** Lexical-diversity report per corpus group — the vocabulary-health
     * signals a mixture designer reads next to [[corpusStats]]: per group,
     * token and type (distinct-token) counts, type-token ratio, hapax ratio

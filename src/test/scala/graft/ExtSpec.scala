@@ -832,6 +832,18 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("lengthQuantiles: exact interpolated values; sketch lands inside the rank-error bound") {
+    // group g: lengths 1..9 chars ("a", "aa", ...) — exact quartiles are
+    // closed-form: q(p) = 1 + 8p (linear interpolation over 9 points)
+    val d = (1 to 9).map(i => ("g", "a" * i)).toDF("source", "content")
+    val out = TextStats.lengthQuantiles(d, "source", probs = Seq(0.25, 0.5, 0.75))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getBoolean(4))).sortBy(_._1)
+    assert(out.map(x => (x._1, x._2)).toSeq === Seq((0.25, 3.0), (0.5, 5.0), (0.75, 7.0)))
+    assert(out.forall(_._3), "sketch outside the rank-error bound on 9 rows")
+    intercept[IllegalArgumentException](
+      TextStats.lengthQuantiles(d, "source", probs = Seq(1.5)))
+  }
+
   test("sampleWeighted: weight 1 keeps all, 0/NULL keep none, clamped, seed-stable, zero shuffle") {
     val d = (1 to 400).map(i => (s"d$i", i.toDouble / 400)).toDF("id", "w")
     val kept = Pipeline.sampleWeighted(d, "w", seed = 3L)
