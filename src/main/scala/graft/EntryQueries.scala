@@ -1914,6 +1914,18 @@ object EntryQueries {
                |WHERE doc_id % 5 <> 0 AND NOT EXISTS (
                |  SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0 AND r.text = d.text)""".stripMargin)),
 
+    // Trailing 6 h rolling count/sum per user — RANGE-frame window with
+    // equal-ts peers in frame on both engines.
+    ("x62_rolling_agg", (s: SparkSession, sfDir: String) =>
+      EventStreams.rollingAgg(eventsFrame(s, sfDir), Seq("user_id"), "6 hours")
+        .select(col("event_id"), col("user_id"), col("n_window"),
+          round(col("sum_window"), 6).as("sum_window")),
+      Some("""SELECT event_id, user_id, COUNT(*) OVER w AS n_window,
+             |       round(SUM(value) OVER w, 6) AS sum_window
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |             RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // Funnel analytics over the events table: greedy-earliest chain
     // view → click → purchase within 3 days. x58 = the batch chained-min
     // report; x59 = the flatMapGroupsWithState arm executed in batch mode

@@ -122,6 +122,37 @@ object EventStreams {
         col(userCol), col("n_events"), col("sum_value"))
   }
 
+  /** Per-key TRAILING event-time rolling aggregate: every event row gains
+    * `n_window` / `sum_window` over the key's events in `[ts − window, ts]`
+    * (inclusive; equal-timestamp peers are all in frame — the RANGE-frame
+    * convention both engines share). The per-event sibling of [[windowAgg]]:
+    * a moving activity/velocity feature ("purchases in the 6 h before this
+    * event") rather than a tumbling report.
+    *
+    * Scale: one hash shuffle on the key + per-key sort; the RANGE frame is
+    * evaluated incrementally by the window operator (two moving frame
+    * pointers — never a per-row rescan of the trailing window). Batch-only:
+    * the continuous analogue is the stream-stream [[intervalJoin]].
+    */
+  def rollingAgg(events: DataFrame, keys: Seq[String], window: String,
+                 tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(window))
+    require(iv.months == 0, "rollingAgg window must be a fixed-length interval")
+    val us = iv.days * 86400000000L + iv.microseconds
+    require(us > 0, "rollingAgg window must be positive")
+    // working column rides on the caller's frame: collision-free name
+    val tsUs = graft.ext.WorkingColumns.fresh(events, "__ts_us")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(tsUs))
+      .rangeBetween(-us, 0)
+    events.withColumn(tsUs, unix_micros(col(tsCol)))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window", sum(col(valueCol)).over(w))
+      .drop(tsUs)
+  }
+
   /** Batch funnel report: per user, the GREEDY-EARLIEST completion of the
     * ordered step sequence — t1 = first `steps(0)` event, t_i = first
     * `steps(i-1)` event strictly after t_{i-1} — kept only when the chain

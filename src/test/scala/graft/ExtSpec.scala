@@ -832,6 +832,35 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("rollingAgg: trailing range frame with inclusive bounds and equal-ts peers") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val evs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:30:00"), 2.0),
+      (1L, ts("2024-01-01 01:00:00"), 4.0),  // 1 h boundary: 00:00 still IN frame
+      (1L, ts("2024-01-01 02:30:00"), 8.0),  // all others aged out
+      (1L, ts("2024-01-01 02:30:00"), 16.0), // equal-ts peer: both see both
+      (2L, ts("2024-01-01 00:45:00"), 100.0) // other key unaffected
+    ).toDF("user_id", "ts", "value")
+    val out = EventStreams.rollingAgg(evs, Seq("user_id"), "1 hour")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3), r.getDouble(4)))
+      .sortBy(x => (x._1, x._2.getTime, x._4))
+    assert(out.toSeq === Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-01 00:30:00"), 2L, 3.0),
+      (1L, ts("2024-01-01 01:00:00"), 3L, 7.0),
+      (1L, ts("2024-01-01 02:30:00"), 2L, 24.0),
+      (1L, ts("2024-01-01 02:30:00"), 2L, 24.0),
+      (2L, ts("2024-01-01 00:45:00"), 1L, 100.0)))
+    // caller column named __ts_us survives untouched
+    val poisoned = evs.withColumn("__ts_us", lit("keep"))
+    val p = EventStreams.rollingAgg(poisoned, Seq("user_id"), "1 hour")
+    assert(p.columns.contains("__ts_us") &&
+      p.select("__ts_us").distinct().collect().map(_.getString(0)).toSeq === Seq("keep"))
+    intercept[IllegalArgumentException](EventStreams.rollingAgg(evs, Seq.empty, "1 hour"))
+    intercept[IllegalArgumentException](EventStreams.rollingAgg(evs, Seq("user_id"), "1 month"))
+  }
+
   test("lengthQuantiles: exact interpolated values; sketch lands inside the rank-error bound") {
     // group g: lengths 1..9 chars ("a", "aa", ...) — exact quartiles are
     // closed-form: q(p) = 1 + 8p (linear interpolation over 9 points)
