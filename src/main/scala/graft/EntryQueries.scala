@@ -1988,6 +1988,27 @@ object EntryQueries {
           round(col("mmr"), 6).as("mmr"), round(col("sim"), 6).as("sim"))
     }, Some(mmrOracle(k = 5, candK = 20))),
 
+    // Per-label centroid similarity map: mean embedding per label, pairwise
+    // cosine over the bounded label set (the semantic sibling of the X42
+    // lexical overlap matrix). Oracle replays the per-position mean and the
+    // double cosine.
+    ("x63_centroid_sim", (s: SparkSession, sfDir: String) => {
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("label"), col("embedding"))
+      Pipeline.centroidSimilarity(e, "label")
+        .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+          round(col("sim"), 6).as("sim"))
+    }, Some("""WITH ux AS (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+              |       generate_subscripts(embedding, 1) AS pos FROM embeddings),
+              | mean AS (SELECT label, pos, AVG(x) AS m FROM ux GROUP BY 1, 2),
+              | cnt AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+              | cv AS (SELECT label, list(m ORDER BY pos) AS v FROM mean GROUP BY label)
+              |SELECT a.label AS g_a, b.label AS g_b, ca.n AS n_a, cb.n AS n_b,
+              |       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+              |FROM cv a JOIN cv b ON a.label < b.label
+              |JOIN cnt ca ON ca.label = a.label
+              |JOIN cnt cb ON cb.label = b.label""".stripMargin)),
+
     // Mean-pool chunk embeddings into document embeddings (vec_id % 50 as
     // the owning doc → 50 docs × 10 chunks). The oracle replays the
     // per-position mean and the L2 normalization via zipped unnest +

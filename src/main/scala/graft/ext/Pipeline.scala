@@ -409,4 +409,29 @@ object Pipeline {
       }
     pooled.select(col(idCol), col("n_chunks"), emb.as("embedding"))
   }
+
+  /** Pairwise cosine similarity of per-group MEAN embeddings — the
+    * source-similarity map in embedding space (which corpora cover the same
+    * semantic territory; read next to the X42 n-gram overlap matrix, which
+    * sees lexical overlap only). Unordered pairs (`g_a < g_b`), plus each
+    * group's chunk count.
+    *
+    * Scale: the centroid pass is [[poolEmbeddings]]'s single skinny
+    * map-side-combined shuffle keyed by group; the pair join runs over
+    * #groups rows (tens of sources), bounded by construction. Cosine runs
+    * in double over the double means (the codegen'd float expression would
+    * silently round the centroids).
+    */
+  def centroidSimilarity(chunks: DataFrame, groupCol: String,
+                         embCol: String = "embedding"): DataFrame = {
+    val cent = poolEmbeddings(chunks, idCol = groupCol, embCol = embCol,
+        normalize = false)
+      .select(col(groupCol).as("__g"), col("n_chunks").as("__n"),
+        col("embedding").as("__e"))
+    val a = cent.select(col("__g").as("g_a"), col("__n").as("n_a"), col("__e").as("__ea"))
+    val b = cent.select(col("__g").as("g_b"), col("__n").as("n_b"), col("__e").as("__eb"))
+    a.join(b, col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        graft.functions.VectorFunctions.cosineHof(col("__ea"), col("__eb")).as("sim"))
+  }
 }

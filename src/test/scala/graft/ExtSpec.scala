@@ -832,6 +832,21 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("centroidSimilarity: hand-checkable means, unordered pairs, chunk counts") {
+    val ch = Seq(
+      ("a", Array(1.0f, 0.0f)), ("a", Array(3.0f, 0.0f)), // mean (2,0)
+      ("b", Array(0.0f, 2.0f)),                            // mean (0,2)
+      ("c", Array(1.0f, 1.0f))                             // mean (1,1)
+    ).toDF("source", "embedding")
+    val out = Pipeline.centroidSimilarity(ch, "source").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c"))) // g_a < g_b only
+    assert(out(("a", "b"))._3 === 0.0)
+    assert(math.abs(out(("a", "c"))._3 - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(out(("a", "b"))._1 === 2L && out(("a", "b"))._2 === 1L)
+  }
+
   test("rollingAgg: trailing range frame with inclusive bounds and equal-ts peers") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val evs = Seq(
