@@ -154,9 +154,89 @@ object ProbeScale {
       recordPairs("semdedup", Dedup.semanticDupPairs(vecs, threshold = 0.9,
         numClusters = 256, maxBucket = 4096))
     }
+    // `r8ops` = ingest + the round-8 operators only: bloom dedup-against,
+    // funnel / rolling aggregates over 2M replicated events, mean pooling
+    // over 1M chunk embeddings, MMR over 250k vectors, RRF fusion, lexical
+    // diversity / weighted sampling / quantiles over the 1M-doc corpus.
+    if (mode.contains("r8ops")) {
+      import graft.ext.{Pipeline, TextStats}
+      import graft.streaming.EventStreams
+      // Bloom-gated cross-corpus dedup vs the exact arm, with REAL match
+      // mass: the reference is 500 rows drawn from the corpus itself, so
+      // those contents must drop (plus fpp*1M false positives the sha2
+      // verify arm must clear) and the two arms must agree exactly.
+      val ref = bigDocs.limit(500).select($"id".as("ref_id"), $"content")
+      val keptBloom = time("bloom_dedup_sec")(
+        Dedup.bloomDedupAgainst(bigDocs, ref, refContentCol = "content",
+          expectedItems = 1000L).count())
+      println(s"PROBE   bloom kept = $keptBloom")
+      metrics += ("bloom_kept" -> keptBloom)
+      val keptExact = time("exact_dedup_against_sec")(
+        Dedup.dedupAgainst(bigDocs, ref, refIdCol = "ref_id", near = false).count())
+      println(s"PROBE   exact kept = $keptExact")
+      metrics += ("exact_kept" -> keptExact)
+      require(keptBloom == keptExact, "bloom arm diverged from exact arm")
+      require(keptBloom < n, "reference drawn from the corpus must drop rows")
+
+      // 2M events: 20 shifted replicas of the sf0.1 events table (distinct
+      // user spaces, so funnel/rolling per-user state stays realistic)
+      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+        .select($"ts".cast("timestamp").as("ts"), $"user_id", $"event_type", $"value")
+      val ev = spark.range(20).withColumnRenamed("id", "rep").crossJoin(ev0)
+        .repartition(64)
+        .select($"ts", ($"user_id" + $"rep" * 1000000L).as("user_id"),
+          $"event_type", $"value")
+        .persist()
+      println(s"PROBE events = ${ev.count()}")
+      val fun = time("funnel_2m_sec")(
+        EventStreams.funnel(ev, Seq("view", "click", "purchase"),
+          within = Some("3 days")).count())
+      println(s"PROBE   funnel completions = $fun"); metrics += ("funnel_rows" -> fun)
+      val roll = time("rolling_2m_sec")(
+        EventStreams.rollingAgg(ev, Seq("user_id"), "6 hours")
+          .agg(max($"n_window")).head().getLong(0))
+      println(s"PROBE   max rolling n = $roll"); metrics += ("rolling_max_n" -> roll)
+      ev.unpersist()
+
+      // 1M chunk embeddings pooled into 100k docs (10 chunks/doc)
+      val vbase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id", $"embedding")
+      val chunks = spark.range(500).withColumnRenamed("id", "copy").crossJoin(vbase)
+        .repartition(64)
+        .select(concat($"vec_id" % 100, lit("_"), $"copy").as("id"), $"embedding")
+      val pooled = time("pool_1m_sec")(Pipeline.poolEmbeddings(chunks).count())
+      println(s"PROBE   pooled docs = $pooled"); metrics += ("pooled_docs" -> pooled)
+
+      // MMR + RRF over 250k vectors
+      val vecs = spark.range(125).withColumnRenamed("id", "copy").crossJoin(vbase)
+        .repartition(32)
+        .select(concat($"vec_id", lit("_"), $"copy").as("id"), $"embedding")
+        .persist()
+      println(s"PROBE vectors = ${vecs.count()}")
+      val q0 = vbase.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).toSeq
+      time("mmr_250k_sec")(
+        Ann.mmrRerank(vecs, Seq("0" -> q0), k = 10, candK = 100).count())
+      val q1 = vbase.filter($"vec_id" === 1).select($"embedding").head().getSeq[Float](0).toSeq
+      time("rrf_250k_sec")(graft.exec.Hybrid.rrfFuse(Seq(
+        "a" -> Ann.exactTopK(vecs, Seq(("q", q0)), 100).select($"id", $"sim".as("rank")),
+        "b" -> Ann.exactTopK(vecs, Seq(("q", q1)), 100).select($"id", $"sim".as("rank"))),
+        k = 10, depth = 100).count())
+      vecs.unpersist()
+
+      // 1M-doc text ops
+      val lex = time("lexdiv_1m_sec")(TextStats.lexicalDiversity(
+        bigDocs.withColumn("source", element_at($"metadata", "lang")), "source").count())
+      println(s"PROBE   lex groups = $lex"); metrics += ("lex_groups" -> lex)
+      val sw = time("sample_weighted_1m_sec")(Pipeline.sampleWeighted(
+        bigDocs.withColumn("w", length($"content") / 4000.0), "w").count())
+      println(s"PROBE   weighted kept = $sw"); metrics += ("weighted_kept" -> sw)
+      val qn = time("quantiles_1m_sec")(TextStats.lengthQuantiles(
+        bigDocs.withColumn("source", element_at($"metadata", "lang")), "source").count())
+      println(s"PROBE   quantile rows = $qn"); metrics += ("quantile_rows" -> qn)
+    }
     // `ngonly` = ingest + ngram/simhash only (the partition-scaling twin of
     // mhonly, for the prefix-filter join)
-    if (!mode.contains("ngonly") && !mode.contains("newops")) {
+    if (!mode.contains("ngonly") && !mode.contains("newops") && !mode.contains("r8ops")) {
     // persist the minhash pairs: the clustering stage below consumes them
     // without recomputing the LSH+verify work
     val mhPairs = Dedup.minHashDupPairs(bigDocs, threshold = 0.8).persist()
@@ -180,7 +260,7 @@ object ProbeScale {
         }
     }
     } // end !ngonly
-    if (!mode.contains("mhonly") && !mode.contains("newops")) {
+    if (!mode.contains("mhonly") && !mode.contains("newops") && !mode.contains("r8ops")) {
     recordPairs("ngram_dedup", Dedup.ngramJaccardPairs(bigDocs, threshold = 0.8))
     recordPairs("simhash_dedup", Dedup.simHashDupPairs(bigDocs, maxHamming = 3))
     if (!mode.contains("ngonly")) {
