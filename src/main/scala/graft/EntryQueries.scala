@@ -1988,6 +1988,47 @@ object EntryQueries {
           round(col("mmr"), 6).as("mmr"), round(col("sim"), 6).as("sim"))
     }, Some(mmrOracle(k = 5, candK = 20))),
 
+    // Retrieval evaluation harness: recall/MRR/NDCG@10 of the int8
+    // quantized ranking against the exact float ranking — BOTH arms and the
+    // metric arithmetic replayed exactly in DuckDB (the int8 arm is the
+    // x46 closed-form quantization, so this is a value-checked eval, not a
+    // gate).
+    ("x64_rank_eval", (s: SparkSession, sfDir: String) => {
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val truth = Ann.exactTopK(e, qs, k = 10)
+      val run = Quantize.int8TopK(e, qs, k = 10)
+      Ann.rankingMetrics(truth, run, k = 10)
+        .select(col("qid"), col("n_truth"), col("n_hit"),
+          round(col("recall"), 6).as("recall"), round(col("mrr"), 6).as("mrr"),
+          round(col("ndcg"), 6).as("ndcg"))
+    }, Some("""WITH e AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              | qsrc AS (SELECT CAST(vec_id AS VARCHAR) AS qid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5),
+              | truth AS (SELECT * FROM (SELECT qid, id,
+              |     row_number() OVER (PARTITION BY qid ORDER BY list_cosine_similarity(e.v, qsrc.v) DESC, id ASC) AS rn
+              |   FROM e, qsrc) WHERE rn <= 10),
+              | cz AS (SELECT id, CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+              |     ELSE list_transform(v, x -> floor(x / s + 0.5)) END AS q
+              |   FROM (SELECT id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e)),
+              | qz AS (SELECT qid, CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+              |     ELSE list_transform(v, x -> floor(x / s + 0.5)) END AS q
+              |   FROM (SELECT qid, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM qsrc)),
+              | run AS (SELECT * FROM (SELECT qid, id,
+              |     row_number() OVER (PARTITION BY qid ORDER BY list_cosine_similarity(cz.q, qz.q) DESC, id ASC) AS rn
+              |   FROM cz, qz) WHERE rn <= 10),
+              | tn AS (SELECT qid, COUNT(*) AS n_truth FROM truth GROUP BY 1),
+              | hit AS (SELECT r.qid, COUNT(*) AS n_hit, MIN(r.rn) AS frst,
+              |     SUM(CAST(1.0 AS DOUBLE) / (ln(r.rn + 1.0) / ln(2.0))) AS dcg
+              |   FROM run r JOIN truth t ON r.qid = t.qid AND r.id = t.id GROUP BY 1),
+              | ideal AS (SELECT SUM(CAST(1.0 AS DOUBLE) / (ln(i + 1.0) / ln(2.0))) AS idcg
+              |   FROM range(1, 11) t(i))
+              |SELECT tn.qid, tn.n_truth, COALESCE(hit.n_hit, 0) AS n_hit,
+              |  round(COALESCE(hit.n_hit, 0) * CAST(1.0 AS DOUBLE) / LEAST(10, tn.n_truth), 6) AS recall,
+              |  round(COALESCE(CAST(1.0 AS DOUBLE) / hit.frst, 0), 6) AS mrr,
+              |  round(COALESCE(hit.dcg / ideal.idcg, 0), 6) AS ndcg
+              |FROM tn LEFT JOIN hit ON tn.qid = hit.qid CROSS JOIN ideal""".stripMargin)),
+
     // Per-label centroid similarity map: mean embedding per label, pairwise
     // cosine over the bounded label set (the semantic sibling of the X42
     // lexical overlap matrix). Oracle replays the per-position mean and the

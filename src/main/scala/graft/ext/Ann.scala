@@ -304,6 +304,41 @@ object Ann {
     m
   }
 
+  /** Full ranking-quality evaluation of a retrieval `run` against a `truth`
+    * ranking (both (qid, rn, id, …) frames, 1-based rn) — the retrieval-eval
+    * harness next to [[recallAtK]]'s single scalar: per query,
+    * `recall` = |run∩truth| / min(k, |truth|), `mrr` = 1/rank of the first
+    * true item in the run (0 when none), and binary-relevance `ndcg` =
+    * Σ_{hits} 1/log2(rn+1) over the ideal Σ_{i≤m} 1/log2(i+1). Queries with
+    * an empty run contribute zeros (LEFT join from the truth side).
+    *
+    * log2 is computed as ln(x)/ln(2) — the form an independent engine
+    * replays bit-for-bit.
+    *
+    * Scale: both inputs are already top-k-truncated frames (k·|queries|
+    * rows); one (qid, id) hash join + per-qid agg, nothing corpus-sized.
+    */
+  def rankingMetrics(truth: DataFrame, run: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    def log2(c: Column): Column = log(c) / log(lit(2.0))
+    val t = truth.filter(col("rn") <= k).select(col("qid"), col("id"))
+    val r = run.filter(col("rn") <= k).select(col("qid"), col("rn"), col("id"))
+    val tn = t.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+    val agg = r.join(t, Seq("qid", "id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hit"), min(col("rn")).as("__first"),
+        sum(lit(1.0) / log2(col("rn") + lit(1.0))).as("__dcg"))
+    val m = least(lit(k.toLong), col("n_truth"))
+    val idcg = aggregate(sequence(lit(1L), m), lit(0.0),
+      (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0)))
+    tn.join(agg, Seq("qid"), "left")
+      .select(col("qid"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / m).as("recall"),
+        coalesce(lit(1.0) / col("__first"), lit(0.0)).as("mrr"),
+        coalesce(col("__dcg") / idcg, lit(0.0)).as("ndcg"))
+  }
+
   /** Recall@k of `approx` against `exact` (both (qid, rn, id, …) frames
     * truncated at k): |approx ∩ exact| / |exact|.
     */

@@ -832,6 +832,26 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("rankingMetrics: hand-computed recall/MRR/NDCG; zero-hit and absent queries") {
+    val truth = Seq(("q1", 1, "a"), ("q1", 2, "b"), ("q1", 3, "c"),
+      ("q2", 1, "a"), ("q3", 1, "z")).toDF("qid", "rn", "id")
+    val run = Seq(("q1", 1, "b"), ("q1", 2, "x"), ("q1", 3, "a"),
+      ("q2", 1, "nope")).toDF("qid", "rn", "id") // q3 absent from the run
+    val out = Ann.rankingMetrics(truth, run, k = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val dcg = 1.0 / log2(2) + 1.0 / log2(4)            // hits at run-rank 1 and 3
+    val idcg = 1.0 / log2(2) + 1.0 / log2(3) + 1.0 / log2(4)
+    assert(out("q1")._1 === 3L && out("q1")._2 === 2L)
+    assert(math.abs(out("q1")._3 - 2.0 / 3) < 1e-12)
+    assert(out("q1")._4 === 1.0)                        // first hit at rank 1
+    assert(math.abs(out("q1")._5 - dcg / idcg) < 1e-12)
+    assert(out("q2") === ((1L, 0L, 0.0, 0.0, 0.0)))     // ranked but no hit
+    assert(out("q3") === ((1L, 0L, 0.0, 0.0, 0.0)))     // absent from the run
+    intercept[IllegalArgumentException](Ann.rankingMetrics(truth, run, k = 0))
+  }
+
   test("centroidSimilarity: hand-checkable means, unordered pairs, chunk counts") {
     val ch = Seq(
       ("a", Array(1.0f, 0.0f)), ("a", Array(3.0f, 0.0f)), // mean (2,0)
