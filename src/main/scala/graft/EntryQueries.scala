@@ -1392,6 +1392,24 @@ object EntryQueries {
     // rules (the injected ellipsis line lands bullet_frac 0.5 / ellipsis
     // 0.25 on single-line fixture docs — just inside the thresholds, so
     // the boundary arithmetic is what's pinned).
+    // CSV roundtrip (x35's sibling for the other interchange format):
+    // write headered RFC-4180 CSV, read back with an explicit schema,
+    // checksum against the parquet source of truth.
+    ("x65_csv_roundtrip", (s: SparkSession, sfDir: String) => {
+      import org.apache.spark.sql.types._
+      val out = tempDirCleanedOnExit("graft-x65-") + "/docs"
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
+          col("lang"), col("n_chars"))
+      graft.sources.Csv.writeDocs(d, out)
+      graft.sources.Csv.readDocs(s, out, StructType(Seq(
+          StructField("id", StringType), StructField("content", StringType),
+          StructField("lang", StringType), StructField("n_chars", LongType))))
+        .select(col("id"), md5(coalesce(col("content"), lit(""))).as("content_md5"),
+          col("lang"), col("n_chars"))
+    }, Some(s"""SELECT $DocId AS id, md5(coalesce(text, '')) AS content_md5,
+               |  lang, n_chars FROM documents""".stripMargin)),
+
     ("x36_gopher_filter", (s: SparkSession, sfDir: String) => {
       val noisy = docsFrame(s, sfDir).withColumn("content",
         when(col("id").cast("long") % 4 === 0,

@@ -832,6 +832,29 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("Csv source: RFC-4180 quoting round-trips; newline values fail fast") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvspec-").toString + "/out"
+    val d = Seq(
+      ("a", "plain text", 1L),
+      ("b", "comma, inside", 2L),
+      ("c", "a \"quoted\" word", 3L),
+      ("d", null.asInstanceOf[String], 4L)
+    ).toDF("id", "content", "n")
+    graft.sources.Csv.writeDocs(d, dir)
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("content", StringType), StructField("n", LongType)))
+    val back = graft.sources.Csv.readDocs(spark, dir, schema)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(back.toSeq === Seq(("a", "plain text", 1L), ("b", "comma, inside", 2L),
+      ("c", "a \"quoted\" word", 3L), ("d", null, 4L)))
+    val bad = Seq(("x", "line\nbreak")).toDF("id", "content")
+    val e = intercept[Exception] {
+      graft.sources.Csv.writeDocs(bad, dir + "2")
+    }
+    assert(e.getMessage != null)
+  }
+
   test("rankingMetrics: hand-computed recall/MRR/NDCG; zero-hit and absent queries") {
     val truth = Seq(("q1", 1, "a"), ("q1", 2, "b"), ("q1", 3, "c"),
       ("q2", 1, "a"), ("q3", 1, "z")).toDF("qid", "rn", "id")
