@@ -1002,6 +1002,19 @@ object EntryQueries {
              |       round(unnest(qs), 6) AS q_exact, true AS approx_ok
              |FROM a""".stripMargin)),
 
+    // Exactly-10-per-source deterministic sample: smallest md5(seed:id)
+    // draws win; the oracle replays the draw and the rank window.
+    ("x66_sample_fixed", (s: SparkSession, sfDir: String) => {
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"), col("source"))
+      Pipeline.sampleFixedPerGroup(d, "source", k = 10, seed = 5L)
+        .select("id", "source")
+    }, Some(s"""SELECT id, source FROM (
+               |  SELECT $DocId AS id, source,
+               |    row_number() OVER (PARTITION BY source
+               |      ORDER BY md5('5:' || $DocId), $DocId) AS rn
+               |  FROM documents) WHERE rn <= 10""".stripMargin)),
+
     ("x60_sample_weighted", (s: SparkSession, sfDir: String) => {
       // quality-proportional selection: keep probability = n_chars/600
       // (clamped) — a pure function of (seed, id, weight), replayed exactly

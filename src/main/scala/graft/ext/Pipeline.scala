@@ -84,6 +84,30 @@ object Pipeline {
         floor(w * Precision).cast("long"))
   }
 
+  /** EXACTLY-N-per-group deterministic sample: the k docs per group with the
+    * smallest `md5(seed:id)` draw — the fixed-SIZE counterpart of
+    * [[sampleStratified]]'s fixed-RATE draw ("500 eval docs per source",
+    * not "0.1% of each source"). Pure function of (seed, id): stable across
+    * runs/engines/retries, and monotone under growth — a new doc evicts at
+    * most the current largest draw, never reshuffles the whole sample
+    * (bounded churn, unlike re-running `ORDER BY rand() LIMIT N`).
+    *
+    * Scale: the rank-filtered window lowers to WindowGroupLimit map-side
+    * k-heaps (the X41 plan shape — ≤ k rows per (partition, group) reach
+    * the shuffle), never a per-group full sort.
+    */
+  def sampleFixedPerGroup(docs: DataFrame, groupCol: String, k: Int,
+                          seed: Long = 0L, idCol: String = "id"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val draw = WorkingColumns.fresh(docs, "__draw")
+    val rn = WorkingColumns.fresh(docs.withColumn(draw, lit("")), "__rn")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(draw), col(idCol))
+    docs.withColumn(draw, md5(concat_ws(":", lit(seed.toString), col(idCol))))
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(draw, rn)
+  }
+
   /** Greedy token-budget subsample — "give me ~N tokens per source", the
     * budget-shaped cousin of [[sampleStratified]]'s fraction-shaped draw:
     * docs are ordered per group by the deterministic draw `md5(seed:id)`

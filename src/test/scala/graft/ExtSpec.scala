@@ -832,6 +832,29 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("sampleFixedPerGroup: exactly k per group, growth-monotone, WindowGroupLimit plan") {
+    val d = (1 to 50).map(i => (s"d$i", if (i <= 40) "big" else "small"))
+      .toDF("id", "source")
+    val out = Pipeline.sampleFixedPerGroup(d, "source", k = 5, seed = 9L)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.count(_._2 == "big") === 5 && out.count(_._2 == "small") === 5)
+    // short group (3 < k) keeps everything
+    val short = Pipeline.sampleFixedPerGroup(d.limit(3), "source", k = 5).count()
+    assert(short === 3)
+    // growth monotone: adding docs evicts at most (never reshuffles) —
+    // the survivors of the grown corpus ∩ old corpus ⊆ old survivors
+    val grown = Pipeline.sampleFixedPerGroup(
+      d.unionByName((51 to 80).map(i => (s"e$i", "big")).toDF("id", "source")),
+      "source", k = 5, seed = 9L)
+      .collect().map(_.getString(0)).toSet
+    val old = out.map(_._1).toSet
+    assert(grown.filter(_.startsWith("d")).subsetOf(old))
+    // plan: rank filter lowers to WindowGroupLimit (map-side k-heaps)
+    val plan = Pipeline.sampleFixedPerGroup(d, "source", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("Csv source: RFC-4180 quoting round-trips; newline values fail fast") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-csvspec-").toString + "/out"
