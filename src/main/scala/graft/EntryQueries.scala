@@ -1990,6 +1990,25 @@ object EntryQueries {
              |SELECT user_id, epoch_us(t1) AS t_first_us, epoch_us(t3) AS t_last_us
              |FROM t3 WHERE t3 <= t1 + INTERVAL 3 DAY""".stripMargin)),
 
+    // Per-doc unigram Shannon entropy (nats) + normalized form; the oracle
+    // replays the count distribution and -sum(p ln p) exactly.
+    ("x67_token_entropy", (s: SparkSession, sfDir: String) =>
+      TextStats.tokenEntropy(
+        s.read.parquet(s"$sfDir/documents.parquet").withColumn("content", col("text")))
+        .select(col("doc_id").cast("string").as("id"),
+          round(col("token_entropy"), 6).as("token_entropy"),
+          round(col("norm_entropy"), 6).as("norm_entropy")),
+      Some(s"""WITH tok AS (SELECT $DocId AS id, unnest($Toks) AS t FROM documents),
+              | tc0 AS (SELECT id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+              | tc AS (SELECT id, c, CAST(SUM(c) OVER (PARTITION BY id) AS DOUBLE) AS n FROM tc0),
+              | st AS (SELECT id, COUNT(*) AS types,
+              |          -SUM((c / n) * ln(c / n)) AS h
+              |        FROM tc GROUP BY id)
+              |SELECT d.id, round(COALESCE(st.h, 0), 6) AS token_entropy,
+              |       round(CASE WHEN COALESCE(st.types, 0) <= 1 THEN 1.0
+              |                  ELSE st.h / ln(st.types) END, 6) AS norm_entropy
+              |FROM (SELECT $DocId AS id FROM documents) d LEFT JOIN st ON d.id = st.id""".stripMargin)),
+
     ("x57_lexical_diversity", (s: SparkSession, sfDir: String) =>
       TextStats.lexicalDiversity(
         s.read.parquet(s"$sfDir/documents.parquet").withColumn("content", col("text")),

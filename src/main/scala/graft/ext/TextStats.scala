@@ -701,6 +701,26 @@ object TextStats {
         col("__q.approx_ok").as("approx_ok"))
   }
 
+  /** Adds `token_entropy` — Shannon entropy (nats) of each doc's own
+    * unigram distribution ([[graft.functions.TokenEntropy]]) — and
+    * `norm_entropy` (entropy / ln(n_types), in [0,1]; 1 when ≤1 type).
+    * Low values flag degenerate repetition the way [[repetition]]'s
+    * top-n-gram fraction does, but in one closed-form number.
+    *
+    * Scale: computed entirely inside the row — a ZERO-shuffle codegen'd
+    * scan over the corpus.
+    */
+  def tokenEntropy(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    // coalesce: null content -> null token array -> null expression output,
+    // but the contract is "nothing to measure" = 0 (like the empty doc)
+    val toks = TextFunctions.tokens(col(contentCol))
+    val h = coalesce(TextFunctions.tokenEntropy(toks), lit(0.0))
+    val types = coalesce(size(array_distinct(toks)), lit(0)).cast("double")
+    df.withColumn("token_entropy", h)
+      .withColumn("norm_entropy",
+        when(types <= 1.0, lit(1.0)).otherwise(h / log(types)))
+  }
+
   /** Lexical-diversity report per corpus group — the vocabulary-health
     * signals a mixture designer reads next to [[corpusStats]]: per group,
     * token and type (distinct-token) counts, type-token ratio, hapax ratio

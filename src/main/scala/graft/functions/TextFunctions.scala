@@ -141,4 +141,57 @@ object TextFunctions {
     val union = size(array_union(a, b)).cast("double")
     when(union === lit(0.0), lit(0.0)).otherwise(inter / union)
   }
+
+  /** Shannon entropy (nats) of a token array's unigram distribution —
+    * per-row, zero shuffle. See [[TokenEntropy]]. */
+  def tokenEntropy(toks: Column): Column =
+    Bridge.column(TokenEntropy(Bridge.expression(toks)))
+}
+
+/** Shannon entropy H = −Σ p_t ln p_t (nats) of the row's OWN token
+  * distribution — the degenerate-repetition signal that complements the
+  * Gopher top-n-gram fraction: near 0 = one token dominates, ln(n_types) =
+  * perfectly uniform. Computed entirely inside the row (one hash-count pass
+  * + one first-occurrence-ordered accumulation — deterministic summation
+  * order run-to-run), so a corpus-wide entropy scan is ZERO-shuffle.
+  * Empty/null arrays → 0.
+  */
+case class TokenEntropy(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "token_entropy"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return 0.0
+    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = xs.getUTF8String(i)
+      counts.merge(t, 1, (a, b) => a + b)
+      i += 1
+    }
+    // accumulate in FIRST-OCCURRENCE order (not HashMap order) so the
+    // float sum is deterministic across runs and data layouts
+    val seen = new java.util.HashSet[UTF8String](n * 2)
+    var h = 0.0
+    i = 0
+    while (i < n) {
+      val t = xs.getUTF8String(i)
+      if (seen.add(t)) {
+        val p = counts.get(t).toDouble / n
+        h -= p * math.log(p)
+      }
+      i += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
 }

@@ -99,7 +99,10 @@ object GraftFunctions {
       "graft_lsh_buckets(emb ARRAY<FLOAT>, tables INT, planes INT, dim INT[, seed BIGINT]) - hyperplane LSH buckets", 4, 5)(
       args => LshBuckets(args(0), intArg(args(1), "tables"),
         intArg(args(2), "planes"), intArg(args(3), "dim"),
-        if (args.size > 4) longArg(args(4), "seed") else 42L))
+        if (args.size > 4) longArg(args(4), "seed") else 42L)),
+    fn("graft_token_entropy",
+      "graft_token_entropy(tokens ARRAY<STRING>) - Shannon entropy (nats) of the token distribution", 1, 1)(
+      args => graft.functions.TokenEntropy(args(0)))
   )
 
   /** Install the functions into an EXISTING session (temp-function scope). */

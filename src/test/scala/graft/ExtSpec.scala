@@ -832,6 +832,28 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("tokenEntropy: closed-form values, empty/uniform/degenerate docs, zero shuffle") {
+    val d = Seq(
+      ("uni", "a b c d"),        // uniform over 4 types: H = ln 4, norm 1
+      ("deg", "x x x x"),        // one type: H = 0, norm 1 (<=1 type rule)
+      ("mix", "a a b"),          // H = -(2/3 ln 2/3 + 1/3 ln 1/3)
+      ("empty", ""),
+      ("nul", null.asInstanceOf[String])
+    ).toDF("id", "content")
+    val out = TextStats.tokenEntropy(d).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(math.abs(out("uni")._1 - math.log(4)) < 1e-12 && out("uni")._2 === 1.0)
+    assert(out("deg") === ((0.0, 1.0)))
+    val hMix = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(out("mix")._1 - hMix) < 1e-12)
+    assert(out("empty") === ((0.0, 1.0)) && out("nul") === ((0.0, 1.0)))
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try assert(TextStats.tokenEntropy(d).queryExecution.executedPlan
+      .collect { case s: ShuffleExchangeExec => s }.isEmpty)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("sampleFixedPerGroup: exactly k per group, growth-monotone, WindowGroupLimit plan") {
     val d = (1 to 50).map(i => (s"d$i", if (i <= 40) "big" else "small"))
       .toDF("id", "source")
