@@ -1945,6 +1945,31 @@ object EntryQueries {
                |WHERE doc_id % 5 <> 0 AND NOT EXISTS (
                |  SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0 AND r.text = d.text)""".stripMargin)),
 
+    // Nearest as-of: each purchase matched to the user's view event closest
+    // in time, either direction; distance ties break backward, same-instant
+    // ties break last-by-payload. The oracle is the naive argmin theta-join.
+    ("x68_asof_nearest", (s: SparkSession, sfDir: String) => {
+      val ev = eventsFrame(s, sfDir)
+      Joins.asofNearest(
+        ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_id")),
+        keys = Seq("user_id"), rightPayload = Seq("view_id"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("r_view_id"), unix_micros(col("r_ts")).as("r_ts_us"), col("r_dir"))
+    }, Some("""WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+              | r AS (SELECT user_id, ts, event_id AS view_id FROM events WHERE event_type = 'view'),
+              | cand AS (SELECT l.event_id, l.user_id, l.ts, r.view_id, r.ts AS r_ts,
+              |     abs(epoch_us(l.ts) - epoch_us(r.ts)) AS d,
+              |     CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END AS fwd
+              |   FROM l JOIN r ON l.user_id = r.user_id),
+              | pick AS (SELECT *, row_number() OVER (PARTITION BY event_id
+              |     ORDER BY d, fwd, CAST(view_id AS VARCHAR) DESC) AS rn FROM cand)
+              |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+              |       p.view_id AS r_view_id, epoch_us(p.r_ts) AS r_ts_us,
+              |       CASE WHEN p.fwd = 0 THEN 'backward' WHEN p.fwd = 1 THEN 'forward' END AS r_dir
+              |FROM l LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p ON l.event_id = p.event_id""".stripMargin)),
+
     // Trailing 6 h rolling count/sum per user — RANGE-frame window with
     // equal-ts peers in frame on both engines.
     ("x62_rolling_agg", (s: SparkSession, sfDir: String) =>

@@ -832,6 +832,34 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("asofNearest: closer side wins, distance ties break backward, LEFT OUTER") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"), // back at 09:59, fwd at 10:02 -> backward
+      (1L, ts("2024-01-01 10:03:00"), "p2"), // back at 10:02 (1m), fwd at 10:04 (1m) -> tie -> backward
+      (2L, ts("2024-01-01 10:00:00"), "p3"), // only a FORWARD right exists
+      (3L, ts("2024-01-01 10:00:00"), "p4")  // no right at all -> nulls
+    ).toDF("user_id", "ts", "pid")
+    val r = Seq(
+      (1L, ts("2024-01-01 09:59:00"), "v1"),
+      (1L, ts("2024-01-01 10:02:00"), "v2"),
+      (1L, ts("2024-01-01 10:04:00"), "v3"),
+      (2L, ts("2024-01-01 10:05:00"), "v4")
+    ).toDF("user_id", "ts", "vid")
+    val out = graft.ext.Joins.asofNearest(l, r, keys = Seq("user_id"))
+      .collect().map(rr => rr.getString(2) ->
+        ((rr.getString(3), rr.getString(5)))).toMap
+    assert(out("p1") === (("v1", "backward")))
+    assert(out("p2") === (("v2", "backward"))) // equal 1-minute distance -> past wins
+    assert(out("p3") === (("v4", "forward")))
+    assert(out("p4") === ((null, null)))
+    // same-instant right counts as distance 0 and reports backward
+    val inst = graft.ext.Joins.asofNearest(l.limit(1),
+      Seq((1L, ts("2024-01-01 10:00:00"), "v0")).toDF("user_id", "ts", "vid"),
+      keys = Seq("user_id")).collect().head
+    assert(inst.getString(3) === "v0" && inst.getString(5) === "backward")
+  }
+
   test("tokenEntropy: closed-form values, empty/uniform/degenerate docs, zero shuffle") {
     val d = Seq(
       ("uni", "a b c d"),        // uniform over 4 types: H = ln 4, norm 1
