@@ -1945,6 +1945,51 @@ object EntryQueries {
                |WHERE doc_id % 5 <> 0 AND NOT EXISTS (
                |  SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0 AND r.text = d.text)""".stripMargin)),
 
+    // Salted skew join: documents (hot 5-value lang key) x a lang dimension;
+    // the salted result must equal the plain join — the oracle IS the plain
+    // join.
+    ("x69_salted_join", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"), col("lang"))
+      val dim = Seq(("en", "English"), ("de", "German"), ("zh", "Chinese"),
+        ("fr", "French"), ("es", "Spanish")).toDF("lang", "lang_name")
+      Joins.saltedJoin(d, dim, keys = Seq("lang"), salt = 8)
+        .select("id", "lang", "lang_name")
+    }, Some(s"""SELECT $DocId AS id, lang,
+               |  CASE lang WHEN 'en' THEN 'English' WHEN 'de' THEN 'German'
+               |            WHEN 'zh' THEN 'Chinese' WHEN 'fr' THEN 'French'
+               |            WHEN 'es' THEN 'Spanish' END AS lang_name
+               |FROM documents
+               |WHERE lang IN ('en', 'de', 'zh', 'fr', 'es')""".stripMargin)),
+
+    // Corpus snapshot diff: B drops every 7th doc, rewrites every 11th
+    // (of the survivors), adds 3 new ids — statuses replayed exactly.
+    ("x70_corpus_diff", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val a = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"), col("text").as("content"))
+      val b0 = s.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").cast("string").as("id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("content"))
+      val b = b0.unionByName(Seq(("new1", "fresh doc one"), ("new2", "fresh doc two"),
+        ("new3", "fresh doc three")).toDF("id", "content"))
+      Joins.diffCorpora(a, b)
+    }, Some(s"""WITH a AS (SELECT $DocId AS id, text FROM documents),
+               | b AS (SELECT $DocId AS id,
+               |         CASE WHEN doc_id % 11 = 0 THEN text || ' edited' ELSE text END AS text
+               |       FROM documents WHERE doc_id % 7 <> 0
+               |       UNION ALL SELECT * FROM (VALUES ('new1', 'fresh doc one'),
+               |         ('new2', 'fresh doc two'), ('new3', 'fresh doc three')) AS t(id, text))
+               |SELECT COALESCE(a.id, b.id) AS id,
+               |  CASE WHEN a.id IS NULL THEN 'added'
+               |       WHEN b.id IS NULL THEN 'removed'
+               |       WHEN a.text = b.text THEN 'unchanged'
+               |       ELSE 'changed' END AS status
+               |FROM a FULL OUTER JOIN b ON a.id = b.id""".stripMargin)),
+
     // Nearest as-of: each purchase matched to the user's view event closest
     // in time, either direction; distance ties break backward, same-instant
     // ties break last-by-payload. The oracle is the naive argmin theta-join.

@@ -832,6 +832,28 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("saltedJoin equals the plain join; diffCorpora statuses hand-checked") {
+    val l = (1 to 100).map(i => (s"d$i", if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val dim = Seq(("en", "E"), ("de", "D"), ("fr", "F")).toDF("lang", "name")
+    val salted = graft.ext.Joins.saltedJoin(l, dim, Seq("lang"), salt = 4)
+      .select("id", "lang", "name")
+    val plain = l.join(dim, Seq("lang")).select("id", "lang", "name")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(salted.count() === 100)
+    intercept[IllegalArgumentException](
+      graft.ext.Joins.saltedJoin(l, dim, Seq("lang"), salt = 0))
+
+    val a = Seq(("k", "same"), ("c", "old"), ("r", "gone"), ("n", null))
+      .toDF("id", "content")
+    val b = Seq(("k", "same"), ("c", "new"), ("x", "born"), ("n", null))
+      .toDF("id", "content")
+    val st = graft.ext.Joins.diffCorpora(a, b).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(st === Map("k" -> "unchanged", "c" -> "changed", "r" -> "removed",
+      "x" -> "added", "n" -> "unchanged"))
+  }
+
   test("asofNearest: closer side wins, distance ties break backward, LEFT OUTER") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val l = Seq(
