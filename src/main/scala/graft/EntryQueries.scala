@@ -2116,9 +2116,11 @@ object EntryQueries {
     ("x64_rank_eval", (s: SparkSession, sfDir: String) => {
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      import s.implicits._
       val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
-      val truth = Ann.exactTopK(e, qs, k = 10)
-      val run = Quantize.int8TopK(e, qs, k = 10)
+      // bulk-query arms: ONE corpus scan per arm (broadcast queries), not Q
+      val truth = Ann.exactTopKAll(e, qs.toDF("qid", "qvec"), k = 10)
+      val run = Quantize.int8TopKAll(e, qs, k = 10)
       Ann.rankingMetrics(truth, run, k = 10)
         .select(col("qid"), col("n_truth"), col("n_hit"),
           round(col("recall"), 6).as("recall"), round(col("mrr"), 6).as("mrr"),

@@ -63,4 +63,25 @@ object Quantize {
     }
     Ann.exactTopK(qCorpus, qQueries, k, idCol, embCol)
   }
+
+  /** Bulk-query sibling of [[int8TopK]]: quantize the corpus ONCE, quantize
+    * each query, and score every (corpus, query) pair in a single
+    * broadcast-queries scan ([[Ann.exactTopKAll]]'s shape) — Q queries cost
+    * one corpus pass, not Q.
+    */
+  def int8TopKAll(corpus: DataFrame, queries: Seq[(String, Seq[Float])], k: Int,
+                  idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qz = quantizeInt8(corpus.filter(col(embCol).isNotNull), embCol)
+    val qCorpus = qz.select(col(idCol),
+      transform(col("q"), x => x.cast(FloatType)).as(embCol))
+    val qQueries = queries.map { case (qid, vec) =>
+      val amax = vec.foldLeft(0.0) { (a, x) => math.max(a, math.abs(x.toDouble)) }
+      val s = amax / 127.0
+      qid -> (if (s == 0.0) vec.map(_ => 0f)
+              else vec.map(x => math.floor(x / s + 0.5).toFloat))
+    }
+    Ann.exactTopKAll(qCorpus, qQueries.toDF("qid", "qvec"), k, idCol, embCol)
+  }
 }

@@ -950,6 +950,18 @@ class ExtSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("int8TopKAll (one corpus scan) equals per-query int8TopK") {
+    val corpus = (1 to 60).map(i =>
+      (s"v$i", Array(math.sin(i * 1.7).toFloat, math.cos(i * 0.9).toFloat,
+        math.sin(i * 0.3).toFloat))).toDF("id", "embedding")
+    val qs = Seq("a" -> Seq(1.0f, 0.2f, 0.1f), "b" -> Seq(-0.3f, 0.8f, 0.5f))
+    val bulk = graft.ext.Quantize.int8TopKAll(corpus, qs, k = 5)
+      .select("qid", "rn", "id").collect().toSet
+    val per = graft.ext.Quantize.int8TopK(corpus, qs, k = 5)
+      .select("qid", "rn", "id").collect().toSet
+    assert(bulk === per && bulk.size === 10)
+  }
+
   test("rankingMetrics: hand-computed recall/MRR/NDCG; zero-hit and absent queries") {
     val truth = Seq(("q1", 1, "a"), ("q1", 2, "b"), ("q1", 3, "c"),
       ("q2", 1, "a"), ("q3", 1, "z")).toDF("qid", "rn", "id")
