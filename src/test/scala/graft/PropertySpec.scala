@@ -160,6 +160,36 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("TokenEntropy: bounds, permutation invariance, uniform/degenerate closed forms") {
+    val ent = TokenEntropy(BoundReference(0, ArrayType(StringType), nullable = true))
+    def h(xs: Seq[String]): Double = ent.nullSafeEval(arr(xs)).asInstanceOf[Double]
+    check("0 <= H <= ln(types); permutation-invariant",
+      Prop.forAll(tokenArray) { xs =>
+        val v = h(xs)
+        val types = xs.distinct.size
+        val upper = if (types <= 1) 1e-12 else math.log(types) + 1e-12
+        v >= -1e-12 && v <= upper && math.abs(h(scala.util.Random.shuffle(xs)) - v) < 1e-12
+      })
+    check("uniform = ln n, degenerate = 0",
+      Prop.forAll(Gen.choose(1, 20)) { n =>
+        val uniform = (1 to n).map(i => s"t$i")
+        val degenerate = Seq.fill(n)("x")
+        math.abs(h(uniform) - math.log(n)) < 1e-12 && math.abs(h(degenerate)) < 1e-12
+      })
+  }
+
+  test("BloomMightContainLong: NO false negatives over arbitrary key sets") {
+    import org.apache.spark.util.sketch.BloomFilter
+    check("no false negatives", Prop.forAll(
+        Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)), Gen.choose(1L, 64L)) { (keys, cap) =>
+      val bf = BloomFilter.create(math.max(cap, 1L), 0.03)
+      keys.foreach(bf.putLong)
+      val expr = BloomMightContainLong(
+        BoundReference(0, LongType, nullable = true), bf)
+      keys.forall(k => expr.nullSafeEval(k).asInstanceOf[Boolean])
+    })
+  }
+
   test("fold + tokenize agree between column spec and driver-side fold on query terms") {
     // the index side folds THEN splits; the query side folds each term —
     // for single tokens (no separators) the two must agree
