@@ -212,7 +212,8 @@ object EventStreams {
   def funnelStateful(events: DataFrame, steps: Seq[String],
                      within: Option[String] = None, tsCol: String = "ts",
                      userCol: String = "user_id",
-                     typeCol: String = "event_type"): DataFrame = {
+                     typeCol: String = "event_type",
+                     watermark: Option[String] = None): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least 2 steps")
     val spark = events.sparkSession
     import spark.implicits._
@@ -223,36 +224,59 @@ object EventStreams {
       require(iv.months == 0, "funnel `within` must be a fixed-length interval")
       iv.days * 86400000000L + iv.microseconds
     }
-    val ds = events.select(col(userCol).cast("long").as("user_id"),
-        col(tsCol).cast("timestamp").as("ts"),
-        col(typeCol).cast("string").as("event_type"))
+    // watermark AFTER the shaping select: a cast on the watermarked column
+    // would silently drop the watermark tag and fail the timeout analysis
+    val shaped = events.select(col(userCol).cast("long").as("user_id"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col(typeCol).cast("string").as("event_type"))
+    val ds = watermark.fold(shaped)(w => shaped.withWatermark("ts", w))
       .as[FunnelEvent]
     val stepsArr = steps.toIndexedSeq
+    // State hygiene on an unbounded stream: (a) users who never enter the
+    // funnel store NO state at all; (b) with watermark + within set, state
+    // expires via EventTimeTimeout once the watermark passes chain-head +
+    // within — a blown-window chain can never convert, so it is dead
+    // weight, and a completed chain needs no more suppression once no
+    // admissible late event can re-fire it. After an expiry a fresh chain
+    // MAY start from a later event — the documented per-active-window
+    // divergence from batch greedy that an unbounded stream requires.
+    val timeout =
+      if (watermark.isDefined && withinMicros.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, (Long, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          val st = state.getOption.getOrElse(FunnelState(Seq.empty, done = false))
-          if (st.done) Iterator.empty
-          else {
-            var chain = st.chain
-            var emitted: Option[(Long, Long, Long)] = None
-            // event-time order within the batch; micros for exact arithmetic
-            val sorted = it.map(e => (e.ts.getTime * 1000L +
-              (e.ts.getNanos / 1000L) % 1000L, e.event_type)).toArray.sortBy(_._1)
-            var k = 0
-            while (k < sorted.length && emitted.isEmpty) {
-              val (ts, tpe) = sorted(k)
-              if (chain.size < n && tpe == stepsArr(chain.size) &&
-                (chain.isEmpty || ts > chain.last)) {
-                chain = chain :+ ts
-                if (chain.size == n && withinMicros.forall(chain.last - chain.head <= _))
-                  emitted = Some((uid, chain.head, chain.last))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(FunnelState(Seq.empty, done = false))
+            if (st.done) Iterator.empty
+            else {
+              var chain = st.chain
+              var emitted: Option[(Long, Long, Long)] = None
+              // event-time order within the batch; micros for exact arithmetic
+              val sorted = it.map(e => (e.ts.getTime * 1000L +
+                (e.ts.getNanos / 1000L) % 1000L, e.event_type)).toArray.sortBy(_._1)
+              var k = 0
+              while (k < sorted.length && emitted.isEmpty) {
+                val (ts, tpe) = sorted(k)
+                if (chain.size < n && tpe == stepsArr(chain.size) &&
+                  (chain.isEmpty || ts > chain.last)) {
+                  chain = chain :+ ts
+                  if (chain.size == n && withinMicros.forall(chain.last - chain.head <= _))
+                    emitted = Some((uid, chain.head, chain.last))
+                }
+                k += 1
               }
-              k += 1
+              if (chain.nonEmpty) {
+                state.update(FunnelState(chain, done = chain.size == n))
+                if (timeout == GroupStateTimeout.EventTimeTimeout)
+                  state.setTimeoutTimestamp((chain.head + withinMicros.get) / 1000L + 1L)
+              }
+              emitted.iterator
             }
-            state.update(FunnelState(chain, done = chain.size == n))
-            emitted.iterator
           }
       }
       .toDF("user_id", "t_first_us", "t_last_us")

@@ -1106,6 +1106,19 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
     q.stop()
     assert(streamed.toSeq === st.toSeq)
+    // watermarked variant (EventTimeTimeout state expiry armed): identical
+    // completions for in-window data
+    val mem2 = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q2 = EventStreams.funnelStateful(
+        mem2.toDF().toDF("user_id", "ts", "event_type"), steps,
+        within = Some("1 hour"), watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("funnel_wm_out").outputMode("append").start()
+    mem2.addData(evs: _*)
+    q2.processAllAvailable()
+    val wmRows = spark.table("funnel_wm_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+    q2.stop()
+    assert(wmRows.toSeq === st.toSeq)
   }
 
   test("lexicalDiversity: hand-counted TTR, hapax ratio, top-token share per group") {
