@@ -1945,6 +1945,31 @@ object EntryQueries {
                |WHERE doc_id % 5 <> 0 AND NOT EXISTS (
                |  SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0 AND r.text = d.text)""".stripMargin)),
 
+    // Intra-doc repeated-line removal: inject repeated/trim-variant lines
+    // around each doc's text; first occurrences survive in order.
+    ("x71_dedup_lines_doc", (s: SparkSession, sfDir: String) => {
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"),
+          concat(lit("HEADER\n"), col("text"), lit("\nMID\nHEADER\n  HEADER  \nMID"))
+            .as("content"))
+      Dedup.dedupLinesDoc(d)
+        .select(col("id"), md5(col("content_dedup")).as("dedup_md5"),
+          col("n_lines_dropped"))
+    }, Some(s"""WITH d AS (SELECT $DocId AS id,
+               |    'HEADER' || chr(10) || text || chr(10) || 'MID' || chr(10) || 'HEADER'
+               |      || chr(10) || '  HEADER  ' || chr(10) || 'MID' AS c FROM documents),
+               | ln AS (SELECT id, unnest(string_split(c, chr(10))) AS l,
+               |          generate_subscripts(string_split(c, chr(10)), 1) AS pos FROM d),
+               | fst AS (SELECT id, trim(l) AS t, MIN(pos) AS fp FROM ln GROUP BY 1, 2),
+               | kept AS (SELECT ln.id, ln.l, ln.pos FROM ln
+               |          JOIN fst ON ln.id = fst.id AND trim(ln.l) = fst.t AND ln.pos = fst.fp),
+               | agg AS (SELECT id, string_agg(l, chr(10) ORDER BY pos) AS cd,
+               |           COUNT(*) AS nk FROM kept GROUP BY id),
+               | tot AS (SELECT id, COUNT(*) AS n FROM ln GROUP BY id)
+               |SELECT agg.id, md5(agg.cd) AS dedup_md5,
+               |       CAST(tot.n - agg.nk AS BIGINT) AS n_lines_dropped
+               |FROM agg JOIN tot ON agg.id = tot.id""".stripMargin)),
+
     // Salted skew join: documents (hot 5-value lang key) x a lang dimension;
     // the salted result must equal the plain join — the oracle IS the plain
     // join.

@@ -208,6 +208,31 @@ object Dedup {
   // Corpus-level line dedup
   // -------------------------------------------------------------------------
 
+  /** INTRA-document repeated-line removal: within each doc, keep only the
+    * FIRST occurrence of every line (trimmed-form equality), preserving
+    * order — the within-page cleaning pass (nav menus repeated mid-page,
+    * chat logs quoting themselves) that complements [[dedupLinesCorpus]]'s
+    * corpus-wide boilerplate drop. Adds `content_dedup` and
+    * `n_lines_dropped`; null content stays null with 0 dropped.
+    *
+    * Scale: computed ENTIRELY inside the row with array expressions
+    * (split → first-occurrence filter → rejoin) — a ZERO-shuffle
+    * codegen'd scan; no per-doc state leaves the row.
+    */
+  def dedupLinesDoc(docs: DataFrame,
+                    contentCol: String = "content"): DataFrame = {
+    val lines = split(col(contentCol), "\n")
+    // keep line i iff no earlier line has the same trimmed form
+    val kept = filter(lines, (l, i) =>
+      !exists(slice(lines, lit(1), i), p => trim(p) === trim(l)))
+    val dedup = when(col(contentCol).isNull, lit(null).cast("string"))
+      .otherwise(concat_ws("\n", kept))
+    docs.withColumn("content_dedup", dedup)
+      .withColumn("n_lines_dropped",
+        when(col(contentCol).isNull, lit(0L))
+          .otherwise((size(lines) - size(kept)).cast("long")))
+  }
+
   /** CORPUS-LEVEL duplicate-line removal (the C4 / RefinedWeb hygiene pass:
     * a line whose trimmed form occurs `minDf`-or-more times ANYWHERE in the
     * corpus — other documents or the same one — is boilerplate and every

@@ -832,6 +832,24 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("dedupLinesDoc: first occurrence survives in order; trim-variants collapse; zero shuffle") {
+    val d = Seq(
+      ("a", "x\ny\nx\n  y  \nz"), // drops the 2nd x and the trim-variant y
+      ("b", "only"),
+      ("c", null.asInstanceOf[String])
+    ).toDF("id", "content")
+    val out = Dedup.dedupLinesDoc(d).collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(out("a") === (("x\ny\nz", 2L)))
+    assert(out("b") === (("only", 0L)))
+    assert(out("c") === ((null, 0L)))
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try assert(Dedup.dedupLinesDoc(d).queryExecution.executedPlan
+      .collect { case s: ShuffleExchangeExec => s }.isEmpty)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("saltedJoin equals the plain join; diffCorpora statuses hand-checked") {
     val l = (1 to 100).map(i => (s"d$i", if (i % 2 == 0) "en" else "de"))
       .toDF("id", "lang")
