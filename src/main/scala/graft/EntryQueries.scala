@@ -1945,6 +1945,19 @@ object EntryQueries {
                |WHERE doc_id % 5 <> 0 AND NOT EXISTS (
                |  SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0 AND r.text = d.text)""".stripMargin)),
 
+    // Key-skew report over the hot lang key — counts, shares, and the
+    // skew factor (multiples of the fair per-key share).
+    ("x72_key_skew", (s: SparkSession, sfDir: String) =>
+      Pipeline.keySkewStats(s.read.parquet(s"$sfDir/documents.parquet"), "lang", k = 10)
+        .select(col("rank"), col("lang"), col("cnt"),
+          round(col("share"), 6).as("share"), round(col("skew"), 6).as("skew")),
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+             | t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total, COUNT(*) AS nkeys FROM c)
+             |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, lang ASC) AS BIGINT) AS rank,
+             |       lang, cnt, round(cnt / total, 6) AS share,
+             |       round(cnt * nkeys / total, 6) AS skew
+             |FROM c CROSS JOIN t ORDER BY cnt DESC, lang ASC LIMIT 10""".stripMargin)),
+
     // Intra-doc repeated-line removal: inject repeated/trim-variant lines
     // around each doc's text; first occurrences survive in order.
     ("x71_dedup_lines_doc", (s: SparkSession, sfDir: String) => {

@@ -434,6 +434,30 @@ object Pipeline {
     pooled.select(col(idCol), col("n_chunks"), emb.as("embedding"))
   }
 
+  /** Key-skew diagnostics: the k heaviest values of a prospective
+    * shuffle/join key with their row share and skew factor
+    * (count / mean-count — how many reducers' fair share the key hogs).
+    * The report that decides whether a key needs [[graft.ext.Joins.saltedJoin]]
+    * or AQE skew handling BEFORE the job ships, instead of discovering a
+    * straggler at hour three.
+    *
+    * Scale: one map-side-combined key count, a 3-scalar roll-up riding a
+    * broadcast, and a bounded TakeOrdered top-k — never a full sort.
+    */
+  def keySkewStats(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    counts.orderBy(col("cnt").desc, col(keyCol).asc).limit(k)
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col(keyCol).asc)).cast("long"))
+      .select(col("rank"), col(keyCol), col("cnt"),
+        (col("cnt").cast("double") / col("__total")).as("share"),
+        (col("cnt").cast("double") * col("__nkeys") / col("__total")).as("skew"))
+  }
+
   /** Pairwise cosine similarity of per-group MEAN embeddings — the
     * source-similarity map in embedding space (which corpora cover the same
     * semantic territory; read next to the X42 n-gram overlap matrix, which

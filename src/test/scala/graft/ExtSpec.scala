@@ -832,6 +832,18 @@ class ExtSpec extends AnyFunSuite {
     assert(both === Set("c2", "c4")) // c1 near-matched r1 too
   }
 
+  test("keySkewStats: hand-counted shares and skew factors, top-k bounded") {
+    val d = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++ Seq.fill(10)("cold"))
+      .zipWithIndex.map { case (k, i) => (s"r$i", k) }.toDF("id", "key")
+    val out = Pipeline.keySkewStats(d, "key", k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // mean count = 100/3; skew(hot) = 60/(100/3) = 1.8
+    assert(out.toSeq === Seq(
+      (1L, "hot", 60L, 0.6, 1.8),
+      (2L, "warm", 30L, 0.3, 0.9))) // cold cut by k=2
+    intercept[IllegalArgumentException](Pipeline.keySkewStats(d, "key", k = 0))
+  }
+
   test("dedupLinesDoc: first occurrence survives in order; trim-variants collapse; zero shuffle") {
     val d = Seq(
       ("a", "x\ny\nx\n  y  \nz"), // drops the 2nd x and the trim-variant y
