@@ -1945,6 +1945,27 @@ object EntryQueries {
                |WHERE doc_id % 5 <> 0 AND NOT EXISTS (
                |  SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0 AND r.text = d.text)""".stripMargin)),
 
+    // Collection export -> import roundtrip: the reimported collection must
+    // hold every doc (count + id|content checksum) AND answer the q1 FTS
+    // query identically (indexes rebuilt through the normal ingest path).
+    ("x73_export_import", (s: SparkSession, sfDir: String) => {
+      val dump = tempDirCleanedOnExit("graft-x73-") + "/dump"
+      mainColl(s, sfDir).exportJsonl(dump)
+      val c2 = Collection(s, tempDirCleanedOnExit("graft-x73c-"), "imp")
+      c2.importJsonl(dump)
+      c2.docs().groupBy().agg(
+          count(lit(1)).as("n_docs"),
+          sum(conv(substring(md5(concat(col("id"), lit("|"), col("content"))), 1, 15), 16, 10)
+            .cast("decimal(38,0)")).cast("string").as("checksum"))
+        .crossJoin(c2.queryFrame("customer stream").groupBy()
+          .agg(count(lit(1)).as("n_fts")))
+        .select(col("n_docs"), col("n_fts"), col("checksum"))
+    }, Some(s"""SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+               |  (SELECT COUNT(*) FROM documents
+               |   WHERE list_contains($Toks, 'customer') AND list_contains($Toks, 'stream')) AS n_fts,
+               |  (SELECT CAST(SUM(CAST(CAST(('0x' || substr(md5($DocId || '|' || text), 1, 15)) AS UBIGINT) AS HUGEINT)) AS VARCHAR)
+               |   FROM documents) AS checksum""".stripMargin)),
+
     // Key-skew report over the hot lang key — counts, shares, and the
     // skew factor (multiples of the fair per-key share).
     ("x72_key_skew", (s: SparkSession, sfDir: String) =>

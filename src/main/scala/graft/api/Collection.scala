@@ -519,6 +519,23 @@ final class Collection private (
       }
     }
 
+  /** Dump this collection's resolved documents (id, content, metadata,
+    * embedding) as JSONL under `path` — the portable snapshot/migration
+    * format ([[importJsonl]] or any JSONL consumer rebuilds from it).
+    * Reads the resolved store (deltas folded), writes line-delimited
+    * splittable files; indexes are NOT exported — they rebuild on import,
+    * which is what keeps the dump engine-portable.
+    */
+  def exportJsonl(path: String): Unit =
+    graft.sources.Jsonl.writeDocs(docs(), path)
+
+  /** Bulk-upsert an [[exportJsonl]] dump (or any JSONL corpus in the doc
+    * schema) into THIS collection — indexes rebuild through the normal
+    * ingest path. Explicit schema: no inference pass.
+    */
+  def importJsonl(path: String): Unit =
+    addDf(graft.sources.Jsonl.readDocs(spark, path, Stores.docsSchema))
+
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 full-text arm and
     * the exact vector cosine arm over this collection — `query` drives the
     * FTS arm through the same fused postings pipeline as [[queryFrame]],

@@ -42,6 +42,32 @@ class CollectionSpec extends AnyFunSuite {
     assert(stored === Seq(0.1f, -2.5f, 3.25f, Float.MinPositiveValue))
   }
 
+  test("exportJsonl/importJsonl: docs, metadata, and exact float32 embeddings survive") {
+    import org.apache.spark.sql.functions._
+    val c = coll()
+    val src: Seq[(String, String, Map[String, String], Array[Float])] = Seq(
+      ("d1", "alpha beta", Map("lang" -> "en"), Array(0.1f, -2.5f, Float.MinPositiveValue)),
+      ("d2", "gamma delta", Map("lang" -> "de", "k" -> "v"), null.asInstanceOf[Array[Float]]),
+      ("d3", "alpha gamma", null.asInstanceOf[Map[String, String]], Array(1.0f, 2.0f, 3.0f))
+    )
+    c.addDf(spark.createDataFrame(src)
+      .toDF("id", "content", "metadata", "embedding"))
+    val dump = freshRoot() + "/dump"
+    c.exportJsonl(dump)
+    val c2 = coll(name = "imp")
+    c2.importJsonl(dump)
+    val back = c2.docs().orderBy("id").collect().map { r =>
+      (r.getString(0), r.getString(1),
+        Option(r.getMap[String, String](2)).map(_.toMap).orNull,
+        Option(r.getSeq[Float](3)).map(_.toSeq).orNull)
+    }
+    assert(back.toSeq === src.map { case (i, ct, m, e) =>
+      (i, ct, m, Option(e).map(_.toSeq).orNull) })
+    // the rebuilt index answers queries
+    assert(c2.queryFrame("alpha").select("id").collect().map(_.getString(0)).toSet
+      === Set("d1", "d3"))
+  }
+
   // --- name validation (core.py:94-97) ---
   test("valid and invalid collection names") {
     val root = freshRoot()
