@@ -1945,6 +1945,36 @@ object EntryQueries {
                |WHERE doc_id % 5 <> 0 AND NOT EXISTS (
                |  SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0 AND r.text = d.text)""".stripMargin)),
 
+    // Continuous vector search: a MemoryStream of query vectors probed
+    // against the persisted collection index per micro-batch must return
+    // EXACTLY the per-call vectorTopK results, across two batches.
+    ("x74_stream_search", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val root = tempDirCleanedOnExit("graft-x74-")
+      val c = Collection(s, root, "sv", useFts = false)
+      c.addDf(s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), lit("").as("content"),
+          col("embedding")))
+      c.createVectorIndex(numTables = 16, numPlanes = 4)
+      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      implicit val sqlCtx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Seq[Float])]
+      val results = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      val q = c.streamVectorSearch(mem.toDF().toDF("qid", "qvec"), k = 10) { out =>
+        results ++= out.select(col("qid"), col("rn").cast("long"), col("id")).collect()
+      }.start()
+      try {
+        mem.addData(qs.take(2): _*); q.processAllAvailable()
+        mem.addData(qs.drop(2): _*); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = results.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      val percall = c.vectorTopK(qs, 10).select(col("qid"), col("rn").cast("long"), col("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      Seq(("stream_equals_percall", streamed == percall && streamed.nonEmpty))
+        .toDF("metric", "ok")
+    }, Some("SELECT 'stream_equals_percall' AS metric, true AS ok")),
+
     // Collection export -> import roundtrip: the reimported collection must
     // hold every doc (count + id|content checksum) AND answer the q1 FTS
     // query identically (indexes rebuilt through the normal ingest path).

@@ -255,6 +255,34 @@ final class Collection private (
       }
   }
 
+  /** Continuous vector search: probe a STREAM of query vectors (qid, qvec)
+    * against this collection's persisted ANN index as the queries arrive —
+    * the serving-adjacent sibling of [[streamIngest]]. Each micro-batch's
+    * queries are collected (a query batch is small by nature — the corpus
+    * side stays distributed inside [[vectorTopK]]'s index probe) and the
+    * (qid, rn, id, sim) results are handed to `sink` for delivery. The
+    * per-batch probe cost is the index's: probed buckets + candidate
+    * rerank, independent of corpus size.
+    *
+    * Pair with the default ProcessingTime(0) trigger for lowest latency or
+    * a fixed trigger to amortize probes; `start()` on the returned writer.
+    */
+  def streamVectorSearch(queries: DataFrame, k: Int,
+                         qidCol: String = "qid", qvecCol: String = "qvec")(
+      sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    require(queries.isStreaming, "streamVectorSearch expects a streaming DataFrame")
+    queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val qs = batch.select(col(qidCol).cast("string"),
+          col(qvecCol).cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Float](1))
+        .toSeq
+      if (qs.nonEmpty) sink(vectorTopK(qs, k))
+    }
+  }
+
   /** `update` = `add` with mandatory ids (reference core.py:173-182). */
   def update(ids: Seq[String], contents: Seq[String],
              metadatas: Option[Seq[Map[String, String]]] = None): Seq[String] = {

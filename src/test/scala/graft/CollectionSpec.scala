@@ -68,6 +68,36 @@ class CollectionSpec extends AnyFunSuite {
       === Set("d1", "d3"))
   }
 
+  test("streamVectorSearch: per-batch probes equal per-call vectorTopK; rejects batch input") {
+    import org.apache.spark.sql.functions._
+    val c = coll(name = "sv", useFts = false)
+    val vecs = (1 to 40).map(i =>
+      (s"v$i", "", Array(math.sin(i * 0.7).toFloat, math.cos(i * 1.3).toFloat)))
+    c.addDf(spark.createDataFrame(vecs).toDF("id", "content", "embedding"))
+    c.createVectorIndex(numTables = 8, numPlanes = 3)
+    val qs = Seq("a" -> Seq(1.0f, 0.0f), "b" -> Seq(0.0f, 1.0f))
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Seq[Float])]
+    val got = scala.collection.mutable.ArrayBuffer[(String, Int, String)]()
+    val q = c.streamVectorSearch(mem.toDF().toDF("qid", "qvec"), k = 5) { out =>
+      got ++= out.select("qid", "rn", "id").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    }.start()
+    try {
+      mem.addData(qs.head); q.processAllAvailable()
+      mem.addData(qs.last); q.processAllAvailable()
+    } finally q.stop()
+    val percall = c.vectorTopK(qs, 5).select("qid", "rn", "id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got.toSet === percall && got.nonEmpty)
+    intercept[IllegalArgumentException] {
+      c.streamVectorSearch(spark.createDataFrame(qs).toDF("qid", "qvec"), k = 5)(_ => ())
+    }
+  }
+
   // --- name validation (core.py:94-97) ---
   test("valid and invalid collection names") {
     val root = freshRoot()
