@@ -1945,6 +1945,28 @@ object EntryQueries {
                |WHERE doc_id % 5 <> 0 AND NOT EXISTS (
                |  SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0 AND r.text = d.text)""".stripMargin)),
 
+    // kNN-graph construction: LSH-bucketed top-k neighbors per vector,
+    // recall-gated against the exact kNN graph (exactTopKAll with the
+    // corpus as its own query set — the x6b gate pattern).
+    ("x75_knn_graph", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val approx = Ann.knnGraph(e, k = 10)
+      val exact = Ann.exactTopKAll(e,
+          e.select(col("id").as("qid"), col("embedding").as("qvec")), k = 11)
+        .filter(col("qid") =!= col("id")) // the self-match occupies one exact slot
+        .withColumn("rn2", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("rn"))))
+        .filter(col("rn2") <= 10)
+        .select(col("qid").as("id"), col("id").as("neighbor"))
+      val hit = approx.select("id", "neighbor").join(exact, Seq("id", "neighbor"), "left_semi").count()
+      val rec = hit.toDouble / exact.count()
+      val maxPerId = approx.groupBy("id").count().agg(max("count")).head().getLong(0)
+      Seq(("recall_ge_0.8", rec >= 0.8), ("at_most_k_per_id", maxPerId <= 10))
+        .toDF("metric", "ok")
+    }, Some("SELECT 'at_most_k_per_id' AS metric, true AS ok UNION ALL SELECT 'recall_ge_0.8', true ORDER BY metric")),
+
     // Continuous vector search: a MemoryStream of query vectors probed
     // against the persisted collection index per micro-batch must return
     // EXACTLY the per-call vectorTopK results, across two batches.

@@ -208,6 +208,49 @@ object Ann {
       .select(col("qid"), col("rn"), col("id"), col("sim"))
   }
 
+  /** Approximate kNN-GRAPH construction: for EVERY corpus vector, its k
+    * most-similar neighbors among the vectors sharing an LSH bucket with it
+    * in ≥1 table — the graph-building primitive under graph-ANN indexes,
+    * SemDeDup-style cluster refinement, and label propagation. Output:
+    * (id, rn, neighbor, sim), ≤ k rows per id; vectors whose buckets hold
+    * no one else emit nothing.
+    *
+    * Scale: candidates come from the (table, bucket) self-join of the
+    * zero-shuffle LSH index frame — never all pairs. Buckets larger than
+    * `maxBucket` are SKIPPED (measurably, like the dedup caps): an LSH
+    * mega-bucket is a near-duplicate blob whose members are mutually
+    * interchangeable neighbors, and Σ bucket² on it would dominate the job.
+    * The per-id rank lowers to WindowGroupLimit map-side k-heaps, so ≤ k
+    * rows per (partition, id) reach the final shuffle.
+    */
+  def knnGraph(corpus: DataFrame, k: Int, idCol: String = "id",
+               embCol: String = "embedding", numTables: Int = 16,
+               numPlanes: Int = 4, dim: Int = 64, seed: Long = 42L,
+               maxBucket: Int = 4096): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val base = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .filter(col("emb").isNotNull)
+    val index = lshTables(base, "id", "emb", numTables, numPlanes, dim, seed)
+    val sized = index.withColumn("__sz",
+      count(lit(1)).over(Window.partitionBy(col("table"), col("bucket"))))
+      .filter(col("__sz") <= maxBucket)
+    val cand = sized.select(col("table"), col("bucket"), col("id"))
+      .join(sized.select(col("table"), col("bucket"), col("id").as("neighbor")),
+        Seq("table", "bucket"))
+      .filter(col("id") =!= col("neighbor"))
+      .select(col("id"), col("neighbor"))
+      .distinct()
+    cand
+      .join(base.select(col("id"), col("emb")), Seq("id"))
+      .join(base.select(col("id").as("neighbor"), col("emb").as("__emb_n")),
+        Seq("neighbor"))
+      .withColumn("sim", VectorFunctions.cosine(col("emb"), col("__emb_n")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("sim").desc, col("neighbor").asc)))
+      .filter(col("rn") <= k)
+      .select(col("id"), col("rn"), col("neighbor"), col("sim"))
+  }
+
   /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein, SIGIR 1998):
     * greedy top-k where each pick maximizes
     * `λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s)` (the max is 0 while

@@ -980,6 +980,21 @@ class ExtSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("knnGraph: planted clusters recover their own members; no self edges; <=k per id") {
+    // two tight clusters far apart: every vector's neighbors must be its
+    // own cluster's other members
+    val c1 = (1 to 6).map(i => (s"a$i", Array(1.0f, 0.001f * i, 0.0f)))
+    val c2 = (1 to 6).map(i => (s"b$i", Array(0.0f, 0.001f * i, 1.0f)))
+    val df = (c1 ++ c2).toDF("id", "embedding")
+    val g = Ann.knnGraph(df, k = 3, numTables = 8, numPlanes = 2, dim = 3)
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    assert(g.nonEmpty)
+    assert(g.forall { case (id, nb) => id.head == nb.head }, g.toSeq) // same cluster
+    assert(g.forall { case (id, nb) => id != nb })
+    val perId = g.groupBy(_._1).map(_._2.size)
+    assert(perId.forall(_ <= 3))
+  }
+
   test("int8TopKAll (one corpus scan) equals per-query int8TopK") {
     val corpus = (1 to 60).map(i =>
       (s"v$i", Array(math.sin(i * 1.7).toFloat, math.cos(i * 0.9).toFloat,
