@@ -1945,6 +1945,32 @@ object EntryQueries {
                |WHERE doc_id % 5 <> 0 AND NOT EXISTS (
                |  SELECT 1 FROM documents r WHERE r.doc_id % 5 = 0 AND r.text = d.text)""".stripMargin)),
 
+    // Continuous FTS: a MemoryStream of query strings answered per batch
+    // must equal the per-call queryFrame results (two batches).
+    ("x76_stream_fts", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val c = mainColl(s, sfDir)
+      val queries = Seq("q1" -> "customer stream", "q2" -> "table scan",
+        "q3" -> "sca*", "q4" -> "vector or index")
+      implicit val sqlCtx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String)]
+      val results = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val q = c.streamQuery(mem.toDF().toDF("qid", "query"), limit = 0) { out =>
+        results ++= out.select("qid", "id").collect()
+          .map(r => (r.getString(0), r.getString(1)))
+      }.start()
+      try {
+        mem.addData(queries.take(2): _*); q.processAllAvailable()
+        mem.addData(queries.drop(2): _*); q.processAllAvailable()
+      } finally q.stop()
+      val percall = queries.flatMap { case (qid, qq) =>
+        c.queryFrame(qq).select("id").collect().map(r => (qid, r.getString(0)))
+      }
+      Seq(("stream_equals_percall", results.toSet == percall.toSet && results.nonEmpty))
+        .toDF("metric", "ok")
+    }, Some("SELECT 'stream_equals_percall' AS metric, true AS ok")),
+
     // kNN-graph construction: LSH-bucketed top-k neighbors per vector,
     // recall-gated against the exact kNN graph (exactTopKAll with the
     // corpus as its own query set — the x6b gate pattern).

@@ -283,6 +283,28 @@ final class Collection private (
     }
   }
 
+  /** Continuous FULL-TEXT search: the FTS sibling of [[streamVectorSearch]]
+    * — a stream of (qid, query-string) rows answered per micro-batch
+    * through the same fused postings pipeline as [[queryFrame]]. Each
+    * result frame handed to `sink` carries (qid, id, rank), `limit` rows
+    * per query (0 = unlimited). Queries collect per batch (small by
+    * nature); each one's postings scan stays distributed.
+    */
+  def streamQuery(queries: DataFrame, limit: Int = 10,
+                  qidCol: String = "qid", queryCol: String = "query")(
+      sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    require(queries.isStreaming, "streamQuery expects a streaming DataFrame")
+    queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val qs = batch.select(col(qidCol).cast("string"), col(queryCol).cast("string"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      qs.foreach { case (qid, q) =>
+        sink(queryFrame(q, limit = limit).select(
+          lit(qid).as("qid"), col("id"), col("rank")))
+      }
+    }
+  }
+
   /** `update` = `add` with mandatory ids (reference core.py:173-182). */
   def update(ids: Seq[String], contents: Seq[String],
              metadatas: Option[Seq[Map[String, String]]] = None): Seq[String] = {

@@ -233,6 +233,37 @@ object ProbeScale {
       val qn = time("quantiles_1m_sec")(TextStats.lengthQuantiles(
         bigDocs.withColumn("source", element_at($"metadata", "lang")), "source").count())
       println(s"PROBE   quantile rows = $qn"); metrics += ("quantile_rows" -> qn)
+
+      // salted vs plain join on the 5-value hot lang key at 1M rows
+      val dim = Seq(("en", "English"), ("de", "German"), ("zh", "Chinese"),
+        ("fr", "French"), ("es", "Spanish")).toDF("lang", "lang_name")
+      val langed = bigDocs.withColumn("lang", element_at($"metadata", "lang"))
+      val nSalted = time("salted_join_1m_sec")(
+        graft.ext.Joins.saltedJoin(langed, dim, Seq("lang"), salt = 32).count())
+      val nPlain = time("plain_join_1m_sec")(langed.join(dim, Seq("lang")).count())
+      require(nSalted == nPlain, "salted join diverged from plain")
+      metrics += ("join_rows" -> nSalted)
+
+      // zero-shuffle per-row scans at 1M docs
+      val ent = time("token_entropy_1m_sec")(TextStats.tokenEntropy(bigDocs)
+        .agg(sum(when($"norm_entropy" < 0.5, 1L).otherwise(0L))).head().getLong(0))
+      println(s"PROBE   low-entropy docs = $ent"); metrics += ("low_entropy_docs" -> ent)
+      val ld = time("dedup_lines_doc_1m_sec")(Dedup.dedupLinesDoc(
+        bigDocs.withColumn("content", concat(
+          regexp_replace($"content", " cp", "\ncp"),
+          lit("\nfooter line\nbody\nfooter line\nbody"))))
+        .agg(sum($"n_lines_dropped")).head().getLong(0))
+      require(ld == 2L * n, s"expected 2 planted dup lines per doc, got $ld")
+      println(s"PROBE   intra-doc lines dropped = $ld"); metrics += ("doc_lines_dropped" -> ld)
+
+      // corpus diff at 1M vs a mutated snapshot
+      val mutated = bigDocs.filter(xxhash64($"id") % 7 =!= 0)
+        .withColumn("content", when(xxhash64($"id") % 11 === 0,
+          concat($"content", lit(" edited"))).otherwise($"content"))
+      val nDiff = time("corpus_diff_1m_sec")(
+        graft.ext.Joins.diffCorpora(bigDocs, mutated)
+          .filter($"status" =!= "unchanged").count())
+      println(s"PROBE   changed+removed = $nDiff"); metrics += ("diff_rows" -> nDiff)
     }
     // `ngonly` = ingest + ngram/simhash only (the partition-scaling twin of
     // mhonly, for the prefix-filter join)

@@ -98,6 +98,30 @@ class CollectionSpec extends AnyFunSuite {
     }
   }
 
+  test("streamQuery: per-batch FTS answers equal per-call queryFrame; rejects batch input") {
+    val c = coll(name = "sq")
+    c.add(Seq("alpha beta gamma", "beta delta", "alpha delta"),
+      ids = Some(Seq("d1", "d2", "d3")))
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val q = c.streamQuery(mem.toDF().toDF("qid", "query"), limit = 0) { out =>
+      got ++= out.select("qid", "id").collect().map(r => (r.getString(0), r.getString(1)))
+    }.start()
+    try {
+      mem.addData(("q1", "alpha")); q.processAllAvailable()
+      mem.addData(("q2", "beta or delta")); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet === Set(("q1", "d1"), ("q1", "d3"),
+      ("q2", "d1"), ("q2", "d2"), ("q2", "d3")))
+    intercept[IllegalArgumentException] {
+      c.streamQuery(Seq(("q", "x")).toDF("qid", "query"))(_ => ())
+    }
+  }
+
   // --- name validation (core.py:94-97) ---
   test("valid and invalid collection names") {
     val root = freshRoot()
