@@ -2,7 +2,7 @@ package graft
 
 import graft.api.{Collection, Embedder}
 import graft.exec.Sorter
-import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Ivf, Joins, Multimodal, Pipeline, Pq, Quantize, TextStats}
+import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Graphs, Ivf, Joins, Json, Multimodal, Pipeline, Pq, Quantize, TextStats}
 import graft.functions.TextFunctions
 import graft.model.SortKey
 import graft.parse.QueryParser
@@ -2331,7 +2331,77 @@ object EntryQueries {
               |       FROM mean m JOIN nrm n USING(id))
               |SELECT CAST(o.id AS BIGINT) AS id, c.n AS n_chunks,
               |       list(round(o.v, 6) ORDER BY o.pos) AS embedding
-              |FROM o JOIN cnt c USING(id) GROUP BY o.id, c.n""".stripMargin))
+              |FROM o JOIN cnt c USING(id) GROUP BY o.id, c.n""".stripMargin)),
+
+    // DSIR importance weighting: per-doc mean log p_target/p_raw under two
+    // add-one unigram LMs (target = the English slice), vocab = top-500 raw
+    // tokens + OOV. The oracle replays both LMs and the ratio end-to-end.
+    ("x77_importance_dsir", (s: SparkSession, sfDir: String) => {
+      val docs = docsFrame(s, sfDir)
+      val target = docs.filter(element_at(col("metadata"), "lang") === "en")
+      TextStats.importanceWeights(docs, target, vocabSize = 500)
+        .select(col("id"), col("n_tokens"), round(col("logratio"), 6).as("logratio"))
+    }, Some(s"""WITH tk AS (SELECT $DocId AS id, lang, unnest($Toks) AS tok FROM documents),
+              | rawc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
+              | voc AS (SELECT tok, cnt AS raw_cnt FROM rawc ORDER BY cnt DESC, tok ASC LIMIT 500),
+              | tgtc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk WHERE lang = 'en' GROUP BY tok),
+              | pars AS (SELECT
+              |   ln(CAST((SELECT coalesce(sum(cnt), 0) FROM rawc) + (SELECT count(*) FROM voc) + 1 AS DOUBLE)) AS lnd_raw,
+              |   ln(CAST((SELECT coalesce(sum(cnt), 0) FROM tgtc) + (SELECT count(*) FROM voc) + 1 AS DOUBLE)) AS lnd_tgt),
+              | ratio AS (SELECT v.tok,
+              |     ln(coalesce(t.cnt, 0) + 1) - pars.lnd_tgt - ln(v.raw_cnt + 1) + pars.lnd_raw AS lr
+              |   FROM voc v CROSS JOIN pars LEFT JOIN tgtc t USING (tok)),
+              | sc AS (SELECT tk.id, coalesce(r.lr, pars.lnd_raw - pars.lnd_tgt) AS lr
+              |   FROM tk CROSS JOIN pars LEFT JOIN ratio r USING (tok)),
+              | ag AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tokens, sum(lr) AS sm FROM sc GROUP BY id)
+              |SELECT d.id, coalesce(ag.n_tokens, 0) AS n_tokens,
+              |  round(coalesce(ag.sm / ag.n_tokens, 0.0), 6) AS logratio
+              |FROM (SELECT DISTINCT $DocId AS id FROM documents) d LEFT JOIN ag USING (id)""".stripMargin)),
+
+    // Semi-structured flattening: infer the props JSON schema on a bounded
+    // deterministic sample, then a codegen'd from_json extraction. The
+    // oracle extracts the same field with DuckDB's JSON reader.
+    ("x78_json_extract", (s: SparkSession, sfDir: String) => {
+      val ev = s.read.parquet(s"$sfDir/events.parquet")
+      Json.flatten(ev, "props", maxSample = 1000L)
+        .select(col("event_id"), col("k"))
+    }, Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events")),
+
+    // PageRank centrality over the EXACT 5-NN semantic graph (deterministic
+    // edge set -> the oracle can replay it), 5 fixed iterations, d = 0.85.
+    // Representative-document scoring for curation; the approximate-graph
+    // scale arm is knnGraph + the same pageRank, recall-gated via x75.
+    ("x79_pagerank", (s: SparkSession, sfDir: String) => {
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val edges = Ann.exactTopKAll(e,
+          e.select(col("id").as("qid"), col("embedding").as("qvec")), k = 6)
+        .filter(col("qid") =!= col("id"))
+        .withColumn("rn2", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("rn"))))
+        .filter(col("rn2") <= 5)
+        .select(col("qid").as("src"), col("id").as("dst"))
+      Graphs.pageRank(edges, iterations = 5, damping = 0.85)
+        .select(col("id"), round(col("rank"), 8).as("rank"))
+    }, Some {
+      val iters = (1 to 5).map { i =>
+        s""" c$i AS (SELECT e.dst AS id, sum(r${i - 1}.r / od.deg) AS m
+           |   FROM e JOIN r${i - 1} ON e.src = r${i - 1}.id JOIN od ON od.src = e.src GROUP BY e.dst),
+           | r$i AS (SELECT n.id, 0.15 / pars.n + 0.85 * coalesce(c$i.m, 0) AS r
+           |   FROM nodes n CROSS JOIN pars LEFT JOIN c$i USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT CAST(a.vec_id AS VARCHAR) AS src, CAST(b.vec_id AS VARCHAR) AS dst,
+         |     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
+         |   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         | e AS (SELECT src, dst FROM (SELECT src, dst,
+         |     row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rn FROM e0) WHERE rn <= 5),
+         | nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+         | pars AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         | od AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+         | r0 AS (SELECT id, 1.0 / pars.n AS r FROM nodes CROSS JOIN pars),
+         |$iters
+         |SELECT id, round(r, 8) AS rank FROM r5""".stripMargin
+    })
   )
 
   /** DuckDB replica of Ann.mmrRerank for query vec 0 at λ=0.5: top-candK

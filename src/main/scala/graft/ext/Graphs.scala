@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge frames the other operators produce — the kNN
+  * graph ([[Ann.knnGraph]] / [[Ann.exactTopKAll]]), the duplicate-pair
+  * graph ([[Dedup]]), or any (src, dst) relation. New-scope per
+  * BASELINE.json: centrality feeds representative-document selection in a
+  * curation pipeline (score a corpus by how central each doc is in the
+  * semantic graph, keep the heads or re-weight the tails).
+  */
+object Graphs {
+
+  /** PageRank with a FIXED iteration count — deterministic by
+    * construction (no tolerance test whose float comparison could flip a
+    * round), so an independent engine unrolling the same recurrence reaches
+    * bit-close values and a rounded compare matches.
+    *
+    * Semantics: directed edges, parallel edges collapsed, self-loops
+    * dropped; nodes = endpoints of the edge set. From `r_0(v) = 1/N`,
+    * each round `r_{t+1}(v) = (1−d)/N + d·(Σ_{u→v} r_t(u)/outdeg(u)
+    * + dangling_t/N)` where `dangling_t` is the rank mass sitting on
+    * nodes with no out-edges (redistributed uniformly, the standard
+    * stochastic-matrix completion).
+    *
+    * Scale: per round, ONE (dst) shuffle of skinny (dst, contrib) rows —
+    * the edge frame is hash-partitioned on `src` once up front and the
+    * per-round rank⋈edges join reuses that exchange on the big side; the
+    * dangling term rides as a broadcast 1-row aggregate, never a
+    * driver-side action. Lineage is truncated every round (checkpoint if a
+    * reliable dir is set, else localCheckpoint) — the O(log-plan) blowup
+    * fix [[Dedup.dupClusters]] measured applies identically here. Rounds
+    * are O(iterations), independent of graph diameter. At 100 TB the edge
+    * frame is the big side and it never moves after the initial partition.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 5, damping: Double = 0.85,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, "iterations >= 1")
+    require(damping >= 0.0 && damping < 1.0, "0 <= damping < 1")
+    val spark = edges.sparkSession
+    def truncated(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val e = truncated(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src")))
+    val nodes = truncated(
+      e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val outDeg = truncated(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    var rank = truncated(nodes.select(col("id"), lit(1.0 / n).as("rank")))
+    for (_ <- 1 to iterations) {
+      // rank mass on dangling nodes (no out-edges), as a 1-row frame so the
+      // whole round stays one lazily-planned job
+      val dangling = rank.join(outDeg.select(col("src").as("id")), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      val contrib = rank.join(outDeg, rank("id") === outDeg("src"))
+        .join(e, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("__in"))
+      val next = nodes
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("__in"), lit(0.0)) + col("__dm") / n)).as("rank"))
+      val prev = rank
+      rank = truncated(next)
+      release(prev)
+    }
+    rank
+  }
+
+  // free a superseded round's localCheckpoint blocks (same rationale as
+  // Dedup.dupClusters: don't pin O(iterations) rank frames in storage)
+  private def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    case _ => ()
+  }
+
+  /** Degree report for an edge frame: per node, in-degree, out-degree and
+    * total — the quick shape diagnostic next to [[pageRank]] (a node with
+    * huge in-degree in the kNN graph is a semantic hub / near-dup magnet).
+    * One shuffle per direction on skinny (id, 1) rows.
+    */
+  def degrees(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val out = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_degree"))
+    val in = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        (coalesce(col("in_degree"), lit(0L)) + coalesce(col("out_degree"), lit(0L))).as("degree"))
+  }
+}

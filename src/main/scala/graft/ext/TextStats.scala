@@ -750,4 +750,83 @@ object TextStats {
         (col("n_hapax").cast("double") / col("n_types")).as("hapax_ratio"),
         (col("__top").cast("double") / col("n_tokens")).as("top_token_share"))
   }
+
+  /** DSIR-style importance weight per raw-corpus document (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * `logratio(d) = (1/|d|) Σ_t [ln p_target(t) − ln p_raw(t)]` under two
+    * add-one-smoothed unigram LMs — one trained on a small high-quality
+    * `target` corpus, one on the `raw` corpus being selected from. Positive
+    * means target-like; feeding `logratio` (or `exp` of it) into
+    * [[Pipeline.sampleWeighted]] is the resampling step.
+    *
+    * The shared event space is the top-`vocabSize` RAW-corpus tokens
+    * (count desc, token asc — a deterministic cut) plus one OOV bucket, so
+    * both LMs are total over the same `V+1` events and every ratio is
+    * finite: `p_C(t) = (cnt_C(t)+1) / (N_C + V + 1)`, OOV `cnt = 0`.
+    * Empty/null docs score 0 with `n_tokens = 0`.
+    *
+    * Scale: the vocab is a bounded TakeOrdered collect (like
+    * [[unigramNll]]); target counts fold onto it via a broadcast semi-join
+    * so the ratio table stays O(vocabSize) end-to-end; scoring is ONE
+    * per-doc token agg with the ratio table broadcast. Nothing
+    * corpus-sized shuffles. At 100 TB pass `hashBuckets = Some(B)` —
+    * DSIR's hashed features: tokens fold into `B` md5 buckets, the vocab
+    * cut (and its collect) disappears, and both count aggs are ≤ B rows.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        vocabSize: Int = 50000,
+                        hashBuckets: Option[Int] = None,
+                        idCol: String = "id",
+                        contentCol: String = "content"): DataFrame = {
+    require(vocabSize >= 1, "vocabSize >= 1")
+    hashBuckets.foreach(b => require(b >= 1, "hashBuckets >= 1"))
+    val spark = raw.sparkSession
+    import spark.implicits._
+    // feature = token (exact mode) or md5 bucket id (hashed mode); the
+    // bucket fold is hex-prefix arithmetic both engines can replay
+    def feats(c: Column): Column = hashBuckets match {
+      case Some(b) => transform(TextFunctions.tokens(c),
+        t => (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % b).cast("string"))
+      case None => TextFunctions.tokens(c)
+    }
+    def counts(df: DataFrame): DataFrame =
+      df.select(explode(feats(col(contentCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val rawCnt = counts(raw).persist()
+    try {
+      // vocab cut: hashed mode is already bounded by B, no cut needed
+      val vocab = hashBuckets match {
+        case Some(_) => rawCnt
+        case None => rawCnt.orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+      }
+      val vocabRows = vocab.as[(String, Long)].collect()
+      val nRaw = rawCnt.agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
+      val v = vocabRows.length
+      val tgtAll = counts(target)
+      val vocabDf = vocabRows.toSeq.toDF("tok", "raw_cnt")
+      // fold target counts onto the bounded vocab: big side semi-filtered
+      // by the broadcast vocab FIRST, so the outer join below is tiny⋈tiny
+      val tgtOnVocab = tgtAll.join(broadcast(vocabDf.select("tok")), Seq("tok"), "left_semi")
+        .withColumnRenamed("cnt", "tgt_cnt")
+      val nTgt = tgtAll.agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
+      val lnDenomRaw = math.log(nRaw.toDouble + v + 1)
+      val lnDenomTgt = math.log(nTgt.toDouble + v + 1)
+      val ratioDf = vocabDf.join(tgtOnVocab, Seq("tok"), "left")
+        .select(col("tok"),
+          (log(coalesce(col("tgt_cnt"), lit(0L)) + 1) - lit(lnDenomTgt)
+            - log(col("raw_cnt") + 1) + lit(lnDenomRaw)).as("__lr"))
+      // OOV: both counts 0 -> ln(1)−lnDenomTgt − ln(1)+lnDenomRaw
+      val oov = lnDenomRaw - lnDenomTgt
+      val perDoc = raw.select(col(idCol).as("id"), explode(feats(col(contentCol))).as("tok"))
+        .join(broadcast(ratioDf), Seq("tok"), "left")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("__lr"), lit(oov))).as("__s"))
+      raw.select(col(idCol).as("id")).distinct()
+        .join(perDoc, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("__s") / col("n_tokens"), lit(0.0)).as("logratio"))
+    } finally rawCnt.unpersist()
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Ann, ByteStatsDecoder, Dedup, Multimodal, Pipeline, TextStats}
+import graft.ext.{Ann, ByteStatsDecoder, Dedup, Graphs, Json, Multimodal, Pipeline, TextStats}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -1950,5 +1950,108 @@ class ExtSpec extends AnyFunSuite {
     assert(out("s1")._1 === 4L && out("s2")._1 === 2L)
     // tiny cardinalities: HLL++ is exact here
     assert(out("s1")._2 === 4L && out("s2")._2 === 2L)
+  }
+
+  // --- Graphs ---------------------------------------------------------------
+
+  test("pageRank: ranks are a probability distribution and dangling mass is redistributed") {
+    // a -> b -> c, c dangling: its mass must recycle uniformly, not vanish
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val r = Graphs.pageRank(edges, iterations = 20)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9) // lossless only if dangling handled
+    // chain order: c receives from b receives from a; a only gets teleport+dangling
+    assert(r("c") > r("b") && r("b") > r("a"))
+  }
+
+  test("pageRank: damping 0 is uniform; parallel edges and self-loops are ignored") {
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "b"), ("b", "a")).toDF("src", "dst")
+    val r = Graphs.pageRank(edges, iterations = 3, damping = 0.0)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.size === 2 && r.values.forall(v => math.abs(v - 0.5) < 1e-12))
+    // with damping, the 2-cycle left after cleanup is symmetric -> equal ranks
+    val r2 = Graphs.pageRank(edges, iterations = 7, damping = 0.85)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r2("a") - r2("b")) < 1e-12)
+  }
+
+  test("degrees: in/out/total per node over the deduped edge set") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("c", "b"), ("b", "b")).toDF("src", "dst")
+    val d = Graphs.degrees(edges).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(d("a") === ((0L, 2L, 2L)))
+    assert(d("b") === ((2L, 0L, 2L)))
+    assert(d("c") === ((1L, 1L, 2L)))
+  }
+
+  // --- Json -----------------------------------------------------------------
+
+  test("json flatten: inferred schema, malformed row -> nulls, passthrough preserved") {
+    val df = Seq(
+      (1L, """{"k": 3, "tag": "x"}"""),
+      (2L, """{"k": 5}"""),
+      (3L, "not json at all"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "props")
+    val out = Json.flatten(df, "props")
+    assert(out.columns.toSeq === Seq("id", "k", "tag"))
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(rows(1L) === ((Some(3L), Some("x"))))
+    assert(rows(2L) === ((Some(5L), None)))
+    assert(rows(3L) === ((None, None))) // PERMISSIVE: poison row survives, fields null
+    assert(rows(4L) === ((None, None)))
+  }
+
+  test("json extract: working column collides with nothing and prefix applies") {
+    val df = Seq((1L, """{"k": 7}""", "keepme")).toDF("id", "props", "__j")
+    val schema = Json.inferSchema(df, "props")
+    val out = Json.extract(df, "props", schema, prefix = "p_")
+    assert(out.columns.toSeq === Seq("id", "__j", "p_k"))
+    val r = out.head()
+    assert(r.getString(1) === "keepme" && r.getLong(2) === 7L)
+  }
+
+  test("json inferSchema: sample cap still yields a usable schema") {
+    val df = (1 to 500).map(i => (i.toLong, s"""{"k": $i}""")).toDF("id", "props")
+    val s = Json.inferSchema(df, "props", maxSample = 50L)
+    assert(s.fieldNames.toSeq === Seq("k"))
+  }
+
+  // --- importance weighting -------------------------------------------------
+
+  test("importanceWeights: target == raw scores exactly 0; empty doc scores 0 with 0 tokens") {
+    val d = Seq(("d1", "alpha beta gamma"), ("d2", "alpha alpha"), ("d3", "")).toDF("id", "content")
+    val out = TextStats.importanceWeights(d, d, vocabSize = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("d1")._2 === 0.0 && out("d2")._2 === 0.0) // identical LMs -> ratio ln(1)
+    assert(out("d3") === ((0L, 0.0)))
+  }
+
+  test("importanceWeights: target-like docs score above target-unlike docs; OOV handled") {
+    val raw = Seq(
+      ("r1", "good clean prose text"),
+      ("r2", "spam junk noise zzz"),
+      ("r3", "good prose with xqzt")   // xqzt OOV-ish rare token
+    ).toDF("id", "content")
+    val target = Seq(("t1", "good clean prose text prose good")).toDF("id", "content")
+    val out = TextStats.importanceWeights(raw, target, vocabSize = 100)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("r1") > out("r2"))
+    assert(out("r3") > out("r2")) // one rare token must not sink a target-like doc
+  }
+
+  test("importanceWeights: hashed-feature mode tracks exact mode when buckets are collision-free") {
+    val raw = Seq(
+      ("r1", "good clean prose text"),
+      ("r2", "spam junk noise zzz")
+    ).toDF("id", "content")
+    val target = Seq(("t1", "good clean prose text")).toDF("id", "content")
+    val exact = TextStats.importanceWeights(raw, target, vocabSize = 100)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val hashed = TextStats.importanceWeights(raw, target, hashBuckets = Some(1 << 20))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // 8 distinct tokens in 2^20 buckets: collision-free w.h.p. -> same scores
+    exact.foreach { case (id, v) => assert(math.abs(hashed(id) - v) < 1e-9) }
   }
 }
