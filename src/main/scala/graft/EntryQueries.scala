@@ -2333,6 +2333,36 @@ object EntryQueries {
               |       list(round(o.v, 6) ORDER BY o.pos) AS embedding
               |FROM o JOIN cnt c USING(id) GROUP BY o.id, c.n""".stripMargin)),
 
+    // Continuous-ingestion screening: a two-batch MemoryStream of docs
+    // filtered against a static reference must equal the batch operator on
+    // the union (per-doc verdicts depend only on (doc, reference), so
+    // batch boundaries cannot matter) — the x74/x76 gate pattern.
+    ("x80_stream_dedup_against", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("n"),
+          col("doc_id").cast("string").as("id"), col("text").as("content"))
+      val ref = d.filter(col("n") % 7 === 0).select("id", "content")
+      val corpus = d.filter(col("n") % 7 =!= 0 && col("n") % 3 === 0)
+      implicit val sqlCtx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val got = scala.collection.mutable.Set[String]()
+      val q = Dedup.streamDedupAgainst(
+          mem.toDF().toDF("n", "id", "content").select("id", "content"), ref) { out =>
+        got ++= out.select("id").collect().map(_.getString(0))
+      }.start()
+      try {
+        val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        mem.addData(rows.filter(_._1 % 2 == 0).toSeq: _*); q.processAllAvailable()
+        mem.addData(rows.filter(_._1 % 2 != 0).toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      val batch = Dedup.dedupAgainst(corpus.select("id", "content"), ref)
+        .select("id").collect().map(_.getString(0)).toSet
+      Seq(("stream_equals_batch", got.toSet == batch && got.nonEmpty))
+        .toDF("metric", "ok")
+    }, Some("SELECT 'stream_equals_batch' AS metric, true AS ok")),
+
     // DSIR importance weighting: per-doc mean log p_target/p_raw under two
     // add-one unigram LMs (target = the English slice), vocab = top-500 raw
     // tokens + OOV. The oracle replays both LMs and the ratio end-to-end.

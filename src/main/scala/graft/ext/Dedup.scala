@@ -580,6 +580,38 @@ object Dedup {
     hashed.filter(!might).drop(h64).unionByName(survivors)
   }
 
+  /** Continuous-ingestion screening: filter a micro-batched STREAM of docs
+    * against a static reference corpus, forwarding only novel survivors to
+    * `sink` — the streaming arm of [[dedupAgainst]] (continuous
+    * recrawl/holdout screening at the ingest edge). Each micro-batch runs
+    * the full batch operator (exact sha2 arm + optional MinHash near arm)
+    * against the SAME reference, so batch boundaries cannot change the
+    * result: survivors(b1) ∪ survivors(b2) ≡ survivors(b1 ∪ b2) — each
+    * doc's verdict depends only on (doc, reference). Compose with
+    * [[graft.streaming.EventStreams.dedupStream]] upstream for
+    * within-stream (first-arrival) dedup; this operator deliberately keeps
+    * no cross-batch state of its own.
+    *
+    * Scale: per batch, the reference side is the big one and it pays the
+    * same capped-bucket LSH probe as the batch operator; a small batch
+    * joins broadcast-style against the reference's hash/signature frames.
+    * `start()` on the returned writer.
+    */
+  def streamDedupAgainst(stream: DataFrame, reference: DataFrame,
+                         idCol: String = "id", contentCol: String = "content",
+                         refIdCol: String = "id", refContentCol: String = "content",
+                         near: Boolean = true, n: Int = 3, bands: Int = 32,
+                         rowsPerBand: Int = 4, threshold: Double = 0.8,
+                         maxCandidates: Int = 64)(sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(stream.isStreaming, "streamDedupAgainst expects a streaming DataFrame")
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty)
+        sink(dedupAgainst(batch, reference, idCol, contentCol, refIdCol,
+          refContentCol, near, n, bands, rowsPerBand, threshold, maxCandidates))
+    }
+  }
+
   // -------------------------------------------------------------------------
   // Capped in-bucket pair join (shared by the near-dup detectors)
   // -------------------------------------------------------------------------

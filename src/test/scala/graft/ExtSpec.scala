@@ -1952,6 +1952,32 @@ class ExtSpec extends AnyFunSuite {
     assert(out("s1")._2 === 4L && out("s2")._2 === 2L)
   }
 
+  test("streamDedupAgainst: exact and near dups dropped per batch, novel docs forwarded") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(
+      "r1" -> "the quick brown fox jumps over the lazy dog near the river bank",
+      "r2" -> "completely different text about spark query engines and shuffles"
+    ).toDF("id", "content")
+    val mem = MemoryStream[(String, String)]
+    val got = scala.collection.mutable.Set[String]()
+    val q = Dedup.streamDedupAgainst(mem.toDF().toDF("id", "content"), ref,
+        threshold = 0.5) { out =>
+      got ++= out.select("id").collect().map(_.getString(0))
+    }.start()
+    try {
+      // batch 1: exact dup of r1 + a novel doc; batch 2: near-dup of r1 + novel
+      mem.addData(
+        ("s1", "the quick brown fox jumps over the lazy dog near the river bank"),
+        ("s2", "a totally novel document about gradient descent optimizers"))
+      q.processAllAvailable()
+      mem.addData(
+        ("s3", "the quick brown fox jumps over the lazy dog near the river shore"),
+        ("s4", "another unrelated essay on distributed join algorithms"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet === Set("s2", "s4"))
+  }
+
   // --- Graphs ---------------------------------------------------------------
 
   test("pageRank: ranks are a probability distribution and dangling mass is redistributed") {
