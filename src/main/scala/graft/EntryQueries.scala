@@ -2333,6 +2333,34 @@ object EntryQueries {
               |       list(round(o.v, 6) ORDER BY o.pos) AS embedding
               |FROM o JOIN cnt c USING(id) GROUP BY o.id, c.n""".stripMargin)),
 
+    // T5 span corruption: deterministic masked-span (input, target) pairs —
+    // start decisions are portable md5 arithmetic, overlap-merge and the
+    // sentinel rebuild are replayed by the oracle window-for-window.
+    ("x81_span_corrupt", (s: SparkSession, sfDir: String) =>
+      Pipeline.spanCorrupt(docsFrame(s, sfDir), density = 0.15, spanLen = 3, seed = 42L)
+        .select(col("id"), col("input"), col("target"), col("n_spans"), col("n_masked")),
+      Some(s"""WITH t AS (SELECT $DocId AS id, $Toks AS w FROM documents),
+              | g AS (SELECT id, w, unnest(range(1, len(w) + 1)) AS i FROM t),
+              | tk AS (SELECT id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS tok FROM g),
+              | st AS (SELECT id, pos, tok,
+              |   ('0x' || substr(md5('42:' || id || ':' || pos), 1, 12))::BIGINT % 1000000 < 50000 AS s FROM tk),
+              | mk AS (SELECT *, max(CASE WHEN s THEN 1 ELSE 0 END)
+              |     OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS m FROM st),
+              | nr AS (SELECT *, m AND NOT coalesce(lag(m) OVER (PARTITION BY id ORDER BY pos), false) AS nw FROM mk),
+              | ri AS (SELECT *, sum(CASE WHEN nw THEN 1 ELSE 0 END) OVER (PARTITION BY id ORDER BY pos
+              |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS run FROM nr),
+              | inp AS (SELECT id, string_agg(CASE WHEN m THEN '<extra_id_' || run || '>' ELSE tok END, ' ' ORDER BY pos)
+              |     FILTER (WHERE NOT m OR nw) AS input FROM ri GROUP BY id),
+              | tgt AS (SELECT id, string_agg(CASE WHEN nw THEN '<extra_id_' || run || '> ' || tok ELSE tok END, ' ' ORDER BY pos)
+              |     FILTER (WHERE m) AS target FROM ri GROUP BY id),
+              | ag AS (SELECT id, sum(CASE WHEN nw THEN 1 ELSE 0 END) AS n_spans,
+              |     count(*) FILTER (WHERE m) AS n_masked FROM ri GROUP BY id)
+              |SELECT d.id, coalesce(inp.input, '') AS input, coalesce(tgt.target, '') AS target,
+              |  CAST(coalesce(ag.n_spans, 0) AS BIGINT) AS n_spans,
+              |  CAST(coalesce(ag.n_masked, 0) AS BIGINT) AS n_masked
+              |FROM (SELECT DISTINCT $DocId AS id FROM documents) d
+              |LEFT JOIN inp USING (id) LEFT JOIN tgt USING (id) LEFT JOIN ag USING (id)""".stripMargin)),
+
     // Continuous-ingestion screening: a two-batch MemoryStream of docs
     // filtered against a static reference must equal the batch operator on
     // the union (per-doc verdicts depend only on (doc, reference), so

@@ -482,4 +482,68 @@ object Pipeline {
       .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
         graft.functions.VectorFunctions.cosineHof(col("__ea"), col("__eb")).as("sim"))
   }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): replace ~`density`
+    * of each doc's tokens with sentinel-marked masked spans, emitting the
+    * (input, target) pretraining pair. Fully DETERMINISTIC, unlike T5's
+    * sampled spans: token `i` STARTS a span iff
+    * `md5Mod(seed:id:i, 1e6) < density/spanLen·1e6` (so the expected masked
+    * fraction is `density`), a start masks the FIXED window `[i, i+spanLen)`,
+    * and overlapping/adjacent windows merge into one run. Run `k` (0-based,
+    * left to right) appears in the input as `<extra_id_k>` replacing its
+    * tokens, and in the target as `<extra_id_k>` followed by those tokens;
+    * no trailing EOS sentinel is emitted (divergence from strict T5,
+    * documented). Determinism makes the pair reproducible across runs,
+    * engines, and retries — the oracle replays start/merge/rebuild exactly.
+    *
+    * Output: (id, input, target, n_spans, n_masked); un-masked docs get
+    * their plain token join with empty target, empty docs both empty.
+    *
+    * Scale: posexplode → ONE hash shuffle on id for the window stack
+    * (start→mask→run-index are three chained windows over the same
+    * (id, pos) ordering — one WindowExec pass) → one groupBy(id)
+    * reassembly via the sorted-struct collect idiom ([[graft.ext.Dedup]]'s
+    * line rebuild). Per-doc state is O(doc tokens); nothing global.
+    */
+  def spanCorrupt(docs: DataFrame, density: Double = 0.15, spanLen: Int = 3,
+                  seed: Long = 0L, idCol: String = "id",
+                  contentCol: String = "content"): DataFrame = {
+    require(density > 0.0 && density <= 1.0, "density in (0, 1]")
+    require(spanLen >= 1, "spanLen >= 1")
+    val startP = math.round(density / spanLen * Precision)
+    val toks = graft.functions.TextFunctions.tokens(col(contentCol))
+    val tok = docs.select(col(idCol).as("id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("__st",
+        md5Mod(concat_ws(":", lit(seed), col("id"), col("pos")), Precision) < startP)
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val staged = tok
+      .withColumn("__m",
+        max(col("__st").cast("int")).over(w.rowsBetween(-(spanLen - 1), 0)) === 1)
+      .withColumn("__nw", col("__m") && !coalesce(lag(col("__m"), 1).over(w), lit(false)))
+      .withColumn("__run",
+        sum(col("__nw").cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+    val sentinel = concat(lit("<extra_id_"), col("__run"), lit(">"))
+    def rebuild(df: DataFrame, piece: Column, outCol: String) =
+      df.select(col("id"), col("pos"), piece.as("__p"))
+        .groupBy(col("id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("__p")))),
+          s => s.getField("__p")), " ").as(outCol))
+    val inp = rebuild(staged.filter(!col("__m") || col("__nw")),
+      when(col("__m"), sentinel).otherwise(col("tok")), "input")
+    val tgt = rebuild(staged.filter(col("__m")),
+      when(col("__nw"), concat(sentinel, lit(" "), col("tok"))).otherwise(col("tok")), "target")
+    val stats = staged.groupBy(col("id"))
+      .agg(sum(col("__nw").cast("long")).as("n_spans"),
+        sum(col("__m").cast("long")).as("n_masked"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(inp, Seq("id"), "left")
+      .join(tgt, Seq("id"), "left")
+      .join(stats, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("input"), lit("")).as("input"),
+        coalesce(col("target"), lit("")).as("target"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+  }
 }

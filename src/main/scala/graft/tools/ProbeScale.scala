@@ -264,6 +264,42 @@ object ProbeScale {
         graft.ext.Joins.diffCorpora(bigDocs, mutated)
           .filter($"status" =!= "unchanged").count())
       println(s"PROBE   changed+removed = $nDiff"); metrics += ("diff_rows" -> nDiff)
+
+      // DSIR importance weighting at 1M docs: hashed-feature mode (the
+      // 100 TB arm — no vocab collect at all) vs the exact top-50k-vocab
+      // arm; target = the English slice
+      val tgt = bigDocs.filter(element_at($"metadata", "lang") === "en").limit(50000)
+      val dsirH = time("dsir_hashed_1m_sec")(TextStats.importanceWeights(
+        bigDocs, tgt, hashBuckets = Some(10000)).count())
+      println(s"PROBE   dsir hashed rows = $dsirH"); metrics += ("dsir_rows" -> dsirH)
+      time("dsir_exact_1m_sec")(TextStats.importanceWeights(
+        bigDocs, tgt, vocabSize = 50000).count())
+
+      // JSON flattening at 2M events: bounded-sample inference + codegen'd
+      // extraction
+      val evj = spark.range(20).withColumnRenamed("id", "rep")
+        .crossJoin(spark.read.parquet(s"$sfDir/events.parquet")
+          .select($"event_id", $"props"))
+        .repartition(64)
+        .select(($"event_id" + $"rep" * 10000000L).as("event_id"), $"props")
+      val jn = time("json_flatten_2m_sec")(
+        graft.ext.Json.flatten(evj, "props", maxSample = 10000L)
+          .agg(sum($"k")).head().getLong(0))
+      println(s"PROBE   json sum(k) = $jn"); metrics += ("json_sum_k" -> jn)
+
+      // PageRank over a synthetic 1M-node / 5M-edge graph (deterministic
+      // expander-ish wiring), 5 iterations — the per-round shuffle cost at
+      // real scale, independent of any kNN build
+      val nNodes = 1000000L
+      val prEdges = spark.range(nNodes).withColumnRenamed("id", "src")
+        .crossJoin(spark.range(5).withColumnRenamed("id", "j"))
+        .select($"src", (($"src" * 7 + $"j" * 999983L + 1) % nNodes).as("dst"))
+      val prTop = time("pagerank_1m_sec")(
+        graft.ext.Graphs.pageRank(prEdges, iterations = 5)
+          .agg(sum($"rank"), count(lit(1))).head())
+      println(s"PROBE   pagerank sum = ${prTop.getDouble(0)} nodes = ${prTop.getLong(1)}")
+      metrics += ("pagerank_nodes" -> prTop.getLong(1))
+      require(math.abs(prTop.getDouble(0) - 1.0) < 1e-6, "pagerank mass must be conserved")
     }
     // `ngonly` = ingest + ngram/simhash only (the partition-scaling twin of
     // mhonly, for the prefix-filter join)

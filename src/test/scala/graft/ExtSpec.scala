@@ -2044,6 +2044,67 @@ class ExtSpec extends AnyFunSuite {
     assert(s.fieldNames.toSeq === Seq("k"))
   }
 
+  // --- span corruption --------------------------------------------------------
+
+  test("spanCorrupt: sentinel round-trip reconstructs the original token stream") {
+    val d = Seq(
+      ("d1", "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 10),
+      ("d2", "one two three"),
+      ("d3", "")
+    ).toDF("id", "content")
+    val out = Pipeline.spanCorrupt(d, density = 0.3, spanLen = 2, seed = 7L)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    // d3: nothing to mask
+    assert(out("d3") === (("", "", 0L, 0L)))
+    // invert: splice each <extra_id_k>'s target tokens back into the input
+    val sent = "<extra_id_(\\d+)>".r
+    for ((id, (input, target, nSpans, nMasked)) <- out if id != "d3") {
+      val spans: Map[Int, Seq[String]] =
+        if (target.isEmpty) Map.empty
+        else {
+          // target = <extra_id_0> t t <extra_id_1> t ... ; walk the tokens
+          val toks = target.split(" ")
+          val acc = scala.collection.mutable.Map[Int, scala.collection.mutable.Buffer[String]]()
+          var cur = -1
+          toks.foreach {
+            case s if s.matches("<extra_id_\\d+>") =>
+              cur = s.stripPrefix("<extra_id_").stripSuffix(">").toInt
+              acc(cur) = scala.collection.mutable.Buffer[String]()
+            case t => acc(cur) += t
+          }
+          acc.view.mapValues(_.toSeq).toMap
+        }
+      val rebuilt = input.split(" ").toSeq.flatMap {
+        case s if s.matches("<extra_id_\\d+>") =>
+          spans(s.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+        case t => Seq(t)
+      }.mkString(" ")
+      val orig = d.filter(col("id") === id)
+        .select(array_join(graft.functions.TextFunctions.tokens(col("content")), " "))
+        .head().getString(0)
+      assert(rebuilt === orig, s"round-trip failed for $id")
+      assert(spans.keys.toSeq.sorted === (0 until nSpans.toInt))
+      assert(spans.values.map(_.size).sum === nMasked.toInt)
+      if (nSpans > 0) assert(input.contains("<extra_id_0>"))
+    }
+    // long doc at density 0.3 must actually mask something
+    assert(out("d1")._4 > 0L)
+  }
+
+  test("spanCorrupt: deterministic per seed, masked fraction tracks density") {
+    val big = (1 to 50).map(i => (s"d$i", (1 to 200).map(j => s"w$j").mkString(" ")))
+      .toDF("id", "content")
+    val a = Pipeline.spanCorrupt(big, density = 0.15, spanLen = 3, seed = 1L)
+    val b = Pipeline.spanCorrupt(big, density = 0.15, spanLen = 3, seed = 1L)
+    assert(a.collect().toSeq.toSet === b.collect().toSeq.toSet)
+    val frac = a.agg(sum("n_masked"), sum(lit(200L))).head()
+    val masked = frac.getLong(0).toDouble / frac.getLong(1)
+    assert(masked > 0.08 && masked < 0.25, s"masked fraction $masked far from 0.15")
+    val c = Pipeline.spanCorrupt(big, density = 0.15, spanLen = 3, seed = 2L)
+    assert(c.collect().toSeq.toSet !== a.collect().toSeq.toSet) // new seed, new draw
+  }
+
   // --- importance weighting -------------------------------------------------
 
   test("importanceWeights: target == raw scores exactly 0; empty doc scores 0 with 0 tokens") {
