@@ -19,12 +19,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object Json {
 
   /** Infer the struct schema of JSON string column `jsonCol` from a
-    * deterministic hash-sample of at most ~`maxSample` rows. The sample is
-    * membership-by-md5 ([[Pipeline.md5Mod]] on the JSON text itself), so it
-    * is stable across runs/retries and needs NO count or sort: the
-    * threshold is sized from an upper row-count estimate. Inference is
-    * Spark's own JSON schema reader (same unioning/widening rules as
-    * `spark.read.json`), which this wraps rather than re-invents.
+    * bounded deterministic sample: a hash arm (membership-by-md5 on the
+    * JSON text — [[Pipeline.md5Mod]] — stable across runs/retries and
+    * partitionings, covering the VALUE space rather than row space, which
+    * is what schema inference actually needs) unioned with a small
+    * head-limit arm. The head arm is the floor: when the value space is
+    * tiny (a handful of templated bags repeated billions of times), a
+    * fractional value-hash can select zero values, and an empty sample
+    * would infer an empty schema. Inference is Spark's own JSON schema
+    * reader (same unioning/widening rules as `spark.read.json`), which
+    * this wraps rather than re-invents.
     */
   def inferSchema(df: DataFrame, jsonCol: String, maxSample: Long = 100000L): StructType = {
     require(maxSample >= 1, "maxSample >= 1")
@@ -39,6 +43,7 @@ object Json {
       else {
         val frac = math.max(maxSample.toDouble / n, 1e-6)
         nonNull.filter(Pipeline.md5Mod(col("j"), 1000000L) < math.round(frac * 1000000L))
+          .unionByName(nonNull.limit(math.min(maxSample, 1000L).toInt))
       }
     // malformed sample rows surface as the corrupt-record column in the
     // inferred schema; extraction handles malformed rows itself
