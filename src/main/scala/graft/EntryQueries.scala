@@ -2333,6 +2333,23 @@ object EntryQueries {
               |       list(round(o.v, 6) ORDER BY o.pos) AS embedding
               |FROM o JOIN cnt c USING(id) GROUP BY o.id, c.n""".stripMargin)),
 
+    // Faceted corpus-composition report: top-k values per facet column with
+    // counts, corpus share, and deterministic rank.
+    ("x82_facets", (s: SparkSession, sfDir: String) =>
+      TextStats.facets(s.read.parquet(s"$sfDir/documents.parquet"),
+          Seq("lang", "source"), k = 3)
+        .select(col("facet"), col("value"), col("n_docs"),
+          round(col("share"), 6).as("share"), col("rank")),
+      Some("""WITH p AS (SELECT 'lang' AS facet, lang AS value FROM documents
+             |          UNION ALL SELECT 'source', source FROM documents),
+             | c AS (SELECT facet, value, CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1, 2),
+             | t AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM documents),
+             | r AS (SELECT facet, value, n_docs,
+             |    row_number() OVER (PARTITION BY facet ORDER BY n_docs DESC, value ASC) AS rank FROM c)
+             |SELECT facet, value, n_docs, round(n_docs / t.tot, 6) AS share,
+             |  CAST(rank AS INTEGER) AS rank
+             |FROM r CROSS JOIN t WHERE rank <= 3""".stripMargin)),
+
     // T5 span corruption: deterministic masked-span (input, target) pairs —
     // start decisions are portable md5 arithmetic, overlap-merge and the
     // sentinel rebuild are replayed by the oracle window-for-window.

@@ -751,6 +751,39 @@ object TextStats {
         (col("__top").cast("double") / col("n_tokens")).as("top_token_share"))
   }
 
+  /** Faceted corpus-composition report — the "what is in this corpus"
+    * dashboard query: for each facet column, the top-`k` values by document
+    * count with their corpus share, rank 1-based per facet by (count desc,
+    * value asc — deterministic cut). NULL facet values count as a value of
+    * their own (missing-metadata mass is part of composition). All facet
+    * values compare as strings.
+    *
+    * Scale: ONE scan explodes rows into skinny (facet, value) pairs →
+    * one map-side-combined count agg (cardinality Σ|facet domains|, tiny) →
+    * the rank window runs over that aggregated frame, not over docs; the
+    * total is a broadcast 1-row agg.
+    */
+  def facets(df: DataFrame, facetCols: Seq[String], k: Int = 20): DataFrame = {
+    require(facetCols.nonEmpty, "facetCols must be non-empty")
+    require(k >= 1, "k >= 1")
+    val pairs = df.select(explode(array(facetCols.map(c =>
+        struct(lit(c).as("facet"), col(c).cast("string").as("value"))): _*)).as("fv"))
+      .select(col("fv.facet").as("facet"), col("fv.value").as("value"))
+    val counts = pairs.groupBy(col("facet"), col("value"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = df.agg(count(lit(1)).cast("double").as("__tot"))
+    counts
+      // nulls LAST on the tie-break: Spark's bare asc is NULLS FIRST but
+      // ANSI/DuckDB default ASC is NULLS LAST — pin the portable order
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("facet"))
+          .orderBy(col("n_docs").desc, col("value").asc_nulls_last)))
+      .filter(col("rank") <= k)
+      .crossJoin(broadcast(tot))
+      .select(col("facet"), col("value"), col("n_docs"),
+        (col("n_docs") / col("__tot")).as("share"), col("rank"))
+  }
+
   /** DSIR-style importance weight per raw-corpus document (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * `logratio(d) = (1/|d|) Σ_t [ln p_target(t) − ln p_raw(t)]` under two
@@ -797,7 +830,16 @@ object TextStats {
       df.select(explode(TextFunctions.tokens(col(contentCol))).as("__t"))
         .select(featCol(col("__t")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // Re-spread the TARGET before counting: a target built with limit() or
+    // a single-file read arrives as ONE partition, and its explode+count
+    // then runs on one core — measured as the dominant operator cost at 1M
+    // docs (4–6× the whole scoring pass). The target is small by contract
+    // (the curated slice), so one round-robin shuffle of it is noise; the
+    // RAW corpus is deliberately NOT respread (at 100 TB that shuffle is
+    // the catastrophe this operator avoids).
+    val parts = spark.sessionState.conf.numShufflePartitions
     val rawCnt = counts(raw).persist()
+    val tgtAll = counts(target.repartition(parts)).persist()
     try {
       // vocab cut: hashed mode is already bounded by B, no cut needed
       val vocab = hashBuckets match {
@@ -807,7 +849,6 @@ object TextStats {
       val vocabRows = vocab.as[(String, Long)].collect()
       val nRaw = rawCnt.agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
       val v = vocabRows.length
-      val tgtAll = counts(target)
       val vocabDf = vocabRows.toSeq.toDF("tok", "raw_cnt")
       // fold target counts onto the bounded vocab: big side semi-filtered
       // by the broadcast vocab FIRST, so the outer join below is tiny⋈tiny
@@ -835,6 +876,6 @@ object TextStats {
         .select(col("id"),
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
           coalesce(col("__s") / col("n_tokens"), lit(0.0)).as("logratio"))
-    } finally rawCnt.unpersist()
+    } finally { rawCnt.unpersist(); tgtAll.unpersist() }
   }
 }

@@ -264,6 +264,13 @@ object ProbeScale {
         graft.ext.Joins.diffCorpora(bigDocs, mutated)
           .filter($"status" =!= "unchanged").count())
       println(s"PROBE   changed+removed = $nDiff"); metrics += ("diff_rows" -> nDiff)
+    }
+
+    // `r8x` = ingest + the second round-8 batch only: DSIR importance
+    // weighting (hashed + exact arms), JSON flattening over 2M events,
+    // PageRank over a synthetic 1M-node/5M-edge graph
+    if (mode.contains("r8x")) {
+      import graft.ext.TextStats
 
       // DSIR importance weighting at 1M docs: hashed-feature mode (the
       // 100 TB arm — no vocab collect at all) vs the exact top-50k-vocab
@@ -303,7 +310,7 @@ object ProbeScale {
     }
     // `ngonly` = ingest + ngram/simhash only (the partition-scaling twin of
     // mhonly, for the prefix-filter join)
-    if (!mode.contains("ngonly") && !mode.contains("newops") && !mode.contains("r8ops")) {
+    if (!mode.contains("ngonly") && !mode.contains("newops") && !mode.contains("r8ops") && !mode.contains("r8x")) {
     // persist the minhash pairs: the clustering stage below consumes them
     // without recomputing the LSH+verify work
     val mhPairs = Dedup.minHashDupPairs(bigDocs, threshold = 0.8).persist()
@@ -327,7 +334,7 @@ object ProbeScale {
         }
     }
     } // end !ngonly
-    if (!mode.contains("mhonly") && !mode.contains("newops") && !mode.contains("r8ops")) {
+    if (!mode.contains("mhonly") && !mode.contains("newops") && !mode.contains("r8ops") && !mode.contains("r8x")) {
     recordPairs("ngram_dedup", Dedup.ngramJaccardPairs(bigDocs, threshold = 0.8))
     recordPairs("simhash_dedup", Dedup.simHashDupPairs(bigDocs, maxHamming = 3))
     if (!mode.contains("ngonly")) {

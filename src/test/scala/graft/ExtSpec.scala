@@ -2044,6 +2044,22 @@ class ExtSpec extends AnyFunSuite {
     assert(s.fieldNames.toSeq === Seq("k"))
   }
 
+  test("facets: per-facet top-k with deterministic rank; null is a counted value") {
+    val d = Seq(
+      ("en", "web"), ("en", "web"), ("en", "books"),
+      ("de", "web"), (null, "books")
+    ).toDF("lang", "source")
+    val out = TextStats.facets(d, Seq("lang", "source"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(out(("lang", "en")) === ((3L, 0.6, 1)))
+    assert(out(("lang", "de")) === ((1L, 0.2, 2))) // ties break value asc NULLS LAST: de before null
+    assert(out(("source", "web")) === ((3L, 0.6, 1)))
+    assert(out(("source", "books")) === ((2L, 0.4, 2)))
+    // k=2 cut: lang has 3 values (en, de, null) -> exactly 2 survive
+    assert(out.keys.count(_._1 == "lang") === 2)
+  }
+
   // --- span corruption --------------------------------------------------------
 
   test("spanCorrupt: sentinel round-trip reconstructs the original token stream") {
