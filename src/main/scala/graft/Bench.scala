@@ -39,6 +39,20 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
+    // Fixed calibration workload (data-independent: range + shuffle + agg).
+    // The host this runs on shows multi-x wall-clock variance between runs
+    // (VM neighbors); calib_sec lets any two bench artifacts be compared on
+    // a noise-normalized basis: ratio = calib_a / calib_b.
+    val calib = {
+      val t0 = System.nanoTime()
+      import org.apache.spark.sql.functions._
+      spark.range(20000000L)
+        .select((col("id") % 997).as("k"), col("id"))
+        .groupBy("k").agg(sum(col("id")).as("s"))
+        .agg(sum(col("s"))).head()
+      math.round((System.nanoTime() - t0) / 1e7) / 100.0
+    }
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // optional args = entry-name filter for local iteration; the driver
     // passes none and times everything
@@ -64,7 +78,7 @@ object Bench {
     val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"calib_sec":$calib,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

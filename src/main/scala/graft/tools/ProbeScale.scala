@@ -51,6 +51,15 @@ object ProbeScale {
       r
     }
 
+    // fixed data-independent calibration (see Bench): probe artifacts from
+    // different runs normalize by their calib_sec ratio — the host shows
+    // multi-x wall-clock variance between runs
+    time("calib_sec")(
+      spark.range(20000000L)
+        .select(($"id" % 997).as("k"), $"id")
+        .groupBy($"k").agg(sum($"id").as("s"))
+        .agg(sum($"s")).head())
+
     val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id".cast("string").as("id"), $"text".as("content"),
         map(lit("lang"), $"lang").as("metadata"))
