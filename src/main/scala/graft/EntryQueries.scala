@@ -1978,19 +1978,28 @@ object EntryQueries {
       import s.implicits._
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
-      val approx = Ann.knnGraph(e, k = 10)
+      // both gate frames feed MULTIPLE actions — persist so the LSH build /
+      // exact pass run once, not once per count
+      val approx = Ann.knnGraph(e, k = 10).persist()
+      // truth side on a deterministic 1-in-10 query subset: the gate is
+      // statistical, and the FULL |corpus|² exact pass costs more than the
+      // operator under test (the approx graph stays corpus-wide)
       val exact = Ann.exactTopKAll(e,
-          e.select(col("id").as("qid"), col("embedding").as("qvec")), k = 11)
+          e.filter(col("id").cast("long") % 10 === 0)
+            .select(col("id").as("qid"), col("embedding").as("qvec")), k = 11)
         .filter(col("qid") =!= col("id")) // the self-match occupies one exact slot
         .withColumn("rn2", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("rn"))))
         .filter(col("rn2") <= 10)
         .select(col("qid").as("id"), col("id").as("neighbor"))
-      val hit = approx.select("id", "neighbor").join(exact, Seq("id", "neighbor"), "left_semi").count()
-      val rec = hit.toDouble / exact.count()
-      val maxPerId = approx.groupBy("id").count().agg(max("count")).head().getLong(0)
-      Seq(("recall_ge_0.8", rec >= 0.8), ("at_most_k_per_id", maxPerId <= 10))
-        .toDF("metric", "ok")
+        .persist()
+      try {
+        val hit = approx.select("id", "neighbor").join(exact, Seq("id", "neighbor"), "left_semi").count()
+        val rec = hit.toDouble / exact.count()
+        val maxPerId = approx.groupBy("id").count().agg(max("count")).head().getLong(0)
+        Seq(("recall_ge_0.8", rec >= 0.8), ("at_most_k_per_id", maxPerId <= 10))
+          .toDF("metric", "ok")
+      } finally { approx.unpersist(); exact.unpersist() }
     }, Some("SELECT 'at_most_k_per_id' AS metric, true AS ok UNION ALL SELECT 'recall_ge_0.8', true ORDER BY metric")),
 
     // Continuous vector search: a MemoryStream of query vectors probed
