@@ -22,7 +22,10 @@ object Graphs {
     * each round `r_{t+1}(v) = (1−d)/N + d·(Σ_{u→v} r_t(u)/outdeg(u)
     * + dangling_t/N)` where `dangling_t` is the rank mass sitting on
     * nodes with no out-edges (redistributed uniformly, the standard
-    * stochastic-matrix completion).
+    * stochastic-matrix completion). With `weightCol` set, a node's mass
+    * splits by `w/Σw` instead of uniformly (parallel edges sum their
+    * weights; non-positive/null weights drop the edge) — e.g. cosine-
+    * similarity-weighted centrality over the kNN graph.
     *
     * Scale: per round, ONE (dst) shuffle of skinny (dst, contrib) rows —
     * the edge frame is hash-partitioned on `src` once up front and the
@@ -35,23 +38,31 @@ object Graphs {
     * frame is the big side and it never moves after the initial partition.
     */
   def pageRank(edges: DataFrame, iterations: Int = 5, damping: Double = 0.85,
-               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+               srcCol: String = "src", dstCol: String = "dst",
+               weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "iterations >= 1")
     require(damping >= 0.0 && damping < 1.0, "0 <= damping < 1")
     val spark = edges.sparkSession
     def truncated(df: DataFrame): DataFrame =
       if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
+    // weighted: parallel edges collapse by SUM of weights, non-positive/null
+    // weights drop the edge, and a node's contribution splits by w/Σw —
+    // similarity-weighted centrality over the kNN graph. Unweighted:
+    // parallel edges collapse to one (max of the constant 1).
+    val w = weightCol.map(c => coalesce(col(c).cast("double"), lit(0.0)))
+      .getOrElse(lit(1.0))
+    val wAgg = if (weightCol.isDefined) sum(col("w")) else max(col("w"))
     val e = truncated(edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+      .filter(col("src") =!= col("dst") && col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(wAgg.as("w"))
       .repartition(col("src")))
     val nodes = truncated(
       e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id"))).distinct())
     val n = nodes.count()
     require(n > 0, "empty graph")
-    val outDeg = truncated(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val outDeg = truncated(e.groupBy(col("src")).agg(sum(col("w")).as("deg")))
     var rank = truncated(nodes.select(col("id"), lit(1.0 / n).as("rank")))
     for (_ <- 1 to iterations) {
       // rank mass on dangling nodes (no out-edges), as a 1-row frame so the
@@ -61,7 +72,7 @@ object Graphs {
       val contrib = rank.join(outDeg, rank("id") === outDeg("src"))
         .join(e, "src")
         .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("deg")).as("__in"))
+        .agg(sum(col("rank") * col("w") / col("deg")).as("__in"))
       val next = nodes
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .crossJoin(broadcast(dangling))

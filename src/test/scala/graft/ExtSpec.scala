@@ -2001,6 +2001,21 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(r2("a") - r2("b")) < 1e-12)
   }
 
+  test("pageRank: edge weights split mass proportionally; unit weights equal unweighted") {
+    val edges = Seq(("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0))
+      .toDF("src", "dst", "w")
+    val r = Graphs.pageRank(edges, iterations = 10, weightCol = Some("w"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("b") > r("c")) // b receives 3/4 of a's mass, c only 1/4
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    val unit = Graphs.pageRank(edges.withColumn("w", lit(1.0)),
+      iterations = 10, weightCol = Some("w"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val plain = Graphs.pageRank(edges, iterations = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    plain.foreach { case (id, v) => assert(math.abs(unit(id) - v) < 1e-12) }
+  }
+
   test("degrees: in/out/total per node over the deduped edge set") {
     val edges = Seq(("a", "b"), ("a", "c"), ("c", "b"), ("b", "b")).toDF("src", "dst")
     val d = Graphs.degrees(edges).collect()
