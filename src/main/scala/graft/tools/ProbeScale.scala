@@ -306,16 +306,20 @@ object ProbeScale {
       // PageRank over a synthetic 1M-node / 5M-edge graph (deterministic
       // expander-ish wiring), 5 iterations — the per-round shuffle cost at
       // real scale, independent of any kNN build
-      val nNodes = 1000000L
-      val prEdges = spark.range(nNodes).withColumnRenamed("id", "src")
-        .crossJoin(spark.range(5).withColumnRenamed("id", "j"))
-        .select($"src", (($"src" * 7 + $"j" * 999983L + 1) % nNodes).as("dst"))
-      val prTop = time("pagerank_1m_sec")(
-        graft.ext.Graphs.pageRank(prEdges, iterations = 5)
-          .agg(sum($"rank"), count(lit(1))).head())
-      println(s"PROBE   pagerank sum = ${prTop.getDouble(0)} nodes = ${prTop.getLong(1)}")
-      metrics += ("pagerank_nodes" -> prTop.getLong(1))
-      require(math.abs(prTop.getDouble(0) - 1.0) < 1e-6, "pagerank mass must be conserved")
+      // two sizes in ONE run (same host-noise regime) pin linearity:
+      // 2× nodes and edges should be ~2× wall at fixed partitions
+      for (m <- Seq(1, 2)) {
+        val nNodes = 1000000L * m
+        val prEdges = spark.range(nNodes).withColumnRenamed("id", "src")
+          .crossJoin(spark.range(5).withColumnRenamed("id", "j"))
+          .select($"src", (($"src" * 7 + $"j" * 999983L + 1) % nNodes).as("dst"))
+        val prTop = time(s"pagerank_${m}m_sec")(
+          graft.ext.Graphs.pageRank(prEdges, iterations = 5)
+            .agg(sum($"rank"), count(lit(1))).head())
+        println(s"PROBE   pagerank sum = ${prTop.getDouble(0)} nodes = ${prTop.getLong(1)}")
+        metrics += (s"pagerank_${m}m_nodes" -> prTop.getLong(1))
+        require(math.abs(prTop.getDouble(0) - 1.0) < 1e-6, "pagerank mass must be conserved")
+      }
     }
     // `ngonly` = ingest + ngram/simhash only (the partition-scaling twin of
     // mhonly, for the prefix-filter join)

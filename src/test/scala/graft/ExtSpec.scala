@@ -2136,6 +2136,43 @@ class ExtSpec extends AnyFunSuite {
     assert(c.collect().toSeq.toSet !== a.collect().toSeq.toSet) // new seed, new draw
   }
 
+  // --- plan shapes for the round-8 operators --------------------------------
+
+  test("plan: importanceWeights scores via a broadcast join — the corpus never shuffles by token") {
+    // string-level check: AQE's AdaptiveSparkPlanExec holds its inner plan
+    // as a field, not a child, so collect{} cannot see the join nodes
+    val d = Seq(("d1", "alpha beta"), ("d2", "beta gamma")).toDF("id", "content")
+    val plan = TextStats.importanceWeights(d, d, vocabSize = 10)
+      .queryExecution.executedPlan.toString
+    // the per-token scoring join must build the O(vocab) ratio table, never
+    // sort-merge the exploded corpus
+    assert(!"SortMergeJoin \\[tok".r.findFirstIn(plan).isDefined,
+      s"token-keyed SortMergeJoin found:\n$plan")
+    assert(plan.contains("BroadcastHashJoin [tok"), s"no broadcast scoring join:\n$plan")
+  }
+
+  test("plan: json extract is a zero-shuffle projection") {
+    val df = Seq((1L, """{"k": 7}""")).toDF("id", "props")
+    val schema = Json.inferSchema(df, "props")
+    // string check, not collect{}: a shuffle would wrap the plan in
+    // AdaptiveSparkPlanExec, whose inner plan collect{} cannot traverse
+    val plan = Json.extract(df, "props", schema).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in extract plan:\n$plan")
+  }
+
+  test("plan: facets rank window runs over the aggregated frame, not over rows") {
+    val d = Seq(("en", "web"), ("de", "books")).toDF("lang", "source")
+    val plan = TextStats.facets(d, Seq("lang", "source"))
+      .queryExecution.executedPlan.toString
+    // tree printout nests children BELOW parents: the rank Window must have
+    // the count aggregate somewhere beneath it, i.e. a HashAggregate line
+    // after the Window line — the window never runs over raw exploded rows
+    val w = plan.indexOf("Window")
+    assert(w >= 0, s"no Window in plan:\n$plan")
+    assert(plan.indexOf("HashAggregate", w) > w,
+      s"rank window has no aggregate below it:\n$plan")
+  }
+
   // --- importance weighting -------------------------------------------------
 
   test("importanceWeights: target == raw scores exactly 0; empty doc scores 0 with 0 tokens") {
