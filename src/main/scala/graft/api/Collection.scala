@@ -79,6 +79,20 @@ final class Collection private (
   /** Scalar doc count of this collection (reference core.py:125-138). */
   def count(): Long = docs().count()
 
+  /** Faceted composition of this collection's METADATA: top-`k` values per
+    * requested metadata key with counts, corpus share, and deterministic
+    * rank — [[graft.ext.TextStats.facets]] lifted onto the collection's
+    * metadata map (a missing key counts as NULL, its own facet value).
+    */
+  def facets(keys: Seq[String], k: Int = 20): DataFrame = {
+    require(keys.nonEmpty && keys.distinct == keys, "keys must be non-empty and distinct")
+    // fresh projection (not withColumn): a key named like a docs column
+    // must not clobber the frame it reads from
+    val flat = docs().select(keys.map(key =>
+      element_at(col("metadata"), key).as(key)): _*)
+    graft.ext.TextStats.facets(flat, keys, k)
+  }
+
   // -------------------------------------------------------------------------
   // Write path (reference S3-S6: core.py:140-188, 484-525, 634-691)
   // -------------------------------------------------------------------------

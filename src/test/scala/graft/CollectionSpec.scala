@@ -746,4 +746,14 @@ class CollectionSpec extends AnyFunSuite {
       Stores.collStatsSchema).head()
     assert(healed.getLong(0) === 2L)
   }
+
+  test("facets: metadata composition with missing keys counted as NULL") {
+    val c = coll(freshRoot(), "facets")
+    c.add(Seq("a", "b", "c"), ids = Some(Seq("d1", "d2", "d3")),
+      metadatas = Some(Seq(Map("lang" -> "en"), Map("lang" -> "en"), Map("year" -> "2024"))))
+    val out = c.facets(Seq("lang"), k = 5).collect()
+      .map(r => Option(r.getString(1)) -> (r.getLong(2), r.getInt(4))).toMap
+    assert(out(Some("en")) === ((2L, 1)))
+    assert(out(None) === ((1L, 2))) // d3 has no lang: NULL facet value, ranked after
+  }
 }
