@@ -747,6 +747,20 @@ class CollectionSpec extends AnyFunSuite {
     assert(healed.getLong(0) === 2L)
   }
 
+  test("ingest batch replay is idempotent: the at-least-once foreachBatch contract") {
+    // streamIngest's sink can redeliver a batch after crash/restart; the
+    // id-keyed upsert must converge, not duplicate
+    val c = coll(freshRoot(), "replay")
+    val batch = spark.createDataFrame(Seq(("d1", "alpha beta"), ("d2", "gamma delta")))
+      .toDF("id", "content")
+    c.addDf(batch)
+    val snap = c.docs().collect().map(_.toString).sorted.toSeq
+    c.addDf(batch) // replay
+    assert(c.count() === 2L)
+    assert(c.docs().collect().map(_.toString).sorted.toSeq === snap)
+    assert(c.query("alpha").results.map(_.id) === Seq("d1")) // postings intact too
+  }
+
   test("facets: metadata composition with missing keys counted as NULL") {
     val c = coll(freshRoot(), "facets")
     c.add(Seq("a", "b", "c"), ids = Some(Seq("d1", "d2", "d3")),
