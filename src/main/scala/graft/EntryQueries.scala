@@ -2342,6 +2342,28 @@ object EntryQueries {
               |       list(round(o.v, 6) ORDER BY o.pos) AS embedding
               |FROM o JOIN cnt c USING(id) GROUP BY o.id, c.n""".stripMargin)),
 
+    // Edit-distance fuzzy join (record linkage): even-doc 4-token prefixes
+    // matched against odd-doc prefixes within Levenshtein distance 2. The
+    // Spark arm is the q-gram prefix-filtered candidate join + verify; the
+    // oracle is the naive θ-join DuckDB can afford at oracle scale —
+    // agreement pins the candidate generation recall-complete.
+    ("x83_fuzzy_join", (s: SparkSession, sfDir: String) => {
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("n"),
+          col("doc_id").cast("string").as("id"),
+          array_join(slice(TextFunctions.tokens(col("text")), 1, 4), " ").as("key"))
+      Joins.fuzzyJoin(d.filter(col("n") % 2 === 0), d.filter(col("n") % 2 =!= 0),
+          maxDist = 2)
+        .select(col("id_l"), col("id_r"), col("key_l"), col("key_r"), col("dist"))
+    }, Some(s"""WITH t AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS id,
+              |    array_to_string(($Toks)[1:4], ' ') AS key FROM documents),
+              | l AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+              | r AS (SELECT * FROM t WHERE doc_id % 2 <> 0)
+              |SELECT l.id AS id_l, r.id AS id_r, l.key AS key_l, r.key AS key_r,
+              |  CAST(levenshtein(l.key, r.key) AS INTEGER) AS dist
+              |FROM l JOIN r ON abs(length(l.key) - length(r.key)) <= 2
+              |  AND levenshtein(l.key, r.key) <= 2""".stripMargin)),
+
     // Faceted corpus-composition report: top-k values per facet column with
     // counts, corpus share, and deterministic rank.
     ("x82_facets", (s: SparkSession, sfDir: String) =>

@@ -2001,6 +2001,45 @@ class ExtSpec extends AnyFunSuite {
     assert(seen.sorted.toSeq === Seq("a", "b", "c"))
   }
 
+  // --- fuzzy join -------------------------------------------------------------
+
+  test("fuzzyJoin: within-distance pairs found, beyond-distance excluded, nulls never match") {
+    val l = Seq(("l1", "john smith"), ("l2", "acme corp"), ("l3", null.asInstanceOf[String]),
+      ("l4", "zz"))
+      .toDF("id", "key")
+    val r = Seq(("r1", "jon smith"), ("r2", "acme inc"), ("r3", "john smith"),
+      ("r4", "completely different"), ("r5", "zy")).toDF("id", "key")
+    val out = graft.ext.Joins.fuzzyJoin(l, r, maxDist = 2)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getInt(4)).toMap
+    assert(out(("l1", "r1")) === 1) // one deletion
+    assert(out(("l1", "r3")) === 0) // exact
+    assert(out(("l4", "r5")) === 1) // both-short arm (tiny gram sets)
+    assert(!out.contains(("l2", "r2"))) // "corp" -> "inc" is distance 4
+    assert(!out.keys.exists(_._1 == "l3")) // null key
+    assert(!out.keys.exists(_._2 == "r4"))
+  }
+
+  test("fuzzyJoin equals the naive theta-join on a randomized corpus (recall-complete)") {
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    def mutate(s: String): String = rnd.nextInt(3) match {
+      case 0 => s // exact copy
+      case 1 => s.updated(rnd.nextInt(s.length), 'x') // substitution
+      case 2 => s.take(rnd.nextInt(s.length)) + s.drop(rnd.nextInt(s.length).max(1)) // deletion-ish
+    }
+    val base = (1 to 40).map(i => s"${words(i % 5)} ${words((i / 5) % 5)} $i")
+    val l = base.zipWithIndex.map { case (k, i) => (s"l$i", k) }.toDF("id", "key")
+    val r = base.zipWithIndex.map { case (k, i) => (s"r$i", mutate(k)) }.toDF("id", "key")
+    val fast = graft.ext.Joins.fuzzyJoin(l, r, maxDist = 2)
+      .select("id_l", "id_r", "dist").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getInt(2))).toSet
+    val naive = l.crossJoin(r.select(col("id").as("rid"), col("key").as("rkey")))
+      .withColumn("d", levenshtein(col("key"), col("rkey")))
+      .filter(col("d") <= 2)
+      .collect().map(x => (x.getString(0), x.getString(2), x.getInt(4))).toSet
+    assert(fast === naive)
+  }
+
   // --- Graphs ---------------------------------------------------------------
 
   test("pageRank: ranks are a probability distribution and dangling mass is redistributed") {
