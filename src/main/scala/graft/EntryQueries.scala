@@ -2342,6 +2342,29 @@ object EntryQueries {
               |       list(round(o.v, 6) ORDER BY o.pos) AS embedding
               |FROM o JOIN cnt c USING(id) GROUP BY o.id, c.n""".stripMargin)),
 
+    // Z-order layout key over (user_id, event time): pure integer
+    // scale+interleave arithmetic, replayed term-for-term by the oracle
+    // (32 generated bit terms). The layout half of data skipping.
+    ("x84_zorder", (s: SparkSession, sfDir: String) => {
+      val ev = eventsFrame(s, sfDir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+      val b = ev.agg(min("user_id"), max("user_id"), min("tus"), max("tus")).head()
+      ev.select(col("event_id"), Pipeline.zorderKey(Seq(
+        (col("user_id"), (b.getLong(0), b.getLong(1) + 1)),
+        (col("tus"), (b.getLong(2), b.getLong(3) + 1)))).as("zkey"))
+    }, Some {
+      val terms = (0 until 16).flatMap(j => Seq(
+        s"(((xu >> $j) & 1) << ${2 * j})",
+        s"(((xt >> $j) & 1) << ${2 * j + 1})")).mkString(" | ")
+      s"""WITH b AS (SELECT min(user_id) AS ulo, max(user_id) + 1 AS uhi,
+         |    min(epoch_us(ts)) AS tlo, max(epoch_us(ts)) + 1 AS thi FROM events),
+         | s AS (SELECT event_id,
+         |   least(greatest((user_id - b.ulo) * 65535 // (b.uhi - b.ulo), 0), 65535) AS xu,
+         |   least(greatest((epoch_us(ts) - b.tlo) * 65535 // (b.thi - b.tlo), 0), 65535) AS xt
+         |  FROM events CROSS JOIN b)
+         |SELECT event_id, CAST($terms AS BIGINT) AS zkey FROM s""".stripMargin
+    }),
+
     // Edit-distance fuzzy join (record linkage): even-doc 4-token prefixes
     // matched against odd-doc prefixes within Levenshtein distance 2. The
     // Spark arm is the q-gram prefix-filtered candidate join + verify; the
