@@ -2342,6 +2342,29 @@ object EntryQueries {
               |       list(round(o.v, 6) ORDER BY o.pos) AS embedding
               |FROM o JOIN cnt c USING(id) GROUP BY o.id, c.n""".stripMargin)),
 
+    // Event-rate anomaly detection: hourly per-type counts z-scored against
+    // each type's trailing-24h baseline; the oracle replays count, windowed
+    // mean/stddev_pop, the min-trailing/zero-variance gates, and the
+    // rounded-z threshold compare.
+    ("x85_rate_anomalies", (s: SparkSession, sfDir: String) =>
+      EventStreams.rateAnomalies(eventsFrame(s, sfDir), Seq("event_type"))
+        .select(col("event_type"), unix_micros(col("window_start")).as("ws_us"),
+          col("n"), round(col("baseline_mean"), 6).as("baseline_mean"),
+          round(col("baseline_std"), 6).as("baseline_std"),
+          col("z"), col("is_anomaly")),
+      Some("""WITH c AS (SELECT event_type, date_trunc('hour', ts) AS ws,
+             |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+             | s AS (SELECT event_type, ws, n,
+             |    avg(n) OVER w AS mu, stddev_pop(n) OVER w AS sd, count(*) OVER w AS m
+             |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY ws
+             |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, epoch_us(ws) AS ws_us, n,
+             |  round(mu, 6) AS baseline_mean, round(sd, 6) AS baseline_std,
+             |  CASE WHEN m >= 3 AND sd > 1e-9 THEN round((n - mu) / sd, 6) END AS z,
+             |  coalesce(CASE WHEN m >= 3 AND sd > 1e-9
+             |    THEN round((n - mu) / sd, 6) END >= 3.0, false) AS is_anomaly
+             |FROM s""".stripMargin)),
+
     // Z-order layout key over (user_id, event time): pure integer
     // scale+interleave arithmetic, replayed term-for-term by the oracle
     // (32 generated bit terms). The layout half of data skipping.

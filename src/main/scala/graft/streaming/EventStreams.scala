@@ -153,6 +153,53 @@ object EventStreams {
       .drop(tsUs)
   }
 
+  /** Event-rate anomaly detection: per key, tumbling-`window` counts scored
+    * against the mean/stddev of that key's `trailing` PRIOR windows — the
+    * pipeline-monitoring query ("this event type is spiking") as one
+    * declarative frame. A window is anomalous when its z-score, ROUNDED to
+    * 6 decimals (rounding first keeps the flag bit-stable across engines —
+    * an ulp-level z at the threshold must not flip it), is ≥ `threshold`;
+    * windows with fewer than `minTrailing` priors or ~zero variance score
+    * NULL (no verdict, not a false negative).
+    *
+    * Semantics note: the baseline uses OBSERVED windows only — a key
+    * silent for an hour contributes no zero-count row. That is the
+    * standard sparse event-monitoring convention; densify upstream if
+    * empty windows should drag the baseline.
+    *
+    * Output: (keys…, window_start, n, baseline_mean, baseline_std, z,
+    * is_anomaly).
+    *
+    * Scale: ONE map-side-combined (keys, window) count agg — the window
+    * functions then run over the aggregated frame (windows-per-key rows,
+    * not events). In streaming, compose the same scoring over
+    * [[windowAgg]]'s per-batch output via foreachBatch.
+    */
+  def rateAnomalies(events: DataFrame, keys: Seq[String],
+                    window: String = "1 hour", trailing: Int = 24,
+                    minTrailing: Int = 3, threshold: Double = 3.0,
+                    tsCol: String = "ts"): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(trailing >= minTrailing && minTrailing >= 1, "trailing >= minTrailing >= 1")
+    val counts = events
+      .groupBy(keys.map(col) :+ org.apache.spark.sql.functions
+        .window(col(tsCol), window).getField("start").as("window_start"): _*)
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("window_start"))
+      .rowsBetween(-trailing, -1)
+    val scored = counts
+      .withColumn("baseline_mean", avg(col("n")).over(w))
+      .withColumn("baseline_std", stddev_pop(col("n")).over(w))
+      .withColumn("__m", count(lit(1)).over(w))
+    scored
+      .withColumn("z",
+        when(col("__m") >= minTrailing && col("baseline_std") > 1e-9,
+          round((col("n") - col("baseline_mean")) / col("baseline_std"), 6)))
+      .withColumn("is_anomaly", coalesce(col("z") >= threshold, lit(false)))
+      .drop("__m")
+  }
+
   /** Batch funnel report: per user, the GREEDY-EARLIEST completion of the
     * ordered step sequence — t1 = first `steps(0)` event, t_i = first
     * `steps(i-1)` event strictly after t_{i-1} — kept only when the chain

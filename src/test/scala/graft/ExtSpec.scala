@@ -2001,6 +2001,30 @@ class ExtSpec extends AnyFunSuite {
     assert(seen.sorted.toSeq === Seq("a", "b", "c"))
   }
 
+  test("rateAnomalies: spike flagged, warm-up and stable windows are not") {
+    def t(h: Int, m: Int) = new java.sql.Timestamp(1700000000000L + (h * 60L + m) * 60000L)
+    // 10 calm hours at ~2 events, then a 30-event spike in hour 10
+    val rows = (0 until 10).flatMap(h => Seq(("api", t(h, 1)), ("api", t(h, 31)))) ++
+      (0 until 30).map(m => ("api", t(10, m)))
+    val out = EventStreams.rateAnomalies(rows.toDF("event_type", "ts"), Seq("event_type"),
+        minTrailing = 3)
+      .orderBy("window_start").collect()
+    assert(out.length === 11)
+    // first windows: not enough trailing history -> no verdict
+    out.take(3).foreach { r => assert(r.isNullAt(5) && !r.getBoolean(6)) }
+    // calm middle: constant counts -> zero variance -> no verdict either
+    assert(!out(8).getBoolean(6))
+    // the spike hour: n=30 vs baseline mean 2 -> flagged... except the calm
+    // baseline has zero variance, so inject mild noise instead for the flag
+    val noisy = rows ++ Seq(("api", t(3, 45)), ("api", t(7, 50)), ("api", t(7, 55)))
+    val o2 = EventStreams.rateAnomalies(noisy.toDF("event_type", "ts"), Seq("event_type"),
+        minTrailing = 3)
+      .orderBy("window_start").collect()
+    val spike = o2.last
+    assert(spike.getLong(2) === 30L)
+    assert(spike.getBoolean(6), s"spike not flagged: $spike")
+  }
+
   // --- z-order layout ---------------------------------------------------------
 
   test("zorderKey matches a bit-level reference implementation") {
