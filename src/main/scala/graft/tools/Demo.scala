@@ -60,6 +60,35 @@ object Demo {
     println(s"vector total = ${vr.total}")
     vr.results.foreach(h => println(f"  content=${h.content} sim=${h.rank.get}%.4f"))
 
+    // --- training-data pipeline slice over the same corpus -----------------
+
+    // Faceted composition of the collection's metadata
+    println("facets:")
+    c.facets(Seq("lang", "source"), k = 3).collect().foreach(f =>
+      println(f"  ${f.getString(0)}%-7s ${String.valueOf(f.getString(1))}%-8s " +
+        f"n=${f.getLong(2)} share=${f.getDouble(3)}%.3f rank=${f.getInt(4)}"))
+
+    // DSIR importance weights: English slice as the target distribution
+    val dd = docs.select(col("id"), col("content"),
+      element_at(col("metadata"), "lang").as("lang"))
+    val dsir = graft.ext.TextStats.importanceWeights(
+      dd, dd.filter(col("lang") === "en"), vocabSize = 500)
+    println("dsir top target-like docs:")
+    dsir.orderBy(col("logratio").desc).limit(3).collect().foreach(r =>
+      println(f"  id=${r.getString(0)} n_tokens=${r.getLong(1)} logratio=${r.getDouble(2)}%.4f"))
+
+    // PageRank centrality over the exact 5-NN semantic graph
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val edges = graft.ext.Ann.exactTopKAll(emb,
+        emb.select(col("id").as("qid"), col("embedding").as("qvec")), k = 6)
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid").as("src"), col("id").as("dst"))
+    println("pagerank hubs:")
+    graft.ext.Graphs.pageRank(edges, iterations = 5)
+      .orderBy(col("rank").desc).limit(3).collect().foreach(r =>
+        println(f"  vec=${r.getString(0)} rank=${r.getDouble(1)}%.6f"))
+
     spark.stop()
   }
 }
