@@ -2342,6 +2342,23 @@ object EntryQueries {
               |       list(round(o.v, 6) ORDER BY o.pos) AS embedding
               |FROM o JOIN cnt c USING(id) GROUP BY o.id, c.n""".stripMargin)),
 
+    // Dedup audit: cluster-size histogram over the verified near-dup graph
+    // (same recursive-CTE cluster replay as x2b, rolled up to sizes).
+    ("x86_cluster_stats", (s: SparkSession, sfDir: String) =>
+      Dedup.clusterStats(
+          Dedup.minHashDupPairs(docsFrame(s, sfDir), threshold = 0.8)
+            .select(col("id_a"), col("id_b")))
+        .select(col("cluster_size"), col("n_clusters"), col("n_docs")),
+      Some(s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${ngramJaccardOracle(0.8)}) q),
+              | edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+              | reach AS (SELECT s, d FROM edges
+              |   UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s),
+              | cl AS (SELECT s AS id, least(s, min(d)) AS cluster FROM reach GROUP BY s),
+              | sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size FROM cl GROUP BY cluster)
+              |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+              |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+              |FROM sz GROUP BY cluster_size""".stripMargin)),
+
     // Event-rate anomaly detection: hourly per-type counts z-scored against
     // each type's trailing-24h baseline; the oracle replays count, windowed
     // mean/stddev_pop, the min-trailing/zero-variance gates, and the

@@ -1027,6 +1027,23 @@ object Dedup {
       .unionByName(edges.select(col("s").as("id"), col("s").as("cluster")).distinct())
   }
 
+  /** Duplicate-cluster size histogram — the dedup AUDIT report read before
+    * committing a removal pass: per cluster size, how many clusters and how
+    * many docs sit in them (`n_docs − n_clusters` of each row is the mass a
+    * keep-one pass would drop). Covers CLUSTERED docs only (size ≥ 2 by
+    * construction — singletons have no pairs); compare `sum(n_docs)` to the
+    * corpus count for the untouched remainder.
+    *
+    * Scale: [[dupClusters]]' O(log n) rounds, then two skinny aggs — the
+    * histogram frame is |distinct sizes| rows.
+    */
+  def clusterStats(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    dupClusters(pairs, maxIter)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   // -------------------------------------------------------------------------
   // SimHash near-duplicates
   // -------------------------------------------------------------------------

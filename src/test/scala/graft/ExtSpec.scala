@@ -2001,6 +2001,13 @@ class ExtSpec extends AnyFunSuite {
     assert(seen.sorted.toSeq === Seq("a", "b", "c"))
   }
 
+  test("clusterStats: size histogram over a 2-cluster + 3-cluster pair graph") {
+    val pairs = Seq(("a", "b"), ("c", "d"), ("d", "e"), ("c", "e")).toDF("id_a", "id_b")
+    val out = Dedup.clusterStats(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(2L -> ((1L, 2L)), 3L -> ((1L, 3L))))
+  }
+
   test("rateAnomalies: spike flagged, warm-up and stable windows are not") {
     def t(h: Int, m: Int) = new java.sql.Timestamp(1700000000000L + (h * 60L + m) * 60000L)
     // 10 calm hours at ~2 events, then a 30-event spike in hour 10
