@@ -2342,6 +2342,18 @@ object EntryQueries {
               |       list(round(o.v, 6) ORDER BY o.pos) AS embedding
               |FROM o JOIN cnt c USING(id) GROUP BY o.id, c.n""".stripMargin)),
 
+    // Per-window heavy hitters: hourly top-2 users by event count with a
+    // deterministic (count desc, user asc) rank.
+    ("x87_window_topk", (s: SparkSession, sfDir: String) =>
+      EventStreams.windowTopK(eventsFrame(s, sfDir), Seq("user_id"), k = 2)
+        .select(unix_micros(col("window_start")).as("ws_us"),
+          col("user_id"), col("n"), col("rank")),
+      Some("""WITH c AS (SELECT date_trunc('hour', ts) AS ws, user_id,
+             |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+             |SELECT epoch_us(ws) AS ws_us, user_id, n,
+             |  CAST(row_number() OVER (PARTITION BY ws ORDER BY n DESC, user_id ASC) AS INTEGER) AS rank
+             |FROM c QUALIFY rank <= 2""".stripMargin)),
+
     // Dedup audit: cluster-size histogram over the verified near-dup graph
     // (same recursive-CTE cluster replay as x2b, rolled up to sizes).
     ("x86_cluster_stats", (s: SparkSession, sfDir: String) =>

@@ -153,6 +153,31 @@ object EventStreams {
       .drop(tsUs)
   }
 
+  /** Per-window top-`k` heavy hitters: within each tumbling `window`, the
+    * `k` most frequent `keyCols` groups by event count (rank 1-based by
+    * count desc, then the key columns asc — a deterministic cut) — the
+    * "who dominates this hour" dashboard next to [[rateAnomalies]]'
+    * "is this key spiking".
+    *
+    * Scale: ONE map-side-combined (window, keys) count agg; the rank window
+    * runs over the aggregated frame and lowers to WindowGroupLimit k-heaps
+    * — no per-event window function, no global sort. In streaming, compose
+    * over [[windowAgg]] per batch via foreachBatch.
+    */
+  def windowTopK(events: DataFrame, keyCols: Seq[String], window: String = "1 hour",
+                 k: Int = 10, tsCol: String = "ts"): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(k >= 1, "k >= 1")
+    val counts = events
+      .groupBy(keyCols.map(col) :+ org.apache.spark.sql.functions
+        .window(col(tsCol), window).getField("start").as("window_start"): _*)
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n").desc +: keyCols.map(c => col(c).asc_nulls_last): _*)
+    counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Event-rate anomaly detection: per key, tumbling-`window` counts scored
     * against the mean/stddev of that key's `trailing` PRIOR windows — the
     * pipeline-monitoring query ("this event type is spiking") as one

@@ -2001,6 +2001,22 @@ class ExtSpec extends AnyFunSuite {
     assert(seen.sorted.toSeq === Seq("a", "b", "c"))
   }
 
+  test("windowTopK: per-window rank with deterministic tie-break and k cut") {
+    def t(h: Int, m: Int) = new java.sql.Timestamp(1700000000000L + (h * 60L + m) * 60000L)
+    val ev = Seq(
+      ("u1", t(0, 1)), ("u1", t(0, 2)), ("u2", t(0, 3)), ("u3", t(0, 4)),
+      ("u9", t(1, 1)), ("u9", t(1, 2)), ("u9", t(1, 3))
+    ).toDF("user", "ts")
+    val out = EventStreams.windowTopK(ev, Seq("user"), k = 2)
+      .collect().map(r => (r.getTimestamp(1), r.getString(0)) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    val h0 = out.keys.map(_._1).min
+    assert(out((h0, "u1")) === ((2L, 1)))
+    assert(out((h0, "u2")) === ((1L, 2))) // tie with u3 broken by key asc
+    assert(!out.contains((h0, "u3")))    // k = 2 cut
+    assert(out.size === 3)               // hour 1 contributes only u9
+  }
+
   test("clusterStats: size histogram over a 2-cluster + 3-cluster pair graph") {
     val pairs = Seq(("a", "b"), ("c", "d"), ("d", "e"), ("c", "e")).toDF("id_a", "id_b")
     val out = Dedup.clusterStats(pairs).collect()
