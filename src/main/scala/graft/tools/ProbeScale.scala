@@ -306,6 +306,12 @@ object ProbeScale {
       // PageRank over a synthetic 1M-node / 5M-edge graph (deterministic
       // expander-ish wiring), 5 iterations — the per-round shuffle cost at
       // real scale, independent of any kNN build
+      // NOTE: no 1M fuzzy-join arm — this corpus's ~200-word template
+      // vocabulary is exactly the low-entropy key space Joins.fuzzyJoin's
+      // caveat documents (no key carries a rare gram, candidate buckets
+      // approach |keys|/|gram space|), so a probe here measures the
+      // documented degenerate case, not the operator on natural keys.
+
       // two sizes in ONE run (same host-noise regime) pin linearity:
       // 2× nodes and edges should be ~2× wall at fixed partitions
       for (m <- Seq(1, 2)) {

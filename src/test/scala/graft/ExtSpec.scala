@@ -2112,6 +2112,20 @@ class ExtSpec extends AnyFunSuite {
     assert(!out.keys.exists(_._2 == "r4"))
   }
 
+  test("fuzzyJoin blocking: candidates restricted to equal blocks, both arms") {
+    val l = Seq(("l1", "john smith", "NY"), ("l2", "zz", "NY")).toDF("id", "key", "region")
+    val r = Seq(("r1", "jon smith", "NY"), ("r2", "john smith", "CA"),
+      ("r3", "zy", "CA")).toDF("id", "key", "zone")
+    val out = graft.ext.Joins.fuzzyJoin(l, r, maxDist = 2,
+        blockCols = Seq(("region", "zone")))
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(out === Set(("l1", "r1"))) // r2 exact-matches but sits in another block
+    // unblocked: both matches plus the short-arm pair return
+    val all = graft.ext.Joins.fuzzyJoin(l, r, maxDist = 2)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(all === Set(("l1", "r1"), ("l1", "r2"), ("l2", "r3")))
+  }
+
   test("fuzzyJoin equals the naive theta-join on a randomized corpus (recall-complete)") {
     val rnd = new scala.util.Random(7)
     val words = Seq("alpha", "beta", "gamma", "delta", "epsilon")
