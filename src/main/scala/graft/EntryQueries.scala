@@ -1929,6 +1929,47 @@ object EntryQueries {
               |       id, round(rrf, 6) AS rrf, rn_fts, rn_vec
               |FROM fused ORDER BY rrf DESC, id ASC LIMIT 10""".stripMargin)),
 
+    // Linear hybrid fusion: same two arms as x53, min-max normalized within
+    // each truncated arm and weighted 0.4 fts / 0.6 vec — the score-aware
+    // combinator next to RRF's rank-only one.
+    ("x88_hybrid_linear", (s: SparkSession, sfDir: String) => {
+      val q = queryVec(s, sfDir)
+      hybColl(s, sfDir).hybridTopKLinear("customer stream", q, k = 10, depth = 50,
+          weights = Map("fts" -> 0.4, "vec" -> 0.6))
+        .select(col("rn"), col("id"), round(col("score"), 6).as("score"),
+          round(col("s_fts"), 6).as("s_fts"), round(col("s_vec"), 6).as("s_vec"))
+    }, Some("""WITH toks AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+              |   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS w FROM documents),
+              | lens AS (SELECT id, len(w) AS dl FROM toks),
+              | stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n, (SELECT AVG(len(w)) FROM toks) AS avgdl),
+              | tf AS (SELECT id, t, COUNT(*) AS tf FROM (SELECT id, unnest(w) AS t FROM toks) GROUP BY 1, 2),
+              | dfp AS (SELECT t, COUNT(*) AS df FROM tf WHERE t IN ('customer','stream') GROUP BY 1),
+              | m AS (SELECT id FROM tf WHERE t IN ('customer','stream') GROUP BY id HAVING COUNT(DISTINCT t) = 2),
+              | sc AS (SELECT tf.id, SUM( ln((n - df + 0.5) / (df + 0.5) + 1.0)
+              |          * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ) AS r
+              |        FROM tf JOIN dfp USING(t) JOIN lens USING(id) CROSS JOIN stats
+              |        WHERE tf.t IN ('customer','stream') GROUP BY tf.id),
+              | fts AS (SELECT m.id AS id, sc.r FROM m JOIN sc ON m.id = sc.id
+              |         ORDER BY r DESC, m.id ASC LIMIT 50),
+              | fnorm AS (SELECT id, CASE WHEN max(r) OVER () > min(r) OVER ()
+              |     THEN (r - min(r) OVER ()) / (max(r) OVER () - min(r) OVER ())
+              |     ELSE 1.0 END AS s FROM fts),
+              | q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+              | vsc AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+              |           list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(e AS DOUBLE[])) AS sim
+              |         FROM embeddings, q),
+              | vec AS (SELECT id, sim FROM vsc ORDER BY sim DESC, id ASC LIMIT 50),
+              | vnorm AS (SELECT id, CASE WHEN max(sim) OVER () > min(sim) OVER ()
+              |     THEN (sim - min(sim) OVER ()) / (max(sim) OVER () - min(sim) OVER ())
+              |     ELSE 1.0 END AS s FROM vec),
+              | fused AS (SELECT COALESCE(f.id, v.id) AS id,
+              |     COALESCE(f.s, 0) * 0.4 + COALESCE(v.s, 0) * 0.6 AS score,
+              |     f.s AS s_fts, v.s AS s_vec
+              |   FROM fnorm f FULL OUTER JOIN vnorm v ON f.id = v.id)
+              |SELECT CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS BIGINT) AS rn,
+              |       id, round(score, 6) AS score, round(s_fts, 6) AS s_fts, round(s_vec, 6) AS s_vec
+              |FROM fused ORDER BY score DESC, id ASC LIMIT 10""".stripMargin)),
+
     // Bloom-prefiltered exact cross-corpus dedup: result must equal the
     // plain hash anti-join (x30's exact arm) — the bloom only reroutes WHERE
     // rows are verified, never what survives. Oracle is the same NOT EXISTS

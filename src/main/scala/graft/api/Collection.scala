@@ -619,6 +619,21 @@ final class Collection private (
       "vec" -> vec.select($"id", $"rank")), k, depth, rrfK)
   }
 
+  /** [[hybridTopK]] with LINEAR (min-max normalized, weighted) score fusion
+    * instead of RRF — the score-aware combinator, for callers who trust the
+    * arms' calibration enough to weight them ([[graft.exec.Hybrid.linearFuse]]).
+    */
+  def hybridTopKLinear(query: String, qvec: Seq[Float], k: Int, depth: Int = 60,
+                       weights: Map[String, Double] = Map.empty,
+                       where: Map[String, Any] = Map.empty): DataFrame = {
+    require(useFts, s"Collection '$name' does not support full-text search.")
+    val (fts, _) = plan(query, where, OrderBy.none, vectorSearch = false)
+    val vec = VectorSearch.scored(applyWhere(docs(), where), "embedding", qvec)
+    Hybrid.linearFuse(Seq(
+      "fts" -> fts.select($"id", $"rank"),
+      "vec" -> vec.select($"id", $"rank")), k, depth, weights)
+  }
+
   /** Full postings + stats (re)build from `source` (the cached batch on
     * first ingest — the collection's full contents by construction there —
     * so nothing re-reads the just-written store). The fresh postings frame

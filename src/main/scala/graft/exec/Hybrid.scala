@@ -67,4 +67,52 @@ object Hybrid {
         names.map(n => col(s"rn_$n")): _*)
       .orderBy(col("rn"))
   }
+
+  /** Linear score fusion — the score-aware alternative to [[rrfFuse]]:
+    * each arm's top-`depth` scores min-max normalize to [0, 1] WITHIN the
+    * truncated arm, and the fused score is the weighted sum (weights
+    * default to 1). A document absent from an arm contributes 0 for it;
+    * a constant-score arm normalizes to 1.0 for every survivor (its
+    * depth-cut is still informative even when its scores are not).
+    *
+    * Same shapes and conventions as [[rrfFuse]]: (`id`, `rank`) arms with
+    * higher better, TakeOrderedAndProject truncation, everything after the
+    * cut bounded by arms·depth rows; output (`rn`, `id`, `score`, one
+    * `s_<arm>` normalized column per arm), ties broken by `id` ASC.
+    */
+  def linearFuse(arms: Seq[(String, DataFrame)], k: Int, depth: Int = 60,
+                 weights: Map[String, Double] = Map.empty): DataFrame = {
+    require(arms.nonEmpty, "linearFuse needs at least one ranked arm")
+    require(k > 0 && depth > 0, "k and depth must be positive")
+    val names = arms.map(_._1)
+    require(names.distinct.size == names.size, s"duplicate arm names: $names")
+    require(weights.keySet.forall(names.contains), "weights must name existing arms")
+
+    val normedArms = arms.map { case (name, df) =>
+      val top = df.select(col("id"), col("rank"))
+        .orderBy(col("rank").desc, col("id").asc)
+        .limit(depth)
+      // min/max window over the ≤ depth survivors: bounded single-partition
+      // frame by construction, same rationale as rrfFuse's rank window
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      top
+        .withColumn("__mn", min(col("rank")).over(w))
+        .withColumn("__mx", max(col("rank")).over(w))
+        .select(col("id"),
+          when(col("__mx") > col("__mn"),
+            (col("rank") - col("__mn")) / (col("__mx") - col("__mn")))
+            .otherwise(lit(1.0)).as(s"s_$name"))
+    }
+    val joined = normedArms.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val fused = names
+      .map(n => coalesce(col(s"s_$n"), lit(0.0)) * weights.getOrElse(n, 1.0))
+      .reduce(_ + _)
+    joined.withColumn("score", fused)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score").desc, col("id").asc)).cast("long"))
+      .filter(col("rn") <= k)
+      .select(Seq(col("rn"), col("id"), col("score")) ++
+        names.map(n => col(s"s_$n")): _*)
+      .orderBy(col("rn"))
+  }
 }

@@ -101,4 +101,22 @@ class HybridSpec extends AnyFunSuite {
       .collect().map(_.getString(1)).toSet
     assert(ids === Set("a"))
   }
+
+  test("linearFuse: min-max normalization, weights, absent-arm zero, constant arm") {
+    import graft.exec.Hybrid
+    val a = Seq(("x", 10.0), ("y", 5.0), ("z", 0.0)).toDF("id", "rank")
+    val b = Seq(("x", 7.0), ("w", 7.0)).toDF("id", "rank") // constant scores
+    val out = Hybrid.linearFuse(Seq("a" -> a, "b" -> b), k = 10,
+        weights = Map("a" -> 1.0, "b" -> 0.5))
+      .collect().map(r => r.getString(1) ->
+        (r.getDouble(2), Option(r.get(3)), Option(r.get(4)))).toMap
+    // x: a normalized 1.0, b constant arm -> 1.0; score = 1*1 + 0.5*1
+    assert(out("x") === ((1.5, Some(1.0), Some(1.0))))
+    // y: mid of a = 0.5, absent from b
+    assert(out("y") === ((0.5, Some(0.5), None)))
+    // z: min of a = 0.0 but still surfaced
+    assert(out("z") === ((0.0, Some(0.0), None)))
+    // w: only the constant arm
+    assert(out("w") === ((0.5, None, Some(1.0))))
+  }
 }
