@@ -2222,6 +2222,29 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getString(1) === "keepme" && r.getLong(2) === 7L)
   }
 
+  test("json flatten: nested bags surface as struct columns, arrays as arrays") {
+    val df = Seq(
+      (1L, """{"k": 1, "meta": {"src": "web", "score": 0.5}, "tags": ["a", "b"]}"""),
+      (2L, """{"k": 2, "meta": {"src": "api"}, "tags": []}""")
+    ).toDF("id", "props")
+    val out = Json.flatten(df, "props")
+    assert(out.columns.toSeq === Seq("id", "k", "meta", "tags"))
+    val r = out.filter(col("id") === 1L)
+      .select(col("k"), col("meta.src"), col("meta.score"), col("tags"))
+      .head()
+    assert(r.getLong(0) === 1L && r.getString(1) === "web" && r.getDouble(2) === 0.5)
+    assert(r.getSeq[String](3) === Seq("a", "b"))
+  }
+
+  test("spanCorrupt: density 1 with spanLen 1 masks every token") {
+    val d = Seq(("d1", "one two three four")).toDF("id", "content")
+    val r = Pipeline.spanCorrupt(d, density = 1.0, spanLen = 1).head()
+    assert(r.getLong(4) === 4L) // all 4 tokens masked
+    assert(r.getLong(3) === 1L) // adjacent spans merge into one run
+    assert(r.getString(1) === "<extra_id_0>") // input is one sentinel
+    assert(r.getString(2) === "<extra_id_0> one two three four")
+  }
+
   test("json inferSchema: sample cap still yields a usable schema") {
     val df = (1 to 500).map(i => (i.toLong, s"""{"k": $i}""")).toDF("id", "props")
     val s = Json.inferSchema(df, "props", maxSample = 50L)
