@@ -2,7 +2,7 @@ package graft
 
 import graft.api.{Collection, Embedder}
 import graft.exec.Sorter
-import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Graphs, Ivf, Joins, Json, Multimodal, Pipeline, Pq, Quantize, TextStats}
+import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Expectations, Graphs, Ivf, Joins, Json, Multimodal, Pipeline, Pq, Quantize, TextStats}
 import graft.functions.TextFunctions
 import graft.model.SortKey
 import graft.parse.QueryParser
@@ -1928,6 +1928,34 @@ object EntryQueries {
               |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id ASC) AS BIGINT) AS rn,
               |       id, round(rrf, 6) AS rrf, rn_fts, rn_vec
               |FROM fused ORDER BY rrf DESC, id ASC LIMIT 10""".stripMargin)),
+
+    // Data-quality contracts: one-scan expectation report over events plus
+    // the key-uniqueness contract, violation mass included.
+    ("x89_expectations", (s: SparkSession, sfDir: String) => {
+      val ev = s.read.parquet(s"$sfDir/events.parquet")
+      val rowRules = Expectations.expect(ev, Seq(
+        "user_id_not_null" -> col("user_id").isNotNull,
+        "value_non_negative" -> (col("value") >= 0),
+        "event_type_nonempty" -> (length(col("event_type")) > 0)))
+      val uniq = Expectations.duplicateKeys(ev, Seq("event_id"))
+        .select(lit("event_id_unique").as("rule"), col("n_rows"),
+          col("n_duplicates").as("n_violations"),
+          when(col("n_rows") > 0, col("n_duplicates").cast("double") / col("n_rows"))
+            .otherwise(lit(0.0)).as("violation_rate"),
+          (col("n_duplicates") === 0).as("pass"))
+      rowRules.unionByName(uniq)
+        .select(col("rule"), col("n_rows"), col("n_violations"),
+          round(col("violation_rate"), 6).as("violation_rate"), col("pass"))
+    }, Some("""WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+              |  CAST(sum(CASE WHEN NOT coalesce(value >= 0, false) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+              |  CAST(sum(CASE WHEN NOT coalesce(length(event_type) > 0, false) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+              |  CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS v4 FROM events)
+              |SELECT 'user_id_not_null' AS rule, n AS n_rows, v1 AS n_violations,
+              |  round(v1 * 1.0 / n, 6) AS violation_rate, v1 = 0 AS pass FROM base
+              |UNION ALL SELECT 'value_non_negative', n, v2, round(v2 * 1.0 / n, 6), v2 = 0 FROM base
+              |UNION ALL SELECT 'event_type_nonempty', n, v3, round(v3 * 1.0 / n, 6), v3 = 0 FROM base
+              |UNION ALL SELECT 'event_id_unique', n, v4, round(v4 * 1.0 / n, 6), v4 = 0 FROM base""".stripMargin)),
 
     // Linear hybrid fusion: same two arms as x53, min-max normalized within
     // each truncated arm and weighted 0.4 fts / 0.6 vec — the score-aware

@@ -2094,6 +2094,30 @@ class ExtSpec extends AnyFunSuite {
     assert(avgArea(s"$dir/z") * 2 < avgArea(s"$dir/plain"))
   }
 
+  // --- expectations -----------------------------------------------------------
+
+  test("expectations: null predicate is a violation, rates exact, uniqueness counts dupes") {
+    import graft.ext.Expectations
+    val d = Seq(
+      (Some(1L), "a", 1.0), (Some(2L), "b", -1.0),
+      (None, "c", 2.0), (Some(2L), "", 3.0)
+    ).toDF("uid", "tag", "v")
+    val out = Expectations.expect(d, Seq(
+      "uid_not_null" -> col("uid").isNotNull,
+      "v_non_negative" -> (col("v") >= 0),
+      "tag_nonempty" -> (length(col("tag")) > 0),
+      // predicate NULL on the None row -> strict violation
+      "uid_positive" -> (col("uid") > 0)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out("uid_not_null") === ((4L, 1L, 0.25, false)))
+    assert(out("v_non_negative") === ((4L, 1L, 0.25, false)))
+    assert(out("tag_nonempty") === ((4L, 1L, 0.25, false)))
+    assert(out("uid_positive") === ((4L, 1L, 0.25, false))) // the NULL uid row
+    val u = Expectations.duplicateKeys(d, Seq("uid")).head()
+    assert((u.getLong(0), u.getLong(1), u.getLong(2)) === ((4L, 3L, 1L)))
+  }
+
   // --- fuzzy join -------------------------------------------------------------
 
   test("fuzzyJoin: within-distance pairs found, beyond-distance excluded, nulls never match") {
