@@ -31,4 +31,10 @@ class VerifySpec extends AnyFunSuite {
       Verify.validateFilter(Some(Set.empty), known)
     }
   }
+
+  test("driver contract: flagship entry returns rows and every oracle key has a query") {
+    assert(SparkEntry.entry(TestSpark.spark).count() > 0) // the driver's smoke check
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.nonEmpty)
+  }
 }
