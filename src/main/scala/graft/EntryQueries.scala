@@ -2389,14 +2389,18 @@ object EntryQueries {
 
     // Mean-pool chunk embeddings into document embeddings (vec_id % 50 as
     // the owning doc → 50 docs × 10 chunks). The oracle replays the
-    // per-position mean and the L2 normalization via zipped unnest +
-    // ordered list re-assembly.
+    // per-position mean and the L2 normalization via zipped unnest.
+    // Compared frame is all-scalar — one (id, pos, v) row per vector
+    // component — because the driver's pandas comparator can't sort an
+    // ARRAY column (r8 VERDICT item 1).
     ("x55_pool_embeddings", (s: SparkSession, sfDir: String) => {
       val ch = s.read.parquet(s"$sfDir/embeddings.parquet")
         .select((col("vec_id") % 50).cast("long").as("id"), col("embedding"))
       Pipeline.poolEmbeddings(ch)
         .select(col("id"), col("n_chunks"),
-          transform(col("embedding"), x => round(x, 6)).as("embedding"))
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("id"), col("n_chunks"),
+          (col("pos") + 1).cast("long").as("pos"), round(col("v"), 6).as("v"))
     }, Some("""WITH ch AS (SELECT vec_id % 50 AS id, embedding FROM embeddings),
               | ux AS (SELECT id, CAST(unnest(embedding) AS DOUBLE) AS x,
               |          generate_subscripts(embedding, 1) AS pos FROM ch),
@@ -2408,8 +2412,8 @@ object EntryQueries {
               |         CASE WHEN n.nm = 0 THEN m.m ELSE m.m / n.nm END AS v
               |       FROM mean m JOIN nrm n USING(id))
               |SELECT CAST(o.id AS BIGINT) AS id, c.n AS n_chunks,
-              |       list(round(o.v, 6) ORDER BY o.pos) AS embedding
-              |FROM o JOIN cnt c USING(id) GROUP BY o.id, c.n""".stripMargin)),
+              |       CAST(o.pos AS BIGINT) AS pos, round(o.v, 6) AS v
+              |FROM o JOIN cnt c USING(id)""".stripMargin)),
 
     // Per-window heavy hitters: hourly top-2 users by event count with a
     // deterministic (count desc, user asc) rank.
