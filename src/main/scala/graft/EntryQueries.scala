@@ -810,6 +810,63 @@ object EntryQueries {
       Seq(("prebuilt_equals_percall", eq)).toDF("metric", "ok")
     }, Some("SELECT 'prebuilt_equals_percall' AS metric, true AS ok")),
 
+    // F2: the ANN planner rewrite (plans/AnnRewrite.scala) as a driver-
+    // checkable gate. Registering an LSH index for a corpus parquet path
+    // must (a) rewrite the exact cosine-top-k plan into a candidate semi
+    // join, (b) return exactly the prebuilt index's own topK (same
+    // candidate set, same exact rerank, same tie-break), and (c) keep
+    // recall >= 0.9 vs the unrewritten exact ranking (x7's gate, same LSH
+    // params). The unregistered plan must stay semi-join-free.
+    ("f2_ann_rewrite", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.catalyst.plans.LeftSemi
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+      import graft.plans.AnnCatalog
+      AnnCatalog.install(s)
+      val path = tempDirCleanedOnExit("graft-f2-") + "/corpus.parquet"
+      s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+        .write.mode("overwrite").parquet(path)
+      val corpus = s.read.parquet(path)
+      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      def topK(q: Seq[Float], k: Int): DataFrame = corpus
+        .withColumn("sim", graft.functions.VectorFunctions.cosine(
+          col("embedding"), graft.functions.VectorFunctions.vecLit(q)))
+        .orderBy(col("sim").desc, col("id").asc)
+        .limit(k)
+      def hasSemi(df: DataFrame): Boolean = df.queryExecution.optimizedPlan.exists {
+        case j: LJoin => j.joinType == LeftSemi
+        case _ => false
+      }
+      val exact = Ann.exactTopK(corpus, qs, k = 10)
+        .select("qid", "rn", "id").persist()
+      val cleanPlan = !hasSemi(topK(qs.head._2, 10))
+      val ix = graft.ext.LshIndex.build(corpus, numTables = 16, numPlanes = 4, dim = 64)
+      AnnCatalog.register(s, path,
+        AnnCatalog.Entry("id", "embedding", AnnCatalog.LshRegistered(ix)))
+      try {
+        val perQuery = qs.map { case (qid, q) => (qid, topK(q, 10)) }
+        val applied = perQuery.forall { case (_, df) => hasSemi(df) }
+        // bounded: 5 queries x 10 rows driver-side
+        val rewritten = perQuery.flatMap { case (qid, df) =>
+          df.select("id").as[String].collect().toSeq.zipWithIndex
+            .map { case (id, i) => (qid, (i + 1).toLong, id) }
+        }.toDF("qid", "rn", "id").persist()
+        val viaIx = ix.topK(corpus, qs, k = 10).select("qid", "rn", "id").persist()
+        try {
+          val eqIx = rewritten.exceptAll(viaIx).isEmpty &&
+            rewritten.count() == viaIx.count()
+          val rec = Ann.recallAtK(exact, rewritten)
+          Seq(("clean_plan_before_register", cleanPlan),
+            ("rewrite_applied", applied),
+            ("equals_index_topk", eqIx),
+            ("recall_ge_0.9", rec >= 0.9)).toDF("metric", "ok")
+        } finally { rewritten.unpersist(); viaIx.unpersist(); exact.unpersist() }
+      } finally AnnCatalog.unregister(s, path)
+    }, Some("""SELECT * FROM (VALUES ('clean_plan_before_register', true),
+              |  ('rewrite_applied', true), ('equals_index_topk', true),
+              |  ('recall_ge_0.9', true)) AS t(metric, ok)""".stripMargin)),
+
     ("x6_ann_exact", (s: SparkSession, sfDir: String) => {
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))

@@ -133,35 +133,63 @@ case class AnnTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (AnnCatalog.isEmpty) return plan
     if (spark.conf.get("spark.graft.ann.rewrite", "true") != "true") return plan
+    // Two shapes: the bare `orderBy(cos desc).limit(k)`, and the same with a
+    // pruning Project BETWEEN limit and sort — what ColumnPruning leaves
+    // behind for the ubiquitous `select("id").orderBy(...).limit(k)` query
+    // (this rule runs in the LAST optimizer batch, so it always sees the
+    // pruned plan). Missing the second shape silently serves the exact scan.
     plan.transformDown {
       case l @ Limit(le @ IntegerLiteral(_),
                      s @ Sort(SortOrder(head, Descending, _, _) +: _, true, child, _))
           if !child.exists(_.output.exists(_.name == Marker)) =>
-        (for {
-          (embAttr, qvec) <- cosineOf(head, child)
-          // ground BOTH columns in the registered relation's own attributes
-          // (exprId match) — a bare name like "id" may also be exposed by
-          // OTHER relations joined into the child, and binding one of those
-          // would semi-join on the wrong ids and corrupt results. When two
-          // registered corpora are joined in one query, the exprId test
-          // picks the relation the sort key actually scores.
-          (entry, lr)     <- registrationsOf(child).find { case (e, rel) =>
-                               rel.output.exists(a =>
-                                 a.name == e.embCol && a.exprId == embAttr.exprId)
-                             }
-          relId           <- lr.output.find(_.name == entry.idCol)
-          idAttr          <- child.output.find(_.exprId == relId.exprId)
-          candDf          <- entry.source.candidates(spark, qvec)
-        } yield {
-          val candPlan = candDf
-            .select(col("id").as(Marker)).distinct()
-            .queryExecution.analyzed
-          val join = Join(child, candPlan, LeftSemi,
-            Some(EqualTo(idAttr, candPlan.output.head)), JoinHint.NONE)
-          Limit(le, Sort(s.order, global = true, join))
-        }).getOrElse(l)
+        candidateJoin(head, child)
+          .map(join => Limit(le, Sort(s.order, global = true, join)))
+          .getOrElse(l)
+      case l @ Limit(le @ IntegerLiteral(_),
+                     p @ Project(projList,
+                       s @ Sort(SortOrder(head, Descending, _, _) +: _, true, child, _)))
+          if !child.exists(_.output.exists(_.name == Marker)) =>
+        candidateJoin(head, child)
+          .map(join => Limit(le,
+            Project(projList, Sort(s.order, global = true, join))))
+          .getOrElse(l)
     }
   }
+
+  /** The candidate semi join for one top-k sort, or None when the sort key /
+    * relation / registration don't line up (plan left untouched).
+    */
+  private def candidateJoin(head: Expression, child: LogicalPlan): Option[Join] =
+    for {
+      (embAttr, qvec) <- cosineOf(head, child)
+      // ground BOTH columns in the registered relation's own attributes
+      // (exprId match) — a bare name like "id" may also be exposed by
+      // OTHER relations joined into the child, and binding one of those
+      // would semi-join on the wrong ids and corrupt results. When two
+      // registered corpora are joined in one query, the exprId test
+      // picks the relation the sort key actually scores.
+      (entry, lr)     <- registrationsOf(child).find { case (e, rel) =>
+                           rel.output.exists(a =>
+                             a.name == e.embCol && a.exprId == embAttr.exprId)
+                         }
+      relId           <- lr.output.find(_.name == entry.idCol)
+      idAttr          <- child.output.find(_.exprId == relId.exprId)
+      candDf          <- entry.source.candidates(spark, qvec)
+    } yield {
+      // Inject the OPTIMIZED candidate subtree: this rule runs in the last
+      // optimizer batch ("User Provided Optimizers"), so an analyzed
+      // subtree would reach the planner raw — its Deduplicate (from
+      // .distinct()) is never replaced by ReplaceDeduplicateWithAggregate
+      // and physical planning throws INTERNAL_ERROR. Optimizing the
+      // candidate Dataset separately lowers distinct() to an Aggregate and
+      // runs pushdown/pruning on the probe too; the candidate plan has no
+      // cosine-top-k shape, so re-entering this rule on it is a no-op.
+      val candPlan = candDf
+        .select(col("id").as(Marker)).distinct()
+        .queryExecution.optimizedPlan
+      Join(child, candPlan, LeftSemi,
+        Some(EqualTo(idAttr, candPlan.output.head)), JoinHint.NONE)
+    }
 
   /** The (embedding Attribute, literal query vector) of a cosine-DESC sort
     * key, chasing one level of aliasing through the child's projections.

@@ -64,8 +64,16 @@ class AnnRewriteSpec extends AnyFunSuite {
 
       val rewritten = topK(corpus, 5)
       assert(hasSemiJoin(rewritten), "registered path must rewrite to a semi join")
-      assert(rewritten.select("id").as[String].collect().toSeq === exact,
+      // execute the SAME frame the semi join was asserted on — r9 found the
+      // original `.select("id")` re-derivation dodged the (then-broken)
+      // rewrite via column pruning, making this assertion vacuous
+      assert(rewritten.collect().map(_.getString(0)).toSeq === exact,
         "separated clusters: candidate rerank must return the exact top-k")
+      // the pruned select-on-top shape (Project between Limit and Sort)
+      // must rewrite AND execute too
+      val pruned = topK(corpus, 5).select("id")
+      assert(hasSemiJoin(pruned), "pruned select-on-top shape must rewrite")
+      assert(pruned.as[String].collect().toSeq === exact)
       // projection/schema untouched by the rewrite
       assert(rewritten.columns.toSeq === Seq("id", "embedding", "sim"))
     } finally AnnCatalog.clear()
@@ -81,7 +89,7 @@ class AnnRewriteSpec extends AnyFunSuite {
 
       val rewritten = topK(corpus, 5)
       assert(hasSemiJoin(rewritten))
-      assert(rewritten.select("id").as[String].collect().toSeq === exact)
+      assert(rewritten.collect().map(_.getString(0)).toSeq === exact)
       // exactly ONE semi join even though optimizer batches run to fixed point
       val semis = rewritten.queryExecution.optimizedPlan.collect {
         case j: Join if j.joinType == LeftSemi => j
