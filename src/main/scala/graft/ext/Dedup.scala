@@ -697,7 +697,7 @@ object Dedup {
     // so a merge can only add verified-correct pairs, never lose one.
     val packed = buckets
       .select(col("ms")).distinct()
-      .select(xxhash64(concat_ws(" ", col("ms"))).as("__sid"),
+      .select(xxhash64(concat_ws("\u0000", col("ms"))).as("__sid"),
         explode(col("ms")).as("id"))
       .join(payload, "id")
       .groupBy(col("__sid"))

@@ -25,8 +25,12 @@ object Expectations {
   def expect(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
     require(rules.map(_._1).distinct.size == rules.size, "duplicate rule names")
+    // coalesce the sum itself: over ZERO rows sum() is NULL, which would
+    // make `pass` NULL instead of true and NPE a getBoolean caller — an
+    // empty frame satisfies every row-wise contract (0 violations)
     val aggs = count(lit(1)).cast("long").as("__n") +: rules.map { case (name, pred) =>
-      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"__v_$name")
+      coalesce(sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)), lit(0L))
+        .as(s"__v_$name")
     }
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(rules.map { case (name, _) =>

@@ -62,6 +62,15 @@ object Json {
     */
   def extract(df: DataFrame, jsonCol: String, schema: StructType,
               prefix: String = ""): DataFrame = {
+    // fail fast on name collisions: with an empty prefix an inferred field
+    // that matches a passthrough column (e.g. a props field named event_id)
+    // would silently produce an ambiguous frame that only errors on a later
+    // select-by-name
+    val keptNames = df.columns.filter(_ != jsonCol).toSet
+    val clashes = schema.fieldNames.map(f => s"$prefix$f").filter(keptNames)
+    require(clashes.isEmpty,
+      s"extracted JSON fields collide with existing columns: " +
+        s"${clashes.mkString(", ")} — pass a prefix or rename the columns")
     val parsed = from_json(col(jsonCol).cast("string"), schema.asInstanceOf[DataType])
     val tmp = WorkingColumns.fresh(df, "__j")
     val withP = df.withColumn(tmp, parsed)

@@ -2118,6 +2118,21 @@ class ExtSpec extends AnyFunSuite {
     assert((u.getLong(0), u.getLong(1), u.getLong(2)) === ((4L, 3L, 1L)))
   }
 
+  test("expectations: empty frame reports 0 violations and pass=true, not NULL") {
+    import graft.ext.Expectations
+    val d = Seq.empty[(Option[Long], String)].toDF("uid", "tag")
+    val rows = Expectations.expect(d, Seq(
+      "uid_not_null" -> col("uid").isNotNull,
+      "tag_nonempty" -> (length(col("tag")) > 0)))
+      .collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 0L && r.getLong(2) === 0L)
+      assert(r.getDouble(3) === 0.0)
+      assert(r.getBoolean(4) === true) // would NPE on a NULL pass pre-fix
+    }
+  }
+
   // --- fuzzy join -------------------------------------------------------------
 
   test("fuzzyJoin: within-distance pairs found, beyond-distance excluded, nulls never match") {
@@ -2244,6 +2259,16 @@ class ExtSpec extends AnyFunSuite {
     assert(out.columns.toSeq === Seq("id", "__j", "p_k"))
     val r = out.head()
     assert(r.getString(1) === "keepme" && r.getLong(2) === 7L)
+  }
+
+  test("json extract: inferred field colliding with a passthrough column fails fast") {
+    val df = Seq((1L, """{"id": 9, "k": 7}""")).toDF("id", "props")
+    val schema = Json.inferSchema(df, "props")
+    val e = intercept[IllegalArgumentException](Json.extract(df, "props", schema))
+    assert(e.getMessage.contains("collide") && e.getMessage.contains("id"))
+    // a prefix resolves the collision
+    val out = Json.extract(df, "props", schema, prefix = "p_")
+    assert(out.columns.toSeq === Seq("id", "p_id", "p_k"))
   }
 
   test("json flatten: nested bags surface as struct columns, arrays as arrays") {
