@@ -215,16 +215,17 @@ object Dedup {
     * corpus-wide boilerplate drop. Adds `content_dedup` and
     * `n_lines_dropped`; null content stays null with 0 dropped.
     *
-    * Scale: computed ENTIRELY inside the row with array expressions
-    * (split → first-occurrence filter → rejoin) — a ZERO-shuffle
-    * codegen'd scan; no per-doc state leaves the row.
+    * Scale: computed ENTIRELY inside the row (split → native single-pass
+    * hash-set first-occurrence filter → rejoin) — a ZERO-shuffle scan,
+    * O(bytes) per doc. The former HOF formulation (`!exists(slice(...))`
+    * per line) was O(lines²) in-row: fine for web docs, but a pathological
+    * 50k-line document paid ~10⁹ interpreted comparisons in one task.
     */
   def dedupLinesDoc(docs: DataFrame,
                     contentCol: String = "content"): DataFrame = {
     val lines = split(col(contentCol), "\n")
     // keep line i iff no earlier line has the same trimmed form
-    val kept = filter(lines, (l, i) =>
-      !exists(slice(lines, lit(1), i), p => trim(p) === trim(l)))
+    val kept = graft.functions.TextFunctions.keepFirstByTrim(lines)
     val dedup = when(col(contentCol).isNull, lit(null).cast("string"))
       .otherwise(concat_ws("\n", kept))
     docs.withColumn("content_dedup", dedup)

@@ -146,6 +146,12 @@ object TextFunctions {
     * per-row, zero shuffle. See [[TokenEntropy]]. */
   def tokenEntropy(toks: Column): Column =
     Bridge.column(TokenEntropy(Bridge.expression(toks)))
+
+  /** First occurrence of each TRIMMED element form, original text and order
+    * preserved — per-row, zero shuffle, O(total bytes). See
+    * [[KeepFirstByTrim]]. */
+  def keepFirstByTrim(lines: Column): Column =
+    Bridge.column(KeepFirstByTrim(Bridge.expression(lines)))
 }
 
 /** Shannon entropy H = −Σ p_t ln p_t (nats) of the row's OWN token
@@ -190,6 +196,59 @@ case class TokenEntropy(child: org.apache.spark.sql.catalyst.expressions.Express
       i += 1
     }
     h
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+}
+
+/** Single-pass first-occurrence filter over an ARRAY<STRING> by TRIMMED
+  * form: keeps element i iff no earlier element shares its trimmed text,
+  * preserving the FIRST occurrence's original (untrimmed) form and the
+  * array order. The native replacement for the HOF construction
+  * `filter(xs, (l, i) => !exists(slice(xs, 1, i), p => trim(p) === trim(l)))`,
+  * which is O(lines²) per row — a pathological 50k-line document would pay
+  * ~10⁹ comparisons in one task; this hash-set pass is O(total bytes).
+  * Null elements (absent from split() output) dedup like a distinct form:
+  * first kept, rest dropped.
+  */
+case class KeepFirstByTrim(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "keep_first_by_trim"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val seen = new java.util.HashSet[UTF8String](n * 2)
+    val out = new java.util.ArrayList[Any](n)
+    var sawNull = false
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) {
+        if (!sawNull) { sawNull = true; out.add(null) }
+      } else {
+        val line = xs.getUTF8String(i)
+        // trim() matches SQL trim(): ASCII space 0x20 both ends
+        if (seen.add(line.trim())) out.add(line)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   override protected def withNewChildInternal(

@@ -60,6 +60,73 @@ object ProbeScale {
         .groupBy($"k").agg(sum($"id").as("s"))
         .agg(sum($"s")).head())
 
+    def writeOut(): Unit = {
+      metrics += ("copies" -> copies, "shuffle_partitions" -> parts.toInt)
+      val json = metrics.map {
+        case (k, v: String) if v.startsWith("[") => s""""$k":$v"""
+        case (k, v: String) => s""""$k":"$v""""
+        case (k, v) => s""""$k":$v"""
+      }.mkString("{", ",", "}")
+      // copies=200 (1M docs) is the canonical cross-round artifact; other
+      // scales/modes write alongside so they never clobber the comparison
+      // baseline
+      val modeSuffix = if (mode.isEmpty) "" else s"_$mode"
+      val outName = if (copies == 200 && mode.isEmpty) "BENCH_scale.json"
+                    else s"BENCH_scale_${copies}x$modeSuffix.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(outName),
+        json.getBytes("UTF-8"))
+      println(s"PROBE wrote $outName: $json")
+      spark.stop()
+    }
+
+    // `r9ops` = self-contained round-9 probes, NO corpus ingest: (a) the
+    // native dedupLinesDoc must be ~linear in LINES-PER-DOC (the HOF
+    // formulation it replaced was quadratic — 4× the lines would have cost
+    // ~16×); (b) the temporal-join family (as-of backward / nearest /
+    // trailing range join) at 2M right events under BOTH a 100-key hot
+    // layout and a 100k-key entity layout — per-event linearity and skew
+    // sensitivity in one artifact.
+    if (mode.contains("r9ops")) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-r9ops-").toString
+      for (l <- Seq(2000, 8000)) {
+        val path = s"$tmp/docs_$l.parquet"
+        spark.range(2000)
+          .select($"id".cast("string").as("id"),
+            concat_ws("\n", transform(sequence(lit(1), lit(l)),
+              i => concat(lit("line "), pmod(i * 7919, lit(499))))).as("content"))
+          .repartition(32).write.mode("overwrite").parquet(path)
+        val docs = spark.read.parquet(path)
+        val dropped = time(s"dedup_lines_doc_${l}l_sec")(
+          Dedup.dedupLinesDoc(docs).agg(sum($"n_lines_dropped")).head().getLong(0))
+        // 499 distinct trimmed forms per doc survive
+        require(dropped == 2000L * (l - 499), s"unexpected drop count $dropped")
+      }
+      for (keys <- Seq(100, 100000)) {
+        val right = spark.range(2000000L)
+          .select(($"id" % keys).as("k"),
+            timestamp_micros(lit(1700000000000000L) + $"id" * 1000000L).as("ts"),
+            ($"id" * 3 % 1000).as("v"))
+          .repartition(32).cache()
+        val left = spark.range(200000L)
+          .select(($"id" % keys).as("k"),
+            timestamp_micros(lit(1700000000500000L) + $"id" * 9999999L).as("ts"))
+          .repartition(32).cache()
+        right.count(); left.count()
+        val kTag = if (keys == 100) "hot100" else "k100k"
+        val nB = time(s"asof_backward_2m_${kTag}_sec")(
+          graft.ext.Joins.asofJoin(left, right, Seq("k")).count())
+        val nN = time(s"asof_nearest_2m_${kTag}_sec")(
+          graft.ext.Joins.asofNearest(left, right, Seq("k")).count())
+        val nR = time(s"range_join_2m_${kTag}_sec")(
+          graft.ext.Joins.rangeJoin(left, right, Seq("k"), "1 hour").count())
+        require(nB == 200000L && nN == 200000L, "as-of joins must be left-preserving")
+        println(s"PROBE   range-join rows ($kTag) = $nR")
+        metrics += (s"range_rows_$kTag" -> nR)
+        right.unpersist(); left.unpersist()
+      }
+      writeOut(); return
+    }
+
     val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id".cast("string").as("id"), $"text".as("content"),
         map(lit("lang"), $"lang").as("metadata"))
@@ -481,21 +548,6 @@ object ProbeScale {
     } // end !ngonly (post-detector sections)
     } // end !mhonly
 
-    metrics += ("copies" -> copies, "shuffle_partitions" -> parts.toInt)
-    val json = metrics.map {
-      case (k, v: String) if v.startsWith("[") => s""""$k":$v"""
-      case (k, v: String) => s""""$k":"$v""""
-      case (k, v) => s""""$k":$v"""
-    }.mkString("{", ",", "}")
-    // copies=200 (1M docs) is the canonical cross-round artifact; other
-    // scales/modes write alongside so they never clobber the comparison
-    // baseline
-    val modeSuffix = if (mode.isEmpty) "" else s"_$mode"
-    val outName = if (copies == 200 && mode.isEmpty) "BENCH_scale.json"
-                  else s"BENCH_scale_${copies}x$modeSuffix.json"
-    java.nio.file.Files.write(java.nio.file.Paths.get(outName),
-      json.getBytes("UTF-8"))
-    println(s"PROBE wrote $outName: $json")
-    spark.stop()
+    writeOut()
   }
 }

@@ -862,6 +862,36 @@ class ExtSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("dedupLinesDoc: native pass matches the HOF reference; 10k-line doc is fast") {
+    import graft.functions.TextFunctions
+    // parity oracle: the original O(lines²) HOF construction
+    def hofKept(lines: org.apache.spark.sql.Column) =
+      filter(lines, (l, i) => !exists(slice(lines, lit(1), i), p => trim(p) === trim(l)))
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 50).map { i =>
+      val lines = (0 until 200).map { _ =>
+        val pad = " " * rnd.nextInt(3)
+        s"$pad line ${rnd.nextInt(40)}$pad"
+      }
+      (s"d$i", lines.mkString("\n"))
+    }.toDF("id", "content")
+    val both = docs
+      .withColumn("native", TextFunctions.keepFirstByTrim(split(col("content"), "\n")))
+      .withColumn("hof", hofKept(split(col("content"), "\n")))
+    assert(both.filter(not(col("native") === col("hof"))).isEmpty,
+      "native first-occurrence filter must equal the HOF reference")
+    // the case the HOF version could not survive: one 10k-line doc in one
+    // task — O(lines²) would be 10⁸ interpreted comparisons; the native
+    // pass finishes in well under a second
+    val big = Seq(("big", (0 until 10000).map(i => s"line ${i % 500}").mkString("\n")))
+      .toDF("id", "content")
+    val t0 = System.nanoTime()
+    val r = Dedup.dedupLinesDoc(big).select("n_lines_dropped").head().getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r === 9500L)
+    assert(secs < 10.0, s"10k-line doc took ${secs}s — not linear in lines")
+  }
+
   test("saltedJoin equals the plain join; diffCorpora statuses hand-checked") {
     val l = (1 to 100).map(i => (s"d$i", if (i % 2 == 0) "en" else "de"))
       .toDF("id", "lang")
