@@ -73,12 +73,23 @@ object Bench {
             false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      // 3 decimals: ms precision is beyond this host's noise floor anyway,
+      // and the shorter line survives more of the driver's stdout-tail
+      // truncation (BENCH_r08.json kept only a 2000-char tail)
+      name -> (if (ok) math.round(sec * 1000) / 1000.0 else -1.0)
     }
     val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"calib_sec":$calib,"sf":"${esc(sfDir)}"}""")
+    val total = math.round(results.collect { case (_, v) if v >= 0 => v }.sum * 1000) / 1000.0
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"calib_sec":$calib,"sf":"${esc(sfDir)}"}"""
+    println(json)
+    // Durable copy of the SAME line: the driver's per-round artifact keeps
+    // only a truncated stdout tail ("parsed": null in BENCH_r07/r08), so the
+    // full per-entry map was unrecoverable from the committed artifact. The
+    // cwd file rides the end-of-round commit instead.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_last.json"),
+      json.getBytes("UTF-8"))
+    catch { case _: Throwable => () } // read-only cwd must not fail the bench
     spark.stop()
   }
 }
