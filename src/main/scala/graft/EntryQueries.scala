@@ -2014,6 +2014,53 @@ object EntryQueries {
               |UNION ALL SELECT 'event_type_nonempty', n, v3, round(v3 * 1.0 / n, 6), v3 = 0 FROM base
               |UNION ALL SELECT 'event_id_unique', n, v4, round(v4 * 1.0 / n, 6), v4 = 0 FROM base""".stripMargin)),
 
+    // X90: one-call store maintenance. Gate: a delta-heavy store carrying
+    // crash residue (orphaned .tmp-* write, stale .old-* recovery copy) and
+    // a missing collstats row is restored to clean state — deltas folded,
+    // residue swept, stats re-derived — and still serves FTS afterwards.
+    ("x90_maintain", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      import graft.index.Stores
+      val root = tempDirCleanedOnExit("graft-x90-")
+      val docs = docsFrame(s, sfDir).limit(200)
+        .select(col("id"), col("content"), col("metadata")).cache()
+      val prevAuto = s.conf.getOption("spark.graft.compact.auto")
+      val prevDirect = s.conf.getOption("spark.graft.store.directUpsertMaxBytes")
+      s.conf.set("spark.graft.compact.auto", "false")
+      s.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+      try {
+        val c = Collection(s, root, "mt")
+        c.addDf(docs.filter(Pipeline.md5Mod(col("id"), 2L) === 0L))
+        c.addDf(docs.filter(Pipeline.md5Mod(col("id"), 2L) === 1L))
+        val nTotal = docs.count()
+        val deltaHeavy = Stores.deltaCount(s, Stores.docsDir(root), "mt") > 0
+        val tmpDir = java.nio.file.Paths.get(s"${Stores.docsDir(root)}/.tmp-crash")
+        val oldDir = java.nio.file.Paths.get(s"${Stores.annDir(root)}/.old-crash")
+        java.nio.file.Files.createDirectories(tmpDir)
+        java.nio.file.Files.createDirectories(oldDir)
+        Stores.dropPartition(s, Stores.collStatsDir(root), "mt")
+        Thread.sleep(5) // zero-grace sweep compares modtimes strictly
+        val rep = c.maintain().head()
+        val served = c.count() == nTotal &&
+          c.queryFrame("table").limit(1).count() >= 0 // FTS path plannable
+        Seq(("delta_heavy_before", deltaHeavy),
+          ("stats_rederived", rep.getLong(0) == nTotal && rep.getDouble(1) > 0.0),
+          ("deltas_folded", rep.getLong(2) == 0L),
+          ("residue_swept", rep.getLong(3) >= 2L &&
+            !java.nio.file.Files.exists(tmpDir) && !java.nio.file.Files.exists(oldDir)),
+          ("store_serves_after", served)).toDF("metric", "ok")
+      } finally {
+        docs.unpersist()
+        prevAuto.fold(s.conf.unset("spark.graft.compact.auto"))(
+          v => s.conf.set("spark.graft.compact.auto", v))
+        prevDirect.fold(s.conf.unset("spark.graft.store.directUpsertMaxBytes"))(
+          v => s.conf.set("spark.graft.store.directUpsertMaxBytes", v))
+      }
+    }, Some("""SELECT * FROM (VALUES ('delta_heavy_before', true),
+              |  ('deltas_folded', true), ('residue_swept', true),
+              |  ('stats_rederived', true), ('store_serves_after', true)
+              |) AS t(metric, ok)""".stripMargin)),
+
     // Linear hybrid fusion: same two arms as x53, min-max normalized within
     // each truncated arm and weighted 0.4 fts / 0.6 vec — the score-aware
     // combinator next to RRF's rank-only one.

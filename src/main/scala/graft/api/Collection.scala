@@ -426,6 +426,33 @@ final class Collection private (
       .foreach(Stores.sweep(spark, _))
   }
 
+  /** One-call operational hygiene for a long-lived store — the explicit
+    * maintenance entry point an operator (or a cron) runs on a QUIESCED
+    * collection: [[compact]] folds every store's delta segments flat
+    * (retraining a stale IVF index per its policy), the collstats row is
+    * re-derived from the resolved doclen store (self-heals a crash that
+    * landed between a doclen write and its stats row — stale stats would
+    * mis-rank BM25 silently), and crash residue is swept with ZERO grace:
+    * unlike the auto-triggered sweep inside [[compact]] (which keeps
+    * 1 h / 7 d windows so it can't race an in-flight writer), an explicit
+    * maintain() asserts no writer is active, so any `.tmp-*` / `.old-*`
+    * dir present IS residue. Returns a one-row report frame
+    * (n_docs, avg_dl, docs_delta_segments, residue_swept) for ops logs.
+    */
+  def maintain(): DataFrame = {
+    compact()
+    // stats refresh even when compact() had nothing to fold: the row is
+    // overwrite-only and cheap (one agg over the skinny doclen store)
+    if (Stores.partitionExists(spark, doclenDir, name)) writeStatsFrom(doclen())
+    val swept = Seq(docsDir, postingsDir, statsDir, annDir, doclenDir,
+        ivfDir, ivfCentDir)
+      .map(Stores.sweep(spark, _, oldGraceMs = 0L, tmpGraceMs = 0L)).sum
+    val s = collStats().head()
+    Seq((s.getLong(0), s.getDouble(1),
+        Stores.deltaCount(spark, docsDir, name).toLong, swept.toLong))
+      .toDF("n_docs", "avg_dl", "docs_delta_segments", "residue_swept")
+  }
+
   /** Size-ratio + count compaction policy: fold when the docs deltas rival
     * the base (cheap by definition — the whole partition is at most ~1.5×
     * the delta mass being folded) or exceed [[Stores.MaxDeltas]] segments

@@ -761,6 +761,48 @@ class CollectionSpec extends AnyFunSuite {
     assert(c.query("alpha").results.map(_.id) === Seq("d1")) // postings intact too
   }
 
+  test("maintain(): delta-heavy store with crash residue restored to clean state") {
+    import graft.index.Stores
+    import TestSpark.spark.implicits._
+    val root = freshRoot()
+    val c = Collection(spark, root, "mt", Some(OpenDictEmbedder))
+    spark.conf.set("spark.graft.compact.auto", "false")
+    spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0") // force delta appends
+    try {
+      c.add(Seq("Lorem ipsum dolor", "sit amet"), ids = Some(Seq("a", "b")))
+      c.createVectorIndex(numTables = 8, numPlanes = 2, dim = 3)
+      (1 to 5).foreach(i => c.add(Seq(s"novel document $i"), ids = Some(Seq(s"d$i"))))
+      assert(Stores.deltaCount(spark, Stores.docsDir(root), "mt") > 0,
+        "fixture must be delta-heavy")
+      // crash residue: an orphaned in-flight write and a recovery copy
+      val tmpDir = java.nio.file.Paths.get(s"${Stores.docsDir(root)}/.tmp-crash")
+      val oldDir = java.nio.file.Paths.get(s"${Stores.annDir(root)}/.old-crash")
+      java.nio.file.Files.createDirectories(tmpDir)
+      java.nio.file.Files.createDirectories(oldDir)
+      java.nio.file.Files.writeString(tmpDir.resolve("junk.parquet"), "x")
+      // crash window between doclen write and its stats row: stats missing
+      Stores.dropPartition(spark, Stores.collStatsDir(root), "mt")
+      Thread.sleep(5) // sweep's zero-grace compare is strict
+      val rep = c.maintain().head()
+      assert(rep.getLong(0) === 7L, "n_docs re-derived from the resolved store")
+      assert(rep.getDouble(1) > 0.0)
+      assert(rep.getLong(2) === 0L, "all docs delta segments folded")
+      assert(rep.getLong(3) >= 2L, "both residue dirs swept")
+      assert(!java.nio.file.Files.exists(tmpDir) && !java.nio.file.Files.exists(oldDir))
+      // the folded store still serves every surface
+      assert(c.count() === 7L)
+      assert(c.query("novel").results.map(_.id).toSet === (1 to 5).map(i => s"d$i").toSet)
+      assert(c.vectorIndex().get.buckets.select("id").as[String].collect().toSet
+        === Set("a", "b") ++ (1 to 5).map(i => s"d$i"))
+      // idempotent: a second maintain reports the same clean state
+      val rep2 = c.maintain().head()
+      assert(rep2.getLong(0) === 7L && rep2.getLong(2) === 0L && rep2.getLong(3) === 0L)
+    } finally {
+      spark.conf.set("spark.graft.compact.auto", "true")
+      spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+    }
+  }
+
   test("facets: metadata composition with missing keys counted as NULL") {
     val c = coll(freshRoot(), "facets")
     c.add(Seq("a", "b", "c"), ids = Some(Seq("d1", "d2", "d3")),
