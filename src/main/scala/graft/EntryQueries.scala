@@ -2061,6 +2061,125 @@ object EntryQueries {
               |  ('stats_rederived', true), ('store_serves_after', true)
               |) AS t(metric, ok)""".stripMargin)),
 
+    // X91: weakly-connected components over a deterministic arithmetic
+    // graph on the embeddings' id space (i -> (i+17) mod N for i % 3 != 0:
+    // 167 chain components of <= 4 nodes at sf0.01). The oracle replays the
+    // component labeling with a recursive CTE (the x86 pattern).
+    ("x91_connected_components", (s: SparkSession, sfDir: String) => {
+      val nodes = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("i"))
+      val n = nodes.count()
+      val edges = nodes.filter(col("i") % 3 =!= 0)
+        .select(col("i").as("src"), ((col("i") + 17) % n).as("dst"))
+      Graphs.connectedComponents(edges)
+        .select(col("id").cast("long").as("id"),
+          col("component").cast("long").as("component"))
+    }, Some("""WITH RECURSIVE nn AS (SELECT count(*) AS n FROM embeddings),
+              | nodes AS (SELECT CAST(vec_id AS BIGINT) AS i FROM embeddings),
+              | raw AS (SELECT i AS a, (i + 17) % nn.n AS b FROM nodes, nn WHERE i % 3 <> 0),
+              | und AS (SELECT least(a, b) AS u, greatest(a, b) AS v FROM raw WHERE a <> b),
+              | bi AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+              | reach AS (SELECT u AS s, v AS d FROM bi
+              |   UNION SELECT r.s, e.v FROM reach r JOIN bi e ON r.d = e.u WHERE e.v <> r.s),
+              | comp AS (SELECT s AS id, least(s, min(d)) AS component FROM reach GROUP BY s)
+              |SELECT CAST(id AS BIGINT) AS id, CAST(component AS BIGINT) AS component FROM comp""".stripMargin)),
+
+    // X94: degree report + exact triangle count on a denser arithmetic
+    // graph (both the +17 and +34 circulant rules; 138 triangles at
+    // sf0.01). Spark counts via the degree-ordered wedge join; the oracle
+    // replays with the canonical three-way edge join.
+    ("x94_graph_stats", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val nodes = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("i"))
+      val n = nodes.count()
+      val edges = nodes.filter(col("i") % 3 =!= 0)
+        .select(col("i").as("src"), ((col("i") + 17) % n).as("dst"))
+        .unionByName(nodes.filter(col("i") % 5 =!= 0)
+          .select(col("i").as("src"), ((col("i") + 34) % n).as("dst")))
+      val und = edges.select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct().cache()
+      try {
+        val tri = Graphs.triangleCount(und)
+        val deg = Graphs.degrees(und)
+        val r = deg.agg(count(lit(1)).as("nn"), max(col("degree")).as("md")).head()
+        Seq((tri, und.count(), r.getLong(0), r.getLong(1)))
+          .toDF("n_triangles", "n_edges", "n_nodes", "max_degree")
+      } finally und.unpersist()
+    }, Some("""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+              | nodes AS (SELECT CAST(vec_id AS BIGINT) AS i FROM embeddings),
+              | raw AS (SELECT i AS a, (i + 17) % nn.n AS b FROM nodes, nn WHERE i % 3 <> 0
+              |   UNION ALL SELECT i, (i + 34) % nn.n FROM nodes, nn WHERE i % 5 <> 0),
+              | und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw WHERE a <> b),
+              | tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM und e1
+              |   JOIN und e2 ON e2.a = e1.b JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+              | deg AS (SELECT id, count(*) AS d FROM
+              |   (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id)
+              |SELECT tri.t AS n_triangles, (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+              |  (SELECT CAST(max(d) AS BIGINT) FROM deg) AS max_degree FROM tri""".stripMargin)),
+
+    // X92: weekly retention cohort matrix over the events table (first-
+    // event week = cohort; offsets are exact Monday-to-Monday multiples
+    // of 7 days on both engines).
+    ("x92_retention", (s: SparkSession, sfDir: String) =>
+      EventStreams.retentionCohorts(eventsFrame(s, sfDir), unit = "week")
+        .select(unix_micros(col("cohort_start")).as("cohort_us"),
+          col("period_offset"), col("n_users"), col("cohort_size"),
+          round(col("retention"), 6).as("retention")),
+      Some("""WITH act AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p FROM events),
+             | coh AS (SELECT u, min(p) AS c FROM act GROUP BY u),
+             | cells AS (SELECT c AS cs,
+             |     CAST(date_diff('day', CAST(c AS DATE), CAST(p AS DATE)) // 7 AS BIGINT) AS off,
+             |     CAST(count(*) AS BIGINT) AS n
+             |   FROM act JOIN coh USING (u) GROUP BY 1, 2),
+             | sz AS (SELECT cs, n AS size FROM cells WHERE off = 0)
+             |SELECT epoch_us(c.cs) AS cohort_us, c.off AS period_offset, c.n AS n_users,
+             |  s.size AS cohort_size, round(c.n * 1.0 / s.size, 6) AS retention
+             |FROM cells c JOIN sz s USING (cs)""".stripMargin)),
+
+    // X93: SCD-2 intervalization of each user's event_type history —
+    // change points by NULL-safe value compare, intervals closed by the
+    // next change, ties on (ts) broken by event_id.
+    ("x93_scd2", (s: SparkSession, sfDir: String) =>
+      EventStreams.scd2(eventsFrame(s, sfDir), keyCol = "user_id",
+          valueCol = "event_type")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("vf_us"),
+          unix_micros(col("valid_to")).as("vt_us"), col("is_current")),
+      Some("""WITH o AS (SELECT user_id, event_type, ts, event_id,
+             |    lag(event_type) OVER w AS prev, lag(1) OVER w AS prev_seen
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+             | ch AS (SELECT user_id, event_type, ts, event_id FROM o
+             |   WHERE prev_seen IS NULL OR event_type IS DISTINCT FROM prev),
+             | iv AS (SELECT user_id, event_type, ts AS vf,
+             |     lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS vt
+             |   FROM ch)
+             |SELECT user_id, event_type, epoch_us(vf) AS vf_us, epoch_us(vt) AS vt_us,
+             |  vt IS NULL AS is_current FROM iv""".stripMargin)),
+
+    // X95: Johnson-Lindenstrauss ±1 random projection 64 -> 8 dims with
+    // md5-derived signs — value-for-value replay (both engines derive the
+    // SAME sign matrix from md5("42|j|i") hex-prefix parity).
+    ("x95_random_project", (s: SparkSession, sfDir: String) => {
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("id"), col("embedding"))
+      Quantize.randomProject(e, outDim = 8, inDim = 64, seed = 42L)
+        .select(col("id"), posexplode(col("proj")).as(Seq("pos", "v")))
+        .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+          round(col("v"), 6).as("v"))
+    }, Some("""WITH ux AS (SELECT CAST(vec_id AS BIGINT) AS id,
+              |     CAST(unnest(embedding) AS DOUBLE) AS x,
+              |     generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+              | js AS (SELECT CAST(range AS BIGINT) AS j FROM range(8)),
+              | terms AS (SELECT ux.id, js.j, ux.x,
+              |     CASE WHEN CAST(('0x' || substr(md5('42|' || CAST(js.j AS VARCHAR) || '|' || CAST(ux.i AS VARCHAR)), 1, 12)) AS UBIGINT) % 2 = 0
+              |       THEN 1.0 ELSE -1.0 END AS sgn
+              |   FROM ux CROSS JOIN js),
+              | p AS (SELECT id, j, SUM(sgn * x) / sqrt(8.0) AS v FROM terms GROUP BY 1, 2)
+              |SELECT id, CAST(j + 1 AS BIGINT) AS pos, round(v, 6) AS v FROM p""".stripMargin)),
+
     // Linear hybrid fusion: same two arms as x53, min-max normalized within
     // each truncated arm and weighted 0.4 fts / 0.6 vec — the score-aware
     // combinator next to RRF's rank-only one.

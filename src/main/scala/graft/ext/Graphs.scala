@@ -109,4 +109,67 @@ object Graphs {
         coalesce(col("out_degree"), lit(0L)).as("out_degree"),
         (coalesce(col("in_degree"), lit(0L)) + coalesce(col("out_degree"), lit(0L))).as("degree"))
   }
+
+  /** Weakly-connected components of an edge frame: (id, component) for
+    * every node that appears on an edge, component = the node's min id
+    * (deterministic canonical label). Edges are treated undirected;
+    * isolated nodes (absent from the edge set) are the caller's to union
+    * in if needed.
+    *
+    * Scale: delegates to the alternating-star contraction that
+    * [[graft.ext.Dedup.dupClusters]] built for near-dup clustering —
+    * O(log n) rounds, each one window + distinct over skinny (s, l) edge
+    * rows with per-round lineage truncation and digest-based convergence
+    * (no anti-join probes). The 2M-node probe pinned per-round linearity.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst", maxIter: Int = 50): DataFrame =
+    Dedup.dupClusters(
+        edges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b")), maxIter)
+      .select(col("id"), col("cluster").as("component"))
+
+  /** Exact triangle count of the UNDIRECTED simple graph an edge frame
+    * induces (direction, parallel edges, and self-loops ignored) — the
+    * clustering-coefficient numerator, and the classic density check on a
+    * kNN / co-occurrence graph.
+    *
+    * Scale: the degree-ordered orientation bound (Schank–Wagner 2005 /
+    * the MapReduce formulation in Suri–Vassilvitskii 2011): each
+    * undirected edge is oriented from its LOWER-(degree, id) endpoint, so
+    * every node's out-neighborhood is O(√m) on any graph — the wedge join
+    * (out-edges ⋈ out-edges on the pivot) emits Σ outdeg² = O(m^1.5)
+    * candidate wedges worst-case instead of the Σ deg² a hub would pay
+    * unoriented, then one semi-join against the oriented edge set closes
+    * each wedge. Three skinny shuffles total; no driver-side state.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst"): Long = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = und.select(col("a").as("id")).unionByName(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient each edge from the lower-(deg, id) endpoint; ties break by id,
+    // so the orientation is acyclic and each triangle has exactly ONE wedge
+    // whose pivot is its minimum-(deg, id) vertex
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("u"), col("e2.v").as("v"))
+    // a wedge (pivot→x, pivot→y) closes iff x→y or y→x is an oriented edge;
+    // canonicalize the probe the same way the orientation did NOT — probe
+    // both directions via least/greatest on the UNDIRECTED canonical form
+    val probe = wedges.select(least(col("u"), col("v")).as("a"),
+      greatest(col("u"), col("v")).as("b"))
+    probe.join(und, Seq("a", "b"), "left_semi").count()
+  }
 }

@@ -84,4 +84,38 @@ object Quantize {
     }
     Ann.exactTopKAll(qCorpus, qQueries.toDF("qid", "qvec"), k, idCol, embCol)
   }
+
+  /** Johnson–Lindenstrauss dimensionality reduction with a DETERMINISTIC
+    * ±1 sign matrix (Achlioptas 2003): adds `outCol` =
+    * (Σ_i sign(j,i)·x_i)/√outDim per output dim j. Sign(j,i) derives from
+    * md5("seed|j|i") — the same hex-prefix-mod-2 arithmetic both engines
+    * can replay exactly ([[Pipeline.md5Mod]]'s convention), so the
+    * projection is oracle-checkable value-for-value, and re-running a
+    * pipeline (or projecting a DIFFERENT corpus against the same seed)
+    * lands in the same projected space.
+    *
+    * Scale: the matrix is outDim·inDim bytes built once driver-side and
+    * shipped inside the codegen'd [[graft.functions.SignedProjection]]
+    * expression — a ZERO-shuffle scan-shaped rewrite; downstream
+    * shuffles, k-means, and brute-force ANN scans then carry
+    * outDim/inDim of the bytes (64→8 = 8× less vector mass).
+    */
+  def randomProject(df: DataFrame, outDim: Int, inDim: Int,
+                    embCol: String = "embedding", outCol: String = "proj",
+                    seed: Long = 42L): DataFrame = {
+    require(outDim >= 1 && inDim >= 1, "dims >= 1")
+    require(outDim.toLong * inDim <= 16_000_000L,
+      "sign matrix above 16M entries — reduce dims (it rides the plan)")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Byte = {
+      md.reset()
+      val hex = md.digest(s"$seed|$j|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      // first 12 hex chars as a long, mod 2 — Pipeline.md5Mod's arithmetic
+      if (java.lang.Long.parseLong(hex.substring(0, 12), 16) % 2 == 0) 1 else -1
+    }
+    val signs = Array.tabulate(outDim * inDim)(n => sign(n / inDim, n % inDim))
+    df.withColumn(outCol,
+      graft.functions.VectorFunctions.signProject(col(embCol), signs, outDim, inDim))
+  }
 }

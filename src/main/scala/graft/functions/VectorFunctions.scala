@@ -96,6 +96,70 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Signed (±1) random projection of an ARRAY<FLOAT> embedding to `outDim`
+  * dimensions: out_j = (Σ_i sign(j,i)·x_i) / √outDim — the database-friendly
+  * Johnson–Lindenstrauss transform (Achlioptas 2003: Rademacher entries
+  * preserve pairwise distances like Gaussian ones). The sign matrix rides
+  * the expression as a reference object (outDim·inDim bytes — KBs), so the
+  * projection is a ZERO-shuffle, whole-stage-codegen scan: no broadcast
+  * join, no matrix shuffle, and downstream shuffles/ANN scans carry
+  * outDim/inDim of the bytes. Elements beyond `inDim` are ignored; short
+  * or null-element arrays contribute zeros (deterministic padding).
+  * Left-to-right double accumulation — eval and codegen emit bit-identical
+  * values.
+  */
+case class SignedProjection(child: Expression, signs: Array[Byte],
+                            outDim: Int, inDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(signs.length == outDim * inDim, "signs must be outDim x inDim")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "signed_projection"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), inDim)
+    val out = new Array[Double](outDim)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    var j = 0
+    while (j < outDim) {
+      var s = 0.0
+      val base = j * inDim
+      var i = 0
+      while (i < n) {
+        if (!xs.isNullAt(i)) s += signs(base + i) * xs.getFloat(i).toDouble
+        i += 1
+      }
+      out(j) = s * scale
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "byte[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+      int n = Math.min($c.numElements(), $inDim);
+      double[] out = new double[$outDim];
+      double scale = 1.0 / Math.sqrt((double) $outDim);
+      for (int j = 0; j < $outDim; j++) {
+        double s = 0.0;
+        int base = j * $inDim;
+        for (int i = 0; i < n; i++) {
+          if (!$c.isNullAt(i)) s += $signsRef[base + i] * (double) $c.getFloat(i);
+        }
+        out[j] = s * scale;
+      }
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** WHOLE-BUCKET embedding near-duplicate verification as a generator — the
   * cosine analogue of [[graft.functions.BucketJaccardPairs]]: the input is
   * one collected LSH bucket — ARRAY<STRUCT<id STRING, emb ARRAY<FLOAT>>>,
@@ -228,6 +292,13 @@ object VectorFunctions {
   /** A query vector as an ARRAY<FLOAT> literal column. */
   def vecLit(v: Seq[Float]): Column =
     array(v.map(x => lit(x)): _*).cast(ArrayType(FloatType))
+
+  /** Signed random projection to `outDim` dims (see [[SignedProjection]]);
+    * `signs` is the flattened outDim×inDim ±1 matrix.
+    */
+  def signProject(emb: Column, signs: Array[Byte], outDim: Int, inDim: Int): Column =
+    Bridge.column(SignedProjection(
+      Bridge.expression(emb.cast(FloatArray)), signs, outDim, inDim))
 
   /** HOF (builtin-functions) cosine — reference implementation used to
     * cross-check the codegen Expression in tests; double accumulation,

@@ -244,6 +244,77 @@ object EventStreams {
     * events, never a per-user collect_list that buffers a hot user's whole
     * history.
     */
+  /** Retention cohort matrix: users grouped by the period of their FIRST
+    * event (cohort), then counted per (cohort, periods-elapsed) cell over
+    * their active periods — the standard "week-0 signup, how many return
+    * in week k" triangle. Output (cohort_start TIMESTAMP, period_offset
+    * BIGINT, n_users BIGINT, cohort_size BIGINT, retention DOUBLE);
+    * offset 0 rows carry the cohort size itself (retention 1.0 by
+    * construction). `unit` is any `date_trunc` field (week, day, month).
+    *
+    * Scale: one user-keyed aggregate for first-seen (map-side combined),
+    * one distinct over (user, period) — skinny rows — and one
+    * (cohort, offset) count; the cohort-size join rides the already-
+    * aggregated (small) matrix. No event ever carries payload past the
+    * first projection. Month offsets are calendar-aware
+    * (months_between); day/week offsets are day-arithmetic.
+    */
+  def retentionCohorts(events: DataFrame, unit: String = "week",
+                       tsCol: String = "ts",
+                       userCol: String = "user_id"): DataFrame = {
+    require(Seq("day", "week", "month").contains(unit),
+      s"unit must be day|week|month: $unit")
+    val per = date_trunc(unit, col(tsCol))
+    val active = events.select(col(userCol).as("u"), per.as("p")).distinct()
+    val cohort = active.groupBy(col("u")).agg(min(col("p")).as("c"))
+    val offset = unit match {
+      case "month" => round(months_between(col("p"), col("c"))).cast("long")
+      case "week"  => (datediff(col("p"), col("c")) / 7).cast("long")
+      case "day"   => datediff(col("p"), col("c")).cast("long")
+    }
+    val cells = active.join(cohort, "u")
+      .groupBy(col("c").as("cohort_start"), offset.as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cells.filter(col("period_offset") === 0)
+      .select(col("cohort_start"), col("n_users").as("cohort_size"))
+    cells.join(sizes, "cohort_start")
+      .select(col("cohort_start"), col("period_offset"), col("n_users"),
+        col("cohort_size"),
+        (col("n_users").cast("double") / col("cohort_size")).as("retention"))
+  }
+
+  /** SCD-2 intervalization: collapse a (key, ts, value) event history into
+    * validity intervals — one row per CHANGE of value per key, with
+    * `valid_from` = the change instant and `valid_to` = the next change
+    * (NULL while current). Consecutive equal values merge into one
+    * interval; ties on the same (key, ts) break deterministically by
+    * `tieCol` ascending, last write wins. The change-data-capture shape a
+    * warehouse dimension load needs from an event log.
+    *
+    * Scale: one hash shuffle on the key + per-key sort shared by BOTH
+    * window passes (lag to find change points, lead to close intervals —
+    * Spark chains the two window operators on one exchange); output is
+    * bounded by the number of changes, not events.
+    */
+  def scd2(events: DataFrame, keyCol: String, valueCol: String,
+           tsCol: String = "ts", tieCol: String = "event_id"): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    // change points: value differs from the previous row (NULL-safe — a
+    // NULL value is a state like any other)
+    val marked = events
+      .withColumn("__prev", lag(col(valueCol), 1).over(byKey))
+      .withColumn("__prev_seen", lag(lit(1), 1).over(byKey))
+      .filter(col("__prev_seen").isNull || !(col(valueCol) <=> col("__prev")))
+    val byKeyChanges = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    marked
+      .withColumn("__to", lead(col(tsCol), 1).over(byKeyChanges))
+      .select(col(keyCol), col(valueCol),
+        col(tsCol).as("valid_from"), col("__to").as("valid_to"),
+        col("__to").isNull.as("is_current"))
+  }
+
   def funnel(events: DataFrame, steps: Seq[String],
              within: Option[String] = None, tsCol: String = "ts",
              userCol: String = "user_id",

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Ann, ByteStatsDecoder, Dedup, Graphs, Json, Multimodal, Pipeline, TextStats}
+import graft.ext.{Ann, ByteStatsDecoder, Dedup, Graphs, Json, Multimodal, Pipeline, Quantize, TextStats}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -2261,6 +2261,103 @@ class ExtSpec extends AnyFunSuite {
     assert(d("a") === ((0L, 2L, 2L)))
     assert(d("b") === ((2L, 0L, 2L)))
     assert(d("c") === ((1L, 1L, 2L)))
+  }
+
+  test("connectedComponents: direction ignored, min-id labels, chains + isolated pair") {
+    val edges = Seq(("b", "a"), ("c", "b"), ("x", "y"), ("q", "q")).toDF("src", "dst")
+    val cc = Graphs.connectedComponents(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    // self-loop-only node q has no real edge: absent by contract
+  }
+
+  test("triangleCount: K4 has 4, chain has 0, hub wedges without closure have 0") {
+    val k4 = (for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b)).toDF("src", "dst")
+    assert(Graphs.triangleCount(k4) === 4L)
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    assert(Graphs.triangleCount(chain) === 0L)
+    // star hub: many wedges, no closing edges
+    val star = (1 to 8).map(i => ("hub", s"n$i")).toDF("src", "dst")
+    assert(Graphs.triangleCount(star) === 0L)
+    // direction/parallel/self-loops ignored: duplicate reversed edges don't double-count
+    val tri = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "a"))
+      .toDF("src", "dst")
+    assert(Graphs.triangleCount(tri) === 1L)
+  }
+
+  // --- retention / SCD2 -------------------------------------------------------
+
+  test("retentionCohorts: week cohorts, offsets, retention fractions") {
+    // two users join week of Jan 6 2025 (Mon), one returns 2 weeks later;
+    // one user joins the next week
+    val ev = Seq(
+      ("u1", "2025-01-06 10:00:00"), ("u1", "2025-01-07 09:00:00"), // same week: one active period
+      ("u2", "2025-01-08 10:00:00"), ("u2", "2025-01-20 10:00:00"), // offset 2
+      ("u3", "2025-01-15 10:00:00")
+    ).toDF("user_id", "ts0").select(col("user_id"), col("ts0").cast("timestamp").as("ts"))
+    val out = EventStreams.retentionCohorts(ev, unit = "week").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("2025-01-06", 0L)) === ((2L, 2L, 1.0)))
+    assert(out(("2025-01-06", 2L)) === ((1L, 2L, 0.5)))
+    assert(out(("2025-01-13", 0L)) === ((1L, 1L, 1.0)))
+    assert(out.size === 3)
+  }
+
+  test("scd2: consecutive equal values merge, ties break by tieCol, last interval open") {
+    val ev = Seq(
+      ("u1", 1L, "2025-01-01 00:00:00", "free"),
+      ("u1", 2L, "2025-01-02 00:00:00", "free"),  // no change: merged
+      ("u1", 3L, "2025-01-03 00:00:00", "pro"),
+      ("u1", 4L, "2025-01-03 00:00:00", "team"),  // same instant: event_id 4 wins the instant
+      ("u2", 5L, "2025-01-01 00:00:00", "pro")
+    ).toDF("user_id", "event_id", "ts0", "plan")
+      .select(col("user_id"), col("event_id"), col("ts0").cast("timestamp").as("ts"), col("plan"))
+    val rows = EventStreams.scd2(ev, "user_id", "plan").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getTimestamp(2).toString.take(10), Option(r.getTimestamp(3)).map(_.toString.take(10)),
+        r.getBoolean(4)))
+    val u1 = rows.filter(_._1 == "u1").sortBy(_._3)
+    assert(u1 === Seq(
+      ("u1", "free", "2025-01-01", Some("2025-01-03"), false),
+      ("u1", "pro", "2025-01-03", Some("2025-01-03"), false),
+      ("u1", "team", "2025-01-03", None, true)))
+    assert(rows.filter(_._1 == "u2") === Seq(("u2", "pro", "2025-01-01", None, true)))
+  }
+
+  // --- random projection -------------------------------------------------------
+
+  test("randomProject: matches a hand-rolled projection, deterministic, zero shuffle") {
+    val vecs = Seq(
+      ("a", Array(1.0f, 2.0f, -3.0f, 0.5f)),
+      ("b", Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("id", "embedding")
+    val out = Quantize.randomProject(vecs, outDim = 3, inDim = 4, seed = 7L)
+    // hand replay of the sign derivation (md5 hex prefix parity)
+    def sign(j: Int, i: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"7|$j|$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 12), 16) % 2 == 0) 1.0 else -1.0
+    }
+    val x = Array(1.0, 2.0, -3.0, 0.5)
+    val expectA = (0 until 3).map(j =>
+      (0 until 4).map(i => sign(j, i) * x(i)).sum / math.sqrt(3.0))
+    val got = out.filter(col("id") === "a").select("proj").head().getSeq[Double](0)
+    got.zip(expectA).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+    assert(out.filter(col("id") === "b").select("proj").head()
+      .getSeq[Double](0).forall(_ == 0.0))
+    // short array pads with zeros instead of throwing
+    val short = Quantize.randomProject(Seq(("s", Array(1.0f))).toDF("id", "embedding"),
+      outDim = 3, inDim = 4, seed = 7L)
+      .select("proj").head().getSeq[Double](0)
+    assert(math.abs(short(0) - sign(0, 0) / math.sqrt(3.0)) < 1e-12)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try assert(Quantize.randomProject(vecs, 3, 4).queryExecution.executedPlan
+      .collect { case s: ShuffleExchangeExec => s }.isEmpty)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   // --- Json -----------------------------------------------------------------
