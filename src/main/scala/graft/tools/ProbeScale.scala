@@ -101,6 +101,49 @@ object ProbeScale {
         // 499 distinct trimmed forms per doc survive
         require(dropped == 2000L * (l - 499), s"unexpected drop count $dropped")
       }
+      // r9 operators at scale: triangles on a 3M-edge circulant graph
+      // (1M nodes, +17/+34/+57 rules — every node closes wedges), WCC on
+      // the sparse 2/3-density chain graph, retention + SCD2 at 2M events
+      // over 100k users, JL projection of 100k 64-d vectors
+      {
+        val n = 1000000L
+        val nodes = spark.range(n).select($"id".as("i")).repartition(32)
+        val tri = time("triangles_1m_nodes_3m_edges_sec")(
+          graft.ext.Graphs.triangleCount(
+            nodes.select($"i".as("src"), (($"i" + 17) % n).as("dst"))
+              .unionByName(nodes.select($"i".as("src"), (($"i" + 34) % n).as("dst")))
+              .unionByName(nodes.select($"i".as("src"), (($"i" + 57) % n).as("dst")))))
+        println(s"PROBE   triangles = $tri"); metrics += ("triangles" -> tri)
+        val cc = time("wcc_1m_nodes_sec")(
+          graft.ext.Graphs.connectedComponents(
+            nodes.filter($"i" % 3 =!= 0)
+              .select($"i".as("src"), (($"i" + 17) % n).as("dst")))
+            .select(countDistinct($"component")).head().getLong(0))
+        println(s"PROBE   components = $cc"); metrics += ("components" -> cc)
+        val ev2 = spark.range(2000000L)
+          .select(($"id" % 100000).as("user_id"), $"id".as("event_id"),
+            timestamp_micros(lit(1700000000000000L) + ($"id" % 7777777L) * 1000000L).as("ts"),
+            concat(lit("t"), $"id" % 5).as("event_type"))
+          .repartition(32).cache()
+        ev2.count()
+        val rn = time("retention_2m_events_sec")(
+          graft.streaming.EventStreams.retentionCohorts(ev2, unit = "week").count())
+        println(s"PROBE   retention cells = $rn"); metrics += ("retention_cells" -> rn)
+        val sn = time("scd2_2m_events_sec")(
+          graft.streaming.EventStreams.scd2(ev2, "user_id", "event_type").count())
+        println(s"PROBE   scd2 intervals = $sn"); metrics += ("scd2_intervals" -> sn)
+        ev2.unpersist()
+        val vecs = spark.range(100000L)
+          .select($"id", transform(sequence(lit(0), lit(63)),
+            i => (pmod($"id" * 31 + i, lit(1000)) / 500.0 - 1.0).cast("float")).as("embedding"))
+          .repartition(32).cache()
+        vecs.count()
+        val pn = time("jl_project_100k_64to8_sec")(
+          graft.ext.Quantize.randomProject(vecs, outDim = 8, inDim = 64)
+            .agg(sum(element_at($"proj", 1))).head().getDouble(0))
+        println(f"PROBE   proj checksum = $pn%.3f")
+        vecs.unpersist()
+      }
       for (keys <- Seq(100, 100000)) {
         val right = spark.range(2000000L)
           .select(($"id" % keys).as("k"),
