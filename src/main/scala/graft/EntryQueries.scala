@@ -2180,6 +2180,46 @@ object EntryQueries {
               | p AS (SELECT id, j, SUM(sgn * x) / sqrt(8.0) AS v FROM terms GROUP BY 1, 2)
               |SELECT id, CAST(j + 1 AS BIGINT) AS pos, round(v, 6) AS v FROM p""".stripMargin)),
 
+    // X96: static-interval point lookup (value -> [lo, hi) tier) as a
+    // binary-search scan expression instead of the θ-join Spark would plan
+    // as a broadcast nested loop. Gapped ranges pin the NULL (no-match)
+    // path; the oracle replays with the literal inequality join.
+    ("x96_range_lookup", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val ranges = s.range(10).select(
+        ($"id" * 60).cast("double").as("lo"),
+        ($"id" * 60 + 45).cast("double").as("hi"),
+        concat(lit("tier"), $"id").as("label"))
+      Joins.rangeLookup(eventsFrame(s, sfDir), ranges, "value", outCol = "tier")
+        .select(col("event_id"), round(col("value"), 6).as("value"), col("tier"))
+    }, Some("""WITH r AS (SELECT range * 60.0 AS lo, range * 60.0 + 45.0 AS hi,
+              |    'tier' || CAST(range AS VARCHAR) AS label FROM range(10))
+              |SELECT e.event_id, round(e.value, 6) AS value, r.label AS tier
+              |FROM events e LEFT JOIN r ON e.value >= r.lo AND e.value < r.hi""".stripMargin)),
+
+    // X97: video-style frame sampling plumbing — each media blob explodes
+    // into n evenly-spaced frames (stub codec = deterministic byte slices
+    // at a fake 25 fps clock; real codecs plug the same FrameExtractor
+    // batch contract). The oracle replays slice offsets and bytes via
+    // hex-string arithmetic (both engines emit UPPERCASE hex).
+    ("x97_frame_sample", (s: SparkSession, sfDir: String) => {
+      val media = docsFrame(s, sfDir)
+        .select(col("id"), col("content").cast("binary").as("media"))
+      Multimodal.sampleFrames(media, n = 4)
+        .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("pts_ms"), length(col("frame")).cast("long").as("frame_len"),
+          md5(hex(col("frame")).cast("binary")).as("frame_md5"))
+    }, Some(s"""WITH d AS (SELECT $DocId AS id, hex(encode(text)) AS hx,
+               |    octet_length(encode(text)) AS len FROM documents),
+               | f AS (SELECT d.id, CAST(t.range AS BIGINT) AS frame_idx,
+               |     CAST(t.range * 40 AS BIGINT) AS pts_ms,
+               |     ((t.range + 1) * d.len) // 4 - (t.range * d.len) // 4 AS flen,
+               |     substring(d.hx, CAST(((t.range * d.len) // 4) * 2 + 1 AS BIGINT),
+               |       CAST((((t.range + 1) * d.len) // 4 - (t.range * d.len) // 4) * 2 AS BIGINT)) AS fhex
+               |   FROM d CROSS JOIN range(4) t)
+               |SELECT id, frame_idx, pts_ms, CAST(flen AS BIGINT) AS frame_len,
+               |  md5(fhex) AS frame_md5 FROM f""".stripMargin)),
+
     // Linear hybrid fusion: same two arms as x53, min-max normalized within
     // each truncated arm and weighted 0.4 fts / 0.6 vec — the score-aware
     // combinator next to RRF's rank-only one.

@@ -396,4 +396,104 @@ object Joins {
         s"cannot parse duration '$s' (expected e.g. '30 minutes')")
     }
   }
+
+  /** STATIC-interval point lookup — "which [lo, hi) range does this value
+    * fall in" against a bounded dimension table of NON-OVERLAPPING ranges
+    * (IP→geo, value→tier, ts→release window). The relational formulation
+    * is a θ-join (`v >= lo AND v < hi`) that Spark can only plan as a
+    * broadcast-nested-loop — O(|df|·|ranges|) comparisons; this instead
+    * collects the ranges ONCE driver-side, sorts them, and ships a
+    * binary-search [[RangeLookup]] expression: a ZERO-shuffle, zero-join
+    * codegen'd scan at O(log |ranges|) per row. Adds `outCol` (the
+    * matched range's label, NULL when the value is null or falls in a
+    * gap). Ranges must not overlap — validated at build time, because an
+    * overlap would make the answer storage-order-dependent.
+    */
+  def rangeLookup(df: DataFrame, ranges: DataFrame, valueCol: String,
+                  loCol: String = "lo", hiCol: String = "hi",
+                  labelCol: String = "label", outCol: String = "r_label",
+                  maxRanges: Int = 1 << 20): DataFrame = {
+    val rows = ranges
+      .select(col(loCol).cast("double"), col(hiCol).cast("double"),
+        col(labelCol).cast("string"))
+      .limit(maxRanges + 1).collect()
+    require(rows.length <= maxRanges,
+      s"ranges table above $maxRanges rows — too large to ride the plan; " +
+        "use rangeJoin for a genuinely large interval side")
+    require(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "null lo/hi bound in ranges")
+    val sorted = rows.map(r => (r.getDouble(0), r.getDouble(1), r.getString(2)))
+      .sortBy(_._1)
+    sorted.foreach { case (lo, hi, _) => require(lo < hi, s"empty range [$lo, $hi)") }
+    sorted.sliding(2).foreach {
+      case Array((lo1, hi1, _), (lo2, _, _)) =>
+        require(hi1 <= lo2, s"overlapping ranges: [$lo1, $hi1) and lo=$lo2")
+      case _ => ()
+    }
+    val expr = RangeLookup(
+      org.apache.spark.sql.graftbridge.Bridge.expression(col(valueCol).cast("double")),
+      sorted.map(_._1), sorted.map(_._2), sorted.map(_._3))
+    df.withColumn(outCol, org.apache.spark.sql.graftbridge.Bridge.column(expr))
+  }
+}
+
+/** Binary search of a value in a SORTED, non-overlapping [lo, hi) range set
+  * that rides the expression as reference arrays (KBs–MBs driver-built,
+  * see [[Joins.rangeLookup]]): greatest lo <= v, label if v < its hi, else
+  * NULL. Codegen'd — the whole lookup inlines into the scan stage.
+  */
+case class RangeLookup(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                       los: Array[Double], his: Array[Double], labels: Array[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types._
+
+  require(los.length == his.length && los.length == labels.length, "parallel arrays")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "range_lookup"
+
+  // UTF8String upfront: eval returns internal-format strings
+  @transient private lazy val utf8Labels =
+    labels.map(l => if (l == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(l))
+
+  /** Index of the greatest lo <= v, or -1. Shared by eval and the codegen
+    * static call so both paths are one definition.
+    */
+  def lookupIdx(v: Double): Int = {
+    var left = 0
+    var right = los.length - 1
+    var ans = -1
+    while (left <= right) {
+      val mid = (left + right) >>> 1
+      if (los(mid) <= v) { ans = mid; left = mid + 1 } else right = mid - 1
+    }
+    if (ans >= 0 && v < his(ans)) ans else -1
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val i = lookupIdx(input.asInstanceOf[Double])
+    if (i < 0) null else utf8Labels(i)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("rangeLookup", this, classOf[RangeLookup].getName)
+    val labelsRef = ctx.addReferenceObj("labels", utf8Labels,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val idx = ctx.freshName("idx")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+      int $idx = $self.lookupIdx($c);
+      if ($idx < 0 || $labelsRef[$idx] == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $labelsRef[$idx];
+      }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
 }

@@ -39,6 +39,33 @@ object ByteStatsDecoder extends MediaDecoder {
     }
 }
 
+/** Frame-sampling contract: `n` evenly-spaced frames per media blob as
+  * (presentation timestamp ms, frame bytes). A real implementation wraps a
+  * video codec; the batch shape mirrors [[MediaDecoder]].
+  */
+trait FrameExtractor extends Serializable {
+  def extract(batch: Seq[Array[Byte]], n: Int): Seq[Seq[(Long, Array[Byte])]]
+}
+
+/** STUB extractor — no video codec ships in this environment (build
+  * brief), so "frame i of n" is the i-th of n contiguous byte slices
+  * (`[⌊i·len/n⌋, ⌊(i+1)·len/n⌋)`) at a fake 25 fps clock (pts = i·40 ms):
+  * fully deterministic, so the Spark-side plumbing (batching, explode
+  * shape, schema) is oracle-checkable byte-for-byte. Always n frames per
+  * blob — a blob shorter than n bytes pads with zero-length frames, so
+  * `frame_idx` stays the stable slice index.
+  */
+object SliceFrameExtractor extends FrameExtractor {
+  def extract(batch: Seq[Array[Byte]], n: Int): Seq[Seq[(Long, Array[Byte])]] =
+    batch.map { bytes =>
+      (0 until n).map { i =>
+        val from = (i.toLong * bytes.length / n).toInt
+        val until = ((i + 1).toLong * bytes.length / n).toInt
+        (i * 40L, java.util.Arrays.copyOfRange(bytes, from, until))
+      }
+    }
+}
+
 object Multimodal {
 
   val MediaSchema: StructType = StructType(Seq(
@@ -74,6 +101,46 @@ object Multimodal {
         val byIdx = present.map(_._2).zip(feats).toMap
         chunk.zipWithIndex.map { case (r, i) =>
           Row.fromSeq(r.toSeq :+ byIdx.get(i).orNull)
+        }
+      }
+    }(enc)
+  }
+
+  /** Explodes each media blob into `n` sampled frames: every input row
+    * yields up to `n` rows with `frame_idx INT`, `pts_ms LONG`,
+    * `frame BINARY` appended (NULL media yields no frame rows — a missing
+    * video has no frames; keep the doc row via a later join if needed).
+    *
+    * Scale: the extractor runs over bounded batches per partition
+    * ([[DecodeBatchSize]] blobs per call — executor memory is bounded by
+    * batch·blob size, not partition size), zero shuffle; the explode
+    * multiplies ROWS, not bytes (frames partition the blob). Downstream
+    * per-frame featurization composes with [[featurize]] on the `frame`
+    * column.
+    */
+  def sampleFrames(df: DataFrame, n: Int,
+                   extractor: FrameExtractor = SliceFrameExtractor,
+                   mediaCol: String = "media"): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val schema = df.schema
+      .add("frame_idx", IntegerType, nullable = false)
+      .add("pts_ms", LongType, nullable = false)
+      .add("frame", BinaryType, nullable = false)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val bs = DecodeBatchSize
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.grouped(bs).flatMap { chunk =>
+        val blobs = chunk.map(r => if (r.isNullAt(mediaIdx)) null else r.getAs[Array[Byte]](mediaIdx))
+        val present = blobs.zipWithIndex.collect { case (b, i) if b != null => (b, i) }
+        val frames = if (present.isEmpty) Seq.empty else extractor.extract(present.map(_._1), n)
+        require(frames.size == present.size,
+          s"FrameExtractor returned ${frames.size} frame lists for ${present.size} blobs")
+        val byIdx = present.map(_._2).zip(frames).toMap
+        chunk.zipWithIndex.flatMap { case (r, i) =>
+          byIdx.getOrElse(i, Seq.empty).zipWithIndex.map { case ((pts, fb), fi) =>
+            Row.fromSeq(r.toSeq ++ Seq(fi, pts, fb))
+          }
         }
       }
     }(enc)

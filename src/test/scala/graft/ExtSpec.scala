@@ -2360,6 +2360,54 @@ class ExtSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("rangeLookup: [lo,hi) boundaries, gaps -> NULL, overlap rejected, zero shuffle") {
+    import graft.ext.Joins
+    val ranges = Seq((0.0, 10.0, "a"), (10.0, 20.0, "b"), (25.0, 30.0, "c"))
+      .toDF("lo", "hi", "label")
+    val vals = Seq(Some(0.0), Some(9.999), Some(10.0), Some(19.999), Some(22.0),
+      Some(25.0), Some(29.999), Some(30.0), Some(-1.0), None)
+      .toDF("v")
+    val out = Joins.rangeLookup(vals, ranges, "v").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0))) -> Option(r.getString(1))).toMap
+    assert(out(Some(0.0)) === Some("a"))
+    assert(out(Some(9.999)) === Some("a"))
+    assert(out(Some(10.0)) === Some("b")) // lo inclusive
+    assert(out(Some(19.999)) === Some("b"))
+    assert(out(Some(22.0)) === None) // gap
+    assert(out(Some(25.0)) === Some("c"))
+    assert(out(Some(30.0)) === None) // hi exclusive
+    assert(out(Some(-1.0)) === None)
+    assert(out(None) === None) // null value -> null label
+    val overlap = Seq((0.0, 10.0, "a"), (5.0, 15.0, "b")).toDF("lo", "hi", "label")
+    intercept[IllegalArgumentException](Joins.rangeLookup(vals, overlap, "v"))
+    val empty = Seq((5.0, 5.0, "z")).toDF("lo", "hi", "label")
+    intercept[IllegalArgumentException](Joins.rangeLookup(vals, empty, "v"))
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Joins.rangeLookup(vals, ranges, "v").queryExecution.executedPlan
+      assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty)
+      assert(!plan.toString.contains("Join"), "lookup must not plan a join")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("sampleFrames: slice offsets, pts clock, reassembly, null media, short blob") {
+    val bytes11 = "abcdefghijk".getBytes("UTF-8")
+    val df = Seq(("v1", bytes11), ("v2", null.asInstanceOf[Array[Byte]]),
+      ("v3", "xy".getBytes("UTF-8"))).toDF("id", "media")
+    val out = Multimodal.sampleFrames(df, n = 4).collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getLong(3),
+        new String(r.getAs[Array[Byte]](4), "UTF-8")))
+    val v1 = out.filter(_._1 == "v1").sortBy(_._2)
+    // floor(11i/4) boundaries: 0,2,5,8,11
+    assert(v1.map(_._4) === Seq("ab", "cde", "fgh", "ijk"))
+    assert(v1.map(_._3) === Seq(0L, 40L, 80L, 120L))
+    assert(v1.map(_._4).mkString === "abcdefghijk") // frames partition the blob
+    assert(out.count(_._1 == "v2") === 0) // null media: no frame rows
+    val v3 = out.filter(_._1 == "v3").sortBy(_._2)
+    assert(v3.map(_._4) === Seq("", "x", "", "y")) // short blob pads empty frames
+  }
+
   // --- Json -----------------------------------------------------------------
 
   test("json flatten: inferred schema, malformed row -> nulls, passthrough preserved") {
