@@ -867,6 +867,19 @@ object EntryQueries {
               |  ('rewrite_applied', true), ('equals_index_topk', true),
               |  ('recall_ge_0.9', true)) AS t(metric, ok)""".stripMargin)),
 
+    // F3: SQL table functions — the persisted store queried from plain SQL
+    // (graft_search composes with an outer join + metadata predicate inside
+    // one Catalyst plan). Oracle replays the FTS match + lang filter.
+    ("f3_sql_table_fn", (s: SparkSession, sfDir: String) => {
+      graft.plans.GraftFunctions.registerTables(s)
+      val root = fixtureRoot(s, sfDir)
+      s.sql(
+        s"""SELECT s.id, d.content FROM graft_search('$root', 'main', 'customer') s
+           |JOIN graft_docs('$root', 'main') d ON s.id = d.id
+           |WHERE element_at(d.metadata, 'lang') = 'en'""".stripMargin)
+    }, Some(s"""SELECT $DocId AS id, text AS content FROM documents
+               |WHERE ${hasTerm("customer")} AND lang = 'en'""".stripMargin)),
+
     ("x6_ann_exact", (s: SparkSession, sfDir: String) => {
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))

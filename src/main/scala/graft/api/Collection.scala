@@ -1078,4 +1078,16 @@ object Collection {
     }
     new Collection(spark, root, name, embedder, useFts, foldAccents)
   }
+
+  /** Open an EXISTING store with its persisted flags (manifest; the
+    * defaults for a pre-manifest store) — the read-only entry point for
+    * callers that have no way to carry flags, e.g. the `graft_docs` /
+    * `graft_search` SQL table functions.
+    */
+  def open(spark: SparkSession, root: String, name: String,
+           embedder: Option[Embedder] = None): Collection = {
+    val m = Stores.readManifest(spark, root, name)
+      .getOrElse(Stores.Manifest(useFts = true, foldAccents = false))
+    apply(spark, root, name, embedder, m.useFts, m.foldAccents)
+  }
 }

@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    GraftFunctions.tables.foreach { case (name, info, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
     // cosine-top-k → ANN candidate rewrite (armed per-path via AnnCatalog)
     ext.injectOptimizerRule(session => AnnTopKRewrite(session))
   }
@@ -32,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null => v.toString
+    case other => throw new IllegalArgumentException(s"$what must be a STRING literal, got $other")
+  }
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"$what must be an INT literal, got $other")
@@ -109,5 +116,54 @@ object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     all.foreach { case (name, _, builder) =>
       org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name, builder)
+    }
+
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def tfn(name: String, usage: String, min: Int, max: Int)(
+      build: Seq[Expression] => LogicalPlan): (String, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (name, info(name, usage), (args: Seq[Expression]) => {
+      if (args.size < min || args.size > max)
+        throw new IllegalArgumentException(
+          s"$name expects $min${if (max != min) s"-$max" else ""} arguments, " +
+            s"got ${args.size}; usage: $usage")
+      build(args)
+    })
+
+  /** Table functions: persisted-collection access from plain SQL, e.g.
+    *
+    * {{{
+    *   SELECT id, rank FROM graft_search('/data/stores', 'main', 'spark AND sql', 10)
+    * }}}
+    *
+    * Arguments must be literals (they select the store, so they are part of
+    * the plan, not the data). The produced subtree is the collection's own
+    * query plan — the BM25 postings scan, metadata filters, and pagination
+    * all stay inside Catalyst, so an outer WHERE/projection composes with
+    * (and is optimized across) the search plan like any other SQL source.
+    * The reference has no SQL surface (everything goes through the Python
+    * API, core.py:258-384); this is the Spark-native equivalent of handing
+    * the collection to a SQL user.
+    */
+  val tables: Seq[(String, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
+    tfn("graft_docs",
+      "graft_docs(root STRING, name STRING) - all documents (id, content, metadata) of a persisted collection", 2, 2) { args =>
+      val s = org.apache.spark.sql.SparkSession.active
+      graft.api.Collection.open(s, strArg(args(0), "root"), strArg(args(1), "name"))
+        .docs().queryExecution.logical
+    },
+    tfn("graft_search",
+      "graft_search(root STRING, name STRING, query STRING[, limit INT]) - ranked full-text search (id, content, metadata, rank)", 3, 4) { args =>
+      val s = org.apache.spark.sql.SparkSession.active
+      graft.api.Collection.open(s, strArg(args(0), "root"), strArg(args(1), "name"))
+        .queryFrame(strArg(args(2), "query"),
+          limit = if (args.size > 3) intArg(args(3), "limit") else 0)
+        .queryExecution.logical
+    })
+
+  /** Install the table functions into an EXISTING session. */
+  def registerTables(spark: org.apache.spark.sql.SparkSession): Unit =
+    tables.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerTableFunction(spark, name, builder)
     }
 }

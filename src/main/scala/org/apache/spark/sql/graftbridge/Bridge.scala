@@ -22,6 +22,16 @@ object Bridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Table-function analog of [[registerFunction]]: a builder producing a
+    * LogicalPlan, callable in the FROM clause of this session's SQL.
+    */
+  def registerTableFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                            builder: Seq[Expression] => org.apache.spark.sql.catalyst
+                              .plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+
   /** The classic session's `private[sql]` UUID — a stable per-session key
     * (distinct across `newSession()` clones, unlike the shared context).
     */

@@ -600,6 +600,36 @@ class ExtSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_cosine expects 2"))
   }
 
+  test("GraftFunctions.tables: graft_docs / graft_search SQL table functions") {
+    graft.plans.GraftFunctions.registerTables(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft-tf-").toString
+    graft.api.Collection(spark, root, "main").addDf(Seq(
+      ("1", "spark makes analytics fast"),
+      ("2", "ducks swim in the pond"),
+      ("3", "spark and ducks together")).toDF("id", "content"))
+    assert(spark.sql(s"SELECT id FROM graft_docs('$root', 'main')").count() === 3)
+    val hits = spark.sql(
+      s"SELECT id FROM graft_search('$root', 'main', 'spark')")
+      .as[String].collect().toSet
+    assert(hits === Set("1", "3"))
+    // the plan composes with outer SQL: join + filter across both functions
+    val joined = spark.sql(
+      s"""SELECT s.id FROM graft_search('$root', 'main', 'ducks') s
+         |JOIN graft_docs('$root', 'main') d ON s.id = d.id
+         |WHERE d.content LIKE '%spark%'""".stripMargin)
+      .as[String].collect().toSeq
+    assert(joined === Seq("3"))
+    // optional limit arg paginates inside the plan
+    assert(spark.sql(s"SELECT * FROM graft_search('$root', 'main', 'spark', 1)").count() === 1)
+    // wrong arity fails with the signature
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM graft_docs('$root')").collect())
+    assert(e.getMessage.contains("graft_docs expects 2"))
+    // non-literal store args are rejected, not silently mis-planned
+    val e2 = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_docs(concat('$root', ''), 'main')").collect())
+    assert(e2.getMessage.contains("STRING literal"))
+  }
+
   test("dedupStream: keyCols containing the timestamp column still analyzes") {
     val d = Seq(("u1", "2024-01-01 00:00:00"), ("u1", "2024-01-01 00:00:00"),
       ("u2", "2024-01-01 00:01:00"))
