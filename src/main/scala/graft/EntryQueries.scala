@@ -2,7 +2,7 @@ package graft
 
 import graft.api.{Collection, Embedder}
 import graft.exec.Sorter
-import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Expectations, Graphs, Ivf, Joins, Json, Multimodal, Pipeline, Pq, Quantize, TextStats}
+import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Expectations, Graphs, Ivf, Joins, Json, Multimodal, Pipeline, Pq, Quantize, TextStats, Web}
 import graft.functions.TextFunctions
 import graft.model.SortKey
 import graft.parse.QueryParser
@@ -232,6 +232,24 @@ object EntryQueries {
   private val OptVal = "CASE WHEN n_chars >= 250 THEN CAST(n_chars % 7 AS VARCHAR) END"
 
   private def hasTerm(t: String) = s"list_contains($Toks, '$t')"
+
+  /** DuckDB host expression matching [[urlDocs]]'s synthesized URL (what
+    * Spark's parse_url(…, 'HOST') extracts from it). */
+  private val UrlHost =
+    "('www.' || source || CAST(doc_id % 23 AS VARCHAR) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END))"
+
+  /** documents + a deterministic URL column: ~20 sources × 23 ids/source
+    * registrable domains, every 5th doc on a multi-part .co.uk suffix (the
+    * public-suffix-lite rule's three-label arm).
+    */
+  private def urlDocs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
+        concat(lit("https://www."), col("source"),
+          (col("doc_id") % 23).cast("string"),
+          when(col("doc_id") % 5 === 0, lit(".co.uk")).otherwise(lit(".com")),
+          lit("/doc/"), col("doc_id").cast("string")).as("url"))
 
   // --- the registry ----------------------------------------------------------
 
@@ -879,6 +897,45 @@ object EntryQueries {
            |WHERE element_at(d.metadata, 'lang') = 'en'""".stripMargin)
     }, Some(s"""SELECT $DocId AS id, text AS content FROM documents
                |WHERE ${hasTerm("customer")} AND lang = 'en'""".stripMargin)),
+
+    // X98: phrase search — token-adjacency semantics (fts5 quoted phrase;
+    // the reference parser strips quotes to AND terms). Oracle replays
+    // adjacency as a separator-run regex on the normalized text: tokens are
+    // adjacent iff only non-alnum chars lie between them.
+    ("x98_phrase_search", (s: SparkSession, sfDir: String) =>
+      mainColl(s, sfDir).phraseSearch("table hash").select("id"),
+      Some(s"""SELECT $DocId AS id FROM documents
+              |WHERE regexp_matches(lower(text),
+              |  '(^|[^a-z0-9])table[^a-z0-9]+hash([^a-z0-9]|$$)')""".stripMargin)),
+
+    // X99: web-provenance — registrable-domain report over synthesized URLs
+    // (source × doc_id%23 domains, every 5th on a multi-part .co.uk suffix).
+    // Oracle re-derives the domain with DuckDB list slicing.
+    ("x99_domain_report", (s: SparkSession, sfDir: String) =>
+      Web.domainReport(urlDocs(s, sfDir))
+        .select(col("domain"), col("n_docs"), col("n_chars"),
+          round(col("share"), 6).as("share")),
+      Some(s"""WITH dom AS (SELECT CASE
+              |    WHEN array_to_string((string_split(${UrlHost}, '.'))[-2:], '.') = 'co.uk'
+              |    THEN array_to_string((string_split(${UrlHost}, '.'))[-3:], '.')
+              |    ELSE array_to_string((string_split(${UrlHost}, '.'))[-2:], '.') END AS domain,
+              |  len(text) AS chars FROM documents)
+              |SELECT domain, count(*) AS n_docs, CAST(sum(chars) AS BIGINT) AS n_chars,
+              |  round(count(*) / (SELECT count(*) FROM documents), 6) AS share
+              |FROM dom GROUP BY 1""".stripMargin)),
+
+    // X99b: per-domain cap (RefinedWeb-style) — keep ≤ 3 docs/domain by
+    // deterministic md5(id) rank; both engines replay the same rank.
+    ("x99b_domain_cap", (s: SparkSession, sfDir: String) =>
+      Web.capPerDomain(urlDocs(s, sfDir), maxPerDomain = 3).select("id"),
+      Some(s"""WITH dom AS (SELECT $DocId AS id, CASE
+              |    WHEN array_to_string((string_split(${UrlHost}, '.'))[-2:], '.') = 'co.uk'
+              |    THEN array_to_string((string_split(${UrlHost}, '.'))[-3:], '.')
+              |    ELSE array_to_string((string_split(${UrlHost}, '.'))[-2:], '.') END AS domain
+              |  FROM documents),
+              | r AS (SELECT id, ROW_NUMBER() OVER (
+              |    PARTITION BY domain ORDER BY md5(id), id) AS rn FROM dom)
+              |SELECT id FROM r WHERE rn <= 3""".stripMargin)),
 
     ("x6_ann_exact", (s: SparkSession, sfDir: String) => {
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")

@@ -973,6 +973,43 @@ final class Collection private (
     Paginator(shaped, limit, offset)
   }
 
+  /** Phrase search: documents whose token stream contains the phrase's
+    * tokens ADJACENTLY, in order — the fts5 `"quoted phrase"` semantics.
+    * The reference's query language strips quotes to plain AND terms
+    * (core.py:60, pinned by `q2_parser_golden`), so this is a strict
+    * extension, surfaced as its own method rather than a parser change
+    * (the parser's reference parity stays byte-exact).
+    *
+    * Scale: two stages. (1) Candidate gate — the flat-AND postings scan
+    * over the phrase's DISTINCT terms (one skinny (term,id) shuffle, term
+    * IN (…) prunable at the scan). (2) Adjacency verify — a zero-shuffle
+    * [[graft.functions.ContainsSlice]] pass re-tokenizing only the
+    * CANDIDATES' content. Rank = BM25 over the phrase's terms (how fts5
+    * scores a phrase query). Returns the `queryFrame` shape
+    * (id, content, metadata, rank), rank-desc / id-asc ordered.
+    */
+  def phraseSearch(phrase: String, limit: Int = 0, offset: Int = 0,
+                   where: Map[String, Any] = Map.empty): DataFrame = {
+    if (!useFts)
+      throw new IllegalArgumentException("This collection does not support full-text search.")
+    val folded = if (foldAccents) graft.functions.StringFold.fold(phrase) else phrase
+    val terms = folded.toLowerCase.split(graft.functions.TextFunctions.SeparatorRegex)
+      .filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "phrase must contain at least one token")
+    val q = terms.distinct.map(BoolQuery.Term(_): BoolQuery)
+      .reduceLeft(BoolQuery.And(_, _))
+    val scored = Bm25.scoredIds(postings(), collStats(), q)
+      .getOrElse(sys.error("flat AND over distinct terms is always fusable"))
+    val needle = array(terms.map(lit): _*)
+    val hits = applyWhere(docs(), where)
+      .join(scored, Seq("id"))
+      .filter(graft.functions.TextFunctions.containsSlice(
+        graft.functions.TextFunctions.tokens($"content", foldAccents), needle))
+      .select($"id", $"content", $"metadata", $"rank")
+      .orderBy($"rank".desc, $"id".asc)
+    Paginator(hits, limit, offset)
+  }
+
   /** Builds the ordered pre-limit frame; returns (frame, hasRank). */
   private def plan(query: String, where: Map[String, Any], ob: OrderBy,
                    vectorSearch: Boolean): (DataFrame, Boolean) = {

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Web-corpus provenance operators: registrable-domain extraction, per-domain
+  * composition reports, and per-domain document caps — the URL-level curation
+  * steps a C4/RefinedWeb-style pretraining pipeline runs before content
+  * filters (cap the mega-domains so no single site dominates the mixture;
+  * report the domain composition so the mixture is auditable). The reference
+  * has no web-provenance surface (documents carry only free-form metadata,
+  * core.py:90-99); this is new-scope for the training-data pipeline.
+  *
+  * Everything here is built-in-function composition — fully codegen'd, zero
+  * UDFs, and the domain derivation is deterministic so retries/re-runs keep
+  * identical outputs.
+  */
+object Web {
+
+  /** Multi-part public suffixes recognized by the LITE registrable-domain
+    * rule: when a host's last two labels are one of these, the registrable
+    * domain takes three labels (bbc.co.uk, not co.uk). A deliberate small
+    * documented subset of the Mozilla public-suffix list — the full list is
+    * data, pluggable via [[registrableDomain]]'s `extraSuffixes`.
+    */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "or.jp", "ne.jp",
+    "com.au", "net.au", "org.au", "co.nz", "co.in", "com.br", "com.cn",
+    "com.mx", "com.ar", "com.tr", "co.za", "com.sg", "com.hk")
+
+  /** Lowercased hostname of a URL (port and userinfo stripped), NULL for
+    * unparseable values — try_parse_url, because under ANSI (the Spark 4
+    * default) parse_url THROWS on a malformed URL and one bad row in 100 TB
+    * would kill the corpus scan. */
+  def hostOf(url: Column): Column = lower(try_parse_url(url, lit("HOST")))
+
+  /** Registrable domain (public-suffix-lite): last two host labels, or three
+    * when the last two are a recognized multi-part suffix. A bare or
+    * single-label host passes through unchanged; NULL host stays NULL.
+    */
+  def registrableDomain(url: Column, extraSuffixes: Seq[String] = Nil): Column = {
+    val host = hostOf(url)
+    val labels = split(host, "\\.")
+    val last2 = concat_ws(".", slice(labels, -2, 2))
+    val take = when(last2.isin(MultiPartSuffixes ++ extraSuffixes: _*), lit(3)).otherwise(lit(2))
+    when(host.isNull || size(labels) <= lit(2), host)
+      .otherwise(concat_ws(".", slice(labels, -take, take)))
+  }
+
+  /** Per-domain composition report: (domain, n_docs, n_chars, share) sorted
+    * by mass — the corpus-provenance audit. NULL domain (unparseable URL)
+    * is its own reported bucket, never silently dropped.
+    *
+    * Scale: one (domain) hash shuffle over a skinny (domain, chars)
+    * projection with map-side partial aggregation; the 1-row corpus total
+    * joins back as a broadcast scalar (no second scan — computed from the
+    * aggregated per-domain frame, O(#domains)).
+    */
+  def domainReport(docs: DataFrame, urlCol: String = "url",
+                   contentCol: String = "content"): DataFrame = {
+    val per = docs
+      .select(registrableDomain(col(urlCol)).as("domain"),
+        length(col(contentCol)).cast("long").as("__chars"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__chars")).as("n_chars"))
+    val total = per.agg(sum(col("n_docs")).as("__total"))
+    per.crossJoin(broadcast(total))
+      .select(col("domain"), col("n_docs"), col("n_chars"),
+        (col("n_docs").cast("double") / col("__total")).as("share"))
+      .orderBy(col("n_docs").desc, col("domain").asc_nulls_last)
+  }
+
+  /** Per-domain document cap: keep at most `maxPerDomain` docs per
+    * registrable domain, selected by md5(id) rank (deterministic — a rerun
+    * or a retried partition keeps the SAME docs, unlike rand()-based
+    * sampling). Docs with an unparseable URL share the NULL-domain bucket
+    * and are capped like any other.
+    *
+    * Scale: the [[Pipeline.topKPerGroup]] shape — row_number over a
+    * (domain) window that Spark lowers to WindowGroupLimit, so the map side
+    * keeps a bounded k-heap per domain and only ≤ cap rows per (partition,
+    * domain) reach the shuffle. The corpus is never fully sorted.
+    */
+  def capPerDomain(docs: DataFrame, urlCol: String = "url",
+                   idCol: String = "id", maxPerDomain: Int = 1000): DataFrame = {
+    require(maxPerDomain >= 1, "maxPerDomain >= 1")
+    val dom = WorkingColumns.fresh(docs, "__dom")
+    val rn = WorkingColumns.fresh(docs, "__rn")
+    val w = Window.partitionBy(col(dom))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    docs.withColumn(dom, registrableDomain(col(urlCol)))
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= maxPerDomain)
+      .drop(dom, rn)
+  }
+}

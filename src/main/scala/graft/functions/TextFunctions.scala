@@ -152,6 +152,11 @@ object TextFunctions {
     * [[KeepFirstByTrim]]. */
   def keepFirstByTrim(lines: Column): Column =
     Bridge.column(KeepFirstByTrim(Bridge.expression(lines)))
+
+  /** True iff `needle` occurs as a CONTIGUOUS run inside `haystack` (both
+    * ARRAY<STRING>) — the phrase-adjacency test. See [[ContainsSlice]]. */
+  def containsSlice(haystack: Column, needle: Column): Column =
+    Bridge.column(ContainsSlice(Bridge.expression(haystack), Bridge.expression(needle)))
 }
 
 /** Shannon entropy H = −Σ p_t ln p_t (nats) of the row's OWN token
@@ -200,6 +205,64 @@ case class TokenEntropy(child: org.apache.spark.sql.catalyst.expressions.Express
 
   override protected def withNewChildInternal(
       c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+}
+
+/** Contiguous-subsequence test over token arrays: true iff `right` (the
+  * phrase) occurs as an ADJACENT run, in order, inside `left` (the doc's
+  * tokens). The verify stage of phrase search — runs per-row on the
+  * postings-pruned candidate set only, zero shuffle. Single forward scan,
+  * O(|haystack|·|needle|) worst case with the usual tiny constant (needle =
+  * a user phrase, 2-5 tokens). Empty needle matches everything; null
+  * elements (absent from `tokens()` output) never match. The HOF spelling
+  * (`exists(sequence(...), i -> slice(...) == needle)`) allocates a slice
+  * per position and runs its lambda interpreted — this is the flat native
+  * form.
+  */
+case class ContainsSlice(left: org.apache.spark.sql.catalyst.expressions.Expression,
+                         right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "contains_slice"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (ARRAY<STRING>, ARRAY<STRING>), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(h: Any, nd: Any): Any = {
+    val hay = h.asInstanceOf[ArrayData]
+    val needle = nd.asInstanceOf[ArrayData]
+    val m = needle.numElements()
+    if (m == 0) return true
+    val n = hay.numElements()
+    var i = 0
+    while (i <= n - m) {
+      var j = 0
+      var ok = true
+      while (ok && j < m) {
+        ok = !hay.isNullAt(i + j) && !needle.isNullAt(j) &&
+          hay.getUTF8String(i + j) == needle.getUTF8String(j)
+        j += 1
+      }
+      if (ok) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression) = copy(left = l, right = r)
 }
 
 /** Single-pass first-occurrence filter over an ARRAY<STRING> by TRIMMED

@@ -109,7 +109,10 @@ object GraftFunctions {
         if (args.size > 4) longArg(args(4), "seed") else 42L)),
     fn("graft_token_entropy",
       "graft_token_entropy(tokens ARRAY<STRING>) - Shannon entropy (nats) of the token distribution", 1, 1)(
-      args => graft.functions.TokenEntropy(args(0)))
+      args => graft.functions.TokenEntropy(args(0))),
+    fn("graft_contains_slice",
+      "graft_contains_slice(haystack ARRAY<STRING>, needle ARRAY<STRING>) - true iff needle occurs as a contiguous run", 2, 2)(
+      args => graft.functions.ContainsSlice(args(0), args(1)))
   )
 
   /** Install the functions into an EXISTING session (temp-function scope). */

@@ -812,4 +812,47 @@ class CollectionSpec extends AnyFunSuite {
     assert(out(Some("en")) === ((2L, 1)))
     assert(out(None) === ((1L, 2))) // d3 has no lang: NULL facet value, ranked after
   }
+
+  test("phraseSearch: adjacency, case/punct folding, repeats, where, limit") {
+    val c = coll(freshRoot(), "phrase")
+    c.add(
+      contents = Seq(
+        "alpha beta gamma",     // p1: match
+        "beta alpha",           // p2: order wrong
+        "alpha x beta",         // p3: not adjacent
+        "say ALPHA, BETA!",     // p4: match (case + punctuation separators)
+        "x a b a y",            // p5: matches "a b a"
+        "a b b a"),             // p6: does not
+      ids = Some(Seq("p1", "p2", "p3", "p4", "p5", "p6")),
+      metadatas = Some(Seq(Map("k" -> "1"), Map("k" -> "1"), Map("k" -> "1"),
+        Map("k" -> "2"), Map("k" -> "1"), Map("k" -> "1"))))
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      import spark.implicits._
+      df.select("id").as[String].collect().toSeq
+    }
+    assert(ids(c.phraseSearch("alpha beta")).toSet === Set("p1", "p4"))
+    // phrase with a REPEATED token: the AND gate over distinct terms is a
+    // superset; adjacency must still require the full run
+    assert(ids(c.phraseSearch("a b a")) === Seq("p5"))
+    // single-token phrase degenerates to a term query
+    assert(ids(c.phraseSearch("gamma")) === Seq("p1"))
+    // where-filter composes; limit paginates the ranked frame
+    assert(ids(c.phraseSearch("alpha beta", where = Map("k" -> "2"))) === Seq("p4"))
+    assert(c.phraseSearch("alpha beta", limit = 1).count() === 1L)
+    // rank column present and positive for matches
+    val r = c.phraseSearch("alpha beta").select("rank").collect().map(_.getDouble(0))
+    assert(r.nonEmpty && r.forall(_ > 0.0))
+    val e = intercept[IllegalArgumentException](c.phraseSearch("  ,, "))
+    assert(e.getMessage.contains("phrase"))
+  }
+
+  test("phraseSearch: foldAccents collection matches folded phrase both directions") {
+    val root = freshRoot()
+    val c = Collection(spark, root, "folded", foldAccents = true)
+    c.add(Seq("un café noir", "cafe au lait"), ids = Some(Seq("f1", "f2")))
+    import spark.implicits._
+    assert(c.phraseSearch("café noir").select("id").as[String].collect().toSeq === Seq("f1"))
+    // folded query form matches the accented content too
+    assert(c.phraseSearch("cafe noir").select("id").as[String].collect().toSeq === Seq("f1"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Ann, ByteStatsDecoder, Dedup, Graphs, Json, Multimodal, Pipeline, Quantize, TextStats}
+import graft.ext.{Ann, ByteStatsDecoder, Dedup, Graphs, Json, Multimodal, Pipeline, Quantize, TextStats, Web}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -584,7 +584,10 @@ class ExtSpec extends AnyFunSuite {
         |  size(graft_minhash(array(42L), 8)) nm,
         |  graft_simhash64(array('tok')) sh,
         |  size(graft_lsh_buckets(array(1.0F,0.0F), 4, 3, 2)) nb,
-        |  size(graft_hash_prefix(array('a','b','c','d','e'), 0.8)) np
+        |  size(graft_hash_prefix(array('a','b','c','d','e'), 0.8)) np,
+        |  graft_contains_slice(array('a','b','c'), array('b','c')) cs,
+        |  graft_contains_slice(array('a','b','c'), array('c','b')) csn,
+        |  graft_contains_slice(array('a','b','c'), cast(array() AS array<string>)) cse
         |""".stripMargin).head()
     assert(r.getDouble(0) === 1.0)
     assert(math.abs(r.getDouble(1) - 1.0 / 3.0) < 1e-12)
@@ -595,6 +598,9 @@ class ExtSpec extends AnyFunSuite {
     // 0.8 parses as DECIMAL, not DOUBLE — the builder must accept it;
     // p = floor(0.2 * 5 + eps) + 1 = 2
     assert(r.getInt(6) === 2)
+    assert(r.getBoolean(7) === true)   // contiguous run found
+    assert(r.getBoolean(8) === false)  // same elements, wrong order
+    assert(r.getBoolean(9) === true)   // empty needle matches everything
     // wrong arity fails with the signature, not IndexOutOfBounds
     val e = intercept[Exception](spark.sql("SELECT graft_cosine(array(1.0F))").head())
     assert(e.getMessage.contains("graft_cosine expects 2"))
@@ -1014,6 +1020,53 @@ class ExtSpec extends AnyFunSuite {
     // plan: rank filter lowers to WindowGroupLimit (map-side k-heaps)
     val plan = Pipeline.sampleFixedPerGroup(d, "source", k = 5)
       .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("Web.registrableDomain: suffix-lite rule, ports/userinfo, bad URLs") {
+    val d = Seq(
+      ("u1", "https://www.news.example.com/a/b?x=1"),
+      ("u2", "http://sub.deep.bbc.co.uk/story"),
+      ("u3", "https://example.com/"),          // bare 2-label host
+      ("u4", "https://EXAMPLE.Com:8443/p"),    // case + port
+      ("u5", "http://localhost/x"),            // single label passthrough
+      ("u6", "not a url at all"),              // unparseable -> NULL
+      ("u7", "https://co.uk/odd")              // suffix-only host passthrough
+    ).toDF("id", "url")
+    val out = d.select($"id", Web.registrableDomain($"url").as("dom"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("u1") === Some("example.com"))
+    assert(out("u2") === Some("bbc.co.uk"))
+    assert(out("u3") === Some("example.com"))
+    assert(out("u4") === Some("example.com"))
+    assert(out("u5") === Some("localhost"))
+    assert(out("u6") === None)
+    assert(out("u7") === Some("co.uk"))
+    // extraSuffixes plugs additional multi-part suffixes
+    val extra = d.filter($"id" === "u1")
+      .select(Web.registrableDomain($"url", extraSuffixes = Seq("example.com")).as("d"))
+      .head().getString(0)
+    assert(extra === "news.example.com")
+  }
+
+  test("Web.domainReport + capPerDomain: shares sum to 1, cap deterministic, WindowGroupLimit plan") {
+    val docs = (1 to 40).map { i =>
+      val dom = if (i <= 30) "big.com" else if (i <= 38) "mid.co.uk" else "tiny.org"
+      (s"d$i", "text " * i, s"https://www.$dom/p/$i")
+    }.toDF("id", "content", "url")
+    val rep = Web.domainReport(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(rep("big.com")._1 === 30L && rep("mid.co.uk")._1 === 8L && rep("tiny.org")._1 === 2L)
+    assert(math.abs(rep.values.map(_._2).sum - 1.0) < 1e-9)
+    val capped = Web.capPerDomain(docs, maxPerDomain = 5)
+    assert(capped.count() === 5 + 5 + 2) // short domain keeps all
+    // deterministic: identical survivors across runs
+    val a = capped.select("id").as[String].collect().toSet
+    val b = Web.capPerDomain(docs, maxPerDomain = 5).select("id").as[String].collect().toSet
+    assert(a === b)
+    // schema passthrough: working columns dropped
+    assert(capped.columns.toSeq === Seq("id", "content", "url"))
+    val plan = capped.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
