@@ -924,6 +924,31 @@ object EntryQueries {
               |  round(count(*) / (SELECT count(*) FROM documents), 6) AS share
               |FROM dom GROUP BY 1""".stripMargin)),
 
+    // X100: count-min-sketch frequency probes — CMS guarantees (no
+    // underestimate; overestimate ≤ eps·N) checked against the exact counts
+    // both engines compute. The sketch is seed-deterministic, so the gate
+    // is stable run-to-run.
+    ("x100_freq_sketch", (s: SparkSession, sfDir: String) => {
+      val d = docsFrame(s, sfDir)
+      val probes = Seq("table", "hash", "customer", "join", "vector", "zz9qq8notatoken")
+      val est = TextStats.freqSketchProbe(d, probes, eps = 0.001, confidence = 0.99)
+      val exact = d.select(explode(TextFunctions.tokens(col("content"))).as("token"))
+        .filter(col("token").isin(probes: _*))
+        .groupBy("token").agg(count(lit(1)).as("exact_count"))
+      est.join(exact, Seq("token"), "left")
+        .select(col("token"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+          (col("est_count") >= coalesce(col("exact_count"), lit(0L))).as("ge_exact"),
+          (col("est_count") <= coalesce(col("exact_count"), lit(0L))
+            + ceil(lit(0.001) * col("n_tokens")).cast("long")).as("within_bound"))
+    }, Some(s"""WITH t AS (SELECT unnest($Toks) AS token FROM documents),
+               | c AS (SELECT token, count(*) AS exact_count FROM t GROUP BY 1)
+               |SELECT p.token, CAST(coalesce(c.exact_count, 0) AS BIGINT) AS exact_count,
+               |  true AS ge_exact, true AS within_bound
+               |FROM (VALUES ('table'),('hash'),('customer'),('join'),('vector'),
+               |  ('zz9qq8notatoken')) p(token)
+               |LEFT JOIN c ON p.token = c.token""".stripMargin)),
+
     // X99b: per-domain cap (RefinedWeb-style) — keep ≤ 3 docs/domain by
     // deterministic md5(id) rank; both engines replay the same rank.
     ("x99b_domain_cap", (s: SparkSession, sfDir: String) =>

@@ -878,4 +878,39 @@ object TextStats {
           coalesce(col("__s") / col("n_tokens"), lit(0.0)).as("logratio"))
     } finally { rawCnt.unpersist(); tgtAll.unpersist() }
   }
+
+  /** Approximate token-frequency point queries via a count-min sketch —
+    * the frequency complement of [[tokenCardinality]]'s HLL (how often is
+    * this token, vs how many distinct tokens). Returns one row per probe:
+    * (token, est_count, n_tokens), where est_count ≥ the true occurrence
+    * count always, and ≤ true + eps·n_tokens with probability ≥
+    * `confidence` (Cormode & Muthukrishnan 2005). The sketch is
+    * deterministic given `seed`, so runs are reproducible.
+    *
+    * Scale: the sketch build is ONE pass over the exploded token column via
+    * Spark's `count_min_sketch` TypedImperativeAggregate — partial sketches
+    * merge map-side, so only depth×width counter blocks (≈100 KB at the
+    * defaults) ever move, and the corpus is NEVER shuffled on token. The
+    * single merged sketch row is collected (bounded by eps/confidence, not
+    * by data) and the probes — a user-supplied handful — are estimated
+    * driver-side against it.
+    */
+  def freqSketchProbe(docs: DataFrame, probes: Seq[String], eps: Double = 1e-3,
+                      confidence: Double = 0.99, seed: Int = 42,
+                      contentCol: String = "content"): DataFrame = {
+    require(probes.nonEmpty, "at least one probe token")
+    require(eps > 0 && eps < 1, "0 < eps < 1")
+    val toks = docs.select(
+      explode(TextFunctions.tokens(col(contentCol))).as("token"))
+    val row = toks.agg(
+      count_min_sketch(col("token"), lit(eps), lit(confidence), lit(seed)).as("cms"),
+      count(lit(1)).as("n")).head()
+    val n = row.getLong(1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    if (row.isNullAt(0)) return probes.map((_, 0L, 0L)).toDF("token", "est_count", "n_tokens")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      row.getAs[Array[Byte]](0))
+    probes.map(p => (p, cms.estimateCount(p), n)).toDF("token", "est_count", "n_tokens")
+  }
 }

@@ -1023,6 +1023,24 @@ class ExtSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("freqSketchProbe: CMS never underestimates, exact at coarse width, empty corpus") {
+    val d = Seq(
+      ("d1", "cat dog cat"),
+      ("d2", "dog bird"),
+      ("d3", "cat")).toDF("id", "content")
+    val out = TextStats.freqSketchProbe(d, Seq("cat", "dog", "bird", "fish"), eps = 0.01)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 6 distinct tokens << width(2/eps = 200): estimates are EXACT here
+    assert(out("cat") === ((3L, 6L)))
+    assert(out("dog") === ((2L, 6L)))
+    assert(out("bird") === ((1L, 6L)))
+    assert(out("fish") === ((0L, 6L)))
+    // empty corpus: zero counts, no NPE on the null sketch
+    val empty = TextStats.freqSketchProbe(d.limit(0), Seq("cat"))
+      .head()
+    assert(empty.getLong(1) === 0L && empty.getLong(2) === 0L)
+  }
+
   test("Web.registrableDomain: suffix-lite rule, ports/userinfo, bad URLs") {
     val d = Seq(
       ("u1", "https://www.news.example.com/a/b?x=1"),
