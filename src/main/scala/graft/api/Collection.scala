@@ -1001,10 +1001,19 @@ final class Collection private (
     val scored = Bm25.scoredIds(postings(), collStats(), q)
       .getOrElse(sys.error("flat AND over distinct terms is always fusable"))
     val needle = array(terms.map(lit): _*)
+    // The verify predicate must NOT be pushed below the join: alone it only
+    // references docs columns, so Catalyst would move it onto the docs scan
+    // and re-tokenize the ENTIRE corpus instead of the candidates. Folding
+    // the (always-true post-join) rank-not-null test into one conditional
+    // makes the predicate reference both sides, pinning it above the join —
+    // verified by the CollectionSpec plan assertion.
+    val verify = when($"rank".isNotNull,
+      graft.functions.TextFunctions.containsSlice(
+        graft.functions.TextFunctions.tokens($"content", foldAccents), needle))
+      .otherwise(lit(false))
     val hits = applyWhere(docs(), where)
       .join(scored, Seq("id"))
-      .filter(graft.functions.TextFunctions.containsSlice(
-        graft.functions.TextFunctions.tokens($"content", foldAccents), needle))
+      .filter(verify)
       .select($"id", $"content", $"metadata", $"rank")
       .orderBy($"rank".desc, $"id".asc)
     Paginator(hits, limit, offset)

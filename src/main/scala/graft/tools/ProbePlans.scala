@@ -24,9 +24,10 @@ object ProbePlans {
       println(s"-- pushed: ${pushed.mkString(" | ").take(600)}")
       println(s"-- exchanges: ${plan.linesIterator.count(_.trim.startsWith("Exchange"))}, codegen spans: ${fmt.linesIterator.count(_.contains("WholeStageCodegen"))}")
     }
-    audit("q1_fts_and")
-    audit("q5_vector_topk")
-    audit("q4_bm25_rank")
+    args.drop(1).toList match {
+      case Nil => List("q1_fts_and", "q5_vector_topk", "q4_bm25_rank").foreach(audit)
+      case names => names.foreach(audit)
+    }
     spark.stop()
   }
 }

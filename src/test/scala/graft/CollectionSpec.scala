@@ -844,6 +844,13 @@ class CollectionSpec extends AnyFunSuite {
     assert(r.nonEmpty && r.forall(_ > 0.0))
     val e = intercept[IllegalArgumentException](c.phraseSearch("  ,, "))
     assert(e.getMessage.contains("phrase"))
+    // plan: the adjacency verify stays ABOVE the candidate join — pushed
+    // onto the docs scan it would re-tokenize the whole corpus. The docs
+    // FileScan's data filters must not contain contains_slice.
+    val plan = c.phraseSearch("alpha beta").queryExecution.executedPlan.toString
+    val scanLines = plan.linesIterator.filter(_.contains("FileScan")).toList
+    assert(scanLines.nonEmpty && !scanLines.exists(_.contains("contains_slice")), plan)
+    assert(plan.contains("contains_slice"), plan) // …but the verify IS in the plan
   }
 
   test("phraseSearch: foldAccents collection matches folded phrase both directions") {
