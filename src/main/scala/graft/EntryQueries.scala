@@ -924,6 +924,32 @@ object EntryQueries {
               |  round(count(*) / (SELECT count(*) FROM documents), 6) AS share
               |FROM dom GROUP BY 1""".stripMargin)),
 
+    // X101: time-travel read — base + one upsert delta, both eras readable;
+    // the oracle re-derives each era's contents from the documents table.
+    // directUpsertMaxBytes=0 forces the delta path (a direct merge would
+    // fold history by design); compact.auto=false pins the layout.
+    ("x101_time_travel", (s: SparkSession, sfDir: String) => {
+      val root = tempDirCleanedOnExit("graft-tt-")
+      s.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+      s.conf.set("spark.graft.compact.auto", "false")
+      try {
+        val c = Collection(s, root, "tt")
+        c.addDf(docsFrame(s, sfDir).select("id", "content"))
+        c.addDf(docsFrame(s, sfDir).filter(col("id").cast("long") % 7 === 0)
+          .select(col("id"), concat(col("content"), lit(" v2")).as("content")))
+        c.docsAsOf(0).select(lit("v0").as("era"), col("id"), md5(col("content")).as("h"))
+          .unionByName(c.docs()
+            .select(lit("latest").as("era"), col("id"), md5(col("content")).as("h")))
+      } finally {
+        s.conf.unset("spark.graft.store.directUpsertMaxBytes")
+        s.conf.set("spark.graft.compact.auto", "true")
+      }
+    }, Some(s"""SELECT 'v0' AS era, $DocId AS id, md5(text) AS h FROM documents
+               |UNION ALL
+               |SELECT 'latest' AS era, $DocId AS id,
+               |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+               |FROM documents""".stripMargin)),
+
     // X100: count-min-sketch frequency probes — CMS guarantees (no
     // underestimate; overestimate ≤ eps·N) checked against the exact counts
     // both engines compute. The sketch is seed-deterministic, so the gate

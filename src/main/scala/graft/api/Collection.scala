@@ -56,6 +56,22 @@ final class Collection private (
   /** This collection's documents (partition-pruned read). */
   def docs(): DataFrame = Stores.readPartition(spark, docsDir, name, Stores.docsSchema)
 
+  /** Snapshot ordinals still readable by [[docsAsOf]]: 0 = the base, then
+    * one per surviving upsert delta. History granularity is the surviving
+    * segments — `compact()`, `maintain()`, and small-store direct merges
+    * FOLD deltas into the base (like a vacuumed Delta table), after which
+    * only the folded state is reachable.
+    */
+  def history(): Seq[Long] = Stores.deltaOrdinals(spark, docsDir, name)
+
+  /** Time-travel read: the documents as of segment `seg` (inclusive) — the
+    * reproducibility hook for training pipelines ("read the exact corpus
+    * snapshot run X consumed"). Pass a value from [[history]]; ordinals past
+    * the newest segment read the latest state.
+    */
+  def docsAsOf(seg: Long): DataFrame =
+    Stores.readPartitionAsOf(spark, docsDir, name, Stores.docsSchema, seg)
+
   private def postings(): DataFrame =
     Stores.readPartition(spark, postingsDir, name, Stores.postingsSchema)
 

@@ -161,6 +161,14 @@ object Stores {
   def deltaCount(spark: SparkSession, storeDir: String, collection: String): Int =
     deltas(spark, partDir(storeDir, collection)).size
 
+  /** Surviving segment ordinals, ascending, 0 (the base) included — the
+    * snapshots [[readPartitionAsOf]] can still reach. */
+  def deltaOrdinals(spark: SparkSession, storeDir: String, collection: String): Seq[Long] = {
+    val dir = partDir(storeDir, collection)
+    if (!exists(spark, dir)) Seq.empty
+    else 0L +: deltas(spark, dir).map(_.ordinal)
+  }
+
   /** The partition's delta DATA dirs (no gone sidecars), ascending — for
     * callers that scan delta-added rows across collections in one job
     * (hidden dot-dirs are invisible to a whole-store scan).
@@ -194,13 +202,24 @@ object Stores {
     * base scan, never a base shuffle.
     */
   def readPartition(spark: SparkSession, storeDir: String, collection: String,
-                    schema: StructType): DataFrame = {
+                    schema: StructType): DataFrame =
+    readPartitionAsOf(spark, storeDir, collection, schema, Long.MaxValue)
+
+  /** [[readPartition]] truncated to the segments with ordinal ≤ `maxSeg`
+    * (0 = base only) — the time-travel read. History granularity is the
+    * SURVIVING segments: compaction and small-store direct merges fold
+    * deltas into the base (like a vacuumed Delta table), after which only
+    * the folded state is reachable. [[deltaOrdinals]] lists what is
+    * currently readable.
+    */
+  def readPartitionAsOf(spark: SparkSession, storeDir: String, collection: String,
+                        schema: StructType, maxSeg: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, max}
     val dir = partDir(storeDir, collection)
     if (!exists(spark, dir))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val base = spark.read.schema(schema).parquet(dir)
-    val segs = deltas(spark, dir)
+    val segs = deltas(spark, dir).filter(_.ordinal <= maxSeg)
     if (segs.isEmpty || !schema.fieldNames.contains("id")) base
     else {
       val all = segs.foldLeft(base.withColumn("__seg", lit(0L))) { (acc, d) =>

@@ -853,6 +853,36 @@ class CollectionSpec extends AnyFunSuite {
     assert(plan.contains("contains_slice"), plan) // …but the verify IS in the plan
   }
 
+  test("docsAsOf/history: upserts and deletes travel; compaction folds history") {
+    spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+    spark.conf.set("spark.graft.compact.auto", "false")
+    try {
+      import spark.implicits._
+      val c = coll(freshRoot(), "tt")
+      c.addDf(Seq(("a", "alpha v1"), ("b", "beta v1"), ("d", "doomed")).toDF("id", "content"))
+      c.addDf(Seq(("a", "alpha v2"), ("c", "new gamma")).toDF("id", "content"))
+      c.delete(Seq("d"))
+      assert(c.history() === Seq(0L, 1L, 2L))
+      def state(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+        df.select("id", "content").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(state(c.docsAsOf(0)) ===
+        Map("a" -> "alpha v1", "b" -> "beta v1", "d" -> "doomed"))
+      assert(state(c.docsAsOf(1)) ===
+        Map("a" -> "alpha v2", "b" -> "beta v1", "c" -> "new gamma", "d" -> "doomed"))
+      // delete era: d gone; ordinals past the newest read latest
+      assert(state(c.docsAsOf(2)) === state(c.docs()))
+      assert(!state(c.docsAsOf(99)).contains("d"))
+      // compaction folds: only the base snapshot survives, holding latest state
+      c.compact()
+      assert(c.history() === Seq(0L))
+      assert(state(c.docsAsOf(0)) ===
+        Map("a" -> "alpha v2", "b" -> "beta v1", "c" -> "new gamma"))
+    } finally {
+      spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+      spark.conf.set("spark.graft.compact.auto", "true")
+    }
+  }
+
   test("phraseSearch: foldAccents collection matches folded phrase both directions") {
     val root = freshRoot()
     val c = Collection(spark, root, "folded", foldAccents = true)
