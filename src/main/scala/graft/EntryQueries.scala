@@ -950,6 +950,42 @@ object EntryQueries {
                |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
                |FROM documents""".stripMargin)),
 
+    // X102: distribution drift between two corpus halves — top-20 tokens by
+    // probability shift plus their JS terms; oracle replays the whole
+    // derivation (per-side top-vocab, OOV lump, probabilities, JS).
+    ("x102_distribution_drift", (s: SparkSession, sfDir: String) => {
+      val docs = docsFrame(s, sfDir)
+      val a = docs.filter(col("id").cast("long") % 2 === 0)
+      val b = docs.filter(col("id").cast("long") % 2 === 1)
+      val drift = TextStats.tokenDistributionDrift(a, b, vocabSize = 100)
+      val w = Window.orderBy(abs(col("shift")).desc, col("token").asc)
+      drift.withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+        .select(col("rn").cast("long").as("rn"), col("token"),
+          round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+          round(col("shift"), 6).as("shift"), round(col("js_contrib"), 6).as("js_contrib"))
+    }, Some(s"""WITH ta AS (SELECT unnest($Toks) AS token FROM documents WHERE doc_id % 2 = 0),
+               | tb AS (SELECT unnest($Toks) AS token FROM documents WHERE doc_id % 2 = 1),
+               | ca AS (SELECT token, count(*) AS cnt FROM ta GROUP BY 1),
+               | cb AS (SELECT token, count(*) AS cnt FROM tb GROUP BY 1),
+               | v AS (SELECT token FROM (SELECT token FROM ca ORDER BY cnt DESC, token LIMIT 100)
+               |   UNION SELECT token FROM (SELECT token FROM cb ORDER BY cnt DESC, token LIMIT 100)),
+               | j AS (SELECT v.token, coalesce(ca.cnt, 0) AS cnt_a, coalesce(cb.cnt, 0) AS cnt_b
+               |   FROM v LEFT JOIN ca USING (token) LEFT JOIN cb USING (token)),
+               | tot AS (SELECT (SELECT sum(cnt) FROM ca) AS tot_a, (SELECT sum(cnt) FROM cb) AS tot_b),
+               | allr AS (SELECT * FROM j UNION ALL
+               |   SELECT '__oov', (SELECT tot_a FROM tot) - (SELECT sum(cnt_a) FROM j),
+               |     (SELECT tot_b FROM tot) - (SELECT sum(cnt_b) FROM j)),
+               | p AS (SELECT token, cnt_a / (SELECT tot_a FROM tot) AS p_a,
+               |   cnt_b / (SELECT tot_b FROM tot) AS p_b FROM allr),
+               | q AS (SELECT token, p_a, p_b, p_b - p_a AS shift,
+               |   (CASE WHEN p_a > 0 THEN 0.5 * p_a * ln(p_a / ((p_a + p_b) / 2)) ELSE 0 END +
+               |    CASE WHEN p_b > 0 THEN 0.5 * p_b * ln(p_b / ((p_a + p_b) / 2)) ELSE 0 END) AS js
+               |   FROM p),
+               | r AS (SELECT q.*, ROW_NUMBER() OVER (ORDER BY abs(shift) DESC, token ASC) AS rn FROM q)
+               |SELECT rn, token, round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+               |  round(shift, 6) AS shift, round(js, 6) AS js_contrib
+               |FROM r WHERE rn <= 20""".stripMargin)),
+
     // X100: count-min-sketch frequency probes — CMS guarantees (no
     // underestimate; overestimate ≤ eps·N) checked against the exact counts
     // both engines compute. The sketch is seed-deterministic, so the gate

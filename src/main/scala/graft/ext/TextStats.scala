@@ -879,6 +879,71 @@ object TextStats {
     } finally { rawCnt.unpersist(); tgtAll.unpersist() }
   }
 
+  /** Token-distribution drift between two corpus snapshots — the
+    * training-data monitoring primitive ("did this week's crawl shift the
+    * mixture, and which tokens moved"). Returns one row per token of the
+    * MERGED per-side top-`vocabSize` vocabularies plus an `__oov` bucket
+    * (each side's residual mass, so both probability columns sum to 1):
+    * (token, p_a, p_b, shift, js_contrib), where `shift` = p_b − p_a and
+    * `js_contrib` is the token's Jensen–Shannon divergence term
+    * ½·p_a·ln(p_a/m) + ½·p_b·ln(p_b/m), m = (p_a+p_b)/2, with 0·ln0 = 0.
+    * `sum(js_contrib)` over the frame is the corpus JS divergence (nats,
+    * vocab-truncated). Vocab selection ties break (count desc, token asc) —
+    * deterministic run-to-run.
+    *
+    * Scale: each side is ONE exploded-token count with map-side combine;
+    * the global top-vocab truncation plans as TakeOrderedAndProject over
+    * the already-aggregated (token, count) frame (vocab-bounded, not
+    * corpus-bounded), and everything downstream runs on ≤ 2·vocabSize + 1
+    * rows. The corpora are never joined row-to-row, and although each
+    * side's count frame appears three times in the plan (top-vocab, lookup,
+    * total), the subtrees are IDENTICAL, so ReuseExchange computes each
+    * side's aggregation once (ExtSpec pins the ReusedExchange).
+    */
+  def tokenDistributionDrift(a: DataFrame, b: DataFrame, vocabSize: Int = 10000,
+                             contentCol: String = "content"): DataFrame = {
+    require(vocabSize >= 1, "vocabSize >= 1")
+    def counts(df: DataFrame): DataFrame = df
+      .select(explode(TextFunctions.tokens(col(contentCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val ca = counts(a)
+    val cb = counts(b)
+    def top(c: DataFrame): DataFrame = c
+      .orderBy(col("cnt").desc, col("token").asc).limit(vocabSize).select("token")
+    val vocab = top(ca).unionByName(top(cb)).distinct()
+      // limit() collapses to one partition; respread the small frame so
+      // the joins below don't serialize
+      .repartition(a.sparkSession.sparkContext.defaultParallelism)
+    val joined = vocab
+      .join(ca, Seq("token"), "left").withColumnRenamed("cnt", "cnt_a")
+      .join(cb, Seq("token"), "left").withColumnRenamed("cnt", "cnt_b")
+      .select(col("token"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = ca.agg(sum(col("cnt")).as("tot_a"))
+      .crossJoin(cb.agg(sum(col("cnt")).as("tot_b")))
+      .select(coalesce(col("tot_a"), lit(0L)).as("tot_a"),
+        coalesce(col("tot_b"), lit(0L)).as("tot_b"))
+    val inVocab = joined.agg(sum(col("cnt_a")).as("iv_a"), sum(col("cnt_b")).as("iv_b"))
+    val oov = totals.crossJoin(inVocab)
+      .select(lit("__oov").as("token"),
+        (col("tot_a") - coalesce(col("iv_a"), lit(0L))).as("cnt_a"),
+        (col("tot_b") - coalesce(col("iv_b"), lit(0L))).as("cnt_b"))
+    val withOov = joined.unionByName(oov).crossJoin(broadcast(totals))
+    val pa = when(col("tot_a") > 0, col("cnt_a").cast("double") / col("tot_a"))
+      .otherwise(lit(0.0))
+    val pb = when(col("tot_b") > 0, col("cnt_b").cast("double") / col("tot_b"))
+      .otherwise(lit(0.0))
+    def term(p: Column, m: Column): Column =
+      when(p > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0))
+    withOov
+      .withColumn("p_a", pa).withColumn("p_b", pb)
+      .withColumn("__m", (col("p_a") + col("p_b")) / 2)
+      .select(col("token"), col("p_a"), col("p_b"),
+        (col("p_b") - col("p_a")).as("shift"),
+        (term(col("p_a"), col("__m")) + term(col("p_b"), col("__m"))).as("js_contrib"))
+  }
+
   /** Approximate token-frequency point queries via a count-min sketch —
     * the frequency complement of [[tokenCardinality]]'s HLL (how often is
     * this token, vs how many distinct tokens). Returns one row per probe:

@@ -1023,6 +1023,34 @@ class ExtSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("tokenDistributionDrift: probabilities, JS terms, OOV bucket, ReusedExchange") {
+    val a = Seq(("a1", "x x y"), ("a2", "y z")).toDF("id", "content")
+    val b = Seq(("b1", "x y y y")).toDF("id", "content")
+    val out = TextStats.tokenDistributionDrift(a, b, vocabSize = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // A: x2 y2 z1 /5; B: x1 y3 /4
+    assert(math.abs(out("x")._1 - 0.4) < 1e-12 && math.abs(out("x")._2 - 0.25) < 1e-12)
+    assert(math.abs(out("y")._3 - 0.35) < 1e-12)  // shift = 0.75 - 0.4
+    assert(math.abs(out("z")._4 - 0.1 * math.log(2)) < 1e-12) // one-sided term
+    assert(out("__oov")._1 === 0.0 && out("__oov")._2 === 0.0)
+    // JS symmetric in its two one-sided halves: total >= 0
+    assert(out.values.map(_._4).sum >= 0)
+    // vocabSize=1: per-side top-1 (x for A by tie-break, y for B) + real OOV mass
+    val small = TextStats.tokenDistributionDrift(a, b, vocabSize = 1)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(small.keySet === Set("x", "y", "__oov"))
+    assert(math.abs(small("__oov")._1 - 0.2) < 1e-12) // z's mass lumped
+    // each side's count aggregation is computed ONCE (identical subtrees
+    // dedup via ReuseExchange) — check with AQE off so the marker is static
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextStats.tokenDistributionDrift(a, b, vocabSize = 10)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("freqSketchProbe: CMS never underestimates, exact at coarse width, empty corpus") {
     val d = Seq(
       ("d1", "cat dog cat"),
