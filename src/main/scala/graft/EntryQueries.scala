@@ -239,6 +239,18 @@ object EntryQueries {
     "('www.' || source || CAST(doc_id % 23 AS VARCHAR) || " +
       "(CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END))"
 
+  /** ≤3 docs per registrable domain by md5(id) rank — shared by the batch
+    * (x99b) and streaming (x103) cap entries, which must agree exactly. */
+  private lazy val DomainCapOracle =
+    s"""WITH dom AS (SELECT $DocId AS id, CASE
+       |    WHEN array_to_string((string_split(${UrlHost}, '.'))[-2:], '.') = 'co.uk'
+       |    THEN array_to_string((string_split(${UrlHost}, '.'))[-3:], '.')
+       |    ELSE array_to_string((string_split(${UrlHost}, '.'))[-2:], '.') END AS domain
+       |  FROM documents),
+       | r AS (SELECT id, ROW_NUMBER() OVER (
+       |    PARTITION BY domain ORDER BY md5(id), id) AS rn FROM dom)
+       |SELECT id FROM r WHERE rn <= 3""".stripMargin
+
   /** documents + a deterministic URL column: ~20 sources × 23 ids/source
     * registrable domains, every 5th doc on a multi-part .co.uk suffix (the
     * public-suffix-lite rule's three-label arm).
@@ -1015,14 +1027,17 @@ object EntryQueries {
     // deterministic md5(id) rank; both engines replay the same rank.
     ("x99b_domain_cap", (s: SparkSession, sfDir: String) =>
       Web.capPerDomain(urlDocs(s, sfDir), maxPerDomain = 3).select("id"),
-      Some(s"""WITH dom AS (SELECT $DocId AS id, CASE
-              |    WHEN array_to_string((string_split(${UrlHost}, '.'))[-2:], '.') = 'co.uk'
-              |    THEN array_to_string((string_split(${UrlHost}, '.'))[-3:], '.')
-              |    ELSE array_to_string((string_split(${UrlHost}, '.'))[-2:], '.') END AS domain
-              |  FROM documents),
-              | r AS (SELECT id, ROW_NUMBER() OVER (
-              |    PARTITION BY domain ORDER BY md5(id), id) AS rn FROM dom)
-              |SELECT id FROM r WHERE rn <= 3""".stripMargin)),
+      Some(DomainCapOracle)),
+
+    // X103: the STREAMING per-key quota in its batch/backfill mode — same
+    // md5 admission rank, so the survivor set equals the batch cap's
+    // exactly (the multi-micro-batch path is pinned stream-vs-batch in
+    // ExtSpec, the dedupStream convention).
+    ("x103_stream_cap", (s: SparkSession, sfDir: String) =>
+      EventStreams.capPerKeyStream(
+        urlDocs(s, sfDir).select(Web.registrableDomain(col("url")).as("domain"), col("id")),
+        "domain", "id", cap = 3).select("id"),
+      Some(DomainCapOracle)),
 
     ("x6_ann_exact", (s: SparkSession, sfDir: String) => {
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")

@@ -426,6 +426,52 @@ object EventStreams {
       .select(col("user_id"), timestamp_micros(col("t_first_us")).as("t_first"),
         timestamp_micros(col("t_last_us")).as("t_last"))
   }
+
+  /** Streaming per-key admission cap: admit a row iff its key has admitted
+    * fewer than `cap` rows SO FAR — the ingest-edge quota (per-domain crawl
+    * caps, per-source ingest budgets) maintained continuously, the
+    * streaming sibling of [[graft.ext.Web.capPerDomain]]. Emits the
+    * admitted (keyCol, idCol) pairs; payloads join back on the id (the
+    * dedupStream output contract — see there for why).
+    *
+    * Determinism: WITHIN each micro-batch a key's rows are admitted in
+    * md5(id) rank order, so batch-mode input (Spark runs the same function
+    * with empty state) reproduces the batch cap's survivor set EXACTLY;
+    * across micro-batches, arrival order governs (first batches claim the
+    * quota), so the cross-batch deterministic contract is the admitted
+    * COUNT per key: least(cap, arrivals).
+    *
+    * Scale: state per key is ONE long (the admitted count), never rows —
+    * O(#keys) state total, the only shape an unbounded stream tolerates.
+    * One groupByKey shuffle per micro-batch; a key's per-batch rows are
+    * buffered for the in-batch sort (micro-batch-bounded, as funnelStateful
+    * buffers its per-user batch slice).
+    */
+  def capPerKeyStream(rows: DataFrame, keyCol: String, idCol: String,
+                      cap: Int): DataFrame = {
+    require(cap >= 1, "cap >= 1")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val ds = rows.select(col(keyCol).cast("string").as("key"),
+      col(idCol).cast("string").as("id")).as[CapEvent]
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[CapState, (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[CapEvent], state: GroupState[CapState]) =>
+          val admitted = state.getOption.map(_.admitted).getOrElse(0L)
+          if (admitted >= cap) Iterator.empty
+          else {
+            val take = it.toSeq.sortBy(e => (md5hex(e.id), e.id))
+              .take(cap - admitted.toInt)
+            state.update(CapState(admitted + take.size))
+            take.map(e => (e.key, e.id)).iterator
+          }
+      }
+      .toDF(keyCol, idCol)
+  }
 }
 
 /** Typed row of [[EventStreams.funnelStateful]]'s input (public: Spark's
@@ -435,3 +481,9 @@ case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String
 
 /** Per-user funnel state: greedy chain (epoch micros) + completion flag. */
 case class FunnelState(chain: Seq[Long], done: Boolean)
+
+/** Typed row of [[EventStreams.capPerKeyStream]]'s input. */
+case class CapEvent(key: String, id: String)
+
+/** Per-key quota state: rows admitted so far (one long, never the rows). */
+case class CapState(admitted: Long)

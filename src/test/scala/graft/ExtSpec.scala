@@ -1069,6 +1069,44 @@ class ExtSpec extends AnyFunSuite {
     assert(empty.getLong(1) === 0L && empty.getLong(2) === 0L)
   }
 
+  test("capPerKeyStream: quota across micro-batches; batch mode equals Web.capPerDomain") {
+    // streaming: 2 then 3 docs for one domain, cap 3 -> 2 admitted from
+    // batch 1, exactly 1 more from batch 2, 0 from batch 3
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val out = EventStreams.capPerKeyStream(
+      mem.toDF().toDF("domain", "id"), "domain", "id", cap = 3)
+    val q = out.writeStream.format("memory").queryName("cap_q")
+      .outputMode("append").start()
+    mem.addData(("d.com", "a1"), ("d.com", "a2"))
+    q.processAllAvailable()
+    assert(spark.table("cap_q").count() === 2)
+    mem.addData(("d.com", "b1"), ("d.com", "b2"), ("d.com", "b3"))
+    q.processAllAvailable()
+    assert(spark.table("cap_q").count() === 3)
+    mem.addData(("d.com", "c1"), ("e.org", "c2"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("cap_q").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows.count(_._1 == "d.com") === 3 && rows.contains(("e.org", "c2")))
+    // batch 2's single admission is its md5-min id
+    val b2 = Seq("b1", "b2", "b3").minBy(s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    assert(rows.contains(("d.com", b2)))
+    // batch mode: survivor SET equals the deterministic batch cap's
+    val docs = (1 to 30).map { i =>
+      val dom = if (i <= 20) "big.com" else "small.org"
+      (s"d$i", s"https://www.$dom/p/$i")
+    }.toDF("id", "url")
+    val viaStreamOp = EventStreams.capPerKeyStream(
+      docs.select(Web.registrableDomain($"url").as("domain"), $"id"),
+      "domain", "id", cap = 4).select("id").as[String].collect().toSet
+    val viaBatch = Web.capPerDomain(docs, maxPerDomain = 4)
+      .select("id").as[String].collect().toSet
+    assert(viaStreamOp === viaBatch)
+  }
+
   test("Web.registrableDomain: suffix-lite rule, ports/userinfo, bad URLs") {
     val d = Seq(
       ("u1", "https://www.news.example.com/a/b?x=1"),
