@@ -452,11 +452,11 @@ object EventStreams {
     require(cap >= 1, "cap >= 1")
     val spark = rows.sparkSession
     import spark.implicits._
+    // admission rank computed as a codegen'd column BEFORE the stateful
+    // hop — a MessageDigest per comparator call would dominate the scan
     val ds = rows.select(col(keyCol).cast("string").as("key"),
-      col(idCol).cast("string").as("id")).as[CapEvent]
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
+      col(idCol).cast("string").as("id"),
+      md5(col(idCol).cast("string").cast("binary")).as("r")).as[CapEvent]
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[CapState, (String, String)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -464,7 +464,7 @@ object EventStreams {
           val admitted = state.getOption.map(_.admitted).getOrElse(0L)
           if (admitted >= cap) Iterator.empty
           else {
-            val take = it.toSeq.sortBy(e => (md5hex(e.id), e.id))
+            val take = it.toSeq.sortBy(e => (e.r, e.id))
               .take(cap - admitted.toInt)
             state.update(CapState(admitted + take.size))
             take.map(e => (e.key, e.id)).iterator
@@ -482,8 +482,9 @@ case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String
 /** Per-user funnel state: greedy chain (epoch micros) + completion flag. */
 case class FunnelState(chain: Seq[Long], done: Boolean)
 
-/** Typed row of [[EventStreams.capPerKeyStream]]'s input. */
-case class CapEvent(key: String, id: String)
+/** Typed row of [[EventStreams.capPerKeyStream]]'s input (`r` = the
+  * precomputed md5 admission rank). */
+case class CapEvent(key: String, id: String, r: String)
 
 /** Per-key quota state: rows admitted so far (one long, never the rows). */
 case class CapState(admitted: Long)

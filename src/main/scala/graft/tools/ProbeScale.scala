@@ -170,6 +170,50 @@ object ProbeScale {
       writeOut(); return
     }
 
+    // `r9c` = the late-round-9 operators at 1M docs, no corpus ingest:
+    // phrase verify (zero-shuffle ContainsSlice scan), distribution drift
+    // (two token aggs + vocab-bounded tail), CMS sketch build, and the
+    // batch + streaming-op domain caps (~1000 domains, WindowGroupLimit vs
+    // one-long-per-key state).
+    if (mode.contains("r9c")) {
+      val docs1m = spark.range(1000000L)
+        .select($"id".cast("string").as("id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(60)),
+            i => concat(lit("t"), pmod($"id" * 31 + i * 7, lit(997)).cast("string")))).as("content"))
+        .repartition(32).cache()
+      docs1m.count()
+      val nv = time("phrase_verify_1m_sec")(
+        docs1m.filter(graft.functions.TextFunctions.containsSlice(
+          graft.functions.TextFunctions.tokens($"content"),
+          array(lit("t100"), lit("t107")))).count())
+      println(s"PROBE   phrase hits = $nv"); metrics += ("phrase_hits" -> nv)
+      val js = time("drift_1m_sec")(
+        graft.ext.TextStats.tokenDistributionDrift(
+          docs1m.filter($"id".cast("long") % 2 === 0),
+          docs1m.filter($"id".cast("long") % 2 === 1), vocabSize = 1000)
+          .agg(sum($"js_contrib")).head().getDouble(0))
+      println(f"PROBE   js = $js%.6f")
+      time("freq_sketch_1m_sec")(
+        graft.ext.TextStats.freqSketchProbe(
+          docs1m, Seq("t1", "t500", "zz"), eps = 1e-4).count())
+      val urls = docs1m.select($"id",
+        concat(lit("https://www.site"),
+          pmod($"id".cast("long") * 13, lit(1000)).cast("string"),
+          lit(".com/p/"), $"id").as("url"))
+        .repartition(32).cache()
+      urls.count()
+      val nc = time("domain_cap_1m_sec")(
+        graft.ext.Web.capPerDomain(urls, maxPerDomain = 100).count())
+      require(nc == 100L * 1000, s"unexpected cap count $nc")
+      val ns = time("stream_cap_batch_1m_sec")(
+        graft.streaming.EventStreams.capPerKeyStream(
+          urls.select(graft.ext.Web.registrableDomain($"url").as("domain"), $"id"),
+          "domain", "id", cap = 100).count())
+      require(ns == nc, s"stream cap $ns != batch cap $nc")
+      urls.unpersist(); docs1m.unpersist()
+      writeOut(); return
+    }
+
     val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id".cast("string").as("id"), $"text".as("content"),
         map(lit("lang"), $"lang").as("metadata"))
