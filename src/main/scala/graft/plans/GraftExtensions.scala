@@ -162,6 +162,21 @@ object GraftFunctions {
         .queryFrame(strArg(args(2), "query"),
           limit = if (args.size > 3) intArg(args(3), "limit") else 0)
         .queryExecution.logical
+    },
+    tfn("graft_phrase",
+      "graft_phrase(root STRING, name STRING, phrase STRING[, limit INT]) - token-adjacency phrase search (id, content, metadata, rank)", 3, 4) { args =>
+      val s = org.apache.spark.sql.SparkSession.active
+      graft.api.Collection.open(s, strArg(args(0), "root"), strArg(args(1), "name"))
+        .phraseSearch(strArg(args(2), "phrase"),
+          limit = if (args.size > 3) intArg(args(3), "limit") else 0)
+        .queryExecution.logical
+    },
+    tfn("graft_docs_asof",
+      "graft_docs_asof(root STRING, name STRING, seg BIGINT) - time-travel documents as of a history() segment", 3, 3) { args =>
+      val s = org.apache.spark.sql.SparkSession.active
+      graft.api.Collection.open(s, strArg(args(0), "root"), strArg(args(1), "name"))
+        .docsAsOf(longArg(args(2), "seg"))
+        .queryExecution.logical
     })
 
   /** Install the table functions into an EXISTING session. */

@@ -634,6 +634,23 @@ class ExtSpec extends AnyFunSuite {
     val e2 = intercept[Exception](
       spark.sql(s"SELECT * FROM graft_docs(concat('$root', ''), 'main')").collect())
     assert(e2.getMessage.contains("STRING literal"))
+    // phrase table function: adjacency, not just AND
+    val ph = spark.sql(s"SELECT id FROM graft_phrase('$root', 'main', 'spark makes')")
+      .as[String].collect().toSeq
+    assert(ph === Seq("1")) // doc 3 has both terms, not adjacent
+    // time travel from SQL: upsert (delta path forced — a direct merge
+    // folds history by design) then read the pre-upsert era
+    spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+    try {
+      graft.api.Collection(spark, root, "main").addDf(
+        Seq(("1", "spark makes analytics very fast")).toDF("id", "content"))
+    } finally spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+    val v0 = spark.sql(s"SELECT content FROM graft_docs_asof('$root', 'main', 0) WHERE id = '1'")
+      .head().getString(0)
+    assert(v0 === "spark makes analytics fast")
+    val v1 = spark.sql(s"SELECT content FROM graft_docs_asof('$root', 'main', 1) WHERE id = '1'")
+      .head().getString(0)
+    assert(v1 === "spark makes analytics very fast")
   }
 
   test("dedupStream: keyCols containing the timestamp column still analyzes") {
