@@ -920,6 +920,20 @@ object EntryQueries {
               |WHERE regexp_matches(lower(text),
               |  '(^|[^a-z0-9])table[^a-z0-9]+hash([^a-z0-9]|$$)')""".stripMargin)),
 
+    // X104: proximity search — NEAR(table hash, 3): both terms within a
+    // 3-token window, order-insensitive. Oracle replays positions via
+    // unnest(range) and min |pa − pb|.
+    ("x104_near_search", (s: SparkSession, sfDir: String) =>
+      mainColl(s, sfDir).nearSearch("table hash", maxSpan = 3).select("id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $Toks AS w FROM documents),
+              | pa AS (SELECT doc_id, i FROM toks, unnest(range(1, len(w) + 1)) AS u(i)
+              |   WHERE w[i] = 'table'),
+              | pb AS (SELECT doc_id, i FROM toks, unnest(range(1, len(w) + 1)) AS u(i)
+              |   WHERE w[i] = 'hash'),
+              | sp AS (SELECT pa.doc_id, min(abs(pa.i - pb.i)) AS span
+              |   FROM pa JOIN pb USING (doc_id) GROUP BY 1)
+              |SELECT CAST(doc_id AS VARCHAR) AS id FROM sp WHERE span <= 3""".stripMargin)),
+
     // X99: web-provenance — registrable-domain report over synthesized URLs
     // (source × doc_id%23 domains, every 5th on a multi-part .co.uk suffix).
     // Oracle re-derives the domain with DuckDB list slicing.

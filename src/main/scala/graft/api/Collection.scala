@@ -1035,6 +1035,41 @@ final class Collection private (
     Paginator(hits, limit, offset)
   }
 
+  /** Proximity (NEAR) search: documents where ALL of `phrase`'s tokens
+    * occur within a token window of span ≤ `maxSpan` (max position − min
+    * position; fts5 `NEAR(a b, k)` semantics, order-insensitive — the
+    * looser cousin of [[phraseSearch]], whose ordered-adjacent match is
+    * span = n−1 with order). Same two-stage shape: flat-AND postings gate
+    * over the distinct terms, then a zero-shuffle
+    * [[graft.functions.TokenMinSpan]] verify on the candidates only
+    * (pinned above the join, see [[phraseSearch]]). Rank = BM25 over the
+    * terms. Returns (id, content, metadata, rank), rank-desc ordered.
+    */
+  def nearSearch(phrase: String, maxSpan: Int, limit: Int = 0, offset: Int = 0,
+                 where: Map[String, Any] = Map.empty): DataFrame = {
+    if (!useFts)
+      throw new IllegalArgumentException("This collection does not support full-text search.")
+    require(maxSpan >= 1, "maxSpan >= 1")
+    val folded = if (foldAccents) graft.functions.StringFold.fold(phrase) else phrase
+    val terms = folded.toLowerCase.split(graft.functions.TextFunctions.SeparatorRegex)
+      .filter(_.nonEmpty).toSeq.distinct
+    require(terms.size >= 2, "NEAR needs at least 2 distinct terms")
+    val q = terms.map(BoolQuery.Term(_): BoolQuery).reduceLeft(BoolQuery.And(_, _))
+    val scored = Bm25.scoredIds(postings(), collStats(), q)
+      .getOrElse(sys.error("flat AND over distinct terms is always fusable"))
+    val needle = array(terms.map(lit): _*)
+    val verify = when($"rank".isNotNull,
+      graft.functions.TextFunctions.tokenMinSpan(
+        graft.functions.TextFunctions.tokens($"content", foldAccents), needle) <= maxSpan)
+      .otherwise(lit(false))
+    val hits = applyWhere(docs(), where)
+      .join(scored, Seq("id"))
+      .filter(verify)
+      .select($"id", $"content", $"metadata", $"rank")
+      .orderBy($"rank".desc, $"id".asc)
+    Paginator(hits, limit, offset)
+  }
+
   /** Builds the ordered pre-limit frame; returns (frame, hasRank). */
   private def plan(query: String, where: Map[String, Any], ob: OrderBy,
                    vectorSearch: Boolean): (DataFrame, Boolean) = {

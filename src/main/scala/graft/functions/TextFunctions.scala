@@ -157,6 +157,12 @@ object TextFunctions {
     * ARRAY<STRING>) — the phrase-adjacency test. See [[ContainsSlice]]. */
   def containsSlice(haystack: Column, needle: Column): Column =
     Bridge.column(ContainsSlice(Bridge.expression(haystack), Bridge.expression(needle)))
+
+  /** Smallest token-position window containing ALL of `terms` (max pos −
+    * min pos over the best occurrence selection); NULL when any term is
+    * absent. See [[TokenMinSpan]]. */
+  def tokenMinSpan(tokens: Column, terms: Column): Column =
+    Bridge.column(TokenMinSpan(Bridge.expression(tokens), Bridge.expression(terms)))
 }
 
 /** Shannon entropy H = −Σ p_t ln p_t (nats) of the row's OWN token
@@ -258,6 +264,85 @@ case class ContainsSlice(left: org.apache.spark.sql.catalyst.expressions.Express
       i += 1
     }
     false
+  }
+
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression) = copy(left = l, right = r)
+}
+
+/** Minimum-window span over token positions: the smallest (max pos − min
+  * pos) of any position selection covering ALL of `right`'s (distinct)
+  * terms inside `left`'s token array — the NEAR-operator primitive
+  * (fts5 `NEAR(a b, k)` admits a doc iff span ≤ k; adjacency is span
+  * = |terms|−1 — phrase search is the stricter ORDERED cousin). NULL when
+  * any term is missing (or the term set is empty). Classic one-pass
+  * min-window scan: advance over tokens keeping each term's last position;
+  * every time all terms have been seen, the window ending here is
+  * (i − min lastSeen) — O(|tokens|·|terms|), per-row, zero shuffle, the
+  * verify stage over postings-pruned candidates.
+  */
+case class TokenMinSpan(left: org.apache.spark.sql.catalyst.expressions.Expression,
+                        right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_min_span"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (ARRAY<STRING>, ARRAY<STRING>), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(h: Any, t: Any): Any = {
+    val toks = h.asInstanceOf[ArrayData]
+    val terms = t.asInstanceOf[ArrayData]
+    val m = terms.numElements()
+    if (m == 0) return null
+    // Integer values, not Int: an erased get() miss returns null, which a
+    // primitive Int would silently unbox to 0 — a VALID index
+    val idx = new java.util.HashMap[UTF8String, Integer](m * 2)
+    var j = 0
+    while (j < m) {
+      if (!terms.isNullAt(j))
+        idx.putIfAbsent(terms.getUTF8String(j), Integer.valueOf(idx.size))
+      j += 1
+    }
+    val k = idx.size
+    if (k == 0) return null
+    val last = Array.fill(k)(-1)
+    var seen = 0
+    var best = Int.MaxValue
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val p = idx.get(toks.getUTF8String(i))
+        if (p != null) {
+          val pi = p.intValue
+          if (last(pi) < 0) seen += 1
+          last(pi) = i
+          if (seen == k) {
+            var lo = Int.MaxValue
+            var q = 0
+            while (q < k) { if (last(q) < lo) lo = last(q); q += 1 }
+            if (i - lo < best) best = i - lo
+          }
+        }
+      }
+      i += 1
+    }
+    if (best == Int.MaxValue) null else best
   }
 
   override protected def withNewChildrenInternal(

@@ -112,7 +112,10 @@ object GraftFunctions {
       args => graft.functions.TokenEntropy(args(0))),
     fn("graft_contains_slice",
       "graft_contains_slice(haystack ARRAY<STRING>, needle ARRAY<STRING>) - true iff needle occurs as a contiguous run", 2, 2)(
-      args => graft.functions.ContainsSlice(args(0), args(1)))
+      args => graft.functions.ContainsSlice(args(0), args(1))),
+    fn("graft_token_min_span",
+      "graft_token_min_span(tokens ARRAY<STRING>, terms ARRAY<STRING>) - smallest position window covering all terms (NULL if any absent)", 2, 2)(
+      args => graft.functions.TokenMinSpan(args(0), args(1)))
   )
 
   /** Install the functions into an EXISTING session (temp-function scope). */
@@ -169,6 +172,14 @@ object GraftFunctions {
       graft.api.Collection.open(s, strArg(args(0), "root"), strArg(args(1), "name"))
         .phraseSearch(strArg(args(2), "phrase"),
           limit = if (args.size > 3) intArg(args(3), "limit") else 0)
+        .queryExecution.logical
+    },
+    tfn("graft_near",
+      "graft_near(root STRING, name STRING, terms STRING, span INT[, limit INT]) - proximity search: all terms within a span-token window", 4, 5) { args =>
+      val s = org.apache.spark.sql.SparkSession.active
+      graft.api.Collection.open(s, strArg(args(0), "root"), strArg(args(1), "name"))
+        .nearSearch(strArg(args(2), "terms"), intArg(args(3), "span"),
+          limit = if (args.size > 4) intArg(args(4), "limit") else 0)
         .queryExecution.logical
     },
     tfn("graft_docs_asof",

@@ -883,6 +883,45 @@ class CollectionSpec extends AnyFunSuite {
     }
   }
 
+  test("nearSearch: window span, order-insensitive, multi-term, verify above join") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val c = coll(freshRoot(), "near")
+    c.add(
+      contents = Seq(
+        "alpha x x beta",       // n1: span 3
+        "beta x alpha",         // n2: span 2, reversed order
+        "alpha x x x x beta",   // n3: span 5
+        "alpha only here"),     // n4: missing beta
+      ids = Some(Seq("n1", "n2", "n3", "n4")))
+    import spark.implicits._
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[String].collect().toSet
+    assert(ids(c.nearSearch("alpha beta", maxSpan = 3)) === Set("n1", "n2"))
+    assert(ids(c.nearSearch("alpha beta", maxSpan = 2)) === Set("n2"))
+    assert(ids(c.nearSearch("alpha beta", maxSpan = 5)) === Set("n1", "n2", "n3"))
+    // multi-term min window via the expression directly: a@1,4 b@2 c@5 -> 3
+    val span = Seq(("q a b q a c")).toDF("content")
+      .select(graft.functions.TextFunctions.tokenMinSpan(
+        graft.functions.TextFunctions.tokens(col("content")),
+        array(lit("a"), lit("b"), lit("c"))).as("s"))
+      .head().getInt(0)
+    assert(span === 3)
+    // missing term -> NULL, not 0
+    val miss = Seq(("a b")).toDF("content")
+      .select(graft.functions.TextFunctions.tokenMinSpan(
+        graft.functions.TextFunctions.tokens(col("content")),
+        array(lit("a"), lit("z"))))
+      .head()
+    assert(miss.isNullAt(0))
+    val e = intercept[IllegalArgumentException](c.nearSearch("solo", maxSpan = 3))
+    assert(e.getMessage.contains("2 distinct terms"))
+    // verify stays above the candidate join (the phraseSearch guarantee)
+    val plan = c.nearSearch("alpha beta", maxSpan = 3).queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toList
+    assert(!scans.exists(_.contains("token_min_span")), plan)
+    assert(plan.contains("token_min_span"), plan)
+  }
+
   test("phraseSearch: foldAccents collection matches folded phrase both directions") {
     val root = freshRoot()
     val c = Collection(spark, root, "folded", foldAccents = true)
