@@ -920,6 +920,22 @@ object EntryQueries {
               |WHERE regexp_matches(lower(text),
               |  '(^|[^a-z0-9])table[^a-z0-9]+hash([^a-z0-9]|$$)')""".stripMargin)),
 
+    // X105: index introspection — df-heaviest terms + dictionary/corpus
+    // stats; oracle recomputes the whole report from the documents table.
+    ("x105_index_stats", (s: SparkSession, sfDir: String) =>
+      mainColl(s, sfDir).indexStats(topK = 10),
+      Some(s"""WITH toks AS (SELECT doc_id, $Toks AS w FROM documents),
+              | td AS (SELECT DISTINCT doc_id, t FROM (SELECT doc_id, unnest(w) AS t FROM toks)),
+              | df AS (SELECT t, count(*) AS df FROM td GROUP BY 1),
+              | tot AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+              |   (SELECT count(DISTINCT t) FROM td) AS n_terms,
+              |   (SELECT count(*) FROM td) AS n_postings,
+              |   (SELECT avg(len(w)) FROM toks) AS avg_dl),
+              | top AS (SELECT t AS term, df,
+              |   ROW_NUMBER() OVER (ORDER BY df DESC, t ASC) AS rn FROM df)
+              |SELECT rn, term, df, n_docs, n_terms, n_postings, round(avg_dl, 6) AS avg_dl
+              |FROM top, tot WHERE rn <= 10""".stripMargin)),
+
     // X104: proximity search — NEAR(table hash, 3): both terms within a
     // 3-token window, order-insensitive. Oracle replays positions via
     // unnest(range) and min |pa − pb|.

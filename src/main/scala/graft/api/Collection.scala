@@ -1035,6 +1035,37 @@ final class Collection private (
     Paginator(hits, limit, offset)
   }
 
+  /** Index introspection — the "EXPLAIN the index" admin surface (the
+    * reference's stores are opaque SQLite/PG internals; here the postings
+    * ARE a table, so the report is one aggregate over it). One row per
+    * df-heaviest term (rn, term, df) with the corpus-level columns
+    * repeated: n_docs, n_terms (distinct dictionary size), n_postings
+    * ((term, doc) rows), avg_dl. Capacity planning, stopword auditing,
+    * and index-health checks read from this.
+    *
+    * Scale: one postings scan feeds BOTH the dictionary aggregate and the
+    * per-term df (map-side combine; identical subtrees reuse the
+    * exchange); the top-k cut is TakeOrderedAndProject, never a full-vocab
+    * window; stats join back as broadcast 1-row frames.
+    */
+  def indexStats(topK: Int = 10): DataFrame = {
+    if (!useFts)
+      throw new IllegalArgumentException("This collection does not support full-text search.")
+    require(topK >= 1, "topK >= 1")
+    val p = postings()
+    // qualified: the class's own count() shadows functions.count here
+    val cnt = org.apache.spark.sql.functions.count(lit(1))
+    val dict = p.agg(countDistinct($"term").as("n_terms"), cnt.as("n_postings"))
+    val byDf = p.groupBy($"term").agg(cnt.as("df")) // (term, id) unique
+      .orderBy($"df".desc, $"term".asc).limit(topK)
+    val w = Window.orderBy($"df".desc, $"term".asc) // ≤ topK rows — bounded window
+    byDf.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(dict))
+      .crossJoin(broadcast(collStats().select($"n_docs", $"avg_dl")))
+      .select($"rn".cast("long").as("rn"), $"term", $"df",
+        $"n_docs", $"n_terms", $"n_postings", round($"avg_dl", 6).as("avg_dl"))
+  }
+
   /** Proximity (NEAR) search: documents where ALL of `phrase`'s tokens
     * occur within a token window of span ≤ `maxSpan` (max position − min
     * position; fts5 `NEAR(a b, k)` semantics, order-insensitive — the

@@ -883,6 +883,26 @@ class CollectionSpec extends AnyFunSuite {
     }
   }
 
+  test("indexStats: dictionary sizes, df ranking, stats after upsert") {
+    val c = coll(freshRoot(), "ix")
+    c.add(Seq("a b c", "a b", "a"), ids = Some(Seq("d1", "d2", "d3")))
+    val rows = c.indexStats(topK = 2).collect()
+    assert(rows.length === 2)
+    val byRn = rows.map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(byRn(1L)._1 === "a" && byRn(1L)._2 === 3L) // df ranking
+    assert(byRn(2L)._1 === "b" && byRn(2L)._2 === 2L)
+    val (_, _, nDocs, nTerms, nPostings, avgDl) = byRn(1L)
+    assert(nDocs === 3L && nTerms === 3L && nPostings === 6L)
+    assert(math.abs(avgDl - 2.0) < 1e-9)
+    // stats track upserts (d3 gains tokens)
+    c.addDf({ import spark.implicits._
+      Seq(("d3", "z z q")).toDF("id", "content") })
+    val after = c.indexStats(topK = 1).head()
+    assert(after.getLong(3) === 3L && after.getLong(4) === 5L) // terms: a b c z q
+    assert(math.abs(after.getDouble(6) - (3 + 2 + 3) / 3.0) < 1e-6) // column rounds to 6dp
+  }
+
   test("nearSearch: window span, order-insensitive, multi-term, verify above join") {
     import org.apache.spark.sql.functions.{array, col, lit}
     val c = coll(freshRoot(), "near")
