@@ -920,6 +920,29 @@ object EntryQueries {
               |WHERE regexp_matches(lower(text),
               |  '(^|[^a-z0-9])table[^a-z0-9]+hash([^a-z0-9]|$$)')""".stripMargin)),
 
+    // X106: extended query language — phrase/near leaves composed with
+    // or/and inside ONE boolean query; oracle replays each leaf
+    // independently (regex adjacency, position-window, token membership).
+    ("x106_extended_query", (s: SparkSession, sfDir: String) =>
+      mainColl(s, sfDir).extendedQueryFrame("\"table hash\" or customer").select("id"),
+      Some(s"""SELECT $DocId AS id FROM documents
+              |WHERE regexp_matches(lower(text),
+              |    '(^|[^a-z0-9])table[^a-z0-9]+hash([^a-z0-9]|$$)')
+              |  OR ${hasTerm("customer")}""".stripMargin)),
+
+    ("x106b_extended_near", (s: SparkSession, sfDir: String) =>
+      mainColl(s, sfDir).extendedQueryFrame("near(table hash, 3) and small").select("id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $Toks AS w FROM documents),
+              | pa AS (SELECT doc_id, i FROM toks, unnest(range(1, len(w) + 1)) AS u(i)
+              |   WHERE w[i] = 'table'),
+              | pb AS (SELECT doc_id, i FROM toks, unnest(range(1, len(w) + 1)) AS u(i)
+              |   WHERE w[i] = 'hash'),
+              | sp AS (SELECT pa.doc_id, min(abs(pa.i - pb.i)) AS span
+              |   FROM pa JOIN pb USING (doc_id) GROUP BY 1)
+              |SELECT $DocId AS id FROM documents
+              |WHERE doc_id IN (SELECT doc_id FROM sp WHERE span <= 3)
+              |  AND ${hasTerm("small")}""".stripMargin)),
+
     // X105: index introspection — df-heaviest terms + dictionary/corpus
     // stats; oracle recomputes the whole report from the documents table.
     ("x105_index_stats", (s: SparkSession, sfDir: String) =>

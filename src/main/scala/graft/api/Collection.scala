@@ -1035,6 +1035,82 @@ final class Collection private (
     Paginator(hits, limit, offset)
   }
 
+  /** EXTENDED-syntax query: the reference grammar plus `"quoted phrase"`
+    * (adjacency) and `near(a b, k)` (proximity window) leaves, composable
+    * with and/or/implicit-AND anywhere in the boolean tree — the unified
+    * form of [[phraseSearch]]/[[nearSearch]]
+    * ([[graft.parse.QueryParser.parseExtended]]). The reference-parity
+    * `query`/`queryFrame` grammar is untouched.
+    *
+    * Evaluation: match ids compose recursively (joins for AND, distinct
+    * unions for OR); each extended leaf lowers to its flat-AND postings
+    * gate plus a candidates-only ContainsSlice/TokenMinSpan verify (pinned
+    * above the join, see [[phraseSearch]]). Rank = BM25 over the query
+    * with extended leaves expanded to their terms, 0 for docs admitted
+    * without a scoring term (same convention as the non-flat parity path).
+    * Returns (id, content, metadata, rank), rank-desc / id-asc.
+    */
+  def extendedQueryFrame(query: String, limit: Int = 0, offset: Int = 0,
+                         where: Map[String, Any] = Map.empty): DataFrame = {
+    val folded = if (foldAccents) graft.functions.StringFold.fold(query) else query
+    QueryParser.parseExtended(folded) match {
+      case None => queryFrame("", limit, offset, where)
+      case Some(ast) if !BoolQuery.hasExtended(ast) =>
+        queryFrame(query, limit, offset, where)
+      case Some(ast) =>
+        if (!useFts)
+          throw new IllegalArgumentException("This collection does not support full-text search.")
+        val ids = extIds(ast)
+        val expanded = expandExtended(ast)
+        val hits = applyWhere(docs(), where)
+          .join(ids, Seq("id"))
+          .join(Bm25.scores(postings(), collStats(), expanded), Seq("id"), "left")
+          .withColumn("rank", coalesce($"rank", lit(0.0)))
+          .select($"id", $"content", $"metadata", $"rank")
+          .orderBy($"rank".desc, $"id".asc)
+        Paginator(hits, limit, offset)
+    }
+  }
+
+  /** Match-id frame for an extended AST (ids distinct per subtree). */
+  private def extIds(q: BoolQuery): DataFrame = q match {
+    case BoolQuery.Phrase(ts) =>
+      verifiedIds(ts.distinct, graft.functions.TextFunctions.containsSlice(
+        graft.functions.TextFunctions.tokens($"content", foldAccents),
+        array(ts.map(lit): _*)))
+    case BoolQuery.Near(ts, k) =>
+      verifiedIds(ts.distinct, graft.functions.TextFunctions.tokenMinSpan(
+        graft.functions.TextFunctions.tokens($"content", foldAccents),
+        array(ts.distinct.map(lit): _*)) <= k)
+    case BoolQuery.And(l, r) => extIds(l).join(extIds(r), Seq("id"))
+    case BoolQuery.Or(l, r)  => extIds(l).union(extIds(r)).distinct()
+    case leaf => FtsEval.matchingIds(postings(), leaf)
+  }
+
+  /** Gate on the terms' postings AND-match, then verify `pred` on the
+    * candidates' content only. The marker-column conditional pins the
+    * verify ABOVE the join (its pushdown would re-tokenize the whole
+    * corpus — the [[phraseSearch]] plan guarantee).
+    */
+  private def verifiedIds(gateTerms: Seq[String], pred: org.apache.spark.sql.Column): DataFrame = {
+    val gate = gateTerms.map(BoolQuery.Term(_): BoolQuery).reduceLeft(BoolQuery.And(_, _))
+    val ids = FtsEval.matchingIds(postings(), gate).withColumn("__g", lit(1))
+    docs().join(ids, Seq("id"))
+      .filter(when($"__g".isNotNull, pred).otherwise(lit(false)))
+      .select($"id")
+  }
+
+  /** Extended leaves -> AND of their (distinct) terms, for BM25 scoring. */
+  private def expandExtended(q: BoolQuery): BoolQuery = q match {
+    case BoolQuery.Phrase(ts) =>
+      ts.distinct.map(BoolQuery.Term(_): BoolQuery).reduceLeft(BoolQuery.And(_, _))
+    case BoolQuery.Near(ts, _) =>
+      ts.distinct.map(BoolQuery.Term(_): BoolQuery).reduceLeft(BoolQuery.And(_, _))
+    case BoolQuery.And(l, r) => BoolQuery.And(expandExtended(l), expandExtended(r))
+    case BoolQuery.Or(l, r)  => BoolQuery.Or(expandExtended(l), expandExtended(r))
+    case leaf => leaf
+  }
+
   /** Index introspection — the "EXPLAIN the index" admin surface (the
     * reference's stores are opaque SQLite/PG internals; here the postings
     * ARE a table, so the report is one aggregate over it). One row per

@@ -91,6 +91,13 @@ object Bm25 {
     *     once no matter how many wildcards the query carries.
     */
   private def perLeafDocFrame(postings: DataFrame, leaves: Seq[BoolQuery]): DataFrame = {
+    // a silently-ignored leaf kind would mis-score, not crash — reject
+    // extended leaves explicitly (Collection expands them to Terms first)
+    leaves.foreach {
+      case _: BoolQuery.Term | _: BoolQuery.Prefix | _: BoolQuery.Wildcard => ()
+      case ext => throw new IllegalArgumentException(
+        s"extended leaf $ext must be expanded before BM25 scoring")
+    }
     val exact = leaves.collect { case BoolQuery.Term(t) => t }.distinct
     // each non-exact leaf gets a synthetic leaf key ("*0", "*1", …) — tokens
     // are \p{L}\p{N} runs, so no dictionary term can collide with it

@@ -59,6 +59,25 @@ object BoolQuery {
   final case class And(l: BoolQuery, r: BoolQuery) extends BoolQuery
   final case class Or(l: BoolQuery, r: BoolQuery) extends BoolQuery
 
+  /** EXTENDED leaves — graft-only syntax from
+    * [[graft.parse.QueryParser.parseExtended]] (`"quoted phrase"`,
+    * `near(a b, k)`), NOT part of the reference grammar. They carry a
+    * content-verification obligation beyond the postings index, so
+    * `Collection` lowers them (postings AND-gate + candidates-only verify)
+    * before anything reaches [[graft.exec.FtsEval]] / `Bm25`, which reject
+    * them defensively.
+    */
+  final case class Phrase(terms: Seq[String]) extends BoolQuery
+  final case class Near(terms: Seq[String], k: Int) extends BoolQuery
+
+  /** True iff the tree contains an extended (verify-carrying) leaf. */
+  def hasExtended(q: BoolQuery): Boolean = q match {
+    case And(l, r) => hasExtended(l) || hasExtended(r)
+    case Or(l, r)  => hasExtended(l) || hasExtended(r)
+    case _: Phrase | _: Near => true
+    case _ => false
+  }
+
   /** All leaf terms/prefixes, left-to-right (used for BM25 scoring terms). */
   def leaves(q: BoolQuery): Seq[BoolQuery] = q match {
     case And(l, r) => leaves(l) ++ leaves(r)

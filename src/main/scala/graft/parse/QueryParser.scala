@@ -35,36 +35,107 @@ object QueryParser {
       else orGroups(orGroups.size - 1) = orGroups.last :+ tok
     }
 
-    def leaf(word: String): Option[BoolQuery] = {
-      // Locale.ROOT: the index side lowercases with Spark's locale-
-      // independent lower(); a default-locale toLowerCase on a tr/az JVM
-      // maps 'I' -> 'ı' (dotless) and every query containing 'I' would
-      // silently match zero postings
-      val w = word.toLowerCase(java.util.Locale.ROOT)
-      if (w.equalsIgnoreCase("and")) None // handled by implicit-AND folding
-      else {
-        // Punctuated words are split with the INDEX tokenizer's separator
-        // ("don't" -> don AND t) so query terms match their tokenized form —
-        // the reference hands the raw word to fts5/to_tsquery, which
-        // tokenizes consistently with its index. `*` survives the split: it
-        // is wildcard syntax, not punctuation (SQLite accepts it anywhere in
-        // a term, reference README.md:69; trailing-only is the PG subset).
-        val parts = w.split("[^\\p{L}\\p{N}*]+").toSeq.filter(_.nonEmpty)
-        val leaves: Seq[BoolQuery] = parts.flatMap { p =>
-          val stars = p.count(_ == '*')
-          if (stars == 0) Some(Term(p))
-          else if (p.forall(_ == '*')) None // bare `*`: no literal text, drop
-          else if (stars == 1 && p.endsWith("*")) Some(Prefix(p.dropRight(1)))
-          else Some(Wildcard(p))
-        }
-        leaves.reduceOption(And(_, _))
-      }
-    }
-
     def andGroup(words: Vector[String]): Option[BoolQuery] =
       words.flatMap(leaf).reduceOption(And(_, _))
 
     orGroups.toVector.flatMap(andGroup).reduceOption(Or(_, _))
+  }
+
+  /** Placeholder marker for [[parseExtended]]'s extracted sub-queries — NUL
+    * cannot appear as a word character, so no user term collides with a
+    * marker token (spelled as the escape; the source stays greppable). */
+  private val M = '\u0000'
+
+  /** EXTENDED grammar: everything [[parse]] accepts PLUS
+    *
+    *   - `"quoted phrase"` → [[BoolQuery.Phrase]] (token-adjacency match;
+    *     a single-token quote degrades to a plain Term — same as fts5)
+    *   - `near(a b …, k)` → [[BoolQuery.Near]] (all terms within a k-token
+    *     window; `k` optional, default 10 — the fts5 NEAR default),
+    *     case-insensitive
+    *
+    * both composable with and/or/implicit-AND like any word. This is
+    * graft-only syntax: the REFERENCE grammar strips quotes to plain terms
+    * (core.py:60, pinned by `q2_parser_golden`), so the extension lives in
+    * a separate entry point and the parity parser stays byte-exact.
+    */
+  def parseExtended(query: String): Option[BoolQuery] = {
+    val specials = collection.mutable.ArrayBuffer[BoolQuery]()
+    def toks(s: String): Seq[String] =
+      s.toLowerCase(java.util.Locale.ROOT)
+        .split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
+    // placeholders survive the word split: NUL never appears in user text
+    // and is not a token separator match target after extraction
+    def placeholder(): String = s" $M${specials.size - 1}$M "
+    val rxQuote = "\"([^\"]*)\"".r
+    val rxNear = "(?i)near\\(([^)]*)\\)".r
+    var txt = rxQuote.replaceAllIn(query, m => {
+      val ts = toks(m.group(1))
+      if (ts.isEmpty) " "
+      else {
+        specials += (if (ts.size == 1) Term(ts.head) else Phrase(ts))
+        placeholder()
+      }
+    })
+    txt = rxNear.replaceAllIn(txt, m => {
+      val body = m.group(1)
+      val (termsPart, k) = body.lastIndexOf(',') match {
+        case i if i >= 0 && body.drop(i + 1).trim.matches("\\d+") =>
+          (body.take(i), body.drop(i + 1).trim.toInt)
+        case _ => (body, 10)
+      }
+      val ts = toks(termsPart).distinct
+      if (ts.isEmpty) " "
+      else {
+        specials += (if (ts.size == 1) Term(ts.head) else Near(ts, k))
+        placeholder()
+      }
+    })
+    val phRx = ("^" + M + "(\\d+)" + M + "$").r
+    // NO .trim here: String.trim strips every char <= 0x20 — including a
+    // leading/trailing placeholder's NUL markers
+    val tokens = txt.split("\\s+").toIndexedSeq.filter(_.nonEmpty)
+    if (tokens.isEmpty) return None
+    val orGroups = collection.mutable.ArrayBuffer[Vector[String]](Vector.empty)
+    tokens.foreach { tok =>
+      if (tok.equalsIgnoreCase("or")) orGroups += Vector.empty
+      else orGroups(orGroups.size - 1) = orGroups.last :+ tok
+    }
+    def extLeaf(word: String): Option[BoolQuery] = word match {
+      case phRx(i) => Some(specials(i.toInt))
+      case _ => leaf(word)
+    }
+    def andGroup(words: Vector[String]): Option[BoolQuery] =
+      words.flatMap(extLeaf).reduceOption(And(_, _))
+    orGroups.toVector.flatMap(andGroup).reduceOption(Or(_, _))
+  }
+
+  /** Word -> leaf AST (None for operator words / bare `*`) — shared by
+    * [[parse]] and [[parseExtended]]. */
+  private def leaf(word: String): Option[BoolQuery] = {
+    // Locale.ROOT: the index side lowercases with Spark's locale-
+    // independent lower(); a default-locale toLowerCase on a tr/az JVM
+    // maps 'I' -> 'ı' (dotless) and every query containing 'I' would
+    // silently match zero postings
+    val w = word.toLowerCase(java.util.Locale.ROOT)
+    if (w.equalsIgnoreCase("and")) None // handled by implicit-AND folding
+    else {
+      // Punctuated words are split with the INDEX tokenizer's separator
+      // ("don't" -> don AND t) so query terms match their tokenized form —
+      // the reference hands the raw word to fts5/to_tsquery, which
+      // tokenizes consistently with its index. `*` survives the split: it
+      // is wildcard syntax, not punctuation (SQLite accepts it anywhere in
+      // a term, reference README.md:69; trailing-only is the PG subset).
+      val parts = w.split("[^\\p{L}\\p{N}*]+").toSeq.filter(_.nonEmpty)
+      val leaves: Seq[BoolQuery] = parts.flatMap { p =>
+        val stars = p.count(_ == '*')
+        if (stars == 0) Some(Term(p))
+        else if (p.forall(_ == '*')) None // bare `*`: no literal text, drop
+        else if (stars == 1 && p.endsWith("*")) Some(Prefix(p.dropRight(1)))
+        else Some(Wildcard(p))
+      }
+      leaves.reduceOption(And(_, _))
+    }
   }
 
   /** Canonical string form, for golden tests / debugging (plays the role of
@@ -75,6 +146,8 @@ object QueryParser {
     case Term(t)      => t
     case Prefix(p)    => s"$p:*"
     case Wildcard(p)  => p // literal `*`s kept — the SQLite-dialect form
+    case Phrase(ts)   => "\"" + ts.mkString(" ") + "\""
+    case Near(ts, k)  => s"near(${ts.mkString(" ")}, $k)"
     case And(l, r)    => s"${print(l)} & ${print(r)}"
     case Or(l, r)     => s"(${print(l)}) | (${print(r)})"
   }

@@ -883,6 +883,35 @@ class CollectionSpec extends AnyFunSuite {
     }
   }
 
+  test("extendedQueryFrame: phrase/near leaves compose with and/or; plain queries match queryFrame") {
+    import spark.implicits._
+    val c = coll(freshRoot(), "extq")
+    c.add(
+      contents = Seq(
+        "alpha beta gamma",     // e1: phrase "alpha beta"; near(alpha gamma, 2)
+        "beta alpha",           // e2: no phrase; near(alpha beta, 1)
+        "alpha x x x beta",     // e3: no phrase; near at 4
+        "delta only"),          // e4: delta arm
+      ids = Some(Seq("e1", "e2", "e3", "e4")))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[String].collect().toSet
+    assert(ids(c.extendedQueryFrame("\"alpha beta\" or delta")) === Set("e1", "e4"))
+    assert(ids(c.extendedQueryFrame("near(alpha beta, 1) and beta")) === Set("e1", "e2"))
+    assert(ids(c.extendedQueryFrame("near(alpha gamma, 2) and beta")) === Set("e1"))
+    assert(ids(c.extendedQueryFrame("near(alpha beta, 4) or \"delta only\""))
+      === Set("e1", "e2", "e3", "e4"))
+    // matched docs carry BM25 rank over the expanded terms; pure-phrase rank > 0
+    val ranked = c.extendedQueryFrame("\"alpha beta\"")
+      .select("id", "rank").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranked.keySet === Set("e1") && ranked("e1") > 0.0)
+    // no extended leaves -> identical to the parity pipeline
+    val a = c.extendedQueryFrame("alpha or delta").select("id", "rank").collect().toSeq
+    val b = c.queryFrame("alpha or delta").select("id", "rank").collect().toSeq
+    assert(a === b)
+    // empty extended query degrades to the scan
+    assert(c.extendedQueryFrame("").count() === 4)
+  }
+
   test("indexStats: dictionary sizes, df ranking, stats after upsert") {
     val c = coll(freshRoot(), "ix")
     c.add(Seq("a b c", "a b", "a"), ids = Some(Seq("d1", "d2", "d3")))

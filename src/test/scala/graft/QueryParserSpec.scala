@@ -1,4 +1,5 @@
 package graft
+// (extended-grammar cases live at the bottom of this spec)
 
 import graft.model.BoolQuery._
 import graft.parse.QueryParser
@@ -84,5 +85,30 @@ class QueryParserSpec extends AnyFunSuite {
     assert(Wildcard("te*m").regex === "^\\Qte\\E.*\\Qm\\E$")
     assert(Wildcard("*fix").regex === "^.*\\Qfix\\E$")
     assert(Wildcard("a*b*c").regex === "^\\Qa\\E.*\\Qb\\E.*\\Qc\\E$")
+  }
+
+  private def px(q: String) = QueryParser.parseExtended(q)
+
+  test("parseExtended: phrases, near, composition, degradations") {
+    assert(px("\"table hash\"").contains(Phrase(Seq("table", "hash"))))
+    assert(px("\"Table, HASH!\"").contains(Phrase(Seq("table", "hash")))) // folds + splits
+    assert(px("\"solo\"").contains(Term("solo")))     // 1-token quote degrades
+    assert(px("\"\" lorem").contains(Term("lorem")))  // empty quote dropped
+    assert(px("near(a b, 3)").contains(Near(Seq("a", "b"), 3)))
+    assert(px("NEAR(a b)").contains(Near(Seq("a", "b"), 10))) // default k, case-insensitive
+    assert(px("near(a, 3)").contains(Term("a")))      // 1-term near degrades
+    assert(px("near(a a b, 2)").contains(Near(Seq("a", "b"), 2))) // distinct terms
+    assert(px("\"a b\" or c and d").contains(
+      Or(Phrase(Seq("a", "b")), And(Term("c"), Term("d")))))
+    assert(px("\"a b\" near(c d, 2)").contains(
+      And(Phrase(Seq("a", "b")), Near(Seq("c", "d"), 2))))
+    // numeric terms never collide with the internal placeholders
+    assert(px("\"a b\" 0").contains(And(Phrase(Seq("a", "b")), Term("0"))))
+    // plain queries parse identically to the reference grammar
+    for (q <- Seq("Lorem", "x AND y or z", "don't*", "te*m", "or a"))
+      assert(px(q) === QueryParser.parse(q), q)
+    // print round-trip forms
+    assert(QueryParser.print(px("\"a b\" or near(c d, 2)").get)
+      === "(\"a b\") | (near(c d, 2))")
   }
 }
