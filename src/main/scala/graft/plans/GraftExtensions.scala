@@ -182,6 +182,14 @@ object GraftFunctions {
           limit = if (args.size > 4) intArg(args(4), "limit") else 0)
         .queryExecution.logical
     },
+    tfn("graft_extended",
+      "graft_extended(root STRING, name STRING, query STRING[, limit INT]) - extended-grammar search: \"quoted phrase\" and near(a b, k) leaves composable with and/or", 3, 4) { args =>
+      val s = org.apache.spark.sql.SparkSession.active
+      graft.api.Collection.open(s, strArg(args(0), "root"), strArg(args(1), "name"))
+        .extendedQueryFrame(strArg(args(2), "query"),
+          limit = if (args.size > 3) intArg(args(3), "limit") else 0)
+        .queryExecution.logical
+    },
     tfn("graft_docs_asof",
       "graft_docs_asof(root STRING, name STRING, seg BIGINT) - time-travel documents as of a history() segment", 3, 3) { args =>
       val s = org.apache.spark.sql.SparkSession.active

@@ -638,6 +638,11 @@ class ExtSpec extends AnyFunSuite {
     val ph = spark.sql(s"SELECT id FROM graft_phrase('$root', 'main', 'spark makes')")
       .as[String].collect().toSeq
     assert(ph === Seq("1")) // doc 3 has both terms, not adjacent
+    // extended grammar from SQL: phrase OR term in one query
+    val ex = spark.sql(
+      "SELECT id FROM graft_extended('" + root + "', 'main', '\"spark makes\" or pond')")
+      .as[String].collect().toSet
+    assert(ex === Set("1", "2"))
     // time travel from SQL: upsert (delta path forced — a direct merge
     // folds history by design) then read the pre-upsert era
     spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
