@@ -46,6 +46,20 @@ object Demo {
     println(s"fts 'vector index' total = ${fts.total}")
     fts.results.foreach(h => println(f"  id=${h.id} bm25=${h.rank.get}%.4f"))
 
+    // Extended query surface: phrase adjacency + NEAR windows inside the
+    // boolean grammar, plus the standalone phrase/near APIs.
+    val ph = c.phraseSearch("table hash").count()
+    val nr = c.nearSearch("table hash", maxSpan = 3).count()
+    val ext = c.extendedQueryFrame("\"table hash\" or near(slow key, 4)").count()
+    println(s"phrase 'table hash' = $ph, near(3) = $nr, extended = $ext")
+
+    // The same store from plain SQL via table functions.
+    graft.plans.GraftFunctions.registerTables(spark)
+    val sqlN = spark.sql(
+      s"SELECT count(*) FROM graft_search('$root', 'docs', 'filter or stream')")
+      .head().getLong(0)
+    println(s"graft_search via SQL = $sqlN")
+
     // Vector search on the embeddings table via a hash-stub embedder.
     object StubEmbedder extends Embedder {
       def embed(texts: Seq[String]): Seq[Array[Float]] =
