@@ -1094,7 +1094,18 @@ final class Collection private (
     */
   private def verifiedIds(gateTerms: Seq[String], pred: org.apache.spark.sql.Column): DataFrame = {
     val gate = gateTerms.map(BoolQuery.Term(_): BoolQuery).reduceLeft(BoolQuery.And(_, _))
-    val ids = FtsEval.matchingIds(postings(), gate).withColumn("__g", lit(1))
+    // the marker must be a NULLABLE aggregate, not a literal or a count: a
+    // lit() marker constant-folds, and count(*) is non-nullable so
+    // NullPropagation folds `isnotnull(__g)` to true either way — the
+    // conditional then collapses to the bare predicate and Catalyst pushes
+    // it below the join onto the full docs scan (the re-tokenize-the-corpus
+    // plan this guards against). sum() is nullable-typed, like the `rank`
+    // guard in phraseSearch. The gate frame is already id-partitioned, so
+    // the extra agg is shuffle-free in the AND path and one skinny
+    // match-ids shuffle otherwise.
+    val ids = FtsEval.matchingIds(postings(), gate)
+      .groupBy($"id")
+      .agg(sum(lit(1L)).as("__g"))
     docs().join(ids, Seq("id"))
       .filter(when($"__g".isNotNull, pred).otherwise(lit(false)))
       .select($"id")

@@ -910,6 +910,14 @@ class CollectionSpec extends AnyFunSuite {
     assert(a === b)
     // empty extended query degrades to the scan
     assert(c.extendedQueryFrame("").count() === 4)
+    // plan: the extended verifies stay ABOVE their candidate joins — a
+    // pushed-down verify would re-tokenize the whole corpus (the lit()
+    // marker regression this pins: constant markers fold away)
+    val plan = c.extendedQueryFrame("\"alpha beta\" or near(gamma delta, 3)")
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toList
+    assert(!scans.exists(s => s.contains("contains_slice") || s.contains("token_min_span")), plan)
+    assert(plan.contains("contains_slice") && plan.contains("token_min_span"), plan)
   }
 
   test("indexStats: dictionary sizes, df ranking, stats after upsert") {
