@@ -1051,6 +1051,39 @@ object EntryQueries {
                |  round(shift, 6) AS shift, round(js, 6) AS js_contrib
                |FROM r WHERE rn <= 20""".stripMargin)),
 
+    // X107: snapshot diff over time travel — base, an upsert of the 7s, a
+    // delete of the 13s; diff(0, latest) classifies every id. Same
+    // forced-delta fixture discipline as x101.
+    ("x107_snapshot_diff", (s: SparkSession, sfDir: String) => {
+      val root = tempDirCleanedOnExit("graft-sd-")
+      s.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+      s.conf.set("spark.graft.compact.auto", "false")
+      try {
+        val c = Collection(s, root, "sd")
+        c.addDf(docsFrame(s, sfDir).select("id", "content"))
+        c.addDf(docsFrame(s, sfDir).filter(col("id").cast("long") % 7 === 0)
+          .select(col("id"), concat(col("content"), lit(" v2")).as("content")))
+        import s.implicits._
+        c.delete(docsFrame(s, sfDir).filter(col("id").cast("long") % 13 === 0)
+          .select("id").as[String].collect().toSeq)
+        c.diffSnapshots(0, Long.MaxValue)
+      } finally {
+        s.conf.unset("spark.graft.store.directUpsertMaxBytes")
+        s.conf.set("spark.graft.compact.auto", "true")
+      }
+    }, Some(s"""SELECT $DocId AS id, CASE
+               |    WHEN doc_id % 13 = 0 THEN 'removed'
+               |    WHEN doc_id % 7 = 0 THEN 'changed'
+               |    ELSE 'unchanged' END AS status
+               |FROM documents""".stripMargin)),
+
+    // X107b: store catalog listing (the shared fixture root holds exactly
+    // the 'main' and 'vecs' collections).
+    ("x107b_list_collections", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      Collection.list(s, fixtureRoot(s, sfDir)).toDF("name")
+    }, Some("SELECT * FROM (VALUES ('main'), ('vecs')) AS t(name)")),
+
     // X100: count-min-sketch frequency probes — CMS guarantees (no
     // underestimate; overestimate ≤ eps·N) checked against the exact counts
     // both engines compute. The sketch is seed-deterministic, so the gate

@@ -72,6 +72,15 @@ final class Collection private (
   def docsAsOf(seg: Long): DataFrame =
     Stores.readPartitionAsOf(spark, docsDir, name, Stores.docsSchema, seg)
 
+  /** Diff two [[history]] snapshots of this collection — "what did that
+    * upsert batch actually do": one row per id present in either era,
+    * `status` ∈ {added, removed, changed, unchanged}
+    * ([[graft.ext.Joins.diffCorpora]] over the time-travel reads; only
+    * (id, hash) pairs shuffle, content never moves).
+    */
+  def diffSnapshots(fromSeg: Long, toSeg: Long): DataFrame =
+    graft.ext.Joins.diffCorpora(docsAsOf(fromSeg), docsAsOf(toSeg))
+
   private def postings(): DataFrame =
     Stores.readPartition(spark, postingsDir, name, Stores.postingsSchema)
 
@@ -1293,6 +1302,11 @@ object Collection {
     }
     new Collection(spark, root, name, embedder, useFts, foldAccents)
   }
+
+  /** Names of every collection persisted under `root`, sorted — the store
+    * catalog (partition-directory listing, no Spark job). */
+  def list(spark: SparkSession, root: String): Seq[String] =
+    Stores.collections(spark, Stores.docsDir(root)).sorted
 
   /** Open an EXISTING store with its persisted flags (manifest; the
     * defaults for a pre-manifest store) — the read-only entry point for

@@ -979,6 +979,33 @@ class CollectionSpec extends AnyFunSuite {
     assert(plan.contains("token_min_span"), plan)
   }
 
+  test("diffSnapshots + Collection.list: era classification and store catalog") {
+    spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+    spark.conf.set("spark.graft.compact.auto", "false")
+    try {
+      import spark.implicits._
+      val root = freshRoot()
+      val c = coll(root, "d1")
+      c.addDf(Seq(("a", "one"), ("b", "two"), ("d", "gone soon")).toDF("id", "content"))
+      c.addDf(Seq(("a", "one v2"), ("c", "brand new")).toDF("id", "content"))
+      c.delete(Seq("d"))
+      val d = c.diffSnapshots(0, Long.MaxValue).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(d === Map("a" -> "changed", "b" -> "unchanged",
+        "c" -> "added", "d" -> "removed"))
+      // era-to-era diff: segment 1 -> 2 sees only the delete
+      val d12 = c.diffSnapshots(1, 2).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(d12("d") === "removed" && d12("a") === "unchanged")
+      coll(root, "d2").add(Seq("x"))
+      assert(Collection.list(spark, root) === Seq("d1", "d2"))
+      assert(Collection.list(spark, freshRoot()) === Seq.empty)
+    } finally {
+      spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+      spark.conf.set("spark.graft.compact.auto", "true")
+    }
+  }
+
   test("phraseSearch: foldAccents collection matches folded phrase both directions") {
     val root = freshRoot()
     val c = Collection(spark, root, "folded", foldAccents = true)
