@@ -1077,6 +1077,27 @@ object EntryQueries {
                |    ELSE 'unchanged' END AS status
                |FROM documents""".stripMargin)),
 
+    // X108: in-place collection dedup — inject exact copies (d<id> of
+    // doc_id<50), run c.dedup(), read back survivors. Injected copies sit
+    // in their originals' clusters (digits sort before 'd', so the numeric
+    // min-id survives), leaving exactly the x2b survivor set.
+    ("x108_collection_dedup", (s: SparkSession, sfDir: String) => {
+      val root = tempDirCleanedOnExit("graft-cd-")
+      val c = Collection(s, root, "cd")
+      val d = docsFrame(s, sfDir).select("id", "content")
+      val dups = d.filter(col("id").cast("long") < 50)
+        .select(concat(lit("d"), col("id")).as("id"), col("content"))
+      c.addDf(d.unionByName(dups))
+      c.dedup()
+      c.docs().select("id")
+    }, Some(s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${ngramJaccardOracle(0.8)}) q),
+               | edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+               | reach AS (SELECT s, d FROM edges
+               |   UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s),
+               | cl AS (SELECT s AS id, least(s, min(d)) AS cluster FROM reach GROUP BY s)
+               |SELECT $DocId AS id FROM documents
+               |WHERE $DocId NOT IN (SELECT id FROM cl WHERE id <> cluster)""".stripMargin)),
+
     // X107b: store catalog listing (the shared fixture root holds exactly
     // the 'main' and 'vecs' collections).
     ("x107b_list_collections", (s: SparkSession, sfDir: String) => {

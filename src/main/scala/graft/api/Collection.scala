@@ -1131,6 +1131,31 @@ final class Collection private (
     case leaf => leaf
   }
 
+  /** One-call in-place collection dedup: run the corpus dedup pipeline
+    * ([[graft.ext.Dedup.dedupCorpus]] — exact ∪ MinHash near-dup pairs →
+    * connected components → min-id survivor per cluster) over THIS
+    * collection, drop the losers, and rebuild postings/doclen/stats/ANN
+    * from the survivors. Returns the number of documents removed.
+    *
+    * Scale: fully distributed end to end — the survivor frame is
+    * materialized (persist + count) and swapped in via the write-temp
+    * partition overwrite; the index rebuild is the same full path first
+    * ingest uses. No id list ever collects to the driver (the `delete(ids)`
+    * API would). Run on a quiesced collection, like [[maintain]].
+    */
+  def dedup(threshold: Double = 0.8): Long = {
+    val before = count()
+    val survivors = graft.ext.Dedup.dedupCorpus(docs(), threshold = threshold).persist()
+    try {
+      val after = survivors.count()
+      if (after != before) {
+        Stores.overwritePartition(spark, docsDir, name, survivors)
+        refreshIndexesFull(survivors)
+      }
+      before - after
+    } finally survivors.unpersist()
+  }
+
   /** Index introspection — the "EXPLAIN the index" admin surface (the
     * reference's stores are opaque SQLite/PG internals; here the postings
     * ARE a table, so the report is one aggregate over it). One row per

@@ -979,6 +979,26 @@ class CollectionSpec extends AnyFunSuite {
     assert(plan.contains("token_min_span"), plan)
   }
 
+  test("dedup: in-place removal, index rebuild, idempotence") {
+    import spark.implicits._
+    val c = coll(freshRoot(), "cdup")
+    c.addDf(Seq(
+      ("1", "the quick brown fox jumps over the lazy dog"),
+      ("2", "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      ("3", "completely different text about spark plans here"),
+      ("4", "unique little document")).toDF("id", "content"))
+    val removed = c.dedup()
+    assert(removed === 1L)
+    assert(c.count() === 3L)
+    assert(c.docs().select("id").as[String].collect().toSet === Set("1", "3", "4"))
+    // the index was rebuilt from survivors: FTS finds the keeper, not the loser
+    assert(c.query("quick fox").results.map(_.id) === Seq("1"))
+    // stats follow: indexStats n_docs reflects the removal
+    assert(c.indexStats(topK = 1).head().getLong(3) === 3L)
+    // idempotent: a second pass removes nothing
+    assert(c.dedup() === 0L)
+  }
+
   test("diffSnapshots + Collection.list: era classification and store catalog") {
     spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
     spark.conf.set("spark.graft.compact.auto", "false")
