@@ -1633,6 +1633,29 @@ object EntryQueries {
               |       ELSE 'test' END AS split
               |FROM k""".stripMargin)),
 
+    // X109: leakage-safe split — assignment keys on the near-dup cluster
+    // root (x4b's recursive-CTE replay), so clusters move between splits
+    // as one unit; singletons key on their own id.
+    ("x109_split_by_cluster", (s: SparkSession, sfDir: String) =>
+      Pipeline.splitByCluster(
+        s.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("string").as("id"), col("text").as("content")),
+        Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1), seed = 7L)
+        .select("id", "split"),
+      Some(s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (${ngramJaccardOracle(0.8)}) q),
+              | edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+              | reach AS (SELECT s, d FROM edges
+              |   UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s),
+              | cl AS (SELECT s AS id, least(s, min(d)) AS cluster FROM reach GROUP BY s),
+              | k AS (SELECT $DocId AS id,
+              |    coalesce(cl.cluster, $DocId) AS root
+              |  FROM documents LEFT JOIN cl ON cl.id = $DocId),
+              | h AS (SELECT id, ('0x' || substr(md5('7:' || root), 1, 12))::BIGINT % 1000000 AS h FROM k)
+              |SELECT id, CASE WHEN h < 800000 THEN 'train'
+              |       WHEN h < 900000 THEN 'validation'
+              |       ELSE 'test' END AS split
+              |FROM h""".stripMargin)),
+
     // Per-source token-length histogram + CDF (the corpus-composition
     // report): exact bucket counts, token mass, and cumulative fractions;
     // quantiles read off cum_frac. floor() on both engines (double->int

@@ -140,6 +140,20 @@ object Dedup {
     * exact ∪ MinHash pairs → connected components → (id, cluster) for
     * every doc in a duplicate cluster.
     */
+  /** Public face of the corpus dup-cluster map: (id, cluster) for every doc
+    * in an exact-or-near duplicate cluster (cluster = min reachable id;
+    * singletons absent). The frame [[dedupCorpus]] keys its survivors on,
+    * exposed for cluster-aware consumers ([[Pipeline.splitByCluster]]'s
+    * leakage-safe splits). Same capped candidate machinery throughout.
+    */
+  def corpusClusters(docs: DataFrame, idCol: String = "id",
+                     contentCol: String = "content", n: Int = 3,
+                     bands: Int = 32, rowsPerBand: Int = 4,
+                     threshold: Double = 0.8,
+                     maxBucket: Int = 256): DataFrame =
+    corpusDupClusters(docs, idCol, contentCol, n, bands, rowsPerBand,
+      threshold, maxBucket)
+
   private def corpusDupClusters(docs: DataFrame, idCol: String,
                                 contentCol: String, n: Int, bands: Int,
                                 rowsPerBand: Int, threshold: Double,

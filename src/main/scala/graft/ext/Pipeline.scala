@@ -256,16 +256,57 @@ object Pipeline {
     require(splits.forall(_._2 >= 0.0), "fractions must be >= 0")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "fractions must sum to 1")
+    docs.withColumn("split", splitAssignment(col(idCol), splits, seed))
+  }
+
+  /** The deterministic split when-chain over an arbitrary KEY column —
+    * shared by [[splitCorpus]] (key = the doc id) and [[splitByCluster]]
+    * (key = the dup-cluster root). */
+  private def splitAssignment(key: Column, splits: Seq[(String, Double)],
+                              seed: Long): Column = {
     val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(c => math.min(Precision, math.round(c * Precision)))
-    val h = md5Mod(concat_ws(":", lit(seed.toString), col(idCol)), Precision)
+    val h = md5Mod(concat_ws(":", lit(seed.toString), key), Precision)
     // first-match when-chain; the LAST split is the unconditional default
     // (its boundary is the full range by the sum-to-1 requirement)
-    val assigned = splits.map(_._1).zip(bounds).init
+    splits.map(_._1).zip(bounds).init
       .foldRight(lit(splits.last._1): Column) { case ((name, b), els) =>
         when(h < lit(b), lit(name)).otherwise(els)
       }
-    docs.withColumn("split", assigned)
+  }
+
+  /** Leakage-safe [[splitCorpus]]: the assignment keys on the doc's
+    * near-dup CLUSTER ROOT instead of its own id, so an exact-or-near
+    * duplicate cluster can never straddle train/test — a test doc with a
+    * train near-dup is eval leakage, which a plain per-id hash split
+    * permits by construction. Docs in no cluster key on their own id.
+    * Deterministic and rerun-stable like splitCorpus; fraction accuracy is
+    * now per-CLUSTER (a huge cluster moves as one unit — the price of
+    * leak-freedom).
+    *
+    * Scale: [[graft.ext.Dedup.corpusClusters]]'s capped candidate
+    * machinery emits the skinny (id, cluster) map (clustered docs only);
+    * one left join puts the root on each doc and the assignment is the
+    * same codegen'd md5 threshold as splitCorpus.
+    */
+  def splitByCluster(docs: DataFrame, splits: Seq[(String, Double)],
+                     seed: Long = 0L, idCol: String = "id",
+                     contentCol: String = "content",
+                     threshold: Double = 0.8): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.map(_._1).distinct.size == splits.size, "split names must be unique")
+    require(splits.forall(_._2 >= 0.0), "fractions must be >= 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val clusters = graft.ext.Dedup.corpusClusters(docs, idCol, contentCol,
+      threshold = threshold)
+    val root = WorkingColumns.fresh(docs, "__root")
+    val cl = WorkingColumns.fresh(docs, "__cl")
+    docs
+      .join(clusters.select(col("id").as(idCol), col("cluster").as(cl)),
+        Seq(idCol), "left")
+      .withColumn(root, coalesce(col(cl), col(idCol)))
+      .withColumn("split", splitAssignment(col(root), splits, seed))
+      .drop(cl, root)
   }
 
   /** Deterministic global shuffle into numbered training shards — the

@@ -1091,6 +1091,31 @@ class ExtSpec extends AnyFunSuite {
     assert(empty.getLong(1) === 0L && empty.getLong(2) === 0L)
   }
 
+  test("splitByCluster: duplicate clusters never straddle; singletons match splitCorpus") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      ("a1", base), ("a2", base),                       // exact dups -> one cluster
+      ("b1", base + " slightly changed tail here"),     // near-dup of the a's
+      ("s1", "completely unrelated text one"),
+      ("s2", "another unrelated document two")).toDF("id", "content")
+    val out = Pipeline.splitByCluster(docs,
+      Seq("train" -> 0.5, "test" -> 0.5), seed = 3L)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    // whole cluster lands together
+    assert(Set(out("a1"), out("a2"), out("b1")).size === 1)
+    // singletons assign exactly like the per-id split
+    val plain = Pipeline.splitCorpus(docs.filter($"id".startsWith("s")),
+      Seq("train" -> 0.5, "test" -> 0.5), seed = 3L)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out("s1") === plain("s1") && out("s2") === plain("s2"))
+    // schema passthrough + split column
+    assert(Pipeline.splitByCluster(docs, Seq("all" -> 1.0)).columns.toSeq
+      === Seq("id", "content", "split"))
+    val e = intercept[IllegalArgumentException](
+      Pipeline.splitByCluster(docs, Seq("a" -> 0.5, "b" -> 0.4)))
+    assert(e.getMessage.contains("sum to 1"))
+  }
+
   test("capPerKeyStream: quota across micro-batches; batch mode equals Web.capPerDomain") {
     // streaming: 2 then 3 docs for one domain, cap 3 -> 2 admitted from
     // batch 1, exactly 1 more from batch 2, 0 from batch 3
