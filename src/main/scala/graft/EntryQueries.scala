@@ -1633,6 +1633,27 @@ object EntryQueries {
               |       ELSE 'test' END AS split
               |FROM k""".stripMargin)),
 
+    // X110: n-gram novelty — per-doc fraction of corpus-unique trigrams;
+    // oracle replays the same distinct-shingle df join.
+    ("x110_novelty", (s: SparkSession, sfDir: String) =>
+      TextStats.noveltyScores(docsFrame(s, sfDir))
+        .select(col("id"), col("n_grams"),
+          round(col("novelty"), 6).as("novelty"),
+          round(col("mean_df"), 6).as("mean_df")),
+      Some(s"""WITH t AS (SELECT $DocId AS id, $Toks AS w FROM documents),
+              | sh AS (SELECT id, CASE WHEN len(w) < 3 THEN []
+              |   ELSE list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) END AS s
+              |  FROM t),
+              | g AS (SELECT id, unnest(s) AS g FROM sh),
+              | df AS (SELECT g, count(*) AS df FROM g GROUP BY 1),
+              | per AS (SELECT id, count(*) AS n_grams,
+              |     round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty,
+              |     round(avg(df), 6) AS mean_df
+              |   FROM g JOIN df USING (g) GROUP BY id)
+              |SELECT t.id, CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+              |  per.novelty, per.mean_df
+              |FROM t LEFT JOIN per USING (id)""".stripMargin)),
+
     // X109: leakage-safe split — assignment keys on the near-dup cluster
     // root (x4b's recursive-CTE replay), so clusters move between splits
     // as one unit; singletons key on their own id.

@@ -879,6 +879,37 @@ object TextStats {
     } finally { rawCnt.unpersist(); tgtAll.unpersist() }
   }
 
+  /** Per-doc n-gram novelty: the fraction of a doc's DISTINCT word n-grams
+    * occurring in NO other document (corpus df == 1), plus the mean corpus
+    * df of its grams — the cross-doc uniqueness signal complementing X21's
+    * within-doc repetition and X28's duplicated spans (boilerplate-heavy
+    * docs score near 0, all-original docs near 1; mean_df grades HOW
+    * shared the shared mass is). Docs with < n tokens have no grams:
+    * novelty/mean_df NULL, n_grams 0. Output (id, n_grams, novelty,
+    * mean_df).
+    *
+    * Scale: one exploded (gram, id) frame feeds a map-side-combined
+    * gram-df aggregate; the skinny (gram, df) frame joins back on the
+    * SAME gram partitioning (exchange reused) and one groupBy(id)
+    * re-aggregates. Content never shuffles — only gram hashes and ids.
+    */
+  def noveltyScores(docs: DataFrame, idCol: String = "id",
+                    contentCol: String = "content", n: Int = 3): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val grams = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.shingles(
+        TextFunctions.tokens(col(contentCol)), n)).as("__g"))
+    val df = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val per = grams.join(df, Seq("__g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        avg((col("__df") === 1).cast("double")).as("novelty"),
+        avg(col("__df").cast("double")).as("mean_df"))
+    docs.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("novelty"), col("mean_df"))
+  }
+
   /** Token-distribution drift between two corpus snapshots — the
     * training-data monitoring primitive ("did this week's crawl shift the
     * mixture, and which tokens moved"). Returns one row per token of the

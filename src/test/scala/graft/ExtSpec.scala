@@ -1091,6 +1091,22 @@ class ExtSpec extends AnyFunSuite {
     assert(empty.getLong(1) === 0L && empty.getLong(2) === 0L)
   }
 
+  test("noveltyScores: unique vs shared grams, short docs, df accounting") {
+    val docs = Seq(
+      ("u", "alpha beta gamma delta"),       // grams: (a b g), (b g d) — both unique
+      ("s1", "one two three four"),          // shares all grams with s2
+      ("s2", "one two three four"),
+      ("short", "just two")).toDF("id", "content") // < 3 tokens: no grams
+    val out = TextStats.noveltyScores(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out("u") === ((2L, Some(1.0), Some(1.0))))
+    assert(out("s1") === ((2L, Some(0.0), Some(2.0)))) // every gram in both docs
+    assert(out("s2") === out("s1"))
+    assert(out("short") === ((0L, None, None)))
+  }
+
   test("splitByCluster: duplicate clusters never straddle; singletons match splitCorpus") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(
