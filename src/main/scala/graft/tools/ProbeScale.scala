@@ -196,6 +196,10 @@ object ProbeScale {
       time("freq_sketch_1m_sec")(
         graft.ext.TextStats.freqSketchProbe(
           docs1m, Seq("t1", "t500", "zz"), eps = 1e-4).count())
+      val ng = time("novelty_1m_sec")(
+        graft.ext.TextStats.noveltyScores(docs1m)
+          .agg(sum($"n_grams")).head().getLong(0))
+      println(s"PROBE   novelty gram instances = $ng")
       val urls = docs1m.select($"id",
         concat(lit("https://www.site"),
           pmod($"id".cast("long") * 13, lit(1000)).cast("string"),
