@@ -1098,6 +1098,15 @@ object EntryQueries {
                |SELECT $DocId AS id FROM documents
                |WHERE $DocId NOT IN (SELECT id FROM cl WHERE id <> cluster)""".stripMargin)),
 
+    // X111: federated search across every collection of the fixture root —
+    // 'main' matches on content, 'vecs' (contents "label N") contributes
+    // nothing for this term; the collection column tags provenance.
+    ("x111_federated_search", (s: SparkSession, sfDir: String) =>
+      Collection.searchAll(s, fixtureRoot(s, sfDir), "customer")
+        .select("collection", "id"),
+      Some(s"""SELECT 'main' AS collection, $DocId AS id FROM documents
+              |WHERE ${hasTerm("customer")}""".stripMargin)),
+
     // X107b: store catalog listing (the shared fixture root holds exactly
     // the 'main' and 'vecs' collections).
     ("x107b_list_collections", (s: SparkSession, sfDir: String) => {

@@ -1333,6 +1333,31 @@ object Collection {
   def list(spark: SparkSession, root: String): Seq[String] =
     Stores.collections(spark, Stores.docsDir(root)).sorted
 
+  /** Federated search: run one FTS query across EVERY collection of a
+    * store root (each opened with its persisted manifest flags;
+    * non-FTS collections are skipped) and union the per-collection ranked
+    * frames with a `collection` column. Ranks are each collection's OWN
+    * BM25 (its df/avg_dl) — comparable within a collection, indicative
+    * across; callers needing cross-collection calibration re-rank the
+    * union (e.g. [[graft.exec.Hybrid.linearFuse]] per arm).
+    *
+    * Scale: one postings-gated plan per collection, partition-pruned to
+    * its own store slice, unioned lazily — collections evaluate in
+    * parallel inside one job, nothing collects.
+    */
+  def searchAll(spark: SparkSession, root: String, query: String,
+                limit: Int = 0, where: Map[String, Any] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val frames = list(spark, root).flatMap { n =>
+      val c = open(spark, root, n)
+      if (!c.useFts) None
+      else Some(c.queryFrame(query, limit = limit, where = where)
+        .withColumn("collection", lit(n)))
+    }
+    require(frames.nonEmpty, s"no FTS-capable collections under $root")
+    frames.reduce(_ unionByName _)
+  }
+
   /** Open an EXISTING store with its persisted flags (manifest; the
     * defaults for a pre-manifest store) — the read-only entry point for
     * callers that have no way to carry flags, e.g. the `graft_docs` /

@@ -979,6 +979,23 @@ class CollectionSpec extends AnyFunSuite {
     assert(plan.contains("token_min_span"), plan)
   }
 
+  test("searchAll: federated over a root, skips non-FTS, tags collection") {
+    import spark.implicits._
+    val root = freshRoot()
+    coll(root, "c1").add(Seq("alpha match here", "nothing"), ids = Some(Seq("a", "b")))
+    coll(root, "c2").add(Seq("another alpha doc"), ids = Some(Seq("x")))
+    coll(root, "c3", useFts = false).add(Seq("alpha invisible"), ids = Some(Seq("z")))
+    val hits = Collection.searchAll(spark, root, "alpha")
+      .select("collection", "id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(hits === Set(("c1", "a"), ("c2", "x"))) // c3 skipped (no FTS)
+    // per-collection limit applies within each arm
+    assert(Collection.searchAll(spark, root, "alpha", limit = 1).count() === 2)
+    val e = intercept[IllegalArgumentException](
+      Collection.searchAll(spark, freshRoot(), "alpha"))
+    assert(e.getMessage.contains("no FTS-capable"))
+  }
+
   test("dedup: in-place removal, index rebuild, idempotence") {
     import spark.implicits._
     val c = coll(freshRoot(), "cdup")
