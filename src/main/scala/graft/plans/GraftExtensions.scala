@@ -190,6 +190,13 @@ object GraftFunctions {
           limit = if (args.size > 3) intArg(args(3), "limit") else 0)
         .queryExecution.logical
     },
+    tfn("graft_search_all",
+      "graft_search_all(root STRING, query STRING[, limit INT]) - federated FTS across every collection of a store root (collection, id, content, metadata, rank)", 2, 3) { args =>
+      val s = org.apache.spark.sql.SparkSession.active
+      graft.api.Collection.searchAll(s, strArg(args(0), "root"), strArg(args(1), "query"),
+          limit = if (args.size > 2) intArg(args(2), "limit") else 0)
+        .queryExecution.logical
+    },
     tfn("graft_docs_asof",
       "graft_docs_asof(root STRING, name STRING, seg BIGINT) - time-travel documents as of a history() segment", 3, 3) { args =>
       val s = org.apache.spark.sql.SparkSession.active

@@ -643,6 +643,10 @@ class ExtSpec extends AnyFunSuite {
       "SELECT id FROM graft_extended('" + root + "', 'main', '\"spark makes\" or pond')")
       .as[String].collect().toSet
     assert(ex === Set("1", "2"))
+    // federated search from SQL (this root holds only 'main')
+    val fed = spark.sql(s"SELECT collection, id FROM graft_search_all('$root', 'ducks')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fed === Set(("main", "2"), ("main", "3")))
     // time travel from SQL: upsert (delta path forced — a direct merge
     // folds history by design) then read the pre-upsert era
     spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
