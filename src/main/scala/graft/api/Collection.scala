@@ -324,10 +324,13 @@ final class Collection private (
 
   /** Continuous FULL-TEXT search: the FTS sibling of [[streamVectorSearch]]
     * — a stream of (qid, query-string) rows answered per micro-batch
-    * through the same fused postings pipeline as [[queryFrame]]. Each
-    * result frame handed to `sink` carries (qid, id, rank), `limit` rows
-    * per query (0 = unlimited). Queries collect per batch (small by
-    * nature); each one's postings scan stays distributed.
+    * through [[extendedQueryFrame]]: the full EXTENDED grammar, so a
+    * subscribed query may be `"quoted phrase" or near(a b, 3) and term`;
+    * plain queries take the byte-identical reference-parity path
+    * (extendedQueryFrame's fallback). Each result frame handed to `sink`
+    * carries (qid, id, rank), `limit` rows per query (0 = unlimited).
+    * Queries collect per batch (small by nature); each one's postings
+    * scan stays distributed.
     */
   def streamQuery(queries: DataFrame, limit: Int = 10,
                   qidCol: String = "qid", queryCol: String = "query")(
@@ -338,7 +341,7 @@ final class Collection private (
       val qs = batch.select(col(qidCol).cast("string"), col(queryCol).cast("string"))
         .collect().map(r => (r.getString(0), r.getString(1)))
       qs.foreach { case (qid, q) =>
-        sink(queryFrame(q, limit = limit).select(
+        sink(extendedQueryFrame(q, limit = limit).select(
           lit(qid).as("qid"), col("id"), col("rank")))
       }
     }

@@ -114,9 +114,12 @@ class CollectionSpec extends AnyFunSuite {
     try {
       mem.addData(("q1", "alpha")); q.processAllAvailable()
       mem.addData(("q2", "beta or delta")); q.processAllAvailable()
+      // extended grammar over the stream: phrase adjacency, not just AND
+      mem.addData(("q3", "\"alpha beta\"")); q.processAllAvailable()
     } finally q.stop()
     assert(got.toSet === Set(("q1", "d1"), ("q1", "d3"),
-      ("q2", "d1"), ("q2", "d2"), ("q2", "d3")))
+      ("q2", "d1"), ("q2", "d2"), ("q2", "d3"),
+      ("q3", "d1"))) // d3 has alpha AND beta-adjacent? no: "alpha delta" lacks beta
     intercept[IllegalArgumentException] {
       c.streamQuery(Seq(("q", "x")).toDF("qid", "query"))(_ => ())
     }
