@@ -68,16 +68,13 @@ object QueryParser {
     // and is not a token separator match target after extraction
     def placeholder(): String = s" $M${specials.size - 1}$M "
     val rxQuote = "\"([^\"]*)\"".r
-    val rxNear = "(?i)near\\(([^)]*)\\)".r
-    var txt = rxQuote.replaceAllIn(query, m => {
-      val ts = toks(m.group(1))
-      if (ts.isEmpty) " "
-      else {
-        specials += (if (ts.size == 1) Term(ts.head) else Phrase(ts))
-        placeholder()
-      }
-    })
-    txt = rxNear.replaceAllIn(txt, m => {
+    // lookbehind: `near(` must start a word — `linear(x)` is a term, not
+    // the operator. NEAR extracts BEFORE quotes so quotes inside its args
+    // strip as punctuation (`near("a b", 2)` = near(a b, 2)); the converse
+    // — a quoted PHRASE whose literal text contains `near(` — is therefore
+    // not representable, the cheaper of the two ambiguities.
+    val rxNear = "(?i)(?<![\\p{L}\\p{N}])near\\(([^)]*)\\)".r
+    var txt = rxNear.replaceAllIn(query, m => {
       val body = m.group(1)
       val (termsPart, k) = body.lastIndexOf(',') match {
         case i if i >= 0 && body.drop(i + 1).trim.matches("\\d+") =>
@@ -88,6 +85,14 @@ object QueryParser {
       if (ts.isEmpty) " "
       else {
         specials += (if (ts.size == 1) Term(ts.head) else Near(ts, k))
+        placeholder()
+      }
+    })
+    txt = rxQuote.replaceAllIn(txt, m => {
+      val ts = toks(m.group(1))
+      if (ts.isEmpty) " "
+      else {
+        specials += (if (ts.size == 1) Term(ts.head) else Phrase(ts))
         placeholder()
       }
     })

@@ -104,6 +104,11 @@ class QueryParserSpec extends AnyFunSuite {
       And(Phrase(Seq("a", "b")), Near(Seq("c", "d"), 2))))
     // numeric terms never collide with the internal placeholders
     assert(px("\"a b\" 0").contains(And(Phrase(Seq("a", "b")), Term("0"))))
+    // `near(` must start a word: linear(x, 2) is terms, not the operator
+    assert(px("linear(x, 2)").contains(
+      And(And(Term("linear"), Term("x")), Term("2"))))
+    // quotes inside near() args strip as punctuation
+    assert(px("near(\"a b\", 2)").contains(Near(Seq("a", "b"), 2)))
     // plain queries parse identically to the reference grammar
     for (q <- Seq("Lorem", "x AND y or z", "don't*", "te*m", "or a"))
       assert(px(q) === QueryParser.parse(q), q)
