@@ -264,6 +264,11 @@ object ProbeScale {
     time("fts_and_sec")(println(s"PROBE   hits = ${c.queryFrame("table scan").count()}"))
     time("bm25_sec")(println(s"PROBE   hits = ${c.queryFrame("customer stream").count()}"))
     time("fts_meta_conj_sec")(println(s"PROBE   hits = ${c.queryFrame("table", where = Map("lang" -> "en")).count()}"))
+    // phrase / NEAR over the 1M-doc store: the postings gate prunes before
+    // the candidates-only verify (vs the r9c zero-index verify-alone point)
+    time("phrase_sec")(println(s"PROBE   hits = ${c.phraseSearch("table hash").count()}"))
+    time("extended_sec")(println(
+      s"PROBE   hits = ${c.extendedQueryFrame("\"table hash\" or near(slow key, 4)").count()}"))
 
     val bigDocs = c.docs()
     def recordPairs(label: String, df: org.apache.spark.sql.DataFrame): Unit = {
