@@ -1642,6 +1642,37 @@ object EntryQueries {
               |       ELSE 'test' END AS split
               |FROM k""".stripMargin)),
 
+    // X112: streaming drift monitor in batch mode — per-hour JS divergence
+    // vs a fixed 3-token reference (OOV mass 0.85); DuckDB replays the
+    // histogram and both JS half-sums per window.
+    ("x112_stream_drift", (s: SparkSession, sfDir: String) =>
+      EventStreams.driftStream(
+        s.read.parquet(s"$sfDir/documents.parquet")
+          .select(timestamp_micros(lit(1700000000000000L)
+            + (col("doc_id") % 4) * 3600000000L).as("ts"),
+            col("text").as("content")),
+        Seq("table" -> 0.05, "hash" -> 0.05, "customer" -> 0.05), "1 hour")
+        .select(unix_micros(col("window_start")).as("ws_us"),
+          col("n_tokens"), round(col("js"), 6).as("js")),
+      Some({
+        def term(p: String, q: String) =
+          s"""(CASE WHEN $p > 0 THEN 0.5 * $p * ln($p / (($p + $q) / 2)) ELSE 0 END
+             | + CASE WHEN $q > 0 THEN 0.5 * $q * ln($q / (($p + $q) / 2)) ELSE 0 END)""".stripMargin
+        s"""WITH d AS (SELECT (1700000000 + (doc_id % 4) * 3600) AS te, $Toks AS w FROM documents),
+           | t AS (SELECT (te - te % 3600) AS ws, unnest(w) AS tok FROM d),
+           | c AS (SELECT ws, count(*) AS n,
+           |     sum(CASE WHEN tok = 'table' THEN 1 ELSE 0 END) AS c0,
+           |     sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS c1,
+           |     sum(CASE WHEN tok = 'customer' THEN 1 ELSE 0 END) AS c2
+           |   FROM t GROUP BY ws),
+           | p AS (SELECT ws, n, c0 * 1.0 / n AS p0, c1 * 1.0 / n AS p1,
+           |     c2 * 1.0 / n AS p2, (n - c0 - c1 - c2) * 1.0 / n AS pv FROM c)
+           |SELECT CAST(ws AS BIGINT) * 1000000 AS ws_us, n AS n_tokens,
+           |  round(${term("p0", "0.05")} + ${term("p1", "0.05")}
+           |    + ${term("p2", "0.05")} + ${term("pv", "0.85")}, 6) AS js
+           |FROM p""".stripMargin
+      })),
+
     // X110: n-gram novelty — per-doc fraction of corpus-unique trigrams;
     // oracle replays the same distinct-shingle df join.
     ("x110_novelty", (s: SparkSession, sfDir: String) =>

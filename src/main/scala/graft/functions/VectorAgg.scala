@@ -101,4 +101,73 @@ object VectorAgg {
   def vectorSum(emb: Column): Column =
     Bridge.column(VectorSumAgg(
       Bridge.expression(emb.cast(ArrayType(FloatType)))).toAggregateExpression())
+
+  /** Aggregate Column: fixed-size index histogram (counts per index in
+    * [0, size), ARRAY<LONG>). See [[IndexHistogramAgg]]. */
+  def indexHistogram(idx: Column, size: Int): Column =
+    Bridge.column(IndexHistogramAgg(
+      Bridge.expression(idx.cast(IntegerType)), size).toAggregateExpression())
+}
+
+/** Fixed-size index histogram: per-group counts of an INT index column over
+  * [0, size), as ARRAY<LONG> of length `size` — the count-by-KNOWN-vocab
+  * primitive. Why custom: a `groupBy(key, index)` count is a SECOND
+  * aggregation when the caller already aggregates by key, which a streaming
+  * query cannot chain (multi-agg is unsupported in append mode); this
+  * carries one long-array buffer per group through a single
+  * map-side-combined shuffle instead (the [[VectorSumAgg]] shape). NULL and
+  * out-of-range indexes are ignored; an empty group yields all-zeros.
+  */
+case class IndexHistogramAgg(child: Expression, size: Int,
+                             mutableAggBufferOffset: Int = 0,
+                             inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+  require(size >= 1, "size >= 1")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "index_histogram"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](size)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val i = v.asInstanceOf[Int]
+      if (i >= 0 && i < size) buffer(i) += 1L
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < size) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(size * 8)
+    var i = 0
+    while (i < size) { bb.putLong(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](size)
+    var i = 0
+    while (i < size) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): IndexHistogramAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): IndexHistogramAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
 }

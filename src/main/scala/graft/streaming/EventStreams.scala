@@ -427,6 +427,58 @@ object EventStreams {
         timestamp_micros(col("t_last_us")).as("t_last"))
   }
 
+  /** Per-window token-distribution drift against a FIXED reference — the
+    * streaming arm of [[graft.ext.TextStats.tokenDistributionDrift]]: each
+    * tumbling window's token histogram over the reference vocabulary
+    * (out-of-vocab lumped into one bucket whose reference mass is
+    * 1 − Σ reference) is scored with Jensen–Shannon divergence. Emits
+    * (window_start, window_end, n_tokens, js) — the continuous "is this
+    * feed drifting off the training mixture" monitor. `reference` is a
+    * monitored vocabulary (top-k tokens of the target mixture), CLOSED and
+    * small by design — it rides the plan as literals.
+    *
+    * Scale/streaming shape: explode → vocab-index lookup → ONE windowed
+    * groupBy carrying a [[graft.functions.IndexHistogramAgg]] long-array
+    * buffer per window (a groupBy(window, token) would need a second
+    * aggregation, which streaming append mode cannot chain); state =
+    * (windows in watermark) × (|vocab|+1) longs. The JS finisher runs over
+    * the ≤ |vocab|+1 histogram entries per WINDOW row (interpreted HOF —
+    * irrelevant at one row per window). Batch input: same call, no
+    * watermark.
+    */
+  def driftStream(docs: DataFrame, reference: Seq[(String, Double)],
+                  windowLen: String = "1 hour", watermark: Option[String] = None,
+                  tsCol: String = "ts", contentCol: String = "content"): DataFrame = {
+    require(reference.nonEmpty, "reference vocabulary must be non-empty")
+    require(reference.map(_._1).distinct.size == reference.size, "reference tokens must be unique")
+    require(reference.forall(_._2 >= 0), "reference probabilities must be >= 0")
+    val qs = reference.map(_._2)
+    require(qs.sum <= 1.0 + 1e-9, "reference probabilities must sum to <= 1")
+    val qArr = array((qs :+ math.max(0.0, 1.0 - qs.sum)).map(lit): _*)
+    val v = reference.size
+    val idxMap = map(reference.zipWithIndex.flatMap {
+      case ((t, _), i) => Seq(lit(t), lit(i))
+    }: _*)
+    val src = watermark.fold(docs)(w => docs.withWatermark(tsCol, w))
+    val idx = src.select(window(col(tsCol), windowLen).as("__w"),
+        explode(graft.functions.TextFunctions.tokens(col(contentCol))).as("__t"))
+      .select(col("__w"), coalesce(element_at(idxMap, col("__t")), lit(v)).as("__i"))
+    val agg = idx.groupBy(col("__w"))
+      .agg(graft.functions.VectorAgg.indexHistogram(col("__i"), v + 1).as("__c"))
+      .withColumn("n_tokens", aggregate(col("__c"), lit(0L), (a, x) => a + x))
+    def half(p: org.apache.spark.sql.Column,
+             m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(p > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0))
+    agg.select(col("__w.start").as("window_start"), col("__w.end").as("window_end"),
+      col("n_tokens"),
+      when(col("n_tokens") === 0, lit(0.0)).otherwise(
+        aggregate(zip_with(col("__c"), qArr, (c, q) => {
+          val p = c.cast("double") / col("n_tokens")
+          val m = (p + q) / lit(2.0)
+          half(p, m) + half(q, m)
+        }), lit(0.0), (a, x) => a + x)).as("js"))
+  }
+
   /** Streaming per-key admission cap: admit a row iff its key has admitted
     * fewer than `cap` rows SO FAR — the ingest-edge quota (per-domain crawl
     * caps, per-source ingest budgets) maintained continuously, the

@@ -1136,6 +1136,42 @@ class ExtSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sum to 1"))
   }
 
+  test("driftStream: per-window JS vs reference, OOV lumping, stream equals batch") {
+    val ref = Seq("a" -> 0.5, "b" -> 0.5)
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${h}%02d:10:00")
+    val docs = Seq(
+      (ts(0), "a a b b"),   // window 0: p == q -> js 0
+      (ts(1), "a a a a"),   // window 1: all-a
+      (ts(2), "z z z z")    // window 2: all OOV (ref oov mass 0)
+    ).toDF("ts", "content")
+    val out = EventStreams.driftStream(docs, ref, "1 hour")
+      .collect().map(r => r.getTimestamp(0).toString -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out("2024-01-01 00:00:00.0") === ((4L, 0.0)))
+    // p=(1,0,0) vs q=(.5,.5,0): .5·ln(4/3)/1? -> hand value
+    val e1 = 0.5 * 1 * math.log(1 / 0.75) + 0.5 * 0.5 * math.log(0.5 / 0.75) +
+      0.5 * 0.5 * math.log(0.5 / 0.25)
+    assert(math.abs(out("2024-01-01 01:00:00.0")._2 - e1) < 1e-9)
+    // all OOV with zero reference oov mass: disjoint supports -> JS = ln 2
+    // (p side at the oov bucket + q sides at a and b)
+    val e2 = 0.5 * math.log(2) + 2 * (0.25 * math.log(2))
+    assert(math.abs(e2 - math.log(2)) < 1e-12)
+    assert(math.abs(out("2024-01-01 02:00:00.0")._2 - e2) < 1e-9)
+    // streaming ≡ batch
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val sq = EventStreams.driftStream(mem.toDF().toDF("ts", "content"), ref, "1 hour",
+      watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("drift_q").outputMode("append").start()
+    mem.addData((ts(0), "a a b b"), (ts(1), "a a a a"))
+    sq.processAllAvailable()
+    mem.addData((ts(5), "a")) // advances the watermark past windows 0-1
+    sq.processAllAvailable(); sq.stop()
+    val streamed = spark.table("drift_q").collect()
+      .map(r => r.getTimestamp(0).toString -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed("2024-01-01 00:00:00.0") === out("2024-01-01 00:00:00.0"))
+    assert(streamed("2024-01-01 01:00:00.0") === out("2024-01-01 01:00:00.0"))
+  }
+
   test("capPerKeyStream: quota across micro-batches; batch mode equals Web.capPerDomain") {
     // streaming: 2 then 3 docs for one domain, cap 3 -> 2 admitted from
     // batch 1, exactly 1 more from batch 2, 0 from batch 3
