@@ -913,12 +913,14 @@ object EntryQueries {
     // X98: phrase search — token-adjacency semantics (fts5 quoted phrase;
     // the reference parser strips quotes to AND terms). Oracle replays
     // adjacency as a separator-run regex on the normalized text: tokens are
-    // adjacent iff only non-alnum chars lie between them.
+    // adjacent iff only non-letter/digit chars lie between them. The
+    // separator class mirrors the engine tokenizer's [^\p{L}\p{N}]
+    // (TextFunctions.SeparatorRegex) so the gate holds on non-ASCII text too.
     ("x98_phrase_search", (s: SparkSession, sfDir: String) =>
       mainColl(s, sfDir).phraseSearch("table hash").select("id"),
       Some(s"""SELECT $DocId AS id FROM documents
               |WHERE regexp_matches(lower(text),
-              |  '(^|[^a-z0-9])table[^a-z0-9]+hash([^a-z0-9]|$$)')""".stripMargin)),
+              |  '(^|[^\\p{L}\\p{N}])table[^\\p{L}\\p{N}]+hash([^\\p{L}\\p{N}]|$$)')""".stripMargin)),
 
     // X106: extended query language — phrase/near leaves composed with
     // or/and inside ONE boolean query; oracle replays each leaf
@@ -927,7 +929,7 @@ object EntryQueries {
       mainColl(s, sfDir).extendedQueryFrame("\"table hash\" or customer").select("id"),
       Some(s"""SELECT $DocId AS id FROM documents
               |WHERE regexp_matches(lower(text),
-              |    '(^|[^a-z0-9])table[^a-z0-9]+hash([^a-z0-9]|$$)')
+              |    '(^|[^\\p{L}\\p{N}])table[^\\p{L}\\p{N}]+hash([^\\p{L}\\p{N}]|$$)')
               |  OR ${hasTerm("customer")}""".stripMargin)),
 
     ("x106b_extended_near", (s: SparkSession, sfDir: String) =>

@@ -1021,7 +1021,7 @@ final class Collection private (
     if (!useFts)
       throw new IllegalArgumentException("This collection does not support full-text search.")
     val folded = if (foldAccents) graft.functions.StringFold.fold(phrase) else phrase
-    val terms = folded.toLowerCase.split(graft.functions.TextFunctions.SeparatorRegex)
+    val terms = folded.toLowerCase(java.util.Locale.ROOT).split(graft.functions.TextFunctions.SeparatorRegex)
       .filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "phrase must contain at least one token")
     val q = terms.distinct.map(BoolQuery.Term(_): BoolQuery)
@@ -1206,7 +1206,7 @@ final class Collection private (
       throw new IllegalArgumentException("This collection does not support full-text search.")
     require(maxSpan >= 1, "maxSpan >= 1")
     val folded = if (foldAccents) graft.functions.StringFold.fold(phrase) else phrase
-    val terms = folded.toLowerCase.split(graft.functions.TextFunctions.SeparatorRegex)
+    val terms = folded.toLowerCase(java.util.Locale.ROOT).split(graft.functions.TextFunctions.SeparatorRegex)
       .filter(_.nonEmpty).toSeq.distinct
     require(terms.size >= 2, "NEAR needs at least 2 distinct terms")
     val q = terms.map(BoolQuery.Term(_): BoolQuery).reduceLeft(BoolQuery.And(_, _))

@@ -74,7 +74,10 @@ object QueryParser {
     // — a quoted PHRASE whose literal text contains `near(` — is therefore
     // not representable, the cheaper of the two ambiguities.
     val rxNear = "(?i)(?<![\\p{L}\\p{N}])near\\(([^)]*)\\)".r
-    var txt = rxNear.replaceAllIn(query, m => {
+    // user-supplied NULs are replaced up front: M is OUR marker, so a raw
+    // `\u0000<digits>\u0000` in the input must not alias a placeholder (it
+    // would index out of bounds into `specials`)
+    var txt = rxNear.replaceAllIn(query.replace(M.toString, " "), m => {
       val body = m.group(1)
       val (termsPart, k) = body.lastIndexOf(',') match {
         case i if i >= 0 && body.drop(i + 1).trim.matches("\\d+") =>

@@ -300,19 +300,22 @@ object EventStreams {
            tsCol: String = "ts", tieCol: String = "event_id"): DataFrame = {
     val byKey = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val prev = graft.ext.WorkingColumns.fresh(events, "__prev")
+    val prevSeen = graft.ext.WorkingColumns.fresh(events, "__prev_seen")
+    val toCol = graft.ext.WorkingColumns.fresh(events, "__to")
     // change points: value differs from the previous row (NULL-safe — a
     // NULL value is a state like any other)
     val marked = events
-      .withColumn("__prev", lag(col(valueCol), 1).over(byKey))
-      .withColumn("__prev_seen", lag(lit(1), 1).over(byKey))
-      .filter(col("__prev_seen").isNull || !(col(valueCol) <=> col("__prev")))
+      .withColumn(prev, lag(col(valueCol), 1).over(byKey))
+      .withColumn(prevSeen, lag(lit(1), 1).over(byKey))
+      .filter(col(prevSeen).isNull || !(col(valueCol) <=> col(prev)))
     val byKeyChanges = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
     marked
-      .withColumn("__to", lead(col(tsCol), 1).over(byKeyChanges))
+      .withColumn(toCol, lead(col(tsCol), 1).over(byKeyChanges))
       .select(col(keyCol), col(valueCol),
-        col(tsCol).as("valid_from"), col("__to").as("valid_to"),
-        col("__to").isNull.as("is_current"))
+        col(tsCol).as("valid_from"), col(toCol).as("valid_to"),
+        col(toCol).isNull.as("is_current"))
   }
 
   def funnel(events: DataFrame, steps: Seq[String],
