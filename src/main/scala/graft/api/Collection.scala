@@ -327,10 +327,15 @@ final class Collection private (
     * through [[extendedQueryFrame]]: the full EXTENDED grammar, so a
     * subscribed query may be `"quoted phrase" or near(a b, 3) and term`;
     * plain queries take the byte-identical reference-parity path
-    * (extendedQueryFrame's fallback). Each result frame handed to `sink`
-    * carries (qid, id, rank), `limit` rows per query (0 = unlimited).
-    * Queries collect per batch (small by nature); each one's postings
-    * scan stays distributed.
+    * (extendedQueryFrame's fallback). The batch's per-query result frames
+    * (`limit` rows per query, 0 = unlimited) union into ONE frame of
+    * (qid, id, rank) handed to `sink` in a SINGLE call per micro-batch —
+    * one Spark action per batch however many queries are subscribed, like
+    * [[streamVectorSearch]]'s batched probe, not one action per query
+    * (which made the driver's job scheduling the bottleneck at 100×
+    * subscriptions). Queries collect per batch (small by nature); each
+    * one's postings scan stays distributed, and the union arms share the
+    * postings/docs scans inside the one job.
     */
   def streamQuery(queries: DataFrame, limit: Int = 10,
                   qidCol: String = "qid", queryCol: String = "query")(
@@ -340,9 +345,19 @@ final class Collection private (
     queries.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val qs = batch.select(col(qidCol).cast("string"), col(queryCol).cast("string"))
         .collect().map(r => (r.getString(0), r.getString(1)))
-      qs.foreach { case (qid, q) =>
-        sink(extendedQueryFrame(q, limit = limit).select(
-          lit(qid).as("qid"), col("id"), col("rank")))
+      if (qs.nonEmpty) {
+        // duplicate query STRINGS plan once and fan out to their qids via a
+        // broadcast-joined (qid, query) frame? No — qids ride as literals on
+        // the shared per-string frame: same dedup, zero extra join
+        val byQuery = qs.groupBy(_._2).toSeq.sortBy(_._1)
+        val frames = byQuery.map { case (q, subscribers) =>
+          val hits = extendedQueryFrame(q, limit = limit)
+            .select($"id", $"rank")
+          subscribers.map { case (qid, _) =>
+            hits.select(lit(qid).as("qid"), $"id", $"rank")
+          }.reduce(_ unionByName _)
+        }
+        sink(frames.reduce(_ unionByName _))
       }
     }
   }

@@ -108,18 +108,23 @@ class CollectionSpec extends AnyFunSuite {
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(String, String)]
     val got = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var sinkCalls = 0
     val q = c.streamQuery(mem.toDF().toDF("qid", "query"), limit = 0) { out =>
+      sinkCalls += 1
       got ++= out.select("qid", "id").collect().map(r => (r.getString(0), r.getString(1)))
     }.start()
     try {
-      mem.addData(("q1", "alpha")); q.processAllAvailable()
-      mem.addData(("q2", "beta or delta")); q.processAllAvailable()
+      mem.addData(("q1", "alpha"), ("q2", "beta or delta")); q.processAllAvailable()
       // extended grammar over the stream: phrase adjacency, not just AND
       mem.addData(("q3", "\"alpha beta\"")); q.processAllAvailable()
     } finally q.stop()
     assert(got.toSet === Set(("q1", "d1"), ("q1", "d3"),
       ("q2", "d1"), ("q2", "d2"), ("q2", "d3"),
       ("q3", "d1"))) // d3 has alpha AND beta-adjacent? no: "alpha delta" lacks beta
+    // the batched contract: ONE sink call (one unioned frame -> one action)
+    // per micro-batch, however many queries the batch carries — not one per
+    // query (the pre-r11 serial loop the driver flagged as the scale-killer)
+    assert(sinkCalls === 2)
     intercept[IllegalArgumentException] {
       c.streamQuery(Seq(("q", "x")).toDF("qid", "query"))(_ => ())
     }
