@@ -932,6 +932,18 @@ object EntryQueries {
               |    '(^|[^\\p{L}\\p{N}])table[^\\p{L}\\p{N}]+hash([^\\p{L}\\p{N}]|$$)')
               |  OR ${hasTerm("customer")}""".stripMargin)),
 
+    // X106c: NOT + parentheses in the extended grammar — a paren-grouped OR
+    // under a binary NOT whose excluded side is a phrase leaf. The oracle
+    // replays both leaves (token membership; regex adjacency) and the
+    // boolean shape ((customer | small) NOT "table hash") in DuckDB.
+    ("x106c_extended_not", (s: SparkSession, sfDir: String) =>
+      mainColl(s, sfDir)
+        .extendedQueryFrame("(customer or small) not \"table hash\"").select("id"),
+      Some(s"""SELECT $DocId AS id FROM documents
+              |WHERE (${hasTerm("customer")} OR ${hasTerm("small")})
+              |  AND NOT regexp_matches(lower(text),
+              |    '(^|[^\\p{L}\\p{N}])table[^\\p{L}\\p{N}]+hash([^\\p{L}\\p{N}]|$$)')""".stripMargin)),
+
     ("x106b_extended_near", (s: SparkSession, sfDir: String) =>
       mainColl(s, sfDir).extendedQueryFrame("near(table hash, 3) and small").select("id"),
       Some(s"""WITH toks AS (SELECT doc_id, $Toks AS w FROM documents),

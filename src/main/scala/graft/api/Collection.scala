@@ -1082,7 +1082,13 @@ final class Collection private (
     val folded = if (foldAccents) graft.functions.StringFold.fold(query) else query
     QueryParser.parseExtended(folded) match {
       case None => queryFrame("", limit, offset, where)
-      case Some(ast) if !BoolQuery.hasExtended(ast) =>
+      // parity fallback only when the extended parse IS the reference
+      // parse: a paren-grouped plain-boolean query (`(a or b) c`) has no
+      // extended leaf but a DIFFERENT tree than parse()'s flat grammar
+      // would build, so it must evaluate here, not through the byte-exact
+      // parity path (which would re-parse parens as punctuation)
+      case Some(ast) if !BoolQuery.hasExtended(ast) &&
+          QueryParser.parse(folded).contains(ast) =>
         queryFrame(query, limit, offset, where)
       case Some(ast) =>
         if (!useFts)
@@ -1109,8 +1115,12 @@ final class Collection private (
       verifiedIds(ts.distinct, graft.functions.TextFunctions.tokenMinSpan(
         graft.functions.TextFunctions.tokens($"content", foldAccents),
         array(ts.distinct.map(lit): _*)) <= k)
-    case BoolQuery.And(l, r) => extIds(l).join(extIds(r), Seq("id"))
-    case BoolQuery.Or(l, r)  => extIds(l).union(extIds(r)).distinct()
+    case BoolQuery.And(l, r)  => extIds(l).join(extIds(r), Seq("id"))
+    case BoolQuery.Or(l, r)   => extIds(l).union(extIds(r)).distinct()
+    // NOT: keep side minus excluded side — a LEFT ANTI on the skinny
+    // match-id frames (both already id-keyed; the anti join is the one
+    // shuffle the exclusion costs, never a corpus scan)
+    case BoolQuery.Diff(l, r) => extIds(l).join(extIds(r), Seq("id"), "left_anti")
     case leaf => FtsEval.matchingIds(postings(), leaf)
   }
 
@@ -1138,14 +1148,17 @@ final class Collection private (
       .select($"id")
   }
 
-  /** Extended leaves -> AND of their (distinct) terms, for BM25 scoring. */
+  /** Extended leaves -> AND of their (distinct) terms, for BM25 scoring.
+    * A Diff scores only its kept side: the excluded side's terms are an
+    * exclusion gate, not relevance signal (fts5 ranks `a NOT b` on a). */
   private def expandExtended(q: BoolQuery): BoolQuery = q match {
     case BoolQuery.Phrase(ts) =>
       ts.distinct.map(BoolQuery.Term(_): BoolQuery).reduceLeft(BoolQuery.And(_, _))
     case BoolQuery.Near(ts, _) =>
       ts.distinct.map(BoolQuery.Term(_): BoolQuery).reduceLeft(BoolQuery.And(_, _))
-    case BoolQuery.And(l, r) => BoolQuery.And(expandExtended(l), expandExtended(r))
-    case BoolQuery.Or(l, r)  => BoolQuery.Or(expandExtended(l), expandExtended(r))
+    case BoolQuery.And(l, r)  => BoolQuery.And(expandExtended(l), expandExtended(r))
+    case BoolQuery.Or(l, r)   => BoolQuery.Or(expandExtended(l), expandExtended(r))
+    case BoolQuery.Diff(l, _) => expandExtended(l)
     case leaf => leaf
   }
 

@@ -51,11 +51,11 @@ object FtsEval {
       base.filter(col("term").rlike(w.regex)).select("id").distinct()
     case And(l, r)   => matchingIds(postings, l).join(matchingIds(postings, r), "id")
     case Or(l, r)    => matchingIds(postings, l).union(matchingIds(postings, r)).distinct()
-    // extended leaves carry a content-verification obligation the postings
-    // index alone cannot discharge — Collection lowers them first
-    case ext @ (_: Phrase | _: Near) =>
+    // extended nodes carry a content-verification / anti-join obligation
+    // the postings index alone cannot discharge — Collection lowers them
+    case ext @ (_: Phrase | _: Near | _: Diff) =>
       throw new IllegalArgumentException(
-        s"extended leaf $ext must be lowered by Collection before FtsEval")
+        s"extended node $ext must be lowered by Collection before FtsEval")
   }
 
   /** Some(terms) iff q is exactly AND(Term, Term, …) with distinct terms. */

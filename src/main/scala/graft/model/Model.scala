@@ -70,19 +70,31 @@ object BoolQuery {
   final case class Phrase(terms: Seq[String]) extends BoolQuery
   final case class Near(terms: Seq[String], k: Int) extends BoolQuery
 
-  /** True iff the tree contains an extended (verify-carrying) leaf. */
+  /** `l NOT r` — matches of `l` minus matches of `r` (the fts5 binary NOT,
+    * graft-only extended syntax like [[Phrase]]/[[Near]]). The right side
+    * is an exclusion gate only: it never contributes BM25 scoring terms,
+    * and `Collection` lowers it to a LEFT ANTI join on the match-id
+    * frames before anything reaches FtsEval/Bm25.
+    */
+  final case class Diff(l: BoolQuery, r: BoolQuery) extends BoolQuery
+
+  /** True iff the tree contains an extended (verify-carrying or
+    * anti-join-carrying) node. */
   def hasExtended(q: BoolQuery): Boolean = q match {
     case And(l, r) => hasExtended(l) || hasExtended(r)
     case Or(l, r)  => hasExtended(l) || hasExtended(r)
-    case _: Phrase | _: Near => true
+    case _: Phrase | _: Near | _: Diff => true
     case _ => false
   }
 
-  /** All leaf terms/prefixes, left-to-right (used for BM25 scoring terms). */
+  /** All leaf terms/prefixes, left-to-right (used for BM25 scoring terms).
+    * A [[Diff]]'s right side is excluded docs, not scoring signal — only
+    * the kept side contributes. */
   def leaves(q: BoolQuery): Seq[BoolQuery] = q match {
-    case And(l, r) => leaves(l) ++ leaves(r)
-    case Or(l, r)  => leaves(l) ++ leaves(r)
-    case leaf      => Seq(leaf)
+    case And(l, r)  => leaves(l) ++ leaves(r)
+    case Or(l, r)   => leaves(l) ++ leaves(r)
+    case Diff(l, _) => leaves(l)
+    case leaf       => Seq(leaf)
   }
 }
 

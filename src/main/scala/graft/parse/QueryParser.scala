@@ -53,11 +53,22 @@ object QueryParser {
     *   - `near(a b …, k)` → [[BoolQuery.Near]] (all terms within a k-token
     *     window; `k` optional, default 10 — the fts5 NEAR default),
     *     case-insensitive
+    *   - `not` → [[BoolQuery.Diff]] (the fts5 binary NOT: `a not b` keeps
+    *     a's matches minus b's; `a and not b` spells the same thing).
+    *     NOT and AND share a precedence level, left-associative, above OR
+    *     — fts5's rule — so `a not b c` = `(a NOT b) AND c`. A literal
+    *     word "not" is spelled quoted (`"not"`), like any fts5 keyword.
+    *   - `( … )` grouping, overriding precedence: `(a or b) and c`
     *
-    * both composable with and/or/implicit-AND like any word. This is
-    * graft-only syntax: the REFERENCE grammar strips quotes to plain terms
-    * (core.py:60, pinned by `q2_parser_golden`), so the extension lives in
-    * a separate entry point and the parity parser stays byte-exact.
+    * all composable with and/or/implicit-AND like any word. Stray
+    * operators degrade instead of erroring, matching [[parse]]'s
+    * contract: a leading/trailing operator is ignored (`not a` = `a`,
+    * `a or not b` = `a or b`), an unmatched `)` is dropped, an unclosed
+    * `(` groups to end-of-query. This is graft-only syntax: the REFERENCE
+    * grammar strips quotes to plain terms and has neither NOT nor parens
+    * (core.py:35-39 forwards raw engine syntax; core.py:60 pinned by
+    * `q2_parser_golden`), so the extension lives in a separate entry
+    * point and the parity parser stays byte-exact.
     */
   def parseExtended(query: String): Option[BoolQuery] = {
     val specials = collection.mutable.ArrayBuffer[BoolQuery]()
@@ -100,22 +111,89 @@ object QueryParser {
       }
     })
     val phRx = ("^" + M + "(\\d+)" + M + "$").r
-    // NO .trim here: String.trim strips every char <= 0x20 — including a
-    // leading/trailing placeholder's NUL markers
-    val tokens = txt.split("\\s+").toIndexedSeq.filter(_.nonEmpty)
+    // pad grouping parens into their own tokens. Every near(...) was
+    // extracted above, so a surviving paren is grouping syntax (a paren
+    // glued to a word — `f(x)` — yields the same AND the old punctuation
+    // split produced). NO .trim anywhere: String.trim strips every char
+    // <= 0x20 — including a leading/trailing placeholder's NUL markers.
+    val raw = txt.replace("(", " ( ").replace(")", " ) ")
+      .split("\\s+").toIndexedSeq.filter(_.nonEmpty)
+    // drop unmatched `)` up front (stray-operator contract) so the descent
+    // below needs no error states; an unclosed `(` groups to end-of-query
+    val tokens = {
+      var depth = 0
+      raw.filter {
+        case "(" => depth += 1; true
+        case ")" => if (depth > 0) { depth -= 1; true } else false
+        case _ => true
+      }
+    }
     if (tokens.isEmpty) return None
-    val orGroups = collection.mutable.ArrayBuffer[Vector[String]](Vector.empty)
-    tokens.foreach { tok =>
-      if (tok.equalsIgnoreCase("or")) orGroups += Vector.empty
-      else orGroups(orGroups.size - 1) = orGroups.last :+ tok
+
+    // Recursive descent. orExpr := andExpr (OR andExpr)*
+    //                   andExpr := factor ((AND? NOT | AND | ε) factor)*
+    //                   factor := '(' orExpr ')' | word
+    // AND and NOT share one precedence level, left-associative (fts5);
+    // missing operands (stray operators, empty groups) fold away.
+    var pos = 0
+    def peek: String = if (pos < tokens.length) tokens(pos) else ""
+    def isKw(t: String, kw: String) = t.equalsIgnoreCase(kw)
+
+    def factor(): Option[BoolQuery] = peek match {
+      case "(" =>
+        pos += 1
+        val inner = orExpr()
+        if (peek == ")") pos += 1
+        inner
+      case w =>
+        pos += 1
+        w match {
+          case phRx(i) => Some(specials(i.toInt))
+          case _ => leaf(w)
+        }
     }
-    def extLeaf(word: String): Option[BoolQuery] = word match {
-      case phRx(i) => Some(specials(i.toInt))
-      case _ => leaf(word)
+
+    def andExpr(): Option[BoolQuery] = {
+      var acc: Option[BoolQuery] = None
+      while (pos < tokens.length && peek != ")" && !isKw(peek, "or")) {
+        // collapse an operator run (`and not`, `and and`) to one op; a NOT
+        // anywhere in the run makes it a NOT
+        var neg = false
+        while (isKw(peek, "and") || isKw(peek, "not")) {
+          if (isKw(peek, "not")) neg = true
+          pos += 1
+        }
+        if (pos >= tokens.length || peek == ")" || isKw(peek, "or")) {
+          // trailing operator: stray, ignored (the run's tokens were consumed)
+        } else factor() match {
+          case Some(r) => acc = acc match {
+            case Some(l) => Some(if (neg) Diff(l, r) else And(l, r))
+            case None => Some(r) // leading operator: stray, ignored
+          }
+          case None => () // empty group / bare-`*` word: nothing to attach
+        }
+        // progress: every iteration consumes ≥1 token (the operator run, or
+        // factor() — which always advances past its word/group)
+      }
+      acc
     }
-    def andGroup(words: Vector[String]): Option[BoolQuery] =
-      words.flatMap(extLeaf).reduceOption(And(_, _))
-    orGroups.toVector.flatMap(andGroup).reduceOption(Or(_, _))
+
+    def orExpr(): Option[BoolQuery] = {
+      var acc = andExpr()
+      while (isKw(peek, "or")) {
+        pos += 1
+        andExpr() match {
+          case Some(r) => acc = acc.map(Or(_, r)).orElse(Some(r))
+          case None => ()
+        }
+      }
+      acc
+    }
+
+    // leftover tokens are impossible: andExpr stops only at `)`/OR/end,
+    // orExpr consumes every OR, unmatched `)` were filtered above, and a
+    // matched `)` is always consumed by its group's factor()
+    orExpr()
   }
 
   /** Word -> leaf AST (None for operator words / bare `*`) — shared by
@@ -158,5 +236,6 @@ object QueryParser {
     case Near(ts, k)  => s"near(${ts.mkString(" ")}, $k)"
     case And(l, r)    => s"${print(l)} & ${print(r)}"
     case Or(l, r)     => s"(${print(l)}) | (${print(r)})"
+    case Diff(l, r)   => s"(${print(l)}) &! (${print(r)})"
   }
 }

@@ -104,9 +104,10 @@ class QueryParserSpec extends AnyFunSuite {
       And(Phrase(Seq("a", "b")), Near(Seq("c", "d"), 2))))
     // numeric terms never collide with the internal placeholders
     assert(px("\"a b\" 0").contains(And(Phrase(Seq("a", "b")), Term("0"))))
-    // `near(` must start a word: linear(x, 2) is terms, not the operator
+    // `near(` must start a word: linear(x, 2) is terms, not the operator —
+    // its parens read as an (associativity-only) group: linear & (x & 2)
     assert(px("linear(x, 2)").contains(
-      And(And(Term("linear"), Term("x")), Term("2"))))
+      And(Term("linear"), And(Term("x"), Term("2")))))
     // quotes inside near() args strip as punctuation
     assert(px("near(\"a b\", 2)").contains(Near(Seq("a", "b"), 2)))
     // plain queries parse identically to the reference grammar
@@ -115,5 +116,37 @@ class QueryParserSpec extends AnyFunSuite {
     // print round-trip forms
     assert(QueryParser.print(px("\"a b\" or near(c d, 2)").get)
       === "(\"a b\") | (near(c d, 2))")
+  }
+
+  test("parseExtended: NOT and parentheses") {
+    // binary NOT, both spellings (fts5 `a NOT b`; `and not` sugar)
+    assert(px("a not b").contains(Diff(Term("a"), Term("b"))))
+    assert(px("a AND NOT b").contains(Diff(Term("a"), Term("b"))))
+    assert(px("a and not \"b c\"").contains(
+      Diff(Term("a"), Phrase(Seq("b", "c")))))
+    // NOT shares AND's precedence level, left-assoc: (a NOT b) AND c
+    assert(px("a not b c").contains(And(Diff(Term("a"), Term("b")), Term("c"))))
+    // OR binds looser than NOT
+    assert(px("a not b or c").contains(Or(Diff(Term("a"), Term("b")), Term("c"))))
+    // parens group and override precedence
+    assert(px("(a or b) and c").contains(And(Or(Term("a"), Term("b")), Term("c"))))
+    assert(px("(a or b) not (c or d)").contains(
+      Diff(Or(Term("a"), Term("b")), Or(Term("c"), Term("d")))))
+    assert(px("not(a or b) and c").contains( // leading NOT stray; parens still group
+      And(Or(Term("a"), Term("b")), Term("c"))))
+    // stray operators degrade, never error (the parse() contract)
+    assert(px("not a").contains(Term("a")))
+    assert(px("a not").contains(Term("a")))
+    assert(px("a or not b").contains(Or(Term("a"), Term("b"))))
+    assert(px("()").isEmpty)
+    assert(px(") a ( b").contains(And(Term("a"), Term("b")))) // unmatched ) dropped; ( groups to end
+    // a literal keyword is spelled quoted
+    assert(px("\"not\"").contains(Term("not")))
+    assert(px("a \"not\" b").contains(And(And(Term("a"), Term("not")), Term("b"))))
+    // extended leaves compose under NOT
+    assert(px("near(a b, 3) not c").contains(
+      Diff(Near(Seq("a", "b"), 3), Term("c"))))
+    // print form
+    assert(QueryParser.print(px("a not b").get) === "(a) &! (b)")
   }
 }
