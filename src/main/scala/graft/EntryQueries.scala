@@ -2269,6 +2269,50 @@ object EntryQueries {
       Seq(("pq_rerank_recall_ge_0.8", rec >= 0.8)).toDF("metric", "ok")
     }, Some("SELECT 'pq_rerank_recall_ge_0.8' AS metric, true AS ok")),
 
+    // Collection-level PQ index (the codes-persisted sibling of x6c/x7b):
+    // createVectorIndex(kind="pq") must probe identically to the per-call
+    // Pq train+encode+rerank path on the same corpus (training samples by
+    // embedding hash, so the codebooks coincide); delta maintenance must
+    // keep the resolved codes EXACTLY equal to a fresh encode of the
+    // current docs against the STORED codebooks (O(batch) re-encode, never
+    // a retrain); and the recall gate must survive the maintained upsert.
+    ("x50b_pq_index", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val root = tempDirCleanedOnExit("graft-x50b-")
+      val c = Collection(s, root, "vecs", useFts = false)
+      c.addDf(e.withColumn("content", lit("")))
+      c.createVectorIndex(kind = "pq", m = 16, numCentroids = 256, iters = 8,
+        maxSample = 20000, candK = 100)
+      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val via = c.vectorTopK(qs, 10).select("qid", "rn", "id").persist()
+      val cb = Pq.train(e, m = 16, k = 256, iters = 8, maxSample = 20000)
+      val direct = Pq.rerankTopK(e, Pq.encode(e, cb), cb, qs, k = 10, candK = 100)
+        .select("qid", "rn", "id").persist()
+      try {
+        val eq1 = via.exceptAll(direct).isEmpty && via.count() == direct.count()
+        // upsert 50 duplicated vectors under new ids — the O(batch) delta
+        // re-encodes them against the STORED codebooks
+        c.addDf(e.limit(50).select(concat(lit("dup_"), col("id")).as("id"),
+          lit("").as("content"), col("embedding")))
+        val (storedCb, codes, _) = c.pqIndex().get
+        val resolved = codes.persist()
+        val fresh = Pq.encode(c.docs(), storedCb).persist()
+        try {
+          val eq2 = resolved.exceptAll(fresh).isEmpty &&
+            fresh.exceptAll(resolved).isEmpty
+          val rec = Ann.recallAtK(Ann.exactTopK(c.docs(), qs, k = 10),
+            c.vectorTopK(qs, 10))
+          Seq(("delta_codes_exact", eq2),
+            ("prebuilt_equals_percall", eq1),
+            ("recall_after_delta_ge_0.8", rec >= 0.8)).toDF("metric", "ok")
+        } finally { resolved.unpersist(); fresh.unpersist() }
+      } finally { via.unpersist(); direct.unpersist() }
+    }, Some("""SELECT * FROM (VALUES ('delta_codes_exact', true),
+              |  ('prebuilt_equals_percall', true),
+              |  ('recall_after_delta_ge_0.8', true)) AS t(metric, ok)""".stripMargin)),
+
     // Vocabulary cardinality per source: the exact arm is oracle-checked;
     // the HLL++ sketch arm (the 100 TB path) is gated within 5 rsd of it.
     ("x49_cardinality", (s: SparkSession, sfDir: String) =>

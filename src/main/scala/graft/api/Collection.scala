@@ -52,6 +52,8 @@ final class Collection private (
   private val doclenDir = Stores.doclenDir(root)
   private val ivfDir = Stores.ivfDir(root)
   private val ivfCentDir = Stores.ivfCentDir(root)
+  private val pqDir = Stores.pqDir(root)
+  private val pqBookDir = Stores.pqBookDir(root)
 
   /** This collection's documents (partition-pruned read). */
   def docs(): DataFrame = Stores.readPartition(spark, docsDir, name, Stores.docsSchema)
@@ -442,6 +444,12 @@ final class Collection private (
       val (b, d) = Stores.segmentBytes(spark, ivfDir, name)
       b > 0 && d * 2 > b
     }
+    // PQ shares the policy: delta-encoded mass rivaling the base means the
+    // codebooks were trained on a minority of the current data
+    val pqStale = Stores.partitionExists(spark, pqBookDir, name) && {
+      val (b, d) = Stores.segmentBytes(spark, pqDir, name)
+      b > 0 && d * 2 > b
+    }
     Stores.compactPartition(spark, docsDir, name, Stores.docsSchema)
     Stores.compactPartition(spark, postingsDir, name, Stores.postingsSchema,
       sortBy = Seq("term"))
@@ -463,9 +471,22 @@ final class Collection private (
     }
     else Stores.compactPartition(spark, ivfDir, name, Stores.ivfSchema,
       sortBy = Seq("cluster"))
+    if (pqStale) pqParams().foreach { case (candK, iters, maxSample, seed) =>
+      pqCodebook() match {
+        case Some(old) if !docs().filter($"embedding".isNotNull).limit(1).isEmpty =>
+          writePq(graft.ext.Pq.train(docs(), "embedding",
+            old.m, old.books.head.size, iters, maxSample, seed),
+            candK, iters, maxSample, seed)
+        case _ => // emptied of embedded docs: drop, like the IVF branch
+          Stores.dropPartition(spark, pqDir, name)
+          Stores.dropPartition(spark, pqBookDir, name)
+      }
+    }
+    else Stores.compactPartition(spark, pqDir, name, Stores.pqSchema)
     // sweep crash residue while we're off the ingest path anyway: orphaned
     // .tmp-* always, .old-* (crash-recovery copies) past their grace window
-    Seq(docsDir, postingsDir, statsDir, annDir, doclenDir, ivfDir, ivfCentDir)
+    Seq(docsDir, postingsDir, statsDir, annDir, doclenDir, ivfDir, ivfCentDir,
+        pqDir, pqBookDir)
       .foreach(Stores.sweep(spark, _))
   }
 
@@ -488,7 +509,7 @@ final class Collection private (
     // overwrite-only and cheap (one agg over the skinny doclen store)
     if (Stores.partitionExists(spark, doclenDir, name)) writeStatsFrom(doclen())
     val swept = Seq(docsDir, postingsDir, statsDir, annDir, doclenDir,
-        ivfDir, ivfCentDir)
+        ivfDir, ivfCentDir, pqDir, pqBookDir)
       .map(Stores.sweep(spark, _, oldGraceMs = 0L, tmpGraceMs = 0L)).sum
     val s = collStats().head()
     Seq((s.getLong(0), s.getDouble(1),
@@ -521,6 +542,8 @@ final class Collection private (
     Stores.dropPartition(spark, doclenDir, name)
     Stores.dropPartition(spark, ivfDir, name)
     Stores.dropPartition(spark, ivfCentDir, name)
+    Stores.dropPartition(spark, pqDir, name)
+    Stores.dropPartition(spark, pqBookDir, name)
     Stores.dropManifest(spark, root, name) // a recreate may change flags
     // Retire the ANN-rewrite registration with the store it points at. The
     // Deferred guard would decline anyway (no ann partition), but a retained
@@ -539,27 +562,33 @@ final class Collection private (
 
   /** Build (or rebuild) this collection's persisted vector index over the
     * docs' embedding column: `kind = "lsh"` (default — data-oblivious
-    * random-hyperplane buckets, uses `numTables`/`numPlanes`/`dim`) or
+    * random-hyperplane buckets, uses `numTables`/`numPlanes`/`dim`),
     * `kind = "ivf"` (data-adaptive centroid posting lists, uses
-    * `numCentroids`/`iters`/`maxSample`/`nprobe`). Docs without embeddings
-    * are simply absent from the index. The two kinds are mutually exclusive
-    * — building one drops the other. Subsequent `add`/`update`/`delete`
-    * maintain the built index incrementally (IVF batches re-assign against
-    * the STORED centroids — a zero-shuffle scan; `compact()` retrains
-    * centroids when the delta mass rivals the base); `vectorTopK` probes it
-    * without touching the corpus scan.
+    * `numCentroids`/`iters`/`maxSample`/`nprobe`), or `kind = "pq"`
+    * (product-quantization codes + sub-codebooks — `m` bytes/vector, ADC
+    * candidate scan + float rerank of the top `candK`; uses `m`/`candK`/
+    * `numCentroids` (=codewords per subspace, ≤256)/`iters`/`maxSample`).
+    * Docs without embeddings are simply absent from the index. The kinds
+    * are mutually exclusive — building one drops the others. Subsequent
+    * `add`/`update`/`delete` maintain the built index incrementally (IVF
+    * batches re-assign and PQ batches re-encode against the STORED
+    * centroids/codebooks — zero-shuffle scans; `compact()` retrains when
+    * the delta mass rivals the base); `vectorTopK` probes it without
+    * touching the corpus scan.
     */
   def createVectorIndex(numTables: Int = 16, numPlanes: Int = 4,
                         dim: Int = 64, seed: Long = 42L,
                         kind: String = "lsh", numCentroids: Int = 256,
                         iters: Int = 10, maxSample: Int = 100000,
-                        nprobe: Int = 8): Unit = kind match {
+                        nprobe: Int = 8, m: Int = 8, candK: Int = 50): Unit = kind match {
     case "lsh" =>
-      // drop the OTHER kind FIRST: a crash mid-build then leaves no index
+      // drop the OTHER kinds FIRST: a crash mid-build then leaves no index
       // (vectorTopK throws loudly) instead of the stale other-kind index
       // silently shadowing the one the caller asked for
       Stores.dropPartition(spark, ivfDir, name)
       Stores.dropPartition(spark, ivfCentDir, name)
+      Stores.dropPartition(spark, pqDir, name)
+      Stores.dropPartition(spark, pqBookDir, name)
       val ix = LshIndex.build(docs(), "id", "embedding", numTables, numPlanes, dim, seed)
       // toStoreFrame is already range-clustered + sorted; no write-time re-sort
       Stores.overwritePartition(spark, annDir, name, ix.toStoreFrame)
@@ -578,6 +607,8 @@ final class Collection private (
     case "ivf" =>
       require(nprobe >= 1 && nprobe <= numCentroids, "1 <= nprobe <= numCentroids")
       Stores.dropPartition(spark, annDir, name) // see the lsh branch's ordering note
+      Stores.dropPartition(spark, pqDir, name)
+      Stores.dropPartition(spark, pqBookDir, name)
       val ix = graft.ext.Ivf.build(docs(), "id", "embedding",
         numCentroids, iters, 1.0, maxSample, seed)
       writeIvf(ix, nprobe, iters, maxSample, seed)
@@ -585,9 +616,21 @@ final class Collection private (
         graft.plans.AnnCatalog.Entry("id", "embedding",
           graft.plans.AnnCatalog.Deferred(() => ivfIndex().map(ix =>
             graft.plans.AnnCatalog.IvfRegistered(ix, ivfParams().map(_._1).getOrElse(8))))))
+    case "pq" =>
+      require(candK >= 1, "candK >= 1")
+      Stores.dropPartition(spark, annDir, name) // see the lsh branch's ordering note
+      Stores.dropPartition(spark, ivfDir, name)
+      Stores.dropPartition(spark, ivfCentDir, name)
+      val cb = graft.ext.Pq.train(docs(), "embedding",
+        m, numCentroids, iters, maxSample, seed)
+      writePq(cb, candK, iters, maxSample, seed)
+      graft.plans.AnnCatalog.register(spark, Stores.partitionPath(docsDir, name),
+        graft.plans.AnnCatalog.Entry("id", "embedding",
+          graft.plans.AnnCatalog.Deferred(() => pqIndex().map { case (cb, codes, candK) =>
+            graft.plans.AnnCatalog.PqRegistered(codes, cb, candK) })))
     case other =>
       throw new IllegalArgumentException(
-        s"Unknown vector index kind '$other' (expected \"lsh\" or \"ivf\").")
+        s"Unknown vector index kind '$other' (expected \"lsh\", \"ivf\" or \"pq\").")
   }
 
   private def writeIvf(ix: graft.ext.IvfIndex, nprobe: Int, iters: Int,
@@ -628,6 +671,49 @@ final class Collection private (
       .select($"nprobe", $"iters", $"max_sample", $"seed").head(1).headOption
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
 
+  private def writePq(cb: graft.ext.PqCodebook, candK: Int, iters: Int,
+                      maxSample: Int, seed: Long): Unit = {
+    // Same crash-ordering contract as writeIvf: drop the codebook table
+    // first (pqIndex() and every maintenance path key off its existence),
+    // write codes, write books last — any crash window leaves the index
+    // absent/declining, never new-codes/old-books served silently.
+    Stores.dropPartition(spark, pqBookDir, name)
+    Stores.overwritePartition(spark, pqDir, name,
+      graft.ext.Pq.encode(docs(), cb))
+    Stores.overwritePartition(spark, pqBookDir, name,
+      cb.toStoreFrame(spark)
+        .withColumn("cand_k", lit(candK)).withColumn("iters", lit(iters))
+        .withColumn("max_sample", lit(maxSample)).withColumn("seed", lit(seed)))
+  }
+
+  /** The persisted PQ index, if one was built ([[createVectorIndex]] with
+    * `kind = "pq"`): stored codebooks (driver-side, m×k×dsub floats —
+    * broadcast-sized), the current (delta-resolved) codes frame, and the
+    * stored rerank depth.
+    */
+  def pqIndex(): Option[(graft.ext.PqCodebook, DataFrame, Int)] =
+    if (!Stores.partitionExists(spark, pqBookDir, name)) None
+    else {
+      val book = Stores.readPartition(spark, pqBookDir, name, Stores.pqBookSchema)
+      graft.ext.PqCodebook.fromStoreFrame(book).map { cb =>
+        (cb, Stores.readPartition(spark, pqDir, name, Stores.pqSchema),
+          pqParams().map(_._1).getOrElse(50))
+      }
+    }
+
+  /** (candK, iters, maxSample, seed) of the stored PQ index. */
+  private def pqParams(): Option[(Int, Int, Int, Long)] =
+    if (!Stores.partitionExists(spark, pqBookDir, name)) None
+    else Stores.readPartition(spark, pqBookDir, name, Stores.pqBookSchema)
+      .select($"cand_k", $"iters", $"max_sample", $"seed").head(1).headOption
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+
+  /** Stored PQ codebooks (driver-side), or None without a PQ index. */
+  private def pqCodebook(): Option[graft.ext.PqCodebook] =
+    if (!Stores.partitionExists(spark, pqBookDir, name)) None
+    else graft.ext.PqCodebook.fromStoreFrame(
+      Stores.readPartition(spark, pqBookDir, name, Stores.pqBookSchema))
+
   /** The persisted vector index, if one was built (and the collection has
     * had embedded docs since).
     */
@@ -648,8 +734,15 @@ final class Collection private (
       case None => ivfIndex() match {
         case Some(ix) =>
           ix.topK(docs(), queries, k, nprobe = ivfParams().map(_._1).getOrElse(8))
-        case None => throw new IllegalStateException(
-          s"Collection '$name' has no vector index. Call createVectorIndex() first.")
+        case None => pqIndex() match {
+          case Some((cb, codes, candK)) =>
+            // ADC over the codes (m bytes/row) picks candK candidates per
+            // query; only those join back to docs for the exact-cosine
+            // rerank — the float column is touched for queries×candK rows
+            graft.ext.Pq.rerankTopK(docs(), codes, cb, queries, k, candK)
+          case None => throw new IllegalStateException(
+            s"Collection '$name' has no vector index. Call createVectorIndex() first.")
+        }
       }
     }
 
@@ -769,6 +862,12 @@ final class Collection private (
       Stores.overwritePartition(spark, ivfDir, name,
         kept.unionByName(added), sortBy = Seq("cluster"))
     }
+    pqCodebook().foreach { cb =>
+      val kept = Stores.readPartition(spark, pqDir, name, Stores.pqSchema)
+        .join(batchIds, Seq("id"), "left_anti")
+      Stores.overwritePartition(spark, pqDir, name,
+        kept.unionByName(graft.ext.Pq.encode(batch, cb)))
+    }
   }
 
   /** Stored IVF centroids (driver-side, k×dim — broadcast-sized), or None
@@ -838,6 +937,10 @@ final class Collection private (
       Stores.overwritePartition(spark, ivfDir, name,
         Stores.readPartition(spark, ivfDir, name, Stores.ivfSchema)
           .join(idsDf, Seq("id"), "left_anti"), sortBy = Seq("cluster"))
+    if (Stores.partitionExists(spark, pqDir, name))
+      Stores.overwritePartition(spark, pqDir, name,
+        Stores.readPartition(spark, pqDir, name, Stores.pqSchema)
+          .join(idsDf, Seq("id"), "left_anti"))
   }
 
   /** Index maintenance for a delete: gone-only deltas (no tokenize, no
@@ -855,6 +958,9 @@ final class Collection private (
     if (Stores.partitionExists(spark, ivfDir, name))
       Stores.appendDelta(spark, ivfDir, name,
         emptyFrame(Stores.ivfSchema), gone = Some(idsDf))
+    if (Stores.partitionExists(spark, pqDir, name))
+      Stores.appendDelta(spark, pqDir, name,
+        emptyFrame(Stores.pqSchema), gone = Some(idsDf))
   }
 
   // -------------------------------------------------------------------------
@@ -947,6 +1053,12 @@ final class Collection private (
       Stores.overwritePartition(spark, ivfDir, name,
         graft.ext.Ivf.assign(docs(), cents), sortBy = Seq("cluster"))
     }
+    // PQ: re-encode everything against the STORED codebooks (zero-shuffle
+    // scan); codebook retraining is compact()'s staleness policy too
+    pqCodebook().foreach { cb =>
+      Stores.overwritePartition(spark, pqDir, name,
+        graft.ext.Pq.encode(docs(), cb))
+    }
   }
 
   /** Delta-maintain the persisted vector index for an upserted batch: only
@@ -974,6 +1086,13 @@ final class Collection private (
       Stores.appendDelta(spark, ivfDir, name,
         graft.ext.Ivf.assign(batch, cents),
         gone = Some(batchIds), sortBy = Seq("cluster"))
+    }
+    // PQ: O(batch) delta — the batch re-encodes against the stored
+    // codebooks (codebooks ride in the expression, zero shuffle); same
+    // gone-sidecar contract
+    pqCodebook().foreach { cb =>
+      Stores.appendDelta(spark, pqDir, name,
+        graft.ext.Pq.encode(batch, cb), gone = Some(batchIds))
     }
   }
 

@@ -110,6 +110,25 @@ final case class PqCodebook(m: Int, dsub: Int, books: Seq[Seq[Seq[Float]]]) {
   }
 }
 
+object PqCodebook {
+  /** Reconstruct from a [[PqCodebook.toStoreFrame]]-layout frame (extra
+    * columns ignored) — m×k rows collect driver-side, same bounded size as
+    * the trained books (≤ 256×m codewords). None for an empty frame.
+    */
+  def fromStoreFrame(df: DataFrame): Option[PqCodebook] = {
+    val rows = df.select(col("subspace"), col("code"), col("codeword")).collect()
+    if (rows.isEmpty) None
+    else {
+      val bySub = rows.groupBy(_.getInt(0))
+      val m = bySub.keys.max + 1
+      val books = (0 until m).map { s =>
+        bySub(s).sortBy(_.getInt(1)).map(_.getSeq[Float](2).toSeq).toSeq
+      }
+      Some(PqCodebook(m, books.head.head.size, books))
+    }
+  }
+}
+
 /** Product quantization ANN (Jégou et al. 2011; the FAISS `PQ` family):
   * embeddings compress to `m` bytes each — 64-dim float → 8 bytes is 32× —
   * and queries score the CODES via per-query lookup tables (ADC), never

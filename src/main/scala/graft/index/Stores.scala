@@ -118,6 +118,32 @@ object Stores {
     StructField("seed", LongType, nullable = false)
   ))
 
+  /** annpq: one row per embedded doc — its m-byte PQ code vector (the
+    * whole searchable index is m bytes/doc; a 100 TB float corpus's codes
+    * fit in low terabytes). ADC probes scan every code row by design (no
+    * clustering key to prune on), so layout is id-ordered for cheap delta
+    * anti-joins. Delta-maintained like annindex/annivf.
+    */
+  val pqSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("codes", ArrayType(ByteType, containsNull = false), nullable = false)
+  ))
+
+  /** annpqbook: m×k rows — the trained sub-codebooks (subspace, code,
+    * codeword) plus the build/probe parameters as constant columns
+    * (RLE-free), so maintenance and retrain need no caller-carried state.
+    * Overwrite-only (never deltas), like annivfcent.
+    */
+  val pqBookSchema: StructType = StructType(Seq(
+    StructField("subspace", IntegerType, nullable = false),
+    StructField("code", IntegerType, nullable = false),
+    StructField("codeword", ArrayType(FloatType), nullable = false),
+    StructField("cand_k", IntegerType, nullable = false),
+    StructField("iters", IntegerType, nullable = false),
+    StructField("max_sample", IntegerType, nullable = false),
+    StructField("seed", LongType, nullable = false)
+  ))
+
   def docsDir(root: String) = s"$root/docs"
   def postingsDir(root: String) = s"$root/postings"
   def collStatsDir(root: String) = s"$root/collstats"
@@ -125,6 +151,8 @@ object Stores {
   def doclenDir(root: String) = s"$root/doclen"
   def ivfDir(root: String) = s"$root/annivf"
   def ivfCentDir(root: String) = s"$root/annivfcent"
+  def pqDir(root: String) = s"$root/annpq"
+  def pqBookDir(root: String) = s"$root/annpqbook"
 
   private def partDir(storeDir: String, collection: String): String =
     s"$storeDir/collection=${java.net.URLEncoder.encode(collection, "UTF-8")}"

@@ -76,6 +76,18 @@ object AnnCatalog {
     }
   }
 
+  /** PQ: probe = the query's ADC top-`candK` over the codes frame (m
+    * bytes/row; a full codes scan by design — no clustering key to prune
+    * on). The surrounding exact sort/limit then reranks the candidates
+    * with true cosine, so the rewrite is the standard PQ retrieve+rerank.
+    */
+  final case class PqRegistered(codes: DataFrame, cb: graft.ext.PqCodebook,
+                                candK: Int) extends Registered {
+    def candidates(spark: SparkSession, qvec: Seq[Float]): Option[DataFrame] =
+      Some(graft.ext.Pq.adcTopK(codes, cb, Seq(("q", qvec)), candK)
+        .select(col("id")))
+  }
+
   /** Re-resolved on every probe — the registration shape for indexes that
     * live in a mutable store (e.g. a [[graft.api.Collection]]'s persisted,
     * delta-maintained index): each rewrite re-reads the current store, and a

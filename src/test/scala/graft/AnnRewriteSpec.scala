@@ -172,6 +172,47 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally AnnCatalog.clear()
   }
 
+  test("Collection PQ index (kind=pq) arms the rewrite; delta upsert stays current") {
+    import graft.api.{Collection, Embedder}
+    AnnCatalog.install(spark)
+    object AxisEmbedder extends Embedder {
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val v = Array.fill(8)(0.0f)
+        v(if (t.contains("cat")) 0 else 4) = 1.0f
+        v(1) = 0.001f * (t.length % 9)
+        v
+      }
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-annrw-pq-").toString
+    val c = Collection(spark, root, "rwpq", Some(AxisEmbedder))
+    try {
+      c.add((1 to 40).map(i => if (i % 2 == 0) s"cat doc $i" else s"dog doc $i"))
+      val exact = topK(c.docs(), 5).select("id").as[String].collect().toSeq
+      // candK covers the whole corpus, so the ADC candidate cut drops
+      // nothing and the surrounding exact rerank reproduces the exact plan
+      c.createVectorIndex(kind = "pq", m = 4, numCentroids = 16, iters = 4,
+        candK = 50)
+      val accel = topK(c.docs(), 5)
+      assert(hasSemiJoin(accel), "collection PQ index must arm the rewrite")
+      assert(accel.select("id").as[String].collect().toSeq === exact)
+      // deferred resolution reads the CURRENT store: a delta-maintained
+      // upsert's new doc is probeable through the rewrite without rebuild
+      c.add(Seq("cat doc fresh zz"))
+      val after = topK(c.docs(), 3)
+      assert(hasSemiJoin(after))
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+      val baseline = topK(c.docs(), 3).select("id").as[String].collect().toSeq
+      spark.conf.unset("spark.graft.ann.rewrite")
+      assert(after.select("id").as[String].collect().toSeq === baseline)
+      // vectorTopK serves from the PQ store too (retrieve+rerank shape)
+      val qv = AxisEmbedder.embed(Seq("cat probe")).head.toSeq
+      assert(c.vectorTopK(Seq("q" -> qv), 3).count() === 3)
+      c.deleteAll()
+      c.add(Seq("cat doc after reset"))
+      assert(!hasSemiJoin(topK(c.docs(), 5)))
+    } finally AnnCatalog.clear()
+  }
+
   test("rewrite binds the REGISTERED relation's columns through joins") {
     val (path, corpus) = mkCorpus()
     try {

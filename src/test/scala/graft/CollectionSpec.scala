@@ -524,6 +524,60 @@ class CollectionSpec extends AnyFunSuite {
     assert(c.ivfIndex().isEmpty)
   }
 
+  test("persisted PQ index: probe, delta maintenance, staleness retrain, exclusivity") {
+    import TestSpark.spark.implicits._
+    import graft.index.Stores
+    val root = freshRoot()
+    val c = coll(root, embedder = Some(OpenDictEmbedder))
+    c.add(Seq("Lorem ipsum dolor", "sit amet"), ids = Some(Seq("a", "b")))
+    assert(c.pqIndex().isEmpty)
+    // 3-dim embeddings: m=3 (dsub=1), small books; candK covers the corpus
+    // so the exact rerank makes probes exact
+    c.createVectorIndex(kind = "pq", m = 3, numCentroids = 4, iters = 3,
+      maxSample = 1000, candK = 50)
+    val (cb0, _, candK0) = c.pqIndex().get
+    assert(cb0.m === 3 && cb0.dsub === 1 && candK0 === 50)
+    val top = c.vectorTopK(Seq("q" -> Seq(1f, 1f, 1f)), 1).collect()
+    assert(top.length === 1 && top.head.getString(2) === "a") // cosine 1.0 with itself
+    // add() delta-maintains codes against the STORED codebooks — resolved
+    // codes must equal a fresh encode of all docs
+    c.add(Seq("consectetur"), ids = Some(Seq("d")))
+    val (cb1, codes1, _) = c.pqIndex().get
+    val resolved = codes1.collect().map(r => (r.getString(0), r.getSeq[Byte](1))).toSet
+    val fresh = graft.ext.Pq.encode(c.docs(), cb1)
+      .collect().map(r => (r.getString(0), r.getSeq[Byte](1))).toSet
+    assert(resolved === fresh && resolved.map(_._1) === Set("a", "b", "d"))
+    // delete removes the doc's codes
+    c.delete(Seq("a"))
+    assert(c.pqIndex().get._2.select("id").as[String].collect().toSet
+      === Set("b", "d"))
+    // staleness retrain: force delta mass past the base, compact() retrains
+    // codebooks (params survive; the rebuilt codes cover the current docs)
+    spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+    spark.conf.set("spark.graft.compact.auto", "false")
+    (1 to 3).foreach(i => c.add(
+      Seq(s"novum verbum $i", s"aliud verbum $i"), ids = Some(Seq(s"n$i", s"m$i"))))
+    assert(Stores.deltaCount(spark, Stores.pqDir(root), "test") > 0)
+    c.compact()
+    assert(Stores.deltaCount(spark, Stores.pqDir(root), "test") === 0)
+    assert(c.pqIndex().get._2.select("id").as[String].collect().toSet
+      === Set("b", "d", "n1", "m1", "n2", "m2", "n3", "m3"))
+    assert(c.vectorTopK(Seq("q" -> Seq(1f, 1f, 1f)), 2).count() === 2)
+    spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+    spark.conf.set("spark.graft.compact.auto", "true")
+    // mutual exclusion across all three kinds
+    c.createVectorIndex(numTables = 4, numPlanes = 2, dim = 3)
+    assert(c.pqIndex().isEmpty && c.vectorIndex().nonEmpty)
+    c.createVectorIndex(kind = "pq", m = 3, numCentroids = 4, iters = 2)
+    assert(c.pqIndex().nonEmpty && c.vectorIndex().isEmpty && c.ivfIndex().isEmpty)
+    c.createVectorIndex(kind = "ivf", numCentroids = 2, iters = 2, nprobe = 2)
+    assert(c.ivfIndex().nonEmpty && c.pqIndex().isEmpty)
+    c.createVectorIndex(kind = "pq", m = 3, numCentroids = 4, iters = 2)
+    assert(c.pqIndex().nonEmpty && c.ivfIndex().isEmpty)
+    c.deleteAll()
+    assert(c.pqIndex().isEmpty)
+  }
+
   test("fts and vector coexist") {
     val c = coll(embedder = Some(DictEmbedder))
     c.add(Seq("Lorem ipsum dolor", "sit amet"))
