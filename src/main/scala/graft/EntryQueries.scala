@@ -1121,6 +1121,67 @@ object EntryQueries {
       Some(s"""SELECT 'main' AS collection, $DocId AS id FROM documents
               |WHERE ${hasTerm("customer")}""".stripMargin)),
 
+    // X111b: federated VECTOR search across the fixture root — 'main' has
+    // no embedded docs (contributes zero rows through the exact arm);
+    // 'vecs' has no persisted index, so vectorTopKAuto serves the exact
+    // cosine top-k, which the oracle replays per query.
+    ("x111b_federated_vector", (s: SparkSession, sfDir: String) => {
+      val qs = (0 until 3).map(i => i.toString -> queryVec(s, sfDir, i))
+      Collection.vectorSearchAll(s, fixtureRoot(s, sfDir), qs, k = 5)
+        .select(col("collection"), col("qid"), col("rn").cast("long").as("rn"),
+          col("id"), round(col("sim"), 6).as("sim"))
+    }, Some("""WITH q AS (SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qe
+              |   FROM embeddings WHERE vec_id < 3),
+              | sc AS (SELECT q.qid, CAST(c.vec_id AS VARCHAR) AS id,
+              |     list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS sim
+              |   FROM embeddings c CROSS JOIN q),
+              | r AS (SELECT qid, id, sim,
+              |     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id ASC) AS rn FROM sc)
+              |SELECT 'vecs' AS collection, qid, CAST(rn AS BIGINT) AS rn, id,
+              |  round(sim, 6) AS sim FROM r WHERE rn <= 5""".stripMargin)),
+
+    // X111c: federated HYBRID search — per-collection RRF fusion, arms
+    // degrading independently: 'main' has no embeddings (fuses to FTS
+    // ranks alone, rn_vec NULL), 'vecs' content matches no query term
+    // (fuses to vector ranks alone, rn_fts NULL). The oracle replays
+    // BM25 + cosine + RRF for both collections.
+    ("x111c_federated_hybrid", (s: SparkSession, sfDir: String) => {
+      val q = queryVec(s, sfDir)
+      Collection.hybridAll(s, fixtureRoot(s, sfDir), "customer", q,
+          k = 10, depth = 50)
+        .select(col("collection"), col("rn"), col("id"),
+          round(col("rrf"), 6).as("rrf"),
+          col("rn_fts").cast("long").as("rn_fts"),
+          col("rn_vec").cast("long").as("rn_vec"))
+    }, Some(s"""WITH toks AS (SELECT $DocId AS id, $Toks AS w FROM documents),
+              | lens AS (SELECT id, len(w) AS dl FROM toks),
+              | stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n, (SELECT AVG(len(w)) FROM toks) AS avgdl),
+              | tf AS (SELECT id, t, COUNT(*) AS tf FROM (SELECT id, unnest(w) AS t FROM toks) GROUP BY 1, 2),
+              | dfp AS (SELECT t, COUNT(*) AS df FROM tf WHERE t = 'customer' GROUP BY 1),
+              | sc AS (SELECT tf.id, SUM( ln((n - df + 0.5) / (df + 0.5) + 1.0)
+              |          * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ) AS r
+              |        FROM tf JOIN dfp USING(t) JOIN lens USING(id) CROSS JOIN stats
+              |        WHERE tf.t = 'customer' GROUP BY tf.id),
+              | fts AS (SELECT id, row_number() OVER (ORDER BY r DESC, id ASC) AS rn
+              |         FROM sc ORDER BY r DESC, id ASC LIMIT 50),
+              | mainf AS (SELECT 'main' AS collection,
+              |     CAST(row_number() OVER (ORDER BY CAST(1.0 AS DOUBLE) / (60 + rn) DESC, id ASC) AS BIGINT) AS rn,
+              |     id, round(CAST(1.0 AS DOUBLE) / (60 + rn), 6) AS rrf,
+              |     CAST(rn AS BIGINT) AS rn_fts, CAST(NULL AS BIGINT) AS rn_vec
+              |   FROM fts ORDER BY rrf DESC, id ASC LIMIT 10),
+              | q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+              | vsc AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+              |           list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(e AS DOUBLE[])) AS sim
+              |         FROM embeddings, q),
+              | vec AS (SELECT id, row_number() OVER (ORDER BY sim DESC, id ASC) AS rn
+              |         FROM vsc ORDER BY sim DESC, id ASC LIMIT 50),
+              | vecf AS (SELECT 'vecs' AS collection,
+              |     CAST(row_number() OVER (ORDER BY CAST(1.0 AS DOUBLE) / (60 + rn) DESC, id ASC) AS BIGINT) AS rn,
+              |     id, round(CAST(1.0 AS DOUBLE) / (60 + rn), 6) AS rrf,
+              |     CAST(NULL AS BIGINT) AS rn_fts, CAST(rn AS BIGINT) AS rn_vec
+              |   FROM vec ORDER BY rrf DESC, id ASC LIMIT 10)
+              |SELECT * FROM mainf UNION ALL SELECT * FROM vecf""".stripMargin)),
+
     // X107b: store catalog listing (the shared fixture root holds exactly
     // the 'main' and 'vecs' collections).
     ("x107b_list_collections", (s: SparkSession, sfDir: String) => {

@@ -746,6 +746,19 @@ final class Collection private (
       }
     }
 
+  /** [[vectorTopK]] when a persisted index exists, exact cosine top-k
+    * otherwise — the arm [[Collection.vectorSearchAll]] federates over,
+    * where per-collection index presence is an operational detail the
+    * caller shouldn't branch on. Same (qid, rn, id, sim) shape either way;
+    * a collection with no embedded docs returns zero rows.
+    */
+  def vectorTopKAuto(queries: Seq[(String, Seq[Float])], k: Int): DataFrame =
+    if (Stores.partitionExists(spark, annDir, name) ||
+        Stores.partitionExists(spark, ivfCentDir, name) ||
+        Stores.partitionExists(spark, pqBookDir, name))
+      vectorTopK(queries, k)
+    else graft.ext.Ann.exactTopK(docs(), queries, k)
+
   /** Dump this collection's resolved documents (id, content, metadata,
     * embedding) as JSONL under `path` — the portable snapshot/migration
     * format ([[importJsonl]] or any JSONL consumer rebuilds from it).
@@ -1502,6 +1515,55 @@ object Collection {
       val c = open(spark, root, n)
       if (!c.useFts) None
       else Some(c.queryFrame(query, limit = limit, where = where)
+        .withColumn("collection", lit(n)))
+    }
+    require(frames.nonEmpty, s"no FTS-capable collections under $root")
+    frames.reduce(_ unionByName _)
+  }
+
+  /** Federated VECTOR search — the ANN arm of [[searchAll]]: probe every
+    * collection of a store root with one query-vector set and union the
+    * per-collection (qid, rn, id, sim) top-k frames with a `collection`
+    * column. Each collection serves through [[Collection.vectorTopKAuto]]
+    * — its persisted index when one exists, the exact cosine top-k
+    * otherwise — so mixed fleets (some indexed, some not) federate without
+    * caller branching; collections with no embedded docs contribute zero
+    * rows. Unlike BM25, cosine sims ARE comparable across collections, so
+    * callers can re-rank the union by `sim` directly.
+    *
+    * Scale: one per-collection probe plan (index-pruned where persisted),
+    * unioned lazily — collections evaluate in parallel inside one job,
+    * nothing collects.
+    */
+  def vectorSearchAll(spark: SparkSession, root: String,
+                      queries: Seq[(String, Seq[Float])], k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val frames = list(spark, root).map { n =>
+      open(spark, root, n).vectorTopKAuto(queries, k)
+        .withColumn("collection", lit(n))
+    }
+    require(frames.nonEmpty, s"no collections under $root")
+    frames.reduce(_ unionByName _)
+  }
+
+  /** Federated HYBRID search — per-collection RRF fusion of the BM25
+    * full-text arm and the vector arm ([[Collection.hybridTopK]]: both
+    * arms depth-truncated before fusion), unioned with a `collection`
+    * column. Non-FTS collections are skipped like [[searchAll]]; a
+    * collection with no embedded docs fuses to its FTS ranks alone
+    * (rn_vec null), and one whose content misses every term fuses to its
+    * vector ranks alone (rn_fts null) — the arms degrade independently.
+    * Output per collection: (rn, id, rrf, rn_fts, rn_vec, collection),
+    * ≤ k rows each.
+    */
+  def hybridAll(spark: SparkSession, root: String, query: String,
+                qvec: Seq[Float], k: Int, depth: Int = 60, rrfK: Int = 60,
+                where: Map[String, Any] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val frames = list(spark, root).flatMap { n =>
+      val c = open(spark, root, n)
+      if (!c.useFts) None
+      else Some(c.hybridTopK(query, qvec, k, depth, rrfK, where)
         .withColumn("collection", lit(n)))
     }
     require(frames.nonEmpty, s"no FTS-capable collections under $root")
