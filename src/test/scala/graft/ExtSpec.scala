@@ -2895,4 +2895,28 @@ class ExtSpec extends AnyFunSuite {
     // 8 distinct tokens in 2^20 buckets: collision-free w.h.p. -> same scores
     exact.foreach { case (id, v) => assert(math.abs(hashed(id) - v) < 1e-9) }
   }
+
+  test("StreamMetrics: per-batch rows and latency counters over a two-batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val m = graft.streaming.StreamMetrics.attach(spark)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "v")
+      .writeStream.format("memory").queryName("sm_out").outputMode("append")
+      .start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"), (3L, "c")); q.processAllAvailable()
+      mem.addData((4L, "d"), (5L, "e")); q.processAllAvailable()
+    } finally q.stop()
+    // progress events land on the async listener bus — wait for both
+    assert(m.awaitBatches("sm_out", 2) >= 2)
+    m.detach()
+    val snap = m.snapshot().filter(col("query") === "sm_out")
+      .filter(col("input_rows") > 0) // empty-trigger batches may interleave
+      .orderBy("batch_id")
+      .select("batch_id", "input_rows", "batch_duration_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(snap.map(_._2).toSeq === Seq(3L, 2L), s"per-batch input rows: ${snap.toSeq}")
+    assert(snap.forall(_._3 >= 0L)) // triggerExecution latency recorded
+    assert(snap.map(_._1).distinct.length === 2) // one counter row per batch
+  }
 }
