@@ -86,8 +86,12 @@ object Bench {
     // Durable copy of the SAME line: the driver's per-round artifact keeps
     // only a truncated stdout tail ("parsed": null in BENCH_r07/r08), so the
     // full per-entry map was unrecoverable from the committed artifact. The
-    // cwd file rides the end-of-round commit instead.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_last.json"),
+    // cwd file rides the end-of-round commit instead. FILTERED runs (local
+    // iteration args) write their own file — BENCH_last.json stays the
+    // latest FULL-suite record (r10 ADVICE: a 4-entry adjudication run had
+    // replaced the 160-entry snapshot).
+    val outFile = if (args.isEmpty) "BENCH_last.json" else "BENCH_last_filtered.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes("UTF-8"))
     catch { case _: Throwable => () } // read-only cwd must not fail the bench
     spark.stop()

@@ -222,8 +222,12 @@ object EntryQueries {
 
   // --- shared DuckDB SQL fragments ------------------------------------------
 
-  /** The engine tokenizer in DuckDB (ASCII-equivalent of [^\p{L}\p{N}]+). */
-  private val Toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+  /** The engine tokenizer in DuckDB — the same Unicode separator class as
+    * TextFunctions.SeparatorRegex, so term/position oracle arms agree with
+    * the engine on non-ASCII text too (hash-identical to the former
+    * ASCII-only class on this corpus; verified with a full-corpus compare).
+    */
+  private val Toks = "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), t -> t <> '')"
 
   /** SQL-escape a string for a single-quoted DuckDB literal. */
   private def sqlQuote(s: String): String = s.replace("'", "''")

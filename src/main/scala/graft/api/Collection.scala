@@ -1168,6 +1168,13 @@ final class Collection private (
     if (!useFts)
       throw new IllegalArgumentException("This collection does not support full-text search.")
     val folded = if (foldAccents) graft.functions.StringFold.fold(phrase) else phrase
+    // Locale.ROOT on the query side; the INDEX side lowercases through
+    // Spark's lower(), whose UTF8String fast path is ASCII-only and falls
+    // back to default-locale String.toLowerCase for non-ASCII — so exotic
+    // chars with locale-sensitive case maps (e.g. U+0130 on a tr JVM) can
+    // still tokenize differently between query and index. Accepted residual
+    // gap: closing it would mean a custom lowercase expression on the
+    // indexing hot path for characters the corpus contract doesn't carry.
     val terms = folded.toLowerCase(java.util.Locale.ROOT).split(graft.functions.TextFunctions.SeparatorRegex)
       .filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "phrase must contain at least one token")

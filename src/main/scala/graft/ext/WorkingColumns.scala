@@ -13,10 +13,14 @@ import org.apache.spark.sql.DataFrame
 private[graft] object WorkingColumns {
 
   /** A working-column name that does not collide with any column of `df`:
-    * `base` itself when free, else `base1`, `base2`, …
+    * `base` itself when free, else `base1`, `base2`, … Collision test is
+    * case-INsensitive: Spark resolves column names case-insensitively by
+    * default, so a caller column `__PREV` would otherwise be silently
+    * replaced by a withColumn("__prev", …).
     */
-  def fresh(df: DataFrame, base: String): String =
-    if (!df.columns.contains(base)) base
-    else Iterator.from(1).map(i => s"$base$i")
-      .find(n => !df.columns.contains(n)).get
+  def fresh(df: DataFrame, base: String): String = {
+    def taken(n: String) = df.columns.exists(_.equalsIgnoreCase(n))
+    if (!taken(base)) base
+    else Iterator.from(1).map(i => s"$base$i").find(n => !taken(n)).get
+  }
 }

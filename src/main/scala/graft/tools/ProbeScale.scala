@@ -276,6 +276,53 @@ object ProbeScale {
       println(s"PROBE   $label pairs = $cnt")
       metrics += (s"${label}_pairs" -> cnt)
     }
+    // `r11ops` = ingest + the round-10/11 operator wave at corpus size
+    // (run with copies=400 -> 2M docs): NEAR + extended-NOT queries
+    // (postings gate + candidates-only verify over the full store), the
+    // BATCHED streamQuery contract (64 subscriptions -> ONE action per
+    // micro-batch), the three federated arms over a 2-collection root, and
+    // the in-place Collection.dedup() / maintain() admin surface.
+    if (mode.contains("r11ops")) {
+      time("near_sec")(println(
+        s"PROBE   hits = ${c.nearSearch("table hash", maxSpan = 3).count()}"))
+      time("extended_not_sec")(println(
+        s"PROBE   hits = ${c.extendedQueryFrame("(table or scan) not \"table hash\"").count()}"))
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String)]
+      var streamed = 0L
+      val sq = c.streamQuery(mem.toDF().toDF("qid", "query"), limit = 10) { out =>
+        streamed += out.count() // ONE action on the unioned frame
+      }.start()
+      val subs = (1 to 64).map(i =>
+        (s"q$i", if (i % 2 == 0) "table scan" else "customer stream"))
+      time("stream_fts_64q_sec") {
+        mem.addData(subs: _*); sq.processAllAvailable()
+      }
+      sq.stop()
+      println(s"PROBE   streamed rows = $streamed")
+      metrics += ("stream_rows" -> streamed)
+      // federated arms: a sibling vecs collection joins the root — the FTS
+      // arm spans the full corpus, the vector arm its 60k embeddings
+      val vbase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id".cast("string").as("id"),
+          concat(lit("label "), $"label").as("content"), $"embedding")
+      Collection(spark, root, "vecs").addDf(vbase)
+      val qs5 = (0 until 5).map(i => i.toString ->
+        vbase.filter($"id" === i.toString).select($"embedding").head()
+          .getSeq[Float](0).toSeq)
+      time("federated_fts_sec")(println(
+        s"PROBE   rows = ${Collection.searchAll(spark, root, "customer stream").count()}"))
+      time("federated_vec_sec")(println(
+        s"PROBE   rows = ${Collection.vectorSearchAll(spark, root, qs5, 10).count()}"))
+      time("federated_hyb_sec")(println(
+        s"PROBE   rows = ${Collection.hybridAll(spark, root, "customer stream", qs5.head._2, 10).count()}"))
+      time("maintain_sec")(println(s"PROBE   ${c.maintain().head()}"))
+      val removed = time("collection_dedup_sec")(c.dedup(threshold = 0.8))
+      println(s"PROBE   dedup removed = $removed")
+      metrics += ("dedup_removed" -> removed)
+      writeOut(); return
+    }
     // `newops` = ingest + the round-6 training-pipeline operators only:
     // cross-corpus dedup, duplicated-substring spans, chunking, unigram
     // perplexity, shard shuffle, length histogram, and SemDeDup at 100k
