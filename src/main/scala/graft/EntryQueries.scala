@@ -1320,6 +1320,48 @@ object EntryQueries {
               |  ('prebuilt_equals_percall', true),
               |  ('recall_after_delta_ge_0.8', true)) AS t(metric, ok)""".stripMargin)),
 
+    // Collection-level IVF-PQ composite index (the FAISS IVFPQ shape —
+    // coarse lists partition the PQ codes so a probe ADC-scans
+    // ~nprobe/numCentroids of them): delta maintenance must keep the
+    // resolved (id, cluster, codes) rows EXACTLY equal to a fresh
+    // assign+encode of the current docs against the STORED centroids and
+    // codebooks; candidates must come only from probed lists (implied by
+    // the row equality + probe construction); and the recall gate must
+    // survive the maintained upsert.
+    ("x6d_ivfpq_index", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val root = tempDirCleanedOnExit("graft-x6d-")
+      val c = Collection(s, root, "vecs", useFts = false)
+      c.addDf(e.withColumn("content", lit("")))
+      c.createVectorIndex(kind = "ivfpq", numCentroids = 16, nprobe = 10,
+        m = 16, candK = 100, iters = 5, maxSample = 20000)
+      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val rec0 = Ann.recallAtK(Ann.exactTopK(c.docs(), qs, k = 10),
+        c.vectorTopK(qs, 10))
+      // upsert 50 duplicated vectors under new ids — the O(batch) delta
+      // re-derives list + codes against the STORED tables in one scan
+      c.addDf(e.limit(50).select(concat(lit("dup_"), col("id")).as("id"),
+        lit("").as("content"), col("embedding")))
+      val (cents, cb, rows, _, _) = c.ivfPqIndex().get
+      val resolved = rows.persist()
+      val fresh = graft.ext.Ivf.assign(c.docs(), cents)
+        .join(Pq.encode(c.docs(), cb), Seq("id"))
+        .select(col("id"), col("cluster"), col("codes")).persist()
+      try {
+        val eq = resolved.exceptAll(fresh).isEmpty &&
+          fresh.exceptAll(resolved).isEmpty
+        val rec = Ann.recallAtK(Ann.exactTopK(c.docs(), qs, k = 10),
+          c.vectorTopK(qs, 10))
+        Seq(("delta_rows_exact", eq),
+          ("recall_ge_0.8", rec0 >= 0.8),
+          ("recall_after_delta_ge_0.8", rec >= 0.8)).toDF("metric", "ok")
+      } finally { resolved.unpersist(); fresh.unpersist() }
+    }, Some("""SELECT * FROM (VALUES ('delta_rows_exact', true),
+              |  ('recall_after_delta_ge_0.8', true),
+              |  ('recall_ge_0.8', true)) AS t(metric, ok)""".stripMargin)),
+
     ("x7_ann_lsh_recall", (s: SparkSession, sfDir: String) => {
       import s.implicits._
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")

@@ -54,6 +54,7 @@ final class Collection private (
   private val ivfCentDir = Stores.ivfCentDir(root)
   private val pqDir = Stores.pqDir(root)
   private val pqBookDir = Stores.pqBookDir(root)
+  private val ivfPqDir = Stores.ivfPqDir(root)
 
   /** This collection's documents (partition-pruned read). */
   def docs(): DataFrame = Stores.readPartition(spark, docsDir, name, Stores.docsSchema)
@@ -450,8 +451,13 @@ final class Collection private (
     }
     // PQ shares the policy: delta-encoded mass rivaling the base means the
     // codebooks were trained on a minority of the current data
-    val pqStale = Stores.partitionExists(spark, pqBookDir, name) && {
-      val (b, d) = Stores.segmentBytes(spark, pqDir, name)
+    val pqStale = Stores.partitionExists(spark, pqBookDir, name) &&
+      Stores.partitionExists(spark, pqDir, name) && {
+        val (b, d) = Stores.segmentBytes(spark, pqDir, name)
+        b > 0 && d * 2 > b
+      }
+    val ivfPqStale = Stores.partitionExists(spark, ivfPqDir, name) && {
+      val (b, d) = Stores.segmentBytes(spark, ivfPqDir, name)
       b > 0 && d * 2 > b
     }
     Stores.compactPartition(spark, docsDir, name, Stores.docsSchema)
@@ -461,7 +467,7 @@ final class Collection private (
       sortBy = Seq("table", "bucket"))
     Stores.compactPartition(spark, doclenDir, name, Stores.doclenSchema)
     if (ivfStale) ivfParams().foreach { case (nprobe, iters, maxSample, seed) =>
-      val k = ivfCentroids().map(_.size).getOrElse(256)
+      val k = ivfCentroidsRaw().map(_.size).getOrElse(256)
       // a collection emptied of embedded docs can't retrain (k-means has no
       // sample) — drop the index like the LSH path does, instead of letting
       // Ivf.build throw from inside an auto-triggered compaction and wedge
@@ -487,10 +493,28 @@ final class Collection private (
       }
     }
     else Stores.compactPartition(spark, pqDir, name, Stores.pqSchema)
+    if (ivfPqStale) ivfParams().foreach { case (nprobe, iters, maxSample, seed) =>
+      (ivfCentroidsRaw(), pqCodebookRaw()) match {
+        case (Some(oldCents), Some(oldCb))
+            if !docs().filter($"embedding".isNotNull).limit(1).isEmpty =>
+          val cents = graft.ext.Ivf.build(docs(), "id", "embedding",
+            oldCents.size, iters, 1.0, maxSample, seed).centroids
+          val cb = graft.ext.Pq.train(docs(), "embedding",
+            oldCb.m, oldCb.books.head.size, iters, maxSample, seed)
+          writeIvfPq(cents, cb, nprobe,
+            pqParams().map(_._1).getOrElse(50), iters, maxSample, seed)
+        case _ => // emptied of embedded docs: drop, like the other kinds
+          Stores.dropPartition(spark, ivfPqDir, name)
+          Stores.dropPartition(spark, ivfCentDir, name)
+          Stores.dropPartition(spark, pqBookDir, name)
+      }
+    }
+    else Stores.compactPartition(spark, ivfPqDir, name, Stores.ivfPqSchema,
+      sortBy = Seq("cluster"))
     // sweep crash residue while we're off the ingest path anyway: orphaned
     // .tmp-* always, .old-* (crash-recovery copies) past their grace window
     Seq(docsDir, postingsDir, statsDir, annDir, doclenDir, ivfDir, ivfCentDir,
-        pqDir, pqBookDir)
+        pqDir, pqBookDir, ivfPqDir)
       .foreach(Stores.sweep(spark, _))
   }
 
@@ -513,7 +537,7 @@ final class Collection private (
     // overwrite-only and cheap (one agg over the skinny doclen store)
     if (Stores.partitionExists(spark, doclenDir, name)) writeStatsFrom(doclen())
     val swept = Seq(docsDir, postingsDir, statsDir, annDir, doclenDir,
-        ivfDir, ivfCentDir, pqDir, pqBookDir)
+        ivfDir, ivfCentDir, pqDir, pqBookDir, ivfPqDir)
       .map(Stores.sweep(spark, _, oldGraceMs = 0L, tmpGraceMs = 0L)).sum
     val s = collStats().head()
     Seq((s.getLong(0), s.getDouble(1),
@@ -548,6 +572,7 @@ final class Collection private (
     Stores.dropPartition(spark, ivfCentDir, name)
     Stores.dropPartition(spark, pqDir, name)
     Stores.dropPartition(spark, pqBookDir, name)
+    Stores.dropPartition(spark, ivfPqDir, name)
     Stores.dropManifest(spark, root, name) // a recreate may change flags
     // Retire the ANN-rewrite registration with the store it points at. The
     // Deferred guard would decline anyway (no ann partition), but a retained
@@ -571,7 +596,11 @@ final class Collection private (
     * `numCentroids`/`iters`/`maxSample`/`nprobe`), or `kind = "pq"`
     * (product-quantization codes + sub-codebooks — `m` bytes/vector, ADC
     * candidate scan + float rerank of the top `candK`; uses `m`/`candK`/
-    * `numCentroids` (=codewords per subspace, ≤256)/`iters`/`maxSample`).
+    * `numCentroids` (=codewords per subspace, ≤256)/`iters`/`maxSample`),
+    * or `kind = "ivfpq"` (the FAISS IVFPQ composite: coarse IVF lists
+    * partition the PQ codes, so a probe ADC-scans ~nprobe/numCentroids of
+    * them; uses `numCentroids` (=coarse lists)/`nprobe`/`m`/`candK`/
+    * `iters`/`maxSample`; codewords fixed at 256).
     * Docs without embeddings are simply absent from the index. The kinds
     * are mutually exclusive — building one drops the others. Subsequent
     * `add`/`update`/`delete` maintain the built index incrementally (IVF
@@ -593,6 +622,7 @@ final class Collection private (
       Stores.dropPartition(spark, ivfCentDir, name)
       Stores.dropPartition(spark, pqDir, name)
       Stores.dropPartition(spark, pqBookDir, name)
+      Stores.dropPartition(spark, ivfPqDir, name)
       val ix = LshIndex.build(docs(), "id", "embedding", numTables, numPlanes, dim, seed)
       // toStoreFrame is already range-clustered + sorted; no write-time re-sort
       Stores.overwritePartition(spark, annDir, name, ix.toStoreFrame)
@@ -613,6 +643,7 @@ final class Collection private (
       Stores.dropPartition(spark, annDir, name) // see the lsh branch's ordering note
       Stores.dropPartition(spark, pqDir, name)
       Stores.dropPartition(spark, pqBookDir, name)
+      Stores.dropPartition(spark, ivfPqDir, name)
       val ix = graft.ext.Ivf.build(docs(), "id", "embedding",
         numCentroids, iters, 1.0, maxSample, seed)
       writeIvf(ix, nprobe, iters, maxSample, seed)
@@ -625,6 +656,7 @@ final class Collection private (
       Stores.dropPartition(spark, annDir, name) // see the lsh branch's ordering note
       Stores.dropPartition(spark, ivfDir, name)
       Stores.dropPartition(spark, ivfCentDir, name)
+      Stores.dropPartition(spark, ivfPqDir, name)
       val cb = graft.ext.Pq.train(docs(), "embedding",
         m, numCentroids, iters, maxSample, seed)
       writePq(cb, candK, iters, maxSample, seed)
@@ -632,9 +664,32 @@ final class Collection private (
         graft.plans.AnnCatalog.Entry("id", "embedding",
           graft.plans.AnnCatalog.Deferred(() => pqIndex().map { case (cb, codes, candK) =>
             graft.plans.AnnCatalog.PqRegistered(codes, cb, candK) })))
+    case "ivfpq" =>
+      // The FAISS IVFPQ composite: coarse IVF lists partition the corpus,
+      // PQ codes compress it — a probe ADC-scans ~nprobe/numCentroids of
+      // the codes instead of all of them (the flat "pq" kind's cost) and
+      // reranks candK floats. Codes are built over the RAW (normalized)
+      // vectors, not residuals — simpler delta maintenance (re-encode
+      // needs no centroid lookup), at some quantization-accuracy cost the
+      // candK rerank absorbs.
+      require(nprobe >= 1 && nprobe <= numCentroids, "1 <= nprobe <= numCentroids")
+      require(candK >= 1, "candK >= 1")
+      Stores.dropPartition(spark, annDir, name) // see the lsh branch's ordering note
+      Stores.dropPartition(spark, ivfDir, name)
+      Stores.dropPartition(spark, pqDir, name)
+      val cents = graft.ext.Ivf.build(docs(), "id", "embedding",
+        numCentroids, iters, 1.0, maxSample, seed).centroids
+      val cb = graft.ext.Pq.train(docs(), "embedding",
+        m, 256, iters, maxSample, seed)
+      writeIvfPq(cents, cb, nprobe, candK, iters, maxSample, seed)
+      graft.plans.AnnCatalog.register(spark, Stores.partitionPath(docsDir, name),
+        graft.plans.AnnCatalog.Entry("id", "embedding",
+          graft.plans.AnnCatalog.Deferred(() => ivfPqIndex().map {
+            case (cents, cb, rows, nprobe, candK) =>
+              graft.plans.AnnCatalog.IvfPqRegistered(rows, cents, cb, nprobe, candK) })))
     case other =>
       throw new IllegalArgumentException(
-        s"Unknown vector index kind '$other' (expected \"lsh\", \"ivf\" or \"pq\").")
+        s"Unknown vector index kind '$other' (expected \"lsh\", \"ivf\", \"pq\" or \"ivfpq\").")
   }
 
   private def writeIvf(ix: graft.ext.IvfIndex, nprobe: Int, iters: Int,
@@ -659,7 +714,10 @@ final class Collection private (
     * centroids.
     */
   def ivfIndex(): Option[graft.ext.IvfIndex] =
-    if (!Stores.partitionExists(spark, ivfCentDir, name)) None
+    // BOTH stores: the centroid table alone is shared with the IVF-PQ kind
+    // (whose assignments live in annivfpq, not annivf)
+    if (!Stores.partitionExists(spark, ivfCentDir, name) ||
+        !Stores.partitionExists(spark, ivfDir, name)) None
     else {
       val cents = Stores.readPartition(spark, ivfCentDir, name, Stores.ivfCentSchema)
         .select($"cluster", $"centroid")
@@ -674,6 +732,30 @@ final class Collection private (
     else Stores.readPartition(spark, ivfCentDir, name, Stores.ivfCentSchema)
       .select($"nprobe", $"iters", $"max_sample", $"seed").head(1).headOption
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+
+  private def writeIvfPq(cents: Seq[Seq[Float]], cb: graft.ext.PqCodebook,
+                         nprobe: Int, candK: Int, iters: Int,
+                         maxSample: Int, seed: Long): Unit = {
+    // Crash ordering (see writeIvf): drop BOTH parameter tables first — the
+    // index reads as absent while either is gone — write the bulky codes
+    // rows, then books, then centroids last.
+    Stores.dropPartition(spark, ivfCentDir, name)
+    Stores.dropPartition(spark, pqBookDir, name)
+    Stores.overwritePartition(spark, ivfPqDir, name,
+      ivfPqRows(docs(), cents, cb), sortBy = Seq("cluster"))
+    Stores.overwritePartition(spark, pqBookDir, name,
+      cb.toStoreFrame(spark)
+        .withColumn("cand_k", lit(candK)).withColumn("iters", lit(iters))
+        .withColumn("max_sample", lit(maxSample)).withColumn("seed", lit(seed)))
+    val centsDf = {
+      import spark.implicits._
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
+    }
+    Stores.overwritePartition(spark, ivfCentDir, name,
+      centsDf
+        .withColumn("nprobe", lit(nprobe)).withColumn("iters", lit(iters))
+        .withColumn("max_sample", lit(maxSample)).withColumn("seed", lit(seed)))
+  }
 
   private def writePq(cb: graft.ext.PqCodebook, candK: Int, iters: Int,
                       maxSample: Int, seed: Long): Unit = {
@@ -696,7 +778,10 @@ final class Collection private (
     * stored rerank depth.
     */
   def pqIndex(): Option[(graft.ext.PqCodebook, DataFrame, Int)] =
-    if (!Stores.partitionExists(spark, pqBookDir, name)) None
+    // BOTH stores: the codebook table alone is shared with the IVF-PQ kind
+    // (whose codes live in annivfpq, not annpq)
+    if (!Stores.partitionExists(spark, pqBookDir, name) ||
+        !Stores.partitionExists(spark, pqDir, name)) None
     else {
       val book = Stores.readPartition(spark, pqBookDir, name, Stores.pqBookSchema)
       graft.ext.PqCodebook.fromStoreFrame(book).map { cb =>
@@ -712,11 +797,52 @@ final class Collection private (
       .select($"cand_k", $"iters", $"max_sample", $"seed").head(1).headOption
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
 
-  /** Stored PQ codebooks (driver-side), or None without a PQ index. */
-  private def pqCodebook(): Option[graft.ext.PqCodebook] =
+  /** Stored PQ codebooks (driver-side), or None without a codebook table.
+    * RAW: the table is shared by the flat-PQ and IVF-PQ kinds. */
+  private def pqCodebookRaw(): Option[graft.ext.PqCodebook] =
     if (!Stores.partitionExists(spark, pqBookDir, name)) None
     else graft.ext.PqCodebook.fromStoreFrame(
       Stores.readPartition(spark, pqBookDir, name, Stores.pqBookSchema))
+
+  /** Stored PQ codebooks of the FLAT PQ index, or None (the IVF-PQ kind
+    * reads its books through [[ivfPqParts]]). */
+  private def pqCodebook(): Option[graft.ext.PqCodebook] =
+    if (!Stores.partitionExists(spark, pqDir, name)) None
+    else pqCodebookRaw()
+
+  /** (centroids, codebooks) of the stored IVF-PQ index, or None — the
+    * maintenance-path accessor (both tables are driver-side bounded:
+    * k×dim centroids, m×256×dsub codewords). */
+  private def ivfPqParts(): Option[(Seq[Seq[Float]], graft.ext.PqCodebook)] =
+    if (!Stores.partitionExists(spark, ivfPqDir, name)) None
+    else for {
+      cents <- ivfCentroidsRaw()
+      cb <- graft.ext.PqCodebook.fromStoreFrame(
+        Stores.readPartition(spark, pqBookDir, name, Stores.pqBookSchema))
+    } yield (cents, cb)
+
+  /** The persisted IVF-PQ index, if one was built ([[createVectorIndex]]
+    * with `kind = "ivfpq"`): stored coarse centroids, codebooks, the
+    * current (delta-resolved) (id, cluster, codes) frame, and the stored
+    * (nprobe, candK) probe depths.
+    */
+  def ivfPqIndex(): Option[(Seq[Seq[Float]], graft.ext.PqCodebook, DataFrame, Int, Int)] =
+    ivfPqParts().map { case (cents, cb) =>
+      (cents, cb,
+        Stores.readPartition(spark, ivfPqDir, name, Stores.ivfPqSchema),
+        ivfParams().map(_._1).getOrElse(8),
+        pqParams().map(_._1).getOrElse(50))
+    }
+
+  /** One IVF-PQ row per embedded batch doc: coarse list + PQ codes, both
+    * from expressions carrying the stored tables — one zero-shuffle scan.
+    */
+  private def ivfPqRows(batch: DataFrame, cents: Seq[Seq[Float]],
+                        cb: graft.ext.PqCodebook): DataFrame =
+    batch.filter($"embedding".isNotNull).select($"id",
+      element_at(graft.ext.Ivf.nearestCentroidCol($"embedding", cents, 1), 1)
+        .as("cluster"),
+      graft.ext.Pq.encodeCol($"embedding", cb).as("codes"))
 
   /** The persisted vector index, if one was built (and the collection has
     * had embedded docs since).
@@ -744,8 +870,25 @@ final class Collection private (
             // query; only those join back to docs for the exact-cosine
             // rerank — the float column is touched for queries×candK rows
             graft.ext.Pq.rerankTopK(docs(), codes, cb, queries, k, candK)
-          case None => throw new IllegalStateException(
-            s"Collection '$name' has no vector index. Call createVectorIndex() first.")
+          case None => ivfPqIndex() match {
+            case Some((cents, cb, rows, nprobe, candK)) =>
+              if (queries.isEmpty) graft.ext.Ann.exactTopK(docs(), queries, k)
+              else {
+                // per query: nprobe nearest lists (driver, k×dim dots) →
+                // literal cluster IN (…) prunes the codes scan to those
+                // lists' row groups → ADC top-candK → shared float rerank
+                val cands = queries.map { case (qid, q) =>
+                  val lists = graft.ext.Ivf.nearestCentroidIds(
+                    q, cents, math.min(nprobe, cents.size))
+                  graft.ext.Pq.adcTopK(
+                    rows.filter($"cluster".isin(lists: _*)).select($"id", $"codes"),
+                    cb, Seq((qid, q)), candK).select($"qid", $"id")
+                }.reduce(_ unionByName _)
+                graft.ext.Pq.rerankFrom(docs(), cands, queries, k)
+              }
+            case None => throw new IllegalStateException(
+              s"Collection '$name' has no vector index. Call createVectorIndex() first.")
+          }
         }
       }
     }
@@ -872,25 +1015,33 @@ final class Collection private (
         case None => Stores.dropPartition(spark, annDir, name)
       }
     }
-    ivfCentroids().foreach { cents =>
-      val kept = Stores.readPartition(spark, ivfDir, name, Stores.ivfSchema)
-        .join(batchIds, Seq("id"), "left_anti")
-      val added = graft.ext.Ivf.assign(batch, cents)
-      Stores.overwritePartition(spark, ivfDir, name,
-        kept.unionByName(added), sortBy = Seq("cluster"))
-    }
+    if (Stores.partitionExists(spark, ivfDir, name))
+      ivfCentroidsRaw().foreach { cents =>
+        val kept = Stores.readPartition(spark, ivfDir, name, Stores.ivfSchema)
+          .join(batchIds, Seq("id"), "left_anti")
+        val added = graft.ext.Ivf.assign(batch, cents)
+        Stores.overwritePartition(spark, ivfDir, name,
+          kept.unionByName(added), sortBy = Seq("cluster"))
+      }
     pqCodebook().foreach { cb =>
       val kept = Stores.readPartition(spark, pqDir, name, Stores.pqSchema)
         .join(batchIds, Seq("id"), "left_anti")
       Stores.overwritePartition(spark, pqDir, name,
         kept.unionByName(graft.ext.Pq.encode(batch, cb)))
     }
+    ivfPqParts().foreach { case (cents, cb) =>
+      val kept = Stores.readPartition(spark, ivfPqDir, name, Stores.ivfPqSchema)
+        .join(batchIds, Seq("id"), "left_anti")
+      Stores.overwritePartition(spark, ivfPqDir, name,
+        kept.unionByName(ivfPqRows(batch, cents, cb)), sortBy = Seq("cluster"))
+    }
   }
 
-  /** Stored IVF centroids (driver-side, k×dim — broadcast-sized), or None
-    * without an IVF index.
+  /** Stored coarse centroids (driver-side, k×dim — broadcast-sized), or
+    * None without a centroid table. RAW: the table is shared by the IVF
+    * and IVF-PQ kinds — IVF-only call-sites must also check annivf exists.
     */
-  private def ivfCentroids(): Option[Seq[Seq[Float]]] =
+  private def ivfCentroidsRaw(): Option[Seq[Seq[Float]]] =
     if (!Stores.partitionExists(spark, ivfCentDir, name)) None
     else {
       val rows = Stores.readPartition(spark, ivfCentDir, name, Stores.ivfCentSchema)
@@ -958,6 +1109,10 @@ final class Collection private (
       Stores.overwritePartition(spark, pqDir, name,
         Stores.readPartition(spark, pqDir, name, Stores.pqSchema)
           .join(idsDf, Seq("id"), "left_anti"))
+    if (Stores.partitionExists(spark, ivfPqDir, name))
+      Stores.overwritePartition(spark, ivfPqDir, name,
+        Stores.readPartition(spark, ivfPqDir, name, Stores.ivfPqSchema)
+          .join(idsDf, Seq("id"), "left_anti"), sortBy = Seq("cluster"))
   }
 
   /** Index maintenance for a delete: gone-only deltas (no tokenize, no
@@ -978,6 +1133,9 @@ final class Collection private (
     if (Stores.partitionExists(spark, pqDir, name))
       Stores.appendDelta(spark, pqDir, name,
         emptyFrame(Stores.pqSchema), gone = Some(idsDf))
+    if (Stores.partitionExists(spark, ivfPqDir, name))
+      Stores.appendDelta(spark, ivfPqDir, name,
+        emptyFrame(Stores.ivfPqSchema), gone = Some(idsDf))
   }
 
   // -------------------------------------------------------------------------
@@ -1066,15 +1224,21 @@ final class Collection private (
     // IVF: re-assign everything against the STORED centroids (zero-shuffle
     // scan); centroid retraining is compact()'s staleness policy, not the
     // write path's job
-    ivfCentroids().foreach { cents =>
-      Stores.overwritePartition(spark, ivfDir, name,
-        graft.ext.Ivf.assign(docs(), cents), sortBy = Seq("cluster"))
-    }
+    if (Stores.partitionExists(spark, ivfDir, name))
+      ivfCentroidsRaw().foreach { cents =>
+        Stores.overwritePartition(spark, ivfDir, name,
+          graft.ext.Ivf.assign(docs(), cents), sortBy = Seq("cluster"))
+      }
     // PQ: re-encode everything against the STORED codebooks (zero-shuffle
     // scan); codebook retraining is compact()'s staleness policy too
     pqCodebook().foreach { cb =>
       Stores.overwritePartition(spark, pqDir, name,
         graft.ext.Pq.encode(docs(), cb))
+    }
+    // IVF-PQ: one scan re-derives both the coarse list and the codes
+    ivfPqParts().foreach { case (cents, cb) =>
+      Stores.overwritePartition(spark, ivfPqDir, name,
+        ivfPqRows(docs(), cents, cb), sortBy = Seq("cluster"))
     }
   }
 
@@ -1099,17 +1263,24 @@ final class Collection private (
     // IVF: O(batch) delta — the batch re-assigns against the stored
     // centroids (broadcast expression, zero shuffle); the gone sidecar
     // claims every batch id so replaced/unembedded docs leave the index
-    ivfCentroids().foreach { cents =>
-      Stores.appendDelta(spark, ivfDir, name,
-        graft.ext.Ivf.assign(batch, cents),
-        gone = Some(batchIds), sortBy = Seq("cluster"))
-    }
+    if (Stores.partitionExists(spark, ivfDir, name))
+      ivfCentroidsRaw().foreach { cents =>
+        Stores.appendDelta(spark, ivfDir, name,
+          graft.ext.Ivf.assign(batch, cents),
+          gone = Some(batchIds), sortBy = Seq("cluster"))
+      }
     // PQ: O(batch) delta — the batch re-encodes against the stored
     // codebooks (codebooks ride in the expression, zero shuffle); same
     // gone-sidecar contract
     pqCodebook().foreach { cb =>
       Stores.appendDelta(spark, pqDir, name,
         graft.ext.Pq.encode(batch, cb), gone = Some(batchIds))
+    }
+    // IVF-PQ: O(batch) delta — coarse list + codes in one zero-shuffle scan
+    ivfPqParts().foreach { case (cents, cb) =>
+      Stores.appendDelta(spark, ivfPqDir, name,
+        ivfPqRows(batch, cents, cb),
+        gone = Some(batchIds), sortBy = Seq("cluster"))
     }
   }
 

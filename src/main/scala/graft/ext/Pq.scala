@@ -297,10 +297,22 @@ object Pq {
   def rerankTopK(corpus: DataFrame, codes: DataFrame, cb: PqCodebook,
                  queries: Seq[(String, Seq[Float])], k: Int, candK: Int = 50,
                  idCol: String = "id", embCol: String = "embedding",
-                 normalize: Boolean = true): DataFrame = {
+                 normalize: Boolean = true): DataFrame =
+    rerankFrom(corpus,
+      adcTopK(codes, cb, queries, candK, normalize).select(col("qid"), col("id")),
+      queries, k, idCol, embCol)
+
+  /** Exact-cosine rerank of a (qid, id) candidate frame to per-query
+    * top-`k` — the shared tail of [[rerankTopK]] and the IVF-PQ probe
+    * (candidates join the float corpus by id; the embedding column is
+    * touched for candidate rows only).
+    */
+  private[graft] def rerankFrom(corpus: DataFrame, cands: DataFrame,
+                                queries: Seq[(String, Seq[Float])], k: Int,
+                                idCol: String = "id",
+                                embCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cands = adcTopK(codes, cb, queries, candK, normalize).select(col("qid"), col("id"))
     if (queries.isEmpty)
       return corpus.select(lit("").as("qid"), lit(1).as("rn"),
         col(idCol).as("id"), lit(0.0).as("sim")).limit(0)

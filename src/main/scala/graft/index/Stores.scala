@@ -144,6 +144,20 @@ object Stores {
     StructField("seed", LongType, nullable = false)
   ))
 
+  /** annivfpq: one row per embedded doc — its coarse IVF list plus its
+    * m-byte PQ codes (the FAISS IVFPQ layout). Stored range-clustered +
+    * sorted by cluster, so a probe's literal `cluster IN (…)` prunes row
+    * groups and the ADC scan reads ~nprobe/k of the codes instead of all
+    * of them (the missing piece of the flat PQ index at 100 TB). Shares
+    * the centroid table (annivfcent) and codebook table (annpqbook) with
+    * the single-structure kinds. Delta-maintained like annivf/annpq.
+    */
+  val ivfPqSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("codes", ArrayType(ByteType, containsNull = false), nullable = false)
+  ))
+
   def docsDir(root: String) = s"$root/docs"
   def postingsDir(root: String) = s"$root/postings"
   def collStatsDir(root: String) = s"$root/collstats"
@@ -153,6 +167,7 @@ object Stores {
   def ivfCentDir(root: String) = s"$root/annivfcent"
   def pqDir(root: String) = s"$root/annpq"
   def pqBookDir(root: String) = s"$root/annpqbook"
+  def ivfPqDir(root: String) = s"$root/annivfpq"
 
   private def partDir(storeDir: String, collection: String): String =
     s"$storeDir/collection=${java.net.URLEncoder.encode(collection, "UTF-8")}"

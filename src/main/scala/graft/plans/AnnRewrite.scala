@@ -88,6 +88,24 @@ object AnnCatalog {
         .select(col("id")))
   }
 
+  /** IVF-PQ: probe = ADC top-`candK` over ONLY the query's `nprobe`
+    * nearest coarse lists (literal cluster predicates prune the codes
+    * store's row groups, so the ADC scan reads ~nprobe/k of the codes —
+    * the composite of [[IvfRegistered]]'s pruning and [[PqRegistered]]'s
+    * compression). The surrounding exact sort/limit reranks in floats.
+    */
+  final case class IvfPqRegistered(rows: DataFrame, cents: Seq[Seq[Float]],
+                                   cb: graft.ext.PqCodebook, nprobe: Int,
+                                   candK: Int) extends Registered {
+    def candidates(spark: SparkSession, qvec: Seq[Float]): Option[DataFrame] = {
+      val lists = graft.ext.Ivf.nearestCentroidIds(
+        qvec, cents, math.min(nprobe, cents.size))
+      Some(graft.ext.Pq.adcTopK(
+        rows.filter(col("cluster").isin(lists: _*)).select(col("id"), col("codes")),
+        cb, Seq(("q", qvec)), candK).select(col("id")))
+    }
+  }
+
   /** Re-resolved on every probe — the registration shape for indexes that
     * live in a mutable store (e.g. a [[graft.api.Collection]]'s persisted,
     * delta-maintained index): each rewrite re-reads the current store, and a

@@ -213,6 +213,34 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally AnnCatalog.clear()
   }
 
+  test("Collection IVF-PQ index (kind=ivfpq) arms the rewrite; probes stay exact at full coverage") {
+    import graft.api.{Collection, Embedder}
+    AnnCatalog.install(spark)
+    object AxisEmbedder extends Embedder {
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val v = Array.fill(8)(0.0f)
+        v(if (t.contains("cat")) 0 else 4) = 1.0f
+        v(1) = 0.001f * (t.length % 9)
+        v
+      }
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-annrw-ivfpq-").toString
+    val c = Collection(spark, root, "rwivfpq", Some(AxisEmbedder))
+    try {
+      c.add((1 to 40).map(i => if (i % 2 == 0) s"cat doc $i" else s"dog doc $i"))
+      val exact = topK(c.docs(), 5).select("id").as[String].collect().toSeq
+      // nprobe covers both lists and candK the corpus -> rewrite == exact
+      c.createVectorIndex(kind = "ivfpq", numCentroids = 2, nprobe = 2,
+        m = 4, candK = 50, iters = 4)
+      val accel = topK(c.docs(), 5)
+      assert(hasSemiJoin(accel), "collection IVF-PQ index must arm the rewrite")
+      assert(accel.select("id").as[String].collect().toSeq === exact)
+      c.deleteAll()
+      c.add(Seq("cat doc after reset"))
+      assert(!hasSemiJoin(topK(c.docs(), 5)))
+    } finally AnnCatalog.clear()
+  }
+
   test("rewrite binds the REGISTERED relation's columns through joins") {
     val (path, corpus) = mkCorpus()
     try {

@@ -578,6 +578,47 @@ class CollectionSpec extends AnyFunSuite {
     assert(c.pqIndex().isEmpty)
   }
 
+  test("persisted IVF-PQ index: probe, delta maintenance, exclusivity") {
+    import TestSpark.spark.implicits._
+    import graft.index.Stores
+    val root = freshRoot()
+    val c = coll(root, embedder = Some(OpenDictEmbedder))
+    c.add(Seq("Lorem ipsum dolor", "sit amet"), ids = Some(Seq("a", "b")))
+    assert(c.ivfPqIndex().isEmpty)
+    // nprobe covers every list and candK the corpus, so probes are exact
+    c.createVectorIndex(kind = "ivfpq", numCentroids = 2, nprobe = 2,
+      m = 3, candK = 50, iters = 3, maxSample = 1000)
+    val (cents0, cb0, _, nprobe0, candK0) = c.ivfPqIndex().get
+    assert(cents0.size === 2 && cb0.m === 3 && nprobe0 === 2 && candK0 === 50)
+    // sharing the cent/book tables must NOT read as an IVF or flat-PQ index
+    assert(c.ivfIndex().isEmpty && c.pqIndex().isEmpty)
+    val top = c.vectorTopK(Seq("q" -> Seq(1f, 1f, 1f)), 1).collect()
+    assert(top.length === 1 && top.head.getString(2) === "a")
+    // delta maintenance: resolved rows == fresh assign+encode of all docs
+    c.add(Seq("consectetur"), ids = Some(Seq("d")))
+    val (cents1, cb1, rows1, _, _) = c.ivfPqIndex().get
+    val resolved = rows1.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Byte](2))).toSet
+    val fresh = graft.ext.Ivf.assign(c.docs(), cents1)
+      .join(graft.ext.Pq.encode(c.docs(), cb1), Seq("id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getSeq[Byte](2))).toSet
+    assert(resolved === fresh && resolved.map(_._1) === Set("a", "b", "d"))
+    // delete removes the doc's row
+    c.delete(Seq("a"))
+    assert(c.ivfPqIndex().get._3.select("id").as[String].collect().toSet
+      === Set("b", "d"))
+    assert(c.vectorTopK(Seq("q" -> Seq(1f, 1f, 1f)), 2).count() === 2)
+    // mutual exclusion with the other kinds, both directions
+    c.createVectorIndex(kind = "pq", m = 3, numCentroids = 4, iters = 2)
+    assert(c.ivfPqIndex().isEmpty && c.pqIndex().nonEmpty)
+    c.createVectorIndex(kind = "ivfpq", numCentroids = 2, nprobe = 2,
+      m = 3, candK = 50, iters = 2)
+    assert(c.ivfPqIndex().nonEmpty && c.pqIndex().isEmpty && c.ivfIndex().isEmpty)
+    assert(!Stores.partitionExists(spark, Stores.pqDir(root), "test"))
+    c.deleteAll()
+    assert(c.ivfPqIndex().isEmpty)
+  }
+
   test("fts and vector coexist") {
     val c = coll(embedder = Some(DictEmbedder))
     c.add(Seq("Lorem ipsum dolor", "sit amet"))
