@@ -18,7 +18,7 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 case class LshBuckets(child: Expression, numTables: Int, numPlanes: Int,
                       dim: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numPlanes <= 64, "at most 64 planes per table (bits of a long)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -56,6 +56,46 @@ case class LshBuckets(child: Expression, numTables: Int, numPlanes: Int,
       t += 1
     }
     new GenericArrayData(out)
+  }
+
+  // codegen: bucketing scans the whole corpus at index build and every
+  // upsert batch — same loop as nullSafeEval (dim guard included), planes
+  // as a reference object.
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "float[][]")
+    val (nt, np, dimV) = (numTables, numPlanes, dim)
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val bucket = ctx.freshName("bucket")
+      val p = ctx.freshName("p"); val plane = ctx.freshName("plane")
+      val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
+      s"""
+         |if ($xs.numElements() > $dimV) {
+         |  throw new IllegalArgumentException(
+         |    "lsh_buckets: embedding has " + $xs.numElements() +
+         |    " dims but planes were drawn for dim=" + $dimV +
+         |    "; pass dim >= the embedding dimension");
+         |}
+         |int $n = java.lang.Math.min($xs.numElements(), $dimV);
+         |long[] $out = new long[$nt];
+         |for (int $t = 0; $t < $nt; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $p = 0; $p < $np; $p++) {
+         |    float[] $plane = $planesRef[$t * $np + $p];
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += (double) $xs.getFloat($i) * (double) $plane[$i];
+         |    }
+         |    if ($dot >= 0.0) $bucket |= (1L << $p);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.expressions.Window
@@ -22,7 +22,7 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 case class NearestCentroids(child: Expression, centroids: Seq[Seq[Float]],
                             nprobe: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(centroids.nonEmpty, "centroids must be non-empty")
   require(nprobe >= 1 && nprobe <= centroids.size, "1 <= nprobe <= #centroids")
 
@@ -73,6 +73,57 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Float]],
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  // codegen: assignment scans the whole corpus at build and every upsert
+  // batch — same dot-scores + repeated-argmax (strict->, NaN fallback to
+  // lowest untaken id) as nullSafeEval, centroids as a reference object.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("ivfCents", cents, "float[][]")
+    val nprobeV = nprobe
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n"); val k = ctx.freshName("k")
+      val scores = ctx.freshName("scores"); val c = ctx.freshName("c")
+      val cent = ctx.freshName("cent"); val m = ctx.freshName("m")
+      val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val taken = ctx.freshName("taken")
+      val j = ctx.freshName("j"); val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore"); val f = ctx.freshName("f")
+      s"""
+         |int $n = $xs.numElements();
+         |int $k = $centsRef.length;
+         |double[] $scores = new double[$k];
+         |for (int $c = 0; $c < $k; $c++) {
+         |  float[] $cent = $centsRef[$c];
+         |  int $m = java.lang.Math.min($n, $cent.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $dot += (double) $xs.getFloat($i) * (double) $cent[$i];
+         |  }
+         |  $scores[$c] = $dot;
+         |}
+         |int[] $out = new int[$nprobeV];
+         |boolean[] $taken = new boolean[$k];
+         |for (int $j = 0; $j < $nprobeV; $j++) {
+         |  int $best = -1;
+         |  double $bestScore = Double.NEGATIVE_INFINITY;
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    if (!$taken[$i] && $scores[$i] > $bestScore) {
+         |      $best = $i; $bestScore = $scores[$i];
+         |    }
+         |  }
+         |  if ($best < 0) {
+         |    int $f = 0;
+         |    while ($taken[$f]) $f++;
+         |    $best = $f;
+         |  }
+         |  $taken[$best] = true;
+         |  $out[$j] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

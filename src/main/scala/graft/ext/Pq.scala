@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.expressions.Window
@@ -19,7 +19,7 @@ import org.apache.spark.sql.{Column, DataFrame}
   * scan, like [[NearestCentroids]].
   */
 case class PqEncode(child: Expression, books: Seq[Seq[Seq[Float]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(books.nonEmpty && books.head.nonEmpty, "codebooks must be non-empty")
   require(books.forall(_.size == books.head.size), "equal k per subspace")
   require(books.head.size <= 256, "k <= 256 (codes are bytes)")
@@ -64,6 +64,47 @@ case class PqEncode(child: Expression, books: Seq[Seq[Seq[Float]]])
     new GenericArrayData(out)
   }
 
+  // codegen: encoding scans the whole corpus at build and every upsert
+  // batch thereafter — the same nested loop as nullSafeEval (strict-<
+  // tie-break, zero-padded short vectors), codebooks as a reference object.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqBooks", cb, "float[][][]")
+    val dsubV = dsub
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val out = ctx.freshName("out"); val s = ctx.freshName("s")
+      val words = ctx.freshName("words"); val off = ctx.freshName("off")
+      val best = ctx.freshName("best"); val bestDist = ctx.freshName("bestDist")
+      val c = ctx.freshName("c"); val w = ctx.freshName("w")
+      val dist = ctx.freshName("dist"); val d = ctx.freshName("d")
+      val x = ctx.freshName("x"); val diff = ctx.freshName("diff")
+      s"""
+         |int $n = $xs.numElements();
+         |int $m = $cbRef.length;
+         |byte[] $out = new byte[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  float[][] $words = $cbRef[$s];
+         |  int $off = $s * $dsubV;
+         |  int $best = 0;
+         |  double $bestDist = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $words.length; $c++) {
+         |    float[] $w = $words[$c];
+         |    double $dist = 0.0;
+         |    for (int $d = 0; $d < $dsubV; $d++) {
+         |      double $x = ($off + $d < $n) ? (double) $xs.getFloat($off + $d) : 0.0;
+         |      double $diff = $x - (double) $w[$d];
+         |      $dist += $diff * $diff;
+         |    }
+         |    if ($dist < $bestDist) { $best = $c; $bestDist = $dist; }
+         |  }
+         |  $out[$s] = (byte) ($best & 0xFF);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -74,7 +115,7 @@ case class PqEncode(child: Expression, books: Seq[Seq[Seq[Float]]])
   * of a dim-length float scan.
   */
 case class PqAdcScore(child: Expression, lut: Seq[Seq[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc_score"
 
@@ -92,6 +133,29 @@ case class PqAdcScore(child: Expression, lut: Seq[Seq[Double]])
       s += 1
     }
     sum
+  }
+
+  // codegen: this expression scans EVERY code row of a probe (the flat-PQ
+  // full-codes scan / the IVF-PQ probed lists) — a fallback here would
+  // break whole-stage codegen around the hottest loop of the PQ family.
+  // Same m-lookups-per-row loop as nullSafeEval, LUT as a reference object.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("adcLut", t, "double[][]")
+    nullSafeCodeGen(ctx, ev, codes => {
+      val m = ctx.freshName("m"); val s = ctx.freshName("s")
+      val sum = ctx.freshName("sum"); val tab = ctx.freshName("tab")
+      val c = ctx.freshName("c")
+      s"""
+         |double $sum = 0.0;
+         |int $m = java.lang.Math.min($codes.numElements(), $tRef.length);
+         |for (int $s = 0; $s < $m; $s++) {
+         |  double[] $tab = $tRef[$s];
+         |  int $c = $codes.getByte($s) & 0xFF;
+         |  if ($c < $tab.length) $sum += $tab[$c];
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
