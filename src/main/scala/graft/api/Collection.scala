@@ -936,11 +936,27 @@ final class Collection private (
                  rrfK: Int = 60, where: Map[String, Any] = Map.empty): DataFrame = {
     require(useFts, s"Collection '$name' does not support full-text search.")
     val (fts, _) = plan(query, where, OrderBy.none, vectorSearch = false)
-    val vec = VectorSearch.scored(applyWhere(docs(), where), "embedding", qvec)
     Hybrid.rrfFuse(Seq(
       "fts" -> fts.select($"id", $"rank"),
-      "vec" -> vec.select($"id", $"rank")), k, depth, rrfK)
+      "vec" -> hybridVectorArm(qvec, depth, where)), k, depth, rrfK)
   }
+
+  /** The vector arm of hybrid fusion: the persisted ANN index's top-`depth`
+    * (sims as rank) when one exists AND no metadata filter applies — the
+    * pgvector-analog planner decision (core.py:319-321: the reference
+    * silently serves vector order-by through the database's index); the
+    * exact cosine scan otherwise. A metadata `where` keeps the exact arm:
+    * it must filter BEFORE the depth cut, which an id-keyed index cannot
+    * do without over-fetch heuristics — correctness beats the scan saving.
+    */
+  private def hybridVectorArm(qvec: Seq[Float], depth: Int,
+                              where: Map[String, Any]): DataFrame =
+    if (where.isEmpty && (Stores.partitionExists(spark, annDir, name) ||
+        Stores.partitionExists(spark, ivfCentDir, name) ||
+        Stores.partitionExists(spark, pqBookDir, name)))
+      vectorTopK(Seq("q" -> qvec), depth).select($"id", $"sim".as("rank"))
+    else VectorSearch.scored(applyWhere(docs(), where), "embedding", qvec)
+      .select($"id", $"rank")
 
   /** [[hybridTopK]] with LINEAR (min-max normalized, weighted) score fusion
     * instead of RRF — the score-aware combinator, for callers who trust the
@@ -951,10 +967,9 @@ final class Collection private (
                        where: Map[String, Any] = Map.empty): DataFrame = {
     require(useFts, s"Collection '$name' does not support full-text search.")
     val (fts, _) = plan(query, where, OrderBy.none, vectorSearch = false)
-    val vec = VectorSearch.scored(applyWhere(docs(), where), "embedding", qvec)
     Hybrid.linearFuse(Seq(
       "fts" -> fts.select($"id", $"rank"),
-      "vec" -> vec.select($"id", $"rank")), k, depth, weights)
+      "vec" -> hybridVectorArm(qvec, depth, where)), k, depth, weights)
   }
 
   /** Full postings + stats (re)build from `source` (the cached batch on

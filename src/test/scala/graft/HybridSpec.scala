@@ -89,6 +89,27 @@ class HybridSpec extends AnyFunSuite {
     assert(cRow.getAs[Any]("rn_fts") == null && cRow.getAs[Any]("rn_vec") != null)
   }
 
+  test("hybridTopK: persisted-index vector arm equals the exact arm at full coverage; where keeps exact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-hybspec3-").toString
+    val c = Collection(spark, root, "h")
+    c.addDf(Seq(
+      ("a", "spark shuffles data across executors", Map("lang" -> "en"), Array(1.0f, 0.0f)),
+      ("b", "spark broadcasts small tables", Map("lang" -> "de"), Array(0.9f, 0.1f)),
+      ("c", "ducks swim in the pond", Map("lang" -> "en"), Array(0.0f, 1.0f)),
+      ("d", "spark spark spark tuning guide", Map("lang" -> "en"), Array(0.5f, 0.5f))
+    ).toDF("id", "content", "metadata", "embedding"))
+    val q = Seq(1.0f, 0.0f)
+    val exactFusion = c.hybridTopK("spark", q, k = 4, depth = 10).collect().toSeq
+    // IVF at nprobe == numCentroids probes every list -> index arm == exact
+    c.createVectorIndex(kind = "ivf", numCentroids = 2, nprobe = 2, iters = 3)
+    assert(c.hybridTopK("spark", q, k = 4, depth = 10).collect().toSeq === exactFusion)
+    // a metadata filter must keep the exact (pre-filtered) arm — the index
+    // cannot filter before its depth cut
+    val ids = c.hybridTopK("spark", q, k = 10, where = Map("lang" -> "en"))
+      .collect().map(_.getString(1)).toSet
+    assert(ids === Set("a", "c", "d"))
+  }
+
   test("hybridTopK: where filters BOTH arms before ranking") {
     val root = java.nio.file.Files.createTempDirectory("graft-hybspec2-").toString
     val c = Collection(spark, root, "h")
