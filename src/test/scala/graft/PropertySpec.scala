@@ -82,12 +82,33 @@ class PropertySpec extends AnyFunSuite {
       case Term(t) => Seq(t)
       case Prefix(p) => Seq(p)
       case Wildcard(w) => Seq(w)
+      case Phrase(ts) => ts
+      case Near(ts, _) => ts
       case And(l, r) => terms(l) ++ terms(r)
       case Or(l, r) => terms(l) ++ terms(r)
+      case Diff(l, r) => terms(l) ++ terms(r)
     }
     check("total", Prop.forAll(anyString) { s =>
       val ast = graft.parse.QueryParser.parse(s) // must not throw
       ast.forall(q => terms(q).forall(_.nonEmpty))
+    })
+    // the extended grammar is total over the same arbitrary inputs —
+    // unmatched quotes/parens/NULs/operator runs all degrade, never throw —
+    // and its leaves never carry empty terms either
+    check("extended total", Prop.forAll(anyString) { s =>
+      val ast = graft.parse.QueryParser.parseExtended(s)
+      ast.forall(q => terms(q).forall(_.nonEmpty))
+    })
+    // queries of plain words and and/or/wildcards (no quotes, parens,
+    // near(), or not — the extended-only syntax) parse IDENTICALLY through
+    // both grammars: the parity-fallback precondition in extendedQueryFrame
+    val plainWord = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(5)).suchThat(_.nonEmpty),
+      Gen.const("and"), Gen.const("or"), Gen.const("AND"),
+      Gen.const("te*m"), Gen.const("pre*"))
+    val plainQuery = Gen.listOf(plainWord).map(_.mkString(" "))
+    check("plain parity", Prop.forAll(plainQuery) { s =>
+      graft.parse.QueryParser.parseExtended(s) == graft.parse.QueryParser.parse(s)
     })
   }
 
