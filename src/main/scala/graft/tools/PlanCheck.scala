@@ -29,6 +29,20 @@ object PlanCheck {
       all.select(col("id"), col("source")), "source", Map("src1" -> 0.5))
     println("=== x19 sampleStratified ===")
     sampled.explain("formatted")
+    // IVF-PQ probe: the literal `cluster IN (…)` must reach the annivfpq
+    // parquet scan as a PushedFilter (row-group pruning — the nprobe/k
+    // scan-fraction property), and the ADC/rerank must be shuffle-free up
+    // to the bounded top-candK cut.
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft-plancheck-").toString
+    val c = graft.api.Collection(spark, root, "vecs", useFts = false)
+    c.addDf(e.withColumn("content", lit("")))
+    c.createVectorIndex(kind = "ivfpq", numCentroids = 16, nprobe = 4,
+      m = 16, candK = 50, iters = 4, maxSample = 5000)
+    val q = e.limit(1).select("embedding").head().getSeq[Float](0).toSeq
+    println("=== x6d ivfpq vectorTopK ===")
+    c.vectorTopK(Seq("q0" -> q), 10).explain("formatted")
     spark.stop()
   }
 }
