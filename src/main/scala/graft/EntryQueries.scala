@@ -1362,6 +1362,62 @@ object EntryQueries {
               |  ('recall_after_delta_ge_0.8', true),
               |  ('recall_ge_0.8', true)) AS t(metric, ok)""".stripMargin)),
 
+    // X115: filtered ANN — metadata where + vector top-k. Indexed arm =
+    // post-filter over-fetch (index top-overfetch*k candidates, filter on
+    // the skinny id join, keep k): gates pin zero filter violations and
+    // the DETERMINISTIC over-fetch contract — the result must equal
+    // rank-k of (index candidates ∩ filter) exactly. (Absolute recall
+    // under a selective filter is bounded by the index's coverage at the
+    // over-fetch depth — a parameter trade-off the API documents, not an
+    // invariant to gate.) Index-less arm must EQUAL the exact filtered
+    // top-k (same frame, same tie-breaks).
+    ("x115_filtered_ann", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"),
+          col("label").cast("string").as("label"))
+      val docsShape = e.select(col("id"), lit("").as("content"),
+        map(lit("label"), col("label")).as("metadata"), col("embedding"))
+      val qs = (0 until 3).map(i => i.toString -> queryVec(s, sfDir, i))
+      val flt = Map[String, Any]("label" -> "3")
+      val root = tempDirCleanedOnExit("graft-x115-")
+      val c = Collection(s, root, "vecs", useFts = false)
+      c.addDf(docsShape)
+      val exactFiltered = Ann.exactTopK(
+        c.docs().filter(element_at(col("metadata"), "label") === "3"),
+        qs, k = 10).persist()
+      // index-less arm: identical to the exact filtered ranking
+      val noIx = c.vectorTopKWhere(qs, 10, flt).persist()
+      try {
+        val eqNoIx = noIx.exceptAll(exactFiltered).isEmpty &&
+          exactFiltered.exceptAll(noIx).isEmpty
+        c.createVectorIndex(kind = "ivf", numCentroids = 16, iters = 5,
+          maxSample = 20000, nprobe = 10)
+        val got = c.vectorTopKWhere(qs, 10, flt, overfetch = 20).persist()
+        // the contract composition, replayed from the public probe API
+        val byHand = c.vectorTopK(qs, 10 * 20)
+          .join(c.docs().filter(element_at(col("metadata"), "label") === "3")
+            .select("id"), Seq("id"))
+          .withColumn("rn2", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id").asc)))
+          .filter(col("rn2") <= 10)
+          .select(col("qid"), col("rn2").cast("int").as("rn"), col("id"), col("sim"))
+          .persist()
+        try {
+          val violations = got.join(
+            c.docs().filter(element_at(col("metadata"), "label") =!= "3")
+              .select("id"), Seq("id"), "left_semi").count()
+          val eqComp = got.exceptAll(byHand).isEmpty &&
+            byHand.exceptAll(got).isEmpty
+          Seq(("filter_respected", violations == 0L),
+            ("noindex_equals_exact", eqNoIx),
+            ("overfetch_contract_exact", eqComp)).toDF("metric", "ok")
+        } finally { got.unpersist(); byHand.unpersist() }
+      } finally { noIx.unpersist(); exactFiltered.unpersist() }
+    }, Some("""SELECT * FROM (VALUES ('filter_respected', true),
+              |  ('noindex_equals_exact', true),
+              |  ('overfetch_contract_exact', true)) AS t(metric, ok)""".stripMargin)),
+
     ("x7_ann_lsh_recall", (s: SparkSession, sfDir: String) => {
       import s.implicits._
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")

@@ -900,11 +900,41 @@ final class Collection private (
     * a collection with no embedded docs returns zero rows.
     */
   def vectorTopKAuto(queries: Seq[(String, Seq[Float])], k: Int): DataFrame =
-    if (Stores.partitionExists(spark, annDir, name) ||
-        Stores.partitionExists(spark, ivfCentDir, name) ||
-        Stores.partitionExists(spark, pqBookDir, name))
-      vectorTopK(queries, k)
+    if (hasPersistedVectorIndex) vectorTopK(queries, k)
     else graft.ext.Ann.exactTopK(docs(), queries, k)
+
+  private def hasPersistedVectorIndex: Boolean =
+    Stores.partitionExists(spark, annDir, name) ||
+      Stores.partitionExists(spark, ivfCentDir, name) ||
+      Stores.partitionExists(spark, pqBookDir, name)
+
+  /** FILTERED approximate vector search — top-k per query AMONG the docs
+    * passing `where` (the qdrant/pgvector "metadata filter + ANN"
+    * problem). With a persisted index, the post-filter strategy: probe the
+    * index for `overfetch`×k candidates per query, apply the metadata
+    * filter to the CANDIDATES (a skinny id join — the corpus embedding
+    * column is never rescanned), keep k. Recall under filtering grows with
+    * `overfetch` relative to the filter's selectivity — a query whose
+    * filter rejects most of the over-fetched candidates returns fewer than
+    * k rows rather than silently degrading order; highly selective filters
+    * belong on the exact arm (`queryFrame(vectorSearch = true, where)`),
+    * which filters BEFORE ranking. Without an index this IS that exact
+    * arm, shaped (qid, rn, id, sim).
+    */
+  def vectorTopKWhere(queries: Seq[(String, Seq[Float])], k: Int,
+                      where: Map[String, Any], overfetch: Int = 4): DataFrame = {
+    require(overfetch >= 1, "overfetch >= 1")
+    if (where.isEmpty) vectorTopKAuto(queries, k)
+    else if (!hasPersistedVectorIndex)
+      graft.ext.Ann.exactTopK(applyWhere(docs(), where), queries, k)
+    else
+      vectorTopK(queries, k * overfetch)
+        .join(applyWhere(docs(), where).select($"id"), Seq("id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"sim".desc, $"id".asc)))
+        .filter($"rn" <= k)
+        .select($"qid", $"rn", $"id", $"sim")
+  }
 
   /** Dump this collection's resolved documents (id, content, metadata,
     * embedding) as JSONL under `path` — the portable snapshot/migration
