@@ -2446,11 +2446,11 @@ object EntryQueries {
       val root = tempDirCleanedOnExit("graft-x50b-")
       val c = Collection(s, root, "vecs", useFts = false)
       c.addDf(e.withColumn("content", lit("")))
-      c.createVectorIndex(kind = "pq", m = 16, numCentroids = 256, iters = 8,
+      c.createVectorIndex(kind = "pq", m = 16, numCentroids = 256, iters = 5,
         maxSample = 20000, candK = 100)
       val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
       val via = c.vectorTopK(qs, 10).select("qid", "rn", "id").persist()
-      val cb = Pq.train(e, m = 16, k = 256, iters = 8, maxSample = 20000)
+      val cb = Pq.train(e, m = 16, k = 256, iters = 5, maxSample = 20000)
       val direct = Pq.rerankTopK(e, Pq.encode(e, cb), cb, qs, k = 10, candK = 100)
         .select("qid", "rn", "id").persist()
       try {
