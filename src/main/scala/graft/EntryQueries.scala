@@ -1429,6 +1429,39 @@ object EntryQueries {
       Seq(("recall_at_10", rec >= 0.9)).toDF("metric", "ok")
     }, Some("SELECT 'recall_at_10' AS metric, true AS ok")),
 
+    // X116: deflate compression ratio (the CCNet/Gopher-family quality
+    // signal). Exact deflate bytes are zlib-version-dependent, so the
+    // oracle gates the signal's defining properties instead: ratios in
+    // range, self-concatenation strictly improves per-byte compression
+    // (the second copy is one back-reference — holds for every >= 50-byte
+    // doc inside the 32 KB window), and repetitive text compresses far
+    // below natural prose on average.
+    ("x116_compression_ratio", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val d = docsFrame(s, sfDir).select(col("id"), col("content"))
+      val single = TextStats.compressionRatio(d).persist()
+      val doubled = TextStats.compressionRatio(
+        d.select(col("id"), concat(col("content"), col("content")).as("content"))).persist()
+      try {
+        val bad = single.filter(col("n_bytes") > 0 &&
+          (col("ratio") <= 0.0 || col("ratio") > 1.5)).count()
+        val viol = single.as("s").filter(col("n_bytes") >= 50)
+          .join(doubled.as("d"), "id")
+          .filter(col("d.ratio") >= col("s.ratio")).count()
+        val meanNat = single.agg(avg(col("ratio"))).head().getDouble(0)
+        val meanRep = TextStats.compressionRatio(
+            d.select(col("id"),
+              concat_ws(" ", array_repeat(lit("spam"), 64)).as("content")))
+          .agg(avg(col("ratio"))).head().getDouble(0)
+        Seq(("all_ratios_in_range", bad == 0L),
+          ("doubling_compresses_every_doc", viol == 0L),
+          ("repetition_compresses_more", meanRep < meanNat))
+          .toDF("metric", "ok")
+      } finally { single.unpersist(); doubled.unpersist() }
+    }, Some("""SELECT * FROM (VALUES ('all_ratios_in_range', true),
+              |  ('doubling_compresses_every_doc', true),
+              |  ('repetition_compresses_more', true)) AS t(metric, ok)""".stripMargin)),
+
     ("x8_text_langid", (s: SparkSession, sfDir: String) =>
       TextStats.langId(docsFrame(s, sfDir)).select("id", "pred_lang"),
       Some(langIdOracle)),

@@ -1009,4 +1009,43 @@ object TextStats {
       row.getAs[Array[Byte]](0))
     probes.map(p => (p, cms.estimateCount(p), n)).toDF("token", "est_count", "n_tokens")
   }
+
+  /** Deflate compression ratio per document — the CCNet/Gopher-family
+    * quality signal: templated or heavily repetitive text compresses far
+    * below natural prose, while near-random text approaches (or with
+    * header overhead slightly exceeds) 1. Output (id, n_bytes,
+    * n_deflated, ratio) with ratio = deflated/raw over UTF-8 bytes
+    * (level 6, raw deflate — no zlib header); empty docs report ratio 1.
+    *
+    * Scale: one zero-shuffle pass; `mapPartitions` with a single reused
+    * Deflater per partition is the justified-imperative case — compression
+    * is byte-level stateful work with no Catalyst builtin, and per-row
+    * allocation of the native zlib state would dominate. Deterministic for
+    * fixed input (single-shot deflate, fixed level/strategy).
+    */
+  def compressionRatio(docs: DataFrame, idCol: String = "id",
+                       contentCol: String = "content"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("string").as("id"),
+        coalesce(col(contentCol), lit("")).as("content"))
+      .as[(String, String)]
+      .mapPartitions { iter =>
+        val deflater = new java.util.zip.Deflater(6, true)
+        val buf = new Array[Byte](1 << 16)
+        iter.map { case (id, content) =>
+          val raw = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (raw.isEmpty) (id, 0L, 0L, 1.0)
+          else {
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var n = 0L
+            while (!deflater.finished()) n += deflater.deflate(buf)
+            (id, raw.length.toLong, n, n.toDouble / raw.length)
+          }
+        }
+      }
+      .toDF("id", "n_bytes", "n_deflated", "ratio")
+  }
 }

@@ -2896,6 +2896,24 @@ class ExtSpec extends AnyFunSuite {
     exact.foreach { case (id, v) => assert(math.abs(hashed(id) - v) < 1e-9) }
   }
 
+  test("compressionRatio: repetition compresses, doubling improves, empty is 1.0") {
+    val rows = TextStats.compressionRatio(Seq(
+      ("rep", "ab" * 200),
+      ("nat", "the quick brown fox jumps over the lazy dog and then naps by the river bank"),
+      ("natx2", ("the quick brown fox jumps over the lazy dog and then naps by the river bank " * 2).trim),
+      ("empty", "")
+    ).toDF("id", "content")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows("rep")._3 < rows("nat")._3)       // repetition compresses far more
+    assert(rows("natx2")._3 < rows("nat")._3)     // self-repeat improves per byte
+    assert(rows("empty") === ((0L, 0L, 1.0)))
+    assert(rows("nat")._1 === 75L && rows("nat")._2 > 0L) // raw UTF-8 byte count
+    // deterministic: same input, same bytes
+    val again = TextStats.compressionRatio(Seq(("rep", "ab" * 200)).toDF("id", "content"))
+      .collect().head.getLong(2)
+    assert(again === rows("rep")._2)
+  }
+
   test("StreamMetrics: per-batch rows and latency counters over a two-batch run") {
     implicit val sqlCtx = spark.sqlContext
     val m = graft.streaming.StreamMetrics.attach(spark)
