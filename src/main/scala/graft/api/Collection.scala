@@ -456,6 +456,20 @@ final class Collection private (
         val (b, d) = Stores.segmentBytes(spark, pqDir, name)
         b > 0 && d * 2 > b
       }
+    // crash-residue guard BEFORE the staleness math: an ivfpq codes
+    // partition whose parameter tables are incomplete (a crash inside
+    // writeIvfPq's codes→books→centroids window) can never serve or
+    // retrain (ivfParams()/ivfPqParts() read None) — drop all three pieces
+    // so the store returns cleanly to "no index" instead of carrying dead
+    // residue forever. A healthy flat-pq (books, no ivfPqDir) or ivf
+    // (centroids, no ivfPqDir) never matches: the guard keys on ivfPqDir.
+    if (Stores.partitionExists(spark, ivfPqDir, name) &&
+        (!Stores.partitionExists(spark, ivfCentDir, name) ||
+         !Stores.partitionExists(spark, pqBookDir, name))) {
+      Stores.dropPartition(spark, ivfPqDir, name)
+      Stores.dropPartition(spark, ivfCentDir, name)
+      Stores.dropPartition(spark, pqBookDir, name)
+    }
     val ivfPqStale = Stores.partitionExists(spark, ivfPqDir, name) && {
       val (b, d) = Stores.segmentBytes(spark, ivfPqDir, name)
       b > 0 && d * 2 > b
@@ -903,10 +917,20 @@ final class Collection private (
     if (hasPersistedVectorIndex) vectorTopK(queries, k)
     else graft.ext.Ann.exactTopK(docs(), queries, k)
 
-  private def hasPersistedVectorIndex: Boolean =
-    Stores.partitionExists(spark, annDir, name) ||
-      Stores.partitionExists(spark, ivfCentDir, name) ||
-      Stores.partitionExists(spark, pqBookDir, name)
+  /** True iff some persisted index can actually SERVE — each kind's check
+    * mirrors its accessor's store gating exactly. A single shared-table
+    * existence test would disagree with the accessors inside writeIvfPq's
+    * crash window (codes+books present, centroids not yet written): the
+    * accessors all read None there, and a route-to-vectorTopK would throw
+    * instead of taking the documented exact fallback.
+    */
+  private def hasPersistedVectorIndex: Boolean = {
+    def ex(dir: String) = Stores.partitionExists(spark, dir, name)
+    ex(annDir) ||
+      (ex(ivfCentDir) && ex(ivfDir)) ||
+      (ex(pqBookDir) && ex(pqDir)) ||
+      (ex(ivfPqDir) && ex(ivfCentDir) && ex(pqBookDir))
+  }
 
   /** FILTERED approximate vector search — top-k per query AMONG the docs
     * passing `where` (the qdrant/pgvector "metadata filter + ANN"
@@ -920,6 +944,11 @@ final class Collection private (
     * belong on the exact arm (`queryFrame(vectorSearch = true, where)`),
     * which filters BEFORE ranking. Without an index this IS that exact
     * arm, shaped (qid, rn, id, sim).
+    *
+    * PQ-kind cap: the flat-PQ and IVF-PQ probes additionally bound their
+    * candidate pool by the index's STORED `candK` — overfetch×k beyond it
+    * has no further effect; rebuild the index with a larger `candK` for
+    * deeper filtered probes (LSH/IVF probes have no such cap).
     */
   def vectorTopKWhere(queries: Seq[(String, Seq[Float])], k: Int,
                       where: Map[String, Any], overfetch: Int = 4): DataFrame = {
@@ -981,9 +1010,7 @@ final class Collection private (
     */
   private def hybridVectorArm(qvec: Seq[Float], depth: Int,
                               where: Map[String, Any]): DataFrame =
-    if (where.isEmpty && (Stores.partitionExists(spark, annDir, name) ||
-        Stores.partitionExists(spark, ivfCentDir, name) ||
-        Stores.partitionExists(spark, pqBookDir, name)))
+    if (where.isEmpty && hasPersistedVectorIndex)
       vectorTopK(Seq("q" -> qvec), depth).select($"id", $"sim".as("rank"))
     else VectorSearch.scored(applyWhere(docs(), where), "embedding", qvec)
       .select($"id", $"rank")

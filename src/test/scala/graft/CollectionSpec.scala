@@ -615,6 +615,17 @@ class CollectionSpec extends AnyFunSuite {
       m = 3, candK = 50, iters = 2)
     assert(c.ivfPqIndex().nonEmpty && c.pqIndex().isEmpty && c.ivfIndex().isEmpty)
     assert(!Stores.partitionExists(spark, Stores.pqDir(root), "test"))
+    // writeIvfPq crash window (codes+books written, centroids not yet):
+    // every accessor reads None, the auto paths take the EXACT fallback
+    // instead of throwing, and compact() sweeps the dead residue
+    Stores.dropPartition(spark, Stores.ivfCentDir(root), "test")
+    assert(c.ivfPqIndex().isEmpty)
+    assert(c.vectorTopKAuto(Seq("q" -> Seq(1f, 1f, 1f)), 2).count() === 2) // exact arm, no throw
+    spark.conf.set("spark.graft.compact.auto", "false")
+    c.compact()
+    spark.conf.set("spark.graft.compact.auto", "true")
+    assert(!Stores.partitionExists(spark, Stores.ivfPqDir(root), "test"))
+    assert(!Stores.partitionExists(spark, Stores.pqBookDir(root), "test"))
     c.deleteAll()
     assert(c.ivfPqIndex().isEmpty)
   }
