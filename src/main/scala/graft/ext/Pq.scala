@@ -242,12 +242,26 @@ object Pq {
     val dim = vecs.map(_.length).max
     require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
     val dsub = dim / m
-    val books = (0 until m).map { s =>
-      val off = s * dsub
-      val sub = vecs.map { v =>
-        Array.tabulate(dsub)(d => if (off + d < v.length) v(off + d) else 0.0f)
-      }
-      kmeansL2(sub, math.min(k, sub.length), iters)
+    // The m subspace Lloyd runs are independent — train them on a bounded
+    // pool in parallel (results collected in subspace order, so the
+    // codebook is bit-identical to the serial loop). This is the dominant
+    // cost of an index build: sample×k×iters×dsub flops PER BOOK.
+    val books = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(m, Runtime.getRuntime.availableProcessors())))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = (0 until m).map { s => Future {
+          val off = s * dsub
+          val sub = vecs.map { v =>
+            Array.tabulate(dsub)(d => if (off + d < v.length) v(off + d) else 0.0f)
+          }
+          kmeansL2(sub, math.min(k, sub.length), iters)
+        } }
+        futs.map(Await.result(_, Duration.Inf))
+      } finally pool.shutdown()
     }
     // pad under-filled books (k > #sample) so every book has k codewords:
     // duplicate the last codeword — encoding ties resolve to the lower id,
