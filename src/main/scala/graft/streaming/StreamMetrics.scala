@@ -25,9 +25,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class StreamMetrics private (spark: SparkSession, maxEvents: Int)
     extends StreamingQueryListener {
 
-  // single-writer (listener bus) / multi-reader; deque for ring eviction
+  // single-writer (listener bus) / multi-reader; deque for ring eviction.
+  // size is tracked in a counter: ConcurrentLinkedDeque.size() is an O(n)
+  // traversal, and the listener bus thread is latency-sensitive (slow
+  // listeners make Spark drop events)
   private val buf =
     new java.util.concurrent.ConcurrentLinkedDeque[StreamMetrics.BatchProgress]()
+  private val count = new java.util.concurrent.atomic.AtomicInteger(0)
 
   override def onQueryStarted(
       e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -46,7 +50,9 @@ final class StreamMetrics private (spark: SparkSession, maxEvents: Int)
       batchDurationMs =
         Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L),
       stateRows = p.stateOperators.map(_.numRowsTotal).sum))
-    while (buf.size > maxEvents) buf.pollFirst()
+    count.incrementAndGet()
+    while (count.get() > maxEvents && buf.pollFirst() != null)
+      count.decrementAndGet()
   }
 
   override def onQueryTerminated(
