@@ -103,7 +103,10 @@ class PropertySpec extends AnyFunSuite {
     // near(), or not — the extended-only syntax) parse IDENTICALLY through
     // both grammars: the parity-fallback precondition in extendedQueryFrame
     val plainWord = Gen.oneOf(
-      Gen.alphaNumStr.map(_.take(5)).suchThat(_.nonEmpty),
+      // "not" (any case) IS extended-only syntax — alphaNumStr can emit it,
+      // so exclude it explicitly or the property flakes on "a not b"
+      Gen.alphaNumStr.map(_.take(5))
+        .suchThat(w => w.nonEmpty && !w.equalsIgnoreCase("not")),
       Gen.const("and"), Gen.const("or"), Gen.const("AND"),
       Gen.const("te*m"), Gen.const("pre*"))
     val plainQuery = Gen.listOf(plainWord).map(_.mkString(" "))
