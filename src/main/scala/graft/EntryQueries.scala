@@ -1462,6 +1462,19 @@ object EntryQueries {
               |  ('doubling_compresses_every_doc', true),
               |  ('repetition_compresses_more', true)) AS t(metric, ok)""".stripMargin)),
 
+    // X117: the one-pass signal sweep — gopher + quality + langid fused
+    // over a single scan with the composite keep. Each arm's math is
+    // pinned by its own entry (x8/x9/x36); this entry pins the FUSION:
+    // all families off one frame, plus the composite decision.
+    ("x117_signal_sweep", (s: SparkSession, sfDir: String) =>
+      TextStats.signalSweep(docsFrame(s, sfDir), minWords = 30, minStopwordHits = 1)
+        .select(col("id"), col("n_words"), col("n_tokens"),
+          round(col("quality"), 6).as("quality"), col("pred_lang"),
+          round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("top_ngram_frac"), 6).as("top_ngram_frac"),
+          col("gopher_keep"), col("keep")),
+      Some(signalSweepOracle)),
+
     ("x8_text_langid", (s: SparkSession, sfDir: String) =>
       TextStats.langId(docsFrame(s, sfDir)).select("id", "pred_lang"),
       Some(langIdOracle)),
@@ -3579,20 +3592,87 @@ object EntryQueries {
        |WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) >= $threshold""".stripMargin
 
   /** DuckDB replica of TextStats.langId (same lists, same tie-break). */
-  private lazy val langIdOracle: String = {
+  /** Stopword-langid SQL over the token array `arr`: the per-language
+    * score select list (columns `s_<lang>`) and the argmax CASE reading
+    * them — shared by the standalone x8 oracle and the x117 sweep oracle.
+    */
+  private def langIdFragments(arr: String): (String, String) = {
     val scoreExprs = TextStats.LangStopwords.map { case (l, ws) =>
-      l -> s"len(list_filter(w, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+      l -> s"len(list_filter($arr, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))"
     }
     val langs = scoreExprs.map(_._1)
     val whens = langs.zipWithIndex.dropRight(1).map { case (l, i) =>
       val cond = langs.drop(i + 1).map(j => s"s_$l >= s_$j").mkString(" AND ")
       s"WHEN $cond THEN '$l'"
     }.mkString(" ")
+    (scoreExprs.map { case (l, e) => s"$e AS s_$l" }.mkString(", "),
+      s"CASE WHEN ${langs.map(l => s"s_$l = 0").mkString(" AND ")} THEN 'und' " +
+        s"$whens ELSE '${langs.last}' END")
+  }
+
+  private lazy val langIdOracle: String = {
+    val (scores, pred) = langIdFragments("w")
     s"""WITH t AS (SELECT $DocId AS id, $Toks AS w FROM documents),
-       | sc AS (SELECT id, ${scoreExprs.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")} FROM t)
-       |SELECT id, CASE WHEN ${langs.map(l => s"s_$l = 0").mkString(" AND ")} THEN 'und'
-       |  $whens ELSE '${langs.last}' END AS pred_lang
+       | sc AS (SELECT id, $scores FROM t)
+       |SELECT id, $pred AS pred_lang
        |FROM sc""".stripMargin
+  }
+
+  /** x117: the fused sweep replayed column-family by column-family — the
+    * Gopher metric CTEs from x36 (on the plain corpus), the x9 quality
+    * math, the x8 langid argmax, and the composite keep, all off ONE `tok`
+    * CTE like the engine's one fused scan.
+    */
+  private lazy val signalSweepOracle: String = {
+    val (scores, pred) = langIdFragments("t.tk")
+    val stopSum = TextStats.GopherStops
+      .map(w => s"CASE WHEN list_contains(list_transform(t.w, x -> lower(x)), '$w') THEN 1 ELSE 0 END")
+      .mkString("\n    + ")
+    s"""WITH tok AS (SELECT $DocId AS id,
+       |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS rawlines,
+       |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS tlines,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
+       |    $Toks AS tk
+       |  FROM documents),
+       | g AS (SELECT t.id, array_to_string(t.tk[u.i:u.i+1], ' ') AS gram
+       |       FROM tok t, UNNEST(range(1, len(t.tk))) AS u(i)),
+       | gc AS (SELECT id, gram, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+       | tg AS (SELECT id, MAX(tf) AS top_tf FROM gc GROUP BY 1),
+       | m AS (SELECT t.id,
+       |    CAST(len(t.w) AS BIGINT) AS n_words,
+       |    CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(t.w) = 0 THEN 0.0
+       |      ELSE list_sum(list_transform(t.w, x -> len(x))) * 1.0 / len(t.w) END AS mean_word_len,
+       |    CASE WHEN len(t.w) = 0 THEN 0.0
+       |      ELSE len(list_filter(t.w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(t.w) END AS alpha_word_frac,
+       |    CASE WHEN len(t.tlines) = 0 THEN 0.0
+       |      ELSE len(list_filter(t.tlines, l -> regexp_matches(l, '^[-*•]'))) * 1.0 / len(t.tlines) END AS bullet_line_frac,
+       |    CASE WHEN len(t.tlines) = 0 THEN 0.0
+       |      ELSE len(list_filter(t.tlines, l -> regexp_matches(l, '(\\.\\.\\.|…)$$'))) * 1.0 / len(t.tlines) END AS ellipsis_line_frac,
+       |    ($stopSum) AS n_stop_hits,
+       |    CASE WHEN len(t.rawlines) = 0 THEN 0.0
+       |      ELSE 1.0 - CAST(len(list_distinct(t.rawlines)) AS DOUBLE) / len(t.rawlines) END AS dup_line_frac,
+       |    CASE WHEN len(t.tk) = 0 THEN 0.0
+       |      ELSE LEAST(1.0, CAST(COALESCE(tg.top_tf, 0) AS DOUBLE) * 2 / len(t.tk)) END AS top_ngram_frac,
+       |    CASE WHEN len(t.tk) = 0 THEN 0.0
+       |      ELSE list_sum(list_transform(t.tk, x -> len(x))) * 1.0 / len(t.tk) END AS avg_len,
+       |    CASE WHEN len(t.tk) = 0 THEN 0.0
+       |      ELSE len(list_filter(t.tk, x -> x IN (${TextStats.QualityStopwords.map(w => s"'$w'").mkString(", ")}))) * 1.0 / len(t.tk) END AS stop_ratio,
+       |    $scores
+       |  FROM tok t LEFT JOIN tg ON t.id = tg.id),
+       | q AS (SELECT *,
+       |    least(n_tokens / 100.0, 1.0) * 0.5 + stop_ratio * 0.3 + least(avg_len / 10.0, 1.0) * 0.2 AS quality,
+       |    $pred AS pred_lang,
+       |    (n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+       |     AND alpha_word_frac >= 0.8 AND bullet_line_frac <= 0.9
+       |     AND ellipsis_line_frac <= 0.3 AND n_stop_hits >= 1
+       |     AND dup_line_frac <= 0.3 AND top_ngram_frac <= 0.2) AS gopher_keep
+       |  FROM m)
+       |SELECT id, n_words, n_tokens, round(quality, 6) AS quality, pred_lang,
+       |  round(dup_line_frac, 6) AS dup_line_frac,
+       |  round(top_ngram_frac, 6) AS top_ngram_frac, gopher_keep,
+       |  (gopher_keep AND quality >= 0.25 AND pred_lang <> 'und') AS keep
+       |FROM q""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

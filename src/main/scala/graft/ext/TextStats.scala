@@ -1033,19 +1033,67 @@ object TextStats {
       .mapPartitions { iter =>
         val deflater = new java.util.zip.Deflater(6, true)
         val buf = new Array[Byte](1 << 16)
-        iter.map { case (id, content) =>
-          val raw = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          if (raw.isEmpty) (id, 0L, 0L, 1.0)
-          else {
-            deflater.reset()
-            deflater.setInput(raw)
-            deflater.finish()
-            var n = 0L
-            while (!deflater.finished()) n += deflater.deflate(buf)
-            (id, raw.length.toLong, n, n.toDouble / raw.length)
+        new Iterator[(String, Long, Long, Double)] {
+          // end() when the task drains the iterator: the native zlib state
+          // (~256 KB off-heap per Deflater) must not wait for GC on a
+          // long-lived executor — that accumulates outside the heap with
+          // no heap-pressure symptom
+          private var ended = false
+          def hasNext: Boolean = {
+            val h = iter.hasNext
+            if (!h && !ended) { ended = true; deflater.end() }
+            h
+          }
+          def next(): (String, Long, Long, Double) = {
+            val (id, content) = iter.next()
+            val raw = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            if (raw.isEmpty) (id, 0L, 0L, 1.0)
+            else {
+              deflater.reset()
+              deflater.setInput(raw)
+              deflater.finish()
+              var n = 0L
+              while (!deflater.finished()) n += deflater.deflate(buf)
+              (id, raw.length.toLong, n, n.toDouble / raw.length)
+            }
           }
         }
       }
       .toDF("id", "n_bytes", "n_deflated", "ratio")
+  }
+
+  /** ONE-PASS quality-signal sweep: [[gopherFilter]] (incl. [[repetition]]),
+    * [[quality]], [[langId]] and [[tokenCounts]] fused over a single scan,
+    * plus the composite pretraining keep decision
+    * `keep = gopher_keep AND quality >= minQuality AND pred_lang <> 'und'`
+    * (the per-rule Gopher verdict survives as `gopher_keep`).
+    *
+    * Running the signals separately reads the corpus once PER FAMILY — at
+    * 100 TB that is the difference between one scan and four. Because every
+    * arm is closed-form column math on the content column, Catalyst
+    * collapses the composition into one Project over one scan: ZERO
+    * shuffle, zero joins, one WholeStageCodegen span (the plan-shape spec
+    * pins this — the fusion, not the per-column math, is what this
+    * operator adds; each arm's math is pinned by its own entry).
+    */
+  def signalSweep(df: DataFrame, contentCol: String = "content",
+                  minQuality: Double = 0.25,
+                  minWords: Long = 50, maxWords: Long = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  minAlphaWordFrac: Double = 0.8,
+                  maxBulletLineFrac: Double = 0.9,
+                  maxEllipsisLineFrac: Double = 0.3,
+                  minStopwordHits: Int = 2,
+                  maxDupLineFrac: Double = 0.3,
+                  maxTopNgramFrac: Double = 0.2): DataFrame = {
+    val g = gopherFilter(df, contentCol, minWords, maxWords,
+        minMeanWordLen, maxMeanWordLen, minAlphaWordFrac, maxBulletLineFrac,
+        maxEllipsisLineFrac, minStopwordHits, maxDupLineFrac, maxTopNgramFrac)
+      .withColumnRenamed("keep", "gopher_keep")
+    val annotated = tokenCounts(langId(quality(g, contentCol), contentCol),
+      contentCol)
+    annotated.withColumn("keep",
+      col("gopher_keep") && col("quality") >= minQuality &&
+        col("pred_lang") =!= "und")
   }
 }

@@ -2937,4 +2937,48 @@ class ExtSpec extends AnyFunSuite {
     assert(snap.forall(_._3 >= 0L)) // triggerExecution latency recorded
     assert(snap.map(_._1).distinct.length === 2) // one counter row per batch
   }
+
+  private def sweepFixture = Seq(
+    ("good", ("the quick brown fox jumps over the lazy dog and naps " * 6).trim),
+    ("bullets", "- one\n- two\n- three\n- four"),
+    ("spam", ("buy now " * 40).trim),
+    ("german", "der hund und die katze laufen durch den park und das haus ist groß " * 4),
+    ("short", "tiny"),
+    ("empty", "")
+  ).toDF("id", "content")
+
+  test("signalSweep: equals the composed individual operators, column for column") {
+    val d = sweepFixture
+    val sweep = TextStats.signalSweep(d, minWords = 5, minStopwordHits = 1)
+    val composed = TextStats.tokenCounts(TextStats.langId(TextStats.quality(
+      TextStats.gopherFilter(d, minWords = 5, minStopwordHits = 1)
+        .withColumnRenamed("keep", "gopher_keep"))))
+      .withColumn("keep", col("gopher_keep") && col("quality") >= 0.25 &&
+        col("pred_lang") =!= "und")
+    assert(sweep.columns.sorted === composed.columns.sorted)
+    val cols = sweep.columns.sorted.map(col)
+    assert(sweep.select(cols: _*).orderBy("id").collect().toSeq ===
+      composed.select(cols: _*).orderBy("id").collect().toSeq)
+  }
+
+  test("signalSweep: composite keep — gopher-pass but 'und' language drops") {
+    val rows = TextStats.signalSweep(sweepFixture, minWords = 5, minStopwordHits = 1)
+      .select("id", "gopher_keep", "pred_lang", "keep")
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(rows("good") === ((true, "en", true)))
+    assert(rows("german")._2 === "de")
+    assert(!rows("empty")._3 && !rows("short")._3) // word-count floor
+    assert(!rows("spam")._3)                       // top-ngram repetition
+    // every kept doc passed all three gates
+    rows.values.foreach { case (g, l, k) => if (k) assert(g && l != "und") }
+  }
+
+  test("plan: signalSweep fuses to one scan, zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = TextStats.signalSweep(sweepFixture).queryExecution.executedPlan
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty, plan.toString)
+    // exactly one leaf: all four signal families read the SAME pass —
+    // a self-join or second scan would show a second leaf
+    assert(plan.collectLeaves().size === 1, plan.toString)
+  }
 }
