@@ -2,7 +2,7 @@ package graft
 
 import graft.api.{Collection, Embedder}
 import graft.exec.Sorter
-import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Expectations, Graphs, Ivf, Joins, Json, Multimodal, Pipeline, Pq, Quantize, TextStats, Web}
+import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Expectations, Graphs, Ivf, Joins, Json, Layout, Multimodal, Pipeline, Pq, Quantize, TextStats, Web}
 import graft.functions.TextFunctions
 import graft.model.SortKey
 import graft.parse.QueryParser
@@ -1474,6 +1474,29 @@ object EntryQueries {
           round(col("top_ngram_frac"), 6).as("top_ngram_frac"),
           col("gopher_keep"), col("keep")),
       Some(signalSweepOracle)),
+
+    // X118: bucketed co-located join — pay one shuffle at write, join with
+    // ZERO exchange forever after (plan pinned in ExtSpec). The oracle
+    // pins the RESULT; bucketing must be invisible to it.
+    ("x118_bucketed_join", (s: SparkSession, sfDir: String) => {
+      val wh = tempDirCleanedOnExit("graft-x118-")
+      Layout.writeBucketed(
+        s.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        "x118_docs", wh + "/docs", Seq("doc_id"), 8)
+      Layout.writeBucketed(
+        s.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id").as("doc_id"), col("label")),
+        "x118_emb", wh + "/emb", Seq("doc_id"), 8)
+      Layout.coLocatedJoin(s, "x118_docs", "x118_emb", Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+          sum("label").as("sum_label"))
+    }, Some(
+      """SELECT d.lang, count(*) AS n, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(e.label) AS BIGINT) AS sum_label
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY 1""".stripMargin)),
 
     ("x8_text_langid", (s: SparkSession, sfDir: String) =>
       TextStats.langId(docsFrame(s, sfDir)).select("id", "pred_lang"),

@@ -2973,6 +2973,39 @@ class ExtSpec extends AnyFunSuite {
     rows.values.foreach { case (g, l, k) => if (k) assert(g && l != "und") }
   }
 
+  test("writeBucketed + coLocatedJoin: result equals plain join, plan has no exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-layout-").toString
+    val left = (1 to 200).map(i => (i.toLong, s"doc$i", i % 7)).toDF("id", "name", "grp")
+    val right = (1 to 250).map(i => (i.toLong, i * 10)).toDF("id", "score")
+    graft.ext.Layout.writeBucketed(left, "lay_left", wh + "/l", Seq("id"), 4)
+    graft.ext.Layout.writeBucketed(right, "lay_right", wh + "/r", Seq("id"), 4)
+
+    val j = graft.ext.Layout.coLocatedJoin(spark, "lay_left", "lay_right", Seq("id"))
+    assert(j.count() === 200)
+    assert(j.orderBy("id").collect().toSeq ===
+      left.join(right, Seq("id")).orderBy("id").collect().toSeq)
+    // the layout carries the partitioning: ZERO Exchange — the merge join
+    // reads co-located single-file buckets straight off parquet (a
+    // per-partition Sort remains: Spark 4 does not propagate sortBy
+    // ordering from bucketed scans, but it shuffles nothing)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(!plan.contains("Exchange"), plan)
+
+    // bucket-keyed aggregate: partial+final merge in one stage, no exchange
+    val a = graft.ext.Layout.coLocatedAgg(spark, "lay_left", Seq("id"),
+      Seq("count(*) AS n"))
+    assert(a.count() === 200)
+    assert(!a.queryExecution.executedPlan.toString.contains("Exchange"))
+
+    // but a NON-key aggregate still shuffles — the layout only covers its key
+    val g = spark.table("lay_left").groupBy("grp").count()
+    assert(g.queryExecution.executedPlan.toString.contains("Exchange"))
+    spark.sql("DROP TABLE IF EXISTS lay_left")
+    spark.sql("DROP TABLE IF EXISTS lay_right")
+  }
+
   test("plan: signalSweep fuses to one scan, zero shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val plan = TextStats.signalSweep(sweepFixture).queryExecution.executedPlan
