@@ -1498,6 +1498,25 @@ object EntryQueries {
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |GROUP BY 1""".stripMargin)),
 
+    // X119: mojibake repair round-trip — corrupt the corpus with the
+    // inverse table, repair with fixMojibake, pin per-doc inflation and
+    // restoration. Both directions replay as nested replace() chains in
+    // DuckDB from the SAME derived table, so the entry pins the full
+    // table contents and application order, not just one example.
+    ("x119_fix_mojibake", (s: SparkSession, sfDir: String) => {
+      val corrupt = TextStats.MojibakeTable.foldLeft(col("content")) {
+        case (acc, (moji, ch)) => replace(acc, lit(ch), lit(moji))
+      }
+      TextStats.fixMojibake(
+          docsFrame(s, sfDir).select(col("id"), col("content"),
+            corrupt.as("corrupted")),
+          contentCol = "corrupted")
+        .select(col("id"),
+          (length(col("corrupted")) - length(col("content"))).as("n_inflate"),
+          col("had_mojibake"),
+          (col("fixed") === col("content")).as("roundtrip_ok"))
+    }, Some(mojibakeOracle)),
+
     ("x8_text_langid", (s: SparkSession, sfDir: String) =>
       TextStats.langId(docsFrame(s, sfDir)).select("id", "pred_lang"),
       Some(langIdOracle)),
@@ -3696,6 +3715,27 @@ object EntryQueries {
        |  round(top_ngram_frac, 6) AS top_ngram_frac, gopher_keep,
        |  (gopher_keep AND quality >= 0.25 AND pred_lang <> 'und') AS keep
        |FROM q""".stripMargin
+  }
+
+  /** x119: both chains generated from TextStats.MojibakeTable in engine
+    * order — corrupt (target→moji, same fold order as the entry) then
+    * repair (moji→target, fixMojibake's order). No literal contains an
+    * ASCII quote (all chars are ≥ U+0080), but escape defensively.
+    */
+  private lazy val mojibakeOracle: String = {
+    def q(s: String) = s.replace("'", "''")
+    val corrupt = TextStats.MojibakeTable.foldLeft("text") {
+      case (e, (moji, ch)) => s"replace($e, '${q(ch)}', '${q(moji)}')"
+    }
+    val fix = TextStats.MojibakeTable.foldLeft("corrupted") {
+      case (e, (moji, ch)) => s"replace($e, '${q(moji)}', '${q(ch)}')"
+    }
+    s"""WITH c AS (SELECT $DocId AS id, text, $corrupt AS corrupted FROM documents),
+       | f AS (SELECT id, text, corrupted, $fix AS fixed FROM c)
+       |SELECT id, CAST(len(corrupted) - len(text) AS INTEGER) AS n_inflate,
+       |  fixed <> corrupted AS had_mojibake,
+       |  fixed = text AS roundtrip_ok
+       |FROM f""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

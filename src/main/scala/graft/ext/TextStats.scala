@@ -1096,4 +1096,58 @@ object TextStats {
       col("gopher_keep") && col("quality") >= minQuality &&
         col("pred_lang") =!= "und")
   }
+
+  /** Mojibake repair table: for each target char, the string produced by
+    * writing its UTF-8 bytes and re-reading them as windows-1252 — the
+    * single most common corpus corruption (UTF-8 text round-tripped
+    * through a Latin-1/cp1252 system: "é" arrives as "Ã©", "’" as "â€™").
+    * DERIVED, not hand-typed: the pairs are computed from the byte math
+    * itself, restricted to targets whose mojibake form decodes to
+    * printable cp1252 (bytes 0x81/8D/8F/90/9D have no glyph and surface
+    * as control chars — those targets are excluded so the table stays
+    * expressible as plain string literals in any engine). Sorted longest
+    * mojibake first so 3-byte repairs run before their 2-byte suffixes
+    * could misfire ("â€™" before "Â").
+    */
+  val MojibakeTable: Seq[(String, String)] = {
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    // targets = EVERY printable non-ASCII char cp1252 can produce (bytes
+    // 0x80–0xFF; 0x81/8D/8F/90/9D are undefined and decode to controls).
+    // Full closure matters: the intermediate chars of a DOUBLE-encoded
+    // sequence ("é" → "Ã©" → "ÃƒÂ©") are themselves cp1252 output, so
+    // with all of them in the table each fixMojibake pass peels exactly
+    // one layer. Targets whose own UTF-8 bytes hit an undefined slot
+    // (e.g. "”", third byte 0x9D) are excluded by the printability
+    // filter — the table stays expressible as plain string literals.
+    val targets = (0x80 to 0xFF)
+      .map(b => new String(Array(b.toByte), cp1252).charAt(0))
+      .filter(c => !c.isControl)
+    targets.map { ch =>
+      val moji = new String(
+        ch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), cp1252)
+      moji -> ch.toString
+    }.filter { case (m, _) => m.forall(c => !c.isControl && c != '�') }
+      .sortBy { case (m, _) => (-m.length, m) }
+  }
+
+  /** Repair UTF-8-as-cp1252 mojibake in `contentCol`: chained literal
+    * replacements from [[MojibakeTable]], applied `passes` times (twice-
+    * encoded text needs two passes). Adds `fixed` and `had_mojibake`.
+    * Pure string-function column math — codegen'd, zero shuffle, and
+    * exactly replayable as nested replace() calls in any SQL engine
+    * (the oracle does precisely that). A fixed table is deliberately
+    * dumber than ftfy's heuristics: deterministic output is worth more
+    * than coverage of rare encodings in a 100 TB pipeline, where a
+    * re-run must reproduce byte-identical shards.
+    */
+  def fixMojibake(df: DataFrame, contentCol: String = "content",
+                  passes: Int = 1): DataFrame = {
+    require(passes >= 1, s"passes must be >= 1, got $passes")
+    val fixedOnce = (c: Column) => MojibakeTable.foldLeft(c) {
+      case (acc, (moji, ch)) => replace(acc, lit(moji), lit(ch))
+    }
+    val fixed = (1 to passes).foldLeft(col(contentCol))((c, _) => fixedOnce(c))
+    df.withColumn("fixed", fixed)
+      .withColumn("had_mojibake", col("fixed") =!= col(contentCol))
+  }
 }

@@ -2973,6 +2973,60 @@ class ExtSpec extends AnyFunSuite {
     rows.values.foreach { case (g, l, k) => if (k) assert(g && l != "und") }
   }
 
+  test("MojibakeTable: derived from the byte math, printable, longest-first") {
+    val t = TextStats.MojibakeTable
+    assert(t.nonEmpty)
+    t.foreach { case (moji, ch) =>
+      assert(ch.length === 1)
+      assert(moji.length >= 2 && moji.length <= 3)
+      // the pair IS the byte identity: utf8(ch) read as cp1252 == moji
+      assert(new String(ch.getBytes("UTF-8"), "windows-1252") === moji)
+      assert(moji.forall(c => !c.isControl))
+    }
+    assert(t.map(_._1.length).sliding(2).forall(p => p.head >= p.last)) // longest first
+    assert(t.contains("Ã©" -> "é"))
+  }
+
+  test("fixMojibake: repairs cp1252 mojibake, leaves clean text alone") {
+    def moji(s: String) = new String(s.getBytes("UTF-8"), "windows-1252")
+    val d = Seq(
+      ("m1", "CafÃ© au lait"),              // canonical hand-typed form
+      ("m2", moji("don’t stop – ever")),
+      ("m3", moji("naïve résumé")),
+      ("ok", "plain ascii text, nothing to fix"),
+      ("uni", "echte Wörter — bleiben ’so’")  // already-correct unicode
+    ).toDF("id", "content")
+    val out = TextStats.fixMojibake(d).collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    assert(out("m1") === (("Café au lait", true)))
+    assert(out("m2") === (("don’t stop – ever", true)))
+    assert(out("m3") === (("naïve résumé", true)))
+    assert(out("ok") === (("plain ascii text, nothing to fix", false)))
+    assert(out("uni") === (("echte Wörter — bleiben ’so’", false)))
+  }
+
+  test("fixMojibake: round-trips machine-corrupted text; passes=2 undoes double encoding") {
+    val singles = Seq("café crème — d’été", "über die Straße», 45°", "…naïve™")
+    val onceIn = singles.map(s => new String(s.getBytes("UTF-8"), "windows-1252"))
+    val once = TextStats.fixMojibake(
+        onceIn.zipWithIndex.map { case (s, i) => (s"d$i", s) }.toDF("id", "content"))
+      .orderBy("id").collect().map(_.getString(2))
+    assert(once.toSeq === singles)
+    // double-encoded: corrupt the corrupted form again; one pass peels one
+    // layer. "—" is excluded here: its single-moji form contains "”",
+    // whose own UTF-8 hits undefined byte 0x9D — the documented
+    // printable-table boundary (single-layer repair of "—" works above)
+    val originals = Seq("café crème d’été", "über die Straße», 45°", "…naïve™")
+    val corrupted = originals.map(s =>
+      new String(s.getBytes("UTF-8"), "windows-1252"))
+    val twice = corrupted.map(s => new String(s.getBytes("UTF-8"), "windows-1252"))
+    val d2 = twice.zipWithIndex.map { case (s, i) => (s"d$i", s) }.toDF("id", "content")
+    assert(TextStats.fixMojibake(d2, passes = 1).orderBy("id")
+      .collect().map(_.getString(2)).toSeq === corrupted)
+    assert(TextStats.fixMojibake(d2, passes = 2).orderBy("id")
+      .collect().map(_.getString(2)).toSeq === originals)
+  }
+
   test("writeBucketed + coLocatedJoin: result equals plain join, plan has no exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft-layout-").toString
     val left = (1 to 200).map(i => (i.toLong, s"doc$i", i % 7)).toDF("id", "name", "grp")
