@@ -1517,6 +1517,28 @@ object EntryQueries {
           (col("fixed") === col("content")).as("roundtrip_ok"))
     }, Some(mojibakeOracle)),
 
+    // X120: persisted dedup-screening index — ingest the corpus, build the
+    // MinHash index, upsert a batch of perturbed near-dups (maintenance
+    // re-bands ONLY the batch), then probe every 50th doc's text. The
+    // oracle replays the whole story as exact shingle Jaccard over
+    // documents ∪ the same synthetic batch: banding must be invisible at
+    // these similarities (P[miss] < 1e-7 at s ≥ 0.8 with 32×4), and the
+    // verify arm is exact, so the served pair set IS the exact pair set.
+    ("x120_dedup_index", (s: SparkSession, sfDir: String) => {
+      val root = tempDirCleanedOnExit("graft-x120-")
+      val c = Collection(s, root, "dx")
+      c.addDf(docsFrame(s, sfDir).select(col("id"), col("content")))
+      c.createDedupIndex()
+      c.addDf(docsFrame(s, sfDir).filter(col("id").cast("long") % 25 === 0)
+        .select(concat(lit("dup_"), col("id")).as("id"),
+          concat(col("content"), lit(" zzextratoken")).as("content")))
+      val probes = docsFrame(s, sfDir).filter(col("id").cast("long") % 50 === 0)
+        .select(concat(lit("q"), col("id")).as("qid"), col("content"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+      c.nearDuplicates(probes, threshold = 0.8)
+        .select(col("qid"), col("id"), round(col("jaccard"), 6).as("jaccard"))
+    }, Some(dedupIndexOracle(0.8))),
+
     ("x8_text_langid", (s: SparkSession, sfDir: String) =>
       TextStats.langId(docsFrame(s, sfDir)).select("id", "pred_lang"),
       Some(langIdOracle)),
@@ -3716,6 +3738,28 @@ object EntryQueries {
        |  (gopher_keep AND quality >= 0.25 AND pred_lang <> 'und') AS keep
        |FROM q""".stripMargin
   }
+
+  /** x120: exact trigram-shingle Jaccard of the probe set (every 50th doc)
+    * against documents ∪ the synthetic near-dup batch (every 25th doc with
+    * one appended token) — the index-served result must equal this exact
+    * recompute.
+    */
+  private def dedupIndexOracle(threshold: Double): String =
+    s"""WITH base AS (
+       |   SELECT $DocId AS id, text FROM documents
+       |   UNION ALL
+       |   SELECT 'dup_' || $DocId, text || ' zzextratoken'
+       |   FROM documents WHERE doc_id % 25 = 0),
+       | t AS (SELECT id, $Toks AS w FROM base),
+       | sh AS (SELECT id, CASE WHEN len(w) < 3 THEN []
+       |   ELSE list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) END AS s
+       |  FROM t),
+       | qsh AS (SELECT 'q' || id AS qid, s FROM sh
+       |  WHERE id NOT LIKE 'dup_%' AND CAST(id AS BIGINT) % 50 = 0)
+       |SELECT q.qid, d.id,
+       |  round(len(list_intersect(q.s, d.s)) * 1.0 / len(list_distinct(list_concat(q.s, d.s))), 6) AS jaccard
+       |FROM qsh q JOIN sh d
+       |  ON len(list_intersect(q.s, d.s)) * 1.0 / len(list_distinct(list_concat(q.s, d.s))) >= $threshold""".stripMargin
 
   /** x119: both chains generated from TextStats.MojibakeTable in engine
     * order — corrupt (target→moji, same fold order as the entry) then

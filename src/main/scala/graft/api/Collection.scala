@@ -55,6 +55,7 @@ final class Collection private (
   private val pqDir = Stores.pqDir(root)
   private val pqBookDir = Stores.pqBookDir(root)
   private val ivfPqDir = Stores.ivfPqDir(root)
+  private val minhashDir = Stores.minhashDir(root)
 
   /** This collection's documents (partition-pruned read). */
   def docs(): DataFrame = Stores.readPartition(spark, docsDir, name, Stores.docsSchema)
@@ -525,10 +526,12 @@ final class Collection private (
     }
     else Stores.compactPartition(spark, ivfPqDir, name, Stores.ivfPqSchema,
       sortBy = Seq("cluster"))
+    Stores.compactPartition(spark, minhashDir, name, Stores.minhashSchema,
+      sortBy = Seq("band", "bh"))
     // sweep crash residue while we're off the ingest path anyway: orphaned
     // .tmp-* always, .old-* (crash-recovery copies) past their grace window
     Seq(docsDir, postingsDir, statsDir, annDir, doclenDir, ivfDir, ivfCentDir,
-        pqDir, pqBookDir, ivfPqDir)
+        pqDir, pqBookDir, ivfPqDir, minhashDir)
       .foreach(Stores.sweep(spark, _))
   }
 
@@ -551,7 +554,7 @@ final class Collection private (
     // overwrite-only and cheap (one agg over the skinny doclen store)
     if (Stores.partitionExists(spark, doclenDir, name)) writeStatsFrom(doclen())
     val swept = Seq(docsDir, postingsDir, statsDir, annDir, doclenDir,
-        ivfDir, ivfCentDir, pqDir, pqBookDir, ivfPqDir)
+        ivfDir, ivfCentDir, pqDir, pqBookDir, ivfPqDir, minhashDir)
       .map(Stores.sweep(spark, _, oldGraceMs = 0L, tmpGraceMs = 0L)).sum
     val s = collStats().head()
     Seq((s.getLong(0), s.getDouble(1),
@@ -587,6 +590,7 @@ final class Collection private (
     Stores.dropPartition(spark, pqDir, name)
     Stores.dropPartition(spark, pqBookDir, name)
     Stores.dropPartition(spark, ivfPqDir, name)
+    Stores.dropPartition(spark, minhashDir, name)
     Stores.dropManifest(spark, root, name) // a recreate may change flags
     // Retire the ANN-rewrite registration with the store it points at. The
     // Deferred guard would decline anyway (no ann partition), but a retained
@@ -866,6 +870,80 @@ final class Collection private (
     else LshIndex.fromStoreFrame(
       Stores.readPartition(spark, annDir, name, Stores.annSchema))
 
+  // -------------------------------------------------------------------------
+  // Persisted dedup-screening index: banded MinHash signatures, stored and
+  // delta-maintained exactly like the vector indexes. The serving story —
+  // "is this batch of texts a near-duplicate of anything in the corpus?" —
+  // is the recrawl/contamination screen: WITHOUT the index each screen
+  // re-shingles and re-bands the WHOLE corpus (graft.ext.Dedup.dedupAgainst
+  // recomputes reference signatures per call); with it, a probe computes
+  // signatures for the probe texts only and joins ~bands skinny rows/doc.
+  // -------------------------------------------------------------------------
+
+  /** Build (or rebuild) the persisted MinHash dedup index over the current
+    * corpus. Shape parameters are stored with the rows — probes and
+    * maintenance re-read them, so callers never re-supply (a mismatched
+    * shape would hash to disjoint buckets and silently match nothing).
+    */
+  def createDedupIndex(n: Int = 3, bands: Int = 32, rowsPerBand: Int = 4): Unit = {
+    require(n >= 1 && bands >= 1 && rowsPerBand >= 1,
+      "n, bands, rowsPerBand must all be >= 1")
+    Stores.overwritePartition(spark, minhashDir, name,
+      dedupIndexRows(docs(), n, bands, rpb = rowsPerBand),
+      sortBy = Seq("band", "bh"))
+  }
+
+  /** (n, bands, rowsPerBand) of the stored dedup index, if one exists. */
+  def dedupIndex(): Option[(Int, Int, Int)] = dedupParams()
+
+  private def dedupParams(): Option[(Int, Int, Int)] =
+    if (!Stores.partitionExists(spark, minhashDir, name)) None
+    else Stores.readPartition(spark, minhashDir, name, Stores.minhashSchema)
+      .select($"n", $"bands", $"rows_per_band").head(1).headOption
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+
+  /** The stored row shape: banded signature rows + the shape parameters as
+    * constant columns (see [[graft.index.Stores.minhashSchema]]).
+    */
+  private def dedupIndexRows(source: DataFrame, n: Int, bands: Int,
+                             rpb: Int): DataFrame =
+    graft.ext.Dedup.bandedSignatureRows(source, "id", "content", n, bands, rpb)
+      .withColumn("n", lit(n)).withColumn("bands", lit(bands))
+      .withColumn("rows_per_band", lit(rpb))
+
+  /** Near-duplicates of each probe text among the CURRENT corpus, served
+    * from the persisted index: (qid, id, jaccard) with word-shingle
+    * Jaccard ≥ `threshold`, exact-verified (no false positives; recall is
+    * the stored band shape's P[miss] = (1 − t^r)^b). The probe plan never
+    * re-signatures the corpus: probe texts band driver-side, broadcast
+    * against the skinny store for candidates, and only the candidate
+    * docs' content re-shingles for verification.
+    */
+  def nearDuplicates(queries: Seq[(String, String)],
+                     threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "0 < threshold <= 1")
+    val (n, bands, rpb) = dedupParams().getOrElse(throw new IllegalStateException(
+      s"Collection '$name' has no dedup index; call createDedupIndex() first."))
+    val probes = spark.createDataset(queries).toDF("id", "content")
+    val qBanded = graft.ext.Dedup
+      .bandedSignatureRows(probes, "id", "content", n, bands, rpb)
+      .withColumnRenamed("id", "qid")
+    val store = Stores.readPartition(spark, minhashDir, name, Stores.minhashSchema)
+    val cands = store.join(broadcast(qBanded), Seq("band", "bh"))
+      .select($"qid", $"id").distinct()
+    val qSets = probes.select($"id".as("qid"),
+      graft.ext.Dedup.shingleSet($"content", n).as("qshh"))
+    // shingle AFTER the candidate join: the expensive shingleSet sits in a
+    // Project above the join (no rule pushes it below), so only candidate
+    // rows — not the whole corpus — pay the re-shingle
+    cands
+      .join(docs().select($"id", $"content"), Seq("id"))
+      .join(broadcast(qSets), Seq("qid"))
+      .select($"qid", $"id", graft.functions.HashFunctions.sortedJaccard(
+        $"qshh", graft.ext.Dedup.shingleSet($"content", n)).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+  }
+
   /** Approximate top-k neighbors of each query vector via the PERSISTED
     * index — probe cost is the probed buckets' row groups plus the candidate
     * rerank, independent of corpus size. Output (qid, rn, id, sim), like
@@ -1048,6 +1126,11 @@ final class Collection private (
       writeDoclenFull(doclenOfBatch(source))
     }
     refreshVectorIndexFull()
+    // dedup index: re-band everything with the STORED shape parameters
+    dedupParams().foreach { case (n, bands, rpb) =>
+      Stores.overwritePartition(spark, minhashDir, name,
+        dedupIndexRows(docs(), n, bands, rpb), sortBy = Seq("band", "bh"))
+    }
   }
 
   /** Small-collection upsert index maintenance: merge-rewrite postings and
@@ -1072,6 +1155,14 @@ final class Collection private (
         .unionByName(doclenOfBatch(batch)))
     }
     refreshVectorIndexMerge(batch, batchIds)
+    // dedup index: anti-join out the batch ids, union the batch's fresh rows
+    dedupParams().foreach { case (n, bands, rpb) =>
+      Stores.overwritePartition(spark, minhashDir, name,
+        Stores.readPartition(spark, minhashDir, name, Stores.minhashSchema)
+          .join(batchIds, Seq("id"), "left_anti")
+          .unionByName(dedupIndexRows(batch, n, bands, rpb)),
+        sortBy = Seq("band", "bh"))
+    }
   }
 
   private def refreshVectorIndexMerge(batch: DataFrame, batchIds: DataFrame): Unit = {
@@ -1148,6 +1239,13 @@ final class Collection private (
       appendDoclenDelta(doclenOfBatch(batch))
     }
     refreshVectorIndexDelta(batch, batchIds)
+    // dedup index: O(batch) delta — only the batch re-shingles/re-bands
+    // (with the stored shape), the gone sidecar claims every batch id
+    dedupParams().foreach { case (n, bands, rpb) =>
+      Stores.appendDelta(spark, minhashDir, name,
+        dedupIndexRows(batch, n, bands, rpb),
+        gone = Some(batchIds), sortBy = Seq("band", "bh"))
+    }
   }
 
   /** Small-collection delete index maintenance: anti-join rewrite of
@@ -1185,6 +1283,10 @@ final class Collection private (
       Stores.overwritePartition(spark, ivfPqDir, name,
         Stores.readPartition(spark, ivfPqDir, name, Stores.ivfPqSchema)
           .join(idsDf, Seq("id"), "left_anti"), sortBy = Seq("cluster"))
+    if (Stores.partitionExists(spark, minhashDir, name))
+      Stores.overwritePartition(spark, minhashDir, name,
+        Stores.readPartition(spark, minhashDir, name, Stores.minhashSchema)
+          .join(idsDf, Seq("id"), "left_anti"), sortBy = Seq("band", "bh"))
   }
 
   /** Index maintenance for a delete: gone-only deltas (no tokenize, no
@@ -1208,6 +1310,9 @@ final class Collection private (
     if (Stores.partitionExists(spark, ivfPqDir, name))
       Stores.appendDelta(spark, ivfPqDir, name,
         emptyFrame(Stores.ivfPqSchema), gone = Some(idsDf))
+    if (Stores.partitionExists(spark, minhashDir, name))
+      Stores.appendDelta(spark, minhashDir, name,
+        emptyFrame(Stores.minhashSchema), gone = Some(idsDf))
   }
 
   // -------------------------------------------------------------------------

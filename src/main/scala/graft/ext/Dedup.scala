@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -778,6 +778,25 @@ object Dedup {
       j => xxhash64(concat_ws(",", slice(col("sig"), j * rowsPerBand + 1, lit(rowsPerBand))), j))
     prep.select(col("id"), posexplode(bandHashes).as(Seq("band", "bh")))
   }
+
+  /** (id, band, bh) banded MinHash-LSH rows for `docs` — the persisted
+    * dedup-index row shape ([[graft.api.Collection!.createDedupIndex]]).
+    * Same prep/banding pieces as [[minHashDupPairs]], so index probes and
+    * the batch operator agree bit-for-bit on bucket assignment.
+    */
+  private[graft] def bandedSignatureRows(docs: DataFrame, idCol: String,
+                                         contentCol: String, n: Int,
+                                         bands: Int, rowsPerBand: Int): DataFrame =
+    minHashBanded(minHashPrep(
+      docs.select(col(idCol).as("id"), col(contentCol).as("content")),
+      n, bands * rowsPerBand), bands, rowsPerBand)
+
+  /** Hashed shingle set of a content column at shingle size `n` — the
+    * verification payload matching [[bandedSignatureRows]]' signatures.
+    */
+  private[graft] def shingleSet(content: Column, n: Int): Column =
+    HashFunctions.hashedSet(
+      TextFunctions.shingles(TextFunctions.tokens(content), n))
 
   /** Near-duplicate pairs by word-shingle Jaccard ≥ `threshold`, found with
     * MinHash LSH and VERIFIED with the exact Jaccard over the hashed shingle

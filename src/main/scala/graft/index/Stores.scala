@@ -158,6 +158,24 @@ object Stores {
     StructField("codes", ArrayType(ByteType, containsNull = false), nullable = false)
   ))
 
+  /** minhash: one skinny row per (doc, LSH band) with the band hash over
+    * the doc's MinHash signature — the persisted dedup-screening index.
+    * The shape parameters ride along as constant columns (RLE'd to
+    * nothing) so the index is self-describing: query-time signatures MUST
+    * band identically or buckets never collide. No signature/shingle
+    * payload is stored — verification re-derives the few candidates'
+    * shingle sets from the docs store, keeping this index a fraction of
+    * corpus size (bands × 12 bytes/doc). Delta-maintained like annindex.
+    */
+  val minhashSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("band", IntegerType, nullable = false),
+    StructField("bh", LongType, nullable = false),
+    StructField("n", IntegerType, nullable = false),
+    StructField("bands", IntegerType, nullable = false),
+    StructField("rows_per_band", IntegerType, nullable = false)
+  ))
+
   def docsDir(root: String) = s"$root/docs"
   def postingsDir(root: String) = s"$root/postings"
   def collStatsDir(root: String) = s"$root/collstats"
@@ -168,6 +186,7 @@ object Stores {
   def pqDir(root: String) = s"$root/annpq"
   def pqBookDir(root: String) = s"$root/annpqbook"
   def ivfPqDir(root: String) = s"$root/annivfpq"
+  def minhashDir(root: String) = s"$root/minhash"
 
   private def partDir(storeDir: String, collection: String): String =
     s"$storeDir/collection=${java.net.URLEncoder.encode(collection, "UTF-8")}"

@@ -1166,4 +1166,59 @@ class CollectionSpec extends AnyFunSuite {
     // folded query form matches the accented content too
     assert(c.phraseSearch("cafe noir").select("id").as[String].collect().toSeq === Seq("f1"))
   }
+
+  test("persisted dedup index: probe, delta maintenance, delete, deleteAll") {
+    import TestSpark.spark.implicits._
+    import graft.index.Stores
+    val root = freshRoot()
+    val c = coll(root)
+    // 20 distinct tokens; the variant changes only the LAST word, touching
+    // exactly one trigram shingle: jaccard = 17/19 ≈ 0.895
+    val words = (1 to 20).map(i => s"tok$i")
+    val docA = words.mkString(" ")
+    val docB = (words.init :+ "other").mkString(" ")
+    val distinctDoc = (1 to 20).map(i => s"zed$i").mkString(" ")
+    intercept[IllegalStateException] { c.nearDuplicates(Seq("q" -> docA)) }
+    c.add(Seq(docA, distinctDoc), ids = Some(Seq("a", "z")))
+    c.createDedupIndex()
+    assert(c.dedupIndex() === Some((3, 32, 4)))
+    // probe = exact copy → jaccard 1.0 on a; near-variant → ~0.895 on a
+    val hits = c.nearDuplicates(Seq("q1" -> docA, "q2" -> docB), threshold = 0.8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(hits.map(t => (t._1, t._2)).toSet === Set(("q1", "a"), ("q2", "a")))
+    assert(hits.find(_._1 == "q1").get._3 === 1.0)
+    assert(math.abs(hits.find(_._2 == "a").filter(_._1 == "q2").map(_._3).getOrElse(
+      hits.find(_._1 == "q2").get._3) - 17.0 / 19.0) < 1e-9)
+    // DELTA maintenance: force the delta path, add a near-dup of docA
+    spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+    spark.conf.set("spark.graft.compact.auto", "false")
+    c.add(Seq(docB), ids = Some(Seq("b")))
+    assert(Stores.deltaCount(spark, Stores.minhashDir(root), "test") > 0)
+    val hits2 = c.nearDuplicates(Seq("q" -> docA), threshold = 0.8)
+      .select("id").as[String].collect().toSet
+    assert(hits2 === Set("a", "b")) // found via the delta, no rebuild
+    // compact folds the delta; probe result unchanged
+    c.compact()
+    assert(Stores.deltaCount(spark, Stores.minhashDir(root), "test") === 0)
+    assert(c.nearDuplicates(Seq("q" -> docA), threshold = 0.8).count() === 2)
+    // replacing a doc's content re-bands it (gone sidecar claims the id)
+    c.update(Seq("b"), Seq(distinctDoc))
+    assert(c.nearDuplicates(Seq("q" -> docA), threshold = 0.8)
+      .select("id").as[String].collect().toSet === Set("a"))
+    // delete drops the doc from the index
+    c.delete(Seq("a"))
+    assert(c.nearDuplicates(Seq("q" -> docA), threshold = 0.8).count() === 0)
+    spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+    spark.conf.set("spark.graft.compact.auto", "true")
+    // MERGE path maintenance (small partition rewrite) also re-bands
+    c.add(Seq(docA), ids = Some(Seq("a2")))
+    val probe = c.nearDuplicates(Seq("q" -> docA), threshold = 0.8)
+    assert(probe.select("id").as[String].collect().toSet === Set("a2"))
+    // probe plan: the banded query rows broadcast against the skinny store
+    // (the corpus is never re-signatured)
+    assert(probe.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    c.deleteAll()
+    assert(c.dedupIndex().isEmpty)
+    assert(!Stores.partitionExists(spark, Stores.minhashDir(root), "test"))
+  }
 }
