@@ -920,25 +920,43 @@ final class Collection private (
     * docs' content re-shingles for verification.
     */
   def nearDuplicates(queries: Seq[(String, String)],
-                     threshold: Double = 0.8): DataFrame = {
+                     threshold: Double = 0.8): DataFrame =
+    nearDupsFrom(spark.createDataset(queries).toDF("qid", "content"),
+      threshold, broadcastProbes = true)
+
+  /** [[nearDuplicates]] with a DataFrame probe set `(qid, content)` — the
+    * crawl-shard screening arm: probes band DISTRIBUTED (no driver
+    * round-trip, no broadcast assumption), so screening a whole shard
+    * against the corpus is one banding scan of the shard plus two joins
+    * against the skinny store (AQE picks the join strategies). For
+    * driver-sized probe sets prefer the Seq overload, whose explicit
+    * broadcast skips the exchange.
+    */
+  def nearDuplicatesDf(probes: DataFrame,
+                       threshold: Double = 0.8): DataFrame =
+    nearDupsFrom(probes.select($"qid".cast("string").as("qid"), $"content"),
+      threshold, broadcastProbes = false)
+
+  private def nearDupsFrom(probes: DataFrame, threshold: Double,
+                           broadcastProbes: Boolean): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "0 < threshold <= 1")
     val (n, bands, rpb) = dedupParams().getOrElse(throw new IllegalStateException(
       s"Collection '$name' has no dedup index; call createDedupIndex() first."))
-    val probes = spark.createDataset(queries).toDF("id", "content")
+    def side(df: DataFrame) = if (broadcastProbes) broadcast(df) else df
     val qBanded = graft.ext.Dedup
-      .bandedSignatureRows(probes, "id", "content", n, bands, rpb)
+      .bandedSignatureRows(probes, "qid", "content", n, bands, rpb)
       .withColumnRenamed("id", "qid")
     val store = Stores.readPartition(spark, minhashDir, name, Stores.minhashSchema)
-    val cands = store.join(broadcast(qBanded), Seq("band", "bh"))
+    val cands = store.join(side(qBanded), Seq("band", "bh"))
       .select($"qid", $"id").distinct()
-    val qSets = probes.select($"id".as("qid"),
+    val qSets = probes.select($"qid",
       graft.ext.Dedup.shingleSet($"content", n).as("qshh"))
     // shingle AFTER the candidate join: the expensive shingleSet sits in a
     // Project above the join (no rule pushes it below), so only candidate
     // rows — not the whole corpus — pay the re-shingle
     cands
       .join(docs().select($"id", $"content"), Seq("id"))
-      .join(broadcast(qSets), Seq("qid"))
+      .join(side(qSets), Seq("qid"))
       .select($"qid", $"id", graft.functions.HashFunctions.sortedJaccard(
         $"qshh", graft.ext.Dedup.shingleSet($"content", n)).as("jaccard"))
       .filter($"jaccard" >= threshold)

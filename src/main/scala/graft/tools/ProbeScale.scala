@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.api.Collection
-import graft.ext.{Ann, Dedup}
+import graft.ext.{Ann, Dedup, Layout, TextStats}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -321,6 +321,49 @@ object ProbeScale {
       val removed = time("collection_dedup_sec")(c.dedup(threshold = 0.8))
       println(s"PROBE   dedup removed = $removed")
       metrics += ("dedup_removed" -> removed)
+      writeOut(); return
+    }
+    // `r12ops` = ingest + the x117–x120 wave at corpus size: the fused
+    // signal sweep (ONE scan) timed against its four composed arms run
+    // separately (the 100 TB claim is exactly this ratio), mojibake
+    // corrupt+repair over the full corpus, the persisted dedup index
+    // (build + a 64-probe screen whose cost must not scale with corpus
+    // size), and the bucketed co-located join timed against the same
+    // join unbucketed (zero-exchange vs two-sided shuffle).
+    if (mode.contains("r12ops")) {
+      time("signal_sweep_sec")(println(
+        s"PROBE   kept = ${TextStats.signalSweep(bigDocs).filter($"keep").count()}"))
+      time("signal_arms_separate_sec") {
+        val g = TextStats.gopherFilter(bigDocs).filter($"keep").count()
+        val q = TextStats.quality(bigDocs).agg(avg($"quality")).head().getDouble(0)
+        val l = TextStats.langId(bigDocs).filter($"pred_lang" === "en").count()
+        val t = TextStats.tokenCounts(bigDocs).agg(sum($"n_tokens")).head().getLong(0)
+        println(s"PROBE   separate arms: gopher=$g q=$q en=$l toks=$t")
+      }
+      time("mojibake_repair_sec") {
+        val corrupt = TextStats.MojibakeTable
+          .foldLeft($"content": org.apache.spark.sql.Column) {
+            case (a, (m, ch)) => replace(a, lit(ch), lit(m))
+          }
+        println(s"PROBE   repaired = ${TextStats.fixMojibake(
+          bigDocs.select($"id", corrupt.as("content"))).filter($"had_mojibake").count()}")
+      }
+      time("dedup_index_build_sec")(c.createDedupIndex())
+      val probes = bigDocs.select($"id", $"content").limit(64).collect()
+        .map(r => ("p" + r.getString(0)) -> r.getString(1)).toSeq
+      time("dedup_probe_64_sec")(println(
+        s"PROBE   hits = ${c.nearDuplicates(probes, 0.8).count()}"))
+      val lay = java.nio.file.Files.createTempDirectory("graft-lay-").toString
+      val left = bigDocs.select($"id", length($"content").as("len"))
+      val right = bigDocs.select($"id", (length($"content") % 7).as("grp"))
+      time("bucketed_write_sec") {
+        Layout.writeBucketed(left, "probe_l", lay + "/l", Seq("id"), 32)
+        Layout.writeBucketed(right, "probe_r", lay + "/r", Seq("id"), 32)
+      }
+      time("bucketed_join_sec")(println(s"PROBE   rows = ${
+        Layout.coLocatedJoin(spark, "probe_l", "probe_r", Seq("id")).count()}"))
+      time("shuffle_join_sec")(println(
+        s"PROBE   rows = ${left.join(right, Seq("id")).count()}"))
       writeOut(); return
     }
     // `newops` = ingest + the round-6 training-pipeline operators only:

@@ -1217,6 +1217,12 @@ class CollectionSpec extends AnyFunSuite {
     // probe plan: the banded query rows broadcast against the skinny store
     // (the corpus is never re-signatured)
     assert(probe.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // DataFrame probe arm (the shard-screening path) agrees with the Seq arm
+    val dfHits = c.nearDuplicatesDf(
+        Seq("q" -> docA, "r" -> distinctDoc).toDF("qid", "content"), 0.8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    // b was updated to distinctDoc above, so probe r matches both z and b
+    assert(dfHits === Set(("q", "a2", 1.0), ("r", "z", 1.0), ("r", "b", 1.0)))
     c.deleteAll()
     assert(c.dedupIndex().isEmpty)
     assert(!Stores.partitionExists(spark, Stores.minhashDir(root), "test"))
