@@ -1539,6 +1539,40 @@ object EntryQueries {
         .select(col("qid"), col("id"), round(col("jaccard"), 6).as("jaccard"))
     }, Some(dedupIndexOracle(0.8))),
 
+    // X121: continuous screening through the persisted dedup index — the
+    // stream result over two micro-batches must equal the one-shot batch
+    // probe of the same texts (x120 pins the values; this pins the
+    // stream ≡ batch contract, like x80 does for streamDedupAgainst).
+    ("x121_stream_screen", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("n"),
+          col("doc_id").cast("string").as("id"), col("text").as("content"))
+      val root = tempDirCleanedOnExit("graft-x121-")
+      val c = Collection(s, root, "scr")
+      c.addDf(d.filter(col("n") % 3 === 0).select("id", "content"))
+      c.createDedupIndex()
+      implicit val sqlCtx = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val got = scala.collection.mutable.Set[(String, String)]()
+      val q = c.streamScreen(mem.toDF().toDF("n", "qid", "content")) { out =>
+        got ++= out.select("qid", "id").collect()
+          .map(r => (r.getString(0), r.getString(1)))
+      }.start()
+      val rows = d.filter(col("n") % 5 === 0).collect()
+        .map(r => (r.getLong(0), "q" + r.getString(1), r.getString(2)))
+      try {
+        mem.addData(rows.filter(_._1 % 2 == 0).toSeq: _*); q.processAllAvailable()
+        mem.addData(rows.filter(_._1 % 2 != 0).toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      val batch = c.nearDuplicates(rows.map(r => r._2 -> r._3).toSeq)
+        .select("qid", "id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      Seq(("stream_equals_batch", got.toSet == batch && got.nonEmpty))
+        .toDF("metric", "ok")
+    }, Some("SELECT 'stream_equals_batch' AS metric, true AS ok")),
+
     ("x8_text_langid", (s: SparkSession, sfDir: String) =>
       TextStats.langId(docsFrame(s, sfDir)).select("id", "pred_lang"),
       Some(langIdOracle)),

@@ -370,6 +370,33 @@ final class Collection private (
     }
   }
 
+  /** Continuous near-duplicate SCREENING: a stream of (qid, content) rows
+    * — a live crawl — checked per micro-batch against this collection
+    * through the PERSISTED dedup index ([[nearDuplicatesDf]]): the batch
+    * bands only its own rows and probes the skinny store, so per-batch
+    * cost is O(batch + candidates), independent of corpus size. That is
+    * the difference from [[graft.ext.Dedup.streamDedupAgainst]], which
+    * re-signatures the whole reference corpus every micro-batch. Because
+    * each batch re-reads the store, the screen tracks live writes: docs
+    * added between batches are screened against from the next batch on.
+    * One sink call per micro-batch on the verified (qid, id, jaccard)
+    * frame. Requires [[createDedupIndex]] (checked at wiring time, so a
+    * missing index fails the `start()` site, not the Nth batch).
+    */
+  def streamScreen(stream: DataFrame, threshold: Double = 0.8,
+                   qidCol: String = "qid", contentCol: String = "content")(
+      sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    require(stream.isStreaming, "streamScreen expects a streaming DataFrame")
+    dedupParams().getOrElse(throw new IllegalStateException(
+      s"Collection '$name' has no dedup index; call createDedupIndex() first."))
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty)
+        sink(nearDuplicatesDf(batch.select(col(qidCol).as("qid"),
+          col(contentCol).as("content")), threshold))
+    }
+  }
+
   /** `update` = `add` with mandatory ids (reference core.py:173-182). */
   def update(ids: Seq[String], contents: Seq[String],
              metadatas: Option[Seq[Map[String, String]]] = None): Seq[String] = {

@@ -337,7 +337,7 @@ object ProbeScale {
         val g = TextStats.gopherFilter(bigDocs).filter($"keep").count()
         val q = TextStats.quality(bigDocs).agg(avg($"quality")).head().getDouble(0)
         val l = TextStats.langId(bigDocs).filter($"pred_lang" === "en").count()
-        val t = TextStats.tokenCounts(bigDocs).agg(sum($"n_tokens")).head().getLong(0)
+        val t = TextStats.tokenCounts(bigDocs).agg(sum($"n_ws")).head().getLong(0)
         println(s"PROBE   separate arms: gopher=$g q=$q en=$l toks=$t")
       }
       time("mojibake_repair_sec") {

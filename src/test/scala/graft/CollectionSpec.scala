@@ -1227,4 +1227,33 @@ class CollectionSpec extends AnyFunSuite {
     assert(c.dedupIndex().isEmpty)
     assert(!Stores.partitionExists(spark, Stores.minhashDir(root), "test"))
   }
+
+  test("streamScreen: per-batch screening from the persisted index, tracks live writes") {
+    import TestSpark.spark.implicits._
+    val root = freshRoot()
+    val c = coll(root)
+    val docA = (1 to 20).map(i => s"scr$i").mkString(" ")
+    val docB = (1 to 20).map(i => s"oth$i").mkString(" ")
+    c.add(Seq(docA), ids = Some(Seq("a")))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    // missing index fails at wiring time, not at the Nth batch
+    intercept[IllegalStateException] {
+      c.streamScreen(mem.toDF().toDF("qid", "content")) { _ => () }
+    }
+    c.createDedupIndex()
+    val got = scala.collection.mutable.Set[(String, String)]()
+    val q = c.streamScreen(mem.toDF().toDF("qid", "content")) { out =>
+      got ++= out.select("qid", "id").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+    }.start()
+    try {
+      mem.addData(("q1", docA), ("q2", docB)); q.processAllAvailable()
+      assert(got.toSet === Set(("q1", "a")))
+      c.add(Seq(docB), ids = Some(Seq("b"))) // live write between batches
+      mem.addData(("q3", docB)); q.processAllAvailable()
+      assert(got.toSet === Set(("q1", "a"), ("q3", "b")))
+    } finally q.stop()
+  }
 }
