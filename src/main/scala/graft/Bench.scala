@@ -94,6 +94,23 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes("UTF-8"))
     catch { case _: Throwable => () } // read-only cwd must not fail the bench
+    // The driver's per-round artifact keeps only a ~2 KB TAIL of stdout, so
+    // the full line above has been decapitated ("parsed": null) four rounds
+    // running. Print a SHORT, self-sufficient summary line LAST: it parses
+    // as the driver's one-JSON-line contract (metric/value/unit/queries/sf)
+    // but its `queries` map holds only the reference-surface headliners
+    // (q*/s*/a* keys — ~30 entries, well under 1 KB with the envelope), so
+    // the LAST line survives any tail capture; the full per-entry map is in
+    // `full_map_file` (committed), fingerprinted by `full_map_sha256`.
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(json.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val headline = results.filter { case (k, _) =>
+      k.startsWith("q") || k.startsWith("s") || k.startsWith("a") }
+      .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$headline,"n_entries":${results.size},"n_errors":${errors.size},""" +
+      s""""calib_sec":$calib,"sf":"${esc(sfDir)}",""" +
+      s""""full_map_file":"$outFile","full_map_sha256":"$digest"}""")
     spark.stop()
   }
 }
