@@ -56,6 +56,8 @@ final class Collection private (
   private val pqBookDir = Stores.pqBookDir(root)
   private val ivfPqDir = Stores.ivfPqDir(root)
   private val minhashDir = Stores.minhashDir(root)
+  private val impactDir = Stores.impactDir(root)
+  private val impactMetaDir = Stores.impactMetaDir(root)
 
   /** This collection's documents (partition-pruned read). */
   def docs(): DataFrame = Stores.readPartition(spark, docsDir, name, Stores.docsSchema)
@@ -504,7 +506,7 @@ final class Collection private (
     }
     Stores.compactPartition(spark, docsDir, name, Stores.docsSchema)
     Stores.compactPartition(spark, postingsDir, name, Stores.postingsSchema,
-      sortBy = Seq("term"))
+      sortBy = Seq("term"), rangeBy = Seq("term"))
     Stores.compactPartition(spark, annDir, name, Stores.annSchema,
       sortBy = Seq("table", "bucket"))
     Stores.compactPartition(spark, doclenDir, name, Stores.doclenSchema)
@@ -555,10 +557,20 @@ final class Collection private (
       sortBy = Seq("cluster"))
     Stores.compactPartition(spark, minhashDir, name, Stores.minhashSchema,
       sortBy = Seq("band", "bh"))
+    // impact sidecar: re-derive rows + meta from the just-folded postings —
+    // re-truncates the delta-appended rows back to top-cap per term and
+    // heals a dropped/stale meta (the update/delete invalidation path). A
+    // collection emptied of postings drops the index, like the IVF branch.
+    impactParams().foreach { cap =>
+      if (postings().limit(1).isEmpty) {
+        Stores.dropPartition(spark, impactDir, name)
+        Stores.dropPartition(spark, impactMetaDir, name)
+      } else rebuildImpact(cap, postings())
+    }
     // sweep crash residue while we're off the ingest path anyway: orphaned
     // .tmp-* always, .old-* (crash-recovery copies) past their grace window
     Seq(docsDir, postingsDir, statsDir, annDir, doclenDir, ivfDir, ivfCentDir,
-        pqDir, pqBookDir, ivfPqDir, minhashDir)
+        pqDir, pqBookDir, ivfPqDir, minhashDir, impactDir, impactMetaDir)
       .foreach(Stores.sweep(spark, _))
   }
 
@@ -581,7 +593,8 @@ final class Collection private (
     // overwrite-only and cheap (one agg over the skinny doclen store)
     if (Stores.partitionExists(spark, doclenDir, name)) writeStatsFrom(doclen())
     val swept = Seq(docsDir, postingsDir, statsDir, annDir, doclenDir,
-        ivfDir, ivfCentDir, pqDir, pqBookDir, ivfPqDir, minhashDir)
+        ivfDir, ivfCentDir, pqDir, pqBookDir, ivfPqDir, minhashDir,
+        impactDir, impactMetaDir)
       .map(Stores.sweep(spark, _, oldGraceMs = 0L, tmpGraceMs = 0L)).sum
     val s = collStats().head()
     Seq((s.getLong(0), s.getDouble(1),
@@ -618,6 +631,8 @@ final class Collection private (
     Stores.dropPartition(spark, pqBookDir, name)
     Stores.dropPartition(spark, ivfPqDir, name)
     Stores.dropPartition(spark, minhashDir, name)
+    Stores.dropPartition(spark, impactDir, name)
+    Stores.dropPartition(spark, impactMetaDir, name)
     Stores.dropManifest(spark, root, name) // a recreate may change flags
     // Retire the ANN-rewrite registration with the store it points at. The
     // Deferred guard would decline anyway (no ann partition), but a retained
@@ -989,6 +1004,128 @@ final class Collection private (
       .filter($"jaccard" >= threshold)
   }
 
+  // -------------------------------------------------------------------------
+  // Persisted impact-ordered postings: per term, the top-`cap` postings by
+  // tf plus the term's EXACT df — the ranked-FTS early-termination sidecar
+  // (FTS5 gets this pruning from its own internals, core.py:408-414; the
+  // full Bm25 path scores every posting of every query leaf). Serving is
+  // CERTIFIED-exact: the candidate top-k is returned only when its k-th
+  // score provably beats every non-candidate (see graft.exec.ImpactTopK);
+  // anything unprovable falls back to full scoring. Pure-insert batches
+  // maintain df incrementally in O(batch); updates/deletes invalidate the
+  // meta (fallback until compact()/maintain() re-derives it).
+  // -------------------------------------------------------------------------
+
+  /** Build (or rebuild) the impact-ordered postings sidecar: per term, the
+    * `cap` highest-tf postings plus exact df. Requires FTS and a non-empty
+    * index (an empty collection has nothing to rank; call after ingest).
+    * `cap` trades sidecar size for certificate strength — it must comfortably
+    * exceed the k you serve (top-10 serving with cap 128 certifies unless
+    * the corpus is pathologically tf-flat).
+    */
+  def createImpactIndex(cap: Int = 128): Unit = {
+    require(useFts, s"Collection '$name' does not support full-text search.")
+    require(cap >= 1, "cap >= 1")
+    require(!postings().limit(1).isEmpty,
+      s"Collection '$name' has no postings to index; ingest before createImpactIndex().")
+    rebuildImpact(cap, postings())
+  }
+
+  /** The stored cap of the impact sidecar, if one was built. */
+  def impactIndex(): Option[Int] = impactParams()
+
+  /** Certified-exact ranked top-k search — the serving-path API: documents
+    * matching `query` (reference grammar, exact terms only for the fast
+    * path), ordered rank DESC / id ASC, rows `offset+1 … offset+k`, shaped
+    * (id, content, metadata, rank) like [[queryFrame]]. With a valid impact
+    * sidecar and a provable certificate the answer touches O(cap × terms)
+    * sidecar rows (single-term queries never read the postings store at
+    * all) plus a k-row docs join; every other case — prefix/wildcard or
+    * mixed-boolean queries, invalidated meta, failed certificate — is the
+    * byte-identical full path [[queryFrame]](query, k, offset). Results
+    * are ALWAYS exact; the sidecar only changes the cost.
+    */
+  def searchTopK(query: String, k: Int, offset: Int = 0): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(offset >= 0, "offset >= 0")
+    impactCertifiedTopK(query, k, offset).getOrElse(
+      queryFrame(query, limit = k, offset = offset))
+  }
+
+  /** The certified arm of [[searchTopK]]: Some(frame) only when the impact
+    * sidecar served (and certified) the answer — exposed for tests and
+    * probes that pin WHICH path ran; callers use [[searchTopK]].
+    */
+  private[graft] def impactCertifiedTopK(query: String, k: Int,
+                                         offset: Int): Option[DataFrame] = {
+    if (!useFts || impactParams().isEmpty ||
+        !Stores.partitionExists(spark, impactMetaDir, name) ||
+        !impactWatermark().contains(postingsSeg())) return None
+    val folded = if (foldAccents) graft.functions.StringFold.fold(query) else query
+    for {
+      ast <- QueryParser.parse(folded)
+      (isAnd, terms) <- Bm25.flatExactTerms(ast)
+      top <- graft.exec.ImpactTopK.certifiedTopK(
+        Stores.readPartition(spark, impactDir, name, Stores.impactSchema),
+        impactMetaRows(), postings(), collStats(), terms, isAnd, k + offset)
+    } yield {
+      val page = top.drop(offset)
+      if (page.isEmpty)
+        docs().limit(0)
+          .select($"id", $"content", $"metadata", lit(0.0).as("rank"))
+      else {
+        val hits = page.toDF("id", "rank")
+        // k-row broadcast join — the docs side is touched for k ids, not
+        // the match set (the full path joins EVERY matching id before its
+        // top-k cut)
+        docs().join(broadcast(hits), Seq("id"))
+          .select($"id", $"content", $"metadata", $"rank")
+          .orderBy($"rank".desc, $"id".asc)
+      }
+    }
+  }
+
+  /** Re-derive rows + meta from `from` (the current postings). Rows first,
+    * meta (the serving gate) LAST: any crash window leaves the sidecar
+    * unservable — full-path fallback — never wrong.
+    */
+  private def rebuildImpact(cap: Int, from: DataFrame): Unit = {
+    val r = graft.exec.ImpactTopK.ranked(from).persist()
+    try {
+      Stores.overwritePartition(spark, impactDir, name,
+        graft.exec.ImpactTopK.rowsFromRanked(r, cap),
+        sortBy = Seq("term"), rangeBy = Seq("term"))
+      Stores.overwritePartition(spark, impactMetaDir, name,
+        graft.exec.ImpactTopK.metaFromRanked(r, cap)
+          .unionByName(impactWatermarkRow(postingsSeg())),
+        sortBy = Seq("id"))
+    } finally r.unpersist()
+  }
+
+  /** Stored cap (rows-store constant column), None without a sidecar. */
+  private def impactParams(): Option[Int] =
+    if (!Stores.partitionExists(spark, impactDir, name)) None
+    else Stores.readPartition(spark, impactDir, name, Stores.impactSchema)
+      .select($"cap").head(1).headOption.map(_.getInt(0))
+
+  private def impactMetaRows(): DataFrame =
+    Stores.readPartition(spark, impactMetaDir, name, Stores.impactMetaSchema)
+
+  /** The postings segment ordinal the meta claims to reflect. */
+  private def impactWatermark(): Option[Long] =
+    if (!Stores.partitionExists(spark, impactMetaDir, name)) None
+    else impactMetaRows()
+      .filter($"id" === graft.exec.ImpactTopK.WatermarkKey)
+      .select($"df").head(1).headOption.map(_.getLong(0))
+
+  /** The postings store's newest segment ordinal (0 = flat base). */
+  private def postingsSeg(): Long =
+    Stores.deltaOrdinals(spark, postingsDir, name).lastOption.getOrElse(0L)
+
+  private def impactWatermarkRow(seg: Long): DataFrame =
+    Seq((graft.exec.ImpactTopK.WatermarkKey, seg, 0L))
+      .toDF("id", "df", "bound_tf")
+
   /** Approximate top-k neighbors of each query vector via the PERSISTED
     * index — probe cost is the probed buckets' row groups plus the candidate
     * rerank, independent of corpus size. Output (qid, rn, id, sim), like
@@ -1162,8 +1299,10 @@ final class Collection private (
     if (useFts) {
       val fresh = PostingsIndex.build(source, foldAccents).persist()
       try {
-        Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))
+        Stores.overwritePartition(spark, postingsDir, name, fresh,
+          sortBy = Seq("term"), rangeBy = Seq("term"))
         writeDoclenFull(doclenOfPostings(source.select($"id"), fresh))
+        impactParams().foreach(rebuildImpact(_, fresh))
       } finally fresh.unpersist()
     } else {
       // no postings to derive from — tokenize (still one pass, only for
@@ -1191,9 +1330,13 @@ final class Collection private (
       val fresh = postings().join(batchIds, Seq("id"), "left_anti")
         .unionByName(freshBatch).persist()
       try {
-        Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))
+        Stores.overwritePartition(spark, postingsDir, name, fresh,
+          sortBy = Seq("term"), rangeBy = Seq("term"))
         writeDoclenFull(doclen().join(batchIds, Seq("id"), "left_anti")
           .unionByName(doclenOfPostings(batchIds, freshBatch)))
+        // below the direct threshold a full sidecar re-derive is the cheap
+        // move (exact df either way, no staleness window)
+        impactParams().foreach(rebuildImpact(_, fresh))
       } finally { fresh.unpersist(); freshBatch.unpersist() }
     } else {
       writeDoclenFull(doclen().join(batchIds, Seq("id"), "left_anti")
@@ -1269,6 +1412,20 @@ final class Collection private (
     */
   private def refreshIndexesDelta(batch: DataFrame): Unit = {
     val batchIds = batch.select("id")
+    // Impact-sidecar eligibility, probed BEFORE the postings/doclen deltas
+    // land: the batch must be a PURE INSERT (no batch id pre-exists — the
+    // skinny doclen store is the cheapest id inventory; an update's
+    // vanished terms are unknowable in O(batch), so df can't stay exact)
+    // and the stored watermark must match the CURRENT postings segment
+    // (a mismatch marks an earlier crash window — don't compound it).
+    // Ineligible batches DROP the meta store: serving falls back to full
+    // scoring until compact()/maintain() re-derives it.
+    val impactEligible: Option[Int] = impactParams().filter { _ =>
+      Stores.partitionExists(spark, impactMetaDir, name) &&
+        impactWatermark().contains(postingsSeg()) &&
+        (!Stores.partitionExists(spark, doclenDir, name) ||
+          doclen().join(batchIds, Seq("id"), "left_semi").limit(1).isEmpty)
+    }
     if (useFts) {
       val freshBatch = PostingsIndex.build(batch, foldAccents).persist()
       try {
@@ -1279,6 +1436,38 @@ final class Collection private (
         // the SKINNY doclen store — never the postings store, whose
         // resolution at 1M docs cost ~10 s per micro-batch
         appendDoclenDelta(doclenOfPostings(batchIds, freshBatch))
+        impactParams().foreach { cap =>
+          impactEligible match {
+            case Some(_) =>
+              // O(batch) sidecar delta: ALL the batch's postings rows go in
+              // (keeping the tf-bound invariant — nothing new is ever
+              // truncated out), ids claimed like the postings delta …
+              Stores.appendDelta(spark, impactDir, name,
+                freshBatch.select($"term", $"id", $"tf", $"dl")
+                  .withColumn("cap", lit(cap)),
+                gone = Some(batchIds), sortBy = Seq("term"))
+              // … then per-term df increments (a pure insert adds exactly
+              // its per-term doc counts; bounds are untouched — additions
+              // live in the sidecar, so the build-time bound still covers
+              // everything outside it) + the advanced watermark, LAST:
+              // a crash before this line leaves the watermark behind the
+              // postings segment, which reads as "fall back", never as
+              // stale idf served silently
+              val adds = freshBatch.groupBy($"term")
+                .agg(org.apache.spark.sql.functions.count(lit(1)).as("__add"))
+                .select($"term".as("id"), $"__add")
+              val old = Stores.readPartition(spark, impactMetaDir, name,
+                Stores.impactMetaSchema)
+              Stores.appendDelta(spark, impactMetaDir, name,
+                adds.join(old, Seq("id"), "left")
+                  .select($"id", (coalesce($"df", lit(0L)) + $"__add").as("df"),
+                    coalesce($"bound_tf", lit(0L)).as("bound_tf"))
+                  .unionByName(impactWatermarkRow(postingsSeg())),
+                sortBy = Seq("id"))
+            case None =>
+              Stores.dropPartition(spark, impactMetaDir, name)
+          }
+        }
       } finally freshBatch.unpersist()
     } else {
       appendDoclenDelta(doclenOfBatch(batch))
@@ -1301,8 +1490,10 @@ final class Collection private (
     if (useFts) {
       val fresh = postings().join(idsDf, Seq("id"), "left_anti").persist()
       try {
-        Stores.overwritePartition(spark, postingsDir, name, fresh, sortBy = Seq("term"))
+        Stores.overwritePartition(spark, postingsDir, name, fresh,
+          sortBy = Seq("term"), rangeBy = Seq("term"))
         writeDoclenFull(doclen().join(idsDf, Seq("id"), "left_anti"))
+        impactParams().foreach(rebuildImpact(_, fresh))
       } finally fresh.unpersist()
     } else {
       writeDoclenFull(doclen().join(idsDf, Seq("id"), "left_anti"))
@@ -1341,6 +1532,13 @@ final class Collection private (
     if (useFts) {
       Stores.appendDelta(spark, postingsDir, name,
         emptyFrame(Stores.postingsSchema), gone = Some(idsDf))
+      // impact sidecar: a delete's vanished terms are unknowable in
+      // O(batch), so the exact-df meta can't be maintained — drop it
+      // (serving falls back to full scoring) and leave the rows store
+      // for compact()'s re-derive. No gone-delta on the rows store: with
+      // the meta gone nothing reads it until the rebuild replaces it.
+      if (Stores.partitionExists(spark, impactMetaDir, name))
+        Stores.dropPartition(spark, impactMetaDir, name)
     }
     appendDoclenDelta(emptyFrame(Stores.doclenSchema), gone = Some(idsDf))
     if (Stores.partitionExists(spark, annDir, name))

@@ -61,6 +61,16 @@ object Bm25 {
       .agg(sum(col("__s")).as("rank"))
   }
 
+  /** Some((isAnd, distinct terms)) iff the query is flat AND every leaf is
+    * an exact Term — the shape [[ImpactTopK]] can serve from the impact
+    * sidecar (prefix/wildcard leaves have no per-term df/bound rows).
+    */
+  private[graft] def flatExactTerms(q: BoolQuery): Option[(Boolean, Seq[String])] =
+    flatShape(q).flatMap { case (isAnd, leaves) =>
+      val ts = leaves.collect { case BoolQuery.Term(t) => t }
+      if (ts.size == leaves.size) Some((isAnd, ts.distinct)) else None
+    }
+
   /** Some((isAnd, leaves)) iff the boolean tree is uniform — leaves only,
     * all-AND, or all-OR. A single leaf flattens as AND of one.
     */

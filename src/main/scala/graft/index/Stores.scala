@@ -176,7 +176,44 @@ object Stores {
     StructField("rows_per_band", IntegerType, nullable = false)
   ))
 
+  /** impact: per term, the top-`cap` postings by tf (tf is the BM25-impact
+    * upper bound at fixed df) — the ranked-FTS early-termination sidecar.
+    * `cap` rides along as a constant column (RLE'd to nothing) so the index
+    * is self-describing. Range-clustered + sorted by term so a query's
+    * literal terms prune files, not just row groups. Delta-maintained by id
+    * claims, with every upsert batch appending ALL its postings rows — that
+    * keeps the serving invariant that a resolved posting ABSENT from this
+    * store has tf <= the term's build-time bound.
+    */
+  val impactSchema: StructType = StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("id", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false),
+    StructField("dl", LongType, nullable = false),
+    StructField("cap", IntegerType, nullable = false)
+  ))
+
+  /** impactmeta: one row per term — EXACT document frequency plus the tf
+    * bound for postings truncated out of the impact store (0 = the term is
+    * fully stored) — and one watermark row (id = [[graft.exec.ImpactTopK
+    * .WatermarkKey]], df = postings segment ordinal) tying the meta to the
+    * postings state it reflects: a mismatch (crash window between the
+    * postings delta and this store's) makes serving fall back to full
+    * scoring instead of silently serving stale idf. Keyed by `id` = the
+    * term, so the segment layout's last-wins-by-id resolution gives
+    * last-wins-per-term meta updates. Updates/deletes DROP this partition
+    * (their vanished terms are unknowable in O(batch)); compact()
+    * re-derives it.
+    */
+  val impactMetaSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("df", LongType, nullable = false),
+    StructField("bound_tf", LongType, nullable = false)
+  ))
+
   def docsDir(root: String) = s"$root/docs"
+  def impactDir(root: String) = s"$root/impact"
+  def impactMetaDir(root: String) = s"$root/impactmeta"
   def postingsDir(root: String) = s"$root/postings"
   def collStatsDir(root: String) = s"$root/collstats"
   def annDir(root: String) = s"$root/annindex"
@@ -347,11 +384,12 @@ object Stores {
     * runs; the swap then drops base and deltas together.
     */
   def compactPartition(spark: SparkSession, storeDir: String, collection: String,
-                       schema: StructType, sortBy: Seq[String] = Nil): Unit = {
+                       schema: StructType, sortBy: Seq[String] = Nil,
+                       rangeBy: Seq[String] = Nil): Unit = {
     val dir = partDir(storeDir, collection)
     if (!exists(spark, dir) || deltas(spark, dir).isEmpty) return
     overwritePartition(spark, storeDir, collection,
-      readPartition(spark, storeDir, collection, schema), sortBy)
+      readPartition(spark, storeDir, collection, schema), sortBy, rangeBy)
   }
 
   /** Overwrite one collection's partition: write to a temp dir under the same
@@ -364,11 +402,23 @@ object Stores {
     * in the directory name).
     */
   def overwritePartition(spark: SparkSession, storeDir: String, collection: String,
-                         df: DataFrame, sortBy: Seq[String] = Nil): Unit = {
+                         df: DataFrame, sortBy: Seq[String] = Nil,
+                         rangeBy: Seq[String] = Nil): Unit = {
     val uuid = java.util.UUID.randomUUID().toString
     val tmp = new Path(s"$storeDir/.tmp-$uuid")
     val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = if (sortBy.nonEmpty) df.sortWithinPartitions(sortBy.head, sortBy.tail: _*) else df
+    // rangeBy makes the key ranges DISJOINT ACROSS FILES (one range-shuffle
+    // per full rewrite), so a literal-key read skips whole files after the
+    // footer, not just row groups within every file — at 100 TB the
+    // difference between opening thousands of postings files for one term
+    // and opening ~1 (the r12 verdict's postings-layout item)
+    val ranged =
+      if (rangeBy.nonEmpty)
+        df.repartitionByRange(rangeBy.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    val out =
+      if (sortBy.nonEmpty) ranged.sortWithinPartitions(sortBy.head, sortBy.tail: _*)
+      else ranged
     try out.write.mode("overwrite").parquet(tmp.toString)
     catch { case e: Throwable => fs.delete(tmp, true); throw e }
     swapInto(fs, storeDir, collection, tmp, uuid)

@@ -1,0 +1,185 @@
+package graft
+
+import graft.api.Collection
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The impact-ordered postings sidecar (ranked-FTS early termination):
+  * certified-exact serving, full-path fallback, and the O(batch) insert /
+  * invalidate-on-update maintenance contract.
+  */
+class ImpactSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-impact-").toString
+
+  /** Corpus with a REALISTIC (zipf-ish) tf profile — what the certificate
+    * is designed for: "common" appears once in most docs (so the sidecar
+    * truncation bound is ub(tf=1), well under saturation) and ~50 times in
+    * every 13th doc (the unambiguous top-tf serving set); "rare" rides on
+    * those docs; "alpha" is everywhere with tf 1-3. A tf-FLAT corpus (all
+    * postings near the same tf) makes single-term certificates fail by
+    * construction — BM25's tf-part saturates — and falls back, which the
+    * cap-2 test pins separately.
+    */
+  private def corpus(n: Int): Seq[(String, String)] =
+    (1 to n).map { i =>
+      val body =
+        if (i % 13 == 0) Seq.fill(50 + i % 7)("common").mkString(" ") + " rare"
+        else "common"
+      val alphas = Seq.fill(1 + i % 3)("alpha").mkString(" ")
+      (f"d$i%05d", s"$body filler$i $alphas beta")
+    }
+
+  private def build(n: Int, cap: Int): Collection = {
+    val c = Collection(spark, freshRoot(), "t")
+    c.addDf(corpus(n).toDF("id", "content"))
+    c.createImpactIndex(cap)
+    c
+  }
+
+  /** (id, rank rounded) set of a frame — rounding absorbs float summation
+    * order; selection differences would still change the SET.
+    */
+  private def pairs(df: DataFrame): Seq[(String, Double)] =
+    df.select($"id", round($"rank", 9).as("r")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq.sortBy(_._1)
+
+  private def assertSameTopK(c: Collection, q: String, k: Int,
+                             offset: Int = 0): Unit =
+    assert(pairs(c.searchTopK(q, k, offset)) ===
+      pairs(c.queryFrame(q, limit = k, offset = offset)),
+      s"searchTopK vs queryFrame mismatch for '$q' k=$k offset=$offset")
+
+  test("single-term certified top-k equals full scoring (and serves)") {
+    val c = build(400, cap = 64)
+    assert(c.impactIndex() === Some(64))
+    assert(c.impactCertifiedTopK("common", 10, 0).nonEmpty, "expected certified serve")
+    assertSameTopK(c, "common", 10)
+    assertSameTopK(c, "common", 10, offset = 5)
+    assertSameTopK(c, "rare", 5) // fully-stored term: bound 0, certifies with < cap matches
+  }
+
+  test("multi-term AND and OR certified top-k equal full scoring") {
+    val c = build(400, cap = 64)
+    assert(c.impactCertifiedTopK("common rare", 5, 0).nonEmpty)
+    assertSameTopK(c, "common rare", 5) // implicit AND
+    assertSameTopK(c, "rare or alpha", 8)
+    // term absent from the corpus: AND -> empty, OR -> other leaf only
+    assert(c.searchTopK("common zzzmissing", 5).count() === 0)
+    assertSameTopK(c, "zzzmissing or rare", 5)
+  }
+
+  test("failed certificate falls back to the full path (still exact)") {
+    val c = build(400, cap = 2) // cap 2 < k: the prefix can't certify top-10
+    assert(c.impactCertifiedTopK("common", 10, 0).isEmpty, "expected fallback")
+    assertSameTopK(c, "common", 10)
+  }
+
+  test("prefix and mixed-boolean queries take the full path") {
+    val c = build(200, cap = 64)
+    assert(c.impactCertifiedTopK("fill*", 5, 0).isEmpty)
+    assertSameTopK(c, "fill*", 5)
+    assert(c.impactCertifiedTopK("common rare or alpha", 5, 0).isEmpty) // non-flat
+    assertSameTopK(c, "common rare or alpha", 5)
+  }
+
+  test("single-term serving never touches the postings store") {
+    val c = build(300, cap = 64)
+    val served = c.impactCertifiedTopK("common", 10, 0)
+    assert(served.nonEmpty)
+    val expected = pairs(served.get)
+    // brutal proof: remove the postings partition and serve again — the
+    // certified single-term path reads meta + sidecar + collstats + docs only
+    val postingsPart = new java.io.File(
+      graft.index.Stores.partitionPath(graft.index.Stores.postingsDir(c.root), "t"))
+    val moved = new java.io.File(postingsPart.getParent, "collection=hidden")
+    assert(postingsPart.renameTo(moved))
+    try assert(pairs(c.impactCertifiedTopK("common", 10, 0).get) === expected)
+    finally assert(moved.renameTo(postingsPart))
+  }
+
+  test("pure-insert delta keeps the sidecar exact and servable") {
+    spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+    spark.conf.set("spark.graft.compact.auto", "false")
+    try {
+      val c = build(300, cap = 32)
+      // new ids only, including docs that must ENTER the common top-k
+      val batch = (1 to 40).map { i =>
+        (f"n$i%05d", Seq.fill(200 + i)("common").mkString(" ") + " rare gamma")
+      }
+      c.addDf(batch.toDF("id", "content"))
+      val served = c.impactCertifiedTopK("common", 10, 0)
+      assert(served.nonEmpty, "pure insert must stay servable")
+      // delta-born docs actually serve from the sidecar
+      assert(served.get.select("id").as[String].collect().exists(_.startsWith("n")))
+      assertSameTopK(c, "common", 10)
+      assertSameTopK(c, "rare gamma", 5)
+      assertSameTopK(c, "gamma", 5) // brand-new term, fully delta-born
+    } finally {
+      spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+      spark.conf.set("spark.graft.compact.auto", "true")
+    }
+  }
+
+  test("update invalidates meta (fallback) and compact() heals it") {
+    spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+    spark.conf.set("spark.graft.compact.auto", "false")
+    try {
+      val c = build(300, cap = 32)
+      c.update(Seq("d00001"), Seq("totally different content now"))
+      assert(c.impactCertifiedTopK("common", 10, 0).isEmpty,
+        "update must invalidate the exact-df meta")
+      assertSameTopK(c, "common", 10) // fallback still exact
+      c.compact()
+      assert(c.impactCertifiedTopK("common", 10, 0).nonEmpty,
+        "compact must re-derive the meta")
+      assertSameTopK(c, "common", 10)
+      assertSameTopK(c, "different", 3) // term born in the update
+    } finally {
+      spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+      spark.conf.set("spark.graft.compact.auto", "true")
+    }
+  }
+
+  test("delete invalidates meta and compact() heals; emptied corpus drops the index") {
+    spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+    spark.conf.set("spark.graft.compact.auto", "false")
+    try {
+      val c = build(300, cap = 32)
+      c.delete(Seq("d00017", "d00016"))
+      assert(c.impactCertifiedTopK("common", 10, 0).isEmpty)
+      assertSameTopK(c, "common", 10) // deleted top-tf docs must be gone
+      c.compact()
+      assert(c.impactCertifiedTopK("common", 10, 0).nonEmpty)
+      assertSameTopK(c, "common", 10)
+    } finally {
+      spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+      spark.conf.set("spark.graft.compact.auto", "true")
+    }
+  }
+
+  test("small-collection merge path rebuilds the sidecar exactly") {
+    // default directUpsertMaxBytes: updates/deletes take the merge-rewrite
+    // path, which re-derives the sidecar — no staleness window at all
+    val c = build(200, cap = 32)
+    c.update(Seq("d00001"), Seq("fresh words here"))
+    assert(c.impactCertifiedTopK("common", 10, 0).nonEmpty,
+      "merge path must leave a servable sidecar")
+    assertSameTopK(c, "common", 10)
+    c.delete(Seq("d00015", "d00014"))
+    assert(c.impactCertifiedTopK("common", 10, 0).nonEmpty)
+    assertSameTopK(c, "common", 10)
+  }
+
+  test("createImpactIndex validates inputs") {
+    val c = Collection(spark, freshRoot(), "t")
+    intercept[IllegalArgumentException](c.createImpactIndex()) // empty collection
+    val nf = Collection(spark, freshRoot(), "nf", useFts = false)
+    nf.addDf(Seq(("a", "some text")).toDF("id", "content"))
+    intercept[IllegalArgumentException](nf.createImpactIndex())
+  }
+}
