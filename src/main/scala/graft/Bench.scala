@@ -107,7 +107,10 @@ object Bench {
     val headline = results.filter { case (k, _) =>
       k.startsWith("q") || k.startsWith("s") || k.startsWith("a") }
       .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    // "truncated":true marks this line as the FILTERED summary — a consumer
+    // that grabs the FIRST {"metric":"total"} line cannot mistake this
+    // partial queries map for the complete one (r13 ADVICE).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","truncated":true,""" +
       s""""queries":$headline,"n_entries":${results.size},"n_errors":${errors.size},""" +
       s""""calib_sec":$calib,"sf":"${esc(sfDir)}",""" +
       s""""full_map_file":"$outFile","full_map_sha256":"$digest"}""")

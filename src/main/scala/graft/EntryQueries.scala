@@ -1573,6 +1573,62 @@ object EntryQueries {
         .toDF("metric", "ok")
     }, Some("SELECT 'stream_equals_batch' AS metric, true AS ok")),
 
+    // X122: impact-ordered postings sidecar — certified-exact ranked top-k
+    // serving (Collection.searchTopK / exec.ImpactTopK). The synthetic corpus
+    // is tf-flat (max tf 9), so high-tf docs are PLANTED deterministically
+    // (repeat-'customer' bodies keyed off doc_id — DuckDB replays them with
+    // repeat()). Five cases, each (rank DESC, id ASC) with a pinned rn:
+    //   single — bounded certificate over a high-df term (non-trivial at
+    //            sf0.1: df > cap, the k-th score must beat the tf bound);
+    //   and    — UNDER-FULL completeness certificate: k=25 > the 18 matches
+    //            at sf0.01, provable because 'needle' is fully stored (every
+    //            AND match is in its complete prefix);
+    //   bound0 — fully-stored term, bound == 0;
+    //   prefix — wildcard query MUST take the full path (asserted), values
+    //            replayed with q4b's prefix-leaf arithmetic;
+    //   upsert — after a pure-insert batch the O(batch)-maintained sidecar
+    //            must still serve, with the UPDATED exact df, and the new
+    //            docs must enter the top-k.
+    // WHICH-PATH is asserted in-entry (certified serve vs fallback), so a
+    // silently regressed certificate fails the entry even when values match.
+    ("x122_impact_topk", (s: SparkSession, sfDir: String) => {
+      val root = tempDirCleanedOnExit("graft-x122-")
+      val c = Collection(s, root, "imp")
+      val raw = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("n"), col("text"))
+      def heavy(tag: String, modulo: Int, tfMod: Int, extra: String): DataFrame =
+        raw.filter(col("n") % modulo === 0)
+          .select(concat(lit(tag), col("n").cast("string")).as("id"),
+            concat(concat_ws(" ",
+                array_repeat(lit("customer"), (lit(40) + col("n") % tfMod).cast("int"))),
+              lit(extra)).as("content"))
+      c.addDf(raw.select(col("n").cast("string").as("id"), col("text").as("content"))
+        .unionByName(heavy("p", 29, 97, " needle")))
+      c.createImpactIndex(cap = 512)
+      // cases are FROZEN to local rows before the upsert mutates the store —
+      // a lazy frame would otherwise re-scan the post-upsert corpus at
+      // Verify's write time
+      def freeze(df: DataFrame, label: String): DataFrame = {
+        val shaped = df.withColumn("rn", row_number().over(
+            Window.orderBy(col("rank").desc, col("id").asc)))
+          .select(lit(label).as("qcase"), col("rn").cast("long").as("rn"),
+            col("id"), round(col("rank"), 6).as("rank"))
+        s.createDataFrame(java.util.Arrays.asList(shaped.collect(): _*), shaped.schema)
+      }
+      def served(label: String, q: String, k: Int): DataFrame =
+        freeze(c.impactCertifiedTopK(q, k, 0).getOrElse(throw new IllegalStateException(
+          s"x122: '$q' must serve from the impact sidecar")), label)
+      val pre = served("single", "customer", 10)
+        .unionByName(served("and", "needle customer", 25))
+        .unionByName(served("bound0", "needle", 5))
+      require(c.impactCertifiedTopK("cust*", 10, 0).isEmpty,
+        "x122: prefix query must take the full path")
+      val pfx = freeze(c.searchTopK("cust*", 10), "prefix")
+      c.addDf(heavy("u", 31, 89, " needle gadget"))
+      val post = served("upsert", "customer", 10)
+      pre.unionByName(pfx).unionByName(post)
+    }, Some(impactOracle)),
+
     ("x8_text_langid", (s: SparkSession, sfDir: String) =>
       TextStats.langId(docsFrame(s, sfDir)).select("id", "pred_lang"),
       Some(langIdOracle)),
@@ -3778,6 +3834,62 @@ object EntryQueries {
     * one appended token) — the index-served result must equal this exact
     * recompute.
     */
+  /** x122 oracle: DuckDB BM25 replay (the q4/q4b arithmetic) over the
+    * planted high-tf corpora searchTopK serves — `c1` pre-upsert, `c2`
+    * post-upsert. Case construction mirrors the entry exactly: same repeat
+    * counts, same moduli, same (rank DESC, id ASC) cut with a pinned rn.
+    */
+  private lazy val impactOracle: String = {
+    def corpusCtes(c: String): String =
+      s"""toks_$c AS (SELECT id, list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), t -> t <> '') AS w FROM $c),
+         | lens_$c AS (SELECT id, len(w) AS dl FROM toks_$c),
+         | stats_$c AS (SELECT (SELECT COUNT(*) FROM $c) AS n, (SELECT AVG(len(w)) FROM toks_$c) AS avgdl),
+         | tf_$c AS (SELECT id, t, COUNT(*) AS tf FROM (SELECT id, unnest(w) AS t FROM toks_$c) GROUP BY 1, 2)""".stripMargin
+    def exact(label: String, c: String, terms: Seq[String], and: Boolean, k: Int): String = {
+      val in = terms.map(t => s"'$t'").mkString(", ")
+      val having =
+        if (and && terms.size > 1) s"HAVING COUNT(DISTINCT tf.t) = ${terms.size}" else ""
+      s"""SELECT '$label' AS qcase,
+         |  CAST(row_number() OVER (ORDER BY r DESC, id ASC) AS BIGINT) AS rn,
+         |  id, round(r, 6) AS rank
+         |FROM (SELECT id, r FROM (
+         |   SELECT tf.id, SUM( ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |     * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ) AS r
+         |   FROM tf_$c tf
+         |   JOIN (SELECT t, COUNT(*) AS df FROM tf_$c WHERE t IN ($in) GROUP BY 1) dfp USING (t)
+         |   JOIN lens_$c USING (id) CROSS JOIN stats_$c
+         |   WHERE tf.t IN ($in) GROUP BY tf.id $having)
+         |  ORDER BY r DESC, id ASC LIMIT $k)""".stripMargin
+    }
+    def prefix(label: String, c: String, pat: String, k: Int): String =
+      s"""SELECT '$label' AS qcase,
+         |  CAST(row_number() OVER (ORDER BY r DESC, id ASC) AS BIGINT) AS rn,
+         |  id, round(r, 6) AS rank
+         |FROM (SELECT id, r FROM (
+         |   SELECT tfl.id, ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |     * (tfl.tf * 2.2) / (tfl.tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS r
+         |   FROM (SELECT id, SUM(tf) AS tf FROM tf_$c WHERE t LIKE '$pat' GROUP BY 1) tfl
+         |   CROSS JOIN (SELECT COUNT(DISTINCT id) AS df FROM tf_$c WHERE t LIKE '$pat') dfl
+         |   JOIN lens_$c ON lens_$c.id = tfl.id CROSS JOIN stats_$c)
+         |  ORDER BY r DESC, id ASC LIMIT $k)""".stripMargin
+    s"""WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents),
+       | planted AS (SELECT 'p' || CAST(doc_id AS VARCHAR) AS id,
+       |     trim(repeat('customer ', CAST(40 + doc_id % 97 AS INTEGER))) || ' needle' AS text
+       |   FROM documents WHERE doc_id % 29 = 0),
+       | upd AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS id,
+       |     trim(repeat('customer ', CAST(40 + doc_id % 89 AS INTEGER))) || ' needle gadget' AS text
+       |   FROM documents WHERE doc_id % 31 = 0),
+       | c1 AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+       | c2 AS (SELECT * FROM c1 UNION ALL SELECT * FROM upd),
+       | ${corpusCtes("c1")},
+       | ${corpusCtes("c2")}
+       |${exact("single", "c1", Seq("customer"), and = false, 10)}
+       |UNION ALL ${exact("and", "c1", Seq("needle", "customer"), and = true, 25)}
+       |UNION ALL ${exact("bound0", "c1", Seq("needle"), and = false, 5)}
+       |UNION ALL ${prefix("prefix", "c1", "cust%", 10)}
+       |UNION ALL ${exact("upsert", "c2", Seq("customer"), and = false, 10)}""".stripMargin
+  }
+
   private def dedupIndexOracle(threshold: Double): String =
     s"""WITH base AS (
        |   SELECT $DocId AS id, text FROM documents

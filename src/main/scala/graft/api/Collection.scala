@@ -1058,9 +1058,8 @@ final class Collection private (
     */
   private[graft] def impactCertifiedTopK(query: String, k: Int,
                                          offset: Int): Option[DataFrame] = {
-    if (!useFts || impactParams().isEmpty ||
-        !Stores.partitionExists(spark, impactMetaDir, name) ||
-        !impactWatermark().contains(postingsSeg())) return None
+    val (cap, wm) = impactGate()
+    if (!useFts || cap.isEmpty || !wm.contains(postingsSeg())) return None
     val folded = if (foldAccents) graft.functions.StringFold.fold(query) else query
     for {
       ast <- QueryParser.parse(folded)
@@ -1092,6 +1091,15 @@ final class Collection private (
   private def rebuildImpact(cap: Int, from: DataFrame): Unit = {
     val r = graft.exec.ImpactTopK.ranked(from).persist()
     try {
+      // emptied corpus (e.g. a merge-path delete of every doc): drop both
+      // stores, mirroring compact()'s emptied-collection branch — an empty
+      // rows store would silently lose the cap registration (impactParams()
+      // = None) and orphan two empty store dirs
+      if (r.limit(1).isEmpty) {
+        Stores.dropPartition(spark, impactDir, name)
+        Stores.dropPartition(spark, impactMetaDir, name)
+        return
+      }
       Stores.overwritePartition(spark, impactDir, name,
         graft.exec.ImpactTopK.rowsFromRanked(r, cap),
         sortBy = Seq("term"), rangeBy = Seq("term"))
@@ -1100,6 +1108,24 @@ final class Collection private (
           .unionByName(impactWatermarkRow(postingsSeg())),
         sortBy = Seq("id"))
     } finally r.unpersist()
+  }
+
+  /** The serving gate's (cap, watermark), cached under a filesystem
+    * fingerprint of both sidecar partitions: a warm [[searchTopK]] pays two
+    * FS listings — zero Spark jobs — before the real query, instead of a
+    * rows-store head() plus a watermark filter+head per call. Any store
+    * rewrite or delta append changes the fingerprint (part files are
+    * job-unique), so staleness is impossible, including through OTHER
+    * Collection handles on the same root.
+    */
+  private def impactGate(): (Option[Int], Option[Long]) = {
+    val fp = Stores.partitionFingerprint(spark, impactDir, name) ^
+      java.lang.Long.rotateLeft(
+        Stores.partitionFingerprint(spark, impactMetaDir, name), 17)
+    Collection.impactGateCache.getOrElseUpdate((root, name, fp), {
+      if (Collection.impactGateCache.size > 512) Collection.impactGateCache.clear()
+      (impactParams(), impactWatermark())
+    })
   }
 
   /** Stored cap (rows-store constant column), None without a sidecar. */
@@ -2061,6 +2087,13 @@ final class Collection private (
 object Collection {
   /** Max docs per Embedder.embed call (bounded executor memory). */
   val EmbedBatchSize: Int = 256
+
+  /** (root, name, sidecar fingerprint) -> (cap, watermark); see
+    * [[Collection.impactGate]]. Keyed by content fingerprint, so no
+    * invalidation hooks — a changed store simply misses.
+    */
+  private[api] val impactGateCache =
+    scala.collection.concurrent.TrieMap[(String, String, Long), (Option[Int], Option[Long])]()
 
   /** Valid collection names, same charset as the reference (core.py:94-97). */
   private val NamePattern = "[-a-zA-Z0-9_\\+~#=/]+".r

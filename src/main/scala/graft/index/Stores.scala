@@ -293,6 +293,28 @@ object Stores {
     (base, delta)
   }
 
+  /** A cheap change detector for one collection's partition of a store: a
+    * hash over (path, mtime, length) of every file under it — a filesystem
+    * listing, no Spark job. Any rewrite, delta append, or swap changes it
+    * (part files are written once under job-unique names, never mutated in
+    * place). 0 = partition absent.
+    */
+  def partitionFingerprint(spark: SparkSession, storeDir: String,
+                           collection: String): Long = {
+    val p = new Path(partDir(storeDir, collection))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var h = 1125899906842597L
+    while (it.hasNext) {
+      val s = it.next()
+      h = h * 31 + s.getPath.toString.hashCode
+      h = h * 31 + s.getModificationTime
+      h = h * 31 + s.getLen
+    }
+    h
+  }
+
   /** Read one collection's partition of a store; empty (with schema) if
     * absent. With delta segments present, resolves id-level last-wins: every
     * row of an id comes from the newest segment claiming it (base = segment

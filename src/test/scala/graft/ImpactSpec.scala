@@ -73,6 +73,22 @@ class ImpactSpec extends AnyFunSuite {
     assertSameTopK(c, "zzzmissing or rare", 5)
   }
 
+  test("under-full AND certifies via completeness when one term is fully stored") {
+    val c = build(400, cap = 64)
+    // 'rare' (df ~30) is fully stored; 'common' (df 400) overflows the cap.
+    // k=200 exceeds the ~30 AND matches, so the BOUNDED certificate can
+    // never fire (top.length < n) — the COMPLETENESS rule must: every AND
+    // match lives in rare's complete prefix, so the candidates are all
+    // matches and the under-full answer is provably exact.
+    val served = c.impactCertifiedTopK("rare common", 200, 0)
+    assert(served.nonEmpty, "completeness certificate must serve the under-full AND")
+    assert(served.get.count() < 200)
+    assertSameTopK(c, "rare common", 200)
+    // sanity: same query, single overflowing term, still falls back under-full
+    assert(c.impactCertifiedTopK("common", 500, 0).isEmpty,
+      "an overflowing single term has no completeness proof")
+  }
+
   test("failed certificate falls back to the full path (still exact)") {
     val c = build(400, cap = 2) // cap 2 < k: the prefix can't certify top-10
     assert(c.impactCertifiedTopK("common", 10, 0).isEmpty, "expected fallback")
