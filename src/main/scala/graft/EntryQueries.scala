@@ -1346,9 +1346,16 @@ object EntryQueries {
         lit("").as("content"), col("embedding")))
       val (cents, cb, rows, _, _) = c.ivfPqIndex().get
       val resolved = rows.persist()
+      // fresh derivation mirrors the STORED encoding flag (r14: the build
+      // measures raw-vs-residual on the training sample and persists the
+      // winner; maintenance must re-encode under that flag, never a guess)
       val fresh = graft.ext.Ivf.assign(c.docs(), cents)
-        .join(Pq.encode(c.docs(), cb), Seq("id"))
-        .select(col("id"), col("cluster"), col("codes")).persist()
+        .join(c.docs().select(col("id"), col("embedding")), Seq("id"))
+        .select(col("id"), col("cluster"),
+          (if (c.ivfPqResidual())
+            Pq.encodeCol(Pq.residualCol(col("embedding"), col("cluster"), cents),
+              cb, normalize = false)
+          else Pq.encodeCol(col("embedding"), cb)).as("codes")).persist()
       try {
         val eq = resolved.exceptAll(fresh).isEmpty &&
           fresh.exceptAll(resolved).isEmpty

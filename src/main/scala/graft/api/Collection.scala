@@ -203,7 +203,8 @@ final class Collection private (
     val batch = batch0.persist()
     try {
       if (wasEmpty) {
-        Stores.overwritePartition(spark, docsDir, name, batch)
+        Stores.overwritePartition(spark, docsDir, name, batch,
+          sortBy = Seq("id"), rangeBy = Seq("id"))
         refreshIndexesFull(batch) // tokenize from the cache, not a store re-read
         // first ingest creates the collection: persist the open-time flags
         // that change what the stored bytes mean, so mismatched re-opens
@@ -221,10 +222,11 @@ final class Collection private (
         if (baseBytes + deltaBytes <= directUpsertMaxBytes) {
           // direct merge (also folds any accumulated deltas back flat)
           val merged = docs().join(batchIds, Seq("id"), "left_anti").unionByName(batch)
-          Stores.overwritePartition(spark, docsDir, name, merged)
+          Stores.overwritePartition(spark, docsDir, name, merged,
+            sortBy = Seq("id"), rangeBy = Seq("id"))
           refreshIndexesMerge(batch, batchIds)
         } else {
-          Stores.appendDelta(spark, docsDir, name, batch)
+          Stores.appendDelta(spark, docsDir, name, batch, sortBy = Seq("id"))
           refreshIndexesDelta(batch)
           maybeCompact()
         }
@@ -451,7 +453,8 @@ final class Collection private (
         // small partition: direct anti-join rewrite, reads stay flat
         Stores.overwritePartition(spark, docsDir, coll,
           Stores.readPartition(spark, docsDir, coll, Stores.docsSchema)
-            .join(broadcast(idsDf), Seq("id"), "left_anti"))
+            .join(broadcast(idsDf), Seq("id"), "left_anti"),
+          sortBy = Seq("id"), rangeBy = Seq("id"))
         self.removeFromIndexesMerge(broadcast(idsDf))
       } else {
         // gone-only delta: O(ids) bytes, the base is never rewritten
@@ -504,7 +507,8 @@ final class Collection private (
       val (b, d) = Stores.segmentBytes(spark, ivfPqDir, name)
       b > 0 && d * 2 > b
     }
-    Stores.compactPartition(spark, docsDir, name, Stores.docsSchema)
+    Stores.compactPartition(spark, docsDir, name, Stores.docsSchema,
+      sortBy = Seq("id"), rangeBy = Seq("id"))
     Stores.compactPartition(spark, postingsDir, name, Stores.postingsSchema,
       sortBy = Seq("term"), rangeBy = Seq("term"))
     Stores.compactPartition(spark, annDir, name, Stores.annSchema,
@@ -543,10 +547,12 @@ final class Collection private (
             if !docs().filter($"embedding".isNotNull).limit(1).isEmpty =>
           val cents = graft.ext.Ivf.build(docs(), "id", "embedding",
             oldCents.size, iters, 1.0, maxSample, seed).centroids
-          val cb = graft.ext.Pq.train(docs(), "embedding",
-            oldCb.m, oldCb.books.head.size, iters, maxSample, seed)
+          // retrain matches the build recipe: re-run the measured
+          // raw-vs-residual selection against the FRESH centroids
+          val (cb, residual) = chooseIvfPqCodebook(cents, oldCb.m, iters,
+            maxSample, seed)
           writeIvfPq(cents, cb, nprobe,
-            pqParams().map(_._1).getOrElse(50), iters, maxSample, seed)
+            pqParams().map(_._1).getOrElse(50), iters, maxSample, seed, residual)
         case _ => // emptied of embedded docs: drop, like the other kinds
           Stores.dropPartition(spark, ivfPqDir, name)
           Stores.dropPartition(spark, ivfCentDir, name)
@@ -728,10 +734,11 @@ final class Collection private (
       // The FAISS IVFPQ composite: coarse IVF lists partition the corpus,
       // PQ codes compress it — a probe ADC-scans ~nprobe/numCentroids of
       // the codes instead of all of them (the flat "pq" kind's cost) and
-      // reranks candK floats. Codes are built over the RAW (normalized)
-      // vectors, not residuals — simpler delta maintenance (re-encode
-      // needs no centroid lookup), at some quantization-accuracy cost the
-      // candK rerank absorbs.
+      // reranks candK floats. The encoding — residual
+      // (normalize(v) − centroid[cluster], the FAISS recipe) vs raw — is
+      // CHOSEN BY MEASUREMENT on the training sample (chooseIvfPqCodebook);
+      // residual serving restores the q·centroid[cluster] term per row
+      // (Pq.adcTopKResidual), and the choice persists with the books.
       require(nprobe >= 1 && nprobe <= numCentroids, "1 <= nprobe <= numCentroids")
       require(candK >= 1, "candK >= 1")
       Stores.dropPartition(spark, annDir, name) // see the lsh branch's ordering note
@@ -739,14 +746,14 @@ final class Collection private (
       Stores.dropPartition(spark, pqDir, name)
       val cents = graft.ext.Ivf.build(docs(), "id", "embedding",
         numCentroids, iters, 1.0, maxSample, seed).centroids
-      val cb = graft.ext.Pq.train(docs(), "embedding",
-        m, 256, iters, maxSample, seed)
-      writeIvfPq(cents, cb, nprobe, candK, iters, maxSample, seed)
+      val (cb, residual) = chooseIvfPqCodebook(cents, m, iters, maxSample, seed)
+      writeIvfPq(cents, cb, nprobe, candK, iters, maxSample, seed, residual)
       graft.plans.AnnCatalog.register(spark, Stores.partitionPath(docsDir, name),
         graft.plans.AnnCatalog.Entry("id", "embedding",
           graft.plans.AnnCatalog.Deferred(() => ivfPqIndex().map {
             case (cents, cb, rows, nprobe, candK) =>
-              graft.plans.AnnCatalog.IvfPqRegistered(rows, cents, cb, nprobe, candK) })))
+              graft.plans.AnnCatalog.IvfPqRegistered(rows, cents, cb, nprobe,
+                candK, ivfPqResidual()) })))
     case other =>
       throw new IllegalArgumentException(
         s"Unknown vector index kind '$other' (expected \"lsh\", \"ivf\", \"pq\" or \"ivfpq\").")
@@ -793,20 +800,62 @@ final class Collection private (
       .select($"nprobe", $"iters", $"max_sample", $"seed").head(1).headOption
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
 
+  /** Train BOTH codebook candidates on the identical bounded sample and
+    * keep the lower-reconstruction-MSE one: residual encoding
+    * (normalize(v) − centroid[cluster], the FAISS recipe) wins when the
+    * coarse quantizer actually captures variance — small residual cells —
+    * and LOSES on weakly-clusterable corpora, where the residual cloud is
+    * as wide as the sphere but stripped of the per-dimension structure the
+    * raw books exploit (measured both ways on the synthetic embeddings).
+    * Measuring on the training sample makes the choice deterministic,
+    * corpus-adaptive, and O(sample) — never a guess baked into the build.
+    */
+  private def chooseIvfPqCodebook(cents: Seq[Seq[Float]], m: Int, iters: Int,
+                                  maxSample: Int,
+                                  seed: Long): (graft.ext.PqCodebook, Boolean) = {
+    import graft.ext.{Ivf, Pq}
+    val sample = Ivf.boundedSample(docs(), "embedding", 1.0, maxSample, seed)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val centArr = cents.map(_.toArray).toArray
+    val norm = sample.map { v =>
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      if (n == 0.0) v else v.map(x => (x / n).toFloat)
+    }
+    val resid = norm.map { v =>
+      var best = 0
+      var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < centArr.length) {
+        val dot = graft.functions.VectorFunctions.dotMin(v, centArr(c))
+        if (dot > bestDot) { best = c; bestDot = dot }
+        c += 1
+      }
+      val ctr = centArr(best)
+      Array.tabulate(v.length)(d => v(d) - (if (d < ctr.length) ctr(d) else 0.0f))
+    }
+    val cbRaw = Pq.trainVecs(norm, m, 256, iters)
+    val cbRes = Pq.trainVecs(resid, m, 256, iters)
+    val mseRaw = Pq.reconstructionMse(norm, cbRaw)
+    val mseRes = Pq.reconstructionMse(resid, cbRes)
+    if (mseRes < mseRaw) (cbRes, true) else (cbRaw, false)
+  }
+
   private def writeIvfPq(cents: Seq[Seq[Float]], cb: graft.ext.PqCodebook,
                          nprobe: Int, candK: Int, iters: Int,
-                         maxSample: Int, seed: Long): Unit = {
+                         maxSample: Int, seed: Long,
+                         residual: Boolean): Unit = {
     // Crash ordering (see writeIvf): drop BOTH parameter tables first — the
     // index reads as absent while either is gone — write the bulky codes
     // rows, then books, then centroids last.
     Stores.dropPartition(spark, ivfCentDir, name)
     Stores.dropPartition(spark, pqBookDir, name)
     Stores.overwritePartition(spark, ivfPqDir, name,
-      ivfPqRows(docs(), cents, cb), sortBy = Seq("cluster"))
+      ivfPqRows(docs(), cents, cb, residual), sortBy = Seq("cluster"))
     Stores.overwritePartition(spark, pqBookDir, name,
       cb.toStoreFrame(spark)
         .withColumn("cand_k", lit(candK)).withColumn("iters", lit(iters))
-        .withColumn("max_sample", lit(maxSample)).withColumn("seed", lit(seed)))
+        .withColumn("max_sample", lit(maxSample)).withColumn("seed", lit(seed))
+        .withColumn("residual", lit(residual)))
     val centsDf = {
       import spark.implicits._
       cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cluster", "centroid")
@@ -829,7 +878,8 @@ final class Collection private (
     Stores.overwritePartition(spark, pqBookDir, name,
       cb.toStoreFrame(spark)
         .withColumn("cand_k", lit(candK)).withColumn("iters", lit(iters))
-        .withColumn("max_sample", lit(maxSample)).withColumn("seed", lit(seed)))
+        .withColumn("max_sample", lit(maxSample)).withColumn("seed", lit(seed))
+        .withColumn("residual", lit(false)))
   }
 
   /** The persisted PQ index, if one was built ([[createVectorIndex]] with
@@ -881,6 +931,17 @@ final class Collection private (
         Stores.readPartition(spark, pqBookDir, name, Stores.pqBookSchema))
     } yield (cents, cb)
 
+  /** Whether the stored IVF-PQ codes are RESIDUALS (vector − coarse
+    * centroid). NULL — a pre-residual store — reads as raw, so old indexes
+    * keep serving their own encoding until rebuilt; every maintenance path
+    * re-encodes under this stored flag, never the build default.
+    */
+  private[graft] def ivfPqResidual(): Boolean =
+    Stores.partitionExists(spark, pqBookDir, name) &&
+      Stores.readPartition(spark, pqBookDir, name, Stores.pqBookSchema)
+        .select($"residual").head(1).headOption
+        .exists(r => !r.isNullAt(0) && r.getBoolean(0))
+
   /** The persisted IVF-PQ index, if one was built ([[createVectorIndex]]
     * with `kind = "ivfpq"`): stored coarse centroids, codebooks, the
     * current (delta-resolved) (id, cluster, codes) frame, and the stored
@@ -896,13 +957,25 @@ final class Collection private (
 
   /** One IVF-PQ row per embedded batch doc: coarse list + PQ codes, both
     * from expressions carrying the stored tables — one zero-shuffle scan.
+    * `residual = true` encodes `normalize(v) − centroid[cluster]` (the
+    * FAISS-standard input — the codebook spends its codewords on the much
+    * smaller residual cell); false keeps the raw-normalized encoding of
+    * pre-residual stores.
     */
   private def ivfPqRows(batch: DataFrame, cents: Seq[Seq[Float]],
-                        cb: graft.ext.PqCodebook): DataFrame =
-    batch.filter($"embedding".isNotNull).select($"id",
+                        cb: graft.ext.PqCodebook,
+                        residual: Boolean): DataFrame = {
+    val assigned = batch.filter($"embedding".isNotNull).select($"id", $"embedding",
       element_at(graft.ext.Ivf.nearestCentroidCol($"embedding", cents, 1), 1)
-        .as("cluster"),
-      graft.ext.Pq.encodeCol($"embedding", cb).as("codes"))
+        .as("cluster"))
+    val enc =
+      if (residual)
+        graft.ext.Pq.encodeCol(
+          graft.ext.Pq.residualCol($"embedding", $"cluster", cents),
+          cb, normalize = false)
+      else graft.ext.Pq.encodeCol($"embedding", cb)
+    assigned.select($"id", $"cluster", enc.as("codes"))
+  }
 
   /** The persisted vector index, if one was built (and the collection has
     * had embedded docs since).
@@ -1074,10 +1147,14 @@ final class Collection private (
           .select($"id", $"content", $"metadata", lit(0.0).as("rank"))
       else {
         val hits = page.toDF("id", "rank")
-        // k-row broadcast join — the docs side is touched for k ids, not
-        // the match set (the full path joins EVERY matching id before its
-        // top-k cut)
-        docs().join(broadcast(hits), Seq("id"))
+        // the k ids are driver-side, so the docs fetch is a PUSHED In
+        // predicate, not a bare join: with the id-range-clustered docs
+        // layout (full rewrites rangeBy id) the parquet footer skips every
+        // file outside the k ids' ranges — the broadcast join only attaches
+        // ranks to the handful of surviving rows (the full path instead
+        // joins EVERY matching id before its top-k cut)
+        docs().filter($"id".isin(page.map(_._1): _*))
+          .join(broadcast(hits), Seq("id"))
           .select($"id", $"content", $"metadata", $"rank")
           .orderBy($"rank".desc, $"id".asc)
       }
@@ -1177,12 +1254,22 @@ final class Collection private (
                 // per query: nprobe nearest lists (driver, k×dim dots) →
                 // literal cluster IN (…) prunes the codes scan to those
                 // lists' row groups → ADC top-candK → shared float rerank
+                val residual = ivfPqResidual()
                 val cands = queries.map { case (qid, q) =>
                   val lists = graft.ext.Ivf.nearestCentroidIds(
                     q, cents, math.min(nprobe, cents.size))
-                  graft.ext.Pq.adcTopK(
-                    rows.filter($"cluster".isin(lists: _*)).select($"id", $"codes"),
-                    cb, Seq((qid, q)), candK).select($"qid", $"id")
+                  val probed = rows.filter($"cluster".isin(lists: _*))
+                  // residual stores score q·centroid[cluster] + LUT(codes)
+                  // (the q·(c + r̂) decomposition); raw stores keep the
+                  // plain LUT scan — the flag travels with the store
+                  (if (residual)
+                    graft.ext.Pq.adcTopKResidual(
+                      probed.select($"id", $"cluster", $"codes"),
+                      cb, cents, Seq((qid, q)), candK)
+                  else
+                    graft.ext.Pq.adcTopK(
+                      probed.select($"id", $"codes"),
+                      cb, Seq((qid, q)), candK)).select($"qid", $"id")
                 }.reduce(_ unionByName _)
                 graft.ext.Pq.rerankFrom(docs(), cands, queries, k)
               }
@@ -1410,7 +1497,8 @@ final class Collection private (
       val kept = Stores.readPartition(spark, ivfPqDir, name, Stores.ivfPqSchema)
         .join(batchIds, Seq("id"), "left_anti")
       Stores.overwritePartition(spark, ivfPqDir, name,
-        kept.unionByName(ivfPqRows(batch, cents, cb)), sortBy = Seq("cluster"))
+        kept.unionByName(ivfPqRows(batch, cents, cb, ivfPqResidual())),
+        sortBy = Seq("cluster"))
     }
   }
 
@@ -1684,7 +1772,7 @@ final class Collection private (
     // IVF-PQ: one scan re-derives both the coarse list and the codes
     ivfPqParts().foreach { case (cents, cb) =>
       Stores.overwritePartition(spark, ivfPqDir, name,
-        ivfPqRows(docs(), cents, cb), sortBy = Seq("cluster"))
+        ivfPqRows(docs(), cents, cb, ivfPqResidual()), sortBy = Seq("cluster"))
     }
   }
 
@@ -1725,7 +1813,7 @@ final class Collection private (
     // IVF-PQ: O(batch) delta — coarse list + codes in one zero-shuffle scan
     ivfPqParts().foreach { case (cents, cb) =>
       Stores.appendDelta(spark, ivfPqDir, name,
-        ivfPqRows(batch, cents, cb),
+        ivfPqRows(batch, cents, cb, ivfPqResidual()),
         gone = Some(batchIds), sortBy = Seq("cluster"))
     }
   }
@@ -1940,7 +2028,8 @@ final class Collection private (
     try {
       val after = survivors.count()
       if (after != before) {
-        Stores.overwritePartition(spark, docsDir, name, survivors)
+        Stores.overwritePartition(spark, docsDir, name, survivors,
+          sortBy = Seq("id"), rangeBy = Seq("id"))
         refreshIndexesFull(survivors)
       }
       before - after

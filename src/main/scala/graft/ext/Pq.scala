@@ -216,7 +216,7 @@ object PqCodebook {
 object Pq {
 
   /** L2-normalize an ARRAY<FLOAT>/ARRAY<DOUBLE> column (zero vector stays). */
-  private[ext] def l2normalize(v: Column): Column = {
+  private[graft] def l2normalize(v: Column): Column = {
     val dv = v.cast(ArrayType(DoubleType))
     val n = sqrt(aggregate(dv, lit(0.0), (a, x) => a + x * x))
     when(n === 0.0, dv).otherwise(transform(dv, x => x / n)).cast(ArrayType(FloatType))
@@ -234,11 +234,21 @@ object Pq {
             m: Int = 8, k: Int = 256, iters: Int = 10,
             maxSample: Int = 20000, seed: Long = 42L,
             normalize: Boolean = true): PqCodebook = {
-    require(m >= 1 && k >= 1 && k <= 256, "1 <= m, 1 <= k <= 256")
     val rows = Ivf.boundedSample(corpus, embCol, 1.0, maxSample, seed)
       .collect().map(_.getSeq[Float](0).toArray)
     require(rows.nonEmpty, "Pq.train: corpus has no embedded rows")
-    val vecs = if (normalize) rows.map(normalizeVec) else rows
+    trainVecs(if (normalize) rows.map(normalizeVec) else rows, m, k, iters)
+  }
+
+  /** [[train]] over an already-collected (and already-preprocessed: caller
+    * normalizes / residualizes) sample — the arm the IVF-PQ build's
+    * measured raw-vs-residual codebook selection uses, so both candidates
+    * train on the identical sample.
+    */
+  private[graft] def trainVecs(vecs: Array[Array[Float]], m: Int, k: Int,
+                               iters: Int): PqCodebook = {
+    require(m >= 1 && k >= 1 && k <= 256, "1 <= m, 1 <= k <= 256")
+    require(vecs.nonEmpty, "Pq.trainVecs: empty sample")
     val dim = vecs.map(_.length).max
     require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
     val dsub = dim / m
@@ -270,6 +280,41 @@ object Pq {
       if (b.size >= k) b else b ++ Seq.fill(k - b.size)(b.last)
     }
     PqCodebook(m, dsub, padded.map(_.map(_.toSeq)))
+  }
+
+  /** Mean squared reconstruction error of `cb` over an already-preprocessed
+    * sample — the model-selection metric the IVF-PQ build uses to choose
+    * raw-vs-residual encoding (lower MSE ⇒ the ADC dot product tracks the
+    * true dot more closely). Driver-side, O(sample × m × k × dsub).
+    */
+  private[graft] def reconstructionMse(vecs: Array[Array[Float]],
+                                       cb: PqCodebook): Double = {
+    var total = 0.0
+    vecs.foreach { v =>
+      var s = 0
+      while (s < cb.m) {
+        val off = s * cb.dsub
+        val words = cb.books(s)
+        var best = Double.MaxValue
+        var w = 0
+        while (w < words.size) {
+          val word = words(w)
+          var dist = 0.0
+          var d = 0
+          while (d < cb.dsub) {
+            val x = if (off + d < v.length) v(off + d) else 0.0f
+            val df = x - word(d)
+            dist += df * df
+            d += 1
+          }
+          if (dist < best) best = dist
+          w += 1
+        }
+        total += best
+        s += 1
+      }
+    }
+    total / math.max(1, vecs.length)
   }
 
   /** Plain L2 Lloyd on driver-side subvectors: init = first k DISTINCT
@@ -357,6 +402,58 @@ object Pq {
       codes
         .withColumn("score", Bridge.column(
           PqAdcScore(Bridge.expression(col("codes")), lut)))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(k)
+        .select(lit(qid).as("qid"), col("id"), col("score"))
+    }.reduce(_ unionByName _)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)))
+      .select(col("qid"), col("rn"), col("id"), col("score"))
+  }
+
+  /** The residual of a vector against its coarse centroid:
+    * `l2normalize(emb) − centroid[cluster]` (cluster 0-based, centroid
+    * table rides in the expression). The FAISS-standard IVF-PQ encoding
+    * input: residual norms are a fraction of the vector's, so the same
+    * (m, k) codebook budget spends its codewords on a much smaller cell —
+    * finer quantization at identical code size.
+    */
+  def residualCol(emb: Column, clusterCol: Column, cents: Seq[Seq[Float]]): Column =
+    zip_with(l2normalize(emb),
+      element_at(typedLit(cents.map(_.toSeq)), clusterCol.cast("int") + 1),
+      (x, y) => x - y)
+
+  /** ADC top-k over RESIDUAL-encoded IVF-PQ rows (id, cluster, codes):
+    * score = q·centroid[cluster] + LUT(codes), the exact decomposition
+    * q·(c + r̂) — the per-cluster constant is a literal array lookup, so
+    * candidate selection stays one codes scan plus the per-partition
+    * k-heap, same plan as [[adcTopK]].
+    */
+  def adcTopKResidual(rows: DataFrame, cb: PqCodebook, cents: Seq[Seq[Float]],
+                      queries: Seq[(String, Seq[Float])], k: Int): DataFrame = {
+    require(queries.map(_._1).distinct.size == queries.size, "duplicate query ids")
+    if (queries.isEmpty)
+      return rows.select(lit("").as("qid"), lit(1).as("rn"), col("id"),
+        lit(0.0).as("score")).limit(0)
+    queries.map { case (qid, q0) =>
+      val q = normalizeVec(q0.toArray)
+      val lut = cb.books.zipWithIndex.map { case (words, s) =>
+        val off = s * cb.dsub
+        words.map { w =>
+          var dot = 0.0
+          var d = 0
+          while (d < cb.dsub) {
+            if (off + d < q.length) dot += q(off + d).toDouble * w(d)
+            d += 1
+          }
+          dot
+        }
+      }
+      val cdots = cents.map(c => graft.functions.VectorFunctions.dotMin(q, c.toArray))
+      rows
+        .withColumn("score",
+          Bridge.column(PqAdcScore(Bridge.expression(col("codes")), lut)) +
+            element_at(typedLit(cdots), col("cluster").cast("int") + 1))
         .orderBy(col("score").desc, col("id").asc)
         .limit(k)
         .select(lit(qid).as("qid"), col("id"), col("score"))

@@ -141,7 +141,11 @@ object Stores {
     StructField("cand_k", IntegerType, nullable = false),
     StructField("iters", IntegerType, nullable = false),
     StructField("max_sample", IntegerType, nullable = false),
-    StructField("seed", LongType, nullable = false)
+    StructField("seed", LongType, nullable = false),
+    // true = IVF-PQ codes are residuals (vector − coarse centroid); NULL in
+    // pre-residual stores reads as raw encoding, so old indexes keep
+    // serving correctly until their next rebuild
+    StructField("residual", BooleanType, nullable = true)
   ))
 
   /** annivfpq: one row per embedded doc — its coarse IVF list plus its

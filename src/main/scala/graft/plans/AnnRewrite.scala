@@ -37,6 +37,14 @@ import scala.collection.concurrent.TrieMap
   * Scope: the corpus must scan a registered parquet path (the shape of every
   * graft store); the first sort key must be the cosine DESC between the
   * registered embedding column and a literal query vector.
+  *
+  * FILTERED top-k (`WHERE meta … ORDER BY cosine LIMIT k`, the X115 serving
+  * shape) rewrites through the same two patterns: the optimizer pushes the
+  * Filter below the Sort, so it lands INSIDE `child` and the candidate semi
+  * join applies to the filtered corpus — X115's intersect-then-rerank
+  * contract, with bucket-complete candidates (no k×overfetch cut to
+  * under-fill). Pinned by AnnRewriteSpec ("metadata-filtered …" and the
+  * vectorTopKWhere-parity case).
   */
 object AnnCatalog {
 
@@ -96,13 +104,22 @@ object AnnCatalog {
     */
   final case class IvfPqRegistered(rows: DataFrame, cents: Seq[Seq[Float]],
                                    cb: graft.ext.PqCodebook, nprobe: Int,
-                                   candK: Int) extends Registered {
+                                   candK: Int, residual: Boolean = false)
+      extends Registered {
     def candidates(spark: SparkSession, qvec: Seq[Float]): Option[DataFrame] = {
       val lists = graft.ext.Ivf.nearestCentroidIds(
         qvec, cents, math.min(nprobe, cents.size))
-      Some(graft.ext.Pq.adcTopK(
-        rows.filter(col("cluster").isin(lists: _*)).select(col("id"), col("codes")),
-        cb, Seq(("q", qvec)), candK).select(col("id")))
+      val probed = rows.filter(col("cluster").isin(lists: _*))
+      // residual stores score q·centroid[cluster] + LUT(codes); raw stores
+      // keep the plain LUT scan — the flag travels with the registration
+      Some((if (residual)
+        graft.ext.Pq.adcTopKResidual(
+          probed.select(col("id"), col("cluster"), col("codes")),
+          cb, cents, Seq(("q", qvec)), candK)
+      else
+        graft.ext.Pq.adcTopK(
+          probed.select(col("id"), col("codes")),
+          cb, Seq(("q", qvec)), candK)).select(col("id")))
     }
   }
 

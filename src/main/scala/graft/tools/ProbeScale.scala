@@ -366,6 +366,83 @@ object ProbeScale {
         s"PROBE   rows = ${left.join(right, Seq("id")).count()}"))
       writeOut(); return
     }
+    // `r14ops` = ingest + the impact-ordered postings sidecar at corpus size
+    // (run with copies=400 -> 2M docs). The replicated corpus is tf-flat
+    // (max organic tf ~9 — BM25's tf-part saturates, no bounded certificate
+    // exists), so 500 high-tf docs are PLANTED for 'customer'; then the
+    // serving claim is pinned with numbers: a certified single-term top-10
+    // touches O(cap) sidecar rows + a k-id pruned docs fetch — never the
+    // term's ~1.6M-row postings list — while the full BM25 path pays the
+    // whole list. Also pins both range layouts (postings by term, docs by
+    // id) at corpus scale via scan-emitted row counts.
+    if (mode.contains("r14ops")) {
+      import graft.index.Stores
+      // 16 MB target partitions for the probe's store writes: the template
+      // corpus compresses ~10x, and the default 64 MB advisory would fold
+      // even 2M docs into a couple of files — at 100 TB the file count comes
+      // from data volume, here it has to come from the advisory so the
+      // layout pins measure a multi-file store
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16777216")
+      def runScanned(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val rows = df.queryExecution.toRdd.count()
+        (rows, ScanStats.scanOutputRows(df.queryExecution.executedPlan))
+      }
+      val heavy = spark.range(500).select(
+        concat(lit("hv"), $"id".cast("string")).as("id"),
+        concat(concat_ws(" ", transform(
+            sequence(lit(1), (lit(40) + $"id" % 97).cast("int")),
+            _ => lit("customer"))), lit(" needle")).as("content"),
+        map(lit("lang"), lit("en")).as("metadata"))
+      c.addDf(heavy)
+      time("compact_2m_sec")(c.compact()) // range layouts: postings by term, docs by id
+      time("impact_build_2m_sec")(c.createImpactIndex(cap = 1024))
+
+      // layout pins at corpus scale
+      val post = Stores.readPartition(spark, Stores.postingsDir(root), "big",
+        Stores.postingsSchema)
+      val totalPost = post.count()
+      val (dfCust, termScanned) = runScanned(post.filter($"term" === "customer"))
+      println(s"PROBE   postings term=customer df=$dfCust scanned=$termScanned of $totalPost")
+      metrics += ("postings_total_rows" -> totalPost, "customer_df" -> dfCust,
+        "postings_term_scanned_rows" -> termScanned)
+      require(termScanned * 2 <= totalPost,
+        s"range layout must skip postings files at 2M docs ($termScanned of $totalPost)")
+      val wanted = (0 until 10).map(i => s"hv${i * 37}")
+      val (nd, docScanned) = runScanned(c.docs().filter($"id".isin(wanted: _*)))
+      println(s"PROBE   docs fetch n=$nd scanned=$docScanned of $n")
+      metrics += ("docs_fetch_scanned_rows" -> docScanned)
+      require(nd == 10 && docScanned * 2 <= n,
+        s"id-clustered docs fetch must skip files at 2M docs ($docScanned of $n)")
+
+      // serving: certified path must engage, answer from O(cap) rows
+      val served = c.impactCertifiedTopK("customer", 10, 0)
+      require(served.nonEmpty, "2M-doc single-term top-10 must certify")
+      require(served.get.select($"id").collect().forall(_.getString(0).startsWith("hv")),
+        "planted docs must own the top-10")
+      val candRows = Stores.readPartition(spark, Stores.impactDir(root), "big",
+        Stores.impactSchema).filter($"term" === "customer").count()
+      println(s"PROBE   impact candidates for term = $candRows (cap 1024, df $dfCust)")
+      metrics += ("impact_candidate_rows" -> candRows)
+      require(candRows <= 1024L, "sidecar must hold at most cap rows per term")
+      time("impact_serve_10q_sec")(
+        (1 to 10).foreach(_ => c.searchTopK("customer", 10).collect()))
+      time("full_bm25_topk_10q_sec")(
+        (1 to 10).foreach(_ => c.queryFrame("customer", limit = 10).collect()))
+
+      // O(batch) maintenance at 2M: a small pure-insert delta must keep the
+      // sidecar servable (updated exact df) without any rebuild
+      val batch2 = spark.range(200).select(
+        concat(lit("hw"), $"id".cast("string")).as("id"),
+        concat(concat_ws(" ", transform(
+            sequence(lit(1), (lit(40) + $"id" % 89).cast("int")),
+            _ => lit("customer"))), lit(" needle gadget")).as("content"),
+        map(lit("lang"), lit("en")).as("metadata"))
+      time("impact_upsert_200_sec")(c.addDf(batch2))
+      require(c.impactCertifiedTopK("customer", 10, 0).nonEmpty,
+        "post-upsert serve must stay certified at 2M docs")
+      time("impact_serve_after_upsert_sec")(c.searchTopK("customer", 10).collect())
+      writeOut(); return
+    }
     // `newops` = ingest + the round-6 training-pipeline operators only:
     // cross-corpus dedup, duplicated-substring spans, chunking, unigram
     // perplexity, shard shuffle, length histogram, and SemDeDup at 100k

@@ -102,6 +102,60 @@ class AnnRewriteSpec extends AnyFunSuite {
     } finally AnnCatalog.clear()
   }
 
+  test("metadata-filtered cosine top-k rewrites to the semi join (X115 through F2)") {
+    // WHERE meta_pred ... ORDER BY cosine DESC LIMIT k — the filtered
+    // serving shape (r13 punch #6). The optimizer pushes the Filter below
+    // the Sort, so the candidate semi join lands on the FILTERED corpus:
+    // X115's intersect-then-rerank contract, with bucket-complete
+    // candidates (better recall than a k×overfetch cut).
+    AnnCatalog.install(spark)
+    val rows = (0 until 100).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v((i % 2) * 4) = 1.0f
+      v((i % 2) * 4 + 1) = 0.01f * (i % 7)
+      (f"v$i%03d", v.toSeq, if (i % 3 == 0) "a" else "b")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-annrwf-").toString
+    val path = s"$dir/corpus.parquet"
+    rows.toDF("id", "embedding", "grp")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(path)
+    val corpus = spark.read.parquet(path)
+    try {
+      def filteredTopK(k: Int): DataFrame =
+        corpus.filter(col("grp") === "a")
+          .withColumn("sim", VectorFunctions.cosine(col("embedding"), VectorFunctions.vecLit(q)))
+          .orderBy(col("sim").desc, col("id").asc)
+          .limit(k)
+      val exact = filteredTopK(5).select("id").as[String].collect().toSeq
+      assert(exact.size === 5 && !hasSemiJoin(filteredTopK(5)))
+
+      val index = LshIndex.build(corpus, numTables = 8, numPlanes = 2, dim = 8)
+      AnnCatalog.register(spark, path,
+        AnnCatalog.Entry("id", "embedding", AnnCatalog.LshRegistered(index)))
+
+      val rewritten = filteredTopK(5)
+      assert(hasSemiJoin(rewritten), "filtered top-k must serve from the index")
+      assert(rewritten.collect().map(_.getString(0)).toSeq === exact,
+        "filter ∩ candidates rerank must equal the exact filtered top-k")
+      // the filter must still reach the scan side (below the semi join),
+      // not run post-rerank — post-rerank filtering would under-fill k
+      val planStr = rewritten.queryExecution.executedPlan.toString
+      assert(planStr.contains("LeftSemi"))
+
+      // the same shape through SQL (the pgvector-user surface)
+      corpus.createOrReplaceTempView("annf_corpus")
+      graft.plans.GraftFunctions.register(spark)
+      val lit = q.map(v => f"${v}%.2fF").mkString("array(", ", ", ")")
+      val viaSql = spark.sql(
+        s"""SELECT id, graft_cosine(embedding, cast($lit as array<float>)) AS sim
+           |FROM annf_corpus WHERE grp = 'a'
+           |ORDER BY sim DESC, id ASC LIMIT 5""".stripMargin)
+      assert(hasSemiJoin(viaSql), "SQL filtered top-k must rewrite too")
+      assert(viaSql.select("id").as[String].collect().toSeq === exact)
+    } finally AnnCatalog.clear()
+  }
+
   test("Collection.createVectorIndex arms the rewrite for its docs store") {
     import graft.api.{Collection, Embedder}
     AnnCatalog.install(spark)
@@ -131,6 +185,40 @@ class AnnRewriteSpec extends AnyFunSuite {
       c.deleteAll()
       c.add(Seq("cat doc after reset"))
       assert(!hasSemiJoin(topK(c.docs(), 5)))
+    } finally AnnCatalog.clear()
+  }
+
+  test("SQL metadata filter over an armed docs store matches vectorTopKWhere") {
+    import graft.api.{Collection, Embedder}
+    AnnCatalog.install(spark)
+    object AxisEmbedder extends Embedder {
+      def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+        val v = Array.fill(8)(0.0f)
+        v(if (t.contains("cat")) 0 else 4) = 1.0f
+        v(1) = 0.001f * (t.length % 9)
+        v
+      }
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-annrw-fw-").toString
+    val c = Collection(spark, root, "rwf", Some(AxisEmbedder))
+    try {
+      c.addDf((1 to 60).map(i =>
+          (f"d$i%03d", if (i % 2 == 0) s"cat doc $i" else s"dog doc $i",
+            Map("grp" -> (if (i % 3 == 0) "a" else "b"))))
+        .toDF("id", "content", "metadata"))
+      c.createVectorIndex(numTables = 8, numPlanes = 2, dim = 8)
+      // the filtered serving shape on the MAP metadata column, through the
+      // armed docs-store scan
+      val filtered = c.docs().filter(element_at(col("metadata"), "grp") === "a")
+        .withColumn("sim", VectorFunctions.cosine(col("embedding"), VectorFunctions.vecLit(q)))
+        .orderBy(col("sim").desc, col("id").asc).limit(5)
+      assert(hasSemiJoin(filtered),
+        "metadata-filtered top-k over an armed store must serve from the index")
+      val got = filtered.select("id").as[String].collect().toSeq
+      // ≡ the X115 API's answer for the same (query, k, where)
+      val x115 = c.vectorTopKWhere(Seq(("q", q)), 5, Map("grp" -> "a"))
+        .orderBy(col("rn")).select("id").as[String].collect().toSeq
+      assert(got === x115, "F2 filtered plan and vectorTopKWhere must agree")
     } finally AnnCatalog.clear()
   }
 

@@ -599,9 +599,20 @@ class CollectionSpec extends AnyFunSuite {
     val (cents1, cb1, rows1, _, _) = c.ivfPqIndex().get
     val resolved = rows1.collect()
       .map(r => (r.getString(0), r.getInt(1), r.getSeq[Byte](2))).toSet
-    val fresh = graft.ext.Ivf.assign(c.docs(), cents1)
-      .join(graft.ext.Pq.encode(c.docs(), cb1), Seq("id"))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getSeq[Byte](2))).toSet
+    // fresh derivation mirrors the STORED encoding flag (r14: measured
+    // raw-vs-residual selection, persisted with the books)
+    val fresh = {
+      import org.apache.spark.sql.functions.{col => fcol}
+      val enc =
+        if (c.ivfPqResidual())
+          graft.ext.Pq.encodeCol(graft.ext.Pq.residualCol(
+            fcol("embedding"), fcol("cluster"), cents1), cb1, normalize = false)
+        else graft.ext.Pq.encodeCol(fcol("embedding"), cb1)
+      graft.ext.Ivf.assign(c.docs(), cents1)
+        .join(c.docs().select(fcol("id"), fcol("embedding")), Seq("id"))
+        .select(fcol("id"), fcol("cluster"), enc.as("codes"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getSeq[Byte](2))).toSet
+    }
     assert(resolved === fresh && resolved.map(_._1) === Set("a", "b", "d"))
     // delete removes the doc's row
     c.delete(Seq("a"))

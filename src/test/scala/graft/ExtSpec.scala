@@ -2196,6 +2196,97 @@ class ExtSpec extends AnyFunSuite {
     assert(rec >= 0.9, s"recall $rec")
   }
 
+  test("IVF-PQ residual encoding: wins where the coarse quantizer captures variance") {
+    // The r13 carry #3 claim, pinned as a measurement in the regime where
+    // it holds: with enough coarse centroids (kc=128 over these 2k vecs,
+    // avg residual norm ~0.84 vs 1.0) residual codes rank closer to exact
+    // cosine than raw codes at the identical (m=8, k=256) budget. ADC-ONLY
+    // recall (no float rerank, full coverage) isolates encoding quality.
+    // At kc=16 the SAME comparison flips (residual 0.61 vs raw 0.70 —
+    // the residual cloud is as wide as the sphere but stripped of raw
+    // per-dimension structure), which is exactly why the build MEASURES
+    // the choice instead of assuming FAISS's default (next test).
+    import graft.ext.{Ivf, Pq}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").cast("string").as("id"), col("embedding"))
+    val qs = (0 until 8).map { i =>
+      i.toString -> e.filter(col("id") === i.toString).head().getSeq[Float](1).toSeq
+    }
+    val ex = Ann.exactTopK(e, qs, k = 10)
+    val m = 8 // coarse enough that quantization error is material
+    val cents = Ivf.build(e, k = 128, iters = 5, maxSample = 20000).centroids
+    // raw arm: train + encode over the normalized vectors
+    val cbRaw = Pq.train(e, m = m, k = 256, iters = 8, maxSample = 20000)
+    val recRaw = Ann.recallAtK(ex, Pq.adcTopK(Pq.encode(e, cbRaw), cbRaw, qs, k = 10))
+    // residual arm: the ivfpq residual recipe
+    val assigned = e.select(col("id"), col("embedding"),
+      element_at(Ivf.nearestCentroidCol(col("embedding"), cents, 1), 1).as("cluster"))
+    val residuals = assigned.select(
+      Pq.residualCol(col("embedding"), col("cluster"), cents).as("embedding"))
+    val cbRes = Pq.train(residuals, m = m, k = 256, iters = 8, maxSample = 20000,
+      normalize = false)
+    val rows = assigned.select(col("id"), col("cluster"),
+      Pq.encodeCol(Pq.residualCol(col("embedding"), col("cluster"), cents),
+        cbRes, normalize = false).as("codes"))
+    val recRes = Ann.recallAtK(ex, Pq.adcTopKResidual(rows, cbRes, cents, qs, k = 10))
+    info(s"ADC-only recall@10, m=$m kc=128: raw=$recRaw residual=$recRes")
+    assert(recRes >= recRaw,
+      s"residual encoding must win at kc=128 (raw=$recRaw residual=$recRes)")
+    // the MSE metric the build selects on must agree with the recall order
+    val sampleNorm = e.collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      if (n == 0.0) v else v.map(x => (x / n).toFloat)
+    }
+    val centArr = cents.map(_.toArray).toArray
+    val sampleRes = sampleNorm.map { v =>
+      var best = 0; var bd = Double.NegativeInfinity; var c = 0
+      while (c < centArr.length) {
+        val d = graft.functions.VectorFunctions.dotMin(v, centArr(c))
+        if (d > bd) { best = c; bd = d }; c += 1
+      }
+      val ctr = centArr(best)
+      Array.tabulate(v.length)(d => v(d) - (if (d < ctr.length) ctr(d) else 0.0f))
+    }
+    val mseRaw = Pq.reconstructionMse(sampleNorm, cbRaw)
+    val mseRes = Pq.reconstructionMse(sampleRes, cbRes)
+    info(f"reconstruction MSE: raw=$mseRaw%.5f residual=$mseRes%.5f")
+    assert(mseRes < mseRaw, "selection metric must prefer residual here")
+  }
+
+  test("IVF-PQ build measures raw-vs-residual and picks residual on clustered data") {
+    // 4 well-separated direction blobs with CONTINUOUS within-blob noise
+    // (far more distinct subvectors than the 256-word budget, so neither
+    // encoding can just memorize): the coarse quantizer nails the blobs,
+    // residuals collapse to the small noise ball, and the measured
+    // selection MUST choose residual — then serving (which restores
+    // q·centroid per row) stays exact at full coverage.
+    import graft.api.Collection
+    val rows = (0 until 800).map { i =>
+      val j = i % 4
+      val v = Array.tabulate(8) { d =>
+        val base = if (d / 2 == j) 0.7f else 0.0f
+        base + (0.05 * math.sin(i * 0.37 + d * 1.3)).toFloat
+      }
+      (f"b$i%03d", "", v.toSeq)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-respick-").toString
+    val c = Collection(spark, root, "blobs", useFts = false)
+    c.addDf(rows.toDF("id", "content", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>")))
+    c.createVectorIndex(kind = "ivfpq", numCentroids = 4, nprobe = 4,
+      m = 2, candK = 800, iters = 5)
+    assert(c.ivfPqResidual(), "clustered corpus must select residual encoding")
+    val q = {
+      val v = Array.fill(8)(0.0f); v(0) = 0.7f; v(1) = 0.68f; v.toSeq
+    }
+    val exact = graft.ext.Ann.exactTopK(c.docs(), Seq(("q", q)), 10)
+      .select("id").as[String].collect().toSet
+    val served = c.vectorTopK(Seq(("q", q)), 10)
+      .select("id").as[String].collect().toSet
+    assert(served === exact, "full-coverage residual probe must be exact")
+  }
+
   test("budgetSample: greedy fill in draw order, one overshoot doc, growth-stable") {
     import graft.ext.Pipeline
     val d = Seq(
