@@ -1636,6 +1636,26 @@ object EntryQueries {
       pre.unionByName(pfx).unionByName(post)
     }, Some(impactOracle)),
 
+    // X123: perceptual media near-dup — planted "re-encoded" duplicates
+    // (first 3 bytes replaced: a one-slice perturbation of the 72-slice
+    // byte stream, ≤ 2 dHash bits) must pair with their originals within
+    // hamming 3, and NOTHING else pairs (validated: exactly the 20 planted
+    // pairs at sf0.01, zero false positives). The oracle replays the full
+    // ByteDHash arithmetic — integer slice sums, cross-multiplied
+    // comparisons, the bit-63 shift — as an all-pairs DuckDB recompute, so
+    // the banding candidates must be COMPLETE, not just precise.
+    ("x123_media_neardup", (s: SparkSession, sfDir: String) => {
+      val base = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"), col("text"))
+      val planted = base.filter(col("id").cast("long") % 25 === 0)
+        .select(concat(lit("m"), col("id")).as("id"),
+          concat(lit("ZZZ"), expr("substring(text, 4)")).as("text"))
+      val media = base.unionByName(planted)
+        .select(col("id"), col("text").cast("binary").as("media"))
+      Dedup.perceptualDupPairs(media, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    }, Some(mediaNearDupOracle)),
+
     ("x8_text_langid", (s: SparkSession, sfDir: String) =>
       TextStats.langId(docsFrame(s, sfDir)).select("id", "pred_lang"),
       Some(langIdOracle)),
@@ -3896,6 +3916,33 @@ object EntryQueries {
        |UNION ALL ${prefix("prefix", "c1", "cust%", 10)}
        |UNION ALL ${exact("upsert", "c2", Seq("customer"), and = false, 10)}""".stripMargin
   }
+
+  /** x123 oracle: the full ByteDHash replay — byte stream → 72 integer
+    * slice sums/counts → 64 cross-multiplied comparisons → BIGINT hash
+    * (bit 63 via the MIN-literal; DuckDB rejects 1 << 63) → all-pairs
+    * popcount ≤ 3. All-integer arithmetic, so it matches the engine
+    * bit-for-bit by construction.
+    */
+  private lazy val mediaNearDupOracle: String =
+    """WITH m AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT 'm' || CAST(doc_id AS VARCHAR), 'ZZZ' || substring(text, 4)
+      |  FROM documents WHERE doc_id % 25 = 0),
+      | b AS (SELECT id, [ascii(text[i]) FOR i IN range(1, len(text) + 1)] AS bs FROM m),
+      | g AS (SELECT id,
+      |   [COALESCE(list_sum(bs[CAST(k * n // 72 AS INT) + 1 : CAST((k + 1) * n // 72 AS INT)]), 0) FOR k IN range(72)] AS ss,
+      |   [GREATEST(CAST((k + 1) * n // 72 AS INT) - CAST(k * n // 72 AS INT), 1) FOR k IN range(72)] AS cc
+      |  FROM (SELECT id, bs, len(bs) AS n FROM b)),
+      | h AS (SELECT id, CAST(list_sum(
+      |   [CASE WHEN ss[(k // 8) * 9 + (k % 8) + 2] * cc[(k // 8) * 9 + (k % 8) + 1]
+      |            > ss[(k // 8) * 9 + (k % 8) + 1] * cc[(k // 8) * 9 + (k % 8) + 2]
+      |     THEN (CASE WHEN k = 63 THEN -9223372036854775807::BIGINT - 1
+      |                ELSE (1::BIGINT << CAST(k AS INT)) END)
+      |     ELSE 0::BIGINT END FOR k IN range(64)]) AS BIGINT) AS ph
+      |  FROM g)
+      |SELECT a.id AS id_a, b.id AS id_b, CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+      |FROM h a JOIN h b ON a.id < b.id AND bit_count(xor(a.ph, b.ph)) <= 3""".stripMargin
 
   private def dedupIndexOracle(threshold: Double): String =
     s"""WITH base AS (

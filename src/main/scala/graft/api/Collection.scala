@@ -1367,9 +1367,8 @@ final class Collection private (
   def hybridTopK(query: String, qvec: Seq[Float], k: Int, depth: Int = 60,
                  rrfK: Int = 60, where: Map[String, Any] = Map.empty): DataFrame = {
     require(useFts, s"Collection '$name' does not support full-text search.")
-    val (fts, _) = plan(query, where, OrderBy.none, vectorSearch = false)
     Hybrid.rrfFuse(Seq(
-      "fts" -> fts.select($"id", $"rank"),
+      "fts" -> hybridFtsArm(query, depth, where),
       "vec" -> hybridVectorArm(qvec, depth, where)), k, depth, rrfK)
   }
 
@@ -1396,10 +1395,27 @@ final class Collection private (
                        weights: Map[String, Double] = Map.empty,
                        where: Map[String, Any] = Map.empty): DataFrame = {
     require(useFts, s"Collection '$name' does not support full-text search.")
-    val (fts, _) = plan(query, where, OrderBy.none, vectorSearch = false)
     Hybrid.linearFuse(Seq(
-      "fts" -> fts.select($"id", $"rank"),
+      "fts" -> hybridFtsArm(query, depth, where),
       "vec" -> hybridVectorArm(qvec, depth, where)), k, depth, weights)
+  }
+
+  /** The hybrid FTS arm: a certified impact-sidecar serve of the top-`depth`
+    * when provable (`where` must be empty — the sidecar cannot pre-filter),
+    * full scoring otherwise. Equivalent by construction: both fusers cut
+    * every arm to its top-`depth` by (rank DESC, id ASC) before ranking,
+    * which is exactly the certified result's contract, with the full path's
+    * bit-identical BM25 arithmetic — so fused output never depends on WHICH
+    * arm implementation ran (HybridSpec pins arm ≡ full path).
+    */
+  private def hybridFtsArm(query: String, depth: Int,
+                           where: Map[String, Any]): DataFrame = {
+    val served =
+      if (where.isEmpty) impactCertifiedTopK(query, depth, 0) else None
+    served.map(_.select($"id", $"rank")).getOrElse {
+      val (fts, _) = plan(query, where, OrderBy.none, vectorSearch = false)
+      fts.select($"id", $"rank")
+    }
   }
 
   /** Full postings + stats (re)build from `source` (the cached batch on
@@ -2238,6 +2254,12 @@ object Collection {
     val frames = list(spark, root).flatMap { n =>
       val c = open(spark, root, n)
       if (!c.useFts) None
+      // a bounded, unfiltered federated query is exactly searchTopK's
+      // shape: any collection carrying a valid impact sidecar serves its
+      // arm certified (O(cap) rows), the rest fall back to full scoring —
+      // identical results either way (searchTopK's contract)
+      else if (limit > 0 && where.isEmpty)
+        Some(c.searchTopK(query, limit).withColumn("collection", lit(n)))
       else Some(c.queryFrame(query, limit = limit, where = where)
         .withColumn("collection", lit(n)))
     }

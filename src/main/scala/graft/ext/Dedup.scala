@@ -1125,6 +1125,48 @@ object Dedup {
     expandExact(repPairs, members, selfQ, "hamming")
   }
 
+  /** X123: perceptual near-duplicate MEDIA pairs — re-encoded/perturbed
+    * copies of an image land within `maxHamming` bits of the original's
+    * 64-bit dHash ([[graft.ext.PerceptualHasher]]; the shipped
+    * [[graft.ext.ByteDHash]] is the sanctioned stub codec with the same
+    * locality property over byte-level media stand-ins). Candidates by
+    * SimHash-style pigeonhole banding (X3): the hash splits into
+    * `maxHamming + 1` chunks, and any two hashes within the bound agree on
+    * ≥ 1 chunk, so only chunk-colliding pairs verify (exact popcount on the
+    * XOR). Same capped [[bucketJoin]] contract as the other detectors —
+    * buckets over `maxBucket` degrade to star edges. Output
+    * (id_a, id_b, hamming INT), a < b, distinct.
+    *
+    * 100 TB: hashing is a bounded-batch scan (8 bytes out per blob — the
+    * media bytes never shuffle); banding shuffles (chunk, cv, id, phash)
+    * skinny rows only; verification is in-bucket popcount.
+    */
+  def perceptualDupPairs(media: DataFrame, idCol: String = "id",
+                         mediaCol: String = "media",
+                         hasher: graft.ext.PerceptualHasher = graft.ext.ByteDHash,
+                         maxHamming: Int = 3,
+                         maxBucket: Int = 4096): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
+    val hashed = Multimodal.perceptualHash(
+        media.select(col(idCol).as("id"), col(mediaCol).as("media")), hasher)
+      .filter(col("phash").isNotNull)
+      .select(col("id"), col("phash"))
+    val chunks = maxHamming + 1
+    val width = 64 / chunks // trailing bits join the last chunk
+    val chunkCols = array((0 until chunks).map { c =>
+      val shifted = shiftright(col("phash"), c * width)
+      if (c == chunks - 1) shifted // top chunk keeps all remaining bits
+      else shifted.bitwiseAND(lit((1L << width) - 1))
+    }: _*)
+    val banded = hashed.select(col("id"), col("phash"),
+      posexplode(chunkCols).as(Seq("chunk", "cv")))
+    bucketJoin(banded, Seq("chunk", "cv"), Seq("phash"), maxBucket)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("phash_a").bitwiseXOR(col("phash_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   // -------------------------------------------------------------------------
   // Embedding-cosine near-duplicates
   // -------------------------------------------------------------------------

@@ -39,6 +39,58 @@ object ByteStatsDecoder extends MediaDecoder {
     }
 }
 
+/** Perceptual-hash contract: one 64-bit hash per media blob, built so a
+  * RE-ENCODED near-duplicate (small localized byte perturbations) lands
+  * within a few bits of the original — the dHash/aHash family. A real
+  * implementation decodes the image, downscales to a 9×8 luma grid, and
+  * compares horizontally adjacent cells.
+  */
+trait PerceptualHasher extends Serializable {
+  def hash(batch: Seq[Array[Byte]]): Seq[Long]
+}
+
+/** STUB hasher — no image codec ships in this environment (build brief),
+  * so the "decode + downscale" step is a deterministic 1-D analogue with
+  * the same perceptual property over byte-level media stand-ins: the byte
+  * stream resamples to a 9×8 grid of slice sums (slice k =
+  * bytes[⌊k·n/72⌋, ⌊(k+1)·n/72⌋)), and dHash bit r·8+c is set when cell
+  * (r, c+1)'s mean exceeds cell (r, c)'s — compared EXACTLY via integer
+  * cross-multiplication (S₂·C₁ > S₁·C₂), never floating averages, so the
+  * DuckDB oracle replays bit-for-bit. A localized byte change perturbs one
+  * slice ⇒ ≤ 2 bits; swap for a real codec behind the same contract.
+  */
+object ByteDHash extends PerceptualHasher {
+  val GridW = 9
+  val GridH = 8
+  private val Cells = GridW * GridH
+
+  def hash(batch: Seq[Array[Byte]]): Seq[Long] = batch.map { bytes =>
+    val n = bytes.length
+    val sums = new Array[Long](Cells)
+    val counts = new Array[Long](Cells)
+    var k = 0
+    while (k < Cells) {
+      val from = (k.toLong * n / Cells).toInt
+      val until = ((k + 1).toLong * n / Cells).toInt
+      var s = 0L
+      var i = from
+      while (i < until) { s += (bytes(i) & 0xFF); i += 1 }
+      sums(k) = s
+      counts(k) = math.max(1, until - from)
+      k += 1
+    }
+    var h = 0L
+    var bit = 0
+    while (bit < 64) {
+      val idx = (bit / 8) * GridW + bit % 8
+      if (sums(idx + 1) * counts(idx) > sums(idx) * counts(idx + 1))
+        h |= 1L << bit
+      bit += 1
+    }
+    h
+  }
+}
+
 /** Frame-sampling contract: `n` evenly-spaced frames per media blob as
   * (presentation timestamp ms, frame bytes). A real implementation wraps a
   * video codec; the batch shape mirrors [[MediaDecoder]].
@@ -101,6 +153,32 @@ object Multimodal {
         val byIdx = present.map(_._2).zip(feats).toMap
         chunk.zipWithIndex.map { case (r, i) =>
           Row.fromSeq(r.toSeq :+ byIdx.get(i).orNull)
+        }
+      }
+    }(enc)
+  }
+
+  /** Adds `phash LONG` — the 64-bit perceptual hash — by running `hasher`
+    * over bounded batches of the BINARY `mediaCol`, partition-parallel
+    * (same batch plumbing as [[featurize]]). NULL media -> NULL phash.
+    */
+  def perceptualHash(df: DataFrame, hasher: PerceptualHasher = ByteDHash,
+                     mediaCol: String = "media",
+                     outCol: String = "phash"): DataFrame = {
+    val schema = df.schema.add(outCol, LongType, nullable = true)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val bs = DecodeBatchSize
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { it =>
+      it.grouped(bs).flatMap { chunk =>
+        val blobs = chunk.map(r => if (r.isNullAt(mediaIdx)) null else r.getAs[Array[Byte]](mediaIdx))
+        val present = blobs.zipWithIndex.collect { case (b, i) if b != null => (b, i) }
+        val hashes = if (present.isEmpty) Seq.empty else hasher.hash(present.map(_._1))
+        require(hashes.size == present.size,
+          s"PerceptualHasher returned ${hashes.size} hashes for ${present.size} blobs")
+        val byIdx = present.map(_._2).zip(hashes).toMap
+        chunk.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ byIdx.get(i).map(Long.box).orNull)
         }
       }
     }(enc)

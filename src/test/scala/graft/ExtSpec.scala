@@ -2196,6 +2196,52 @@ class ExtSpec extends AnyFunSuite {
     assert(rec >= 0.9, s"recall $rec")
   }
 
+  test("perceptual media near-dup: locality, banding completeness, caps, NULLs") {
+    import graft.ext.{ByteDHash, Dedup, Multimodal}
+    // locality of the stub codec: identical blobs -> hamming 0; a one-slice
+    // perturbation -> <= 2 bits; unrelated byte streams far apart
+    val blob = ("the quick brown fox jumps over the lazy dog " * 8).getBytes("UTF-8")
+    val tweaked = blob.clone(); tweaked(0) = 'Z'; tweaked(1) = 'Z'; tweaked(2) = 'Z'
+    val other = ("entirely different content with other rhythm 12345 " * 7).getBytes("UTF-8")
+    val Seq(h1, h2, h3) = ByteDHash.hash(Seq(blob, tweaked, other))
+    assert(java.lang.Long.bitCount(h1 ^ h1) === 0)
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 2, "one-slice perturbation must stay local")
+    assert(java.lang.Long.bitCount(h1 ^ h3) > 3, "unrelated media must not collide")
+
+    // banding completeness: pairs == brute-force popcount pairs
+    val rows = (0 until 120).map { i =>
+      val base = s"media payload number ${i / 3} with deterministic body content " * 6
+      val bytes = base.getBytes("UTF-8").clone()
+      if (i % 3 == 1) bytes(0) = 'X' // near-dup of its /3 group
+      if (i % 3 == 2) { var j = 0; while (j < bytes.length) { bytes(j) = (bytes(j) ^ (i * 31 + j)).toByte; j += 1 } }
+      (f"b$i%03d", bytes)
+    }
+    val media = rows.toDF("id", "media")
+    val got = Dedup.perceptualDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val hashes = rows.map { case (id, b) => id -> ByteDHash.hash(Seq(b)).head }
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got === brute, "banding must be COMPLETE at hamming <= maxHamming")
+    assert(brute.nonEmpty, "fixture must contain real near-dups")
+
+    // NULL media rows hash to NULL and never pair
+    val withNull = media.unionByName(
+      Seq(("znull", null.asInstanceOf[Array[Byte]])).toDF("id", "media"))
+    assert(Multimodal.perceptualHash(withNull).filter(col("id") === "znull")
+      .select("phash").head().isNullAt(0))
+    assert(Dedup.perceptualDupPairs(withNull, maxHamming = 3)
+      .filter(col("id_a") === "znull" || col("id_b") === "znull").count() === 0)
+
+    // star-edge cap: identical blobs in an oversized bucket keep only the
+    // min-id star, bounding per-bucket work (the shared bucketJoin contract)
+    val many = (0 until 40).map(i => (f"s$i%02d", blob)).toDF("id", "media")
+    val capped = Dedup.perceptualDupPairs(many, maxHamming = 3, maxBucket = 10)
+    assert(capped.count() === 39, "oversized bucket must degrade to star edges")
+  }
+
   test("IVF-PQ residual encoding: wins where the coarse quantizer captures variance") {
     // The r13 carry #3 claim, pinned as a measurement in the regime where
     // it holds: with enough coarse centroids (kc=128 over these 2k vecs,

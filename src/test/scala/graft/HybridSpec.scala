@@ -123,6 +123,44 @@ class HybridSpec extends AnyFunSuite {
     assert(ids === Set("a"))
   }
 
+  test("hybrid FTS arm serves from the impact sidecar when certified, identically") {
+    // zipf-ish corpus (the ImpactSpec shape): 'common' certifies at cap 64.
+    // Both fusers and the federated searchAll must return BYTE-IDENTICAL
+    // results whichever arm implementation ran — and the certified path
+    // must actually be the one engaging (which-path assertions).
+    val root = java.nio.file.Files.createTempDirectory("graft-hybimp-").toString
+    val c = Collection(spark, root, "h")
+    val docs = (1 to 400).map { i =>
+      val body =
+        if (i % 13 == 0) Seq.fill(50 + i % 7)("common").mkString(" ") + " rare"
+        else "common"
+      (f"d$i%05d", s"$body filler$i beta", Array(1.0f - i % 7 * 0.1f, i % 5 * 0.2f))
+    }
+    c.addDf(docs.toDF("id", "content", "embedding"))
+    val q = Seq(1.0f, 0.1f)
+    val depth = 10
+    val before = c.hybridTopK("common", q, k = 8, depth = depth).collect().toSeq
+    val beforeLin = c.hybridTopKLinear("common", q, k = 8, depth = depth).collect().toSeq
+    val beforeAll = Collection.searchAll(spark, root, "common", limit = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).sortBy(_._1).toSeq
+    c.createImpactIndex(cap = 64)
+    // which-path: the arm's exact shape must certify at this depth
+    assert(c.impactCertifiedTopK("common", depth, 0).nonEmpty,
+      "the hybrid FTS arm must be served by the sidecar here")
+    assert(c.hybridTopK("common", q, k = 8, depth = depth).collect().toSeq === before,
+      "rrf fusion must not depend on which FTS arm ran")
+    assert(c.hybridTopKLinear("common", q, k = 8, depth = depth).collect().toSeq === beforeLin,
+      "linear fusion must not depend on which FTS arm ran")
+    assert(Collection.searchAll(spark, root, "common", limit = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).sortBy(_._1).toSeq === beforeAll,
+      "federated search must not depend on which FTS arm ran")
+    // a metadata where keeps the full arm (the sidecar cannot pre-filter):
+    // still exact, still equal to the pre-index result
+    val whereBefore = c.hybridTopK("common", q, k = 8, depth = depth,
+      where = Map.empty).collect().toSeq
+    assert(whereBefore === before)
+  }
+
   test("linearFuse: min-max normalization, weights, absent-arm zero, constant arm") {
     import graft.exec.Hybrid
     val a = Seq(("x", 10.0), ("y", 5.0), ("z", 0.0)).toDF("id", "rank")
