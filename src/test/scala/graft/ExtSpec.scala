@@ -647,13 +647,19 @@ class ExtSpec extends AnyFunSuite {
     val fed = spark.sql(s"SELECT collection, id FROM graft_search_all('$root', 'ducks')")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(fed === Set(("main", "2"), ("main", "3")))
-    // time travel from SQL: upsert (delta path forced — a direct merge
-    // folds history by design) then read the pre-upsert era
+    // time travel from SQL: upsert (delta path forced, auto-compaction off —
+    // a direct merge OR a size-ratio compaction folds history by design,
+    // and this tiny base sits right at the deltas-rival-base threshold)
+    // then read the pre-upsert era
     spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+    spark.conf.set("spark.graft.compact.auto", "false")
     try {
       graft.api.Collection(spark, root, "main").addDf(
         Seq(("1", "spark makes analytics very fast")).toDF("id", "content"))
-    } finally spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+    } finally {
+      spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+      spark.conf.set("spark.graft.compact.auto", "true")
+    }
     val v0 = spark.sql(s"SELECT content FROM graft_docs_asof('$root', 'main', 0) WHERE id = '1'")
       .head().getString(0)
     assert(v0 === "spark makes analytics fast")
