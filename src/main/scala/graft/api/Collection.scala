@@ -1131,7 +1131,7 @@ final class Collection private (
     */
   private[graft] def impactCertifiedTopK(query: String, k: Int,
                                          offset: Int): Option[DataFrame] = {
-    val (cap, wm) = impactGate()
+    val (cap, wm, (nDocs, avgDl)) = impactGate()
     if (!useFts || cap.isEmpty || !wm.contains(postingsSeg())) return None
     val folded = if (foldAccents) graft.functions.StringFold.fold(query) else query
     for {
@@ -1139,7 +1139,7 @@ final class Collection private (
       (isAnd, terms) <- Bm25.flatExactTerms(ast)
       top <- graft.exec.ImpactTopK.certifiedTopK(
         Stores.readPartition(spark, impactDir, name, Stores.impactSchema),
-        impactMetaRows(), postings(), collStats(), terms, isAnd, k + offset)
+        impactMetaRows(), postings(), nDocs, avgDl, terms, isAnd, k + offset)
     } yield {
       val page = top.drop(offset)
       if (page.isEmpty)
@@ -1187,21 +1187,25 @@ final class Collection private (
     } finally r.unpersist()
   }
 
-  /** The serving gate's (cap, watermark), cached under a filesystem
-    * fingerprint of both sidecar partitions: a warm [[searchTopK]] pays two
-    * FS listings — zero Spark jobs — before the real query, instead of a
-    * rows-store head() plus a watermark filter+head per call. Any store
-    * rewrite or delta append changes the fingerprint (part files are
-    * job-unique), so staleness is impossible, including through OTHER
-    * Collection handles on the same root.
+  /** The serving gate's (cap, watermark, (n_docs, avg_dl)), cached under a
+    * filesystem fingerprint of both sidecar partitions AND the stats store:
+    * a warm [[searchTopK]] pays three FS listings — zero Spark jobs —
+    * before the real query, instead of a rows-store head(), a watermark
+    * filter+head, and a stats head() per call. Any store rewrite or delta
+    * append changes the fingerprint (part files are job-unique), so
+    * staleness is impossible, including through OTHER Collection handles
+    * on the same root.
     */
-  private def impactGate(): (Option[Int], Option[Long]) = {
+  private def impactGate(): (Option[Int], Option[Long], (Long, Double)) = {
     val fp = Stores.partitionFingerprint(spark, impactDir, name) ^
       java.lang.Long.rotateLeft(
-        Stores.partitionFingerprint(spark, impactMetaDir, name), 17)
+        Stores.partitionFingerprint(spark, impactMetaDir, name), 17) ^
+      java.lang.Long.rotateLeft(
+        Stores.partitionFingerprint(spark, statsDir, name), 34)
     Collection.impactGateCache.getOrElseUpdate((root, name, fp), {
       if (Collection.impactGateCache.size > 512) Collection.impactGateCache.clear()
-      (impactParams(), impactWatermark())
+      val st = collStats().select($"n_docs", $"avg_dl").head()
+      (impactParams(), impactWatermark(), (st.getLong(0), st.getDouble(1)))
     })
   }
 
@@ -2193,12 +2197,13 @@ object Collection {
   /** Max docs per Embedder.embed call (bounded executor memory). */
   val EmbedBatchSize: Int = 256
 
-  /** (root, name, sidecar fingerprint) -> (cap, watermark); see
-    * [[Collection.impactGate]]. Keyed by content fingerprint, so no
+  /** (root, name, sidecar+stats fingerprint) -> (cap, watermark, stats);
+    * see [[Collection.impactGate]]. Keyed by content fingerprint, so no
     * invalidation hooks — a changed store simply misses.
     */
   private[api] val impactGateCache =
-    scala.collection.concurrent.TrieMap[(String, String, Long), (Option[Int], Option[Long])]()
+    scala.collection.concurrent.TrieMap[(String, String, Long),
+      (Option[Int], Option[Long], (Long, Double))]()
 
   /** Valid collection names, same charset as the reference (core.py:94-97). */
   private val NamePattern = "[-a-zA-Z0-9_\\+~#=/]+".r

@@ -86,14 +86,11 @@ object ImpactTopK {
     * .Collection]] collectHits contract).
     */
   def certifiedTopK(rowsStore: DataFrame, metaStore: DataFrame,
-                    postings: => DataFrame, collStats: DataFrame,
+                    postings: => DataFrame, nDocs: Long, avgDl: Double,
                     terms: Seq[String], isAnd: Boolean,
                     n: Int): Option[Seq[(String, Double)]] = {
     require(n >= 1, "n >= 1")
     require(terms.nonEmpty, "terms must be non-empty")
-    val st = collStats.select(col("n_docs"), col("avg_dl")).head()
-    val nDocs = st.getLong(0)
-    val avgDl = st.getDouble(1)
     if (nDocs == 0L) return Some(Nil)
     val meta = metaStore.filter(col("id").isin(terms: _*))
       .select(col("id"), col("df"), col("bound_tf")).collect()
