@@ -1152,9 +1152,14 @@ final class Collection private (
         // layout (full rewrites rangeBy id) the parquet footer skips every
         // file outside the k ids' ranges — the broadcast join only attaches
         // ranks to the handful of surviving rows (the full path instead
-        // joins EVERY matching id before its top-k cut)
-        docs().filter($"id".isin(page.map(_._1): _*))
-          .join(broadcast(hits), Seq("id"))
+        // joins EVERY matching id before its top-k cut). Very deep pages
+        // skip the literal list (a thousands-wide In bloats codegen and
+        // degrades to a min/max range in the reader anyway) and keep the
+        // plain broadcast join.
+        val fetched =
+          if (page.size <= 1000) docs().filter($"id".isin(page.map(_._1): _*))
+          else docs()
+        fetched.join(broadcast(hits), Seq("id"))
           .select($"id", $"content", $"metadata", $"rank")
           .orderBy($"rank".desc, $"id".asc)
       }
@@ -1166,17 +1171,18 @@ final class Collection private (
     * unservable — full-path fallback — never wrong.
     */
   private def rebuildImpact(cap: Int, from: DataFrame): Unit = {
+    // emptied corpus (e.g. a merge-path delete of every doc): drop both
+    // stores, mirroring compact()'s emptied-collection branch — an empty
+    // rows store would silently lose the cap registration (impactParams()
+    // = None) and orphan two empty store dirs. Checked on the RAW frame:
+    // probing the ranked one would pay its window for a 1-row answer.
+    if (from.limit(1).isEmpty) {
+      Stores.dropPartition(spark, impactDir, name)
+      Stores.dropPartition(spark, impactMetaDir, name)
+      return
+    }
     val r = graft.exec.ImpactTopK.ranked(from).persist()
     try {
-      // emptied corpus (e.g. a merge-path delete of every doc): drop both
-      // stores, mirroring compact()'s emptied-collection branch — an empty
-      // rows store would silently lose the cap registration (impactParams()
-      // = None) and orphan two empty store dirs
-      if (r.limit(1).isEmpty) {
-        Stores.dropPartition(spark, impactDir, name)
-        Stores.dropPartition(spark, impactMetaDir, name)
-        return
-      }
       Stores.overwritePartition(spark, impactDir, name,
         graft.exec.ImpactTopK.rowsFromRanked(r, cap),
         sortBy = Seq("term"), rangeBy = Seq("term"))

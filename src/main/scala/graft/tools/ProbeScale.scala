@@ -441,6 +441,23 @@ object ProbeScale {
       require(c.impactCertifiedTopK("customer", 10, 0).nonEmpty,
         "post-upsert serve must stay certified at 2M docs")
       time("impact_serve_after_upsert_sec")(c.searchTopK("customer", 10).collect())
+
+      // X123 at corpus scale — the ADVERSARIAL case by construction: the
+      // 400-copy corpus makes every doc's byte stream near-identical to its
+      // 399 siblings (the suffix only perturbs trailing slices), so dHash
+      // buckets balloon exactly like the round-2 MinHash cliff — the capped
+      // bucketJoin must bound the work at star edges, and hashing stays a
+      // bounded-batch scan (8 bytes out per blob; media never shuffles).
+      val mbase = c.docs().select($"id", $"content")
+      val mPlanted = mbase.filter(xxhash64($"id") % 100 === 0)
+        .select(concat(lit("pm"), $"id").as("id"),
+          concat(lit("ZZZ"), expr("substring(content, 4)")).as("content"))
+      val mediaAll = mbase.unionByName(mPlanted)
+        .select($"id", $"content".cast("binary").as("media"))
+      val pPairs = time("perceptual_dedup_2m_sec")(
+        Dedup.perceptualDupPairs(mediaAll, maxHamming = 3, maxBucket = 256).count())
+      println(s"PROBE   perceptual pairs (capped) = $pPairs")
+      metrics += ("perceptual_pairs_capped" -> pPairs)
       writeOut(); return
     }
     // `newops` = ingest + the round-6 training-pipeline operators only:
