@@ -191,6 +191,48 @@ class ImpactSpec extends AnyFunSuite {
     assertSameTopK(c, "common", 10)
   }
 
+  test("randomized corpora: a certificate NEVER disagrees with full scoring") {
+    // Fixed-seed fuzz over tf-flat-ish random corpora, small caps, and k
+    // far beyond the hit counts — the regimes where a wrong certificate
+    // would hide (saturated tf-parts, under-full results, OR-dropped
+    // leaves). Whatever the sidecar certifies must equal the full path;
+    // whatever it declines must still be served exactly via fallback.
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    var served = 0
+    var declined = 0
+    for (trial <- 0 until 3) {
+      val n = 150 + trial * 70
+      val docs = (1 to n).map { i =>
+        val body = Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+        // a sparse term gives the certificates something provable: df stays
+        // at or under the cap, so bound-0 and AND-completeness can fire
+        (f"d$i%05d", if (i % 37 == 0) s"$body rarex" else body)
+      }
+      val c = Collection(spark, freshRoot(), "t")
+      c.addDf(docs.toDF("id", "content"))
+      c.createImpactIndex(cap = Seq(4, 16, 64)(trial))
+      for (q <- Seq("aa", "bb cc", "dd or ee", "aa bb cc", "gg",
+                    "rarex", "rarex aa", "rarex or zzmissing");
+           k <- Seq(3, 500)) {
+        val full = pairs(c.queryFrame(q, limit = k))
+        c.impactCertifiedTopK(q, k, 0) match {
+          case Some(f) =>
+            served += 1
+            assert(pairs(f) === full, s"trial=$trial q='$q' k=$k certified mismatch")
+          case None =>
+            declined += 1
+            assert(pairs(c.searchTopK(q, k)) === full,
+              s"trial=$trial q='$q' k=$k fallback mismatch")
+        }
+      }
+    }
+    info(s"certified serves: $served, fallbacks: $declined")
+    assert(served > 0, "fuzz must exercise the certified path")
+    assert(declined > 0, "fuzz must exercise the fallback path")
+  }
+
   test("createImpactIndex validates inputs") {
     val c = Collection(spark, freshRoot(), "t")
     intercept[IllegalArgumentException](c.createImpactIndex()) // empty collection
