@@ -1352,10 +1352,8 @@ object EntryQueries {
       val fresh = graft.ext.Ivf.assign(c.docs(), cents)
         .join(c.docs().select(col("id"), col("embedding")), Seq("id"))
         .select(col("id"), col("cluster"),
-          (if (c.ivfPqResidual())
-            Pq.encodeCol(Pq.residualCol(col("embedding"), col("cluster"), cents),
-              cb, normalize = false)
-          else Pq.encodeCol(col("embedding"), cb)).as("codes")).persist()
+          Pq.encodeFor(col("embedding"), col("cluster"), cents, cb,
+            c.ivfPqResidual()).as("codes")).persist()
       try {
         val eq = resolved.exceptAll(fresh).isEmpty &&
           fresh.exceptAll(resolved).isEmpty

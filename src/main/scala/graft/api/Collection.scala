@@ -968,13 +968,9 @@ final class Collection private (
     val assigned = batch.filter($"embedding".isNotNull).select($"id", $"embedding",
       element_at(graft.ext.Ivf.nearestCentroidCol($"embedding", cents, 1), 1)
         .as("cluster"))
-    val enc =
-      if (residual)
-        graft.ext.Pq.encodeCol(
-          graft.ext.Pq.residualCol($"embedding", $"cluster", cents),
-          cb, normalize = false)
-      else graft.ext.Pq.encodeCol($"embedding", cb)
-    assigned.select($"id", $"cluster", enc.as("codes"))
+    assigned.select($"id", $"cluster",
+      graft.ext.Pq.encodeFor($"embedding", $"cluster", cents, cb, residual)
+        .as("codes"))
   }
 
   /** The persisted vector index, if one was built (and the collection has
@@ -1131,8 +1127,9 @@ final class Collection private (
     */
   private[graft] def impactCertifiedTopK(query: String, k: Int,
                                          offset: Int): Option[DataFrame] = {
+    if (!useFts) return None
     val (cap, wm, (nDocs, avgDl)) = impactGate()
-    if (!useFts || cap.isEmpty || !wm.contains(postingsSeg())) return None
+    if (cap.isEmpty || !wm.contains(postingsSeg())) return None
     val folded = if (foldAccents) graft.functions.StringFold.fold(query) else query
     for {
       ast <- QueryParser.parse(folded)
@@ -1203,13 +1200,22 @@ final class Collection private (
     * on the same root.
     */
   private def impactGate(): (Option[Int], Option[Long], (Long, Double)) = {
-    val fp = Stores.partitionFingerprint(spark, impactDir, name) ^
-      java.lang.Long.rotateLeft(
-        Stores.partitionFingerprint(spark, impactMetaDir, name), 17) ^
+    val fpRows = Stores.partitionFingerprint(spark, impactDir, name)
+    val fpMeta = Stores.partitionFingerprint(spark, impactMetaDir, name)
+    // no sidecar at all (the common case for collections that never built
+    // one, e.g. a federated root's other members): answer from the two
+    // listings alone — no stats job, no cache entry to churn
+    if (fpRows == 0L && fpMeta == 0L) return (None, None, (0L, 0.0))
+    val fp = fpRows ^ java.lang.Long.rotateLeft(fpMeta, 17) ^
       java.lang.Long.rotateLeft(
         Stores.partitionFingerprint(spark, statsDir, name), 34)
     Collection.impactGateCache.getOrElseUpdate((root, name, fp), {
-      if (Collection.impactGateCache.size > 512) Collection.impactGateCache.clear()
+      // bounded size without wholesale wipes: dropping ONE arbitrary entry
+      // keeps every other collection's hot gate cached (a full clear() made
+      // the 513th distinct state re-run every cached stats job)
+      if (Collection.impactGateCache.size > 512)
+        Collection.impactGateCache.headOption.foreach(kv =>
+          Collection.impactGateCache.remove(kv._1))
       val st = collStats().select($"n_docs", $"avg_dl").head()
       (impactParams(), impactWatermark(), (st.getLong(0), st.getDouble(1)))
     })
@@ -1268,18 +1274,12 @@ final class Collection private (
                 val cands = queries.map { case (qid, q) =>
                   val lists = graft.ext.Ivf.nearestCentroidIds(
                     q, cents, math.min(nprobe, cents.size))
-                  val probed = rows.filter($"cluster".isin(lists: _*))
-                  // residual stores score q·centroid[cluster] + LUT(codes)
-                  // (the q·(c + r̂) decomposition); raw stores keep the
-                  // plain LUT scan — the flag travels with the store
-                  (if (residual)
-                    graft.ext.Pq.adcTopKResidual(
-                      probed.select($"id", $"cluster", $"codes"),
-                      cb, cents, Seq((qid, q)), candK)
-                  else
-                    graft.ext.Pq.adcTopK(
-                      probed.select($"id", $"codes"),
-                      cb, Seq((qid, q)), candK)).select($"qid", $"id")
+                  // the stored encoding flag dispatches the scoring shape
+                  // in ONE place (Pq.adcTopKFor) for both serving paths
+                  graft.ext.Pq.adcTopKFor(
+                    rows.filter($"cluster".isin(lists: _*)),
+                    cb, cents, residual, Seq((qid, q)), candK)
+                    .select($"qid", $"id")
                 }.reduce(_ unionByName _)
                 graft.ext.Pq.rerankFrom(docs(), cands, queries, k)
               }
@@ -2255,9 +2255,16 @@ object Collection {
     * across; callers needing cross-collection calibration re-rank the
     * union (e.g. [[graft.exec.Hybrid.linearFuse]] per arm).
     *
-    * Scale: one postings-gated plan per collection, partition-pruned to
-    * its own store slice, unioned lazily — collections evaluate in
-    * parallel inside one job, nothing collects.
+    * Scale: with `limit == 0` or a `where`, one postings-gated plan per
+    * collection, partition-pruned to its own store slice, unioned lazily —
+    * collections evaluate in parallel inside one job, nothing collects.
+    * A BOUNDED unfiltered query (`limit > 0`, empty `where`) is the
+    * federated SERVING shape and scatter-gathers instead: each collection
+    * answers through [[Collection.searchTopK]], so members with a valid
+    * impact sidecar serve their arm certified from O(cap) rows (collected
+    * driver-side — that is the point of a top-k serving call), and
+    * members without one contribute the same lazy full plan as before
+    * (their gate check is two filesystem listings, no Spark job).
     */
   def searchAll(spark: SparkSession, root: String, query: String,
                 limit: Int = 0, where: Map[String, Any] = Map.empty): DataFrame = {

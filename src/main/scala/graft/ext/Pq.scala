@@ -234,6 +234,9 @@ object Pq {
             m: Int = 8, k: Int = 256, iters: Int = 10,
             maxSample: Int = 20000, seed: Long = 42L,
             normalize: Boolean = true): PqCodebook = {
+    // duplicate of trainVecs' guard, ON PURPOSE: an invalid m/k must fail
+    // before the sample-selection job and driver collect, not after
+    require(m >= 1 && k >= 1 && k <= 256, "1 <= m, 1 <= k <= 256")
     val rows = Ivf.boundedSample(corpus, embCol, 1.0, maxSample, seed)
       .collect().map(_.getSeq[Float](0).toArray)
     require(rows.nonEmpty, "Pq.train: corpus has no embedded rows")
@@ -462,6 +465,30 @@ object Pq {
         Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)))
       .select(col("qid"), col("rn"), col("id"), col("score"))
   }
+
+  /** The one place the encoding flag is interpreted on the WRITE side:
+    * residual stores encode `normalize(v) − centroid[cluster]` with no
+    * re-normalization, raw stores encode `normalize(v)`. Every site that
+    * (re-)derives IVF-PQ codes — build, delta, merge, compact, oracle
+    * re-derivations — goes through this, so the paths cannot drift.
+    */
+  def encodeFor(emb: Column, clusterCol: Column, cents: Seq[Seq[Float]],
+                cb: PqCodebook, residual: Boolean): Column =
+    if (residual) encodeCol(residualCol(emb, clusterCol, cents), cb, normalize = false)
+    else encodeCol(emb, cb)
+
+  /** The one place the encoding flag is interpreted on the READ side:
+    * residual stores score q·centroid[cluster] + LUT(codes), raw stores the
+    * plain LUT scan. `rows` must carry (id, cluster, codes). Both serving
+    * paths (Collection.vectorTopK and the F2 planner rewrite) dispatch
+    * through this.
+    */
+  def adcTopKFor(rows: DataFrame, cb: PqCodebook, cents: Seq[Seq[Float]],
+                 residual: Boolean, queries: Seq[(String, Seq[Float])],
+                 k: Int): DataFrame =
+    if (residual) adcTopKResidual(rows.select(col("id"), col("cluster"), col("codes")),
+      cb, cents, queries, k)
+    else adcTopK(rows.select(col("id"), col("codes")), cb, queries, k)
 
   /** Two-stage retrieve — the standard PQ deployment: ADC over the codes
     * picks `candK` candidates per query (reading m bytes/vector), then ONLY

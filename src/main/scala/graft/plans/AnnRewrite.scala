@@ -102,24 +102,21 @@ object AnnCatalog {
     * the composite of [[IvfRegistered]]'s pruning and [[PqRegistered]]'s
     * compression). The surrounding exact sort/limit reranks in floats.
     */
+  /** `residual` is REQUIRED (no default): it is a persisted-data property —
+    * scoring a residual store with the raw LUT interprets every code
+    * against the wrong input space and silently collapses recall, so a
+    * forgotten argument must not compile.
+    */
   final case class IvfPqRegistered(rows: DataFrame, cents: Seq[Seq[Float]],
                                    cb: graft.ext.PqCodebook, nprobe: Int,
-                                   candK: Int, residual: Boolean = false)
+                                   candK: Int, residual: Boolean)
       extends Registered {
     def candidates(spark: SparkSession, qvec: Seq[Float]): Option[DataFrame] = {
       val lists = graft.ext.Ivf.nearestCentroidIds(
         qvec, cents, math.min(nprobe, cents.size))
-      val probed = rows.filter(col("cluster").isin(lists: _*))
-      // residual stores score q·centroid[cluster] + LUT(codes); raw stores
-      // keep the plain LUT scan — the flag travels with the registration
-      Some((if (residual)
-        graft.ext.Pq.adcTopKResidual(
-          probed.select(col("id"), col("cluster"), col("codes")),
-          cb, cents, Seq(("q", qvec)), candK)
-      else
-        graft.ext.Pq.adcTopK(
-          probed.select(col("id"), col("codes")),
-          cb, Seq(("q", qvec)), candK)).select(col("id")))
+      Some(graft.ext.Pq.adcTopKFor(
+        rows.filter(col("cluster").isin(lists: _*)),
+        cb, cents, residual, Seq(("q", qvec)), candK).select(col("id")))
     }
   }
 

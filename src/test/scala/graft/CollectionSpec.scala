@@ -603,14 +603,11 @@ class CollectionSpec extends AnyFunSuite {
     // raw-vs-residual selection, persisted with the books)
     val fresh = {
       import org.apache.spark.sql.functions.{col => fcol}
-      val enc =
-        if (c.ivfPqResidual())
-          graft.ext.Pq.encodeCol(graft.ext.Pq.residualCol(
-            fcol("embedding"), fcol("cluster"), cents1), cb1, normalize = false)
-        else graft.ext.Pq.encodeCol(fcol("embedding"), cb1)
       graft.ext.Ivf.assign(c.docs(), cents1)
         .join(c.docs().select(fcol("id"), fcol("embedding")), Seq("id"))
-        .select(fcol("id"), fcol("cluster"), enc.as("codes"))
+        .select(fcol("id"), fcol("cluster"),
+          graft.ext.Pq.encodeFor(fcol("embedding"), fcol("cluster"), cents1,
+            cb1, c.ivfPqResidual()).as("codes"))
         .collect().map(r => (r.getString(0), r.getInt(1), r.getSeq[Byte](2))).toSet
     }
     assert(resolved === fresh && resolved.map(_._1) === Set("a", "b", "d"))

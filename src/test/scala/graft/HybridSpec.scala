@@ -134,9 +134,11 @@ class HybridSpec extends AnyFunSuite {
       val body =
         if (i % 13 == 0) Seq.fill(50 + i % 7)("common").mkString(" ") + " rare"
         else "common"
-      (f"d$i%05d", s"$body filler$i beta", Array(1.0f - i % 7 * 0.1f, i % 5 * 0.2f))
+      (f"d$i%05d", s"$body filler$i beta",
+        Map("lang" -> (if (i % 3 == 0) "de" else "en")),
+        Array(1.0f - i % 7 * 0.1f, i % 5 * 0.2f))
     }
-    c.addDf(docs.toDF("id", "content", "embedding"))
+    c.addDf(docs.toDF("id", "content", "metadata", "embedding"))
     val q = Seq(1.0f, 0.1f)
     val depth = 10
     val before = c.hybridTopK("common", q, k = 8, depth = depth).collect().toSeq
@@ -154,11 +156,15 @@ class HybridSpec extends AnyFunSuite {
     assert(Collection.searchAll(spark, root, "common", limit = 8)
       .collect().map(r => (r.getString(0), r.getDouble(3))).sortBy(_._1).toSeq === beforeAll,
       "federated search must not depend on which FTS arm ran")
-    // a metadata where keeps the full arm (the sidecar cannot pre-filter):
-    // still exact, still equal to the pre-index result
-    val whereBefore = c.hybridTopK("common", q, k = 8, depth = depth,
-      where = Map.empty).collect().toSeq
-    assert(whereBefore === before)
+    // a metadata where takes hybridFtsArm's FULL branch (the sidecar cannot
+    // pre-filter) and must filter BOTH arms before ranking: every fused row
+    // is an 'en' doc, and the de docs that ranked in the unfiltered fusion
+    // are gone — a sidecar-served unfiltered arm would leak them through
+    val en = c.hybridTopK("common", q, k = 8, depth = depth,
+        where = Map("lang" -> "en")).collect().map(_.getString(1)).toSet
+    assert(en.nonEmpty && en.forall(id => id.stripPrefix("d").toInt % 3 != 0),
+      s"where must filter the FTS arm before its depth cut: $en")
+    assert(en !== before.map(_.getString(1)).toSet)
   }
 
   test("linearFuse: min-max normalization, weights, absent-arm zero, constant arm") {
