@@ -1654,6 +1654,34 @@ object EntryQueries {
         .select(col("id_a"), col("id_b"), col("hamming"))
     }, Some(mediaNearDupOracle)),
 
+    // X124: URL canonicalization + URL-level dedup — the crawl hygiene pass
+    // before any content work. Synthesized URLs cover every rule: case 0/1
+    // are the SAME resource under different cosmetics (case, default port,
+    // trailing slash, tracking params, param order) and must collide; case
+    // 2 strips :443 + fragment; case 3 collapses to a bare path (every
+    // param is tracking); case 4 has no scheme and passes through. Output =
+    // each doc's canonical key plus whether dedupByUrl kept it, replayed
+    // end-to-end (canonicalization AND the md5 survivor rank) in DuckDB.
+    ("x124_url_dedup", (s: SparkSession, sfDir: String) => {
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"), col("doc_id").cast("long").as("n"))
+      val url =
+        when(col("n") % 5 === 0, concat(lit("HTTP://WWW.Example.COM:80/Path/"),
+            floor(col("n") / 5).cast("string"), lit("/?utm_source=x&b=2&a=1#frag")))
+          .when(col("n") % 5 === 1, concat(lit("http://www.example.com/Path/"),
+            floor(col("n") / 5).cast("string"), lit("?b=2&a=1")))
+          .when(col("n") % 5 === 2, concat(lit("https://Site"),
+            (col("n") % 11).cast("string"), lit(".ORG:443/p/"), col("id"), lit("#x")))
+          .when(col("n") % 5 === 3, concat(lit("http://tracker.net/p/"), col("id"),
+            lit("?gclid=abc&utm_campaign=z")))
+          .otherwise(concat(lit("no-scheme-url-"), col("id")))
+      val docs = d.select(col("id"), url.as("url"))
+      val kept = Web.dedupByUrl(docs).select(col("id")).withColumn("kept", lit(true))
+      docs.select(col("id"), Web.canonicalizeUrl(col("url")).as("canonical"))
+        .join(kept, Seq("id"), "left")
+        .select(col("id"), col("canonical"), coalesce(col("kept"), lit(false)).as("kept"))
+    }, Some(urlDedupOracle)),
+
     ("x8_text_langid", (s: SparkSession, sfDir: String) =>
       TextStats.langId(docsFrame(s, sfDir)).select("id", "pred_lang"),
       Some(langIdOracle)),

@@ -48,6 +48,71 @@ object Web {
       .otherwise(concat_ws(".", slice(labels, -take, take)))
   }
 
+  /** Query parameters stripped by [[canonicalizeUrl]] — the common tracking
+    * names (utm_* by prefix). Matched against the FULL `name=value` token
+    * with a `(=|$)` tail so `ref` never swallows `refresh=1`.
+    */
+  val TrackingParamPattern: String = "^(utm_[^=]*|gclid|fbclid|ref|msclkid)(=|$)"
+
+  /** Canonical form of a URL — the crawl-dedup key (two fetches of the same
+    * resource under cosmetically different URLs must collide):
+    *   - fragment dropped (`#…` never reaches the server);
+    *   - scheme and host lowercased; the scheme's default port stripped
+    *     (`:80` for http, `:443` for https);
+    *   - one trailing `/` stripped from the path;
+    *   - tracking parameters removed ([[TrackingParamPattern]]), remaining
+    *     `name=value` tokens SORTED (param order is almost never
+    *     significant; sorting is what makes `?a=1&b=2` ≡ `?b=2&a=1`), the
+    *     bare `?` dropped when nothing survives.
+    * A value without `://` passes through fragment-stripped only (not a
+    * fetchable URL — no structure to normalize); NULL stays NULL. Pure
+    * built-in composition (split/regexp/sort_array) — codegen'd, zero UDFs,
+    * and replayable verbatim in the DuckDB oracle.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val base = substring_index(url, "#", 1)
+    val scheme = substring_index(base, "://", 1)
+    val rest = base.substr(length(scheme) + lit(4), length(base))
+    val hostport = regexp_extract(rest, "^([^/?]*)", 1)
+    val tail0 = rest.substr(length(hostport) + lit(1), length(rest))
+    val host0 = lower(hostport)
+    val host = when(lower(scheme) === "http", regexp_replace(host0, ":80$", ""))
+      .when(lower(scheme) === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val path = regexp_replace(regexp_extract(tail0, "^([^?]*)", 1), "/$", "")
+    val qs = when(instr(tail0, "?") > 0,
+      tail0.substr(instr(tail0, "?") + lit(1), length(tail0))).otherwise(lit(""))
+    val q2 = array_join(sort_array(filter(split(qs, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamPattern))), "&")
+    when(url.isNull, lit(null).cast("string"))
+      .when(!base.contains("://"), base)
+      .otherwise(concat(lower(scheme), lit("://"), host, path,
+        when(q2 === "", lit("")).otherwise(concat(lit("?"), q2))))
+  }
+
+  /** URL-level dedup: one document per [[canonicalizeUrl]] key, selected by
+    * md5(id) rank (deterministic across reruns/retries, like
+    * [[capPerDomain]]); documents whose canonical key is NULL (no URL)
+    * cannot be URL-deduped and all pass through.
+    *
+    * Scale: the same WindowGroupLimit shape as [[capPerDomain]] — a
+    * bounded 1-heap per canonical key on the map side, only one row per
+    * (partition, key) reaches the shuffle; the NULL stratum never shuffles.
+    */
+  def dedupByUrl(docs: DataFrame, urlCol: String = "url",
+                 idCol: String = "id"): DataFrame = {
+    val canon = WorkingColumns.fresh(docs, "__canon")
+    val rn = WorkingColumns.fresh(docs, "__rn")
+    val withCanon = docs.withColumn(canon, canonicalizeUrl(col(urlCol)))
+    val w = Window.partitionBy(col(canon))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    withCanon.filter(col(canon).isNotNull)
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(canon, rn)
+      .unionByName(withCanon.filter(col(canon).isNull).drop(canon))
+  }
+
   /** Per-domain composition report: (domain, n_docs, n_chars, share) sorted
     * by mass — the corpus-provenance audit. NULL domain (unparseable URL)
     * is its own reported bucket, never silently dropped.
