@@ -3943,6 +3943,30 @@ object EntryQueries {
        |UNION ALL ${exact("upsert", "c2", Seq("customer"), and = false, 10)}""".stripMargin
   }
 
+  /** x124 oracle: INDEPENDENT rule-level derivation of each case's
+    * canonical URL (what the canonicalization rules SAY the output must
+    * be, not a re-run of the engine's string algebra — a stronger check),
+    * plus the md5(id)-rank survivor replay of dedupByUrl. Cases mirror the
+    * entry's synthesis exactly: n%5∈{0,1} are the SAME resource
+    * (case/port/trailing-slash/tracking/param-order cosmetics) so they
+    * share key `…/Path/{n//5}?a=1&b=2` and exactly one of each pair
+    * survives; n%5=2 strips `:443`+fragment and lowercases; n%5=3
+    * collapses to a bare path (every param is tracking); n%5=4 has no
+    * scheme and passes through verbatim. Both engines MD5 the UTF-8 id
+    * bytes to lowercase hex, so the survivor rank replays bit-for-bit.
+    */
+  private lazy val urlDedupOracle: String =
+    """WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS id, CAST(doc_id AS BIGINT) AS n FROM documents),
+      | c AS (SELECT id, CASE
+      |     WHEN n % 5 IN (0, 1) THEN 'http://www.example.com/Path/' || CAST(n // 5 AS VARCHAR) || '?a=1&b=2'
+      |     WHEN n % 5 = 2 THEN 'https://site' || CAST(n % 11 AS VARCHAR) || '.org/p/' || id
+      |     WHEN n % 5 = 3 THEN 'http://tracker.net/p/' || id
+      |     ELSE 'no-scheme-url-' || id END AS canonical
+      |  FROM d)
+      |SELECT id, canonical,
+      |  (row_number() OVER (PARTITION BY canonical ORDER BY md5(id) ASC, id ASC)) = 1 AS kept
+      |FROM c""".stripMargin
+
   /** x123 oracle: the full ByteDHash replay — byte stream → 72 integer
     * slice sums/counts → 64 cross-multiplied comparisons → BIGINT hash
     * (bit 63 via the MIN-literal; DuckDB rejects 1 << 63) → all-pairs
