@@ -10,6 +10,43 @@ import org.apache.spark.sql.SparkSession
   * (so a broken query can't masquerade as a fast one).
   */
 object Bench {
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** The two stdout lines, as (full, headline) — pure so the contract is
+    * spec-pinned (VerifySpec): line 1 is the COMPLETE per-entry map and
+    * carries no `truncated` key; line 2 (printed LAST so it survives the
+    * driver's ~2 KB stdout-tail capture) holds only the q-/s-/a-prefixed
+    * headline subset, marked `"truncated":true` so a consumer taking the
+    * first parsed `{"metric":"total"}` line can never mistake the partial
+    * map for the complete one, and points at the durable full map via
+    * `full_map_file` + `full_map_sha256`.
+    */
+  def summaryLines(results: Seq[(String, Double)], errors: Seq[(String, String)],
+                   calib: Double, sfDir: String, outFile: String): (String, String) = {
+    val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+    val total = math.round(results.collect { case (_, v) if v >= 0 => v }.sum * 1000) / 1000.0
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"calib_sec":$calib,"sf":"${esc(sfDir)}"}"""
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(full.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val headlineQs = results.filter { case (k, _) =>
+      k.startsWith("q") || k.startsWith("s") || k.startsWith("a") }
+      .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val headline =
+      s"""{"metric":"total","value":$total,"unit":"sec","truncated":true,""" +
+      s""""queries":$headlineQs,"n_entries":${results.size},"n_errors":${errors.size},""" +
+      s""""calib_sec":$calib,"sf":"${esc(sfDir)}",""" +
+      s""""full_map_file":"$outFile","full_map_sha256":"$digest"}"""
+    (full, headline)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -20,14 +57,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    def esc(s: String): String =
-      s.flatMap {
-        case '"'  => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
 
     // Untimed warmup: JIT/codegen/scan-path initialization costs land here
     // instead of inflating whichever entry runs first (a1, alphabetically).
@@ -78,12 +107,7 @@ object Bench {
       // truncation (BENCH_r08.json kept only a 2000-char tail)
       name -> (if (ok) math.round(sec * 1000) / 1000.0 else -1.0)
     }
-    val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val total = math.round(results.collect { case (_, v) if v >= 0 => v }.sum * 1000) / 1000.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"calib_sec":$calib,"sf":"${esc(sfDir)}"}"""
-    println(json)
-    // Durable copy of the SAME line: the driver's per-round artifact keeps
+    // Durable copy of the full line: the driver's per-round artifact keeps
     // only a truncated stdout tail ("parsed": null in BENCH_r07/r08), so the
     // full per-entry map was unrecoverable from the committed artifact. The
     // cwd file rides the end-of-round commit instead. FILTERED runs (local
@@ -91,29 +115,15 @@ object Bench {
     // latest FULL-suite record (r10 ADVICE: a 4-entry adjudication run had
     // replaced the 160-entry snapshot).
     val outFile = if (args.isEmpty) "BENCH_last.json" else "BENCH_last_filtered.json"
+    val (json, headline) =
+      summaryLines(results, errors.toSeq, calib, sfDir, outFile)
+    println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes("UTF-8"))
     catch { case _: Throwable => () } // read-only cwd must not fail the bench
-    // The driver's per-round artifact keeps only a ~2 KB TAIL of stdout, so
-    // the full line above has been decapitated ("parsed": null) four rounds
-    // running. Print a SHORT, self-sufficient summary line LAST: it parses
-    // as the driver's one-JSON-line contract (metric/value/unit/queries/sf)
-    // but its `queries` map holds only the reference-surface headliners
-    // (q*/s*/a* keys — ~30 entries, well under 1 KB with the envelope), so
-    // the LAST line survives any tail capture; the full per-entry map is in
-    // `full_map_file` (committed), fingerprinted by `full_map_sha256`.
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(json.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    val headline = results.filter { case (k, _) =>
-      k.startsWith("q") || k.startsWith("s") || k.startsWith("a") }
-      .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
-    // "truncated":true marks this line as the FILTERED summary — a consumer
-    // that grabs the FIRST {"metric":"total"} line cannot mistake this
-    // partial queries map for the complete one (r13 ADVICE).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","truncated":true,""" +
-      s""""queries":$headline,"n_entries":${results.size},"n_errors":${errors.size},""" +
-      s""""calib_sec":$calib,"sf":"${esc(sfDir)}",""" +
-      s""""full_map_file":"$outFile","full_map_sha256":"$digest"}""")
+    // The headline line prints LAST so it survives the driver's ~2 KB
+    // stdout-tail capture (contract + truncated marker: [[summaryLines]]).
+    println(headline)
     spark.stop()
   }
 }

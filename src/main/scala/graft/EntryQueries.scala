@@ -3971,7 +3971,10 @@ object EntryQueries {
     * slice sums/counts → 64 cross-multiplied comparisons → BIGINT hash
     * (bit 63 via the MIN-literal; DuckDB rejects 1 << 63) → all-pairs
     * popcount ≤ 3. All-integer arithmetic, so it matches the engine
-    * bit-for-bit by construction.
+    * bit-for-bit by construction. A degenerate blob (constant or empty
+    * byte stream, or all 64 comparisons tie — zero perceptual signal)
+    * hashes to NULL and so never pairs, replaying the engine's None-hash
+    * convention.
     */
   private lazy val mediaNearDupOracle: String =
     """WITH m AS (
@@ -3980,17 +3983,25 @@ object EntryQueries {
       |  SELECT 'm' || CAST(doc_id AS VARCHAR), 'ZZZ' || substring(text, 4)
       |  FROM documents WHERE doc_id % 25 = 0),
       | b AS (SELECT id, [ascii(text[i]) FOR i IN range(1, len(text) + 1)] AS bs FROM m),
-      | g AS (SELECT id,
+      | g AS (SELECT id, len(list_distinct(bs)) AS n_distinct,
       |   [COALESCE(list_sum(bs[CAST(k * n // 72 AS INT) + 1 : CAST((k + 1) * n // 72 AS INT)]), 0) FOR k IN range(72)] AS ss,
       |   [GREATEST(CAST((k + 1) * n // 72 AS INT) - CAST(k * n // 72 AS INT), 1) FOR k IN range(72)] AS cc
       |  FROM (SELECT id, bs, len(bs) AS n FROM b)),
-      | h AS (SELECT id, CAST(list_sum(
+      | h0 AS (SELECT id, CAST(list_sum(
       |   [CASE WHEN ss[(k // 8) * 9 + (k % 8) + 2] * cc[(k // 8) * 9 + (k % 8) + 1]
       |            > ss[(k // 8) * 9 + (k % 8) + 1] * cc[(k // 8) * 9 + (k % 8) + 2]
       |     THEN (CASE WHEN k = 63 THEN -9223372036854775807::BIGINT - 1
       |                ELSE (1::BIGINT << CAST(k AS INT)) END)
-      |     ELSE 0::BIGINT END FOR k IN range(64)]) AS BIGINT) AS ph
-      |  FROM g)
+      |     ELSE 0::BIGINT END FOR k IN range(64)]) AS BIGINT) AS ph0,
+      |   list_sum(
+      |   [CASE WHEN ss[(k // 8) * 9 + (k % 8) + 2] * cc[(k // 8) * 9 + (k % 8) + 1]
+      |           <> ss[(k // 8) * 9 + (k % 8) + 1] * cc[(k // 8) * 9 + (k % 8) + 2]
+      |     THEN 1 ELSE 0 END FOR k IN range(64)]) AS n_strict,
+      |   n_distinct
+      |  FROM g),
+      | h AS (SELECT id,
+      |   CASE WHEN n_distinct <= 1 OR n_strict = 0 THEN NULL ELSE ph0 END AS ph
+      |  FROM h0)
       |SELECT a.id AS id_a, b.id AS id_b, CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
       |FROM h a JOIN h b ON a.id < b.id AND bit_count(xor(a.ph, b.ph)) <= 3""".stripMargin
 

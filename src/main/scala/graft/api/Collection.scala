@@ -2265,6 +2265,15 @@ object Collection {
     * driver-side — that is the point of a top-k serving call), and
     * members without one contribute the same lazy full plan as before
     * (their gate check is two filesystem listings, no Spark job).
+    *
+    * EAGERNESS CONTRACT: on the `limit > 0 && where.isEmpty` serving path
+    * the certified arms COLLECT at call time (and materialize as local
+    * frames), so Spark jobs run — and failures surface — when
+    * `searchAll` (or SQL `graft_search_all`) is CALLED, not when the
+    * returned frame is executed. That is deliberate: a top-k serving call
+    * exists to answer now, and deferring the O(cap) sidecar read would
+    * just re-run it per downstream action. The `limit == 0` / filtered
+    * shapes stay fully lazy.
     */
   def searchAll(spark: SparkSession, root: String, query: String,
                 limit: Int = 0, where: Map[String, Any] = Map.empty): DataFrame = {

@@ -1135,7 +1135,10 @@ object Dedup {
     * ≥ 1 chunk, so only chunk-colliding pairs verify (exact popcount on the
     * XOR). Same capped [[bucketJoin]] contract as the other detectors —
     * buckets over `maxBucket` degrade to star edges. Output
-    * (id_a, id_b, hamming INT), a < b, distinct.
+    * (id_a, id_b, hamming INT), a < b, distinct. NULL-media and DEGENERATE
+    * blobs (empty/constant — the hasher returns no hash) never pair: a
+    * zero-signal hash would both false-positive unrelated padding blobs
+    * and form a mega-bucket.
     *
     * 100 TB: hashing is a bounded-batch scan (8 bytes out per blob — the
     * media bytes never shuffle); banding shuffles (chunk, cv, id, phash)

@@ -44,9 +44,18 @@ object ByteStatsDecoder extends MediaDecoder {
   * within a few bits of the original — the dHash/aHash family. A real
   * implementation decodes the image, downscales to a 9×8 luma grid, and
   * compares horizontally adjacent cells.
+  *
+  * `None` for a DEGENERATE blob — empty or constant (any length), or one
+  * where every cell comparison ties: the hash carries zero perceptual
+  * signal. Such
+  * blobs must be EXCLUDED from pairing (they surface as NULL phash,
+  * mirroring the NULL-media convention): hashing them all to the same
+  * value would both emit false-positive "duplicate" pairs between
+  * unrelated padding blobs (all-zero vs all-0xFF) and form one giant
+  * bucket that degrades to star edges at scale.
   */
 trait PerceptualHasher extends Serializable {
-  def hash(batch: Seq[Array[Byte]]): Seq[Long]
+  def hash(batch: Seq[Array[Byte]]): Seq[Option[Long]]
 }
 
 /** STUB hasher — no image codec ships in this environment (build brief),
@@ -64,30 +73,44 @@ object ByteDHash extends PerceptualHasher {
   val GridH = 8
   private val Cells = GridW * GridH
 
-  def hash(batch: Seq[Array[Byte]]): Seq[Long] = batch.map { bytes =>
+  def hash(batch: Seq[Array[Byte]]): Seq[Option[Long]] = batch.map { bytes =>
     val n = bytes.length
     val sums = new Array[Long](Cells)
     val counts = new Array[Long](Cells)
+    var minB = 256
+    var maxB = -1
     var k = 0
     while (k < Cells) {
       val from = (k.toLong * n / Cells).toInt
       val until = ((k + 1).toLong * n / Cells).toInt
       var s = 0L
       var i = from
-      while (i < until) { s += (bytes(i) & 0xFF); i += 1 }
+      while (i < until) {
+        val b = bytes(i) & 0xFF
+        if (b < minB) minB = b
+        if (b > maxB) maxB = b
+        s += b
+        i += 1
+      }
       sums(k) = s
       counts(k) = math.max(1, until - from)
       k += 1
     }
     var h = 0L
+    var anyStrict = false
     var bit = 0
     while (bit < 64) {
       val idx = (bit / 8) * GridW + bit % 8
-      if (sums(idx + 1) * counts(idx) > sums(idx) * counts(idx + 1))
-        h |= 1L << bit
+      val lhs = sums(idx + 1) * counts(idx)
+      val rhs = sums(idx) * counts(idx + 1)
+      if (lhs != rhs) anyStrict = true
+      if (lhs > rhs) h |= 1L << bit
       bit += 1
     }
-    h
+    // degenerate ⇔ no perceptual signal: a constant (or empty) byte stream
+    // — any length, incl. < 72 bytes where empty slices would fake cell
+    // variance — or a stream where ALL 64 cell comparisons tie exactly
+    if (minB == maxB || !anyStrict) None else Some(h)
   }
 }
 
@@ -160,7 +183,9 @@ object Multimodal {
 
   /** Adds `phash LONG` — the 64-bit perceptual hash — by running `hasher`
     * over bounded batches of the BINARY `mediaCol`, partition-parallel
-    * (same batch plumbing as [[featurize]]). NULL media -> NULL phash.
+    * (same batch plumbing as [[featurize]]). NULL media -> NULL phash;
+    * a DEGENERATE blob (hasher returns None — empty/constant, zero
+    * perceptual signal) also -> NULL phash, so downstream pairing skips it.
     */
   def perceptualHash(df: DataFrame, hasher: PerceptualHasher = ByteDHash,
                      mediaCol: String = "media",
@@ -178,7 +203,7 @@ object Multimodal {
           s"PerceptualHasher returned ${hashes.size} hashes for ${present.size} blobs")
         val byIdx = present.map(_._2).zip(hashes).toMap
         chunk.zipWithIndex.map { case (r, i) =>
-          Row.fromSeq(r.toSeq :+ byIdx.get(i).map(Long.box).orNull)
+          Row.fromSeq(r.toSeq :+ byIdx.get(i).flatten.map(Long.box).orNull)
         }
       }
     }(enc)

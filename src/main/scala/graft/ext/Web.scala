@@ -48,11 +48,16 @@ object Web {
       .otherwise(concat_ws(".", slice(labels, -take, take)))
   }
 
-  /** Query parameters stripped by [[canonicalizeUrl]] — the common tracking
-    * names (utm_* by prefix). Matched against the FULL `name=value` token
-    * with a `(=|$)` tail so `ref` never swallows `refresh=1`.
+  /** Query parameters stripped by [[canonicalizeUrl]] — ONLY the
+    * unambiguous click-tracking names (utm_* by prefix, the ad-click ids).
+    * Deliberately excludes `ref`: on many sites it is resource-SELECTING
+    * (GitHub's `?ref=branch`), and stripping it would collapse distinct
+    * resources onto one canonical key, silently dropping real documents in
+    * [[dedupByUrl]]. Matched against the FULL `name=value` token with a
+    * `(=|$)` tail so a name never swallows a longer one (`gclid` vs
+    * `gclid_extra=1`).
     */
-  val TrackingParamPattern: String = "^(utm_[^=]*|gclid|fbclid|ref|msclkid)(=|$)"
+  val TrackingParamPattern: String = "^(utm_[^=]*|gclid|fbclid|msclkid)(=|$)"
 
   /** Canonical form of a URL — the crawl-dedup key (two fetches of the same
     * resource under cosmetically different URLs must collide):

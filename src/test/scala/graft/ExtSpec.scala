@@ -1263,6 +1263,59 @@ class ExtSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("Web.canonicalizeUrl + dedupByUrl: cosmetics collide, ref survives, NULL stratum passes") {
+    val d = Seq(
+      // u1..u4: the SAME resource under different cosmetics — one key
+      ("u1", "HTTP://WWW.Example.COM:80/path/?b=2&a=1#frag"),
+      ("u2", "http://www.example.com/path?a=1&b=2"),
+      ("u3", "http://www.example.com/path/?utm_source=x&utm_medium=y&a=1&b=2"),
+      ("u4", "http://www.example.com:80/path?b=2&a=1&gclid=zz&fbclid=q&msclkid=m"),
+      // resource-selecting `ref` must SURVIVE (GitHub-style ?ref=branch):
+      // u5 and u6 are DIFFERENT resources
+      ("u5", "https://github.example.com/r/tree?ref=main"),
+      ("u6", "https://github.example.com/r/tree?ref=dev"),
+      // `refresh=1` is not a tracking prefix match either
+      ("u7", "https://a.org/p?refresh=1"),
+      // all-tracking query collapses to a bare path; :443 stripped
+      ("u8", "HTTPS://A.ORG:443/p?utm_campaign=z#x"),
+      // no scheme: passthrough, fragment-stripped only
+      ("u9", "bare-value#frag"),
+      ("u10", null.asInstanceOf[String]),
+      // NON-default port is load-bearing, must survive
+      ("u11", "https://a.org:8443/p"),
+      // userinfo kept (conservative: never merges across credentials)
+      ("u12", "https://User:pw@a.org/p"),
+      // repeated keys: sort is total (value participates), deterministic
+      ("u13", "https://a.org/p?a=2&a=1")
+    ).toDF("id", "url")
+    val canon = d.select($"id", Web.canonicalizeUrl($"url").as("c"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(Set("u1", "u2", "u3", "u4").map(canon) ===
+      Set(Some("http://www.example.com/path?a=1&b=2")))
+    assert(canon("u5") === Some("https://github.example.com/r/tree?ref=main"))
+    assert(canon("u6") === Some("https://github.example.com/r/tree?ref=dev"))
+    assert(canon("u5") !== canon("u6"), "ref is resource-selecting, must not be stripped")
+    assert(canon("u7") === Some("https://a.org/p?refresh=1"))
+    assert(canon("u8") === Some("https://a.org/p"))
+    assert(canon("u9") === Some("bare-value"))
+    assert(canon("u10") === None)
+    assert(canon("u11") === Some("https://a.org:8443/p"))
+    assert(canon("u12") === Some("https://user:pw@a.org/p"))
+    assert(canon("u13") === Some("https://a.org/p?a=1&a=2"))
+    // dedup: exactly one survivor of u1..u4, deterministic across runs;
+    // everything else (incl. the NULL-canonical row) passes through
+    val kept = Web.dedupByUrl(d).select("id").as[String].collect().toSet
+    assert(kept.intersect(Set("u1", "u2", "u3", "u4")).size === 1)
+    assert(Set("u5", "u6", "u7", "u8", "u9", "u10", "u11", "u12", "u13")
+      .subsetOf(kept))
+    assert(kept === Web.dedupByUrl(d).select("id").as[String].collect().toSet)
+    assert(Web.dedupByUrl(d).columns.toSeq === Seq("id", "url"))
+    // scale shape: the survivor pick lowers to WindowGroupLimit (map-side
+    // 1-heap per canonical key), same pin as capPerDomain
+    val plan = Web.dedupByUrl(d).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("Csv source: RFC-4180 quoting round-trips; newline values fail fast") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-csvspec-").toString + "/out"
@@ -2209,10 +2262,18 @@ class ExtSpec extends AnyFunSuite {
     val blob = ("the quick brown fox jumps over the lazy dog " * 8).getBytes("UTF-8")
     val tweaked = blob.clone(); tweaked(0) = 'Z'; tweaked(1) = 'Z'; tweaked(2) = 'Z'
     val other = ("entirely different content with other rhythm 12345 " * 7).getBytes("UTF-8")
-    val Seq(h1, h2, h3) = ByteDHash.hash(Seq(blob, tweaked, other))
+    val Seq(Some(h1), Some(h2), Some(h3)) = ByteDHash.hash(Seq(blob, tweaked, other))
     assert(java.lang.Long.bitCount(h1 ^ h1) === 0)
     assert(java.lang.Long.bitCount(h1 ^ h2) <= 2, "one-slice perturbation must stay local")
     assert(java.lang.Long.bitCount(h1 ^ h3) > 3, "unrelated media must not collide")
+
+    // degenerate blobs (empty / constant — every cell comparison ties)
+    // carry no perceptual signal: no hash, and they must never pair with
+    // each other (all-zero vs all-0xFF padding are NOT duplicates)
+    val degenerate = Seq(Array.emptyByteArray, Array.fill(500)(0.toByte),
+      Array.fill(300)(0xFF.toByte), Array.fill(72)(7.toByte))
+    assert(ByteDHash.hash(degenerate).forall(_.isEmpty),
+      "empty/constant blobs must hash to None")
 
     // banding completeness: pairs == brute-force popcount pairs
     val rows = (0 until 120).map { i =>
@@ -2225,7 +2286,7 @@ class ExtSpec extends AnyFunSuite {
     val media = rows.toDF("id", "media")
     val got = Dedup.perceptualDupPairs(media, maxHamming = 3)
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
-    val hashes = rows.map { case (id, b) => id -> ByteDHash.hash(Seq(b)).head }
+    val hashes = rows.map { case (id, b) => id -> ByteDHash.hash(Seq(b)).head.get }
     val brute = (for {
       (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
       d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
@@ -2233,13 +2294,19 @@ class ExtSpec extends AnyFunSuite {
     assert(got === brute, "banding must be COMPLETE at hamming <= maxHamming")
     assert(brute.nonEmpty, "fixture must contain real near-dups")
 
-    // NULL media rows hash to NULL and never pair
-    val withNull = media.unionByName(
-      Seq(("znull", null.asInstanceOf[Array[Byte]])).toDF("id", "media"))
-    assert(Multimodal.perceptualHash(withNull).filter(col("id") === "znull")
-      .select("phash").head().isNullAt(0))
+    // NULL media and degenerate blobs hash to NULL phash and never pair —
+    // two constant blobs (zdeg0/zdeg1) would otherwise false-positive at
+    // hamming 0
+    val withNull = media.unionByName(Seq(
+      ("znull", null.asInstanceOf[Array[Byte]]),
+      ("zdeg0", Array.fill(64)(0.toByte)),
+      ("zdeg1", Array.fill(64)(0xFF.toByte))).toDF("id", "media"))
+    assert(Multimodal.perceptualHash(withNull)
+      .filter(col("id").isin("znull", "zdeg0", "zdeg1"))
+      .collect().forall(_.isNullAt(2)), "NULL/degenerate media must have NULL phash")
     assert(Dedup.perceptualDupPairs(withNull, maxHamming = 3)
-      .filter(col("id_a") === "znull" || col("id_b") === "znull").count() === 0)
+      .filter(col("id_a").startsWith("z") || col("id_b").startsWith("z"))
+      .count() === 0)
 
     // star-edge cap: identical blobs in an oversized bucket keep only the
     // min-id star, bounding per-bucket work (the shared bucketJoin contract)

@@ -178,6 +178,36 @@ class ImpactSpec extends AnyFunSuite {
     }
   }
 
+  test("merge-path delete to EMPTY drops both impact stores, no orphans; rebuild re-registers") {
+    // default directUpsertMaxBytes: the delete takes the merge-rewrite path,
+    // whose sidecar re-derive sees an EMPTY postings frame — it must drop
+    // BOTH stores (registration gone, impactParams() None, no orphaned
+    // empty dirs), mirroring compact()'s emptied-collection branch, and a
+    // later re-add + createImpactIndex must register cleanly again
+    import graft.index.Stores
+    val root = freshRoot()
+    val c = Collection(spark, root, "t")
+    c.addDf(corpus(50).toDF("id", "content"))
+    c.createImpactIndex(cap = 16)
+    assert(c.impactIndex() === Some(16))
+    c.delete((1 to 50).map(i => f"d$i%05d"))
+    assert(c.count() === 0L)
+    assert(c.impactIndex() === None, "emptied corpus must drop the registration")
+    assert(!Stores.partitionExists(spark, Stores.impactDir(root), "t"),
+      "rows store dir must not be orphaned")
+    assert(!Stores.partitionExists(spark, Stores.impactMetaDir(root), "t"),
+      "meta store dir must not be orphaned")
+    assert(c.searchTopK("common", 5).isEmpty) // serving survives the drop
+    // re-populate with a certifiable corpus (≥ k high-tf docs, same bar as
+    // the other lifecycle tests) and re-register
+    c.addDf(corpus(200).toDF("id", "content"))
+    c.createImpactIndex(cap = 32)
+    assert(c.impactIndex() === Some(32))
+    assert(c.impactCertifiedTopK("common", 10, 0).nonEmpty,
+      "re-created index must serve certified again")
+    assertSameTopK(c, "common", 10)
+  }
+
   test("small-collection merge path rebuilds the sidecar exactly") {
     // default directUpsertMaxBytes: updates/deletes take the merge-rewrite
     // path, which re-derives the sidecar — no staleness window at all
