@@ -1950,6 +1950,20 @@ final class Collection private (
     * with extended leaves expanded to their terms, 0 for docs admitted
     * without a scoring term (same convention as the non-flat parity path).
     * Returns (id, content, metadata, rank), rank-desc / id-asc.
+    *
+    * Scale (measured twice at 2M docs, BENCH_scale_400x_r15ops.json):
+    * total cost decomposes ADDITIVELY into the leaves — warm full
+    * `"table hash" or near(slow key, 4)` ≤ phrase arm + near arm in both
+    * runs (15.6 s vs 9.2+8.9 and 8.9 s vs 5.4+4.7 across two
+    * noise-separated runs), and each verified arm ≈ its plain AND gate +
+    * a candidates-only verify; union/distinct and the final score join
+    * are marginal. No stage is superlinear in leaf count or corpus size
+    * (the r14 probe's 5× extended-vs-AND ratio was host noise — unchanged
+    * code reproduced 2.3×–3×, fully accounted by the two arms). The
+    * remaining known redundancy is one docs-content join per verified
+    * leaf; fusing arms would save only the candidate-set overlap and is
+    * deliberately not done — per-leaf plans keep each verify pinned above
+    * its own gate and let Catalyst prune each arm independently.
     */
   def extendedQueryFrame(query: String, limit: Int = 0, offset: Int = 0,
                          where: Map[String, Any] = Map.empty): DataFrame = {

@@ -460,6 +460,59 @@ object ProbeScale {
       metrics += ("perceptual_pairs_capped" -> pPairs)
       writeOut(); return
     }
+    // `r15ops` = ingest + (a) the extended-query STAGE BREAKDOWN at corpus
+    // size (r14 verdict: extended_sec ~5x fts_and_sec at 2M — attribute the
+    // cost to its arms before optimizing: the preamble already timed
+    // phrase_sec and extended_sec on this same session, so the deltas are
+    // comparable) and (b) X124 URL canonicalization + URL dedup at 2M URLs
+    // (the five synthesized families of the x124 entry, scaled), pinning
+    // the WindowGroupLimit survivor-pick shape at corpus scale.
+    if (mode.contains("r15ops")) {
+      import graft.ext.Web
+      // leaf-arm attribution for the preamble's extended query
+      // `"table hash" or near(slow key, 4)`:
+      //   gate-only cost = the plain AND conjunction (no verify)
+      //   per-arm cost   = gate + candidates-only verify + BM25
+      //   full cost      = both arms + union.distinct + final score join
+      time("ext_and_gate_sec")(println(
+        s"PROBE   hits = ${c.queryFrame("table hash").count()}"))
+      time("ext_phrase_arm_sec")(println(
+        s"PROBE   hits = ${c.phraseSearch("table hash").count()}"))
+      time("ext_near_gate_sec")(println(
+        s"PROBE   hits = ${c.queryFrame("slow key").count()}"))
+      time("ext_near_arm_sec")(println(
+        s"PROBE   hits = ${c.nearSearch("slow key", maxSpan = 4).count()}"))
+      time("ext_full_warm_sec")(println(
+        s"PROBE   hits = ${c.extendedQueryFrame("\"table hash\" or near(slow key, 4)").count()}"))
+
+      // X124 at 2M URLs: families 0/1 share ~200k canonical keys (the
+      // cosmetic-collision dedup mass); 2-4 are key-unique; canonicalize is
+      // a pure scan-side projection (no shuffle), the survivor pick must
+      // stay WindowGroupLimit (map-side 1-heaps), NULL keys never shuffle
+      val f = pmod(xxhash64($"id"), lit(5))
+      val k = pmod(xxhash64($"id", lit(1)), lit(200000)).cast("string")
+      val urls = c.docs().select($"id",
+        when(f === 0, concat(lit("HTTP://WWW.Example.COM:80/Path/"), k,
+            lit("/?utm_source=x&b=2&a=1#frag")))
+          .when(f === 1, concat(lit("http://www.example.com/Path/"), k,
+            lit("?b=2&a=1")))
+          .when(f === 2, concat(lit("https://Site"), pmod(xxhash64($"id"), lit(11)),
+            lit(".ORG:443/p/"), $"id", lit("#x")))
+          .when(f === 3, concat(lit("http://tracker.net/p/"), $"id",
+            lit("?gclid=abc&utm_campaign=z")))
+          .otherwise(concat(lit("no-scheme-url-"), $"id")).as("url"))
+      time("url_canon_2m_sec")(
+        urls.select(Web.canonicalizeUrl($"url").as("c"))
+          .write.format("noop").mode("overwrite").save())
+      val deduped = Web.dedupByUrl(urls)
+      val keptN = time("url_dedup_2m_sec")(deduped.count())
+      println(s"PROBE   url dedup kept = $keptN of $n")
+      metrics += ("url_dedup_kept" -> keptN)
+      val uplan = deduped.queryExecution.executedPlan.toString
+      require(uplan.contains("WindowGroupLimit"),
+        "dedupByUrl must keep the WindowGroupLimit shape at 2M")
+      writeOut(); return
+    }
     // `newops` = ingest + the round-6 training-pipeline operators only:
     // cross-corpus dedup, duplicated-substring spans, chunking, unigram
     // perplexity, shard shuffle, length histogram, and SemDeDup at 100k
