@@ -63,8 +63,10 @@ object Web {
     * resource under cosmetically different URLs must collide):
     *   - fragment dropped (`#…` never reaches the server);
     *   - scheme and host lowercased; the scheme's default port stripped
-    *     (`:80` for http, `:443` for https);
-    *   - one trailing `/` stripped from the path;
+    *     (`:80` for http, `:443` for https — repeated, so malformed
+    *     `host:80:80` junk can't defeat idempotence);
+    *   - ALL trailing `/` stripped from the path (`/p//` ≡ `/p` — one-slash
+    *     stripping left `/p/`, whose re-canonicalization differed);
     *   - tracking parameters removed ([[TrackingParamPattern]]), remaining
     *     `name=value` tokens SORTED (param order is almost never
     *     significant; sorting is what makes `?a=1&b=2` ≡ `?b=2&a=1`), the
@@ -73,6 +75,12 @@ object Web {
     * fetchable URL — no structure to normalize); NULL stays NULL. Pure
     * built-in composition (split/regexp/sort_array) — codegen'd, zero UDFs,
     * and replayable verbatim in the DuckDB oracle.
+    *
+    * IDEMPOTENT on arbitrary strings — `canonicalizeUrl(canonicalizeUrl(x))
+    * ≡ canonicalizeUrl(x)` (PropertySpec fuzzes this over adversarial URL
+    * soup): a canonical key that re-canonicalizes to a different key would
+    * silently split dedup groups between a raw corpus and one that stored
+    * canonical URLs.
     */
   def canonicalizeUrl(url: Column): Column = {
     val base = substring_index(url, "#", 1)
@@ -81,10 +89,10 @@ object Web {
     val hostport = regexp_extract(rest, "^([^/?]*)", 1)
     val tail0 = rest.substr(length(hostport) + lit(1), length(rest))
     val host0 = lower(hostport)
-    val host = when(lower(scheme) === "http", regexp_replace(host0, ":80$", ""))
-      .when(lower(scheme) === "https", regexp_replace(host0, ":443$", ""))
+    val host = when(lower(scheme) === "http", regexp_replace(host0, "(:80)+$", ""))
+      .when(lower(scheme) === "https", regexp_replace(host0, "(:443)+$", ""))
       .otherwise(host0)
-    val path = regexp_replace(regexp_extract(tail0, "^([^?]*)", 1), "/$", "")
+    val path = regexp_replace(regexp_extract(tail0, "^([^?]*)", 1), "/+$", "")
     val qs = when(instr(tail0, "?") > 0,
       tail0.substr(instr(tail0, "?") + lit(1), length(tail0))).otherwise(lit(""))
     val q2 = array_join(sort_array(filter(split(qs, "&"),

@@ -1316,6 +1316,49 @@ class ExtSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("Web.canonicalizeUrl: idempotent over adversarial URL soup; invariants hold") {
+    // a canonical key that re-canonicalizes differently would silently
+    // split dedup groups between a raw corpus and one storing canonical
+    // URLs — fuzz canon(canon(x)) ≡ canon(x) over seeded component soup
+    // (repeated default ports, multi-slash tails, junk schemes, userinfo,
+    // unicode, params with ?/=/empty, multi-fragment) plus raw junk
+    val rnd = new scala.util.Random(4211)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+    def genUrl(): String = {
+      val scheme = pick(Seq("http", "HTTP", "https", "HTTPS", "ftp", "x", "", "a?b"))
+      val host = pick(Seq("A.Org", "www.EXAMPLE.com", "a.b.co.uk", "LOCALHOST",
+        "User:PW@Site.io", "é.中", ""))
+      val port = pick(Seq("", ":80", ":443", ":8443", ":80:80", ":443:443", ":"))
+      val path = (0 until rnd.nextInt(4))
+        .map(_ => pick(Seq("p", "P", "x:y", "a b", "ü", "")))
+        .mkString("/", "/", pick(Seq("", "/", "//", "///")))
+      val params = (0 until rnd.nextInt(5)).map(_ => pick(Seq(
+        "a=1", "b=2", "a=2", "utm_source=x", "utm_", "UTM_S=1", "gclid=z",
+        "ref=main", "refresh=1", "", "=", "x", "a=b?c")))
+      val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+      val frag = pick(Seq("", "#f", "#a#b", "#"))
+      pick(Seq(
+        s"$scheme://$host$port$path$q$frag",
+        s"$host$path$q$frag", // no scheme: passthrough arm
+        (0 until rnd.nextInt(12)).map(_ =>
+          pick(Seq('a', 'Z', '#', '?', '&', '/', ':', '=', '中', ' '))).mkString,
+        ""))
+    }
+    val soup = (1 to 3000).map(_ => genUrl()).toDF("url")
+      .select($"url", Web.canonicalizeUrl($"url").as("c1"))
+      .select($"url", $"c1", Web.canonicalizeUrl($"c1").as("c2"))
+      .collect()
+    val notIdem = soup.filter(r => !java.util.Objects.equals(r.get(1), r.get(2)))
+    assert(notIdem.isEmpty, "non-idempotent: " + notIdem.take(5).toSeq.map(r =>
+      s"url=${r.get(0)} c1=${r.get(1)} c2=${r.get(2)}"))
+    // fragment never survives; tracking params never survive a real URL
+    val canon = soup.map(_.getString(1)).filter(_ != null)
+    assert(canon.forall(!_.contains("#")))
+    val trackRe = "[?&](utm_[^=&]*|gclid|fbclid|msclkid)(=|&|$)".r
+    assert(canon.filter(_.contains("://"))
+      .forall(c => trackRe.findFirstIn(c).isEmpty))
+  }
+
   test("Csv source: RFC-4180 quoting round-trips; newline values fail fast") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-csvspec-").toString + "/out"
