@@ -62,9 +62,11 @@ object Web {
   /** Canonical form of a URL — the crawl-dedup key (two fetches of the same
     * resource under cosmetically different URLs must collide):
     *   - fragment dropped (`#…` never reaches the server);
-    *   - scheme and host lowercased; the scheme's default port stripped
-    *     (`:80` for http, `:443` for https — repeated, so malformed
-    *     `host:80:80` junk can't defeat idempotence);
+    *   - scheme and host lowercased (userinfo case-PRESERVED — it is
+    *     case-sensitive per RFC 3986; merging case-distinct credentials
+    *     would collapse distinct resources); the scheme's default port
+    *     stripped (`:80` for http, `:443` for https — repeated, so
+    *     malformed `host:80:80` junk can't defeat idempotence);
     *   - ALL trailing `/` stripped from the path (`/p//` ≡ `/p` — one-slash
     *     stripping left `/p/`, whose re-canonicalization differed);
     *   - tracking parameters removed ([[TrackingParamPattern]]), remaining
@@ -77,7 +79,7 @@ object Web {
     * and replayable verbatim in the DuckDB oracle.
     *
     * IDEMPOTENT on arbitrary strings — `canonicalizeUrl(canonicalizeUrl(x))
-    * ≡ canonicalizeUrl(x)` (PropertySpec fuzzes this over adversarial URL
+    * ≡ canonicalizeUrl(x)` (ExtSpec fuzzes this over adversarial URL
     * soup): a canonical key that re-canonicalizes to a different key would
     * silently split dedup groups between a raw corpus and one that stored
     * canonical URLs.
@@ -88,10 +90,16 @@ object Web {
     val rest = base.substr(length(scheme) + lit(4), length(base))
     val hostport = regexp_extract(rest, "^([^/?]*)", 1)
     val tail0 = rest.substr(length(hostport) + lit(1), length(rest))
-    val host0 = lower(hostport)
-    val host = when(lower(scheme) === "http", regexp_replace(host0, "(:80)+$", ""))
+    // userinfo (up to the LAST '@') keeps its case — it is case-sensitive
+    // per RFC 3986, and lowercasing it would merge case-distinct
+    // credentials into one dedup key; only the host[:port] part lowercases
+    val userinfo = regexp_extract(hostport, "^(.*@)", 1)
+    val host0 = lower(substring_index(hostport, "@", -1))
+    val hostStripped =
+      when(lower(scheme) === "http", regexp_replace(host0, "(:80)+$", ""))
       .when(lower(scheme) === "https", regexp_replace(host0, "(:443)+$", ""))
       .otherwise(host0)
+    val host = concat(userinfo, hostStripped)
     val path = regexp_replace(regexp_extract(tail0, "^([^?]*)", 1), "/+$", "")
     val qs = when(instr(tail0, "?") > 0,
       tail0.substr(instr(tail0, "?") + lit(1), length(tail0))).otherwise(lit(""))
@@ -108,30 +116,32 @@ object Web {
     * [[capPerDomain]]); documents whose canonical key is NULL (no URL)
     * cannot be URL-deduped and all pass through.
     *
-    * Scale: ONE scan, one shuffle, the same WindowGroupLimit shape as
-    * [[capPerDomain]] — a bounded 1-heap per key on the map side, only one
-    * row per (partition, key) reaches the shuffle. The NULL stratum rides
-    * the same window under a per-row synthetic key — `(isNull, id)` can
-    * never collide with a real canonical key and never forms the one mega
-    * NULL partition a bare `partitionBy(canon)` would. (The previous
-    * split-union shape kept NULLs out of the shuffle entirely but paid a
-    * SECOND input scan + canonicalization for the pass-through arm: at 2M
-    * URLs it measured 5.6× the bare canonicalize scan, vs 1.4× for this
-    * single-pass shape — identical survivor set — across two
-    * noise-normalized runs of BENCH_scale_400x_r15ops.json.)
+    * Scale: one canonicalization pass and the same WindowGroupLimit shape
+    * as [[capPerDomain]] — a bounded 1-heap per canonical key on the map
+    * side, only one row per (partition, key) reaches the shuffle (the
+    * rank filter must stay a PURE `rn = 1` for that lowering — an OR'd
+    * NULL bypass defeats the rule). The canonical key is NULL exactly
+    * when the URL is NULL, so the pass-through stratum splits on the
+    * cheap INPUT predicate: its arm never computes the (regex-heavy)
+    * canonicalization and its scan pushes `url IS NULL` down to parquet
+    * null-count stats — the earlier shape that canonicalized BOTH arms
+    * measured 5.6× the bare canonicalize scan at 2M URLs vs 1.4× after
+    * dropping the second canonicalization (BENCH_scale_400x_r15ops.json).
     */
   def dedupByUrl(docs: DataFrame, urlCol: String = "url",
                  idCol: String = "id"): DataFrame = {
     val canon = WorkingColumns.fresh(docs, "__canon")
     val rn = WorkingColumns.fresh(docs, "__rn")
-    val w = Window
-      .partitionBy(col(canon).isNull,
-        coalesce(col(canon), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(canon))
       .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-    docs.withColumn(canon, canonicalizeUrl(col(urlCol)))
+    docs.filter(col(urlCol).isNotNull)
+      .withColumn(canon, canonicalizeUrl(col(urlCol)))
       .withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1)
       .drop(canon, rn)
+      // NULL-URL docs cannot be URL-deduped: ALL pass through (even under
+      // duplicate ids), with no canonicalization and no shuffle
+      .unionByName(docs.filter(col(urlCol).isNull))
   }
 
   /** Per-domain composition report: (domain, n_docs, n_chars, share) sorted

@@ -487,8 +487,8 @@ object ProbeScale {
 
       // X124 at 2M URLs: families 0/1 share ~200k canonical keys (the
       // cosmetic-collision dedup mass); 2-4 are key-unique; canonicalize is
-      // a pure scan-side projection (no shuffle), the survivor pick must
-      // stay WindowGroupLimit (map-side 1-heaps), NULL keys never shuffle
+      // a pure scan-side projection (no shuffle) computed ONCE, and the
+      // survivor pick must stay WindowGroupLimit (map-side 1-heaps)
       val f = pmod(xxhash64($"id"), lit(5))
       val k = pmod(xxhash64($"id", lit(1)), lit(200000)).cast("string")
       val urls = c.docs().select($"id",

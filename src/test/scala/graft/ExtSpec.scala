@@ -1300,7 +1300,8 @@ class ExtSpec extends AnyFunSuite {
     assert(canon("u9") === Some("bare-value"))
     assert(canon("u10") === None)
     assert(canon("u11") === Some("https://a.org:8443/p"))
-    assert(canon("u12") === Some("https://user:pw@a.org/p"))
+    assert(canon("u12") === Some("https://User:pw@a.org/p"),
+      "userinfo is case-sensitive (RFC 3986) and must keep its case")
     assert(canon("u13") === Some("https://a.org/p?a=1&a=2"))
     // dedup: exactly one survivor of u1..u4, deterministic across runs;
     // everything else (incl. the NULL-canonical row) passes through
@@ -1310,6 +1311,12 @@ class ExtSpec extends AnyFunSuite {
       .subsetOf(kept))
     assert(kept === Web.dedupByUrl(d).select("id").as[String].collect().toSet)
     assert(Web.dedupByUrl(d).columns.toSeq === Seq("id", "url"))
+    // NULL-URL rows ALL pass through, even under duplicate ids (they are
+    // not URL-dedupable; the md5-rank contract only governs real keys)
+    val dupNull = d.unionByName(Seq(
+      ("u10", null.asInstanceOf[String]),
+      ("u10", null.asInstanceOf[String])).toDF("id", "url"))
+    assert(Web.dedupByUrl(dupNull).filter($"url".isNull).count() === 3)
     // scale shape: the survivor pick lowers to WindowGroupLimit (map-side
     // 1-heap per canonical key), same pin as capPerDomain
     val plan = Web.dedupByUrl(d).queryExecution.executedPlan.toString
