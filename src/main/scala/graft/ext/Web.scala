@@ -48,16 +48,32 @@ object Web {
       .otherwise(concat_ws(".", slice(labels, -take, take)))
   }
 
-  /** Query parameters stripped by [[canonicalizeUrl]] — ONLY the
+  /** Tracking parameter NAMES stripped by [[canonicalizeUrl]] — ONLY the
     * unambiguous click-tracking names (utm_* by prefix, the ad-click ids).
     * Deliberately excludes `ref`: on many sites it is resource-SELECTING
     * (GitHub's `?ref=branch`), and stripping it would collapse distinct
     * resources onto one canonical key, silently dropping real documents in
-    * [[dedupByUrl]]. Matched against the FULL `name=value` token with a
+    * [[dedupByUrl]]. One source for both derived patterns below.
+    */
+  private val TrackingNames = "utm_[^=&]*|gclid|fbclid|msclkid"
+
+  /** Token-level form: matches a FULL `name[=value]` query token, with a
     * `(=|$)` tail so a name never swallows a longer one (`gclid` vs
     * `gclid_extra=1`).
     */
-  val TrackingParamPattern: String = "^(utm_[^=]*|gclid|fbclid|msclkid)(=|$)"
+  val TrackingParamPattern: String = s"^($TrackingNames)(=|$$)"
+
+  /** Whole-query-string form: removes each tracking token PLUS exactly one
+    * of its delimiters (the trailing `&`, or end-of-string — a leftover
+    * leading/doubled `&` becomes an empty token and is dropped by the
+    * `array_remove` in [[canonicalizeUrl]]). The `(?<=&)` lookbehind
+    * anchors token starts without consuming the previous token's
+    * delimiter, so adjacent tracking params all match (Java lookbehind
+    * inspects the original input, including characters consumed by an
+    * earlier match).
+    */
+  val TrackingParamStringPattern: String =
+    s"(?:^|(?<=&))(?:$TrackingNames)(?:=[^&]*)?(?:&|$$)"
 
   /** Canonical form of a URL — the crawl-dedup key (two fetches of the same
     * resource under cosmetically different URLs must collide):
@@ -103,8 +119,12 @@ object Web {
     val path = regexp_replace(regexp_extract(tail0, "^([^?]*)", 1), "/+$", "")
     val qs = when(instr(tail0, "?") > 0,
       tail0.substr(instr(tail0, "?") + lit(1), length(tail0))).otherwise(lit(""))
-    val q2 = array_join(sort_array(filter(split(qs, "&"),
-      p => p =!= "" && !p.rlike(TrackingParamPattern))), "&")
+    // string-level tracking removal + array_remove instead of a filter()
+    // lambda: higher-order functions are CodegenFallback (interpreted per
+    // row), and this projection is the 100 TB crawl-hygiene scan path —
+    // these four are all natively codegen'd
+    val q2 = array_join(sort_array(array_remove(
+      split(regexp_replace(qs, TrackingParamStringPattern, ""), "&"), "")), "&")
     when(url.isNull, lit(null).cast("string"))
       .when(!base.contains("://"), base)
       .otherwise(concat(lower(scheme), lit("://"), host, path,

@@ -1351,6 +1351,44 @@ class ExtSpec extends AnyFunSuite {
           pick(Seq('a', 'Z', '#', '?', '&', '/', ':', '=', '中', ' '))).mkString,
         ""))
     }
+    // independent plain-Scala reference implementation of the documented
+    // rules — the engine expression must agree byte-for-byte on the whole
+    // soup (a DIFFERENTIAL pin, so expression-level rewrites of the column
+    // algebra can't silently change the key function)
+    def refCanon(url: String): String = {
+      if (url == null) return null
+      val base = url.takeWhile(_ != '#')
+      if (!base.contains("://")) return base
+      val scheme = base.substring(0, base.indexOf("://"))
+      val rest = base.substring(scheme.length + 3)
+      val hostport = rest.takeWhile(c => c != '/' && c != '?')
+      val tail0 = rest.substring(hostport.length)
+      val at = hostport.lastIndexOf('@')
+      val ui = if (at >= 0) hostport.substring(0, at + 1) else ""
+      var host = hostport.substring(at + 1).toLowerCase
+      val sl = scheme.toLowerCase
+      if (sl == "http") host = host.replaceAll("(:80)+$", "")
+      else if (sl == "https") host = host.replaceAll("(:443)+$", "")
+      val path = tail0.takeWhile(_ != '?').replaceAll("/+$", "")
+      val qi = tail0.indexOf('?')
+      val qs = if (qi >= 0) tail0.substring(qi + 1) else ""
+      val track = java.util.regex.Pattern.compile(Web.TrackingParamPattern)
+      def utf8Lt(x: String, y: String): Boolean = { // sort_array's binary order
+        val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          if (a(i) != b(i)) return (a(i) & 0xff) < (b(i) & 0xff)
+          i += 1
+        }
+        a.length < b.length
+      }
+      val toks = qs.split("&", -1).toSeq
+        .filter(p => p.nonEmpty && !track.matcher(p).find())
+        .sortWith(utf8Lt)
+      sl + "://" + ui + host + path +
+        (if (toks.isEmpty) "" else "?" + toks.mkString("&"))
+    }
     val soup = (1 to 3000).map(_ => genUrl()).toDF("url")
       .select($"url", Web.canonicalizeUrl($"url").as("c1"))
       .select($"url", $"c1", Web.canonicalizeUrl($"c1").as("c2"))
@@ -1358,6 +1396,10 @@ class ExtSpec extends AnyFunSuite {
     val notIdem = soup.filter(r => !java.util.Objects.equals(r.get(1), r.get(2)))
     assert(notIdem.isEmpty, "non-idempotent: " + notIdem.take(5).toSeq.map(r =>
       s"url=${r.get(0)} c1=${r.get(1)} c2=${r.get(2)}"))
+    val notRef = soup.filter(r =>
+      !java.util.Objects.equals(r.get(1), refCanon(r.getString(0))))
+    assert(notRef.isEmpty, "engine != reference: " + notRef.take(5).toSeq.map(r =>
+      s"url=${r.get(0)} engine=${r.get(1)} ref=${refCanon(r.getString(0))}"))
     // fragment never survives; tracking params never survive a real URL
     val canon = soup.map(_.getString(1)).filter(_ != null)
     assert(canon.forall(!_.contains("#")))
