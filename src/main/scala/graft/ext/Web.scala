@@ -91,8 +91,12 @@ object Web {
     *     bare `?` dropped when nothing survives.
     * A value without `://` passes through fragment-stripped only (not a
     * fetchable URL — no structure to normalize); NULL stays NULL. Pure
-    * built-in composition (split/regexp/sort_array) — codegen'd, zero UDFs,
-    * and replayable verbatim in the DuckDB oracle.
+    * built-in composition (split/regexp/sort_array) — codegen'd, zero
+    * UDFs. The DuckDB oracle replays it at RULE level (an independent
+    * derivation per synthesized case — [[TrackingParamStringPattern]]'s
+    * Java lookbehind has no RE2 equivalent, so a literal string-algebra
+    * replay is not portable), and ExtSpec pins the expression
+    * byte-for-byte against a plain-Scala reference over fuzzed URL soup.
     *
     * IDEMPOTENT on arbitrary strings — `canonicalizeUrl(canonicalizeUrl(x))
     * ≡ canonicalizeUrl(x)` (ExtSpec fuzzes this over adversarial URL
@@ -108,8 +112,10 @@ object Web {
     val tail0 = rest.substr(length(hostport) + lit(1), length(rest))
     // userinfo (up to the LAST '@') keeps its case — it is case-sensitive
     // per RFC 3986, and lowercasing it would merge case-distinct
-    // credentials into one dedup key; only the host[:port] part lowercases
-    val userinfo = regexp_extract(hostport, "^(.*@)", 1)
+    // credentials into one dedup key; only the host[:port] part lowercases.
+    // (?s) so crawl junk with line terminators in the authority can't make
+    // the extract fail and silently DELETE the userinfo from the key
+    val userinfo = regexp_extract(hostport, "^((?s:.)*@)", 1)
     val host0 = lower(substring_index(hostport, "@", -1))
     val hostStripped =
       when(lower(scheme) === "http", regexp_replace(host0, "(:80)+$", ""))
@@ -136,32 +142,35 @@ object Web {
     * [[capPerDomain]]); documents whose canonical key is NULL (no URL)
     * cannot be URL-deduped and all pass through.
     *
-    * Scale: one canonicalization pass and the same WindowGroupLimit shape
-    * as [[capPerDomain]] — a bounded 1-heap per canonical key on the map
-    * side, only one row per (partition, key) reaches the shuffle (the
-    * rank filter must stay a PURE `rn = 1` for that lowering — an OR'd
-    * NULL bypass defeats the rule). The canonical key is NULL exactly
-    * when the URL is NULL, so the pass-through stratum splits on the
-    * cheap INPUT predicate: its arm never computes the (regex-heavy)
-    * canonicalization and its scan pushes `url IS NULL` down to parquet
-    * null-count stats — the earlier shape that canonicalized BOTH arms
-    * measured 5.6× the bare canonicalize scan at 2M URLs vs 1.4× after
-    * dropping the second canonicalization (BENCH_scale_400x_r15ops.json).
+    * Scale: the input plan evaluates ONCE (a split-union pass-through arm
+    * would re-execute the whole upstream plan — joins, UDF columns — for
+    * the NULL stratum; Spark does not dedupe common subplans), the
+    * canonicalization computes once, and the survivor pick keeps the same
+    * WindowGroupLimit shape as [[capPerDomain]] — a bounded 1-heap per key
+    * on the map side, only one row per (partition, key) reaches the
+    * shuffle (the rank filter must stay a PURE `rn = 1` for that lowering
+    * — an OR'd NULL bypass defeats the rule). NULL-canonical rows ride the
+    * same window under per-ROW synthetic keys (`monotonically_increasing_
+    * id`, unique per row by construction, so every NULL row ranks 1 and
+    * passes even under duplicate ids; the `isNull` flag column in the
+    * partition key isolates them from any real canonical value, and the
+    * output is deterministic because those rows are kept UNCONDITIONALLY —
+    * the id's run-dependent VALUES never influence which rows survive).
     */
   def dedupByUrl(docs: DataFrame, urlCol: String = "url",
                  idCol: String = "id"): DataFrame = {
     val canon = WorkingColumns.fresh(docs, "__canon")
     val rn = WorkingColumns.fresh(docs, "__rn")
-    val w = Window.partitionBy(col(canon))
+    val rowid = WorkingColumns.fresh(docs, "__rowid")
+    val w = Window
+      .partitionBy(col(canon).isNull,
+        coalesce(col(canon), col(rowid).cast("string")))
       .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-    docs.filter(col(urlCol).isNotNull)
+    docs.withColumn(rowid, monotonically_increasing_id())
       .withColumn(canon, canonicalizeUrl(col(urlCol)))
       .withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1)
-      .drop(canon, rn)
-      // NULL-URL docs cannot be URL-deduped: ALL pass through (even under
-      // duplicate ids), with no canonicalization and no shuffle
-      .unionByName(docs.filter(col(urlCol).isNull))
+      .drop(canon, rn, rowid)
   }
 
   /** Per-domain composition report: (domain, n_docs, n_chars, share) sorted

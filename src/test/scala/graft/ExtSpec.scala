@@ -1334,7 +1334,7 @@ class ExtSpec extends AnyFunSuite {
     def genUrl(): String = {
       val scheme = pick(Seq("http", "HTTP", "https", "HTTPS", "ftp", "x", "", "a?b"))
       val host = pick(Seq("A.Org", "www.EXAMPLE.com", "a.b.co.uk", "LOCALHOST",
-        "User:PW@Site.io", "é.中", ""))
+        "User:PW@Site.io", "U\nser:p@Site.io", "a@b@C.io", "é.中", ""))
       val port = pick(Seq("", ":80", ":443", ":8443", ":80:80", ":443:443", ":"))
       val path = (0 until rnd.nextInt(4))
         .map(_ => pick(Seq("p", "P", "x:y", "a b", "ü", "")))
@@ -1348,7 +1348,8 @@ class ExtSpec extends AnyFunSuite {
         s"$scheme://$host$port$path$q$frag",
         s"$host$path$q$frag", // no scheme: passthrough arm
         (0 until rnd.nextInt(12)).map(_ =>
-          pick(Seq('a', 'Z', '#', '?', '&', '/', ':', '=', '中', ' '))).mkString,
+          pick(Seq('a', 'Z', '#', '?', '&', '/', ':', '=', '@', '中', ' ',
+            '\n', '\r'))).mkString,
         ""))
     }
     // independent plain-Scala reference implementation of the documented
