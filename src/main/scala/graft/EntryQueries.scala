@@ -1682,6 +1682,29 @@ object EntryQueries {
         .select(col("id"), col("canonical"), coalesce(col("kept"), lit(false)).as("kept"))
     }, Some(urlDedupOracle)),
 
+    // X125: asymmetric containment dedup — planted "snippet" docs (the
+    // first 20 tokens of every 7th document) must be found CONTAINED in
+    // their source (containment 1.0) even though their symmetric Jaccard
+    // vs the full doc is far below any dedup threshold (the mode X4
+    // misses). Probe side restricted to the planted docs so the all-pairs
+    // DuckDB replay stays tractable; maxBucket disabled so the prefix
+    // filter's completeness theorem is what the oracle checks.
+    ("x125_containment", (s: SparkSession, sfDir: String) => {
+      val base = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"), col("text"))
+      val planted = base.filter(col("id").cast("long") % 7 === 0)
+        .select(concat(lit("ct"), col("id")).as("id"),
+          concat_ws(" ", slice(graft.functions.TextFunctions.tokens(col("text")),
+            1, 20)).as("text"))
+      val all = base.unionByName(planted)
+        .select(col("id"), col("text").as("content"))
+      Dedup.containmentPairs(all, threshold = 0.85, maxBucket = Int.MaxValue)
+        .filter(col("id").startsWith("ct"))
+        .select(col("id"), col("in_id"),
+          round(col("containment"), 6).as("containment"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }, Some(containmentOracle)),
+
     ("x8_text_langid", (s: SparkSession, sfDir: String) =>
       TextStats.langId(docsFrame(s, sfDir)).select("id", "pred_lang"),
       Some(langIdOracle)),
@@ -3966,6 +3989,31 @@ object EntryQueries {
       |SELECT id, canonical,
       |  (row_number() OVER (PARTITION BY canonical ORDER BY md5(id) ASC, id ASC)) = 1 AS kept
       |FROM c""".stripMargin
+
+  /** x125 oracle: all-pairs containment ground truth over distinct 3-gram
+    * shingles — the same shingle construction as the x4 Jaccard oracle
+    * ($Toks, w[i:i+2]) over documents ∪ the planted first-20-token
+    * snippets, probe side restricted to the planted docs exactly like the
+    * entry. Because the oracle is ALL-PAIRS, the engine's prefix-filter
+    * candidates must be COMPLETE (the entry disables the index df cap);
+    * containment and jaccard derive from the same list_intersect.
+    */
+  private lazy val containmentOracle: String =
+    s"""WITH base AS (SELECT $DocId AS id, text FROM documents),
+       | t0 AS (SELECT id, $Toks AS w FROM base),
+       | corpus AS (SELECT id, w FROM t0
+       |   UNION ALL
+       |   SELECT 'ct' || id, w[1:20] FROM t0 WHERE CAST(id AS BIGINT) % 7 = 0),
+       | sh AS (SELECT id, CASE WHEN len(w) < 3 THEN []
+       |   ELSE list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) END AS s
+       |  FROM corpus),
+       | nz AS (SELECT id, s FROM sh WHERE len(s) > 0)
+       |SELECT a.id AS id, b.id AS in_id,
+       |  round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6) AS containment,
+       |  round(len(list_intersect(a.s, b.s)) * 1.0
+       |    / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+       |FROM nz a JOIN nz b ON a.id <> b.id AND a.id LIKE 'ct%'
+       |WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.85""".stripMargin
 
   /** x123 oracle: the full ByteDHash replay — byte stream → 72 integer
     * slice sums/counts → 64 cross-multiplied comparisons → BIGINT hash

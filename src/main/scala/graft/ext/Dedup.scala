@@ -934,6 +934,93 @@ object Dedup {
     bucketStatsOf(prefix, Seq("g"), maxBucket)
   }
 
+  // -------------------------------------------------------------------------
+  // Exact n-gram CONTAINMENT (asymmetric set-similarity join)
+  // -------------------------------------------------------------------------
+
+  /** X125: EXACT asymmetric near-SUBSET pairs — ordered (id, in_id) rows
+    * where containment C(A→B) = |S(A)∩S(B)| / |S(A)| ≥ `threshold` over
+    * distinct word n-gram shingles (Broder's containment). This is the
+    * duplication mode symmetric Jaccard structurally MISSES: a document
+    * wrapped in boilerplate, a quoted article inside a longer page, a
+    * snippet re-posted under navigation chrome — |A∩B|/|A∪B| collapses as
+    * |B|/|A| grows even when A is copied verbatim, so [[ngramJaccardPairs]]
+    * never fires, while C(A→B) stays 1. Output (id, in_id, containment,
+    * jaccard), id ≠ in_id, both sides' shingle sets non-empty; both
+    * directions of a pair are evaluated (and reported) independently.
+    *
+    * Candidates by the containment prefix filter: order each doc's hashed
+    * shingles by a GLOBAL total order; if C(A→B) ≥ t, at most ⌊(1−t)·|A|⌋
+    * of A's shingles miss B, so A's first ⌊(1−t)·|A|⌋+1 shingles of that
+    * order must hit B — probe rows are A-prefixes, but the INDEX side must
+    * carry every shingle of every doc (asymmetry has no B-prefix theorem).
+    * Verification is exact: `array_intersect` over the two hashed sets
+    * (both distinct-sorted longs), containment and Jaccard derived from
+    * the same integer intersection.
+    *
+    * `dfOrdered` defaults TRUE here (the opposite of [[ngramJaccardPairs]])
+    * because the index side is the full inverted shingle list — the
+    * candidate count is Σ_g df_probe(g)·df_index(g) and a rarest-first
+    * prefix divides it where a smallest-hash prefix lands on corpus-hot
+    * shingles. Shingles with index df > `maxBucket` are DROPPED from the
+    * index (the capped-bucket analogue for an asymmetric join, where star
+    * edges have no meaning): a qualifying pair is lost only when EVERY
+    * prefix shingle of its probe side is corpus-hot — with rarest-first
+    * ordering that means the probe's (1−t) rarest shingles are all above
+    * the cap, i.e. the doc is boilerplate-only. The trade is the X83
+    * `blockCols` kind: documented, parameter-visible, and off at
+    * `maxBucket = Int.MaxValue`.
+    *
+    * Scale: probe rows ≈ (1−t)·Σ|S| + #docs, index rows = Σ|S| (the same
+    * object as a postings store — linear, skinny (g, id) longs); one df
+    * aggregate serves both the ordering and the cap (exchange-reused);
+    * candidates deduplicate BEFORE verification, and each surviving pair
+    * ships the two hashed sets exactly once. Nothing is quadratic in the
+    * corpus; content never shuffles.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String = "id",
+                       contentCol: String = "content", n: Int = 3,
+                       threshold: Double = 0.8,
+                       dfOrdered: Boolean = true,
+                       maxBucket: Int = 4096): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    require(maxBucket >= 1, "maxBucket >= 1")
+    val withH = docs.select(
+        col(idCol).as("id"),
+        HashFunctions.hashedSet(TextFunctions.shingles(
+          TextFunctions.tokens(col(contentCol)), n)).as("shh"))
+      .filter(size(col("shh")) > 0)
+    val prefLen = // epsilon: see ngramJaccardPairs (floor at integral (1-t)·sz)
+      (floor((lit(1.0) - threshold) * size(col("shh")) + lit(1e-9)) + 1).cast("int")
+    val inv = withH.select(col("id"), explode(col("shh")).as("g"))
+    val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    val probe =
+      if (dfOrdered)
+        inv.join(dfreq, "g")
+          .withColumn("__pos", row_number().over(
+            Window.partitionBy(col("id")).orderBy(col("__df"), col("g"))))
+          .join(withH.select(col("id"), prefLen.as("__p")), "id")
+          .filter(col("__pos") <= col("__p"))
+          .select(col("id"), col("g"))
+      else
+        withH.select(col("id"), explode(slice(col("shh"), lit(1), prefLen)).as("g"))
+    val index = inv.join(dfreq.filter(col("__df") <= maxBucket), "g")
+      .select(col("g"), col("id").as("in_id"))
+    val cand = probe.join(index, Seq("g"))
+      .filter(col("id") =!= col("in_id"))
+      .select(col("id"), col("in_id"))
+      .distinct()
+    cand
+      .join(withH.select(col("id"), col("shh").as("__sa")), Seq("id"))
+      .join(withH.select(col("id").as("in_id"), col("shh").as("__sb")), Seq("in_id"))
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
+      .withColumn("containment", col("__i") / size(col("__sa")))
+      .filter(col("containment") >= threshold)
+      .select(col("id"), col("in_id"), col("containment"),
+        (col("__i") / (size(col("__sa")) + size(col("__sb")) - col("__i")))
+          .as("jaccard"))
+  }
+
   /** Exact-Jaccard verification of an externally-produced candidate pair
     * frame (id_a, id_b) against the docs — for callers composing their own
     * candidate generation. Joins the hashed shingle sets per side; prefer the

@@ -511,6 +511,29 @@ object ProbeScale {
       val uplan = deduped.queryExecution.executedPlan.toString
       require(uplan.contains("WindowGroupLimit"),
         "dedupByUrl must keep the WindowGroupLimit shape at 2M")
+
+      // X125 containment at 2M+10k docs — adversarial for the INDEX side
+      // by construction: every copy-suffix shingle is corpus-hot (df =
+      // docs/copy ≈ 5000 > maxBucket), so the default cap must carry the
+      // probe prefixes onto the per-doc-rare junction/content shingles
+      // instead of exploding on the hot mass. Planted first-20-token
+      // snippets must still be FOUND contained in their sources through
+      // the capped index (their rare shingles are shared with exactly one
+      // source doc).
+      val snips = c.docs().filter(xxhash64($"id") % 200 === 0)
+        .select(concat(lit("ct"), $"id").as("id"),
+          concat_ws(" ", slice(graft.functions.TextFunctions.tokens($"content"),
+            1, 20)).as("content"))
+      val nSnips = snips.count()
+      val ctPairs = time("containment_2m_sec")(
+        graft.ext.Dedup.containmentPairs(
+            c.docs().select($"id", $"content").unionByName(snips),
+            threshold = 0.9)
+          .filter($"id".startsWith("ct")).count())
+      println(s"PROBE   containment snippets found = $ctPairs (planted $nSnips)")
+      metrics += ("containment_planted" -> nSnips, "containment_found" -> ctPairs)
+      require(ctPairs >= nSnips,
+        s"every planted snippet must be found contained ($ctPairs < $nSnips)")
       writeOut(); return
     }
     // `newops` = ingest + the round-6 training-pipeline operators only:

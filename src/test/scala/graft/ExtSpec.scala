@@ -1263,6 +1263,59 @@ class ExtSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("containmentPairs: near-subset pairs Jaccard misses; candidates complete vs brute force; cap trade") {
+    import graft.ext.Dedup
+    // deterministic corpus with planted containment structure: doc "long"
+    // (60 distinct-ish tokens), "wrap" = boilerplate + long + boilerplate,
+    // "snip" = long's first 12 tokens, plus unrelated noise docs
+    val longToks = (1 to 60).map(i => s"w${i * 7 % 61}")
+    val docs = Seq(
+      ("long", longToks.mkString(" ")),
+      ("wrap", ((1 to 14).map(i => s"nav$i").mkString(" ") + " " +
+        longToks.mkString(" ") + " " + (1 to 14).map(i => s"foot$i").mkString(" "))),
+      ("snip", longToks.take(12).mkString(" ")),
+      ("tiny", "aa bb")) ++ // < 3 tokens: empty shingle set, never pairs
+      (1 to 40).map(i => (s"n$i", (1 to 30).map(j => s"x${(i * 31 + j * 17) % 97}").mkString(" ")))
+    val df = docs.toDF("id", "content")
+    // brute force over distinct token 3-gram sets (plain Scala)
+    def shingleSet(text: String): Set[Seq[String]] = {
+      val t = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+      if (t.size < 3) Set.empty else t.sliding(3).map(_.toSeq).toSet
+    }
+    val sets = docs.map { case (id, c) => id -> shingleSet(c) }.toMap
+    val t = 0.85
+    def brute(thr: Double) = (for {
+      (a, sa) <- sets.toSeq if sa.nonEmpty
+      (b, sb) <- sets.toSeq if a != b && sb.nonEmpty
+      i = (sa & sb).size if i.toDouble / sa.size >= thr
+    } yield (a, b, i.toDouble / sa.size)).toSet
+    val expected = brute(t)
+    val got = Dedup.containmentPairs(df, threshold = t, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === expected, "prefix-filter candidates must be COMPLETE")
+    // the planted structure behaves as designed: long⊆wrap and snip⊆long
+    // found at containment 1.0, while their symmetric Jaccard is below any
+    // dedup threshold (ngramJaccardPairs misses both BY CONSTRUCTION)
+    assert(got.exists { case (a, b, c) => a == "long" && b == "wrap" && c == 1.0 })
+    assert(got.exists { case (a, b, c) => a == "snip" && b == "long" && c == 1.0 })
+    assert(Dedup.ngramJaccardPairs(df, threshold = t)
+      .filter(col("id_a").isin("long", "snip", "wrap")).count() === 0,
+      "fixture must be invisible to symmetric Jaccard at the same threshold")
+    assert(!got.exists(p => p._1 == "tiny" || p._2 == "tiny"))
+    // hash-ordered prefix agrees (ordering choice cannot change the result
+    // set when nothing is capped — completeness is order-independent)
+    val gotHash = Dedup.containmentPairs(df, threshold = t,
+      dfOrdered = false, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(gotHash === expected)
+    // cap trade: with maxBucket = 1 every shared shingle is "hot" in this
+    // planted family (df >= 2 on the index side), so those pairs drop —
+    // the documented recall trade, never a wrong pair
+    val capped = Dedup.containmentPairs(df, threshold = t, maxBucket = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(capped.subsetOf(expected), "a cap may drop pairs, never invent them")
+  }
+
   test("Web.canonicalizeUrl + dedupByUrl: cosmetics collide, ref survives, NULL stratum passes") {
     val d = Seq(
       // u1..u4: the SAME resource under different cosmetics — one key
