@@ -1690,10 +1690,13 @@ object EntryQueries {
     // DuckDB replay stays tractable; maxBucket disabled so the prefix
     // filter's completeness theorem is what the oracle checks.
     ("x125_containment", (s: SparkSession, sfDir: String) => {
-      val base = s.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id").cast("string").as("id"), col("text"))
-      val planted = base.filter(col("id").cast("long") % 7 === 0)
-        .select(concat(lit("ct"), col("id")).as("id"),
+      // filters stay on the NUMERIC doc_id: a string→bigint cast filter on
+      // `id` would be constraint-INFERRED across downstream self-joins onto
+      // the ct-prefixed rows and throw under ANSI (the x125b lesson)
+      val raw = s.read.parquet(s"$sfDir/documents.parquet")
+      val base = raw.select(col("doc_id").cast("string").as("id"), col("text"))
+      val planted = raw.filter(col("doc_id") % 7 === 0)
+        .select(concat(lit("ct"), col("doc_id").cast("string")).as("id"),
           concat_ws(" ", slice(graft.functions.TextFunctions.tokens(col("text")),
             1, 20)).as("text"))
       val all = base.unionByName(planted)
@@ -1704,6 +1707,31 @@ object EntryQueries {
           round(col("containment"), 6).as("containment"),
           round(col("jaccard"), 6).as("jaccard"))
     }, Some(containmentOracle)),
+
+    // X125b: containment curation — dropContained must keep exactly the
+    // docs no strictly-larger (or equal-size smaller-id) document covers
+    // at >= 0.85. Subset corpus (every 5th doc + snippets of every 35th)
+    // keeps the all-pairs DuckDB replay tractable; the planted snippets
+    // must all be dropped (their sources are strictly larger and cover
+    // them fully), the sources themselves survive.
+    ("x125b_drop_contained", (s: SparkSession, sfDir: String) => {
+      // numeric-doc_id filters ONLY: dropContained anti-joins the corpus
+      // with itself, and Spark's InferFiltersFromConstraints copies the
+      // left side's filters onto the right ACROSS the join key — a
+      // string→bigint cast filter on `id` lands on the concat('ct',…)
+      // rows and throws under ANSI (caught by the sf0.1 bench)
+      val raw = s.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 5 === 0)
+      val base = raw.select(col("doc_id").cast("string").as("id"), col("text"))
+      val planted = raw.filter(col("doc_id") % 35 === 0)
+        .select(concat(lit("ct"), col("doc_id").cast("string")).as("id"),
+          concat_ws(" ", slice(graft.functions.TextFunctions.tokens(col("text")),
+            1, 20)).as("text"))
+      val all = base.unionByName(planted)
+        .select(col("id"), col("text").as("content"))
+      Dedup.dropContained(all, threshold = 0.85, maxBucket = Int.MaxValue)
+        .select(col("id"))
+    }, Some(dropContainedOracle)),
 
     ("x8_text_langid", (s: SparkSession, sfDir: String) =>
       TextStats.langId(docsFrame(s, sfDir)).select("id", "pred_lang"),
@@ -4014,6 +4042,26 @@ object EntryQueries {
        |    / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
        |FROM nz a JOIN nz b ON a.id <> b.id AND a.id LIKE 'ct%'
        |WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.85""".stripMargin
+
+  /** x125b oracle: the drop rule replayed over the subset corpus — a doc
+    * drops iff SOME other doc covers ≥ 0.85 of its shingles AND is
+    * strictly larger (or equal-size with a smaller id). Same shingle
+    * construction as x125; empty-shingle docs never drop.
+    */
+  private lazy val dropContainedOracle: String =
+    s"""WITH base AS (SELECT $DocId AS id, text FROM documents WHERE doc_id % 5 = 0),
+       | t0 AS (SELECT id, $Toks AS w FROM base),
+       | corpus AS (SELECT id, w FROM t0
+       |   UNION ALL
+       |   SELECT 'ct' || id, w[1:20] FROM t0 WHERE CAST(id AS BIGINT) % 35 = 0),
+       | sh AS (SELECT id, CASE WHEN len(w) < 3 THEN []
+       |   ELSE list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) END AS s
+       |  FROM corpus),
+       | nz AS (SELECT id, s FROM sh WHERE len(s) > 0),
+       | drops AS (SELECT DISTINCT a.id FROM nz a JOIN nz b ON a.id <> b.id
+       |   AND len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.85
+       |   AND (len(b.s) > len(a.s) OR (len(b.s) = len(a.s) AND b.id < a.id)))
+       |SELECT id FROM corpus WHERE id NOT IN (SELECT id FROM drops)""".stripMargin
 
   /** x123 oracle: the full ByteDHash replay — byte stream → 72 integer
     * slice sums/counts → 64 cross-multiplied comparisons → BIGINT hash

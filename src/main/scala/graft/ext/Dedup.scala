@@ -956,7 +956,9 @@ object Dedup {
     * carry every shingle of every doc (asymmetry has no B-prefix theorem).
     * Verification is exact: `array_intersect` over the two hashed sets
     * (both distinct-sorted longs), containment and Jaccard derived from
-    * the same integer intersection.
+    * the same integer intersection. `sz_a`/`sz_b` (the shingle-set sizes)
+    * ride along so consumers like [[dropContained]] can order pairs by
+    * coverage without re-shingling.
     *
     * `dfOrdered` defaults TRUE here (the opposite of [[ngramJaccardPairs]])
     * because the index side is the full inverted shingle list — the
@@ -1018,7 +1020,42 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("id"), col("in_id"), col("containment"),
         (col("__i") / (size(col("__sa")) + size(col("__sb")) - col("__i")))
-          .as("jaccard"))
+          .as("jaccard"),
+        size(col("__sa")).as("sz_a"), size(col("__sb")).as("sz_b"))
+  }
+
+  /** X125b: one-call containment CURATION — drop every document whose
+    * shingle set is ≥ `threshold` contained in some STRICTLY-LARGER
+    * document's set (larger by |S|; equal sizes tie-break on smaller id,
+    * so byte-identical twins keep exactly one). Returns the surviving doc
+    * rows, schema passthrough.
+    *
+    * The rule is deliberately PAIRWISE, not survivor-recursive: A drops
+    * when evidence exists that a bigger B covers it, even if B itself
+    * drops into some C — containment is NOT transitive, so a
+    * survivor-recursive rule would need iteration to a fixpoint with no
+    * better guarantee (C(A→C) can be arbitrarily low while C(A→B) and
+    * C(B→C) are both 1 − ε). The pairwise rule is deterministic, one
+    * pass, and exactly the "strip snippets/quotes/boilerplate-wrapped
+    * copies" curation step; run [[dedupCorpus]] first if byte-level and
+    * symmetric near-dup mass should collapse before coverage reasoning.
+    *
+    * Scale: [[containmentPairs]] plus one DISTINCT over dropped ids and
+    * one left-anti join against the docs — nothing new shuffles content.
+    */
+  def dropContained(docs: DataFrame, idCol: String = "id",
+                    contentCol: String = "content", n: Int = 3,
+                    threshold: Double = 0.8,
+                    dfOrdered: Boolean = true,
+                    maxBucket: Int = 4096): DataFrame = {
+    val pairs = containmentPairs(docs, idCol, contentCol, n, threshold,
+      dfOrdered, maxBucket)
+    val dropped = pairs
+      .filter(col("sz_b") > col("sz_a") ||
+        (col("sz_b") === col("sz_a") && col("in_id") < col("id")))
+      .select(col("id").as("__drop_id"))
+      .distinct()
+    docs.join(dropped, docs(idCol) === col("__drop_id"), "left_anti")
   }
 
   /** Exact-Jaccard verification of an externally-produced candidate pair

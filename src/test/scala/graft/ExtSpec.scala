@@ -1274,7 +1274,11 @@ class ExtSpec extends AnyFunSuite {
       ("wrap", ((1 to 14).map(i => s"nav$i").mkString(" ") + " " +
         longToks.mkString(" ") + " " + (1 to 14).map(i => s"foot$i").mkString(" "))),
       ("snip", longToks.take(12).mkString(" ")),
-      ("tiny", "aa bb")) ++ // < 3 tokens: empty shingle set, never pairs
+      ("tiny", "aa bb"), // < 3 tokens: empty shingle set, never pairs
+      // byte-identical twins: equal sizes, mutual containment 1.0 — the
+      // dropContained tie-break must keep exactly the smaller id
+      ("dupa", (1 to 20).map(i => s"tw$i").mkString(" ")),
+      ("dupb", (1 to 20).map(i => s"tw$i").mkString(" "))) ++
       (1 to 40).map(i => (s"n$i", (1 to 30).map(j => s"x${(i * 31 + j * 17) % 97}").mkString(" ")))
     val df = docs.toDF("id", "content")
     // brute force over distinct token 3-gram sets (plain Scala)
@@ -1314,6 +1318,26 @@ class ExtSpec extends AnyFunSuite {
     val capped = Dedup.containmentPairs(df, threshold = t, maxBucket = 1)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
     assert(capped.subsetOf(expected), "a cap may drop pairs, never invent them")
+    // dropContained: pairwise rule — drop A iff some strictly-larger (or
+    // equal-size smaller-id) B covers >= t of it; brute-replayed
+    val expectSurvive = sets.keySet.filter { a =>
+      val sa = sets(a)
+      sa.isEmpty || !sets.exists { case (b, sb) =>
+        b != a && sb.nonEmpty &&
+          (sa & sb).size.toDouble / sa.size >= t &&
+          (sb.size > sa.size || (sb.size == sa.size && b < a))
+      }
+    }
+    val survived = Dedup.dropContained(df, threshold = t, maxBucket = Int.MaxValue)
+      .select("id").as[String].collect().toSet
+    assert(survived === expectSurvive)
+    // the planted structure: snip ⊆ long ⊆ wrap leaves only wrap; the
+    // twins keep exactly the smaller id; tiny (no shingles) survives
+    assert(!survived.contains("snip") && !survived.contains("long"))
+    assert(survived.contains("wrap") && survived.contains("tiny"))
+    assert(survived.contains("dupa") && !survived.contains("dupb"))
+    // schema passthrough
+    assert(Dedup.dropContained(df, threshold = t).columns.toSeq === Seq("id", "content"))
   }
 
   test("Web.canonicalizeUrl + dedupByUrl: cosmetics collide, ref survives, NULL stratum passes") {
