@@ -1048,14 +1048,15 @@ object Dedup {
                     threshold: Double = 0.8,
                     dfOrdered: Boolean = true,
                     maxBucket: Int = 4096): DataFrame = {
+    val dropKey = WorkingColumns.fresh(docs, "__drop_id")
     val pairs = containmentPairs(docs, idCol, contentCol, n, threshold,
       dfOrdered, maxBucket)
     val dropped = pairs
       .filter(col("sz_b") > col("sz_a") ||
         (col("sz_b") === col("sz_a") && col("in_id") < col("id")))
-      .select(col("id").as("__drop_id"))
+      .select(col("id").as(dropKey))
       .distinct()
-    docs.join(dropped, docs(idCol) === col("__drop_id"), "left_anti")
+    docs.join(dropped, docs(idCol) === col(dropKey), "left_anti")
   }
 
   /** Exact-Jaccard verification of an externally-produced candidate pair
