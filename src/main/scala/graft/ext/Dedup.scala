@@ -877,6 +877,34 @@ object Dedup {
     * document frequency instead (rarest-first, the PPJoin choice): fewest
     * candidates, at the cost of a document-frequency join + per-doc window.
     */
+  /** Prefix-filter probe rows (id, g): the first ⌊(1−t)·|S|⌋+1 elements of
+    * each doc's hashed set under a GLOBAL total order — hash order (the
+    * set is already hash-sorted: zero shuffles) or rarest-first document
+    * frequency (fewest candidates; one df aggregate + per-doc window).
+    * The 1e-9 epsilon guards the integral-(1−t)·|S| floor: (1.0 − t) is
+    * not exact in binary and floor can land one BELOW the true value
+    * exactly when (1−t)·|S| is integral — a one-short prefix silently
+    * drops qualifying pairs (observed: 255 vs 256 pairs at t=0.8). ONE
+    * definition shared by the Jaccard join, the containment join, and the
+    * bucket diagnostics, so the epsilon/length subtlety cannot drift.
+    */
+  private def prefixRows(withH: DataFrame, threshold: Double,
+                         dfOrdered: Boolean): DataFrame = {
+    val prefLen =
+      (floor((lit(1.0) - threshold) * size(col("shh")) + lit(1e-9)) + 1).cast("int")
+    if (dfOrdered) {
+      val inv = withH.select(col("id"), explode(col("shh")).as("g"))
+      val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+      inv.join(dfreq, "g")
+        .withColumn("__pos", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("__df"), col("g"))))
+        .join(withH.select(col("id"), prefLen.as("__p")), "id")
+        .filter(col("__pos") <= col("__p"))
+        .select(col("id"), col("g"))
+    } else
+      withH.select(col("id"), explode(slice(col("shh"), lit(1), prefLen)).as("g"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "id",
                         contentCol: String = "content", n: Int = 3,
                         threshold: Double = 0.8,
@@ -887,28 +915,7 @@ object Dedup {
       col("id"),
       TextFunctions.shingles(TextFunctions.tokens(col("content")), n).as("sh"))
     val withH = sh.select(col("id"), col("sh"), HashFunctions.hashedSet(col("sh")).as("shh"))
-    // Prefix length floor((1-t)*sz) + 1, with an epsilon: (1.0 - t) is not
-    // exact in binary and floor((1-t)*sz) can land one BELOW the true value
-    // exactly when (1-t)*sz is integral — a one-short prefix silently drops
-    // qualifying pairs (observed: 255 vs 256 pairs at t=0.8).
-    val prefLen = (floor((lit(1.0) - threshold) * size(col("shh")) + lit(1e-9)) + 1).cast("int")
-    val prefix =
-      if (dfOrdered) {
-        // rarest-first global order over the hashed elements
-        val inv = withH.select(col("id"), explode(col("shh")).as("g"))
-        val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
-        inv.join(dfreq, "g")
-          .withColumn("pos", row_number().over(
-            Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
-          .join(withH.select(col("id"), prefLen.as("p")), "id")
-          .filter(col("pos") <= col("p"))
-          .select(col("id"), col("g"))
-      } else {
-        // hash order: shh is already sorted ascending, so the prefix is just
-        // its first prefLen elements — zero shuffles before the bucket join.
-        withH.select(col("id"),
-          explode(slice(col("shh"), lit(1), prefLen)).as("g"))
-      }
+    val prefix = prefixRows(withH, threshold, dfOrdered)
     val repPairs = verifiedJaccardSetPairs(prefix.select("g", "id"), Seq("g"),
       withH.select(col("id"), col("shh")), threshold, maxBucket)
     val selfQ = withH
@@ -929,9 +936,7 @@ object Dedup {
       col("id"),
       HashFunctions.hashedSet(
         TextFunctions.shingles(TextFunctions.tokens(col("content")), n)).as("shh"))
-    val prefLen = (floor((lit(1.0) - threshold) * size(col("shh")) + lit(1e-9)) + 1).cast("int")
-    val prefix = shh.select(col("id"), explode(slice(col("shh"), lit(1), prefLen)).as("g"))
-    bucketStatsOf(prefix, Seq("g"), maxBucket)
+    bucketStatsOf(prefixRows(shh, threshold, dfOrdered = false), Seq("g"), maxBucket)
   }
 
   // -------------------------------------------------------------------------
@@ -967,11 +972,13 @@ object Dedup {
     * shingles. Shingles with index df > `maxBucket` are DROPPED from the
     * index (the capped-bucket analogue for an asymmetric join, where star
     * edges have no meaning): a qualifying pair is lost only when EVERY
-    * prefix shingle of its probe side is corpus-hot — with rarest-first
-    * ordering that means the probe's (1−t) rarest shingles are all above
-    * the cap, i.e. the doc is boilerplate-only. The trade is the X83
-    * `blockCols` kind: documented, parameter-visible, and off at
-    * `maxBucket = Int.MaxValue`.
+    * prefix shingle of its probe side that is SHARED WITH that index doc
+    * is corpus-hot (an unshared rare shingle in the prefix does not save
+    * the pair — and rarest-first ordering preferentially fills the prefix
+    * with exactly the probe's unshared junk, e.g. a typo shingle, so size
+    * the cap from the SHARED-shingle df profile, not the per-doc-rarest
+    * one). The trade is the X83 `blockCols` kind: documented,
+    * parameter-visible, and off at `maxBucket = Int.MaxValue`.
     *
     * Scale: probe rows ≈ (1−t)·Σ|S| + #docs, index rows = Σ|S| (the same
     * object as a postings store — linear, skinny (g, id) longs); one df
@@ -984,7 +991,23 @@ object Dedup {
                        contentCol: String = "content", n: Int = 3,
                        threshold: Double = 0.8,
                        dfOrdered: Boolean = true,
-                       maxBucket: Int = 4096): DataFrame = {
+                       maxBucket: Int = 4096): DataFrame =
+    containmentVerified(docs, idCol, contentCol, n, threshold, dfOrdered,
+      maxBucket, orientedOnly = false)
+
+  /** Shared candidate→verify pipeline of [[containmentPairs]] /
+    * [[dropContained]]. With `orientedOnly`, candidates are filtered to
+    * the drop rule's orientation (strictly-larger target, or equal-size
+    * smaller-id) BEFORE verification, using only the cheap (id, |S|)
+    * projections — the sets themselves ship only for pairs that can
+    * actually produce a drop, halving the expensive stage for the
+    * curation path.
+    */
+  private def containmentVerified(docs: DataFrame, idCol: String,
+                                  contentCol: String, n: Int,
+                                  threshold: Double, dfOrdered: Boolean,
+                                  maxBucket: Int,
+                                  orientedOnly: Boolean): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     require(maxBucket >= 1, "maxBucket >= 1")
     val withH = docs.select(
@@ -992,26 +1015,24 @@ object Dedup {
         HashFunctions.hashedSet(TextFunctions.shingles(
           TextFunctions.tokens(col(contentCol)), n)).as("shh"))
       .filter(size(col("shh")) > 0)
-    val prefLen = // epsilon: see ngramJaccardPairs (floor at integral (1-t)·sz)
-      (floor((lit(1.0) - threshold) * size(col("shh")) + lit(1e-9)) + 1).cast("int")
     val inv = withH.select(col("id"), explode(col("shh")).as("g"))
     val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("__df"))
-    val probe =
-      if (dfOrdered)
-        inv.join(dfreq, "g")
-          .withColumn("__pos", row_number().over(
-            Window.partitionBy(col("id")).orderBy(col("__df"), col("g"))))
-          .join(withH.select(col("id"), prefLen.as("__p")), "id")
-          .filter(col("__pos") <= col("__p"))
-          .select(col("id"), col("g"))
-      else
-        withH.select(col("id"), explode(slice(col("shh"), lit(1), prefLen)).as("g"))
+    val probe = prefixRows(withH, threshold, dfOrdered)
     val index = inv.join(dfreq.filter(col("__df") <= maxBucket), "g")
       .select(col("g"), col("id").as("in_id"))
-    val cand = probe.join(index, Seq("g"))
+    val cand0 = probe.join(index, Seq("g"))
       .filter(col("id") =!= col("in_id"))
       .select(col("id"), col("in_id"))
       .distinct()
+    val sizes = withH.select(col("id"), size(col("shh")).as("__sz"))
+    val cand =
+      if (!orientedOnly) cand0
+      else cand0
+        .join(sizes.select(col("id"), col("__sz").as("__za")), Seq("id"))
+        .join(sizes.select(col("id").as("in_id"), col("__sz").as("__zb")), Seq("in_id"))
+        .filter(col("__zb") > col("__za") ||
+          (col("__zb") === col("__za") && col("in_id") < col("id")))
+        .select(col("id"), col("in_id"))
     cand
       .join(withH.select(col("id"), col("shh").as("__sa")), Seq("id"))
       .join(withH.select(col("id").as("in_id"), col("shh").as("__sb")), Seq("in_id"))
@@ -1040,8 +1061,16 @@ object Dedup {
     * copies" curation step; run [[dedupCorpus]] first if byte-level and
     * symmetric near-dup mass should collapse before coverage reasoning.
     *
-    * Scale: [[containmentPairs]] plus one DISTINCT over dropped ids and
-    * one left-anti join against the docs — nothing new shuffles content.
+    * Scale: [[containmentPairs]]' pipeline with the orientation applied to
+    * CANDIDATES (cheap (id, |S|) joins) before verification — only pairs
+    * that can produce a drop ship their sets — plus one DISTINCT over
+    * dropped ids and one left-anti join against the docs. Nothing new
+    * shuffles content. The dedup-first precondition is LOAD-BEARING, not
+    * just semantic hygiene: on a k-fold-duplicated corpus every doc's
+    * prefix shingles hit its k−1 siblings, so the candidate distinct is
+    * O(docs × k) — measured at 2M docs with k=400, ~5.6B pre-distinct
+    * rows overflowed ~75 GB of shuffle-spill disk. After near-dedup, k≈1
+    * and candidates are driven by genuine cross-doc overlap only.
     */
   def dropContained(docs: DataFrame, idCol: String = "id",
                     contentCol: String = "content", n: Int = 3,
@@ -1049,11 +1078,8 @@ object Dedup {
                     dfOrdered: Boolean = true,
                     maxBucket: Int = 4096): DataFrame = {
     val dropKey = WorkingColumns.fresh(docs, "__drop_id")
-    val pairs = containmentPairs(docs, idCol, contentCol, n, threshold,
-      dfOrdered, maxBucket)
-    val dropped = pairs
-      .filter(col("sz_b") > col("sz_a") ||
-        (col("sz_b") === col("sz_a") && col("in_id") < col("id")))
+    val dropped = containmentVerified(docs, idCol, contentCol, n, threshold,
+        dfOrdered, maxBucket, orientedOnly = true)
       .select(col("id").as(dropKey))
       .distinct()
     docs.join(dropped, docs(idCol) === col(dropKey), "left_anti")
