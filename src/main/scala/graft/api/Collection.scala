@@ -1131,6 +1131,9 @@ final class Collection private (
     val (cap, wm, (nDocs, avgDl)) = impactGate()
     if (cap.isEmpty || !wm.contains(postingsSeg())) return None
     val folded = if (foldAccents) graft.functions.StringFold.fold(query) else query
+    // k + offset in Int can wrap negative (k = Int.MaxValue, offset > 0) —
+    // that page depth is full-path territory, not a crash
+    if (k.toLong + offset.toLong > Int.MaxValue) return None
     for {
       ast <- QueryParser.parse(folded)
       (isAnd, terms) <- Bm25.flatExactTerms(ast)
@@ -1178,13 +1181,13 @@ final class Collection private (
       Stores.dropPartition(spark, impactMetaDir, name)
       return
     }
-    val r = graft.exec.ImpactTopK.ranked(from).persist()
+    val r = graft.exec.ImpactTopK.ranked(from, cap).persist()
     try {
       Stores.overwritePartition(spark, impactDir, name,
         graft.exec.ImpactTopK.rowsFromRanked(r, cap),
         sortBy = Seq("term"), rangeBy = Seq("term"))
       Stores.overwritePartition(spark, impactMetaDir, name,
-        graft.exec.ImpactTopK.metaFromRanked(r, cap)
+        graft.exec.ImpactTopK.metaFromRanked(from, r, cap)
           .unionByName(impactWatermarkRow(postingsSeg())),
         sortBy = Seq("id"))
     } finally r.unpersist()

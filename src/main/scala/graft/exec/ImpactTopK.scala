@@ -40,13 +40,30 @@ object ImpactTopK {
     */
   val WatermarkKey = "\u0000wm"
 
-  /** Postings + per-term impact rank (`__rn`, 1 = highest tf). Persist this
-    * when deriving both store frames — the window shuffle runs once.
+  /** Top-(cap+1) postings per term with the per-term impact rank (`__rn`,
+    * 1 = highest tf). Persist this when deriving both store frames — the
+    * window work runs once.
+    *
+    * Skew-proof in two stages: a LOCAL top-(cap+1) per (term, input
+    * partition) first — `rn <= cap+1` over a `(term, pid)` window lowers
+    * to WindowGroupLimit map-side heaps, so each map task emits at most
+    * cap+1 rows per term and a billion-posting hot term never lands on one
+    * sort task (any global top-(cap+1) row is also locally top-(cap+1) —
+    * the prune is lossless for both the cap cut and the rank-cap bound
+    * row). The global per-term window then sorts ≤ (cap+1)·partitions
+    * rows per term. EXACT df cannot come from this pruned frame — see
+    * [[metaFromRanked]], which aggregates it from the raw postings.
     */
-  def ranked(postings: DataFrame): DataFrame = {
+  def ranked(postings: DataFrame, cap: Int): DataFrame = {
+    val base = postings.select(col("term"), col("id"), col("tf"), col("dl"))
+    val localW = Window.partitionBy(col("term"), col("__pid"))
+      .orderBy(col("tf").desc, col("id").asc)
+    val pruned = base.withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(localW))
+      .filter(col("__lrn") <= cap + 1)
+      .drop("__pid", "__lrn")
     val w = Window.partitionBy(col("term")).orderBy(col("tf").desc, col("id").asc)
-    postings.select(col("term"), col("id"), col("tf"), col("dl"))
-      .withColumn("__rn", row_number().over(w))
+    pruned.withColumn("__rn", row_number().over(w))
   }
 
   /** The impact store rows: top-`cap` postings per term, cap riding along. */
@@ -57,15 +74,20 @@ object ImpactTopK {
 
   /** The meta store rows: (id = term, EXACT df, bound_tf). bound_tf is the
     * tf at rank `cap` when the term overflows the cap (every truncated
-    * posting has tf <= it), 0 when the term is fully stored.
+    * posting has tf <= it), 0 when the term is fully stored. df is a plain
+    * skew-free aggregate over the RAW postings (the ranked frame is
+    * top-(cap+1)-pruned and must never be counted); the bound row joins in
+    * from the ranked frame (rank cap exists whenever df >= cap).
     */
-  def metaFromRanked(ranked: DataFrame, cap: Int): DataFrame =
-    ranked
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"),
-        coalesce(max(when(col("__rn") === cap, col("tf"))), lit(0L)).as("__btf"))
+  def metaFromRanked(postings: DataFrame, ranked: DataFrame, cap: Int): DataFrame = {
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val btf = ranked.filter(col("__rn") === cap)
+      .select(col("term"), col("tf").as("__btf"))
+    dfreq.join(btf, Seq("term"), "left")
       .select(col("term").as("id"), col("df"),
-        when(col("df") > cap, col("__btf")).otherwise(lit(0L)).as("bound_tf"))
+        when(col("df") > cap, coalesce(col("__btf"), lit(0L)))
+          .otherwise(lit(0L)).as("bound_tf"))
+  }
 
   /** The BM25 tf-part as a column — SAME literal structure and op order as
     * [[Bm25]]'s scoreExpr, so served scores are bit-identical to the full
@@ -76,14 +98,30 @@ object ImpactTopK {
       (col("tf").cast("double") +
         lit(Bm25.K1) * (lit(1.0 - Bm25.B) + lit(Bm25.B) * col("dl").cast("double") / lit(avgDl)))
 
+  /** How many candidate ids the multi-term path will force-broadcast; a
+    * candidate set grown past this (pure-insert deltas append ALL their
+    * postings to the rows store between compactions, so the "prefix" is
+    * only O(cap) when freshly built/compacted) returns None — the caller's
+    * full path is always available and always exact, while a forced
+    * multi-GB broadcast would CRASH the query. ~1M ids ≈ tens of MB.
+    */
+  val MaxBroadcastCands: Long = 1L << 20
+
   /** Certified-exact top-`n` (id, rank) for a flat all-exact-terms query:
     * Some(rows, already (rank desc, id asc) ordered, <= n of them) when the
     * sidecar can PROVE the answer equals full scoring, None when it cannot
     * (caller falls back). `postings` is only forced on the multi-term path.
     *
-    * Driver-side collects are all bounded: 1 stats row, <= terms meta rows,
-    * <= n result rows (the API's own result size — the [[graft.api
-    * .Collection]] collectHits contract).
+    * Driver-side collects are all bounded: <= terms meta rows, <= n result
+    * rows (the API's own result size — the [[graft.api.Collection]]
+    * collectHits contract), plus one scalar candidate-count on the
+    * multi-term path (the [[MaxBroadcastCands]] gate).
+    *
+    * Score parity with the full path is pinned END-TO-END by ImpactSpec's
+    * randomized-corpora fuzz (certified must equal full scoring at 9 dp on
+    * every corpus, and fallback must too) — [[tfPart]] and [[idf]] mirror
+    * [[Bm25.scoreExpr]]'s literal structure, and that test is what keeps
+    * the two from drifting.
     */
   def certifiedTopK(rowsStore: DataFrame, metaStore: DataFrame,
                     postings: => DataFrame, nDocs: Long, avgDl: Double,
@@ -91,6 +129,11 @@ object ImpactTopK {
                     n: Int): Option[Seq[(String, Double)]] = {
     require(n >= 1, "n >= 1")
     require(terms.nonEmpty, "terms must be non-empty")
+    // duplicates would double-count the AND arity (__m === live.size below
+    // counts DISTINCT-term contribution rows) and certify a WRONG empty
+    // answer — the parser's flat extraction distincts; enforce it here so
+    // a future caller fails fast instead of getting certified garbage
+    require(terms.distinct.size == terms.size, "terms must be distinct")
     if (nDocs == 0L) return Some(Nil)
     val meta = metaStore.filter(col("id").isin(terms: _*))
       .select(col("id"), col("df"), col("bound_tf")).collect()
@@ -124,8 +167,13 @@ object ImpactTopK {
         // other terms OUTSIDE their prefixes — exact scores need its full
         // (term, tf, dl) rows, via a candidates-only semi-join against the
         // term-pruned postings (read, but never shuffled/scored in full)
+        // O(cap × terms) rows when freshly built/compacted, but delta
+        // appends grow it between compactions — gate the forced broadcast
+        // (one skinny count over the term-pruned, range-laid-out sidecar)
+        // and fall back rather than attempt an unbounded broadcast
         val cands = rowsStore.filter(col("term").isin(live: _*))
-          .select(col("id")).distinct() // <= cap × terms rows
+          .select(col("id")).distinct()
+        if (cands.count() > MaxBroadcastCands) return None
         val idfExpr = live.tail.foldLeft(
           when(col("term") === live.head, lit(idfs(live.head)))) { (acc, t) =>
           acc.when(col("term") === t, lit(idfs(t)))

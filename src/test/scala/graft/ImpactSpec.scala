@@ -270,4 +270,50 @@ class ImpactSpec extends AnyFunSuite {
     nf.addDf(Seq(("a", "some text")).toDF("id", "content"))
     intercept[IllegalArgumentException](nf.createImpactIndex())
   }
+
+  test("duplicate terms fail fast; huge k+offset falls back instead of wrapping") {
+    import graft.exec.ImpactTopK
+    // duplicate terms would make the AND arity filter (__m === live.size)
+    // certify a WRONG empty answer — the contract rejects them up front
+    val empty = spark.emptyDataFrame
+    val e = intercept[IllegalArgumentException](ImpactTopK.certifiedTopK(
+      empty, empty, empty, 10L, 5.0, Seq("a", "a"), isAnd = true, n = 5))
+    assert(e.getMessage.contains("distinct"))
+    // k + offset overflows Int: the certified arm must DECLINE (never wrap
+    // negative and crash on its own n >= 1 require); the fallback then
+    // surfaces Spark's own clear SUM_OF_LIMIT_AND_OFFSET analysis error —
+    // byte-identical with what a sidecar-less collection does at this depth
+    val c = build(60, cap = 16)
+    assert(c.impactCertifiedTopK("common", Int.MaxValue, 2).isEmpty,
+      "wrapped depth must decline, not crash")
+    val ex = intercept[Exception](c.searchTopK("common", Int.MaxValue, 2).count())
+    assert(ex.getMessage.contains("LIMIT"), ex.getMessage)
+    // the largest LEGAL depth still serves (falls back on a failed
+    // certificate, exactly like any other uncertifiable query)
+    assert(c.searchTopK("common", Int.MaxValue - 2, 2).count() > 0)
+  }
+
+  test("ranked(): local pre-prune lowers to WindowGroupLimit and preserves rows+meta") {
+    import graft.exec.ImpactTopK
+    // adversarial spread: one hot term across MANY input partitions — the
+    // local top-(cap+1) heaps must be lossless for both the cap cut and
+    // the rank-cap bound row, with df still counted from the raw postings
+    val post = (1 to 500).map(i => ("hot", f"d$i%04d", (i % 97).toLong, 50L))
+      .toDF("term", "id", "tf", "dl").repartition(16)
+    val cap = 8
+    val r = ImpactTopK.ranked(post, cap)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val rows = ImpactTopK.rowsFromRanked(r, cap).collect()
+    assert(rows.length === cap)
+    // top-cap by (tf desc, id asc) — recompute naively
+    val naive = (1 to 500).map(i => (f"d$i%04d", (i % 97).toLong))
+      .sortBy { case (id, tf) => (-tf, id) }.take(cap)
+    assert(rows.map(x => (x.getString(1), x.getLong(2))).sortBy(naive.indexOf)
+      .toSeq === naive)
+    val meta = ImpactTopK.metaFromRanked(post, r, cap).collect().head
+    assert(meta.getLong(1) === 500L, "df must count the RAW postings")
+    assert(meta.getLong(2) === naive.last._2,
+      "bound_tf must be the tf at rank cap")
+  }
 }
