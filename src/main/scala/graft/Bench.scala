@@ -43,7 +43,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","truncated":true,""" +
       s""""queries":$headlineQs,"n_entries":${results.size},"n_errors":${errors.size},""" +
       s""""calib_sec":$calib,"sf":"${esc(sfDir)}",""" +
-      s""""full_map_file":"$outFile","full_map_sha256":"$digest"}"""
+      s""""full_map_file":"${esc(outFile)}","full_map_sha256":"$digest"}"""
     (full, headline)
   }
 

@@ -1733,6 +1733,22 @@ object EntryQueries {
         .select(col("id"))
     }, Some(dropContainedOracle)),
 
+    // X125c: containment cap-sizing diagnostic — the shared-shingle df
+    // profile over the full documents table at maxBucket = 64, exposing
+    // the TIE-ORDER-INVARIANT columns: probe_rows is Σ(⌊(1−t)·|S|⌋+1),
+    // and the kept/skipped candidate volumes depend only on each doc's
+    // chosen df MULTISET (the p smallest dfs), which is unique even though
+    // equal-df ties break by hash on the engine and by string in the
+    // oracle. probe_shingles/capped_shingles are tie-DEPENDENT distincts
+    // and stay spec-pinned instead.
+    ("x125c_containment_stats", (s: SparkSession, sfDir: String) => {
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"), col("text").as("content"))
+      Dedup.containmentBucketStats(docs, threshold = 0.8, maxBucket = 64)
+        .select(col("probe_rows"), col("candidates_kept"),
+          col("candidates_skipped"))
+    }, Some(containmentStatsOracle)),
+
     ("x8_text_langid", (s: SparkSession, sfDir: String) =>
       TextStats.langId(docsFrame(s, sfDir)).select("id", "pred_lang"),
       Some(langIdOracle)),
@@ -4042,6 +4058,31 @@ object EntryQueries {
        |    / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
        |FROM nz a JOIN nz b ON a.id <> b.id AND a.id LIKE 'ct%'
        |WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.85""".stripMargin
+
+  /** x125c oracle: the containment prefix profile replayed in DuckDB —
+    * shingle df over the whole corpus, per-doc rarest-first prefix of
+    * length ⌊(1−t)·|S| + 1e-9⌋ + 1 (e-notation literals force DOUBLE so
+    * the floor sees the same IEEE value as the engine's lit arithmetic),
+    * then Σ df over prefix rows split by the cap. Only tie-order-invariant
+    * sums are compared — see the entry comment.
+    */
+  private lazy val containmentStatsOracle: String =
+    s"""WITH t0 AS (SELECT $DocId AS id, $Toks AS w FROM documents),
+       | sh AS (SELECT id, CASE WHEN len(w) < 3 THEN []
+       |   ELSE list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) END AS s
+       |  FROM t0),
+       | nz AS (SELECT id, s, CAST(floor((1e0 - 0.8e0) * len(s) + 1e-9) AS INT) + 1 AS p
+       |  FROM sh WHERE len(s) > 0),
+       | inv AS (SELECT id, p, unnest(s) AS g FROM nz),
+       | dfreq AS (SELECT g, count(*) AS df FROM inv GROUP BY g),
+       | ranked AS (SELECT i.id, i.p, d.df,
+       |   row_number() OVER (PARTITION BY i.id ORDER BY d.df, i.g) AS pos
+       |  FROM inv i JOIN dfreq d USING (g)),
+       | pref AS (SELECT df FROM ranked WHERE pos <= p)
+       |SELECT count(*) AS probe_rows,
+       |  CAST(COALESCE(sum(CASE WHEN df <= 64 THEN df ELSE 0 END), 0) AS BIGINT) AS candidates_kept,
+       |  CAST(COALESCE(sum(CASE WHEN df > 64 THEN df ELSE 0 END), 0) AS BIGINT) AS candidates_skipped
+       |FROM pref""".stripMargin
 
   /** x125b oracle: the drop rule replayed over the subset corpus — a doc
     * drops iff SOME other doc covers ≥ 0.85 of its shingles AND is

@@ -154,14 +154,16 @@ object ImpactTopK {
       else (b * (Bm25.K1 + 1.0)) / (b + Bm25.K1 * (1.0 - Bm25.B))
     val bound = live.map(t => idfs(t) * ub(meta(t)._2)).sum
 
-    // per-(term, doc) contribution rows for the CANDIDATES
-    val contrib: DataFrame =
+    // per-(term, doc) contribution rows for the CANDIDATES; `cleanup`
+    // releases the multi-term path's persisted candidate distinct once the
+    // top rows (collected below, in-function) no longer reference it
+    val (contrib, cleanup): (DataFrame, () => Unit) =
       if (live.size == 1)
         // single term: the sidecar rows ARE the candidates with exact
         // (tf, dl) — the postings store is never touched
-        rowsStore.filter(col("term") === live.head)
+        (rowsStore.filter(col("term") === live.head)
           .select(col("id"), col("tf"), col("dl"),
-            lit(idfs(live.head)).as("__idf"))
+            lit(idfs(live.head)).as("__idf")), () => ())
       else {
         // multi term: a candidate found in one term's prefix may match the
         // other terms OUTSIDE their prefixes — exact scores need its full
@@ -170,27 +172,32 @@ object ImpactTopK {
         // O(cap × terms) rows when freshly built/compacted, but delta
         // appends grow it between compactions — gate the forced broadcast
         // (one skinny count over the term-pruned, range-laid-out sidecar)
-        // and fall back rather than attempt an unbounded broadcast
+        // and fall back rather than attempt an unbounded broadcast.
+        // PERSISTED across the gate count and the broadcast, so the
+        // rows-store distinct runs once, not twice.
         val cands = rowsStore.filter(col("term").isin(live: _*))
-          .select(col("id")).distinct()
-        if (cands.count() > MaxBroadcastCands) return None
+          .select(col("id")).distinct().persist()
+        if (cands.count() > MaxBroadcastCands) { cands.unpersist(); return None }
         val idfExpr = live.tail.foldLeft(
           when(col("term") === live.head, lit(idfs(live.head)))) { (acc, t) =>
           acc.when(col("term") === t, lit(idfs(t)))
         }
-        postings.filter(col("term").isin(live: _*))
+        (postings.filter(col("term").isin(live: _*))
           .join(broadcast(cands), Seq("id"), "left_semi")
-          .select(col("id"), col("tf"), col("dl"), idfExpr.as("__idf"))
+          .select(col("id"), col("tf"), col("dl"), idfExpr.as("__idf")),
+          () => { cands.unpersist(); () })
       }
-    val perDoc = contrib
-      .select(col("id"), (col("__idf") * tfPart(avgDl)).as("__s"))
-      .groupBy(col("id"))
-      .agg(sum(col("__s")).as("rank"), count(lit(1)).as("__m"))
-    val qualified =
-      if (isAnd && live.size > 1) perDoc.filter(col("__m") === lit(live.size))
-      else perDoc
-    val top = qualified.orderBy(col("rank").desc, col("id").asc)
-      .select(col("id"), col("rank")).limit(n).collect()
+    val top = try {
+      val perDoc = contrib
+        .select(col("id"), (col("__idf") * tfPart(avgDl)).as("__s"))
+        .groupBy(col("id"))
+        .agg(sum(col("__s")).as("rank"), count(lit(1)).as("__m"))
+      val qualified =
+        if (isAnd && live.size > 1) perDoc.filter(col("__m") === lit(live.size))
+        else perDoc
+      qualified.orderBy(col("rank").desc, col("id").asc)
+        .select(col("id"), col("rank")).limit(n).collect()
+    } finally cleanup()
     // certificate, two ways to prove exactness:
     //   COMPLETE — the candidate set provably contains EVERY match, so the
     //   ordered candidates are the answer at any k (covers the common

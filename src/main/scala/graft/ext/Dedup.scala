@@ -887,14 +887,20 @@ object Dedup {
     * drops qualifying pairs (observed: 255 vs 256 pairs at t=0.8). ONE
     * definition shared by the Jaccard join, the containment join, and the
     * bucket diagnostics, so the epsilon/length subtlety cannot drift.
+    * `dfreqOpt` lets a caller that already aggregated (g, __df) thread it
+    * in, so the shared subtree is STRUCTURALLY one aggregate (exchange
+    * reuse then fires on canonical-identical plans) instead of two
+    * independently-built ones hoping ReuseExchange unifies them.
     */
   private def prefixRows(withH: DataFrame, threshold: Double,
-                         dfOrdered: Boolean): DataFrame = {
+                         dfOrdered: Boolean,
+                         dfreqOpt: Option[DataFrame] = None): DataFrame = {
     val prefLen =
       (floor((lit(1.0) - threshold) * size(col("shh")) + lit(1e-9)) + 1).cast("int")
     if (dfOrdered) {
       val inv = withH.select(col("id"), explode(col("shh")).as("g"))
-      val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+      val dfreq = dfreqOpt.getOrElse(
+        inv.groupBy(col("g")).agg(count(lit(1)).as("__df")))
       inv.join(dfreq, "g")
         .withColumn("__pos", row_number().over(
           Window.partitionBy(col("id")).orderBy(col("__df"), col("g"))))
@@ -981,11 +987,12 @@ object Dedup {
     * parameter-visible, and off at `maxBucket = Int.MaxValue`.
     *
     * Scale: probe rows ≈ (1−t)·Σ|S| + #docs, index rows = Σ|S| (the same
-    * object as a postings store — linear, skinny (g, id) longs); one df
-    * aggregate serves both the ordering and the cap (exchange-reused);
-    * candidates deduplicate BEFORE verification, and each surviving pair
-    * ships the two hashed sets exactly once. Nothing is quadratic in the
-    * corpus; content never shuffles.
+    * object as a postings store — linear, skinny (g, id) longs); ONE df
+    * aggregate frame is threaded into both the ordering and the cap, so
+    * the shared subtree is structurally identical and exchange reuse
+    * fires; candidates deduplicate BEFORE verification, and each surviving
+    * pair ships the two hashed sets exactly once. Nothing is quadratic in
+    * the corpus; content never shuffles.
     */
   def containmentPairs(docs: DataFrame, idCol: String = "id",
                        contentCol: String = "content", n: Int = 3,
@@ -994,6 +1001,50 @@ object Dedup {
                        maxBucket: Int = 4096): DataFrame =
     containmentVerified(docs, idCol, contentCol, n, threshold, dfOrdered,
       maxBucket, orientedOnly = false)
+
+  /** Cap-sizing diagnostic for [[containmentPairs]] / [[dropContained]] —
+    * the SHARED-shingle df profile the X125 contract says to size
+    * `maxBucket` from (the per-doc-rarest profile is the wrong signal:
+    * rarest-first ordering fills prefixes with each probe's unshared junk,
+    * so what matters is how hot the shingles that actually land in probe
+    * prefixes are on the INDEX side). One row:
+    *
+    *   - `probe_shingles` / `capped_shingles`: distinct shingles appearing
+    *     in any probe prefix, and how many of those the cap drops from the
+    *     index (df > `maxBucket`);
+    *   - `probe_rows`: total prefix rows (≈ (1−t)·Σ|S| + #docs);
+    *   - `candidates_kept` / `candidates_skipped`: Σ over probe rows of
+    *     the row's index df, split by the cap — the exact pre-distinct
+    *     candidate volume the join will (and won't) generate, self-hits
+    *     included. `candidates_skipped / (kept + skipped)` is the recall
+    *     exposure to read BEFORE committing a cap to a 100 TB run.
+    *
+    * Same prep and the same threaded df aggregate as the operators, so the
+    * profile measures exactly the join that would run.
+    */
+  def containmentBucketStats(docs: DataFrame, idCol: String = "id",
+                             contentCol: String = "content", n: Int = 3,
+                             threshold: Double = 0.8,
+                             dfOrdered: Boolean = true,
+                             maxBucket: Int = 4096): DataFrame = {
+    val withH = docs.select(
+        col(idCol).as("id"),
+        HashFunctions.hashedSet(TextFunctions.shingles(
+          TextFunctions.tokens(col(contentCol)), n)).as("shh"))
+      .filter(size(col("shh")) > 0)
+    val inv = withH.select(col("id"), explode(col("shh")).as("g"))
+    val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+    val probe = prefixRows(withH, threshold, dfOrdered,
+      dfreqOpt = if (dfOrdered) Some(dfreq) else None)
+    probe.join(dfreq, "g")
+      .agg(count_distinct(col("g")).as("probe_shingles"),
+        count_distinct(when(col("__df") > maxBucket, col("g"))).as("capped_shingles"),
+        count(lit(1)).as("probe_rows"),
+        sum(when(col("__df") <= maxBucket, col("__df")).otherwise(0L))
+          .as("candidates_kept"),
+        sum(when(col("__df") > maxBucket, col("__df")).otherwise(0L))
+          .as("candidates_skipped"))
+  }
 
   /** Shared candidate→verify pipeline of [[containmentPairs]] /
     * [[dropContained]]. With `orientedOnly`, candidates are filtered to
@@ -1017,9 +1068,16 @@ object Dedup {
       .filter(size(col("shh")) > 0)
     val inv = withH.select(col("id"), explode(col("shh")).as("g"))
     val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("__df"))
-    val probe = prefixRows(withH, threshold, dfOrdered)
-    val index = inv.join(dfreq.filter(col("__df") <= maxBucket), "g")
-      .select(col("g"), col("id").as("in_id"))
+    val probe = prefixRows(withH, threshold, dfOrdered,
+      dfreqOpt = if (dfOrdered) Some(dfreq) else None)
+    // maxBucket == Int.MaxValue means OFF exactly: skip the cap join
+    // entirely (df is a Long count, so a `__df <= Int.MaxValue` filter
+    // would still silently drop a shingle hotter than 2^31 at the 100 TB
+    // design point — and the uncapped path shouldn't pay the join anyway)
+    val index =
+      if (maxBucket == Int.MaxValue) inv.select(col("g"), col("id").as("in_id"))
+      else inv.join(dfreq.filter(col("__df") <= maxBucket), "g")
+        .select(col("g"), col("id").as("in_id"))
     val cand0 = probe.join(index, Seq("g"))
       .filter(col("id") =!= col("in_id"))
       .select(col("id"), col("in_id"))
@@ -1071,12 +1129,36 @@ object Dedup {
     * O(docs × k) — measured at 2M docs with k=400, ~5.6B pre-distinct
     * rows overflowed ~75 GB of shuffle-spill disk. After near-dedup, k≈1
     * and candidates are driven by genuine cross-doc overlap only.
+    *
+    * That precondition is ENFORCED, not just documented: a pre-probe
+    * measures the largest byte-identical content group (one sha2 scan +
+    * a skinny map-side-combined count — the [[exactDuplicates]] key) and
+    * fails fast with guidance when it exceeds `maxDupGroup`, BEFORE the
+    * O(docs × k) join is launched. The probe sees only exact duplication
+    * (the measured failure mode); heavy NEAR-duplication without a single
+    * identical byte-group can still inflate candidates — the probe is a
+    * guard rail, not a cost model. `maxDupGroup = Int.MaxValue` disables
+    * it for callers who know their corpus.
     */
   def dropContained(docs: DataFrame, idCol: String = "id",
                     contentCol: String = "content", n: Int = 3,
                     threshold: Double = 0.8,
                     dfOrdered: Boolean = true,
-                    maxBucket: Int = 4096): DataFrame = {
+                    maxBucket: Int = 4096,
+                    maxDupGroup: Int = 16): DataFrame = {
+    require(maxDupGroup >= 1, "maxDupGroup >= 1")
+    if (maxDupGroup != Int.MaxValue) {
+      val worst = docs.groupBy(sha2(col(contentCol), 256)).agg(count(lit(1)).as("__k"))
+        .agg(max(col("__k"))).head()
+      val k = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+      require(k <= maxDupGroup,
+        s"dropContained: the corpus has a byte-identical duplicate group of " +
+          s"$k docs (> maxDupGroup = $maxDupGroup). Candidate generation is " +
+          s"O(docs × group) on duplicated corpora — run dedupCorpus/" +
+          s"exactDuplicates first (measured: ~5.6B candidate rows / ~75 GB " +
+          s"shuffle spill at 2M docs with 400-fold duplication), or pass " +
+          s"maxDupGroup = Int.MaxValue to override.")
+    }
     val dropKey = WorkingColumns.fresh(docs, "__drop_id")
     val dropped = containmentVerified(docs, idCol, contentCol, n, threshold,
         dfOrdered, maxBucket, orientedOnly = true)

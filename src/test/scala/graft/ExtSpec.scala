@@ -1340,6 +1340,70 @@ class ExtSpec extends AnyFunSuite {
     assert(Dedup.dropContained(df, threshold = t).columns.toSeq === Seq("id", "content"))
   }
 
+  test("dropContained guard: k-fold-duplicated corpus fails fast; deduped corpus unchanged; stats profile") {
+    import graft.ext.Dedup
+    // 12 distinct docs, each duplicated 40-fold under fresh ids — the
+    // measured disk-overflow shape (candidates O(docs × k)); the guard
+    // must refuse BEFORE launching the join, with actionable guidance
+    // group-unique tokens: zero cross-group shingle overlap by construction
+    val base = (1 to 12).map(i =>
+      (s"d$i", (1 to 25).map(j => s"g${i}t$j").mkString(" ")))
+    val dup = base.flatMap { case (id, c) =>
+      (0 until 40).map(r => (s"$id-$r", c)) }.toDF("id", "content")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dropContained(dup, threshold = 0.85)
+    }
+    assert(ex.getMessage.contains("dedupCorpus"), ex.getMessage)
+    assert(ex.getMessage.contains("40"), ex.getMessage)
+    // override flag: the documented escape hatch still runs (and on this
+    // small corpus returns per-group one survivor + any cross-doc drops)
+    val forced = Dedup.dropContained(dup, threshold = 0.85,
+      maxDupGroup = Int.MaxValue)
+    assert(forced.count() === 12L, "each 40-group keeps its smallest id")
+    // a deduped corpus (k = 1) passes the default guard unchanged
+    val clean = base.toDF("id", "content")
+    val survivors = Dedup.dropContained(clean, threshold = 0.85)
+      .select("id").as[String].collect().toSet
+    assert(survivors === base.map(_._1).toSet, "distinct docs all survive")
+
+    // containmentBucketStats: the shared-shingle df profile. Uncapped,
+    // candidates_skipped must be 0 and candidates_kept must equal the
+    // exact pre-distinct candidate volume Σ_probe-rows df(g) (self-hits
+    // included) — replayed in plain Scala over the same prefix definition.
+    val t = 0.85
+    def shingles(text: String): Seq[Seq[String]] = {
+      val toks = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+      if (toks.size < 3) Seq.empty else toks.sliding(3).map(_.toSeq).toSeq
+    }
+    val sets = base.map { case (id, c) => id -> shingles(c).toSet }.filter(_._2.nonEmpty)
+    val dfreq = sets.flatMap(_._2).groupBy(identity).map { case (g, v) => g -> v.size }
+    // rarest-first prefix (df asc; ties by the hash order are corpus-wide
+    // unique here, so df-then-anything is deterministic on sizes alone)
+    val expectedRows = sets.map { case (_, s) =>
+      math.floor((1.0 - t) * s.size + 1e-9).toLong + 1L }.sum
+    val stats = Dedup.containmentBucketStats(clean, threshold = t,
+      maxBucket = Int.MaxValue).head()
+    assert(stats.getAs[Long]("probe_rows") === expectedRows)
+    assert(stats.getAs[Long]("candidates_skipped") === 0L)
+    assert(stats.getAs[Long]("capped_shingles") === 0L)
+    // kept + skipped is cap-invariant (it is Σ df over probe rows)
+    val s1 = Dedup.containmentBucketStats(clean, threshold = t, maxBucket = 1).head()
+    assert(s1.getAs[Long]("candidates_kept") + s1.getAs[Long]("candidates_skipped")
+      === stats.getAs[Long]("candidates_kept"))
+    assert(s1.getAs[Long]("probe_rows") === expectedRows)
+    // on the duplicated corpus the profile SHOWS the hazard the guard
+    // refuses: every shingle has index df = 40 (group-unique tokens × 40
+    // copies), so the kept candidate volume is exactly 40 × probe_rows
+    val sd = Dedup.containmentBucketStats(dup, threshold = t,
+      maxBucket = Int.MaxValue).head()
+    assert(sd.getAs[Long]("candidates_kept") === 40L * sd.getAs[Long]("probe_rows"))
+    // and a cap below that df drops EVERY probe shingle from the index —
+    // the skipped column is where that reads off before the run
+    val sd1 = Dedup.containmentBucketStats(dup, threshold = t, maxBucket = 39).head()
+    assert(sd1.getAs[Long]("capped_shingles") === sd1.getAs[Long]("probe_shingles"))
+    assert(sd1.getAs[Long]("candidates_kept") === 0L)
+  }
+
   test("Web.canonicalizeUrl + dedupByUrl: cosmetics collide, ref survives, NULL stratum passes") {
     val d = Seq(
       // u1..u4: the SAME resource under different cosmetics — one key
