@@ -1081,8 +1081,12 @@ final class Collection private (
   // CERTIFIED-exact: the candidate top-k is returned only when its k-th
   // score provably beats every non-candidate (see graft.exec.ImpactTopK);
   // anything unprovable falls back to full scoring. Pure-insert batches
-  // maintain df incrementally in O(batch); updates/deletes invalidate the
-  // meta (fallback until compact()/maintain() re-derives it).
+  // maintain df incrementally in O(batch); updates/deletes MIRROR into the
+  // rows store (gone-claimed, O(batch)) and flag the meta's df stale —
+  // serving stays certified-exact through them, re-counting df for just
+  // its query terms from the term-pruned resolved postings, until
+  // compact()/maintain() re-derives the exact meta (crash windows still
+  // read as fallback, never as a wrong serve).
   // -------------------------------------------------------------------------
 
   /** Build (or rebuild) the impact-ordered postings sidecar: per term, the
@@ -1129,7 +1133,11 @@ final class Collection private (
                                          offset: Int): Option[DataFrame] = {
     if (!useFts) return None
     val (cap, wm, (nDocs, avgDl)) = impactGate()
-    if (cap.isEmpty || !wm.contains(postingsSeg())) return None
+    if (cap.isEmpty || !wm.exists(_._1 == postingsSeg())) return None
+    // gone-aware serving: a stale-df watermark means updates/deletes were
+    // mirrored into the rows store — still certified-exact, with df
+    // re-counted per query term from the resolved postings
+    val dfStale = wm.exists(_._2 != 0L)
     val folded = if (foldAccents) graft.functions.StringFold.fold(query) else query
     // k + offset in Int can wrap negative (k = Int.MaxValue, offset > 0) —
     // that page depth is full-path territory, not a crash
@@ -1139,7 +1147,8 @@ final class Collection private (
       (isAnd, terms) <- Bm25.flatExactTerms(ast)
       top <- graft.exec.ImpactTopK.certifiedTopK(
         Stores.readPartition(spark, impactDir, name, Stores.impactSchema),
-        impactMetaRows(), postings(), nDocs, avgDl, terms, isAnd, k + offset)
+        impactMetaRows(), postings(), nDocs, avgDl, terms, isAnd, k + offset,
+        dfStale = dfStale)
     } yield {
       val page = top.drop(offset)
       if (page.isEmpty)
@@ -1202,7 +1211,7 @@ final class Collection private (
     * staleness is impossible, including through OTHER Collection handles
     * on the same root.
     */
-  private def impactGate(): (Option[Int], Option[Long], (Long, Double)) = {
+  private def impactGate(): (Option[Int], Option[(Long, Long)], (Long, Double)) = {
     val fpRows = Stores.partitionFingerprint(spark, impactDir, name)
     val fpMeta = Stores.partitionFingerprint(spark, impactMetaDir, name)
     // no sidecar at all (the common case for collections that never built
@@ -1233,19 +1242,26 @@ final class Collection private (
   private def impactMetaRows(): DataFrame =
     Stores.readPartition(spark, impactMetaDir, name, Stores.impactMetaSchema)
 
-  /** The postings segment ordinal the meta claims to reflect. */
-  private def impactWatermark(): Option[Long] =
+  /** (postings segment ordinal the meta claims to reflect, df-staleness
+    * flag) — the flag rides the watermark row's otherwise-unused bound_tf
+    * slot: 0 = the meta's df column is exact (serve straight from it),
+    * 1 = some update/delete was mirrored into the rows store since the
+    * last build/compact, so serving must recount df for its query terms
+    * (see [[graft.exec.ImpactTopK.certifiedTopK]]'s `dfStale`).
+    */
+  private def impactWatermark(): Option[(Long, Long)] =
     if (!Stores.partitionExists(spark, impactMetaDir, name)) None
     else impactMetaRows()
       .filter($"id" === graft.exec.ImpactTopK.WatermarkKey)
-      .select($"df").head(1).headOption.map(_.getLong(0))
+      .select($"df", $"bound_tf").head(1).headOption
+      .map(r => (r.getLong(0), r.getLong(1)))
 
   /** The postings store's newest segment ordinal (0 = flat base). */
   private def postingsSeg(): Long =
     Stores.deltaOrdinals(spark, postingsDir, name).lastOption.getOrElse(0L)
 
-  private def impactWatermarkRow(seg: Long): DataFrame =
-    Seq((graft.exec.ImpactTopK.WatermarkKey, seg, 0L))
+  private def impactWatermarkRow(seg: Long, staleDf: Boolean = false): DataFrame =
+    Seq((graft.exec.ImpactTopK.WatermarkKey, seg, if (staleDf) 1L else 0L))
       .toDF("id", "df", "bound_tf")
 
   /** Approximate top-k neighbors of each query vector via the PERSISTED
@@ -1555,20 +1571,26 @@ final class Collection private (
     */
   private def refreshIndexesDelta(batch: DataFrame): Unit = {
     val batchIds = batch.select("id")
-    // Impact-sidecar eligibility, probed BEFORE the postings/doclen deltas
-    // land: the batch must be a PURE INSERT (no batch id pre-exists — the
-    // skinny doclen store is the cheapest id inventory; an update's
-    // vanished terms are unknowable in O(batch), so df can't stay exact)
-    // and the stored watermark must match the CURRENT postings segment
-    // (a mismatch marks an earlier crash window — don't compound it).
-    // Ineligible batches DROP the meta store: serving falls back to full
-    // scoring until compact()/maintain() re-derives it.
-    val impactEligible: Option[Int] = impactParams().filter { _ =>
-      Stores.partitionExists(spark, impactMetaDir, name) &&
-        impactWatermark().contains(postingsSeg()) &&
-        (!Stores.partitionExists(spark, doclenDir, name) ||
-          doclen().join(batchIds, Seq("id"), "left_semi").limit(1).isEmpty)
-    }
+    // Impact-sidecar state, probed BEFORE the postings/doclen deltas land.
+    // Three regimes (gone-aware serving):
+    //   EXACT  — watermark matches, df flag fresh, and the batch is a PURE
+    //     INSERT (no batch id pre-exists — the skinny doclen store is the
+    //     cheapest id inventory): O(batch) rows delta + per-term df
+    //     increments; serving stays zero-postings-touch.
+    //   MIRROR — watermark matches but the batch updates existing ids (its
+    //     vanished terms are unknowable in O(batch)) or df already went
+    //     stale earlier: O(batch) rows delta (ALL batch postings, gone
+    //     claiming batch ids — the truncation-bound invariant) + a
+    //     stale-flagged watermark; serving recounts df per query term.
+    //   DROP   — watermark mismatch marks an earlier crash window; don't
+    //     compound it — drop the meta, full-path fallback until
+    //     compact()/maintain() re-derives.
+    val impactWm: Option[(Long, Long)] =
+      if (impactParams().isEmpty) None
+      else impactWatermark().filter(_._1 == postingsSeg())
+    val impactExact: Boolean = impactWm.exists(_._2 == 0L) &&
+      (!Stores.partitionExists(spark, doclenDir, name) ||
+        doclen().join(batchIds, Seq("id"), "left_semi").limit(1).isEmpty)
     if (useFts) {
       val freshBatch = PostingsIndex.build(batch, foldAccents).persist()
       try {
@@ -1580,15 +1602,19 @@ final class Collection private (
         // resolution at 1M docs cost ~10 s per micro-batch
         appendDoclenDelta(doclenOfPostings(batchIds, freshBatch))
         impactParams().foreach { cap =>
-          impactEligible match {
-            case Some(_) =>
-              // O(batch) sidecar delta: ALL the batch's postings rows go in
-              // (keeping the tf-bound invariant — nothing new is ever
-              // truncated out), ids claimed like the postings delta …
-              Stores.appendDelta(spark, impactDir, name,
-                freshBatch.select($"term", $"id", $"tf", $"dl")
-                  .withColumn("cap", lit(cap)),
-                gone = Some(batchIds), sortBy = Seq("term"))
+          if (impactWm.isEmpty) {
+            if (Stores.partitionExists(spark, impactMetaDir, name))
+              Stores.dropPartition(spark, impactMetaDir, name)
+          } else {
+            // O(batch) sidecar delta for BOTH live regimes: ALL the batch's
+            // postings rows go in (keeping the tf-bound invariant — nothing
+            // new is ever truncated out), ids claimed like the postings
+            // delta, so replaced docs' stale sidecar rows die at read …
+            Stores.appendDelta(spark, impactDir, name,
+              freshBatch.select($"term", $"id", $"tf", $"dl")
+                .withColumn("cap", lit(cap)),
+              gone = Some(batchIds), sortBy = Seq("term"))
+            if (impactExact) {
               // … then per-term df increments (a pure insert adds exactly
               // its per-term doc counts; bounds are untouched — additions
               // live in the sidecar, so the build-time bound still covers
@@ -1607,8 +1633,14 @@ final class Collection private (
                     coalesce($"bound_tf", lit(0L)).as("bound_tf"))
                   .unionByName(impactWatermarkRow(postingsSeg())),
                 sortBy = Seq("id"))
-            case None =>
-              Stores.dropPartition(spark, impactMetaDir, name)
+            } else {
+              // … mirror regime: no df rows (serving recounts its query
+              // terms), just the stale-flagged watermark, LAST — same
+              // crash-window contract as above
+              Stores.appendDelta(spark, impactMetaDir, name,
+                impactWatermarkRow(postingsSeg(), staleDf = true),
+                sortBy = Seq("id"))
+            }
           }
         }
       } finally freshBatch.unpersist()
@@ -1673,14 +1705,27 @@ final class Collection private (
     */
   private def removeFromIndexes(idsDf: DataFrame): Unit = {
     if (useFts) {
+      // impact sidecar, gone-aware: a delete's vanished terms are
+      // unknowable in O(batch), so the exact-df meta can't be maintained —
+      // but the rows store CAN stay complete: gone-claim the deleted ids
+      // there too and flag the watermark stale, and serving stays
+      // certified-exact with df re-counted per query term (deletions only
+      // REMOVE postings, so the build-time truncation bound still covers
+      // everything outside the resolved rows store). Watermark eligibility
+      // is captured against the PRE-delete segment; the stale watermark is
+      // written LAST, so any crash window reads as "fall back", never as
+      // a silently-wrong serve. A mismatched watermark (earlier crash)
+      // still drops the meta rather than compound.
+      val mirrorable = Stores.partitionExists(spark, impactMetaDir, name) &&
+        impactWatermark().exists(_._1 == postingsSeg())
       Stores.appendDelta(spark, postingsDir, name,
         emptyFrame(Stores.postingsSchema), gone = Some(idsDf))
-      // impact sidecar: a delete's vanished terms are unknowable in
-      // O(batch), so the exact-df meta can't be maintained — drop it
-      // (serving falls back to full scoring) and leave the rows store
-      // for compact()'s re-derive. No gone-delta on the rows store: with
-      // the meta gone nothing reads it until the rebuild replaces it.
-      if (Stores.partitionExists(spark, impactMetaDir, name))
+      if (mirrorable) {
+        Stores.appendDelta(spark, impactDir, name,
+          emptyFrame(Stores.impactSchema), gone = Some(idsDf))
+        Stores.appendDelta(spark, impactMetaDir, name,
+          impactWatermarkRow(postingsSeg(), staleDf = true), sortBy = Seq("id"))
+      } else if (Stores.partitionExists(spark, impactMetaDir, name))
         Stores.dropPartition(spark, impactMetaDir, name)
     }
     appendDoclenDelta(emptyFrame(Stores.doclenSchema), gone = Some(idsDf))
@@ -2226,7 +2271,7 @@ object Collection {
     */
   private[api] val impactGateCache =
     scala.collection.concurrent.TrieMap[(String, String, Long),
-      (Option[Int], Option[Long], (Long, Double))]()
+      (Option[Int], Option[(Long, Long)], (Long, Double))]()
 
   /** Valid collection names, same charset as the reference (core.py:94-97). */
   private val NamePattern = "[-a-zA-Z0-9_\\+~#=/]+".r

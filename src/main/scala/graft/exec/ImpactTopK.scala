@@ -110,12 +110,34 @@ object ImpactTopK {
   /** Certified-exact top-`n` (id, rank) for a flat all-exact-terms query:
     * Some(rows, already (rank desc, id asc) ordered, <= n of them) when the
     * sidecar can PROVE the answer equals full scoring, None when it cannot
-    * (caller falls back). `postings` is only forced on the multi-term path.
+    * (caller falls back). `postings` is only forced on the multi-term path
+    * — and, with `dfStale`, on the df recount.
     *
-    * Driver-side collects are all bounded: <= terms meta rows, <= n result
-    * rows (the API's own result size — the [[graft.api.Collection]]
-    * collectHits contract), plus one scalar candidate-count on the
-    * multi-term path (the [[MaxBroadcastCands]] gate).
+    * `dfStale` is the GONE-AWARE serving mode: the rows store has been
+    * kept complete through update/delete deltas (every batch mirrored all
+    * its postings in, every batch/delete gone-claimed its ids), but the
+    * meta's df column counts docs that no longer exist. Exact df for JUST
+    * the query terms is then re-counted from the term-pruned resolved
+    * postings (count-only, range-pruned by term, <= terms rows collected)
+    * — everything else in the proof survives staleness untouched:
+    *
+    *   - bound_tf stays a valid truncation bound: deltas only ADD complete
+    *     posting sets to the rows store and gone-claims only REMOVE, so a
+    *     resolved posting absent from the resolved rows store belongs to a
+    *     doc untouched since the last build/compact, whose tf was <= the
+    *     build-time bound (and is unchanged since);
+    *   - a term with NO meta row was born after the build — its postings
+    *     are fully mirrored, so its bound_tf is 0 (fully stored);
+    *   - candidates come from the RESOLVED rows store, so tombstoned docs
+    *     never appear and updated docs contribute their CURRENT (tf, dl);
+    *   - nDocs/avgDl are the caller's live collstats (exact through
+    *     deletes — the doclen store is gone-claimed like everything else).
+    *
+    * Driver-side collects are all bounded: <= terms meta rows (+ <= terms
+    * recount rows when `dfStale`), <= n result rows (the API's own result
+    * size — the [[graft.api.Collection]] collectHits contract), plus one
+    * scalar candidate-count on the multi-term path (the
+    * [[MaxBroadcastCands]] gate).
     *
     * Score parity with the full path is pinned END-TO-END by ImpactSpec's
     * randomized-corpora fuzz (certified must equal full scoring at 9 dp on
@@ -126,7 +148,7 @@ object ImpactTopK {
   def certifiedTopK(rowsStore: DataFrame, metaStore: DataFrame,
                     postings: => DataFrame, nDocs: Long, avgDl: Double,
                     terms: Seq[String], isAnd: Boolean,
-                    n: Int): Option[Seq[(String, Double)]] = {
+                    n: Int, dfStale: Boolean = false): Option[Seq[(String, Double)]] = {
     require(n >= 1, "n >= 1")
     require(terms.nonEmpty, "terms must be non-empty")
     // duplicates would double-count the AND arity (__m === live.size below
@@ -138,21 +160,32 @@ object ImpactTopK {
     val meta = metaStore.filter(col("id").isin(terms: _*))
       .select(col("id"), col("df"), col("bound_tf")).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    // while the meta is valid, EVERY term with any resolved posting has a
-    // meta row (build covers all terms; insert deltas cover batch terms) —
-    // a missing term matches nothing: AND can't match, OR drops the leaf
-    val live = terms.filter(t => meta.get(t).exists(_._1 > 0L))
+    // exact per-term df: the meta's column while it is exact; a term-pruned
+    // recount of the resolved postings in gone-aware mode. While the meta
+    // is exact, EVERY term with any resolved posting has a meta row (build
+    // covers all terms; insert deltas cover batch terms) — a missing term
+    // matches nothing: AND can't match, OR drops the leaf. In stale mode
+    // the recount is that inventory directly.
+    val dfOf: Map[String, Long] =
+      if (!dfStale) meta.map { case (t, (d, _)) => t -> d }
+      else postings.filter(col("term").isin(terms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("__df")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // bound_tf of a term without a meta row: born after the build, fully
+    // mirrored into the rows store, so nothing of it was ever truncated
+    def boundTf(t: String): Long = meta.get(t).map(_._2).getOrElse(0L)
+    val live = terms.filter(t => dfOf.getOrElse(t, 0L) > 0L)
     if (isAnd && live.size != terms.size) return Some(Nil)
     if (live.isEmpty) return Some(Nil)
     // same double-domain ops as Bm25's SQL log/div (< 2^53 exact longs)
     def idf(df: Long): Double =
       math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
-    val idfs = live.map(t => t -> idf(meta(t)._1)).toMap
+    val idfs = live.map(t => t -> idf(dfOf(t))).toMap
     // ub = the dl->0 limit of the tf-part: tf·(k1+1) / (tf + k1·(1−b))
     def ub(b: Long): Double =
       if (b <= 0L) 0.0
       else (b * (Bm25.K1 + 1.0)) / (b + Bm25.K1 * (1.0 - Bm25.B))
-    val bound = live.map(t => idfs(t) * ub(meta(t)._2)).sum
+    val bound = live.map(t => idfs(t) * ub(boundTf(t))).sum
 
     // per-(term, doc) contribution rows for the CANDIDATES; `cleanup`
     // releases the multi-term path's persisted candidate distinct once the
@@ -209,7 +242,7 @@ object ImpactTopK {
     //   possible non-candidate (a tie could reorder against the full path's
     //   id tiebreak).
     val complete = bound == 0.0 ||
-      (isAnd && live.size > 1 && live.exists(t => meta(t)._2 == 0L))
+      (isAnd && live.size > 1 && live.exists(t => boundTf(t) == 0L))
     val certified = complete ||
       (top.length >= n && top.last.getDouble(1) > bound)
     if (certified) Some(top.toSeq.map(r => (r.getString(0), r.getDouble(1))))

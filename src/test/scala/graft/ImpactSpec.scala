@@ -141,34 +141,60 @@ class ImpactSpec extends AnyFunSuite {
     }
   }
 
-  test("update invalidates meta (fallback) and compact() heals it") {
+  test("gone-aware: an update delta KEEPS serving certified; compact() restores the exact meta") {
     spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
     spark.conf.set("spark.graft.compact.auto", "false")
     try {
       val c = build(300, cap = 32)
-      c.update(Seq("d00001"), Seq("totally different content now"))
-      assert(c.impactCertifiedTopK("common", 10, 0).isEmpty,
-        "update must invalidate the exact-df meta")
-      assertSameTopK(c, "common", 10) // fallback still exact
+      // d00013 is a top-tf 'common' doc AND a 'rare' doc — replacing its
+      // content exercises both removal (old terms) and birth (new terms)
+      c.update(Seq("d00013"), Seq("totally different content now"))
+      val served = c.impactCertifiedTopK("common", 10, 0)
+      assert(served.nonEmpty,
+        "gone-aware serving must stay certified through an update delta")
+      assert(!served.get.select("id").as[String].collect().contains("d00013"),
+        "the updated doc no longer matches its OLD terms")
+      assertSameTopK(c, "common", 10)
+      assertSameTopK(c, "rare", 5) // df shrank by the update — recounted
+      // terms born in the update serve from the mirrored rows (no meta row
+      // -> bound 0 -> completeness certificate)
+      assert(c.impactCertifiedTopK("different", 3, 0).nonEmpty)
+      assertSameTopK(c, "different", 3)
+      // a pure insert while stale keeps the mirror regime (still serves)
+      c.addDf(Seq(("n99901", Seq.fill(300)("common").mkString(" ") + " rare"))
+        .toDF("id", "content"))
+      assert(c.impactCertifiedTopK("common", 10, 0).nonEmpty)
+      assertSameTopK(c, "common", 10)
+      assertSameTopK(c, "rare", 5)
       c.compact()
       assert(c.impactCertifiedTopK("common", 10, 0).nonEmpty,
-        "compact must re-derive the meta")
+        "compact must re-derive the exact meta")
       assertSameTopK(c, "common", 10)
-      assertSameTopK(c, "different", 3) // term born in the update
+      assertSameTopK(c, "different", 3)
     } finally {
       spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
       spark.conf.set("spark.graft.compact.auto", "true")
     }
   }
 
-  test("delete invalidates meta and compact() heals; emptied corpus drops the index") {
+  test("gone-aware: a delete delta KEEPS serving certified; deleted docs are provably gone") {
     spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
     spark.conf.set("spark.graft.compact.auto", "false")
     try {
       val c = build(300, cap = 32)
-      c.delete(Seq("d00017", "d00016"))
-      assert(c.impactCertifiedTopK("common", 10, 0).isEmpty)
-      assertSameTopK(c, "common", 10) // deleted top-tf docs must be gone
+      // d00013/d00026: the two highest-ranked 'common' docs and 'rare' docs
+      val before = c.impactCertifiedTopK("common", 10, 0)
+      assert(before.nonEmpty)
+      assert(before.get.select("id").as[String].collect().contains("d00013"))
+      c.delete(Seq("d00013", "d00026"))
+      val served = c.impactCertifiedTopK("common", 10, 0)
+      assert(served.nonEmpty,
+        "gone-aware serving must stay certified through a delete delta")
+      val ids = served.get.select("id").as[String].collect().toSet
+      assert(!ids.contains("d00013") && !ids.contains("d00026"))
+      assertSameTopK(c, "common", 10)
+      assertSameTopK(c, "rare", 5)    // df shrank by 2 — recounted exactly
+      assertSameTopK(c, "common rare", 5) // multi-term through the mirror
       c.compact()
       assert(c.impactCertifiedTopK("common", 10, 0).nonEmpty)
       assertSameTopK(c, "common", 10)
@@ -261,6 +287,65 @@ class ImpactSpec extends AnyFunSuite {
     info(s"certified serves: $served, fallbacks: $declined")
     assert(served > 0, "fuzz must exercise the certified path")
     assert(declined > 0, "fuzz must exercise the fallback path")
+  }
+
+  test("randomized mutations: gone-aware certificates never disagree with full scoring") {
+    // The stale-df regime's end-to-end pin: random corpora, then a random
+    // interleaving of deletes / updates / pure inserts on the DELTA path
+    // (no compaction), checking certified-vs-full equality after every op.
+    // This is where a wrong bound, a missed gone-claim, or a stale-df serve
+    // would surface as a score or membership mismatch.
+    spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+    spark.conf.set("spark.graft.compact.auto", "false")
+    try {
+      val rnd = new scala.util.Random(4321)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+      var served = 0
+      var declined = 0
+      for (trial <- 0 until 2) {
+        val n = 120 + trial * 60
+        def doc(i: Int): String = {
+          val body = Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+            .mkString(" ")
+          if (i % 23 == 0) s"$body rarex" else body
+        }
+        val c = Collection(spark, freshRoot(), "t")
+        c.addDf((1 to n).map(i => (f"d$i%05d", doc(i))).toDF("id", "content"))
+        c.createImpactIndex(cap = Seq(8, 32)(trial))
+        var nextId = n
+        for (op <- 0 until 4) {
+          rnd.nextInt(3) match {
+            case 0 => // delete a few random live docs (ok if already gone)
+              c.delete(Seq.fill(3)(f"d${1 + rnd.nextInt(n)}%05d").distinct)
+            case 1 => // update random docs to fresh random content
+              val ids = Seq.fill(2)(f"d${1 + rnd.nextInt(n)}%05d").distinct
+              c.update(ids, ids.map(_ => doc(rnd.nextInt(50))))
+            case 2 => // pure insert while (possibly) stale
+              nextId += 1
+              c.addDf(Seq((f"d$nextId%05d", doc(nextId))).toDF("id", "content"))
+          }
+          for (q <- Seq("aa", "bb cc", "dd or ee", "rarex", "rarex aa");
+               k <- Seq(3, 400)) {
+            val full = pairs(c.queryFrame(q, limit = k))
+            c.impactCertifiedTopK(q, k, 0) match {
+              case Some(f) =>
+                served += 1
+                assert(pairs(f) === full,
+                  s"trial=$trial op=$op q='$q' k=$k certified mismatch after mutation")
+              case None =>
+                declined += 1
+                assert(pairs(c.searchTopK(q, k)) === full,
+                  s"trial=$trial op=$op q='$q' k=$k fallback mismatch")
+            }
+          }
+        }
+      }
+      info(s"gone-aware certified serves: $served, fallbacks: $declined")
+      assert(served > 0, "mutation fuzz must exercise the gone-aware certified path")
+    } finally {
+      spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+      spark.conf.set("spark.graft.compact.auto", "true")
+    }
   }
 
   test("createImpactIndex validates inputs") {
