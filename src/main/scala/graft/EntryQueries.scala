@@ -227,7 +227,9 @@ object EntryQueries {
     * the engine on non-ASCII text too (hash-identical to the former
     * ASCII-only class on this corpus; verified with a full-corpus compare).
     */
-  private val Toks = "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), t -> t <> '')"
+  private def toksOf(c: String): String =
+    s"list_filter(regexp_split_to_array(lower($c), '[^\\p{L}\\p{N}]+'), t -> t <> '')"
+  private val Toks = toksOf("text")
 
   /** SQL-escape a string for a single-quoted DuckDB literal. */
   private def sqlQuote(s: String): String = s.replace("'", "''")
@@ -1771,6 +1773,59 @@ object EntryQueries {
         .select(col("probe_rows"), col("candidates_kept"),
           col("candidates_skipped"))
     }, Some(containmentStatsOracle)),
+
+    // X126: the COMPOSED curation pipeline — the canonical C4/RefinedWeb
+    // chain as ONE oracle-replayed flow: normalize (X40) → strip
+    // boilerplate (X24) → signal-sweep keep (X117) → corpus line dedup
+    // (X25) → near-dedup (X2b) → decontaminate vs the src0 benchmark
+    // (X20) → leakage-safe split (X109) → deterministic shards (X31).
+    // 177 isolated entries can't see cross-operator contracts — column
+    // hand-off, NULL flow, and determinism THROUGH eight stages — this one
+    // does: the final (id, split, shard, pos, md5(content)) row set only
+    // matches if every intermediate corpus matched. Plants give each stage
+    // real work: a non-alpha banner (boilerplate-stripped), a corpus-wide
+    // subscribe line (line-dedup df = corpus), near-dup clones of every
+    // 25th doc (collapse at 0.8), and a per-doc unique line (keeps every
+    // doc non-empty and byte-distinct through all stages, so the exact-dup
+    // arm and the Jaccard replay cannot diverge on degenerate docs).
+    ("x126_curate_pipeline", (s: SparkSession, sfDir: String) => {
+      val raw = s.read.parquet(s"$sfDir/documents.parquet")
+      val bench = raw.filter(col("source") === "src0")
+        .select(col("doc_id").cast("string").as("id"), col("text").as("content"))
+      val train = raw.filter(col("source") =!= "src0")
+      val base = train.select(col("doc_id").cast("string").as("id"), col("text"))
+      val clones = train.filter(col("doc_id") % 25 === 0)
+        .select(concat(lit("dup_"), col("doc_id").cast("string")).as("id"),
+          concat(col("text"), lit(" zzextratoken")).as("text"))
+      val noisy = base.unionByName(clones).select(col("id"),
+        concat(lit(">>> *** <<<\nSubscribe to our newsletter today\n"),
+          col("text"), lit("\nunique token line "), col("id")).as("content"))
+      // stage BOUNDARIES are materialized (x122's freeze pattern): the
+      // dedup/split stages each reference their input several times, and
+      // every lazy reference would re-run the WHOLE upstream chain — at
+      // this fixture size a local frame is the right materialization; the
+      // library-scale equivalent is persist()/checkpoint between stages
+      // (measured unfrozen: the 8-deep lazy DAG re-evaluated stages ~50x,
+      // 206 s vs ~15 s frozen)
+      def freeze(df: DataFrame): DataFrame =
+        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      val norm = TextStats.normalizeText(noisy)
+        .select(col("id"), col("content_norm").as("content"))
+      val strip = freeze(TextStats.stripBoilerplate(norm)
+        .select(col("id"), col("content_clean").as("content")))
+      val kept = freeze(strip.join(
+        TextStats.signalSweep(strip, minWords = 30, minStopwordHits = 1)
+          .filter(col("keep")).select("id"), Seq("id"), "left_semi"))
+      val lines = freeze(Dedup.dedupLinesCorpus(kept)
+        .select(col("id"), col("content_dedup").as("content")))
+      val deduped = freeze(Dedup.dedupCorpus(lines))
+      val decon = freeze(Pipeline.decontaminate(deduped, bench, n = 8))
+      val split = Pipeline.splitByCluster(decon,
+        Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1), seed = 7L)
+      Pipeline.shuffleShards(split, numShards = 8, seed = 42L)
+        .select(col("id"), col("split"), col("shard"), col("pos"),
+          md5(col("content")).as("final_md5"))
+    }, Some(curatePipelineOracle)),
 
     ("x8_text_langid", (s: SparkSession, sfDir: String) =>
       TextStats.langId(docsFrame(s, sfDir)).select("id", "pred_lang"),
@@ -3920,22 +3975,30 @@ object EntryQueries {
     * math, the x8 langid argmax, and the composite keep, all off ONE `tok`
     * CTE like the engine's one fused scan.
     */
-  private lazy val signalSweepOracle: String = {
+  /** The x117 signal-sweep CTE chain over rows (idExpr, textExpr) of
+    * `src`: CTEs `<p>tok … <p>q`, with `<p>q` carrying every signal plus
+    * gopher_keep — ONE definition shared by the standalone x117 oracle
+    * (over raw documents) and the x126 composed-pipeline oracle (over the
+    * normalized+stripped stage), so the replayed sweep semantics cannot
+    * drift between them.
+    */
+  private def sweepCtes(p: String, src: String, idExpr: String,
+                        textExpr: String): String = {
     val (scores, pred) = langIdFragments("t.tk")
     val stopSum = TextStats.GopherStops
       .map(w => s"CASE WHEN list_contains(list_transform(t.w, x -> lower(x)), '$w') THEN 1 ELSE 0 END")
       .mkString("\n    + ")
-    s"""WITH tok AS (SELECT $DocId AS id,
-       |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS rawlines,
-       |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS tlines,
-       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
-       |    $Toks AS tk
-       |  FROM documents),
-       | g AS (SELECT t.id, array_to_string(t.tk[u.i:u.i+1], ' ') AS gram
-       |       FROM tok t, UNNEST(range(1, len(t.tk))) AS u(i)),
-       | gc AS (SELECT id, gram, COUNT(*) AS tf FROM g GROUP BY 1, 2),
-       | tg AS (SELECT id, MAX(tf) AS top_tf FROM gc GROUP BY 1),
-       | m AS (SELECT t.id,
+    s"""${p}tok AS (SELECT $idExpr AS id,
+       |    list_filter(string_split($textExpr, chr(10)), l -> trim(l) <> '') AS rawlines,
+       |    list_filter(list_transform(string_split($textExpr, chr(10)), l -> trim(l)), l -> l <> '') AS tlines,
+       |    list_filter(string_split_regex($textExpr, '\\s+'), x -> x <> '') AS w,
+       |    ${toksOf(textExpr)} AS tk
+       |  FROM $src),
+       | ${p}g AS (SELECT t.id, array_to_string(t.tk[u.i:u.i+1], ' ') AS gram
+       |       FROM ${p}tok t, UNNEST(range(1, len(t.tk))) AS u(i)),
+       | ${p}gc AS (SELECT id, gram, COUNT(*) AS tf FROM ${p}g GROUP BY 1, 2),
+       | ${p}tg AS (SELECT id, MAX(tf) AS top_tf FROM ${p}gc GROUP BY 1),
+       | ${p}m AS (SELECT t.id,
        |    CAST(len(t.w) AS BIGINT) AS n_words,
        |    CAST(len(t.tk) AS BIGINT) AS n_tokens,
        |    CASE WHEN len(t.w) = 0 THEN 0.0
@@ -3956,21 +4019,24 @@ object EntryQueries {
        |    CASE WHEN len(t.tk) = 0 THEN 0.0
        |      ELSE len(list_filter(t.tk, x -> x IN (${TextStats.QualityStopwords.map(w => s"'$w'").mkString(", ")}))) * 1.0 / len(t.tk) END AS stop_ratio,
        |    $scores
-       |  FROM tok t LEFT JOIN tg ON t.id = tg.id),
-       | q AS (SELECT *,
+       |  FROM ${p}tok t LEFT JOIN ${p}tg tg ON t.id = tg.id),
+       | ${p}q AS (SELECT *,
        |    least(n_tokens / 100.0, 1.0) * 0.5 + stop_ratio * 0.3 + least(avg_len / 10.0, 1.0) * 0.2 AS quality,
        |    $pred AS pred_lang,
        |    (n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
        |     AND alpha_word_frac >= 0.8 AND bullet_line_frac <= 0.9
        |     AND ellipsis_line_frac <= 0.3 AND n_stop_hits >= 1
        |     AND dup_line_frac <= 0.3 AND top_ngram_frac <= 0.2) AS gopher_keep
-       |  FROM m)
+       |  FROM ${p}m)""".stripMargin
+  }
+
+  private lazy val signalSweepOracle: String =
+    s"""WITH ${sweepCtes("", "documents", DocId, "text")}
        |SELECT id, n_words, n_tokens, round(quality, 6) AS quality, pred_lang,
        |  round(dup_line_frac, 6) AS dup_line_frac,
        |  round(top_ngram_frac, 6) AS top_ngram_frac, gopher_keep,
        |  (gopher_keep AND quality >= 0.25 AND pred_lang <> 'und') AS keep
        |FROM q""".stripMargin
-  }
 
   /** x120: exact trigram-shingle Jaccard of the probe set (every 50th doc)
     * against documents ∪ the synthetic near-dup batch (every 25th doc with
@@ -4120,6 +4186,105 @@ object EntryQueries {
        |  CAST(COALESCE(sum(CASE WHEN df <= 64 THEN df ELSE 0 END), 0) AS BIGINT) AS candidates_kept,
        |  CAST(COALESCE(sum(CASE WHEN df > 64 THEN df ELSE 0 END), 0) AS BIGINT) AS candidates_skipped
        |FROM pref""".stripMargin
+
+  /** x126 oracle: the full eight-stage curation chain replayed in one
+    * DuckDB query, each stage the SAME SQL its standalone oracle proved
+    * (x40 normalize, x24 strip, the shared [[sweepCtes]] sweep, x25 line
+    * dedup, x2b pair+recursive-CC dedup, x20 8-gram decontamination, x109
+    * cluster-rooted split, x31 md5 shard/pos) — just re-targeted at the
+    * previous stage's text instead of raw `documents.text`. The planted
+    * per-doc unique line guarantees every doc stays non-empty and
+    * byte-distinct through every stage, so the Jaccard-only pair replay
+    * and the engine's exact-dup arm cannot diverge on degenerate docs
+    * (and no shingle set is ever empty — 0/0 Jaccard, which DuckDB's
+    * NaN-is-greatest ordering would pass the threshold, cannot occur).
+    *
+    * Every stage CTE is MATERIALIZED: the chain is deep and each
+    * self-join references its input twice, so DuckDB's default CTE
+    * inlining re-evaluates the upstream chain multiplicatively —
+    * measured >10 min inlined vs ~18 s materialized on this corpus.
+    */
+  private lazy val curatePipelineOracle: String = Seq(
+    "c0", "nf", "n1", "b1", "k1", "lt", "ld", "l1", "jsh", "jp", "je", "jc",
+    "d1", "dg", "bg", "d2", "ssh", "sp", "se", "scc", "sk", "sh1", "s1",
+    "fk", "fs").foldLeft(curatePipelineOracleRaw)((q, c) =>
+    q.replace(s" $c AS (", s" $c AS MATERIALIZED ("))
+
+  private lazy val curatePipelineOracleRaw: String =
+    s"""WITH RECURSIVE c0 AS (
+       |  SELECT id, '>>> *** <<<' || chr(10) || 'Subscribe to our newsletter today' || chr(10) ||
+       |      t || chr(10) || 'unique token line ' || id AS c
+       |  FROM (SELECT $DocId AS id, text AS t FROM documents WHERE source <> 'src0'
+       |        UNION ALL
+       |        SELECT 'dup_' || $DocId, text || ' zzextratoken'
+       |        FROM documents WHERE source <> 'src0' AND doc_id % 25 = 0)),
+       | nf AS (SELECT id, replace(replace(translate(c,
+       |      '${sqlQuote(graft.ext.TextStats.NormFoldFrom)}',
+       |      '${sqlQuote(graft.ext.TextStats.NormFoldTo)}'),
+       |    chr(8230), '...'), chr(8203), '') AS s
+       |  FROM c0),
+       | n1 AS (SELECT id, trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+       |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]', '', 'g'),
+       |    '[ \\t]+', ' ', 'g'),
+       |    ' ?\\n ?', chr(10), 'g'),
+       |    '\\n{3,}', chr(10) || chr(10), 'g')) AS c
+       |  FROM nf),
+       | b1 AS (SELECT id, array_to_string(list_filter(string_split(c, chr(10)),
+       |    l -> len(trim(l)) >= 10 AND
+       |         len(regexp_replace(trim(l), '[^A-Za-z]', '', 'g')) * 1.0 >= 0.5 * len(trim(l))),
+       |    chr(10)) AS c
+       |  FROM n1),
+       | ${sweepCtes("sw", "b1", "id", "c")},
+       | k1 AS (SELECT b1.id, b1.c FROM b1 JOIN swq USING (id)
+       |  WHERE gopher_keep AND quality >= 0.25 AND pred_lang <> 'und'),
+       | lt AS (SELECT id, string_split(c, chr(10)) AS ls FROM k1),
+       | ld AS (SELECT coalesce(list(k), []) AS dl FROM (
+       |    SELECT trim(l) AS k FROM lt, unnest(ls) AS r(l)
+       |    WHERE len(trim(l)) > 0 GROUP BY 1 HAVING count(*) >= 2)),
+       | l1 AS (SELECT id, array_to_string(list_filter(ls,
+       |    l -> len(trim(l)) = 0 OR NOT list_contains(dl, trim(l))), chr(10)) AS c
+       |  FROM lt CROSS JOIN ld),
+       | jsh AS (SELECT id, CASE WHEN len(w) < 3 THEN []
+       |    ELSE list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) END AS s
+       |  FROM (SELECT id, ${toksOf("c")} AS w FROM l1)),
+       | jp AS (SELECT a.id AS id_a, b.id AS id_b FROM jsh a JOIN jsh b ON a.id < b.id
+       |  WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+       | je AS (SELECT id_a AS s, id_b AS d FROM jp UNION SELECT id_b, id_a FROM jp),
+       | jr AS (SELECT s, d FROM je
+       |   UNION SELECT r.s, e.d FROM jr r JOIN je e ON r.d = e.s WHERE e.d <> r.s),
+       | jc AS (SELECT s AS id, least(s, min(d)) AS cluster FROM jr GROUP BY s),
+       | d1 AS (SELECT id, c FROM l1
+       |  WHERE id NOT IN (SELECT id FROM jc WHERE id <> cluster)),
+       | dg AS (SELECT DISTINCT t.id, array_to_string(t.w[u.i:u.i+7], ' ') AS gram
+       |  FROM (SELECT id, ${toksOf("c")} AS w FROM d1) t,
+       |       UNNEST(range(1, len(t.w) - 6)) AS u(i)),
+       | bg AS (SELECT DISTINCT array_to_string(t.w[u.i:u.i+7], ' ') AS gram
+       |  FROM (SELECT $Toks AS w FROM documents WHERE source = 'src0') t,
+       |       UNNEST(range(1, len(t.w) - 6)) AS u(i)),
+       | d2 AS (SELECT id, c FROM d1
+       |  WHERE id NOT IN (SELECT DISTINCT id FROM dg JOIN bg USING (gram))),
+       | ssh AS (SELECT id, CASE WHEN len(w) < 3 THEN []
+       |    ELSE list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) END AS s
+       |  FROM (SELECT id, ${toksOf("c")} AS w FROM d2)),
+       | sp AS (SELECT a.id AS id_a, b.id AS id_b FROM ssh a JOIN ssh b ON a.id < b.id
+       |  WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+       | se AS (SELECT id_a AS s, id_b AS d FROM sp UNION SELECT id_b, id_a FROM sp),
+       | sr AS (SELECT s, d FROM se
+       |   UNION SELECT r.s, e.d FROM sr r JOIN se e ON r.d = e.s WHERE e.d <> r.s),
+       | scc AS (SELECT s AS id, least(s, min(d)) AS cluster FROM sr GROUP BY s),
+       | sk AS (SELECT d2.id, coalesce(scc.cluster, d2.id) AS root
+       |  FROM d2 LEFT JOIN scc ON scc.id = d2.id),
+       | sh1 AS (SELECT id, ('0x' || substr(md5('7:' || root), 1, 12))::BIGINT % 1000000 AS h FROM sk),
+       | s1 AS (SELECT id, CASE WHEN h < 800000 THEN 'train'
+       |        WHEN h < 900000 THEN 'validation' ELSE 'test' END AS split
+       |  FROM sh1),
+       | fk AS (SELECT d2.id, s1.split, d2.c, md5('42:' || d2.id) AS rk
+       |  FROM d2 JOIN s1 USING (id)),
+       | fs AS (SELECT id, split, c, rk, ('0x' || substr(rk, 1, 12))::BIGINT % 8 AS shard FROM fk)
+       |SELECT id, split, shard,
+       |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rk, id) - 1 AS pos,
+       |  md5(c) AS final_md5
+       |FROM fs""".stripMargin
 
   /** x125b oracle: the drop rule replayed over the subset corpus — a doc
     * drops iff SOME other doc covers ≥ 0.85 of its shingles AND is
