@@ -38,6 +38,9 @@ object Web {
   /** Registrable domain (public-suffix-lite): last two host labels, or three
     * when the last two are a recognized multi-part suffix. A bare or
     * single-label host passes through unchanged; NULL host stays NULL.
+    * For real-PSL behavior (github.io, co.kr, wildcard TLDs) load the
+    * public-suffix list file with [[loadSuffixes]] and use the
+    * [[SuffixRules]] overload.
     */
   def registrableDomain(url: Column, extraSuffixes: Seq[String] = Nil): Column = {
     val host = hostOf(url)
@@ -45,6 +48,86 @@ object Web {
     val last2 = concat_ws(".", slice(labels, -2, 2))
     val take = when(last2.isin(MultiPartSuffixes ++ extraSuffixes: _*), lit(3)).otherwise(lit(2))
     when(host.isNull || size(labels) <= lit(2), host)
+      .otherwise(concat_ws(".", slice(labels, -take, take)))
+  }
+
+  /** Parsed public-suffix rules, grouped by rule depth (label count):
+    * `exact` plain rules with >= 2 labels (single-label rules like `com`
+    * are the take-2 default already), `wildcardBases` the bases of `*.`
+    * rules (rule `*.ck` -> base `ck` at depth 1: ANY 2-label suffix under
+    * it), `exceptions` the `!` rules (the exception rule ITSELF is the
+    * registrable domain). Depths are data-driven — 3- and 4-label PSL
+    * rules (`pvt.k12.ma.us`) work without code changes.
+    */
+  final case class SuffixRules(exact: Map[Int, Seq[String]],
+                               wildcardBases: Map[Int, Seq[String]],
+                               exceptions: Map[Int, Seq[String]]) {
+    def isEmpty: Boolean =
+      exact.isEmpty && wildcardBases.isEmpty && exceptions.isEmpty
+  }
+
+  /** Parse a file in the Mozilla public-suffix list format (the REAL list
+    * is data, not code — https://publicsuffix.org/list/, one rule per
+    * line, `//` comments, rule text ends at the first whitespace,
+    * `*.`-prefixed wildcard rules, `!`-prefixed exceptions). Driver-side
+    * read: the list is a ~240 KB config file, and the rules become literal
+    * `isin` sets inside one codegen'd expression — nothing shuffles.
+    * Unicode rules are kept as written (match against the lowercased
+    * host); punycode variants are the caller's concern, as in the PSL
+    * spec's normalization note.
+    */
+  def loadSuffixes(path: String): SuffixRules = {
+    import scala.jdk.CollectionConverters._
+    val rules = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.iterator
+      .map(_.trim.takeWhile(!_.isWhitespace))
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map(_.toLowerCase)
+      .toSeq
+    def depth(r: String): Int = r.count(_ == '.') + 1
+    val (excs, rest) = rules.partition(_.startsWith("!"))
+    val (wilds, plains) = rest.partition(_.startsWith("*."))
+    SuffixRules(
+      exact = plains.filter(depth(_) >= 2).distinct.groupBy(depth),
+      wildcardBases = wilds.map(_.stripPrefix("*.")).filter(_.nonEmpty)
+        .distinct.groupBy(depth),
+      exceptions = excs.map(_.stripPrefix("!")).filter(depth(_) >= 2)
+        .distinct.groupBy(depth))
+  }
+
+  /** [[registrableDomain]] under LOADED public-suffix rules. PSL
+    * semantics, longest-match: an exception rule wins outright (the rule
+    * itself is the registrable domain), else the deepest matching suffix
+    * rule — exact rule of depth d -> take d+1 labels, wildcard base of
+    * depth b (rule depth b+1) -> take b+2 — else the take-2 default. A
+    * host no longer than its matched take passes through whole (it IS a
+    * public suffix or shorter — same convention as the lite rule's
+    * single-label pass-through). Still one pure codegen'd expression:
+    * the rules compile to literal isin sets over the last-k label joins.
+    */
+  def registrableDomain(url: Column, rules: SuffixRules): Column = {
+    val host = hostOf(url)
+    val labels = split(host, "\\.")
+    def lastK(k: Int): Column = concat_ws(".", slice(labels, -k, k))
+    // precedence: exceptions first (they beat any suffix rule), then
+    // suffix families ordered by the depth of the suffix they assert,
+    // deepest first (PSL longest-match)
+    val arms: Seq[(Int, Column, Column)] =
+      rules.exceptions.toSeq.map { case (d, rs) =>
+        // exception beats every suffix rule regardless of depth
+        (Int.MaxValue, lastK(d).isin(rs: _*), lit(d))
+      } ++
+      rules.exact.toSeq.map { case (d, rs) =>
+        (d, lastK(d).isin(rs: _*), lit(d + 1))
+      } ++
+      rules.wildcardBases.toSeq.map { case (b, rs) =>
+        (b + 1, lastK(b).isin(rs: _*), lit(b + 2))
+      }
+    val take = arms.sortBy(-_._1).foldRight(lit(2): Column) {
+      case ((_, cond, t), els) => when(cond, t).otherwise(els)
+    }
+    when(host.isNull || size(labels) <= take, host)
       .otherwise(concat_ws(".", slice(labels, -take, take)))
   }
 

@@ -1242,6 +1242,59 @@ class ExtSpec extends AnyFunSuite {
     assert(extra === "news.example.com")
   }
 
+  test("Web.loadSuffixes: real-PSL rules (github.io, co.kr, wildcards, exceptions, deep rules)") {
+    // a PSL-format fixture exercising every rule kind the loader claims:
+    // comments, trailing junk after whitespace, plain 1/2-label rules,
+    // a 4-label rule, a wildcard, and its exception
+    val psl = java.nio.file.Files.createTempFile("graft-psl-", ".dat")
+    java.nio.file.Files.write(psl, java.util.Arrays.asList(
+      "// ===BEGIN ICANN DOMAINS===",
+      "com", "io", "kr", "co.kr", "com.tw", "pvt.k12.ma.us",
+      "*.ck", "!www.ck",
+      "// ===BEGIN PRIVATE DOMAINS===",
+      "github.io  // pages", "",
+      "GitHub.IO"), // duplicate in different case: must dedup
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rules = graft.ext.Web.loadSuffixes(psl.toString)
+    assert(rules.exact(2).toSet === Set("co.kr", "com.tw", "github.io"))
+    assert(rules.exact(4) === Seq("pvt.k12.ma.us"))
+    assert(rules.wildcardBases(1) === Seq("ck"))
+    assert(rules.exceptions(2) === Seq("www.ck"))
+    val d = Seq(
+      ("g1", "https://user.github.io/project"),      // PSL: user.github.io
+      ("g2", "https://a.user.github.io/x"),          // still user.github.io
+      ("k1", "https://shop.daum.co.kr/item"),        // daum.co.kr
+      ("t1", "http://news.site.com.tw/a"),           // site.com.tw
+      ("w1", "http://x.foo.ck/p"),                   // *.ck -> x.foo.ck
+      ("w2", "http://deep.x.foo.ck/p"),              // -> x.foo.ck
+      ("e1", "http://a.www.ck/p"),                   // !www.ck -> www.ck
+      ("d1", "https://school.pvt.k12.ma.us/"),       // registrable itself
+      ("d2", "https://x.school.pvt.k12.ma.us/"),     // -> school.pvt...
+      ("p1", "https://www.example.com/a"),           // plain take-2 default
+      ("s1", "https://github.io/odd"),               // suffix-only passthrough
+      ("n1", "totally not a url"))                   // NULL stays NULL
+      .toDF("id", "url")
+    val out = d.select($"id", graft.ext.Web.registrableDomain($"url", rules).as("dom"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("g1") === Some("user.github.io"))
+    assert(out("g2") === Some("user.github.io"))
+    assert(out("k1") === Some("daum.co.kr"))
+    assert(out("t1") === Some("site.com.tw"))
+    assert(out("w1") === Some("x.foo.ck"))
+    assert(out("w2") === Some("x.foo.ck"))
+    assert(out("e1") === Some("www.ck"))
+    assert(out("d1") === Some("school.pvt.k12.ma.us"))
+    assert(out("d2") === Some("school.pvt.k12.ma.us"))
+    assert(out("p1") === Some("example.com"))
+    assert(out("s1") === Some("github.io"))
+    assert(out("n1") === None)
+    // the lite default is untouched by the loader's existence (x99 parity)
+    assert(d.filter($"id" === "k1")
+      .select(graft.ext.Web.registrableDomain($"url").as("d"))
+      .head().getString(0) === "co.kr") // lite list lacks co.kr — 2-label rule
+    java.nio.file.Files.deleteIfExists(psl)
+  }
+
   test("Web.domainReport + capPerDomain: shares sum to 1, cap deterministic, WindowGroupLimit plan") {
     val docs = (1 to 40).map { i =>
       val dom = if (i <= 30) "big.com" else if (i <= 38) "mid.co.uk" else "tiny.org"
