@@ -1343,28 +1343,33 @@ object EntryQueries {
       val rec0 = Ann.recallAtK(Ann.exactTopK(c.docs(), qs, k = 10),
         c.vectorTopK(qs, 10))
       // upsert 50 duplicated vectors under new ids — the O(batch) delta
-      // re-derives list + codes against the STORED tables in one scan
+      // re-derives list + codes against the STORED tables in one scan.
+      // (FULL-corpus delta parity runs once in ExtSpec "persisted
+      // PQ/IVF-PQ lifecycle parity"; here only the delta-born rows pay
+      // the fresh re-derivation — the bench-tail trim)
       c.addDf(e.limit(50).select(concat(lit("dup_"), col("id")).as("id"),
         lit("").as("content"), col("embedding")))
       val (cents, cb, rows, _, _) = c.ivfPqIndex().get
-      val resolved = rows.persist()
+      val newRows = rows.filter(col("id").startsWith("dup_")).persist()
       // fresh derivation mirrors the STORED encoding flag (r14: the build
       // measures raw-vs-residual on the training sample and persists the
       // winner; maintenance must re-encode under that flag, never a guess)
-      val fresh = graft.ext.Ivf.assign(c.docs(), cents)
-        .join(c.docs().select(col("id"), col("embedding")), Seq("id"))
+      val dupDocs = c.docs().filter(col("id").startsWith("dup_"))
+      val fresh = graft.ext.Ivf.assign(dupDocs, cents)
+        .join(dupDocs.select(col("id"), col("embedding")), Seq("id"))
         .select(col("id"), col("cluster"),
           Pq.encodeFor(col("embedding"), col("cluster"), cents, cb,
             c.ivfPqResidual()).as("codes")).persist()
       try {
-        val eq = resolved.exceptAll(fresh).isEmpty &&
-          fresh.exceptAll(resolved).isEmpty
+        val eq = newRows.exceptAll(fresh).isEmpty &&
+          fresh.exceptAll(newRows).isEmpty
+        val counts = rows.count() == e.count() + 50
         val rec = Ann.recallAtK(Ann.exactTopK(c.docs(), qs, k = 10),
           c.vectorTopK(qs, 10))
-        Seq(("delta_rows_exact", eq),
+        Seq(("delta_rows_exact", eq && counts),
           ("recall_ge_0.8", rec0 >= 0.8),
           ("recall_after_delta_ge_0.8", rec >= 0.8)).toDF("metric", "ok")
-      } finally { resolved.unpersist(); fresh.unpersist() }
+      } finally { newRows.unpersist(); fresh.unpersist() }
     }, Some("""SELECT * FROM (VALUES ('delta_rows_exact', true),
               |  ('recall_after_delta_ge_0.8', true),
               |  ('recall_ge_0.8', true)) AS t(metric, ok)""".stripMargin)),
@@ -2847,31 +2852,28 @@ object EntryQueries {
       c.createVectorIndex(kind = "pq", m = 16, numCentroids = 256, iters = 5,
         maxSample = 20000, candK = 100)
       val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
-      val via = c.vectorTopK(qs, 10).select("qid", "rn", "id").persist()
-      val cb = Pq.train(e, m = 16, k = 256, iters = 5, maxSample = 20000)
-      val direct = Pq.rerankTopK(e, Pq.encode(e, cb), cb, qs, k = 10, candK = 100)
-        .select("qid", "rn", "id").persist()
+      // (the prebuilt-vs-per-call parity and the FULL-corpus delta
+      // re-encode compare — a second codebook train plus two extra
+      // whole-corpus encodes — run ONCE in ExtSpec "persisted PQ/IVF-PQ
+      // lifecycle parity", not per bench; this entry keeps the serving
+      // behavior the oracle gates: the delta-born rows encode exactly
+      // under the STORED codebook, old rows are untouched, recall holds)
+      c.addDf(e.limit(50).select(concat(lit("dup_"), col("id")).as("id"),
+        lit("").as("content"), col("embedding")))
+      val (storedCb, codes, _) = c.pqIndex().get
+      val newRows = codes.filter(col("id").startsWith("dup_")).persist()
+      val fresh = Pq.encode(c.docs().filter(col("id").startsWith("dup_")),
+        storedCb).persist()
       try {
-        val eq1 = via.exceptAll(direct).isEmpty && via.count() == direct.count()
-        // upsert 50 duplicated vectors under new ids — the O(batch) delta
-        // re-encodes them against the STORED codebooks
-        c.addDf(e.limit(50).select(concat(lit("dup_"), col("id")).as("id"),
-          lit("").as("content"), col("embedding")))
-        val (storedCb, codes, _) = c.pqIndex().get
-        val resolved = codes.persist()
-        val fresh = Pq.encode(c.docs(), storedCb).persist()
-        try {
-          val eq2 = resolved.exceptAll(fresh).isEmpty &&
-            fresh.exceptAll(resolved).isEmpty
-          val rec = Ann.recallAtK(Ann.exactTopK(c.docs(), qs, k = 10),
-            c.vectorTopK(qs, 10))
-          Seq(("delta_codes_exact", eq2),
-            ("prebuilt_equals_percall", eq1),
-            ("recall_after_delta_ge_0.8", rec >= 0.8)).toDF("metric", "ok")
-        } finally { resolved.unpersist(); fresh.unpersist() }
-      } finally { via.unpersist(); direct.unpersist() }
+        val eqNew = newRows.exceptAll(fresh).isEmpty &&
+          fresh.exceptAll(newRows).isEmpty
+        val counts = codes.count() == e.count() + 50
+        val rec = Ann.recallAtK(Ann.exactTopK(c.docs(), qs, k = 10),
+          c.vectorTopK(qs, 10))
+        Seq(("delta_codes_exact", eqNew && counts),
+          ("recall_after_delta_ge_0.8", rec >= 0.8)).toDF("metric", "ok")
+      } finally { newRows.unpersist(); fresh.unpersist() }
     }, Some("""SELECT * FROM (VALUES ('delta_codes_exact', true),
-              |  ('prebuilt_equals_percall', true),
               |  ('recall_after_delta_ge_0.8', true)) AS t(metric, ok)""".stripMargin)),
 
     // Vocabulary cardinality per source: the exact arm is oracle-checked;

@@ -2693,6 +2693,64 @@ class ExtSpec extends AnyFunSuite {
     assert(served === exact, "full-coverage residual probe must be exact")
   }
 
+  test("persisted PQ/IVF-PQ lifecycle parity: prebuilt equals per-call; delta re-encode exact (full corpus)") {
+    // Moved from the x50b/x6d bench entries (their per-round cost was a
+    // second codebook train + two whole-corpus encodes re-proving the same
+    // invariants every bench): (1) the PREBUILT pq index serves exactly
+    // what the per-call Pq path computes — training is deterministic, so
+    // the two independently-trained codebooks must agree rank-for-rank;
+    // (2) after a delta upsert, the FULL stored code/row set equals a
+    // fresh whole-corpus re-encode under the STORED codebook(s) — old
+    // rows untouched, new rows exact, for both the flat-PQ and the
+    // IVF-PQ (encoding-flag-dispatched) stores.
+    import graft.api.Collection
+    import graft.ext.{Ann, Ivf, Pq}
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 400).map(i =>
+      (f"v$i%03d", "", Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val e = vecs.toDF("id", "content", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val eBare = e.select(col("id"), col("embedding"))
+    val qs = (0 until 3).map(i => i.toString -> vecs(i * 7)._3)
+    val dups = e.limit(30).select(concat(lit("dup_"), col("id")).as("id"),
+      col("content"), col("embedding"))
+
+    val c = Collection(spark, java.nio.file.Files
+      .createTempDirectory("graft-pqpar-").toString, "v", useFts = false)
+    c.addDf(e)
+    c.createVectorIndex(kind = "pq", m = 4, numCentroids = 16, iters = 4,
+      maxSample = 1000, candK = 50)
+    val via = c.vectorTopK(qs, 5).select("qid", "rn", "id")
+    val cb = Pq.train(eBare, m = 4, k = 16, iters = 4, maxSample = 1000)
+    val direct = Pq.rerankTopK(eBare, Pq.encode(eBare, cb), cb, qs, k = 5,
+      candK = 50).select("qid", "rn", "id")
+    assert(via.exceptAll(direct).isEmpty && via.count() === direct.count(),
+      "prebuilt pq index must equal the per-call path")
+    c.addDf(dups)
+    val (storedCb, codes, _) = c.pqIndex().get
+    val freshAll = Pq.encode(c.docs(), storedCb)
+    assert(codes.exceptAll(freshAll).isEmpty && freshAll.exceptAll(codes).isEmpty,
+      "post-delta stored codes must equal a full fresh encode")
+
+    val c2 = Collection(spark, java.nio.file.Files
+      .createTempDirectory("graft-ivfpqpar-").toString, "v", useFts = false)
+    c2.addDf(e)
+    c2.createVectorIndex(kind = "ivfpq", numCentroids = 4, nprobe = 4,
+      m = 4, candK = 400, iters = 4, maxSample = 1000)
+    c2.addDf(dups)
+    val (cents, cb2, rows, _, _) = c2.ivfPqIndex().get
+    val fresh2 = Ivf.assign(c2.docs(), cents)
+      .join(c2.docs().select(col("id"), col("embedding")), Seq("id"))
+      .select(col("id"), col("cluster"),
+        Pq.encodeFor(col("embedding"), col("cluster"), cents, cb2,
+          c2.ivfPqResidual()).as("codes"))
+    assert(rows.exceptAll(fresh2).isEmpty && fresh2.exceptAll(rows).isEmpty,
+      "post-delta stored ivfpq rows must equal a full fresh re-derivation")
+    // serving still sane after the deltas on both kinds
+    assert(Ann.recallAtK(Ann.exactTopK(c.docs(), qs, 5), c.vectorTopK(qs, 5)) >= 0.8)
+    assert(Ann.recallAtK(Ann.exactTopK(c2.docs(), qs, 5), c2.vectorTopK(qs, 5)) >= 0.8)
+  }
+
   test("budgetSample: greedy fill in draw order, one overshoot doc, growth-stable") {
     import graft.ext.Pipeline
     val d = Seq(
