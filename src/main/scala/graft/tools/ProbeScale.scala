@@ -551,6 +551,104 @@ object ProbeScale {
       // pipeline; x125b at sf0.1 plus ExtSpec pin the curation semantics.
       writeOut(); return
     }
+    // `r16ops` = ingest + (a) GONE-AWARE certified serving at 2M: delete
+    // and update DELTAS keep the impact sidecar serving (stale-df regime,
+    // df re-counted per query term) — measure that serve cost against the
+    // exact regime and the full BM25 path; (b) the X125c containment
+    // cap-sizing profile at 2M+snippets — the shared-shingle df evidence
+    // behind the maxBucket=4096 default; (c) federated scatter-gather
+    // serving over a 4-member root (three 100k members on the full path +
+    // the 2M member through its STALE sidecar) with per-member serve
+    // attribution, so the searchAll/vectorSearchAll/hybridAll cost reads
+    // off as additive.
+    if (mode.contains("r16ops")) {
+      import graft.api.Collection
+      // (a) impact lifecycle: build, exact serve, delete top-2, stale
+      // serve (certified, tombstones excluded), update 200 docs, serve
+      val heavy = spark.range(500).select(
+        concat(lit("hv"), $"id".cast("string")).as("id"),
+        concat(concat_ws(" ", transform(
+            sequence(lit(1), (lit(40) + $"id" % 97).cast("int")),
+            _ => lit("customer"))), lit(" needle")).as("content"),
+        map(lit("lang"), lit("en")).as("metadata"))
+      c.addDf(heavy)
+      time("impact_build_2m_sec")(c.createImpactIndex(cap = 1024))
+      time("impact_serve_exact_10q_sec")(
+        (1 to 10).foreach(_ => c.searchTopK("customer", 10).collect()))
+      spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+      spark.conf.set("spark.graft.compact.auto", "false")
+      try {
+        val top2 = c.searchTopK("customer", 2).select($"id").as[String].collect().toSeq
+        time("impact_delete_2_sec")(c.delete(top2))
+        val stale = c.impactCertifiedTopK("customer", 10, 0)
+        require(stale.nonEmpty,
+          "a delete delta must keep the sidecar serving (gone-aware)")
+        require(!stale.get.select($"id").as[String].collect().exists(top2.contains),
+          "deleted docs must vanish from the certified top-k")
+        time("impact_serve_stale_10q_sec")(
+          (1 to 10).foreach(_ => c.searchTopK("customer", 10).collect()))
+        time("full_bm25_topk_10q_sec")(
+          (1 to 10).foreach(_ => c.queryFrame("customer", limit = 10).collect()))
+        val upd = spark.range(200).select(
+          concat(lit("hv"), ($"id" + 100).cast("string")).as("id"),
+          concat(concat_ws(" ", transform(
+              sequence(lit(1), (lit(40) + $"id" % 89).cast("int")),
+              _ => lit("customer"))), lit(" needle gadget")).as("content"),
+          map(lit("lang"), lit("en")).as("metadata"))
+        time("impact_update_200_sec")(c.addDf(upd)) // ids pre-exist -> mirror
+        require(c.impactCertifiedTopK("customer", 10, 0).nonEmpty,
+          "an update delta must keep the sidecar serving (gone-aware)")
+        time("impact_serve_after_update_sec")(c.searchTopK("customer", 10).collect())
+      } finally {
+        spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+        spark.conf.set("spark.graft.compact.auto", "true")
+      }
+
+      // (b) containment cap profile — same snippet construction as the
+      // r15 probe (threshold 0.9); the kept/skipped split is the
+      // before-you-run recall exposure the X125 contract tells users to
+      // read, and the 400-copy corpus is its adversarial case (every
+      // copy-suffix shingle has df ≈ copies × 25 >> 4096)
+      val snips = c.docs().filter(xxhash64($"id") % 200 === 0)
+        .select(concat(lit("ct"), $"id").as("id"),
+          concat_ws(" ", slice(graft.functions.TextFunctions.tokens($"content"),
+            1, 20)).as("content"))
+      val prof = time("containment_stats_2m_sec")(
+        graft.ext.Dedup.containmentBucketStats(
+          c.docs().select($"id", $"content").unionByName(snips),
+          threshold = 0.9, maxBucket = 4096).head())
+      println(s"PROBE   containment profile = $prof")
+      metrics += ("ct_probe_shingles" -> prof.getAs[Long]("probe_shingles"),
+        "ct_capped_shingles" -> prof.getAs[Long]("capped_shingles"),
+        "ct_probe_rows" -> prof.getAs[Long]("probe_rows"),
+        "ct_candidates_kept" -> prof.getAs[Long]("candidates_kept"),
+        "ct_candidates_skipped" -> prof.getAs[Long]("candidates_skipped"))
+
+      // (c) federated serving: three 100k members with embeddings join
+      // the root; per-member serves first (attribution), then the three
+      // federated calls over all four members
+      val emb = array((0 until 8).map(d =>
+        ((pmod(xxhash64($"id", lit(d)), lit(1000)).cast("double") / 500.0) - 1.0)
+          .cast("float")): _*)
+      time("fed_ingest_3x100k_sec")((0 until 3).foreach { m =>
+        Collection(spark, root, s"m$m").addDf(
+          docs.filter(pmod(xxhash64($"id", lit(99)), lit(20)) === m)
+            .select($"id", $"content", $"metadata").withColumn("embedding", emb))
+      })
+      time("fed_member_big_sec")(c.searchTopK("customer stream", 10).collect())
+      (0 until 3).foreach { m =>
+        time(s"fed_member_m${m}_sec")(Collection.open(spark, root, s"m$m")
+          .searchTopK("customer stream", 10).collect())
+      }
+      time("fed_search_all_sec")(println(s"PROBE   fed fts rows = " +
+        Collection.searchAll(spark, root, "customer stream", limit = 10).count()))
+      val qv = (0 until 8).map(d => (math.sin(d * 0.7) * 0.5).toFloat)
+      time("fed_vector_all_sec")(println(s"PROBE   fed vec rows = " +
+        Collection.vectorSearchAll(spark, root, Seq(("q0", qv)), 10).count()))
+      time("fed_hybrid_all_sec")(println(s"PROBE   fed hybrid rows = " +
+        Collection.hybridAll(spark, root, "customer stream", qv, 10).count()))
+      writeOut(); return
+    }
     // `newops` = ingest + the round-6 training-pipeline operators only:
     // cross-corpus dedup, duplicated-substring spans, chunking, unigram
     // perplexity, shard shuffle, length histogram, and SemDeDup at 100k
