@@ -4209,8 +4209,13 @@ object EntryQueries {
   private lazy val curatePipelineOracle: String = Seq(
     "c0", "nf", "n1", "b1", "k1", "lt", "ld", "l1", "jsh", "jp", "je", "jc",
     "d1", "dg", "bg", "d2", "ssh", "sp", "se", "scc", "sk", "sh1", "s1",
-    "fk", "fs").foldLeft(curatePipelineOracleRaw)((q, c) =>
-    q.replace(s" $c AS (", s" $c AS MATERIALIZED ("))
+    "fk", "fs").foldLeft(curatePipelineOracleRaw) { (q, c) =>
+    val r = q.replace(s" $c AS (", s" $c AS MATERIALIZED (")
+    // a silent no-op here wouldn't change RESULTS, just quietly restore
+    // the >10-min inlined plan — fail fast on any CTE-name/format drift
+    require(r != q, s"curatePipelineOracle: CTE '$c' not found to materialize")
+    r
+  }
 
   private lazy val curatePipelineOracleRaw: String =
     s"""WITH RECURSIVE c0 AS (

@@ -210,7 +210,13 @@ object ImpactTopK {
         // rows-store distinct runs once, not twice.
         val cands = rowsStore.filter(col("term").isin(live: _*))
           .select(col("id")).distinct().persist()
-        if (cands.count() > MaxBroadcastCands) { cands.unpersist(); return None }
+        // the gate count is a Spark job — if IT fails, the persist must
+        // not outlive this call (the finally below only guards the
+        // post-gate pipeline)
+        val tooMany =
+          try cands.count() > MaxBroadcastCands
+          catch { case e: Throwable => cands.unpersist(); throw e }
+        if (tooMany) { cands.unpersist(); return None }
         val idfExpr = live.tail.foldLeft(
           when(col("term") === live.head, lit(idfs(live.head)))) { (acc, t) =>
           acc.when(col("term") === t, lit(idfs(t)))

@@ -1036,14 +1036,17 @@ object Dedup {
     val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("__df"))
     val probe = prefixRows(withH, threshold, dfOrdered,
       dfreqOpt = if (dfOrdered) Some(dfreq) else None)
+    // coalesce: over an all-trivial corpus (no shingles anywhere) the
+    // global agg sees zero rows and sum() is NULL — the contract (and the
+    // x125c oracle, which COALESCEs) says 0
     probe.join(dfreq, "g")
       .agg(count_distinct(col("g")).as("probe_shingles"),
         count_distinct(when(col("__df") > maxBucket, col("g"))).as("capped_shingles"),
         count(lit(1)).as("probe_rows"),
-        sum(when(col("__df") <= maxBucket, col("__df")).otherwise(0L))
-          .as("candidates_kept"),
-        sum(when(col("__df") > maxBucket, col("__df")).otherwise(0L))
-          .as("candidates_skipped"))
+        coalesce(sum(when(col("__df") <= maxBucket, col("__df")).otherwise(0L)),
+          lit(0L)).as("candidates_kept"),
+        coalesce(sum(when(col("__df") > maxBucket, col("__df")).otherwise(0L)),
+          lit(0L)).as("candidates_skipped"))
   }
 
   /** Shared candidate→verify pipeline of [[containmentPairs]] /
@@ -1148,7 +1151,13 @@ object Dedup {
                     maxDupGroup: Int = 16): DataFrame = {
     require(maxDupGroup >= 1, "maxDupGroup >= 1")
     if (maxDupGroup != Int.MaxValue) {
-      val worst = docs.groupBy(sha2(col(contentCol), 256)).agg(count(lit(1)).as("__k"))
+      // only SHINGLED docs can explode candidates — a doc with < n tokens
+      // has an empty shingle set and is filtered before the join, so
+      // duplicated trivial/empty/NULL contents are no hazard and must not
+      // trip the guard (they'd be a false-positive crash on a working input)
+      val worst = docs
+        .filter(size(TextFunctions.tokens(col(contentCol))) >= n)
+        .groupBy(sha2(col(contentCol), 256)).agg(count(lit(1)).as("__k"))
         .agg(max(col("__k"))).head()
       val k = if (worst.isNullAt(0)) 0L else worst.getLong(0)
       require(k <= maxDupGroup,

@@ -1418,6 +1418,16 @@ class ExtSpec extends AnyFunSuite {
     val survivors = Dedup.dropContained(clean, threshold = 0.85)
       .select("id").as[String].collect().toSet
     assert(survivors === base.map(_._1).toSet, "distinct docs all survive")
+    // shingle-LESS duplicate groups are no hazard (they never join) and
+    // must NOT trip the guard: 20 empty + 20 two-token twins + 20 NULLs
+    val trivial = base ++
+      (1 to 20).map(i => (s"e$i", "")) ++
+      (1 to 20).map(i => (s"t$i", "aa bb")) ++
+      (1 to 20).map(i => (s"z$i", null.asInstanceOf[String]))
+    val trivialSurvivors = Dedup.dropContained(trivial.toDF("id", "content"),
+      threshold = 0.85)
+    assert(trivialSurvivors.count() === trivial.size.toLong,
+      "trivial dup groups must pass the guard and all survive")
 
     // containmentBucketStats: the shared-shingle df profile. Uncapped,
     // candidates_skipped must be 0 and candidates_kept must equal the
