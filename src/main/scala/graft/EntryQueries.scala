@@ -1226,6 +1226,55 @@ object EntryQueries {
       Web.capPerDomain(urlDocs(s, sfDir), maxPerDomain = 3).select("id"),
       Some(DomainCapOracle)),
 
+    // X99c: registrable domains under a LOADED public-suffix list — the
+    // loader's file-format parse (plain/wildcard/exception/deep rules) and
+    // the PSL longest-match precedence, against an INDEPENDENT rule-level
+    // oracle (the expected domain per synthesized family, not a replay of
+    // the engine's label algebra). Families: exact 2-label private rule
+    // (github.io) at two host depths, a 2-label ccTLD rule (co.kr), a
+    // wildcard (*.ck), its exception (!www.ck), a 4-label rule
+    // (pvt.k12.ma.us), and the take-2 default.
+    ("x99c_psl_domains", (s: SparkSession, sfDir: String) => {
+      val pslDir = tempDirCleanedOnExit("graft-x99c-")
+      val psl = java.nio.file.Paths.get(pslDir, "psl.dat")
+      java.nio.file.Files.write(psl, java.util.Arrays.asList(
+        "// fixture in the publicsuffix.org list format",
+        "com", "io", "kr", "ck", "us",
+        "co.kr", "github.io", "pvt.k12.ma.us",
+        "*.ck", "!www.ck"))
+      val rules = Web.loadSuffixes(psl.toString)
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"),
+          col("doc_id").cast("long").as("n"))
+      val url = when(col("n") % 7 === 0,
+          concat(lit("https://user"), col("id"), lit(".github.io/p")))
+        .when(col("n") % 7 === 1,
+          concat(lit("https://a.user"), col("id"), lit(".github.io/x")))
+        .when(col("n") % 7 === 2,
+          concat(lit("https://shop"), (col("n") % 50).cast("string"),
+            lit(".daum.co.kr/item")))
+        .when(col("n") % 7 === 3,
+          concat(lit("http://x"), col("id"), lit(".foo.ck/p")))
+        .when(col("n") % 7 === 4,
+          concat(lit("http://a"), col("id"), lit(".www.ck/p")))
+        .when(col("n") % 7 === 5,
+          concat(lit("https://x"), col("id"), lit(".school.pvt.k12.ma.us/")))
+        .otherwise(concat(lit("https://www.example"),
+          (col("n") % 30).cast("string"), lit(".com/a")))
+      d.select(col("id"),
+        Web.registrableDomain(url, rules).as("domain"))
+    }, Some("""SELECT CAST(doc_id AS VARCHAR) AS id,
+              |  CASE
+              |    WHEN doc_id % 7 = 0 THEN 'user' || CAST(doc_id AS VARCHAR) || '.github.io'
+              |    WHEN doc_id % 7 = 1 THEN 'user' || CAST(doc_id AS VARCHAR) || '.github.io'
+              |    WHEN doc_id % 7 = 2 THEN 'daum.co.kr'
+              |    WHEN doc_id % 7 = 3 THEN 'x' || CAST(doc_id AS VARCHAR) || '.foo.ck'
+              |    WHEN doc_id % 7 = 4 THEN 'www.ck'
+              |    WHEN doc_id % 7 = 5 THEN 'school.pvt.k12.ma.us'
+              |    ELSE 'example' || CAST(doc_id % 30 AS VARCHAR) || '.com'
+              |  END AS domain
+              |FROM documents""".stripMargin)),
+
     // X103: the STREAMING per-key quota in its batch/backfill mode — same
     // md5 admission rank, so the survivor set equals the batch cap's
     // exactly (the multi-micro-batch path is pinned stream-vs-batch in

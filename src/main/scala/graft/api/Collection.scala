@@ -1136,7 +1136,9 @@ final class Collection private (
     if (cap.isEmpty || !wm.exists(_._1 == postingsSeg())) return None
     // gone-aware serving: a stale-df watermark means updates/deletes were
     // mirrored into the rows store — still certified-exact, with df
-    // re-counted per query term from the resolved postings
+    // re-counted per query term from the resolved postings (cached under
+    // the postings fingerprint, so hot terms pay the recount once per
+    // store state)
     val dfStale = wm.exists(_._2 != 0L)
     val folded = if (foldAccents) graft.functions.StringFold.fold(query) else query
     // k + offset in Int can wrap negative (k = Int.MaxValue, offset > 0) —
@@ -1145,10 +1147,11 @@ final class Collection private (
     for {
       ast <- QueryParser.parse(folded)
       (isAnd, terms) <- Bm25.flatExactTerms(ast)
+      dfOverride = if (dfStale) Some(staleDfFor(terms)) else None
       top <- graft.exec.ImpactTopK.certifiedTopK(
         Stores.readPartition(spark, impactDir, name, Stores.impactSchema),
         impactMetaRows(), postings(), nDocs, avgDl, terms, isAnd, k + offset,
-        dfStale = dfStale)
+        dfOverride = dfOverride)
     } yield {
       val page = top.drop(offset)
       if (page.isEmpty)
@@ -1241,6 +1244,33 @@ final class Collection private (
 
   private def impactMetaRows(): DataFrame =
     Stores.readPartition(spark, impactMetaDir, name, Stores.impactMetaSchema)
+
+  /** Exact per-term df in the GONE-AWARE (stale-meta) serving regime:
+    * terms missing from the cache pay ONE term-pruned count over the
+    * resolved postings; every hit is free until the next write changes the
+    * postings fingerprint (recursive listing — delta and gone files
+    * included, so staleness is impossible, like [[Collection.impactGate]]).
+    * Dead terms cache as 0 — they stay dead until the store changes.
+    */
+  private def staleDfFor(terms: Seq[String]): Map[String, Long] = {
+    val fp = Stores.partitionFingerprint(spark, postingsDir, name)
+    val cached = terms.flatMap(t =>
+      Collection.staleDfCache.get((root, name, fp, t)).map(t -> _)).toMap
+    val missing = terms.filterNot(cached.contains)
+    if (missing.isEmpty) return cached
+    val counted = postings().filter($"term".isin(missing: _*))
+      .groupBy($"term")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    missing.foreach { t =>
+      // bounded without wholesale wipes (the impactGateCache policy)
+      if (Collection.staleDfCache.size > 4096)
+        Collection.staleDfCache.headOption.foreach(kv =>
+          Collection.staleDfCache.remove(kv._1))
+      Collection.staleDfCache.put((root, name, fp, t), counted.getOrElse(t, 0L))
+    }
+    cached ++ missing.map(t => t -> counted.getOrElse(t, 0L))
+  }
 
   /** (postings segment ordinal the meta claims to reflect, df-staleness
     * flag) — the flag rides the watermark row's otherwise-unused bound_tf
@@ -2272,6 +2302,14 @@ object Collection {
   private[api] val impactGateCache =
     scala.collection.concurrent.TrieMap[(String, String, Long),
       (Option[Int], Option[(Long, Long)], (Long, Double))]()
+
+  /** (root, name, postings fingerprint, term) -> exact resolved df, for
+    * the gone-aware serving regime; see [[Collection!.staleDfFor]]. Keyed
+    * by content fingerprint like [[impactGateCache]] — no invalidation
+    * hooks, a changed store simply misses.
+    */
+  private[api] val staleDfCache =
+    scala.collection.concurrent.TrieMap[(String, String, Long, String), Long]()
 
   /** Valid collection names, same charset as the reference (core.py:94-97). */
   private val NamePattern = "[-a-zA-Z0-9_\\+~#=/]+".r

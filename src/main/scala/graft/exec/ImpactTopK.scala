@@ -113,13 +113,16 @@ object ImpactTopK {
     * (caller falls back). `postings` is only forced on the multi-term path
     * — and, with `dfStale`, on the df recount.
     *
-    * `dfStale` is the GONE-AWARE serving mode: the rows store has been
+    * `dfOverride` is the GONE-AWARE serving mode: the rows store has been
     * kept complete through update/delete deltas (every batch mirrored all
     * its postings in, every batch/delete gone-claimed its ids), but the
-    * meta's df column counts docs that no longer exist. Exact df for JUST
-    * the query terms is then re-counted from the term-pruned resolved
-    * postings (count-only, range-pruned by term, <= terms rows collected)
-    * — everything else in the proof survives staleness untouched:
+    * meta's df column counts docs that no longer exist. The CALLER then
+    * supplies exact df for the query terms — re-counted from the
+    * term-pruned resolved postings and cached under the postings
+    * fingerprint ([[graft.api.Collection]]'s staleDfCache), so repeated
+    * hot-term queries pay the recount once per store state. A term absent
+    * from the override has no resolved postings (df 0). Everything else
+    * in the proof survives staleness untouched:
     *
     *   - bound_tf stays a valid truncation bound: deltas only ADD complete
     *     posting sets to the rows store and gone-claims only REMOVE, so a
@@ -133,11 +136,10 @@ object ImpactTopK {
     *   - nDocs/avgDl are the caller's live collstats (exact through
     *     deletes — the doclen store is gone-claimed like everything else).
     *
-    * Driver-side collects are all bounded: <= terms meta rows (+ <= terms
-    * recount rows when `dfStale`), <= n result rows (the API's own result
-    * size — the [[graft.api.Collection]] collectHits contract), plus one
-    * scalar candidate-count on the multi-term path (the
-    * [[MaxBroadcastCands]] gate).
+    * Driver-side collects are all bounded: <= terms meta rows, <= n result
+    * rows (the API's own result size — the [[graft.api.Collection]]
+    * collectHits contract), plus one scalar candidate-count on the
+    * multi-term path (the [[MaxBroadcastCands]] gate).
     *
     * Score parity with the full path is pinned END-TO-END by ImpactSpec's
     * randomized-corpora fuzz (certified must equal full scoring at 9 dp on
@@ -147,8 +149,9 @@ object ImpactTopK {
     */
   def certifiedTopK(rowsStore: DataFrame, metaStore: DataFrame,
                     postings: => DataFrame, nDocs: Long, avgDl: Double,
-                    terms: Seq[String], isAnd: Boolean,
-                    n: Int, dfStale: Boolean = false): Option[Seq[(String, Double)]] = {
+                    terms: Seq[String], isAnd: Boolean, n: Int,
+                    dfOverride: Option[Map[String, Long]] = None)
+      : Option[Seq[(String, Double)]] = {
     require(n >= 1, "n >= 1")
     require(terms.nonEmpty, "terms must be non-empty")
     // duplicates would double-count the AND arity (__m === live.size below
@@ -160,17 +163,14 @@ object ImpactTopK {
     val meta = metaStore.filter(col("id").isin(terms: _*))
       .select(col("id"), col("df"), col("bound_tf")).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    // exact per-term df: the meta's column while it is exact; a term-pruned
-    // recount of the resolved postings in gone-aware mode. While the meta
-    // is exact, EVERY term with any resolved posting has a meta row (build
+    // exact per-term df: the meta's column while it is exact; the caller's
+    // fingerprint-cached recount in gone-aware mode. While the meta is
+    // exact, EVERY term with any resolved posting has a meta row (build
     // covers all terms; insert deltas cover batch terms) — a missing term
-    // matches nothing: AND can't match, OR drops the leaf. In stale mode
-    // the recount is that inventory directly.
+    // matches nothing: AND can't match, OR drops the leaf. In override
+    // mode the supplied inventory plays that role directly.
     val dfOf: Map[String, Long] =
-      if (!dfStale) meta.map { case (t, (d, _)) => t -> d }
-      else postings.filter(col("term").isin(terms: _*))
-        .groupBy(col("term")).agg(count(lit(1)).as("__df")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      dfOverride.getOrElse(meta.map { case (t, (d, _)) => t -> d })
     // bound_tf of a term without a meta row: born after the build, fully
     // mirrored into the rows store, so nothing of it was ever truncated
     def boundTf(t: String): Long = meta.get(t).map(_._2).getOrElse(0L)

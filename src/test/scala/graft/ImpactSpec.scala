@@ -195,6 +195,18 @@ class ImpactSpec extends AnyFunSuite {
       assertSameTopK(c, "common", 10)
       assertSameTopK(c, "rare", 5)    // df shrank by 2 — recounted exactly
       assertSameTopK(c, "common rare", 5) // multi-term through the mirror
+      // a SECOND delete while already stale: the fingerprint-keyed df
+      // cache must miss (new postings state) and the newly-deleted doc
+      // must vanish — a cache serving the previous stale state would
+      // keep it in the candidates and skew idf
+      val next = c.impactCertifiedTopK("common", 1, 0).get
+        .select("id").as[String].collect().head
+      c.delete(Seq(next))
+      val after = c.impactCertifiedTopK("common", 10, 0)
+      assert(after.nonEmpty, "stale-on-stale delete must keep serving")
+      assert(!after.get.select("id").as[String].collect().contains(next))
+      assertSameTopK(c, "common", 10)
+      assertSameTopK(c, "rare", 5)
       c.compact()
       assert(c.impactCertifiedTopK("common", 10, 0).nonEmpty)
       assertSameTopK(c, "common", 10)
