@@ -1881,6 +1881,24 @@ object EntryQueries {
           md5(col("content")).as("final_md5"))
     }, Some(curatePipelineOracle)),
 
+    // X127: trainable quality classifier — binary multinomial Naive Bayes
+    // (the CCNet/GPT-3/DCLM discriminative-filter step), trained on src0
+    // (pos) vs src1 (neg) documents and scoring the WHOLE corpus. The
+    // oracle replays the ENTIRE train+score pipeline in SQL: token counts
+    // per class, Laplace-smoothed log-likelihood ratios, the doc-count
+    // prior, per-doc tf·w sums — closed-form training is what makes the
+    // model engine-replayable at all (no SGD order, no init).
+    ("x127_quality_classifier", (s: SparkSession, sfDir: String) => {
+      val all = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"),
+          col("text").as("content"), col("source"))
+      val model = graft.ext.Classify.trainQualityNb(
+        all.filter(col("source") === "src0"),
+        all.filter(col("source") === "src1"))
+      graft.ext.Classify.scoreQualityNb(all, model)
+        .select(col("id"), round(col("logodds"), 6).as("logodds"))
+    }, Some(nbClassifierOracle)),
+
     ("x8_text_langid", (s: SparkSession, sfDir: String) =>
       TextStats.langId(docsFrame(s, sfDir)).select("id", "pred_lang"),
       Some(langIdOracle)),
@@ -4212,6 +4230,39 @@ object EntryQueries {
        |    / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
        |FROM nz a JOIN nz b ON a.id <> b.id AND a.id LIKE 'ct%'
        |WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.85""".stripMargin
+
+  /** x127 oracle: the full NB train+score replay — per-class token counts
+    * over src0/src1, Laplace-smoothed log-likelihood-ratio weights
+    * (ln((c+α)/(N+α·|V|)) with α = 1, identical op order to the engine's
+    * driver-double denominators: the counts are < 2^53 so both engines
+    * see the same IEEE values), doc-count prior, per-doc Σ tf·w + bias.
+    * Out-of-vocabulary tokens are ignored on both sides (the model's
+    * documented vocabulary-closed convention); token-less docs score the
+    * bare prior via the left join.
+    */
+  private lazy val nbClassifierOracle: String =
+    s"""WITH cp AS (SELECT tok, count(*) AS c FROM
+       |   (SELECT unnest($Toks) AS tok FROM documents WHERE source = 'src0') GROUP BY 1),
+       | cn AS (SELECT tok, count(*) AS c FROM
+       |   (SELECT unnest($Toks) AS tok FROM documents WHERE source = 'src1') GROUP BY 1),
+       | j AS (SELECT COALESCE(cp.tok, cn.tok) AS tok,
+       |    COALESCE(cp.c, 0) AS cp, COALESCE(cn.c, 0) AS cn
+       |  FROM cp FULL JOIN cn ON cp.tok = cn.tok),
+       | s AS (SELECT count(*) AS v,
+       |    CAST(COALESCE(sum(cp), 0) AS BIGINT) AS np,
+       |    CAST(COALESCE(sum(cn), 0) AS BIGINT) AS nn FROM j),
+       | pr AS (SELECT ln(
+       |    CAST((SELECT count(*) FROM documents WHERE source = 'src0') AS DOUBLE)
+       |    / (SELECT count(*) FROM documents WHERE source = 'src1')) AS bias),
+       | w AS (SELECT tok,
+       |    ln((cp + 1.0) / (np + 1.0 * v)) - ln((cn + 1.0) / (nn + 1.0 * v)) AS w
+       |  FROM j CROSS JOIN s),
+       | tf AS (SELECT id, tok, count(*) AS tf FROM
+       |   (SELECT $DocId AS id, unnest($Toks) AS tok FROM documents) GROUP BY 1, 2),
+       | sc AS (SELECT tf.id, sum(tf.tf * w.w) AS sc FROM tf JOIN w USING (tok) GROUP BY 1)
+       |SELECT d.id, round(COALESCE(sc.sc, 0) + pr.bias, 6) AS logodds
+       |FROM (SELECT $DocId AS id FROM documents) d
+       |LEFT JOIN sc ON sc.id = d.id CROSS JOIN pr""".stripMargin
 
   /** x125c oracle: the containment prefix profile replayed in DuckDB —
     * shingle df over the whole corpus, per-doc rarest-first prefix of

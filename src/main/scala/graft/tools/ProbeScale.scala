@@ -647,6 +647,17 @@ object ProbeScale {
         Collection.vectorSearchAll(spark, root, Seq(("q0", qv)), 10).count()))
       time("fed_hybrid_all_sec")(println(s"PROBE   fed hybrid rows = " +
         Collection.hybridAll(spark, root, "customer stream", qv, 10).count()))
+
+      // (d) X127 classifier: train on two disjoint 100k slices, score the
+      // whole 2M ingest frame — train is the postings-build shape, score
+      // is tf rows joining the skinny weights (content never shuffles)
+      val posT = docs.filter(pmod(xxhash64($"id", lit(7)), lit(20)) === 0)
+      val negT = docs.filter(pmod(xxhash64($"id", lit(7)), lit(20)) === 1)
+      val nbm = time("nb_train_2x100k_sec")(
+        graft.ext.Classify.trainQualityNb(posT, negT))
+      time("nb_score_2m_sec")(
+        graft.ext.Classify.scoreQualityNb(docs, nbm)
+          .write.format("noop").mode("overwrite").save())
       writeOut(); return
     }
     // `newops` = ingest + the round-6 training-pipeline operators only:

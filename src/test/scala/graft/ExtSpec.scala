@@ -2761,6 +2761,55 @@ class ExtSpec extends AnyFunSuite {
     assert(Ann.recallAtK(Ann.exactTopK(c2.docs(), qs, 5), c2.vectorTopK(qs, 5)) >= 0.8)
   }
 
+  test("Classify.trainQualityNb/scoreQualityNb: hand-computed NB parity, separability, edges") {
+    import graft.ext.Classify
+    val pos = Seq(("p1", "good clean prose here"), ("p2", "clean good text"))
+      .toDF("id", "content")
+    val neg = Seq(("n1", "spam spam buy now"), ("n2", "buy spam click"),
+      ("n3", "click click now")).toDF("id", "content")
+    val m = Classify.trainQualityNb(pos, neg)
+    // hand replay: vocab = union of training tokens, α = 1
+    val cpM = Map("good" -> 2L, "clean" -> 2L, "prose" -> 1L, "here" -> 1L, "text" -> 1L)
+    val cnM = Map("spam" -> 3L, "buy" -> 2L, "now" -> 2L, "click" -> 3L)
+    val vocab = cpM.keySet ++ cnM.keySet
+    val (v, np, nn) = (vocab.size.toLong, cpM.values.sum, cnM.values.sum)
+    def wOf(t: String): Double =
+      math.log((cpM.getOrElse(t, 0L) + 1.0) / (np + 1.0 * v)) -
+        math.log((cnM.getOrElse(t, 0L) + 1.0) / (nn + 1.0 * v))
+    val gotW = m.weights.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotW.keySet === vocab)
+    vocab.foreach(t => assert(math.abs(gotW(t) - wOf(t)) < 1e-12, t))
+    assert(math.abs(m.bias - math.log(2.0 / 3)) < 1e-12)
+    assert(m.vocabSize === v)
+    // scoring: hand sums; unknown tokens (zzz) ignored; token-less doc
+    // scores the bare prior; every input doc gets a row
+    val docs = Seq(
+      ("a", "good clean zzz"),           // pos-ish + one OOV
+      ("b", "spam spam click"),          // neg-ish, tf 2 on spam
+      ("c", ""),                         // no tokens -> bias only
+      ("d", null.asInstanceOf[String])). // NULL content -> bias only
+      toDF("id", "content")
+    val got = Classify.scoreQualityNb(docs, m).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set("a", "b", "c", "d"))
+    assert(math.abs(got("a") - (m.bias + wOf("good") + wOf("clean"))) < 1e-12)
+    assert(math.abs(got("b") - (m.bias + 2 * wOf("spam") + wOf("click"))) < 1e-12)
+    assert(math.abs(got("c") - m.bias) < 1e-12)
+    assert(math.abs(got("d") - m.bias) < 1e-12)
+    // separability: the learned model ranks pos-like above neg-like
+    assert(got("a") > got("b"))
+    // curation form: schema passthrough, threshold keeps the pos-like doc
+    val kept = Classify.filterByNb(docs, m, minLogOdds = got("b") + 1e-9)
+    assert(kept.columns.toSeq === Seq("id", "content"))
+    val keptIds = kept.select("id").as[String].collect().toSet
+    assert(keptIds.contains("a") && !keptIds.contains("b"))
+    // validation
+    intercept[IllegalArgumentException](
+      Classify.trainQualityNb(pos, neg, smoothing = 0.0))
+    intercept[IllegalArgumentException](
+      Classify.trainQualityNb(pos.limit(0), neg))
+  }
+
   test("budgetSample: greedy fill in draw order, one overshoot doc, growth-stable") {
     import graft.ext.Pipeline
     val d = Seq(
