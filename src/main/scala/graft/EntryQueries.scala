@@ -2,7 +2,7 @@ package graft
 
 import graft.api.{Collection, Embedder}
 import graft.exec.Sorter
-import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Expectations, Graphs, Ivf, Joins, Json, Layout, Multimodal, Pipeline, Pq, Quantize, TextStats, Web}
+import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Expectations, Graphs, Html, Ivf, Joins, Json, Layout, Multimodal, Pipeline, Pq, Quantize, TextStats, Web}
 import graft.functions.TextFunctions
 import graft.model.SortKey
 import graft.parse.QueryParser
@@ -1760,6 +1760,84 @@ object EntryQueries {
         .join(kept, Seq("id"), "left")
         .select(col("id"), col("canonical"), coalesce(col("kept"), lit(false)).as("kept"))
     }, Some(urlDedupOracle)),
+
+    // X128: HTML → text extraction — each doc wrapped in a deterministic
+    // HTML template that gives every stage of the chain work (a comment
+    // hiding tags, a style and a script container, block and inline tags,
+    // named/decimal/hex entities, an nbsp, and malformed refs that must
+    // stay verbatim). The oracle replays the wrap + the same RE2 strip
+    // chain + an ordered literal replace chain (amp-producing LAST ≡ the
+    // engine's single-pass decode, because the planted refs never overlap
+    // and the corpus text carries no '&'/'<' of its own).
+    ("x128_html_extract", (s: SparkSession, sfDir: String) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("id"),
+        lit("</title><style type=\"text/css\">p { color: red; }</style></head>" +
+          "<body><!-- hidden <p>not text</p> --><h1 class=\"t\">Title &amp; " +
+          "&lt;tag&gt; caf&#233;</h1><p>"),
+        col("content"),
+        lit("</p><script>var x = \"<div>no</div>\";</script>" +
+          "<div>tail&nbsp;A&#x41; &unknown; 1 &lt 2</div></body></html>"))
+      docsFrame(s, sfDir).select(col("id"), Html.htmlToText(html).as("txt"))
+        .select(col("id"), length(col("txt")).cast("long").as("n_chars"),
+          md5(col("txt")).as("h"))
+    }, Some(htmlExtractOracle)),
+
+    // X129: blocklist curation — the C4/UT1-style hard filter over the
+    // synthesized URL corpus: two blocked registrable domains (one on the
+    // multi-part .co.uk arm, so the suffix rule is in the loop) and a
+    // word-bounded phrase alternation. The entry emits the CLASSIFICATION
+    // of every doc (reason or NULL), so the oracle checks the negative
+    // space too; the oracle replays the x99 domain derivation and the
+    // IDENTICAL \Q-quoted alternation pattern (RE2 and java.util.regex
+    // both honor \Q…\E and \b).
+    ("x129_blocklist", (s: SparkSession, sfDir: String) =>
+      Web.blocklistTag(urlDocs(s, sfDir),
+          blockedDomains = Seq("src121.com", "src1010.co.uk"),
+          blockedPhrases = Seq("table hash", "vector small", "dup"))
+        .select(col("id"), col("block_reason")),
+      Some(blocklistOracle)),
+
+    // X130: the COMPOSED web-curation pipeline — the provenance-side
+    // complement of x126's content-side chain: x124 URL canonicalization +
+    // dedup (on the planted dup/tracking-param fixture) → x129 blocklist
+    // (tracker.net + a phrase) → x128 HTML wrap + extraction → x8 langid
+    // gate (keep 'en') → x99b per-domain cap (5, NULL-domain bucket capped
+    // like any other). Final (id, domain, md5(content)) only matches if
+    // every stage's corpus matched — pinning URL/column/NULL hand-off
+    // ACROSS the web operators. The oracle derives each stage
+    // independently where it can (domains from the arm arithmetic, the
+    // extraction's expected text constructed directly instead of replaying
+    // the regex chain) — a stronger check than re-running the engine's own
+    // recipe.
+    ("x130_web_pipeline", (s: SparkSession, sfDir: String) => {
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"),
+          col("doc_id").cast("long").as("n"), col("text"))
+      val url =
+        when(col("n") % 5 === 0, concat(lit("HTTP://WWW.Example.COM:80/Path/"),
+            floor(col("n") / 5).cast("string"), lit("/?utm_source=x&b=2&a=1#frag")))
+          .when(col("n") % 5 === 1, concat(lit("http://www.example.com/Path/"),
+            floor(col("n") / 5).cast("string"), lit("?b=2&a=1")))
+          .when(col("n") % 5 === 2, concat(lit("https://Site"),
+            (col("n") % 11).cast("string"), lit(".ORG:443/p/"), col("id"), lit("#x")))
+          .when(col("n") % 5 === 3, concat(lit("http://tracker.net/p/"), col("id"),
+            lit("?gclid=abc&utm_campaign=z")))
+          .otherwise(concat(lit("no-scheme-url-"), col("id")))
+      val docs = d.select(col("id"), col("text").as("content"), url.as("url"))
+      val deduped = Web.dedupByUrl(docs)
+      val clean = Web.filterByBlocklist(deduped,
+        blockedDomains = Seq("tracker.net"), blockedPhrases = Seq("table hash"))
+      val extracted = clean.withColumn("content",
+        Html.htmlToText(concat(lit("<body><h1>Page &amp; no."), col("id"),
+          lit("</h1><p>"), col("content"),
+          lit("</p><script>var x = 1;</script></body>"))))
+      val en = TextStats.langId(extracted)
+        .filter(col("pred_lang") === "en").drop("pred_lang")
+      Web.capPerDomain(en, maxPerDomain = 5)
+        .select(col("id"), Web.registrableDomain(col("url")).as("domain"),
+          md5(col("content")).as("h"))
+    }, Some(webPipelineOracle)),
 
     // X125: asymmetric containment dedup — planted "snippet" docs (the
     // first 20 tokens of every 7th document) must be found CONTAINED in
@@ -4205,6 +4283,102 @@ object EntryQueries {
       |SELECT id, canonical,
       |  (row_number() OVER (PARTITION BY canonical ORDER BY md5(id) ASC, id ASC)) = 1 AS kept
       |FROM c""".stripMargin
+
+  /** x130 oracle: the composed web pipeline, each stage a MATERIALIZED CTE
+    * (the x126 lesson — inlined CTEs re-evaluate the chain multiplicatively)
+    * and derived INDEPENDENTLY of the engine's recipe where possible: the
+    * canonical URL from the x124 arm arithmetic, the registrable domain
+    * from the arm (not a parse_url replay), the HTML extraction's expected
+    * text constructed directly ('Page & no.<id>' + newline + text — what
+    * the wrap must extract to), the langid argmax from the shared
+    * fragments, the cap from the md5 rank.
+    */
+  private lazy val webPipelineOracle: String = {
+    val (scores, pred) = langIdFragments("w")
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT $DocId AS id, CAST(doc_id AS BIGINT) AS n, text, CASE
+       |     WHEN doc_id % 5 IN (0, 1)
+       |       THEN 'http://www.example.com/Path/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+       |     WHEN doc_id % 5 = 2
+       |       THEN 'https://site' || CAST(doc_id % 11 AS VARCHAR) || '.org/p/' || $DocId
+       |     WHEN doc_id % 5 = 3 THEN 'http://tracker.net/p/' || $DocId
+       |     ELSE 'no-scheme-url-' || $DocId END AS canonical
+       |  FROM documents),
+       | kept AS MATERIALIZED (
+       |  SELECT id, n, text FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY canonical ORDER BY md5(id), id) AS rn
+       |    FROM c) WHERE rn = 1),
+       | dom AS MATERIALIZED (
+       |  SELECT id, text, CASE
+       |     WHEN n % 5 IN (0, 1) THEN 'example.com'
+       |     WHEN n % 5 = 2 THEN 'site' || CAST(n % 11 AS VARCHAR) || '.org'
+       |     WHEN n % 5 = 3 THEN 'tracker.net' END AS domain
+       |  FROM kept),
+       | clean AS MATERIALIZED (
+       |  SELECT * FROM dom
+       |  WHERE (domain IS NULL OR domain <> 'tracker.net')
+       |    AND NOT regexp_matches(lower(text), '\\b(?:\\Qtable hash\\E)\\b')),
+       | ext AS MATERIALIZED (
+       |  SELECT id, domain, 'Page & no.' || id || chr(10) || text AS content FROM clean),
+       | toks AS (SELECT id, domain, content, ${toksOf("content")} AS w FROM ext),
+       | sc AS (SELECT id, domain, content, $scores FROM toks),
+       | en AS MATERIALIZED (SELECT id, domain, content FROM sc WHERE $pred = 'en'),
+       | cap AS (SELECT id, domain, content,
+       |    row_number() OVER (PARTITION BY domain ORDER BY md5(id), id) AS rn FROM en)
+       |SELECT id, domain, md5(content) AS h FROM cap WHERE rn <= 5""".stripMargin
+  }
+
+  /** x129 oracle: the blocklist classification replayed — the x99
+    * registrable-domain derivation, the literal domain IN-list, and the
+    * exact [[Web.phrasePattern]] alternation via regexp_matches.
+    */
+  private lazy val blocklistOracle: String =
+    s"""WITH dom AS (SELECT $DocId AS id, text, CASE
+       |    WHEN array_to_string((string_split(${UrlHost}, '.'))[-2:], '.') = 'co.uk'
+       |    THEN array_to_string((string_split(${UrlHost}, '.'))[-3:], '.')
+       |    ELSE array_to_string((string_split(${UrlHost}, '.'))[-2:], '.') END AS domain
+       |  FROM documents)
+       |SELECT id, CASE WHEN domain IN ('src121.com', 'src1010.co.uk') THEN 'domain'
+       |  WHEN regexp_matches(lower(text), '\\b(?:\\Qtable hash\\E|\\Qvector small\\E|\\Qdup\\E)\\b')
+       |  THEN 'phrase' END AS block_reason
+       |FROM dom""".stripMargin
+
+  /** x128 oracle: the HTML wrap + the full extraction chain replayed in
+    * DuckDB — identical RE2 patterns for the strip/whitespace stages (every
+    * pattern is RE2-compatible by construction: per-tag containers instead
+    * of a backreference), and the entity stage as an ORDERED literal
+    * replace chain with the amp-producing replace last, which is
+    * equivalent to the engine's single-pass decoder on this corpus (the
+    * planted references are non-overlapping and the raw text is pure
+    * lowercase letters + spaces).
+    */
+  private lazy val htmlExtractOracle: String =
+    s"""WITH h AS (SELECT $DocId AS id,
+       |    '<html><head><title>Doc ' || $DocId ||
+       |    '</title><style type="text/css">p { color: red; }</style></head>' ||
+       |    '<body><!-- hidden <p>not text</p> --><h1 class="t">Title &amp; ' ||
+       |    '&lt;tag&gt; caf&#233;</h1><p>' || text ||
+       |    '</p><script>var x = "<div>no</div>";</script>' ||
+       |    '<div>tail&nbsp;A&#x41; &unknown; 1 &lt 2</div></body></html>' AS html
+       |  FROM documents),
+       | s1 AS (SELECT id, regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
+       | s2 AS (SELECT id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+       |     '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+       |     '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+       |     '(?is)<noscript\\b[^>]*>.*?</noscript\\s*>', ' ', 'g'),
+       |     '(?is)<template\\b[^>]*>.*?</template\\s*>', ' ', 'g') AS t FROM s1),
+       | s3 AS (SELECT id, regexp_replace(t,
+       |     '(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/blockquote|/ul|/ol|/table|/pre|/dd|/dt|/section|/article|/header|/footer)\\b[^>]*>',
+       |     chr(10), 'g') AS t FROM s2),
+       | s4 AS (SELECT id, regexp_replace(t, '</?[a-zA-Z!][^>]*>', ' ', 'g') AS t FROM s3),
+       | s5 AS (SELECT id, replace(replace(replace(replace(replace(replace(t,
+       |     '&lt;', '<'), '&gt;', '>'), '&nbsp;', chr(160)), '&#233;', chr(233)),
+       |     '&#x41;', 'A'), '&amp;', '&') AS t FROM s4),
+       | s6 AS (SELECT id, regexp_replace(t, '[ \\t\\r\\x0B\\f\\xA0]+', ' ', 'g') AS t FROM s5),
+       | s7 AS (SELECT id, regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM s6),
+       | s8 AS (SELECT id, regexp_replace(t, '\\n+', chr(10), 'g') AS t FROM s7),
+       | fin AS (SELECT id, trim(t, ' ' || chr(10)) AS txt FROM s8)
+       |SELECT id, CAST(length(txt) AS BIGINT) AS n_chars, md5(txt) AS h FROM fin""".stripMargin
 
   /** x125 oracle: all-pairs containment ground truth over distinct 3-gram
     * shingles — the same shingle construction as the x4 Jaccard oracle

@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HtmlEntities
+
+/** X128: HTML → text extraction — the first transform of every web-corpus
+  * pipeline (raw crawl HTML → the text all downstream curation operates
+  * on). A deterministic, regex-extractor design (the jusText/WET-file
+  * family, not a DOM parser): no parser library, no per-row tree
+  * allocation, and every step is a codegen'd builtin, so a 100 TB
+  * extraction pass is one zero-shuffle projection over the crawl scan.
+  *
+  * The chain (order is load-bearing and mirrored by the x128 oracle):
+  *   1. comments `<!-- … -->` → space (first: a comment may contain tags);
+  *   2. container elements whose BODY is not text — `<script> <style>
+  *      <noscript> <template>` — dropped whole (per-tag patterns, not a
+  *      backreference: RE2-class engines can replay the oracle);
+  *   3. block-structure boundaries (`<br>` and closing `</p> </div> </li>
+  *      </tr> </h1-6> …`) → newline, so paragraph structure survives for
+  *      the line-level operators (X24 boilerplate, X25 line dedup);
+  *   4. every remaining tag → SPACE (never "": gluing `</td><td>` cells
+  *      into one token corrupts more than splitting a mid-word `<b>`
+  *      does; the collapse below cleans the spaces up);
+  *   5. entity decode — AFTER tag strip, the HTML semantics (`&lt;script&gt;`
+  *      is text, not a tag) — via [[graft.functions.HtmlEntities]], a
+  *      single-pass decoder (never re-decodes its own output);
+  *   6. whitespace discipline: horizontal runs (incl. the decoded U+00A0)
+  *      → one space, spaces trimmed around newlines, newline runs → one
+  *      newline, result trimmed.
+  *
+  * Known regex-extractor limits, accepted and documented: an attribute
+  * value containing a literal `>` ends its tag early; an unterminated
+  * `<script>` degrades to tag-stripping its body (truncated-crawl rows
+  * degrade instead of erroring); CDATA is not special-cased (XHTML-only).
+  * A stray `<` that does not open a letter/`/`/`!` run (e.g. "a < b")
+  * survives as text.
+  */
+object Html {
+
+  /** Elements whose content is not text — dropped with their bodies. */
+  private val Containers = Seq("script", "style", "noscript", "template")
+
+  /** Tags that end a text block: their boundary becomes a newline. */
+  private val BlockBreak =
+    "(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/blockquote|/ul|/ol|/table|/pre" +
+      "|/dd|/dt|/section|/article|/header|/footer)\\b[^>]*>"
+
+  /** html → extracted text. Null in → null out (every step is
+    * null-propagating). Pure per-row column math — fully codegen'd, zero
+    * shuffle, linear in the HTML bytes.
+    */
+  def htmlToText(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noContainer = Containers.foldLeft(noComment) { (c, t) =>
+      regexp_replace(c, s"(?is)<$t\\b[^>]*>.*?</$t\\s*>", " ")
+    }
+    val withBreaks = regexp_replace(noContainer, BlockBreak, "\n")
+    val noTags = regexp_replace(withBreaks, "</?[a-zA-Z!][^>]*>", " ")
+    val decoded = HtmlEntities.decodeHtmlEntities(noTags)
+    val oneSpace = regexp_replace(decoded, "[ \\t\\r\\u000B\\f\\u00A0]+", " ")
+    val tightNl = regexp_replace(oneSpace, " ?\\n ?", "\n")
+    val oneNl = regexp_replace(tightNl, "\\n+", "\n")
+    trim(oneNl, " \n")
+  }
+
+  /** Frame form: adds `outCol` = extracted text of `htmlCol`. */
+  def extractText(docs: DataFrame, htmlCol: String = "html",
+                  outCol: String = "content"): DataFrame =
+    docs.withColumn(outCol, htmlToText(col(htmlCol)))
+}

@@ -302,4 +302,90 @@ object Web {
       .filter(col(rn) <= maxPerDomain)
       .drop(dom, rn)
   }
+
+  /** One alternation regex for a phrase blocklist: each phrase lowercased,
+    * regex-quoted (`\Q…\E` — supported by Java AND RE2, so the x129 oracle
+    * replays the IDENTICAL pattern string), the whole alternation
+    * word-bounded (`\b`): "ad" never blocks "adapter", multi-word phrases
+    * match their exact spacing.
+    */
+  private[graft] def phrasePattern(phrases: Seq[String]): String =
+    "\\b(?:" +
+      phrases.map(p => java.util.regex.Pattern.quote(p.toLowerCase)).mkString("|") +
+      ")\\b"
+
+  /** X129: blocklist curation — the C4/UT1-style hard filter: classify a
+    * doc `'domain'` when its registrable domain is on the domain blocklist,
+    * else `'phrase'` when its content matches the phrase blocklist, else
+    * NULL (clean). [[filterByBlocklist]] keeps the NULLs; this form keeps
+    * every row so the drop is auditable (the x82 facet / x99 report
+    * machinery can aggregate the reasons).
+    *
+    * Semantics: domains match the [[registrableDomain]] of the URL
+    * case-insensitively — pass `rules` for real-PSL bucketing; phrases
+    * match case-insensitively on word boundaries via ONE compiled
+    * alternation regex ([[phrasePattern]]). NULL pass-through: a NULL or
+    * unparseable URL cannot domain-block (its domain is NULL — `isin` and
+    * the join both miss), and NULL content cannot phrase-block — a missing
+    * field never silently drops a doc.
+    *
+    * Scale: both tests are per-row predicates inside the scan projection —
+    * zero shuffle, zero extra scans. The literal domain list compiles to a
+    * codegen'd InSet (O(1)/row; practical to ~100k literals, beyond which
+    * the plan itself bloats); the phrases to one alternation regex
+    * (near-linear in both engines; ~10k phrases practical). For UT1-scale
+    * domain lists (millions of rows) pass `blockedDomainsDf` (any
+    * single-column frame of domains) instead: a broadcast LEFT join marks
+    * hits without materializing a giant literal plan — still no shuffle of
+    * the corpus side.
+    */
+  def blocklistTag(docs: DataFrame, urlCol: String = "url",
+                   contentCol: String = "content",
+                   blockedDomains: Seq[String] = Nil,
+                   blockedPhrases: Seq[String] = Nil,
+                   rules: Option[SuffixRules] = None,
+                   blockedDomainsDf: Option[DataFrame] = None,
+                   reasonCol: String = "block_reason"): DataFrame = {
+    val dom = rules match {
+      case Some(r) => registrableDomain(col(urlCol), r)
+      case None    => registrableDomain(col(urlCol))
+    }
+    val domHitLit: Column =
+      if (blockedDomains.isEmpty) lit(false)
+      else dom.isin(blockedDomains.map(_.toLowerCase): _*)
+    val phraseHit: Column =
+      if (blockedPhrases.isEmpty) lit(false)
+      else lower(col(contentCol)).rlike(phrasePattern(blockedPhrases))
+    def tag(domainHit: Column, frame: DataFrame): DataFrame =
+      frame.withColumn(reasonCol,
+        when(domainHit, lit("domain"))
+          .when(phraseHit, lit("phrase"))
+          .otherwise(lit(null).cast("string")))
+    blockedDomainsDf match {
+      case None => tag(domHitLit, docs)
+      case Some(bdf) =>
+        val dcol = WorkingColumns.fresh(docs, "__blocked_dom")
+        val blocked = broadcast(
+          bdf.select(lower(col(bdf.columns.head)).as(dcol)).distinct())
+        val domName = WorkingColumns.fresh(docs, "__dom")
+        tag(col(dcol).isNotNull || domHitLit,
+          docs.withColumn(domName, dom)
+            .join(blocked, col(domName) === col(dcol), "left"))
+          .drop(domName, dcol)
+    }
+  }
+
+  /** [[blocklistTag]]'s curation form: the surviving corpus, schema
+    * passthrough. */
+  def filterByBlocklist(docs: DataFrame, urlCol: String = "url",
+                        contentCol: String = "content",
+                        blockedDomains: Seq[String] = Nil,
+                        blockedPhrases: Seq[String] = Nil,
+                        rules: Option[SuffixRules] = None,
+                        blockedDomainsDf: Option[DataFrame] = None): DataFrame = {
+    val reason = WorkingColumns.fresh(docs, "__block_reason")
+    blocklistTag(docs, urlCol, contentCol, blockedDomains, blockedPhrases,
+      rules, blockedDomainsDf, reason)
+      .filter(col(reason).isNull).drop(reason)
+  }
 }

@@ -3682,4 +3682,114 @@ class ExtSpec extends AnyFunSuite {
     // a self-join or second scan would show a second leaf
     assert(plan.collectLeaves().size === 1, plan.toString)
   }
+
+  // --- X128: HTML → text extraction -------------------------------------
+
+  test("HtmlEntities.decode: named, numeric, and malformed references") {
+    import graft.functions.HtmlEntities.decode
+    assert(decode("&amp; &lt; &gt; &quot; &apos; x") === "& < > \" ' x")
+    assert(decode("&nbsp;") === " ")
+    assert(decode("&#65;&#x41;&#X41;&#065;") === "AAAA") // dec, hex, HEX, leading zero
+    assert(decode("&#x1F600;") === new String(Character.toChars(0x1F600))) // astral
+    assert(decode("&#x10FFFF;") === new String(Character.toChars(0x10FFFF)))
+    // single-pass: decoded output is NEVER re-scanned
+    assert(decode("&amp;lt;") === "&lt;")
+    assert(decode("&#38;lt;") === "&lt;")
+    assert(decode("&#38;#60;") === "&#60;")
+    // malformed / out of range / unknown stay verbatim
+    for (s <- Seq("&unknown;", "&#;", "&#x;", "&#xZZ;", "&#1114112;", "&#xD800;",
+                  "&#0;", "&gt", "& alone", "&", "a&", "&&amp;", "&#x010FFFF;"))
+      assert(decode(s) === (if (s == "&&amp;") "&&" else s), s)
+    assert(decode(null: String) === null)
+    val plain = "no ampersand here"
+    assert(decode(plain) eq plain) // fast path returns the input object
+  }
+
+  test("HtmlEntities: encode→decode round-trips arbitrary text (fuzz)") {
+    import graft.functions.HtmlEntities.decode
+    val rnd = new scala.util.Random(128)
+    val alphabet = "ab &<>\"'#;x1é😀"
+    for (_ <- 1 to 300) {
+      val s = Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val enc = s.flatMap {
+        case '&' => "&amp;"
+        case '<' => "&lt;"
+        case '>' => "&gt;"
+        case '"' => "&quot;"
+        case c   => c.toString
+      }
+      assert(decode(enc) === s, s"enc=$enc")
+    }
+  }
+
+  test("htmlToText: comments, containers, blocks, entities, whitespace") {
+    import graft.ext.Html
+    val html = "<html><head><title>Doc 42</title><style type=\"text/css\">p { color: red; }" +
+      "</style></head><body><!-- hidden <p>not text</p> --><h1 class=\"t\">Title &amp; " +
+      "&lt;tag&gt; caf&#233;</h1><p>the quick fox</p><script>var x = \"<div>no</div>\";" +
+      "</script><div>tail&nbsp;A&#x41; &unknown; 1 &lt 2</div></body></html>"
+    val out = Seq(html).toDF("html").select(Html.htmlToText(col("html"))).as[String].head
+    assert(out === "Doc 42 Title & <tag> café\nthe quick fox\ntail AA &unknown; 1 &lt 2")
+  }
+
+  test("htmlToText: edge shapes — bare <, unterminated script, null, case") {
+    import graft.ext.Html
+    def run(h: String): String =
+      Seq(h).toDF("html").select(Html.htmlToText(col("html"))).as[String].head
+    assert(run("a < b, x > y") === "a < b, x > y") // math survives (no letter after <)
+    assert(run("<SCRIPT>var x;</Script>after") === "after") // case-insensitive containers
+    assert(run("<script>var x = 1") === "var x = 1") // unterminated: degrades to tag strip
+    assert(run("<p>a</p><p></p><p>b</p>") === "a\nb") // empty blocks collapse
+    assert(run("cells</td><td>split") === "cells split") // inline strip = space, not glue
+    val n = Seq((1, null: String)).toDF("i", "html")
+      .select(Html.htmlToText(col("html"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  // --- X129: blocklist curation ------------------------------------------
+
+  private def blockDocs = Seq(
+    ("b1", "https://ads.tracker.net/p/1", "clean words here"),
+    ("b2", "https://www.example.com/a", "buy cheap pills now"),
+    ("b3", "https://www.example.com/b", "the pillsbury doughboy"), // word boundary: no hit
+    ("b4", "http://shop.example.co.uk/x", "clean"), // multi-part suffix domain
+    ("b5", null, "buy cheap pills now"), // NULL url: phrase can still block
+    ("b6", "https://ok.org/y", null), // NULL content: never phrase-blocked
+    ("b7", "https://ok.org/z", "entirely clean text")
+  ).toDF("id", "url", "content")
+
+  test("blocklistTag: domain beats phrase, word boundaries, NULL pass-through") {
+    val tagged = Web.blocklistTag(blockDocs,
+        blockedDomains = Seq("Tracker.NET", "example.co.uk"),
+        blockedPhrases = Seq("cheap PILLS"))
+      .select("id", "block_reason").as[(String, String)].collect().toMap
+    assert(tagged("b1") === "domain") // registrable domain of ads.tracker.net
+    assert(tagged("b2") === "phrase")
+    assert(tagged("b3") === null) // "pillsbury" does not match \bcheap pills\b
+    assert(tagged("b4") === "domain") // shop.example.co.uk → example.co.uk
+    assert(tagged("b5") === "phrase") // NULL url falls through to the phrase test
+    assert(tagged("b6") === null) // NULL content never phrase-blocks
+    assert(tagged("b7") === null)
+    val kept = Web.filterByBlocklist(blockDocs,
+        blockedDomains = Seq("tracker.net", "example.co.uk"),
+        blockedPhrases = Seq("cheap pills"))
+      .select("id").as[String].collect().toSet
+    assert(kept === Set("b3", "b6", "b7"))
+    assert(Web.filterByBlocklist(blockDocs).count() === 7) // empty lists: no-op
+  }
+
+  test("blocklistTag: domain-frame path matches the literal path (broadcast join)") {
+    val bdf = Seq("tracker.net", "EXAMPLE.co.uk").toDF("domain")
+    val viaDf = Web.blocklistTag(blockDocs, blockedDomainsDf = Some(bdf),
+        blockedPhrases = Seq("cheap pills"))
+      .select("id", "block_reason").as[(String, String)].collect().toMap
+    val viaLit = Web.blocklistTag(blockDocs,
+        blockedDomains = Seq("tracker.net", "example.co.uk"),
+        blockedPhrases = Seq("cheap pills"))
+      .select("id", "block_reason").as[(String, String)].collect().toMap
+    assert(viaDf === viaLit)
+    // row multiplicity preserved even when the block frame carries dups
+    val dupDf = Seq("tracker.net", "tracker.net").toDF("d")
+    assert(Web.blocklistTag(blockDocs, blockedDomainsDf = Some(dupDf)).count() === 7)
+  }
 }
