@@ -218,6 +218,73 @@ object ProbeScale {
       writeOut(); return
     }
 
+    // `r16b` = self-contained round-16 probes, NO collection ingest: the
+    // X128 HTML→text extraction chain and the X129 blocklist at 2M docs
+    // over a parquet-materialized synthesized crawl (so the timings are
+    // the operators, not the generator). Extraction = ~10 codegen'd regex
+    // passes + the single-pass entity decode per row; the blocklist runs
+    // BOTH arms — literal (1k-domain InSet + 100 word-bounded phrases as
+    // one alternation) and broadcast-frame (1M-row domain list) — which
+    // must agree on the hit counts.
+    if (mode.contains("r16b")) {
+      import graft.ext.{Html, Web}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-r16b-").toString
+      val words = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+        "value", "part", "hash", "merge", "batch", "customer", "join",
+        "stream", "vector")
+      // 16 distinct 8-word chunks; each doc = 8 hash-chosen chunks, so the
+      // body is ~64 tokens built from 8 codegen'd hashes (no interpreted
+      // per-element lambdas in the generator)
+      val chunkArr = array((0 until 16).map(k =>
+        lit(((0 until 8).map(j => words((k + j * 3) % 16)) :+ s"v$k").mkString(" "))): _*)
+      val body = concat_ws(" ", (1 to 8).map(k =>
+        element_at(chunkArr, (pmod(xxhash64($"id", lit(k)), lit(16)) + 1).cast("int"))): _*)
+      spark.range(2000000L).repartition(64)
+        .select($"id".cast("string").as("id"),
+          concat(lit("<html><head><title>Doc "), $"id",
+            lit("</title><style>p{color:red}</style></head><body>" +
+              "<!-- hidden <p>x</p> --><h1>T &amp; caf&#233;</h1><p>"),
+            body,
+            lit("</p><script>var x=\"<div>no</div>\";</script>" +
+              "<div>t&nbsp;A&#x41;</div></body></html>")).as("html"),
+          concat(lit("https://www.host"),
+            pmod(xxhash64($"id", lit(3)), lit(100000)).cast("string"),
+            lit(".com/p/"), $"id").as("url"))
+        .write.mode("overwrite").parquet(s"$tmp/crawl.parquet")
+      val crawl = spark.read.parquet(s"$tmp/crawl.parquet")
+      time("html_extract_2m_sec")(
+        Html.extractText(crawl, "html", "content").select($"id", $"content")
+          .write.format("noop").mode("overwrite").save())
+      val extracted = Html.extractText(crawl, "html", "content")
+        .select($"id", $"url", $"content")
+      val domains = (0 until 1000).map(i => s"host${i * 97 % 100000}.com")
+      val phrases = (0 until 100).map(i => s"${words(i % 16)} ${words((i * 3 + 1) % 16)}")
+      val litHits = time("blocklist_2m_lit_sec")(
+        Web.blocklistTag(extracted, blockedDomains = domains,
+            blockedPhrases = phrases)
+          .groupBy($"block_reason").count()
+          .as[(String, Long)].collect().toMap)
+      println(s"PROBE   blocklist lit hits = $litHits")
+      metrics += ("bl_domain_hits" -> litHits.getOrElse("domain", 0L),
+        "bl_phrase_hits" -> litHits.getOrElse("phrase", 0L))
+      // same 1000 domains as the literal arm, but delivered as a 1M-row
+      // dup-heavy frame (the UT1-list shape) — the broadcast-join arm must
+      // reproduce the literal arm's counts exactly
+      val domFrame = spark.range(1000000L)
+        .select(concat(lit("host"),
+          (pmod($"id", lit(1000)) * 97 % 100000).cast("string"),
+          lit(".com")).as("domain"))
+      val dfHits = time("blocklist_2m_domframe_sec")(
+        Web.blocklistTag(extracted, blockedDomainsDf = Some(domFrame),
+            blockedPhrases = phrases)
+          .groupBy($"block_reason").count()
+          .as[(String, Long)].collect().toMap)
+      println(s"PROBE   blocklist frame hits = $dfHits")
+      require(dfHits == litHits, s"frame arm $dfHits != literal arm $litHits")
+      metrics += ("bl_frame_domain_hits" -> dfHits.getOrElse("domain", 0L))
+      writeOut(); return
+    }
+
     val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id".cast("string").as("id"), $"text".as("content"),
         map(lit("lang"), $"lang").as("metadata"))
