@@ -1798,6 +1798,17 @@ object EntryQueries {
         .select(col("id"), col("block_reason")),
       Some(blocklistOracle)),
 
+    // X131: the blocklist's Aho-Corasick arm, FORCED (phraseAutomatonAt=1)
+    // over 40 two-word phrases — the oracle replays the classification
+    // with the regex-arm pattern (Web.phrasePattern over the same list),
+    // so the entry pins the automaton ≡ alternation equivalence the spec
+    // fuzz asserts, against an independent engine.
+    ("x129b_blocklist_automaton", (s: SparkSession, sfDir: String) =>
+      Web.blocklistTag(urlDocs(s, sfDir),
+          blockedPhrases = AutomatonPhrases, phraseAutomatonAt = 1)
+        .select(col("id"), col("block_reason")),
+      Some(automatonBlocklistOracle)),
+
     // X130: the COMPOSED web-curation pipeline — the provenance-side
     // complement of x126's content-side chain: x124 URL canonicalization +
     // dedup (on the planted dup/tracking-param fixture) → x129 blocklist
@@ -4327,6 +4338,24 @@ object EntryQueries {
        |    row_number() OVER (PARTITION BY domain ORDER BY md5(id), id) AS rn FROM en)
        |SELECT id, domain, md5(content) AS h FROM cap WHERE rn <= 5""".stripMargin
   }
+
+  /** x129b: 40 deterministic two-word phrases over the corpus vocabulary —
+    * large enough to exercise automaton states/fail links, small enough
+    * that the oracle's alternation replay stays cheap. */
+  private lazy val AutomatonPhrases: Seq[String] = {
+    val ws = Seq("key", "agg", "row", "scan", "slow", "fast", "table", "value",
+      "part", "hash", "merge", "batch", "customer", "join", "stream", "vector")
+    (0 until 40).map(i => s"${ws(i % 16)} ${ws((i * 5 + 3) % 16)}")
+  }
+
+  /** x129b oracle: the SAME \Q-quoted alternation the regex arm would
+    * compile (Web.phrasePattern over the same phrase list), run by DuckDB's
+    * RE2 — an independent engine agreeing with the automaton. */
+  private lazy val automatonBlocklistOracle: String =
+    s"""SELECT $DocId AS id,
+       |  CASE WHEN regexp_matches(lower(text),
+       |    '${Web.phrasePattern(AutomatonPhrases)}') THEN 'phrase' END AS block_reason
+       |FROM documents""".stripMargin
 
   /** x129 oracle: the blocklist classification replayed — the x99
     * registrable-domain derivation, the literal domain IN-list, and the

@@ -47,22 +47,38 @@ object Html {
     "(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/blockquote|/ul|/ol|/table|/pre" +
       "|/dd|/dt|/section|/article|/header|/footer)\\b[^>]*>"
 
+  /** Expression form of the chain — shared by the Column wrapper and the
+    * `graft_html_text` SQL builder (a SQL function builder must return a
+    * REAL catalyst tree; a functions-API Column wrapped back to an
+    * expression stays an Unevaluable column-node there).
+    */
+  def htmlToTextExpr(html: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+    def rr(e: org.apache.spark.sql.catalyst.expressions.Expression,
+           pat: String, rep: String) = RegExpReplace(e, Literal(pat), Literal(rep))
+    val noComment = rr(html, "(?s)<!--.*?-->", " ")
+    val noContainer = Containers.foldLeft(noComment) { (c, t) =>
+      rr(c, s"(?is)<$t\\b[^>]*>.*?</$t\\s*>", " ")
+    }
+    val withBreaks = rr(noContainer, BlockBreak, "\n")
+    val noTags = rr(withBreaks, "</?[a-zA-Z!][^>]*>", " ")
+    val decoded = HtmlEntities.decodeExpr(noTags)
+    val oneSpace = rr(decoded, "[ \\t\\r\\u000B\\f\\u00A0]+", " ")
+    val tightNl = rr(oneSpace, " ?\\n ?", "\n")
+    val oneNl = rr(tightNl, "\\n+", "\n")
+    // trim of {space, \n} at both ends — spelled as a regex because the
+    // two-parameter trim() signature is deprecated in Spark 4
+    rr(oneNl, "^[ \\n]+|[ \\n]+$", "")
+  }
+
   /** html → extracted text. Null in → null out (every step is
     * null-propagating). Pure per-row column math — fully codegen'd, zero
     * shuffle, linear in the HTML bytes.
     */
   def htmlToText(html: Column): Column = {
-    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
-    val noContainer = Containers.foldLeft(noComment) { (c, t) =>
-      regexp_replace(c, s"(?is)<$t\\b[^>]*>.*?</$t\\s*>", " ")
-    }
-    val withBreaks = regexp_replace(noContainer, BlockBreak, "\n")
-    val noTags = regexp_replace(withBreaks, "</?[a-zA-Z!][^>]*>", " ")
-    val decoded = HtmlEntities.decodeHtmlEntities(noTags)
-    val oneSpace = regexp_replace(decoded, "[ \\t\\r\\u000B\\f\\u00A0]+", " ")
-    val tightNl = regexp_replace(oneSpace, " ?\\n ?", "\n")
-    val oneNl = regexp_replace(tightNl, "\\n+", "\n")
-    trim(oneNl, " \n")
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(htmlToTextExpr(Bridge.expression(html)))
   }
 
   /** Frame form: adds `outCol` = extracted text of `htmlCol`. */

@@ -332,12 +332,15 @@ object Web {
     * Scale: both tests are per-row predicates inside the scan projection —
     * zero shuffle, zero extra scans. The literal domain list compiles to a
     * codegen'd InSet (O(1)/row; practical to ~100k literals, beyond which
-    * the plan itself bloats); the phrases to one alternation regex
-    * (near-linear in both engines; ~10k phrases practical). For UT1-scale
-    * domain lists (millions of rows) pass `blockedDomainsDf` (any
-    * single-column frame of domains) instead: a broadcast LEFT join marks
-    * hits without materializing a giant literal plan — still no shuffle of
-    * the corpus side.
+    * the plan itself bloats); the phrases to one alternation regex below
+    * `phraseAutomatonAt` entries, and to a native Aho-Corasick expression
+    * ([[graft.functions.MultiPhraseContains]] — O(content chars) regardless
+    * of phrase count, the same `\b` semantics, spec-diff-fuzzed against
+    * the regex arm) at or above it, which carries million-phrase UT1-class
+    * lists. For UT1-scale domain lists (millions of rows) pass
+    * `blockedDomainsDf` (any single-column frame of domains) instead: a
+    * broadcast LEFT join marks hits without materializing a giant literal
+    * plan — still no shuffle of the corpus side.
     */
   def blocklistTag(docs: DataFrame, urlCol: String = "url",
                    contentCol: String = "content",
@@ -345,7 +348,11 @@ object Web {
                    blockedPhrases: Seq[String] = Nil,
                    rules: Option[SuffixRules] = None,
                    blockedDomainsDf: Option[DataFrame] = None,
-                   reasonCol: String = "block_reason"): DataFrame = {
+                   reasonCol: String = "block_reason",
+                   phraseAutomatonAt: Int = 256): DataFrame = {
+    require(blockedPhrases.forall(_.nonEmpty),
+      "empty phrases are not allowed: the \\b-bounded empty alternation " +
+        "branch would match at EVERY word edge and block the whole corpus")
     val dom = rules match {
       case Some(r) => registrableDomain(col(urlCol), r)
       case None    => registrableDomain(col(urlCol))
@@ -355,6 +362,8 @@ object Web {
       else dom.isin(blockedDomains.map(_.toLowerCase): _*)
     val phraseHit: Column =
       if (blockedPhrases.isEmpty) lit(false)
+      else if (blockedPhrases.size >= phraseAutomatonAt)
+        graft.functions.PhraseMatch.containsAnyPhrase(col(contentCol), blockedPhrases)
       else lower(col(contentCol)).rlike(phrasePattern(blockedPhrases))
     def tag(domainHit: Column, frame: DataFrame): DataFrame =
       frame.withColumn(reasonCol,
@@ -382,10 +391,11 @@ object Web {
                         blockedDomains: Seq[String] = Nil,
                         blockedPhrases: Seq[String] = Nil,
                         rules: Option[SuffixRules] = None,
-                        blockedDomainsDf: Option[DataFrame] = None): DataFrame = {
+                        blockedDomainsDf: Option[DataFrame] = None,
+                        phraseAutomatonAt: Int = 256): DataFrame = {
     val reason = WorkingColumns.fresh(docs, "__block_reason")
     blocklistTag(docs, urlCol, contentCol, blockedDomains, blockedPhrases,
-      rules, blockedDomainsDf, reason)
+      rules, blockedDomainsDf, reason, phraseAutomatonAt)
       .filter(col(reason).isNull).drop(reason)
   }
 }

@@ -110,10 +110,17 @@ object HtmlEntities {
       if (d eq t) s else UTF8String.fromString(d)
     }
 
+  /** Expression form — the codegen'd static call; shared by the Column
+    * wrapper and the `graft_html_entity_decode` SQL builder (a SQL
+    * function builder must return a REAL catalyst tree: a Column-node
+    * wrapper stays Unevaluable there).
+    */
+  def decodeExpr(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    StaticInvoke(HtmlEntities.getClass, StringType, "decode",
+      Seq(e), Seq(StringType), returnNullable = true)
+
   /** Column form — codegen'd static call, null in → null out. */
   def decodeHtmlEntities(content: Column): Column =
-    Bridge.column(StaticInvoke(
-      HtmlEntities.getClass, StringType, "decode",
-      Seq(Bridge.expression(content)), Seq(StringType),
-      returnNullable = true))
+    Bridge.column(decodeExpr(Bridge.expression(content)))
 }

@@ -39,6 +39,25 @@ object GraftFunctions {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null => v.toString
     case other => throw new IllegalArgumentException(s"$what must be a STRING literal, got $other")
   }
+  private def stringSeqArg(e: Expression, what: String): Seq[String] = {
+    val ok = e.foldable && (e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(_: org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    })
+    if (!ok)
+      throw new IllegalArgumentException(
+        s"$what must be a foldable ARRAY<STRING> (e.g. array('a','b')), got $e")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map { i =>
+          require(!a.isNullAt(i), s"$what must not contain NULL elements")
+          a.getUTF8String(i).toString
+        }
+      case _ =>
+        throw new IllegalArgumentException(s"$what evaluated to NULL")
+    }
+  }
+
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"$what must be an INT literal, got $other")
@@ -113,6 +132,16 @@ object GraftFunctions {
     fn("graft_contains_slice",
       "graft_contains_slice(haystack ARRAY<STRING>, needle ARRAY<STRING>) - true iff needle occurs as a contiguous run", 2, 2)(
       args => graft.functions.ContainsSlice(args(0), args(1))),
+    fn("graft_html_text",
+      "graft_html_text(html STRING) - HTML to text extraction (comments/containers/tags stripped, entities decoded, whitespace disciplined)", 1, 1)(
+      args => graft.ext.Html.htmlToTextExpr(args(0))),
+    fn("graft_html_entity_decode",
+      "graft_html_entity_decode(s STRING) - single-pass HTML character-reference decode (named + numeric; invalid refs verbatim)", 1, 1)(
+      args => graft.functions.HtmlEntities.decodeExpr(args(0))),
+    fn("graft_multi_phrase",
+      "graft_multi_phrase(content STRING, phrases ARRAY<STRING>) - Aho-Corasick any-phrase containment at ASCII word boundaries (case-insensitive)", 2, 2)(
+      args => graft.functions.MultiPhraseContains(args(0),
+        stringSeqArg(args(1), "phrases"))),
     fn("graft_token_min_span",
       "graft_token_min_span(tokens ARRAY<STRING>, terms ARRAY<STRING>) - smallest position window covering all terms (NULL if any absent)", 2, 2)(
       args => graft.functions.TokenMinSpan(args(0), args(1)))

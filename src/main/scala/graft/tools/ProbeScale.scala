@@ -285,6 +285,56 @@ object ProbeScale {
       writeOut(); return
     }
 
+    // `r16c` = the X131 phrase-matching arms head-to-head at 2M docs: the
+    // regex alternation vs the Aho-Corasick automaton on the SAME 100
+    // phrases (hit maps must agree), then the automaton alone at 100k
+    // phrases — the UT1-class list size the regex arm cannot carry.
+    if (mode.contains("r16c")) {
+      import graft.ext.Web
+      val tmp = java.nio.file.Files.createTempDirectory("graft-r16c-").toString
+      val words = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+        "value", "part", "hash", "merge", "batch", "customer", "join",
+        "stream", "vector")
+      val chunkArr = array((0 until 16).map(k =>
+        lit(((0 until 8).map(j => words((k + j * 3) % 16)) :+ s"v$k").mkString(" "))): _*)
+      val body = concat_ws(" ", (1 to 8).map(k =>
+        element_at(chunkArr, (pmod(xxhash64($"id", lit(k)), lit(16)) + 1).cast("int"))): _*)
+      spark.range(2000000L).repartition(64)
+        .select($"id".cast("string").as("id"), body.as("content"),
+          concat(lit("https://www.host"),
+            pmod(xxhash64($"id", lit(3)), lit(100000)).cast("string"),
+            lit(".com/p/"), $"id").as("url"))
+        .write.mode("overwrite").parquet(s"$tmp/docs.parquet")
+      val docs2m = spark.read.parquet(s"$tmp/docs.parquet")
+      val phrases = (0 until 100).map(i => s"${words(i % 16)} ${words((i * 3 + 1) % 16)}")
+      def hits(at: Int, ps: Seq[String]): Map[String, Long] =
+        Web.blocklistTag(docs2m, blockedPhrases = ps, phraseAutomatonAt = at)
+          .groupBy($"block_reason").count()
+          .as[(String, Long)].collect().toMap
+      val rx = time("bl_regex_100p_2m_sec")(hits(Int.MaxValue, phrases))
+      println(s"PROBE   regex hits = $rx")
+      val ac = time("bl_auto_100p_2m_sec")(hits(1, phrases))
+      println(s"PROBE   automaton hits = $ac")
+      require(ac == rx, s"automaton $ac != regex $rx")
+      metrics += ("bl_phrase_hits" -> rx.getOrElse("phrase", 0L))
+      // 100k phrases: the same 100 live ones + 99,900 vocabulary-disjoint
+      // fillers — hit mass unchanged, automaton cost must stay ~flat
+      val big = phrases ++ (0 until 99900).map(i => s"blk$i q${i % 97}")
+      val ac100k = time("bl_auto_100kp_2m_sec")(hits(1, big))
+      require(ac100k == rx, s"100k-phrase automaton $ac100k != 100-phrase $rx")
+      // the live phrases hit EVERY doc above (early exit flatters both
+      // arms) — the miss arms are the honest worst case: zero hits, every
+      // row pays the FULL content scan
+      val missPhrases = (0 until 100).map(i => s"zz${words(i % 16)} qq${words((i * 3 + 1) % 16)}")
+      val rxMiss = time("bl_regex_100p_miss_2m_sec")(hits(Int.MaxValue, missPhrases))
+      val acMiss = time("bl_auto_100p_miss_2m_sec")(hits(1, missPhrases))
+      require(rxMiss == acMiss && !rxMiss.contains("phrase"),
+        s"miss arms diverged: $rxMiss vs $acMiss")
+      val bigMiss = missPhrases ++ (0 until 99900).map(i => s"blk$i q${i % 97}")
+      time("bl_auto_100kp_miss_2m_sec")(hits(1, bigMiss))
+      writeOut(); return
+    }
+
     val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id".cast("string").as("id"), $"text".as("content"),
         map(lit("lang"), $"lang").as("metadata"))

@@ -604,6 +604,21 @@ class ExtSpec extends AnyFunSuite {
     // wrong arity fails with the signature, not IndexOutOfBounds
     val e = intercept[Exception](spark.sql("SELECT graft_cosine(array(1.0F))").head())
     assert(e.getMessage.contains("graft_cosine expects 2"))
+    // r16: html / entity / multi-phrase SQL surface
+    val r2 = spark.sql(
+      """SELECT graft_html_text('<p>a &amp; b</p><script>no</script>') h,
+        |  graft_html_entity_decode('&lt;x&gt; &amp;lt;') d,
+        |  graft_multi_phrase('Buy Cheap Pills', array('cheap pills', 'x')) m,
+        |  graft_multi_phrase('pillsbury', array('pills')) mn
+        |""".stripMargin).head()
+    assert(r2.getString(0) === "a & b")
+    assert(r2.getString(1) === "<x> &lt;") // single pass: &amp;lt; → &lt;
+    assert(r2.getBoolean(2) === true)
+    assert(r2.getBoolean(3) === false)
+    // non-foldable phrase list rejected with the contract message
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT graft_multi_phrase('x', array(cast(rand() AS STRING)))").head())
+    assert(e2.getMessage.contains("foldable ARRAY<STRING>"))
   }
 
   test("GraftFunctions.tables: graft_docs / graft_search SQL table functions") {
@@ -3791,5 +3806,57 @@ class ExtSpec extends AnyFunSuite {
     // row multiplicity preserved even when the block frame carries dups
     val dupDf = Seq("tracker.net", "tracker.net").toDF("d")
     assert(Web.blocklistTag(blockDocs, blockedDomainsDf = Some(dupDf)).count() === 7)
+  }
+
+  // --- X131: Aho-Corasick multi-phrase matching ---------------------------
+
+  test("PhraseAutomaton: boundaries, nesting, edges — regex-\\b parity by hand") {
+    import graft.functions.PhraseAutomaton
+    val a = new PhraseAutomaton(Seq("Cheap Pills", "pill", "aa", "x"))
+    assert(a.containsAny("buy cheap pills now"))
+    assert(a.containsAny("cheap pills")) // at both string edges
+    assert(a.containsAny("one pill only")) // shorter phrase, own boundaries
+    assert(!a.containsAny("cheap pillses")) // right boundary fails for both
+    assert(!a.containsAny("pillsbury cheap_pills")) // '_' is a word char: no boundary
+    assert(a.containsAny("aa")) // nested-suffix phrase set ("aa" inside scans of "aaa"?)
+    assert(!a.containsAny("aaa")) // no \b inside a word-char run
+    assert(a.containsAny("b aa b"))
+    assert(a.containsAny("éxé")) // 'é' is non-word under ASCII \b — boundary holds
+    assert(!a.containsAny(""))
+    // non-word-edge phrase: \b is an XOR — '$9' matches only AFTER a word char
+    val d = new PhraseAutomaton(Seq("$9"))
+    assert(d.containsAny("win$9 now")) // word 'n' | non-word '$' → boundary
+    assert(!d.containsAny("win $9 now")) // space | '$': neither is word → no \b
+  }
+
+  test("PhraseAutomaton vs regex arm: 300-case differential fuzz") {
+    import graft.functions.PhraseAutomaton
+    val rnd = new scala.util.Random(131)
+    val vocab = Seq("a", "aa", "ab", "b", "key", "keys", "agg", "row", "scan",
+      "slow key", "key agg", "agg row scan", "x_1", "2fa")
+    for (trial <- 1 to 300) {
+      val phrases = rnd.shuffle(vocab).take(1 + rnd.nextInt(6))
+      val auto = new PhraseAutomaton(phrases)
+      val pat = java.util.regex.Pattern.compile(Web.phrasePattern(phrases))
+      val text = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(Seq(" ", "", "-", "_")(rnd.nextInt(4)))
+        .toLowerCase
+      assert(auto.containsAny(text) === pat.matcher(text).find(),
+        s"trial $trial phrases=$phrases text='$text'")
+    }
+  }
+
+  test("blocklistTag: automaton arm (phraseAutomatonAt=1) equals the regex arm") {
+    val viaRegex = Web.blocklistTag(blockDocs, blockedPhrases = Seq("cheap pills"))
+      .select("id", "block_reason").as[(String, String)].collect().toMap
+    val viaAuto = Web.blocklistTag(blockDocs, blockedPhrases = Seq("cheap pills"),
+        phraseAutomatonAt = 1)
+      .select("id", "block_reason").as[(String, String)].collect().toMap
+    assert(viaAuto === viaRegex)
+    assert(viaAuto("b2") === "phrase")
+    // empty phrases rejected on BOTH paths (the match-everything hazard)
+    intercept[IllegalArgumentException] {
+      Web.blocklistTag(blockDocs, blockedPhrases = Seq("ok", ""))
+    }
   }
 }
