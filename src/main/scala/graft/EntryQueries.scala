@@ -261,6 +261,31 @@ object EntryQueries {
     * registrable domains, every 5th doc on a multi-part .co.uk suffix (the
     * public-suffix-lite rule's three-label arm).
     */
+  /** documents + the x124 planted-dup URL fixture, five arms per doc_id%5:
+    * (0) uppercased host, default port, tracking params, fragment; (1) its
+    * clean canonical twin — 0 and 1 collide after canonicalization; (2)
+    * per-id site pages over 11 domains; (3) tracker.net with click ids;
+    * (4) no scheme (canonical passthrough, NULL host). ONE definition
+    * shared by x124 and x130 so the two entries (and their oracles' arm
+    * arithmetic) cannot drift.
+    */
+  private def dupUrlDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string").as("id"),
+        col("doc_id").cast("long").as("n"), col("text"))
+    val url =
+      when(col("n") % 5 === 0, concat(lit("HTTP://WWW.Example.COM:80/Path/"),
+          floor(col("n") / 5).cast("string"), lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(col("n") % 5 === 1, concat(lit("http://www.example.com/Path/"),
+          floor(col("n") / 5).cast("string"), lit("?b=2&a=1")))
+        .when(col("n") % 5 === 2, concat(lit("https://Site"),
+          (col("n") % 11).cast("string"), lit(".ORG:443/p/"), col("id"), lit("#x")))
+        .when(col("n") % 5 === 3, concat(lit("http://tracker.net/p/"), col("id"),
+          lit("?gclid=abc&utm_campaign=z")))
+        .otherwise(concat(lit("no-scheme-url-"), col("id")))
+    d.select(col("id"), col("text").as("content"), url.as("url"))
+  }
+
   private def urlDocs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
@@ -1742,19 +1767,7 @@ object EntryQueries {
     // each doc's canonical key plus whether dedupByUrl kept it, replayed
     // end-to-end (canonicalization AND the md5 survivor rank) in DuckDB.
     ("x124_url_dedup", (s: SparkSession, sfDir: String) => {
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id").cast("string").as("id"), col("doc_id").cast("long").as("n"))
-      val url =
-        when(col("n") % 5 === 0, concat(lit("HTTP://WWW.Example.COM:80/Path/"),
-            floor(col("n") / 5).cast("string"), lit("/?utm_source=x&b=2&a=1#frag")))
-          .when(col("n") % 5 === 1, concat(lit("http://www.example.com/Path/"),
-            floor(col("n") / 5).cast("string"), lit("?b=2&a=1")))
-          .when(col("n") % 5 === 2, concat(lit("https://Site"),
-            (col("n") % 11).cast("string"), lit(".ORG:443/p/"), col("id"), lit("#x")))
-          .when(col("n") % 5 === 3, concat(lit("http://tracker.net/p/"), col("id"),
-            lit("?gclid=abc&utm_campaign=z")))
-          .otherwise(concat(lit("no-scheme-url-"), col("id")))
-      val docs = d.select(col("id"), url.as("url"))
+      val docs = dupUrlDocs(s, sfDir).select(col("id"), col("url"))
       val kept = Web.dedupByUrl(docs).select(col("id")).withColumn("kept", lit(true))
       docs.select(col("id"), Web.canonicalizeUrl(col("url")).as("canonical"))
         .join(kept, Seq("id"), "left")
@@ -1822,20 +1835,7 @@ object EntryQueries {
     // the regex chain) — a stronger check than re-running the engine's own
     // recipe.
     ("x130_web_pipeline", (s: SparkSession, sfDir: String) => {
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id").cast("string").as("id"),
-          col("doc_id").cast("long").as("n"), col("text"))
-      val url =
-        when(col("n") % 5 === 0, concat(lit("HTTP://WWW.Example.COM:80/Path/"),
-            floor(col("n") / 5).cast("string"), lit("/?utm_source=x&b=2&a=1#frag")))
-          .when(col("n") % 5 === 1, concat(lit("http://www.example.com/Path/"),
-            floor(col("n") / 5).cast("string"), lit("?b=2&a=1")))
-          .when(col("n") % 5 === 2, concat(lit("https://Site"),
-            (col("n") % 11).cast("string"), lit(".ORG:443/p/"), col("id"), lit("#x")))
-          .when(col("n") % 5 === 3, concat(lit("http://tracker.net/p/"), col("id"),
-            lit("?gclid=abc&utm_campaign=z")))
-          .otherwise(concat(lit("no-scheme-url-"), col("id")))
-      val docs = d.select(col("id"), col("text").as("content"), url.as("url"))
+      val docs = dupUrlDocs(s, sfDir)
       val deduped = Web.dedupByUrl(docs)
       val clean = Web.filterByBlocklist(deduped,
         blockedDomains = Seq("tracker.net"), blockedPhrases = Seq("table hash"))
@@ -4341,11 +4341,15 @@ object EntryQueries {
 
   /** x129b: 40 deterministic two-word phrases over the corpus vocabulary —
     * large enough to exercise automaton states/fail links, small enough
-    * that the oracle's alternation replay stays cheap. */
+    * that the oracle's alternation replay stays cheap. The `i / 16` term
+    * keeps all 40 DISTINCT ((i*5+3) % 16 alone has period 16 in i — the
+    * list would silently collapse to 16 phrases). */
   private lazy val AutomatonPhrases: Seq[String] = {
     val ws = Seq("key", "agg", "row", "scan", "slow", "fast", "table", "value",
       "part", "hash", "merge", "batch", "customer", "join", "stream", "vector")
-    (0 until 40).map(i => s"${ws(i % 16)} ${ws((i * 5 + 3) % 16)}")
+    val out = (0 until 40).map(i => s"${ws(i % 16)} ${ws((i * 5 + 3 + i / 16) % 16)}")
+    require(out.distinct.size == out.size, "phrase fixture must be duplicate-free")
+    out
   }
 
   /** x129b oracle: the SAME \Q-quoted alternation the regex arm would

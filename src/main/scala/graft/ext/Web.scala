@@ -83,7 +83,7 @@ object Web {
       .asScala.iterator
       .map(_.trim.takeWhile(!_.isWhitespace))
       .filter(l => l.nonEmpty && !l.startsWith("//"))
-      .map(_.toLowerCase)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
       .toSeq
     def depth(r: String): Int = r.count(_ == '.') + 1
     val (excs, rest) = rules.partition(_.startsWith("!"))
@@ -311,7 +311,8 @@ object Web {
     */
   private[graft] def phrasePattern(phrases: Seq[String]): String =
     "\\b(?:" +
-      phrases.map(p => java.util.regex.Pattern.quote(p.toLowerCase)).mkString("|") +
+      phrases.map(p => java.util.regex.Pattern.quote(
+        p.toLowerCase(java.util.Locale.ROOT))).mkString("|") +
       ")\\b"
 
   /** X129: blocklist curation — the C4/UT1-style hard filter: classify a
@@ -359,7 +360,7 @@ object Web {
     }
     val domHitLit: Column =
       if (blockedDomains.isEmpty) lit(false)
-      else dom.isin(blockedDomains.map(_.toLowerCase): _*)
+      else dom.isin(blockedDomains.map(_.toLowerCase(java.util.Locale.ROOT)): _*)
     val phraseHit: Column =
       if (blockedPhrases.isEmpty) lit(false)
       else if (blockedPhrases.size >= phraseAutomatonAt)

@@ -51,6 +51,7 @@ object HtmlEntities {
     if (amp < 0) return s
     val n = s.length
     val sb = new java.lang.StringBuilder(n)
+    var anyConsumed = false
     var i = 0
     while (amp >= 0) {
       sb.append(s, i, amp)
@@ -79,6 +80,7 @@ object HtmlEntities {
             sb.appendCodePoint(cp)
             i = semi + 1
             consumed = true
+            anyConsumed = true
           }
         } else {
           val rep = named(body)
@@ -86,6 +88,7 @@ object HtmlEntities {
             sb.append(rep)
             i = semi + 1
             consumed = true
+            anyConsumed = true
           }
         }
       }
@@ -95,6 +98,10 @@ object HtmlEntities {
       }
       amp = s.indexOf('&', i)
     }
+    // nothing actually decoded (bare/invalid '&'s only): hand back the
+    // INPUT object so the UTF8String overload's fast path holds and a
+    // 100 TB pass over '&'-bearing but entity-free text never re-encodes
+    if (!anyConsumed) return s
     sb.append(s, i, n)
     sb.toString
   }

@@ -26,7 +26,10 @@ final class PhraseAutomaton(phrases0: Seq[String]) extends Serializable {
   require(phrases0.nonEmpty, "phrase set must be non-empty")
   require(phrases0.forall(_.nonEmpty), "phrases must be non-empty strings")
 
-  private val phrases = phrases0.map(_.toLowerCase)
+  // Locale.ROOT: content is lowered by UTF8String.toLowerCase (locale-
+  // independent); a default-locale lowercase here would mis-lower under
+  // tr/az locales (dotless i) and silently match nothing
+  private val phrases = phrases0.map(_.toLowerCase(java.util.Locale.ROOT))
 
   // trie: per-node char→child map; lens(v) = phrase lengths ending AT v
   private val children =

@@ -140,8 +140,16 @@ object GraftFunctions {
       args => graft.functions.HtmlEntities.decodeExpr(args(0))),
     fn("graft_multi_phrase",
       "graft_multi_phrase(content STRING, phrases ARRAY<STRING>) - Aho-Corasick any-phrase containment at ASCII word boundaries (case-insensitive)", 2, 2)(
-      args => graft.functions.MultiPhraseContains(args(0),
-        stringSeqArg(args(1), "phrases"))),
+      args => {
+        val ps = stringSeqArg(args(1), "phrases")
+        // reject at ANALYSIS time what PhraseAutomaton's constructor would
+        // otherwise reject on every executor task (a whole-stage failure
+        // for a statically-detectable bad argument)
+        if (ps.isEmpty || ps.exists(_.isEmpty))
+          throw new IllegalArgumentException(
+            "graft_multi_phrase phrases must be a non-empty ARRAY<STRING> of non-empty strings")
+        graft.functions.MultiPhraseContains(args(0), ps)
+      }),
     fn("graft_token_min_span",
       "graft_token_min_span(tokens ARRAY<STRING>, terms ARRAY<STRING>) - smallest position window covering all terms (NULL if any absent)", 2, 2)(
       args => graft.functions.TokenMinSpan(args(0), args(1)))

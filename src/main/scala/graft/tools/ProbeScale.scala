@@ -218,47 +218,64 @@ object ProbeScale {
       writeOut(); return
     }
 
-    // `r16b` = self-contained round-16 probes, NO collection ingest: the
-    // X128 HTML→text extraction chain and the X129 blocklist at 2M docs
-    // over a parquet-materialized synthesized crawl (so the timings are
-    // the operators, not the generator). Extraction = ~10 codegen'd regex
-    // passes + the single-pass entity decode per row; the blocklist runs
-    // BOTH arms — literal (1k-domain InSet + 100 word-bounded phrases as
-    // one alternation) and broadcast-frame (1M-row domain list) — which
-    // must agree on the hit counts.
-    if (mode.contains("r16b")) {
-      import graft.ext.{Html, Web}
-      val tmp = java.nio.file.Files.createTempDirectory("graft-r16b-").toString
-      val words = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
-        "value", "part", "hash", "merge", "batch", "customer", "join",
-        "stream", "vector")
-      // 16 distinct 8-word chunks; each doc = 8 hash-chosen chunks, so the
-      // body is ~64 tokens built from 8 codegen'd hashes (no interpreted
-      // per-element lambdas in the generator)
+    // Shared r16 synthetic-crawl generator: 2M docs of (id, content, url)
+    // — 16 distinct 8-word chunks, each doc 8 hash-chosen chunks (~64
+    // tokens from 8 codegen'd hashes, no interpreted per-element lambdas),
+    // urls over 100k hosts. ONE definition so the r16b and r16c corpora
+    // stay comparable. The 100-phrase list carries an `i / 16` term so all
+    // 100 are DISTINCT ((i*3+1) % 16 alone has period 16).
+    val r16Words = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch", "customer", "join",
+      "stream", "vector")
+    def r16SynthDocs(): org.apache.spark.sql.DataFrame = {
       val chunkArr = array((0 until 16).map(k =>
-        lit(((0 until 8).map(j => words((k + j * 3) % 16)) :+ s"v$k").mkString(" "))): _*)
+        lit(((0 until 8).map(j => r16Words((k + j * 3) % 16)) :+ s"v$k").mkString(" "))): _*)
       val body = concat_ws(" ", (1 to 8).map(k =>
         element_at(chunkArr, (pmod(xxhash64($"id", lit(k)), lit(16)) + 1).cast("int"))): _*)
       spark.range(2000000L).repartition(64)
-        .select($"id".cast("string").as("id"),
-          concat(lit("<html><head><title>Doc "), $"id",
-            lit("</title><style>p{color:red}</style></head><body>" +
-              "<!-- hidden <p>x</p> --><h1>T &amp; caf&#233;</h1><p>"),
-            body,
-            lit("</p><script>var x=\"<div>no</div>\";</script>" +
-              "<div>t&nbsp;A&#x41;</div></body></html>")).as("html"),
+        .select($"id".cast("string").as("id"), body.as("content"),
           concat(lit("https://www.host"),
             pmod(xxhash64($"id", lit(3)), lit(100000)).cast("string"),
             lit(".com/p/"), $"id").as("url"))
+    }
+    def r16Phrases(): Seq[String] = {
+      val out = (0 until 100).map(i =>
+        s"${r16Words(i % 16)} ${r16Words((i * 3 + 1 + i / 16 * 7) % 16)}")
+      require(out.distinct.size == out.size, "phrase fixture must be duplicate-free")
+      out
+    }
+
+    // `r16b` = self-contained round-16 probes, NO collection ingest: the
+    // X128 HTML→text extraction chain and the X129 blocklist at 2M docs,
+    // each over a parquet-materialized input (so each timing is THAT
+    // operator — the blocklist reads the extraction's OUTPUT parquet, not
+    // a lazy plan that would re-run the extraction inside its timing).
+    // Extraction = ~10 codegen'd regex passes + the single-pass entity
+    // decode per row; the blocklist runs BOTH arms — literal (1k-domain
+    // InSet + 100 word-bounded phrases as one alternation) and
+    // broadcast-frame (1M-row dup-heavy domain list) — which must agree
+    // on the hit counts.
+    if (mode.contains("r16b")) {
+      import graft.ext.{Html, Web}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-r16b-").toString
+      r16SynthDocs()
+        .select($"id",
+          concat(lit("<html><head><title>Doc "), $"id",
+            lit("</title><style>p{color:red}</style></head><body>" +
+              "<!-- hidden <p>x</p> --><h1>T &amp; caf&#233;</h1><p>"),
+            $"content",
+            lit("</p><script>var x=\"<div>no</div>\";</script>" +
+              "<div>t&nbsp;A&#x41;</div></body></html>")).as("html"),
+          $"url")
         .write.mode("overwrite").parquet(s"$tmp/crawl.parquet")
       val crawl = spark.read.parquet(s"$tmp/crawl.parquet")
       time("html_extract_2m_sec")(
-        Html.extractText(crawl, "html", "content").select($"id", $"content")
-          .write.format("noop").mode("overwrite").save())
-      val extracted = Html.extractText(crawl, "html", "content")
-        .select($"id", $"url", $"content")
+        Html.extractText(crawl, "html", "content")
+          .select($"id", $"url", $"content")
+          .write.mode("overwrite").parquet(s"$tmp/extracted.parquet"))
+      val extracted = spark.read.parquet(s"$tmp/extracted.parquet")
       val domains = (0 until 1000).map(i => s"host${i * 97 % 100000}.com")
-      val phrases = (0 until 100).map(i => s"${words(i % 16)} ${words((i * 3 + 1) % 16)}")
+      val phrases = r16Phrases()
       val litHits = time("blocklist_2m_lit_sec")(
         Web.blocklistTag(extracted, blockedDomains = domains,
             blockedPhrases = phrases)
@@ -292,21 +309,9 @@ object ProbeScale {
     if (mode.contains("r16c")) {
       import graft.ext.Web
       val tmp = java.nio.file.Files.createTempDirectory("graft-r16c-").toString
-      val words = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
-        "value", "part", "hash", "merge", "batch", "customer", "join",
-        "stream", "vector")
-      val chunkArr = array((0 until 16).map(k =>
-        lit(((0 until 8).map(j => words((k + j * 3) % 16)) :+ s"v$k").mkString(" "))): _*)
-      val body = concat_ws(" ", (1 to 8).map(k =>
-        element_at(chunkArr, (pmod(xxhash64($"id", lit(k)), lit(16)) + 1).cast("int"))): _*)
-      spark.range(2000000L).repartition(64)
-        .select($"id".cast("string").as("id"), body.as("content"),
-          concat(lit("https://www.host"),
-            pmod(xxhash64($"id", lit(3)), lit(100000)).cast("string"),
-            lit(".com/p/"), $"id").as("url"))
-        .write.mode("overwrite").parquet(s"$tmp/docs.parquet")
+      r16SynthDocs().write.mode("overwrite").parquet(s"$tmp/docs.parquet")
       val docs2m = spark.read.parquet(s"$tmp/docs.parquet")
-      val phrases = (0 until 100).map(i => s"${words(i % 16)} ${words((i * 3 + 1) % 16)}")
+      val phrases = r16Phrases()
       def hits(at: Int, ps: Seq[String]): Map[String, Long] =
         Web.blocklistTag(docs2m, blockedPhrases = ps, phraseAutomatonAt = at)
           .groupBy($"block_reason").count()
@@ -325,7 +330,7 @@ object ProbeScale {
       // the live phrases hit EVERY doc above (early exit flatters both
       // arms) — the miss arms are the honest worst case: zero hits, every
       // row pays the FULL content scan
-      val missPhrases = (0 until 100).map(i => s"zz${words(i % 16)} qq${words((i * 3 + 1) % 16)}")
+      val missPhrases = phrases.map(p => s"zz$p".replace(" ", " qq"))
       val rxMiss = time("bl_regex_100p_miss_2m_sec")(hits(Int.MaxValue, missPhrases))
       val acMiss = time("bl_auto_100p_miss_2m_sec")(hits(1, missPhrases))
       require(rxMiss == acMiss && !rxMiss.contains("phrase"),

@@ -3718,6 +3718,8 @@ class ExtSpec extends AnyFunSuite {
     assert(decode(null: String) === null)
     val plain = "no ampersand here"
     assert(decode(plain) eq plain) // fast path returns the input object
+    val bareAmp = "AT&T sells M&Ms & more"
+    assert(decode(bareAmp) eq bareAmp) // '&'s but no references: still the input object
   }
 
   test("HtmlEntities: encode→decode round-trips arbitrary text (fuzz)") {
