@@ -1796,6 +1796,48 @@ object EntryQueries {
           md5(col("txt")).as("h"))
     }, Some(htmlExtractOracle)),
 
+    // X128b: HTML head-metadata extraction — title (entity-decoded,
+    // whitespace-disciplined), rel=canonical (BOTH attribute orders,
+    // alternating by doc), meta description (both orders, planted quotes),
+    // declared lang (uppercased attr → lowercased output); each field
+    // ABSENT on its own residue class so the NULL contract (never "") is
+    // pinned. The oracle derives the expected values INDEPENDENTLY from
+    // the residue arithmetic — it never runs the regexes.
+    ("x128b_html_metadata", (s: SparkSession, sfDir: String) => {
+      val d = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"),
+          col("doc_id").cast("long").as("n"), col("lang"), col("text"))
+      val title = when(col("n") % 5 =!= 0,
+        concat(lit("<title> Doc &amp;\n"), col("id"), lit(" </title>")))
+        .otherwise(lit(""))
+      val canon = when(col("n") % 3 === 0, lit(""))
+        .when(col("n") % 2 === 0,
+          concat(lit("<link rel=\"canonical\" href=\"https://canon.example/"),
+            col("id"), lit("\">")))
+        .otherwise(
+          concat(lit("<link href=\"https://canon.example/"), col("id"),
+            lit("\" rel='canonical'>")))
+      val meta = when(col("n") % 7 === 0, lit(""))
+        .when(col("n") % 2 === 0,
+          concat(lit("<meta name=\"description\" content=\"d &quot;"),
+            col("id"), lit("&quot;\">")))
+        .otherwise(
+          concat(lit("<meta content=\"d &quot;"), col("id"),
+            lit("&quot;\" name=\"description\">")))
+      val langAttr = when(col("n") % 11 =!= 0,
+        concat(lit(" lang=\""), upper(col("lang")), lit("\""))).otherwise(lit(""))
+      val html = concat(lit("<html"), langAttr, lit("><head>"), title, canon,
+        meta, lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
+      Html.extractMetadata(d.select(col("id"), html.as("html")))
+        .select("id", "title", "canonical_url", "meta_description", "declared_lang")
+    }, Some(
+      s"""SELECT $DocId AS id,
+         |  CASE WHEN doc_id % 5 <> 0 THEN 'Doc & ' || $DocId END AS title,
+         |  CASE WHEN doc_id % 3 <> 0 THEN 'https://canon.example/' || $DocId END AS canonical_url,
+         |  CASE WHEN doc_id % 7 <> 0 THEN 'd "' || $DocId || '"' END AS meta_description,
+         |  CASE WHEN doc_id % 11 <> 0 THEN lower(lang) END AS declared_lang
+         |FROM documents""".stripMargin)),
+
     // X129: blocklist curation — the C4/UT1-style hard filter over the
     // synthesized URL corpus: two blocked registrable domains (one on the
     // multi-part .co.uk arm, so the suffix rule is in the loop) and a

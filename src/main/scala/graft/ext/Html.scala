@@ -85,4 +85,66 @@ object Html {
   def extractText(docs: DataFrame, htmlCol: String = "html",
                   outCol: String = "content"): DataFrame =
     docs.withColumn(outCol, htmlToText(col(htmlCol)))
+
+  // --- X128b: HTML metadata extraction -----------------------------------
+  //
+  // The head fields a crawl pipeline carries alongside the text: <title>,
+  // rel=canonical (the dedup key crawlers PREFER over the fetch URL — feed
+  // it to Web.dedupByUrl), the meta description, and the html lang
+  // attribute (the declared language, vs X8's detected one). All
+  // regexp_extract projections — zero shuffle; empty match → NULL (a page
+  // without the field is a NULL, never ""). Same regex-extractor limits as
+  // the text chain; attribute ORDER is handled (href before or after
+  // rel="canonical"), quoting must be single or double (unquoted attribute
+  // values are out of contract).
+
+  private def firstGroupOrNull(c: Column, pattern: String): Column = {
+    val m = regexp_extract(c, pattern, 1)
+    when(m === "", lit(null).cast("string")).otherwise(m)
+  }
+
+  /** `<title>` text, entity-decoded, inner whitespace collapsed/trimmed;
+    * NULL when absent or empty. */
+  def titleOf(html: Column): Column = {
+    val raw = firstGroupOrNull(html, "(?is)<title[^>]*>(.*?)</title\\s*>")
+    val decoded = HtmlEntities.decodeHtmlEntities(raw)
+    firstGroupOrNull(
+      regexp_replace(decoded, "[\\s\\u00A0]+", " "), "^ ?(.*?) ?$")
+  }
+
+  /** `rel=canonical` href — checks both attribute orders; NULL when the
+    * link is absent. */
+  def canonicalUrlOf(html: Column): Column = {
+    val relFirst = firstGroupOrNull(html,
+      "(?is)<link\\b[^>]*\\brel\\s*=\\s*[\"']canonical[\"'][^>]*\\bhref\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>")
+    val hrefFirst = firstGroupOrNull(html,
+      "(?is)<link\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"']*)[\"'][^>]*\\brel\\s*=\\s*[\"']canonical[\"'][^>]*>")
+    coalesce(relFirst, hrefFirst)
+  }
+
+  /** `<meta name="description" content="…">` — both attribute orders,
+    * entity-decoded; NULL when absent. */
+  def metaDescriptionOf(html: Column): Column = {
+    val nameFirst = firstGroupOrNull(html,
+      "(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"']description[\"'][^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>")
+    val contentFirst = firstGroupOrNull(html,
+      "(?is)<meta\\b[^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"'][^>]*\\bname\\s*=\\s*[\"']description[\"'][^>]*>")
+    HtmlEntities.decodeHtmlEntities(coalesce(nameFirst, contentFirst))
+  }
+
+  /** The `<html lang="…">` declared language, lowercased; NULL when
+    * undeclared. */
+  def declaredLangOf(html: Column): Column =
+    lower(firstGroupOrNull(html,
+      "(?is)<html\\b[^>]*\\blang\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>"))
+
+  /** Frame form: (title, canonical_url, meta_description, declared_lang)
+    * appended — the head-metadata sidecar of a crawl scan, one zero-shuffle
+    * projection. */
+  def extractMetadata(docs: DataFrame, htmlCol: String = "html"): DataFrame =
+    docs
+      .withColumn("title", titleOf(col(htmlCol)))
+      .withColumn("canonical_url", canonicalUrlOf(col(htmlCol)))
+      .withColumn("meta_description", metaDescriptionOf(col(htmlCol)))
+      .withColumn("declared_lang", declaredLangOf(col(htmlCol)))
 }

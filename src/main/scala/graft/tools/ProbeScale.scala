@@ -228,8 +228,13 @@ object ProbeScale {
       "value", "part", "hash", "merge", "batch", "customer", "join",
       "stream", "vector")
     def r16SynthDocs(): org.apache.spark.sql.DataFrame = {
+      // every chunk carries one language stopword (rotating en/de/es/fr)
+      // so the langid stage has real signal — an all-DB-word vocabulary
+      // scores 'und' on every doc and a langid gate would drop the corpus
+      val stops = Seq("the", "der", "el", "le")
       val chunkArr = array((0 until 16).map(k =>
-        lit(((0 until 8).map(j => r16Words((k + j * 3) % 16)) :+ s"v$k").mkString(" "))): _*)
+        lit(((0 until 8).map(j => r16Words((k + j * 3) % 16)) :+
+          stops(k % 4) :+ s"v$k").mkString(" "))): _*)
       val body = concat_ws(" ", (1 to 8).map(k =>
         element_at(chunkArr, (pmod(xxhash64($"id", lit(k)), lit(16)) + 1).cast("int"))): _*)
       spark.range(2000000L).repartition(64)
@@ -337,6 +342,47 @@ object ProbeScale {
         s"miss arms diverged: $rxMiss vs $acMiss")
       val bigMiss = missPhrases ++ (0 until 99900).map(i => s"blk$i q${i % 97}")
       time("bl_auto_100kp_miss_2m_sec")(hits(1, bigMiss))
+      writeOut(); return
+    }
+
+    // `r16d` = the x130 COMPOSED web pipeline at 2M docs as ONE lazy DAG:
+    // URL canonicalize+dedup (50% planted dup mass via floor(id/2) paths +
+    // tracking params on the odd twin) → blocklist (1k domains + the 100
+    // distinct phrases) → HTML extract → langid gate → per-domain cap.
+    // The point is plan-shape evidence at scale: the chain is linear (two
+    // window shuffles, rest scan stages) and must NOT recompute upstream
+    // stages — wall-clock ≈ the sum of its stages' standalone probes.
+    if (mode.contains("r16d")) {
+      import graft.ext.{Html, Web}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-r16d-").toString
+      // content kept alongside its HTML wrap so the blocklist stage runs
+      // on the text (the x130 stage order); phrase list = the zz-prefixed
+      // MISS forms, so the blocklist drops only the ~1% domain mass and
+      // every downstream stage sees real volume
+      r16SynthDocs()
+        .select($"id", $"content",
+          concat(lit("<body><h1>Page &amp; no."), $"id", lit("</h1><p>"),
+            $"content", lit("</p><script>var x=1;</script></body>")).as("html"),
+          concat(lit("https://www.host"),
+            pmod(xxhash64($"id", lit(3)), lit(100000)).cast("string"),
+            lit(".com/p/"), floor($"id".cast("long") / 2).cast("string"),
+            when($"id".cast("long") % 2 === 1, lit("?utm_source=x"))
+              .otherwise(lit(""))).as("url"))
+        .write.mode("overwrite").parquet(s"$tmp/crawl.parquet")
+      val crawl = spark.read.parquet(s"$tmp/crawl.parquet")
+      val domains = (0 until 1000).map(i => s"host${i * 97 % 100000}.com")
+      val n = time("web_pipeline_2m_sec") {
+        val deduped = Web.dedupByUrl(crawl)
+        val clean = Web.filterByBlocklist(deduped,
+          blockedDomains = domains,
+          blockedPhrases = r16Phrases().map(p => s"zz$p".replace(" ", " qq")))
+        val extracted = Html.extractText(clean, "html", "content").drop("html")
+        val en = graft.ext.TextStats.langId(extracted)
+          .filter($"pred_lang" === "en").drop("pred_lang")
+        Web.capPerDomain(en, maxPerDomain = 5).count()
+      }
+      println(s"PROBE   pipeline survivors = $n")
+      metrics += ("pipeline_survivors" -> n)
       writeOut(); return
     }
 

@@ -3763,6 +3763,28 @@ class ExtSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("Html.extractMetadata: title/canonical/description/lang incl. NULLs") {
+    import graft.ext.Html
+    val page = "<html lang=\"EN-us\"><head><title> Spark &amp;\n Friends </title>" +
+      "<link href=\"https://ex.com/a\" rel=\"canonical\">" +
+      "<meta content=\"A &quot;great&quot; page\" name=\"description\"></head>" +
+      "<body>x</body></html>"
+    val r = Html.extractMetadata(Seq(page).toDF("html"))
+      .select("title", "canonical_url", "meta_description", "declared_lang").head()
+    assert(r.getString(0) === "Spark & Friends") // decoded, collapsed, trimmed
+    assert(r.getString(1) === "https://ex.com/a") // href-before-rel order
+    assert(r.getString(2) === "A \"great\" page") // content-before-name order
+    assert(r.getString(3) === "en-us")
+    // rel-before-href order and absent fields → NULL, never ""
+    val bare = Html.extractMetadata(Seq(
+      "<link rel=\"canonical\" href=\"https://ex.com/b\"><p>no head</p>",
+      "<title></title><p>empty title is NULL</p>").toDF("html"))
+      .select("title", "canonical_url", "meta_description", "declared_lang").collect()
+    assert(bare(0).getString(1) === "https://ex.com/b")
+    assert(bare(0).isNullAt(0) && bare(0).isNullAt(2) && bare(0).isNullAt(3))
+    assert(bare(1).isNullAt(0) && bare(1).isNullAt(1))
+  }
+
   // --- X129: blocklist curation ------------------------------------------
 
   private def blockDocs = Seq(
