@@ -3870,6 +3870,31 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("X128/X129 plan shapes: extraction + blocklist are zero-shuffle; frame arm broadcasts") {
+    import graft.ext.Html
+    // extraction and both literal-blocklist arms must be pure scan-side
+    // projections/filters — an Exchange would mean a 100 TB pass shuffles
+    val ext = Html.extractText(blockDocs.withColumnRenamed("content", "html"),
+      "html", "content")
+    val lit0 = Web.blocklistTag(blockDocs,
+      blockedDomains = Seq("tracker.net"), blockedPhrases = Seq("x y"))
+    val auto0 = Web.blocklistTag(blockDocs,
+      blockedPhrases = Seq("x y"), phraseAutomatonAt = 1)
+    for (df <- Seq(ext, lit0, auto0)) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    }
+    // the domain-frame arm must broadcast the blocklist, never shuffle the
+    // corpus side
+    val framed = Web.blocklistTag(blockDocs,
+      blockedDomainsDf = Some(Seq("tracker.net").toDF("d")))
+    framed.collect()
+    val fplan = framed.queryExecution.executedPlan.toString
+    assert(fplan.contains("BroadcastHashJoin"), fplan)
+    assert(!fplan.contains("SortMergeJoin"), fplan)
+  }
+
   test("blocklistTag: automaton arm (phraseAutomatonAt=1) equals the regex arm") {
     val viaRegex = Web.blocklistTag(blockDocs, blockedPhrases = Seq("cheap pills"))
       .select("id", "block_reason").as[(String, String)].collect().toMap
