@@ -93,50 +93,92 @@ object Html {
   // it to Web.dedupByUrl), the meta description, and the html lang
   // attribute (the declared language, vs X8's detected one). All
   // regexp_extract projections — zero shuffle; empty match → NULL (a page
-  // without the field is a NULL, never ""). Same regex-extractor limits as
-  // the text chain; attribute ORDER is handled (href before or after
-  // rel="canonical"), quoting must be single or double (unquoted attribute
-  // values are out of contract).
+  // without the field is a NULL, never ""). Robustness decisions, each one
+  // a real-crawl failure mode:
+  //   - comments and script/style/noscript/template bodies are stripped
+  //     FIRST (a commented-out <title> or a document.write'd <link> must
+  //     not win over the live one) — the four extractors share the
+  //     identical strip subtree, so one projection evaluates it once
+  //     (codegen subexpression elimination);
+  //   - the search is bounded to the pre-<body> region when a <body> tag
+  //     exists (an inline SVG <title> in the body must not become the page
+  //     title); pages without <body> search whole;
+  //   - attribute VALUES capture per-quote ([^"]* inside "…", [^']* inside
+  //     '…') — a double-quoted value containing an apostrophe ("Jane's
+  //     blog") must not truncate at the apostrophe;
+  //   - attribute names require a preceding \s, not \b ('-' and ':' are
+  //     word boundaries — data-lang/xml:lang must not satisfy `lang`);
+  //   - both attribute orders are handled; unquoted attribute values stay
+  //     out of contract (as documented for the text chain).
 
   private def firstGroupOrNull(c: Column, pattern: String): Column = {
     val m = regexp_extract(c, pattern, 1)
     when(m === "", lit(null).cast("string")).otherwise(m)
   }
 
-  /** `<title>` text, entity-decoded, inner whitespace collapsed/trimmed;
-    * NULL when absent or empty. */
+  /** Comments and non-content containers removed — what the metadata
+    * extractors are allowed to see. */
+  private def stripNonContent(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    Containers.foldLeft(noComment) { (c, t) =>
+      regexp_replace(c, s"(?is)<$t\\b[^>]*>.*?</$t\\s*>", " ")
+    }
+  }
+
+  /** The stripped pre-<body> region (whole stripped doc when no <body>). */
+  private def headRegion(html: Column): Column = {
+    val stripped = stripNonContent(html)
+    coalesce(firstGroupOrNull(stripped, "(?is)^(.*?)<body\\b"), stripped)
+  }
+
+  /** All (order × quote) patterns for `<tag … sel="selVal" … val="(…)" …>`:
+    * the selector attribute may precede or follow the value attribute, and
+    * each may use single or double quotes, with the captured value class
+    * bound to ITS OWN opening quote. */
+  private def attrValue(region: Column, tag: String, selAttr: String,
+                        selVal: String, valAttr: String): Column = {
+    val quotes = Seq("\"", "'")
+    val pats = for {
+      sq <- quotes; vq <- quotes; selFirst <- Seq(true, false)
+    } yield {
+      val sel = s"\\s$selAttr\\s*=\\s*$sq$selVal$sq"
+      val v = s"\\s$valAttr\\s*=\\s*$vq([^$vq]*)$vq"
+      if (selFirst) s"(?is)<$tag\\b[^>]*$sel[^>]*$v[^>]*>"
+      else s"(?is)<$tag\\b[^>]*$v[^>]*$sel[^>]*>"
+    }
+    coalesce(pats.map(firstGroupOrNull(region, _)): _*)
+  }
+
+  /** `<title>` text (head region only), entity-decoded, inner whitespace
+    * collapsed/trimmed; NULL when absent or empty. */
   def titleOf(html: Column): Column = {
-    val raw = firstGroupOrNull(html, "(?is)<title[^>]*>(.*?)</title\\s*>")
+    val raw = firstGroupOrNull(headRegion(html), "(?is)<title[^>]*>(.*?)</title\\s*>")
     val decoded = HtmlEntities.decodeHtmlEntities(raw)
     firstGroupOrNull(
       regexp_replace(decoded, "[\\s\\u00A0]+", " "), "^ ?(.*?) ?$")
   }
 
-  /** `rel=canonical` href — checks both attribute orders; NULL when the
-    * link is absent. */
-  def canonicalUrlOf(html: Column): Column = {
-    val relFirst = firstGroupOrNull(html,
-      "(?is)<link\\b[^>]*\\brel\\s*=\\s*[\"']canonical[\"'][^>]*\\bhref\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>")
-    val hrefFirst = firstGroupOrNull(html,
-      "(?is)<link\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"']*)[\"'][^>]*\\brel\\s*=\\s*[\"']canonical[\"'][^>]*>")
-    coalesce(relFirst, hrefFirst)
-  }
+  /** `rel=canonical` href, entity-DECODED (a correctly serialized href
+    * writes `&` as `&amp;` — left undecoded it would corrupt the
+    * canonicalizeUrl dedup key); NULL when the link is absent. */
+  def canonicalUrlOf(html: Column): Column =
+    HtmlEntities.decodeHtmlEntities(
+      attrValue(headRegion(html), "link", "rel", "canonical", "href"))
 
   /** `<meta name="description" content="…">` — both attribute orders,
     * entity-decoded; NULL when absent. */
-  def metaDescriptionOf(html: Column): Column = {
-    val nameFirst = firstGroupOrNull(html,
-      "(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"']description[\"'][^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>")
-    val contentFirst = firstGroupOrNull(html,
-      "(?is)<meta\\b[^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"'][^>]*\\bname\\s*=\\s*[\"']description[\"'][^>]*>")
-    HtmlEntities.decodeHtmlEntities(coalesce(nameFirst, contentFirst))
-  }
+  def metaDescriptionOf(html: Column): Column =
+    HtmlEntities.decodeHtmlEntities(
+      attrValue(headRegion(html), "meta", "name", "description", "content"))
 
   /** The `<html lang="…">` declared language, lowercased; NULL when
     * undeclared. */
-  def declaredLangOf(html: Column): Column =
-    lower(firstGroupOrNull(html,
-      "(?is)<html\\b[^>]*\\blang\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>"))
+  def declaredLangOf(html: Column): Column = {
+    val region = headRegion(html)
+    lower(coalesce(
+      firstGroupOrNull(region, "(?is)<html\\b[^>]*\\slang\\s*=\\s*\"([^\"]*)\"[^>]*>"),
+      firstGroupOrNull(region, "(?is)<html\\b[^>]*\\slang\\s*=\\s*'([^']*)'[^>]*>")))
+  }
 
   /** Frame form: (title, canonical_url, meta_description, declared_lang)
     * appended — the head-metadata sidecar of a crawl scan, one zero-shuffle

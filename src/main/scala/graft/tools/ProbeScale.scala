@@ -363,8 +363,13 @@ object ProbeScale {
         .select($"id", $"content",
           concat(lit("<body><h1>Page &amp; no."), $"id", lit("</h1><p>"),
             $"content", lit("</p><script>var x=1;</script></body>")).as("html"),
+          // host hashes floor(id/2) — the SAME value the path carries —
+          // so the dup twins 2k/2k+1 really share a canonical URL (hashing
+          // the raw id gave the twins different hosts and the dedup stage
+          // silently measured a no-op)
           concat(lit("https://www.host"),
-            pmod(xxhash64($"id", lit(3)), lit(100000)).cast("string"),
+            pmod(xxhash64(floor($"id".cast("long") / 2).cast("long"), lit(3)),
+              lit(100000)).cast("string"),
             lit(".com/p/"), floor($"id".cast("long") / 2).cast("string"),
             when($"id".cast("long") % 2 === 1, lit("?utm_source=x"))
               .otherwise(lit(""))).as("url"))

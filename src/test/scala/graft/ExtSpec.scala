@@ -3785,6 +3785,32 @@ class ExtSpec extends AnyFunSuite {
     assert(bare(1).isNullAt(0) && bare(1).isNullAt(1))
   }
 
+  test("Html.extractMetadata robustness: comments, svg, quotes, attr prefixes") {
+    import graft.ext.Html
+    def meta(html: String) = Html.extractMetadata(Seq(html).toDF("html"))
+      .select("title", "canonical_url", "meta_description", "declared_lang").head()
+    // a commented-out title and a script-written link must NOT win
+    val r1 = meta("<head><!-- <title>Old draft</title> -->" +
+      "<script>document.write('<link rel=\"canonical\" href=\"https://spam/\">')</script>" +
+      "<title>Real</title><link rel=\"canonical\" href=\"https://real/\"></head>" +
+      "<body>x</body>")
+    assert(r1.getString(0) === "Real")
+    assert(r1.getString(1) === "https://real/")
+    // an inline SVG <title> in the body is NOT the page title
+    assert(meta("<head></head><body><svg><title>Menu icon</title></svg></body>").isNullAt(0))
+    // a double-quoted value keeps its apostrophes; href is entity-decoded
+    val r2 = meta("<head><meta name=\"description\" content=\"Jane's blog\">" +
+      "<link rel='canonical' href='https://ex.com/p?a=1&amp;b=2'></head><body/>")
+    assert(r2.getString(2) === "Jane's blog")
+    assert(r2.getString(1) === "https://ex.com/p?a=1&b=2")
+    // data-lang / data-name prefixes must not satisfy lang / name
+    val r3 = meta("<html data-lang=\"theme-dark\" lang=\"fr\"><head>" +
+      "<meta data-name=\"description\" content=\"not me\">" +
+      "<meta name=\"description\" content=\"yes me\"></head><body/></html>")
+    assert(r3.getString(3) === "fr")
+    assert(r3.getString(2) === "yes me")
+  }
+
   // --- X129: blocklist curation ------------------------------------------
 
   private def blockDocs = Seq(
