@@ -1864,6 +1864,53 @@ object EntryQueries {
         .select(col("id"), col("block_reason")),
       Some(automatonBlocklistOracle)),
 
+    // X132: semantic decontamination — benchmark = every 13th embedding
+    // (39 vectors); at 0.46 the exact-arm screen drops the 39 planted
+    // identity matches PLUS 3 genuine near-matches (458 survivors of 500).
+    // The oracle replays the NOT EXISTS against a brute-force cosine —
+    // the X20 n-gram decontaminator would see NONE of these (no token
+    // overlap in embedding space).
+    ("x132_semantic_decontaminate", (s: SparkSession, sfDir: String) => {
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val bench = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").cast("string").as("ref_id"), col("embedding"))
+      Dedup.semanticDecontaminate(e, bench, threshold = 0.46, numTables = 0)
+        .select(col("id"))
+    }, Some(
+      s"""WITH b AS (SELECT embedding FROM embeddings WHERE vec_id % 13 = 0)
+         |SELECT CAST(vec_id AS VARCHAR) AS id FROM embeddings a
+         |WHERE NOT EXISTS (SELECT 1 FROM b
+         |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |    CAST(b.embedding AS DOUBLE[])) >= 0.46)""".stripMargin)),
+
+    // X132b: the LSH arm's exactness gates, the x5b pattern — the bucketed
+    // candidate set is a SUBSET of the exact matches (no false positives
+    // survive the cosine verify) and recall ≥ 0.8 at these (tables, planes)
+    // on this corpus.
+    ("x132b_semantic_lsh", (s: SparkSession, sfDir: String) => {
+      import s.implicits._
+      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val bench = s.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").cast("string").as("ref_id"), col("embedding"))
+      val lsh = Dedup.embeddingMatchesAgainst(e, bench, threshold = 0.46,
+        numTables = 16, numPlanes = 4).select("id", "ref_id").persist()
+      val exact = Dedup.embeddingMatchesAgainst(e, bench, threshold = 0.46,
+        numTables = 0).select("id", "ref_id").persist()
+      try {
+        val falsePos = lsh.join(exact, Seq("id", "ref_id"), "left_anti").count()
+        val hits = lsh.join(exact, Seq("id", "ref_id"), "left_semi").count()
+        val total = exact.count()
+        Seq(("no_false_positives", falsePos == 0L),
+          ("recall_ge_0.8", total == 0L || hits.toDouble / total >= 0.8))
+          .toDF("metric", "ok")
+      } finally { lsh.unpersist(); exact.unpersist() }
+    }, Some("""SELECT * FROM (VALUES ('no_false_positives', true), ('recall_ge_0.8', true)
+              |) AS t(metric, ok)""".stripMargin)),
+
     // X130: the COMPOSED web-curation pipeline — the provenance-side
     // complement of x126's content-side chain: x124 URL canonicalization +
     // dedup (on the planted dup/tracking-param fixture) → x129 blocklist

@@ -1486,6 +1486,75 @@ object Dedup {
     }
   }
 
+  /** X132: cross-corpus embedding matches — every (corpus id, ref id, cos)
+    * with cosine ≥ `threshold` against a REFERENCE frame of benchmark
+    * embeddings. The SEMANTIC arm of decontamination: X20 catches n-gram
+    * surface overlap, but a paraphrased or re-worded benchmark item only
+    * shows up in embedding space. `numTables <= 0` = exact broadcast
+    * cross-verify — the oracle-checkable arm (a benchmark suite is small
+    * by nature and rides a broadcast; every corpus row pays |ref| codegen'd
+    * cosines, so this arm is for small refs or ground-truthing).
+    * `numTables > 0` = hyperplane-LSH bucketed candidates, cosine-verified
+    * — recall < 1 by design (gate it like x5b/x132b: no false positives,
+    * recall floor on a labeled set).
+    *
+    * Scale (LSH arm): the corpus never self-joins and its embeddings never
+    * shuffle — candidates are skinny (table, bucket) hash-join rows against
+    * the BROADCAST ref buckets, deduped to (id, ref_id) before the payload
+    * join brings each side's vector in exactly once. NULL embeddings on
+    * either side never match (and therefore never decontaminate).
+    */
+  def embeddingMatchesAgainst(corpus: DataFrame, ref: DataFrame,
+                              threshold: Double, idCol: String = "id",
+                              embCol: String = "embedding",
+                              refIdCol: String = "ref_id",
+                              refEmbCol: String = "embedding",
+                              numTables: Int = 8, numPlanes: Int = 12,
+                              dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .filter(col("emb").isNotNull)
+    val r = ref.select(col(refIdCol).as("ref_id"), col(refEmbCol).as("ref_emb"))
+      .filter(col("ref_emb").isNotNull)
+    if (numTables <= 0)
+      c.crossJoin(broadcast(r))
+        .select(col("id"), col("ref_id"),
+          VectorFunctions.cosine(col("emb"), col("ref_emb")).as("cos"))
+        .filter(col("cos") >= threshold)
+    else {
+      val cb = c.select(col("id"),
+        posexplode(Ann.lshBucketCol(col("emb"), numTables, numPlanes, dim, seed))
+          .as(Seq("table", "bucket")))
+      val rb = r.select(col("ref_id"),
+        posexplode(Ann.lshBucketCol(col("ref_emb"), numTables, numPlanes, dim, seed))
+          .as(Seq("table", "bucket")))
+      val cand = cb.join(broadcast(rb), Seq("table", "bucket"))
+        .select(col("id"), col("ref_id")).distinct()
+      cand.join(c, "id").join(broadcast(r), "ref_id")
+        .select(col("id"), col("ref_id"),
+          VectorFunctions.cosine(col("emb"), col("ref_emb")).as("cos"))
+        .filter(col("cos") >= threshold)
+    }
+  }
+
+  /** X132 curation form: the corpus rows whose embedding matches NO
+    * benchmark embedding at ≥ `threshold` — schema passthrough. Rows with
+    * a NULL embedding cannot be screened and pass through (the same
+    * missing-field-never-drops convention as the X129 blocklist).
+    */
+  def semanticDecontaminate(corpus: DataFrame, ref: DataFrame,
+                            threshold: Double = 0.9, idCol: String = "id",
+                            embCol: String = "embedding",
+                            refIdCol: String = "ref_id",
+                            refEmbCol: String = "embedding",
+                            numTables: Int = 8, numPlanes: Int = 12,
+                            dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val hitCol = WorkingColumns.fresh(corpus, "__hit_id")
+    val hit = embeddingMatchesAgainst(corpus, ref, threshold, idCol, embCol,
+        refIdCol, refEmbCol, numTables, numPlanes, dim, seed)
+      .select(col("id").as(hitCol)).distinct()
+    corpus.join(hit, corpus(idCol) === col(hitCol), "left_anti")
+  }
+
   // -------------------------------------------------------------------------
   // Semantic dedup (SemDeDup)
   // -------------------------------------------------------------------------

@@ -391,6 +391,35 @@ object ProbeScale {
       writeOut(); return
     }
 
+    // `r16e` = X132 semantic decontamination at 1M corpus vectors × 10k
+    // benchmark vectors (every 100th corpus vector planted as the bench):
+    // identity matches share every LSH bucket, so the planted recall is
+    // exactly 1.0 and the survivor count pins correctness while the clock
+    // pins the LSH arm's cost (candidates ≈ tables × |C|×|R| / 2^planes —
+    // 8 × 1M × 10k / 65536 ≈ 1.2M skinny rows, embeddings never shuffle).
+    if (mode.contains("r16e")) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-r16e-").toString
+      val dim = 64
+      val emb = array((0 until dim).map(d =>
+        ((pmod(xxhash64($"id", lit(d)), lit(2000)).cast("double") / 1000.0) - 1.0)
+          .cast("float")): _*)
+      spark.range(1000000L).repartition(64)
+        .select($"id".cast("string").as("id"), emb.as("embedding"))
+        .write.mode("overwrite").parquet(s"$tmp/vecs.parquet")
+      val corpus = spark.read.parquet(s"$tmp/vecs.parquet")
+      val bench = corpus.filter(xxhash64($"id", lit(9)) % 100 === 0)
+        .select($"id".as("ref_id"), $"embedding")
+      val planted = bench.count()
+      val kept = time("semantic_decon_1m_x_10k_sec")(
+        Dedup.semanticDecontaminate(corpus, bench, threshold = 0.95,
+          numTables = 8, numPlanes = 16).count())
+      println(s"PROBE   planted = $planted kept = $kept")
+      require(kept <= 1000000L - planted,
+        s"identity recall must be 1.0: kept $kept of 1M with $planted planted")
+      metrics += ("decon_planted" -> planted, "decon_kept" -> kept)
+      writeOut(); return
+    }
+
     val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id".cast("string").as("id"), $"text".as("content"),
         map(lit("lang"), $"lang").as("metadata"))

@@ -3858,6 +3858,32 @@ class ExtSpec extends AnyFunSuite {
     assert(Web.blocklistTag(blockDocs, blockedDomainsDf = Some(dupDf)).count() === 7)
   }
 
+  // --- X132: semantic decontamination --------------------------------------
+
+  test("semanticDecontaminate: drops embedding matches, NULLs pass, LSH ⊆ exact") {
+    val corpus = Seq(
+      ("c1", Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      ("c2", Array(0.9f, 0.1f, 0.0f, 0.0f)), // near c1's direction
+      ("c3", Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      ("c4", null.asInstanceOf[Array[Float]]) // unscreenable: must survive
+    ).toDF("id", "embedding")
+    val bench = Seq(("b1", Array(2.0f, 0.0f, 0.0f, 0.0f))) // same direction as c1
+      .toDF("ref_id", "embedding")
+    val m = Dedup.embeddingMatchesAgainst(corpus, bench, threshold = 0.95,
+        numTables = 0)
+      .select("id", "ref_id").as[(String, String)].collect().toSet
+    assert(m === Set(("c1", "b1"), ("c2", "b1"))) // cos(c2,b1) ≈ 0.994
+    val kept = Dedup.semanticDecontaminate(corpus, bench, threshold = 0.95,
+        numTables = 0)
+      .select("id").as[String].collect().toSet
+    assert(kept === Set("c3", "c4"))
+    // LSH arm: verified pairs are a subset of exact (here: equal, tiny corpus)
+    val lsh = Dedup.embeddingMatchesAgainst(corpus, bench, threshold = 0.95,
+        numTables = 16, numPlanes = 2, dim = 4)
+      .select("id", "ref_id").as[(String, String)].collect().toSet
+    assert(lsh.subsetOf(m))
+  }
+
   // --- X131: Aho-Corasick multi-phrase matching ---------------------------
 
   test("PhraseAutomaton: boundaries, nesting, edges — regex-\\b parity by hand") {
