@@ -1499,10 +1499,18 @@ object Dedup {
     * recall floor on a labeled set).
     *
     * Scale (LSH arm): the corpus never self-joins and its embeddings never
-    * shuffle — candidates are skinny (table, bucket) hash-join rows against
-    * the BROADCAST ref buckets, deduped to (id, ref_id) before the payload
-    * join brings each side's vector in exactly once. NULL embeddings on
-    * either side never match (and therefore never decontaminate).
+    * shuffle — the ref buckets BROADCAST with their vectors, and the cosine
+    * is verified AT the bucket join, fused into the join pipeline: a hot
+    * bucket degrades to extra codegen'd compute, never a materialized
+    * candidate set or a payload shuffle, and only matched skinny
+    * (id, ref_id, cos) rows reach the dedup exchange. Corpus-side
+    * mega-buckets (> `maxBucket` rows — the cone-concentrated-encoder
+    * shape) are additionally skipped per table via a broadcast anti-join
+    * against a skinny second-pass hot list, the [[embeddingDupPairs]] cap
+    * discipline: a member of a skipped bucket is still covered by its
+    * OTHER tables, so the cap costs bounded recall (gated by x132b), not
+    * correctness. NULL embeddings on either side never match (and
+    * therefore never decontaminate).
     */
   def embeddingMatchesAgainst(corpus: DataFrame, ref: DataFrame,
                               threshold: Double, idCol: String = "id",
@@ -1510,7 +1518,8 @@ object Dedup {
                               refIdCol: String = "ref_id",
                               refEmbCol: String = "embedding",
                               numTables: Int = 8, numPlanes: Int = 12,
-                              dim: Int = 64, seed: Long = 42L): DataFrame = {
+                              dim: Int = 64, seed: Long = 42L,
+                              maxBucket: Int = 4096): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
       .filter(col("emb").isNotNull)
     val r = ref.select(col(refIdCol).as("ref_id"), col(refEmbCol).as("ref_emb"))
@@ -1521,18 +1530,26 @@ object Dedup {
           VectorFunctions.cosine(col("emb"), col("ref_emb")).as("cos"))
         .filter(col("cos") >= threshold)
     else {
-      val cb = c.select(col("id"),
-        posexplode(Ann.lshBucketCol(col("emb"), numTables, numPlanes, dim, seed))
-          .as(Seq("table", "bucket")))
-      val rb = r.select(col("ref_id"),
-        posexplode(Ann.lshBucketCol(col("ref_emb"), numTables, numPlanes, dim, seed))
-          .as(Seq("table", "bucket")))
-      val cand = cb.join(broadcast(rb), Seq("table", "bucket"))
-        .select(col("id"), col("ref_id")).distinct()
-      cand.join(c, "id").join(broadcast(r), "ref_id")
+      // payload rides the exploded frames (×tables memory bandwidth in the
+      // scan pipeline, nothing shuffles) — Ann.lshTables is the skinny
+      // form of this projection
+      def tables(df: DataFrame, idName: String, embName: String): DataFrame =
+        df.select(col(idName), col(embName),
+          posexplode(Ann.lshBucketCol(col(embName), numTables, numPlanes, dim, seed))
+            .as(Seq("table", "bucket")))
+      val hot = Ann.lshTables(c, "id", "emb", numTables, numPlanes, dim, seed)
+        .groupBy(col("table"), col("bucket"))
+        .agg(count(lit(1)).as("__sz"))
+        .filter(col("__sz") > maxBucket)
+        .select(col("table"), col("bucket"))
+      val cb = tables(c, "id", "emb")
+        .join(broadcast(hot), Seq("table", "bucket"), "left_anti")
+      val rb = tables(r, "ref_id", "ref_emb")
+      cb.join(broadcast(rb), Seq("table", "bucket"))
         .select(col("id"), col("ref_id"),
           VectorFunctions.cosine(col("emb"), col("ref_emb")).as("cos"))
         .filter(col("cos") >= threshold)
+        .dropDuplicates("id", "ref_id")
     }
   }
 
@@ -1547,10 +1564,11 @@ object Dedup {
                             refIdCol: String = "ref_id",
                             refEmbCol: String = "embedding",
                             numTables: Int = 8, numPlanes: Int = 12,
-                            dim: Int = 64, seed: Long = 42L): DataFrame = {
+                            dim: Int = 64, seed: Long = 42L,
+                            maxBucket: Int = 4096): DataFrame = {
     val hitCol = WorkingColumns.fresh(corpus, "__hit_id")
     val hit = embeddingMatchesAgainst(corpus, ref, threshold, idCol, embCol,
-        refIdCol, refEmbCol, numTables, numPlanes, dim, seed)
+        refIdCol, refEmbCol, numTables, numPlanes, dim, seed, maxBucket)
       .select(col("id").as(hitCol)).distinct()
     corpus.join(hit, corpus(idCol) === col(hitCol), "left_anti")
   }
