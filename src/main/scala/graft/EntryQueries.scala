@@ -1911,6 +1911,39 @@ object EntryQueries {
     }, Some("""SELECT * FROM (VALUES ('no_false_positives', true), ('recall_ge_0.8', true)
               |) AS t(metric, ok)""".stripMargin)),
 
+    // X133: the COMPOSED embedding pipeline — the vector-side triad
+    // completion (x126 = content, x130 = web): chunk (X26, stride=size) →
+    // deterministic stub embedder (8 dims from md5 hex pairs — engine-
+    // replayable, standing in for the mapPartitions model contract) →
+    // mean-pool + L2 normalize per doc (X55) → int8 quantize (X46) →
+    // cosine screen against a literal query (X6's scoring). The similarity
+    // is computed on the QUANTIZED BYTE vectors — cosine is scale-invariant
+    // per side, so this equals scoring the dequantized floats while the
+    // byte values are exactly representable in float (no float-sum
+    // knife-edges in the final compare). The oracle chains each stage's
+    // proven standalone SQL shape (x26 chunking, x55 pooling, x46
+    // floor-quantization) in MATERIALIZED CTEs.
+    ("x133_embed_pipeline", (s: SparkSession, sfDir: String) => {
+      val docs = docsFrame(s, sfDir).select("id", "content")
+      val chunks = Pipeline.chunkDocuments(docs, chunkSize = 32, stride = 32)
+      // 4 dims of 8 md5 hex chars each (the full 32-char digest): the
+      // 2^31-denominator grid makes floor(v/scale + 0.5) half-boundaries
+      // measure-zero — the 2-hex-char (1/255) grid put v/scale on EXACT
+      // .5 values and the two engines' last-ulp differences flipped bytes.
+      // Both sides round through FLOAT (the model-output dtype).
+      val emb = array((0 until 4).map(d =>
+        (conv(substring(md5(col("chunk_text")), d * 8 + 1, 8), 16, 10)
+          .cast("double") / 2147483647.5 - 1).cast("float")): _*)
+      val pooled = Pipeline.poolEmbeddings(
+        chunks.select(col("id"), emb.as("embedding")))
+      val qz = Quantize.quantizeInt8(pooled)
+      val qvec = Seq(0.625f, -0.25f, 0.375f, -0.5f) // dyadic: float == double
+      val sim = graft.functions.VectorFunctions.cosine(
+        transform(col("q"), x => x.cast("float")),
+        array(qvec.map(lit): _*))
+      qz.select(col("id"), col("n_chunks"), round(sim, 6).as("sim"))
+    }, Some(embedPipelineOracle)),
+
     // X130: the COMPOSED web-curation pipeline — the provenance-side
     // complement of x126's content-side chain: x124 URL canonicalization +
     // dedup (on the planted dup/tracking-param fixture) → x129 blocklist
@@ -4383,6 +4416,46 @@ object EntryQueries {
       |SELECT id, canonical,
       |  (row_number() OVER (PARTITION BY canonical ORDER BY md5(id) ASC, id ASC)) = 1 AS kept
       |FROM c""".stripMargin
+
+  /** x133 oracle: the composed embedding pipeline in MATERIALIZED CTEs —
+    * x26's chunking (stride = size), the md5-hex-pair stub embedder, x55's
+    * pooling shape (per-dim double sums / count, L2 normalize), x46's
+    * floor(x/scale + 0.5) quantization, and the cosine against the literal
+    * query on the BYTE vectors (scale cancels; byte products are exact).
+    */
+  private lazy val embedPipelineOracle: String = {
+    val qvec = Seq(0.625, -0.25, 0.375, -0.5)
+    val qRows = qvec.zipWithIndex.map { case (v, d) => s"($d, $v)" }.mkString(", ")
+    s"""WITH t AS MATERIALIZED (SELECT $DocId AS id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+       | m AS (SELECT id, w, CAST(len(w) AS BIGINT) AS n FROM t WHERE len(w) > 0),
+       | ch AS MATERIALIZED (SELECT id, array_to_string(
+       |      w[CAST(chunk_idx * 32 + 1 AS BIGINT) : CAST(chunk_idx * 32 + 32 AS BIGINT)], ' ') AS chunk_text
+       |    FROM (SELECT id, w, n, unnest(range(CAST(CASE WHEN n <= 32 THEN 1
+       |      ELSE 1 + (n - 32 + 31) // 32 END AS BIGINT))) AS chunk_idx FROM m)),
+       | ce AS MATERIALIZED (SELECT id,
+       |      CAST(CAST(('0x' || substr(md5(chunk_text), 8 * d + 1, 8))::BIGINT
+       |        / 2147483647.5 - 1 AS FLOAT) AS DOUBLE) AS v, d
+       |    FROM ch, unnest([0, 1, 2, 3]) AS u(d)),
+       | cnt AS (SELECT id, CAST(count(*) AS BIGINT) // 4 AS n_chunks FROM ce GROUP BY 1),
+       | sm AS (SELECT id, d, SUM(v) AS s FROM ce GROUP BY 1, 2),
+       | mean AS (SELECT s.id, s.d, s.s / c.n_chunks AS mv FROM sm s JOIN cnt c USING (id)),
+       | nrm AS (SELECT id, sqrt(SUM(mv * mv)) AS nm FROM mean GROUP BY 1),
+       | o AS MATERIALIZED (SELECT m.id, m.d,
+       |      CASE WHEN n.nm = 0 THEN m.mv ELSE m.mv / n.nm END AS v
+       |    FROM mean m JOIN nrm n USING (id)),
+       | sc AS (SELECT id, max(abs(v)) / 127.0 AS scale FROM o GROUP BY 1),
+       | qv AS (SELECT o.id, o.d,
+       |      CASE WHEN sc.scale = 0 THEN 0.0 ELSE floor(o.v / sc.scale + 0.5) END AS q
+       |    FROM o JOIN sc USING (id)),
+       | qq AS (SELECT * FROM (VALUES $qRows) AS x(d, qd)),
+       | dt AS (SELECT qv.id, SUM(qv.q * qq.qd) AS dot,
+       |      sqrt(SUM(qv.q * qv.q)) AS nq FROM qv JOIN qq USING (d) GROUP BY 1),
+       | qn AS (SELECT sqrt(${qvec.map(v => s"($v * $v)").mkString(" + ")}) AS qnorm)
+       |SELECT dt.id, cnt.n_chunks,
+       |  round(CASE WHEN dt.nq = 0 THEN 0.0 ELSE dt.dot / (dt.nq * qn.qnorm) END, 6) AS sim
+       |FROM dt JOIN cnt USING (id), qn""".stripMargin
+  }
 
   /** x130 oracle: the composed web pipeline, each stage a MATERIALIZED CTE
     * (the x126 lesson — inlined CTEs re-evaluate the chain multiplicatively)
