@@ -1944,6 +1944,31 @@ object EntryQueries {
       qz.select(col("id"), col("n_chunks"), round(sim, 6).as("sim"))
     }, Some(embedPipelineOracle)),
 
+    // X134: WARC-lite source roundtrip — every doc formatted as a WARC
+    // response record (formatResponse), written through the ordinary text
+    // sink across 4 part files, re-read by the Hadoop-delimiter reader,
+    // and parsed back to (uri-derived id, type, status, content type,
+    // body md5). The oracle derives the expected values from the
+    // synthesis directly — if record splitting, header parsing, HTTP
+    // framing, or the separator trim were wrong anywhere, the md5s break.
+    ("x134_warc_roundtrip", (s: SparkSession, sfDir: String) => {
+      val out = tempDirCleanedOnExit("graft-warc-")
+      docsFrame(s, sfDir).select(
+        graft.sources.Warc.formatResponse(
+          concat(lit("https://crawl.example/doc/"), col("id")),
+          lit("2024-01-01T00:00:00Z"),
+          lit("text/plain"),
+          col("content")).as("value"))
+        .coalesce(4).write.mode("overwrite").text(s"$out/crawl")
+      graft.sources.Warc.read(s, s"$out/crawl")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).as("id"),
+          col("warc_type"), col("http_status"), col("content_type"),
+          md5(col("body")).as("h"))
+    }, Some(s"""SELECT $DocId AS id, 'response' AS warc_type,
+               |  200 AS http_status, 'text/plain' AS content_type,
+               |  md5(text) AS h FROM documents""".stripMargin)),
+
     // X130: the COMPOSED web-curation pipeline — the provenance-side
     // complement of x126's content-side chain: x124 URL canonicalization +
     // dedup (on the planted dup/tracking-param fixture) → x129 blocklist

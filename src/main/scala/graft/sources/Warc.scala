@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** X134: WARC-lite source — the crawl-native input format (Common Crawl
+  * WARC/1.0) as a distributed reader, completing the crawl story:
+  * Warc.read → [[graft.ext.Html.htmlToText]] / `extractMetadata` →
+  * [[graft.ext.Web]] curation.
+  *
+  * Record splitting is the classic Hadoop-delimiter technique: the text
+  * input format's record delimiter is set to the `WARC/1.0\r\n` version
+  * marker, so SPLITS are computed by the input format (block-aligned,
+  * mid-record splits handled by Hadoop's line-reader semantics) and no
+  * driver-side parsing ever happens — a 100 TB crawl reads as ordinary
+  * partitioned records. Everything after the split is codegen'd column
+  * work: WARC headers, the HTTP status line, HTTP headers, and the body
+  * are `regexp_extract` projections over each record string.
+  *
+  * Documented limits of the lite reader (each a deliberate scope cut):
+  *   - UNCOMPRESSED WARC only. Common Crawl's `.warc.gz` is per-record
+  *     gzip (member-concatenated) — splittable decompression needs a
+  *     custom codec, and a gzip record is not text. Decompress upstream
+  *     or extend with a codec.
+  *   - Marker-based splitting, not Content-Length framing: a BODY that
+  *     contains the exact bytes `WARC/1.0\r\n` mis-splits (vanishingly
+  *     rare in practice; the full fix is a custom InputFormat that honors
+  *     Content-Length).
+  *   - Binary payloads survive only as far as UTF-8 decoding allows
+  *     (Hadoop Text replaces invalid sequences) — for text payloads
+  *     (text/plain, text/html, the target use) this is lossless.
+  */
+object Warc {
+
+  /** The record marker — also the Hadoop record delimiter. */
+  val VersionMarker = "WARC/1.0\r\n"
+
+  /** Read an uncompressed WARC stream into parsed records:
+    * (warc_type, target_uri, warc_date, record_id, http_status,
+    * content_type, body, record) — NULL for fields a record does not
+    * carry (a `warcinfo` record has no target URI; a `request` record's
+    * payload has no HTTP status line). `body` is the payload after the
+    * HTTP header block for records that have one (else the raw payload),
+    * with the inter-record separator CRLFs stripped.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", VersionMarker)
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+        path,
+        classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text],
+        conf)
+      .map(_._2.toString)
+      .filter(_.nonEmpty) // the empty piece before the first marker
+    parseRecords(spark.createDataset(rdd)(Encoders.STRING).toDF("record"))
+  }
+
+  /** A WARC named header value (case-insensitive, first occurrence),
+    * NULL when absent. */
+  private def warcHeader(headers: org.apache.spark.sql.Column, name: String) = {
+    val v = regexp_extract(headers, s"(?im)^${name}:[ \\t]*(.*?)\\r?$$", 1)
+    when(v === "", lit(null).cast("string")).otherwise(v)
+  }
+
+  /** Parse a frame of raw record strings (version marker already
+    * stripped by the reader). Exposed for tests and for streams that
+    * arrive pre-split.
+    */
+  def parseRecords(raw: DataFrame): DataFrame = {
+    // WARC header block = up to the first blank line; payload = the rest.
+    // A record with NO blank line (truncated) is ALL headers, payload NULL.
+    val hdr = regexp_extract(col("record"), "(?s)^(.*?)\\r\\n\\r\\n", 1)
+    val warcHeaders = when(hdr === "", col("record")).otherwise(hdr)
+    val payload = when(hdr === "", lit(null).cast("string"))
+      .otherwise(col("record").substr(
+        length(col("__headers")) + lit(5), length(col("record"))))
+    val httpStatus0 = regexp_extract(col("__payload"), "^HTTP/[0-9.]+[ \\t]+(\\d{3})", 1)
+    val httpHeaders = regexp_extract(col("__payload"), "(?s)^(HTTP/.*?)\\r\\n\\r\\n", 1)
+    // body: payload minus the HTTP header block when one exists, with the
+    // inter-record separator newlines stripped from the tail
+    val body0 = when(col("__http_headers") === "", col("__payload"))
+      .otherwise(col("__payload").substr(
+        length(col("__http_headers")) + lit(5), length(col("__payload"))))
+    raw
+      .withColumn("__headers", warcHeaders)
+      .withColumn("__payload", payload)
+      .withColumn("__http_headers", httpHeaders)
+      .select(
+        warcHeader(col("__headers"), "WARC-Type").as("warc_type"),
+        warcHeader(col("__headers"), "WARC-Target-URI").as("target_uri"),
+        warcHeader(col("__headers"), "WARC-Date").as("warc_date"),
+        warcHeader(col("__headers"), "WARC-Record-ID").as("record_id"),
+        when(httpStatus0 === "", lit(null).cast("int"))
+          .otherwise(httpStatus0.cast("int")).as("http_status"),
+        warcHeader(col("__http_headers"), "Content-Type").as("content_type"),
+        regexp_replace(body0, "[\\r\\n]+$", "").as("body"),
+        col("record"))
+  }
+
+  /** Format (uri, date, contentType, htmlBody) rows as WARC response
+    * records — one record string per row, version marker included, ready
+    * for `df.write.text` (the writer's `\n` row separator lands after
+    * each record's closing CRLFs and is stripped by the reader's body
+    * trim). The write side of the lite roundtrip; Content-Length is the
+    * HTTP payload length in characters (ASCII payloads: bytes).
+    */
+  def formatResponse(uri: org.apache.spark.sql.Column,
+                     date: org.apache.spark.sql.Column,
+                     contentType: org.apache.spark.sql.Column,
+                     body: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val http = concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "), contentType,
+      lit("\r\n\r\n"), body)
+    concat(
+      lit(VersionMarker),
+      lit("WARC-Type: response\r\nWARC-Target-URI: "), uri,
+      lit("\r\nWARC-Date: "), date,
+      lit("\r\nContent-Length: "), length(http).cast("string"),
+      lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+  }
+}

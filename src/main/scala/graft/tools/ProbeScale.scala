@@ -420,6 +420,32 @@ object ProbeScale {
       writeOut(); return
     }
 
+    // `r16f` = the X134 WARC-lite reader at 2M records: format the shared
+    // synthetic corpus as WARC responses through the text sink (64 part
+    // files), then read + parse + aggregate. The reader is the Hadoop
+    // delimiter split + codegen'd header regexes — the probe pins that a
+    // crawl-scale scan stays a flat distributed read (no driver parsing).
+    if (mode.contains("r16f")) {
+      import graft.sources.Warc
+      val tmp = java.nio.file.Files.createTempDirectory("graft-r16f-").toString
+      r16SynthDocs().select(
+        Warc.formatResponse(
+          concat(lit("https://crawl.example/doc/"), $"id"),
+          lit("2024-01-01T00:00:00Z"), lit("text/plain"), $"content").as("value"))
+        .write.mode("overwrite").text(s"$tmp/crawl")
+      val parsed = time("warc_read_2m_sec")(
+        Warc.read(spark, s"$tmp/crawl")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"http_status" === 200, 1L).otherwise(0L)).as("ok"),
+            sum(length($"body")).as("chars")).head())
+      println(s"PROBE   warc parsed = $parsed")
+      require(parsed.getLong(0) == 2000000L && parsed.getLong(1) == 2000000L,
+        s"every record must parse: $parsed")
+      metrics += ("warc_records" -> parsed.getLong(0),
+        "warc_body_chars" -> parsed.getLong(2))
+      writeOut(); return
+    }
+
     val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id".cast("string").as("id"), $"text".as("content"),
         map(lit("lang"), $"lang").as("metadata"))

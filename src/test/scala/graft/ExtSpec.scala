@@ -3858,6 +3858,37 @@ class ExtSpec extends AnyFunSuite {
     assert(Web.blocklistTag(blockDocs, blockedDomainsDf = Some(dupDf)).count() === 7)
   }
 
+  // --- X134: WARC-lite source ----------------------------------------------
+
+  test("Warc: record split, header/HTTP parse, NULL fields by record type") {
+    import graft.sources.Warc
+    val tmp = java.nio.file.Files.createTempDirectory("graft-warc-").toString
+    val warcinfo = "WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:1>\r\n\r\n" +
+      "software: graft\r\n\r\n"
+    val resp = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ex.com/a\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\n\r\nHTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n\r\n<p>Hello &amp; bye</p>\r\n\r\n"
+    val req = "WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: https://ex.com/a\r\n\r\n" +
+      "GET /a HTTP/1.1\r\nHost: ex.com\r\n\r\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/f.warc"), warcinfo + resp + req)
+    val df = Warc.read(spark, s"$tmp/f.warc")
+    assert(df.count() === 3)
+    val byType = df.collect().map(r => r.getAs[String]("warc_type") -> r).toMap
+    val rr = byType("response")
+    assert(rr.getAs[String]("target_uri") === "https://ex.com/a")
+    assert(rr.getAs[Int]("http_status") === 200)
+    assert(rr.getAs[String]("content_type") === "text/html; charset=utf-8")
+    assert(rr.getAs[String]("body") === "<p>Hello &amp; bye</p>")
+    val wi = byType("warcinfo")
+    assert(wi.getAs[String]("target_uri") === null) // warcinfo has no URI
+    assert(wi.isNullAt(wi.fieldIndex("http_status"))) // and no HTTP payload
+    assert(wi.getAs[String]("body") === "software: graft")
+    val rq = byType("request")
+    assert(rq.isNullAt(rq.fieldIndex("http_status"))) // a GET line is no status
+    assert(rq.getAs[String]("body") === "GET /a HTTP/1.1\r\nHost: ex.com")
+  }
+
   // --- X132: semantic decontamination --------------------------------------
 
   test("semanticDecontaminate: drops embedding matches, NULLs pass, LSH ⊆ exact") {
