@@ -1913,7 +1913,7 @@ object EntryQueries {
 
     // X133: the COMPOSED embedding pipeline — the vector-side triad
     // completion (x126 = content, x130 = web): chunk (X26, stride=size) →
-    // deterministic stub embedder (8 dims from md5 hex pairs — engine-
+    // deterministic stub embedder (4 dims from md5 8-hex segments — engine-
     // replayable, standing in for the mapPartitions model contract) →
     // mean-pool + L2 normalize per doc (X55) → int8 quantize (X46) →
     // cosine screen against a literal query (X6's scoring). The similarity

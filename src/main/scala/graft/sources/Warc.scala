@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** X134: WARC-lite source — the crawl-native input format (Common Crawl
@@ -29,6 +29,9 @@ import org.apache.spark.sql.functions._
   *   - Binary payloads survive only as far as UTF-8 decoding allows
   *     (Hadoop Text replaces invalid sequences) — for text payloads
   *     (text/plain, text/html, the target use) this is lossless.
+  *   - Header continuation lines (ISO 28500 LWS folding) are not
+  *     unfolded: a folded value truncates at its first line. Folded
+  *     headers are rare in crawl output; unfold upstream if present.
   */
 object Warc {
 
@@ -41,22 +44,16 @@ object Warc {
     * carry (a `warcinfo` record has no target URI; a `request` record's
     * payload has no HTTP status line). `body` is the payload after the
     * HTTP header block for records that have one (else the raw payload),
-    * with the inter-record separator CRLFs stripped.
+    * with exactly one inter-record separator unit stripped.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val conf = new org.apache.hadoop.conf.Configuration(
-      spark.sparkContext.hadoopConfiguration)
-    conf.set("textinputformat.record.delimiter", VersionMarker)
-    val rdd = spark.sparkContext.newAPIHadoopFile(
-        path,
-        classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
-        classOf[org.apache.hadoop.io.LongWritable],
-        classOf[org.apache.hadoop.io.Text],
-        conf)
-      .map(_._2.toString)
-      .filter(_.nonEmpty) // the empty piece before the first marker
-    parseRecords(spark.createDataset(rdd)(Encoders.STRING).toDF("record"))
-  }
+  def read(spark: SparkSession, path: String): DataFrame =
+    // the text DATASOURCE carries the custom delimiter (lineSep accepts a
+    // multi-char separator): same Hadoop line-reader split semantics as a
+    // hand-rolled newAPIHadoopFile, but with file listing, metrics, and
+    // the DataFrame path for free
+    parseRecords(spark.read.option("lineSep", VersionMarker).text(path)
+      .withColumnRenamed("value", "record")
+      .filter(length(col("record")) > 0)) // the piece before the first marker
 
   /** A WARC named header value (case-insensitive, first occurrence),
     * NULL when absent. */
@@ -77,10 +74,18 @@ object Warc {
     val payload = when(hdr === "", lit(null).cast("string"))
       .otherwise(col("record").substr(
         length(col("__headers")) + lit(5), length(col("record"))))
-    val httpStatus0 = regexp_extract(col("__payload"), "^HTTP/[0-9.]+[ \\t]+(\\d{3})", 1)
+    // the HTTP block must be BLANK-LINE-TERMINATED to be recognized: a
+    // truncated "HTTP/1.1 200 OK\r\nContent-Type: x" tail record parses
+    // as status NULL + raw body, never as a status with headers leaking
+    // into the body (the consistent-parse contract)
     val httpHeaders = regexp_extract(col("__payload"), "(?s)^(HTTP/.*?)\\r\\n\\r\\n", 1)
-    // body: payload minus the HTTP header block when one exists, with the
-    // inter-record separator newlines stripped from the tail
+    val httpStatus0 = regexp_extract(col("__http_headers"), "^HTTP/[0-9.]+[ \\t]+(\\d{3})", 1)
+    // body: payload minus the HTTP header block when one exists, with
+    // EXACTLY ONE inter-record separator unit stripped from the tail
+    // (\r\n\r\n + the text-writer newline, or either alone) — a payload-
+    // owned trailing newline BEFORE the separator survives, so the
+    // formatResponse → read roundtrip is lossless for newline-terminated
+    // bodies
     val body0 = when(col("__http_headers") === "", col("__payload"))
       .otherwise(col("__payload").substr(
         length(col("__http_headers")) + lit(5), length(col("__payload"))))
@@ -96,7 +101,7 @@ object Warc {
         when(httpStatus0 === "", lit(null).cast("int"))
           .otherwise(httpStatus0.cast("int")).as("http_status"),
         warcHeader(col("__http_headers"), "Content-Type").as("content_type"),
-        regexp_replace(body0, "[\\r\\n]+$", "").as("body"),
+        regexp_replace(body0, "(\\r\\n\\r\\n\\n?|\\n)$", "").as("body"),
         col("record"))
   }
 

@@ -3889,6 +3889,31 @@ class ExtSpec extends AnyFunSuite {
     assert(rq.getAs[String]("body") === "GET /a HTTP/1.1\r\nHost: ex.com")
   }
 
+  test("Warc: formatResponse→read roundtrip is lossless for newline-terminated bodies") {
+    import graft.sources.Warc
+    val tmp = java.nio.file.Files.createTempDirectory("graft-warc-rt-").toString
+    // "</html>\n" tails are the norm in real crawl payloads — exactly ONE
+    // separator unit must be trimmed, the payload-owned \n survives
+    val bodies = Seq("<html>a</html>\n", "plain no newline", "tail crlf\r\n")
+    bodies.zipWithIndex.toDF("body", "i")
+      .select(Warc.formatResponse(concat(lit("https://x/"), col("i")),
+        lit("2024-01-01T00:00:00Z"), lit("text/html"), col("body")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(s"$tmp/rt")
+    val back = Warc.read(spark, s"$tmp/rt")
+      .select(regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("int").as("i"),
+        col("body")).as[(Int, String)].collect().toMap
+    assert(back(0) === "<html>a</html>\n")
+    assert(back(1) === "plain no newline")
+    assert(back(2) === "tail crlf\r\n")
+    // truncated HTTP block (no blank line): status NULL, raw body — never
+    // a status with headers leaking into the body
+    val trunc = Warc.parseRecords(Seq(
+      "WARC-Type: response\r\n\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html")
+      .toDF("record")).head()
+    assert(trunc.isNullAt(trunc.fieldIndex("http_status")))
+    assert(trunc.getAs[String]("body") === "HTTP/1.1 200 OK\r\nContent-Type: text/html")
+  }
+
   // --- X132: semantic decontamination --------------------------------------
 
   test("semanticDecontaminate: drops embedding matches, NULLs pass, LSH ⊆ exact") {
