@@ -3914,6 +3914,29 @@ class ExtSpec extends AnyFunSuite {
     assert(trunc.getAs[String]("body") === "HTTP/1.1 200 OK\r\nContent-Type: text/html")
   }
 
+  test("Warc: 200-case roundtrip fuzz over CR/LF-bearing bodies") {
+    import graft.sources.Warc
+    // any body over a CR/LF-heavy alphabet (marker-free, as contracted)
+    // must survive format → split-shape → parse byte-identically: the
+    // formatted record minus its version marker, plus the text writer's
+    // row newline, is exactly what the reader's splitter hands parseRecords
+    val rnd = new scala.util.Random(134)
+    val alphabet = Seq("a", "b c", "\r\n", "\n", "\r", "<p>", "&amp;")
+    val bodies = (1 to 200).map { i =>
+      (i, Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.size))).mkString)
+    }
+    val formatted = bodies.toDF("i", "body")
+      .select(col("i"), concat(
+        Warc.formatResponse(concat(lit("https://x/"), col("i")),
+          lit("2024-01-01T00:00:00Z"), lit("text/plain"), col("body")),
+        lit("\n")).as("rec"))
+      .select(col("i"), expr(s"substring(rec, ${Warc.VersionMarker.length + 1})").as("record"))
+    val back = Warc.parseRecords(formatted.select(col("record")))
+      .select(regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("int").as("i"),
+        col("body")).as[(Int, String)].collect().toMap
+    for ((i, b) <- bodies) assert(back(i) === b, s"case $i body=${b.replace("\r", "\\r").replace("\n", "\\n")}")
+  }
+
   // --- X132: semantic decontamination --------------------------------------
 
   test("semanticDecontaminate: drops embedding matches, NULLs pass, LSH ⊆ exact") {
