@@ -279,6 +279,16 @@ object ProbeScale {
           .select($"id", $"url", $"content")
           .write.mode("overwrite").parquet(s"$tmp/extracted.parquet"))
       val extracted = spark.read.parquet(s"$tmp/extracted.parquet")
+      // X128b head-metadata over the same crawl: up to 8 order×quote
+      // patterns per field coalesce (first hit short-circuits; absent
+      // fields pay all eight) — the title/lang hit early here, the
+      // canonical/description fields MISS (not planted), so this times a
+      // mixed hit/miss profile
+      time("html_metadata_2m_sec")(
+        graft.ext.Html.extractMetadata(crawl)
+          .select($"id", $"title", $"canonical_url", $"meta_description",
+            $"declared_lang")
+          .write.format("noop").mode("overwrite").save())
       val domains = (0 until 1000).map(i => s"host${i * 97 % 100000}.com")
       val phrases = r16Phrases()
       val litHits = time("blocklist_2m_lit_sec")(
