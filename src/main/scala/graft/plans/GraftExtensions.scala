@@ -240,6 +240,11 @@ object GraftFunctions {
       graft.api.Collection.open(s, strArg(args(0), "root"), strArg(args(1), "name"))
         .docsAsOf(longArg(args(2), "seg"))
         .queryExecution.logical
+    },
+    tfn("graft_warc",
+      "graft_warc(path STRING) - parsed records of an uncompressed WARC stream (warc_type, target_uri, warc_date, record_id, http_status, content_type, body, record)", 1, 1) { args =>
+      val s = org.apache.spark.sql.SparkSession.active
+      graft.sources.Warc.read(s, strArg(args(0), "path")).queryExecution.logical
     })
 
   /** Install the table functions into an EXISTING session. */

@@ -681,6 +681,16 @@ class ExtSpec extends AnyFunSuite {
     val v1 = spark.sql(s"SELECT content FROM graft_docs_asof('$root', 'main', 1) WHERE id = '1'")
       .head().getString(0)
     assert(v1 === "spark makes analytics very fast")
+    // graft_warc: the crawl-native source as a SQL table
+    val wtmp = java.nio.file.Files.createTempDirectory("graft-warc-sql-").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$wtmp/c.warc"),
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ex.com/p\r\n\r\n" +
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>sql warc</p>\r\n\r\n")
+    val wr = spark.sql(
+      s"SELECT target_uri, http_status, body FROM graft_warc('$wtmp/c.warc')").head()
+    assert(wr.getString(0) === "https://ex.com/p")
+    assert(wr.getInt(1) === 200)
+    assert(wr.getString(2) === "<p>sql warc</p>")
   }
 
   test("dedupStream: keyCols containing the timestamp column still analyzes") {
