@@ -2135,6 +2135,25 @@ object EntryQueries {
         .select(col("id"), round(col("logodds"), 6).as("logodds"))
     }, Some(nbClassifierOracle)),
 
+    // X127b: the bigram-featured NB classifier — same closed-form train +
+    // zero-shuffle scan score, with the feature space widened by HASHED
+    // adjacent-pair features ('bg:' + md5("w1 w2")), the word-order signal
+    // the DCLM/WebText-class quality filters lean on. The oracle replays
+    // the full hashed-feature train+score: DuckDB derives the identical
+    // bigram keys with its own md5, so feature hashing, smoothing width
+    // (|V| now counts bigram features), and the scan's per-instance sums
+    // are all pinned cross-engine.
+    ("x127b_quality_classifier_bigram", (s: SparkSession, sfDir: String) => {
+      val all = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("id"),
+          col("text").as("content"), col("source"))
+      val model = graft.ext.Classify.trainQualityNb(
+        all.filter(col("source") === "src0"),
+        all.filter(col("source") === "src1"), bigrams = true)
+      graft.ext.Classify.scoreQualityNb(all, model)
+        .select(col("id"), round(col("logodds"), 6).as("logodds"))
+    }, Some(nbBigramClassifierOracle)),
+
     ("x8_text_langid", (s: SparkSession, sfDir: String) =>
       TextStats.langId(docsFrame(s, sfDir)).select("id", "pred_lang"),
       Some(langIdOracle)),
@@ -4654,6 +4673,43 @@ object EntryQueries {
        | tf AS (SELECT id, tok, count(*) AS tf FROM
        |   (SELECT $DocId AS id, unnest($Toks) AS tok FROM documents) GROUP BY 1, 2),
        | sc AS (SELECT tf.id, sum(tf.tf * w.w) AS sc FROM tf JOIN w USING (tok) GROUP BY 1)
+       |SELECT d.id, round(COALESCE(sc.sc, 0) + pr.bias, 6) AS logodds
+       |FROM (SELECT $DocId AS id FROM documents) d
+       |LEFT JOIN sc ON sc.id = d.id CROSS JOIN pr""".stripMargin
+
+  /** x127b oracle: the bigram-featured NB replay — the x127 arithmetic
+    * over a feature stream of unigram tokens UNION hashed adjacent-pair
+    * features ('bg:' || md5(w[i] || ' ' || w[i+1])), DuckDB's md5 deriving
+    * the identical keys as the engine's training aggregate and scan
+    * kernel. `feats`/`tw` are MATERIALIZED: three consumers each, and
+    * default CTE inlining would re-tokenize the corpus multiplicatively.
+    */
+  private lazy val nbBigramClassifierOracle: String =
+    s"""WITH tw AS MATERIALIZED (
+       |   SELECT $DocId AS id, source, $Toks AS w FROM documents),
+       | feats AS MATERIALIZED (
+       |   SELECT id, source, unnest(w) AS f FROM tw
+       |   UNION ALL
+       |   SELECT id, source, 'bg:' || md5(b) AS f FROM
+       |     (SELECT id, source,
+       |        unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS b
+       |      FROM tw)),
+       | cp AS (SELECT f, count(*) AS c FROM feats WHERE source = 'src0' GROUP BY 1),
+       | cn AS (SELECT f, count(*) AS c FROM feats WHERE source = 'src1' GROUP BY 1),
+       | j AS (SELECT COALESCE(cp.f, cn.f) AS f,
+       |    COALESCE(cp.c, 0) AS cp, COALESCE(cn.c, 0) AS cn
+       |  FROM cp FULL JOIN cn ON cp.f = cn.f),
+       | s AS (SELECT count(*) AS v,
+       |    CAST(COALESCE(sum(cp), 0) AS BIGINT) AS np,
+       |    CAST(COALESCE(sum(cn), 0) AS BIGINT) AS nn FROM j),
+       | pr AS (SELECT ln(
+       |    CAST((SELECT count(*) FROM documents WHERE source = 'src0') AS DOUBLE)
+       |    / (SELECT count(*) FROM documents WHERE source = 'src1')) AS bias),
+       | w AS (SELECT f,
+       |    ln((cp + 1.0) / (np + 1.0 * v)) - ln((cn + 1.0) / (nn + 1.0 * v)) AS w
+       |  FROM j CROSS JOIN s),
+       | tf AS (SELECT id, f, count(*) AS tf FROM feats GROUP BY 1, 2),
+       | sc AS (SELECT tf.id, sum(tf.tf * w.w) AS sc FROM tf JOIN w USING (f) GROUP BY 1)
        |SELECT d.id, round(COALESCE(sc.sc, 0) + pr.bias, 6) AS logodds
        |FROM (SELECT $DocId AS id FROM documents) d
        |LEFT JOIN sc ON sc.id = d.id CROSS JOIN pr""".stripMargin

@@ -1,7 +1,7 @@
 package graft.ext
 
-import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import graft.functions.{NbScoreExpr, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Trainable QUALITY CLASSIFIER for corpus curation — the discriminative
@@ -17,7 +17,13 @@ import org.apache.spark.sql.functions._
   * training is CLOSED-FORM (two token-count aggregates — no SGD, no
   * iteration order, no initialization), so the model is deterministic
   * bit-for-bit across runs/engines and the whole train+score pipeline
-  * replays in DuckDB as plain SQL (the x127 oracle does exactly that).
+  * replays in DuckDB as plain SQL (the x127/x127b oracles do exactly that).
+  *
+  * Feature space: unigram tokens, optionally plus HASHED BIGRAMS
+  * (`bg:` + md5("tok1 tok2") per adjacent pair) — the fastText-style
+  * word-bigram signal the DCLM/WebText-class quality filters lean on,
+  * hashed through the house md5 so the feature keys stay engine-replayable
+  * and the closed form survives.
   *
   * The reference has no classifier surface (core.py has no training
   * operators at all); new-scope for the training-data pipeline.
@@ -25,22 +31,44 @@ import org.apache.spark.sql.functions._
 object Classify {
 
   /** A trained binary NB model: `weights` = one (tok, w) row per training
-    * token with w = log P(tok|pos) − log P(tok|neg) (Laplace-smoothed),
+    * feature with w = log P(f|pos) − log P(f|neg) (Laplace-smoothed),
     * `bias` = log(n_pos_docs / n_neg_docs) (the class-prior log-odds),
-    * `vocabSize` = |V| (distinct training tokens, the smoothing
-    * denominator's width). A document's score is
-    * bias + Σ_tokens tf · w(tok), i.e. the NB log-odds
-    * log P(pos|doc) − log P(neg|doc); tokens unseen in training carry no
+    * `vocabSize` = |V| (distinct training features, the smoothing
+    * denominator's width), `bigrams` = whether the feature space includes
+    * the hashed adjacent-pair features. A document's score is
+    * bias + Σ_feature-instances w(f), i.e. the NB log-odds
+    * log P(pos|doc) − log P(neg|doc); features unseen in training carry no
     * evidence either way and are IGNORED (both smoothed likelihoods would
     * contribute the same constant only under equal totals — dropping them
     * is the standard vocabulary-closed NB convention, and is what keeps
-    * the score a pure join against the skinny weights frame).
+    * the model a skinny vocabulary-sized (string, double) frame).
     *
     * `weights` is lazy like any DataFrame — persist() it for repeated
     * scoring, unpersist when done (the model frame is vocabulary-sized:
-    * skinny (string, double) rows, broadcast-joinable for most corpora).
+    * skinny rows, collect/broadcast-able by construction).
     */
-  final case class NbModel(weights: DataFrame, bias: Double, vocabSize: Long)
+  final case class NbModel(weights: DataFrame, bias: Double, vocabSize: Long,
+                           bigrams: Boolean = false)
+
+  /** One row per feature INSTANCE of each document: unigram tokens, plus
+    * (when `bigrams`) the hashed adjacent-pair features. md5 runs AFTER the
+    * explode as a flat projection (HOF lambdas evaluate interpreted — the
+    * zip_with here only concats; the hash is codegen'd downstream).
+    */
+  private def featureInstances(df: DataFrame, contentCol: String,
+                               bigrams: Boolean): DataFrame = {
+    val t = TextFunctions.tokens(col(contentCol))
+    val uni = df.select(explode(t).as("tok"))
+    if (!bigrams) uni
+    else {
+      val pairs = zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a: Column, b: Column) => concat(a, lit(" "), b))
+      uni.unionByName(df.select(explode(pairs).as("p"))
+        .select(concat(lit("bg:"), md5(col("p"))).as("tok")))
+    }
+  }
 
   /** Train the binary NB quality model from a GOOD corpus and a BAD corpus
     * (e.g. a curated reference set vs raw crawl). Two token-count
@@ -55,10 +83,11 @@ object Classify {
     */
   def trainQualityNb(pos: DataFrame, neg: DataFrame,
                      contentCol: String = "content",
-                     smoothing: Double = 1.0): NbModel = {
+                     smoothing: Double = 1.0,
+                     bigrams: Boolean = false): NbModel = {
     require(smoothing > 0.0, "smoothing > 0")
     def counts(df: DataFrame, as: String): DataFrame =
-      df.select(explode(TextFunctions.tokens(col(contentCol))).as("tok"))
+      featureInstances(df, contentCol, bigrams)
         .groupBy(col("tok")).agg(count(lit(1)).as(as))
     val joined = counts(pos, "__cp").join(counts(neg, "__cn"), Seq("tok"), "full")
       .select(col("tok"),
@@ -79,26 +108,59 @@ object Classify {
     val w = joined.select(col("tok"),
       (log((col("__cp") + lit(smoothing)) / lit(denP)) -
         log((col("__cn") + lit(smoothing)) / lit(denN))).as("w"))
-    NbModel(w, math.log(dp.toDouble / dn), v)
+    NbModel(w, math.log(dp.toDouble / dn), v, bigrams)
   }
 
   /** Score documents with a trained model: (idCol passthrough, `logodds`).
     * Positive log-odds = more pos-like than neg-like under NB. Every input
-    * doc gets a row — a doc with no in-vocabulary tokens scores exactly
-    * `bias` (the prior alone).
+    * doc gets a row — a doc with no in-vocabulary tokens (or NULL content)
+    * scores exactly `bias` (the prior alone).
     *
-    * Scale: per-doc tf rows (explode + count — linear, the postings-build
-    * shape) join the skinny weights (broadcast when the vocabulary fits,
-    * AQE's call), one map-side-combined sum per doc, one left join back to
-    * the ids. Content never shuffles; the shuffled rows are (id, tok, tf)
-    * longs and the per-doc partial sums.
+    * Scale: a ZERO-SHUFFLE scan. The score is Σ over token instances of
+    * w(tok) — no per-doc tf grouping exists to compute — so the weights
+    * (vocabulary-sized by construction) are collected once, broadcast, and
+    * folded into a running sum per row by [[NbScoreExpr]]; the corpus's
+    * tokens never leave their input partitions. The executor-side lookup
+    * map is built once per JVM (the [[graft.functions.PhraseAutomaton]]
+    * cache pattern). The previous formulation — explode → groupBy(id, tok)
+    * → join weights → re-aggregate — shuffled every (id, token) pair of
+    * the corpus twice for the same sum (measured 39.1 s vs single digits
+    * at 2M docs); [[scoreQualityNbJoin]] keeps that shape for arm-vs-arm
+    * parity testing.
     */
   def scoreQualityNb(docs: DataFrame, model: NbModel, idCol: String = "id",
                      contentCol: String = "content"): DataFrame = {
-    val tf = docs.select(col(idCol).as(idCol),
-        explode(TextFunctions.tokens(col(contentCol))).as("tok"))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__tf"))
-    val sums = tf.join(model.weights, Seq("tok"))
+    val w = model.weights.select(col("tok"), col("w")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val bc = docs.sparkSession.sparkContext.broadcast(w)
+    docs.select(col(idCol),
+      coalesce(
+        NbScoreExpr.nbScore(col(contentCol), bc, model.bias, model.bigrams),
+        lit(model.bias)).as("logodds"))
+  }
+
+  /** The join-formulated scorer — same math as [[scoreQualityNb]] through
+    * per-doc tf grouping and a weights join (tf·w summed per distinct
+    * feature = the instance sum regrouped). Kept as the arm the specs
+    * diff-fuzz the scan against; the scan is the serving path (this shape
+    * shuffles the corpus's (id, feature) pairs, the scan shuffles nothing).
+    */
+  def scoreQualityNbJoin(docs: DataFrame, model: NbModel, idCol: String = "id",
+                         contentCol: String = "content"): DataFrame = {
+    val t = TextFunctions.tokens(col(contentCol))
+    val uni = docs.select(col(idCol), explode(t).as("tok"))
+    val inst =
+      if (!model.bigrams) uni
+      else {
+        val pairs = zip_with(
+          slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (a: Column, b: Column) => concat(a, lit(" "), b))
+        uni.unionByName(docs.select(col(idCol), explode(pairs).as("p"))
+          .select(col(idCol), concat(lit("bg:"), md5(col("p"))).as("tok")))
+      }
+    val sums = inst.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__tf"))
+      .join(model.weights, Seq("tok"))
       .groupBy(col(idCol))
       .agg(sum(col("__tf").cast("double") * col("w")).as("__s"))
     docs.select(col(idCol)).join(sums, Seq(idCol), "left")

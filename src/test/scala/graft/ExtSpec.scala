@@ -2835,6 +2835,63 @@ class ExtSpec extends AnyFunSuite {
       Classify.trainQualityNb(pos.limit(0), neg))
   }
 
+  test("Classify: scan scorer is shuffle-free and arm-equal to the join scorer") {
+    import graft.ext.Classify
+    // fuzzed corpora: deterministic pseudo-text with unicode tokens, runs
+    // of separators, numerics, empty and NULL docs — the tokenizer-parity
+    // surface between the native scan and split(lower(content), …)
+    val words = Array("good", "clean", "café", "über", "spam2",
+      "buy", "now", "_", "x", "1234", "İstanbul", "text")
+    val rnd = new scala.util.Random(17)
+    def doc(i: Int): String =
+      if (i % 19 == 0) ""
+      else (0 until (1 + rnd.nextInt(30))).map { _ =>
+        words(rnd.nextInt(words.length)) +
+          (if (rnd.nextBoolean()) " " else "  ,;\t")
+      }.mkString
+    val pos = (0 until 40).map(i => (s"p$i", doc(i))).toDF("id", "content")
+    val neg = (0 until 40).map(i => (s"n$i", doc(i + 100))).toDF("id", "content")
+    val docs = ((0 until 120).map(i => (s"d$i", doc(i + 7))) :+
+      (("dnull", null.asInstanceOf[String]))).toDF("id", "content")
+    for (bigrams <- Seq(false, true)) {
+      val m = Classify.trainQualityNb(pos, neg, bigrams = bigrams)
+      val scan = Classify.scoreQualityNb(docs, m)
+      // the whole point of the rewrite: no Exchange anywhere in the
+      // scoring plan — the corpus's tokens never shuffle
+      assert(!scan.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"scan scorer (bigrams=$bigrams) must be a zero-shuffle plan")
+      val a = scan.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val b = Classify.scoreQualityNbJoin(docs, m).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(a.keySet === b.keySet)
+      a.keys.foreach(k => assert(math.abs(a(k) - b(k)) < 1e-9,
+        s"bigrams=$bigrams doc=$k scan=${a(k)} join=${b(k)}"))
+    }
+    // bigram feature space: the adjacent-pair evidence separates docs the
+    // unigram model cannot — identical unigram bags, opposite word order
+    val p2 = Seq(("p", "alpha beta alpha beta alpha beta")).toDF("id", "content")
+    val n2 = Seq(("n", "beta alpha beta alpha beta alpha")).toDF("id", "content")
+    val mb = Classify.trainQualityNb(p2, n2, bigrams = true)
+    // "alpha beta" carries ONLY the pos-order bigram (pos has 3 of them,
+    // neg 2); its unigrams are class-symmetric, so any positive score is
+    // bigram evidence alone
+    val s2 = Classify.scoreQualityNb(
+      Seq(("q", "alpha beta")).toDF("id", "content"), mb)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s2("q") > 0.0, "bigram evidence must rank pos word order positive")
+    val mu = Classify.trainQualityNb(p2, n2, bigrams = false)
+    val su = Classify.scoreQualityNb(
+      Seq(("q", "alpha beta")).toDF("id", "content"), mu)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(su("q")) < 1e-9,
+      "unigram model sees identical bags: zero evidence either way")
+    // hashed feature key parity: the executor-side md5 must equal Spark's
+    val bg = graft.functions.NbScoreExpr.bigramFeature("café", "bär")
+    val sparkMd5 = Seq(("café bär")).toDF("s")
+      .select(md5(col("s"))).head().getString(0)
+    assert(bg === "bg:" + sparkMd5)
+  }
+
   test("budgetSample: greedy fill in draw order, one overshoot doc, growth-stable") {
     import graft.ext.Pipeline
     val d = Seq(
