@@ -174,10 +174,14 @@ final class Collection private (
         dedupedRaw.withColumn("embedding", lit(null).cast("array<float>"))
     }
 
-    // the id set is driver-side by construction — hint the merge joins
+    // the id set is driver-side by construction — known-small, so upsert
+    // broadcast-hints it at each join where it is the BUILD side (passed
+    // unhinted: a pre-applied hint would also land on the outer-preserved
+    // side of the doclen left join, where Spark cannot build and silently
+    // drops it — the hint placement is per-join, not per-frame)
     upsert(deduped.select($"id", $"content", $"metadata",
         $"embedding".cast("array<float>")),
-      idsHint = Some(broadcast(allIds.distinct.toDF("id"))))
+      idsHint = Some(allIds.distinct.toDF("id")))
     allIds
   }
 
@@ -216,15 +220,19 @@ final class Collection private (
           Stores.Manifest(useFts, foldAccents))
       } else {
         val (baseBytes, deltaBytes) = Stores.segmentBytes(spark, docsDir, name)
-        // callers with a known-small (driver-side) id set pre-broadcast it;
-        // otherwise the unhinted frame lets AQE pick the join strategy
-        val batchIds = idsHint.getOrElse(batch.select("id"))
+        // callers with a known-small (driver-side) id set mark it via
+        // idsHint; the hint is applied HERE, per join, only where the ids
+        // are the build side (a left_anti's right). Otherwise the unhinted
+        // frame lets AQE pick the join strategy.
+        val smallIds = idsHint.isDefined
+        val rawIds = idsHint.getOrElse(batch.select("id"))
+        val batchIds = if (smallIds) broadcast(rawIds) else rawIds
         if (baseBytes + deltaBytes <= directUpsertMaxBytes) {
           // direct merge (also folds any accumulated deltas back flat)
           val merged = docs().join(batchIds, Seq("id"), "left_anti").unionByName(batch)
           Stores.overwritePartition(spark, docsDir, name, merged,
             sortBy = Seq("id"), rangeBy = Seq("id"))
-          refreshIndexesMerge(batch, batchIds)
+          refreshIndexesMerge(batch, rawIds, smallIds)
         } else {
           Stores.appendDelta(spark, docsDir, name, batch, sortBy = Seq("id"))
           refreshIndexesDelta(batch)
@@ -1510,7 +1518,13 @@ final class Collection private (
     * below the direct threshold, rewriting the partition beats making every
     * subsequent read resolve deltas. Only the batch tokenizes either way.
     */
-  private def refreshIndexesMerge(batch: DataFrame, batchIds: DataFrame): Unit = {
+  private def refreshIndexesMerge(batch: DataFrame, rawIds: DataFrame,
+                                  smallIds: Boolean): Unit = {
+    // hinted form for the joins where the ids are the BUILD side (every
+    // left_anti right below); the doclen left join instead hints its
+    // postings agg (same cardinality bound) via doclenOfPostings — a hint
+    // riding the outer-preserved side would be silently dropped
+    val batchIds = if (smallIds) broadcast(rawIds) else rawIds
     if (useFts) {
       // persisted: consumed by the postings overwrite AND the doclen derive —
       // without it the batch tokenize+shuffle runs twice
@@ -1521,7 +1535,7 @@ final class Collection private (
         Stores.overwritePartition(spark, postingsDir, name, fresh,
           sortBy = Seq("term"), rangeBy = Seq("term"))
         writeDoclenFull(doclen().join(batchIds, Seq("id"), "left_anti")
-          .unionByName(doclenOfPostings(batchIds, freshBatch)))
+          .unionByName(doclenOfPostings(rawIds, freshBatch, hintAgg = smallIds)))
         // below the direct threshold a full sidecar re-derive is the cheap
         // move (exact df either way, no staleness window)
         impactParams().foreach(rebuildImpact(_, fresh))
@@ -1798,10 +1812,18 @@ final class Collection private (
   /** (id, dl) of exactly `ids`, dl from the given postings rows; absent-from-
     * postings docs (zero tokens) get dl 0 via the left join.
     */
-  private def doclenOfPostings(ids: DataFrame, fromPostings: DataFrame): DataFrame =
+  private def doclenOfPostings(ids: DataFrame, fromPostings: DataFrame,
+                               hintAgg: Boolean = false): DataFrame = {
+    // ids is the OUTER-PRESERVED side of this left join, so it can never
+    // be the broadcast build side — when the caller knows the batch is
+    // small, the hint goes on the postings agg instead (grouped by id, so
+    // its cardinality is bounded by the same batch-id set)
+    val agg0 = fromPostings.groupBy($"id").agg(max($"dl").as("dl"))
+    val agg = if (hintAgg) broadcast(agg0) else agg0
     ids.select($"id")
-      .join(fromPostings.groupBy($"id").agg(max($"dl").as("dl")), Seq("id"), "left")
+      .join(agg, Seq("id"), "left")
       .select($"id", coalesce($"dl", lit(0L)).as("dl"))
+  }
 
   /** (id, dl) by tokenizing a batch directly (non-FTS collections — no
     * postings to derive from; still only the batch tokenizes).

@@ -1264,4 +1264,50 @@ class CollectionSpec extends AnyFunSuite {
       assert(got.toSet === Set(("q1", "a"), ("q3", "b")))
     } finally q.stop()
   }
+
+  test("merge-path upsert drops no broadcast hints (HintErrorLogger silent)") {
+    // the add() id set is driver-side-small and broadcast-hinted into the
+    // merge joins; a hint landing on a side Spark cannot build is silently
+    // dropped with only a HintErrorLogger warning — this pins that every
+    // hint on the merge path sits on a buildable side, so a future dropped-
+    // hint regression fails a test instead of hiding in the logs
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    val events = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val appender = new AbstractAppender(
+        "graft-hint-capture", null, null, false,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        if (e.getLoggerName.endsWith("HintErrorLogger"))
+          events.add(e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    // the appender must hang off the ROOT LoggerConfig of the CURRENT
+    // LoggerContext: a named-logger addAppender resolves against a config
+    // that Spark's slf4j route does not pass through (verified: it
+    // captures nothing while the warning still prints)
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(appender, Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      val c = coll()
+      c.add(Seq("alpha beta", "gamma delta"), ids = Some(Seq("a", "b")))
+      // second add on a small existing store = the direct-merge path, where
+      // the hinted id set feeds the docs/postings/doclen/minhash merges
+      c.add(Seq("alpha epsilon", "zeta eta"), ids = Some(Seq("a", "c")))
+      // and the delta path (forced): unhinted, but must also stay silent
+      spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
+      try c.add(Seq("theta iota"), ids = Some(Seq("d")))
+      finally spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
+      assert(c.count() === 4L)
+      assert(events.isEmpty,
+        s"dropped join hints on the upsert path:\n${events.toArray.mkString("\n")}")
+    } finally {
+      rootCfg.removeAppender("graft-hint-capture")
+      ctx.updateLoggers()
+      appender.stop()
+    }
+  }
 }
