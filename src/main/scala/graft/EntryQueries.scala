@@ -1790,7 +1790,9 @@ object EntryQueries {
           "&lt;tag&gt; caf&#233;</h1><p>"),
         col("content"),
         lit("</p><script>var x = \"<div>no</div>\";</script>" +
-          "<div>tail&nbsp;A&#x41; &unknown; 1 &lt 2</div></body></html>"))
+          "<div>tail&nbsp;A&#x41; &unknown; 1 &lt 2</div>" +
+          "<p>em&mdash;dash &hellip; it&rsquo;s &Eacute;cole &euro;5</p>" +
+          "</body></html>"))
       docsFrame(s, sfDir).select(col("id"), Html.htmlToText(html).as("txt"))
         .select(col("id"), length(col("txt")).cast("long").as("n_chars"),
           md5(col("txt")).as("h"))
@@ -4598,7 +4600,9 @@ object EntryQueries {
        |    '<body><!-- hidden <p>not text</p> --><h1 class="t">Title &amp; ' ||
        |    '&lt;tag&gt; caf&#233;</h1><p>' || text ||
        |    '</p><script>var x = "<div>no</div>";</script>' ||
-       |    '<div>tail&nbsp;A&#x41; &unknown; 1 &lt 2</div></body></html>' AS html
+       |    '<div>tail&nbsp;A&#x41; &unknown; 1 &lt 2</div>' ||
+       |    '<p>em&mdash;dash &hellip; it&rsquo;s &Eacute;cole &euro;5</p>' ||
+       |    '</body></html>' AS html
        |  FROM documents),
        | s1 AS (SELECT id, regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
        | s2 AS (SELECT id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
@@ -4610,9 +4614,11 @@ object EntryQueries {
        |     '(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/blockquote|/ul|/ol|/table|/pre|/dd|/dt|/section|/article|/header|/footer)\\b[^>]*>',
        |     chr(10), 'g') AS t FROM s2),
        | s4 AS (SELECT id, regexp_replace(t, '</?[a-zA-Z!][^>]*>', ' ', 'g') AS t FROM s3),
-       | s5 AS (SELECT id, replace(replace(replace(replace(replace(replace(t,
+       | s5 AS (SELECT id, replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(t,
        |     '&lt;', '<'), '&gt;', '>'), '&nbsp;', chr(160)), '&#233;', chr(233)),
-       |     '&#x41;', 'A'), '&amp;', '&') AS t FROM s4),
+       |     '&#x41;', 'A'), '&mdash;', chr(8212)), '&hellip;', chr(8230)),
+       |     '&rsquo;', chr(8217)), '&Eacute;', chr(201)), '&euro;', chr(8364)),
+       |     '&amp;', '&') AS t FROM s4),
        | s6 AS (SELECT id, regexp_replace(t, '[ \\t\\r\\x0B\\f\\xA0]+', ' ', 'g') AS t FROM s5),
        | s7 AS (SELECT id, regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM s6),
        | s8 AS (SELECT id, regexp_replace(t, '\\n+', chr(10), 'g') AS t FROM s7),

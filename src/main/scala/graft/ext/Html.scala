@@ -125,28 +125,38 @@ object Html {
     }
   }
 
-  /** The stripped pre-<body> region (whole stripped doc when no <body>). */
+  /** The stripped pre-<body> region (whole stripped doc when no <body>).
+    * <body> presence is tested SEPARATELY from the capture: a document
+    * that starts directly at `<body` has an EMPTY head region, which must
+    * stay empty — conflating empty-match with no-match (the old coalesce
+    * over firstGroupOrNull) fell back to searching the whole document,
+    * letting an in-body `<svg><title>` become the page title, the exact
+    * failure the body-bound exists to prevent.
+    */
   private def headRegion(html: Column): Column = {
     val stripped = stripNonContent(html)
-    coalesce(firstGroupOrNull(stripped, "(?is)^(.*?)<body\\b"), stripped)
+    when(stripped.rlike("(?is)<body\\b"),
+      regexp_extract(stripped, "(?is)^(.*?)<body\\b", 1))
+      .otherwise(stripped)
   }
 
-  /** All (order × quote) patterns for `<tag … sel="selVal" … val="(…)" …>`:
-    * the selector attribute may precede or follow the value attribute, and
-    * each may use single or double quotes, with the captured value class
-    * bound to ITS OWN opening quote. */
+  /** The value of `valAttr` on the FIRST element `<tag … sel="selVal" …>`
+    * in document order. Two steps so precedence is by position, not by
+    * quote-pattern (a coalesce over per-quote patterns would let a later
+    * double-quoted element beat an earlier single-quoted one): first the
+    * whole first matching ELEMENT is extracted (selector attribute in
+    * either quote style, either attribute order), then the value attribute
+    * is read out of that element with its capture class bound to its own
+    * opening quote. A selector-matching element that LACKS the value
+    * attribute resolves to NULL (it is the first occurrence and it carries
+    * no value), not to a later element's value. */
   private def attrValue(region: Column, tag: String, selAttr: String,
                         selVal: String, valAttr: String): Column = {
-    val quotes = Seq("\"", "'")
-    val pats = for {
-      sq <- quotes; vq <- quotes; selFirst <- Seq(true, false)
-    } yield {
-      val sel = s"\\s$selAttr\\s*=\\s*$sq$selVal$sq"
-      val v = s"\\s$valAttr\\s*=\\s*$vq([^$vq]*)$vq"
-      if (selFirst) s"(?is)<$tag\\b[^>]*$sel[^>]*$v[^>]*>"
-      else s"(?is)<$tag\\b[^>]*$v[^>]*$sel[^>]*>"
-    }
-    coalesce(pats.map(firstGroupOrNull(region, _)): _*)
+    val sel = s"""\\s$selAttr\\s*=\\s*(?:"$selVal"|'$selVal')"""
+    val elem = firstGroupOrNull(region, s"(?is)(<$tag\\b[^>]*$sel[^>]*>)")
+    coalesce(
+      firstGroupOrNull(elem, s"""(?is)\\s$valAttr\\s*=\\s*"([^"]*)""""),
+      firstGroupOrNull(elem, s"(?is)\\s$valAttr\\s*=\\s*'([^']*)'"))
   }
 
   /** `<title>` text (head region only), entity-decoded, inner whitespace

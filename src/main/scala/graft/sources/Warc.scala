@@ -50,10 +50,12 @@ object Warc {
     // the text DATASOURCE carries the custom delimiter (lineSep accepts a
     // multi-char separator): same Hadoop line-reader split semantics as a
     // hand-rolled newAPIHadoopFile, but with file listing, metrics, and
-    // the DataFrame path for free
+    // the DataFrame path for free. Records split this way still carry the
+    // inter-record separator on their tails — trimSeparator strips it.
     parseRecords(spark.read.option("lineSep", VersionMarker).text(path)
       .withColumnRenamed("value", "record")
-      .filter(length(col("record")) > 0)) // the piece before the first marker
+      .filter(length(col("record")) > 0), // the piece before the first marker
+      trimSeparator = true)
 
   /** A WARC named header value (case-insensitive, first occurrence),
     * NULL when absent. */
@@ -65,8 +67,15 @@ object Warc {
   /** Parse a frame of raw record strings (version marker already
     * stripped by the reader). Exposed for tests and for streams that
     * arrive pre-split.
+    *
+    * `trimSeparator` — set when records were split out of a separator-
+    * joined stream (the [[read]] path), where each record's tail still
+    * carries exactly one inter-record separator unit to strip. Leave
+    * UNSET for pre-split records that never carried a separator: there a
+    * payload legitimately ending in a bare `\n` or `\r\n\r\n` owns those
+    * bytes and must keep them.
     */
-  def parseRecords(raw: DataFrame): DataFrame = {
+  def parseRecords(raw: DataFrame, trimSeparator: Boolean = false): DataFrame = {
     // WARC header block = up to the first blank line; payload = the rest.
     // A record with NO blank line (truncated) is ALL headers, payload NULL.
     val hdr = regexp_extract(col("record"), "(?s)^(.*?)\\r\\n\\r\\n", 1)
@@ -89,6 +98,9 @@ object Warc {
     val body0 = when(col("__http_headers") === "", col("__payload"))
       .otherwise(col("__payload").substr(
         length(col("__http_headers")) + lit(5), length(col("__payload"))))
+    val body =
+      if (trimSeparator) regexp_replace(body0, "(\\r\\n\\r\\n\\n?|\\n)$", "")
+      else body0
     raw
       .withColumn("__headers", warcHeaders)
       .withColumn("__payload", payload)
@@ -101,7 +113,7 @@ object Warc {
         when(httpStatus0 === "", lit(null).cast("int"))
           .otherwise(httpStatus0.cast("int")).as("http_status"),
         warcHeader(col("__http_headers"), "Content-Type").as("content_type"),
-        regexp_replace(body0, "(\\r\\n\\r\\n\\n?|\\n)$", "").as("body"),
+        body.as("body"),
         col("record"))
   }
 
@@ -110,7 +122,9 @@ object Warc {
     * for `df.write.text` (the writer's `\n` row separator lands after
     * each record's closing CRLFs and is stripped by the reader's body
     * trim). The write side of the lite roundtrip; Content-Length is the
-    * HTTP payload length in characters (ASCII payloads: bytes).
+    * HTTP payload's UTF-8 BYTE count (octet_length — the ISO 28500
+    * octet semantics), which [[WarcGzip]]'s Content-Length-framing reader
+    * honors exactly and external consumers can frame by.
     */
   def formatResponse(uri: org.apache.spark.sql.Column,
                      date: org.apache.spark.sql.Column,
@@ -122,7 +136,7 @@ object Warc {
       lit(VersionMarker),
       lit("WARC-Type: response\r\nWARC-Target-URI: "), uri,
       lit("\r\nWARC-Date: "), date,
-      lit("\r\nContent-Length: "), length(http).cast("string"),
+      lit("\r\nContent-Length: "), octet_length(http).cast("string"),
       lit("\r\n\r\n"), http, lit("\r\n\r\n"))
   }
 }

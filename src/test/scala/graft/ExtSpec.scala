@@ -3787,6 +3787,16 @@ class ExtSpec extends AnyFunSuite {
     assert(decode(plain) eq plain) // fast path returns the input object
     val bareAmp = "AT&T sells M&Ms & more"
     assert(decode(bareAmp) eq bareAmp) // '&'s but no references: still the input object
+    // the high-frequency named table beyond the XML five: punctuation,
+    // symbols, accented Latin — case-SENSITIVE like the HTML5 table
+    assert(decode("a&mdash;b&ndash;c") === "a—b–c")
+    assert(decode("it&rsquo;s &ldquo;x&rdquo;&hellip;") === "it’s “x”…")
+    assert(decode("&copy; &reg; &trade; &euro;5 &pound;3 &deg;C &frac12;")
+      === "© ® ™ €5 £3 °C ½")
+    assert(decode("caf&eacute; &Eacute;cole stra&szlig;e se&ntilde;or")
+      === "café École straße señor")
+    assert(decode("&EACUTE; &Mdash;") === "&EACUTE; &Mdash;") // wrong case: verbatim
+    assert(decode("&le;&ge;&ne;&rarr;&minus;") === "≤≥≠→−")
   }
 
   test("HtmlEntities: encode→decode round-trips arbitrary text (fuzz)") {
@@ -3876,6 +3886,15 @@ class ExtSpec extends AnyFunSuite {
       "<meta name=\"description\" content=\"yes me\"></head><body/></html>")
     assert(r3.getString(3) === "fr")
     assert(r3.getString(2) === "yes me")
+    // a document that STARTS at <body> has an EMPTY head region: the
+    // in-body svg title must not leak in via a whole-document fallback
+    assert(meta("<body><svg><title>Not the page title</title></svg></body>")
+      .isNullAt(0))
+    // first-in-document wins regardless of quote style: the earlier
+    // single-quoted canonical beats the later double-quoted one
+    val r4 = meta("<head><link rel='canonical' href='https://first/'>" +
+      "<link rel=\"canonical\" href=\"https://second/\"></head><body/>")
+    assert(r4.getString(1) === "https://first/")
   }
 
   // --- X129: blocklist curation ------------------------------------------
@@ -3998,10 +4017,26 @@ class ExtSpec extends AnyFunSuite {
           lit("2024-01-01T00:00:00Z"), lit("text/plain"), col("body")),
         lit("\n")).as("rec"))
       .select(col("i"), expr(s"substring(rec, ${Warc.VersionMarker.length + 1})").as("record"))
-    val back = Warc.parseRecords(formatted.select(col("record")))
+    val back = Warc.parseRecords(formatted.select(col("record")), trimSeparator = true)
       .select(regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("int").as("i"),
         col("body")).as[(Int, String)].collect().toMap
     for ((i, b) <- bodies) assert(back(i) === b, s"case $i body=${b.replace("\r", "\\r").replace("\n", "\\n")}")
+  }
+
+  test("Warc.parseRecords: pre-split records keep payload-owned tail bytes") {
+    import graft.sources.Warc
+    // the exposed pre-split path never carried an inter-record separator:
+    // a payload legitimately ending in a bare \n or \r\n\r\n owns those
+    // bytes — the separator trim belongs to read() only
+    def rec(body: String): String =
+      "WARC-Type: response\r\nWARC-Target-URI: https://x/1\r\n\r\n" +
+        "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body
+    for (body <- Seq("ends bare\n", "ends crlf2\r\n\r\n", "no tail")) {
+      val got = Warc.parseRecords(Seq(rec(body)).toDF("record"))
+        .select(col("body")).head().getString(0)
+      assert(got === body,
+        s"pre-split body ${body.replace("\r", "\\r").replace("\n", "\\n")}")
+    }
   }
 
   // --- X132: semantic decontamination --------------------------------------
