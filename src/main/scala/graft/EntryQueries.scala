@@ -1971,6 +1971,34 @@ object EntryQueries {
                |  200 AS http_status, 'text/plain' AS content_type,
                |  md5(text) AS h FROM documents""".stripMargin)),
 
+    // X134b: member-gzip WARC roundtrip — the Common Crawl `.warc.gz`
+    // layout (one gzip member per record) written by writeGzip, re-read by
+    // the splittable member scanner with Content-Length framing. The body
+    // PLANTS the record marker `WARC/1.0\r\n` inside itself — the exact
+    // bytes the lite marker-split reader documents as its mis-split case —
+    // so this entry only matches if the framing, not the marker, bounds
+    // the payload. The oracle derives the expected bodies from the
+    // synthesis directly.
+    ("x134b_warc_gzip", (s: SparkSession, sfDir: String) => {
+      val out = tempDirCleanedOnExit("graft-warcgz-")
+      val recs = docsFrame(s, sfDir).select(
+        graft.sources.Warc.formatResponse(
+          concat(lit("https://crawl.example/doc/"), col("id")),
+          lit("2024-01-01T00:00:00Z"),
+          lit("text/plain"),
+          concat(col("content"), lit("\r\nWARC/1.0\r\ntrailer "), col("id"))).as("rec"))
+      graft.sources.WarcGzip.writeGzip(recs.repartition(4), s"$out/crawl")
+      graft.sources.WarcGzip.read(s, s"$out/crawl")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).as("id"),
+          col("warc_type"), col("http_status"), col("content_type"),
+          md5(col("body")).as("h"))
+    }, Some(s"""SELECT $DocId AS id, 'response' AS warc_type,
+               |  200 AS http_status, 'text/plain' AS content_type,
+               |  md5(text || chr(13) || chr(10) || 'WARC/1.0' || chr(13) || chr(10)
+               |      || 'trailer ' || $DocId) AS h
+               |FROM documents""".stripMargin)),
+
     // X130: the COMPOSED web-curation pipeline — the provenance-side
     // complement of x126's content-side chain: x124 URL canonicalization +
     // dedup (on the planted dup/tracking-param fixture) → x129 blocklist

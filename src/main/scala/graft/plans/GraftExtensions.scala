@@ -245,6 +245,11 @@ object GraftFunctions {
       "graft_warc(path STRING) - parsed records of an uncompressed WARC stream (warc_type, target_uri, warc_date, record_id, http_status, content_type, body, record)", 1, 1) { args =>
       val s = org.apache.spark.sql.SparkSession.active
       graft.sources.Warc.read(s, strArg(args(0), "path")).queryExecution.logical
+    },
+    tfn("graft_warc_gz",
+      "graft_warc_gz(path STRING) - parsed records of a member-gzip .warc.gz (Common Crawl layout): Content-Length-framed, byte-exact body_bytes alongside the text columns", 1, 1) { args =>
+      val s = org.apache.spark.sql.SparkSession.active
+      graft.sources.WarcGzip.read(s, strArg(args(0), "path")).queryExecution.logical
     })
 
   /** Install the table functions into an EXISTING session. */

@@ -17,21 +17,22 @@ import org.apache.spark.sql.functions._
   * work: WARC headers, the HTTP status line, HTTP headers, and the body
   * are `regexp_extract` projections over each record string.
   *
-  * Documented limits of the lite reader (each a deliberate scope cut):
+  * Documented limits of the lite TEXT reader — each lifted by the
+  * member-gzip reader [[WarcGzip]], which is the right tool whenever they
+  * matter:
   *   - UNCOMPRESSED WARC only. Common Crawl's `.warc.gz` is per-record
-  *     gzip (member-concatenated) — splittable decompression needs a
-  *     custom codec, and a gzip record is not text. Decompress upstream
-  *     or extend with a codec.
+  *     gzip (member-concatenated) — use [[WarcGzip.read]], the splittable
+  *     member scanner.
   *   - Marker-based splitting, not Content-Length framing: a BODY that
   *     contains the exact bytes `WARC/1.0\r\n` mis-splits (vanishingly
-  *     rare in practice; the full fix is a custom InputFormat that honors
-  *     Content-Length).
+  *     rare in practice; [[WarcGzip]] honors Content-Length exactly).
   *   - Binary payloads survive only as far as UTF-8 decoding allows
   *     (Hadoop Text replaces invalid sequences) — for text payloads
-  *     (text/plain, text/html, the target use) this is lossless.
+  *     (text/plain, text/html, the target use) this is lossless;
+  *     [[WarcGzip]]'s `body_bytes` is byte-exact.
   *   - Header continuation lines (ISO 28500 LWS folding) are not
   *     unfolded: a folded value truncates at its first line. Folded
-  *     headers are rare in crawl output; unfold upstream if present.
+  *     headers are rare in crawl output; [[WarcGzip]] unfolds them.
   */
 object Warc {
 

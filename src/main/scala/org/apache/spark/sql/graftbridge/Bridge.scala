@@ -37,4 +37,16 @@ object Bridge {
     */
   def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
+  /** Ship a Hadoop Configuration into task closures via Spark's own
+    * `private[spark]` SerializableConfiguration (what every built-in file
+    * source uses; Configuration itself is not Serializable). Returned as a
+    * serializable thunk because the wrapper CLASS is not nameable outside
+    * org.apache.spark.
+    */
+  def serializableConf(conf: org.apache.hadoop.conf.Configuration)
+      : () => org.apache.hadoop.conf.Configuration = {
+    val sc = new org.apache.spark.util.SerializableConfiguration(conf)
+    () => sc.value
+  }
 }

@@ -691,6 +691,22 @@ class ExtSpec extends AnyFunSuite {
     assert(wr.getString(0) === "https://ex.com/p")
     assert(wr.getInt(1) === 200)
     assert(wr.getString(2) === "<p>sql warc</p>")
+    // graft_warc_gz: the member-gzip form of the same record, framed by
+    // Content-Length, composing with an outer WHERE like any SQL source
+    val gzBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>sql warc</p>"
+      gz.write(("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: https://ex.com/p\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n" + http + "\r\n\r\n").getBytes("UTF-8"))
+      gz.close(); bos.toByteArray
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$wtmp/c.warc.gz"), gzBytes)
+    val wg = spark.sql(s"SELECT target_uri, http_status, body FROM " +
+      s"graft_warc_gz('$wtmp/c.warc.gz') WHERE http_status = 200").head()
+    assert(wg.getString(0) === "https://ex.com/p")
+    assert(wg.getString(2) === "<p>sql warc</p>")
   }
 
   test("dedupStream: keyCols containing the timestamp column still analyzes") {

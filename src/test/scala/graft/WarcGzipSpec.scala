@@ -1,0 +1,174 @@
+package graft
+
+import graft.sources.{Warc, WarcGzip}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** X134b/X134c: the member-gzip WARC reader — splittable scanning,
+  * Content-Length framing, binary fidelity, LWS unfolding.
+  */
+class WarcGzipSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-warcgz-").toString
+
+  /** One gzip member of `payload` bytes. */
+  private def gzMember(payload: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(payload); gz.close()
+    bos.toByteArray
+  }
+
+  private def writeFile(dir: String, name: String, bytes: Array[Byte]): String = {
+    val p = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.write(p, bytes)
+    p.toString
+  }
+
+  test("gzip roundtrip: CR/LF fuzz + planted WARC/1.0 marker bodies survive byte-identically") {
+    val rnd = new scala.util.Random(134)
+    // the alphabet the lite reader CANNOT handle: the record marker itself
+    // inside bodies, CR/LF runs, blank lines — Content-Length framing must
+    // carry them all
+    val alphabet = Seq("a", "b c", "\r\n", "\n", "\r", "<p>", "&amp;",
+      "WARC/1.0\r\n", "\r\n\r\n", "HTTP/1.1 200 OK")
+    val bodies = (1 to 200).map { i =>
+      (i, Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.size))).mkString)
+    }
+    val out = tmp()
+    WarcGzip.writeGzip(
+      bodies.toDF("i", "body")
+        .select(Warc.formatResponse(concat(lit("https://x/"), col("i")),
+          lit("2024-01-01T00:00:00Z"), lit("text/plain"), col("body")).as("rec"))
+        .repartition(4),
+      s"$out/crawl")
+    val back = WarcGzip.read(spark, s"$out/crawl")
+    val got = back
+      .select(regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("int").as("i"),
+        col("body"), col("warc_type"), col("http_status"), col("content_type"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(got.size === 200)
+    for ((i, b) <- bodies) {
+      val r = got(i)
+      assert(r.getString(1) === b,
+        s"case $i body=${b.replace("\r", "\\r").replace("\n", "\\n")}")
+      assert(r.getString(2) === "response")
+      assert(r.getInt(3) === 200)
+      assert(r.getString(4) === "text/plain")
+    }
+  }
+
+  test("splittability: tiny splits recover every record exactly once") {
+    val bodies = (1 to 300).map(i => (i, s"body $i " + ("x" * (i % 97))))
+    val out = tmp()
+    WarcGzip.writeGzip(
+      bodies.toDF("i", "body")
+        .select(Warc.formatResponse(concat(lit("https://x/"), col("i")),
+          lit("2024-01-01T00:00:00Z"), lit("text/plain"), col("body")).as("rec"))
+        .coalesce(1), // ONE file, so the split scanner does all the work
+      s"$out/one")
+    // a split boundary lands mid-member many times at 512 bytes; ownership
+    // is by member START, so each record must come back exactly once
+    val ids = WarcGzip.read(spark, s"$out/one", splitBytes = 512)
+      .select(regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("int"))
+      .as[Int].collect().sorted
+    assert(ids.toSeq === (1 to 300))
+    // degenerate split sizes agree too
+    val n1 = WarcGzip.read(spark, s"$out/one", splitBytes = 1).count()
+    assert(n1 === 300L)
+  }
+
+  test("Content-Length framing: binary bodies, trailing bytes, no false marker split") {
+    // a payload of EVERY byte value, framed by Content-Length — body_bytes
+    // must be the exact octet slice (UTF-8 string decode is lossy here,
+    // body_bytes is not)
+    val binBody = Array.tabulate[Byte](256)(_.toByte)
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: application/octet-stream\r\n\r\n"
+      .getBytes("US-ASCII")
+    val payload = http ++ binBody
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://bin/1\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII") ++
+      payload ++ "\r\n\r\n".getBytes("US-ASCII")
+    val dir = tmp()
+    writeFile(dir, "bin.warc.gz", gzMember(rec))
+    val r = WarcGzip.read(spark, s"$dir/bin.warc.gz").head()
+    assert(r.getAs[String]("warc_type") === "response")
+    assert(r.getAs[Int]("http_status") === 200)
+    assert(r.getAs[Array[Byte]]("body_bytes").toSeq === binBody.toSeq)
+    // a body ending in \r\n\r\n: the framing keeps it (no separator guess)
+    val tail = "ends with separator lookalike\r\n\r\n"
+    val http2 = s"HTTP/1.1 200 OK\r\n\r\n$tail"
+    val rec2 = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"Content-Length: ${http2.getBytes("UTF-8").length}\r\n\r\n" +
+      http2 + "\r\n\r\n").getBytes("UTF-8")
+    writeFile(dir, "tail.warc.gz", gzMember(rec2))
+    val r2 = WarcGzip.read(spark, s"$dir/tail.warc.gz").head()
+    assert(r2.getAs[String]("body") === tail)
+  }
+
+  test("LWS unfolding, missing Content-Length fallback, truncated records degrade") {
+    val dir = tmp()
+    // folded header: continuation line joins the value
+    val folded = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://very.long/\r\n example/path\r\n" +
+      "Content-Length: 4\r\n\r\nbody\r\n\r\n").getBytes("UTF-8")
+    writeFile(dir, "folded.warc.gz", gzMember(folded))
+    val r = WarcGzip.read(spark, s"$dir/folded.warc.gz").head()
+    assert(r.getAs[String]("target_uri") === "https://very.long/ example/path")
+    assert(r.getAs[String]("body") === "body")
+    // no Content-Length: fall back to stripping ONE trailing separator
+    val noCl = ("WARC/1.0\r\nWARC-Type: resource\r\n\r\npayload text\r\n\r\n")
+      .getBytes("UTF-8")
+    writeFile(dir, "nocl.warc.gz", gzMember(noCl))
+    val r2 = WarcGzip.read(spark, s"$dir/nocl.warc.gz").head()
+    assert(r2.getAs[String]("warc_type") === "resource")
+    assert(r2.getAs[String]("body") === "payload text")
+    assert(r2.isNullAt(r2.fieldIndex("http_status")))
+    // truncated record (headers only, no blank line): all-header parse,
+    // NULL body — degrade, never throw
+    val trunc = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://t/1"
+      .getBytes("UTF-8")
+    writeFile(dir, "trunc.warc.gz", gzMember(trunc))
+    val r3 = WarcGzip.read(spark, s"$dir/trunc.warc.gz").head()
+    assert(r3.getAs[String]("target_uri") === "https://t/1")
+    assert(r3.isNullAt(r3.fieldIndex("body")))
+  }
+
+  test("false-positive gzip magic and non-WARC members are skipped, not errors") {
+    val dir = tmp()
+    val good = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 2\r\n\r\nok\r\n\r\n")
+      .getBytes("UTF-8")
+    // junk that LOOKS like a member start (magic bytes) + a VALID gzip
+    // member that is not a WARC record + a real record
+    val junk = Array[Byte](0x1f, 0x8b.toByte, 0x08, 0x00, 0x00, 0x00)
+    val notWarc = gzMember("HTTP/1.1 200 OK\r\nnot a warc record".getBytes("UTF-8"))
+    writeFile(dir, "mixed.warc.gz", junk ++ notWarc ++ gzMember(good))
+    val rows = WarcGzip.read(spark, s"$dir/mixed.warc.gz").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("body") === "ok")
+  }
+
+  test("gzip read agrees with the uncompressed lite reader on marker-safe corpora") {
+    // same synthesized records through BOTH paths: the lite text-split
+    // reader over plain files and the member scanner over gzip — identical
+    // (id, type, status, ctype, body) rows
+    val docs = (1 to 120).map(i => (i, s"doc body $i\nsecond line")).toDF("i", "body")
+    val recs = docs.select(Warc.formatResponse(
+      concat(lit("https://x/"), col("i")), lit("2024-01-01T00:00:00Z"),
+      lit("text/html"), col("body")).as("rec"))
+    val out = tmp()
+    recs.coalesce(2).write.mode("overwrite").text(s"$out/plain")
+    WarcGzip.writeGzip(recs.repartition(3), s"$out/gz")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("int").as("i"),
+        col("warc_type"), col("http_status"), col("content_type"), col("body"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getString(4))).sortBy(_._1).toSeq
+    assert(shape(WarcGzip.read(spark, s"$out/gz"))
+      === shape(Warc.read(spark, s"$out/plain")))
+  }
+}
