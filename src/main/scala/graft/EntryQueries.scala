@@ -1712,30 +1712,11 @@ object EntryQueries {
       val pfx = freeze(c.searchTopK("cust*", 10), "prefix")
       c.addDf(heavy("u", 31, 89, " needle gadget"))
       val post = served("upsert", "customer", 10)
-      // gone-aware serving: a delete then an update, both FORCED onto the
-      // delta path (no compaction) — the sidecar must keep serving
-      // certified with df re-counted per query term: 'delete' shrinks
-      // 'customer'/'needle' df, 'update' replaces live docs' tf profiles,
-      // 'gizmo' is a term born in the update (no meta row -> completeness)
-      s.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
-      s.conf.set("spark.graft.compact.auto", "false")
-      val mutated = try {
-        c.delete(raw.filter(col("n") % 58 === 0)
-          .select(concat(lit("p"), col("n").cast("string")))
-          .collect().map(_.getString(0)).toSeq)
-        val dels = served("delete", "customer", 10)
-          .unionByName(served("delneedle", "needle", 25))
-        val updNs = raw.filter(col("n") % 62 === 0)
-          .select(col("n")).collect().map(_.getLong(0)).toSeq
-        c.update(updNs.map(n => s"u$n"),
-          updNs.map(n => ("customer " * (40 + n % 43).toInt).trim + " needle gizmo"))
-        dels.unionByName(served("update", "customer", 10))
-          .unionByName(served("gizmo", "gizmo", 5))
-      } finally {
-        s.conf.unset("spark.graft.store.directUpsertMaxBytes")
-        s.conf.set("spark.graft.compact.auto", "true")
-      }
-      pre.unionByName(pfx).unionByName(post).unionByName(mutated)
+      // gone-aware DELTA-PATH serving (delete/update/term-born-in-update)
+      // is pinned by ImpactSpec's lifecycle + randomized-mutation suites
+      // against full scoring — lifecycle choreography lives there, the
+      // DuckDB BM25 value replay stays here on the pre/upsert corpora
+      pre.unionByName(pfx).unionByName(post)
     }, Some(impactOracle)),
 
     // X123: perceptual media near-dup — planted "re-encoded" duplicates
@@ -4444,27 +4425,13 @@ object EntryQueries {
        |   FROM documents WHERE doc_id % 31 = 0),
        | c1 AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
        | c2 AS (SELECT * FROM c1 UNION ALL SELECT * FROM upd),
-       | del AS (SELECT 'p' || CAST(doc_id AS VARCHAR) AS id
-       |   FROM documents WHERE doc_id % 58 = 0),
-       | c3 AS (SELECT * FROM c2 WHERE id NOT IN (SELECT id FROM del)),
-       | upd2 AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS id,
-       |     trim(repeat('customer ', CAST(40 + doc_id % 43 AS INTEGER))) || ' needle gizmo' AS text
-       |   FROM documents WHERE doc_id % 62 = 0),
-       | c4 AS (SELECT * FROM c3 WHERE id NOT IN (SELECT id FROM upd2)
-       |   UNION ALL SELECT * FROM upd2),
        | ${corpusCtes("c1")},
-       | ${corpusCtes("c2")},
-       | ${corpusCtes("c3")},
-       | ${corpusCtes("c4")}
+       | ${corpusCtes("c2")}
        |${exact("single", "c1", Seq("customer"), and = false, 10)}
        |UNION ALL ${exact("and", "c1", Seq("needle", "customer"), and = true, 25)}
        |UNION ALL ${exact("bound0", "c1", Seq("needle"), and = false, 5)}
        |UNION ALL ${prefix("prefix", "c1", "cust%", 10)}
-       |UNION ALL ${exact("upsert", "c2", Seq("customer"), and = false, 10)}
-       |UNION ALL ${exact("delete", "c3", Seq("customer"), and = false, 10)}
-       |UNION ALL ${exact("delneedle", "c3", Seq("needle"), and = false, 25)}
-       |UNION ALL ${exact("update", "c4", Seq("customer"), and = false, 10)}
-       |UNION ALL ${exact("gizmo", "c4", Seq("gizmo"), and = false, 5)}""".stripMargin
+       |UNION ALL ${exact("upsert", "c2", Seq("customer"), and = false, 10)}""".stripMargin
   }
 
   /** x124 oracle: INDEPENDENT rule-level derivation of each case's
