@@ -1980,6 +1980,63 @@ object EntryQueries {
                |      || 'trailer ' || $DocId) AS h
                |FROM documents""".stripMargin)),
 
+    // X135: the crawl→shards FLAGSHIP — the full training-data path as ONE
+    // oracle-replayed flow across the seams the per-family entries cannot
+    // see: member-gzip WARC write/read (X134b) → HTML→text extraction with
+    // in-content id recovery (X128) → URL dedup + blocklist (X130's web
+    // side) → corpus line dedup + near-dedup (X126's content side) → X18
+    // sequence packing + X31 shuffle shards. Plants give every stage real
+    // work: dup/tracking URLs (url dedup + the tracker.net domain arm), a
+    // corpus-wide banner pair (line dedup df = corpus), near-dup clones of
+    // every 25th doc under UNIQUE urls (only the content arm may collapse
+    // them), and a per-doc 'zzdocid' line that both carries provenance
+    // through the crawl roundtrip (a crawl has no doc ids — recovering
+    // identity from content IS the seam) and keeps every doc byte-distinct
+    // through every stage. The final row set only matches if every
+    // intermediate corpus matched.
+    ("x135_crawl_to_shards", (s: SparkSession, sfDir: String) => {
+      val out = tempDirCleanedOnExit("graft-x135-")
+      // stage boundaries materialized (x126's freeze rationale: the dedup
+      // stages reference their input several times; lazy references would
+      // re-run the whole upstream chain multiplicatively)
+      def freeze(df: DataFrame): DataFrame =
+        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      val raw = s.read.parquet(s"$sfDir/documents.parquet")
+      val clones = raw.filter(col("doc_id") % 25 === 0)
+        .select(concat(lit("dup"), col("doc_id").cast("string")).as("id"),
+          concat(col("text"), lit(" zzextratoken")).as("content"),
+          concat(lit("no-scheme-url-dup"), col("doc_id").cast("string")).as("url"))
+      val crawl = dupUrlDocs(s, sfDir).unionByName(clones)
+      val html = concat(
+        lit("<html><body><h1>Crawl &amp; shard</h1><p>Subscribe now and like</p><p>"),
+        col("content"), lit("</p><p>zzdocid "), col("id"),
+        lit("</p><script>var x = \"<b>no</b>\";</script></body></html>"))
+      graft.sources.WarcGzip.writeGzip(
+        crawl.select(graft.sources.Warc.formatResponse(col("url"),
+          lit("2024-01-01T00:00:00Z"), lit("text/html"), html).as("rec"))
+          .repartition(4),
+        s"$out/crawl")
+      val extracted = graft.sources.WarcGzip.read(s, s"$out/crawl")
+        .select(col("target_uri").as("url"),
+          Html.htmlToText(col("body")).as("content"))
+        .select(regexp_extract(col("content"), "(?m)^zzdocid (\\w+)$", 1).as("id"),
+          col("url"), col("content"))
+      val deduped = freeze(Web.dedupByUrl(freeze(extracted)))
+      val clean = freeze(Web.filterByBlocklist(deduped,
+        blockedDomains = Seq("tracker.net"), blockedPhrases = Seq("table hash")))
+      val lines = freeze(Dedup.dedupLinesCorpus(clean.select("id", "content"))
+        .select(col("id"), col("content_dedup").as("content")))
+      val near = freeze(Dedup.dedupCorpus(lines))
+      val packed = Pipeline.packSequences(near, budget = 512, shards = 8)
+        .select(col("id"), col("shard").as("pack_shard"), col("n_tokens"),
+          col("offset"), col("bin"))
+      val sharded = Pipeline.shuffleShards(near, numShards = 8, seed = 42L)
+        .select(col("id"), col("shard"), col("pos"))
+      near.select(col("id"), md5(col("content")).as("h"))
+        .join(sharded, Seq("id")).join(packed, Seq("id"))
+        .select("id", "shard", "pos", "pack_shard", "n_tokens", "offset", "bin", "h")
+    }, Some(crawlToShardsOracle)),
+
     // X130: the COMPOSED web-curation pipeline — the provenance-side
     // complement of x126's content-side chain: x124 URL canonicalization +
     // dedup (on the planted dup/tracking-param fixture) → x129 blocklist
@@ -4843,6 +4900,84 @@ object EntryQueries {
        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rk, id) - 1 AS pos,
        |  md5(c) AS final_md5
        |FROM fs""".stripMargin
+
+  /** x135 oracle: the crawl→shards flagship replayed stage by stage —
+    * expected extraction text constructed DIRECTLY (like x130: stronger
+    * than re-running the regex chain), url canonicalization/domain per
+    * synthesis case (the x124/x129-proven arithmetic), md5-rank url
+    * survivors, the \Q-quoted phrase arm, x25's corpus line dedup, x2b's
+    * pair + recursive-CC near-dedup (empty-shingle docs never pair — the
+    * jnz guard, matching the engine's no-bands-for-empty), x18's pack
+    * arithmetic and x31's shard/pos replay. Key CTEs MATERIALIZED — the
+    * chain is deep and self-joining.
+    */
+  private lazy val crawlToShardsOracle: String = Seq(
+    "c0", "ext", "kept", "clean", "lt", "ld", "l1", "jsh", "jnz", "jp",
+    "je", "jc", "d1", "pk", "po", "fs").foldLeft(crawlToShardsOracleRaw) {
+    (q, c) =>
+      val r = q.replace(s" $c AS (", s" $c AS MATERIALIZED (")
+      require(r != q, s"crawlToShardsOracle: CTE '$c' not found to materialize")
+      r
+  }
+
+  private lazy val crawlToShardsOracleRaw: String =
+    s"""WITH RECURSIVE c0 AS (
+       |  SELECT $DocId AS id, CAST(doc_id AS BIGINT) AS n, 0 AS grp, text AS body FROM documents
+       |  UNION ALL
+       |  SELECT 'dup' || $DocId, CAST(doc_id AS BIGINT), 1, text || ' zzextratoken'
+       |  FROM documents WHERE doc_id % 25 = 0),
+       | ext AS (SELECT id, n, grp,
+       |    'Crawl & shard' || chr(10) || 'Subscribe now and like' || chr(10) ||
+       |      body || chr(10) || 'zzdocid ' || id AS c,
+       |    CASE WHEN grp = 1 THEN 'no-scheme-url-dup' || CAST(n AS VARCHAR)
+       |      WHEN n % 5 IN (0, 1) THEN 'http://www.example.com/Path/' || CAST(n // 5 AS VARCHAR) || '?a=1&b=2'
+       |      WHEN n % 5 = 2 THEN 'https://site' || CAST(n % 11 AS VARCHAR) || '.org/p/' || id
+       |      WHEN n % 5 = 3 THEN 'http://tracker.net/p/' || id
+       |      ELSE 'no-scheme-url-' || id END AS canonical,
+       |    CASE WHEN grp = 0 AND n % 5 IN (0, 1) THEN 'example.com'
+       |      WHEN grp = 0 AND n % 5 = 2 THEN 'site' || CAST(n % 11 AS VARCHAR) || '.org'
+       |      WHEN grp = 0 AND n % 5 = 3 THEN 'tracker.net' END AS domain
+       |  FROM c0),
+       | kept AS (SELECT id, c, domain FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY canonical ORDER BY md5(id), id) AS rn
+       |    FROM ext) WHERE rn = 1),
+       | clean AS (SELECT id, c FROM kept
+       |  WHERE (domain IS NULL OR domain <> 'tracker.net')
+       |    AND NOT regexp_matches(lower(c), '\\b(?:\\Qtable hash\\E)\\b')),
+       | lt AS (SELECT id, string_split(c, chr(10)) AS ls FROM clean),
+       | ld AS (SELECT coalesce(list(k), []) AS dl FROM (
+       |    SELECT trim(l) AS k FROM lt, unnest(ls) AS r(l)
+       |    WHERE len(trim(l)) > 0 GROUP BY 1 HAVING count(*) >= 2)),
+       | l1 AS (SELECT id, array_to_string(list_filter(ls,
+       |    l -> len(trim(l)) = 0 OR NOT list_contains(dl, trim(l))), chr(10)) AS c
+       |  FROM lt CROSS JOIN ld),
+       | jsh AS (SELECT id, CASE WHEN len(w) < 3 THEN []
+       |    ELSE list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) END AS s
+       |  FROM (SELECT id, ${toksOf("c")} AS w FROM l1)),
+       | jnz AS (SELECT * FROM jsh WHERE len(s) > 0),
+       | jp AS (SELECT a.id AS id_a, b.id AS id_b FROM jnz a JOIN jnz b ON a.id < b.id
+       |  WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+       | je AS (SELECT id_a AS sr, id_b AS d FROM jp UNION SELECT id_b, id_a FROM jp),
+       | jr AS (SELECT sr, d FROM je
+       |   UNION SELECT r.sr, e.d FROM jr r JOIN je e ON r.d = e.sr WHERE e.d <> r.sr),
+       | jc AS (SELECT sr AS id, least(sr, min(d)) AS cluster FROM jr GROUP BY sr),
+       | d1 AS (SELECT id, c FROM l1
+       |  WHERE id NOT IN (SELECT id FROM jc WHERE id <> cluster)),
+       | pk AS (SELECT id, c,
+       |    CAST(len(list_filter(string_split_regex(c, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+       |    CAST(('0x' || substr(md5(id), 1, 12))::BIGINT % 8 AS INT) AS pack_shard
+       |  FROM d1),
+       | po AS (SELECT id, c, pack_shard, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_shard ORDER BY id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+       |  FROM pk),
+       | fs AS (SELECT id, rk, ('0x' || substr(rk, 1, 12))::BIGINT % 8 AS shard
+       |  FROM (SELECT id, md5('42:' || id) AS rk FROM d1))
+       |SELECT po.id, fs.shard,
+       |  ROW_NUMBER() OVER (PARTITION BY fs.shard ORDER BY fs.rk, fs.id) - 1 AS pos,
+       |  po.pack_shard, po.n_tokens, po."offset",
+       |  CAST(floor(po."offset" / 512) AS BIGINT) AS bin, md5(po.c) AS h
+       |FROM po JOIN fs ON fs.id = po.id""".stripMargin
 
   /** x125b oracle: the drop rule replayed over the subset corpus — a doc
     * drops iff SOME other doc covers ≥ 0.85 of its shingles AND is
