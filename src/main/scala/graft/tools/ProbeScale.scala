@@ -456,6 +456,92 @@ object ProbeScale {
       writeOut(); return
     }
 
+    // `r17ops` = round-17 probes, NO collection ingest:
+    //  (a) X127 NB scoring, scan kernel vs the retired join shape, at 2M
+    //      docs — the round's "kill the avoidable token shuffle" claim as
+    //      a number (r16 measured the join shape at 39.1 s);
+    //  (b) X134b member-gzip WARC write/read at 2M records vs the
+    //      uncompressed text reader (done = within ~2× of uncompressed);
+    //  (c) the x135 crawl→shards composition end-to-end at 2M: gz read →
+    //      extract+id → url dedup → blocklist → line dedup → near dedup →
+    //      pack + shards, persist() at the multi-consumer stage boundaries
+    //      (the library-scale equivalent of the entry's freeze()).
+    if (mode.contains("r17ops")) {
+      import graft.sources.{Warc, WarcGzip}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-r17ops-").toString
+      val docs = r16SynthDocs().select($"id", $"content").persist()
+      println(s"PROBE   docs = ${docs.count()}")
+      val posT = docs.filter(pmod(xxhash64($"id", lit(7)), lit(20)) === 0)
+      val negT = docs.filter(pmod(xxhash64($"id", lit(7)), lit(20)) === 1)
+      val nbm = time("nb_train_2x100k_sec")(
+        graft.ext.Classify.trainQualityNb(posT, negT))
+      time("nb_score_2m_sec")(
+        graft.ext.Classify.scoreQualityNb(docs, nbm)
+          .write.format("noop").mode("overwrite").save())
+      time("nb_score_join_2m_sec")(
+        graft.ext.Classify.scoreQualityNbJoin(docs, nbm)
+          .write.format("noop").mode("overwrite").save())
+      val nbmB = time("nb_train_bigram_sec")(
+        graft.ext.Classify.trainQualityNb(posT, negT, bigrams = true))
+      time("nb_score_bigram_2m_sec")(
+        graft.ext.Classify.scoreQualityNb(docs, nbmB)
+          .write.format("noop").mode("overwrite").save())
+
+      val recs = docs.select(Warc.formatResponse(
+        concat(lit("https://crawl.example/doc/"), $"id"),
+        lit("2024-01-01T00:00:00Z"), lit("text/plain"), $"content").as("rec"))
+        .persist()
+      println(s"PROBE   records = ${recs.count()}")
+      time("warc_write_text_2m_sec")(
+        recs.write.mode("overwrite").text(s"$tmp/plain"))
+      time("warc_gz_write_2m_sec")(WarcGzip.writeGzip(recs, s"$tmp/gz"))
+      recs.unpersist()
+      val plain = time("warc_read_2m_sec")(
+        Warc.read(spark, s"$tmp/plain")
+          .agg(count(lit(1)), sum(length($"body"))).head())
+      val gz = time("warc_gz_read_2m_sec")(
+        WarcGzip.read(spark, s"$tmp/gz")
+          .agg(count(lit(1)), sum(length($"body"))).head())
+      require(plain.getLong(0) == 2000000L && gz.getLong(0) == 2000000L,
+        s"every record must parse both ways: plain=$plain gz=$gz")
+      require(plain.getLong(1) == gz.getLong(1),
+        s"body mass must agree across readers: plain=$plain gz=$gz")
+      metrics += ("warc_gz_records" -> gz.getLong(0))
+
+      // (c) crawl e2e — html-wrapped bodies with the x135 plants
+      val crawlSrc = r16SynthDocs()
+      val html = concat(
+        lit("<html><body><h1>Crawl &amp; shard</h1><p>"), $"content",
+        lit("</p><p>zzdocid "), $"id",
+        lit("</p><script>var x = 1;</script></body></html>"))
+      time("crawl_gz_write_2m_sec")(WarcGzip.writeGzip(
+        crawlSrc.select(Warc.formatResponse($"url",
+          lit("2024-01-01T00:00:00Z"), lit("text/html"), html).as("rec")),
+        s"$tmp/crawl"))
+      time("crawl_e2e_2m_sec") {
+        val extracted = WarcGzip.read(spark, s"$tmp/crawl")
+          .select($"target_uri".as("url"),
+            graft.ext.Html.htmlToText($"body").as("content"))
+          .select(regexp_extract($"content", "(?m)^zzdocid (\\w+)$", 1).as("id"),
+            $"url", $"content")
+        val clean = graft.ext.Web.filterByBlocklist(
+          graft.ext.Web.dedupByUrl(extracted),
+          blockedDomains = Seq("tracker.net"),
+          blockedPhrases = Seq("slow scan merge")).persist()
+        val lines = graft.ext.Dedup.dedupLinesCorpus(clean.select("id", "content"))
+          .select($"id", $"content_dedup".as("content")).persist()
+        val near = graft.ext.Dedup.dedupCorpus(lines).persist()
+        graft.ext.Pipeline.packSequences(near, budget = 512, shards = 64)
+          .write.format("noop").mode("overwrite").save()
+        graft.ext.Pipeline.shuffleShards(near, numShards = 64, seed = 42L)
+          .write.format("noop").mode("overwrite").save()
+        println(s"PROBE   e2e clean=${clean.count()} near=${near.count()}")
+        clean.unpersist(); lines.unpersist(); near.unpersist()
+      }
+      docs.unpersist()
+      writeOut(); return
+    }
+
     val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id".cast("string").as("id"), $"text".as("content"),
         map(lit("lang"), $"lang").as("metadata"))
