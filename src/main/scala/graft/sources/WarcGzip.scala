@@ -153,19 +153,25 @@ object WarcGzip {
       in.seek(start)
       val win = new ByteWindow(in, start, fileLen)
       val out = scala.collection.mutable.ArrayBuffer[GzRecord]()
-      var pos = start
-      while (pos < end && pos < fileLen) {
-        if (win.byteAt(pos) == 0x1f && win.byteAt(pos + 1) == 0x8b &&
-            win.byteAt(pos + 2) == 0x08) {
-          inflateMember(win, pos) match {
-            case Some((rec, memberLen)) =>
-              out += parseMemberRecord(rec)
-              pos += memberLen
-            case None =>
-              pos += 1
-          }
-        } else pos += 1
-      }
+      // ONE Inflater per range, reset() per member: Inflater holds native
+      // zlib state — per-member construction was the dominant cost of a
+      // 2M-member read
+      val inflater = new java.util.zip.Inflater(true)
+      try {
+        var pos = start
+        while (pos < end && pos < fileLen) {
+          if (win.byteAt(pos) == 0x1f && win.byteAt(pos + 1) == 0x8b &&
+              win.byteAt(pos + 2) == 0x08) {
+            inflateMember(win, pos, inflater) match {
+              case Some((rec, memberLen)) =>
+                out += parseMemberRecord(rec)
+                pos += memberLen
+              case None =>
+                pos += 1
+            }
+          } else pos += 1
+        }
+      } finally inflater.end()
       out.iterator
     } finally in.close()
   }
@@ -177,7 +183,8 @@ object WarcGzip {
     * starting with `WARC/1.0\r\n` — the three-way validation that makes
     * magic-scanning safe against false positives in compressed data.
     */
-  private def inflateMember(win: ByteWindow, off: Long): Option[(Array[Byte], Long)] = {
+  private def inflateMember(win: ByteWindow, off: Long,
+                            inflater0: java.util.zip.Inflater): Option[(Array[Byte], Long)] = {
     // gzip header: magic(2) cm(1) flg(1) mtime(4) xfl(1) os(1) [+optionals]
     val flg = win.byteAt(off + 3)
     if (flg < 0) return None
@@ -200,7 +207,8 @@ object WarcGzip {
       p += 1
     }
     if ((flg & 2) != 0) p += 2 // FHCRC
-    val inflater = new java.util.zip.Inflater(true) // nowrap: raw deflate
+    val inflater = inflater0 // nowrap raw-deflate, caller-owned
+    inflater.reset()
     try {
       val outBuf = new java.io.ByteArrayOutputStream(64 * 1024)
       val chunkOut = new Array[Byte](64 * 1024)
@@ -237,7 +245,7 @@ object WarcGzip {
       Some((data, trailerOff + 8 - off))
     } catch {
       case _: java.util.zip.DataFormatException => None
-    } finally inflater.end()
+    }
   }
 
   private val Marker = "WARC/1.0\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
@@ -267,12 +275,22 @@ object WarcGzip {
     -1
   }
 
+  // fixed header set → patterns compiled ONCE per JVM (a compile per
+  // record per header dominated the 2M-member parse)
+  private val headerPatterns: Map[String, java.util.regex.Pattern] =
+    Seq("WARC-Type", "WARC-Target-URI", "WARC-Date", "WARC-Record-ID",
+      "Content-Length", "Content-Type").map { name =>
+      name -> java.util.regex.Pattern.compile(
+        s"(?im)^${java.util.regex.Pattern.quote(name)}:[ \\t]*(.*?)\\r?$$")
+    }.toMap
+
   private def header(headers: String, name: String): Option[String] = {
-    val m = java.util.regex.Pattern
-      .compile(s"(?im)^${java.util.regex.Pattern.quote(name)}:[ \\t]*(.*?)\\r?$$")
-      .matcher(headers)
+    val m = headerPatterns(name).matcher(headers)
     if (m.find()) Some(m.group(1)).filter(_.nonEmpty) else None
   }
+
+  private val statusPattern =
+    java.util.regex.Pattern.compile("^HTTP/[0-9.]+[ \\t]+(\\d{3})")
 
   /** Parse one whole record (the decompressed member). Content-Length
     * frames the payload exactly when present; a record without it (or a
@@ -316,8 +334,7 @@ object WarcGzip {
     val (status, ctype, bodyStart) =
       if (httpEnd >= 0) {
         val httpHeaders = unfold(new String(rec, payloadStart, httpEnd - payloadStart, Utf8))
-        val st = java.util.regex.Pattern
-          .compile("^HTTP/[0-9.]+[ \\t]+(\\d{3})").matcher(httpHeaders)
+        val st = statusPattern.matcher(httpHeaders)
         (if (st.find()) Some(st.group(1).toInt) else None,
           header(httpHeaders, "Content-Type"),
           httpEnd + 4)
@@ -334,11 +351,13 @@ object WarcGzip {
       recStr)
   }
 
+  private val unfoldPattern = java.util.regex.Pattern.compile("\r?\n[ \t]+")
+
   /** LWS unfolding: CRLF (or LF) followed by SP/HT joins the previous
     * line, per ISO 28500 §4 / RFC 822 folding.
     */
   private def unfold(headers: String): String =
-    headers.replaceAll("\r?\n[ \t]+", " ")
+    unfoldPattern.matcher(headers).replaceAll(" ")
 
   // --- write side ----------------------------------------------------------
 
@@ -363,16 +382,40 @@ object WarcGzip {
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.get().partitionId()
         val p = new Path(f"$path/part-$pid%05d.warc.gz")
-        val out = p.getFileSystem(confThunk()).create(p, true)
+        val out = new java.io.BufferedOutputStream(
+          p.getFileSystem(confThunk()).create(p, true), 1 << 20)
+        // ONE Deflater per partition, reset() per member, gzip framing
+        // written by hand — a GZIPOutputStream per record allocates native
+        // zlib state per member (measured as ~all of a 2M-member write)
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        val crc = new java.util.zip.CRC32()
+        val buf = new Array[Byte](64 * 1024)
+        // header: magic, CM=deflate, FLG=0, MTIME=0, XFL=0, OS=unknown
+        val header = Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte)
+        def le32(v: Long): Array[Byte] = Array[Byte](
+          (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
         try {
           it.foreach { rec =>
-            // one member per record: finish() seals the member (trailer
-            // included) without closing the underlying stream
-            val gz = new java.util.zip.GZIPOutputStream(out, 64 * 1024)
-            gz.write(rec.getBytes(Utf8))
-            gz.finish()
+            val bytes = rec.getBytes(Utf8)
+            out.write(header)
+            deflater.reset()
+            deflater.setInput(bytes)
+            deflater.finish()
+            while (!deflater.finished()) {
+              val n = deflater.deflate(buf)
+              if (n > 0) out.write(buf, 0, n)
+            }
+            crc.reset()
+            crc.update(bytes)
+            out.write(le32(crc.getValue))
+            out.write(le32(bytes.length & 0xffffffffL))
           }
-        } finally out.close()
+        } finally {
+          deflater.end()
+          out.close()
+        }
       }
     }
   }

@@ -1,0 +1,16 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object GzReadProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val r = graft.sources.WarcGzip.read(spark, args(0))
+      .agg(count(lit(1)), sum(length(col("body")))).head()
+    println(f"GZPROBE n=${r.getLong(0)} chars=${r.getLong(1)} secs=${(System.nanoTime()-t0)/1e9}%.1f")
+    spark.stop()
+  }
+}
