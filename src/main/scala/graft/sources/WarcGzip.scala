@@ -65,6 +65,9 @@ object WarcGzip {
   def read(spark: SparkSession, path: String,
            splitBytes: Long = 128L * 1024 * 1024): DataFrame = {
     require(splitBytes > 0, "splitBytes > 0")
+    // the range buffer is a JVM array: one split (plus one member overrun)
+    // must stay addressable — and well under it for sane task memory
+    require(splitBytes <= (1L << 30), "splitBytes must be <= 1 GiB")
     import spark.implicits._
     val hconf = spark.sessionState.newHadoopConf()
     val confThunk = Bridge.serializableConf(hconf)
@@ -212,15 +215,19 @@ object WarcGzip {
     try {
       val outBuf = new java.io.ByteArrayOutputStream(64 * 1024)
       val chunkOut = new Array[Byte](64 * 1024)
-      val ChunkIn = 64 * 1024
+      // first input chunk small (typical members are a few hundred bytes —
+      // feeding the whole loaded window tail per member measured as GBs of
+      // redundant copying at 2M members), refills larger for big members
+      var chunkIn = 8 * 1024
       var inPos = p
       var done = false
       while (!done) {
         if (inflater.needsInput()) {
-          val availEnd = win.ensure(inPos + ChunkIn)
+          val availEnd = math.min(win.ensure(inPos + chunkIn), inPos + chunkIn)
           if (availEnd <= inPos) return None // truncated member
           inflater.setInput(win.slice(inPos, availEnd))
           inPos = availEnd
+          chunkIn = 256 * 1024
         }
         val n = inflater.inflate(chunkOut)
         if (n > 0) outBuf.write(chunkOut, 0, n)
@@ -301,16 +308,22 @@ object WarcGzip {
   private[sources] def parseMemberRecord(rec: Array[Byte]): GzRecord = {
     val recStr = new String(rec, Utf8)
     val hdrEnd = indexOfCrlfCrlf(rec, 0, rec.length)
-    if (hdrEnd < 0) // truncated: all headers, no payload
+    if (hdrEnd < 0) { // truncated: all headers, no payload
+      val hdrs = unfold(recStr)
       return GzRecord(
-        header(unfold(recStr), "WARC-Type"),
-        header(unfold(recStr), "WARC-Target-URI"),
-        header(unfold(recStr), "WARC-Date"),
-        header(unfold(recStr), "WARC-Record-ID"),
+        header(hdrs, "WARC-Type"),
+        header(hdrs, "WARC-Target-URI"),
+        header(hdrs, "WARC-Date"),
+        header(hdrs, "WARC-Record-ID"),
         None, None, None, None, recStr)
+    }
     // ISO 28500 LWS unfolding: a continuation line (CRLF + SP/HT) is part
-    // of the previous header's value
-    val warcHeaders = unfold(new String(rec, 0, hdrEnd, Utf8))
+    // of the previous header's value. The header block is re-sliced from
+    // the already-decoded record string (same logical boundary as the
+    // byte-level hdrEnd) — a second byte decode of every record measured
+    // as real cost at 2M members.
+    val warcHeaders = unfold(recStr.substring(0,
+      recStr.indexOf("\r\n\r\n") match { case -1 => recStr.length; case i => i }))
     val payloadStart = hdrEnd + 4
     val contentLength = header(warcHeaders, "Content-Length")
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption)

@@ -1,6 +1,11 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** One-shot timing of [[graft.sources.WarcGzip.read]] over an existing
+  * `.warc.gz` directory: `runMain graft.tools.GzReadProbe <path>` — the
+  * iterate-on-the-reader loop without re-writing the 2M-member fixture.
+  */
 object GzReadProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
