@@ -2037,6 +2037,33 @@ object EntryQueries {
         .select("id", "shard", "pos", "pack_shard", "n_tokens", "offset", "bin", "h")
     }, Some(crawlToShardsOracle)),
 
+    // X136: WET conversion records — the "extract once, persist as WET,
+    // re-read everywhere" intermediate of a crawl pipeline (Common Crawl's
+    // extracted-text sidecar layout): HTML→text extraction formatted as
+    // WARC-Type: conversion records (no HTTP block, Content-Type carried
+    // as a WARC header), written member-per-record gzip, re-read by the
+    // member scanner. The oracle constructs the expected extracted text
+    // directly — the roundtrip md5 only matches if the conversion framing,
+    // the WARC-level Content-Type surfacing, and the gzip roundtrip all
+    // hold.
+    ("x136_wet_conversion", (s: SparkSession, sfDir: String) => {
+      val out = tempDirCleanedOnExit("graft-wet-")
+      val txt = Html.htmlToText(concat(
+        lit("<body><h1>WET &amp; shard</h1><p>"), col("content"),
+        lit("</p></body>")))
+      graft.sources.WarcGzip.writeGzip(
+        docsFrame(s, sfDir).select(graft.sources.Warc.formatConversion(
+          concat(lit("https://crawl.example/doc/"), col("id")),
+          lit("2024-01-01T00:00:00Z"), txt).as("rec")).repartition(4),
+        s"$out/wet")
+      graft.sources.WarcGzip.read(s, s"$out/wet")
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).as("id"),
+          col("warc_type"), col("content_type"), md5(col("body")).as("h"))
+    }, Some(s"""SELECT $DocId AS id, 'conversion' AS warc_type,
+               |  'text/plain' AS content_type,
+               |  md5('WET & shard' || chr(10) || text) AS h
+               |FROM documents""".stripMargin)),
+
     // X130: the COMPOSED web-curation pipeline — the provenance-side
     // complement of x126's content-side chain: x124 URL canonicalization +
     // dedup (on the planted dup/tracking-param fixture) → x129 blocklist

@@ -58,6 +58,18 @@ object Warc {
       .filter(length(col("record")) > 0), // the piece before the first marker
       trimSeparator = true)
 
+  /** Structured-streaming form of [[read]]: a drop-directory of WARC files
+    * as an unbounded record stream (the crawl-native continuous-ingestion
+    * source — compose with `Collection.streamIngest` or the
+    * [[graft.streaming]] operators). Same split + parse as the batch
+    * reader; the text file-stream source tracks arrivals.
+    */
+  def readStream(spark: SparkSession, path: String): DataFrame =
+    parseRecords(spark.readStream.option("lineSep", VersionMarker).text(path)
+      .withColumnRenamed("value", "record")
+      .filter(length(col("record")) > 0),
+      trimSeparator = true)
+
   /** A WARC named header value (case-insensitive, first occurrence),
     * NULL when absent. */
   private def warcHeader(headers: org.apache.spark.sql.Column, name: String) = {
@@ -113,7 +125,11 @@ object Warc {
         warcHeader(col("__headers"), "WARC-Record-ID").as("record_id"),
         when(httpStatus0 === "", lit(null).cast("int"))
           .otherwise(httpStatus0.cast("int")).as("http_status"),
-        warcHeader(col("__http_headers"), "Content-Type").as("content_type"),
+        // HTTP-block Content-Type when present, else the WARC-level header
+        // (conversion/WET records describe their payload there)
+        coalesce(
+          warcHeader(col("__http_headers"), "Content-Type"),
+          warcHeader(col("__headers"), "Content-Type")).as("content_type"),
         body.as("body"),
         col("record"))
   }
@@ -140,4 +156,22 @@ object Warc {
       lit("\r\nContent-Length: "), octet_length(http).cast("string"),
       lit("\r\n\r\n"), http, lit("\r\n\r\n"))
   }
+
+  /** Format (uri, date, text) rows as WARC CONVERSION records — the WET
+    * layout (Common Crawl's extracted-text sidecar files): no HTTP block,
+    * the payload is the extracted text itself, Content-Type carried as a
+    * WARC header. Write through `df.write.text` or (member-per-record,
+    * splittable) [[WarcGzip.writeGzip]] — the "extract once, persist as
+    * WET, re-read everywhere" intermediate of a crawl pipeline.
+    */
+  def formatConversion(uri: org.apache.spark.sql.Column,
+                       date: org.apache.spark.sql.Column,
+                       text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit(VersionMarker),
+      lit("WARC-Type: conversion\r\nWARC-Target-URI: "), uri,
+      lit("\r\nWARC-Date: "), date,
+      lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+      octet_length(text).cast("string"),
+      lit("\r\n\r\n"), text, lit("\r\n\r\n"))
 }

@@ -152,31 +152,60 @@ object WarcGzip {
     val fs = path.getFileSystem(conf)
     val fileLen = fs.getFileStatus(path).getLen
     val in = fs.open(path)
-    try {
-      in.seek(start)
-      val win = new ByteWindow(in, start, fileLen)
-      val out = scala.collection.mutable.ArrayBuffer[GzRecord]()
-      // ONE Inflater per range, reset() per member: Inflater holds native
-      // zlib state — per-member construction was the dominant cost of a
-      // 2M-member read
-      val inflater = new java.util.zip.Inflater(true)
-      try {
-        var pos = start
-        while (pos < end && pos < fileLen) {
+    in.seek(start)
+    val win = new ByteWindow(in, start, fileLen)
+    // ONE Inflater per range, reset() per member: Inflater holds native
+    // zlib state — per-member construction was the dominant cost of a
+    // 2M-member read
+    val inflater = new java.util.zip.Inflater(true)
+    // a task abandoned mid-iteration (limit, failure) must still release
+    // the stream and the native zlib state
+    Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
+      new org.apache.spark.util.TaskCompletionListener {
+        override def onTaskCompletion(ctx: org.apache.spark.TaskContext): Unit = {
+          try inflater.end() catch { case _: Throwable => () }
+          try in.close() catch { case _: Throwable => () }
+        }
+      }))
+    // LAZY iterator — records parse as the consumer pulls, so a task never
+    // buffers its whole range's records and downstream work pipelines with
+    // the scan (the window still holds the range bytes; that is the task's
+    // documented memory bound)
+    new Iterator[GzRecord] {
+      private var pos = start
+      private var nextRec: GzRecord = _
+      private var closed = false
+      private def close(): Unit = if (!closed) {
+        closed = true
+        inflater.end()
+        in.close()
+      }
+      private def advance(): Unit = {
+        while (nextRec == null && pos < end && pos < fileLen) {
           if (win.byteAt(pos) == 0x1f && win.byteAt(pos + 1) == 0x8b &&
               win.byteAt(pos + 2) == 0x08) {
             inflateMember(win, pos, inflater) match {
               case Some((rec, memberLen)) =>
-                out += parseMemberRecord(rec)
+                nextRec = parseMemberRecord(rec)
                 pos += memberLen
               case None =>
                 pos += 1
             }
           } else pos += 1
         }
-      } finally inflater.end()
-      out.iterator
-    } finally in.close()
+        if (nextRec == null) close()
+      }
+      override def hasNext: Boolean = {
+        if (nextRec == null && !closed) advance()
+        nextRec != null
+      }
+      override def next(): GzRecord = {
+        if (!hasNext) throw new NoSuchElementException("scanRange")
+        val r = nextRec
+        nextRec = null
+        r
+      }
+    }
   }
 
   /** Try to inflate one gzip member at absolute `off` (magic already
@@ -358,7 +387,10 @@ object WarcGzip {
       header(warcHeaders, "WARC-Target-URI"),
       header(warcHeaders, "WARC-Date"),
       header(warcHeaders, "WARC-Record-ID"),
-      status, ctype,
+      status,
+      // HTTP-block Content-Type when present, else the WARC-level header
+      // (conversion/WET records describe their payload there)
+      ctype.orElse(header(warcHeaders, "Content-Type")),
       Some(new String(bodyBytes, Utf8)),
       Some(bodyBytes),
       recStr)

@@ -492,16 +492,23 @@ object ProbeScale {
         lit("2024-01-01T00:00:00Z"), lit("text/plain"), $"content").as("rec"))
         .persist()
       println(s"PROBE   records = ${recs.count()}")
+      // the reader timings must not carry the NB section's cached corpus
+      // as heap pressure (measured 4x on the gz read)
+      docs.unpersist()
       time("warc_write_text_2m_sec")(
         recs.write.mode("overwrite").text(s"$tmp/plain"))
       time("warc_gz_write_2m_sec")(WarcGzip.writeGzip(recs, s"$tmp/gz"))
       recs.unpersist()
-      val plain = time("warc_read_2m_sec")(
-        Warc.read(spark, s"$tmp/plain")
-          .agg(count(lit(1)), sum(length($"body"))).head())
-      val gz = time("warc_gz_read_2m_sec")(
-        WarcGzip.read(spark, s"$tmp/gz")
-          .agg(count(lit(1)), sum(length($"body"))).head())
+      // steady-state read timings: one warm-up pass each (JIT + page
+      // cache), then the measured pass — in-probe cold numbers varied 2×
+      // against an isolated rerun of the same read
+      def readPlain() = Warc.read(spark, s"$tmp/plain")
+        .agg(count(lit(1)), sum(length($"body"))).head()
+      def readGz() = WarcGzip.read(spark, s"$tmp/gz")
+        .agg(count(lit(1)), sum(length($"body"))).head()
+      readPlain(); readGz()
+      val plain = time("warc_read_2m_sec")(readPlain())
+      val gz = time("warc_gz_read_2m_sec")(readGz())
       require(plain.getLong(0) == 2000000L && gz.getLong(0) == 2000000L,
         s"every record must parse both ways: plain=$plain gz=$gz")
       require(plain.getLong(1) == gz.getLong(1),
@@ -538,7 +545,6 @@ object ProbeScale {
         println(s"PROBE   e2e clean=${clean.count()} near=${near.count()}")
         clean.unpersist(); lines.unpersist(); near.unpersist()
       }
-      docs.unpersist()
       writeOut(); return
     }
 

@@ -152,6 +152,42 @@ class WarcGzipSpec extends AnyFunSuite {
     assert(rows(0).getAs[String]("body") === "ok")
   }
 
+  test("WET conversion records roundtrip through both readers; streaming reader ingests a drop-dir") {
+    val dir = tmp()
+    val recs = Seq(("1", "first extracted text\nsecond line"),
+      ("2", "another doc's text")).toDF("i", "txt")
+      .select(Warc.formatConversion(concat(lit("https://x/"), col("i")),
+        lit("2024-01-01T00:00:00Z"), col("txt")).as("rec"))
+    recs.coalesce(1).write.mode("overwrite").text(s"$dir/plain")
+    WarcGzip.writeGzip(recs.coalesce(1), s"$dir/gz")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("target_uri", "warc_type", "content_type", "body")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    val expected = Seq(
+      ("https://x/1", "conversion", "text/plain", "first extracted text\nsecond line"),
+      ("https://x/2", "conversion", "text/plain", "another doc's text"))
+    // no HTTP block: body is the payload itself, Content-Type surfaces
+    // from the WARC header level — in BOTH readers
+    assert(shape(Warc.read(spark, s"$dir/plain")) === expected)
+    assert(shape(WarcGzip.read(spark, s"$dir/gz")) === expected)
+    assert(Warc.read(spark, s"$dir/plain")
+      .filter(col("http_status").isNotNull).count() === 0)
+    // streaming form: the same drop-dir read as an unbounded stream
+    val got = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val q = Warc.readStream(spark, s"$dir/plain")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= batch.select("target_uri", "body").collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(got.sortBy(_._1).toSeq === expected.map(e => (e._1, e._4)))
+    } finally q.stop()
+  }
+
   test("gzip read agrees with the uncompressed lite reader on marker-safe corpora") {
     // same synthesized records through BOTH paths: the lite text-split
     // reader over plain files and the member scanner over gzip — identical
