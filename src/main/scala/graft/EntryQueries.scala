@@ -2064,6 +2064,36 @@ object EntryQueries {
                |  md5('WET & shard' || chr(10) || text) AS h
                |FROM documents""".stripMargin)),
 
+    // X137: robots-meta hygiene — extraction of the robots directives
+    // (lowercased, NULL when undeclared) and the noindex drop rule. The
+    // fixture plants noindex in three shapes (bare, with nofollow, and
+    // UPPERCASE), an index,follow decoy, and a none-declared majority;
+    // 'kept' replays as pure case arithmetic in DuckDB.
+    ("x137_robots_noindex", (s: SparkSession, sfDir: String) => {
+      val raw = s.read.parquet(s"$sfDir/documents.parquet")
+      val meta = when(col("doc_id") % 7 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+        .when(col("doc_id") % 7 === 1,
+          lit("<meta name=\"robots\" content=\"NOINDEX,NOFOLLOW\">"))
+        .when(col("doc_id") % 7 === 2,
+          lit("<meta content=\"index, follow\" name=\"robots\">"))
+        .otherwise(lit(""))
+      val docs = raw.select(col("doc_id").cast("string").as("id"),
+        concat(lit("<html><head>"), meta, lit("</head><body><p>"),
+          col("text"), lit("</p></body></html>")).as("html"))
+      val kept = Web.dropNoindex(docs).select(col("id"))
+        .withColumn("kept", lit(true))
+      docs.select(col("id"), Html.metaRobotsOf(col("html")).as("robots"))
+        .join(kept, Seq("id"), "left")
+        .select(col("id"), col("robots"),
+          coalesce(col("kept"), lit(false)).as("kept"))
+    }, Some(s"""SELECT $DocId AS id,
+               |  CASE WHEN doc_id % 7 = 0 THEN 'noindex, follow'
+               |       WHEN doc_id % 7 = 1 THEN 'noindex,nofollow'
+               |       WHEN doc_id % 7 = 2 THEN 'index, follow' END AS robots,
+               |  doc_id % 7 NOT IN (0, 1) AS kept
+               |FROM documents""".stripMargin)),
+
     // X130: the COMPOSED web-curation pipeline — the provenance-side
     // complement of x126's content-side chain: x124 URL canonicalization +
     // dedup (on the planted dup/tracking-param fixture) → x129 blocklist

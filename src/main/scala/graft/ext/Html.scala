@@ -190,13 +190,21 @@ object Html {
       firstGroupOrNull(region, "(?is)<html\\b[^>]*\\slang\\s*=\\s*'([^']*)'[^>]*>")))
   }
 
-  /** Frame form: (title, canonical_url, meta_description, declared_lang)
-    * appended — the head-metadata sidecar of a crawl scan, one zero-shuffle
-    * projection. */
+  /** `<meta name="robots" content="…">` directives, lowercased (directive
+    * tokens are case-insensitive per the robots-meta convention); NULL
+    * when the page declares none. Feed to [[graft.ext.Web.dropNoindex]].
+    */
+  def metaRobotsOf(html: Column): Column =
+    lower(attrValue(headRegion(html), "meta", "name", "robots", "content"))
+
+  /** Frame form: (title, canonical_url, meta_description, declared_lang,
+    * robots) appended — the head-metadata sidecar of a crawl scan, one
+    * zero-shuffle projection. */
   def extractMetadata(docs: DataFrame, htmlCol: String = "html"): DataFrame =
     docs
       .withColumn("title", titleOf(col(htmlCol)))
       .withColumn("canonical_url", canonicalUrlOf(col(htmlCol)))
       .withColumn("meta_description", metaDescriptionOf(col(htmlCol)))
       .withColumn("declared_lang", declaredLangOf(col(htmlCol)))
+      .withColumn("robots", metaRobotsOf(col(htmlCol)))
 }

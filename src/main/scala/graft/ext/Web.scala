@@ -399,4 +399,17 @@ object Web {
       rules, blockedDomainsDf, reason, phraseAutomatonAt)
       .filter(col(reason).isNull).drop(reason)
   }
+
+  /** X137: robots-meta hygiene — drop documents whose
+    * `<meta name="robots">` directives carry the `noindex` token (the page
+    * told crawlers not to index it; C4-class pipelines honor that before
+    * training). Pages declaring no robots meta (or NULL html) PASS — the
+    * X129 missing-field convention. Token match, not substring:
+    * `noindex,nofollow` blocks, a hypothetical `nonoindexed` value does
+    * not. Zero-shuffle filter over the raw html column.
+    */
+  def dropNoindex(docs: DataFrame, htmlCol: String = "html"): DataFrame =
+    docs.filter(!coalesce(
+      graft.ext.Html.metaRobotsOf(col(htmlCol)).rlike("\\bnoindex\\b"),
+      lit(false)))
 }

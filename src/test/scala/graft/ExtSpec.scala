@@ -3913,6 +3913,27 @@ class ExtSpec extends AnyFunSuite {
     assert(r4.getString(1) === "https://first/")
   }
 
+  test("metaRobotsOf + dropNoindex: token match, case fold, missing-field pass") {
+    import graft.ext.{Html, Web}
+    val docs = Seq(
+      ("block1", "<head><meta name=\"robots\" content=\"noindex, follow\"></head><body/>"),
+      ("block2", "<head><meta content=\"NOINDEX,NOFOLLOW\" name=\"robots\"></head><body/>"),
+      ("keep1", "<head><meta name=\"robots\" content=\"index, nofollow\"></head><body/>"),
+      // substring is NOT a token: must not block
+      ("keep2", "<head><meta name=\"robots\" content=\"nonoindexed\"></head><body/>"),
+      ("keep3", "<head><title>no robots meta</title></head><body/>"),
+      ("keep4", null.asInstanceOf[String])
+    ).toDF("id", "html")
+    val robots = docs.select(col("id"), Html.metaRobotsOf(col("html")).as("r"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(robots("block1") === Some("noindex, follow"))
+    assert(robots("block2") === Some("noindex,nofollow")) // lowercased
+    assert(robots("keep3") === None)
+    assert(robots("keep4") === None)
+    val kept = Web.dropNoindex(docs).select("id").as[String].collect().toSet
+    assert(kept === Set("keep1", "keep2", "keep3", "keep4"))
+  }
+
   // --- X129: blocklist curation ------------------------------------------
 
   private def blockDocs = Seq(
