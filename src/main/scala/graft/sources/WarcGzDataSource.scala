@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 face of [[WarcGzip]] — the member-gzip WARC reader as a
+  * first-class Spark source:
+  *
+  * {{{ spark.read.format(classOf[WarcGzTableProvider].getName)
+  *       .option("splitBytes", "134217728").load(crawlGlob) }}}
+  *
+  * Why DSv2 and not the RDD wrapper it replaced: REQUIRED-COLUMN PRUNING
+  * reaches the parser. Catalyst hands the scan its pruned schema, and the
+  * reader skips constructing what the query never reads — `count(*)` over
+  * a 100 TB crawl decodes no payload bytes at all, a `body`-only
+  * projection never builds full record strings, and only the projected
+  * fields are converted to row storage. Split planning is the same
+  * validated-member-scan contract as [[WarcGzip.planSplits]]: one input
+  * partition per (file, start, end) range; a member STARTING inside a
+  * range belongs to it.
+  *
+  * Options: `splitBytes` (default 128 MiB, ≤ 1 GiB — the range buffer is
+  * a JVM array).
+  */
+class WarcGzTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcGzTable.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new WarcGzTable(new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+private[sources] object WarcGzTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("warc_type", StringType),
+    StructField("target_uri", StringType),
+    StructField("warc_date", StringType),
+    StructField("record_id", StringType),
+    StructField("http_status", IntegerType),
+    StructField("content_type", StringType),
+    StructField("body", StringType),
+    StructField("body_bytes", BinaryType),
+    StructField("record", StringType)))
+}
+
+private[sources] class WarcGzTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val path = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "warcgz source requires a path")
+    p
+  }
+  private val splitBytes = {
+    val sb = Option(options.get("splitBytes")).map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+    require(sb > 0 && sb <= (1L << 30), "splitBytes must be in (0, 1 GiB]")
+    sb
+  }
+
+  override def name(): String = s"warcgz:$path"
+  override def schema(): StructType = WarcGzTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcGzScanBuilder(path, splitBytes)
+}
+
+private[sources] class WarcGzScanBuilder(path: String, splitBytes: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = WarcGzTable.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new WarcGzScan(path, splitBytes, required)
+}
+
+private[sources] class WarcGzScan(path: String, splitBytes: Long,
+                                  required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"warcgz $path (splitBytes=$splitBytes, columns=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val hconf = SparkSession.active.sessionState.newHadoopConf()
+    WarcGzip.planSplits(hconf, path, splitBytes)
+      .map { case (f, s, e) => WarcGzInputPartition(f, s, e): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val confThunk = Bridge.serializableConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    WarcGzReaderFactory(confThunk, required.fieldNames)
+  }
+}
+
+private[sources] case class WarcGzInputPartition(file: String, start: Long, end: Long)
+    extends InputPartition
+
+private[sources] case class WarcGzReaderFactory(
+    confThunk: () => org.apache.hadoop.conf.Configuration,
+    columns: Array[String]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WarcGzInputPartition]
+    val cols = columns
+    val it = WarcGzip.scanRange(confThunk(), p.file, p.start, p.end,
+      needRecord = cols.contains("record"),
+      needBody = cols.contains("body"),
+      needBodyBytes = cols.contains("body_bytes"))
+    new PartitionReader[InternalRow] {
+      private var current: WarcGzip.GzRecord = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = {
+        val values = new Array[Any](cols.length)
+        var i = 0
+        while (i < cols.length) {
+          values(i) = cols(i) match {
+            case "warc_type" => utf8(current.warc_type)
+            case "target_uri" => utf8(current.target_uri)
+            case "warc_date" => utf8(current.warc_date)
+            case "record_id" => utf8(current.record_id)
+            case "http_status" => current.http_status.map(Int.box).orNull
+            case "content_type" => utf8(current.content_type)
+            case "body" => utf8(current.body)
+            case "body_bytes" => current.body_bytes.orNull
+            case "record" =>
+              if (current.record == null) null else UTF8String.fromString(current.record)
+            case other => throw new IllegalArgumentException(s"unknown column: $other")
+          }
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+      }
+      override def close(): Unit = () // the scan iterator closes at EOF /
+      // via its task-completion listener on abandonment
+      private def utf8(o: Option[String]): UTF8String =
+        o.map(UTF8String.fromString).orNull
+    }
+  }
+}

@@ -68,9 +68,20 @@ object WarcGzip {
     // the range buffer is a JVM array: one split (plus one member overrun)
     // must stay addressable — and well under it for sane task memory
     require(splitBytes <= (1L << 30), "splitBytes must be <= 1 GiB")
-    import spark.implicits._
-    val hconf = spark.sessionState.newHadoopConf()
-    val confThunk = Bridge.serializableConf(hconf)
+    // the DSv2 source (so Catalyst prunes columns INTO the parse: a
+    // count(*) never decodes payloads, a body-only projection never builds
+    // record strings)
+    spark.read.format(classOf[WarcGzTableProvider].getName)
+      .option("splitBytes", splitBytes.toString)
+      .load(path)
+  }
+
+  /** Driver-side split planning: (file, start, end) ranges over every
+    * matched file — a file, directory, or glob; hidden/_ files skipped.
+    */
+  private[sources] def planSplits(hconf: org.apache.hadoop.conf.Configuration,
+                                  path: String,
+                                  splitBytes: Long): Seq[(String, Long, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(hconf)
     val matched: Seq[FileStatus] = Option(fs.globStatus(p)) match {
@@ -84,21 +95,12 @@ object WarcGzip {
             !f.getPath.getName.startsWith("."))
       else Seq(st)
     }
-    val splits = files.flatMap { st =>
+    files.flatMap { st =>
       val len = st.getLen
       val uri = st.getPath.toUri.toString
       (0L until math.max(len, 1L) by splitBytes)
         .map(s => (uri, s, math.min(s + splitBytes, len)))
     }
-    if (splits.isEmpty)
-      spark.emptyDataset[GzRecord].toDF()
-    else
-      spark.sparkContext
-        .parallelize(splits, splits.size)
-        .flatMap { case (file, start, end) =>
-          scanRange(confThunk(), file, start, end)
-        }
-        .toDF()
   }
 
   // --- range scanning ------------------------------------------------------
@@ -146,8 +148,11 @@ object WarcGzip {
   /** Scan one (file, start, end) range: find, validate, inflate, and parse
     * every member starting in [start, end).
     */
-  private def scanRange(conf: org.apache.hadoop.conf.Configuration,
-                        file: String, start: Long, end: Long): Iterator[GzRecord] = {
+  private[sources] def scanRange(conf: org.apache.hadoop.conf.Configuration,
+                                 file: String, start: Long, end: Long,
+                                 needRecord: Boolean = true,
+                                 needBody: Boolean = true,
+                                 needBodyBytes: Boolean = true): Iterator[GzRecord] = {
     val path = new Path(file)
     val fs = path.getFileSystem(conf)
     val fileLen = fs.getFileStatus(path).getLen
@@ -186,7 +191,7 @@ object WarcGzip {
               win.byteAt(pos + 2) == 0x08) {
             inflateMember(win, pos, inflater) match {
               case Some((rec, memberLen)) =>
-                nextRec = parseMemberRecord(rec)
+                nextRec = parseMemberRecord(rec, needRecord, needBody, needBodyBytes)
                 pos += memberLen
               case None =>
                 pos += 1
@@ -333,12 +338,20 @@ object WarcGzip {
     * truncated one) degrades to the remaining bytes with one trailing
     * record separator stripped — never an error, matching the lite
     * reader's degrade-don't-throw contract.
+    *
+    * `needRecord`/`needBody`/`needBodyBytes` skip the corresponding
+    * output's construction (the DSv2 column pruning hooks — a `count(*)`
+    * over a crawl must not UTF-8-decode 100 TB of payloads); skipped
+    * fields come back None/null and must not be projected by the caller.
     */
-  private[sources] def parseMemberRecord(rec: Array[Byte]): GzRecord = {
-    val recStr = new String(rec, Utf8)
+  private[sources] def parseMemberRecord(rec: Array[Byte],
+                                         needRecord: Boolean = true,
+                                         needBody: Boolean = true,
+                                         needBodyBytes: Boolean = true): GzRecord = {
+    val recStr = if (needRecord) new String(rec, Utf8) else null
     val hdrEnd = indexOfCrlfCrlf(rec, 0, rec.length)
     if (hdrEnd < 0) { // truncated: all headers, no payload
-      val hdrs = unfold(recStr)
+      val hdrs = unfold(if (recStr != null) recStr else new String(rec, Utf8))
       return GzRecord(
         header(hdrs, "WARC-Type"),
         header(hdrs, "WARC-Target-URI"),
@@ -347,12 +360,16 @@ object WarcGzip {
         None, None, None, None, recStr)
     }
     // ISO 28500 LWS unfolding: a continuation line (CRLF + SP/HT) is part
-    // of the previous header's value. The header block is re-sliced from
-    // the already-decoded record string (same logical boundary as the
-    // byte-level hdrEnd) — a second byte decode of every record measured
-    // as real cost at 2M members.
-    val warcHeaders = unfold(recStr.substring(0,
-      recStr.indexOf("\r\n\r\n") match { case -1 => recStr.length; case i => i }))
+    // of the previous header's value. When the full record string exists
+    // it is re-sliced (same logical boundary as the byte-level hdrEnd — a
+    // second byte decode of every record measured as real cost at 2M
+    // members); under pruning only the header bytes decode.
+    val warcHeaders = unfold(
+      if (recStr != null)
+        recStr.substring(0, recStr.indexOf("\r\n\r\n") match {
+          case -1 => recStr.length; case i => i
+        })
+      else new String(rec, 0, hdrEnd, Utf8))
     val payloadStart = hdrEnd + 4
     val contentLength = header(warcHeaders, "Content-Length")
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
@@ -381,7 +398,10 @@ object WarcGzip {
           header(httpHeaders, "Content-Type"),
           httpEnd + 4)
       } else (None, None, payloadStart)
-    val bodyBytes = java.util.Arrays.copyOfRange(rec, bodyStart, math.max(bodyStart, payloadEnd))
+    val bodyBytes =
+      if (needBody || needBodyBytes)
+        java.util.Arrays.copyOfRange(rec, bodyStart, math.max(bodyStart, payloadEnd))
+      else null
     GzRecord(
       header(warcHeaders, "WARC-Type"),
       header(warcHeaders, "WARC-Target-URI"),
@@ -391,8 +411,8 @@ object WarcGzip {
       // HTTP-block Content-Type when present, else the WARC-level header
       // (conversion/WET records describe their payload there)
       ctype.orElse(header(warcHeaders, "Content-Type")),
-      Some(new String(bodyBytes, Utf8)),
-      Some(bodyBytes),
+      if (needBody) Some(new String(bodyBytes, Utf8)) else None,
+      if (needBodyBytes) Some(bodyBytes) else None,
       recStr)
   }
 

@@ -16,6 +16,11 @@ object GzReadProbe {
     val r = graft.sources.WarcGzip.read(spark, args(0))
       .agg(count(lit(1)), sum(length(col("body")))).head()
     println(f"GZPROBE n=${r.getLong(0)} chars=${r.getLong(1)} secs=${(System.nanoTime()-t0)/1e9}%.1f")
+    // pruned count: DSv2 hands the scan an EMPTY required schema — no
+    // payload decode, no record strings, just member validation
+    val t1 = System.nanoTime()
+    val n = graft.sources.WarcGzip.read(spark, args(0)).count()
+    println(f"GZPROBE pruned count=$n secs=${(System.nanoTime()-t1)/1e9}%.1f")
     spark.stop()
   }
 }

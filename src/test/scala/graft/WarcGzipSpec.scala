@@ -188,6 +188,39 @@ class WarcGzipSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("DSv2: required-column pruning reaches the member parser") {
+    val out = tmp()
+    WarcGzip.writeGzip(
+      (1 to 50).map(i => (i, s"payload $i")).toDF("i", "body")
+        .select(Warc.formatResponse(concat(lit("https://x/"), col("i")),
+          lit("2024-01-01T00:00:00Z"), lit("text/plain"), col("body")).as("rec"))
+        .coalesce(1),
+      s"$out/gz")
+    val df = WarcGzip.read(spark, s"$out/gz")
+    // the scan is a v2 BatchScan, and a narrow projection prunes the scan
+    // output to the requested columns — body/record never reach the row
+    def scanLine(d: org.apache.spark.sql.DataFrame): String =
+      d.queryExecution.executedPlan.toString.linesIterator
+        .find(_.contains("BatchScan")).getOrElse(
+          fail("no BatchScan in plan:\n" +
+            d.queryExecution.executedPlan.toString))
+    val statusOnly = df.select("http_status")
+    val line = scanLine(statusOnly)
+    assert(line.contains("http_status") && !line.contains("body") &&
+      !line.contains("record"), line)
+    assert(statusOnly.collect().forall(_.getInt(0) == 200))
+    // every pruning combination yields correct values
+    assert(df.count() === 50L)
+    assert(df.select("body").as[String].collect().sorted.head === "payload 1")
+    assert(df.select("body_bytes").collect()
+      .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).sorted.head === "payload 1")
+    assert(df.select("record").as[String].collect()
+      .forall(_.startsWith("WARC/1.0\r\n")))
+    val mixed = df.select("target_uri", "body").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(mixed("https://x/7") === "payload 7")
+  }
+
   test("gzip read agrees with the uncompressed lite reader on marker-safe corpora") {
     // same synthesized records through BOTH paths: the lite text-split
     // reader over plain files and the member scanner over gzip — identical
