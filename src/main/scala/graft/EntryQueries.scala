@@ -2,7 +2,7 @@ package graft
 
 import graft.api.{Collection, Embedder}
 import graft.exec.Sorter
-import graft.ext.{Ann, Bpe, ByteStatsDecoder, Dedup, Expectations, Graphs, Html, Ivf, Joins, Json, Layout, Multimodal, Pipeline, Pq, Quantize, TextStats, Web}
+import graft.ext.{Ann, Bpe, ByteStatsDecoder, CrawlPipeline, Dedup, Expectations, Graphs, Html, Ivf, Joins, Json, Layout, Multimodal, Pipeline, Pq, Quantize, TextStats, Web}
 import graft.functions.TextFunctions
 import graft.model.SortKey
 import graft.parse.QueryParser
@@ -2016,25 +2016,21 @@ object EntryQueries {
           lit("2024-01-01T00:00:00Z"), lit("text/html"), html).as("rec"))
           .repartition(4),
         s"$out/crawl")
-      val extracted = graft.sources.WarcGzip.read(s, s"$out/crawl")
-        .select(col("target_uri").as("url"),
-          Html.htmlToText(col("body")).as("content"))
-        .select(regexp_extract(col("content"), "(?m)^zzdocid (\\w+)$", 1).as("id"),
-          col("url"), col("content"))
-      val deduped = freeze(Web.dedupByUrl(freeze(extracted)))
-      val clean = freeze(Web.filterByBlocklist(deduped,
-        blockedDomains = Seq("tracker.net"), blockedPhrases = Seq("table hash")))
-      val lines = freeze(Dedup.dedupLinesCorpus(clean.select("id", "content"))
-        .select(col("id"), col("content_dedup").as("content")))
-      val near = freeze(Dedup.dedupCorpus(lines))
-      val packed = Pipeline.packSequences(near, budget = 512, shards = 8)
-        .select(col("id"), col("shard").as("pack_shard"), col("n_tokens"),
-          col("offset"), col("bin"))
-      val sharded = Pipeline.shuffleShards(near, numShards = 8, seed = 42L)
-        .select(col("id"), col("shard"), col("pos"))
-      near.select(col("id"), md5(col("content")).as("h"))
-        .join(sharded, Seq("id")).join(packed, Seq("id"))
-        .select("id", "shard", "pos", "pack_shard", "n_tokens", "offset", "bin", "h")
+      // the LIBRARY composition (X138): the entry runs the product call,
+      // so CrawlPipeline itself is what the oracle verifies
+      val curated = CrawlPipeline.curateCrawl(s, s"$out/crawl",
+        CrawlPipeline.CrawlConfig(
+          blockedDomains = Seq("tracker.net"),
+          blockedPhrases = Seq("table hash"),
+          idFrom = Some(
+            regexp_extract(col("content"), "(?m)^zzdocid (\\w+)$", 1))))
+      try freeze(
+        CrawlPipeline.toShards(curated, budget = 512, packShards = 8,
+            numShards = 8, seed = 42L)
+          .select(col("id"), col("shard"), col("pos"), col("pack_shard"),
+            col("n_tokens"), col("offset"), col("bin"),
+            md5(col("content")).as("h")))
+      finally curated.unpersist()
     }, Some(crawlToShardsOracle)),
 
     // X136: WET conversion records — the "extract once, persist as WET,

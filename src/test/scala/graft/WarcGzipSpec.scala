@@ -221,6 +221,53 @@ class WarcGzipSpec extends AnyFunSuite {
     assert(mixed("https://x/7") === "payload 7")
   }
 
+  test("CrawlPipeline: status/type gates, noindex, lang gate, deterministic id minting") {
+    import graft.ext.CrawlPipeline
+    import graft.ext.CrawlPipeline.CrawlConfig
+    val dir = tmp()
+    def member(warcType: String, status: Int, url: String, html: String): Array[Byte] = {
+      val http = s"HTTP/1.1 $status OK\r\nContent-Type: text/html\r\n\r\n$html"
+      gzMember((s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
+        s"WARC-Target-URI: $url\r\nWARC-Record-ID: <urn:uuid:$url>\r\n" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n" +
+        http + "\r\n\r\n").getBytes("UTF-8"))
+    }
+    val en1 = "<body><p>the cat sat on the mat with the hat and the bat</p></body>"
+    val en2 = "<body><p>the dog ran to the park and the pond with the ball</p></body>"
+    val de = "<body><p>der hund und der mann und der baum und der berg</p></body>"
+    val noidx = "<head><meta name=\"robots\" content=\"noindex\"></head>" + en1
+    writeFile(dir, "c.warc.gz",
+      member("response", 200, "https://a/1", en1) ++
+        member("response", 200, "https://a/2", en2) ++
+        member("response", 200, "https://a/3", de) ++       // lang-gated
+        member("response", 404, "https://a/4", en1) ++      // status-gated
+        member("request", 200, "https://a/5", en1) ++       // type-gated
+        member("response", 200, "https://a/6", noidx))      // robots-gated
+    val cfg = CrawlConfig(keepLang = Some("en"),
+      lineDedup = false, nearDedup = false)
+    val curated = CrawlPipeline.curateCrawl(spark, s"$dir/c.warc.gz", cfg)
+    try {
+      val rows = curated.select("url", "content").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(rows.keySet === Set("https://a/1", "https://a/2"))
+      assert(rows("https://a/1") === "the cat sat on the mat with the hat and the bat")
+      // id minting is deterministic: a second run mints the same ids
+      val ids1 = curated.select("id").as[String].collect().sorted.toSeq
+      val again = CrawlPipeline.curateCrawl(spark, s"$dir/c.warc.gz", cfg)
+      val ids2 = try again.select("id").as[String].collect().sorted.toSeq
+        finally again.unpersist()
+      assert(ids1 === ids2 && ids1.distinct.size === 2)
+      // shard layout: every surviving doc gets one row with coherent
+      // pack/shard fields
+      val sh = CrawlPipeline.toShards(curated, budget = 8, packShards = 2,
+        numShards = 2, seed = 1L)
+      assert(sh.count() === 2L)
+      assert(sh.columns.toSeq === Seq("id", "url", "shard", "pos",
+        "pack_shard", "n_tokens", "offset", "bin", "content"))
+      assert(sh.select("n_tokens").as[Long].collect().forall(_ > 0))
+    } finally curated.unpersist()
+  }
+
   test("gzip read agrees with the uncompressed lite reader on marker-safe corpora") {
     // same synthesized records through BOTH paths: the lite text-split
     // reader over plain files and the member scanner over gzip — identical
