@@ -2855,9 +2855,16 @@ class ExtSpec extends AnyFunSuite {
     import graft.ext.Classify
     // fuzzed corpora: deterministic pseudo-text with unicode tokens, runs
     // of separators, numerics, empty and NULL docs — the tokenizer-parity
-    // surface between the native scan and split(lower(content), …)
+    // surface between the native scan and split(lower(content), …).
+    // Adversarial codepoints on purpose: supplementary-plane letters
+    // (𝒜, CJK ext-B 𠀀), letter-numbers (Ⅻ), other-numbers (²½),
+    // combining marks (e + U+0301 — a SEPARATOR, splits its token),
+    // emoji (So — separator), Arabic, CJK, zero-width joiner (Cf —
+    // separator)
     val words = Array("good", "clean", "café", "über", "spam2",
-      "buy", "now", "_", "x", "1234", "İstanbul", "text")
+      "buy", "now", "_", "x", "1234", "İstanbul", "text",
+      "𝒜", "𠀀", "Ⅻ", "²½", "éclair",
+      "😀", "كلمة", "漢字詞", "a\u200Db", "ς")
     val rnd = new scala.util.Random(17)
     def doc(i: Int): String =
       if (i % 19 == 0) ""
@@ -2902,10 +2909,13 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(su("q")) < 1e-9,
       "unigram model sees identical bags: zero evidence either way")
     // hashed feature key parity: the executor-side md5 must equal Spark's
-    val bg = graft.functions.NbScoreExpr.bigramFeature("café", "bär")
-    val sparkMd5 = Seq(("café bär")).toDF("s")
-      .select(md5(col("s"))).head().getString(0)
-    assert(bg === "bg:" + sparkMd5)
+    // — incl. non-BMP tokens (UTF-8 byte parity, not UTF-16 units)
+    for ((a, b) <- Seq(("café", "bär"), ("𝒜", "漢字詞"), ("😀x", "Ⅻ"))) {
+      val bg = graft.functions.NbScoreExpr.bigramFeature(a, b)
+      val sparkMd5 = Seq((s"$a $b")).toDF("s")
+        .select(md5(col("s"))).head().getString(0)
+      assert(bg === "bg:" + sparkMd5, s"($a, $b)")
+    }
   }
 
   test("budgetSample: greedy fill in draw order, one overshoot doc, growth-stable") {
