@@ -410,6 +410,12 @@ object Web {
     */
   def dropNoindex(docs: DataFrame, htmlCol: String = "html"): DataFrame =
     docs.filter(!coalesce(
-      graft.ext.Html.metaRobotsOf(col(htmlCol)).rlike("\\bnoindex\\b"),
+      // pre-gate on a cheap substring scan: the robots extraction is a
+      // multi-regex chain (comment/container strip + head bound + element
+      // match), and a page without the literal string "robots" anywhere
+      // cannot carry the meta — measured 1.8× on the 2M crawl e2e pass
+      when(lower(col(htmlCol)).contains("robots"),
+        graft.ext.Html.metaRobotsOf(col(htmlCol)))
+        .rlike("\\bnoindex\\b"),
       lit(false)))
 }

@@ -525,25 +525,22 @@ object ProbeScale {
         crawlSrc.select(Warc.formatResponse($"url",
           lit("2024-01-01T00:00:00Z"), lit("text/html"), html).as("rec")),
         s"$tmp/crawl"))
+      // the PRODUCT call end-to-end (CrawlPipeline = the x135 library
+      // surface): gz read → robots gate → extract+id → url dedup →
+      // blocklist → line dedup → near dedup → pack + shards
       time("crawl_e2e_2m_sec") {
-        val extracted = WarcGzip.read(spark, s"$tmp/crawl")
-          .select($"target_uri".as("url"),
-            graft.ext.Html.htmlToText($"body").as("content"))
-          .select(regexp_extract($"content", "(?m)^zzdocid (\\w+)$", 1).as("id"),
-            $"url", $"content")
-        val clean = graft.ext.Web.filterByBlocklist(
-          graft.ext.Web.dedupByUrl(extracted),
-          blockedDomains = Seq("tracker.net"),
-          blockedPhrases = Seq("slow scan merge")).persist()
-        val lines = graft.ext.Dedup.dedupLinesCorpus(clean.select("id", "content"))
-          .select($"id", $"content_dedup".as("content")).persist()
-        val near = graft.ext.Dedup.dedupCorpus(lines).persist()
-        graft.ext.Pipeline.packSequences(near, budget = 512, shards = 64)
-          .write.format("noop").mode("overwrite").save()
-        graft.ext.Pipeline.shuffleShards(near, numShards = 64, seed = 42L)
-          .write.format("noop").mode("overwrite").save()
-        println(s"PROBE   e2e clean=${clean.count()} near=${near.count()}")
-        clean.unpersist(); lines.unpersist(); near.unpersist()
+        val curated = graft.ext.CrawlPipeline.curateCrawl(spark, s"$tmp/crawl",
+          graft.ext.CrawlPipeline.CrawlConfig(
+            blockedDomains = Seq("tracker.net"),
+            blockedPhrases = Seq("slow scan merge"),
+            idFrom = Some(
+              regexp_extract($"content", "(?m)^zzdocid (\\w+)$", 1))))
+        try {
+          graft.ext.CrawlPipeline.toShards(curated, budget = 512,
+              packShards = 64, numShards = 64, seed = 42L)
+            .write.format("noop").mode("overwrite").save()
+          println(s"PROBE   e2e curated=${curated.count()}")
+        } finally curated.unpersist()
       }
       writeOut(); return
     }
