@@ -110,6 +110,37 @@ class WarcGzipSpec extends AnyFunSuite {
     assert(r2.getAs[String]("body") === tail)
   }
 
+  test("100-case random-binary payload fuzz: body_bytes survive bit-exactly") {
+    // arbitrary octet payloads (invalid UTF-8, NULs, gzip magic, marker
+    // bytes) framed by Content-Length — the archival-fidelity contract:
+    // body_bytes is the exact slice no matter what the bytes are
+    val rnd = new scala.util.Random(17)
+    val dir = tmp()
+    val cases = (1 to 100).map { i =>
+      val n = rnd.nextInt(500)
+      val payload = new Array[Byte](n)
+      rnd.nextBytes(payload)
+      i -> payload
+    }
+    val members = cases.flatMap { case (i, payload) =>
+      gzMember(
+        (s"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: https://b/$i\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII") ++
+          payload ++ "\r\n\r\n".getBytes("US-ASCII")).toSeq
+    }.toArray
+    writeFile(dir, "bin.warc.gz", members)
+    val got = WarcGzip.read(spark, s"$dir/bin.warc.gz")
+      .select(regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("int"),
+        col("body_bytes"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.size === 100)
+    for ((i, payload) <- cases)
+      assert(java.util.Arrays.equals(got(i), payload), s"case $i")
+    // and under a tiny split size (boundaries land mid-member)
+    val n512 = WarcGzip.read(spark, s"$dir/bin.warc.gz", splitBytes = 512).count()
+    assert(n512 === 100L)
+  }
+
   test("LWS unfolding, missing Content-Length fallback, truncated records degrade") {
     val dir = tmp()
     // folded header: continuation line joins the value
