@@ -48,6 +48,8 @@ private[sources] object WarcGzTable {
     StructField("target_uri", StringType),
     StructField("warc_date", StringType),
     StructField("record_id", StringType),
+    StructField("warc_version", StringType),
+    StructField("warc_truncated", StringType),
     StructField("http_status", IntegerType),
     StructField("content_type", StringType),
     StructField("body", StringType),
@@ -68,6 +70,8 @@ private[sources] class WarcGzTable(options: CaseInsensitiveStringMap)
     require(sb > 0 && sb <= (1L << 30), "splitBytes must be in (0, 1 GiB]")
     sb
   }
+  private val decodeBody =
+    Option(options.get("decodeBody")).forall(_.toBoolean)
 
   override def name(): String = s"warcgz:$path"
   override def schema(): StructType = WarcGzTable.Schema
@@ -75,20 +79,22 @@ private[sources] class WarcGzTable(options: CaseInsensitiveStringMap)
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcGzScanBuilder(path, splitBytes)
+    new WarcGzScanBuilder(path, splitBytes, decodeBody)
 }
 
-private[sources] class WarcGzScanBuilder(path: String, splitBytes: Long)
+private[sources] class WarcGzScanBuilder(path: String, splitBytes: Long,
+                                         decodeBody: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = WarcGzTable.Schema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new WarcGzScan(path, splitBytes, required)
+  override def build(): Scan = new WarcGzScan(path, splitBytes, decodeBody, required)
 }
 
 private[sources] class WarcGzScan(path: String, splitBytes: Long,
+                                  decodeBody: Boolean,
                                   required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -105,7 +111,7 @@ private[sources] class WarcGzScan(path: String, splitBytes: Long,
   override def createReaderFactory(): PartitionReaderFactory = {
     val confThunk = Bridge.serializableConf(
       SparkSession.active.sessionState.newHadoopConf())
-    WarcGzReaderFactory(confThunk, required.fieldNames)
+    WarcGzReaderFactory(confThunk, required.fieldNames, decodeBody)
   }
 }
 
@@ -114,7 +120,8 @@ private[sources] case class WarcGzInputPartition(file: String, start: Long, end:
 
 private[sources] case class WarcGzReaderFactory(
     confThunk: () => org.apache.hadoop.conf.Configuration,
-    columns: Array[String]) extends PartitionReaderFactory {
+    columns: Array[String],
+    decodeBody: Boolean) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WarcGzInputPartition]
@@ -122,7 +129,8 @@ private[sources] case class WarcGzReaderFactory(
     val it = WarcGzip.scanRange(confThunk(), p.file, p.start, p.end,
       needRecord = cols.contains("record"),
       needBody = cols.contains("body"),
-      needBodyBytes = cols.contains("body_bytes"))
+      needBodyBytes = cols.contains("body_bytes"),
+      decodeBody = decodeBody)
     new PartitionReader[InternalRow] {
       private var current: WarcGzip.GzRecord = _
       override def next(): Boolean =
@@ -136,6 +144,8 @@ private[sources] case class WarcGzReaderFactory(
             case "target_uri" => utf8(current.target_uri)
             case "warc_date" => utf8(current.warc_date)
             case "record_id" => utf8(current.record_id)
+            case "warc_version" => utf8(current.warc_version)
+            case "warc_truncated" => utf8(current.warc_truncated)
             case "http_status" => current.http_status.map(Int.box).orNull
             case "content_type" => utf8(current.content_type)
             case "body" => utf8(current.body)

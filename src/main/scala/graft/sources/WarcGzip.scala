@@ -14,8 +14,12 @@ import org.apache.spark.sql.graftbridge.Bridge
   * member, and a member's start is findable by scanning for the gzip magic
   * (`1f 8b 08`) and VALIDATING the candidate — inflate the member, check
   * its CRC32/ISIZE trailer, and require the decompressed payload to start
-  * with `WARC/1.0\r\n`. A false-positive magic inside compressed data
-  * fails one of the three checks and the scan moves on one byte. So a
+  * with a `WARC/1.x\r\n` version line (the whole 1.x family: Common Crawl
+  * is 1.0, ISO 28500:2017 / modern wget emit 1.1 — the version is
+  * surfaced as the `warc_version` column). A false-positive magic inside
+  * compressed data fails one of the three checks and the scan moves on
+  * one byte; a gzip file whose members VALIDATE but are not WARC records
+  * fails loudly (see [[scanRange]]) instead of reading as empty. So a
   * 100 TB crawl splits like any other file source: the driver plans
   * (file, start, end) ranges; each task scans ITS range for member starts
   * (a member beginning before `end` is owned by this split even when its
@@ -43,15 +47,21 @@ import org.apache.spark.sql.graftbridge.Bridge
 object WarcGzip {
 
   /** One parsed record of a member-gzip WARC file. `body_bytes` is the
-    * exact payload octet slice (after HTTP headers when present);
-    * `body`/`record` are UTF-8 decodes (replacement on invalid sequences)
-    * for the text-pipeline path.
+    * exact payload octet slice (after HTTP headers when present; transfer/
+    * content decoded unless `decodeBody=false`); `body`/`record` are UTF-8
+    * decodes (replacement on invalid sequences) for the text-pipeline
+    * path. `warc_version` is the record's version line (`WARC/1.0`,
+    * `WARC/1.1`, …); `warc_truncated` the `WARC-Truncated` reason when the
+    * archiver cut the capture short (Common Crawl flags large payloads
+    * with `length` — pipelines gate on it).
     */
   final case class GzRecord(
       warc_type: Option[String],
       target_uri: Option[String],
       warc_date: Option[String],
       record_id: Option[String],
+      warc_version: Option[String],
+      warc_truncated: Option[String],
       http_status: Option[Int],
       content_type: Option[String],
       body: Option[String],
@@ -60,10 +70,15 @@ object WarcGzip {
 
   /** Read `.warc.gz` files (a file, directory, or glob) into parsed
     * records. `splitBytes` bounds the per-task scan range — members
-    * STARTING inside a range belong to it.
+    * STARTING inside a range belong to it. `decodeBody` (default true)
+    * decodes `Transfer-Encoding: chunked` and `Content-Encoding:
+    * gzip/deflate` HTTP payloads to document octets (what warcio-class
+    * readers do — real crawls carry raw captures); set false for the raw
+    * capture bytes.
     */
   def read(spark: SparkSession, path: String,
-           splitBytes: Long = 128L * 1024 * 1024): DataFrame = {
+           splitBytes: Long = 128L * 1024 * 1024,
+           decodeBody: Boolean = true): DataFrame = {
     require(splitBytes > 0, "splitBytes > 0")
     // the range buffer is a JVM array: one split (plus one member overrun)
     // must stay addressable — and well under it for sane task memory
@@ -73,6 +88,7 @@ object WarcGzip {
     // record strings)
     spark.read.format(classOf[WarcGzTableProvider].getName)
       .option("splitBytes", splitBytes.toString)
+      .option("decodeBody", decodeBody.toString)
       .load(path)
   }
 
@@ -147,12 +163,26 @@ object WarcGzip {
 
   /** Scan one (file, start, end) range: find, validate, inflate, and parse
     * every member starting in [start, end).
+    *
+    * FAIL-LOUD contract: a gzip member at FILE OFFSET 0 that fully
+    * validates (inflate + CRC32/ISIZE) but whose payload is not a WARC
+    * record is evidence the file is NOT member-gzip WARC at all (the
+    * format's first member is always a record) — if the offset-0 range
+    * ends having seen that and ZERO records, it raises instead of
+    * silently contributing an empty slice (the unsupported-format trap: a
+    * plain `.gz` or a WARC/2.x must be distinguishable from an empty
+    * archive). Offset 0 ONLY, deliberately: a `Content-Encoding: gzip`
+    * HTTP body inside a member is often emitted VERBATIM by the outer
+    * deflate (incompressible input → stored blocks), so mid-file ranges
+    * of legitimate crawls routinely contain embedded valid-gzip non-WARC
+    * members — those are skipped whole, never an error.
     */
   private[sources] def scanRange(conf: org.apache.hadoop.conf.Configuration,
                                  file: String, start: Long, end: Long,
                                  needRecord: Boolean = true,
                                  needBody: Boolean = true,
-                                 needBodyBytes: Boolean = true): Iterator[GzRecord] = {
+                                 needBodyBytes: Boolean = true,
+                                 decodeBody: Boolean = true): Iterator[GzRecord] = {
     val path = new Path(file)
     val fs = path.getFileSystem(conf)
     val fileLen = fs.getFileStatus(path).getLen
@@ -161,14 +191,18 @@ object WarcGzip {
     val win = new ByteWindow(in, start, fileLen)
     // ONE Inflater per range, reset() per member: Inflater holds native
     // zlib state — per-member construction was the dominant cost of a
-    // 2M-member read
+    // 2M-member read. The body decoder shares it (member inflation and
+    // body decode never overlap) plus a lazily-created zlib-wrapped one
+    // for Content-Encoding: deflate.
     val inflater = new java.util.zip.Inflater(true)
+    val decoder = if (decodeBody) new BodyDecoder(inflater) else null
     // a task abandoned mid-iteration (limit, failure) must still release
     // the stream and the native zlib state
     Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
       new org.apache.spark.util.TaskCompletionListener {
         override def onTaskCompletion(ctx: org.apache.spark.TaskContext): Unit = {
           try inflater.end() catch { case _: Throwable => () }
+          try { if (decoder != null) decoder.close() } catch { case _: Throwable => () }
           try in.close() catch { case _: Throwable => () }
         }
       }))
@@ -180,9 +214,12 @@ object WarcGzip {
       private var pos = start
       private var nextRec: GzRecord = _
       private var closed = false
+      private var records = 0L
+      private var nonWarcAtFileStart = false
       private def close(): Unit = if (!closed) {
         closed = true
         inflater.end()
+        if (decoder != null) decoder.close()
         in.close()
       }
       private def advance(): Unit = {
@@ -190,15 +227,33 @@ object WarcGzip {
           if (win.byteAt(pos) == 0x1f && win.byteAt(pos + 1) == 0x8b &&
               win.byteAt(pos + 2) == 0x08) {
             inflateMember(win, pos, inflater) match {
-              case Some((rec, memberLen)) =>
-                nextRec = parseMemberRecord(rec, needRecord, needBody, needBodyBytes)
+              case MemberWarc(rec, memberLen) =>
+                nextRec = parseMemberRecord(rec, needRecord, needBody,
+                  needBodyBytes, decoder)
+                records += 1
                 pos += memberLen
-              case None =>
+              case MemberNonWarc(memberLen) =>
+                // a VALID gzip member whose payload is not a WARC record:
+                // flagged for the fail-loud check when it is the FILE's
+                // first member, then skipped whole (its interior cannot
+                // contain a record start)
+                if (pos == 0L) nonWarcAtFileStart = true
+                pos += memberLen
+              case MemberInvalid =>
                 pos += 1
             }
           } else pos += 1
         }
-        if (nextRec == null) close()
+        if (nextRec == null) {
+          close()
+          if (records == 0L && nonWarcAtFileStart)
+            throw new IllegalStateException(
+              s"$file is not member-gzip WARC: its first gzip member is " +
+                "valid but its payload does not start with a 'WARC/1.x' " +
+                "version line. This reader supports the WARC/1.x " +
+                "member-gzip layout (one record per gzip member, Common " +
+                "Crawl's .warc.gz); for uncompressed WARC use Warc.read.")
+        }
       }
       override def hasNext: Boolean = {
         if (nextRec == null && !closed) advance()
@@ -213,34 +268,57 @@ object WarcGzip {
     }
   }
 
+  private sealed trait MemberResult
+  /** A validated member whose payload is a WARC record. */
+  private final case class MemberWarc(data: Array[Byte], memberLen: Long)
+      extends MemberResult
+  /** A validated gzip member (inflate + CRC32/ISIZE pass) whose payload is
+    * NOT a WARC record — evidence of a non-WARC gzip file. */
+  private final case class MemberNonWarc(memberLen: Long) extends MemberResult
+  /** Not a gzip member at all (false-positive magic). */
+  private case object MemberInvalid extends MemberResult
+
   /** Try to inflate one gzip member at absolute `off` (magic already
-    * matched). Returns (decompressed record bytes, total member length) or
-    * None when the candidate is not a WARC-record member: malformed
-    * header, inflate error, CRC32/ISIZE trailer mismatch, or a payload not
-    * starting with `WARC/1.0\r\n` — the three-way validation that makes
-    * magic-scanning safe against false positives in compressed data.
+    * matched). [[MemberWarc]] when the member validates (inflate succeeds,
+    * CRC32/ISIZE trailer matches) AND its payload starts with a
+    * `WARC/1.x\r\n` version line; [[MemberNonWarc]] when it validates but
+    * the payload is not a WARC record; [[MemberInvalid]] on malformed
+    * header, inflate error, or trailer mismatch — the three-way validation
+    * that makes magic-scanning safe against false positives in compressed
+    * data.
+    *
+    * Residual risk, documented: the validation is not information-
+    * theoretically airtight. An adversarial member built from STORED
+    * (type-0) deflate blocks can embed a complete valid member verbatim,
+    * so a split starting inside the enclosing member could emit the
+    * embedded record as a phantom. Real compressors never emit such
+    * blocks for WARC-shaped data, members in the wild are chain-
+    * contiguous, and the enclosing member's own range still parses its
+    * full content — the trap requires deliberately crafted input, and the
+    * cost of closing it (chain-only trust after the first member) would
+    * break legitimate recovery over corrupt regions.
     */
   private def inflateMember(win: ByteWindow, off: Long,
-                            inflater0: java.util.zip.Inflater): Option[(Array[Byte], Long)] = {
+                            inflater0: java.util.zip.Inflater): MemberResult = {
     // gzip header: magic(2) cm(1) flg(1) mtime(4) xfl(1) os(1) [+optionals]
     val flg = win.byteAt(off + 3)
-    if (flg < 0) return None
+    if (flg < 0) return MemberInvalid
     var p = off + 10
     if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
       val lo = win.byteAt(p); val hi = win.byteAt(p + 1)
-      if (lo < 0 || hi < 0) return None
+      if (lo < 0 || hi < 0) return MemberInvalid
       p += 2 + (lo | (hi << 8))
     }
     if ((flg & 8) != 0) { // FNAME: NUL-terminated
       var b = win.byteAt(p)
       while (b > 0) { p += 1; b = win.byteAt(p) }
-      if (b < 0) return None
+      if (b < 0) return MemberInvalid
       p += 1
     }
     if ((flg & 16) != 0) { // FCOMMENT: NUL-terminated
       var b = win.byteAt(p)
       while (b > 0) { p += 1; b = win.byteAt(p) }
-      if (b < 0) return None
+      if (b < 0) return MemberInvalid
       p += 1
     }
     if ((flg & 2) != 0) p += 2 // FHCRC
@@ -258,7 +336,7 @@ object WarcGzip {
       while (!done) {
         if (inflater.needsInput()) {
           val availEnd = math.min(win.ensure(inPos + chunkIn), inPos + chunkIn)
-          if (availEnd <= inPos) return None // truncated member
+          if (availEnd <= inPos) return MemberInvalid // truncated member
           inflater.setInput(win.slice(inPos, availEnd))
           inPos = availEnd
           chunkIn = 256 * 1024
@@ -266,39 +344,51 @@ object WarcGzip {
         val n = inflater.inflate(chunkOut)
         if (n > 0) outBuf.write(chunkOut, 0, n)
         else if (inflater.finished()) done = true
-        else if (inflater.needsDictionary()) return None
-        else if (!inflater.needsInput()) return None // no progress
+        else if (inflater.needsDictionary()) return MemberInvalid
+        else if (!inflater.needsInput()) return MemberInvalid // no progress
       }
       val data = outBuf.toByteArray
-      // fast reject before the trailer math: must be a WARC record
-      if (!startsWithMarker(data)) return None
       val compLen = inflater.getBytesRead
       val trailerOff = p + compLen
-      if (win.ensure(trailerOff + 8) < trailerOff + 8) return None
+      if (win.ensure(trailerOff + 8) < trailerOff + 8) return MemberInvalid
       val t = win.slice(trailerOff, trailerOff + 8)
       def le32(b: Array[Byte], i: Int): Long =
         (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
           ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
       val crc = new java.util.zip.CRC32()
       crc.update(data)
-      if (le32(t, 0) != crc.getValue) return None
-      if (le32(t, 4) != (data.length & 0xffffffffL)) return None
-      Some((data, trailerOff + 8 - off))
+      if (le32(t, 0) != crc.getValue) return MemberInvalid
+      if (le32(t, 4) != (data.length & 0xffffffffL)) return MemberInvalid
+      // marker check LAST, after the member proved gzip-valid — a valid
+      // member with a non-WARC payload is the fail-loud signal upstream
+      if (versionLineLength(data) < 0) MemberNonWarc(trailerOff + 8 - off)
+      else MemberWarc(data, trailerOff + 8 - off)
     } catch {
-      case _: java.util.zip.DataFormatException => None
+      case _: java.util.zip.DataFormatException => MemberInvalid
     }
   }
 
-  private val Marker = "WARC/1.0\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private val MarkerPrefix =
+    "WARC/1.".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
-  private def startsWithMarker(data: Array[Byte]): Boolean = {
-    if (data.length < Marker.length) return false
+  /** Length of the record's version line INCLUDING its CRLF when `data`
+    * starts with `WARC/1.<digits>\r\n` (the WARC/1.x family — ISO
+    * 28500:2017 is 1.1, Common Crawl is 1.0), else -1. Family match, not
+    * the literal 1.0: a WARC/1.1 archive silently reading as zero records
+    * was the exact trap this validation exists to avoid.
+    */
+  private[sources] def versionLineLength(data: Array[Byte]): Int = {
+    if (data.length < MarkerPrefix.length + 3) return -1
     var i = 0
-    while (i < Marker.length) {
-      if (data(i) != Marker(i)) return false
+    while (i < MarkerPrefix.length) {
+      if (data(i) != MarkerPrefix(i)) return -1
       i += 1
     }
-    true
+    val digitsStart = i
+    while (i < data.length && data(i) >= '0' && data(i) <= '9') i += 1
+    if (i == digitsStart || i + 1 >= data.length) return -1
+    if (data(i) != '\r' || data(i + 1) != '\n') return -1
+    i + 2
   }
 
   // --- record parsing (Content-Length framing, byte-exact) ----------------
@@ -320,7 +410,8 @@ object WarcGzip {
   // record per header dominated the 2M-member parse)
   private val headerPatterns: Map[String, java.util.regex.Pattern] =
     Seq("WARC-Type", "WARC-Target-URI", "WARC-Date", "WARC-Record-ID",
-      "Content-Length", "Content-Type").map { name =>
+      "WARC-Truncated", "Content-Length", "Content-Type",
+      "Transfer-Encoding", "Content-Encoding").map { name =>
       name -> java.util.regex.Pattern.compile(
         s"(?im)^${java.util.regex.Pattern.quote(name)}:[ \\t]*(.*?)\\r?$$")
     }.toMap
@@ -343,12 +434,24 @@ object WarcGzip {
     * output's construction (the DSv2 column pruning hooks — a `count(*)`
     * over a crawl must not UTF-8-decode 100 TB of payloads); skipped
     * fields come back None/null and must not be projected by the caller.
+    *
+    * When `decoder` is non-null, an HTTP payload declaring
+    * `Transfer-Encoding: chunked` is dechunked and one declaring
+    * `Content-Encoding: gzip|deflate` is decompressed, so `body_bytes`
+    * are the DOCUMENT octets (what downstream `htmlToText` must see —
+    * real crawls store raw captures); a malformed encoding degrades to
+    * the raw capture bytes, never an error.
     */
   private[sources] def parseMemberRecord(rec: Array[Byte],
                                          needRecord: Boolean = true,
                                          needBody: Boolean = true,
-                                         needBodyBytes: Boolean = true): GzRecord = {
+                                         needBodyBytes: Boolean = true,
+                                         decoder: BodyDecoder = null): GzRecord = {
     val recStr = if (needRecord) new String(rec, Utf8) else null
+    val verLen = versionLineLength(rec)
+    val version =
+      if (verLen < 0) None
+      else Some(new String(rec, 0, verLen - 2, java.nio.charset.StandardCharsets.US_ASCII))
     val hdrEnd = indexOfCrlfCrlf(rec, 0, rec.length)
     if (hdrEnd < 0) { // truncated: all headers, no payload
       val hdrs = unfold(if (recStr != null) recStr else new String(rec, Utf8))
@@ -357,6 +460,8 @@ object WarcGzip {
         header(hdrs, "WARC-Target-URI"),
         header(hdrs, "WARC-Date"),
         header(hdrs, "WARC-Record-ID"),
+        version,
+        header(hdrs, "WARC-Truncated"),
         None, None, None, None, recStr)
     }
     // ISO 28500 LWS unfolding: a continuation line (CRLF + SP/HT) is part
@@ -390,23 +495,32 @@ object WarcGzip {
       rec(payloadStart + 2) == 'T' && rec(payloadStart + 3) == 'P' &&
       rec(payloadStart + 4) == '/'
     val httpEnd = if (isHttp) indexOfCrlfCrlf(rec, payloadStart, payloadEnd) else -1
-    val (status, ctype, bodyStart) =
+    val (status, ctype, bodyStart, chunked, encoding) =
       if (httpEnd >= 0) {
         val httpHeaders = unfold(new String(rec, payloadStart, httpEnd - payloadStart, Utf8))
         val st = statusPattern.matcher(httpHeaders)
+        // chunked is the FINAL Transfer-Encoding token per RFC 9112 §6.1
+        val te = header(httpHeaders, "Transfer-Encoding")
+          .exists(_.trim.toLowerCase(java.util.Locale.ROOT).endsWith("chunked"))
+        val ce = header(httpHeaders, "Content-Encoding")
+          .map(_.trim.toLowerCase(java.util.Locale.ROOT))
         (if (st.find()) Some(st.group(1).toInt) else None,
           header(httpHeaders, "Content-Type"),
-          httpEnd + 4)
-      } else (None, None, payloadStart)
+          httpEnd + 4, te, ce)
+      } else (None, None, payloadStart, false, None)
     val bodyBytes =
-      if (needBody || needBodyBytes)
-        java.util.Arrays.copyOfRange(rec, bodyStart, math.max(bodyStart, payloadEnd))
-      else null
+      if (needBody || needBodyBytes) {
+        val raw = java.util.Arrays.copyOfRange(
+          rec, bodyStart, math.max(bodyStart, payloadEnd))
+        if (decoder == null) raw else decoder.decode(raw, chunked, encoding)
+      } else null
     GzRecord(
       header(warcHeaders, "WARC-Type"),
       header(warcHeaders, "WARC-Target-URI"),
       header(warcHeaders, "WARC-Date"),
       header(warcHeaders, "WARC-Record-ID"),
+      version,
+      header(warcHeaders, "WARC-Truncated"),
       status,
       // HTTP-block Content-Type when present, else the WARC-level header
       // (conversion/WET records describe their payload there)
@@ -414,6 +528,115 @@ object WarcGzip {
       if (needBody) Some(new String(bodyBytes, Utf8)) else None,
       if (needBodyBytes) Some(bodyBytes) else None,
       recStr)
+  }
+
+  // --- HTTP body decoding (transfer + content codings) ---------------------
+
+  /** Decodes raw HTTP capture bytes to document octets: `Transfer-
+    * Encoding: chunked` dechunking, then `Content-Encoding: gzip/deflate`
+    * decompression — the layering RFC 9110/9112 define and warcio-class
+    * readers apply. One instance per scan range: the raw Inflater is the
+    * RANGE's (member inflation and body decode never overlap; both
+    * reset() before use), and the zlib-wrapped one for `deflate` is
+    * created lazily once. Every failure degrades to the input bytes —
+    * a truncated or lying capture yields its raw form, never an error.
+    */
+  private[sources] final class BodyDecoder(raw: java.util.zip.Inflater) {
+    private var zlib: java.util.zip.Inflater = _
+    def close(): Unit = if (zlib != null) { zlib.end(); zlib = null }
+
+    def decode(body: Array[Byte], chunked: Boolean,
+               encoding: Option[String]): Array[Byte] = {
+      val dechunked = if (chunked) dechunk(body) else body
+      encoding match {
+        case Some("gzip") | Some("x-gzip") => gunzip(dechunked)
+        case Some("deflate") => inflate(dechunked)
+        case _ => dechunked
+      }
+    }
+
+    /** RFC 9112 §7.1 chunked decoding: hex size line (chunk extensions
+      * after `;` ignored), chunk data, CRLF, …, terminated by a 0-size
+      * chunk (trailer headers dropped). Malformed → raw input.
+      */
+    private def dechunk(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(b.length)
+      var i = 0
+      while (true) {
+        // parse the hex chunk size
+        var size = 0L
+        var digits = 0
+        var c = if (i < b.length) b(i) & 0xff else -1
+        while (c >= 0 && java.lang.Character.digit(c, 16) >= 0 && digits <= 15) {
+          size = size * 16 + java.lang.Character.digit(c, 16)
+          digits += 1; i += 1
+          c = if (i < b.length) b(i) & 0xff else -1
+        }
+        if (digits == 0 || digits > 15) return b
+        // skip chunk extensions to the CRLF
+        while (i < b.length && b(i) != '\r') i += 1
+        if (i + 1 >= b.length || b(i + 1) != '\n') return b
+        i += 2
+        if (size == 0) return out.toByteArray // trailer section dropped
+        if (i + size > b.length) return b // truncated chunk
+        out.write(b, i, size.toInt)
+        i += size.toInt
+        // the CRLF closing the chunk data
+        if (i + 1 >= b.length || b(i) != '\r' || b(i + 1) != '\n') return b
+        i += 2
+      }
+      b // unreachable
+    }
+
+    /** gzip member(s) → bytes via the range's raw Inflater (header skipped
+      * by hand — the same framing [[inflateMember]] walks). Trailer CRC is
+      * TRUSTED here (the WARC member's own CRC already covered these
+      * bytes); malformed → raw input.
+      */
+    private def gunzip(b: Array[Byte]): Array[Byte] = {
+      if (b.length < 18 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b ||
+          b(2) != 8) return b
+      val flg = b(3) & 0xff
+      var p = 10
+      try {
+        if ((flg & 4) != 0) {
+          p += 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+        }
+        if ((flg & 8) != 0) { while (b(p) != 0) p += 1; p += 1 }
+        if ((flg & 16) != 0) { while (b(p) != 0) p += 1; p += 1 }
+        if ((flg & 2) != 0) p += 2
+      } catch {
+        case _: ArrayIndexOutOfBoundsException => return b
+      }
+      if (p >= b.length) return b
+      inflateWith(raw, b, p).getOrElse(b)
+    }
+
+    /** `deflate` content coding: zlib-wrapped per RFC 9110 §8.4.1.2, but
+      * some servers send raw deflate — try zlib first, fall back raw.
+      */
+    private def inflate(b: Array[Byte]): Array[Byte] = {
+      if (zlib == null) zlib = new java.util.zip.Inflater(false)
+      inflateWith(zlib, b, 0).orElse(inflateWith(raw, b, 0)).getOrElse(b)
+    }
+
+    private def inflateWith(inf: java.util.zip.Inflater, b: Array[Byte],
+                            from: Int): Option[Array[Byte]] = {
+      inf.reset()
+      inf.setInput(b, from, b.length - from)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, b.length * 4))
+      val buf = new Array[Byte](64 * 1024)
+      try {
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n > 0) out.write(buf, 0, n)
+          else if (inf.needsInput() || inf.needsDictionary()) return None // truncated
+        }
+        Some(out.toByteArray)
+      } catch {
+        case _: java.util.zip.DataFormatException => None
+      }
+    }
   }
 
   private val unfoldPattern = java.util.regex.Pattern.compile("\r?\n[ \t]+")
@@ -431,6 +654,15 @@ object WarcGzip {
     * one `.warc.gz` part file per partition. `records` must be a single
     * string column of full record strings, version marker included
     * ([[Warc.formatResponse]] output). Overwrites `path`.
+    *
+    * Commit protocol: each task writes an ATTEMPT-SCOPED hidden temp file
+    * (`.part-<pid>-attempt-<taskAttemptId>.tmp` — hidden names are also
+    * invisible to [[planSplits]]) and renames it into place only on
+    * success — a speculative or retried attempt racing a zombie can never
+    * interleave bytes into the final file, and a mid-job failure leaves
+    * only temp files a re-run's overwrite removes, never a truncated
+    * part the reader would silently parse short. First rename wins;
+    * the loser deletes its temp (both attempts produce identical bytes).
     */
   def writeGzip(records: DataFrame, path: String): Unit = {
     require(records.schema.fields.length == 1 &&
@@ -445,10 +677,13 @@ object WarcGzip {
     import spark.implicits._
     records.as[String].foreachPartition { (it: Iterator[String]) =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.get().partitionId()
-        val p = new Path(f"$path/part-$pid%05d.warc.gz")
-        val out = new java.io.BufferedOutputStream(
-          p.getFileSystem(confThunk()).create(p, true), 1 << 20)
+        val ctx = org.apache.spark.TaskContext.get()
+        val pid = ctx.partitionId()
+        val taskFs = new Path(path).getFileSystem(confThunk())
+        val tmp = new Path(f"$path/.part-$pid%05d-attempt-${ctx.taskAttemptId()}.tmp")
+        val dest = new Path(f"$path/part-$pid%05d.warc.gz")
+        val out = new java.io.BufferedOutputStream(taskFs.create(tmp, true), 1 << 20)
+        var committed = false
         // ONE Deflater per partition, reset() per member, gzip framing
         // written by hand — a GZIPOutputStream per record allocates native
         // zlib state per member (measured as ~all of a 2M-member write)
@@ -477,9 +712,22 @@ object WarcGzip {
             out.write(le32(crc.getValue))
             out.write(le32(bytes.length & 0xffffffffL))
           }
+          out.close()
+          // commit: rename into place. A false return means another
+          // attempt already committed the partition — identical bytes,
+          // drop ours.
+          committed = taskFs.rename(tmp, dest) || taskFs.exists(dest)
+          if (!committed)
+            throw new java.io.IOException(s"rename $tmp -> $dest failed")
         } finally {
           deflater.end()
-          out.close()
+          try out.close() catch { case _: Throwable => () }
+          if (!committed) {
+            try taskFs.delete(tmp, false) catch { case _: Throwable => () }
+          } else if (taskFs.exists(tmp)) {
+            // the rename raced: dest existed, our temp remains — clean it
+            try taskFs.delete(tmp, false) catch { case _: Throwable => () }
+          }
         }
       }
     }

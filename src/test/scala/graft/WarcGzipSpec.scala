@@ -299,6 +299,198 @@ class WarcGzipSpec extends AnyFunSuite {
     } finally curated.unpersist()
   }
 
+  /** One full record: version line + headers + Content-Length framing +
+    * the inter-record separator. */
+  private def rawRecord(version: String, headers: Seq[(String, String)],
+                        payload: Array[Byte]): Array[Byte] =
+    (s"$version\r\n" +
+      headers.map { case (k, v) => s"$k: $v\r\n" }.mkString +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("US-ASCII") ++
+      payload ++ "\r\n\r\n".getBytes("US-ASCII")
+
+  /** RFC 9112 chunked transfer coding of `body`, split at `sizes`. */
+  private def chunk(body: Array[Byte], sizes: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 0
+    for (s <- sizes if off < body.length) {
+      val n = math.min(s, body.length - off)
+      if (n > 0) {
+        out.write(f"$n%x\r\n".getBytes("US-ASCII"))
+        out.write(body, off, n)
+        out.write("\r\n".getBytes("US-ASCII"))
+        off += n
+      }
+    }
+    if (off < body.length) {
+      out.write(f"${body.length - off}%x\r\n".getBytes("US-ASCII"))
+      out.write(body, off, body.length - off)
+      out.write("\r\n".getBytes("US-ASCII"))
+    }
+    out.write("0\r\n\r\n".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  private def zlibDeflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  test("WARC/1.x version family: a 1.1 archive reads; warc_version surfaces for both") {
+    val dir = tmp()
+    val v11 = rawRecord("WARC/1.1",
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "https://v/11"),
+      "HTTP/1.1 200 OK\r\n\r\neleven".getBytes("US-ASCII"))
+    val v10 = rawRecord("WARC/1.0",
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "https://v/10"),
+      "HTTP/1.1 200 OK\r\n\r\nten".getBytes("US-ASCII"))
+    writeFile(dir, "v.warc.gz", gzMember(v11) ++ gzMember(v10))
+    val got = WarcGzip.read(spark, s"$dir/v.warc.gz")
+      .select("target_uri", "warc_version", "body").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got === Seq(("https://v/10", "WARC/1.0", "ten"),
+      ("https://v/11", "WARC/1.1", "eleven")))
+    // a version OUTSIDE the 1.x family is not claimed as a record
+    val v29 = rawRecord("WARC/2.9",
+      Seq("WARC-Type" -> "response"), "HTTP/1.1 200 OK\r\n\r\nno".getBytes("US-ASCII"))
+    writeFile(dir, "v29.warc.gz", gzMember(v29))
+    val ex = intercept[Exception] {
+      WarcGzip.read(spark, s"$dir/v29.warc.gz").collect()
+    }
+    assert(ex.toString.contains("not member-gzip WARC") ||
+      Option(ex.getCause).exists(_.toString.contains("not member-gzip WARC")))
+  }
+
+  test("a non-WARC gzip file FAILS LOUDLY instead of reading as zero records") {
+    val dir = tmp()
+    // a perfectly valid .gz that simply is not WARC — the silent-empty
+    // trap: must raise, not return an empty frame
+    writeFile(dir, "notwarc.gz",
+      gzMember("just some compressed text, no WARC here".getBytes("UTF-8")) ++
+        gzMember("second member, still not WARC".getBytes("UTF-8")))
+    val ex = intercept[Exception] {
+      WarcGzip.read(spark, s"$dir/notwarc.gz").count()
+    }
+    val msg = ex.toString + Option(ex.getCause).map(_.toString).getOrElse("")
+    assert(msg.contains("not member-gzip WARC"), msg)
+    // an EMPTY directory still reads as empty (no members => no evidence)
+    val empty = tmp()
+    writeFile(empty, "empty.warc.gz", Array.emptyByteArray)
+    assert(WarcGzip.read(spark, s"$empty/empty.warc.gz").count() === 0L)
+  }
+
+  test("WARC-Truncated surfaces as a column; absent => NULL") {
+    val dir = tmp()
+    val truncated = rawRecord("WARC/1.0",
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "https://t/1",
+        "WARC-Truncated" -> "length"),
+      "HTTP/1.1 200 OK\r\n\r\ncut short".getBytes("US-ASCII"))
+    val whole = rawRecord("WARC/1.0",
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "https://t/2"),
+      "HTTP/1.1 200 OK\r\n\r\nwhole".getBytes("US-ASCII"))
+    writeFile(dir, "t.warc.gz", gzMember(truncated) ++ gzMember(whole))
+    val got = WarcGzip.read(spark, s"$dir/t.warc.gz")
+      .select("target_uri", "warc_truncated").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got === Map("https://t/1" -> Some("length"), "https://t/2" -> None))
+  }
+
+  test("chunked / gzip / deflate HTTP bodies decode to document octets; decodeBody=false keeps raw") {
+    val dir = tmp()
+    val doc = "<html><body>the actual document text</body></html>"
+    val docB = doc.getBytes("UTF-8")
+    def rec(url: String, extraHttp: String, body: Array[Byte]): Array[Byte] = {
+      val head = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$extraHttp\r\n"
+        .getBytes("US-ASCII")
+      gzMember(rawRecord("WARC/1.0",
+        Seq("WARC-Type" -> "response", "WARC-Target-URI" -> url),
+        head ++ body))
+    }
+    val members =
+      rec("https://d/chunked", "Transfer-Encoding: chunked\r\n",
+        chunk(docB, Seq(7, 1, 19))) ++
+      rec("https://d/gzip", "Content-Encoding: gzip\r\n", gzMember(docB)) ++
+      rec("https://d/deflate", "Content-Encoding: deflate\r\n", zlibDeflate(docB)) ++
+      rec("https://d/both", "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+        chunk(gzMember(docB), Seq(5, 11, 3, 100))) ++
+      rec("https://d/plain", "", docB) ++
+      // a LYING header (claims gzip, body is plain): degrade to raw bytes
+      rec("https://d/lying", "Content-Encoding: gzip\r\n",
+        "not actually gzip".getBytes("UTF-8"))
+    writeFile(dir, "enc.warc.gz", members)
+    val got = WarcGzip.read(spark, s"$dir/enc.warc.gz")
+      .select("target_uri", "body").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    for (u <- Seq("chunked", "gzip", "deflate", "both", "plain"))
+      assert(got(s"https://d/$u") === doc, s"url $u")
+    assert(got("https://d/lying") === "not actually gzip") // raw degrade, not a crash
+    // escape hatch: raw capture bytes exactly as archived
+    val raw = WarcGzip.read(spark, s"$dir/enc.warc.gz", decodeBody = false)
+      .select("target_uri", "body_bytes").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(java.util.Arrays.equals(raw("https://d/gzip"), gzMember(docB)))
+    assert(java.util.Arrays.equals(raw("https://d/chunked"), chunk(docB, Seq(7, 1, 19))))
+    // and tiny splits keep the decode correct (per-range inflater reuse)
+    val n = WarcGzip.read(spark, s"$dir/enc.warc.gz", splitBytes = 64)
+      .filter(col("body") === doc).count()
+    assert(n === 5L)
+  }
+
+  test("encoded-body roundtrip fuzz: 80 random bodies through every coding, byte-identical") {
+    val rnd = new scala.util.Random(1138)
+    val dir = tmp()
+    val cases = (1 to 80).map { i =>
+      val n = rnd.nextInt(800)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      (i, b, i % 4) // 0 plain, 1 chunked, 2 gzip, 3 chunked+deflate
+    }
+    val members = cases.flatMap { case (i, b, mode) =>
+      val (extra, enc) = mode match {
+        case 0 => ("", b)
+        case 1 => ("Transfer-Encoding: chunked\r\n",
+          chunk(b, Seq.fill(8)(1 + rnd.nextInt(97))))
+        case 2 => ("Content-Encoding: gzip\r\n", gzMember(b))
+        case _ => ("Transfer-Encoding: chunked\r\nContent-Encoding: deflate\r\n",
+          chunk(zlibDeflate(b), Seq.fill(8)(1 + rnd.nextInt(53))))
+      }
+      val head = s"HTTP/1.1 200 OK\r\n$extra\r\n".getBytes("US-ASCII")
+      gzMember(rawRecord("WARC/1.1",
+        Seq("WARC-Type" -> "response", "WARC-Target-URI" -> s"https://f/$i"),
+        head ++ enc)).toSeq
+    }.toArray
+    writeFile(dir, "fuzz.warc.gz", members)
+    val got = WarcGzip.read(spark, s"$dir/fuzz.warc.gz", splitBytes = 777)
+      .select(regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("int"),
+        col("body_bytes"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.size === 80)
+    for ((i, b, mode) <- cases)
+      assert(java.util.Arrays.equals(got(i), b), s"case $i mode $mode")
+  }
+
+  test("writeGzip commits atomically: only final part files remain") {
+    val out = tmp()
+    WarcGzip.writeGzip(
+      (1 to 40).map(i => (i, s"rec $i")).toDF("i", "b")
+        .select(Warc.formatResponse(concat(lit("https://x/"), col("i")),
+          lit("2024-01-01T00:00:00Z"), lit("text/plain"), col("b")).as("rec"))
+        .repartition(5),
+      s"$out/gz")
+    // only final parts (plus the local FS's hidden .crc sidecars) — no
+    // attempt-scoped .tmp survivors
+    val names = new java.io.File(s"$out/gz").listFiles().map(_.getName).sorted
+    assert(names.forall(n => !n.contains(".tmp")), names.mkString(","))
+    val visible = names.filterNot(_.startsWith("."))
+    assert(visible.nonEmpty && visible.forall(n =>
+      n.startsWith("part-") && n.endsWith(".warc.gz")), names.mkString(","))
+    assert(WarcGzip.read(spark, s"$out/gz").count() === 40L)
+  }
+
   test("gzip read agrees with the uncompressed lite reader on marker-safe corpora") {
     // same synthesized records through BOTH paths: the lite text-split
     // reader over plain files and the member scanner over gzip — identical
