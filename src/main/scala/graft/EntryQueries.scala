@@ -1989,11 +1989,14 @@ object EntryQueries {
     // work: dup/tracking URLs (url dedup + the tracker.net domain arm), a
     // corpus-wide banner pair (line dedup df = corpus), near-dup clones of
     // every 25th doc under UNIQUE urls (only the content arm may collapse
-    // them), and a per-doc 'zzdocid' line that both carries provenance
+    // them), a per-doc 'zzdocid' line that both carries provenance
     // through the crawl roundtrip (a crawl has no doc ids — recovering
     // identity from content IS the seam) and keeps every doc byte-distinct
-    // through every stage. The final row set only matches if every
-    // intermediate corpus matched.
+    // through every stage, and ARCHIVER-TRUNCATED captures (WARC-Truncated
+    // planted on a stratum under unique clean urls) that the dropTruncated
+    // gate must remove BEFORE extraction — they appear nowhere in the
+    // oracle, so any one leaking through surfaces as an extra row. The
+    // final row set only matches if every intermediate corpus matched.
     ("x135_crawl_to_shards", (s: SparkSession, sfDir: String) => {
       val out = tempDirCleanedOnExit("graft-x135-")
       // stage boundaries materialized (x126's freeze rationale: the dedup
@@ -2011,9 +2014,23 @@ object EntryQueries {
         lit("<html><body><h1>Crawl &amp; shard</h1><p>Subscribe now and like</p><p>"),
         col("content"), lit("</p><p>zzdocid "), col("id"),
         lit("</p><script>var x = \"<b>no</b>\";</script></body></html>"))
+      // archiver-truncated captures: clean urls, valid html, one extra
+      // WARC-Truncated header — must be gone before extraction
+      val truncHttp = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          "<html><body><p>truncated capture</p><p>zzdocid tr"),
+        col("doc_id").cast("string"), lit("</p></body></html>"))
+      val truncRecs = raw.filter(col("doc_id") % 25 === 13)
+        .select(concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://trunc.example/"),
+          col("doc_id").cast("string"),
+          lit("\r\nWARC-Truncated: length\r\nContent-Length: "),
+          octet_length(truncHttp).cast("string"),
+          lit("\r\n\r\n"), truncHttp, lit("\r\n\r\n")).as("rec"))
       graft.sources.WarcGzip.writeGzip(
         crawl.select(graft.sources.Warc.formatResponse(col("url"),
           lit("2024-01-01T00:00:00Z"), lit("text/html"), html).as("rec"))
+          .unionByName(truncRecs)
           .repartition(4),
         s"$out/crawl")
       // the LIBRARY composition (X138): the entry runs the product call,
@@ -2088,6 +2105,55 @@ object EntryQueries {
                |       WHEN doc_id % 7 = 1 THEN 'noindex,nofollow'
                |       WHEN doc_id % 7 = 2 THEN 'index, follow' END AS robots,
                |  doc_id % 7 NOT IN (0, 1) AS kept
+               |FROM documents""".stripMargin)),
+
+    // X138: WARC archival fidelity — the reader facing REAL archives, not
+    // just its own writer's output: records emitted under BOTH WARC/1.0
+    // and WARC/1.1 version lines (ISO 28500:2017 / modern wget are 1.1;
+    // the pre-fix reader silently read a 1.1 archive as ZERO records),
+    // archiver-truncation flags (WARC-Truncated, Common Crawl's large-
+    // payload marker) surfaced as a column, and HTTP payloads carried
+    // under Transfer-Encoding: chunked DECHUNKED to document octets (raw
+    // captures store the wire form — undechunked, htmlToText would see
+    // chunk-size hex lines). The chunk framing is constructed in Spark
+    // SQL (two chunks split at char 10, octet-counted); the oracle needs
+    // only the DECODED expectation — md5(text) matches only if the
+    // version family parsed, the framing bounded the payload, and the
+    // dechunker reassembled it exactly.
+    ("x138_warc_fidelity", (s: SparkSession, sfDir: String) => {
+      val out = tempDirCleanedOnExit("graft-warcfid-")
+      val docs = docsFrame(s, sfDir)
+        .select(col("id"), col("content"), col("id").cast("long").as("n"))
+      val c1 = substring(col("content"), 1, 10)
+      val c2 = substring(col("content"), 11, Int.MaxValue)
+      val chunked = concat(
+        lower(hex(octet_length(c1))), lit("\r\n"), c1, lit("\r\n"),
+        when(octet_length(c2) > 0,
+          concat(lower(hex(octet_length(c2))), lit("\r\n"), c2, lit("\r\n")))
+          .otherwise(lit("")),
+        lit("0\r\n\r\n"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n"), chunked)
+      val rec = concat(
+        lit("WARC/1."), when(col("n") % 2 === 0, lit("1")).otherwise(lit("0")),
+        lit("\r\nWARC-Type: response\r\nWARC-Target-URI: https://crawl.example/doc/"),
+        col("id"),
+        when(col("n") % 3 === 0, lit("\r\nWARC-Truncated: length")).otherwise(lit("")),
+        lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+        octet_length(http).cast("string"),
+        lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+      graft.sources.WarcGzip.writeGzip(
+        docs.select(rec.as("rec")).repartition(4), s"$out/crawl")
+      graft.sources.WarcGzip.read(s, s"$out/crawl")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).as("id"),
+          col("warc_version"), col("warc_truncated"), col("http_status"),
+          md5(col("body")).as("h"))
+    }, Some(s"""SELECT $DocId AS id,
+               |  'WARC/1.' || CAST(1 - doc_id % 2 AS VARCHAR) AS warc_version,
+               |  CASE WHEN doc_id % 3 = 0 THEN 'length' END AS warc_truncated,
+               |  200 AS http_status, md5(text) AS h
                |FROM documents""".stripMargin)),
 
     // X130: the COMPOSED web-curation pipeline — the provenance-side

@@ -25,11 +25,19 @@ object CrawlPipeline {
   /** Curation knobs. `idFrom` overrides document-id minting (default:
     * md5 over record identity — WARC-Record-ID + url + content, NUL-
     * joined); pipelines that carry provenance inside the content (the
-    * x135 fixture) derive ids from it instead.
+    * x135 fixture) derive ids from it instead. `dropTruncated` drops
+    * records the ARCHIVER cut short (`WARC-Truncated` present — partial
+    * HTML extracts as broken text; Common Crawl flags large payloads
+    * this way). `stagePath` switches stage boundaries from executor-
+    * storage `persist()` to DURABLE temp parquet under that directory —
+    * at 100 TB the persisted form depends on executor storage headroom,
+    * and a failed long run restarts from zero; the parquet form survives
+    * (and each boundary reads back spread across the cluster).
     */
   final case class CrawlConfig(
       splitBytes: Long = 128L * 1024 * 1024,
       keepHttpStatus: Set[Int] = Set(200),
+      dropTruncated: Boolean = true,
       dropNoindexPages: Boolean = true,
       blockedDomains: Seq[String] = Nil,
       blockedPhrases: Seq[String] = Nil,
@@ -37,29 +45,47 @@ object CrawlPipeline {
       lineDedup: Boolean = true,
       nearDedup: Boolean = true,
       nearDedupThreshold: Double = 0.8,
-      idFrom: Option[Column] = None)
+      idFrom: Option[Column] = None,
+      stagePath: Option[String] = None)
 
-  /** persist + materialize `df`, then release `prev` — the stage
-    * boundary. */
-  private def stage(df: DataFrame, prev: Option[DataFrame]): DataFrame = {
-    val p = df.persist()
-    p.count()
-    prev.foreach(_.unpersist())
-    p
-  }
+  /** Materialize `df` at a stage boundary, then release `prev`.
+    * Default: persist() + count (executor storage). With `stagePath`:
+    * write temp parquet `stage-<n>` and read it back — durable, and a
+    * re-run resumes from real files instead of recomputing 8 stages.
+    * Both modes return a frame whose consumers never re-evaluate the
+    * upstream chain (the multi-consumer boundary contract).
+    */
+  private def stage(df: DataFrame, prev: Option[DataFrame],
+                    stagePath: Option[String], n: Int): DataFrame =
+    stagePath match {
+      case None =>
+        val p = df.persist()
+        p.count()
+        prev.foreach(_.unpersist())
+        p
+      case Some(root) =>
+        val dir = s"$root/stage-$n"
+        df.write.mode("overwrite").parquet(dir)
+        df.sparkSession.read.parquet(dir)
+    }
 
-  /** `.warc.gz` path → curated corpus (id, url, content), PERSISTED.
-    * Records that are not responses with an accepted status are dropped;
-    * `noindex` pages are dropped before extraction (their html never
-    * parses further); the rest is the x135 stage order: extract+id →
-    * URL dedup → blocklist → [language gate] → [line dedup] →
-    * [near-dedup].
+  /** `.warc.gz` path → curated corpus (id, url, content), materialized
+    * at its last stage boundary (persist() by default — the caller
+    * unpersists — or durable parquet under `stagePath`). Records that
+    * are not responses with an accepted status are dropped, as are
+    * archiver-truncated captures when `dropTruncated`; `noindex` pages
+    * are dropped before extraction (their html never parses further);
+    * the rest is the x135 stage order: extract+id → URL dedup →
+    * blocklist → [language gate] → [line dedup] → [near-dedup].
     */
   def curateCrawl(spark: SparkSession, warcGzPath: String,
                   cfg: CrawlConfig = CrawlConfig()): DataFrame = {
-    val read = WarcGzip.read(spark, warcGzPath, cfg.splitBytes)
+    val read0 = WarcGzip.read(spark, warcGzPath, cfg.splitBytes)
       .filter(col("warc_type") === "response")
       .filter(col("http_status").isin(cfg.keepHttpStatus.toSeq.map(Int.box): _*))
+    val read =
+      if (cfg.dropTruncated) read0.filter(col("warc_truncated").isNull)
+      else read0
     val indexable =
       if (cfg.dropNoindexPages) Web.dropNoindex(read, htmlCol = "body") else read
     val extracted = indexable.select(
@@ -85,22 +111,22 @@ object CrawlPipeline {
       case None => clean
     }
     // first multi-consumer boundary: the line-dedup stage (and the url
-    // rejoin) reference their input several times — persist from here on
-    val s4 = stage(gated, None)
+    // rejoin) reference their input several times — materialize from here
+    val s4 = stage(gated, None, cfg.stagePath, 0)
     val s5 =
       if (!cfg.lineDedup) s4
       else stage(
         Dedup.dedupLinesCorpus(s4.select("id", "content"))
           .select(col("id"), col("content_dedup").as("content"))
           .join(s4.select("id", "url"), Seq("id")),
-        Some(s4))
+        Some(s4), cfg.stagePath, 1)
     if (!cfg.nearDedup) s5
     else stage(
       Dedup.dedupCorpus(s5.select("id", "content"),
           threshold = cfg.nearDedupThreshold)
         .join(s5.select("id", "url"), Seq("id"))
         .select("id", "url", "content"),
-      Some(s5))
+      Some(s5), cfg.stagePath, 2)
   }
 
   /** Curated corpus → training layout: X18 sequence packing (pack_shard /

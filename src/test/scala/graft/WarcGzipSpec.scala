@@ -491,6 +491,45 @@ class WarcGzipSpec extends AnyFunSuite {
     assert(WarcGzip.read(spark, s"$out/gz").count() === 40L)
   }
 
+  test("CrawlPipeline: dropTruncated gate; stagePath boundaries ≡ persist boundaries") {
+    import graft.ext.CrawlPipeline
+    import graft.ext.CrawlPipeline.CrawlConfig
+    val dir = tmp()
+    def member(url: String, text: String, truncated: Boolean): Array[Byte] = {
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<body><p>$text</p></body>"
+      val tr = if (truncated) "WARC-Truncated: length\r\n" else ""
+      gzMember((s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+        tr + s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n" +
+        http + "\r\n\r\n").getBytes("UTF-8"))
+    }
+    writeFile(dir, "c.warc.gz",
+      member("https://a/1", "alpha beta gamma delta epsilon zeta", truncated = false) ++
+        member("https://a/2", "one two three four five six seven", truncated = false) ++
+        member("https://a/3", "cut short capture", truncated = true))
+    // the truncated capture is dropped by default, kept when disabled
+    val cur = CrawlPipeline.curateCrawl(spark, s"$dir/c.warc.gz",
+      CrawlConfig(lineDedup = false, nearDedup = false))
+    try assert(cur.select("url").as[String].collect().toSet ===
+      Set("https://a/1", "https://a/2"))
+    finally cur.unpersist()
+    val curAll = CrawlPipeline.curateCrawl(spark, s"$dir/c.warc.gz",
+      CrawlConfig(dropTruncated = false, lineDedup = false, nearDedup = false))
+    try assert(curAll.count() === 3L)
+    finally curAll.unpersist()
+    // durable boundaries: identical results to persist mode, stage files on disk
+    val stageRoot = tmp()
+    def rows(cfg: CrawlConfig) = {
+      val c = CrawlPipeline.curateCrawl(spark, s"$dir/c.warc.gz", cfg)
+      try c.select("id", "url", "content").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      finally c.unpersist()
+    }
+    val full = CrawlConfig() // line + near dedup on: all three boundaries run
+    assert(rows(full.copy(stagePath = Some(stageRoot))) === rows(full))
+    assert(new java.io.File(s"$stageRoot/stage-0").exists())
+    assert(new java.io.File(s"$stageRoot/stage-2").exists())
+  }
+
   test("gzip read agrees with the uncompressed lite reader on marker-safe corpora") {
     // same synthesized records through BOTH paths: the lite text-split
     // reader over plain files and the member scanner over gzip — identical
