@@ -2156,6 +2156,45 @@ object EntryQueries {
                |  200 AS http_status, md5(text) AS h
                |FROM documents""".stripMargin)),
 
+    // X139: robots.txt rules — the per-domain sibling of X137: robots.txt
+    // captures parsed into (host, rule, path_prefix) groups (RFC 9309
+    // group/agent selection) and evaluated longest-prefix-wins/allow-wins-
+    // ties against the corpus. The fixture exercises every selection arm:
+    // a star group with an allow carve-out (h0), a SPECIFIC graftbot group
+    // that must shadow the star group (h1), an unrelated specific group
+    // that must NOT shadow the star group (h2), a host with no robots at
+    // all (h3), and an empty Disallow meaning allow-everything (h4).
+    // 'kept' replays as pure case arithmetic in DuckDB.
+    ("x139_robots_txt", (s: SparkSession, sfDir: String) => {
+      val raw = s.read.parquet(s"$sfDir/documents.parquet")
+      val docs = raw.select(col("doc_id").cast("string").as("id"),
+        concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+          lit(".example"),
+          when(col("doc_id") % 3 === 0, lit("/private/x"))
+            .when(col("doc_id") % 3 === 1, lit("/private/ok/x"))
+            .otherwise(lit("/public/x")),
+          col("doc_id").cast("string")).as("url"))
+      val robots = Seq(
+        ("https://h0.example/robots.txt",
+          "User-agent: *\nDisallow: /private/\nAllow: /private/ok/"),
+        ("https://h1.example/robots.txt",
+          "User-agent: graftbot\nDisallow: /\nUser-agent: *\nDisallow: /tmp/"),
+        ("https://h2.example/robots.txt",
+          "User-agent: otherbot\nDisallow: /\nUser-agent: *\nAllow: /"),
+        ("https://h4.example/robots.txt",
+          "User-agent: *\nDisallow:"))
+      val robotsDf = s.createDataFrame(robots).toDF("url", "content")
+      val rules = Web.robotsRules(robotsDf, agent = "graftbot")
+      val kept = Web.dropDisallowed(docs, rules).select(col("id"))
+        .withColumn("kept", lit(true))
+      docs.select(col("id")).join(kept, Seq("id"), "left")
+        .select(col("id"), coalesce(col("kept"), lit(false)).as("kept"))
+    }, Some(s"""SELECT $DocId AS id,
+               |  CASE WHEN doc_id % 5 = 1 THEN false
+               |       WHEN doc_id % 5 = 0 AND doc_id % 3 = 0 THEN false
+               |       ELSE true END AS kept
+               |FROM documents""".stripMargin)),
+
     // X130: the COMPOSED web-curation pipeline — the provenance-side
     // complement of x126's content-side chain: x124 URL canonicalization +
     // dedup (on the planted dup/tracking-param fixture) → x129 blocklist

@@ -46,7 +46,9 @@ object CrawlPipeline {
       nearDedup: Boolean = true,
       nearDedupThreshold: Double = 0.8,
       idFrom: Option[Column] = None,
-      stagePath: Option[String] = None)
+      stagePath: Option[String] = None,
+      robotsTxt: Option[DataFrame] = None,
+      robotsAgent: String = "*")
 
   /** Materialize `df` at a stage boundary, then release `prev`.
     * Default: persist() + count (executor storage). With `stagePath`:
@@ -75,8 +77,9 @@ object CrawlPipeline {
     * are not responses with an accepted status are dropped, as are
     * archiver-truncated captures when `dropTruncated`; `noindex` pages
     * are dropped before extraction (their html never parses further);
-    * the rest is the x135 stage order: extract+id → URL dedup →
-    * blocklist → [language gate] → [line dedup] → [near-dedup].
+    * the rest is the x135 stage order: extract+id → [robots.txt gate] →
+    * URL dedup → blocklist → [language gate] → [line dedup] →
+    * [near-dedup].
     */
   def curateCrawl(spark: SparkSession, warcGzPath: String,
                   cfg: CrawlConfig = CrawlConfig()): DataFrame = {
@@ -102,7 +105,14 @@ object CrawlPipeline {
     // multi-consumer boundary materializes — persisting the intermediate
     // steps would only add memory and jobs
     val withId = extracted.select(id.as("id"), col("url"), col("content"))
-    val clean = Web.filterByBlocklist(Web.dedupByUrl(withId),
+    // per-domain robots.txt hygiene (X139): rules parse once (per-host-
+    // small frame) and broadcast onto the corpus — still one scan pass
+    val robotsGated = cfg.robotsTxt match {
+      case Some(r) =>
+        Web.dropDisallowed(withId, Web.robotsRules(r, cfg.robotsAgent))
+      case None => withId
+    }
+    val clean = Web.filterByBlocklist(Web.dedupByUrl(robotsGated),
       blockedDomains = cfg.blockedDomains,
       blockedPhrases = cfg.blockedPhrases)
     val gated = cfg.keepLang match {

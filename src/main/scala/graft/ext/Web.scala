@@ -400,6 +400,114 @@ object Web {
       .filter(col(reason).isNull).drop(reason)
   }
 
+  /** X139: robots.txt rules — parse robots.txt captures (the per-domain
+    * sibling of X137's per-page robots meta) into a joinable (host, rule,
+    * path_prefix) frame, per the REP conventions RFC 9309 standardized and
+    * C4-class crawl pipelines honor:
+    *   - `field: value` lines, `#` comments stripped, names case-folded;
+    *   - a GROUP is one or more consecutive `User-agent` lines followed by
+    *     its `Allow`/`Disallow` rules; rules before any group are ignored;
+    *   - group selection: when ANY group names `agent` exactly
+    *     (case-insensitive product token), only those groups apply;
+    *     otherwise the `*` groups — the RFC's most-specific-match rule
+    *     scoped to exact-token matching (substring UA matching is out of
+    *     contract, documented);
+    *   - an EMPTY `Disallow:` value means allow-everything and yields no
+    *     rule; rule paths not starting with `/` are malformed and dropped;
+    *   - `*`/`$` wildcards inside path patterns are out of contract
+    *     (treated as literal prefix characters), documented — the
+    *     longest-PREFIX match model below.
+    * Rules are HOST-scoped (robots.txt governs its own authority, RFC
+    * 9309 §2.3), so the key is [[hostOf]], not the registrable domain.
+    * When several captures exist per host (a crawl revisits), the
+    * md5(url)-ranked first is used — deterministic across reruns.
+    *
+    * Scale: one per-host window over exploded LINES of kilobyte-sized
+    * robots bodies — tiny rows, massively parallel across hosts; the
+    * output frame is per-host-small by construction (broadcastable into
+    * [[dropDisallowed]]).
+    */
+  def robotsRules(robots: DataFrame, agent: String = "*",
+                  urlCol: String = "url",
+                  contentCol: String = "content"): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val one = Window.partitionBy(col("__host")).orderBy(md5(col(urlCol)), col(urlCol))
+    val lines = robots
+      .select(hostOf(col(urlCol)).as("__host"), col(urlCol), col(contentCol))
+      .filter(col("__host").isNotNull)
+      .withColumn("__rn", row_number().over(one))
+      .filter(col("__rn") === 1)
+      .select(col("__host"),
+        posexplode(split(col(contentCol), "\n")).as(Seq("__pos", "__line")))
+      .select(col("__host"), col("__pos"),
+        trim(regexp_replace(col("__line"), "#.*$", "")).as("__line"))
+      .select(col("__host"), col("__pos"),
+        lower(trim(regexp_extract(col("__line"), "^([A-Za-z-]+)\\s*:", 1))).as("__field"),
+        trim(regexp_extract(col("__line"), "^[A-Za-z-]+\\s*:(.*)$", 1)).as("__value"))
+      .filter(col("__field").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy(col("__host")).orderBy(col("__pos"))
+    val isUa = col("__field") === "user-agent"
+    val grouped = lines
+      // a group starts at a user-agent line NOT preceded by another
+      // user-agent line (consecutive UA lines share one group head)
+      .withColumn("__g", sum(
+        (isUa && !coalesce(lag(isUa, 1).over(w), lit(false))).cast("long")).over(w))
+      .filter(col("__g") > 0) // rules before any group: ignored
+    val groups = grouped.groupBy(col("__host"), col("__g"))
+      .agg(
+        max(when(isUa && lower(col("__value")) === agentLc, true)
+          .otherwise(false)).as("__agent_hit"),
+        max(when(isUa && col("__value") === "*", true)
+          .otherwise(false)).as("__star_hit"))
+    val hostHasSpecific = groups.groupBy(col("__host"))
+      .agg(max(col("__agent_hit")).as("__has_specific"))
+    grouped.filter(!isUa && col("__value").startsWith("/"))
+      .join(groups, Seq("__host", "__g"))
+      .join(hostHasSpecific, Seq("__host"))
+      .filter(when(col("__has_specific"), col("__agent_hit"))
+        .otherwise(col("__star_hit")))
+      .select(col("__host").as("host"), col("__field").as("rule"),
+        col("__value").as("path_prefix"))
+      .distinct()
+  }
+
+  /** X139: drop documents a host's robots.txt disallows for the crawled
+    * agent — RFC 9309 evaluation over [[robotsRules]] output: among the
+    * host's rules whose `path_prefix` prefixes the doc's URL path, the
+    * LONGEST wins; `allow` wins length ties; no host rules / no matching
+    * rule / unparseable URL → keep (the X129 missing-field convention).
+    *
+    * Scale: the rules frame aggregates to ONE skinny array row per host
+    * and broadcast-joins onto the corpus — the corpus never shuffles; the
+    * longest-match evaluation is per-row array math over a robots-file-
+    * sized list (HOF lambdas run interpreted, but over ≤ dozens of
+    * elements per row — measured noise next to the scan).
+    */
+  def dropDisallowed(docs: DataFrame, rules: DataFrame,
+                     urlCol: String = "url"): DataFrame = {
+    val hostRules = WorkingColumns.fresh(docs, "__rules")
+    val hcol = WorkingColumns.fresh(docs, "__host")
+    val perHost = broadcast(rules.groupBy(col("host"))
+      .agg(collect_list(struct(
+        col("path_prefix"),
+        (col("rule") === "allow").as("allow"))).as(hostRules))
+      .withColumnRenamed("host", hcol))
+    val path0 = regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#?]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val matched = filter(col(hostRules), r => path.startsWith(r.getField("path_prefix")))
+    val best = aggregate(matched,
+      lit(null).cast("struct<path_prefix:string,allow:boolean>"),
+      (acc, r) => when(acc.isNull, r)
+        .when(length(r.getField("path_prefix")) > length(acc.getField("path_prefix")), r)
+        .when(length(r.getField("path_prefix")) === length(acc.getField("path_prefix"))
+          && r.getField("allow") && !acc.getField("allow"), r)
+        .otherwise(acc))
+    docs.withColumn(hcol, hostOf(col(urlCol)))
+      .join(perHost, Seq(hcol), "left")
+      .filter(col(hostRules).isNull || best.isNull || best.getField("allow"))
+      .drop(hcol, hostRules)
+  }
+
   /** X137: robots-meta hygiene — drop documents whose
     * `<meta name="robots">` directives carry the `noindex` token (the page
     * told crawlers not to index it; C4-class pipelines honor that before

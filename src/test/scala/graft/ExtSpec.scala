@@ -3944,6 +3944,63 @@ class ExtSpec extends AnyFunSuite {
     assert(kept === Set("keep1", "keep2", "keep3", "keep4"))
   }
 
+  test("robotsRules: groups, agent selection, comments, empty Disallow, malformed paths") {
+    import graft.ext.Web
+    val robots = Seq(
+      // specific group + star group: for 'graftbot' ONLY the specific
+      // group applies; consecutive UA lines share one group head
+      ("https://a.example/robots.txt",
+        "User-agent: GraftBot\nUser-agent: otherbot\nDisallow: /secret/\n" +
+          "Allow: /secret/ok/\n\nUser-agent: *\nDisallow: /everything/"),
+      // no specific group: the star group applies; comments stripped;
+      // empty Disallow yields NO rule; non-/ path is malformed, dropped
+      ("https://b.example/robots.txt",
+        "Disallow: /ignored-no-group/\nUser-agent: * # the catch-all\n" +
+          "Disallow: /tmp/ # scratch\nDisallow:\nAllow: relative-junk"),
+      // only an unrelated group: nothing applies to graftbot
+      ("https://c.example/robots.txt", "User-agent: megabot\nDisallow: /")
+    ).toDF("url", "content")
+    val rules = Web.robotsRules(robots, agent = "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rules === Set(
+      ("a.example", "disallow", "/secret/"),
+      ("a.example", "allow", "/secret/ok/"),
+      ("b.example", "disallow", "/tmp/")))
+    // duplicate captures per host: deterministic single pick (no dup rules)
+    val dup = robots.unionByName(
+      Seq(("https://b.example/robots.txt", "User-agent: *\nDisallow: /other/"))
+        .toDF("url", "content"))
+    val perHost = Web.robotsRules(dup, agent = "graftbot")
+      .filter(col("host") === "b.example").count()
+    assert(perHost === 1L)
+  }
+
+  test("dropDisallowed: longest-prefix wins, allow wins ties, missing host keeps") {
+    import graft.ext.Web
+    val rules = Seq(
+      ("a.example", "disallow", "/secret/"),
+      ("a.example", "allow", "/secret/ok/"),
+      ("a.example", "allow", "/s"),          // shorter than the disallow
+      ("b.example", "disallow", "/"),
+      ("tie.example", "disallow", "/p/"),
+      ("tie.example", "allow", "/p/")        // equal length: allow wins
+    ).toDF("host", "rule", "path_prefix")
+    val docs = Seq(
+      ("d1", "https://a.example/secret/x"),     // /secret/ disallow beats /s allow
+      ("d2", "https://a.example/secret/ok/x"),  // longest is the allow
+      ("d3", "https://a.example/public/x"),     // no match: keep
+      ("d4", "https://b.example/anything"),     // / disallows all
+      ("d5", "https://b.example"),              // empty path defaults to /
+      ("d6", "https://tie.example/p/q"),        // tie: allow wins
+      ("d7", "https://norules.example/x"),      // host without rules: keep
+      ("d8", "not a url at all")                // unparseable: keep
+    ).toDF("id", "url")
+    val kept = Web.dropDisallowed(docs, rules).select("id").as[String].collect().toSet
+    assert(kept === Set("d2", "d3", "d6", "d7", "d8"))
+    // schema passthrough
+    assert(Web.dropDisallowed(docs, rules).columns.toSeq === Seq("id", "url"))
+  }
+
   // --- X129: blocklist curation ------------------------------------------
 
   private def blockDocs = Seq(

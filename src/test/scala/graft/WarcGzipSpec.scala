@@ -528,6 +528,15 @@ class WarcGzipSpec extends AnyFunSuite {
     assert(rows(full.copy(stagePath = Some(stageRoot))) === rows(full))
     assert(new java.io.File(s"$stageRoot/stage-0").exists())
     assert(new java.io.File(s"$stageRoot/stage-2").exists())
+    // robots.txt config arm: a host-scoped Disallow drops its doc
+    val robots = Seq(("https://a/robots.txt", "User-agent: *\nDisallow: /1"))
+      .toDF("url", "content")
+    val gated = CrawlPipeline.curateCrawl(spark, s"$dir/c.warc.gz",
+      CrawlConfig(lineDedup = false, nearDedup = false,
+        robotsTxt = Some(robots)))
+    try assert(gated.select("url").as[String].collect().toSet ===
+      Set("https://a/2"))
+    finally gated.unpersist()
   }
 
   test("gzip read agrees with the uncompressed lite reader on marker-safe corpora") {
