@@ -2195,6 +2195,44 @@ object EntryQueries {
                |       ELSE true END AS kept
                |FROM documents""".stripMargin)),
 
+    // X140: streaming .warc.gz ingest — the crawl-native CONTINUOUS path:
+    // two archival drops land in a watched directory WHILE the query runs;
+    // the micro-batch source ingests exactly the new files per trigger
+    // (same validated-member scanner as batch), composed through
+    // Collection.streamIngest into a persisted collection. The final
+    // collection state replays in DuckDB from the synthesis — it only
+    // matches if drop 2 arrived in a separate batch (the stream was live),
+    // both drops parsed exactly, and the upsert path ran per batch.
+    // Exactly-once (no drop-1 re-read on the drop-2 trigger) is pinned in
+    // WarcGzipSpec, where re-reads are observable; here the upsert would
+    // mask them.
+    ("x140_stream_warc_gz", (s: SparkSession, sfDir: String) => {
+      val out = tempDirCleanedOnExit("graft-x140-")
+      val root = tempDirCleanedOnExit("graft-x140c-")
+      val docs = docsFrame(s, sfDir)
+        .filter(col("id").cast("long") % 7 === 0)
+      def drop(n: Int, pred: org.apache.spark.sql.Column): Unit =
+        graft.sources.WarcGzip.writeGzip(
+          docs.filter(pred).select(graft.sources.Warc.formatResponse(
+            concat(lit("https://crawl.example/doc/"), col("id")),
+            lit("2024-01-01T00:00:00Z"), lit("text/plain"),
+            col("content")).as("rec")).repartition(2),
+          s"$out/drop$n")
+      drop(1, col("id").cast("long") % 14 === 0)
+      val c = Collection(s, root, "crawlstream")
+      val stream = graft.sources.WarcGzip.readStream(s, s"$out/drop*/part-*.warc.gz")
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).as("id"),
+          col("body").as("content"))
+      val q = c.streamIngest(stream).start()
+      try {
+        q.processAllAvailable()
+        drop(2, col("id").cast("long") % 14 =!= 0)
+        q.processAllAvailable()
+      } finally q.stop()
+      c.docs().select(col("id"), md5(col("content")).as("h"))
+    }, Some(s"""SELECT $DocId AS id, md5(text) AS h
+               |FROM documents WHERE doc_id % 7 = 0""".stripMargin)),
+
     // X130: the COMPOSED web-curation pipeline — the provenance-side
     // complement of x126's content-side chain: x124 URL canonicalization +
     // dedup (on the planted dup/tracking-param fixture) → x129 blocklist

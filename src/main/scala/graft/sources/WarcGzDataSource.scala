@@ -76,7 +76,7 @@ private[sources] class WarcGzTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"warcgz:$path"
   override def schema(): StructType = WarcGzTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new WarcGzScanBuilder(path, splitBytes, decodeBody)
@@ -112,6 +112,113 @@ private[sources] class WarcGzScan(path: String, splitBytes: Long,
     val confThunk = Bridge.serializableConf(
       SparkSession.active.sessionState.newHadoopConf())
     WarcGzReaderFactory(confThunk, required.fieldNames, decodeBody)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcGzMicroBatchStream(path, splitBytes, decodeBody, required)
+}
+
+/** X140: streaming `.warc.gz` ingest — the DROP-DIRECTORY micro-batch
+  * source over the member scanner: each trigger lists the path (file,
+  * dir, or glob), an offset is the set of (file, length) pairs seen so
+  * far, and a batch reads exactly the NEW files (planned into the same
+  * validated-member-scan ranges as the batch reader — splittable inside
+  * one trigger). Files are the archival drop convention: IMMUTABLE once
+  * present (a file is read at the length first observed; later growth is
+  * ignored) — the same contract as Spark's file stream source, which
+  * this mirrors for a format the text/binary sources cannot split.
+  * Offsets serialize as a JSON array of `"<length>:<path>"` strings, so
+  * a restarted query resumes from its checkpoint without re-reading.
+  */
+private[sources] class WarcGzMicroBatchStream(
+    path: String, splitBytes: Long, decodeBody: Boolean, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val hconf = SparkSession.active.sessionState.newHadoopConf()
+  private val confThunk = Bridge.serializableConf(hconf)
+
+  private def listFiles(): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val matched = Option(fs.globStatus(p)) match {
+      case Some(g) if g.nonEmpty => g.toSeq
+      case _ => if (fs.exists(p)) Seq(fs.getFileStatus(p)) else Seq.empty
+    }
+    matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filter(f =>
+          f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+      else Seq(st)
+    }.map(st => st.getPath.toUri.toString -> st.getLen).toMap
+  }
+
+  override def initialOffset(): Offset = WarcGzOffset(Map.empty)
+  override def latestOffset(): Offset = WarcGzOffset(listFiles())
+  override def deserializeOffset(json: String): Offset = WarcGzOffset.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[WarcGzOffset].files.keySet
+    val now = end.asInstanceOf[WarcGzOffset].files
+    now.toSeq.filterNot { case (f, _) => seen.contains(f) }
+      .sortBy(_._1)
+      .flatMap { case (f, len) =>
+        (0L until math.max(len, 1L) by splitBytes)
+          .map(s => WarcGzInputPartition(f, s, math.min(s + splitBytes, len)))
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    WarcGzReaderFactory(confThunk, required.fieldNames, decodeBody)
+}
+
+/** The stream's position: every (file, length) pair already ingested. */
+private[graft] case class WarcGzOffset(files: Map[String, Long])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.toSeq.sortBy(_._1).map { case (p, l) =>
+      "\"" + WarcGzOffset.esc(s"$l:$p") + "\""
+    }.mkString("[", ",", "]")
+}
+
+private[graft] object WarcGzOffset {
+  private[graft] def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Parse [[WarcGzOffset.json]] output (a flat JSON string array). */
+  private[graft] def parse(json: String): WarcGzOffset = {
+    val out = Map.newBuilder[String, Long]
+    var i = 0
+    val n = json.length
+    while (i < n) {
+      if (json.charAt(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (json.charAt(i) != '"') {
+          if (json.charAt(i) == '\\') {
+            json.charAt(i + 1) match {
+              case 'u' =>
+                sb.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar)
+                i += 6
+              case c => sb.append(c); i += 2
+            }
+          } else { sb.append(json.charAt(i)); i += 1 }
+        }
+        i += 1
+        val s = sb.toString
+        val sep = s.indexOf(':')
+        out += s.substring(sep + 1) -> s.substring(0, sep).toLong
+      } else i += 1
+    }
+    WarcGzOffset(out.result())
   }
 }
 

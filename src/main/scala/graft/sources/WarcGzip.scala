@@ -92,6 +92,27 @@ object WarcGzip {
       .load(path)
   }
 
+  /** Structured-streaming form of [[read]]: a drop-directory of
+    * `.warc.gz` files as an unbounded record stream — the crawl-native
+    * continuous-ingestion source for the COMPRESSED archival layout
+    * (the sibling of [[Warc.readStream]]'s uncompressed text arm).
+    * Each trigger ingests exactly the files that appeared since the
+    * last offset (immutable-once-present drop convention, as Spark's
+    * file stream source assumes), split and parsed by the same
+    * validated-member scanner as the batch reader. Compose with
+    * `Collection.streamIngest` or the [[graft.streaming]] operators.
+    */
+  def readStream(spark: SparkSession, path: String,
+                 splitBytes: Long = 128L * 1024 * 1024,
+                 decodeBody: Boolean = true): DataFrame = {
+    require(splitBytes > 0 && splitBytes <= (1L << 30),
+      "splitBytes must be in (0, 1 GiB]")
+    spark.readStream.format(classOf[WarcGzTableProvider].getName)
+      .option("splitBytes", splitBytes.toString)
+      .option("decodeBody", decodeBody.toString)
+      .load(path)
+  }
+
   /** Driver-side split planning: (file, start, end) ranges over every
     * matched file — a file, directory, or glob; hidden/_ files skipped.
     */

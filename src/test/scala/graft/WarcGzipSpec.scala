@@ -539,6 +539,45 @@ class WarcGzipSpec extends AnyFunSuite {
     finally gated.unpersist()
   }
 
+  test("streaming .warc.gz ingest: two drops ≡ batch read; offsets roundtrip; no re-reads") {
+    val drop = tmp()
+    def writeBatch(tag: String, ids: Range): Unit =
+      WarcGzip.writeGzip(
+        ids.map(i => (i, s"body $i")).toDF("i", "b")
+          .select(Warc.formatResponse(concat(lit("https://s/"), col("i")),
+            lit("2024-01-01T00:00:00Z"), lit("text/plain"), col("b")).as("rec"))
+          .coalesce(1),
+        s"$drop/$tag")
+    // the stream watches a glob over per-drop subdirs
+    writeBatch("d1", 1 to 30)
+    val got = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val batches = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = WarcGzip.readStream(spark, s"$drop/*/part-*.warc.gz")
+      .select("target_uri", "body")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getString(0), r.getString(1)))
+        got ++= rows; batches += rows.length.toLong
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      writeBatch("d2", 31 to 50)
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch-equivalence, exactly-once: drop 2 must not re-read drop 1
+    val batch = WarcGzip.read(spark, s"$drop/*/part-*.warc.gz")
+      .select("target_uri", "body").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.sorted.toSeq === batch.sorted.toSeq)
+    assert(got.size === 50) // no duplicates => sets AND sizes agree
+    assert(batches.filter(_ > 0).toSeq === Seq(30L, 20L))
+    // offset serialization roundtrips (incl. a path needing escapes)
+    val off = graft.sources.WarcGzOffset(Map(
+      "file:/plain/a.warc.gz" -> 123L, "file:/we\"ird\\p\n.gz" -> 7L))
+    assert(graft.sources.WarcGzOffset.parse(off.json()) === off)
+  }
+
   test("gzip read agrees with the uncompressed lite reader on marker-safe corpora") {
     // same synthesized records through BOTH paths: the lite text-split
     // reader over plain files and the member scanner over gzip — identical
