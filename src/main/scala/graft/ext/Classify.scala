@@ -129,7 +129,16 @@ object Classify {
     * parity testing.
     */
   def scoreQualityNb(docs: DataFrame, model: NbModel, idCol: String = "id",
-                     contentCol: String = "content"): DataFrame = {
+                     contentCol: String = "content",
+                     maxBroadcastFeatures: Long = 32L * 1000 * 1000): DataFrame = {
+    // gate the collect/broadcast on the model's FEATURE count (vocabSize
+    // counts every trained feature, bigrams included — with bigrams the
+    // space can be 10-100x the unigram vocabulary): above the threshold
+    // (default 32M ≈ a multi-GB driver array, the practical broadcast
+    // ceiling) fall back to the join arm's distributed shape instead of
+    // OOMing the driver
+    if (model.vocabSize > maxBroadcastFeatures)
+      return scoreQualityNbJoin(docs, model, idCol, contentCol)
     val w = model.weights.select(col("tok"), col("w")).collect()
       .map(r => (r.getString(0), r.getDouble(1)))
     val bc = docs.sparkSession.sparkContext.broadcast(w)

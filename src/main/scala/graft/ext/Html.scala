@@ -108,8 +108,11 @@ object Html {
   //     blog") must not truncate at the apostrophe;
   //   - attribute names require a preceding \s, not \b ('-' and ':' are
   //     word boundaries — data-lang/xml:lang must not satisfy `lang`);
-  //   - both attribute orders are handled; unquoted attribute values stay
-  //     out of contract (as documented for the text chain).
+  //   - both attribute orders are handled; UNQUOTED attribute values
+  //     (<meta name=robots content=noindex> — common in real crawl HTML)
+  //     match alongside the quoted forms: an unquoted value runs to the
+  //     next whitespace or '>' (the HTML5 unquoted-value rule; a quote
+  //     INSIDE an unquoted value stays out of contract).
 
   private def firstGroupOrNull(c: Column, pattern: String): Column = {
     val m = regexp_extract(c, pattern, 1)
@@ -144,19 +147,22 @@ object Html {
     * in document order. Two steps so precedence is by position, not by
     * quote-pattern (a coalesce over per-quote patterns would let a later
     * double-quoted element beat an earlier single-quoted one): first the
-    * whole first matching ELEMENT is extracted (selector attribute in
-    * either quote style, either attribute order), then the value attribute
-    * is read out of that element with its capture class bound to its own
-    * opening quote. A selector-matching element that LACKS the value
-    * attribute resolves to NULL (it is the first occurrence and it carries
-    * no value), not to a later element's value. */
+    * whole first matching ELEMENT is extracted (selector attribute in any
+    * quote style INCLUDING unquoted, either attribute order), then the
+    * value attribute is read out of that element with its capture class
+    * bound to its own opening quote — or, unquoted, run to the next
+    * whitespace/quote/`>`. A selector-matching element that LACKS the
+    * value attribute resolves to NULL (it is the first occurrence and it
+    * carries no value), not to a later element's value. */
   private def attrValue(region: Column, tag: String, selAttr: String,
                         selVal: String, valAttr: String): Column = {
-    val sel = s"""\\s$selAttr\\s*=\\s*(?:"$selVal"|'$selVal')"""
+    val sel =
+      s"""\\s$selAttr\\s*=\\s*(?:"$selVal"|'$selVal'|$selVal(?=[\\s/>]))"""
     val elem = firstGroupOrNull(region, s"(?is)(<$tag\\b[^>]*$sel[^>]*>)")
     coalesce(
       firstGroupOrNull(elem, s"""(?is)\\s$valAttr\\s*=\\s*"([^"]*)""""),
-      firstGroupOrNull(elem, s"(?is)\\s$valAttr\\s*=\\s*'([^']*)'"))
+      firstGroupOrNull(elem, s"(?is)\\s$valAttr\\s*=\\s*'([^']*)'"),
+      firstGroupOrNull(elem, s"""(?is)\\s$valAttr\\s*=\\s*([^\\s"'>]+)"""))
   }
 
   /** `<title>` text (head region only), entity-decoded, inner whitespace
@@ -182,12 +188,13 @@ object Html {
       attrValue(headRegion(html), "meta", "name", "description", "content"))
 
   /** The `<html lang="…">` declared language, lowercased; NULL when
-    * undeclared. */
+    * undeclared. Quoted or unquoted (`<html lang=en>`). */
   def declaredLangOf(html: Column): Column = {
     val region = headRegion(html)
     lower(coalesce(
       firstGroupOrNull(region, "(?is)<html\\b[^>]*\\slang\\s*=\\s*\"([^\"]*)\"[^>]*>"),
-      firstGroupOrNull(region, "(?is)<html\\b[^>]*\\slang\\s*=\\s*'([^']*)'[^>]*>")))
+      firstGroupOrNull(region, "(?is)<html\\b[^>]*\\slang\\s*=\\s*'([^']*)'[^>]*>"),
+      firstGroupOrNull(region, "(?is)<html\\b[^>]*\\slang\\s*=\\s*([^\\s\"'>]+)[^>]*>")))
   }
 
   /** `<meta name="robots" content="…">` directives, lowercased (directive

@@ -98,21 +98,32 @@ case class NbScoreExpr(
 object NbScoreExpr {
   private val MaxCached = 8
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    Long, java.util.HashMap[String, java.lang.Double]]()
+    (String, Long), java.util.HashMap[String, java.lang.Double]]()
 
-  /** Executor-JVM-wide weights map, keyed by the broadcast id: the
-    * broadcast block is fetched once per executor, and this cache makes
-    * the HashMap build (O(|V|)) happen once per JVM too, not once per
-    * task. Bounded crudely like [[PhraseAutomaton]]'s cache (a session
-    * scores against a handful of models, not a churn of them).
+  /** Executor-JVM-wide weights map, keyed by (application id, broadcast
+    * id): the broadcast block is fetched once per executor, and this
+    * cache makes the HashMap build (O(|V|)) happen once per JVM too, not
+    * once per task. The APP id is part of the key because broadcast ids
+    * restart from 0 with a new SparkContext in the same JVM (local mode,
+    * test restarts) — a bare-id entry from a previous context would
+    * silently serve the WRONG model's weights. (Keying by the Broadcast
+    * INSTANCE would not work: each task deserializes its own wrapper
+    * object, so identity keying rebuilds per task — the GC-storm failure
+    * this cache exists to prevent.) Bounded crudely like
+    * [[PhraseAutomaton]]'s cache (a session scores against a handful of
+    * models, not a churn of them); the bound also evicts dead-context
+    * entries eventually.
     */
   def cachedMap(b: Broadcast[Array[(String, Double)]])
       : java.util.HashMap[String, java.lang.Double] = {
-    val got = cache.get(b.id)
+    // SparkEnv exists on driver and executors alike; local mode shares it
+    val appId = org.apache.spark.SparkEnv.get.conf.getAppId
+    val key = (appId, b.id)
+    val got = cache.get(key)
     if (got != null) got
     else {
       if (cache.size >= MaxCached) cache.clear()
-      cache.computeIfAbsent(b.id, _ => {
+      cache.computeIfAbsent(key, _ => {
         val arr = b.value
         val m = new java.util.HashMap[String, java.lang.Double](arr.length * 2)
         var i = 0

@@ -2889,6 +2889,15 @@ class ExtSpec extends AnyFunSuite {
       assert(a.keySet === b.keySet)
       a.keys.foreach(k => assert(math.abs(a(k) - b(k)) < 1e-9,
         s"bigrams=$bigrams doc=$k scan=${a(k)} join=${b(k)}"))
+      // broadcast gate: a feature count above maxBroadcastFeatures must
+      // fall back to the distributed join arm (no driver collect) with
+      // identical scores — the shuffled plan is the observable fallback
+      val gated = Classify.scoreQualityNb(docs, m, maxBroadcastFeatures = 1L)
+      assert(gated.queryExecution.executedPlan.toString.contains("Exchange"),
+        "gated scorer must take the join arm")
+      val g = gated.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      a.keys.foreach(k => assert(math.abs(a(k) - g(k)) < 1e-9,
+        s"bigrams=$bigrams doc=$k gate fallback diverged"))
     }
     // bigram feature space: the adjacent-pair evidence separates docs the
     // unigram model cannot — identical unigram bags, opposite word order
@@ -3942,6 +3951,35 @@ class ExtSpec extends AnyFunSuite {
     assert(robots("keep4") === None)
     val kept = Web.dropNoindex(docs).select("id").as[String].collect().toSet
     assert(kept === Set("keep1", "keep2", "keep3", "keep4"))
+  }
+
+  test("unquoted attribute values: robots meta, canonical href, html lang") {
+    import graft.ext.{Html, Web}
+    val docs = Seq(
+      // fully unquoted (common real-crawl markup): selector AND value
+      ("u1", "<head><meta name=robots content=noindex,nofollow></head><body/>"),
+      // mixed quoting: quoted selector, unquoted value and vice versa
+      ("u2", "<head><meta name=\"robots\" content=noindex></head><body/>"),
+      ("u3", "<head><meta name=robots content=\"index, follow\"></head><body/>"),
+      // unquoted href keeps its slashes; unquoted lang
+      ("u4", "<html lang=en><head><link rel=canonical href=https://x/a/b></head><body/></html>"),
+      // document-order precedence holds across quote styles
+      ("u5", "<head><meta name=robots content=all><meta name=\"robots\" content=\"noindex\"></head><body/>")
+    ).toDF("id", "html")
+    val got = docs.select(col("id"),
+      Html.metaRobotsOf(col("html")).as("r"),
+      Html.canonicalUrlOf(col("html")).as("c"),
+      Html.declaredLangOf(col("html")).as("l"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(got("u1")._1 === Some("noindex,nofollow"))
+    assert(got("u2")._1 === Some("noindex"))
+    assert(got("u3")._1 === Some("index, follow"))
+    assert(got("u4")._2 === Some("https://x/a/b"))
+    assert(got("u4")._3 === Some("en"))
+    assert(got("u5")._1 === Some("all")) // FIRST element wins, not quote style
+    val kept = Web.dropNoindex(docs).select("id").as[String].collect().toSet
+    assert(kept === Set("u3", "u4", "u5"))
   }
 
   test("robotsRules: groups, agent selection, comments, empty Disallow, malformed paths") {
