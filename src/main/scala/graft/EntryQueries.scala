@@ -1414,8 +1414,12 @@ object EntryQueries {
       c.createVectorIndex(kind = "ivfpq", numCentroids = 16, nprobe = 10,
         m = 16, candK = 100, iters = 5, maxSample = 20000)
       val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
-      val rec0 = Ann.recallAtK(Ann.exactTopK(c.docs(), qs, k = 10),
-        c.vectorTopK(qs, 10))
+      // ONE recall evaluation, post-delta (the r18 bench-tail trim): the
+      // post-delta gate transitively requires a good BUILD too — 50 dup
+      // vectors cannot lift a broken index over 0.8 — so the pre-delta
+      // recall pass (a second full-corpus exact top-k + probe) bought no
+      // extra oracle coverage; build-quality-only recall runs in x6c/x50b
+      // and the ExtSpec lifecycle suites
       // upsert 50 duplicated vectors under new ids — the O(batch) delta
       // re-derives list + codes against the STORED tables in one scan.
       // (FULL-corpus delta parity runs once in ExtSpec "persisted
@@ -1441,12 +1445,10 @@ object EntryQueries {
         val rec = Ann.recallAtK(Ann.exactTopK(c.docs(), qs, k = 10),
           c.vectorTopK(qs, 10))
         Seq(("delta_rows_exact", eq && counts),
-          ("recall_ge_0.8", rec0 >= 0.8),
           ("recall_after_delta_ge_0.8", rec >= 0.8)).toDF("metric", "ok")
       } finally { newRows.unpersist(); fresh.unpersist() }
     }, Some("""SELECT * FROM (VALUES ('delta_rows_exact', true),
-              |  ('recall_after_delta_ge_0.8', true),
-              |  ('recall_ge_0.8', true)) AS t(metric, ok)""".stripMargin)),
+              |  ('recall_after_delta_ge_0.8', true)) AS t(metric, ok)""".stripMargin)),
 
     // X115: filtered ANN — metadata where + vector top-k. Indexed arm =
     // post-filter over-fetch (index top-overfetch*k candidates, filter on
