@@ -2212,7 +2212,7 @@ object EntryQueries {
       val out = tempDirCleanedOnExit("graft-x140-")
       val root = tempDirCleanedOnExit("graft-x140c-")
       val docs = docsFrame(s, sfDir)
-        .filter(col("id").cast("long") % 7 === 0)
+        .filter(col("id").cast("long") % 31 === 0)
       def drop(n: Int, pred: org.apache.spark.sql.Column): Unit =
         graft.sources.WarcGzip.writeGzip(
           docs.filter(pred).select(graft.sources.Warc.formatResponse(
@@ -2220,7 +2220,7 @@ object EntryQueries {
             lit("2024-01-01T00:00:00Z"), lit("text/plain"),
             col("content")).as("rec")).repartition(2),
           s"$out/drop$n")
-      drop(1, col("id").cast("long") % 14 === 0)
+      drop(1, col("id").cast("long") % 62 === 0)
       val c = Collection(s, root, "crawlstream")
       val stream = graft.sources.WarcGzip.readStream(s, s"$out/drop*/part-*.warc.gz")
         .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).as("id"),
@@ -2228,12 +2228,12 @@ object EntryQueries {
       val q = c.streamIngest(stream).start()
       try {
         q.processAllAvailable()
-        drop(2, col("id").cast("long") % 14 =!= 0)
+        drop(2, col("id").cast("long") % 62 =!= 0)
         q.processAllAvailable()
       } finally q.stop()
       c.docs().select(col("id"), md5(col("content")).as("h"))
     }, Some(s"""SELECT $DocId AS id, md5(text) AS h
-               |FROM documents WHERE doc_id % 7 = 0""".stripMargin)),
+               |FROM documents WHERE doc_id % 31 = 0""".stripMargin)),
 
     // X130: the COMPOSED web-curation pipeline — the provenance-side
     // complement of x126's content-side chain: x124 URL canonicalization +
