@@ -545,6 +545,103 @@ object ProbeScale {
       writeOut(); return
     }
 
+    // `r18ops` = round-18 probes, NO collection ingest:
+    //  (a) HTTP body decoding in the gz reader at 2M members: a CHUNKED
+    //      corpus read with decoding on vs the raw escape hatch, plus a
+    //      plain corpus under decoding (the no-op detection path) — the
+    //      claim "decoding is scan-local, bounded overhead" as numbers;
+    //  (b) X139 robots.txt gate at 2M docs with 50k ruled hosts: the
+    //      rules parse (per-host windows) and the broadcast evaluation
+    //      (the corpus side never shuffles);
+    //  (c) X135 stage boundaries on the 2M crawl: persist() vs the
+    //      durable stagePath parquet form (the resumable-run cost).
+    if (mode.contains("r18ops")) {
+      import graft.sources.{Warc, WarcGzip}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-r18ops-").toString
+      val docs = r16SynthDocs().persist()
+      println(s"PROBE   docs = ${docs.count()}")
+      // (a) chunked wire form constructed in SQL: two chunks split at
+      // char 40, octet-counted (the x138 construction at probe scale)
+      val ch1 = substring($"content", 1, 40)
+      val ch2 = substring($"content", 41, Int.MaxValue)
+      val chunked = concat(
+        lower(hex(octet_length(ch1))), lit("\r\n"), ch1, lit("\r\n"),
+        when(octet_length(ch2) > 0,
+          concat(lower(hex(octet_length(ch2))), lit("\r\n"), ch2, lit("\r\n")))
+          .otherwise(lit("")),
+        lit("0\r\n\r\n"))
+      val httpCh = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n"), chunked)
+      val recChunked = concat(
+        lit("WARC/1.1\r\nWARC-Type: response\r\nWARC-Target-URI: "), $"url",
+        lit("\r\nContent-Length: "), octet_length(httpCh).cast("string"),
+        lit("\r\n\r\n"), httpCh, lit("\r\n\r\n"))
+      WarcGzip.writeGzip(docs.select(recChunked.as("rec")), s"$tmp/chunked")
+      WarcGzip.writeGzip(docs.select(Warc.formatResponse($"url",
+        lit("2024-01-01T00:00:00Z"), lit("text/plain"), $"content").as("rec")),
+        s"$tmp/plain")
+      def readSum(path: String, decode: Boolean) =
+        WarcGzip.read(spark, path, decodeBody = decode)
+          .agg(count(lit(1)), sum(length($"body"))).head()
+      // steady-state: one warm-up pass each (r17ops rationale)
+      readSum(s"$tmp/plain", decode = true)
+      readSum(s"$tmp/chunked", decode = true)
+      readSum(s"$tmp/chunked", decode = false)
+      val pl = time("gz_read_plain_decode_on_2m_sec")(readSum(s"$tmp/plain", decode = true))
+      val cOn = time("gz_read_chunked_decode_2m_sec")(readSum(s"$tmp/chunked", decode = true))
+      val cOff = time("gz_read_chunked_raw_2m_sec")(readSum(s"$tmp/chunked", decode = false))
+      require(pl.getLong(0) == 2000000L && cOn.getLong(0) == 2000000L,
+        s"every record must parse: plain=$pl chunked=$cOn")
+      require(pl.getLong(1) == cOn.getLong(1),
+        s"dechunked body mass must equal the plain corpus: $pl vs $cOn")
+      require(cOff.getLong(1) > cOn.getLong(1),
+        "the raw escape hatch must keep the chunk framing bytes")
+
+      // (b) robots gate: 50k of the corpus's 100k hosts carry rules
+      val robotsSrc = spark.range(50000L).select(
+        concat(lit("https://www.host"), $"id".cast("string"),
+          lit(".com/robots.txt")).as("url"),
+        lit("User-agent: *\nDisallow: /p/1\nAllow: /p/13\n" +
+          "User-agent: other\nDisallow: /").as("content"))
+      val rules = graft.ext.Web.robotsRules(robotsSrc).persist()
+      time("robots_rules_parse_50k_sec")(
+        println(s"PROBE   rules = ${rules.count()}"))
+      val keptN = time("robots_gate_2m_sec")(
+        graft.ext.Web.dropDisallowed(docs, rules).count())
+      println(s"PROBE   kept = $keptN")
+      require(keptN > 0L && keptN < 2000000L,
+        s"the gate must drop some and keep some: kept=$keptN")
+      rules.unpersist()
+      docs.unpersist()
+
+      // (c) stage-boundary forms on the crawl e2e's curation half
+      val html = concat(
+        lit("<html><body><h1>Crawl &amp; shard</h1><p>"), $"content",
+        lit("</p><p>zzdocid "), $"id",
+        lit("</p><script>var x = 1;</script></body></html>"))
+      WarcGzip.writeGzip(r16SynthDocs().select(Warc.formatResponse($"url",
+        lit("2024-01-01T00:00:00Z"), lit("text/html"), html).as("rec")),
+        s"$tmp/crawl")
+      def curate(stagePath: Option[String]): Long = {
+        val cur = graft.ext.CrawlPipeline.curateCrawl(spark, s"$tmp/crawl",
+          graft.ext.CrawlPipeline.CrawlConfig(
+            blockedDomains = Seq("tracker.net"),
+            blockedPhrases = Seq("slow scan merge"),
+            idFrom = Some(
+              regexp_extract($"content", "(?m)^zzdocid (\\w+)$", 1)),
+            stagePath = stagePath))
+        try cur.count() finally cur.unpersist()
+      }
+      val nPersist = time("crawl_curate_persist_2m_sec")(curate(None))
+      val nStaged = time("crawl_curate_stagepath_2m_sec")(
+        curate(Some(s"$tmp/stages")))
+      println(s"PROBE   curated persist=$nPersist staged=$nStaged")
+      require(nPersist == nStaged,
+        s"boundary modes must agree: $nPersist vs $nStaged")
+      writeOut(); return
+    }
+
     val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id".cast("string").as("id"), $"text".as("content"),
         map(lit("lang"), $"lang").as("metadata"))
