@@ -2235,6 +2235,34 @@ object EntryQueries {
     }, Some(s"""SELECT $DocId AS id, md5(text) AS h
                |FROM documents WHERE doc_id % 31 = 0""".stripMargin)),
 
+    // X141: CDX-style member index + random-access fetch — the 100 TB
+    // access pattern: index the archive ONCE (header-only pass surfacing
+    // each record's (file, offset, length) coordinates), then FETCH only
+    // the records a query names instead of re-scanning. The entry builds
+    // the corpus, indexes it, selects a stratum by uri FROM THE INDEX,
+    // fetches those pointers, and emits (id, md5(body), length>0): the
+    // md5s only match if every coordinate addressed its exact member and
+    // the fetched parse (framing, headers, body slice) equals the
+    // scanning read's.
+    ("x141_warc_index_fetch", (s: SparkSession, sfDir: String) => {
+      val out = tempDirCleanedOnExit("graft-x141-")
+      graft.sources.WarcGzip.writeGzip(
+        docsFrame(s, sfDir).select(graft.sources.Warc.formatResponse(
+          concat(lit("https://crawl.example/doc/"), col("id")),
+          lit("2024-01-01T00:00:00Z"), lit("text/plain"),
+          col("content")).as("rec")).repartition(4),
+        s"$out/crawl")
+      val idx = graft.sources.WarcGzip.index(s, s"$out/crawl")
+      val wanted = idx.filter(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long") % 9 === 0)
+      graft.sources.WarcGzip.fetch(s, wanted)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).as("id"),
+          md5(col("body")).as("h"),
+          (col("length") > 0).as("has_len"))
+    }, Some(s"""SELECT $DocId AS id, md5(text) AS h, true AS has_len
+               |FROM documents WHERE doc_id % 9 = 0""".stripMargin)),
+
     // X130: the COMPOSED web-curation pipeline — the provenance-side
     // complement of x126's content-side chain: x124 URL canonicalization +
     // dedup (on the planted dup/tracking-param fixture) → x129 blocklist

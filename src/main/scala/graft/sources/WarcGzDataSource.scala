@@ -54,7 +54,10 @@ private[sources] object WarcGzTable {
     StructField("content_type", StringType),
     StructField("body", StringType),
     StructField("body_bytes", BinaryType),
-    StructField("record", StringType)))
+    StructField("record", StringType),
+    StructField("file", StringType),
+    StructField("offset", LongType),
+    StructField("length", LongType)))
 }
 
 private[sources] class WarcGzTable(options: CaseInsensitiveStringMap)
@@ -259,6 +262,9 @@ private[sources] case class WarcGzReaderFactory(
             case "body_bytes" => current.body_bytes.orNull
             case "record" =>
               if (current.record == null) null else UTF8String.fromString(current.record)
+            case "file" => UTF8String.fromString(current.file)
+            case "offset" => Long.box(current.offset)
+            case "length" => Long.box(current.length)
             case other => throw new IllegalArgumentException(s"unknown column: $other")
           }
           i += 1

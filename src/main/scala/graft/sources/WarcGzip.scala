@@ -53,7 +53,11 @@ object WarcGzip {
     * path. `warc_version` is the record's version line (`WARC/1.0`,
     * `WARC/1.1`, …); `warc_truncated` the `WARC-Truncated` reason when the
     * archiver cut the capture short (Common Crawl flags large payloads
-    * with `length` — pipelines gate on it).
+    * with `length` — pipelines gate on it). `file`/`offset`/`length` are
+    * the member's archival coordinates — exactly what a CDX index records
+    * (`warc_filename`/`warc_record_offset`/`warc_record_length`), so a
+    * pruned projection of them IS an index build, and [[fetch]] accepts
+    * them back for random access.
     */
   final case class GzRecord(
       warc_type: Option[String],
@@ -66,7 +70,10 @@ object WarcGzip {
       content_type: Option[String],
       body: Option[String],
       body_bytes: Option[Array[Byte]],
-      record: String)
+      record: String,
+      file: String,
+      offset: Long,
+      length: Long)
 
   /** Read `.warc.gz` files (a file, directory, or glob) into parsed
     * records. `splitBytes` bounds the per-task scan range — members
@@ -111,6 +118,94 @@ object WarcGzip {
       .option("splitBytes", splitBytes.toString)
       .option("decodeBody", decodeBody.toString)
       .load(path)
+  }
+
+  /** X141: member index build — (target_uri, record_id, warc_type,
+    * warc_date, file, offset, length), one row per record: the CDX-shaped
+    * pointer frame (Common Crawl's index carries exactly these as
+    * `warc_filename`/`warc_record_offset`/`warc_record_length`). A pruned
+    * projection of the DSv2 read, so the build is a HEADER-ONLY pass —
+    * no body decode, no record strings. Persist it as parquet next to
+    * the crawl: every later query [[fetch]]es its records selectively
+    * instead of re-scanning the archive — the difference between
+    * touching kilobytes and touching 100 TB.
+    */
+  def index(spark: SparkSession, path: String,
+            splitBytes: Long = 128L * 1024 * 1024): DataFrame =
+    read(spark, path, splitBytes)
+      .select("target_uri", "record_id", "warc_type", "warc_date",
+        "file", "offset", "length")
+
+  /** X141: random-access fetch — read ONLY the records a pointer frame
+    * names: (file, offset) rows, e.g. a filtered [[index]] or a parsed
+    * CDX sidecar. Pointers repartition by file and sort by offset, so
+    * each task opens its files once and seeks FORWARD through them; one
+    * Inflater (and body decoder) per task, the batch reader's member
+    * validation and parse per pointer. Extra pointer columns are
+    * dropped (join the result back on (file, offset) to recover them).
+    *
+    * Pointers are CLAIMS, so failure is LOUD: a pointer that does not
+    * address a valid WARC member raises with its coordinates — a silent
+    * skip would be silent data loss against an index the caller trusts.
+    */
+  def fetch(spark: SparkSession, pointers: DataFrame,
+            decodeBody: Boolean = true): DataFrame = {
+    val confThunk = Bridge.serializableConf(spark.sessionState.newHadoopConf())
+    import spark.implicits._
+    val ptrs = pointers
+      .select(org.apache.spark.sql.functions.col("file").cast("string"),
+        org.apache.spark.sql.functions.col("offset").cast("long"))
+      .as[(String, Long)]
+    ptrs
+      .repartition(org.apache.spark.sql.functions.col("file"))
+      .sortWithinPartitions(
+        org.apache.spark.sql.functions.col("file"),
+        org.apache.spark.sql.functions.col("offset"))
+      .mapPartitions { it =>
+        val conf = confThunk()
+        val inflater = new java.util.zip.Inflater(true)
+        val decoder = if (decodeBody) new BodyDecoder(inflater) else null
+        var curFile: String = null
+        var in: FSDataInputStream = null
+        var fileLen = 0L
+        def closeIn(): Unit = if (in != null) {
+          try in.close() catch { case _: Throwable => () }
+          in = null
+        }
+        // lazily-consumed output: the stream and native zlib state must
+        // survive until the LAST row is pulled — release at task end
+        Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener(
+          new org.apache.spark.util.TaskCompletionListener {
+            override def onTaskCompletion(ctx: org.apache.spark.TaskContext): Unit = {
+              try inflater.end() catch { case _: Throwable => () }
+              try { if (decoder != null) decoder.close() } catch { case _: Throwable => () }
+              closeIn()
+            }
+          }))
+        it.map { case (f, off) =>
+          if (f != curFile) {
+            closeIn()
+            val p = new Path(f)
+            val fs = p.getFileSystem(conf)
+            fileLen = fs.getFileStatus(p).getLen
+            in = fs.open(p)
+            curFile = f
+          }
+          in.seek(off)
+          val win = new ByteWindow(in, off, fileLen)
+          val isMember = win.byteAt(off) == 0x1f && win.byteAt(off + 1) == 0x8b &&
+            win.byteAt(off + 2) == 0x08
+          val parsed = if (!isMember) MemberInvalid else inflateMember(win, off, inflater)
+          parsed match {
+            case MemberWarc(rec, memberLen) =>
+              parseMemberRecord(rec, needRecord = true, needBody = true,
+                needBodyBytes = true, decoder, f, off, memberLen)
+            case _ => throw new IllegalArgumentException(
+              s"pointer $f:$off does not address a valid member-gzip WARC record")
+          }
+        }
+      }
+      .toDF()
   }
 
   /** Driver-side split planning: (file, start, end) ranges over every
@@ -250,7 +345,7 @@ object WarcGzip {
             inflateMember(win, pos, inflater) match {
               case MemberWarc(rec, memberLen) =>
                 nextRec = parseMemberRecord(rec, needRecord, needBody,
-                  needBodyBytes, decoder)
+                  needBodyBytes, decoder, file, pos, memberLen)
                 records += 1
                 pos += memberLen
               case MemberNonWarc(memberLen) =>
@@ -467,7 +562,10 @@ object WarcGzip {
                                          needRecord: Boolean = true,
                                          needBody: Boolean = true,
                                          needBodyBytes: Boolean = true,
-                                         decoder: BodyDecoder = null): GzRecord = {
+                                         decoder: BodyDecoder = null,
+                                         file: String = "",
+                                         offset: Long = 0L,
+                                         length: Long = 0L): GzRecord = {
     val recStr = if (needRecord) new String(rec, Utf8) else null
     val verLen = versionLineLength(rec)
     val version =
@@ -483,7 +581,7 @@ object WarcGzip {
         header(hdrs, "WARC-Record-ID"),
         version,
         header(hdrs, "WARC-Truncated"),
-        None, None, None, None, recStr)
+        None, None, None, None, recStr, file, offset, length)
     }
     // ISO 28500 LWS unfolding: a continuation line (CRLF + SP/HT) is part
     // of the previous header's value. When the full record string exists
@@ -548,7 +646,7 @@ object WarcGzip {
       ctype.orElse(header(warcHeaders, "Content-Type")),
       if (needBody) Some(new String(bodyBytes, Utf8)) else None,
       if (needBodyBytes) Some(bodyBytes) else None,
-      recStr)
+      recStr, file, offset, length)
   }
 
   // --- HTTP body decoding (transfer + content codings) ---------------------

@@ -578,6 +578,40 @@ class WarcGzipSpec extends AnyFunSuite {
     assert(graft.sources.WarcGzOffset.parse(off.json()) === off)
   }
 
+  test("index + fetch: CDX-style random access returns byte-identical records; bad pointers raise") {
+    val out = tmp()
+    WarcGzip.writeGzip(
+      (1 to 200).map(i => (i, s"payload $i " + ("y" * (i % 53)))).toDF("i", "b")
+        .select(Warc.formatResponse(concat(lit("https://x/"), col("i")),
+          lit("2024-01-01T00:00:00Z"), lit("text/plain"), col("b")).as("rec"))
+        .repartition(3),
+      s"$out/gz")
+    val idx = WarcGzip.index(spark, s"$out/gz")
+    assert(idx.columns.toSeq === Seq("target_uri", "record_id", "warc_type",
+      "warc_date", "file", "offset", "length"))
+    assert(idx.count() === 200L)
+    // fetch EVERY indexed record: identical rows to the scanning read
+    // (same parse incl. coordinates — proves offsets/lengths are exact)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("target_uri", "body", "file", "offset", "length").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(shape(WarcGzip.fetch(spark, idx)) ===
+      shape(WarcGzip.read(spark, s"$out/gz")))
+    // selective fetch: a filtered pointer frame returns exactly its rows
+    val some = WarcGzip.fetch(spark,
+      idx.filter(col("target_uri").rlike("/1?7$"))) // 7, 17
+      .select("target_uri", "body").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(some.keySet === Set("https://x/7", "https://x/17"))
+    assert(some("https://x/7").startsWith("payload 7 "))
+    // a pointer into the middle of a member is a LOUD failure
+    val bad = idx.limit(1).select(col("file"), (col("offset") + 3).as("offset"))
+    val ex = intercept[Exception] { WarcGzip.fetch(spark, bad).collect() }
+    val msg = ex.toString + Option(ex.getCause).map(_.toString).getOrElse("")
+    assert(msg.contains("does not address a valid"), msg)
+  }
+
   test("gzip read agrees with the uncompressed lite reader on marker-safe corpora") {
     // same synthesized records through BOTH paths: the lite text-split
     // reader over plain files and the member scanner over gzip — identical
