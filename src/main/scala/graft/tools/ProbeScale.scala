@@ -642,6 +642,37 @@ object ProbeScale {
       writeOut(); return
     }
 
+    // `r18fetch` = X141's selectivity claim as numbers: index a 2M-member
+    // archive once (header-only pass), then fetch a 1% stratum by
+    // pointer vs re-scanning the whole archive.
+    if (mode.contains("r18fetch")) {
+      import graft.sources.{Warc, WarcGzip}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-r18fetch-").toString
+      val docs = r16SynthDocs()
+      WarcGzip.writeGzip(docs.select(Warc.formatResponse($"url",
+        lit("2024-01-01T00:00:00Z"), lit("text/plain"), $"content").as("rec")),
+        s"$tmp/gz")
+      def readAll() = WarcGzip.read(spark, s"$tmp/gz")
+        .agg(count(lit(1)), sum(length($"body"))).head()
+      readAll() // steady-state warm-up (r17ops rationale)
+      val full = time("gz_full_read_2m_sec")(readAll())
+      require(full.getLong(0) == 2000000L, s"full read: $full")
+      time("gz_index_build_2m_sec")(
+        WarcGzip.index(spark, s"$tmp/gz")
+          .write.mode("overwrite").parquet(s"$tmp/idx"))
+      val pointers = spark.read.parquet(s"$tmp/idx")
+        .filter(pmod(xxhash64($"target_uri"), lit(100)) === 0)
+      val nPtrs = pointers.count()
+      println(s"PROBE   pointers = $nPtrs")
+      val fetched = time(s"gz_fetch_1pct_sec")(
+        WarcGzip.fetch(spark, pointers)
+          .agg(count(lit(1)), sum(length($"body"))).head())
+      require(fetched.getLong(0) == nPtrs,
+        s"every pointer must fetch: $fetched vs $nPtrs")
+      metrics += ("fetch_pointers" -> nPtrs)
+      writeOut(); return
+    }
+
     val base0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id".cast("string").as("id"), $"text".as("content"),
         map(lit("lang"), $"lang").as("metadata"))
