@@ -48,6 +48,7 @@ object CrawlPipeline {
       idFrom: Option[Column] = None,
       stagePath: Option[String] = None,
       robotsTxt: Option[DataFrame] = None,
+      robotsFromCrawl: Boolean = false,
       robotsAgent: String = "*")
 
   /** Materialize `df` at a stage boundary, then release `prev`.
@@ -86,9 +87,17 @@ object CrawlPipeline {
     val read0 = WarcGzip.read(spark, warcGzPath, cfg.splitBytes)
       .filter(col("warc_type") === "response")
       .filter(col("http_status").isin(cfg.keepHttpStatus.toSeq.map(Int.box): _*))
-    val read =
+    val read1 =
       if (cfg.dropTruncated) read0.filter(col("warc_truncated").isNull)
       else read0
+    // with robotsFromCrawl the robots.txt captures feed the RULES arm and
+    // must not also become corpus documents (NULL uri keeps — it cannot
+    // be a robots capture)
+    val read =
+      if (cfg.robotsFromCrawl)
+        read1.filter(!coalesce(
+          col("target_uri").rlike("(?i)://[^/]+/robots\\.txt$"), lit(false)))
+      else read1
     val indexable =
       if (cfg.dropNoindexPages) Web.dropNoindex(read, htmlCol = "body") else read
     val extracted = indexable.select(
@@ -106,8 +115,20 @@ object CrawlPipeline {
     // steps would only add memory and jobs
     val withId = extracted.select(id.as("id"), col("url"), col("content"))
     // per-domain robots.txt hygiene (X139): rules parse once (per-host-
-    // small frame) and broadcast onto the corpus — still one scan pass
-    val robotsGated = cfg.robotsTxt match {
+    // small frame) and broadcast onto the corpus — still one scan pass.
+    // `robotsFromCrawl` derives the rules from the CRAWL's OWN robots.txt
+    // captures (real segments archive them alongside the pages) — a
+    // second pruned pass over the archive for the few robots responses,
+    // collapsing to a per-host-small rules frame before the broadcast;
+    // an explicit `robotsTxt` frame skips that pass.
+    val robotsSrc: Option[DataFrame] =
+      if (cfg.robotsFromCrawl) Some(
+        WarcGzip.read(spark, warcGzPath, cfg.splitBytes)
+          .filter(col("warc_type") === "response")
+          .filter(col("target_uri").rlike("(?i)://[^/]+/robots\\.txt$"))
+          .select(col("target_uri").as("url"), col("body").as("content")))
+      else cfg.robotsTxt
+    val robotsGated = robotsSrc match {
       case Some(r) =>
         Web.dropDisallowed(withId, Web.robotsRules(r, cfg.robotsAgent))
       case None => withId

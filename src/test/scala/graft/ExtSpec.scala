@@ -4037,6 +4037,12 @@ class ExtSpec extends AnyFunSuite {
     assert(kept === Set("d2", "d3", "d6", "d7", "d8"))
     // schema passthrough
     assert(Web.dropDisallowed(docs, rules).columns.toSeq === Seq("id", "url"))
+    // plan shape: the per-host rules BROADCAST onto the corpus — a
+    // sort-merge join here would shuffle the whole corpus at 100 TB
+    val plan = Web.dropDisallowed(docs, rules).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"rules must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$plan")
   }
 
   // --- X129: blocklist curation ------------------------------------------

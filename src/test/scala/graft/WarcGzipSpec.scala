@@ -537,6 +537,25 @@ class WarcGzipSpec extends AnyFunSuite {
     try assert(gated.select("url").as[String].collect().toSet ===
       Set("https://a/2"))
     finally gated.unpersist()
+    // robotsFromCrawl: the rules come from the crawl's OWN robots.txt
+    // capture, and that capture must not itself become a corpus doc
+    def robotsMember(host: String, rules: String): Array[Byte] = {
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n$rules"
+      gzMember((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: https://$host/robots.txt\r\n" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n" +
+        http + "\r\n\r\n").getBytes("UTF-8"))
+    }
+    writeFile(dir, "r.warc.gz",
+      member("https://a/1", "alpha beta gamma delta epsilon zeta", truncated = false) ++
+        member("https://a/2", "one two three four five six seven", truncated = false) ++
+        robotsMember("a", "User-agent: *\nDisallow: /2"))
+    val self = CrawlPipeline.curateCrawl(spark, s"$dir/r.warc.gz",
+      CrawlConfig(lineDedup = false, nearDedup = false,
+        robotsFromCrawl = true))
+    try assert(self.select("url").as[String].collect().toSet ===
+      Set("https://a/1"))
+    finally self.unpersist()
   }
 
   test("streaming .warc.gz ingest: two drops ≡ batch read; offsets roundtrip; no re-reads") {
