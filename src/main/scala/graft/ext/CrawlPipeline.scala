@@ -31,8 +31,9 @@ object CrawlPipeline {
     * this way). `stagePath` switches stage boundaries from executor-
     * storage `persist()` to DURABLE temp parquet under that directory —
     * at 100 TB the persisted form depends on executor storage headroom,
-    * and a failed long run restarts from zero; the parquet form survives
-    * (and each boundary reads back spread across the cluster).
+    * and a failed long run loses everything; the parquet form's
+    * completed boundaries survive on disk for a caller to read back
+    * (resume is manual — a fresh run recomputes; see `stage`).
     */
   final case class CrawlConfig(
       splitBytes: Long = 128L * 1024 * 1024,
@@ -53,10 +54,14 @@ object CrawlPipeline {
 
   /** Materialize `df` at a stage boundary, then release `prev`.
     * Default: persist() + count (executor storage). With `stagePath`:
-    * write temp parquet `stage-<n>` and read it back — durable, and a
-    * re-run resumes from real files instead of recomputing 8 stages.
-    * Both modes return a frame whose consumers never re-evaluate the
-    * upstream chain (the multi-consumer boundary contract).
+    * write temp parquet `stage-<n>` and read it back — durable: after a
+    * failed long run the completed boundaries survive as real parquet a
+    * caller can read back directly (resume is MANUAL — this call always
+    * recomputes and overwrites, because silently trusting a stage dir
+    * left by a run with a DIFFERENT config would be wrong results, the
+    * worse failure). Both modes return a frame whose consumers never
+    * re-evaluate the upstream chain (the multi-consumer boundary
+    * contract).
     */
   private def stage(df: DataFrame, prev: Option[DataFrame],
                     stagePath: Option[String], n: Int): DataFrame =
@@ -121,10 +126,16 @@ object CrawlPipeline {
     // second pruned pass over the archive for the few robots responses,
     // collapsing to a per-host-small rules frame before the broadcast;
     // an explicit `robotsTxt` frame skips that pass.
+    // only CLEAN captures feed the rules: a 403/404/challenge body
+    // containing "Disallow: /" would wipe the host's whole corpus, and
+    // an archiver-truncated robots.txt can keep a Disallow while losing
+    // its Allow carve-out — both silent over-drops
     val robotsSrc: Option[DataFrame] =
       if (cfg.robotsFromCrawl) Some(
         WarcGzip.read(spark, warcGzPath, cfg.splitBytes)
           .filter(col("warc_type") === "response")
+          .filter(col("http_status") === 200)
+          .filter(col("warc_truncated").isNull)
           .filter(col("target_uri").rlike("(?i)://[^/]+/robots\\.txt$"))
           .select(col("target_uri").as("url"), col("body").as("content")))
       else cfg.robotsTxt

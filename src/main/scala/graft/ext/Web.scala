@@ -419,8 +419,10 @@ object Web {
     *     longest-PREFIX match model below.
     * Rules are HOST-scoped (robots.txt governs its own authority, RFC
     * 9309 §2.3), so the key is [[hostOf]], not the registrable domain.
-    * When several captures exist per host (a crawl revisits), the
-    * md5(url)-ranked first is used — deterministic across reruns.
+    * When several captures exist per host (a crawl revisits — such
+    * captures share the SAME url, so the tiebreak must reach the
+    * content), the (md5(url), url, md5(content))-ranked first is used —
+    * deterministic across reruns even for revisit duplicates.
     *
     * Scale: one per-host window over exploded LINES of kilobyte-sized
     * robots bodies — tiny rows, massively parallel across hosts; the
@@ -431,7 +433,9 @@ object Web {
                   urlCol: String = "url",
                   contentCol: String = "content"): DataFrame = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
-    val one = Window.partitionBy(col("__host")).orderBy(md5(col(urlCol)), col(urlCol))
+    val one = Window.partitionBy(col("__host")).orderBy(
+      md5(col(urlCol)), col(urlCol),
+      md5(coalesce(col(contentCol), lit(""))))
     val lines = robots
       .select(hostOf(col(urlCol)).as("__host"), col(urlCol), col(contentCol))
       .filter(col("__host").isNotNull)

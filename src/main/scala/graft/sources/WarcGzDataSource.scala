@@ -142,21 +142,8 @@ private[sources] class WarcGzMicroBatchStream(
   private val hconf = SparkSession.active.sessionState.newHadoopConf()
   private val confThunk = Bridge.serializableConf(hconf)
 
-  private def listFiles(): Map[String, Long] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(hconf)
-    val matched = Option(fs.globStatus(p)) match {
-      case Some(g) if g.nonEmpty => g.toSeq
-      case _ => if (fs.exists(p)) Seq(fs.getFileStatus(p)) else Seq.empty
-    }
-    matched.flatMap { st =>
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq.filter(f =>
-          f.isFile && !f.getPath.getName.startsWith("_") &&
-            !f.getPath.getName.startsWith("."))
-      else Seq(st)
-    }.map(st => st.getPath.toUri.toString -> st.getLen).toMap
-  }
+  private def listFiles(): Map[String, Long] =
+    WarcGzip.matchedFiles(hconf, path, allowMissing = true).toMap
 
   override def initialOffset(): Offset = WarcGzOffset(Map.empty)
   override def latestOffset(): Offset = WarcGzOffset(listFiles())
@@ -167,12 +154,10 @@ private[sources] class WarcGzMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[WarcGzOffset].files.keySet
     val now = end.asInstanceOf[WarcGzOffset].files
-    now.toSeq.filterNot { case (f, _) => seen.contains(f) }
-      .sortBy(_._1)
-      .flatMap { case (f, len) =>
-        (0L until math.max(len, 1L) by splitBytes)
-          .map(s => WarcGzInputPartition(f, s, math.min(s + splitBytes, len)))
-      }.toArray
+    val fresh = now.toSeq.filterNot { case (f, _) => seen.contains(f) }.sortBy(_._1)
+    WarcGzip.splitRanges(fresh, splitBytes)
+      .map { case (f, s, e) => WarcGzInputPartition(f, s, e): InputPartition }
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -147,9 +147,19 @@ object WarcGzip {
     * Pointers are CLAIMS, so failure is LOUD: a pointer that does not
     * address a valid WARC member raises with its coordinates — a silent
     * skip would be silent data loss against an index the caller trusts.
+    *
+    * `needRecord`/`needBody`/`needBodyBytes` are the batch reader's
+    * pruning flags, surfaced as parameters because a Dataset transform
+    * has no Catalyst pruning to hand them over: a skipped output comes
+    * back NULL. `needRecord` defaults OFF — the full-record string is
+    * the one output a fetch-by-pointer pipeline almost never reads, and
+    * it doubles per-record decode cost.
     */
   def fetch(spark: SparkSession, pointers: DataFrame,
-            decodeBody: Boolean = true): DataFrame = {
+            decodeBody: Boolean = true,
+            needRecord: Boolean = false,
+            needBody: Boolean = true,
+            needBodyBytes: Boolean = true): DataFrame = {
     val confThunk = Bridge.serializableConf(spark.sessionState.newHadoopConf())
     import spark.implicits._
     val ptrs = pointers
@@ -182,7 +192,7 @@ object WarcGzip {
               closeIn()
             }
           }))
-        it.map { case (f, off) =>
+        it.flatMap { case (f, off) =>
           if (f != curFile) {
             closeIn()
             val p = new Path(f)
@@ -198,8 +208,10 @@ object WarcGzip {
           val parsed = if (!isMember) MemberInvalid else inflateMember(win, off, inflater)
           parsed match {
             case MemberWarc(rec, memberLen) =>
-              parseMemberRecord(rec, needRecord = true, needBody = true,
-                needBodyBytes = true, decoder, f, off, memberLen)
+              // flatMap: a whole-file-gzip member holds EVERY record —
+              // the member is the addressable unit
+              memberRecords(rec, needRecord, needBody, needBodyBytes,
+                decoder, f, off, memberLen)
             case _ => throw new IllegalArgumentException(
               s"pointer $f:$off does not address a valid member-gzip WARC record")
           }
@@ -208,32 +220,49 @@ object WarcGzip {
       .toDF()
   }
 
-  /** Driver-side split planning: (file, start, end) ranges over every
-    * matched file — a file, directory, or glob; hidden/_ files skipped.
+  /** The matched (file uri, length) pairs of a path — a file, directory,
+    * or glob; hidden/_ files skipped. ONE listing implementation for the
+    * batch planner and the streaming source (a divergence here would
+    * silently make batch and streaming ingest different file sets from
+    * the same drop directory). `allowMissing` is the streaming contract:
+    * a watched path that does not exist YET is an empty listing, not an
+    * error.
     */
-  private[sources] def planSplits(hconf: org.apache.hadoop.conf.Configuration,
-                                  path: String,
-                                  splitBytes: Long): Seq[(String, Long, Long)] = {
+  private[sources] def matchedFiles(hconf: org.apache.hadoop.conf.Configuration,
+                                    path: String,
+                                    allowMissing: Boolean = false): Seq[(String, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(hconf)
     val matched: Seq[FileStatus] = Option(fs.globStatus(p)) match {
       case Some(g) if g.nonEmpty => g.toSeq
-      case _ => Seq(fs.getFileStatus(p))
+      case _ =>
+        if (allowMissing && !fs.exists(p)) Seq.empty
+        else Seq(fs.getFileStatus(p))
     }
-    val files = matched.flatMap { st =>
+    matched.flatMap { st =>
       if (st.isDirectory)
         fs.listStatus(st.getPath).toSeq.filter(f =>
           f.isFile && !f.getPath.getName.startsWith("_") &&
             !f.getPath.getName.startsWith("."))
       else Seq(st)
-    }
-    files.flatMap { st =>
-      val len = st.getLen
-      val uri = st.getPath.toUri.toString
+    }.map(st => st.getPath.toUri.toString -> st.getLen)
+  }
+
+  /** (file, start, end) scan ranges for explicit (file, length) pairs —
+    * shared by the batch planner and the streaming source's per-trigger
+    * planning. */
+  private[sources] def splitRanges(files: Seq[(String, Long)],
+                                   splitBytes: Long): Seq[(String, Long, Long)] =
+    files.flatMap { case (uri, len) =>
       (0L until math.max(len, 1L) by splitBytes)
         .map(s => (uri, s, math.min(s + splitBytes, len)))
     }
-  }
+
+  /** Driver-side split planning: [[matchedFiles]] → [[splitRanges]]. */
+  private[sources] def planSplits(hconf: org.apache.hadoop.conf.Configuration,
+                                  path: String,
+                                  splitBytes: Long): Seq[(String, Long, Long)] =
+    splitRanges(matchedFiles(hconf, path), splitBytes)
 
   // --- range scanning ------------------------------------------------------
 
@@ -328,7 +357,7 @@ object WarcGzip {
     // documented memory bound)
     new Iterator[GzRecord] {
       private var pos = start
-      private var nextRec: GzRecord = _
+      private var pending: Iterator[GzRecord] = Iterator.empty
       private var closed = false
       private var records = 0L
       private var nonWarcAtFileStart = false
@@ -339,14 +368,17 @@ object WarcGzip {
         in.close()
       }
       private def advance(): Unit = {
-        while (nextRec == null && pos < end && pos < fileLen) {
+        while (!pending.hasNext && pos < end && pos < fileLen) {
           if (win.byteAt(pos) == 0x1f && win.byteAt(pos + 1) == 0x8b &&
               win.byteAt(pos + 2) == 0x08) {
             inflateMember(win, pos, inflater) match {
               case MemberWarc(rec, memberLen) =>
-                nextRec = parseMemberRecord(rec, needRecord, needBody,
+                // memberRecords, not a single parse: a whole-file-gzip
+                // archive is ONE member holding EVERY record
+                val rs = memberRecords(rec, needRecord, needBody,
                   needBodyBytes, decoder, file, pos, memberLen)
-                records += 1
+                records += rs.length
+                pending = rs.iterator
                 pos += memberLen
               case MemberNonWarc(memberLen) =>
                 // a VALID gzip member whose payload is not a WARC record:
@@ -360,7 +392,7 @@ object WarcGzip {
             }
           } else pos += 1
         }
-        if (nextRec == null) {
+        if (!pending.hasNext) {
           close()
           if (records == 0L && nonWarcAtFileStart)
             throw new IllegalStateException(
@@ -372,14 +404,12 @@ object WarcGzip {
         }
       }
       override def hasNext: Boolean = {
-        if (nextRec == null && !closed) advance()
-        nextRec != null
+        if (!pending.hasNext && !closed) advance()
+        pending.hasNext
       }
       override def next(): GzRecord = {
         if (!hasNext) throw new NoSuchElementException("scanRange")
-        val r = nextRec
-        nextRec = null
-        r
+        pending.next()
       }
     }
   }
@@ -488,23 +518,84 @@ object WarcGzip {
     "WARC/1.".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
   /** Length of the record's version line INCLUDING its CRLF when `data`
-    * starts with `WARC/1.<digits>\r\n` (the WARC/1.x family — ISO
-    * 28500:2017 is 1.1, Common Crawl is 1.0), else -1. Family match, not
-    * the literal 1.0: a WARC/1.1 archive silently reading as zero records
-    * was the exact trap this validation exists to avoid.
+    * at `from` starts with `WARC/1.<digits>\r\n` (the WARC/1.x family —
+    * ISO 28500:2017 is 1.1, Common Crawl is 1.0), else -1. Family match,
+    * not the literal 1.0: a WARC/1.1 archive silently reading as zero
+    * records was the exact trap this validation exists to avoid.
     */
-  private[sources] def versionLineLength(data: Array[Byte]): Int = {
-    if (data.length < MarkerPrefix.length + 3) return -1
+  private[sources] def versionLineLength(data: Array[Byte], from: Int = 0): Int = {
+    if (data.length - from < MarkerPrefix.length + 3) return -1
     var i = 0
     while (i < MarkerPrefix.length) {
-      if (data(i) != MarkerPrefix(i)) return -1
+      if (data(from + i) != MarkerPrefix(i)) return -1
       i += 1
     }
-    val digitsStart = i
-    while (i < data.length && data(i) >= '0' && data(i) <= '9') i += 1
-    if (i == digitsStart || i + 1 >= data.length) return -1
-    if (data(i) != '\r' || data(i + 1) != '\n') return -1
-    i + 2
+    var j = from + i
+    val digitsStart = j
+    while (j < data.length && data(j) >= '0' && data(j) <= '9') j += 1
+    if (j == digitsStart || j + 1 >= data.length) return -1
+    if (data(j) != '\r' || data(j + 1) != '\n') return -1
+    j + 2 - from
+  }
+
+  /** Record START offsets inside one decompressed member. The archival
+    * member-gzip layout has exactly one record per member, but the
+    * common MISFORMAT `gzip file.warc` (whole-file gzip) inflates as ONE
+    * member holding the whole archive — reading only its first record
+    * would be silent data loss of the rest, the exact failure mode the
+    * fail-loud contract exists to kill. So the walk finds every record:
+    * from a known start, frame by Content-Length, skip the inter-record
+    * separator, and require the next bytes to be a version line; a
+    * record without Content-Length (or trailing non-record bytes) ends
+    * the walk with the remainder owned by the last record.
+    */
+  /** All records of one decompressed member — the boundary walk and the
+    * parse share work: the walk's (header-end, unfolded headers,
+    * Content-Length) feed [[parseMemberRecord]] as hints, so the
+    * archival one-record case costs exactly what a direct parse did (no
+    * copies, no duplicate header scan). Multi-record members (rare —
+    * the whole-file-gzip misformat) slice per record and share the
+    * member's (file, offset, length) coordinates: the member is the
+    * addressable unit, fetch on it returns all its records.
+    */
+  private[sources] def memberRecords(data: Array[Byte],
+                                     needRecord: Boolean, needBody: Boolean,
+                                     needBodyBytes: Boolean,
+                                     decoder: BodyDecoder,
+                                     file: String, offset: Long,
+                                     memberLen: Long): Seq[GzRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[GzRecord]
+    var p = 0
+    var more = true
+    while (more) {
+      val hdrEnd = indexOfCrlfCrlf(data, p, data.length)
+      val hdrs =
+        if (hdrEnd < 0) null
+        else unfold(new String(data, p, hdrEnd - p, Utf8))
+      val cl: Long =
+        if (hdrs == null) -1L
+        else header(hdrs, "Content-Length")
+          .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(-1L)
+      // next record start: past the framed payload + inter-record CRLFCRLF,
+      // and only when a version line actually begins there
+      val next: Int =
+        if (hdrEnd < 0 || cl < 0) -1
+        else {
+          val nx = hdrEnd.toLong + 4 + cl + 4
+          if (nx >= data.length || versionLineLength(data, nx.toInt) < 0) -1
+          else nx.toInt
+        }
+      val slice =
+        if (p == 0 && next < 0) data
+        else java.util.Arrays.copyOfRange(data, p, if (next < 0) data.length else next)
+      out += parseMemberRecord(slice, needRecord, needBody, needBodyBytes,
+        decoder, file, offset, memberLen,
+        hdrEndHint = if (hdrEnd < 0) -1 else hdrEnd - p,
+        warcHeadersHint = hdrs,
+        contentLengthHint = cl)
+      if (next < 0) more = false else p = next
+    }
+    out.toSeq
   }
 
   // --- record parsing (Content-Length framing, byte-exact) ----------------
@@ -565,15 +656,25 @@ object WarcGzip {
                                          decoder: BodyDecoder = null,
                                          file: String = "",
                                          offset: Long = 0L,
-                                         length: Long = 0L): GzRecord = {
+                                         length: Long = 0L,
+                                         hdrEndHint: Int = -2,
+                                         warcHeadersHint: String = null,
+                                         contentLengthHint: Long = -2L): GzRecord = {
     val recStr = if (needRecord) new String(rec, Utf8) else null
     val verLen = versionLineLength(rec)
     val version =
       if (verLen < 0) None
       else Some(new String(rec, 0, verLen - 2, java.nio.charset.StandardCharsets.US_ASCII))
-    val hdrEnd = indexOfCrlfCrlf(rec, 0, rec.length)
+    // hints: [[memberRecords]]'s boundary walk already found the header
+    // end, unfolded the headers, and extracted Content-Length — redoing
+    // them per record was a measured regression on the 2M read
+    val hdrEnd =
+      if (hdrEndHint != -2) hdrEndHint
+      else indexOfCrlfCrlf(rec, 0, rec.length)
     if (hdrEnd < 0) { // truncated: all headers, no payload
-      val hdrs = unfold(if (recStr != null) recStr else new String(rec, Utf8))
+      val hdrs =
+        if (warcHeadersHint != null) warcHeadersHint
+        else unfold(if (recStr != null) recStr else new String(rec, Utf8))
       return GzRecord(
         header(hdrs, "WARC-Type"),
         header(hdrs, "WARC-Target-URI"),
@@ -584,19 +685,24 @@ object WarcGzip {
         None, None, None, None, recStr, file, offset, length)
     }
     // ISO 28500 LWS unfolding: a continuation line (CRLF + SP/HT) is part
-    // of the previous header's value. When the full record string exists
-    // it is re-sliced (same logical boundary as the byte-level hdrEnd — a
-    // second byte decode of every record measured as real cost at 2M
-    // members); under pruning only the header bytes decode.
-    val warcHeaders = unfold(
-      if (recStr != null)
-        recStr.substring(0, recStr.indexOf("\r\n\r\n") match {
-          case -1 => recStr.length; case i => i
-        })
-      else new String(rec, 0, hdrEnd, Utf8))
+    // of the previous header's value. Without a hint, when the full record
+    // string exists it is re-sliced (same logical boundary as the
+    // byte-level hdrEnd — a second byte decode of every record measured
+    // as real cost at 2M members); under pruning only the header bytes
+    // decode.
+    val warcHeaders =
+      if (warcHeadersHint != null) warcHeadersHint
+      else unfold(
+        if (recStr != null)
+          recStr.substring(0, recStr.indexOf("\r\n\r\n") match {
+            case -1 => recStr.length; case i => i
+          })
+        else new String(rec, 0, hdrEnd, Utf8))
     val payloadStart = hdrEnd + 4
-    val contentLength = header(warcHeaders, "Content-Length")
-      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+    val contentLength =
+      if (contentLengthHint != -2L) (if (contentLengthHint < 0) None else Some(contentLengthHint))
+      else header(warcHeaders, "Content-Length")
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
     val payloadEnd = contentLength match {
       case Some(n) => math.min(payloadStart + n, rec.length.toLong).toInt
       case None => // no framing: strip one trailing separator if present
@@ -707,16 +813,13 @@ object WarcGzip {
       b // unreachable
     }
 
-    /** gzip member(s) → bytes via the range's raw Inflater (header skipped
-      * by hand — the same framing [[inflateMember]] walks). Trailer CRC is
-      * TRUSTED here (the WARC member's own CRC already covered these
-      * bytes); malformed → raw input.
-      */
-    private def gunzip(b: Array[Byte]): Array[Byte] = {
-      if (b.length < 18 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b ||
-          b(2) != 8) return b
-      val flg = b(3) & 0xff
-      var p = 10
+    /** gzip header walk: the deflate-data start offset for a member at
+      * `start`, or -1 when malformed/truncated. */
+    private def skipGzipHeader(b: Array[Byte], start: Int): Int = {
+      if (b.length - start < 18 || (b(start) & 0xff) != 0x1f ||
+          (b(start + 1) & 0xff) != 0x8b || b(start + 2) != 8) return -1
+      val flg = b(start + 3) & 0xff
+      var p = start + 10
       try {
         if ((flg & 4) != 0) {
           p += 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
@@ -725,10 +828,52 @@ object WarcGzip {
         if ((flg & 16) != 0) { while (b(p) != 0) p += 1; p += 1 }
         if ((flg & 2) != 0) p += 2
       } catch {
-        case _: ArrayIndexOutOfBoundsException => return b
+        case _: ArrayIndexOutOfBoundsException => return -1
       }
-      if (p >= b.length) return b
-      inflateWith(raw, b, p).getOrElse(b)
+      if (p >= b.length) -1 else p
+    }
+
+    /** gzip member(s) → bytes via the range's raw Inflater. ALL members
+      * decode (legal gzip is any number of concatenated members, and
+      * some servers emit multi-member bodies — decoding only the first
+      * would truncate the document invisibly); trailing non-gzip bytes
+      * after a decoded stream are ignored (server junk, the browser
+      * convention). Trailer CRCs are TRUSTED (the WARC member's own CRC
+      * already covered these bytes). A malformed FIRST member degrades
+      * to the raw input; a malformed LATER member yields the decoded
+      * prefix.
+      */
+    private def gunzip(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(math.max(64, b.length * 3))
+      val buf = new Array[Byte](64 * 1024)
+      var p = 0
+      var members = 0
+      while (p >= 0 && p + 18 <= b.length && (b(p) & 0xff) == 0x1f &&
+             (b(p + 1) & 0xff) == 0x8b && b(p + 2) == 8) {
+        val dataStart = skipGzipHeader(b, p)
+        if (dataStart < 0) p = -1
+        else {
+          raw.reset()
+          raw.setInput(b, dataStart, b.length - dataStart)
+          val memberOut = new java.io.ByteArrayOutputStream(64 * 1024)
+          try {
+            var ok = true
+            while (ok && !raw.finished()) {
+              val n = raw.inflate(buf)
+              if (n > 0) memberOut.write(buf, 0, n)
+              else if (raw.needsInput() || raw.needsDictionary()) ok = false
+            }
+            if (ok) {
+              memberOut.writeTo(out)
+              members += 1
+              p = dataStart + raw.getBytesRead.toInt + 8 // + CRC32/ISIZE trailer
+            } else p = -1
+          } catch {
+            case _: java.util.zip.DataFormatException => p = -1
+          }
+        }
+      }
+      if (members == 0) b else out.toByteArray
     }
 
     /** `deflate` content coding: zlib-wrapped per RFC 9110 §8.4.1.2, but

@@ -631,6 +631,84 @@ class WarcGzipSpec extends AnyFunSuite {
     assert(msg.contains("does not address a valid"), msg)
   }
 
+  test("whole-file gzip (the classic misformat) reads EVERY record, not silently just the first") {
+    val dir = tmp()
+    // `gzip file.warc`: ONE member holding the whole archive
+    val archive = (1 to 25).map { i =>
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nbody $i"
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://w/$i\r\n" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n$http\r\n\r\n"
+    }.mkString
+    writeFile(dir, "whole.warc.gz", gzMember(archive.getBytes("UTF-8")))
+    val got = WarcGzip.read(spark, s"$dir/whole.warc.gz")
+      .select(regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("int"), col("body"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got.keySet === (1 to 25).toSet)
+    assert(got(13) === "body 13")
+    // all records share the member's coordinates, and fetch on the member
+    // pointer returns all of them
+    val idx = WarcGzip.index(spark, s"$dir/whole.warc.gz")
+    assert(idx.select("offset").distinct().count() === 1L)
+    assert(WarcGzip.fetch(spark, idx.limit(1)).count() === 25L)
+  }
+
+  test("multi-member gzip Content-Encoding bodies decode whole; trailing junk tolerated") {
+    val dir = tmp()
+    val partA = "first half of the document, "
+    val partB = "second half after a member boundary"
+    def rec(url: String, body: Array[Byte]): Array[Byte] = {
+      val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Content-Encoding: gzip\r\n\r\n").getBytes("US-ASCII")
+      gzMember((s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Length: ${head.length + body.length}\r\n\r\n").getBytes("US-ASCII") ++
+        head ++ body ++ "\r\n\r\n".getBytes("US-ASCII"))
+    }
+    val multi = gzMember(partA.getBytes("UTF-8")) ++ gzMember(partB.getBytes("UTF-8"))
+    val junk = gzMember(partA.getBytes("UTF-8")) ++ "not gzip tail".getBytes("UTF-8")
+    writeFile(dir, "mm.warc.gz",
+      rec("https://m/multi", multi) ++ rec("https://m/junk", junk))
+    val got = WarcGzip.read(spark, s"$dir/mm.warc.gz")
+      .select("target_uri", "body").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("https://m/multi") === partA + partB)
+    assert(got("https://m/junk") === partA) // decoded prefix, junk ignored
+  }
+
+  test("robotsFromCrawl ignores error and truncated robots captures") {
+    import graft.ext.CrawlPipeline
+    import graft.ext.CrawlPipeline.CrawlConfig
+    val dir = tmp()
+    def page(url: String, text: String): Array[Byte] = {
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<body><p>$text</p></body>"
+      gzMember((s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n" +
+        http + "\r\n\r\n").getBytes("UTF-8"))
+    }
+    def robots(host: String, status: Int, rules: String, truncated: Boolean): Array[Byte] = {
+      val http = s"HTTP/1.1 $status X\r\nContent-Type: text/plain\r\n\r\n$rules"
+      val tr = if (truncated) "WARC-Truncated: length\r\n" else ""
+      gzMember((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: https://$host/robots.txt\r\n" + tr +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n" +
+        http + "\r\n\r\n").getBytes("UTF-8"))
+    }
+    writeFile(dir, "e.warc.gz",
+      page("https://a/1", "alpha beta gamma") ++
+        page("https://b/1", "delta epsilon zeta") ++
+        page("https://c/1", "eta theta iota") ++
+        // a 403 challenge body that would wipe host a if trusted
+        robots("a", 403, "User-agent: *\nDisallow: /", truncated = false) ++
+        // a truncated capture that lost its Allow carve-out for host b
+        robots("b", 200, "User-agent: *\nDisallow: /", truncated = true) ++
+        // a clean capture for host c that really does disallow
+        robots("c", 200, "User-agent: *\nDisallow: /1", truncated = false))
+    val cur = CrawlPipeline.curateCrawl(spark, s"$dir/e.warc.gz",
+      CrawlConfig(lineDedup = false, nearDedup = false, robotsFromCrawl = true))
+    try assert(cur.select("url").as[String].collect().toSet ===
+      Set("https://a/1", "https://b/1"))
+    finally cur.unpersist()
+  }
+
   test("gzip read agrees with the uncompressed lite reader on marker-safe corpora") {
     // same synthesized records through BOTH paths: the lite text-split
     // reader over plain files and the member scanner over gzip — identical
