@@ -247,7 +247,7 @@ object GraftFunctions {
       graft.sources.Warc.read(s, strArg(args(0), "path")).queryExecution.logical
     },
     tfn("graft_warc_gz",
-      "graft_warc_gz(path STRING) - parsed records of a member-gzip .warc.gz (Common Crawl layout): Content-Length-framed, byte-exact body_bytes alongside the text columns", 1, 1) { args =>
+      "graft_warc_gz(path STRING) - parsed records of a member-gzip .warc.gz (Common Crawl layout): Content-Length-framed, byte-exact body_bytes, warc_version/warc_truncated, and (file, offset, length) CDX coordinates alongside the text columns", 1, 1) { args =>
       val s = org.apache.spark.sql.SparkSession.active
       graft.sources.WarcGzip.read(s, strArg(args(0), "path")).queryExecution.logical
     })

@@ -157,6 +157,26 @@ object Warc {
       lit("\r\n\r\n"), http, lit("\r\n\r\n"))
   }
 
+  /** Format a WARCINFO record — the self-describing record real archives
+    * OPEN with (ISO 28500 §6.2; Common Crawl files carry one per file):
+    * no target URI, `application/warc-fields` payload of `name: value`
+    * lines (software, robots policy, …). Union ONE ahead of a file's
+    * records before [[WarcGzip.writeGzip]] / `write.text` for the
+    * standard layout; both readers parse it as an ordinary record
+    * (warc_type `warcinfo`, NULL target_uri/status), and the curation
+    * pipeline's `warc_type === response` gate passes it over.
+    */
+  def formatWarcinfo(filename: org.apache.spark.sql.Column,
+                     date: org.apache.spark.sql.Column,
+                     fields: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit(VersionMarker),
+      lit("WARC-Type: warcinfo\r\nWARC-Filename: "), filename,
+      lit("\r\nWARC-Date: "), date,
+      lit("\r\nContent-Type: application/warc-fields\r\nContent-Length: "),
+      octet_length(fields).cast("string"),
+      lit("\r\n\r\n"), fields, lit("\r\n\r\n"))
+
   /** Format (uri, date, text) rows as WARC CONVERSION records — the WET
     * layout (Common Crawl's extracted-text sidecar files): no HTTP block,
     * the payload is the extracted text itself, Content-Type carried as a
