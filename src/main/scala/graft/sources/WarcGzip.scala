@@ -88,7 +88,12 @@ object WarcGzip {
            decodeBody: Boolean = true): DataFrame = {
     require(splitBytes > 0, "splitBytes > 0")
     // the range buffer is a JVM array: one split (plus one member overrun)
-    // must stay addressable — and well under it for sane task memory
+    // must stay addressable — and well under it for sane task memory.
+    // MEMBER-SIZE contract: per-task memory is splitBytes + the largest
+    // single member overrunning the range (compressed) + that member's
+    // decompressed bytes — a pathological member larger than the task
+    // heap OOMs that task; size executors for the archive's max record
+    // (Common Crawl truncates payloads at 1 MiB, flagged WARC-Truncated)
     require(splitBytes <= (1L << 30), "splitBytes must be <= 1 GiB")
     // the DSv2 source (so Catalyst prunes columns INTO the parse: a
     // count(*) never decodes payloads, a body-only projection never builds
@@ -558,7 +563,7 @@ object WarcGzip {
     * member's (file, offset, length) coordinates: the member is the
     * addressable unit, fetch on it returns all its records.
     */
-  private[sources] def memberRecords(data: Array[Byte],
+  private[graft] def memberRecords(data: Array[Byte],
                                      needRecord: Boolean, needBody: Boolean,
                                      needBodyBytes: Boolean,
                                      decoder: BodyDecoder,
@@ -649,7 +654,7 @@ object WarcGzip {
     * real crawls store raw captures); a malformed encoding degrades to
     * the raw capture bytes, never an error.
     */
-  private[sources] def parseMemberRecord(rec: Array[Byte],
+  private[graft] def parseMemberRecord(rec: Array[Byte],
                                          needRecord: Boolean = true,
                                          needBody: Boolean = true,
                                          needBodyBytes: Boolean = true,

@@ -709,6 +709,64 @@ class WarcGzipSpec extends AnyFunSuite {
     finally cur.unpersist()
   }
 
+  test("multi-record member fuzz: random record counts and CR/LF-soup bodies all recover") {
+    val rnd = new scala.util.Random(777)
+    val alphabet = Seq("a", "b c", "\r\n", "\n", "\r\n\r\n", "WARC/1.0\r\n",
+      "Content-Length: 9\r\n", "0\r\n\r\n", "x")
+    val dir = tmp()
+    var expected = Map.empty[String, String]
+    // 40 members, each holding 1..5 records (whole-file-gzip shape mixed
+    // with archival one-record members in one file)
+    val members = (1 to 40).flatMap { m =>
+      val nRecs = 1 + rnd.nextInt(5)
+      val recs = (1 to nRecs).map { r =>
+        val body = Seq.fill(rnd.nextInt(10))(
+          alphabet(rnd.nextInt(alphabet.size))).mkString
+        val uri = s"https://f/$m-$r"
+        expected += uri -> body
+        val http = s"HTTP/1.1 200 OK\r\n\r\n$body"
+        s"WARC/1.${rnd.nextInt(2)}\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: $uri\r\n" +
+          s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n" +
+          http + "\r\n\r\n"
+      }.mkString
+      gzMember(recs.getBytes("UTF-8")).toSeq
+    }.toArray
+    writeFile(dir, "mr.warc.gz", members)
+    for (split <- Seq(1L << 20, 256L)) {
+      val got = WarcGzip.read(spark, s"$dir/mr.warc.gz", splitBytes = split)
+        .select("target_uri", "body").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got === expected, s"splitBytes=$split")
+    }
+  }
+
+  test("parse hints agree with the hintless parse (memberRecords vs direct parseMemberRecord)") {
+    val rnd = new scala.util.Random(4242)
+    val bodies = Seq("", "plain", "a\r\n\r\nb", "x" * 300,
+      "no content length tail\r\n\r\n") ++
+      (1 to 30).map(_ => (1 to rnd.nextInt(40)).map(_ =>
+        (rnd.nextInt(94) + 32).toChar).mkString)
+    for ((b, i) <- bodies.zipWithIndex) {
+      val withCl = (s"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: https://h/$i\r\n" +
+        s"Content-Length: ${b.getBytes("UTF-8").length}\r\n\r\n" + b + "\r\n\r\n")
+        .getBytes("UTF-8")
+      val noCl = (s"WARC/1.1\r\nWARC-Type: resource\r\nWARC-Target-URI: https://h/$i\r\n\r\n" +
+        b + "\r\n\r\n").getBytes("UTF-8")
+      for (rec <- Seq(withCl, noCl)) {
+        val direct = WarcGzip.parseMemberRecord(rec)
+        val hinted = WarcGzip.memberRecords(rec, needRecord = true,
+          needBody = true, needBodyBytes = true, decoder = null,
+          file = "", offset = 0L, memberLen = 0L)
+        assert(hinted.length === 1, s"case $i")
+        assert(hinted.head === direct.copy(
+          body_bytes = hinted.head.body_bytes), s"case $i") // arrays: compare below
+        assert(hinted.head.body_bytes.map(_.toSeq) ===
+          direct.body_bytes.map(_.toSeq), s"case $i")
+      }
+    }
+  }
+
   test("gzip read agrees with the uncompressed lite reader on marker-safe corpora") {
     // same synthesized records through BOTH paths: the lite text-split
     // reader over plain files and the member scanner over gzip — identical
