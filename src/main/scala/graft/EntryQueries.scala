@@ -2067,7 +2067,10 @@ object EntryQueries {
         lit("<body><h1>WET &amp; shard</h1><p>"), col("content"),
         lit("</p></body>")))
       // the standard archive layout opens with ONE warcinfo record (ISO
-      // 28500 §6.2) — roundtripped and verified like any other record
+      // 28500 §6.2): the info frame's partition unions AHEAD of the
+      // repartitioned records, so it is the sole record of the first part
+      // file — and 'opens_file' (offset == 0, checkable because X141
+      // surfaces coordinates) verifies the layout, not just the content
       val info = s.range(1).select(graft.sources.Warc.formatWarcinfo(
         lit("wet-00000.warc.gz"), lit("2024-01-01T00:00:00Z"),
         lit("software: graft\r\nformat: WARC File Format 1.0\r\n")).as("rec"))
@@ -2075,21 +2078,25 @@ object EntryQueries {
         info.unionByName(
           docsFrame(s, sfDir).select(graft.sources.Warc.formatConversion(
             concat(lit("https://crawl.example/doc/"), col("id")),
-            lit("2024-01-01T00:00:00Z"), txt).as("rec"))).repartition(4),
+            lit("2024-01-01T00:00:00Z"), txt).as("rec")).repartition(4)),
         s"$out/wet")
       graft.sources.WarcGzip.read(s, s"$out/wet")
         .select(
           when(col("warc_type") === "warcinfo", lit("warcinfo"))
             .otherwise(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)).as("id"),
-          col("warc_type"), col("content_type"), md5(col("body")).as("h"))
+          col("warc_type"), col("content_type"), md5(col("body")).as("h"),
+          when(col("warc_type") === "warcinfo", col("offset") === 0)
+            .as("opens_file"))
     }, Some(s"""SELECT $DocId AS id, 'conversion' AS warc_type,
                |  'text/plain' AS content_type,
-               |  md5('WET & shard' || chr(10) || text) AS h
+               |  md5('WET & shard' || chr(10) || text) AS h,
+               |  CAST(NULL AS BOOLEAN) AS opens_file
                |FROM documents
                |UNION ALL
                |SELECT 'warcinfo', 'warcinfo', 'application/warc-fields',
                |  md5('software: graft' || chr(13) || chr(10) ||
-               |      'format: WARC File Format 1.0' || chr(13) || chr(10))""".stripMargin)),
+               |      'format: WARC File Format 1.0' || chr(13) || chr(10)),
+               |  true""".stripMargin)),
 
     // X137: robots-meta hygiene — extraction of the robots directives
     // (lowercased, NULL when undeclared) and the noindex drop rule. The

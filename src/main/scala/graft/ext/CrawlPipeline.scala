@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object CrawlPipeline {
 
+  /** A robots.txt capture's URI — ONE pattern for both its uses (the
+    * rules-source selection and the corpus exclusion): drift between the
+    * two would leak robots bodies into the corpus or feed pages into the
+    * rules. */
+  private val RobotsUriPattern = "(?i)://[^/]+/robots\\.txt$"
+
   /** Curation knobs. `idFrom` overrides document-id minting (default:
     * md5 over record identity — WARC-Record-ID + url + content, NUL-
     * joined); pipelines that carry provenance inside the content (the
@@ -89,6 +95,10 @@ object CrawlPipeline {
     */
   def curateCrawl(spark: SparkSession, warcGzPath: String,
                   cfg: CrawlConfig = CrawlConfig()): DataFrame = {
+    require(!(cfg.robotsFromCrawl && cfg.robotsTxt.nonEmpty),
+      "robotsFromCrawl and an explicit robotsTxt frame conflict - " +
+        "silently preferring one would gate with rules the caller did " +
+        "not configure; set exactly one")
     val read0 = WarcGzip.read(spark, warcGzPath, cfg.splitBytes)
       .filter(col("warc_type") === "response")
       .filter(col("http_status").isin(cfg.keepHttpStatus.toSeq.map(Int.box): _*))
@@ -101,7 +111,7 @@ object CrawlPipeline {
     val read =
       if (cfg.robotsFromCrawl)
         read1.filter(!coalesce(
-          col("target_uri").rlike("(?i)://[^/]+/robots\\.txt$"), lit(false)))
+          col("target_uri").rlike(RobotsUriPattern), lit(false)))
       else read1
     val indexable =
       if (cfg.dropNoindexPages) Web.dropNoindex(read, htmlCol = "body") else read
@@ -136,7 +146,7 @@ object CrawlPipeline {
           .filter(col("warc_type") === "response")
           .filter(col("http_status") === 200)
           .filter(col("warc_truncated").isNull)
-          .filter(col("target_uri").rlike("(?i)://[^/]+/robots\\.txt$"))
+          .filter(col("target_uri").rlike(RobotsUriPattern))
           .select(col("target_uri").as("url"), col("body").as("content")))
       else cfg.robotsTxt
     val robotsGated = robotsSrc match {

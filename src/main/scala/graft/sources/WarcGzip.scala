@@ -197,7 +197,17 @@ object WarcGzip {
               closeIn()
             }
           }))
+        var lastFile: String = null
+        var lastOff = -1L
         it.flatMap { case (f, off) =>
+          // duplicate pointers collapse (they are adjacent after the
+          // repartition-by-file + offset sort): a whole-file-gzip index
+          // emits ONE coordinate pair for ALL its records, so a filtered
+          // index naturally carries duplicates — re-inflating the member
+          // per duplicate would be quadratic output
+          if (f == lastFile && off == lastOff) Iterator.empty
+          else {
+          lastFile = f; lastOff = off
           if (f != curFile) {
             closeIn()
             val p = new Path(f)
@@ -219,6 +229,7 @@ object WarcGzip {
                 decoder, f, off, memberLen)
             case _ => throw new IllegalArgumentException(
               s"pointer $f:$off does not address a valid member-gzip WARC record")
+          }
           }
         }
       }
@@ -493,7 +504,20 @@ object WarcGzip {
           chunkIn = 256 * 1024
         }
         val n = inflater.inflate(chunkOut)
-        if (n > 0) outBuf.write(chunkOut, 0, n)
+        if (n > 0) {
+          outBuf.write(chunkOut, 0, n)
+          // one member decompressing past 1 GiB is not any WARC layout
+          // this reader supports (Common Crawl truncates payloads at
+          // 1 MiB; even the whole-file-gzip misformat recovery tops out
+          // at the JVM's 2 GiB array limit) — fail LOUD and actionable
+          // instead of grinding toward an opaque OutOfMemoryError
+          if (outBuf.size() < 0 || outBuf.size() > (1 << 30))
+            throw new IllegalStateException(
+              "gzip member decompresses past 1 GiB - not the member-gzip " +
+                "WARC layout (one record per member). A whole-file-gzip " +
+                "archive this large must be recompressed member-per-record " +
+                "(WarcGzip.writeGzip) or decompressed and read with Warc.read.")
+        }
         else if (inflater.finished()) done = true
         else if (inflater.needsDictionary()) return MemberInvalid
         else if (!inflater.needsInput()) return MemberInvalid // no progress
@@ -543,25 +567,22 @@ object WarcGzip {
     j + 2 - from
   }
 
-  /** Record START offsets inside one decompressed member. The archival
-    * member-gzip layout has exactly one record per member, but the
-    * common MISFORMAT `gzip file.warc` (whole-file gzip) inflates as ONE
-    * member holding the whole archive — reading only its first record
-    * would be silent data loss of the rest, the exact failure mode the
-    * fail-loud contract exists to kill. So the walk finds every record:
-    * from a known start, frame by Content-Length, skip the inter-record
-    * separator, and require the next bytes to be a version line; a
-    * record without Content-Length (or trailing non-record bytes) ends
-    * the walk with the remainder owned by the last record.
-    */
-  /** All records of one decompressed member — the boundary walk and the
-    * parse share work: the walk's (header-end, unfolded headers,
+  /** All records of one decompressed member. The archival member-gzip
+    * layout has exactly one record per member, but the common MISFORMAT
+    * `gzip file.warc` (whole-file gzip) inflates as ONE member holding
+    * the whole archive — reading only its first record would be silent
+    * data loss of the rest. The walk finds every record: from a known
+    * start, frame by Content-Length, skip the inter-record separator,
+    * and require the next bytes to be a version line; a record without
+    * Content-Length (or trailing non-record bytes) ends the walk with
+    * the remainder owned by the last record. The walk and the parse
+    * share work: the walk's (header-end, unfolded headers,
     * Content-Length) feed [[parseMemberRecord]] as hints, so the
     * archival one-record case costs exactly what a direct parse did (no
-    * copies, no duplicate header scan). Multi-record members (rare —
-    * the whole-file-gzip misformat) slice per record and share the
-    * member's (file, offset, length) coordinates: the member is the
-    * addressable unit, fetch on it returns all its records.
+    * copies, no duplicate header scan). Multi-record members slice per
+    * record and share the member's (file, offset, length) coordinates:
+    * the member is the addressable unit, fetch on it returns all its
+    * records.
     */
   private[graft] def memberRecords(data: Array[Byte],
                                      needRecord: Boolean, needBody: Boolean,
@@ -582,12 +603,16 @@ object WarcGzip {
         else header(hdrs, "Content-Length")
           .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(-1L)
       // next record start: past the framed payload + inter-record CRLFCRLF,
-      // and only when a version line actually begins there
+      // and only when a version line actually begins there. cl is bounded
+      // by the member FIRST: a lying near-Long.MaxValue Content-Length
+      // would overflow nx, slip past the >= length guard wrapped, and
+      // either loop this walk forever (next == p) or make copyOfRange
+      // throw — the degrade contract demands it ends the walk instead
       val next: Int =
-        if (hdrEnd < 0 || cl < 0) -1
+        if (hdrEnd < 0 || cl < 0 || cl > data.length.toLong) -1
         else {
           val nx = hdrEnd.toLong + 4 + cl + 4
-          if (nx >= data.length || versionLineLength(data, nx.toInt) < 0) -1
+          if (nx <= p || nx >= data.length || versionLineLength(data, nx.toInt) < 0) -1
           else nx.toInt
         }
       val slice =

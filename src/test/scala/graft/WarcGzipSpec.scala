@@ -650,6 +650,9 @@ class WarcGzipSpec extends AnyFunSuite {
     val idx = WarcGzip.index(spark, s"$dir/whole.warc.gz")
     assert(idx.select("offset").distinct().count() === 1L)
     assert(WarcGzip.fetch(spark, idx.limit(1)).count() === 25L)
+    // duplicate pointers collapse: all 25 index rows share ONE coordinate
+    // pair — re-inflating per duplicate would be quadratic output
+    assert(WarcGzip.fetch(spark, idx).count() === 25L)
   }
 
   test("multi-member gzip Content-Encoding bodies decode whole; trailing junk tolerated") {
