@@ -2177,6 +2177,38 @@ object EntryQueries {
                |  200 AS http_status, md5(text) AS h
                |FROM documents""".stripMargin)),
 
+    // X142: CDX-J sidecar — the published-index workflow real Common
+    // Crawl users run: archive → member index → CDX-J lines (SURT-lite
+    // urlkey + 14-digit timestamp + JSON pointer block) written as a text
+    // sidecar → parsed back by Cdx.read → a filtered stratum fetched by
+    // pointer. The (urlkey, timestamp) replay is pure string arithmetic
+    // in DuckDB; the md5s only match if the format→parse roundtrip kept
+    // every coordinate exact and fetch addressed the right members.
+    ("x142_cdx_sidecar", (s: SparkSession, sfDir: String) => {
+      val out = tempDirCleanedOnExit("graft-x142-")
+      graft.sources.WarcGzip.writeGzip(
+        docsFrame(s, sfDir).select(graft.sources.Warc.formatResponse(
+          concat(lit("https://crawl.example/doc/"), col("id")),
+          lit("2024-01-02T03:04:05Z"), lit("text/plain"),
+          col("content")).as("rec")).repartition(4),
+        s"$out/gz")
+      graft.sources.Cdx.format(graft.sources.WarcGzip.index(s, s"$out/gz"))
+        .write.mode("overwrite").text(s"$out/cdx")
+      val cdx = graft.sources.Cdx.read(s, s"$out/cdx",
+        warcRoot = Some(s"$out/gz"))
+      val wanted = cdx.filter(
+        regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long") % 6 === 0)
+      val recs = graft.sources.WarcGzip.fetch(s, wanted)
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).as("id"),
+          md5(col("body")).as("h"))
+      wanted.select(regexp_extract(col("url"), "/doc/(\\d+)$", 1).as("id"),
+          col("urlkey"), col("timestamp"))
+        .join(recs, Seq("id"))
+    }, Some(s"""SELECT $DocId AS id,
+               |  'example,crawl)/doc/' || $DocId AS urlkey,
+               |  '20240102030405' AS timestamp, md5(text) AS h
+               |FROM documents WHERE doc_id % 6 = 0""".stripMargin)),
+
     // X139: robots.txt rules — the per-domain sibling of X137: robots.txt
     // captures parsed into (host, rule, path_prefix) groups (RFC 9309
     // group/agent selection) and evaluated longest-prefix-wins/allow-wins-

@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** X142: CDX-J index sidecars — the pointer format Common Crawl actually
+  * publishes next to its archives (`cc-index`, one line per capture:
+  * `<urlkey SURT> <timestamp> <json>` where the JSON carries `url`,
+  * `filename`, `offset`, `length`, `status`, `mime`, `digest`). Real
+  * users do not need to [[WarcGzip.index]] a crawl they already have an
+  * index for: [[Cdx.read]] parses the sidecar straight into the pointer
+  * frame [[WarcGzip.fetch]] accepts, and [[Cdx.format]] writes one for
+  * archives this library produces — index once, publish, fetch
+  * selectively forever.
+  *
+  * Everything is builtin-function composition (regexp split + from_json
+  * + casts) — codegen'd, zero UDFs, and a 300-file index reads as an
+  * ordinary partitioned text scan (gzipped CDX files read through the
+  * Hadoop codec; non-splittable per file, parallel across files — the
+  * layout CC ships).
+  *
+  * Reference provenance: the reference has no sources (core.py reads
+  * only its own tables); CDX is new-scope for the crawl story.
+  */
+object Cdx {
+
+  /** The JSON block's fields (CC's cdx-j dialect; numbers arrive as JSON
+    * strings there, so everything parses as string then casts). */
+  private val JsonSchema = StructType(Seq(
+    StructField("url", StringType),
+    StructField("filename", StringType),
+    StructField("offset", StringType),
+    StructField("length", StringType),
+    StructField("status", StringType),
+    StructField("mime", StringType),
+    StructField("digest", StringType)))
+
+  /** Parse CDX-J lines into (urlkey, timestamp, url, status, mime,
+    * digest, file, offset, length). `warcRoot` resolves the JSON's
+    * relative `filename` against the archive root (CC filenames are
+    * paths relative to the crawl bucket); absent, `file` is the filename
+    * verbatim. Malformed lines yield NULL fields, never an error (an
+    * index row with a NULL offset cannot fetch — filter on
+    * `offset IS NOT NULL` to gate). Feed the result (or any filtered
+    * subset) to [[WarcGzip.fetch]].
+    */
+  def read(spark: SparkSession, path: String,
+           warcRoot: Option[String] = None): DataFrame = {
+    val line = col("value")
+    val urlkey = regexp_extract(line, "^(\\S+) ", 1)
+    val ts = regexp_extract(line, "^\\S+ (\\S+) ", 1)
+    val jsonStr = regexp_extract(line, "^\\S+ \\S+ (.*)$", 1)
+    val j = from_json(jsonStr, JsonSchema)
+    val file = warcRoot match {
+      case Some(root) => concat(lit(root.stripSuffix("/") + "/"),
+        j.getField("filename"))
+      case None => j.getField("filename")
+    }
+    def nn(c: Column): Column = when(c === "", lit(null)).otherwise(c)
+    spark.read.text(path)
+      .filter(length(line) > 0)
+      .select(
+        nn(urlkey).as("urlkey"),
+        nn(ts).as("timestamp"),
+        j.getField("url").as("url"),
+        j.getField("status").cast("int").as("status"),
+        j.getField("mime").as("mime"),
+        j.getField("digest").as("digest"),
+        when(j.getField("filename").isNull, lit(null).cast("string"))
+          .otherwise(file).as("file"),
+        j.getField("offset").cast("long").as("offset"),
+        j.getField("length").cast("long").as("length"))
+  }
+
+  /** SURT-lite urlkey — the sort key CDX indexes order by (host labels
+    * reversed and comma-joined, `)/` separator, path + query lowercased):
+    * `https://www.Example.com/A/b?x=1` → `com,example)/a/b?x=1`. Scope
+    * cuts, documented: the leading `www.` strips (the pywb canonical
+    * form), but session-param stripping and full SURT percent-decoding
+    * are out of contract — this key collates same-host entries together,
+    * which is what CDX range lookups need. NULL/unparseable urls yield
+    * NULL. Pure builtin composition (codegen'd).
+    */
+  def surtKey(url: Column): Column = {
+    val host = regexp_replace(
+      lower(try_parse_url(url, lit("HOST"))), "^www\\.", "")
+    val rev = concat_ws(",", reverse(split(host, "\\.")))
+    // path + query, lowercased; absent path → "/"
+    val tail0 = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1))
+    val tail = when(tail0 === "", lit("/")).otherwise(tail0)
+    when(host.isNull, lit(null).cast("string"))
+      .otherwise(concat(rev, lit(")"), tail))
+  }
+
+  /** Format an index frame ([[WarcGzip.index]] output shape + optional
+    * status/mime/digest columns) as CDX-J lines, one string column —
+    * write through `df.write.text` (or gzip per CC's layout). `filename`
+    * is the `file` column's basename (CDX carries archive-relative
+    * names); the urlkey is [[surtKey]] and the timestamp the 14-digit
+    * `WARC-Date` compaction. Lines sort by (urlkey, timestamp) when
+    * written sorted — the caller controls ordering (CC shards + sorts;
+    * `sortWithinPartitions("urlkey")` before the write reproduces it).
+    */
+  def format(index: DataFrame): DataFrame = {
+    val cols = index.columns.toSet
+    def opt(name: String): Column =
+      if (cols.contains(name)) col(name).cast("string") else lit(null).cast("string")
+    val ts = regexp_replace(col("warc_date"), "[^0-9]", "").substr(1, 14)
+    def jfield(k: String, v: Column): Column =
+      when(v.isNull, lit("")).otherwise(
+        concat(lit(", \"" + k + "\": \""), v, lit("\"")))
+    // JSON string escaping for the one field that can carry arbitrary
+    // crawl junk (backslash first, then quote — order matters)
+    val urlEsc = regexp_replace(
+      regexp_replace(col("target_uri"), "\\\\", "\\\\\\\\"),
+      "\"", "\\\\\"")
+    val json = concat(
+      lit("{\"url\": \""), urlEsc,
+      lit("\", \"filename\": \""),
+      regexp_extract(col("file"), "([^/]+)$", 1),
+      lit("\", \"offset\": \""), col("offset").cast("string"),
+      lit("\", \"length\": \""), col("length").cast("string"), lit("\""),
+      jfield("status", opt("status")),
+      jfield("mime", opt("mime")),
+      jfield("digest", opt("digest")),
+      lit("}"))
+    index.select(concat(
+      surtKey(col("target_uri")), lit(" "), ts, lit(" "), json).as("value"))
+  }
+}

@@ -770,6 +770,47 @@ class WarcGzipSpec extends AnyFunSuite {
     }
   }
 
+  test("CDX-J sidecar: format → read roundtrip, surtKey, fetch through the published index") {
+    import graft.sources.Cdx
+    val out = tmp()
+    WarcGzip.writeGzip(
+      (1 to 60).map(i => (i, s"cdx body $i")).toDF("i", "b")
+        .select(Warc.formatResponse(
+          concat(lit("https://www.Site"), col("i") % 3, lit(".example/Doc/"), col("i")),
+          lit("2024-01-02T03:04:05Z"), lit("text/plain"), col("b")).as("rec"))
+        .repartition(2),
+      s"$out/gz")
+    val idx = WarcGzip.index(spark, s"$out/gz")
+    Cdx.format(idx).coalesce(1).write.mode("overwrite").text(s"$out/cdx")
+    val back = Cdx.read(spark, s"$out/cdx", warcRoot = Some(s"$out/gz"))
+    assert(back.count() === 60L)
+    val row = back.filter(col("url").endsWith("/Doc/7")).head()
+    // SURT-lite key: reversed host labels, www stripped, lowercased tail
+    assert(row.getAs[String]("urlkey") === "example,site1)/doc/7")
+    assert(row.getAs[String]("timestamp") === "20240102030405")
+    assert(row.getAs[Long]("offset") >= 0L && row.getAs[Long]("length") > 0L)
+    // the published index IS a fetchable pointer frame: the doc/7 path
+    // belongs to exactly one capture (i=7)
+    val fetched = WarcGzip.fetch(spark, back.filter(col("urlkey").endsWith(")/doc/7")))
+      .select("target_uri", "body").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(fetched.toSeq === Seq(("https://www.Site1.example/Doc/7", "cdx body 7")))
+    // malformed lines degrade to NULL fields, never an error
+    writeFile(out, "bad.cdx", "not a cdx line at all\nx y {broken json\n".getBytes("UTF-8"))
+    val bad = Cdx.read(spark, s"$out/bad.cdx").collect()
+    assert(bad.length === 2 && bad.forall(_.isNullAt(bad.head.fieldIndex("offset"))))
+    // surtKey edge cases
+    val keys = Seq(
+      ("https://www.Example.com/A/b?X=1", "com,example)/a/b?x=1"),
+      ("http://sub.host.co.uk/", "uk,co,host,sub)/"),
+      ("https://host.org", "org,host)/"),
+      (null.asInstanceOf[String], null)
+    ).toDF("u", "want")
+      .select(Cdx.surtKey(col("u")).as("got"), col("want")).collect()
+    keys.foreach(r => assert(Option(r.getString(0)) === Option(r.getString(1)),
+      s"surt ${r}"))
+  }
+
   test("gzip read agrees with the uncompressed lite reader on marker-safe corpora") {
     // same synthesized records through BOTH paths: the lite text-split
     // reader over plain files and the member scanner over gzip — identical
