@@ -67,15 +67,18 @@ object Cdx {
         j.getField("status").cast("int").as("status"),
         j.getField("mime").as("mime"),
         j.getField("digest").as("digest"),
-        when(j.getField("filename").isNull, lit(null).cast("string"))
-          .otherwise(file).as("file"),
+        file.as("file"),
         j.getField("offset").cast("long").as("offset"),
         j.getField("length").cast("long").as("length"))
   }
 
   /** SURT-lite urlkey — the sort key CDX indexes order by (host labels
-    * reversed and comma-joined, `)/` separator, path + query lowercased):
-    * `https://www.Example.com/A/b?x=1` → `com,example)/a/b?x=1`. Scope
+    * reversed and comma-joined, NON-DEFAULT port kept, `)/` separator,
+    * path + query lowercased): `https://www.Example.com/A/b?x=1` →
+    * `com,example)/a/b?x=1`, `https://h.org:8080/x` → `org,h:8080)/x`.
+    * The host:port extraction is deliberately NOT [[graft.ext.Web.hostOf]]
+    * (which strips the port — captures on different ports of one host
+    * must NOT collide under one key, real SURT keeps them apart). Scope
     * cuts, documented: the leading `www.` strips (the pywb canonical
     * form), but session-param stripping and full SURT percent-decoding
     * are out of contract — this key collates same-host entries together,
@@ -83,13 +86,23 @@ object Cdx {
     * NULL. Pure builtin composition (codegen'd).
     */
   def surtKey(url: Column): Column = {
-    val host = regexp_replace(
-      lower(try_parse_url(url, lit("HOST"))), "^www\\.", "")
-    val rev = concat_ws(",", reverse(split(host, "\\.")))
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    // authority minus userinfo, lowercased; port kept
+    val hostport = regexp_replace(lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)", 1)), "^www\\.", "")
+    val port = regexp_extract(hostport, ":(\\d+)$", 1)
+    val host = regexp_replace(hostport, ":\\d+$", "")
+    // a non-default port stays in the key (real-SURT semantics)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val rev = concat(
+      concat_ws(",", reverse(split(host, "\\."))),
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")))
     // path + query, lowercased; absent path → "/"
     val tail0 = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1))
     val tail = when(tail0 === "", lit("/")).otherwise(tail0)
-    when(host.isNull, lit(null).cast("string"))
+    when(hostport.isNull || hostport === "", lit(null).cast("string"))
       .otherwise(concat(rev, lit(")"), tail))
   }
 
@@ -97,26 +110,33 @@ object Cdx {
     * status/mime/digest columns) as CDX-J lines, one string column —
     * write through `df.write.text` (or gzip per CC's layout). `filename`
     * is the `file` column's basename (CDX carries archive-relative
-    * names); the urlkey is [[surtKey]] and the timestamp the 14-digit
-    * `WARC-Date` compaction. Lines sort by (urlkey, timestamp) when
-    * written sorted — the caller controls ordering (CC shards + sorts;
-    * `sortWithinPartitions("urlkey")` before the write reproduces it).
+    * names); the urlkey is [[surtKey]] — falling back to the lowercased
+    * raw url when the SURT parse fails (the pywb convention), so a weird
+    * URI still gets a fetchable line rather than silently vanishing from
+    * the index — and the timestamp is the 14-digit `WARC-Date`
+    * compaction (`0`-padded when absent). Records with NO target URI at
+    * all (warcinfo) are excluded BY CONTRACT: CDX indexes captures, and
+    * CC's own index carries no warcinfo entries. Lines sort by (urlkey,
+    * timestamp) when written sorted — the caller controls ordering (CC
+    * shards + sorts; `sortWithinPartitions("urlkey")` before the write
+    * reproduces it).
     */
   def format(index: DataFrame): DataFrame = {
     val cols = index.columns.toSet
     def opt(name: String): Column =
       if (cols.contains(name)) col(name).cast("string") else lit(null).cast("string")
-    val ts = regexp_replace(col("warc_date"), "[^0-9]", "").substr(1, 14)
+    val ts0 = regexp_replace(col("warc_date"), "[^0-9]", "").substr(1, 14)
+    val ts = when(ts0.isNull || ts0 === "", lit("00000000000000")).otherwise(ts0)
+    // JSON string escaping for every field that can carry crawl junk
+    // (backslash first, then quote — order matters; real Content-Type
+    // headers contain quoted charset parameters)
+    def esc(c: Column): Column = regexp_replace(
+      regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
     def jfield(k: String, v: Column): Column =
       when(v.isNull, lit("")).otherwise(
-        concat(lit(", \"" + k + "\": \""), v, lit("\"")))
-    // JSON string escaping for the one field that can carry arbitrary
-    // crawl junk (backslash first, then quote — order matters)
-    val urlEsc = regexp_replace(
-      regexp_replace(col("target_uri"), "\\\\", "\\\\\\\\"),
-      "\"", "\\\\\"")
+        concat(lit(", \"" + k + "\": \""), esc(v), lit("\"")))
     val json = concat(
-      lit("{\"url\": \""), urlEsc,
+      lit("{\"url\": \""), esc(col("target_uri")),
       lit("\", \"filename\": \""),
       regexp_extract(col("file"), "([^/]+)$", 1),
       lit("\", \"offset\": \""), col("offset").cast("string"),
@@ -125,7 +145,13 @@ object Cdx {
       jfield("mime", opt("mime")),
       jfield("digest", opt("digest")),
       lit("}"))
-    index.select(concat(
-      surtKey(col("target_uri")), lit(" "), ts, lit(" "), json).as("value"))
+    index
+      .filter(col("target_uri").isNotNull)
+      .select(concat(
+        // the fallback key must stay one whitespace-free token (the line
+        // format is space-delimited) — percent-encode interior whitespace
+        coalesce(surtKey(col("target_uri")),
+          regexp_replace(lower(col("target_uri")), "\\s", "%20")),
+        lit(" "), ts, lit(" "), json).as("value"))
   }
 }

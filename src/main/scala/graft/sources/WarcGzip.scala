@@ -506,17 +506,18 @@ object WarcGzip {
         val n = inflater.inflate(chunkOut)
         if (n > 0) {
           outBuf.write(chunkOut, 0, n)
-          // one member decompressing past 1 GiB is not any WARC layout
-          // this reader supports (Common Crawl truncates payloads at
-          // 1 MiB; even the whole-file-gzip misformat recovery tops out
-          // at the JVM's 2 GiB array limit) — fail LOUD and actionable
-          // instead of grinding toward an opaque OutOfMemoryError
-          if (outBuf.size() < 0 || outBuf.size() > (1 << 30))
+          // a member's decompressed form must fit one JVM array (2 GiB);
+          // approaching the limit, fail LOUD and actionable instead of
+          // grinding toward an opaque OutOfMemoryError. Legitimate large
+          // single records up to ~1.9 GiB still read — only the hard
+          // platform ceiling raises (typically the whole-file-gzip
+          // misformat on an archive too large for one-member recovery).
+          if (outBuf.size() < 0 || outBuf.size() > Int.MaxValue - (128 << 20))
             throw new IllegalStateException(
-              "gzip member decompresses past 1 GiB - not the member-gzip " +
-                "WARC layout (one record per member). A whole-file-gzip " +
-                "archive this large must be recompressed member-per-record " +
-                "(WarcGzip.writeGzip) or decompressed and read with Warc.read.")
+              "gzip member decompresses past the JVM's 2 GiB array limit. " +
+                "If this is a whole-file-gzip archive (gzip file.warc), " +
+                "recompress it member-per-record (WarcGzip.writeGzip) or " +
+                "decompress it and read with Warc.read.")
         }
         else if (inflater.finished()) done = true
         else if (inflater.needsDictionary()) return MemberInvalid

@@ -799,16 +799,39 @@ class WarcGzipSpec extends AnyFunSuite {
     writeFile(out, "bad.cdx", "not a cdx line at all\nx y {broken json\n".getBytes("UTF-8"))
     val bad = Cdx.read(spark, s"$out/bad.cdx").collect()
     assert(bad.length === 2 && bad.forall(_.isNullAt(bad.head.fieldIndex("offset"))))
-    // surtKey edge cases
+    // surtKey edge cases — incl. real-SURT port semantics: non-default
+    // ports stay in the key (different ports must not collide), scheme
+    // defaults strip
     val keys = Seq(
       ("https://www.Example.com/A/b?X=1", "com,example)/a/b?x=1"),
       ("http://sub.host.co.uk/", "uk,co,host,sub)/"),
       ("https://host.org", "org,host)/"),
-      (null.asInstanceOf[String], null)
+      ("https://host.org:8080/X", "org,host:8080)/x"),
+      ("http://host.org:80/x", "org,host)/x"),
+      ("https://host.org:443/x", "org,host)/x"),
+      ("https://user:p@host.org/x", "org,host)/x"), // userinfo stripped
+      (null.asInstanceOf[String], null),
+      ("no scheme here", null)
     ).toDF("u", "want")
       .select(Cdx.surtKey(col("u")).as("got"), col("want")).collect()
     keys.foreach(r => assert(Option(r.getString(0)) === Option(r.getString(1)),
       s"surt ${r}"))
+    // format never silently drops a capture: an unparseable target_uri
+    // falls back to a whitespace-free lowercased-url key; quotes in mime
+    // values JSON-escape; warcinfo (no uri) is excluded BY CONTRACT
+    val weird = Seq(
+      ("Not A Url", "f.warc.gz", 0L, 10L, "2024-01-01T00:00:00Z", "text/html; charset=\"utf-8\""),
+      (null.asInstanceOf[String], "f.warc.gz", 99L, 10L, "2024-01-01T00:00:00Z", "x"))
+      .toDF("target_uri", "file", "offset", "length", "warc_date", "mime")
+    val lines = Cdx.format(weird).as[String].collect()
+    assert(lines.length === 1) // the NULL-uri row excluded, the weird one kept
+    assert(lines.head.startsWith("not%20a%20url 20240101000000 "))
+    val parsed = Cdx.read(spark, {
+      val d = tmp(); writeFile(d, "w.cdx", (lines.head + "\n").getBytes("UTF-8")); s"$d/w.cdx"
+    }).head()
+    assert(parsed.getAs[String]("url") === "Not A Url")
+    assert(parsed.getAs[String]("mime") === "text/html; charset=\"utf-8\"")
+    assert(parsed.getAs[Long]("offset") === 0L)
   }
 
   test("gzip read agrees with the uncompressed lite reader on marker-safe corpora") {
