@@ -2211,17 +2211,21 @@ object EntryQueries {
 
     // X139: robots.txt rules — the per-domain sibling of X137: robots.txt
     // captures parsed into (host, rule, path_prefix) groups (RFC 9309
-    // group/agent selection) and evaluated longest-prefix-wins/allow-wins-
+    // group/agent selection) and evaluated most-specific-wins/allow-wins-
     // ties against the corpus. The fixture exercises every selection arm:
     // a star group with an allow carve-out (h0), a SPECIFIC graftbot group
     // that must shadow the star group (h1), an unrelated specific group
     // that must NOT shadow the star group (h2), a host with no robots at
-    // all (h3), and an empty Disallow meaning allow-everything (h4).
+    // all (h3), an empty Disallow meaning allow-everything (h4), and a
+    // WILDCARD host (h5, RFC 9309 §2.2.3): a trailing-* disallow, a
+    // LONGER trailing-* allow carve-out that must win its overlap, and a
+    // mid-path '*' with a '$' end anchor that must match only ids ending
+    // in 9 — mixed with h0's plain prefixes so both matcher arms run.
     // 'kept' replays as pure case arithmetic in DuckDB.
     ("x139_robots_txt", (s: SparkSession, sfDir: String) => {
       val raw = s.read.parquet(s"$sfDir/documents.parquet")
       val docs = raw.select(col("doc_id").cast("string").as("id"),
-        concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+        concat(lit("https://h"), (col("doc_id") % 6).cast("string"),
           lit(".example"),
           when(col("doc_id") % 3 === 0, lit("/private/x"))
             .when(col("doc_id") % 3 === 1, lit("/private/ok/x"))
@@ -2235,7 +2239,10 @@ object EntryQueries {
         ("https://h2.example/robots.txt",
           "User-agent: otherbot\nDisallow: /\nUser-agent: *\nAllow: /"),
         ("https://h4.example/robots.txt",
-          "User-agent: *\nDisallow:"))
+          "User-agent: *\nDisallow:"),
+        ("https://h5.example/robots.txt",
+          "User-agent: *\nDisallow: /private/*\nAllow: /private/ok/*\n" +
+            "Disallow: /public/x*9$"))
       val robotsDf = s.createDataFrame(robots).toDF("url", "content")
       val rules = Web.robotsRules(robotsDf, agent = "graftbot")
       val kept = Web.dropDisallowed(docs, rules).select(col("id"))
@@ -2243,8 +2250,11 @@ object EntryQueries {
       docs.select(col("id")).join(kept, Seq("id"), "left")
         .select(col("id"), coalesce(col("kept"), lit(false)).as("kept"))
     }, Some(s"""SELECT $DocId AS id,
-               |  CASE WHEN doc_id % 5 = 1 THEN false
-               |       WHEN doc_id % 5 = 0 AND doc_id % 3 = 0 THEN false
+               |  CASE WHEN doc_id % 6 = 1 THEN false
+               |       WHEN doc_id % 6 = 0 AND doc_id % 3 = 0 THEN false
+               |       WHEN doc_id % 6 = 5 AND doc_id % 3 = 0 THEN false
+               |       WHEN doc_id % 6 = 5 AND doc_id % 3 = 2
+               |            AND doc_id % 10 = 9 THEN false
                |       ELSE true END AS kept
                |FROM documents""".stripMargin)),
 

@@ -413,10 +413,16 @@ object Web {
     *     scoped to exact-token matching (substring UA matching is out of
     *     contract, documented);
     *   - an EMPTY `Disallow:` value means allow-everything and yields no
-    *     rule; rule paths not starting with `/` are malformed and dropped;
-    *   - `*`/`$` wildcards inside path patterns are out of contract
-    *     (treated as literal prefix characters), documented — the
-    *     longest-PREFIX match model below.
+    *     rule; rule patterns must start with `/` or `*` (RFC 9309's
+    *     path-pattern grammar) — anything else is malformed and dropped;
+    *   - `*`/`$` wildcards (RFC 9309 §2.2.3) are IN contract: `*` matches
+    *     any character run, a TRAILING `$` anchors the pattern at the end
+    *     of the URL — real robots files lean on both (a `Disallow:` of
+    *     `/&#42;.pdf$` or `/&#42;?sessionid=`), and treating them as
+    *     literals would silently leak disallowed pages into the corpus. A
+    *     non-trailing `$` is an ordinary character (the googlebot
+    *     convention). The emitted `path_prefix` column carries the RAW
+    *     pattern; wildcard lowering happens in [[dropDisallowed]].
     * Rules are HOST-scoped (robots.txt governs its own authority, RFC
     * 9309 §2.3), so the key is [[hostOf]], not the registrable domain.
     * When several captures exist per host (a crawl revisits — such
@@ -465,7 +471,8 @@ object Web {
           .otherwise(false)).as("__star_hit"))
     val hostHasSpecific = groups.groupBy(col("__host"))
       .agg(max(col("__agent_hit")).as("__has_specific"))
-    grouped.filter(!isUa && col("__value").startsWith("/"))
+    grouped.filter(!isUa &&
+        (col("__value").startsWith("/") || col("__value").startsWith("*")))
       .join(groups, Seq("__host", "__g"))
       .join(hostHasSpecific, Seq("__host"))
       .filter(when(col("__has_specific"), col("__agent_hit"))
@@ -477,9 +484,22 @@ object Web {
 
   /** X139: drop documents a host's robots.txt disallows for the crawled
     * agent — RFC 9309 evaluation over [[robotsRules]] output: among the
-    * host's rules whose `path_prefix` prefixes the doc's URL path, the
-    * LONGEST wins; `allow` wins length ties; no host rules / no matching
-    * rule / unparseable URL → keep (the X129 missing-field convention).
+    * host's rules matching the doc's URL path?query, the one with the
+    * LONGEST PATTERN wins (the RFC's most-specific rule, measured in
+    * pattern octets — googlebot's priority); `allow` wins length ties; no
+    * host rules / no matching rule / unparseable URL → keep (the X129
+    * missing-field convention). Rules match against the URL's path PLUS
+    * query (fragment excluded) — RFC 9309 §2.2.2's target, and the only
+    * reading under which the common `Disallow: /search?q=` form can ever
+    * match.
+    *
+    * Wildcard semantics (RFC 9309 §2.2.3): `*` in a pattern matches any
+    * character run and a TRAILING `$` anchors at the end of the target;
+    * both lower to an anchored Java regex (everything else literal-
+    * quoted) HERE, on the skinny pre-broadcast rules frame. Plain-prefix
+    * rules — the overwhelming majority in real robots files — keep the
+    * codegen'd `startsWith` arm (their compiled regex column stays NULL),
+    * so per-row regex evaluation is paid only for rules that need it.
     *
     * Scale: the rules frame aggregates to ONE skinny array row per host
     * and broadcast-joins onto the corpus — the corpus never shuffles; the
@@ -491,19 +511,36 @@ object Web {
                      urlCol: String = "url"): DataFrame = {
     val hostRules = WorkingColumns.fresh(docs, "__rules")
     val hcol = WorkingColumns.fresh(docs, "__host")
+    // wildcard lowering, per rule, on the tiny rules frame: strip one
+    // trailing '$' (the anchor), regex-quote every metachar EXCEPT '*',
+    // then '*' -> '.*'; anchored '^' prefix, '$' suffix only when the raw
+    // pattern ended with it. A pattern with neither '*' nor trailing '$'
+    // stays a plain prefix (rx NULL -> the startsWith arm).
+    val pat = col("path_prefix")
+    val endsDollar = pat.endsWith("$")
+    val core = when(endsDollar, pat.substr(lit(1), length(pat) - 1)).otherwise(pat)
+    val quoted = regexp_replace(core, "([\\\\.\\[\\]{}()+?^$|])", "\\\\$1")
+    val rx = when(pat.contains("*") || endsDollar,
+      concat(lit("^"), regexp_replace(quoted, "\\*", ".*"),
+        when(endsDollar, lit("$")).otherwise(lit(""))))
     val perHost = broadcast(rules.groupBy(col("host"))
       .agg(collect_list(struct(
         col("path_prefix"),
-        (col("rule") === "allow").as("allow"))).as(hostRules))
+        (col("rule") === "allow").as("allow"),
+        length(col("path_prefix")).as("plen"),
+        rx.as("rx"))).as(hostRules))
       .withColumnRenamed("host", hcol))
-    val path0 = regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#?]*)", 1)
+    // path + query (fragment excluded), absent path -> "/"
+    val path0 = regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
     val path = when(path0 === "", lit("/")).otherwise(path0)
-    val matched = filter(col(hostRules), r => path.startsWith(r.getField("path_prefix")))
+    val matched = filter(col(hostRules), r =>
+      when(r.getField("rx").isNull, path.startsWith(r.getField("path_prefix")))
+        .otherwise(regexp_like(path, r.getField("rx"))))
     val best = aggregate(matched,
-      lit(null).cast("struct<path_prefix:string,allow:boolean>"),
+      lit(null).cast("struct<path_prefix:string,allow:boolean,plen:int,rx:string>"),
       (acc, r) => when(acc.isNull, r)
-        .when(length(r.getField("path_prefix")) > length(acc.getField("path_prefix")), r)
-        .when(length(r.getField("path_prefix")) === length(acc.getField("path_prefix"))
+        .when(r.getField("plen") > acc.getField("plen"), r)
+        .when(r.getField("plen") === acc.getField("plen")
           && r.getField("allow") && !acc.getField("allow"), r)
         .otherwise(acc))
     docs.withColumn(hcol, hostOf(col(urlCol)))

@@ -4045,6 +4045,48 @@ class ExtSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$plan")
   }
 
+  test("dropDisallowed: RFC 9309 wildcards, $ anchor, query matching, pattern-length ties") {
+    import graft.ext.Web
+    val rules = Seq(
+      ("w.example", "disallow", "/*.pdf$"),      // the classic extension ban
+      ("w.example", "disallow", "/a/*/c"),       // mid-path wildcard
+      ("w.example", "disallow", "/*?session="),  // wildcard + query matching
+      ("w.example", "allow", "/a/ok/c"),         // plain prefix beats shorter wildcard
+      ("q.example", "disallow", "/search?q="),   // plain prefix INTO the query
+      // pattern-length tie-break across arms: '/p*' (len 3) vs '/p/' (len 3)
+      ("t.example", "disallow", "/p*"),
+      ("t.example", "allow", "/p/"),             // tie on length: allow wins
+      // regex metachars in patterns stay literal (only * and trailing $
+      // are special): '/x+y' must not match '/xxy'
+      ("m.example", "disallow", "/x+y"),
+      // a leading-* pattern (RFC allows it) matches anywhere
+      ("s.example", "disallow", "*/private/")
+    ).toDF("host", "rule", "path_prefix")
+    val docs = Seq(
+      ("p1", "https://w.example/docs/file.pdf"),     // *.pdf$ hits
+      ("p2", "https://w.example/docs/file.pdf.html"),// $ anchor: no hit -> keep
+      ("p3", "https://w.example/a/b/c"),             // mid-path * hits
+      ("p4", "https://w.example/a/ok/c"),            // allow (len 8) beats /a/*/c (len 6)
+      ("p5", "https://w.example/page?session=42"),   // query matched by wildcard rule
+      ("p6", "https://w.example/page"),              // no match: keep
+      ("q1", "https://q.example/search?q=x"),        // prefix rule reaches the query
+      ("q2", "https://q.example/search"),            // no query: keep
+      ("t1", "https://t.example/p/z"),               // tie: allow wins
+      ("m1", "https://m.example/xxy"),               // '+' literal: keep
+      ("m2", "https://m.example/x+y"),               // exact literal: drop
+      ("s1", "https://s.example/deep/private/x")     // leading *: drop
+    ).toDF("id", "url")
+    val kept = Web.dropDisallowed(docs, rules).select("id").as[String].collect().toSet
+    assert(kept === Set("p2", "p4", "p6", "q2", "t1", "m1"))
+    // robotsRules keeps a leading-* pattern (RFC path-pattern grammar)
+    val parsed = Web.robotsRules(
+      Seq(("https://s.example/robots.txt",
+        "User-agent: *\nDisallow: */private/\nDisallow: bad-no-slash"))
+        .toDF("url", "content"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(parsed === Set(("disallow", "*/private/")))
+  }
+
   // --- X129: blocklist curation ------------------------------------------
 
   private def blockDocs = Seq(
