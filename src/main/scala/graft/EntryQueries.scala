@@ -2153,9 +2153,16 @@ object EntryQueries {
           concat(lower(hex(octet_length(c2))), lit("\r\n"), c2, lit("\r\n")))
           .otherwise(lit("")),
         lit("0\r\n\r\n"))
+      // every 5th capture DECLARES a coding this reader cannot decode
+      // (brotli) — the transfer decode (dechunk) still applies, so the
+      // body octets equal the text either way, but content_encoding must
+      // surface the declaration and body_decoded must flag the record as
+      // still-coded (the filterable-trap contract: a real br body would
+      // be compressed bytes and htmlToText must be gateable on the flag)
       val http = concat(
-        lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
-          "Transfer-Encoding: chunked\r\n\r\n"), chunked)
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"),
+        when(col("n") % 5 === 4, lit("Content-Encoding: br\r\n")).otherwise(lit("")),
+        lit("Transfer-Encoding: chunked\r\n\r\n"), chunked)
       val rec = concat(
         lit("WARC/1."), when(col("n") % 2 === 0, lit("1")).otherwise(lit("0")),
         lit("\r\nWARC-Type: response\r\nWARC-Target-URI: https://crawl.example/doc/"),
@@ -2170,11 +2177,14 @@ object EntryQueries {
         .select(
           regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).as("id"),
           col("warc_version"), col("warc_truncated"), col("http_status"),
+          col("content_encoding"), col("body_decoded"),
           md5(col("body")).as("h"))
     }, Some(s"""SELECT $DocId AS id,
                |  'WARC/1.' || CAST(1 - doc_id % 2 AS VARCHAR) AS warc_version,
                |  CASE WHEN doc_id % 3 = 0 THEN 'length' END AS warc_truncated,
-               |  200 AS http_status, md5(text) AS h
+               |  200 AS http_status,
+               |  CASE WHEN doc_id % 5 = 4 THEN 'br' END AS content_encoding,
+               |  doc_id % 5 <> 4 AS body_decoded, md5(text) AS h
                |FROM documents""".stripMargin)),
 
     // X142: CDX-J sidecar — the published-index workflow real Common

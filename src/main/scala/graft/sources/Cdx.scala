@@ -103,7 +103,12 @@ object Cdx {
     val tail0 = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1))
     val tail = when(tail0 === "", lit("/")).otherwise(tail0)
     when(hostport.isNull || hostport === "", lit(null).cast("string"))
-      .otherwise(concat(rev, lit(")"), tail))
+      // the key must stay ONE whitespace-free token (CDX lines are
+      // space-delimited): a sloppy URI with a raw space would otherwise
+      // shift the line's fields and make the entry silently unfetchable
+      // on Cdx.read — percent-encode any whitespace (%20, the collation-
+      // key convention; the JSON block keeps the original url verbatim)
+      .otherwise(regexp_replace(concat(rev, lit(")"), tail), "\\s", "%20"))
   }
 
   /** Format an index frame ([[WarcGzip.index]] output shape + optional

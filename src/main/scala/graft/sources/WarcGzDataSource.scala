@@ -52,8 +52,10 @@ private[sources] object WarcGzTable {
     StructField("warc_truncated", StringType),
     StructField("http_status", IntegerType),
     StructField("content_type", StringType),
+    StructField("content_encoding", StringType),
     StructField("body", StringType),
     StructField("body_bytes", BinaryType),
+    StructField("body_decoded", BooleanType),
     StructField("record", StringType),
     StructField("file", StringType),
     StructField("offset", LongType),
@@ -224,7 +226,9 @@ private[sources] case class WarcGzReaderFactory(
     val it = WarcGzip.scanRange(confThunk(), p.file, p.start, p.end,
       needRecord = cols.contains("record"),
       needBody = cols.contains("body"),
-      needBodyBytes = cols.contains("body_bytes"),
+      // body_decoded is only knowable by decoding — projecting it forces
+      // the byte path even when body/body_bytes are pruned away
+      needBodyBytes = cols.contains("body_bytes") || cols.contains("body_decoded"),
       decodeBody = decodeBody)
     new PartitionReader[InternalRow] {
       private var current: WarcGzip.GzRecord = _
@@ -243,8 +247,10 @@ private[sources] case class WarcGzReaderFactory(
             case "warc_truncated" => utf8(current.warc_truncated)
             case "http_status" => current.http_status.map(Int.box).orNull
             case "content_type" => utf8(current.content_type)
+            case "content_encoding" => utf8(current.content_encoding)
             case "body" => utf8(current.body)
             case "body_bytes" => current.body_bytes.orNull
+            case "body_decoded" => current.body_decoded.map(Boolean.box).orNull
             case "record" =>
               if (current.record == null) null else UTF8String.fromString(current.record)
             case "file" => UTF8String.fromString(current.file)

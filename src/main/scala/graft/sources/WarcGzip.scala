@@ -53,11 +53,23 @@ object WarcGzip {
     * path. `warc_version` is the record's version line (`WARC/1.0`,
     * `WARC/1.1`, …); `warc_truncated` the `WARC-Truncated` reason when the
     * archiver cut the capture short (Common Crawl flags large payloads
-    * with `length` — pipelines gate on it). `file`/`offset`/`length` are
-    * the member's archival coordinates — exactly what a CDX index records
-    * (`warc_filename`/`warc_record_offset`/`warc_record_length`), so a
-    * pruned projection of them IS an index build, and [[fetch]] accepts
-    * them back for random access.
+    * with `length` — pipelines gate on it). `content_encoding` is the
+    * capture's DECLARED `Content-Encoding` header (lowercased; NULL when
+    * absent or no HTTP block) and `body_decoded` whether `body`/
+    * `body_bytes` are the identity-coded DOCUMENT octets — false when a
+    * transfer/content coding could not be (or was asked not to be)
+    * removed: a `br`/`zstd` body this reader cannot decode, a malformed
+    * chunked framing, or a `decodeBody=false` read of a coded capture.
+    * Pipelines MUST gate on it before text extraction — an undecoded body
+    * is compressed bytes, not HTML. Decode success is only knowable by
+    * decoding, so the DSv2 scan FORCES the byte path whenever
+    * `body_decoded` is projected; only a [[fetch]] with
+    * `needBody=needBodyBytes=false` leaves it NULL.
+    * `file`/`offset`/`length` are the member's archival coordinates —
+    * exactly what a CDX index records (`warc_filename`/
+    * `warc_record_offset`/`warc_record_length`), so a pruned projection
+    * of them IS an index build, and [[fetch]] accepts them back for
+    * random access.
     */
   final case class GzRecord(
       warc_type: Option[String],
@@ -68,8 +80,10 @@ object WarcGzip {
       warc_truncated: Option[String],
       http_status: Option[Int],
       content_type: Option[String],
+      content_encoding: Option[String],
       body: Option[String],
       body_bytes: Option[Array[Byte]],
+      body_decoded: Option[Boolean],
       record: String,
       file: String,
       offset: Long,
@@ -152,6 +166,10 @@ object WarcGzip {
     * Pointers are CLAIMS, so failure is LOUD: a pointer that does not
     * address a valid WARC member raises with its coordinates — a silent
     * skip would be silent data loss against an index the caller trusts.
+    * A pointer row with a NULL file or offset (what [[Cdx.read]]'s
+    * documented malformed-line degrade produces) raises the same way,
+    * naming the offending row — filter `offset IS NOT NULL` first to
+    * fetch only the well-formed subset.
     *
     * `needRecord`/`needBody`/`needBodyBytes` are the batch reader's
     * pruning flags, surfaced as parameters because a Dataset transform
@@ -167,9 +185,22 @@ object WarcGzip {
             needBodyBytes: Boolean = true): DataFrame = {
     val confThunk = Bridge.serializableConf(spark.sessionState.newHadoopConf())
     import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, concat, lit, raise_error, when}
+    // pointers are CLAIMS and failure must be LOUD *with coordinates* —
+    // including a NULL file/offset (exactly what Cdx.read's documented
+    // malformed-line degrade produces): without this guard the row dies
+    // in the tuple encoder with an opaque null-field error
+    val badPtr = col("file").isNull || col("offset").isNull
     val ptrs = pointers
-      .select(org.apache.spark.sql.functions.col("file").cast("string"),
-        org.apache.spark.sql.functions.col("offset").cast("long"))
+      .select(
+        when(badPtr, raise_error(concat(
+          lit("fetch pointer with NULL coordinates (filter malformed index "),
+          lit("rows with 'offset IS NOT NULL'): file="),
+          coalesce(col("file").cast("string"), lit("NULL")),
+          lit(" offset="),
+          coalesce(col("offset").cast("string"), lit("NULL")))))
+          .otherwise(col("file").cast("string")).as("file"),
+        col("offset").cast("long").as("offset"))
       .as[(String, Long)]
     ptrs
       .repartition(org.apache.spark.sql.functions.col("file"))
@@ -713,7 +744,7 @@ object WarcGzip {
         header(hdrs, "WARC-Record-ID"),
         version,
         header(hdrs, "WARC-Truncated"),
-        None, None, None, None, recStr, file, offset, length)
+        None, None, None, None, None, None, recStr, file, offset, length)
     }
     // ISO 28500 LWS unfolding: a continuation line (CRLF + SP/HT) is part
     // of the previous header's value. Without a hint, when the full record
@@ -764,12 +795,18 @@ object WarcGzip {
           header(httpHeaders, "Content-Type"),
           httpEnd + 4, te, ce)
       } else (None, None, payloadStart, false, None)
-    val bodyBytes =
+    val (bodyBytes, decoded) =
       if (needBody || needBodyBytes) {
         val raw = java.util.Arrays.copyOfRange(
           rec, bodyStart, math.max(bodyStart, payloadEnd))
-        if (decoder == null) raw else decoder.decode(raw, chunked, encoding)
-      } else null
+        if (decoder == null)
+          // raw read: the body is document octets iff no coding was declared
+          (raw, Some(!chunked && encoding.forall(_ == "identity")))
+        else {
+          val (out, ok) = decoder.decode(raw, chunked, encoding)
+          (out, Some(ok))
+        }
+      } else (null, None)
     GzRecord(
       header(warcHeaders, "WARC-Type"),
       header(warcHeaders, "WARC-Target-URI"),
@@ -781,8 +818,10 @@ object WarcGzip {
       // HTTP-block Content-Type when present, else the WARC-level header
       // (conversion/WET records describe their payload there)
       ctype.orElse(header(warcHeaders, "Content-Type")),
+      encoding,
       if (needBody) Some(new String(bodyBytes, Utf8)) else None,
       if (needBodyBytes) Some(bodyBytes) else None,
+      decoded,
       recStr, file, offset, length)
   }
 
@@ -795,19 +834,31 @@ object WarcGzip {
     * RANGE's (member inflation and body decode never overlap; both
     * reset() before use), and the zlib-wrapped one for `deflate` is
     * created lazily once. Every failure degrades to the input bytes —
-    * a truncated or lying capture yields its raw form, never an error.
+    * a truncated or lying capture yields its raw form, never an error —
+    * and [[decode]]'s second result says whether the output IS document
+    * octets (every declared layer removed): false for a failed dechunk/
+    * decompress AND for codings this reader has no decoder for (`br`,
+    * `zstd`), where the bytes pass through still compressed.
     */
   private[sources] final class BodyDecoder(raw: java.util.zip.Inflater) {
     private var zlib: java.util.zip.Inflater = _
     def close(): Unit = if (zlib != null) { zlib.end(); zlib = null }
 
     def decode(body: Array[Byte], chunked: Boolean,
-               encoding: Option[String]): Array[Byte] = {
+               encoding: Option[String]): (Array[Byte], Boolean) = {
+      // each helper returns ITS INPUT (reference-same) exactly on failure,
+      // so `eq` is the success test — success always allocates fresh output
       val dechunked = if (chunked) dechunk(body) else body
+      val chunkOk = !chunked || !(dechunked eq body)
       encoding match {
-        case Some("gzip") | Some("x-gzip") => gunzip(dechunked)
-        case Some("deflate") => inflate(dechunked)
-        case _ => dechunked
+        case Some("gzip") | Some("x-gzip") =>
+          val out = gunzip(dechunked)
+          (out, chunkOk && !(out eq dechunked))
+        case Some("deflate") =>
+          val out = inflate(dechunked)
+          (out, chunkOk && !(out eq dechunked))
+        case Some("identity") | None => (dechunked, chunkOk)
+        case Some(_) => (dechunked, false) // br/zstd/unknown: still coded
       }
     }
 

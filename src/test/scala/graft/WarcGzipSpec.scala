@@ -420,7 +420,11 @@ class WarcGzipSpec extends AnyFunSuite {
       rec("https://d/plain", "", docB) ++
       // a LYING header (claims gzip, body is plain): degrade to raw bytes
       rec("https://d/lying", "Content-Encoding: gzip\r\n",
-        "not actually gzip".getBytes("UTF-8"))
+        "not actually gzip".getBytes("UTF-8")) ++
+      // a coding this reader has NO decoder for (brotli): bytes pass
+      // through still compressed, and body_decoded says so
+      rec("https://d/brotli", "Content-Encoding: br\r\n",
+        Array[Byte](0x1b, 0x2e, 0x00, 0x44, 0x22))
     writeFile(dir, "enc.warc.gz", members)
     val got = WarcGzip.read(spark, s"$dir/enc.warc.gz")
       .select("target_uri", "body").collect()
@@ -428,12 +432,33 @@ class WarcGzipSpec extends AnyFunSuite {
     for (u <- Seq("chunked", "gzip", "deflate", "both", "plain"))
       assert(got(s"https://d/$u") === doc, s"url $u")
     assert(got("https://d/lying") === "not actually gzip") // raw degrade, not a crash
-    // escape hatch: raw capture bytes exactly as archived
+    // content_encoding surfaces the DECLARED coding; body_decoded says
+    // whether body bytes are document octets (false for the lying gzip
+    // and the undecodable brotli — the filterable trap closure)
+    val meta = WarcGzip.read(spark, s"$dir/enc.warc.gz")
+      .select("target_uri", "content_encoding", "body_decoded").collect()
+      .map(r => r.getString(0) -> ((Option(r.getString(1)), r.getBoolean(2)))).toMap
+    assert(meta("https://d/plain") === ((None, true)))
+    assert(meta("https://d/chunked") === ((None, true)))
+    assert(meta("https://d/gzip") === ((Some("gzip"), true)))
+    assert(meta("https://d/deflate") === ((Some("deflate"), true)))
+    assert(meta("https://d/both") === ((Some("gzip"), true)))
+    assert(meta("https://d/lying") === ((Some("gzip"), false)))
+    assert(meta("https://d/brotli") === ((Some("br"), false)))
+    // body_decoded is computable even when body/body_bytes are pruned
+    // away (the scan forces the byte path for it)
+    assert(WarcGzip.read(spark, s"$dir/enc.warc.gz")
+      .filter(col("body_decoded")).count() === 5L)
+    // escape hatch: raw capture bytes exactly as archived — body_decoded
+    // is false for every record that declared a coding
     val raw = WarcGzip.read(spark, s"$dir/enc.warc.gz", decodeBody = false)
-      .select("target_uri", "body_bytes").collect()
-      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
-    assert(java.util.Arrays.equals(raw("https://d/gzip"), gzMember(docB)))
-    assert(java.util.Arrays.equals(raw("https://d/chunked"), chunk(docB, Seq(7, 1, 19))))
+      .select("target_uri", "body_bytes", "body_decoded").collect()
+      .map(r => r.getString(0) -> ((r.getAs[Array[Byte]](1), r.getBoolean(2)))).toMap
+    assert(java.util.Arrays.equals(raw("https://d/gzip")._1, gzMember(docB)))
+    assert(java.util.Arrays.equals(raw("https://d/chunked")._1, chunk(docB, Seq(7, 1, 19))))
+    assert(raw("https://d/plain")._2 === true)
+    assert(raw("https://d/gzip")._2 === false)
+    assert(raw("https://d/chunked")._2 === false)
     // and tiny splits keep the decode correct (per-range inflater reuse)
     val n = WarcGzip.read(spark, s"$dir/enc.warc.gz", splitBytes = 64)
       .filter(col("body") === doc).count()
@@ -629,6 +654,14 @@ class WarcGzipSpec extends AnyFunSuite {
     val ex = intercept[Exception] { WarcGzip.fetch(spark, bad).collect() }
     val msg = ex.toString + Option(ex.getCause).map(_.toString).getOrElse("")
     assert(msg.contains("does not address a valid"), msg)
+    // a NULL-coordinate pointer (Cdx.read's malformed-line degrade) is the
+    // same loud contract — with actionable coordinates, not an opaque
+    // encoder null-field error
+    val nullPtr = idx.limit(1).select(col("file"),
+      lit(null).cast("long").as("offset"))
+    val ex2 = intercept[Exception] { WarcGzip.fetch(spark, nullPtr).collect() }
+    val msg2 = ex2.toString + Option(ex2.getCause).map(_.toString).getOrElse("")
+    assert(msg2.contains("NULL coordinates") && msg2.contains("offset=NULL"), msg2)
   }
 
   test("whole-file gzip (the classic misformat) reads EVERY record, not silently just the first") {
@@ -810,6 +843,9 @@ class WarcGzipSpec extends AnyFunSuite {
       ("http://host.org:80/x", "org,host)/x"),
       ("https://host.org:443/x", "org,host)/x"),
       ("https://user:p@host.org/x", "org,host)/x"), // userinfo stripped
+      // a sloppy URI with raw whitespace in the path/query must still
+      // yield ONE space-free token (the line format is space-delimited)
+      ("https://host.org/a b?q=c d", "org,host)/a%20b?q=c%20d"),
       (null.asInstanceOf[String], null),
       ("no scheme here", null)
     ).toDF("u", "want")
