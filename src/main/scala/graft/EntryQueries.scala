@@ -2334,6 +2334,39 @@ object EntryQueries {
     }, Some(s"""SELECT $DocId AS id, md5(text) AS h, true AS has_len
                |FROM documents WHERE doc_id % 9 = 0""".stripMargin)),
 
+    // X143: zipnum-sharded CDX + block-pruned lookup — the access pattern
+    // a PUBLISHED index exists for (Common Crawl's cc-index layout):
+    // archive → member index → CDX lines → writeZipnum (globally sorted
+    // gzip blocks + a cluster.idx secondary) → a surt-prefix lookup that
+    // decompresses ONLY covering blocks → fetch of the returned pointers.
+    // The (urlkey, timestamp) replay is string arithmetic in DuckDB; the
+    // md5s only match if the sort/blocking kept every line intact, the
+    // secondary's span arithmetic selected every covering block (no
+    // boundary loss), and the pointers still addressed exact members.
+    ("x143_cdx_zipnum", (s: SparkSession, sfDir: String) => {
+      val out = tempDirCleanedOnExit("graft-x143-")
+      graft.sources.WarcGzip.writeGzip(
+        docsFrame(s, sfDir).select(graft.sources.Warc.formatResponse(
+          concat(lit("https://crawl.example/doc/"), col("id")),
+          lit("2024-01-02T03:04:05Z"), lit("text/plain"),
+          col("content")).as("rec")).repartition(4),
+        s"$out/gz")
+      graft.sources.Cdx.writeZipnum(
+        graft.sources.Cdx.format(graft.sources.WarcGzip.index(s, s"$out/gz")),
+        s"$out/zip", blockLines = 64)
+      val hits = graft.sources.Cdx.lookup(s, s"$out/zip",
+        "example,crawl)/doc/1", warcRoot = Some(s"$out/gz"))
+      val recs = graft.sources.WarcGzip.fetch(s, hits)
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).as("id"),
+          md5(col("body")).as("h"))
+      hits.select(regexp_extract(col("url"), "/doc/(\\d+)$", 1).as("id"),
+          col("urlkey"), col("timestamp"))
+        .join(recs, Seq("id"))
+    }, Some(s"""SELECT $DocId AS id,
+               |  'example,crawl)/doc/' || $DocId AS urlkey,
+               |  '20240102030405' AS timestamp, md5(text) AS h
+               |FROM documents WHERE $DocId LIKE '1%'""".stripMargin)),
+
     // X130: the COMPOSED web-curation pipeline — the provenance-side
     // complement of x126's content-side chain: x124 URL canonicalization +
     // dedup (on the planted dup/tracking-param fixture) → x129 blocklist

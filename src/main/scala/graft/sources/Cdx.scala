@@ -1,7 +1,9 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FSDataInputStream, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
 /** X142: CDX-J index sidecars — the pointer format Common Crawl actually
@@ -46,7 +48,13 @@ object Cdx {
     * subset) to [[WarcGzip.fetch]].
     */
   def read(spark: SparkSession, path: String,
-           warcRoot: Option[String] = None): DataFrame = {
+           warcRoot: Option[String] = None): DataFrame =
+    parseLines(spark.read.text(path), warcRoot)
+
+  /** The CDX-J line parse behind [[read]] and [[lookup]]: a one-STRING-
+    * column frame (`value`) of raw lines → the pointer schema. */
+  private def parseLines(lines: DataFrame,
+                         warcRoot: Option[String]): DataFrame = {
     val line = col("value")
     val urlkey = regexp_extract(line, "^(\\S+) ", 1)
     val ts = regexp_extract(line, "^\\S+ (\\S+) ", 1)
@@ -58,7 +66,7 @@ object Cdx {
       case None => j.getField("filename")
     }
     def nn(c: Column): Column = when(c === "", lit(null)).otherwise(c)
-    spark.read.text(path)
+    lines
       .filter(length(line) > 0)
       .select(
         nn(urlkey).as("urlkey"),
@@ -158,5 +166,197 @@ object Cdx {
         coalesce(surtKey(col("target_uri")),
           regexp_replace(lower(col("target_uri")), "\\s", "%20")),
         lit(" "), ts, lit(" "), json).as("value"))
+  }
+
+  // --- X143: zipnum sharding + block-pruned lookup -------------------------
+
+  /** X143: write a CDX index in the ZIPNUM layout Common Crawl publishes —
+    * the whole point of a published index is that a key lookup reads a few
+    * KILOBYTES, not the index: lines globally sorted by key, packed into
+    * gzip members ("blocks") of `blockLines` lines each, members
+    * concatenated into one `cdx-NNNNN.gz` part per partition, plus ONE
+    * tiny `cluster.idx` secondary (`<first key>\t<part>\t<offset>\t
+    * <length>\t<seq>` per block, sorted) that [[lookup]] prunes blocks
+    * with. The global sort is a real shuffle — the one the format exists
+    * to pay ONCE at publish time (CC sorts its index the same way); after
+    * it, range partitioning makes partition p's keys precede p+1's, so
+    * per-partition block runs concatenate into one sorted index.
+    *
+    * Commit protocol: [[WarcGzip.writeGzip]]'s — attempt-scoped hidden
+    * temps renamed into place, first rename wins (identical bytes either
+    * way). `cluster.idx` is written LAST, by the driver, from the block
+    * coordinates the tasks report — it is nLines/blockLines entries, tiny
+    * by construction (CC's own cluster.idx is one driver-sized file for a
+    * 300 GB index).
+    */
+  def writeZipnum(lines: DataFrame, path: String, blockLines: Int = 3000): Unit = {
+    require(lines.schema.fields.length == 1 &&
+      lines.schema.fields(0).dataType == StringType,
+      "writeZipnum expects exactly one STRING column of CDX lines")
+    require(blockLines > 0, "blockLines > 0")
+    val spark = lines.sparkSession
+    val confThunk = Bridge.serializableConf(spark.sessionState.newHadoopConf())
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    import spark.implicits._
+    val sorted = lines.toDF("value").sort(col("value")).as[String]
+    val blockRows: Array[(String, String, Long, Long)] =
+      sorted.mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val ctx = org.apache.spark.TaskContext.get()
+          val pid = ctx.partitionId()
+          val name = f"cdx-$pid%05d.gz"
+          val taskFs = new Path(path).getFileSystem(confThunk())
+          val tmp = new Path(f"$path/.cdx-$pid%05d-attempt-${ctx.taskAttemptId()}.tmp")
+          val dest = new Path(s"$path/$name")
+          val out = new java.io.BufferedOutputStream(taskFs.create(tmp, true), 1 << 20)
+          // ONE Deflater per partition, reset() per block (the writeGzip
+          // lesson: native zlib state per member dominates otherwise)
+          val deflater = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          val crc = new java.util.zip.CRC32()
+          val gzHeader = Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte)
+          def le32(v: Long): Array[Byte] = Array[Byte](
+            (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+            ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+          val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+          val block = new scala.collection.mutable.ArrayBuffer[String](blockLines)
+          var offset = 0L
+          var committed = false
+          def flush(): Unit = if (block.nonEmpty) {
+            val bytes = (block.mkString("\n") + "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val member = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+            member.write(gzHeader)
+            deflater.reset(); deflater.setInput(bytes); deflater.finish()
+            val buf = new Array[Byte](64 * 1024)
+            while (!deflater.finished()) {
+              val n = deflater.deflate(buf)
+              if (n > 0) member.write(buf, 0, n)
+            }
+            crc.reset(); crc.update(bytes)
+            member.write(le32(crc.getValue))
+            member.write(le32(bytes.length & 0xffffffffL))
+            val m = member.toByteArray
+            out.write(m)
+            // the secondary's key is the block's first (urlkey, timestamp)
+            // pair — NOT the whole line (the JSON tail is per-entry noise)
+            val head = block.head
+            val sp2 = head.indexOf(' ', head.indexOf(' ') + 1)
+            entries += (((if (sp2 > 0) head.substring(0, sp2) else head),
+              name, offset, m.length.toLong))
+            offset += m.length
+            block.clear()
+          }
+          try {
+            it.foreach { line => block += line; if (block.size >= blockLines) flush() }
+            flush()
+            out.close()
+            committed = taskFs.rename(tmp, dest) || taskFs.exists(dest)
+            if (!committed)
+              throw new java.io.IOException(s"rename $tmp -> $dest failed")
+          } finally {
+            deflater.end()
+            try out.close() catch { case _: Throwable => () }
+            if (!committed || taskFs.exists(tmp)) {
+              try taskFs.delete(tmp, false) catch { case _: Throwable => () }
+            }
+          }
+          entries.iterator
+        }
+      }.collect()
+    val idxOut = fs.create(new Path(path.stripSuffix("/") + "/cluster.idx"), true)
+    try {
+      val w = new java.io.BufferedOutputStream(idxOut, 1 << 20)
+      blockRows.sortBy(r => (r._1, r._2, r._3)).zipWithIndex.foreach {
+        case ((k, f, o, l), i) =>
+          w.write(s"$k\t$f\t$o\t$l\t${i + 1}\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      w.flush()
+    } finally idxOut.close()
+  }
+
+  /** X143: block-pruned key lookup over a [[writeZipnum]] index — the
+    * access pattern the layout exists for: entries whose `urlkey` starts
+    * with `surtPrefix` (build one with [[surtKey]] semantics, e.g.
+    * `com,example)/docs/`), in [[read]]'s pointer schema, reading ONLY
+    * the gzip blocks whose key span can intersect the prefix range.
+    *
+    * Block selection is sorted-order arithmetic on the tiny secondary:
+    * block i holds lines in [key_i, key_{i+1}), so the candidates are the
+    * blocks from the LAST key <= prefix (its span may straddle the range
+    * start) up to key < prefix+U+FFFF — one max() aggregate plus a
+    * filter, no window, no driver materialization of the secondary.
+    * Candidate blocks then group by part file so each task opens its file
+    * once and seeks forward ([[WarcGzip.fetch]]'s pattern); a lookup that
+    * matches nothing reads zero blocks.
+    */
+  def lookup(spark: SparkSession, path: String, surtPrefix: String,
+             warcRoot: Option[String] = None): DataFrame = {
+    require(surtPrefix.nonEmpty, "surtPrefix must be non-empty")
+    val confThunk = Bridge.serializableConf(spark.sessionState.newHadoopConf())
+    import spark.implicits._
+    val root = path.stripSuffix("/")
+    val idx = spark.read.text(root + "/cluster.idx")
+      .filter(length(col("value")) > 0)
+      .select(split(col("value"), "\t").as("f"))
+      .select(col("f").getItem(0).as("key"), col("f").getItem(1).as("file"),
+        col("f").getItem(2).cast("long").as("offset"),
+        col("f").getItem(3).cast("long").as("length"))
+    // the range start: the last block key <= prefix (NULL when the prefix
+    // precedes every block — then the first block is the start)
+    val startKey = idx.filter(col("key") <= surtPrefix)
+      .agg(max(col("key"))).head().getString(0)
+    val hi = surtPrefix + "\uffff"
+    val cands = idx
+      .filter(col("key") < hi &&
+        (if (startKey == null) lit(true) else col("key") >= startKey))
+      .select(col("file"), col("offset"), col("length"))
+      .as[(String, Long, Long)]
+    val lines = cands
+      .repartition(col("file"))
+      .sortWithinPartitions(col("file"), col("offset"))
+      .mapPartitions { it =>
+        val conf = confThunk()
+        var curFile: String = null
+        var in: FSDataInputStream = null
+        def closeIn(): Unit = if (in != null) {
+          try in.close() catch { case _: Throwable => () }
+          in = null
+        }
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener(
+            new org.apache.spark.util.TaskCompletionListener {
+              override def onTaskCompletion(
+                  ctx: org.apache.spark.TaskContext): Unit = closeIn()
+            }))
+        it.flatMap { case (f, off, len) =>
+          require(len > 0 && len <= (1L << 30),
+            s"cluster.idx block $f:$off has implausible length $len")
+          if (f != curFile) {
+            closeIn()
+            val p = new Path(s"$root/$f")
+            in = p.getFileSystem(conf).open(p)
+            curFile = f
+          }
+          in.seek(off)
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(buf)
+          val gz = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(buf))
+          val outB = new java.io.ByteArrayOutputStream(math.max(64, buf.length * 4))
+          val tmp = new Array[Byte](64 * 1024)
+          var n = gz.read(tmp)
+          while (n > 0) { outB.write(tmp, 0, n); n = gz.read(tmp) }
+          new String(outB.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").iterator.filter(_.nonEmpty)
+        }
+      }
+    parseLines(lines.toDF("value"), warcRoot)
+      .filter(col("urlkey").startsWith(surtPrefix))
   }
 }

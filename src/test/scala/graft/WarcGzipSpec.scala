@@ -870,6 +870,46 @@ class WarcGzipSpec extends AnyFunSuite {
     assert(parsed.getAs[Long]("offset") === 0L)
   }
 
+  test("zipnum CDX: sorted gzip blocks + cluster.idx secondary; lookup prunes to covering blocks") {
+    import graft.sources.Cdx
+    val out = tmp()
+    val idx = (1 to 400).map { i =>
+      val host = Seq("alpha", "beta", "gamma", "delta")(i % 4)
+      (s"https://$host.example/p/$i", s"f${i % 3}.warc.gz",
+        i.toLong * 10, 10L, "2024-01-01T00:00:00Z")
+    }.toDF("target_uri", "file", "offset", "length", "warc_date")
+    Cdx.writeZipnum(Cdx.format(idx), s"$out/zip", blockLines = 5)
+    val files = new java.io.File(s"$out/zip").listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.contains("cluster.idx"))
+    assert(files.exists(_.matches("cdx-\\d{5}\\.gz")))
+    assert(files.forall(n => !n.contains(".tmp")), files.mkString(","))
+    // the secondary: one line per block, keys globally sorted, TAB format
+    val idxLines = scala.io.Source.fromFile(s"$out/zip/cluster.idx")
+      .getLines().toSeq
+    assert(idxLines.size >= 400 / 5)
+    val keys = idxLines.map(_.split("\t")(0))
+    assert(keys === keys.sorted, "cluster.idx keys must be sorted")
+    assert(idxLines.forall(_.split("\t").length === 5))
+    // Hadoop's gzip codec reads concatenated members, so the whole zipnum
+    // index doubles as an ordinary Cdx.read source — the equivalence base
+    val full = Cdx.read(spark, s"$out/zip/cdx-*.gz")
+    assert(full.count() === 400L)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("urlkey", "timestamp", "url", "offset", "length").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._3).toSeq
+    // lookup(prefix) ≡ full scan + filter, for a host and a deeper prefix
+    for (pfx <- Seq("example,beta)/", "example,gamma)/p/1", "example,alpha)/p/17")) {
+      assert(shape(Cdx.lookup(spark, s"$out/zip", pfx)) ===
+        shape(full.filter(col("urlkey").startsWith(pfx))), s"prefix $pfx")
+    }
+    assert(Cdx.lookup(spark, s"$out/zip", "example,beta)/").count() === 100L)
+    // a miss (before, between, after every key) matches nothing
+    for (pfx <- Seq("aaa,nope)/", "example,bete)/", "zzz,nope)/"))
+      assert(Cdx.lookup(spark, s"$out/zip", pfx).count() === 0L, s"miss $pfx")
+  }
+
   test("gzip read agrees with the uncompressed lite reader on marker-safe corpora") {
     // same synthesized records through BOTH paths: the lite text-split
     // reader over plain files and the member scanner over gzip — identical
