@@ -2367,6 +2367,47 @@ object EntryQueries {
                |  '20240102030405' AS timestamp, md5(text) AS h
                |FROM documents WHERE $DocId LIKE '1%'""".stripMargin)),
 
+    // X144: revisit resolution — the archival URL-dedup convention: every
+    // 4th capture gets a body-less REVISIT record pointing at its
+    // original, half via WARC-Refers-To record id (the Heritrix form),
+    // half via payload digest only (CC's newer segments). resolveRevisits
+    // must join each back to the right original capture and say which arm
+    // matched; the oracle replays the expectation as pure arithmetic.
+    ("x144_revisit_resolve", (s: SparkSession, sfDir: String) => {
+      val out = tempDirCleanedOnExit("graft-x144-")
+      val docs = docsFrame(s, sfDir)
+        .select(col("id"), col("content"), col("id").cast("long").as("n"))
+      // digest unique BY CONSTRUCTION (keyed on id, not content alone):
+      // planted duplicate texts in the corpus must not collide originals
+      val digest = concat(lit("md5:"), md5(concat_ws(":", col("id"), col("content"))))
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"), col("content"))
+      val original = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://crawl.example/doc/"),
+        col("id"),
+        lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Record-ID: <urn:doc:"),
+        col("id"),
+        lit(">\r\nWARC-Payload-Digest: "), digest,
+        lit("\r\nContent-Length: "), octet_length(http).cast("string"),
+        lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+      val revisit = graft.sources.Warc.formatRevisit(
+        concat(lit("https://mirror.example/doc/"), col("id")),
+        lit("2024-02-01T00:00:00Z"),
+        when(col("n") % 8 === 0, concat(lit("<urn:doc:"), col("id"), lit(">"))),
+        when(col("n") % 8 === 0, concat(lit("https://crawl.example/doc/"), col("id"))),
+        when(col("n") % 8 =!= 0, digest))
+      val recs = docs.select(original.as("rec"))
+        .unionByName(docs.filter(col("n") % 4 === 0).select(revisit.as("rec")))
+      graft.sources.WarcGzip.writeGzip(recs.repartition(4), s"$out/crawl")
+      CrawlPipeline.resolveRevisits(graft.sources.WarcGzip.read(s, s"$out/crawl"))
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1).as("id"),
+          col("original_id"), col("original_uri"), col("matched_by"))
+    }, Some(s"""SELECT $DocId AS id,
+               |  '<urn:doc:' || $DocId || '>' AS original_id,
+               |  'https://crawl.example/doc/' || $DocId AS original_uri,
+               |  CASE WHEN doc_id % 8 = 0 THEN 'refers_to' ELSE 'digest' END AS matched_by
+               |FROM documents WHERE doc_id % 4 = 0""".stripMargin)),
+
     // X130: the COMPOSED web-curation pipeline — the provenance-side
     // complement of x126's content-side chain: x124 URL canonicalization +
     // dedup (on the planted dup/tracking-param fixture) → x129 blocklist

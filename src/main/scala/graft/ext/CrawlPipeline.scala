@@ -92,6 +92,15 @@ object CrawlPipeline {
     * the rest is the x135 stage order: extract+id → [robots.txt gate] →
     * URL dedup → blocklist → [language gate] → [line dedup] →
     * [near-dedup].
+    *
+    * REVISIT records (the archival URL-dedup convention — body-less
+    * pointers at an earlier identical-payload capture) are DROPPED here
+    * by the `warc_type === response` gate, by design: a training corpus
+    * wants each payload once, and the original capture already
+    * contributes it. A caller who wants the duplication SIGNAL (re-crawl
+    * frequency, URL aliasing for X124/X30) runs [[resolveRevisits]] on
+    * the same read and joins its output — resolve or drop is the
+    * caller's choice, never an implicit merge.
     */
   def curateCrawl(spark: SparkSession, warcGzPath: String,
                   cfg: CrawlConfig = CrawlConfig()): DataFrame = {
@@ -179,6 +188,57 @@ object CrawlPipeline {
         .join(s5.select("id", "url"), Seq("id"))
         .select("id", "url", "content"),
       Some(s5), cfg.stagePath, 2)
+  }
+
+  /** X144: resolve REVISIT records back to their original captures — the
+    * duplication signal real Common Crawl segments carry (a revisit has
+    * no body; un-resolved it is just a dropped row, losing the re-crawl/
+    * URL-aliasing evidence X124's URL dedup and X30's cluster audit can
+    * use). Input: a WARC records frame ([[WarcGzip.read]] output — needs
+    * `warc_type`, `target_uri`, `warc_date`, `record_id`, `refers_to`,
+    * `payload_digest`). Output: one row per revisit —
+    * (url, capture_ts, record_id, original_id, original_uri,
+    * original_date, matched_by) — matched by `WARC-Refers-To` record id
+    * when the revisit carries one (Heritrix), else by payload digest
+    * (CC's newer segments); unmatched revisits keep NULL originals and a
+    * NULL `matched_by` (dangling pointers are data, not errors — the
+    * caller drops or reports).
+    *
+    * Determinism: several originals can share a digest (true content
+    * dups); the canonical original is the EARLIEST (warc_date,
+    * record_id, target_uri) — a min(struct) aggregate, so the digest arm
+    * joins ONE row per digest (no skew amplification from popular
+    * payloads). Scale: both join sides are skinny header projections —
+    * the record bodies never shuffle; revisits are a small fraction of a
+    * real segment, originals collapse to one row per id/digest.
+    */
+  def resolveRevisits(records: DataFrame): DataFrame = {
+    val originals = records.filter(col("warc_type") === "response")
+      .select(col("record_id"), col("target_uri"), col("warc_date"),
+        col("payload_digest"))
+    val byId = originals.filter(col("record_id").isNotNull)
+      .groupBy(col("record_id").as("__rid"))
+      .agg(min(struct(col("warc_date"), col("target_uri"))).as("__o"))
+    val byDigest = originals.filter(col("payload_digest").isNotNull)
+      .groupBy(col("payload_digest").as("__pd"))
+      .agg(min(struct(col("warc_date"), col("record_id"),
+        col("target_uri"))).as("__od"))
+    records.filter(col("warc_type") === "revisit")
+      .select(col("target_uri").as("url"), col("warc_date").as("capture_ts"),
+        col("record_id"), col("refers_to"),
+        col("payload_digest").as("__pd"))
+      .join(byId, col("refers_to") === col("__rid"), "left")
+      .join(byDigest, Seq("__pd"), "left")
+      .select(
+        col("url"), col("capture_ts"), col("record_id"),
+        when(col("__rid").isNotNull, col("refers_to"))
+          .otherwise(col("__od").getField("record_id")).as("original_id"),
+        when(col("__rid").isNotNull, col("__o").getField("target_uri"))
+          .otherwise(col("__od").getField("target_uri")).as("original_uri"),
+        when(col("__rid").isNotNull, col("__o").getField("warc_date"))
+          .otherwise(col("__od").getField("warc_date")).as("original_date"),
+        when(col("__rid").isNotNull, lit("refers_to"))
+          .when(col("__od").isNotNull, lit("digest")).as("matched_by"))
   }
 
   /** Curated corpus → training layout: X18 sequence packing (pack_shard /

@@ -177,6 +177,35 @@ object Warc {
       octet_length(fields).cast("string"),
       lit("\r\n\r\n"), fields, lit("\r\n\r\n"))
 
+  /** Format a REVISIT record — the archival URL-dedup convention (ISO
+    * 28500 §6.7.2, the `identical-payload-digest` profile Common Crawl
+    * and Heritrix emit): when a crawler re-fetches a URL and the payload
+    * digest matches an earlier capture, it stores a body-less revisit
+    * pointing at the original instead of duplicating the bytes.
+    * `refersTo` (the original's WARC-Record-ID), `refersToUri`, and
+    * `payloadDigest` are each optional — a NULL column omits its header
+    * (real crawlers vary: Heritrix emits Refers-To, CC's newer segments
+    * carry only the digest). Resolve them back with
+    * [[graft.ext.CrawlPipeline.resolveRevisits]].
+    */
+  def formatRevisit(uri: org.apache.spark.sql.Column,
+                    date: org.apache.spark.sql.Column,
+                    refersTo: org.apache.spark.sql.Column,
+                    refersToUri: org.apache.spark.sql.Column,
+                    payloadDigest: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def opt(name: String, v: org.apache.spark.sql.Column) =
+      when(v.isNull, lit("")).otherwise(concat(lit("\r\n" + name + ": "), v))
+    concat(
+      lit(VersionMarker),
+      lit("WARC-Type: revisit\r\nWARC-Target-URI: "), uri,
+      lit("\r\nWARC-Date: "), date,
+      opt("WARC-Refers-To", refersTo),
+      opt("WARC-Refers-To-Target-URI", refersToUri),
+      opt("WARC-Payload-Digest", payloadDigest),
+      lit("\r\nWARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"),
+      lit("\r\nContent-Length: 0\r\n\r\n\r\n\r\n"))
+  }
+
   /** Format (uri, date, text) rows as WARC CONVERSION records — the WET
     * layout (Common Crawl's extracted-text sidecar files): no HTTP block,
     * the payload is the extracted text itself, Content-Type carried as a

@@ -50,6 +50,8 @@ private[sources] object WarcGzTable {
     StructField("record_id", StringType),
     StructField("warc_version", StringType),
     StructField("warc_truncated", StringType),
+    StructField("refers_to", StringType),
+    StructField("payload_digest", StringType),
     StructField("http_status", IntegerType),
     StructField("content_type", StringType),
     StructField("content_encoding", StringType),
@@ -245,6 +247,8 @@ private[sources] case class WarcGzReaderFactory(
             case "record_id" => utf8(current.record_id)
             case "warc_version" => utf8(current.warc_version)
             case "warc_truncated" => utf8(current.warc_truncated)
+            case "refers_to" => utf8(current.refers_to)
+            case "payload_digest" => utf8(current.payload_digest)
             case "http_status" => current.http_status.map(Int.box).orNull
             case "content_type" => utf8(current.content_type)
             case "content_encoding" => utf8(current.content_encoding)

@@ -78,6 +78,8 @@ object WarcGzip {
       record_id: Option[String],
       warc_version: Option[String],
       warc_truncated: Option[String],
+      refers_to: Option[String],
+      payload_digest: Option[String],
       http_status: Option[Int],
       content_type: Option[String],
       content_encoding: Option[String],
@@ -679,7 +681,8 @@ object WarcGzip {
   // record per header dominated the 2M-member parse)
   private val headerPatterns: Map[String, java.util.regex.Pattern] =
     Seq("WARC-Type", "WARC-Target-URI", "WARC-Date", "WARC-Record-ID",
-      "WARC-Truncated", "Content-Length", "Content-Type",
+      "WARC-Truncated", "WARC-Refers-To", "WARC-Payload-Digest",
+      "Content-Length", "Content-Type",
       "Transfer-Encoding", "Content-Encoding").map { name =>
       name -> java.util.regex.Pattern.compile(
         s"(?im)^${java.util.regex.Pattern.quote(name)}:[ \\t]*(.*?)\\r?$$")
@@ -744,6 +747,8 @@ object WarcGzip {
         header(hdrs, "WARC-Record-ID"),
         version,
         header(hdrs, "WARC-Truncated"),
+        header(hdrs, "WARC-Refers-To"),
+        header(hdrs, "WARC-Payload-Digest"),
         None, None, None, None, None, None, recStr, file, offset, length)
     }
     // ISO 28500 LWS unfolding: a continuation line (CRLF + SP/HT) is part
@@ -814,6 +819,8 @@ object WarcGzip {
       header(warcHeaders, "WARC-Record-ID"),
       version,
       header(warcHeaders, "WARC-Truncated"),
+      header(warcHeaders, "WARC-Refers-To"),
+      header(warcHeaders, "WARC-Payload-Digest"),
       status,
       // HTTP-block Content-Type when present, else the WARC-level header
       // (conversion/WET records describe their payload there)

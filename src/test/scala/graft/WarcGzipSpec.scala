@@ -910,6 +910,42 @@ class WarcGzipSpec extends AnyFunSuite {
       assert(Cdx.lookup(spark, s"$out/zip", pfx).count() === 0L, s"miss $pfx")
   }
 
+  test("revisit resolution: refers-to/digest arms, earliest-original ties, dangling pointers") {
+    import graft.ext.CrawlPipeline
+    val records = Seq(
+      // two originals sharing a digest: the EARLIEST (date, id) is canonical
+      ("response", "https://o/1", "2024-01-02T00:00:00Z", "<urn:1>", null, "sha1:AAA"),
+      ("response", "https://o/2", "2024-01-01T00:00:00Z", "<urn:2>", null, "sha1:AAA"),
+      ("response", "https://o/3", "2024-01-03T00:00:00Z", "<urn:3>", null, "sha1:BBB"),
+      ("revisit", "https://r/a", "2024-02-01T00:00:00Z", "<urn:r1>", "<urn:3>", null),
+      ("revisit", "https://r/b", "2024-02-02T00:00:00Z", "<urn:r2>", null, "sha1:AAA"),
+      ("revisit", "https://r/c", "2024-02-03T00:00:00Z", "<urn:r3>", null, "sha1:ZZZ"),
+      // both pointers present: the explicit record id wins over the digest
+      ("revisit", "https://r/d", "2024-02-04T00:00:00Z", "<urn:r4>", "<urn:1>", "sha1:BBB")
+    ).toDF("warc_type", "target_uri", "warc_date", "record_id",
+      "refers_to", "payload_digest")
+    val got = CrawlPipeline.resolveRevisits(records).collect()
+      .map(r => r.getAs[String]("url") -> ((
+        Option(r.getAs[String]("original_id")),
+        Option(r.getAs[String]("original_uri")),
+        Option(r.getAs[String]("matched_by"))))).toMap
+    assert(got.size === 4)
+    assert(got("https://r/a") === ((Some("<urn:3>"), Some("https://o/3"), Some("refers_to"))))
+    assert(got("https://r/b") === ((Some("<urn:2>"), Some("https://o/2"), Some("digest"))))
+    assert(got("https://r/c") === ((None, None, None))) // dangling: data, not an error
+    assert(got("https://r/d") === ((Some("<urn:1>"), Some("https://o/1"), Some("refers_to"))))
+    // and the reader surfaces the revisit headers from a real archive
+    val out = tmp()
+    WarcGzip.writeGzip(Seq(1).toDF("i").select(Warc.formatRevisit(
+      lit("https://m/x"), lit("2024-02-01T00:00:00Z"),
+      lit("<urn:orig>"), lit("https://o/x"), lit("sha1:QQQ")).as("rec")),
+      s"$out/gz")
+    val row = WarcGzip.read(spark, s"$out/gz")
+      .select("warc_type", "refers_to", "payload_digest").head()
+    assert((row.getString(0), row.getString(1), row.getString(2)) ===
+      (("revisit", "<urn:orig>", "sha1:QQQ")))
+  }
+
   test("gzip read agrees with the uncompressed lite reader on marker-safe corpora") {
     // same synthesized records through BOTH paths: the lite text-split
     // reader over plain files and the member scanner over gzip — identical
