@@ -2408,6 +2408,41 @@ object EntryQueries {
                |  CASE WHEN doc_id % 8 = 0 THEN 'refers_to' ELSE 'digest' END AS matched_by
                |FROM documents WHERE doc_id % 4 = 0""".stripMargin)),
 
+    // X145: streaming offset compaction — maxFileAgeMs bounds checkpoint
+    // offsets on long-lived drop directories (Spark file-source maxFileAge
+    // semantics): a drop ALREADY older than the horizon at first listing
+    // is never read, a fresh drop is read exactly once. The fixture ages
+    // drop 1 two hours into the past against a one-hour horizon; the
+    // final collection replays in DuckDB as the fresh stratum only — it
+    // matches only if the watermark excluded the aged files AND the fresh
+    // files still ingested exactly once through the compacted offset.
+    ("x145_stream_compaction", (s: SparkSession, sfDir: String) => {
+      val out = tempDirCleanedOnExit("graft-x145-")
+      val root = tempDirCleanedOnExit("graft-x145c-")
+      val docs = docsFrame(s, sfDir)
+        .filter(col("id").cast("long") % 37 === 0)
+      def drop(n: Int, pred: org.apache.spark.sql.Column): Unit =
+        graft.sources.WarcGzip.writeGzip(
+          docs.filter(pred).select(graft.sources.Warc.formatResponse(
+            concat(lit("https://crawl.example/doc/"), col("id")),
+            lit("2024-01-01T00:00:00Z"), lit("text/plain"),
+            col("content")).as("rec")).repartition(2),
+          s"$out/drop$n")
+      drop(1, col("id").cast("long") % 74 === 0)
+      new java.io.File(s"$out/drop1").listFiles().foreach(
+        _.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000))
+      drop(2, col("id").cast("long") % 74 =!= 0)
+      val c = Collection(s, root, "compstream")
+      val stream = graft.sources.WarcGzip.readStream(
+          s, s"$out/drop*/part-*.warc.gz", maxFileAgeMs = Some(3600L * 1000))
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).as("id"),
+          col("body").as("content"))
+      val q = c.streamIngest(stream).start()
+      try q.processAllAvailable() finally q.stop()
+      c.docs().select(col("id"), md5(col("content")).as("h"))
+    }, Some(s"""SELECT $DocId AS id, md5(text) AS h
+               |FROM documents WHERE doc_id % 37 = 0 AND doc_id % 74 <> 0""".stripMargin)),
+
     // X130: the COMPOSED web-curation pipeline — the provenance-side
     // complement of x126's content-side chain: x124 URL canonicalization +
     // dedup (on the planted dup/tracking-param fixture) → x129 blocklist

@@ -79,6 +79,11 @@ private[sources] class WarcGzTable(options: CaseInsensitiveStringMap)
   }
   private val decodeBody =
     Option(options.get("decodeBody")).forall(_.toBoolean)
+  private val maxFileAgeMs = {
+    val a = Option(options.get("maxFileAgeMs")).map(_.toLong)
+    require(a.forall(_ > 0), "maxFileAgeMs must be > 0")
+    a
+  }
 
   override def name(): String = s"warcgz:$path"
   override def schema(): StructType = WarcGzTable.Schema
@@ -86,23 +91,26 @@ private[sources] class WarcGzTable(options: CaseInsensitiveStringMap)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcGzScanBuilder(path, splitBytes, decodeBody)
+    new WarcGzScanBuilder(path, splitBytes, decodeBody, maxFileAgeMs)
 }
 
 private[sources] class WarcGzScanBuilder(path: String, splitBytes: Long,
-                                         decodeBody: Boolean)
+                                         decodeBody: Boolean,
+                                         maxFileAgeMs: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = WarcGzTable.Schema
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new WarcGzScan(path, splitBytes, decodeBody, required)
+  override def build(): Scan =
+    new WarcGzScan(path, splitBytes, decodeBody, required, maxFileAgeMs)
 }
 
 private[sources] class WarcGzScan(path: String, splitBytes: Long,
                                   decodeBody: Boolean,
-                                  required: StructType) extends Scan with Batch {
+                                  required: StructType,
+                                  maxFileAgeMs: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -123,42 +131,72 @@ private[sources] class WarcGzScan(path: String, splitBytes: Long,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcGzMicroBatchStream(path, splitBytes, decodeBody, required)
+    new WarcGzMicroBatchStream(path, splitBytes, decodeBody, required,
+      maxFileAgeMs)
 }
 
 /** X140: streaming `.warc.gz` ingest — the DROP-DIRECTORY micro-batch
   * source over the member scanner: each trigger lists the path (file,
-  * dir, or glob), an offset is the set of (file, length) pairs seen so
-  * far, and a batch reads exactly the NEW files (planned into the same
-  * validated-member-scan ranges as the batch reader — splittable inside
-  * one trigger). Files are the archival drop convention: IMMUTABLE once
-  * present (a file is read at the length first observed; later growth is
-  * ignored) — the same contract as Spark's file stream source, which
-  * this mirrors for a format the text/binary sources cannot split.
-  * Offsets serialize as a JSON array of `"<length>:<path>"` strings, so
-  * a restarted query resumes from its checkpoint without re-reading.
+  * dir, or glob), an offset is the set of (file, length, mtime) triples
+  * seen so far, and a batch reads exactly the NEW files (planned into the
+  * same validated-member-scan ranges as the batch reader — splittable
+  * inside one trigger). Files are the archival drop convention: IMMUTABLE
+  * once present (a file is read at the length first observed; later
+  * growth is ignored) — the same contract as Spark's file stream source,
+  * which this mirrors for a format the text/binary sources cannot split.
+  * Offsets serialize as a JSON array of `"<length>:<mtime>:<path>"`
+  * strings (plus a `"w:<watermark>"` head when compaction is on), so a
+  * restarted query resumes from its checkpoint without re-reading.
+  *
+  * X145: `maxFileAgeMs` bounds offset growth — without it, a real
+  * crawl's millions of drop files would serialize into EVERY checkpoint
+  * offset forever. With it, files older than (newest listed mtime −
+  * maxFileAgeMs) roll out of the explicit list into the offset's
+  * WATERMARK: a listed file absent from the start offset is read only
+  * when its mtime is at or past the start watermark; older files are
+  * assumed already ingested (Spark file-source `maxFileAge` semantics —
+  * with its documented caveat that files already older than the horizon
+  * at first listing are never read). Under the drop convention (mtime =
+  * arrival time) this keeps exactly-once for the active window while the
+  * offset stays O(files-per-window).
   */
 private[sources] class WarcGzMicroBatchStream(
-    path: String, splitBytes: Long, decodeBody: Boolean, required: StructType)
+    path: String, splitBytes: Long, decodeBody: Boolean,
+    required: StructType, maxFileAgeMs: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private val hconf = SparkSession.active.sessionState.newHadoopConf()
   private val confThunk = Bridge.serializableConf(hconf)
 
-  private def listFiles(): Map[String, Long] =
-    WarcGzip.matchedFiles(hconf, path, allowMissing = true).toMap
-
   override def initialOffset(): Offset = WarcGzOffset(Map.empty)
-  override def latestOffset(): Offset = WarcGzOffset(listFiles())
+
+  override def latestOffset(): Offset = {
+    val all = WarcGzip.matchedFiles(hconf, path, allowMissing = true)
+    maxFileAgeMs match {
+      case Some(age) if all.nonEmpty =>
+        val wm = all.map(_._3).max - age
+        WarcGzOffset(
+          all.collect { case (f, l, m) if m >= wm => f -> ((l, m)) }.toMap, wm)
+      case _ =>
+        WarcGzOffset(all.map { case (f, l, m) => f -> ((l, m)) }.toMap)
+    }
+  }
+
   override def deserializeOffset(json: String): Offset = WarcGzOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[WarcGzOffset].files.keySet
+    val startOff = start.asInstanceOf[WarcGzOffset]
+    val seen = startOff.files.keySet
     val now = end.asInstanceOf[WarcGzOffset].files
-    val fresh = now.toSeq.filterNot { case (f, _) => seen.contains(f) }.sortBy(_._1)
+    // fresh = listed, not explicitly seen, and not past the start
+    // offset's compaction horizon (older mtime => assumed already
+    // ingested before its entry was rolled into the watermark)
+    val fresh = now.toSeq
+      .filterNot { case (f, (_, m)) => seen.contains(f) || m < startOff.watermark }
+      .sortBy(_._1).map { case (f, (l, _)) => f -> l }
     WarcGzip.splitRanges(fresh, splitBytes)
       .map { case (f, s, e) => WarcGzInputPartition(f, s, e): InputPartition }
       .toArray
@@ -168,13 +206,19 @@ private[sources] class WarcGzMicroBatchStream(
     WarcGzReaderFactory(confThunk, required.fieldNames, decodeBody)
 }
 
-/** The stream's position: every (file, length) pair already ingested. */
-private[graft] case class WarcGzOffset(files: Map[String, Long])
+/** The stream's position: every (file, (length, mtime)) not yet rolled
+  * into the compaction `watermark`; `Long.MinValue` = no compaction.
+  */
+private[graft] case class WarcGzOffset(files: Map[String, (Long, Long)],
+                                       watermark: Long = Long.MinValue)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String =
-    files.toSeq.sortBy(_._1).map { case (p, l) =>
-      "\"" + WarcGzOffset.esc(s"$l:$p") + "\""
-    }.mkString("[", ",", "]")
+  override def json(): String = {
+    val head =
+      if (watermark == Long.MinValue) Nil else Seq("\"w:" + watermark + "\"")
+    (head ++ files.toSeq.sortBy(_._1).map { case (p, (l, m)) =>
+      "\"" + WarcGzOffset.esc(s"$l:$m:$p") + "\""
+    }).mkString("[", ",", "]")
+  }
 }
 
 private[graft] object WarcGzOffset {
@@ -185,9 +229,14 @@ private[graft] object WarcGzOffset {
     case c => c.toString
   }
 
-  /** Parse [[WarcGzOffset.json]] output (a flat JSON string array). */
+  /** Parse [[WarcGzOffset.json]] output (a flat JSON string array).
+    * Accepts the pre-compaction 2-field `"<length>:<path>"` entries too
+    * (mtime 0, no watermark) — an old checkpoint resumes cleanly: with
+    * watermark MinValue no mtime comparison can ever skip a file.
+    */
   private[graft] def parse(json: String): WarcGzOffset = {
-    val out = Map.newBuilder[String, Long]
+    val out = Map.newBuilder[String, (Long, Long)]
+    var wm = Long.MinValue
     var i = 0
     val n = json.length
     while (i < n) {
@@ -206,11 +255,20 @@ private[graft] object WarcGzOffset {
         }
         i += 1
         val s = sb.toString
-        val sep = s.indexOf(':')
-        out += s.substring(sep + 1) -> s.substring(0, sep).toLong
+        if (s.startsWith("w:")) wm = s.substring(2).toLong
+        else {
+          val c1 = s.indexOf(':')
+          val c2 = s.indexOf(':', c1 + 1)
+          val mid = if (c2 > c1) s.substring(c1 + 1, c2) else ""
+          if (mid.nonEmpty && mid.forall(_.isDigit))
+            out += s.substring(c2 + 1) -> ((s.substring(0, c1).toLong, mid.toLong))
+          else // legacy "<length>:<path>" entry (paths are URIs — their
+               // scheme segment is never all-digits, so this is unambiguous)
+            out += s.substring(c1 + 1) -> ((s.substring(0, c1).toLong, 0L))
+        }
       } else i += 1
     }
-    WarcGzOffset(out.result())
+    WarcGzOffset(out.result(), wm)
   }
 }
 

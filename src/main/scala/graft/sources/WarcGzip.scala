@@ -129,16 +129,28 @@ object WarcGzip {
     * file stream source assumes), split and parsed by the same
     * validated-member scanner as the batch reader. Compose with
     * `Collection.streamIngest` or the [[graft.streaming]] operators.
+    *
+    * `maxFileAgeMs` bounds checkpoint-offset growth on long-lived drops:
+    * files older than (newest mtime − maxFileAgeMs) roll out of the
+    * offset's explicit file list into a watermark and are treated as
+    * already seen — Spark's own file source `maxFileAge` semantics,
+    * including its caveat: files already older than the horizon when
+    * first listed are never read. Unset (the default), every seen file
+    * stays in the offset forever — exact, but the offset JSON grows with
+    * the drop directory.
     */
   def readStream(spark: SparkSession, path: String,
                  splitBytes: Long = 128L * 1024 * 1024,
-                 decodeBody: Boolean = true): DataFrame = {
+                 decodeBody: Boolean = true,
+                 maxFileAgeMs: Option[Long] = None): DataFrame = {
     require(splitBytes > 0 && splitBytes <= (1L << 30),
       "splitBytes must be in (0, 1 GiB]")
-    spark.readStream.format(classOf[WarcGzTableProvider].getName)
+    require(maxFileAgeMs.forall(_ > 0), "maxFileAgeMs must be > 0")
+    val r = spark.readStream.format(classOf[WarcGzTableProvider].getName)
       .option("splitBytes", splitBytes.toString)
       .option("decodeBody", decodeBody.toString)
-      .load(path)
+    maxFileAgeMs.foreach(a => r.option("maxFileAgeMs", a.toString))
+    r.load(path)
   }
 
   /** X141: member index build — (target_uri, record_id, warc_type,
@@ -269,17 +281,19 @@ object WarcGzip {
       .toDF()
   }
 
-  /** The matched (file uri, length) pairs of a path — a file, directory,
-    * or glob; hidden/_ files skipped. ONE listing implementation for the
-    * batch planner and the streaming source (a divergence here would
-    * silently make batch and streaming ingest different file sets from
-    * the same drop directory). `allowMissing` is the streaming contract:
-    * a watched path that does not exist YET is an empty listing, not an
-    * error.
+  /** The matched (file uri, length, mtime) triples of a path — a file,
+    * directory, or glob; hidden/_ files skipped. ONE listing
+    * implementation for the batch planner and the streaming source (a
+    * divergence here would silently make batch and streaming ingest
+    * different file sets from the same drop directory). `allowMissing`
+    * is the streaming contract: a watched path that does not exist YET
+    * is an empty listing, not an error. The mtime is the streaming
+    * source's compaction horizon input (`maxFileAgeMs`); the batch
+    * planner ignores it.
     */
   private[sources] def matchedFiles(hconf: org.apache.hadoop.conf.Configuration,
                                     path: String,
-                                    allowMissing: Boolean = false): Seq[(String, Long)] = {
+                                    allowMissing: Boolean = false): Seq[(String, Long, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(hconf)
     val matched: Seq[FileStatus] = Option(fs.globStatus(p)) match {
@@ -294,7 +308,7 @@ object WarcGzip {
           f.isFile && !f.getPath.getName.startsWith("_") &&
             !f.getPath.getName.startsWith("."))
       else Seq(st)
-    }.map(st => st.getPath.toUri.toString -> st.getLen)
+    }.map(st => (st.getPath.toUri.toString, st.getLen, st.getModificationTime))
   }
 
   /** (file, start, end) scan ranges for explicit (file, length) pairs —
@@ -311,7 +325,8 @@ object WarcGzip {
   private[sources] def planSplits(hconf: org.apache.hadoop.conf.Configuration,
                                   path: String,
                                   splitBytes: Long): Seq[(String, Long, Long)] =
-    splitRanges(matchedFiles(hconf, path), splitBytes)
+    splitRanges(matchedFiles(hconf, path).map { case (f, l, _) => (f, l) },
+      splitBytes)
 
   // --- range scanning ------------------------------------------------------
 

@@ -618,8 +618,57 @@ class WarcGzipSpec extends AnyFunSuite {
     assert(batches.filter(_ > 0).toSeq === Seq(30L, 20L))
     // offset serialization roundtrips (incl. a path needing escapes)
     val off = graft.sources.WarcGzOffset(Map(
-      "file:/plain/a.warc.gz" -> 123L, "file:/we\"ird\\p\n.gz" -> 7L))
+      "file:/plain/a.warc.gz" -> ((123L, 111L)), "file:/we\"ird\\p\n.gz" -> ((7L, 222L))))
     assert(graft.sources.WarcGzOffset.parse(off.json()) === off)
+  }
+
+  test("offset compaction (maxFileAgeMs): horizon files never read, restart across the boundary") {
+    import graft.sources.WarcGzOffset
+    // watermarked offsets roundtrip; legacy 2-field entries still parse
+    val off = WarcGzOffset(Map(
+      "file:/a.gz" -> ((5L, 1000L)), "file:/b:c.gz" -> ((9L, 2000L))), 1500L)
+    assert(WarcGzOffset.parse(off.json()) === off)
+    assert(off.json().startsWith("[\"w:1500\""))
+    val legacy = WarcGzOffset.parse("[\"123:file:/plain/a.warc.gz\"]")
+    assert(legacy === WarcGzOffset(Map("file:/plain/a.warc.gz" -> ((123L, 0L)))))
+    assert(legacy.watermark === Long.MinValue)
+    // stream-level: a file already older than the horizon at first listing
+    // is never read (the documented Spark file-source maxFileAge caveat);
+    // fresh drops are; restart from the checkpoint does not re-read across
+    // the compaction boundary
+    val drop = tmp()
+    val ckpt = tmp()
+    def writeBatch(tag: String, ids: Range): Unit =
+      WarcGzip.writeGzip(
+        ids.map(i => (i, s"body $i")).toDF("i", "b")
+          .select(Warc.formatResponse(concat(lit("https://s/"), col("i")),
+            lit("2024-01-01T00:00:00Z"), lit("text/plain"), col("b")).as("rec"))
+          .coalesce(1),
+        s"$drop/$tag")
+    writeBatch("old", 1 to 5)
+    new java.io.File(s"$drop/old").listFiles().foreach(
+      _.setLastModified(System.currentTimeMillis() - 10L * 60 * 1000))
+    writeBatch("fresh", 6 to 9)
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    def run(): Unit = {
+      val q = WarcGzip.readStream(spark, s"$drop/*/part-*.warc.gz",
+          maxFileAgeMs = Some(60L * 1000))
+        .select("target_uri")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$ckpt/c")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= b.collect().map(_.getString(0)); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(got.sorted.toSeq === (6 to 9).map(i => s"https://s/$i").sorted,
+      "the past-horizon drop must never be read; the fresh one exactly once")
+    // restart with a NEW drop: only it is read — nothing re-reads across
+    // the checkpointed (compacted) offset
+    writeBatch("fresh2", 10 to 12)
+    run()
+    assert(got.sorted.toSeq === (6 to 12).map(i => s"https://s/$i").sorted)
   }
 
   test("index + fetch: CDX-style random access returns byte-identical records; bad pointers raise") {
