@@ -2443,6 +2443,55 @@ object EntryQueries {
     }, Some(s"""SELECT $DocId AS id, md5(text) AS h
                |FROM documents WHERE doc_id % 37 = 0 AND doc_id % 74 <> 0""".stripMargin)),
 
+    // X146: WAT metadata sidecar — the third leg of the CC product triple
+    // (WARC x135, WET x136, WAT here): an archive of HTML captures with
+    // residue-class head metadata (title absent on %5, canonical on %3) →
+    // toWat (head-metadata JSON as WARC metadata records, Refers-To naming
+    // the capture) → member-gzip roundtrip → fields parsed BACK out of the
+    // JSON payload. The oracle derives every field from the arithmetic:
+    // it matches only if extraction, the sparse-JSON convention (absent
+    // field = no key), the metadata record framing, and Refers-To
+    // plumbing all held through the write/read roundtrip.
+    ("x146_wat_metadata", (s: SparkSession, sfDir: String) => {
+      val out = tempDirCleanedOnExit("graft-x146-")
+      val docs = docsFrame(s, sfDir)
+        .select(col("id"), col("content"), col("id").cast("long").as("n"))
+      val title = when(col("n") % 5 =!= 0,
+        concat(lit("<title>Doc &amp; "), col("id"), lit("</title>")))
+        .otherwise(lit(""))
+      val canon = when(col("n") % 3 =!= 0,
+        concat(lit("<link rel=\"canonical\" href=\"https://canon.example/"),
+          col("id"), lit("\">"))).otherwise(lit(""))
+      val html = concat(lit("<html><head>"), title, canon,
+        lit("</head><body><p>"), col("content"), lit("</p></body></html>"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html)
+      val original = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://crawl.example/doc/"),
+        col("id"),
+        lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Record-ID: <urn:doc:"),
+        col("id"),
+        lit(">\r\nContent-Length: "), octet_length(http).cast("string"),
+        lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+      graft.sources.WarcGzip.writeGzip(
+        docs.select(original.as("rec")).repartition(4), s"$out/crawl")
+      graft.sources.WarcGzip.writeGzip(
+        CrawlPipeline.toWat(graft.sources.WarcGzip.read(s, s"$out/crawl"))
+          .repartition(4),
+        s"$out/wat")
+      graft.sources.WarcGzip.read(s, s"$out/wat")
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).as("id"),
+          col("warc_type"), col("content_type"), col("refers_to"),
+          get_json_object(col("body"), "$.title").as("title"),
+          get_json_object(col("body"), "$.canonical_url").as("canonical_url"))
+    }, Some(s"""SELECT $DocId AS id, 'metadata' AS warc_type,
+               |  'application/json' AS content_type,
+               |  '<urn:doc:' || $DocId || '>' AS refers_to,
+               |  CASE WHEN doc_id % 5 <> 0 THEN 'Doc & ' || $DocId END AS title,
+               |  CASE WHEN doc_id % 3 <> 0
+               |       THEN 'https://canon.example/' || $DocId END AS canonical_url
+               |FROM documents""".stripMargin)),
+
     // X130: the COMPOSED web-curation pipeline — the provenance-side
     // complement of x126's content-side chain: x124 URL canonicalization +
     // dedup (on the planted dup/tracking-param fixture) → x129 blocklist

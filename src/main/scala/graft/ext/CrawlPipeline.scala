@@ -241,6 +241,31 @@ object CrawlPipeline {
           .when(col("__od").isNotNull, lit("digest")).as("matched_by"))
   }
 
+  /** X146: WAT-style metadata sidecar — one `application/json` WARC
+    * metadata record per response capture, carrying the X128b head
+    * metadata (title, canonical url, meta description, declared lang,
+    * robots directives), `WARC-Refers-To` naming the described capture
+    * when it has a record id. Completes the CC product triple next to
+    * the WET conversion flow (x136): WARC (captures) / WAT (metadata) /
+    * WET (extracted text). Output is one record-string column — write
+    * with [[WarcGzip.writeGzip]]. NULL metadata fields are OMITTED from
+    * the JSON (`to_json`'s default — WAT's sparse convention: an absent
+    * title is no key, not `"title": null`). Zero-shuffle: extraction and
+    * formatting are one projection over the records scan.
+    */
+  def toWat(records: DataFrame): DataFrame = {
+    val resp = records
+      .filter(col("warc_type") === "response" && col("target_uri").isNotNull)
+      .select(col("target_uri"), col("warc_date"), col("record_id"),
+        col("body").as("html"))
+    Html.extractMetadata(resp)
+      .select(graft.sources.Warc.formatMetadata(
+        col("target_uri"), col("warc_date"),
+        to_json(struct(col("title"), col("canonical_url"),
+          col("meta_description"), col("declared_lang"), col("robots"))),
+        col("record_id")).as("rec"))
+  }
+
   /** Curated corpus → training layout: X18 sequence packing (pack_shard /
     * n_tokens / offset / bin under `budget`) joined with X31 shuffle
     * shards (shard / pos) — one row per surviving document, content

@@ -177,6 +177,31 @@ object Warc {
       octet_length(fields).cast("string"),
       lit("\r\n\r\n"), fields, lit("\r\n\r\n"))
 
+  /** Format a METADATA record — the WAT-style sidecar record (ISO 28500
+    * §6.6; Common Crawl's WAT files carry one `application/json` metadata
+    * record per capture, `WARC-Refers-To` naming the capture it
+    * describes). `json` is the payload verbatim (compose with
+    * `to_json(struct(...))` — see
+    * [[graft.ext.CrawlPipeline.toWat]] for the head-metadata product
+    * call); a NULL `refersTo` omits its header. Write through
+    * [[WarcGzip.writeGzip]] next to [[formatWarcinfo]]/
+    * [[formatConversion]] output for the CC product triple
+    * (WARC/WAT/WET).
+    */
+  def formatMetadata(uri: org.apache.spark.sql.Column,
+                     date: org.apache.spark.sql.Column,
+                     json: org.apache.spark.sql.Column,
+                     refersTo: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit(VersionMarker),
+      lit("WARC-Type: metadata\r\nWARC-Target-URI: "), uri,
+      lit("\r\nWARC-Date: "), date,
+      when(refersTo.isNull, lit(""))
+        .otherwise(concat(lit("\r\nWARC-Refers-To: "), refersTo)),
+      lit("\r\nContent-Type: application/json\r\nContent-Length: "),
+      octet_length(json).cast("string"),
+      lit("\r\n\r\n"), json, lit("\r\n\r\n"))
+
   /** Format a REVISIT record — the archival URL-dedup convention (ISO
     * 28500 §6.7.2, the `identical-payload-digest` profile Common Crawl
     * and Heritrix emit): when a crawler re-fetches a URL and the payload
