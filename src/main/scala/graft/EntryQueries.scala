@@ -269,8 +269,12 @@ object EntryQueries {
     * shared by x124 and x130 so the two entries (and their oracles' arm
     * arithmetic) cannot drift.
     */
-  private def dupUrlDocs(spark: SparkSession, sfDir: String): DataFrame = {
+  private def dupUrlDocs(spark: SparkSession, sfDir: String,
+                         pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    // pred filters on the NUMERIC doc_id (never a string cast — the
+    // x125b ANSI/self-join lesson)
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(pred)
       .select(col("doc_id").cast("string").as("id"),
         col("doc_id").cast("long").as("n"), col("text"))
     val url =
@@ -2006,12 +2010,18 @@ object EntryQueries {
       // re-run the whole upstream chain multiplicatively)
       def freeze(df: DataFrame): DataFrame =
         s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      // the base corpus halves to WHOLE n%5 blocks (doc_id % 10 < 5 ⟺
+      // floor(doc_id/5) even) — every URL-class stratum AND the url-dup
+      // pairs (5k, 5k+1 share a canonical) survive intact, the volume
+      // does not: the composition uniquely pins the SEAMS, not the row
+      // count, and this entry was the suite's most expensive
       val raw = s.read.parquet(s"$sfDir/documents.parquet")
-      val clones = raw.filter(col("doc_id") % 25 === 0)
+      val clones = raw.filter(col("doc_id") % 50 === 0)
         .select(concat(lit("dup"), col("doc_id").cast("string")).as("id"),
           concat(col("text"), lit(" zzextratoken")).as("content"),
           concat(lit("no-scheme-url-dup"), col("doc_id").cast("string")).as("url"))
-      val crawl = dupUrlDocs(s, sfDir).unionByName(clones)
+      val crawl = dupUrlDocs(s, sfDir, col("doc_id") % 10 < 5)
+        .unionByName(clones)
       val html = concat(
         lit("<html><body><h1>Crawl &amp; shard</h1><p>Subscribe now and like</p><p>"),
         col("content"), lit("</p><p>zzdocid "), col("id"),
@@ -2022,7 +2032,7 @@ object EntryQueries {
         lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
           "<html><body><p>truncated capture</p><p>zzdocid tr"),
         col("doc_id").cast("string"), lit("</p></body></html>"))
-      val truncRecs = raw.filter(col("doc_id") % 25 === 13)
+      val truncRecs = raw.filter(col("doc_id") % 50 === 13)
         .select(concat(
           lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://trunc.example/"),
           col("doc_id").cast("string"),
@@ -2605,7 +2615,10 @@ object EntryQueries {
       val raw = s.read.parquet(s"$sfDir/documents.parquet")
       val bench = raw.filter(col("source") === "src0")
         .select(col("doc_id").cast("string").as("id"), col("text").as("content"))
-      val train = raw.filter(col("source") =!= "src0")
+      // the train corpus halves (numeric residue, never a string cast) —
+      // all eight stage seams keep their plants (banner, subscribe line,
+      // clone pairs via %50, per-doc unique line); the x135 trim rationale
+      val train = raw.filter(col("source") =!= "src0" && col("doc_id") % 2 === 0)
       val base = train.select(col("doc_id").cast("string").as("id"), col("text"))
       val clones = train.filter(col("doc_id") % 25 === 0)
         .select(concat(lit("dup_"), col("doc_id").cast("string")).as("id"),
@@ -5284,10 +5297,11 @@ object EntryQueries {
     s"""WITH RECURSIVE c0 AS (
        |  SELECT id, '>>> *** <<<' || chr(10) || 'Subscribe to our newsletter today' || chr(10) ||
        |      t || chr(10) || 'unique token line ' || id AS c
-       |  FROM (SELECT $DocId AS id, text AS t FROM documents WHERE source <> 'src0'
+       |  FROM (SELECT $DocId AS id, text AS t FROM documents
+       |        WHERE source <> 'src0' AND doc_id % 2 = 0
        |        UNION ALL
        |        SELECT 'dup_' || $DocId, text || ' zzextratoken'
-       |        FROM documents WHERE source <> 'src0' AND doc_id % 25 = 0)),
+       |        FROM documents WHERE source <> 'src0' AND doc_id % 50 = 0)),
        | nf AS (SELECT id, replace(replace(translate(c,
        |      '${sqlQuote(graft.ext.TextStats.NormFoldFrom)}',
        |      '${sqlQuote(graft.ext.TextStats.NormFoldTo)}'),
@@ -5377,10 +5391,11 @@ object EntryQueries {
 
   private lazy val crawlToShardsOracleRaw: String =
     s"""WITH RECURSIVE c0 AS (
-       |  SELECT $DocId AS id, CAST(doc_id AS BIGINT) AS n, 0 AS grp, text AS body FROM documents
+       |  SELECT $DocId AS id, CAST(doc_id AS BIGINT) AS n, 0 AS grp, text AS body
+       |  FROM documents WHERE doc_id % 10 < 5
        |  UNION ALL
        |  SELECT 'dup' || $DocId, CAST(doc_id AS BIGINT), 1, text || ' zzextratoken'
-       |  FROM documents WHERE doc_id % 25 = 0),
+       |  FROM documents WHERE doc_id % 50 = 0),
        | ext AS (SELECT id, n, grp,
        |    'Crawl & shard' || chr(10) || 'Subscribe now and like' || chr(10) ||
        |      body || chr(10) || 'zzdocid ' || id AS c,
