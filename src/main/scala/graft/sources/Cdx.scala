@@ -301,12 +301,26 @@ object Cdx {
     val confThunk = Bridge.serializableConf(spark.sessionState.newHadoopConf())
     import spark.implicits._
     val root = path.stripSuffix("/")
+    // the secondary is a CLAIM like fetch pointers: a malformed line
+    // raises with its content, not an opaque encoder null-field (or, under
+    // ANSI, cast) error — hence the regex gate BEFORE any throwing cast
+    val offS = col("f").getItem(2)
+    val lenS = col("f").getItem(3)
+    val wellFormed = coalesce(
+      offS.rlike("^\\d+$") && lenS.rlike("^\\d+$"), lit(false))
     val idx = spark.read.text(root + "/cluster.idx")
       .filter(length(col("value")) > 0)
-      .select(split(col("value"), "\t").as("f"))
+      .select(col("value"), split(col("value"), "\t").as("f"))
       .select(col("f").getItem(0).as("key"), col("f").getItem(1).as("file"),
-        col("f").getItem(2).cast("long").as("offset"),
-        col("f").getItem(3).cast("long").as("length"))
+        when(!wellFormed,
+          raise_error(concat(lit("malformed cluster.idx line: "), col("value"))))
+          .otherwise(offS.cast("long")).as("offset"),
+        // the length cast hides behind the same gate: projection
+        // evaluation order is unspecified, and an ANSI cast failure here
+        // would preempt the offset projection's loud raise
+        when(!wellFormed,
+          raise_error(concat(lit("malformed cluster.idx line: "), col("value"))))
+          .otherwise(lenS.cast("long")).as("length"))
     // the range start: the last block key <= prefix (NULL when the prefix
     // precedes every block — then the first block is the start)
     val startKey = idx.filter(col("key") <= surtPrefix)

@@ -645,6 +645,51 @@ object ProbeScale {
     // `r18fetch` = X141's selectivity claim as numbers: index a 2M-member
     // archive once (header-only pass), then fetch a 1% stratum by
     // pointer vs re-scanning the whole archive.
+    // r19cdx (run with copies=400 → 2M records): the zipnum access-pattern
+    // probe — publish a 2M-line CDX index in the sharded layout, then show
+    // a host lookup reads a FEW BLOCKS' bytes, not the index: block-pruned
+    // bytes vs total index bytes, lookup wall time vs a full-scan filter,
+    // result equality as the correctness pin.
+    if (mode.contains("r19cdx")) {
+      import graft.sources.{Cdx, Warc, WarcGzip}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-r19cdx-").toString
+      val docs = r16SynthDocs()
+      WarcGzip.writeGzip(docs.select(Warc.formatResponse($"url",
+        lit("2024-01-01T00:00:00Z"), lit("text/plain"), $"content").as("rec")),
+        s"$tmp/gz")
+      time("cdx_zipnum_publish_2m_sec")(
+        Cdx.writeZipnum(Cdx.format(WarcGzip.index(spark, s"$tmp/gz")),
+          s"$tmp/zip"))
+      val zipDir = new java.io.File(s"$tmp/zip")
+      val totalGz = zipDir.listFiles()
+        .filter(_.getName.matches("cdx-\\d{5}\\.gz")).map(_.length).sum
+      val rows = scala.io.Source.fromFile(s"$tmp/zip/cluster.idx").getLines()
+        .map { l => val f = l.split("\t"); (f(0), f(1), f(2).toLong, f(3).toLong) }
+        .toVector
+      // a host prefix guaranteed present: the mid-cluster block's urlkey host
+      val prefix = rows(rows.length / 2)._1.takeWhile(_ != ')') + ")/"
+      println(s"PROBE   lookup prefix = $prefix")
+      // the covering blocks, by the lookup's own span arithmetic
+      val startKey = rows.map(_._1).filter(_ <= prefix)
+        .reduceOption((a, b) => if (a >= b) a else b)
+      val hi = prefix + "\uffff"
+      val cand = rows.filter(r => r._1 < hi && startKey.forall(r._1 >= _))
+      metrics += ("cdx_index_lines" -> 2000000L, "cdx_blocks_total" -> rows.size,
+        "cdx_total_gz_bytes" -> totalGz,
+        "cdx_blocks_read" -> cand.size,
+        "cdx_lookup_block_bytes" -> cand.map(_._4).sum)
+      println(s"PROBE   blocks ${cand.size}/${rows.size}, " +
+        s"bytes ${cand.map(_._4).sum}/$totalGz")
+      val n1 = time("cdx_lookup_sec")(
+        Cdx.lookup(spark, s"$tmp/zip", prefix).count())
+      val n2 = time("cdx_fullscan_filter_sec")(
+        Cdx.read(spark, s"$tmp/zip/cdx-*.gz")
+          .filter($"urlkey".startsWith(prefix)).count())
+      require(n1 == n2 && n1 > 0, s"lookup must equal the full-scan filter: $n1 vs $n2")
+      metrics += ("cdx_lookup_rows" -> n1)
+      writeOut(); return
+    }
+
     if (mode.contains("r18fetch")) {
       import graft.sources.{Warc, WarcGzip}
       val tmp = java.nio.file.Files.createTempDirectory("graft-r18fetch-").toString

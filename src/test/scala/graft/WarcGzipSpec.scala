@@ -957,6 +957,16 @@ class WarcGzipSpec extends AnyFunSuite {
     // a miss (before, between, after every key) matches nothing
     for (pfx <- Seq("aaa,nope)/", "example,bete)/", "zzz,nope)/"))
       assert(Cdx.lookup(spark, s"$out/zip", pfx).count() === 0L, s"miss $pfx")
+    // a malformed secondary line raises LOUDLY with its content (the
+    // fetch-pointer claim contract), not an opaque encoder error
+    val bad = tmp()
+    writeFile(bad, "cluster.idx",
+      "example,x)/ 20240101000000\tcdx-00000.gz\tnotanumber\t10\t1\n".getBytes("UTF-8"))
+    val ex = intercept[Exception] {
+      Cdx.lookup(spark, bad, "example,x)/").count()
+    }
+    val msg = ex.toString + Option(ex.getCause).map(_.toString).getOrElse("")
+    assert(msg.contains("malformed cluster.idx line"), msg)
   }
 
   test("revisit resolution: refers-to/digest arms, earliest-original ties, dangling pointers") {
