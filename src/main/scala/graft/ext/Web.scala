@@ -407,11 +407,13 @@ object Web {
     *   - `field: value` lines, `#` comments stripped, names case-folded;
     *   - a GROUP is one or more consecutive `User-agent` lines followed by
     *     its `Allow`/`Disallow` rules; rules before any group are ignored;
-    *   - group selection: when ANY group names `agent` exactly
-    *     (case-insensitive product token), only those groups apply;
-    *     otherwise the `*` groups — the RFC's most-specific-match rule
-    *     scoped to exact-token matching (substring UA matching is out of
-    *     contract, documented);
+    *   - group selection (RFC 9309 §2.2.1 most-specific match, the
+    *     googlebot rule): a group matches when its product token is a
+    *     case-insensitive PREFIX of `agent` (`googlebot` governs
+    *     `googlebot-news` unless a more specific group exists); among
+    *     matching groups only those with the LONGEST token apply (ties
+    *     combine — same token, split groups), and the `*` groups apply
+    *     only when no specific group matches;
     *   - an EMPTY `Disallow:` value means allow-everything and yields no
     *     rule; rule patterns must start with `/` or `*` (RFC 9309's
     *     path-pattern grammar) — anything else is malformed and dropped;
@@ -463,19 +465,24 @@ object Web {
       .withColumn("__g", sum(
         (isUa && !coalesce(lag(isUa, 1).over(w), lit(false))).cast("long")).over(w))
       .filter(col("__g") > 0) // rules before any group: ignored
+    // a group's match strength = the longest of its product tokens that
+    // PREFIX-matches the agent (NULL when none; empty tokens are
+    // malformed and never match — startsWith("") would match everything)
     val groups = grouped.groupBy(col("__host"), col("__g"))
       .agg(
-        max(when(isUa && lower(col("__value")) === agentLc, true)
-          .otherwise(false)).as("__agent_hit"),
+        max(when(isUa && col("__value") =!= "*" && length(col("__value")) > 0
+            && lit(agentLc).startsWith(lower(col("__value"))),
+          length(col("__value")))).as("__spec_len"),
         max(when(isUa && col("__value") === "*", true)
           .otherwise(false)).as("__star_hit"))
-    val hostHasSpecific = groups.groupBy(col("__host"))
-      .agg(max(col("__agent_hit")).as("__has_specific"))
+    val hostBest = groups.groupBy(col("__host"))
+      .agg(max(col("__spec_len")).as("__best_len"))
     grouped.filter(!isUa &&
         (col("__value").startsWith("/") || col("__value").startsWith("*")))
       .join(groups, Seq("__host", "__g"))
-      .join(hostHasSpecific, Seq("__host"))
-      .filter(when(col("__has_specific"), col("__agent_hit"))
+      .join(hostBest, Seq("__host"))
+      .filter(when(col("__best_len").isNotNull,
+          col("__spec_len") === col("__best_len"))
         .otherwise(col("__star_hit")))
       .select(col("__host").as("host"), col("__field").as("rule"),
         col("__value").as("path_prefix"))

@@ -4011,6 +4011,24 @@ class ExtSpec extends AnyFunSuite {
     val perHost = Web.robotsRules(dup, agent = "graftbot")
       .filter(col("host") === "b.example").count()
     assert(perHost === 1L)
+    // RFC 9309 §2.2.1 most-specific agent selection: prefix-matching
+    // product tokens, longest wins, star only when nothing matches
+    val tiered = Seq(("https://t.example/robots.txt",
+      "User-agent: graftbot\nDisallow: /g/\n" +
+        "User-agent: graftbot-news\nDisallow: /n/\n" +
+        "User-agent: *\nDisallow: /s/\n" +
+        "User-agent:\nDisallow: /empty-token-never-matches/"))
+      .toDF("url", "content")
+    def rulesFor(agent: String) =
+      Web.robotsRules(tiered, agent = agent)
+        .select("path_prefix").as[String].collect().toSet
+    // the longest matching token governs, not every matching one
+    assert(rulesFor("graftbot-news") === Set("/n/"))
+    // a sub-product falls back to its prefix group (googlebot-image rule)
+    assert(rulesFor("graftbot-image") === Set("/g/"))
+    // a SHORTER agent does not match a longer token; star applies
+    assert(rulesFor("graft") === Set("/s/"))
+    assert(rulesFor("otherbot") === Set("/s/"))
   }
 
   test("dropDisallowed: longest-prefix wins, allow wins ties, missing host keeps") {
