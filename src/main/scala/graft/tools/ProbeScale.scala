@@ -645,6 +645,39 @@ object ProbeScale {
     // `r18fetch` = X141's selectivity claim as numbers: index a 2M-member
     // archive once (header-only pass), then fetch a 1% stratum by
     // pointer vs re-scanning the whole archive.
+    // r19robots (run with copies=400 → 2M docs): the wildcard-rule cost
+    // question — prefix rules ride the codegen'd startsWith arm, wildcard
+    // rules pay per-row regexp_like with per-row Pattern compilation
+    // (Spark's RLike has no non-foldable pattern cache). Same corpus, same
+    // 50k ruled hosts, prefix-only vs wildcard-heavy rule sets.
+    if (mode.contains("r19robots")) {
+      val docs = r16SynthDocs().persist()
+      println(s"PROBE   docs = ${docs.count()}")
+      def rulesFrom(content: String) = {
+        val r = graft.ext.Web.robotsRules(
+          spark.range(50000L).select(
+            concat(lit("https://www.host"), $"id".cast("string"),
+              lit(".com/robots.txt")).as("url"),
+            lit(content).as("content"))).persist()
+        r.count(); r
+      }
+      def gate(rules: org.apache.spark.sql.DataFrame): Long =
+        graft.ext.Web.dropDisallowed(docs, rules).count()
+      val prefixRules = rulesFrom("User-agent: *\nDisallow: /p/1\nAllow: /p/13")
+      gate(prefixRules) // steady-state warm-up (r17ops rationale)
+      val n1 = time("robots_gate_prefix_2m_sec")(gate(prefixRules))
+      val wildRules = rulesFrom(
+        "User-agent: *\nDisallow: /p/*1$\nAllow: /p/*13$\nDisallow: /*?sess=")
+      gate(wildRules)
+      val n2 = time("robots_gate_wildcard_2m_sec")(gate(wildRules))
+      println(s"PROBE   kept prefix=$n1 wildcard=$n2")
+      require(n1 > 0 && n1 < 2000000L && n2 > 0 && n2 < 2000000L,
+        s"both gates must drop some and keep some: $n1 / $n2")
+      metrics += ("kept_prefix" -> n1, "kept_wildcard" -> n2)
+      prefixRules.unpersist(); wildRules.unpersist(); docs.unpersist()
+      writeOut(); return
+    }
+
     // r19cdx (run with copies=400 → 2M records): the zipnum access-pattern
     // probe — publish a 2M-line CDX index in the sharded layout, then show
     // a host lookup reads a FEW BLOCKS' bytes, not the index: block-pruned
