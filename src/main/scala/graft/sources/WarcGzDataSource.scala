@@ -97,24 +97,60 @@ private[sources] class WarcGzTable(options: CaseInsensitiveStringMap)
 private[sources] class WarcGzScanBuilder(path: String, splitBytes: Long,
                                          decodeBody: Boolean,
                                          maxFileAgeMs: Option[Long])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+
   private var required: StructType = WarcGzTable.Schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** WARC-Type filters push INTO the record walk: a `warc_type =
+    * 'response'` read (the curateCrawl gate) skips request/metadata
+    * records before any slice/decode/body work — on a real mixed archive
+    * that is most of the records. EVERY filter is also returned as a
+    * post-scan filter (Spark re-applies it), so the pushdown can only
+    * skip work, never change results — the conservative DSv2 contract.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("warc_type", v: String) => v != null
+      case In("warc_type", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    filters // all re-applied post-scan: the gate only SKIPS, never decides
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  private def keepTypes: Option[Set[String]] = {
+    val sets = pushed.toSeq.map {
+      case EqualTo(_, v: String) => Set(v)
+      case In(_, vs) => vs.collect { case s: String => s }.toSet
+      case _ => Set.empty[String]
+    }
+    // several conjunctive filters intersect (WHERE t = 'a' AND t IN (...))
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
   override def build(): Scan =
-    new WarcGzScan(path, splitBytes, decodeBody, required, maxFileAgeMs)
+    new WarcGzScan(path, splitBytes, decodeBody, required, maxFileAgeMs,
+      keepTypes)
 }
 
 private[sources] class WarcGzScan(path: String, splitBytes: Long,
                                   decodeBody: Boolean,
                                   required: StructType,
-                                  maxFileAgeMs: Option[Long] = None) extends Scan with Batch {
+                                  maxFileAgeMs: Option[Long] = None,
+                                  keepTypes: Option[Set[String]] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"warcgz $path (splitBytes=$splitBytes, columns=${required.fieldNames.mkString(",")})"
+    s"warcgz $path (splitBytes=$splitBytes, columns=${required.fieldNames.mkString(",")}" +
+      keepTypes.map(t => s", keepTypes=${t.toSeq.sorted.mkString("|")}").getOrElse("") + ")"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
@@ -126,13 +162,13 @@ private[sources] class WarcGzScan(path: String, splitBytes: Long,
   override def createReaderFactory(): PartitionReaderFactory = {
     val confThunk = Bridge.serializableConf(
       SparkSession.active.sessionState.newHadoopConf())
-    WarcGzReaderFactory(confThunk, required.fieldNames, decodeBody)
+    WarcGzReaderFactory(confThunk, required.fieldNames, decodeBody, keepTypes)
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcGzMicroBatchStream(path, splitBytes, decodeBody, required,
-      maxFileAgeMs)
+      maxFileAgeMs, keepTypes)
 }
 
 /** X140: streaming `.warc.gz` ingest — the DROP-DIRECTORY micro-batch
@@ -162,7 +198,8 @@ private[sources] class WarcGzScan(path: String, splitBytes: Long,
   */
 private[sources] class WarcGzMicroBatchStream(
     path: String, splitBytes: Long, decodeBody: Boolean,
-    required: StructType, maxFileAgeMs: Option[Long] = None)
+    required: StructType, maxFileAgeMs: Option[Long] = None,
+    keepTypes: Option[Set[String]] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -203,7 +240,7 @@ private[sources] class WarcGzMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    WarcGzReaderFactory(confThunk, required.fieldNames, decodeBody)
+    WarcGzReaderFactory(confThunk, required.fieldNames, decodeBody, keepTypes)
 }
 
 /** The stream's position: every (file, (length, mtime)) not yet rolled
@@ -278,7 +315,8 @@ private[sources] case class WarcGzInputPartition(file: String, start: Long, end:
 private[sources] case class WarcGzReaderFactory(
     confThunk: () => org.apache.hadoop.conf.Configuration,
     columns: Array[String],
-    decodeBody: Boolean) extends PartitionReaderFactory {
+    decodeBody: Boolean,
+    keepTypes: Option[Set[String]] = None) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WarcGzInputPartition]
@@ -289,7 +327,8 @@ private[sources] case class WarcGzReaderFactory(
       // body_decoded is only knowable by decoding — projecting it forces
       // the byte path even when body/body_bytes are pruned away
       needBodyBytes = cols.contains("body_bytes") || cols.contains("body_decoded"),
-      decodeBody = decodeBody)
+      decodeBody = decodeBody,
+      keepTypes = keepTypes.orNull)
     new PartitionReader[InternalRow] {
       private var current: WarcGzip.GzRecord = _
       override def next(): Boolean =

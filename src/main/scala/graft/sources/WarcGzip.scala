@@ -391,7 +391,8 @@ object WarcGzip {
                                  needRecord: Boolean = true,
                                  needBody: Boolean = true,
                                  needBodyBytes: Boolean = true,
-                                 decodeBody: Boolean = true): Iterator[GzRecord] = {
+                                 decodeBody: Boolean = true,
+                                 keepTypes: Set[String] = null): Iterator[GzRecord] = {
     val path = new Path(file)
     val fs = path.getFileSystem(conf)
     val fileLen = fs.getFileStatus(path).getLen
@@ -423,7 +424,7 @@ object WarcGzip {
       private var pos = start
       private var pending: Iterator[GzRecord] = Iterator.empty
       private var closed = false
-      private var records = 0L
+      private var warcMembers = 0L
       private var nonWarcAtFileStart = false
       private def close(): Unit = if (!closed) {
         closed = true
@@ -440,8 +441,11 @@ object WarcGzip {
                 // memberRecords, not a single parse: a whole-file-gzip
                 // archive is ONE member holding EVERY record
                 val rs = memberRecords(rec, needRecord, needBody,
-                  needBodyBytes, decoder, file, pos, memberLen)
-                records += rs.length
+                  needBodyBytes, decoder, file, pos, memberLen, keepTypes)
+                // the fail-loud evidence counter counts WARC MEMBERS, not
+                // emitted rows: a pushed type filter skipping every record
+                // of a legitimate file must not fabricate format evidence
+                warcMembers += 1
                 pending = rs.iterator
                 pos += memberLen
               case MemberNonWarc(memberLen) =>
@@ -458,7 +462,7 @@ object WarcGzip {
         }
         if (!pending.hasNext) {
           close()
-          if (records == 0L && nonWarcAtFileStart)
+          if (warcMembers == 0L && nonWarcAtFileStart)
             throw new IllegalStateException(
               s"$file is not member-gzip WARC: its first gzip member is " +
                 "valid but its payload does not start with a 'WARC/1.x' " +
@@ -638,18 +642,19 @@ object WarcGzip {
                                      needBodyBytes: Boolean,
                                      decoder: BodyDecoder,
                                      file: String, offset: Long,
-                                     memberLen: Long): Seq[GzRecord] = {
+                                     memberLen: Long,
+                                     keepTypes: Set[String] = null): Seq[GzRecord] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[GzRecord]
     var p = 0
     var more = true
     while (more) {
       val hdrEnd = indexOfCrlfCrlf(data, p, data.length)
       val hdrs =
-        if (hdrEnd < 0) null
+        if (hdrEnd < 0) // truncated: ALL headers — decode them for the walk
+          unfold(new String(data, p, data.length - p, Utf8))
         else unfold(new String(data, p, hdrEnd - p, Utf8))
       val cl: Long =
-        if (hdrs == null) -1L
-        else header(hdrs, "Content-Length")
+        header(hdrs, "Content-Length")
           .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(-1L)
       // next record start: past the framed payload + inter-record CRLFCRLF,
       // and only when a version line actually begins there. cl is bounded
@@ -664,14 +669,25 @@ object WarcGzip {
           if (nx <= p || nx >= data.length || versionLineLength(data, nx.toInt) < 0) -1
           else nx.toInt
         }
-      val slice =
-        if (p == 0 && next < 0) data
-        else java.util.Arrays.copyOfRange(data, p, if (next < 0) data.length else next)
-      out += parseMemberRecord(slice, needRecord, needBody, needBodyBytes,
-        decoder, file, offset, memberLen,
-        hdrEndHint = if (hdrEnd < 0) -1 else hdrEnd - p,
-        warcHeadersHint = hdrs,
-        contentLengthHint = cl)
+      // pushed WARC-Type gate (the DSv2 filter hook): a record whose type
+      // does not match is skipped BEFORE any slice/decode/body work — on a
+      // real mixed archive (request+response+metadata per capture) a
+      // response-only read never touches the other records' payloads. The
+      // walk above still advances by Content-Length regardless. A NULL
+      // type never matches (SQL equality semantics; Spark re-applies the
+      // filter post-scan anyway — this gate only SKIPS work).
+      val keep = keepTypes == null ||
+        header(hdrs, "WARC-Type").exists(keepTypes.contains)
+      if (keep) {
+        val slice =
+          if (p == 0 && next < 0) data
+          else java.util.Arrays.copyOfRange(data, p, if (next < 0) data.length else next)
+        out += parseMemberRecord(slice, needRecord, needBody, needBodyBytes,
+          decoder, file, offset, memberLen,
+          hdrEndHint = if (hdrEnd < 0) -1 else hdrEnd - p,
+          warcHeadersHint = hdrs,
+          contentLengthHint = cl)
+      }
       if (next < 0) more = false else p = next
     }
     out.toSeq

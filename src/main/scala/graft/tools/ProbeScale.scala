@@ -678,6 +678,45 @@ object ProbeScale {
       writeOut(); return
     }
 
+    // r19push (run with copies=400 → 2M records): the WARC-Type pushdown
+    // payoff on the real CC record mix (response/request/metadata
+    // rotating): a response-only read should skip the other records
+    // before any body work.
+    if (mode.contains("r19push")) {
+      import graft.sources.WarcGzip
+      val tmp = java.nio.file.Files.createTempDirectory("graft-r19push-").toString
+      val docs = r16SynthDocs()
+      val t = when(pmod(xxhash64($"id", lit(9)), lit(3)) === 0, lit("response"))
+        .when(pmod(xxhash64($"id", lit(9)), lit(3)) === 1, lit("request"))
+        .otherwise(lit("metadata"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"), $"content")
+      val payload = when(t === "response", http)
+        .when(t === "request", lit("GET / HTTP/1.1\r\nHost: x\r\n\r\n"))
+        .otherwise(lit("{\"m\":1}"))
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: "), t,
+        lit("\r\nWARC-Target-URI: "), $"url",
+        lit("\r\nContent-Length: "), octet_length(payload).cast("string"),
+        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      WarcGzip.writeGzip(docs.select(rec.as("rec")), s"$tmp/mixed")
+      def readSum(filtered: Boolean) = {
+        val r = WarcGzip.read(spark, s"$tmp/mixed")
+        (if (filtered) r.filter($"warc_type" === "response") else r)
+          .agg(count(lit(1)), sum(length($"body"))).head()
+      }
+      readSum(false); readSum(true) // steady-state warm-ups
+      val full = time("gz_read_mixed_all_2m_sec")(readSum(false))
+      val resp = time("gz_read_mixed_response_only_2m_sec")(readSum(true))
+      require(full.getLong(0) == 2000000L, s"all records must parse: $full")
+      println(s"PROBE   responses = ${resp.getLong(0)}")
+      require(resp.getLong(0) > 600000L && resp.getLong(0) < 700000L,
+        s"~1/3 must be responses: $resp")
+      metrics += ("mixed_records" -> full.getLong(0),
+        "response_records" -> resp.getLong(0))
+      writeOut(); return
+    }
+
     // r19cdx (run with copies=400 → 2M records): the zipnum access-pattern
     // probe — publish a 2M-line CDX index in the sharded layout, then show
     // a host lookup reads a FEW BLOCKS' bytes, not the index: block-pruned

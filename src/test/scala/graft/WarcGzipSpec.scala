@@ -969,6 +969,62 @@ class WarcGzipSpec extends AnyFunSuite {
     assert(msg.contains("malformed cluster.idx line"), msg)
   }
 
+  test("DSv2 WARC-Type filter pushdown: skips non-matching records in the scan, plan shows it") {
+    val dir = tmp()
+    def rec(t: String, url: String, body: String): Array[Byte] = {
+      val payload =
+        if (t == "request") "GET / HTTP/1.1\r\nHost: x\r\n\r\n"
+        else s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n$body"
+      gzMember(rawRecord("WARC/1.0",
+        Seq("WARC-Type" -> t, "WARC-Target-URI" -> url),
+        payload.getBytes("UTF-8")))
+    }
+    // the real CC shape: request + response + metadata per capture
+    val members = (1 to 30).toArray.flatMap { i =>
+      rec("request", s"https://m/$i", "") ++
+        rec("response", s"https://m/$i", s"body $i") ++
+        rec("metadata", s"https://m/$i", "{}")
+    }
+    writeFile(dir, "mixed.warc.gz", members)
+    val filtered = WarcGzip.read(spark, s"$dir/mixed.warc.gz")
+      .filter(col("warc_type") === "response")
+    assert(filtered.count() === 30L)
+    assert(filtered.select("target_uri", "body").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ===
+      (1 to 30).map(i => (s"https://m/$i", s"body $i")).toSet)
+    // the scan's description carries the pushed type gate
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("keepTypes=response"), plan)
+    // IN-filters push too (set semantics)
+    val in2 = WarcGzip.read(spark, s"$dir/mixed.warc.gz")
+      .filter(col("warc_type").isin("response", "metadata"))
+    assert(in2.count() === 60L)
+    assert(in2.queryExecution.executedPlan.toString
+      .contains("keepTypes=metadata|response"))
+    // a filter matching NOTHING on a legitimate archive is an empty
+    // result — never the non-WARC fail-loud raise (members counted, not
+    // emitted rows)
+    assert(WarcGzip.read(spark, s"$dir/mixed.warc.gz")
+      .filter(col("warc_type") === "zzz").count() === 0L)
+    // the gate also walks whole-file-gzip members correctly: filtered-out
+    // records still advance the in-member walk by Content-Length
+    val whole = (1 to 10).map { i =>
+      val t = if (i % 2 == 0) "response" else "request"
+      val http =
+        if (t == "request") "GET / HTTP/1.1\r\n\r\n"
+        else s"HTTP/1.1 200 OK\r\n\r\nbody $i"
+      s"WARC/1.0\r\nWARC-Type: $t\r\nWARC-Target-URI: https://w/$i\r\n" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n$http\r\n\r\n"
+    }.mkString
+    val wdir = tmp()
+    writeFile(wdir, "whole.warc.gz", gzMember(whole.getBytes("UTF-8")))
+    val got = WarcGzip.read(spark, s"$wdir/whole.warc.gz")
+      .filter(col("warc_type") === "response")
+      .select(regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("int"))
+      .as[Int].collect().toSet
+    assert(got === (1 to 10).filter(_ % 2 == 0).toSet)
+  }
+
   test("revisit resolution: refers-to/digest arms, earliest-original ties, dangling pointers") {
     import graft.ext.CrawlPipeline
     val records = Seq(
