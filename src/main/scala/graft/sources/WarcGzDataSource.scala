@@ -107,17 +107,21 @@ private[sources] class WarcGzScanBuilder(path: String, splitBytes: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** WARC-Type filters push INTO the record walk: a `warc_type =
-    * 'response'` read (the curateCrawl gate) skips request/metadata
-    * records before any slice/decode/body work — on a real mixed archive
-    * that is most of the records. EVERY filter is also returned as a
-    * post-scan filter (Spark re-applies it), so the pushdown can only
-    * skip work, never change results — the conservative DSv2 contract.
+  /** WARC-Type and http_status filters push INTO the record walk: a
+    * `warc_type = 'response'` read skips request/metadata records before
+    * any slice/decode/body work — on a real mixed archive that is most
+    * of the records — and an `http_status IN (200)` read (curateCrawl's
+    * second gate) skips non-matching captures' body decode. EVERY filter
+    * is also returned as a post-scan filter (Spark re-applies it), so
+    * the pushdown can only skip work, never change results — the
+    * conservative DSv2 contract.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
       case EqualTo("warc_type", v: String) => v != null
       case In("warc_type", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+      case EqualTo("http_status", _: Integer) => true
+      case In("http_status", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[Integer])
       case _ => false
     }
     filters // all re-applied post-scan: the gate only SKIPS, never decides
@@ -125,32 +129,40 @@ private[sources] class WarcGzScanBuilder(path: String, splitBytes: Long,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  private def keepTypes: Option[Set[String]] = {
-    val sets = pushed.toSeq.map {
-      case EqualTo(_, v: String) => Set(v)
-      case In(_, vs) => vs.collect { case s: String => s }.toSet
-      case _ => Set.empty[String]
+  // several conjunctive filters on one column intersect
+  // (WHERE t = 'a' AND t IN (...))
+  private def gateSets[T](column: String, of: Any => Option[T]): Option[Set[T]] = {
+    val sets = pushed.toSeq.collect {
+      case EqualTo(`column`, v) => of(v).toSet
+      case In(`column`, vs) => vs.iterator.flatMap(of(_)).toSet
     }
-    // several conjunctive filters intersect (WHERE t = 'a' AND t IN (...))
     if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
 
+  private def keepTypes: Option[Set[String]] =
+    gateSets[String]("warc_type", { case s: String => Some(s); case _ => None })
+
+  private def keepStatuses: Option[Set[Int]] =
+    gateSets[Int]("http_status", { case i: Integer => Some(i.intValue); case _ => None })
+
   override def build(): Scan =
     new WarcGzScan(path, splitBytes, decodeBody, required, maxFileAgeMs,
-      keepTypes)
+      keepTypes, keepStatuses)
 }
 
 private[sources] class WarcGzScan(path: String, splitBytes: Long,
                                   decodeBody: Boolean,
                                   required: StructType,
                                   maxFileAgeMs: Option[Long] = None,
-                                  keepTypes: Option[Set[String]] = None)
+                                  keepTypes: Option[Set[String]] = None,
+                                  keepStatuses: Option[Set[Int]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"warcgz $path (splitBytes=$splitBytes, columns=${required.fieldNames.mkString(",")}" +
-      keepTypes.map(t => s", keepTypes=${t.toSeq.sorted.mkString("|")}").getOrElse("") + ")"
+      keepTypes.map(t => s", keepTypes=${t.toSeq.sorted.mkString("|")}").getOrElse("") +
+      keepStatuses.map(t => s", keepStatuses=${t.toSeq.sorted.mkString("|")}").getOrElse("") + ")"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
@@ -162,13 +174,14 @@ private[sources] class WarcGzScan(path: String, splitBytes: Long,
   override def createReaderFactory(): PartitionReaderFactory = {
     val confThunk = Bridge.serializableConf(
       SparkSession.active.sessionState.newHadoopConf())
-    WarcGzReaderFactory(confThunk, required.fieldNames, decodeBody, keepTypes)
+    WarcGzReaderFactory(confThunk, required.fieldNames, decodeBody,
+      keepTypes, keepStatuses)
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcGzMicroBatchStream(path, splitBytes, decodeBody, required,
-      maxFileAgeMs, keepTypes)
+      maxFileAgeMs, keepTypes, keepStatuses)
 }
 
 /** X140: streaming `.warc.gz` ingest — the DROP-DIRECTORY micro-batch
@@ -199,7 +212,8 @@ private[sources] class WarcGzScan(path: String, splitBytes: Long,
 private[sources] class WarcGzMicroBatchStream(
     path: String, splitBytes: Long, decodeBody: Boolean,
     required: StructType, maxFileAgeMs: Option[Long] = None,
-    keepTypes: Option[Set[String]] = None)
+    keepTypes: Option[Set[String]] = None,
+    keepStatuses: Option[Set[Int]] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -240,7 +254,8 @@ private[sources] class WarcGzMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    WarcGzReaderFactory(confThunk, required.fieldNames, decodeBody, keepTypes)
+    WarcGzReaderFactory(confThunk, required.fieldNames, decodeBody,
+      keepTypes, keepStatuses)
 }
 
 /** The stream's position: every (file, (length, mtime)) not yet rolled
@@ -316,7 +331,8 @@ private[sources] case class WarcGzReaderFactory(
     confThunk: () => org.apache.hadoop.conf.Configuration,
     columns: Array[String],
     decodeBody: Boolean,
-    keepTypes: Option[Set[String]] = None) extends PartitionReaderFactory {
+    keepTypes: Option[Set[String]] = None,
+    keepStatuses: Option[Set[Int]] = None) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WarcGzInputPartition]
@@ -328,7 +344,8 @@ private[sources] case class WarcGzReaderFactory(
       // the byte path even when body/body_bytes are pruned away
       needBodyBytes = cols.contains("body_bytes") || cols.contains("body_decoded"),
       decodeBody = decodeBody,
-      keepTypes = keepTypes.orNull)
+      keepTypes = keepTypes.orNull,
+      keepStatuses = keepStatuses.orNull)
     new PartitionReader[InternalRow] {
       private var current: WarcGzip.GzRecord = _
       override def next(): Boolean =

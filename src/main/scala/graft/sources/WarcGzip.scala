@@ -392,7 +392,8 @@ object WarcGzip {
                                  needBody: Boolean = true,
                                  needBodyBytes: Boolean = true,
                                  decodeBody: Boolean = true,
-                                 keepTypes: Set[String] = null): Iterator[GzRecord] = {
+                                 keepTypes: Set[String] = null,
+                                 keepStatuses: Set[Int] = null): Iterator[GzRecord] = {
     val path = new Path(file)
     val fs = path.getFileSystem(conf)
     val fileLen = fs.getFileStatus(path).getLen
@@ -441,7 +442,8 @@ object WarcGzip {
                 // memberRecords, not a single parse: a whole-file-gzip
                 // archive is ONE member holding EVERY record
                 val rs = memberRecords(rec, needRecord, needBody,
-                  needBodyBytes, decoder, file, pos, memberLen, keepTypes)
+                  needBodyBytes, decoder, file, pos, memberLen, keepTypes,
+                  keepStatuses)
                 // the fail-loud evidence counter counts WARC MEMBERS, not
                 // emitted rows: a pushed type filter skipping every record
                 // of a legitimate file must not fabricate format evidence
@@ -643,7 +645,8 @@ object WarcGzip {
                                      decoder: BodyDecoder,
                                      file: String, offset: Long,
                                      memberLen: Long,
-                                     keepTypes: Set[String] = null): Seq[GzRecord] = {
+                                     keepTypes: Set[String] = null,
+                                     keepStatuses: Set[Int] = null): Seq[GzRecord] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[GzRecord]
     var p = 0
     var more = true
@@ -682,11 +685,13 @@ object WarcGzip {
         val slice =
           if (p == 0 && next < 0) data
           else java.util.Arrays.copyOfRange(data, p, if (next < 0) data.length else next)
-        out += parseMemberRecord(slice, needRecord, needBody, needBodyBytes,
+        val r = parseMemberRecord(slice, needRecord, needBody, needBodyBytes,
           decoder, file, offset, memberLen,
           hdrEndHint = if (hdrEnd < 0) -1 else hdrEnd - p,
           warcHeadersHint = hdrs,
-          contentLengthHint = cl)
+          contentLengthHint = cl,
+          keepStatuses = keepStatuses)
+        if (r != null) out += r
       }
       if (next < 0) more = false else p = next
     }
@@ -745,6 +750,10 @@ object WarcGzip {
     * real crawls store raw captures); a malformed encoding degrades to
     * the raw capture bytes, never an error.
     */
+  /** `keepStatuses` is the pushed http_status gate: a record whose
+    * status is absent or not in the set returns NULL (only possible when
+    * the gate is set — the fetch/default paths never pass one), skipping
+    * its body slice+decode; Spark re-applies the filter post-scan. */
   private[graft] def parseMemberRecord(rec: Array[Byte],
                                          needRecord: Boolean = true,
                                          needBody: Boolean = true,
@@ -755,7 +764,8 @@ object WarcGzip {
                                          length: Long = 0L,
                                          hdrEndHint: Int = -2,
                                          warcHeadersHint: String = null,
-                                         contentLengthHint: Long = -2L): GzRecord = {
+                                         contentLengthHint: Long = -2L,
+                                         keepStatuses: Set[Int] = null): GzRecord = {
     val recStr = if (needRecord) new String(rec, Utf8) else null
     val verLen = versionLineLength(rec)
     val version =
@@ -768,6 +778,7 @@ object WarcGzip {
       if (hdrEndHint != -2) hdrEndHint
       else indexOfCrlfCrlf(rec, 0, rec.length)
     if (hdrEnd < 0) { // truncated: all headers, no payload
+      if (keepStatuses != null) return null // no HTTP block => no status
       val hdrs =
         if (warcHeadersHint != null) warcHeadersHint
         else unfold(if (recStr != null) recStr else new String(rec, Utf8))
@@ -831,6 +842,10 @@ object WarcGzip {
           header(httpHeaders, "Content-Type"),
           httpEnd + 4, te, ce)
       } else (None, None, payloadStart, false, None)
+    // pushed http_status gate: skip BEFORE body work (a NULL status never
+    // matches — SQL equality semantics, re-checked post-scan anyway)
+    if (keepStatuses != null && !status.exists(keepStatuses.contains))
+      return null
     val (bodyBytes, decoded) =
       if (needBody || needBodyBytes) {
         val raw = java.util.Arrays.copyOfRange(

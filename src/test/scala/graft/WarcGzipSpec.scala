@@ -972,9 +972,11 @@ class WarcGzipSpec extends AnyFunSuite {
   test("DSv2 WARC-Type filter pushdown: skips non-matching records in the scan, plan shows it") {
     val dir = tmp()
     def rec(t: String, url: String, body: String): Array[Byte] = {
-      val payload =
-        if (t == "request") "GET / HTTP/1.1\r\nHost: x\r\n\r\n"
-        else s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n$body"
+      val payload = t match {
+        case "request" => "GET / HTTP/1.1\r\nHost: x\r\n\r\n"
+        case "metadata" => "{\"m\": 1}" // no HTTP block => NULL status
+        case _ => s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n$body"
+      }
       gzMember(rawRecord("WARC/1.0",
         Seq("WARC-Type" -> t, "WARC-Target-URI" -> url),
         payload.getBytes("UTF-8")))
@@ -1006,6 +1008,23 @@ class WarcGzipSpec extends AnyFunSuite {
     // emitted rows)
     assert(WarcGzip.read(spark, s"$dir/mixed.warc.gz")
       .filter(col("warc_type") === "zzz").count() === 0L)
+    // http_status pushes the same way: NULL-status records (request,
+    // metadata — no HTTP block) are gated out scan-side, matching the
+    // post-scan SQL semantics exactly
+    val st = WarcGzip.read(spark, s"$dir/mixed.warc.gz")
+      .filter(col("http_status").isin(200, 301))
+    assert(st.count() === 30L)
+    assert(st.queryExecution.executedPlan.toString
+      .contains("keepStatuses=200|301"))
+    assert(WarcGzip.read(spark, s"$dir/mixed.warc.gz")
+      .filter(col("http_status") === 404).count() === 0L)
+    // both gates compose (the curateCrawl read shape)
+    val both = WarcGzip.read(spark, s"$dir/mixed.warc.gz")
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+    assert(both.count() === 30L)
+    val bothPlan = both.queryExecution.executedPlan.toString
+    assert(bothPlan.contains("keepTypes=response") &&
+      bothPlan.contains("keepStatuses=200"), bothPlan)
     // the gate also walks whole-file-gzip members correctly: filtered-out
     // records still advance the in-member walk by Content-Length
     val whole = (1 to 10).map { i =>
