@@ -191,12 +191,23 @@ object WarcGzip {
     * back NULL. `needRecord` defaults OFF — the full-record string is
     * the one output a fetch-by-pointer pipeline almost never reads, and
     * it doubles per-record decode cost.
+    *
+    * `subSplitBytes` lifts the parallelism floor off #files: pointers
+    * bucket by (file, offset range) instead of file alone, so a fetch
+    * concentrated in FEW files (one hot segment) spreads across tasks —
+    * each bucket still opens its file once and seeks forward, and
+    * duplicate pointers still collapse (same offset ⇒ same bucket). The
+    * default (512 MiB of archive span per bucket) sub-splits only
+    * CC-file-sized-and-up archives; pass `Long.MaxValue` for the strict
+    * one-task-per-file layout.
     */
   def fetch(spark: SparkSession, pointers: DataFrame,
             decodeBody: Boolean = true,
             needRecord: Boolean = false,
             needBody: Boolean = true,
-            needBodyBytes: Boolean = true): DataFrame = {
+            needBodyBytes: Boolean = true,
+            subSplitBytes: Long = 512L * 1024 * 1024): DataFrame = {
+    require(subSplitBytes > 0, "subSplitBytes must be > 0")
     val confThunk = Bridge.serializableConf(spark.sessionState.newHadoopConf())
     import spark.implicits._
     import org.apache.spark.sql.functions.{coalesce, col, concat, lit, raise_error, when}
@@ -217,7 +228,12 @@ object WarcGzip {
         col("offset").cast("long").as("offset"))
       .as[(String, Long)]
     ptrs
-      .repartition(org.apache.spark.sql.functions.col("file"))
+      // partition by (file, offset bucket): several buckets landing in one
+      // task stay correct — the per-partition (file, offset) sort keeps
+      // each file's pointers contiguous and forward-seeking
+      .repartition(org.apache.spark.sql.functions.col("file"),
+        (org.apache.spark.sql.functions.col("offset") / subSplitBytes)
+          .cast("long"))
       .sortWithinPartitions(
         org.apache.spark.sql.functions.col("file"),
         org.apache.spark.sql.functions.col("offset"))

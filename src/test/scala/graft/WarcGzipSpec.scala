@@ -691,6 +691,10 @@ class WarcGzipSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
     assert(shape(WarcGzip.fetch(spark, idx)) ===
       shape(WarcGzip.read(spark, s"$out/gz")))
+    // offset-range sub-splitting (parallelism above #files) returns the
+    // exact same rows — per-bucket tasks still seek forward per file
+    assert(shape(WarcGzip.fetch(spark, idx, subSplitBytes = 1L)) ===
+      shape(WarcGzip.read(spark, s"$out/gz")))
     // selective fetch: a filtered pointer frame returns exactly its rows
     val some = WarcGzip.fetch(spark,
       idx.filter(col("target_uri").rlike("/1?7$"))) // 7, 17
@@ -735,6 +739,9 @@ class WarcGzipSpec extends AnyFunSuite {
     // duplicate pointers collapse: all 25 index rows share ONE coordinate
     // pair — re-inflating per duplicate would be quadratic output
     assert(WarcGzip.fetch(spark, idx).count() === 25L)
+    // ... and still collapse under offset-range sub-splitting (same
+    // offset => same bucket => adjacent after the sort)
+    assert(WarcGzip.fetch(spark, idx, subSplitBytes = 1L).count() === 25L)
   }
 
   test("multi-member gzip Content-Encoding bodies decode whole; trailing junk tolerated") {
