@@ -4029,6 +4029,18 @@ class ExtSpec extends AnyFunSuite {
     // a SHORTER agent does not match a longer token; star applies
     assert(rulesFor("graft") === Set("/s/"))
     assert(rulesFor("otherbot") === Set("/s/"))
+    // ties COMBINE: two separate groups naming the same token both apply
+    // (RFC 9309: matching groups' rules merge), and a bare 'Disallow: *'
+    // survives the parser as a wildcard rule
+    val split = Seq(("https://u.example/robots.txt",
+      "User-agent: graftbot\nDisallow: /a/\n\n" +
+        "User-agent: other\nDisallow: *\n\n" +
+        "User-agent: graftbot\nDisallow: /b/"))
+      .toDF("url", "content")
+    assert(Web.robotsRules(split, agent = "graftbot")
+      .select("path_prefix").as[String].collect().toSet === Set("/a/", "/b/"))
+    assert(Web.robotsRules(split, agent = "other")
+      .select("path_prefix").as[String].collect().toSet === Set("*"))
   }
 
   test("dropDisallowed: longest-prefix wins, allow wins ties, missing host keeps") {
