@@ -40,12 +40,15 @@ object Warc {
   val VersionMarker = "WARC/1.0\r\n"
 
   /** Read an uncompressed WARC stream into parsed records:
-    * (warc_type, target_uri, warc_date, record_id, http_status,
-    * content_type, body, record) — NULL for fields a record does not
-    * carry (a `warcinfo` record has no target URI; a `request` record's
-    * payload has no HTTP status line). `body` is the payload after the
-    * HTTP header block for records that have one (else the raw payload),
-    * with exactly one inter-record separator unit stripped.
+    * (warc_type, target_uri, warc_date, record_id, refers_to,
+    * payload_digest, http_status, content_type, body, record) — NULL for
+    * fields a record does not carry (a `warcinfo` record has no target
+    * URI; a `request` record's payload has no HTTP status line).
+    * `refers_to`/`payload_digest` make the frame composable with
+    * [[graft.ext.CrawlPipeline.resolveRevisits]], same as the gz
+    * reader's. `body` is the payload after the HTTP header block for
+    * records that have one (else the raw payload), with exactly one
+    * inter-record separator unit stripped.
     */
   def read(spark: SparkSession, path: String): DataFrame =
     // the text DATASOURCE carries the custom delimiter (lineSep accepts a
@@ -123,6 +126,8 @@ object Warc {
         warcHeader(col("__headers"), "WARC-Target-URI").as("target_uri"),
         warcHeader(col("__headers"), "WARC-Date").as("warc_date"),
         warcHeader(col("__headers"), "WARC-Record-ID").as("record_id"),
+        warcHeader(col("__headers"), "WARC-Refers-To").as("refers_to"),
+        warcHeader(col("__headers"), "WARC-Payload-Digest").as("payload_digest"),
         when(httpStatus0 === "", lit(null).cast("int"))
           .otherwise(httpStatus0.cast("int")).as("http_status"),
         // HTTP-block Content-Type when present, else the WARC-level header

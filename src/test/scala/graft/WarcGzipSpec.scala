@@ -1085,6 +1085,16 @@ class WarcGzipSpec extends AnyFunSuite {
       .select("warc_type", "refers_to", "payload_digest").head()
     assert((row.getString(0), row.getString(1), row.getString(2)) ===
       (("revisit", "<urn:orig>", "sha1:QQQ")))
+    // the LITE reader surfaces them too — resolveRevisits composes with
+    // either reader's frame
+    Seq(1).toDF("i").select(Warc.formatRevisit(
+      lit("https://m/x"), lit("2024-02-01T00:00:00Z"),
+      lit("<urn:orig>"), lit("https://o/x"), lit("sha1:QQQ")).as("value"))
+      .write.mode("overwrite").text(s"$out/lite")
+    val lite = Warc.read(spark, s"$out/lite")
+      .select("warc_type", "refers_to", "payload_digest").head()
+    assert((lite.getString(0), lite.getString(1), lite.getString(2)) ===
+      (("revisit", "<urn:orig>", "sha1:QQQ")))
   }
 
   test("gzip read agrees with the uncompressed lite reader on marker-safe corpora") {
