@@ -230,8 +230,13 @@ object WarcGzip {
     ptrs
       // partition by (file, offset bucket): several buckets landing in one
       // task stay correct — the per-partition (file, offset) sort keeps
-      // each file's pointers contiguous and forward-seeking
-      .repartition(org.apache.spark.sql.functions.col("file"),
+      // each file's pointers contiguous and forward-seeking. The partition
+      // COUNT is explicit: pointer rows are bytes but each one is a seek+
+      // inflate downstream, and AQE's small-shuffle coalescing would
+      // otherwise collapse the tiny pointer shuffle into ONE task
+      // (measured: a 100k-pointer hot-file fetch ran single-threaded)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        org.apache.spark.sql.functions.col("file"),
         (org.apache.spark.sql.functions.col("offset") / subSplitBytes)
           .cast("long"))
       .sortWithinPartitions(

@@ -717,6 +717,47 @@ object ProbeScale {
       writeOut(); return
     }
 
+    // r19hot (run with copies=400 → 2M records in ONE archive file): the
+    // fetch-parallelism corner — with pointers concentrated in one hot
+    // file, the old one-task-per-file layout serializes the whole fetch;
+    // offset-range sub-splitting spreads it across cores.
+    if (mode.contains("r19hot")) {
+      import graft.sources.{Warc, WarcGzip}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-r19hot-").toString
+      val docs = r16SynthDocs()
+      WarcGzip.writeGzip(docs.select(Warc.formatResponse($"url",
+        lit("2024-01-01T00:00:00Z"), lit("text/plain"), $"content").as("rec"))
+        .coalesce(1), s"$tmp/gz")
+      WarcGzip.index(spark, s"$tmp/gz")
+        .write.mode("overwrite").parquet(s"$tmp/idx")
+      val pointers = spark.read.parquet(s"$tmp/idx")
+        .filter(pmod(xxhash64($"target_uri"), lit(20)) === 0).persist()
+      val nPtrs = pointers.count()
+      println(s"PROBE   pointers = $nPtrs (one archive file)")
+      // diagnostic: the per-partition pointer distribution under fetch's
+      // sub-split repartitioning (must spread, not collapse — the
+      // explicit count is what defeats AQE's small-shuffle coalescing)
+      val sizes = pointers
+        .select($"file".cast("string").as("file"), $"offset".cast("long").as("offset"))
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          $"file", ($"offset" / lit(16L * 1024 * 1024)).cast("long"))
+        .mapPartitions(it => Iterator.single(it.size)).collect().sorted.filter(_ > 0)
+      println(s"PROBE   subsplit partition sizes: ${sizes.mkString(",")}")
+      metrics += ("subsplit_partitions" -> sizes.length)
+      def fetchSum(subSplit: Long) =
+        WarcGzip.fetch(spark, pointers, subSplitBytes = subSplit)
+          .agg(count(lit(1)), sum(length($"body"))).head()
+      fetchSum(Long.MaxValue); fetchSum(16L * 1024 * 1024) // warm-ups
+      val one = time("fetch_hot_one_task_sec")(fetchSum(Long.MaxValue))
+      val split = time("fetch_hot_subsplit_16m_sec")(fetchSum(16L * 1024 * 1024))
+      require(one.getLong(0) == nPtrs && split.getLong(0) == nPtrs &&
+        one.getLong(1) == split.getLong(1),
+        s"sub-split must return identical mass: $one vs $split")
+      metrics += ("hot_pointers" -> nPtrs)
+      pointers.unpersist()
+      writeOut(); return
+    }
+
     // r19cdx (run with copies=400 → 2M records): the zipnum access-pattern
     // probe — publish a 2M-line CDX index in the sharded layout, then show
     // a host lookup reads a FEW BLOCKS' bytes, not the index: block-pruned
