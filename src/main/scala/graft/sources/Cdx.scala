@@ -332,7 +332,11 @@ object Cdx {
       .select(col("file"), col("offset"), col("length"))
       .as[(String, Long, Long)]
     val lines = cands
-      .repartition(col("file"))
+      // explicit partition count: candidate rows are bytes but each one is
+      // a seek+read+gunzip of a whole block downstream — AQE's small-
+      // shuffle coalescing would collapse a broad (many-block) lookup
+      // into one task (the fetch lesson, BENCH_scale_400x_r19hot.json)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("file"))
       .sortWithinPartitions(col("file"), col("offset"))
       .mapPartitions { it =>
         val conf = confThunk()
