@@ -2418,6 +2418,36 @@ object EntryQueries {
                |  CASE WHEN doc_id % 8 = 0 THEN 'refers_to' ELSE 'digest' END AS matched_by
                |FROM documents WHERE doc_id % 4 = 0""".stripMargin)),
 
+    // X147: robots.txt directives beyond allow/disallow — the scheduler
+    // inputs a crawl pipeline reads: Sitemap (group-INDEPENDENT per
+    // sitemaps.org, planted before any group) and Crawl-delay
+    // (group-scoped: even hosts declare it in a graftbot-specific group,
+    // odd hosts in the star group — agent selection must pick each
+    // correctly). One host per doc_id%50 class; the oracle derives every
+    // row from the residue arithmetic.
+    ("x147_robots_directives", (s: SparkSession, sfDir: String) => {
+      val robotsDf = s.read.parquet(s"$sfDir/documents.parquet")
+        .select((col("doc_id") % 50).as("k")).distinct()
+        .select(
+          concat(lit("https://h"), col("k"), lit(".example/robots.txt")).as("url"),
+          concat(
+            lit("Sitemap: https://h"), col("k"), lit(".example/sm.xml\n"),
+            when(col("k") % 2 === 0,
+              concat(lit("User-agent: graftbot\nCrawl-delay: "),
+                (col("k") % 7 + 1).cast("string")))
+              .otherwise(concat(lit("User-agent: *\nCrawl-delay: "),
+                (col("k") % 5 + 1).cast("string")))).as("content"))
+      Web.robotsDirectives(robotsDf, agent = "graftbot")
+        .select(col("host"), col("field"), col("value"))
+    }, Some("""WITH ks AS (SELECT DISTINCT doc_id % 50 AS k FROM documents)
+              |SELECT 'h' || k || '.example' AS host, 'sitemap' AS field,
+              |       'https://h' || k || '.example/sm.xml' AS value FROM ks
+              |UNION ALL
+              |SELECT 'h' || k || '.example', 'crawl-delay',
+              |       CASE WHEN k % 2 = 0 THEN CAST(k % 7 + 1 AS VARCHAR)
+              |            ELSE CAST(k % 5 + 1 AS VARCHAR) END
+              |FROM ks""".stripMargin)),
+
     // X145: streaming offset compaction — maxFileAgeMs bounds checkpoint
     // offsets on long-lived drop directories (Spark file-source maxFileAge
     // semantics): a drop ALREADY older than the horizon at first listing

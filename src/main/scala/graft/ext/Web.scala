@@ -439,12 +439,27 @@ object Web {
     */
   def robotsRules(robots: DataFrame, agent: String = "*",
                   urlCol: String = "url",
-                  contentCol: String = "content"): DataFrame = {
-    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+                  contentCol: String = "content"): DataFrame =
+    selectedGroupRows(
+      robotsLineFrame(robots, urlCol, contentCol,
+        Seq("user-agent", "allow", "disallow")),
+      agent.toLowerCase(java.util.Locale.ROOT))
+      .filter(col("__value").startsWith("/") || col("__value").startsWith("*"))
+      .select(col("__host").as("host"), col("__field").as("rule"),
+        col("__value").as("path_prefix"))
+      .distinct()
+
+  /** The shared robots.txt line parse: one deterministic capture per host
+    * (the (md5(url), url, md5(content)) rank), exploded to
+    * (__host, __pos, __field, __value) rows — comments stripped, field
+    * names lowercased, restricted to `fields`. */
+  private def robotsLineFrame(robots: DataFrame, urlCol: String,
+                              contentCol: String,
+                              fields: Seq[String]): DataFrame = {
     val one = Window.partitionBy(col("__host")).orderBy(
       md5(col(urlCol)), col(urlCol),
       md5(coalesce(col(contentCol), lit(""))))
-    val lines = robots
+    robots
       .select(hostOf(col(urlCol)).as("__host"), col(urlCol), col(contentCol))
       .filter(col("__host").isNotNull)
       .withColumn("__rn", row_number().over(one))
@@ -456,7 +471,17 @@ object Web {
       .select(col("__host"), col("__pos"),
         lower(trim(regexp_extract(col("__line"), "^([A-Za-z-]+)\\s*:", 1))).as("__field"),
         trim(regexp_extract(col("__line"), "^[A-Za-z-]+\\s*:(.*)$", 1)).as("__value"))
-      .filter(col("__field").isin("user-agent", "allow", "disallow"))
+      .filter(col("__field").isin(fields: _*))
+  }
+
+  /** The shared RFC 9309 §2.2.1 group selection over a
+    * [[robotsLineFrame]] (which must include the `user-agent` lines):
+    * groups of consecutive UA heads + their following rows, a group's
+    * match strength = the longest product token that PREFIX-matches the
+    * agent, longest wins (ties combine), `*` groups only when no
+    * specific group matches. Returns the SELECTED groups' non-UA rows.
+    */
+  private def selectedGroupRows(lines: DataFrame, agentLc: String): DataFrame = {
     val w = Window.partitionBy(col("__host")).orderBy(col("__pos"))
     val isUa = col("__field") === "user-agent"
     val grouped = lines
@@ -464,7 +489,7 @@ object Web {
       // user-agent line (consecutive UA lines share one group head)
       .withColumn("__g", sum(
         (isUa && !coalesce(lag(isUa, 1).over(w), lit(false))).cast("long")).over(w))
-      .filter(col("__g") > 0) // rules before any group: ignored
+      .filter(col("__g") > 0) // rows before any group: ignored
     // a group's match strength = the longest of its product tokens that
     // PREFIX-matches the agent (NULL when none; empty tokens are
     // malformed and never match — startsWith("") would match everything)
@@ -477,16 +502,45 @@ object Web {
           .otherwise(false)).as("__star_hit"))
     val hostBest = groups.groupBy(col("__host"))
       .agg(max(col("__spec_len")).as("__best_len"))
-    grouped.filter(!isUa &&
-        (col("__value").startsWith("/") || col("__value").startsWith("*")))
+    grouped.filter(!isUa)
       .join(groups, Seq("__host", "__g"))
       .join(hostBest, Seq("__host"))
       .filter(when(col("__best_len").isNotNull,
           col("__spec_len") === col("__best_len"))
         .otherwise(col("__star_hit")))
-      .select(col("__host").as("host"), col("__field").as("rule"),
-        col("__value").as("path_prefix"))
-      .distinct()
+  }
+
+  /** X147: the robots.txt directives BEYOND allow/disallow that a crawl
+    * pipeline consumes — (host, field, value) rows:
+    *   - `sitemap`: GROUP-INDEPENDENT per the sitemaps.org protocol (a
+    *     Sitemap line applies regardless of user-agent, and commonly
+    *     appears before any group) — every non-empty Sitemap value of
+    *     the host's robots.txt, verbatim (absolute URLs by contract;
+    *     this parser does not resolve relative ones);
+    *   - `crawl-delay`: GROUP-SCOPED (the de-facto extension Bing/Yandex
+    *     honor) — only values from the groups [[robotsRules]]'s agent
+    *     selection picks, so the delay you read is the delay that
+    *     governs the agent you crawl as.
+    * Same deterministic per-host capture pick and comment stripping as
+    * [[robotsRules]]; same per-host-small output (broadcastable next to
+    * the rules frame into a scheduler).
+    */
+  def robotsDirectives(robots: DataFrame, agent: String = "*",
+                       urlCol: String = "url",
+                       contentCol: String = "content"): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val sitemaps = robotsLineFrame(robots, urlCol, contentCol, Seq("sitemap"))
+      .filter(col("__value") =!= "")
+      .select(col("__host").as("host"), lit("sitemap").as("field"),
+        col("__value").as("value"))
+    val delays = selectedGroupRows(
+      robotsLineFrame(robots, urlCol, contentCol,
+        Seq("user-agent", "crawl-delay")),
+      agentLc)
+      .filter(col("__field") === "crawl-delay" && col("__value") =!= "")
+      .select(col("__host").as("host"), lit("crawl-delay").as("field"),
+        col("__value").as("value"))
+    sitemaps.unionByName(delays).distinct()
   }
 
   /** X139: drop documents a host's robots.txt disallows for the crawled

@@ -4043,6 +4043,32 @@ class ExtSpec extends AnyFunSuite {
       .select("path_prefix").as[String].collect().toSet === Set("*"))
   }
 
+  test("robotsDirectives: group-independent sitemaps, agent-scoped crawl-delay") {
+    import graft.ext.Web
+    val robots = Seq(
+      ("https://a.example/robots.txt",
+        "Sitemap: https://a.example/sm0.xml\n" + // before any group: still applies
+          "User-agent: graftbot\nCrawl-delay: 2\nDisallow: /x/\n" +
+          "User-agent: *\nCrawl-delay: 10\n" +
+          "Sitemap: https://a.example/sm1.xml"), // inside a group: still global
+      ("https://b.example/robots.txt",
+        "User-agent: *\nCrawl-delay: 7 # trailing comment"),
+      ("https://c.example/robots.txt",
+        "User-agent: otherbot\nCrawl-delay: 99") // unselected group: no delay
+    ).toDF("url", "content")
+    val d = Web.robotsDirectives(robots, agent = "graftbot").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(d === Set(
+      ("a.example", "sitemap", "https://a.example/sm0.xml"),
+      ("a.example", "sitemap", "https://a.example/sm1.xml"),
+      ("a.example", "crawl-delay", "2"), // the SPECIFIC group's, not star's
+      ("b.example", "crawl-delay", "7")))
+    // the rules path is unchanged by the shared-parse refactor
+    assert(Web.robotsRules(robots, agent = "graftbot").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet ===
+      Set(("a.example", "disallow", "/x/")))
+  }
+
   test("dropDisallowed: longest-prefix wins, allow wins ties, missing host keeps") {
     import graft.ext.Web
     val rules = Seq(
