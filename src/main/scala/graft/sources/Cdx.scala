@@ -298,6 +298,32 @@ object Cdx {
   def lookup(spark: SparkSession, path: String, surtPrefix: String,
              warcRoot: Option[String] = None): DataFrame = {
     require(surtPrefix.nonEmpty, "surtPrefix must be non-empty")
+    blockLines(spark, path, surtPrefix, surtPrefix + "\uffff", warcRoot)
+      .filter(col("urlkey").startsWith(surtPrefix))
+  }
+
+  /** X143: explicit key-RANGE lookup — entries with `fromKey <= urlkey <
+    * untilKey` (the pywb from/to access form; [[lookup]] is the
+    * prefix-shaped special case). Same block-pruned read: only gzip
+    * blocks whose key span can intersect the range decompress.
+    */
+  def lookupRange(spark: SparkSession, path: String,
+                  fromKey: String, untilKey: String,
+                  warcRoot: Option[String] = None): DataFrame = {
+    require(fromKey.nonEmpty && fromKey < untilKey,
+      "need a non-empty fromKey < untilKey")
+    blockLines(spark, path, fromKey, untilKey, warcRoot)
+      .filter(col("urlkey") >= fromKey && col("urlkey") < untilKey)
+  }
+
+  /** The shared block-pruned read behind [[lookup]]/[[lookupRange]]: the
+    * parsed entries of every cluster.idx block whose key span can
+    * intersect [loKey, hiKey) — callers re-apply their exact predicate
+    * (boundary blocks carry out-of-range neighbors).
+    */
+  private def blockLines(spark: SparkSession, path: String,
+                         loKey: String, hiKey: String,
+                         warcRoot: Option[String]): DataFrame = {
     val confThunk = Bridge.serializableConf(spark.sessionState.newHadoopConf())
     import spark.implicits._
     val root = path.stripSuffix("/")
@@ -321,13 +347,21 @@ object Cdx {
         when(!wellFormed,
           raise_error(concat(lit("malformed cluster.idx line: "), col("value"))))
           .otherwise(lenS.cast("long")).as("length"))
-    // the range start: the last block key <= prefix (NULL when the prefix
-    // precedes every block — then the first block is the start)
-    val startKey = idx.filter(col("key") <= surtPrefix)
+    // the range start: the last block key <= loKey (NULL when the range
+    // start precedes every block — then the first block is the start).
+    // Full-key compare is sound here: the first matching entry's block
+    // either IS that max block or starts past loKey entirely.
+    val startKey = idx.filter(col("key") <= loKey)
       .agg(max(col("key"))).head().getString(0)
-    val hi = surtPrefix + "\uffff"
+    // the range end compares the key's URLKEY part, not the full
+    // "urlkey timestamp" key: hiKey is urlkey-grained, and a block whose
+    // first entry is EXACTLY the range's last urlkey has full key
+    // "urlkey <ts>" > hiKey — a full-key compare would drop it (caught
+    // by the exact-single-key range spec). Urlkeys are whitespace-free
+    // by construction, so urlkey order is line order and a block with
+    // first urlkey >= hiKey cannot contain a match.
     val cands = idx
-      .filter(col("key") < hi &&
+      .filter(substring_index(col("key"), " ", 1) < hiKey &&
         (if (startKey == null) lit(true) else col("key") >= startKey))
       .select(col("file"), col("offset"), col("length"))
       .as[(String, Long, Long)]
@@ -375,6 +409,5 @@ object Cdx {
         }
       }
     parseLines(lines.toDF("value"), warcRoot)
-      .filter(col("urlkey").startsWith(surtPrefix))
   }
 }

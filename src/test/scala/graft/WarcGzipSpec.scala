@@ -964,6 +964,13 @@ class WarcGzipSpec extends AnyFunSuite {
     // a miss (before, between, after every key) matches nothing
     for (pfx <- Seq("aaa,nope)/", "example,bete)/", "zzz,nope)/"))
       assert(Cdx.lookup(spark, s"$out/zip", pfx).count() === 0L, s"miss $pfx")
+    // explicit key-range lookup (the pywb from/to form): half-open
+    // [from, until) across host boundaries ≡ the full-scan filter
+    val (fromK, untilK) = ("example,beta)/p/5", "example,delta)/p/2")
+    assert(shape(Cdx.lookupRange(spark, s"$out/zip", fromK, untilK)) ===
+      shape(full.filter(col("urlkey") >= fromK && col("urlkey") < untilK)))
+    assert(Cdx.lookupRange(spark, s"$out/zip",
+      "example,beta)/p/13", "example,beta)/p/13 ").count() === 1L)
     // a malformed secondary line raises LOUDLY with its content (the
     // fetch-pointer claim contract), not an opaque encoder error
     val bad = tmp()
