@@ -99,7 +99,7 @@ private[sources] class WarcGzScanBuilder(path: String, splitBytes: Long,
                                          maxFileAgeMs: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
-  import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
 
   private var required: StructType = WarcGzTable.Schema
   private var pushed: Array[Filter] = Array.empty
@@ -122,6 +122,9 @@ private[sources] class WarcGzScanBuilder(path: String, splitBytes: Long,
       case In("warc_type", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[String])
       case EqualTo("http_status", _: Integer) => true
       case In("http_status", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[Integer])
+      // the read-one-domain pattern: a target_uri prefix skips every
+      // other capture's body work
+      case StringStartsWith("target_uri", p) => p != null && p.nonEmpty
       case _ => false
     }
     filters // all re-applied post-scan: the gate only SKIPS, never decides
@@ -145,9 +148,13 @@ private[sources] class WarcGzScanBuilder(path: String, splitBytes: Long,
   private def keepStatuses: Option[Set[Int]] =
     gateSets[Int]("http_status", { case i: Integer => Some(i.intValue); case _ => None })
 
+  // conjunctive prefixes all apply (a record must satisfy every one)
+  private def uriPrefixes: Seq[String] =
+    pushed.toSeq.collect { case StringStartsWith(_, p) => p }
+
   override def build(): Scan =
     new WarcGzScan(path, splitBytes, decodeBody, required, maxFileAgeMs,
-      keepTypes, keepStatuses)
+      keepTypes, keepStatuses, uriPrefixes)
 }
 
 private[sources] class WarcGzScan(path: String, splitBytes: Long,
@@ -155,14 +162,16 @@ private[sources] class WarcGzScan(path: String, splitBytes: Long,
                                   required: StructType,
                                   maxFileAgeMs: Option[Long] = None,
                                   keepTypes: Option[Set[String]] = None,
-                                  keepStatuses: Option[Set[Int]] = None)
+                                  keepStatuses: Option[Set[Int]] = None,
+                                  uriPrefixes: Seq[String] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"warcgz $path (splitBytes=$splitBytes, columns=${required.fieldNames.mkString(",")}" +
       keepTypes.map(t => s", keepTypes=${t.toSeq.sorted.mkString("|")}").getOrElse("") +
-      keepStatuses.map(t => s", keepStatuses=${t.toSeq.sorted.mkString("|")}").getOrElse("") + ")"
+      keepStatuses.map(t => s", keepStatuses=${t.toSeq.sorted.mkString("|")}").getOrElse("") +
+      (if (uriPrefixes.isEmpty) "" else s", uriPrefixes=${uriPrefixes.sorted.mkString("|")}") + ")"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
@@ -175,13 +184,13 @@ private[sources] class WarcGzScan(path: String, splitBytes: Long,
     val confThunk = Bridge.serializableConf(
       SparkSession.active.sessionState.newHadoopConf())
     WarcGzReaderFactory(confThunk, required.fieldNames, decodeBody,
-      keepTypes, keepStatuses)
+      keepTypes, keepStatuses, uriPrefixes)
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcGzMicroBatchStream(path, splitBytes, decodeBody, required,
-      maxFileAgeMs, keepTypes, keepStatuses)
+      maxFileAgeMs, keepTypes, keepStatuses, uriPrefixes)
 }
 
 /** X140: streaming `.warc.gz` ingest — the DROP-DIRECTORY micro-batch
@@ -213,7 +222,8 @@ private[sources] class WarcGzMicroBatchStream(
     path: String, splitBytes: Long, decodeBody: Boolean,
     required: StructType, maxFileAgeMs: Option[Long] = None,
     keepTypes: Option[Set[String]] = None,
-    keepStatuses: Option[Set[Int]] = None)
+    keepStatuses: Option[Set[Int]] = None,
+    uriPrefixes: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -255,7 +265,7 @@ private[sources] class WarcGzMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     WarcGzReaderFactory(confThunk, required.fieldNames, decodeBody,
-      keepTypes, keepStatuses)
+      keepTypes, keepStatuses, uriPrefixes)
 }
 
 /** The stream's position: every (file, (length, mtime)) not yet rolled
@@ -332,7 +342,8 @@ private[sources] case class WarcGzReaderFactory(
     columns: Array[String],
     decodeBody: Boolean,
     keepTypes: Option[Set[String]] = None,
-    keepStatuses: Option[Set[Int]] = None) extends PartitionReaderFactory {
+    keepStatuses: Option[Set[Int]] = None,
+    uriPrefixes: Seq[String] = Nil) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WarcGzInputPartition]
@@ -345,7 +356,8 @@ private[sources] case class WarcGzReaderFactory(
       needBodyBytes = cols.contains("body_bytes") || cols.contains("body_decoded"),
       decodeBody = decodeBody,
       keepTypes = keepTypes.orNull,
-      keepStatuses = keepStatuses.orNull)
+      keepStatuses = keepStatuses.orNull,
+      uriPrefixes = if (uriPrefixes.isEmpty) null else uriPrefixes)
     new PartitionReader[InternalRow] {
       private var current: WarcGzip.GzRecord = _
       override def next(): Boolean =

@@ -414,7 +414,8 @@ object WarcGzip {
                                  needBodyBytes: Boolean = true,
                                  decodeBody: Boolean = true,
                                  keepTypes: Set[String] = null,
-                                 keepStatuses: Set[Int] = null): Iterator[GzRecord] = {
+                                 keepStatuses: Set[Int] = null,
+                                 uriPrefixes: Seq[String] = null): Iterator[GzRecord] = {
     val path = new Path(file)
     val fs = path.getFileSystem(conf)
     val fileLen = fs.getFileStatus(path).getLen
@@ -464,7 +465,7 @@ object WarcGzip {
                 // archive is ONE member holding EVERY record
                 val rs = memberRecords(rec, needRecord, needBody,
                   needBodyBytes, decoder, file, pos, memberLen, keepTypes,
-                  keepStatuses)
+                  keepStatuses, uriPrefixes)
                 // the fail-loud evidence counter counts WARC MEMBERS, not
                 // emitted rows: a pushed type filter skipping every record
                 // of a legitimate file must not fabricate format evidence
@@ -667,7 +668,8 @@ object WarcGzip {
                                      file: String, offset: Long,
                                      memberLen: Long,
                                      keepTypes: Set[String] = null,
-                                     keepStatuses: Set[Int] = null): Seq[GzRecord] = {
+                                     keepStatuses: Set[Int] = null,
+                                     uriPrefixes: Seq[String] = null): Seq[GzRecord] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[GzRecord]
     var p = 0
     var more = true
@@ -700,8 +702,12 @@ object WarcGzip {
       // walk above still advances by Content-Length regardless. A NULL
       // type never matches (SQL equality semantics; Spark re-applies the
       // filter post-scan anyway — this gate only SKIPS work).
-      val keep = keepTypes == null ||
-        header(hdrs, "WARC-Type").exists(keepTypes.contains)
+      val keep = (keepTypes == null ||
+          header(hdrs, "WARC-Type").exists(keepTypes.contains)) &&
+        (uriPrefixes == null ||
+          // conjunctive prefixes all apply; a NULL uri never matches (SQL
+          // startsWith semantics, re-checked post-scan anyway)
+          header(hdrs, "WARC-Target-URI").exists(u => uriPrefixes.forall(u.startsWith)))
       if (keep) {
         val slice =
           if (p == 0 && next < 0) data

@@ -1039,6 +1039,14 @@ class WarcGzipSpec extends AnyFunSuite {
     val bothPlan = both.queryExecution.executedPlan.toString
     assert(bothPlan.contains("keepTypes=response") &&
       bothPlan.contains("keepStatuses=200"), bothPlan)
+    // target_uri prefix filters push too (the read-one-domain pattern):
+    // ids 1, 10..19 start with "…/m/1"
+    val pfx = WarcGzip.read(spark, s"$dir/mixed.warc.gz")
+      .filter(col("warc_type") === "response" &&
+        col("target_uri").startsWith("https://m/1"))
+    assert(pfx.count() === 11L)
+    assert(pfx.queryExecution.executedPlan.toString
+      .contains("uriPrefixes=https://m/1"))
     // the gate also walks whole-file-gzip members correctly: filtered-out
     // records still advance the in-member walk by Content-Length
     val whole = (1 to 10).map { i =>
