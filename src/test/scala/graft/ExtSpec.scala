@@ -4043,6 +4043,65 @@ class ExtSpec extends AnyFunSuite {
       .select("path_prefix").as[String].collect().toSet === Set("*"))
   }
 
+  test("dropDisallowed randomized: engine ≡ independent RFC 9309 reference on 400 urls") {
+    import graft.ext.Web
+    val rnd = new scala.util.Random(9309)
+    // random rule population over 8 hosts: path fragments with '*' and a
+    // sometimes-trailing '$', regex metachars sprinkled as literals
+    val frags = Vector("/a", "/bb", "/c.d", "/x+y", "/q?k=", "/deep/", "1", "9", "*")
+    def pattern(): String = {
+      val core = "/" + (1 to (1 + rnd.nextInt(3)))
+        .map(_ => frags(rnd.nextInt(frags.length)).stripPrefix("/")).mkString("/")
+      (if (rnd.nextBoolean()) core else core + "*") +
+        (if (rnd.nextInt(4) == 0) "$" else "")
+    }
+    val rules = (1 to 48).map { _ =>
+      (s"h${rnd.nextInt(8)}.example",
+        if (rnd.nextBoolean()) "allow" else "disallow", pattern())
+    }
+    val docs = (1 to 400).map { i =>
+      val path = "/" + (1 to (1 + rnd.nextInt(3)))
+        .map(_ => frags(rnd.nextInt(frags.length)).stripPrefix("/")).mkString("/")
+      val q = if (rnd.nextInt(3) == 0) s"?k=$i" else ""
+      (i.toString, s"https://h${rnd.nextInt(9)}.example$path$i$q")
+    }
+    val kept = Web.dropDisallowed(docs.toDF("id", "url"),
+      rules.toDF("host", "rule", "path_prefix"))
+      .select("id").as[String].collect().toSet
+    // the independent reference: direct java.util.regex lowering + the
+    // RFC's longest-pattern/allow-wins evaluation over path?query
+    def lower(p: String): java.util.regex.Pattern = {
+      val endsDollar = p.endsWith("$")
+      val core = if (endsDollar) p.dropRight(1) else p
+      val rx = core.split("\\*", -1).map(java.util.regex.Pattern.quote)
+        .mkString(".*")
+      java.util.regex.Pattern.compile("^" + rx + (if (endsDollar) "$" else ""))
+    }
+    val byHost = rules.groupBy(_._1)
+    val expect = docs.filter { case (_, url) =>
+      val host = url.drop("https://".length).takeWhile(_ != '/')
+      val rest = url.drop("https://".length + host.length)
+      val path0 = rest.takeWhile(_ != '#')
+      val path = if (path0.isEmpty) "/" else path0
+      byHost.get(host) match {
+        case None => true
+        case Some(hr) =>
+          val matched = hr.filter { case (_, _, p) =>
+            lower(p).matcher(path).lookingAt() &&
+              (!p.endsWith("$") || lower(p).matcher(path).matches())
+          }
+          if (matched.isEmpty) true
+          else {
+            val best = matched.maxBy { case (_, r, p) =>
+              (p.length, if (r == "allow") 1 else 0)
+            }
+            best._2 == "allow"
+          }
+      }
+    }.map(_._1).toSet
+    assert(kept === expect)
+  }
+
   test("robotsDirectives: group-independent sitemaps, agent-scoped crawl-delay") {
     import graft.ext.Web
     val robots = Seq(

@@ -1112,6 +1112,55 @@ class WarcGzipSpec extends AnyFunSuite {
       (("revisit", "<urn:orig>", "sha1:QQQ")))
   }
 
+  test("zipnum randomized ranges: lookup/lookupRange ≡ full-scan filter on adversarial keys") {
+    import graft.sources.Cdx
+    val rnd = new scala.util.Random(4242)
+    val out = tmp()
+    // adversarial key population: shared prefixes, keys that are prefixes
+    // of other keys, duplicate keys with distinct timestamps
+    val alphabet = "abz,)/.0"
+    def key(): String = "k" + (1 to (1 + rnd.nextInt(6)))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val keys = Vector.fill(2500)(key())
+    val lines = keys.zipWithIndex.map { case (k, i) =>
+      val ts = f"2024010100${i % 60}%02d00"
+      s"""$k $ts {"url": "https://x/$i", "filename": "f.warc.gz", "offset": "$i", "length": "10"}"""
+    }
+    Cdx.writeZipnum(lines.toDF("value"), s"$out/zip", blockLines = 7)
+    val full = Cdx.read(spark, s"$out/zip/cdx-*.gz").select("urlkey", "url")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(full.size === 2500)
+    def rangeRows(from: String, until: String) =
+      Cdx.lookupRange(spark, s"$out/zip", from, until).select("urlkey", "url")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    // bounds drawn from the population itself plus boundary mutations —
+    // exact keys, key+" " (tightest possible upper), truncations
+    def bound(): String = {
+      val k = keys(rnd.nextInt(keys.length))
+      rnd.nextInt(4) match {
+        case 0 => k
+        case 1 => k + " "
+        case 2 => k.take(1 + rnd.nextInt(k.length))
+        case _ => key()
+      }
+    }
+    for (_ <- 1 to 18) {
+      val (a, b) = (bound(), bound())
+      if (a != b) {
+        val (from, until) = if (a < b) (a, b) else (b, a)
+        assert(rangeRows(from, until) ===
+          full.filter { case (k, _) => k >= from && k < until },
+          s"range [$from, $until)")
+      }
+    }
+    for (_ <- 1 to 8) {
+      val pfx = bound()
+      assert(Cdx.lookup(spark, s"$out/zip", pfx).select("urlkey", "url")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq ===
+        full.filter(_._1.startsWith(pfx)), s"prefix $pfx")
+    }
+  }
+
   test("gzip read agrees with the uncompressed lite reader on marker-safe corpora") {
     // same synthesized records through BOTH paths: the lite text-split
     // reader over plain files and the member scanner over gzip — identical
