@@ -89,6 +89,9 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // label the entry's jobs (guide §1.5) — groups the whole entry in any
+      // UI/listener trace; zero cost when no listener is attached
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       val ok =
         // noop write, not count(): count() lets Catalyst prune every
