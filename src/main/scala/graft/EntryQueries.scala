@@ -193,6 +193,18 @@ object EntryQueries {
       .filter(col("vec_id") === vecId).select("embedding")
       .head().getSeq[Float](0).toSeq
 
+  /** The first `n` query vectors as (qid, vec) in vec_id order — ONE collect
+    * instead of n head() jobs (r19 opt: the per-call form cost one full job
+    * per vector inside 3-5-query loops across ~20 entries). Values are
+    * byte-identical to n queryVec calls.
+    */
+  private def queryVecs(spark: SparkSession, sfDir: String, n: Int): Seq[(String, Seq[Float])] =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < n).select("vec_id", "embedding")
+      .collect().sortBy(_.getAs[Number]("vec_id").intValue())
+      .map(r => r.getAs[Number]("vec_id").intValue().toString ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toSeq).toSeq
+
   /** The driver has shipped two events.parquet layouts across rounds:
     * int64-nanos `ts` (needs the nanosAsLong legacy conf to even load) and
     * native timestamp[us] (loads as TIMESTAMP_NTZ). Branch on the read
@@ -865,7 +877,7 @@ object EntryQueries {
       import s.implicits._
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
-      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val qs = queryVecs(s, sfDir, 5)
       val direct = Ann.lshTopK(e, qs, k = 10, numTables = 16, numPlanes = 4, dim = 64)
       val ix = graft.ext.LshIndex.fromStoreFrame(
         graft.ext.LshIndex.build(e, numTables = 16, numPlanes = 4, dim = 64).toStoreFrame).get
@@ -893,7 +905,7 @@ object EntryQueries {
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
         .write.mode("overwrite").parquet(path)
       val corpus = s.read.parquet(path)
-      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val qs = queryVecs(s, sfDir, 5)
       def topK(q: Seq[Float], k: Int): DataFrame = corpus
         .withColumn("sim", graft.functions.VectorFunctions.cosine(
           col("embedding"), graft.functions.VectorFunctions.vecLit(q)))
@@ -1161,7 +1173,7 @@ object EntryQueries {
     // 'vecs' has no persisted index, so vectorTopKAuto serves the exact
     // cosine top-k, which the oracle replays per query.
     ("x111b_federated_vector", (s: SparkSession, sfDir: String) => {
-      val qs = (0 until 3).map(i => i.toString -> queryVec(s, sfDir, i))
+      val qs = queryVecs(s, sfDir, 3)
       Collection.vectorSearchAll(s, fixtureRoot(s, sfDir), qs, k = 5)
         .select(col("collection"), col("qid"), col("rn").cast("long").as("rn"),
           col("id"), round(col("sim"), 6).as("sim"))
@@ -1317,7 +1329,7 @@ object EntryQueries {
     ("x6_ann_exact", (s: SparkSession, sfDir: String) => {
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
-      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val qs = queryVecs(s, sfDir, 5)
       Ann.exactTopK(e, qs, k = 10)
         .select(col("qid"), col("rn").cast("long").as("rn"), col("id"),
           round(col("sim"), 6).as("sim"))
@@ -1340,7 +1352,7 @@ object EntryQueries {
       import s.implicits._
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
-      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val qs = queryVecs(s, sfDir, 5)
       val exact = Ann.exactTopK(e, qs, k = 10)
       val ix = Ivf.build(e, k = 16, iters = 5, maxSample = 20000)
       val approx = ix.topK(e, qs, k = 10, nprobe = 10)
@@ -1373,7 +1385,7 @@ object EntryQueries {
       c.addDf(e.withColumn("content", lit("")))
       c.createVectorIndex(kind = "ivf", numCentroids = 16, iters = 5,
         maxSample = 20000, nprobe = 10)
-      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val qs = queryVecs(s, sfDir, 5)
       val via = c.vectorTopK(qs, 10).select("qid", "rn", "id").persist()
       val direct = Ivf.build(e, k = 16, iters = 5, maxSample = 20000)
         .topK(e, qs, k = 10, nprobe = 10).select("qid", "rn", "id").persist()
@@ -1417,7 +1429,7 @@ object EntryQueries {
       c.addDf(e.withColumn("content", lit("")))
       c.createVectorIndex(kind = "ivfpq", numCentroids = 16, nprobe = 10,
         m = 16, candK = 100, iters = 5, maxSample = 20000)
-      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val qs = queryVecs(s, sfDir, 5)
       // ONE recall evaluation, post-delta (the r18 bench-tail trim): the
       // post-delta gate transitively requires a good BUILD too — 50 dup
       // vectors cannot lift a broken index over 0.8 — so the pre-delta
@@ -1470,7 +1482,7 @@ object EntryQueries {
           col("label").cast("string").as("label"))
       val docsShape = e.select(col("id"), lit("").as("content"),
         map(lit("label"), col("label")).as("metadata"), col("embedding"))
-      val qs = (0 until 3).map(i => i.toString -> queryVec(s, sfDir, i))
+      val qs = queryVecs(s, sfDir, 3)
       val flt = Map[String, Any]("label" -> "3")
       val root = tempDirCleanedOnExit("graft-x115-")
       val c = Collection(s, root, "vecs", useFts = false)
@@ -1514,7 +1526,7 @@ object EntryQueries {
       import s.implicits._
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
-      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val qs = queryVecs(s, sfDir, 5)
       val exact = Ann.exactTopK(e, qs, k = 10)
       val approx = Ann.lshTopK(e, qs, k = 10, numTables = 16, numPlanes = 4, dim = 64)
       val rec = Ann.recallAtK(exact, approx)
@@ -3680,7 +3692,7 @@ object EntryQueries {
       import s.implicits._
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
-      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val qs = queryVecs(s, sfDir, 5)
       val exact = Ann.exactTopK(e, qs, k = 10)
       val approx = Quantize.int8TopK(e, qs, k = 10)
       Seq(("int8_recall_ge_0.9", Ann.recallAtK(exact, approx) >= 0.9))
@@ -3715,7 +3727,7 @@ object EntryQueries {
       import s.implicits._
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
-      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val qs = queryVecs(s, sfDir, 5)
       val exact = Ann.exactTopK(e, qs, k = 10)
       val cb = Pq.train(e, m = 16, k = 256, iters = 8, maxSample = 20000)
       val enc = Pq.encode(e, cb)
@@ -3739,7 +3751,7 @@ object EntryQueries {
       c.addDf(e.withColumn("content", lit("")))
       c.createVectorIndex(kind = "pq", m = 16, numCentroids = 256, iters = 5,
         maxSample = 20000, candK = 100)
-      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val qs = queryVecs(s, sfDir, 5)
       // (the prebuilt-vs-per-call parity and the FULL-corpus delta
       // re-encode compare — a second codebook train plus two extra
       // whole-corpus encodes — run ONCE in ExtSpec "persisted PQ/IVF-PQ
@@ -4217,7 +4229,7 @@ object EntryQueries {
         .select(col("vec_id").cast("string").as("id"), lit("").as("content"),
           col("embedding")))
       c.createVectorIndex(numTables = 16, numPlanes = 4)
-      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val qs = queryVecs(s, sfDir, 5)
       implicit val sqlCtx = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, Seq[Float])]
@@ -4467,7 +4479,7 @@ object EntryQueries {
       val e = s.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       import s.implicits._
-      val qs = (0 until 5).map(i => i.toString -> queryVec(s, sfDir, i))
+      val qs = queryVecs(s, sfDir, 5)
       // bulk-query arms: ONE corpus scan per arm (broadcast queries), not Q
       val truth = Ann.exactTopKAll(e, qs.toDF("qid", "qvec"), k = 10)
       val run = Quantize.int8TopKAll(e, qs, k = 10)

@@ -790,23 +790,26 @@ final class Collection private (
     */
   def ivfIndex(): Option[graft.ext.IvfIndex] =
     // BOTH stores: the centroid table alone is shared with the IVF-PQ kind
-    // (whose assignments live in annivfpq, not annivf)
-    if (!Stores.partitionExists(spark, ivfCentDir, name) ||
-        !Stores.partitionExists(spark, ivfDir, name)) None
-    else {
-      val cents = Stores.readPartition(spark, ivfCentDir, name, Stores.ivfCentSchema)
-        .select($"cluster", $"centroid")
-      if (cents.isEmpty) None
-      else Some(graft.ext.IvfIndex.fromStoreFrames(
-        Stores.readPartition(spark, ivfDir, name, Stores.ivfSchema), cents))
-    }
+    // (whose assignments live in annivfpq, not annivf). Centroids come from
+    // the memoized driver-side accessor (absent-or-empty → None, exactly
+    // the old two-action gate) — an ivfIndex() call on an unchanged store
+    // costs zero jobs until the probe itself runs.
+    if (!Stores.partitionExists(spark, ivfDir, name)) None
+    else ivfCentroidsRaw().map(cents => graft.ext.IvfIndex(
+      Stores.readPartition(spark, ivfDir, name, Stores.ivfSchema)
+        .select($"id", $"cluster"), cents))
 
-  /** (nprobe, iters, maxSample, seed) of the stored IVF index. */
+  /** (nprobe, iters, maxSample, seed) of the stored IVF index.
+    * Fingerprint-memoized (r19 opt): index metadata lives in driver memory
+    * between writes instead of paying a head() job per accessor call.
+    */
   private def ivfParams(): Option[(Int, Int, Int, Long)] =
-    if (!Stores.partitionExists(spark, ivfCentDir, name)) None
-    else Stores.readPartition(spark, ivfCentDir, name, Stores.ivfCentSchema)
-      .select($"nprobe", $"iters", $"max_sample", $"seed").head(1).headOption
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    Stores.memoizedMeta(spark, ivfCentDir, name, "ivfParams") {
+      if (!Stores.partitionExists(spark, ivfCentDir, name)) None
+      else Stores.readPartition(spark, ivfCentDir, name, Stores.ivfCentSchema)
+        .select($"nprobe", $"iters", $"max_sample", $"seed").head(1).headOption
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    }
 
   /** Train BOTH codebook candidates on the identical bounded sample and
     * keep the lower-reconstruction-MSE one: residual encoding
@@ -908,19 +911,24 @@ final class Collection private (
       }
     }
 
-  /** (candK, iters, maxSample, seed) of the stored PQ index. */
+  /** (candK, iters, maxSample, seed) of the stored PQ index
+    * (fingerprint-memoized, see [[ivfParams]]). */
   private def pqParams(): Option[(Int, Int, Int, Long)] =
-    if (!Stores.partitionExists(spark, pqBookDir, name)) None
-    else Stores.readPartition(spark, pqBookDir, name, Stores.pqBookSchema)
-      .select($"cand_k", $"iters", $"max_sample", $"seed").head(1).headOption
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    Stores.memoizedMeta(spark, pqBookDir, name, "pqParams") {
+      if (!Stores.partitionExists(spark, pqBookDir, name)) None
+      else Stores.readPartition(spark, pqBookDir, name, Stores.pqBookSchema)
+        .select($"cand_k", $"iters", $"max_sample", $"seed").head(1).headOption
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    }
 
   /** Stored PQ codebooks (driver-side), or None without a codebook table.
     * RAW: the table is shared by the flat-PQ and IVF-PQ kinds. */
   private def pqCodebookRaw(): Option[graft.ext.PqCodebook] =
-    if (!Stores.partitionExists(spark, pqBookDir, name)) None
-    else graft.ext.PqCodebook.fromStoreFrame(
-      Stores.readPartition(spark, pqBookDir, name, Stores.pqBookSchema))
+    Stores.memoizedMeta(spark, pqBookDir, name, "pqCodebookRaw") {
+      if (!Stores.partitionExists(spark, pqBookDir, name)) None
+      else graft.ext.PqCodebook.fromStoreFrame(
+        Stores.readPartition(spark, pqBookDir, name, Stores.pqBookSchema))
+    }
 
   /** Stored PQ codebooks of the FLAT PQ index, or None (the IVF-PQ kind
     * reads its books through [[ivfPqParts]]). */
@@ -945,10 +953,12 @@ final class Collection private (
     * re-encodes under this stored flag, never the build default.
     */
   private[graft] def ivfPqResidual(): Boolean =
-    Stores.partitionExists(spark, pqBookDir, name) &&
-      Stores.readPartition(spark, pqBookDir, name, Stores.pqBookSchema)
-        .select($"residual").head(1).headOption
-        .exists(r => !r.isNullAt(0) && r.getBoolean(0))
+    Stores.memoizedMeta(spark, pqBookDir, name, "ivfPqResidual") {
+      Stores.partitionExists(spark, pqBookDir, name) &&
+        Stores.readPartition(spark, pqBookDir, name, Stores.pqBookSchema)
+          .select($"residual").head(1).headOption
+          .exists(r => !r.isNullAt(0) && r.getBoolean(0))
+    }
 
   /** The persisted IVF-PQ index, if one was built ([[createVectorIndex]]
     * with `kind = "ivfpq"`): stored coarse centroids, codebooks, the
@@ -1016,10 +1026,12 @@ final class Collection private (
   def dedupIndex(): Option[(Int, Int, Int)] = dedupParams()
 
   private def dedupParams(): Option[(Int, Int, Int)] =
-    if (!Stores.partitionExists(spark, minhashDir, name)) None
-    else Stores.readPartition(spark, minhashDir, name, Stores.minhashSchema)
-      .select($"n", $"bands", $"rows_per_band").head(1).headOption
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    Stores.memoizedMeta(spark, minhashDir, name, "dedupParams") {
+      if (!Stores.partitionExists(spark, minhashDir, name)) None
+      else Stores.readPartition(spark, minhashDir, name, Stores.minhashSchema)
+        .select($"n", $"bands", $"rows_per_band").head(1).headOption
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    }
 
   /** The stored row shape: banded signature rows + the shape parameters as
     * constant columns (see [[graft.index.Stores.minhashSchema]]).
@@ -1244,11 +1256,14 @@ final class Collection private (
     })
   }
 
-  /** Stored cap (rows-store constant column), None without a sidecar. */
+  /** Stored cap (rows-store constant column), None without a sidecar
+    * (fingerprint-memoized, see [[ivfParams]]). */
   private def impactParams(): Option[Int] =
-    if (!Stores.partitionExists(spark, impactDir, name)) None
-    else Stores.readPartition(spark, impactDir, name, Stores.impactSchema)
-      .select($"cap").head(1).headOption.map(_.getInt(0))
+    Stores.memoizedMeta(spark, impactDir, name, "impactParams") {
+      if (!Stores.partitionExists(spark, impactDir, name)) None
+      else Stores.readPartition(spark, impactDir, name, Stores.impactSchema)
+        .select($"cap").head(1).headOption.map(_.getInt(0))
+    }
 
   private def impactMetaRows(): DataFrame =
     Stores.readPartition(spark, impactMetaDir, name, Stores.impactMetaSchema)
@@ -1288,11 +1303,13 @@ final class Collection private (
     * (see [[graft.exec.ImpactTopK.certifiedTopK]]'s `dfStale`).
     */
   private def impactWatermark(): Option[(Long, Long)] =
-    if (!Stores.partitionExists(spark, impactMetaDir, name)) None
-    else impactMetaRows()
-      .filter($"id" === graft.exec.ImpactTopK.WatermarkKey)
-      .select($"df", $"bound_tf").head(1).headOption
-      .map(r => (r.getLong(0), r.getLong(1)))
+    Stores.memoizedMeta(spark, impactMetaDir, name, "impactWatermark") {
+      if (!Stores.partitionExists(spark, impactMetaDir, name)) None
+      else impactMetaRows()
+        .filter($"id" === graft.exec.ImpactTopK.WatermarkKey)
+        .select($"df", $"bound_tf").head(1).headOption
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
 
   /** The postings store's newest segment ordinal (0 = flat base). */
   private def postingsSeg(): Long =
@@ -1596,12 +1613,14 @@ final class Collection private (
     * and IVF-PQ kinds — IVF-only call-sites must also check annivf exists.
     */
   private def ivfCentroidsRaw(): Option[Seq[Seq[Float]]] =
-    if (!Stores.partitionExists(spark, ivfCentDir, name)) None
-    else {
-      val rows = Stores.readPartition(spark, ivfCentDir, name, Stores.ivfCentSchema)
-        .select($"cluster", $"centroid").collect()
-      if (rows.isEmpty) None
-      else Some(rows.sortBy(_.getInt(0)).map(_.getSeq[Float](1).toSeq).toSeq)
+    Stores.memoizedMeta(spark, ivfCentDir, name, "ivfCentroidsRaw") {
+      if (!Stores.partitionExists(spark, ivfCentDir, name)) None
+      else {
+        val rows = Stores.readPartition(spark, ivfCentDir, name, Stores.ivfCentSchema)
+          .select($"cluster", $"centroid").collect()
+        if (rows.isEmpty) None
+        else Some(rows.sortBy(_.getInt(0)).map(_.getSeq[Float](1).toSeq).toSeq)
+      }
     }
 
   /** Incremental postings + stats maintenance for an upserted batch: only

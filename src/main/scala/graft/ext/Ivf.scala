@@ -227,9 +227,60 @@ object Ivf {
                      sampleFraction: Double = 1.0, maxSample: Int = 100000,
                      seed: Long = 42L): Seq[Seq[Float]] = {
     require(k >= 1, "k >= 1")
+    // Below this sample bound the Lloyd loop runs ON THE DRIVER after one
+    // collect (r19 opt): the sample is ≤ maxSample vectors by construction,
+    // so `iters` distributed rounds — each a full job over a persisted
+    // ≤100k-row frame — collapse into one job plus local arithmetic (the
+    // FAISS shape: coarse-quantizer training is a single-node step).
+    // Assignment/update math is identical (dotMin argmax, ties → lower id,
+    // NaN rows excluded, emptied cluster keeps its previous centroid,
+    // sum + renormalize); the fp accumulation order becomes the sample's
+    // hash order — deterministic for a fixed (corpus, params), and now
+    // independent of the session's core count, where the distributed
+    // reduce's round-robin partitioning made last-ulp sums a function of
+    // defaultParallelism. Above the bound the distributed path is
+    // unchanged.
+    val driverMax = corpus.sparkSession.conf
+      .getOption("spark.graft.ivf.driverTrainMaxVecs").map(_.toInt)
+      .getOrElse(1 << 17)
     val sorted = boundedSample(corpus, embCol, sampleFraction, maxSample, seed)
       .persist()
     try {
+      if (maxSample <= driverMax) {
+        val vecs = sorted.collect().map(_.getSeq[Float](0).toArray)
+        if (vecs.isEmpty)
+          throw new IllegalArgumentException("trainCentroids: corpus has no embedded rows")
+        var cents: Seq[Seq[Float]] = vecs.take(k).toSeq
+          .map(v => normalized(v.map(_.toDouble)))
+        var it = 0
+        while (it < iters) {
+          val centArr = cents.map(_.toArray).toArray
+          val sums = Array.fill(centArr.length)(Array.emptyDoubleArray)
+          vecs.foreach { xs =>
+            var best = -1
+            var bestScore = Double.NegativeInfinity
+            var c = 0
+            while (c < centArr.length) {
+              val dot = graft.functions.VectorFunctions.dotMin(xs, centArr(c))
+              if (dot > bestScore) { best = c; bestScore = dot }
+              c += 1
+            }
+            if (best >= 0) {
+              var a = sums(best)
+              if (a.length < xs.length) { a = java.util.Arrays.copyOf(a, xs.length); sums(best) = a }
+              var d = 0
+              while (d < xs.length) { a(d) += xs(d).toDouble; d += 1 }
+            }
+          }
+          cents = cents.zipWithIndex.map { case (old, c) =>
+            val s = sums(c)
+            if (s.isEmpty) old
+            else normalized(Array.tabulate(old.size)(d => if (d < s.length) s(d) else 0.0))
+          }
+          it += 1
+        }
+        return cents
+      }
       val init = sorted.limit(k).collect()
         .map(r => normalized(r.getSeq[Float](0).map(_.toDouble).toArray))
       var cents: Seq[Seq[Float]] = init.toSeq

@@ -646,4 +646,42 @@ object Stores {
     val p = new Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  // ---------------------------------------------------------------------
+  // Driver-side memo for SMALL store-derived values (index metadata: shape
+  // parameters, centroid tables, PQ codebooks, impact watermarks). These
+  // are k-row tables an engine keeps in memory next to the index (FAISS
+  // holds centroids/codebooks in RAM); re-deriving one through a full
+  // Spark action costs a whole job (~0.1-0.4 s of scheduling + scan) and
+  // the accessor call sites fire several times per operation. The memo is
+  // NOT a result cache: it is keyed on the partition directory's current
+  // on-disk state (every file's name+mtime+length, deltas included), so
+  // any write — this JVM or another process — changes the signature and
+  // the next read recomputes from parquet. Values must be plain driver
+  // data (no DataFrames/RDDs).
+  // ---------------------------------------------------------------------
+
+  private val metaMemo =
+    scala.collection.concurrent.TrieMap[String, (Long, Any)]()
+
+  /** Memoize `f` per (partition dir, tag) for as long as the partition's
+    * [[partitionFingerprint]] (recursive file name+mtime+len hash — deltas
+    * and gone sidecars included; 0 when absent) is unchanged — the same
+    * invalidation the impact gate/df caches already key on. One live value
+    * per (dir, tag): a changed fingerprint replaces it, so the map stays
+    * O(live stores).
+    */
+  def memoizedMeta[T](spark: SparkSession, storeDir: String, collection: String,
+                      tag: String)(f: => T): T = {
+    val dir = partDir(storeDir, collection)
+    val key = s"$dir#$tag"
+    val sig = partitionFingerprint(spark, storeDir, collection)
+    metaMemo.get(key) match {
+      case Some((s, v)) if s == sig => v.asInstanceOf[T]
+      case _ =>
+        val v = f
+        metaMemo.put(key, (sig, v))
+        v
+    }
+  }
 }
