@@ -52,7 +52,7 @@ object EntryQueries {
       val root = tempDirCleanedOnExit("graft-entry-")
       val docs = docsFrame(spark, sfDir)
       Collection(spark, root, "main").addDf(docs)
-      val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val vecs = readPar(spark, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"),
           concat(lit("label "), col("label")).as("content"),
           map(lit("label"), col("label").cast("string")).as("metadata"),
@@ -92,7 +92,7 @@ object EntryQueries {
     * sort-NULLS placement).
     */
   private def docsFrame(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    readPar(spark, s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
         map_concat(
           map(lit("lang"), col("lang"), lit("source"), col("source"),
@@ -169,7 +169,7 @@ object EntryQueries {
   private def hybColl(spark: SparkSession, sfDir: String): Collection = {
     val root = hybRoots.getOrElseUpdate(sfDir, {
       val r = tempDirCleanedOnExit("graft-hyb-")
-      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(spark, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       Collection(spark, r, "hyb")
         .addDf(docsFrame(spark, sfDir).join(e, Seq("id")))
@@ -188,7 +188,26 @@ object EntryQueries {
   }
 
   /** First embedding of the sf dir as a query vector (driver-side, tiny). */
+  /** Parquet read that SPREADS a narrow scan across the session's cores
+    * (r19 opt, guide §2 "make partitioning scale-adaptive"): the sf test
+    * files are single-row-group parquet, so a bare read is ONE partition
+    * and every tokenize/shingle/cosine kernel directly above it runs on 1
+    * of the 32 cores (measured: the x83 key-tokenize scans, the dedup
+    * MinHash pass, the N² cosine joins — all single-task). A real
+    * deployment's scan has ≥ cores splits, where this is a no-op — the
+    * repartition fires only when the scan is narrower than the session's
+    * parallelism, and costs one shuffle of the (small, by construction)
+    * narrow input. Row order is not part of any entry's contract (ids are
+    * unique; writes sort; ranks tie-break explicitly).
+    */
+  private def readPar(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val par = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   private def queryVec(spark: SparkSession, sfDir: String, vecId: Int = 0): Seq[Float] =
+    // plain read: a 1-row head() gains nothing from a respread shuffle
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .filter(col("vec_id") === vecId).select("embedding")
       .head().getSeq[Float](0).toSeq
@@ -199,6 +218,7 @@ object EntryQueries {
     * byte-identical to n queryVec calls.
     */
   private def queryVecs(spark: SparkSession, sfDir: String, n: Int): Seq[(String, Seq[Float])] =
+    // plain read: an n-row collect gains nothing from a respread shuffle
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .filter(col("vec_id") < n).select("vec_id", "embedding")
       .collect().sortBy(_.getAs[Number]("vec_id").intValue())
@@ -285,7 +305,7 @@ object EntryQueries {
                          pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     // pred filters on the NUMERIC doc_id (never a string cast — the
     // x125b ANSI/self-join lesson)
-    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val d = readPar(spark, s"$sfDir/documents.parquet")
       .filter(pred)
       .select(col("doc_id").cast("string").as("id"),
         col("doc_id").cast("long").as("n"), col("text"))
@@ -303,7 +323,7 @@ object EntryQueries {
   }
 
   private def urlDocs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    readPar(spark, s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
         concat(lit("https://www."), col("source"),
           (col("doc_id") % 23).cast("string"),
@@ -806,7 +826,7 @@ object EntryQueries {
       // cluster (score = n_chars) instead of the arbitrary min-id root —
       // same recursive-CTE cluster replay as x2b plus the winner window
       Dedup.dedupCorpusBy(
-        s.read.parquet(s"$sfDir/documents.parquet")
+        readPar(s, s"$sfDir/documents.parquet")
           .select(col("doc_id").cast("string").as("id"),
             col("text").as("content"), col("n_chars")),
         scoreCol = "n_chars").select("id", "n_chars"),
@@ -835,7 +855,7 @@ object EntryQueries {
                |SELECT s AS id, least(s, min(d)) AS cluster FROM reach GROUP BY s""".stripMargin)),
 
     ("x5_dedup_cosine", (s: SparkSession, sfDir: String) => {
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       // numTables=0 => exact all-pairs baseline (the oracle-checkable variant;
       // x5b runs the LSH-bucketed scale path)
@@ -853,7 +873,7 @@ object EntryQueries {
     // (numTables, numPlanes) on this corpus.
     ("x5b_dedup_cosine_lsh", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       val lsh = Dedup.embeddingDupPairs(e, threshold = 0.46, numTables = 16, numPlanes = 4)
         .select("id_a", "id_b").persist()
@@ -875,7 +895,7 @@ object EntryQueries {
     // candidates, same rerank.
     ("x7b_ann_index", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       val qs = queryVecs(s, sfDir, 5)
       val direct = Ann.lshTopK(e, qs, k = 10, numTables = 16, numPlanes = 4, dim = 64)
@@ -901,7 +921,7 @@ object EntryQueries {
       import graft.plans.AnnCatalog
       AnnCatalog.install(s)
       val path = tempDirCleanedOnExit("graft-f2-") + "/corpus.parquet"
-      s.read.parquet(s"$sfDir/embeddings.parquet")
+      readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
         .write.mode("overwrite").parquet(path)
       val corpus = s.read.parquet(path)
@@ -1284,7 +1304,7 @@ object EntryQueries {
         "co.kr", "github.io", "pvt.k12.ma.us",
         "*.ck", "!www.ck"))
       val rules = Web.loadSuffixes(psl.toString)
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
+      val d = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"),
           col("doc_id").cast("long").as("n"))
       val url = when(col("n") % 7 === 0,
@@ -1327,7 +1347,7 @@ object EntryQueries {
       Some(DomainCapOracle)),
 
     ("x6_ann_exact", (s: SparkSession, sfDir: String) => {
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       val qs = queryVecs(s, sfDir, 5)
       Ann.exactTopK(e, qs, k = 10)
@@ -1350,7 +1370,7 @@ object EntryQueries {
     // sf0.1 with k=16, nprobe=10.
     ("x6b_ann_ivf_recall", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       val qs = queryVecs(s, sfDir, 5)
       val exact = Ann.exactTopK(e, qs, k = 10)
@@ -1378,7 +1398,7 @@ object EntryQueries {
     // maintained upsert.
     ("x6c_ivf_index", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       val root = tempDirCleanedOnExit("graft-x6c-")
       val c = Collection(s, root, "vecs", useFts = false)
@@ -1422,7 +1442,7 @@ object EntryQueries {
     // survive the maintained upsert.
     ("x6d_ivfpq_index", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       val root = tempDirCleanedOnExit("graft-x6d-")
       val c = Collection(s, root, "vecs", useFts = false)
@@ -1477,7 +1497,7 @@ object EntryQueries {
     // top-k (same frame, same tie-breaks).
     ("x115_filtered_ann", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"),
           col("label").cast("string").as("label"))
       val docsShape = e.select(col("id"), lit("").as("content"),
@@ -1524,7 +1544,7 @@ object EntryQueries {
 
     ("x7_ann_lsh_recall", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       val qs = queryVecs(s, sfDir, 5)
       val exact = Ann.exactTopK(e, qs, k = 10)
@@ -1585,11 +1605,11 @@ object EntryQueries {
     ("x118_bucketed_join", (s: SparkSession, sfDir: String) => {
       val wh = tempDirCleanedOnExit("graft-x118-")
       Layout.writeBucketed(
-        s.read.parquet(s"$sfDir/documents.parquet")
+        readPar(s, s"$sfDir/documents.parquet")
           .select(col("doc_id"), col("lang"), col("n_chars")),
         "x118_docs", wh + "/docs", Seq("doc_id"), 8)
       Layout.writeBucketed(
-        s.read.parquet(s"$sfDir/embeddings.parquet")
+        readPar(s, s"$sfDir/embeddings.parquet")
           .select(col("vec_id").as("doc_id"), col("label")),
         "x118_emb", wh + "/emb", Seq("doc_id"), 8)
       Layout.coLocatedJoin(s, "x118_docs", "x118_emb", Seq("doc_id"))
@@ -1649,7 +1669,7 @@ object EntryQueries {
     // stream ≡ batch contract, like x80 does for streamDedupAgainst).
     ("x121_stream_screen", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
+      val d = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("long").as("n"),
           col("doc_id").cast("string").as("id"), col("text").as("content"))
       val root = tempDirCleanedOnExit("graft-x121-")
@@ -1698,7 +1718,7 @@ object EntryQueries {
     ("x122_impact_topk", (s: SparkSession, sfDir: String) => {
       val root = tempDirCleanedOnExit("graft-x122-")
       val c = Collection(s, root, "imp")
-      val raw = s.read.parquet(s"$sfDir/documents.parquet")
+      val raw = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("long").as("n"), col("text"))
       def heavy(tag: String, modulo: Int, tfMod: Int, extra: String): DataFrame =
         raw.filter(col("n") % modulo === 0)
@@ -1746,7 +1766,7 @@ object EntryQueries {
     // comparisons, the bit-63 shift — as an all-pairs DuckDB recompute, so
     // the banding candidates must be COMPLETE, not just precise.
     ("x123_media_neardup", (s: SparkSession, sfDir: String) => {
-      val base = s.read.parquet(s"$sfDir/documents.parquet")
+      val base = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"), col("text"))
       val planted = base.filter(col("id").cast("long") % 25 === 0)
         .select(concat(lit("m"), col("id")).as("id"),
@@ -1805,7 +1825,7 @@ object EntryQueries {
     // pinned. The oracle derives the expected values INDEPENDENTLY from
     // the residue arithmetic — it never runs the regexes.
     ("x128b_html_metadata", (s: SparkSession, sfDir: String) => {
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
+      val d = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"),
           col("doc_id").cast("long").as("n"), col("lang"), col("text"))
       val title = when(col("n") % 5 =!= 0,
@@ -1872,9 +1892,9 @@ object EntryQueries {
     // the X20 n-gram decontaminator would see NONE of these (no token
     // overlap in embedding space).
     ("x132_semantic_decontaminate", (s: SparkSession, sfDir: String) => {
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
-      val bench = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val bench = readPar(s, s"$sfDir/embeddings.parquet")
         .filter(col("vec_id") % 13 === 0)
         .select(col("vec_id").cast("string").as("ref_id"), col("embedding"))
       Dedup.semanticDecontaminate(e, bench, threshold = 0.46, numTables = 0)
@@ -1892,9 +1912,9 @@ object EntryQueries {
     // on this corpus.
     ("x132b_semantic_lsh", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
-      val bench = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val bench = readPar(s, s"$sfDir/embeddings.parquet")
         .filter(col("vec_id") % 13 === 0)
         .select(col("vec_id").cast("string").as("ref_id"), col("embedding"))
       val lsh = Dedup.embeddingMatchesAgainst(e, bench, threshold = 0.46,
@@ -2027,7 +2047,7 @@ object EntryQueries {
       // pairs (5k, 5k+1 share a canonical) survive intact, the volume
       // does not: the composition uniquely pins the SEAMS, not the row
       // count, and this entry was the suite's most expensive
-      val raw = s.read.parquet(s"$sfDir/documents.parquet")
+      val raw = readPar(s, s"$sfDir/documents.parquet")
       val clones = raw.filter(col("doc_id") % 50 === 0)
         .select(concat(lit("dup"), col("doc_id").cast("string")).as("id"),
           concat(col("text"), lit(" zzextratoken")).as("content"),
@@ -2126,7 +2146,7 @@ object EntryQueries {
     // UPPERCASE), an index,follow decoy, and a none-declared majority;
     // 'kept' replays as pure case arithmetic in DuckDB.
     ("x137_robots_noindex", (s: SparkSession, sfDir: String) => {
-      val raw = s.read.parquet(s"$sfDir/documents.parquet")
+      val raw = readPar(s, s"$sfDir/documents.parquet")
       val meta = when(col("doc_id") % 7 === 0,
           lit("<meta name=\"robots\" content=\"noindex, follow\">"))
         .when(col("doc_id") % 7 === 1,
@@ -2255,7 +2275,7 @@ object EntryQueries {
     // in 9 — mixed with h0's plain prefixes so both matcher arms run.
     // 'kept' replays as pure case arithmetic in DuckDB.
     ("x139_robots_txt", (s: SparkSession, sfDir: String) => {
-      val raw = s.read.parquet(s"$sfDir/documents.parquet")
+      val raw = readPar(s, s"$sfDir/documents.parquet")
       val docs = raw.select(col("doc_id").cast("string").as("id"),
         concat(lit("https://h"), (col("doc_id") % 6).cast("string"),
           lit(".example"),
@@ -2438,7 +2458,7 @@ object EntryQueries {
     // correctly). One host per doc_id%50 class; the oracle derives every
     // row from the residue arithmetic.
     ("x147_robots_directives", (s: SparkSession, sfDir: String) => {
-      val robotsDf = s.read.parquet(s"$sfDir/documents.parquet")
+      val robotsDf = readPar(s, s"$sfDir/documents.parquet")
         .select((col("doc_id") % 50).as("k")).distinct()
         .select(
           concat(lit("https://h"), col("k"), lit(".example/robots.txt")).as("url"),
@@ -2583,7 +2603,7 @@ object EntryQueries {
       // filters stay on the NUMERIC doc_id: a string→bigint cast filter on
       // `id` would be constraint-INFERRED across downstream self-joins onto
       // the ct-prefixed rows and throw under ANSI (the x125b lesson)
-      val raw = s.read.parquet(s"$sfDir/documents.parquet")
+      val raw = readPar(s, s"$sfDir/documents.parquet")
       val base = raw.select(col("doc_id").cast("string").as("id"), col("text"))
       val planted = raw.filter(col("doc_id") % 7 === 0)
         .select(concat(lit("ct"), col("doc_id").cast("string")).as("id"),
@@ -2610,7 +2630,7 @@ object EntryQueries {
       // left side's filters onto the right ACROSS the join key — a
       // string→bigint cast filter on `id` lands on the concat('ct',…)
       // rows and throws under ANSI (caught by the sf0.1 bench)
-      val raw = s.read.parquet(s"$sfDir/documents.parquet")
+      val raw = readPar(s, s"$sfDir/documents.parquet")
         .filter(col("doc_id") % 5 === 0)
       val base = raw.select(col("doc_id").cast("string").as("id"), col("text"))
       val planted = raw.filter(col("doc_id") % 35 === 0)
@@ -2632,7 +2652,7 @@ object EntryQueries {
     // oracle. probe_shingles/capped_shingles are tie-DEPENDENT distincts
     // and stay spec-pinned instead.
     ("x125c_containment_stats", (s: SparkSession, sfDir: String) => {
-      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      val docs = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"), col("text").as("content"))
       Dedup.containmentBucketStats(docs, threshold = 0.8, maxBucket = 64)
         .select(col("probe_rows"), col("candidates_kept"),
@@ -2654,7 +2674,7 @@ object EntryQueries {
     // doc non-empty and byte-distinct through all stages, so the exact-dup
     // arm and the Jaccard replay cannot diverge on degenerate docs).
     ("x126_curate_pipeline", (s: SparkSession, sfDir: String) => {
-      val raw = s.read.parquet(s"$sfDir/documents.parquet")
+      val raw = readPar(s, s"$sfDir/documents.parquet")
       val bench = raw.filter(col("source") === "src0")
         .select(col("doc_id").cast("string").as("id"), col("text").as("content"))
       // the train corpus halves (numeric residue, never a string cast) —
@@ -2703,7 +2723,7 @@ object EntryQueries {
     // prior, per-doc tf·w sums — closed-form training is what makes the
     // model engine-replayable at all (no SGD order, no init).
     ("x127_quality_classifier", (s: SparkSession, sfDir: String) => {
-      val all = s.read.parquet(s"$sfDir/documents.parquet")
+      val all = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"),
           col("text").as("content"), col("source"))
       val model = graft.ext.Classify.trainQualityNb(
@@ -2722,7 +2742,7 @@ object EntryQueries {
     // (|V| now counts bigram features), and the scan's per-instance sums
     // are all pinned cross-engine.
     ("x127b_quality_classifier_bigram", (s: SparkSession, sfDir: String) => {
-      val all = s.read.parquet(s"$sfDir/documents.parquet")
+      val all = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"),
           col("text").as("content"), col("source"))
       val model = graft.ext.Classify.trainQualityNb(
@@ -2768,7 +2788,7 @@ object EntryQueries {
               |FROM t""".stripMargin)),
 
     ("x12_text_corpus_stats", (s: SparkSession, sfDir: String) => {
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
+      val d = readPar(s, s"$sfDir/documents.parquet")
         .select(col("lang"), col("text").as("content"))
       TextStats.corpusStats(d, "lang")
         .select(col("lang"), col("n_docs"), col("total_chars"),
@@ -2798,7 +2818,7 @@ object EntryQueries {
     ("x19_sample_stratified", (s: SparkSession, sfDir: String) => {
       // deterministic md5-threshold stratified sampling by lang; membership
       // is a pure function of the id (stable across runs/engines/retries)
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
+      val d = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"), col("lang"))
       Pipeline.sampleStratified(d, "lang",
           Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultFraction = 0.05)
@@ -2816,7 +2836,7 @@ object EntryQueries {
     // (the x49 HLL pattern).
     ("x61_quantiles", (s: SparkSession, sfDir: String) =>
       TextStats.lengthQuantiles(
-        s.read.parquet(s"$sfDir/documents.parquet").withColumn("content", col("text")),
+        readPar(s, s"$sfDir/documents.parquet").withColumn("content", col("text")),
         groupCol = "source")
         .select(col("source"), col("p"), round(col("q_exact"), 6).as("q_exact"),
           col("approx_ok")),
@@ -2830,7 +2850,7 @@ object EntryQueries {
     // Exactly-10-per-source deterministic sample: smallest md5(seed:id)
     // draws win; the oracle replays the draw and the rank window.
     ("x66_sample_fixed", (s: SparkSession, sfDir: String) => {
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
+      val d = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"), col("source"))
       Pipeline.sampleFixedPerGroup(d, "source", k = 10, seed = 5L)
         .select("id", "source")
@@ -2843,7 +2863,7 @@ object EntryQueries {
     ("x60_sample_weighted", (s: SparkSession, sfDir: String) => {
       // quality-proportional selection: keep probability = n_chars/600
       // (clamped) — a pure function of (seed, id, weight), replayed exactly
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
+      val d = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"),
           (col("n_chars") / 600.0).as("w"), col("source"))
       Pipeline.sampleWeighted(d, "w", seed = 7L).select("id", "source")
@@ -2855,7 +2875,7 @@ object EntryQueries {
       // training-mixture weighting: downsample 3 sources toward a 6000-token
       // budget split 50/30/20 (oracle replays the per-source token totals,
       // the double-precision fraction arithmetic, and the md5 thresholds)
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
+      val d = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"),
           col("text").as("content"), col("source"))
       Pipeline.mixCorpora(d, "source",
@@ -3042,7 +3062,7 @@ object EntryQueries {
     // semanticDedup drops exactly the id_b side of the k=1 pair set.
     ("x29_semdedup", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       val exact = Dedup.embeddingDupPairs(e, threshold = 0.46, numTables = 0)
         .select("id_a", "id_b").persist()
@@ -3075,7 +3095,7 @@ object EntryQueries {
     // union-corpus minHashDupPairs cross pairs (LSH recall itself is not
     // SQL-expressible).
     ("x30_dedup_against", (s: SparkSession, sfDir: String) => {
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
+      val d = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
           col("doc_id").cast("long").as("__n"), col("source"))
       val corpus = d.filter(col("__n") % 7 =!= 0).drop("__n")
@@ -3092,7 +3112,7 @@ object EntryQueries {
     // permutation.
     ("x31_shuffle_shards", (s: SparkSession, sfDir: String) =>
       Pipeline.shuffleShards(
-        s.read.parquet(s"$sfDir/documents.parquet")
+        readPar(s, s"$sfDir/documents.parquet")
           .select(col("doc_id").cast("string").as("id"), col("source")),
         numShards = 8, seed = 42L)
         .select(col("id"), col("source"), col("shard"), col("pos")),
@@ -3109,7 +3129,7 @@ object EntryQueries {
     // of (seed, id), so assignments never move as the corpus grows
     ("x37_split_corpus", (s: SparkSession, sfDir: String) =>
       Pipeline.splitCorpus(
-        s.read.parquet(s"$sfDir/documents.parquet")
+        readPar(s, s"$sfDir/documents.parquet")
           .select(col("doc_id").cast("string").as("id"), col("source")),
         Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1), seed = 7L)
         .select("id", "source", "split"),
@@ -3127,7 +3147,7 @@ object EntryQueries {
     // histogram and both JS half-sums per window.
     ("x112_stream_drift", (s: SparkSession, sfDir: String) =>
       EventStreams.driftStream(
-        s.read.parquet(s"$sfDir/documents.parquet")
+        readPar(s, s"$sfDir/documents.parquet")
           .select(timestamp_micros(lit(1700000000000000L)
             + (col("doc_id") % 4) * 3600000000L).as("ts"),
             col("text").as("content")),
@@ -3179,7 +3199,7 @@ object EntryQueries {
     // as one unit; singletons key on their own id.
     ("x109_split_by_cluster", (s: SparkSession, sfDir: String) =>
       Pipeline.splitByCluster(
-        s.read.parquet(s"$sfDir/documents.parquet")
+        readPar(s, s"$sfDir/documents.parquet")
           .select(col("doc_id").cast("string").as("id"), col("text").as("content")),
         Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1), seed = 7L)
         .select("id", "split"),
@@ -3203,7 +3223,7 @@ object EntryQueries {
     // casts round differently, see lengthHistogram).
     ("x32_length_histogram", (s: SparkSession, sfDir: String) =>
       TextStats.lengthHistogram(
-        s.read.parquet(s"$sfDir/documents.parquet")
+        readPar(s, s"$sfDir/documents.parquet")
           .select(col("text").as("content"), col("source")),
         bucketWidth = 32)
         .select(col("source"), col("bucket"), col("lo_tokens"), col("n_docs"),
@@ -3287,7 +3307,7 @@ object EntryQueries {
       // per-run dir: a fixed path would let concurrent runs (or another sf)
       // clobber the data between write and read-back
       val out = tempDirCleanedOnExit("graft-x35-") + "/docs"
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
+      val d = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
           col("lang"), col("n_chars"))
       graft.sources.Jsonl.writeDocs(d, out)
@@ -3311,7 +3331,7 @@ object EntryQueries {
     ("x65_csv_roundtrip", (s: SparkSession, sfDir: String) => {
       import org.apache.spark.sql.types._
       val out = tempDirCleanedOnExit("graft-x65-") + "/docs"
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
+      val d = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
           col("lang"), col("n_chars"))
       graft.sources.Csv.writeDocs(d, out)
@@ -3410,7 +3430,7 @@ object EntryQueries {
       // eval-set-leakage check: training docs (source<>src0) sharing >=1
       // distinct 8-gram with any benchmark doc (source=src0); the corpus
       // side is never shuffled — the small bench gram set broadcasts
-      val all = s.read.parquet(s"$sfDir/documents.parquet")
+      val all = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"),
           col("text").as("content"), col("source"))
       Pipeline.contaminationHits(
@@ -3443,7 +3463,7 @@ object EntryQueries {
 
     ("x14_multimodal_crossmodal", (s: SparkSession, sfDir: String) => {
       val docs = docsFrame(s, sfDir)
-      val embs = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val embs = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       val withEmb = Multimodal.withModalityEmbedding(docs, embs, "image")
       Multimodal.crossModalTopK(withEmb, "image", queryVec(s, sfDir), k = 10)
@@ -3563,7 +3583,7 @@ object EntryQueries {
     // (score = the pinned x9 quality definition), rank-filtered window ->
     // WindowGroupLimit map-side k-heaps (plan shape pinned in ExtSpec).
     ("x41_top_quality", (s: SparkSession, sfDir: String) => {
-      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      val docs = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
           col("source"))
       Pipeline.topKPerGroup(TextStats.quality(docs), "source", "quality", k = 5)
@@ -3588,7 +3608,7 @@ object EntryQueries {
     // compare is exact-by-construction; the hashed (8-byte shuffle key)
     // variant is pinned hashed==exact in ExtSpec.
     ("x42_group_overlap", (s: SparkSession, sfDir: String) => {
-      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      val docs = readPar(s, s"$sfDir/documents.parquet")
         .select(col("text").as("content"), col("source"))
       TextStats.groupOverlap(docs, "source", n = 3, hashGrams = false)
         .select(col("group_a"), col("group_b"), col("inter"),
@@ -3663,7 +3683,7 @@ object EntryQueries {
     // scale, the tie-stable round, the integer code sum, and the max
     // absolute reconstruction error (order-independent, so float-exact).
     ("x46_quantize", (s: SparkSession, sfDir: String) => {
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       val qz = Quantize.quantizeInt8(e)
       // qz("scale"), NOT col("scale"): the sibling alias `round(scale, 9)
@@ -3690,7 +3710,7 @@ object EntryQueries {
     // reorder). Gate-style like x6b/x7 — the exact arm is x6's oracle.
     ("x47_ann_int8", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       val qs = queryVecs(s, sfDir, 5)
       val exact = Ann.exactTopK(e, qs, k = 10)
@@ -3725,7 +3745,7 @@ object EntryQueries {
     // cand=100).
     ("x50_ann_pq", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       val qs = queryVecs(s, sfDir, 5)
       val exact = Ann.exactTopK(e, qs, k = 10)
@@ -3744,7 +3764,7 @@ object EntryQueries {
     // a retrain); and the recall gate must survive the maintained upsert.
     ("x50b_pq_index", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       val root = tempDirCleanedOnExit("graft-x50b-")
       val c = Collection(s, root, "vecs", useFts = false)
@@ -3780,7 +3800,7 @@ object EntryQueries {
     // the HLL++ sketch arm (the 100 TB path) is gated within 5 rsd of it.
     ("x49_cardinality", (s: SparkSession, sfDir: String) =>
       TextStats.tokenCardinality(
-          s.read.parquet(s"$sfDir/documents.parquet")
+          readPar(s, s"$sfDir/documents.parquet")
             .select(col("text").as("content"), col("source")),
           groupCol = "source", rsd = 0.05)
         .select(col("source"), col("exact_distinct"),
@@ -3795,7 +3815,7 @@ object EntryQueries {
     // The oracle replays draw, order, cumsum, and the admission rule.
     ("x51_budget_sample", (s: SparkSession, sfDir: String) =>
       Pipeline.budgetSample(
-        s.read.parquet(s"$sfDir/documents.parquet")
+        readPar(s, s"$sfDir/documents.parquet")
           .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
             col("source")),
         budgetTokens = 2000, groupCol = "source")
@@ -3814,7 +3834,7 @@ object EntryQueries {
     // Hard-negative mining: per anchor (first 5 embeddings), the 10 most
     // similar vectors with a DIFFERENT label. Exact oracle replay.
     ("x52_hard_negatives", (s: SparkSession, sfDir: String) => {
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
       val corpus = e.select(col("vec_id").cast("string").as("id"),
         col("embedding"), col("label"))
       val queries = e.filter(col("vec_id") < 5)
@@ -3950,7 +3970,7 @@ object EntryQueries {
     // 167 chain components of <= 4 nodes at sf0.01). The oracle replays the
     // component labeling with a recursive CTE (the x86 pattern).
     ("x91_connected_components", (s: SparkSession, sfDir: String) => {
-      val nodes = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val nodes = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("long").as("i"))
       val n = nodes.count()
       val edges = nodes.filter(col("i") % 3 =!= 0)
@@ -3974,7 +3994,7 @@ object EntryQueries {
     // replays with the canonical three-way edge join.
     ("x94_graph_stats", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val nodes = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val nodes = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("long").as("i"))
       val n = nodes.count()
       val edges = nodes.filter(col("i") % 3 =!= 0)
@@ -4047,7 +4067,7 @@ object EntryQueries {
     // md5-derived signs — value-for-value replay (both engines derive the
     // SAME sign matrix from md5("42|j|i") hex-prefix parity).
     ("x95_random_project", (s: SparkSession, sfDir: String) => {
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("long").as("id"), col("embedding"))
       Quantize.randomProject(e, outDim = 8, inDim = 64, seed = 42L)
         .select(col("id"), posexplode(col("proj")).as(Seq("pos", "v")))
@@ -4150,7 +4170,7 @@ object EntryQueries {
     // rows are verified, never what survives. Oracle is the same NOT EXISTS
     // replay; equality with dedupAgainst(near=false) is pinned in ExtSpec.
     ("x54_dedup_bloom", (s: SparkSession, sfDir: String) => {
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
+      val d = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"), col("text").as("content"),
           col("doc_id").cast("long").as("__n"), col("source"))
       val corpus = d.filter(col("__n") % 5 =!= 0).drop("__n")
@@ -4192,7 +4212,7 @@ object EntryQueries {
     // corpus as its own query set — the x6b gate pattern).
     ("x75_knn_graph", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       // both gate frames feed MULTIPLE actions — persist so the LSH build /
       // exact pass run once, not once per count
@@ -4225,7 +4245,7 @@ object EntryQueries {
       import s.implicits._
       val root = tempDirCleanedOnExit("graft-x74-")
       val c = Collection(s, root, "sv", useFts = false)
-      c.addDf(s.read.parquet(s"$sfDir/embeddings.parquet")
+      c.addDf(readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), lit("").as("content"),
           col("embedding")))
       c.createVectorIndex(numTables = 16, numPlanes = 4)
@@ -4272,7 +4292,7 @@ object EntryQueries {
     // Key-skew report over the hot lang key — counts, shares, and the
     // skew factor (multiples of the fair per-key share).
     ("x72_key_skew", (s: SparkSession, sfDir: String) =>
-      Pipeline.keySkewStats(s.read.parquet(s"$sfDir/documents.parquet"), "lang", k = 10)
+      Pipeline.keySkewStats(readPar(s, s"$sfDir/documents.parquet"), "lang", k = 10)
         .select(col("rank"), col("lang"), col("cnt"),
           round(col("share"), 6).as("share"), round(col("skew"), 6).as("skew")),
       Some("""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
@@ -4285,7 +4305,7 @@ object EntryQueries {
     // Intra-doc repeated-line removal: inject repeated/trim-variant lines
     // around each doc's text; first occurrences survive in order.
     ("x71_dedup_lines_doc", (s: SparkSession, sfDir: String) => {
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
+      val d = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"),
           concat(lit("HEADER\n"), col("text"), lit("\nMID\nHEADER\n  HEADER  \nMID"))
             .as("content"))
@@ -4312,7 +4332,7 @@ object EntryQueries {
     // join.
     ("x69_salted_join", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
+      val d = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"), col("lang"))
       val dim = Seq(("en", "English"), ("de", "German"), ("zh", "Chinese"),
         ("fr", "French"), ("es", "Spanish")).toDF("lang", "lang_name")
@@ -4329,9 +4349,9 @@ object EntryQueries {
     // (of the survivors), adds 3 new ids — statuses replayed exactly.
     ("x70_corpus_diff", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val a = s.read.parquet(s"$sfDir/documents.parquet")
+      val a = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("id"), col("text").as("content"))
-      val b0 = s.read.parquet(s"$sfDir/documents.parquet")
+      val b0 = readPar(s, s"$sfDir/documents.parquet")
         .filter(col("doc_id") % 7 =!= 0)
         .select(col("doc_id").cast("string").as("id"),
           when(col("doc_id") % 11 === 0, concat(col("text"), lit(" edited")))
@@ -4426,7 +4446,7 @@ object EntryQueries {
     // replays the count distribution and -sum(p ln p) exactly.
     ("x67_token_entropy", (s: SparkSession, sfDir: String) =>
       TextStats.tokenEntropy(
-        s.read.parquet(s"$sfDir/documents.parquet").withColumn("content", col("text")))
+        readPar(s, s"$sfDir/documents.parquet").withColumn("content", col("text")))
         .select(col("doc_id").cast("string").as("id"),
           round(col("token_entropy"), 6).as("token_entropy"),
           round(col("norm_entropy"), 6).as("norm_entropy")),
@@ -4443,7 +4463,7 @@ object EntryQueries {
 
     ("x57_lexical_diversity", (s: SparkSession, sfDir: String) =>
       TextStats.lexicalDiversity(
-        s.read.parquet(s"$sfDir/documents.parquet").withColumn("content", col("text")),
+        readPar(s, s"$sfDir/documents.parquet").withColumn("content", col("text")),
         groupCol = "source")
         .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
           round(col("ttr"), 6).as("ttr"),
@@ -4463,7 +4483,7 @@ object EntryQueries {
     // independent DuckDB replay of selection order, scores, and tie-breaks,
     // not a gate.
     ("x56_mmr_rerank", (s: SparkSession, sfDir: String) => {
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       Ann.mmrRerank(e, Seq("0" -> queryVec(s, sfDir)), k = 5, candK = 20, lambda = 0.5)
         .select(col("qid"), col("rn"), col("id"),
@@ -4476,7 +4496,7 @@ object EntryQueries {
     // x46 closed-form quantization, so this is a value-checked eval, not a
     // gate).
     ("x64_rank_eval", (s: SparkSession, sfDir: String) => {
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       import s.implicits._
       val qs = queryVecs(s, sfDir, 5)
@@ -4518,7 +4538,7 @@ object EntryQueries {
     // lexical overlap matrix). Oracle replays the per-position mean and the
     // double cosine.
     ("x63_centroid_sim", (s: SparkSession, sfDir: String) => {
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("label"), col("embedding"))
       Pipeline.centroidSimilarity(e, "label")
         .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
@@ -4541,7 +4561,7 @@ object EntryQueries {
     // component — because the driver's pandas comparator can't sort an
     // ARRAY column (r8 VERDICT item 1).
     ("x55_pool_embeddings", (s: SparkSession, sfDir: String) => {
-      val ch = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val ch = readPar(s, s"$sfDir/embeddings.parquet")
         .select((col("vec_id") % 50).cast("long").as("id"), col("embedding"))
       Pipeline.poolEmbeddings(ch)
         .select(col("id"), col("n_chunks"),
@@ -4643,7 +4663,7 @@ object EntryQueries {
     // oracle is the naive θ-join DuckDB can afford at oracle scale —
     // agreement pins the candidate generation recall-complete.
     ("x83_fuzzy_join", (s: SparkSession, sfDir: String) => {
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
+      val d = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("long").as("n"),
           col("doc_id").cast("string").as("id"),
           array_join(slice(TextFunctions.tokens(col("text")), 1, 4), " ").as("key"))
@@ -4662,7 +4682,7 @@ object EntryQueries {
     // Faceted corpus-composition report: top-k values per facet column with
     // counts, corpus share, and deterministic rank.
     ("x82_facets", (s: SparkSession, sfDir: String) =>
-      TextStats.facets(s.read.parquet(s"$sfDir/documents.parquet"),
+      TextStats.facets(readPar(s, s"$sfDir/documents.parquet"),
           Seq("lang", "source"), k = 3)
         .select(col("facet"), col("value"), col("n_docs"),
           round(col("share"), 6).as("share"), col("rank")),
@@ -4710,7 +4730,7 @@ object EntryQueries {
     // batch boundaries cannot matter) — the x74/x76 gate pattern.
     ("x80_stream_dedup_against", (s: SparkSession, sfDir: String) => {
       import s.implicits._
-      val d = s.read.parquet(s"$sfDir/documents.parquet")
+      val d = readPar(s, s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("long").as("n"),
           col("doc_id").cast("string").as("id"), col("text").as("content"))
       val ref = d.filter(col("n") % 7 === 0).select("id", "content")
@@ -4773,7 +4793,7 @@ object EntryQueries {
     // Representative-document scoring for curation; the approximate-graph
     // scale arm is knnGraph + the same pageRank, recall-gated via x75.
     ("x79_pagerank", (s: SparkSession, sfDir: String) => {
-      val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val e = readPar(s, s"$sfDir/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"), col("embedding"))
       val edges = Ann.exactTopKAll(e,
           e.select(col("id").as("qid"), col("embedding").as("qvec")), k = 6)

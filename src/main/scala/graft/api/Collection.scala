@@ -204,7 +204,19 @@ final class Collection private (
     */
   private def upsert(batch0: DataFrame, idsHint: Option[DataFrame] = None): Unit = {
     val wasEmpty = !Stores.partitionExists(spark, docsDir, name)
-    val batch = batch0.persist()
+    // Spread a narrow batch across the session's cores before caching
+    // (r19 opt, guide §2): AQE coalesces the last-wins window's shuffle by
+    // BYTES, so a few-MB batch caches as ~1 partition and the tokenize-
+    // heavy postings/doclen derivations above the cache run on one core.
+    // CPU-bound per-row work is invisible to byte-based coalescing; the
+    // respread fires only when the batch is narrower than the session's
+    // parallelism (a real ingest batch has ≥ cores partitions — no-op),
+    // and batch row order is not part of upsert's contract (last-wins was
+    // already resolved in addDf).
+    val par = spark.sparkContext.defaultParallelism
+    val spread =
+      if (batch0.rdd.getNumPartitions < par) batch0.repartition(par) else batch0
+    val batch = spread.persist()
     try {
       if (wasEmpty) {
         Stores.overwritePartition(spark, docsDir, name, batch,

@@ -340,16 +340,25 @@ object Joins {
             i => substring(p, i, lit(q)))).as(s"gs_$side")) ++ blockSel: _*)
         .filter(col(s"key_$side").isNotNull)
     }
-    val l = prep(left, leftIdCol, leftKeyCol, "l", blockCols.map(_._1))
-    val r = prep(right, rightIdCol, rightKeyCol, "r", blockCols.map(_._2))
+    // persisted (r19 opt): each side's prepped (id, key, gram-set) frame
+    // feeds THREE structurally different consumers — the rarity aggregate,
+    // the prefix join, and the short-key all-pairs branch — so exchange
+    // reuse can never unify them and the key tokenize + q-gram build ran
+    // up to 3× per side (4 independent scan jobs measured on the entry).
+    // The frames are O(keys × key-length) — the same mass the candidate
+    // join shuffles anyway — and spill-safe; Spark's ContextCleaner
+    // reclaims the blocks once the returned frame is unreachable.
+    val l = prep(left, leftIdCol, leftKeyCol, "l", blockCols.map(_._1)).persist()
+    val r = prep(right, rightIdCol, rightKeyCol, "r", blockCols.map(_._2)).persist()
     def grams(df: DataFrame, side: String) =
       df.select(Seq(col(s"id_$side"), col(s"key_$side"),
         explode(col(s"gs_$side")).as("g")) ++ blockNames.map(col): _*)
     val lg = grams(l, "l")
     val rg = grams(r, "r")
-    // shared global rarity order over BOTH sides' grams
+    // shared global rarity order over BOTH sides' grams — persisted too:
+    // it is consumed once per side's prefix join
     val freq = lg.select(col("g")).unionByName(rg.select(col("g")))
-      .groupBy(col("g")).agg(count(lit(1)).as("__f"))
+      .groupBy(col("g")).agg(count(lit(1)).as("__f")).persist()
     val keep = q * maxDist + 1
     def prefix(gdf: DataFrame, side: String) =
       gdf.join(freq, Seq("g"))
