@@ -202,6 +202,9 @@ object EntryQueries {
     */
   private def readPar(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
+    // kill switch for A/B measurement (ProbeAb): spark.graft.entry.respread
+    if (!spark.conf.getOption("spark.graft.entry.respread").forall(_.toBoolean))
+      return df
     val par = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }

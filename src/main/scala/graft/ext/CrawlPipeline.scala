@@ -117,11 +117,16 @@ object CrawlPipeline {
     // with robotsFromCrawl the robots.txt captures feed the RULES arm and
     // must not also become corpus documents (NULL uri keeps — it cannot
     // be a robots capture)
-    val read =
+    val read2 =
       if (cfg.robotsFromCrawl)
         read1.filter(!coalesce(
           col("target_uri").rlike(RobotsUriPattern), lit(false)))
       else read1
+    // respread a narrow archive read before the HTML→text extraction —
+    // a handful of .warc.gz members otherwise serializes the heaviest
+    // per-row kernel of the pipeline onto as many cores as there are
+    // files; identity at real scale (guide §2)
+    val read = WorkingColumns.respread(read2)
     val indexable =
       if (cfg.dropNoindexPages) Web.dropNoindex(read, htmlCol = "body") else read
     val extracted = indexable.select(

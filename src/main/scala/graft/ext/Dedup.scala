@@ -154,10 +154,14 @@ object Dedup {
     corpusDupClusters(docs, idCol, contentCol, n, bands, rowsPerBand,
       threshold, maxBucket)
 
-  private def corpusDupClusters(docs: DataFrame, idCol: String,
+  private def corpusDupClusters(docs0: DataFrame, idCol: String,
                                 contentCol: String, n: Int, bands: Int,
                                 rowsPerBand: Int, threshold: Double,
                                 maxBucket: Int): DataFrame = {
+    // respread a narrow input (store reads, pipeline stage boundaries):
+    // the shingle+MinHash pass below is the suite's heaviest per-row
+    // kernel and runs scan-local — identity at real scale
+    val docs = WorkingColumns.respread(docs0)
     // ONE exact-collapse pass feeds both arms: the exact pairs fall out of
     // the same (rep, id) membership the MinHash path collapses with — the
     // shared subtree (same exprIds) lets exchange reuse skip a second
@@ -276,7 +280,9 @@ object Dedup {
                        contentCol: String = "content",
                        minDf: Int = 2): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val base = docs.select(col(idCol).as("id"), col(contentCol).as("content"))
+    // respread a narrow input: the line explode + trim below is scan-local
+    val base = WorkingColumns.respread(
+      docs.select(col(idCol).as("id"), col(contentCol).as("content")))
     val lines = base.filter(col("content").isNotNull)
       .select(col("id"), posexplode(split(col("content"), "\n")).as(Seq("pos", "line")))
       .withColumn("k", trim(col("line")))

@@ -23,4 +23,19 @@ private[graft] object WorkingColumns {
     if (!taken(base)) base
     else Iterator.from(1).map(i => s"$base$i").find(n => !taken(n)).get
   }
+
+  /** Spread a NARROW frame across the session's cores before a CPU-heavy
+    * per-row kernel (r19 opt, guide §2 "make partitioning scale-adaptive"):
+    * byte-based AQE coalescing and small single-row-group parquet both
+    * leave few-partition inputs whose tokenize/shingle/hash work then runs
+    * on one core. Fires ONLY when the input is narrower than the session's
+    * parallelism — at real scale the input has >= cores partitions and
+    * this is the identity; when it fires, the shuffled mass is small by
+    * the same condition. Callers must not depend on row order (every
+    * user below is set-semantics: dedup, banding, line aggregation).
+    */
+  def respread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 }
