@@ -205,8 +205,16 @@ object EntryQueries {
     // kill switch for A/B measurement (ProbeAb): spark.graft.entry.respread
     if (!spark.conf.getOption("spark.graft.entry.respread").forall(_.toBoolean))
       return df
+    // Narrowness from FILE BYTES, driver-side (one FS stat): probing the
+    // DataFrame's RDD partition count costs a full physical-planning pass
+    // per call (measured up to 1.2 s on map-typed plans). Spark packs
+    // ~openCostInBytes (4 MB) per split floor, so a scan cannot reach
+    // `par` splits unless it has ~par x 4 MB of input.
     val par = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    if (bytes < par.toLong * (4L << 20)) df.repartition(par) else df
   }
 
   private def queryVec(spark: SparkSession, sfDir: String, vecId: Int = 0): Seq[Float] =

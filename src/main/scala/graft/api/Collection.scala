@@ -213,9 +213,17 @@ final class Collection private (
     // parallelism (a real ingest batch has ≥ cores partitions — no-op),
     // and batch row order is not part of upsert's contract (last-wins was
     // already resolved in addDf).
+    // Narrowness from the OPTIMIZER's size estimate, not an RDD partition
+    // probe — `.rdd` pays a full physical-planning pass per call (measured
+    // up to 1.2 s on map-typed batch plans). Under the bound the batch is
+    // small enough that the respread shuffle is noise; above it (real
+    // ingest batches, no-stats sources reporting huge defaults) nothing
+    // changes.
     val par = spark.sparkContext.defaultParallelism
+    val est = batch0.queryExecution.optimizedPlan.stats.sizeInBytes
     val spread =
-      if (batch0.rdd.getNumPartitions < par) batch0.repartition(par) else batch0
+      if (est < BigInt(par.toLong * (4L << 20))) batch0.repartition(par)
+      else batch0
     val batch = spread.persist()
     try {
       if (wasEmpty) {
