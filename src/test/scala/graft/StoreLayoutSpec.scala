@@ -33,6 +33,10 @@ class StoreLayoutSpec extends AnyFunSuite {
     // very property under test (multiple files with disjoint ranges).
     val coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // r19: write partitioning is size-adaptive (est/rangeTargetBytes) — pin
+    // a small target so this skip-pin fixture actually spans files, like
+    // a production-size store does under the default
+    spark.conf.set("spark.graft.store.rangeTargetBytes", (1L << 20).toString)
     try {
       val total = 200000L
       val postings = spark.range(total).select(
@@ -62,7 +66,10 @@ class StoreLayoutSpec extends AnyFunSuite {
         s"range layout failed to skip files (scanned $scannedRanged of $total)")
       assert(scannedRanged * 2 <= scannedFlat,
         s"range layout must beat unranged IO ($scannedRanged vs $scannedFlat)")
-    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coal)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coal)
+      spark.conf.unset("spark.graft.store.rangeTargetBytes")
+    }
   }
 
   test("id-clustered docs store: a k-id fetch scans a file slice, not the corpus") {
@@ -71,6 +78,7 @@ class StoreLayoutSpec extends AnyFunSuite {
     // the footer check skips files outside the ids' ranges (r13 punch #7)
     val coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.graft.store.rangeTargetBytes", (256L << 10).toString)
     try {
       val c = graft.api.Collection(spark, freshStore(), "t", useFts = false)
       val docs = spark.range(20000).select(
@@ -88,7 +96,10 @@ class StoreLayoutSpec extends AnyFunSuite {
       assert(n === 10L)
       assert(scanned <= 20000L / 2,
         s"id-clustered docs fetch must skip files (scanned $scanned of 20000)")
-    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coal)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coal)
+      spark.conf.unset("spark.graft.store.rangeTargetBytes")
+    }
   }
 
   test("compacted collection postings carry the range layout end-to-end") {
@@ -100,6 +111,7 @@ class StoreLayoutSpec extends AnyFunSuite {
     // shuffle to one file — the pin needs the multi-file layout itself
     val coal = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.graft.store.rangeTargetBytes", (256L << 10).toString)
     spark.conf.set("spark.graft.store.directUpsertMaxBytes", "0")
     spark.conf.set("spark.graft.compact.auto", "false")
     try {
@@ -123,6 +135,7 @@ class StoreLayoutSpec extends AnyFunSuite {
         s"compacted range layout must skip files (scanned $scanned of $totalRows)")
     } finally {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coal)
+      spark.conf.unset("spark.graft.store.rangeTargetBytes")
       spark.conf.unset("spark.graft.store.directUpsertMaxBytes")
       spark.conf.set("spark.graft.compact.auto", "true")
     }
