@@ -221,8 +221,11 @@ final class Collection private (
     // changes.
     val par = spark.sparkContext.defaultParallelism
     val est = batch0.queryExecution.optimizedPlan.stats.sizeInBytes
+    val respreadOn = spark.conf
+      .getOption("spark.graft.ingest.respread").forall(_.toBoolean)
     val spread =
-      if (est < BigInt(par.toLong * (4L << 20))) batch0.repartition(par)
+      if (respreadOn && est < BigInt(par.toLong * (4L << 20)))
+        batch0.repartition(par)
       else batch0
     val batch = spread.persist()
     try {

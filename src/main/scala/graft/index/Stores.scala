@@ -470,7 +470,19 @@ object Stores {
           .getOption("spark.graft.store.rangeTargetBytes")
           .map(_.toLong).getOrElse(16L << 20))
         val ceiling = spark.sessionState.conf.numShufflePartitions
-        val n = ((est + target - 1) / target).min(BigInt(ceiling)).max(BigInt(1)).toInt
+        // Floor of min(8, ceiling) files once a store holds real data
+        // (>= 1 MB estimated): a one-file store reads back as a ONE-TASK
+        // scan, which measurably taxed every query over it (the q4-q9
+        // meta/BM25 entries each gained ~0.1-0.4 s when the fixture docs
+        // store collapsed to one file — map-typed deserialization is
+        // CPU-bound per row). Sub-MB stores (collstats, centroid/param
+        // tables, k-row deltas) keep n = 1: nothing scans them hot, and
+        // one partition skips RangePartitioner's sampling job entirely.
+        val floor =
+          if (est < BigInt(1L << 20)) BigInt(1)
+          else BigInt(math.min(8, ceiling))
+        val n = ((est + target - 1) / target)
+          .max(floor).min(BigInt(ceiling)).max(BigInt(1)).toInt
         df.repartitionByRange(n, rangeBy.map(org.apache.spark.sql.functions.col): _*)
       } else df
     val out =
