@@ -576,12 +576,10 @@ final class Collection private (
       (ivfCentroidsRaw(), pqCodebookRaw()) match {
         case (Some(oldCents), Some(oldCb))
             if !docs().filter($"embedding".isNotNull).limit(1).isEmpty =>
-          val cents = graft.ext.Ivf.build(docs(), "id", "embedding",
-            oldCents.size, iters, 1.0, maxSample, seed).centroids
           // retrain matches the build recipe: re-run the measured
           // raw-vs-residual selection against the FRESH centroids
-          val (cb, residual) = chooseIvfPqCodebook(cents, oldCb.m, iters,
-            maxSample, seed)
+          val (cents, cb, residual) = trainIvfPqTables(oldCents.size, oldCb.m,
+            iters, maxSample, seed)
           writeIvfPq(cents, cb, nprobe,
             pqParams().map(_._1).getOrElse(50), iters, maxSample, seed, residual)
         case _ => // emptied of embedded docs: drop, like the other kinds
@@ -775,9 +773,8 @@ final class Collection private (
       Stores.dropPartition(spark, annDir, name) // see the lsh branch's ordering note
       Stores.dropPartition(spark, ivfDir, name)
       Stores.dropPartition(spark, pqDir, name)
-      val cents = graft.ext.Ivf.build(docs(), "id", "embedding",
-        numCentroids, iters, 1.0, maxSample, seed).centroids
-      val (cb, residual) = chooseIvfPqCodebook(cents, m, iters, maxSample, seed)
+      val (cents, cb, residual) = trainIvfPqTables(numCentroids, m, iters,
+        maxSample, seed)
       writeIvfPq(cents, cb, nprobe, candK, iters, maxSample, seed, residual)
       graft.plans.AnnCatalog.register(spark, Stores.partitionPath(docsDir, name),
         graft.plans.AnnCatalog.Entry("id", "embedding",
@@ -847,9 +844,24 @@ final class Collection private (
   private def chooseIvfPqCodebook(cents: Seq[Seq[Float]], m: Int, iters: Int,
                                   maxSample: Int,
                                   seed: Long): (graft.ext.PqCodebook, Boolean) = {
-    import graft.ext.{Ivf, Pq}
-    val sample = Ivf.boundedSample(docs(), "embedding", 1.0, maxSample, seed)
-      .collect().map(_.getSeq[Float](0).toArray)
+    import graft.ext.Ivf
+    chooseIvfPqCodebookFrom(
+      Ivf.boundedSample(docs(), "embedding", 1.0, maxSample, seed)
+        .collect().map(_.getSeq[Float](0).toArray),
+      cents, m, iters)
+  }
+
+  /** The raw-vs-residual selection over an ALREADY-COLLECTED sample — the
+    * shared tail of [[chooseIvfPqCodebook]] and the fused build path
+    * ([[trainIvfPqTables]]), which trains coarse centroids and codebooks
+    * from ONE [[graft.ext.Ivf.boundedSample]] collect (r19 opt). Identical
+    * math either way (the sample is deterministic for fixed
+    * (corpus, maxSample, seed)).
+    */
+  private def chooseIvfPqCodebookFrom(sample: Array[Array[Float]],
+                                      cents: Seq[Seq[Float]], m: Int,
+                                      iters: Int): (graft.ext.PqCodebook, Boolean) = {
+    import graft.ext.Pq
     val centArr = cents.map(_.toArray).toArray
     val norm = sample.map { v =>
       val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
@@ -872,6 +884,41 @@ final class Collection private (
     val mseRaw = Pq.reconstructionMse(norm, cbRaw)
     val mseRes = Pq.reconstructionMse(resid, cbRes)
     if (mseRes < mseRaw) (cbRes, true) else (cbRaw, false)
+  }
+
+  /** The IVF-PQ training front end: coarse centroids + measured
+    * raw-vs-residual codebook. When the sample bound fits the driver-train
+    * arm (`maxSample <= spark.graft.ivf.driverTrainMaxVecs`, the
+    * [[graft.ext.Ivf.trainCentroids]] policy), ONE boundedSample selection
+    * feeds both the coarse k-means and the codebook choice — the selection
+    * (a count + survivor-count + bounded-sort collect over the docs scan)
+    * previously ran twice with the identical (corpus, maxSample, seed),
+    * once inside Ivf.build and once in [[chooseIvfPqCodebook]]. Results are
+    * bit-identical: the sample is deterministic and both consumers see the
+    * same hash-ordered rows. `spark.graft.ivfpq.fusedSample=false` restores
+    * the two-selection path (A/B kill switch). Above the driver bound the
+    * distributed trainer keeps its own sample handling, unchanged.
+    */
+  private def trainIvfPqTables(numCentroids: Int, m: Int, iters: Int,
+                               maxSample: Int, seed: Long)
+      : (Seq[Seq[Float]], graft.ext.PqCodebook, Boolean) = {
+    import graft.ext.Ivf
+    val driverMax = spark.conf.getOption("spark.graft.ivf.driverTrainMaxVecs")
+      .map(_.toInt).getOrElse(1 << 17)
+    val fused = maxSample <= driverMax &&
+      spark.conf.getOption("spark.graft.ivfpq.fusedSample").forall(_.toBoolean)
+    if (fused) {
+      val sample = Ivf.boundedSample(docs(), "embedding", 1.0, maxSample, seed)
+        .collect().map(_.getSeq[Float](0).toArray)
+      val cents = Ivf.trainCentroidsVecs(sample, numCentroids, iters)
+      val (cb, residual) = chooseIvfPqCodebookFrom(sample, cents, m, iters)
+      (cents, cb, residual)
+    } else {
+      val cents = Ivf.build(docs(), "id", "embedding",
+        numCentroids, iters, 1.0, maxSample, seed).centroids
+      val (cb, residual) = chooseIvfPqCodebook(cents, m, iters, maxSample, seed)
+      (cents, cb, residual)
+    }
   }
 
   private def writeIvfPq(cents: Seq[Seq[Float]], cb: graft.ext.PqCodebook,

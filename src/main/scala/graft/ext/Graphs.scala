@@ -64,21 +64,42 @@ object Graphs {
     require(n > 0, "empty graph")
     val outDeg = truncated(e.groupBy(col("src")).agg(sum(col("w")).as("deg")))
     var rank = truncated(nodes.select(col("id"), lit(1.0 / n).as("rank")))
+    // Dangling nodes are a property of the GRAPH, not the round: probe once
+    // (one anti-join over two skinny truncated frames) and, when there are
+    // none — e.g. a kNN graph, where every node is a query and has exactly k
+    // out-edges — skip the per-round dangling subtree (an anti-join + 1-row
+    // aggregate + broadcast per iteration) outright. Bit-identical: with no
+    // dangling nodes `__dm` is exactly 0.0 and `x + 0.0/n == x` for the
+    // strictly-positive rank sums this recurrence produces. (r19 opt)
+    // spark.graft.pagerank.skipDangling=false restores the unconditional
+    // dangling arm (A/B kill switch; the probe job is skipped too).
+    val skipDangling = spark.conf
+      .getOption("spark.graft.pagerank.skipDangling").forall(_.toBoolean)
+    val hasDangling = !skipDangling || !nodes
+      .join(outDeg.select(col("src").as("id")), Seq("id"), "left_anti").isEmpty
     for (_ <- 1 to iterations) {
-      // rank mass on dangling nodes (no out-edges), as a 1-row frame so the
-      // whole round stays one lazily-planned job
-      val dangling = rank.join(outDeg.select(col("src").as("id")), Seq("id"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
       val contrib = rank.join(outDeg, rank("id") === outDeg("src"))
         .join(e, "src")
         .groupBy(col("dst"))
         .agg(sum(col("rank") * col("w") / col("deg")).as("__in"))
-      val next = nodes
-        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("id"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("__in"), lit(0.0)) + col("__dm") / n)).as("rank"))
+      val next = if (!hasDangling)
+        nodes
+          .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .select(col("id"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+      else {
+        // rank mass on dangling nodes (no out-edges), as a 1-row frame so
+        // the whole round stays one lazily-planned job
+        val dangling = rank.join(outDeg.select(col("src").as("id")), Seq("id"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+        nodes
+          .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("id"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("__in"), lit(0.0)) + col("__dm") / n)).as("rank"))
+      }
       val prev = rank
       rank = truncated(next)
       release(prev)

@@ -248,38 +248,7 @@ object Ivf {
     try {
       if (maxSample <= driverMax) {
         val vecs = sorted.collect().map(_.getSeq[Float](0).toArray)
-        if (vecs.isEmpty)
-          throw new IllegalArgumentException("trainCentroids: corpus has no embedded rows")
-        var cents: Seq[Seq[Float]] = vecs.take(k).toSeq
-          .map(v => normalized(v.map(_.toDouble)))
-        var it = 0
-        while (it < iters) {
-          val centArr = cents.map(_.toArray).toArray
-          val sums = Array.fill(centArr.length)(Array.emptyDoubleArray)
-          vecs.foreach { xs =>
-            var best = -1
-            var bestScore = Double.NegativeInfinity
-            var c = 0
-            while (c < centArr.length) {
-              val dot = graft.functions.VectorFunctions.dotMin(xs, centArr(c))
-              if (dot > bestScore) { best = c; bestScore = dot }
-              c += 1
-            }
-            if (best >= 0) {
-              var a = sums(best)
-              if (a.length < xs.length) { a = java.util.Arrays.copyOf(a, xs.length); sums(best) = a }
-              var d = 0
-              while (d < xs.length) { a(d) += xs(d).toDouble; d += 1 }
-            }
-          }
-          cents = cents.zipWithIndex.map { case (old, c) =>
-            val s = sums(c)
-            if (s.isEmpty) old
-            else normalized(Array.tabulate(old.size)(d => if (d < s.length) s(d) else 0.0))
-          }
-          it += 1
-        }
-        return cents
+        return trainCentroidsVecs(vecs, k, iters)
       }
       val init = sorted.limit(k).collect()
         .map(r => normalized(r.getSeq[Float](0).map(_.toDouble).toArray))
@@ -306,6 +275,54 @@ object Ivf {
         cents
       } finally sample.unpersist()
     } finally sorted.unpersist()
+  }
+
+  /** The driver-side Lloyd loop over an ALREADY-COLLECTED sample (the
+    * `maxSample <= spark.graft.ivf.driverTrainMaxVecs` arm of
+    * [[trainCentroids]], factored out so the IVF-PQ build can train coarse
+    * centroids and run its raw-vs-residual codebook selection on ONE
+    * collected sample instead of paying [[boundedSample]]'s selection jobs
+    * twice — r19 opt). `vecs` must be in the boundedSample hash order; the
+    * math is the exact driver-path code (dotMin argmax, ties → lower id,
+    * NaN rows excluded, emptied cluster keeps its previous centroid,
+    * sum + renormalize), so results are bit-identical to [[trainCentroids]]
+    * at the same inputs.
+    */
+  private[graft] def trainCentroidsVecs(vecs: Array[Array[Float]], k: Int,
+                                        iters: Int): Seq[Seq[Float]] = {
+    require(k >= 1, "k >= 1")
+    if (vecs.isEmpty)
+      throw new IllegalArgumentException("trainCentroids: corpus has no embedded rows")
+    var cents: Seq[Seq[Float]] = vecs.take(k).toSeq
+      .map(v => normalized(v.map(_.toDouble)))
+    var it = 0
+    while (it < iters) {
+      val centArr = cents.map(_.toArray).toArray
+      val sums = Array.fill(centArr.length)(Array.emptyDoubleArray)
+      vecs.foreach { xs =>
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < centArr.length) {
+          val dot = graft.functions.VectorFunctions.dotMin(xs, centArr(c))
+          if (dot > bestScore) { best = c; bestScore = dot }
+          c += 1
+        }
+        if (best >= 0) {
+          var a = sums(best)
+          if (a.length < xs.length) { a = java.util.Arrays.copyOf(a, xs.length); sums(best) = a }
+          var d = 0
+          while (d < xs.length) { a(d) += xs(d).toDouble; d += 1 }
+        }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        val s = sums(c)
+        if (s.isEmpty) old
+        else normalized(Array.tabulate(old.size)(d => if (d < s.length) s(d) else 0.0))
+      }
+      it += 1
+    }
+    cents
   }
 
   /** One Lloyd round's per-cluster dim sums: deterministic per-partition
