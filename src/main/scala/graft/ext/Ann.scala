@@ -139,7 +139,27 @@ object Ann {
     // duplicate qids would interleave two vectors' top-k under one ranking
     // window (rn up to 2k, each query polluted with the other's neighbors)
     require(queries.map(_._1).distinct.size == queries.size, "duplicate query ids")
-    queries.map { case (qid, qvec) =>
+    val spark = corpus.sparkSession
+    // ONE corpus scan for the whole query batch (r19 opt): the per-query
+    // TakeOrderedAndProject loop re-read and re-decoded the corpus q times;
+    // the [[exactTopKAll]] shape (broadcast the tiny query side, score every
+    // pair in one codegen'd pass, WindowGroupLimit rank) pays the same q·N
+    // flops over a single scan, and its map-side per-group heaps bound the
+    // shuffle at partitions×q×k skinny rows. Output is IDENTICAL: same
+    // cosine arithmetic per (row, query), same (sim desc, id asc) keys for
+    // both the cut and the rank. spark.graft.ann.batchExact=false restores
+    // the per-query loop (A/B kill switch).
+    if (spark.conf.getOption("spark.graft.ann.batchExact").forall(_.toBoolean)) {
+      import spark.implicits._
+      val q = queries.toDF("qid", "qvec")
+        .select(col("qid"), col("qvec").cast(ArrayType(FloatType)).as("qvec"))
+      base.join(broadcast(q))
+        .withColumn("sim", VectorFunctions.cosine(col("emb"), col("qvec")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id").asc)))
+        .filter(col("rn") <= k)
+        .select(col("qid"), col("rn"), col("id"), col("sim"))
+    } else queries.map { case (qid, qvec) =>
       val scored = base
         .withColumn("sim", VectorFunctions.cosine(col("emb"), VectorFunctions.vecLit(qvec)))
         .orderBy(col("sim").desc, col("id").asc)

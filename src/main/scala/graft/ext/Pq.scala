@@ -375,8 +375,10 @@ object Pq {
       .select(col(idCol).as("id"), encodeCol(col(embCol), cb, normalize).as("codes"))
 
   /** ADC top-k over an encoded frame: per query, an m×k dot-product lookup
-    * table (driver-computed, exact) scores every row's codes; each query
-    * ranks via the TakeOrderedAndProject per-partition k-heap. Output
+    * table (driver-computed, exact) scores every row's codes; the batch
+    * ranks in ONE codes scan via WindowGroupLimit map-side k-heaps
+    * ([[batchRank]], r19 — previously one TakeOrderedAndProject scan per
+    * query). Output
     * (qid, rn, id, score) — `score` approximates the dot product (= cosine
     * when the index was built `normalize`d and queries are normalized here
     * the same way).
@@ -388,23 +390,16 @@ object Pq {
     if (queries.isEmpty)
       return codes.select(lit("").as("qid"), lit(1).as("rn"), col("id"),
         lit(0.0).as("score")).limit(0)
-    queries.map { case (qid, q0) =>
+    def scoreCol(q0: Seq[Float]): Column = {
       val q = if (normalize) normalizeVec(q0.toArray) else q0.toArray
-      val lut = cb.books.zipWithIndex.map { case (words, s) =>
-        val off = s * cb.dsub
-        words.map { w =>
-          var dot = 0.0
-          var d = 0
-          while (d < cb.dsub) {
-            if (off + d < q.length) dot += q(off + d).toDouble * w(d)
-            d += 1
-          }
-          dot
-        }
-      }
+      Bridge.column(PqAdcScore(Bridge.expression(col("codes")), lutFor(q, cb)))
+    }
+    if (batchAdcOn(codes))
+      batchRank(codes, queries.map(_._1),
+        queries.map(q => scoreCol(q._2)), k)
+    else queries.map { case (qid, q0) =>
       codes
-        .withColumn("score", Bridge.column(
-          PqAdcScore(Bridge.expression(col("codes")), lut)))
+        .withColumn("score", scoreCol(q0))
         .orderBy(col("score").desc, col("id").asc)
         .limit(k)
         .select(lit(qid).as("qid"), col("id"), col("score"))
@@ -413,6 +408,48 @@ object Pq {
         Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)))
       .select(col("qid"), col("rn"), col("id"), col("score"))
   }
+
+  /** The per-(query, subspace, codeword) ADC dot-product table — exact,
+    * driver-computed, m×k doubles (the shared head of both ranking arms).
+    */
+  private def lutFor(q: Array[Float], cb: PqCodebook): Seq[Seq[Double]] =
+    cb.books.zipWithIndex.map { case (words, s) =>
+      val off = s * cb.dsub
+      words.map { w =>
+        var dot = 0.0
+        var d = 0
+        while (d < cb.dsub) {
+          if (off + d < q.length) dot += q(off + d).toDouble * w(d)
+          d += 1
+        }
+        dot
+      }
+    }
+
+  // spark.graft.pq.batchAdc=false restores the per-query scan loop (A/B
+  // kill switch, like spark.graft.ann.batchExact for the exact arm)
+  private def batchAdcOn(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption("spark.graft.pq.batchAdc").forall(_.toBoolean)
+
+  /** One-codes-scan ranking for a query batch (r19 opt): the per-query
+    * `orderBy.limit` loop re-read the codes store q times; here each row
+    * computes its q ADC scores in one projection (the same [[PqAdcScore]]
+    * expressions — values bit-identical), posexplode tags them with the
+    * query ordinal, and the rank-`k` cut lowers to WindowGroupLimit
+    * map-side heaps, so the shuffle carries partitions×q×k skinny rows.
+    * Same output contract as the loop: (qid, rn 1..k, id, score), ties by
+    * (score desc, id asc) for both cut and rank.
+    */
+  private def batchRank(codes: DataFrame, qids: Seq[String],
+                        scoreCols: Seq[Column], k: Int): DataFrame =
+    codes
+      .select(col("id"), posexplode(array(scoreCols: _*)).as(Seq("qi", "score")))
+      .select(element_at(typedLit(qids), col("qi") + 1).as("qid"),
+        col("id"), col("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("id"), col("score"))
 
   /** The residual of a vector against its coarse centroid:
     * `l2normalize(emb) − centroid[cluster]` (cluster 0-based, centroid
@@ -429,8 +466,8 @@ object Pq {
   /** ADC top-k over RESIDUAL-encoded IVF-PQ rows (id, cluster, codes):
     * score = q·centroid[cluster] + LUT(codes), the exact decomposition
     * q·(c + r̂) — the per-cluster constant is a literal array lookup, so
-    * candidate selection stays one codes scan plus the per-partition
-    * k-heap, same plan as [[adcTopK]].
+    * candidate selection stays one codes scan plus per-partition k-heaps,
+    * same batched plan as [[adcTopK]].
     */
   def adcTopKResidual(rows: DataFrame, cb: PqCodebook, cents: Seq[Seq[Float]],
                       queries: Seq[(String, Seq[Float])], k: Int): DataFrame = {
@@ -438,25 +475,18 @@ object Pq {
     if (queries.isEmpty)
       return rows.select(lit("").as("qid"), lit(1).as("rn"), col("id"),
         lit(0.0).as("score")).limit(0)
-    queries.map { case (qid, q0) =>
+    def scoreCol(q0: Seq[Float]): Column = {
       val q = normalizeVec(q0.toArray)
-      val lut = cb.books.zipWithIndex.map { case (words, s) =>
-        val off = s * cb.dsub
-        words.map { w =>
-          var dot = 0.0
-          var d = 0
-          while (d < cb.dsub) {
-            if (off + d < q.length) dot += q(off + d).toDouble * w(d)
-            d += 1
-          }
-          dot
-        }
-      }
       val cdots = cents.map(c => graft.functions.VectorFunctions.dotMin(q, c.toArray))
+      Bridge.column(PqAdcScore(Bridge.expression(col("codes")), lutFor(q, cb))) +
+        element_at(typedLit(cdots), col("cluster").cast("int") + 1)
+    }
+    if (batchAdcOn(rows)) // one rows scan for the batch — see [[batchRank]]
+      batchRank(rows, queries.map(_._1),
+        queries.map(q => scoreCol(q._2)), k)
+    else queries.map { case (qid, q0) =>
       rows
-        .withColumn("score",
-          Bridge.column(PqAdcScore(Bridge.expression(col("codes")), lut)) +
-            element_at(typedLit(cdots), col("cluster").cast("int") + 1))
+        .withColumn("score", scoreCol(q0))
         .orderBy(col("score").desc, col("id").asc)
         .limit(k)
         .select(lit(qid).as("qid"), col("id"), col("score"))
