@@ -19,32 +19,91 @@ object Bench {
       case c => c.toString
     }
 
-  /** The two stdout lines, as (full, headline) — pure so the contract is
-    * spec-pinned (VerifySpec): line 1 is the COMPLETE per-entry map and
-    * carries no `truncated` key; line 2 (printed LAST so it survives the
-    * driver's ~2 KB stdout-tail capture) holds only the q-/s-/a-prefixed
-    * headline subset, marked `"truncated":true` so a consumer taking the
-    * first parsed `{"metric":"total"}` line can never mistake the partial
-    * map for the complete one, and points at the durable full map via
-    * `full_map_file` + `full_map_sha256`.
+  /** Byte budget for the FINAL `{"metric":"total"}` stdout line. The driver
+    * keeps only a ~2000-char stdout TAIL and parses the last complete
+    * `{"metric":"total"}` JSON line inside it; sbt appends one
+    * `[success] Total time: ...` line (~70 chars) after us and prefixes each
+    * line with `[info] ` (7 chars), so the line must stay comfortably under
+    * 2000 − ~80. 1800 leaves slack for a longer sbt epilogue.
     */
-  def summaryLines(results: Seq[(String, Double)], errors: Seq[(String, String)],
-                   calib: Double, sfDir: String, outFile: String): (String, String) = {
-    val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+  val TotalLineMaxBytes = 1800
+
+  /** Entries per `{"metric":"queries"}` group line (deterministic chunking
+    * of the name-sorted full map).
+    */
+  val GroupSize = 25
+
+  /** All stdout lines, in print order — pure so the contract is spec-pinned
+    * (VerifySpec). The r19 scheme printed the complete map FIRST (it
+    * scrolled out of the driver's ~2 KB stdout-tail capture) and a
+    * `"truncated":true` q/s/a headline LAST (a consumer correctly refuses a
+    * partial map marked truncated), so the driver had NO per-query ground
+    * truth for two rounds (PERF_r18/r19 `per_query: {}`, `parsed: null`).
+    * The r20 contract (the r19 verdict's #1 item):
+    *
+    *   1. the COMPLETE single-line map (also durably written to `outFile`),
+    *   2. the same map again as deterministic per-group complete JSON lines
+    *      (`{"metric":"queries","group":i,"of":n,...}`, entries in name
+    *      order, fixed [[GroupSize]] chunks — each line individually
+    *      parseable, so a consumer with a longer tail window can merge
+    *      groups back into the full map),
+    *   3. `{"metric":"full_map",...}` with the durable file + sha pointer,
+    *   4. LAST — the only line guaranteed inside the tail window — a
+    *      complete, parseable `{"metric":"total"}` line sized to
+    *      [[TotalLineMaxBytes]]: total/value/n_entries cover ALL entries;
+    *      the `queries` map carries as many per-entry values as fit the
+    *      budget, picked by (value desc, name asc) priority — the expensive
+    *      entries are the ones a perf comparison needs; sub-noise-floor
+    *      entries drop first — and emitted in name order.
+    *      `queries_omitted` counts what did not fit (the full map is in
+    *      lines 1-2 and the durable file). No `truncated` key: the line is
+    *      a complete record of the run's totals, and the omitted per-entry
+    *      values are recoverable via the sha-pinned file.
+    *
+    * All 205 entries can never fit the tail window directly: the name-sorted
+    * compact map alone is ~5.3 KB (measured, BENCH_last.json r19).
+    */
+  def stdoutLines(results: Seq[(String, Double)], errors: Seq[(String, String)],
+                  calib: Double, sfDir: String, outFile: String): Seq[String] = {
+    def ent(kv: (String, Double)) = s""""${esc(kv._1)}":${kv._2}"""
+    val byName = results.sortBy(_._1)
+    val qs = byName.map(ent).mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = math.round(results.collect { case (_, v) if v >= 0 => v }.sum * 1000) / 1000.0
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"calib_sec":$calib,"sf":"${esc(sfDir)}"}"""
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(full.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    val headlineQs = results.filter { case (k, _) =>
-      k.startsWith("q") || k.startsWith("s") || k.startsWith("a") }
-      .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
-    val headline =
-      s"""{"metric":"total","value":$total,"unit":"sec","truncated":true,""" +
-      s""""queries":$headlineQs,"n_entries":${results.size},"n_errors":${errors.size},""" +
-      s""""calib_sec":$calib,"sf":"${esc(sfDir)}",""" +
-      s""""full_map_file":"${esc(outFile)}","full_map_sha256":"$digest"}"""
-    (full, headline)
+    val groups = byName.grouped(GroupSize).toSeq
+    val groupLines = groups.zipWithIndex.map { case (g, i) =>
+      s"""{"metric":"queries","group":${i + 1},"of":${groups.size},"queries":${g.map(ent).mkString("{", ",", "}")}}"""
+    }
+    val shaLine = s"""{"metric":"full_map","file":"${esc(outFile)}","sha256":"$digest"}"""
+    // Total line: scaffold first (errors kept only when non-empty — an
+    // errored run must surface them even tail-only; capped at 2 entries so
+    // a pathological error burst cannot evict every query value), then fill
+    // the remaining budget with entries by (value desc, name asc) priority.
+    val errPart =
+      if (errors.isEmpty) ""
+      else {
+        val shown = errors.sortBy(_._1).take(2)
+          .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+        s""""errors":$shown,"""
+      }
+    def scaffold(qsPart: String, omitted: Int) =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsPart,""" +
+      s""""n_entries":${results.size},"n_errors":${errors.size},$errPart""" +
+      s""""calib_sec":$calib,"sf":"${esc(sfDir)}","queries_omitted":$omitted}"""
+    val fixedBytes = scaffold("{}", results.size).getBytes("UTF-8").length
+    var used = fixedBytes
+    val selected = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    for (kv <- results.sortBy { case (k, v) => (-v, k) }) {
+      val add = ent(kv).getBytes("UTF-8").length + 1 // +1 for the comma
+      if (used + add <= TotalLineMaxBytes) { selected += kv; used += add }
+    }
+    val totalLine = scaffold(
+      selected.sortBy(_._1).map(ent).mkString("{", ",", "}"),
+      results.size - selected.size)
+    (full +: groupLines) ++ Seq(shaLine, totalLine)
   }
 
   def main(args: Array[String]): Unit = {
@@ -118,15 +177,14 @@ object Bench {
     // latest FULL-suite record (r10 ADVICE: a 4-entry adjudication run had
     // replaced the 160-entry snapshot).
     val outFile = if (args.isEmpty) "BENCH_last.json" else "BENCH_last_filtered.json"
-    val (json, headline) =
-      summaryLines(results, errors.toSeq, calib, sfDir, outFile)
-    println(json)
+    val lines = stdoutLines(results, errors.toSeq, calib, sfDir, outFile)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      json.getBytes("UTF-8"))
+      lines.head.getBytes("UTF-8"))
     catch { case _: Throwable => () } // read-only cwd must not fail the bench
-    // The headline line prints LAST so it survives the driver's ~2 KB
-    // stdout-tail capture (contract + truncated marker: [[summaryLines]]).
-    println(headline)
+    // Print order is the contract ([[stdoutLines]]): complete map first,
+    // group lines, sha pointer, and the budget-sized complete total line
+    // LAST so it survives the driver's ~2 KB stdout-tail capture.
+    lines.foreach(println)
     spark.stop()
   }
 }
