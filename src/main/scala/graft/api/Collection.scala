@@ -230,9 +230,12 @@ final class Collection private (
     val batch = spread.persist()
     try {
       if (wasEmpty) {
+        // est (already computed for the respread decision) rides along as
+        // the write-size hint: each rangeBy write otherwise pays a fresh
+        // analyze+optimize pass just to re-derive the same estimate
         Stores.overwritePartition(spark, docsDir, name, batch,
-          sortBy = Seq("id"), rangeBy = Seq("id"))
-        refreshIndexesFull(batch) // tokenize from the cache, not a store re-read
+          sortBy = Seq("id"), rangeBy = Seq("id"), sizeHintBytes = Some(est))
+        refreshIndexesFull(batch, batchEst = Some(est)) // tokenize from the cache, not a store re-read
         // first ingest creates the collection: persist the open-time flags
         // that change what the stored bytes mean, so mismatched re-opens
         // throw at Collection() instead of silently mis-querying. Written
@@ -253,12 +256,17 @@ final class Collection private (
         if (baseBytes + deltaBytes <= directUpsertMaxBytes) {
           // direct merge (also folds any accumulated deltas back flat)
           val merged = docs().join(batchIds, Seq("id"), "left_anti").unionByName(batch)
+          // merged ≤ current segments + batch: one FS stat + the estimate
+          // already in hand replace a per-write optimizer stats probe over
+          // the resolve∪anti-join∪batch plan
           Stores.overwritePartition(spark, docsDir, name, merged,
-            sortBy = Seq("id"), rangeBy = Seq("id"))
-          refreshIndexesMerge(batch, rawIds, smallIds)
+            sortBy = Seq("id"), rangeBy = Seq("id"),
+            sizeHintBytes = Some(BigInt(baseBytes) + BigInt(deltaBytes) + est))
+          refreshIndexesMerge(batch, rawIds, smallIds, batchEst = est)
         } else {
-          Stores.appendDelta(spark, docsDir, name, batch, sortBy = Seq("id"))
-          refreshIndexesDelta(batch)
+          Stores.appendDelta(spark, docsDir, name, batch, sortBy = Seq("id"),
+            sizeHintBytes = Some(est))
+          refreshIndexesDelta(batch, batchEst = est)
           maybeCompact()
         }
       }
@@ -481,11 +489,14 @@ final class Collection private (
       val self = new Collection(spark, root, coll, None, targetFts, foldAccents = false)
       val (baseBytes, deltaBytes) = Stores.segmentBytes(spark, docsDir, coll)
       if (baseBytes + deltaBytes <= directUpsertMaxBytes) {
-        // small partition: direct anti-join rewrite, reads stay flat
+        // small partition: direct anti-join rewrite, reads stay flat; the
+        // segment bytes already in hand bound the anti-join's output — no
+        // per-write optimizer stats probe
         Stores.overwritePartition(spark, docsDir, coll,
           Stores.readPartition(spark, docsDir, coll, Stores.docsSchema)
             .join(broadcast(idsDf), Seq("id"), "left_anti"),
-          sortBy = Seq("id"), rangeBy = Seq("id"))
+          sortBy = Seq("id"), rangeBy = Seq("id"),
+          sizeHintBytes = Some(BigInt(baseBytes) + BigInt(deltaBytes)))
         self.removeFromIndexesMerge(broadcast(idsDf))
       } else {
         // gone-only delta: O(ids) bytes, the base is never rewritten
@@ -1285,9 +1296,14 @@ final class Collection private (
     }
     val r = graft.exec.ImpactTopK.ranked(from, cap).persist()
     try {
+      // cap-truncated postings rows: the postings store's segment bytes
+      // (freshly written by every caller before this) bound the sidecar —
+      // no optimizer stats probe over the ranked-window plan
+      val (pb, pd) = Stores.segmentBytes(spark, postingsDir, name)
       Stores.overwritePartition(spark, impactDir, name,
         graft.exec.ImpactTopK.rowsFromRanked(r, cap),
-        sortBy = Seq("term"), rangeBy = Seq("term"))
+        sortBy = Seq("term"), rangeBy = Seq("term"),
+        sizeHintBytes = Some(BigInt(pb) + BigInt(pd)))
       Stores.overwritePartition(spark, impactMetaDir, name,
         graft.exec.ImpactTopK.metaFromRanked(from, r, cap)
           .unionByName(impactWatermarkRow(postingsSeg())),
@@ -1578,12 +1594,20 @@ final class Collection private (
     * is persisted so the stats pass reads the cache populated by the store
     * write: one tokenize, one write, one cached aggregate.
     */
-  private def refreshIndexesFull(source: DataFrame): Unit = {
+  /** batchEst: the ingest batch's size estimate, when the caller already
+    * computed one (upsert does, for its respread decision). Used as the
+    * postings write-size hint — Catalyst's own probe of the tokenize plan
+    * propagates the child scan size through Generate/Aggregate anyway, so
+    * the hint reproduces the same estimate without the extra
+    * analyze+optimize pass per write.
+    */
+  private def refreshIndexesFull(source: DataFrame,
+                                 batchEst: Option[BigInt] = None): Unit = {
     if (useFts) {
       val fresh = PostingsIndex.build(source, foldAccents).persist()
       try {
         Stores.overwritePartition(spark, postingsDir, name, fresh,
-          sortBy = Seq("term"), rangeBy = Seq("term"))
+          sortBy = Seq("term"), rangeBy = Seq("term"), sizeHintBytes = batchEst)
         writeDoclenFull(doclenOfPostings(source.select($"id"), fresh))
         impactParams().foreach(rebuildImpact(_, fresh))
       } finally fresh.unpersist()
@@ -1606,7 +1630,8 @@ final class Collection private (
     * subsequent read resolve deltas. Only the batch tokenizes either way.
     */
   private def refreshIndexesMerge(batch: DataFrame, rawIds: DataFrame,
-                                  smallIds: Boolean): Unit = {
+                                  smallIds: Boolean,
+                                  batchEst: BigInt): Unit = {
     // hinted form for the joins where the ids are the BUILD side (every
     // left_anti right below); the doclen left join instead hints its
     // postings agg (same cardinality bound) via doclenOfPostings — a hint
@@ -1619,8 +1644,14 @@ final class Collection private (
       val fresh = postings().join(batchIds, Seq("id"), "left_anti")
         .unionByName(freshBatch).persist()
       try {
+        // fresh ≤ current postings segments + the batch's tokenized rows:
+        // one FS stat replaces the optimizer probe over the
+        // anti-join∪tokenize plan (the most expensive probe of the merge
+        // path)
+        val (pb, pd) = Stores.segmentBytes(spark, postingsDir, name)
         Stores.overwritePartition(spark, postingsDir, name, fresh,
-          sortBy = Seq("term"), rangeBy = Seq("term"))
+          sortBy = Seq("term"), rangeBy = Seq("term"),
+          sizeHintBytes = Some(BigInt(pb) + BigInt(pd) + batchEst))
         writeDoclenFull(doclen().join(batchIds, Seq("id"), "left_anti")
           .unionByName(doclenOfPostings(rawIds, freshBatch, hintAgg = smallIds)))
         // below the direct threshold a full sidecar re-derive is the cheap
@@ -1702,7 +1733,7 @@ final class Collection private (
     * layout paid per batch. The property that keeps `streamIngest`
     * micro-batches flat as the collection grows.
     */
-  private def refreshIndexesDelta(batch: DataFrame): Unit = {
+  private def refreshIndexesDelta(batch: DataFrame, batchEst: BigInt): Unit = {
     val batchIds = batch.select("id")
     // Impact-sidecar state, probed BEFORE the postings/doclen deltas land.
     // Three regimes (gone-aware serving):
@@ -1727,13 +1758,18 @@ final class Collection private (
     if (useFts) {
       val freshBatch = PostingsIndex.build(batch, foldAccents).persist()
       try {
+        // every delta below is O(batch) by construction — batchEst rides
+        // along as the size hint so none of them pays an optimizer stats
+        // pass over the tokenize/window plans (guide §5)
         Stores.appendDelta(spark, postingsDir, name,
-          freshBatch, gone = Some(batchIds), sortBy = Seq("term"))
+          freshBatch, gone = Some(batchIds), sortBy = Seq("term"),
+          sizeHintBytes = Some(batchEst))
         // O(batch) doclen delta (every batch id carries a row, so the data
         // rows alone claim the replacements), then the stats aggregate scans
         // the SKINNY doclen store — never the postings store, whose
         // resolution at 1M docs cost ~10 s per micro-batch
-        appendDoclenDelta(doclenOfPostings(batchIds, freshBatch))
+        appendDoclenDelta(doclenOfPostings(batchIds, freshBatch),
+          sizeHint = Some(batchEst))
         impactParams().foreach { cap =>
           if (impactWm.isEmpty) {
             if (Stores.partitionExists(spark, impactMetaDir, name))
@@ -1746,7 +1782,8 @@ final class Collection private (
             Stores.appendDelta(spark, impactDir, name,
               freshBatch.select($"term", $"id", $"tf", $"dl")
                 .withColumn("cap", lit(cap)),
-              gone = Some(batchIds), sortBy = Seq("term"))
+              gone = Some(batchIds), sortBy = Seq("term"),
+              sizeHintBytes = Some(batchEst))
             if (impactExact) {
               // … then per-term df increments (a pure insert adds exactly
               // its per-term doc counts; bounds are untouched — additions
@@ -1765,7 +1802,7 @@ final class Collection private (
                   .select($"id", (coalesce($"df", lit(0L)) + $"__add").as("df"),
                     coalesce($"bound_tf", lit(0L)).as("bound_tf"))
                   .unionByName(impactWatermarkRow(postingsSeg())),
-                sortBy = Seq("id"))
+                sortBy = Seq("id"), sizeHintBytes = Some(batchEst))
             } else {
               // … mirror regime: no df rows (serving recounts its query
               // terms), just the stale-flagged watermark, LAST — same
@@ -1778,7 +1815,7 @@ final class Collection private (
         }
       } finally freshBatch.unpersist()
     } else {
-      appendDoclenDelta(doclenOfBatch(batch))
+      appendDoclenDelta(doclenOfBatch(batch), sizeHint = Some(batchEst))
     }
     refreshVectorIndexDelta(batch, batchIds)
     // dedup index: O(batch) delta — only the batch re-shingles/re-bands
@@ -1786,7 +1823,8 @@ final class Collection private (
     dedupParams().foreach { case (n, bands, rpb) =>
       Stores.appendDelta(spark, minhashDir, name,
         dedupIndexRows(batch, n, bands, rpb),
-        gone = Some(batchIds), sortBy = Seq("band", "bh"))
+        gone = Some(batchIds), sortBy = Seq("band", "bh"),
+        sizeHintBytes = Some(batchEst))
     }
   }
 
@@ -1798,8 +1836,12 @@ final class Collection private (
     if (useFts) {
       val fresh = postings().join(idsDf, Seq("id"), "left_anti").persist()
       try {
+        // a pure anti-join can only shrink the store: its segment bytes
+        // bound the rewrite — no optimizer stats probe
+        val (pb, pd) = Stores.segmentBytes(spark, postingsDir, name)
         Stores.overwritePartition(spark, postingsDir, name, fresh,
-          sortBy = Seq("term"), rangeBy = Seq("term"))
+          sortBy = Seq("term"), rangeBy = Seq("term"),
+          sizeHintBytes = Some(BigInt(pb) + BigInt(pd)))
         writeDoclenFull(doclen().join(idsDf, Seq("id"), "left_anti"))
         impactParams().foreach(rebuildImpact(_, fresh))
       } finally fresh.unpersist()
@@ -1937,10 +1979,12 @@ final class Collection private (
     * upsert / delete paths).
     */
   private def appendDoclenDelta(batchDl: DataFrame,
-                                gone: Option[DataFrame] = None): Unit = {
+                                gone: Option[DataFrame] = None,
+                                sizeHint: Option[BigInt] = None): Unit = {
     if (!Stores.partitionExists(spark, doclenDir, name))
       Stores.overwritePartition(spark, doclenDir, name, doclen()) // legacy store: materialize once
-    Stores.appendDelta(spark, doclenDir, name, batchDl, gone)
+    Stores.appendDelta(spark, doclenDir, name, batchDl, gone,
+      sizeHintBytes = sizeHint)
     writeStatsFrom(doclen())
   }
 

@@ -375,7 +375,8 @@ object Stores {
     */
   def appendDelta(spark: SparkSession, storeDir: String, collection: String,
                   df: DataFrame, gone: Option[DataFrame] = None,
-                  sortBy: Seq[String] = Nil): Unit = {
+                  sortBy: Seq[String] = Nil,
+                  sizeHintBytes: Option[BigInt] = None): Unit = {
     val dir = partDir(storeDir, collection)
     require(exists(spark, dir), s"appendDelta: no base partition at $dir")
     // the read side resolves deltas by id — an id-less schema would accept
@@ -404,12 +405,23 @@ object Stores {
     // partition (32 after the ingest respread), and every subsequent read
     // resolves ALL of them. coalesce — not repartition — because the
     // delta frames are persisted batches: no recompute, no shuffle.
+    // Kill switch (r20 A/B: spark.graft.store.writeSizing=false restores the
+    // exact pre-r19 arm — no size probe, no coalesce), and sizeHintBytes
+    // skips the optimizer stats pass when the caller already knows the
+    // mutation's scale from filesystem stats (guide §5: the probe costs an
+    // extra analyze+optimize pass per write, and a mutation rewrites many
+    // stores).
+    val sizingOn = spark.conf.getOption("spark.graft.store.writeSizing")
+      .forall(_.toBoolean)
     val target = spark.conf.getOption("spark.graft.store.rangeTargetBytes")
       .map(_.toLong).getOrElse(16L << 20)
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val sized =
-      if (est < BigInt(target)) df.coalesce(1)
-      else df
+      if (!sizingOn) df
+      else {
+        val est = sizeHintBytes.filter(_ => sizeHintsOn(spark)).getOrElse(
+          df.queryExecution.optimizedPlan.stats.sizeInBytes)
+        if (est < BigInt(target)) df.coalesce(1) else df
+      }
     val out = if (sortBy.nonEmpty) sized.sortWithinPartitions(sortBy.head, sortBy.tail: _*) else sized
     writeVia(out, s"$dir/$name")
     gone.foreach(g => writeVia(g.select(org.apache.spark.sql.functions.col("id")),
@@ -425,9 +437,22 @@ object Stores {
                        rangeBy: Seq[String] = Nil): Unit = {
     val dir = partDir(storeDir, collection)
     if (!exists(spark, dir) || deltas(spark, dir).isEmpty) return
+    // size hint from the segment bytes already on disk (the resolved read is
+    // ≤ base + deltas): skips an optimizer stats pass over the
+    // delta-resolution union plan — the most complex plan any store write
+    // probes (guide §5 driver work)
+    val (b, d) = segmentBytes(spark, storeDir, collection)
     overwritePartition(spark, storeDir, collection,
-      readPartition(spark, storeDir, collection, schema), sortBy, rangeBy)
+      readPartition(spark, storeDir, collection, schema), sortBy, rangeBy,
+      sizeHintBytes = Some(BigInt(b) + BigInt(d)))
   }
+
+  /** r20 A/B gate for the caller-provided write-size hints: `false` ignores
+    * every hint and falls back to the per-write optimizer stats probe (the
+    * r19 arm).
+    */
+  private def sizeHintsOn(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.store.sizeHints").forall(_.toBoolean)
 
   /** Overwrite one collection's partition: write to a temp dir under the same
     * filesystem, then swap it into place via RENAME-OVER — the live
@@ -440,7 +465,8 @@ object Stores {
     */
   def overwritePartition(spark: SparkSession, storeDir: String, collection: String,
                          df: DataFrame, sortBy: Seq[String] = Nil,
-                         rangeBy: Seq[String] = Nil): Unit = {
+                         rangeBy: Seq[String] = Nil,
+                         sizeHintBytes: Option[BigInt] = None): Unit = {
     val uuid = java.util.UUID.randomUUID().toString
     val tmp = new Path(s"$storeDir/.tmp-$uuid")
     val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -458,9 +484,23 @@ object Stores {
     // near-empty ones. A store past ~target·partitions keeps exactly the
     // old behavior (estimate clamps to the partition ceiling — including
     // when Catalyst has no stats and reports its huge default).
+    // spark.graft.store.writeSizing=false restores the exact pre-r19 arm
+    // (constant shuffle.partitions range count, no size probe) — the r20
+    // A/B kill switch for the whole r19 write-sizing change. sizeHintBytes
+    // (callers that already know the store's scale from one FS stat) skips
+    // the optimizer stats probe, which costs a full extra analyze+optimize
+    // pass of the child plan per write (guide §5) — a mutation rewrites
+    // docs + doclen + postings + every index store, so the probes were the
+    // dominant driver-side cost of the s3-s9 lifecycle entries.
+    val sizingOn = spark.conf.getOption("spark.graft.store.writeSizing")
+      .forall(_.toBoolean)
     val ranged =
-      if (rangeBy.nonEmpty) {
-        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (rangeBy.nonEmpty && !sizingOn)
+        df.repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+          rangeBy.map(org.apache.spark.sql.functions.col): _*)
+      else if (rangeBy.nonEmpty) {
+        val est = sizeHintBytes.filter(_ => sizeHintsOn(spark)).getOrElse(
+          df.queryExecution.optimizedPlan.stats.sizeInBytes)
         // 16 MB per write task: single-task parquet encode throughput is
         // the binding cost at the small end (a ~50 MB store wrote 3-4 s
         // single-task under a 128 MB target), while at the large end the
