@@ -914,9 +914,9 @@ final class Collection private (
                                maxSample: Int, seed: Long)
       : (Seq[Seq[Float]], graft.ext.PqCodebook, Boolean) = {
     import graft.ext.Ivf
-    val driverMax = spark.conf.getOption("spark.graft.ivf.driverTrainMaxVecs")
-      .map(_.toInt).getOrElse(1 << 17)
-    val fused = maxSample <= driverMax &&
+    // shared dim-aware gate (vec-count AND byte bound) — keeps this arm
+    // decision identical to trainCentroids' own
+    val fused = Ivf.driverTrainOk(docs(), "embedding", maxSample) &&
       spark.conf.getOption("spark.graft.ivfpq.fusedSample").forall(_.toBoolean)
     if (fused) {
       val sample = Ivf.boundedSample(docs(), "embedding", 1.0, maxSample, seed)
@@ -1200,9 +1200,9 @@ final class Collection private (
   def createImpactIndex(cap: Int = 128): Unit = {
     require(useFts, s"Collection '$name' does not support full-text search.")
     require(cap >= 1, "cap >= 1")
-    require(!postings().limit(1).isEmpty,
-      s"Collection '$name' has no postings to index; ingest before createImpactIndex().")
-    rebuildImpact(cap, postings())
+    // the emptiness probe lives in rebuildImpact (it checks anyway for its
+    // drop-on-emptied branch) — one limit-1 job per build, not two
+    rebuildImpact(cap, postings(), requireNonEmpty = true)
   }
 
   /** The stored cap of the impact sidecar, if one was built. */
@@ -1283,13 +1283,18 @@ final class Collection private (
     * meta (the serving gate) LAST: any crash window leaves the sidecar
     * unservable — full-path fallback — never wrong.
     */
-  private def rebuildImpact(cap: Int, from: DataFrame): Unit = {
+  private def rebuildImpact(cap: Int, from: DataFrame,
+                            requireNonEmpty: Boolean = false): Unit = {
     // emptied corpus (e.g. a merge-path delete of every doc): drop both
     // stores, mirroring compact()'s emptied-collection branch — an empty
     // rows store would silently lose the cap registration (impactParams()
     // = None) and orphan two empty store dirs. Checked on the RAW frame:
     // probing the ranked one would pay its window for a 1-row answer.
+    // requireNonEmpty = createImpactIndex's explicit-build contract (throw,
+    // don't silently drop), sharing this one probe job.
     if (from.limit(1).isEmpty) {
+      require(!requireNonEmpty,
+        s"Collection '$name' has no postings to index; ingest before createImpactIndex().")
       Stores.dropPartition(spark, impactDir, name)
       Stores.dropPartition(spark, impactMetaDir, name)
       return

@@ -240,13 +240,10 @@ object Ivf {
     // reduce's round-robin partitioning made last-ulp sums a function of
     // defaultParallelism. Above the bound the distributed path is
     // unchanged.
-    val driverMax = corpus.sparkSession.conf
-      .getOption("spark.graft.ivf.driverTrainMaxVecs").map(_.toInt)
-      .getOrElse(1 << 17)
     val sorted = boundedSample(corpus, embCol, sampleFraction, maxSample, seed)
       .persist()
     try {
-      if (maxSample <= driverMax) {
+      if (driverTrainOk(corpus, embCol, maxSample)) {
         val vecs = sorted.collect().map(_.getSeq[Float](0).toArray)
         return trainCentroidsVecs(vecs, k, iters)
       }
@@ -275,6 +272,31 @@ object Ivf {
         cents
       } finally sample.unpersist()
     } finally sorted.unpersist()
+  }
+
+  /** Whether the driver-train arm is safe for this (corpus, maxSample):
+    * the sample must fit BOTH the vector-count bound
+    * (`spark.graft.ivf.driverTrainMaxVecs`, default 128k — the FAISS-shape
+    * heuristic) and a dimensionality-aware BYTE budget
+    * (`spark.graft.ivf.driverTrainMaxBytes`, default 256 MB ≈ maxSample ×
+    * dim × 4B): a count-only bound admits a 128k × 4096-d sample — ~2 GB
+    * of driver heap — while 384-d fixtures stay comfortably inside (r20,
+    * r19 verdict's dim-blind-bound item). The dim probe is ONE limit-1
+    * scan of the corpus, paid only when the count bound already passed
+    * (i.e. once per index build, never per query); an un-embedded corpus
+    * keeps the driver arm (nothing to collect either way).
+    */
+  private[graft] def driverTrainOk(corpus: DataFrame, embCol: String,
+                                   maxSample: Int): Boolean = {
+    val conf = corpus.sparkSession.conf
+    val driverMax = conf.getOption("spark.graft.ivf.driverTrainMaxVecs")
+      .map(_.toInt).getOrElse(1 << 17)
+    if (maxSample > driverMax) return false
+    val maxBytes = conf.getOption("spark.graft.ivf.driverTrainMaxBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val dim = corpus.select(col(embCol)).filter(col(embCol).isNotNull)
+      .head(1).headOption.map(_.getSeq[Float](0).size.toLong).getOrElse(0L)
+    maxSample.toLong * dim * 4L <= maxBytes
   }
 
   /** The driver-side Lloyd loop over an ALREADY-COLLECTED sample (the

@@ -48,6 +48,27 @@ class R20OptSpec extends AnyFunSuite {
     assert(onArm == noHints, "sizeHints=false arm must produce identical docs")
   }
 
+  test("ivf driver-train gate is dim-aware: byte budget flips to the distributed arm") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpus = (0 until 60).map { i =>
+      (s"v$i", Seq.tabulate(8)(d => ((i % 5) + 1f) * (d + 1) / 10f))
+    }.toDF("id", "embedding")
+      .select($"id", $"embedding".cast("array<float>").as("embedding"))
+    val driverArm = graft.ext.Ivf.trainCentroids(corpus, k = 5, iters = 4,
+      maxSample = 60, seed = 1L)
+    // 60 vecs x 8 dims x 4B = 1920 bytes > 1-byte budget -> distributed arm
+    val distArm = withConf("spark.graft.ivf.driverTrainMaxBytes", "1")(
+      graft.ext.Ivf.trainCentroids(corpus, k = 5, iters = 4,
+        maxSample = 60, seed = 1L))
+    assert(driverArm.size == distArm.size)
+    // identical assignment/update math; accumulation order may differ at
+    // the last ulp between arms, so compare within float tolerance
+    driverArm.zip(distArm).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-5f) }
+    }
+  }
+
   test("delete of absent ids short-circuits: one probe job, no store touched") {
     val root = freshRoot()
     val c = ingest(root)
