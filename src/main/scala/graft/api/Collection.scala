@@ -264,9 +264,8 @@ final class Collection private (
             sizeHintBytes = Some(BigInt(baseBytes) + BigInt(deltaBytes) + est))
           refreshIndexesMerge(batch, rawIds, smallIds, batchEst = est)
         } else {
-          Stores.appendDelta(spark, docsDir, name, batch, sortBy = Seq("id"),
-            sizeHintBytes = Some(est))
-          refreshIndexesDelta(batch, batchEst = est)
+          Stores.appendDelta(spark, docsDir, name, batch, sortBy = Seq("id"))
+          refreshIndexesDelta(batch)
           maybeCompact()
         }
       }
@@ -1738,7 +1737,7 @@ final class Collection private (
     * layout paid per batch. The property that keeps `streamIngest`
     * micro-batches flat as the collection grows.
     */
-  private def refreshIndexesDelta(batch: DataFrame, batchEst: BigInt): Unit = {
+  private def refreshIndexesDelta(batch: DataFrame): Unit = {
     val batchIds = batch.select("id")
     // Impact-sidecar state, probed BEFORE the postings/doclen deltas land.
     // Three regimes (gone-aware serving):
@@ -1763,18 +1762,17 @@ final class Collection private (
     if (useFts) {
       val freshBatch = PostingsIndex.build(batch, foldAccents).persist()
       try {
-        // every delta below is O(batch) by construction — batchEst rides
-        // along as the size hint so none of them pays an optimizer stats
-        // pass over the tokenize/window plans (guide §5)
+        // NO size hints on these deltas (r20, measured — see
+        // Stores.appendDelta): the coalesce decision must come from each
+        // delta frame's own estimate, or the unevaluated tokenize plan
+        // lands single-task
         Stores.appendDelta(spark, postingsDir, name,
-          freshBatch, gone = Some(batchIds), sortBy = Seq("term"),
-          sizeHintBytes = Some(batchEst))
+          freshBatch, gone = Some(batchIds), sortBy = Seq("term"))
         // O(batch) doclen delta (every batch id carries a row, so the data
         // rows alone claim the replacements), then the stats aggregate scans
         // the SKINNY doclen store — never the postings store, whose
         // resolution at 1M docs cost ~10 s per micro-batch
-        appendDoclenDelta(doclenOfPostings(batchIds, freshBatch),
-          sizeHint = Some(batchEst))
+        appendDoclenDelta(doclenOfPostings(batchIds, freshBatch))
         impactParams().foreach { cap =>
           if (impactWm.isEmpty) {
             if (Stores.partitionExists(spark, impactMetaDir, name))
@@ -1787,8 +1785,7 @@ final class Collection private (
             Stores.appendDelta(spark, impactDir, name,
               freshBatch.select($"term", $"id", $"tf", $"dl")
                 .withColumn("cap", lit(cap)),
-              gone = Some(batchIds), sortBy = Seq("term"),
-              sizeHintBytes = Some(batchEst))
+              gone = Some(batchIds), sortBy = Seq("term"))
             if (impactExact) {
               // … then per-term df increments (a pure insert adds exactly
               // its per-term doc counts; bounds are untouched — additions
@@ -1807,7 +1804,7 @@ final class Collection private (
                   .select($"id", (coalesce($"df", lit(0L)) + $"__add").as("df"),
                     coalesce($"bound_tf", lit(0L)).as("bound_tf"))
                   .unionByName(impactWatermarkRow(postingsSeg())),
-                sortBy = Seq("id"), sizeHintBytes = Some(batchEst))
+                sortBy = Seq("id"))
             } else {
               // … mirror regime: no df rows (serving recounts its query
               // terms), just the stale-flagged watermark, LAST — same
@@ -1820,7 +1817,7 @@ final class Collection private (
         }
       } finally freshBatch.unpersist()
     } else {
-      appendDoclenDelta(doclenOfBatch(batch), sizeHint = Some(batchEst))
+      appendDoclenDelta(doclenOfBatch(batch))
     }
     refreshVectorIndexDelta(batch, batchIds)
     // dedup index: O(batch) delta — only the batch re-shingles/re-bands
@@ -1828,8 +1825,7 @@ final class Collection private (
     dedupParams().foreach { case (n, bands, rpb) =>
       Stores.appendDelta(spark, minhashDir, name,
         dedupIndexRows(batch, n, bands, rpb),
-        gone = Some(batchIds), sortBy = Seq("band", "bh"),
-        sizeHintBytes = Some(batchEst))
+        gone = Some(batchIds), sortBy = Seq("band", "bh"))
     }
   }
 
@@ -1984,12 +1980,10 @@ final class Collection private (
     * upsert / delete paths).
     */
   private def appendDoclenDelta(batchDl: DataFrame,
-                                gone: Option[DataFrame] = None,
-                                sizeHint: Option[BigInt] = None): Unit = {
+                                gone: Option[DataFrame] = None): Unit = {
     if (!Stores.partitionExists(spark, doclenDir, name))
       Stores.overwritePartition(spark, doclenDir, name, doclen()) // legacy store: materialize once
-    Stores.appendDelta(spark, doclenDir, name, batchDl, gone,
-      sizeHintBytes = sizeHint)
+    Stores.appendDelta(spark, doclenDir, name, batchDl, gone)
     writeStatsFrom(doclen())
   }
 

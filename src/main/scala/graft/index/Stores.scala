@@ -375,8 +375,7 @@ object Stores {
     */
   def appendDelta(spark: SparkSession, storeDir: String, collection: String,
                   df: DataFrame, gone: Option[DataFrame] = None,
-                  sortBy: Seq[String] = Nil,
-                  sizeHintBytes: Option[BigInt] = None): Unit = {
+                  sortBy: Seq[String] = Nil): Unit = {
     val dir = partDir(storeDir, collection)
     require(exists(spark, dir), s"appendDelta: no base partition at $dir")
     // the read side resolves deltas by id — an id-less schema would accept
@@ -406,11 +405,15 @@ object Stores {
     // resolves ALL of them. coalesce — not repartition — because the
     // delta frames are persisted batches: no recompute, no shuffle.
     // Kill switch (r20 A/B: spark.graft.store.writeSizing=false restores the
-    // exact pre-r19 arm — no size probe, no coalesce), and sizeHintBytes
-    // skips the optimizer stats pass when the caller already knows the
-    // mutation's scale from filesystem stats (guide §5: the probe costs an
-    // extra analyze+optimize pass per write, and a mutation rewrites many
-    // stores).
+    // exact pre-r19 arm — no size probe, no coalesce). NO caller size hints
+    // here, deliberately (r20, measured): unlike the rangeBy rewrites
+    // (which REPARTITION — a shuffle, so upstream parallelism survives any
+    // partition count), this coalesce(1) clamps the WHOLE unevaluated
+    // delta-derivation plan (a micro-batch's tokenize) onto one task, so
+    // the decision must come from the delta frame's own estimate, not a
+    // caller's batch-input bound — a batch-bytes hint flipped the decision
+    // on tokenize-derived deltas and cost 1.06-1.12x on the streaming
+    // entries in interleaved A/B.
     val sizingOn = spark.conf.getOption("spark.graft.store.writeSizing")
       .forall(_.toBoolean)
     val target = spark.conf.getOption("spark.graft.store.rangeTargetBytes")
@@ -418,8 +421,7 @@ object Stores {
     val sized =
       if (!sizingOn) df
       else {
-        val est = sizeHintBytes.filter(_ => sizeHintsOn(spark)).getOrElse(
-          df.queryExecution.optimizedPlan.stats.sizeInBytes)
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
         if (est < BigInt(target)) df.coalesce(1) else df
       }
     val out = if (sortBy.nonEmpty) sized.sortWithinPartitions(sortBy.head, sortBy.tail: _*) else sized
@@ -437,14 +439,16 @@ object Stores {
                        rangeBy: Seq[String] = Nil): Unit = {
     val dir = partDir(storeDir, collection)
     if (!exists(spark, dir) || deltas(spark, dir).isEmpty) return
-    // size hint from the segment bytes already on disk (the resolved read is
-    // ≤ base + deltas): skips an optimizer stats pass over the
-    // delta-resolution union plan — the most complex plan any store write
-    // probes (guide §5 driver work)
-    val (b, d) = segmentBytes(spark, storeDir, collection)
+    // NO size hint here, deliberately (r20, measured): compaction runs off
+    // the ingest path (rare, amortized by MaxDeltas), and its output store
+    // serves every subsequent read — the honest segment-bytes hint was
+    // 1.10-1.14x slower on the stream-compaction entry in BOTH A/B arm
+    // orders because it lands the folded store at fewer files than the
+    // optimizer's estimate of the resolve plan does, taxing the reads that
+    // follow. The hot mutation paths keep their hints (A/B'd
+    // neutral-or-better); this one write keeps the probe.
     overwritePartition(spark, storeDir, collection,
-      readPartition(spark, storeDir, collection, schema), sortBy, rangeBy,
-      sizeHintBytes = Some(BigInt(b) + BigInt(d)))
+      readPartition(spark, storeDir, collection, schema), sortBy, rangeBy)
   }
 
   /** r20 A/B gate for the caller-provided write-size hints: `false` ignores
